@@ -1,0 +1,123 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Compiles the SPARQL algebra to a DataFrame plan.
+  *
+  * Blazegraph evaluates its AST with a hand-scheduled vectored pipeline
+  * (bigdata-core/bigdata-rdf/src/java/com/bigdata/rdf/sparql/ast/eval/AST2BOpUtility.java
+  * + com.bigdata.bop.join.* hash/pipeline joins, plus ~70 rewrite passes
+  * in ast/optimizers/). Here each algebra node maps onto the equivalent
+  * *declarative* DataFrame operator and Catalyst does the optimizing:
+  * join reorder/CBO ≈ ASTJoinOrderByTypeOptimizer, filter placement ≈
+  * ASTAttachJoinFiltersOptimizer, broadcast vs shuffle hash join ≈ the
+  * analytic-mode hash join selection.
+  */
+object Compiler {
+
+  /** Solution-compatibility join columns = shared variable names. */
+  private def shared(l: DataFrame, r: DataFrame): Seq[String] =
+    l.columns.toSeq.intersect(r.columns.toSeq)
+
+  private def joinOn(l: DataFrame, r: DataFrame, how: String): DataFrame = {
+    val common = shared(l, r)
+    if (common.isEmpty) how match {
+      case "inner"               => l.crossJoin(r)
+      case "left_outer"          => l.crossJoin(r) // OPTIONAL w/o shared vars over non-empty right
+      case "left_semi"           => l
+      case "left_anti" | "minus" => l             // MINUS w/ disjoint domains removes nothing
+    } else how match {
+      case "minus" => l.join(r.select(common.map(col): _*), common, "left_anti")
+      case "left_semi" | "left_anti" => l.join(r.select(common.map(col): _*), common, how)
+      case _ => l.join(r, common, how)
+    }
+  }
+
+  private def compilePattern(tp: TriplePattern, triples: DataFrame): DataFrame = {
+    val cols = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+    // constant positions → pushed filters (bound p prunes the union to one scan)
+    val filtered = cols.foldLeft(triples) {
+      case (df, (c, Const(v))) => df.filter(col(c) === lit(v))
+      case (df, _)             => df
+    }
+    // same var twice in one pattern → equality constraint
+    val varCols = cols.collect { case (c, Var(n)) => (c, n) }
+    val eq = varCols.groupBy(_._2).values.filter(_.size > 1).foldLeft(filtered) {
+      case (df, dups) => df.filter(col(dups.head._1) === col(dups(1)._1))
+    }
+    val proj = varCols.map(_._1).distinct.map { c =>
+      col(c).as(varCols.find(_._1 == c).get._2)
+    }
+    eq.select(proj: _*)
+  }
+
+  /** Transitive closure of a binary step relation (from, to) by
+    * frontier fixpoint: each iteration joins only the delta frontier
+    * against the step edges (not closure × step), dedups against the
+    * accumulated closure, and localCheckpoints to truncate lineage —
+    * the iteration pattern that survives 100-TB edge sets (on a real
+    * cluster, swap localCheckpoint for reliable checkpoint).
+    * Semantics of ArbitraryLengthPathNode with lowerBound=1. */
+  def transitiveClosure(step: DataFrame, maxIters: Int = 64): DataFrame = {
+    var closure = step.select("from", "to").distinct().localCheckpoint()
+    var frontier = closure
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      val grown = frontier.join(
+          step.withColumnRenamed("from", "_m").withColumnRenamed("to", "_t"),
+          frontier("to") === col("_m"))
+        .select(col("from"), col("_t").as("to")).distinct()
+      val delta = grown.join(closure, Seq("from", "to"), "left_anti").localCheckpoint()
+      if (delta.isEmpty) done = true
+      else {
+        closure = closure.unionAll(delta).localCheckpoint()
+        frontier = delta
+        i += 1
+      }
+    }
+    closure
+  }
+
+  def compile(a: Algebra, triples: DataFrame): DataFrame = a match {
+    case Bgp(patterns @ _*) =>
+      patterns.map(compilePattern(_, triples)).reduce(joinOn(_, _, "inner"))
+    case Join(l, r)      => joinOn(compile(l, triples), compile(r, triples), "inner")
+    case LeftJoin(l, r)  => joinOn(compile(l, triples), compile(r, triples), "left_outer")
+    case Exists(l, r)    => joinOn(compile(l, triples), compile(r, triples), "left_semi")
+    case NotExists(l, r) => joinOn(compile(l, triples), compile(r, triples), "left_anti")
+    case Minus(l, r)     => joinOn(compile(l, triples), compile(r, triples), "minus")
+    case Union(l, r) =>
+      compile(l, triples).unionByName(compile(r, triples), allowMissingColumns = true)
+    case Filter(c, cond)      => compile(c, triples).filter(cond)
+    case Extend(c, v, e)      => compile(c, triples).withColumn(v, e)
+    case Project(c, vars @ _*) => compile(c, triples).select(vars.map(col): _*)
+    case Distinct(c)          => compile(c, triples).distinct()
+    case OrderBy(c, keys)     => compile(c, triples).orderBy(keys: _*)
+    case Slice(c, off, lim) =>
+      val d = compile(c, triples)
+      (if (off > 0) d.offset(off.toInt) else d).limit(lim.toInt)
+    case Group(c, keys, aggs) =>
+      val d = compile(c, triples)
+      val aggCols = aggs.map { case (n, e) => e.as(n) }
+      if (keys.isEmpty) d.agg(aggCols.head, aggCols.tail: _*)
+      else d.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    case SubQuery(l, sub) => joinOn(compile(l, triples), compile(sub, triples), "inner")
+    case Values(vars, rows) =>
+      val spark = triples.sparkSession
+      val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
+      val data = rows.map(r => org.apache.spark.sql.Row(r.map(_.orNull): _*))
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+    case PathPlus(s, preds, o, sVar, oVar) =>
+      val step = triples.filter(col("p").isin(preds: _*))
+        .select(col("s").as("from"), col("o").as("to"))
+      val tc = transitiveClosure(step)
+      val bound = Seq("from" -> s, "to" -> o).foldLeft(tc) {
+        case (df, (c, Const(v))) => df.filter(col(c) === lit(v))
+        case (df, _)             => df
+      }
+      bound.select(col("from").as(sVar), col("to").as(oVar))
+  }
+}

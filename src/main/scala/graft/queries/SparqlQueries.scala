@@ -68,6 +68,160 @@ object SparqlQueries {
               TriplePattern("?c", "name", "?cname"))),
         "nname", "cname"),
         Seq(col("nname"), col("cname"))))),
+
+    "union_op" -> ((s, dir) => run(s, dir,
+      OrderBy(Project(
+        Union(
+          Bgp(TriplePattern("?x", "type", "Supplier"),
+              TriplePattern("?x", "name", "?name"),
+              TriplePattern("?x", "acctbal", "?bal")),
+          Bgp(TriplePattern("?x", "type", "Customer"),
+              TriplePattern("?x", "mktsegment", "AUTOMOBILE"),
+              TriplePattern("?x", "name", "?name"),
+              TriplePattern("?x", "acctbal", "?bal"))),
+        "x", "name", "bal"),
+        Seq(col("x"), col("name"))))),
+
+    "minus_op" -> ((s, dir) => run(s, dir,
+      OrderBy(Project(
+        Minus(
+          Bgp(TriplePattern("?c", "type", "Customer")),
+          Bgp(TriplePattern("?o", "customer", "?c"),
+              TriplePattern("?o", "status", "F"))),
+        "c"),
+        Seq(col("c"))))),
+
+    "filter_expr" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Filter(
+          Project(Bgp(
+            TriplePattern("?c", "acctbal", "?bal"),
+            TriplePattern("?c", "mktsegment", "?seg")), "c", "bal", "seg"),
+          col("bal").cast("double") > 5000 && col("seg") =!= "BUILDING"),
+        Seq(col("c"))))),
+
+    "filter_regex" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Filter(
+          Project(Bgp(TriplePattern("?p", "name", "?pname"),
+                      TriplePattern("?p", "brand", "?brand")), "p", "pname", "brand"),
+          col("pname").rlike("^(red|blue) (bolt|gear)")),
+        Seq(col("p"))))),
+
+    "exists_semijoin" -> ((s, dir) => run(s, dir,
+      OrderBy(Project(
+        Exists(
+          Bgp(TriplePattern("?c", "type", "Customer"),
+              TriplePattern("?c", "name", "?name")),
+          Bgp(TriplePattern("?o", "customer", "?c"),
+              TriplePattern("?o", "status", "O"))),
+        "c", "name"),
+        Seq(col("c"))))),
+
+    "not_exists_antijoin" -> ((s, dir) => run(s, dir,
+      OrderBy(Project(
+        NotExists(
+          Bgp(TriplePattern("?c", "type", "Customer"),
+              TriplePattern("?c", "name", "?name")),
+          Bgp(TriplePattern("?o", "customer", "?c"))),
+        "c", "name"),
+        Seq(col("c"))))),
+
+    "bind_extend" -> ((s, dir) => run(s, dir,
+      OrderBy(Project(
+        Extend(
+          Bgp(TriplePattern("?o", "totalprice", "?price"),
+              TriplePattern("?o", "priority", "1-URGENT")),
+          "disc_price",
+          round(col("price").cast("decimal(18,2)") * lit(0.9).cast("decimal(2,1)"), 2)
+            .cast("double")),
+        "o", "price", "disc_price"),
+        Seq(col("o"))))),
+
+    "values_inline" -> ((s, dir) => run(s, dir,
+      OrderBy(Project(
+        Join(
+          Bgp(TriplePattern("?n", "name", "?nname"),
+              TriplePattern("?n", "region", "?r")),
+          Values(Seq("nname"),
+                 Seq(Seq(Some("NATION_1")), Seq(Some("NATION_3")), Seq(Some("NATION_17"))))),
+        "n", "nname", "r"),
+        Seq(col("n"))))),
+
+    "distinct_op" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Distinct(Project(Bgp(
+          TriplePattern("?c", "mktsegment", "?seg"),
+          TriplePattern("?c", "nation", "?n")), "seg", "n")),
+        Seq(col("seg"), col("n"))))),
+
+    "order_limit" -> ((s, dir) => run(s, dir,
+      Slice(
+        OrderBy(
+          Project(Bgp(TriplePattern("?o", "totalprice", "?price")), "o", "price"),
+          Seq(col("price").cast("double").desc, col("o"))),
+        5, 10))),
+
+    "group_having" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Filter(
+          Group(Bgp(TriplePattern("?o", "customer", "?c"),
+                    TriplePattern("?o", "totalprice", "?price")),
+            Seq("c"),
+            Seq("n_orders" -> count(lit(1)),
+                "total" -> sum(col("price").cast("decimal(18,2)")).cast("double"))),
+          col("n_orders") >= 15),
+        Seq(col("c"))))),
+
+    "agg_group_concat" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Group(Bgp(TriplePattern("?c", "type", "Customer"),
+                  TriplePattern("?c", "nation", "?n"),
+                  TriplePattern("?c", "name", "?cname")),
+          Seq("n"),
+          Seq("names" -> array_join(array_sort(collect_list(col("cname"))), "|"),
+              "sample_name" -> min(col("cname")))),
+        Seq(col("n"))))),
+
+    "subquery_op" -> ((s, dir) => run(s, dir,
+      OrderBy(Project(
+        SubQuery(
+          Bgp(TriplePattern("?n", "name", "?nname")),
+          Group(Bgp(TriplePattern("?c", "nation", "?n"),
+                    TriplePattern("?c", "acctbal", "?bal")),
+            Seq("n"),
+            Seq("maxbal" -> max(col("bal").cast("double"))))),
+        "n", "nname", "maxbal"),
+        Seq(col("n"))))),
+
+    "path_transitive" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Distinct(Project(
+          PathPlus(Var("x"), Seq("customer", "nation", "region"), Const("r:2"), "x", "y"),
+          "x")),
+        Seq(col("x"))))),
+
+    "construct_triples" -> ((s, dir) => {
+      // CONSTRUCT { ?c hasOrder ?o . ?o inSegment ?seg } WHERE {...}
+      val sol = run(s, dir,
+        Bgp(TriplePattern("?o", "customer", "?c"),
+            TriplePattern("?o", "status", "P"),
+            TriplePattern("?c", "mktsegment", "?seg")))
+      sol.select(col("c").as("s"), lit("hasOrder").as("p"), col("o").as("o"))
+        .unionAll(sol.select(col("o").as("s"), lit("inSegment").as("p"), col("seg").as("o")))
+        .distinct()
+        .orderBy("s", "p", "o")
+    }),
+
+    "ask_query" -> ((s, dir) => {
+      val nonEmpty = !run(s, dir,
+        Filter(Bgp(TriplePattern("?c", "acctbal", "?bal")),
+               col("bal").cast("double") > 9000)).isEmpty
+      s.range(1).select(lit(nonEmpty).as("ask"))
+    }),
+
+    "describe_node" -> ((s, dir) =>
+      tri(s, dir).filter(col("s") === "c:42").orderBy("p", "o")),
   )
 
   private val T = "WITH " + TpchRdf.oracleCte + "\n"
@@ -102,5 +256,118 @@ object SparqlQueries {
         |FROM nation LEFT JOIN customer
         |  ON c_nationkey = n_nationkey AND c_mktsegment = 'BUILDING'
         |ORDER BY nname, cname""".stripMargin,
+
+    "union_op" ->
+      """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS x, s_name AS name,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal FROM supplier
+        |UNION ALL
+        |SELECT 'c:'||CAST(c_custkey AS VARCHAR), c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) FROM customer
+        |WHERE c_mktsegment = 'AUTOMOBILE'
+        |ORDER BY x, name""".stripMargin,
+
+    "minus_op" ->
+      """SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS c FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c""".stripMargin,
+
+    "filter_expr" ->
+      """SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS c,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal,
+        |  c_mktsegment AS seg
+        |FROM customer
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > 5000
+        |  AND c_mktsegment <> 'BUILDING'
+        |ORDER BY c""".stripMargin,
+
+    "filter_regex" ->
+      """SELECT 'p:'||CAST(p_partkey AS VARCHAR) AS p, p_name AS pname, p_brand AS brand
+        |FROM part
+        |WHERE regexp_matches(p_name, '^(red|blue) (bolt|gear)')
+        |ORDER BY p""".stripMargin,
+
+    "exists_semijoin" ->
+      """SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS c, c_name AS name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c""".stripMargin,
+
+    "not_exists_antijoin" ->
+      """SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS c, c_name AS name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c""".stripMargin,
+
+    "bind_extend" ->
+      """SELECT 'o:'||CAST(o_orderkey AS VARCHAR) AS o,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)), 2) AS DOUBLE) AS disc_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o""".stripMargin,
+
+    "values_inline" ->
+      """SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS n, n_name AS nname,
+        |  'r:'||CAST(n_regionkey AS VARCHAR) AS r
+        |FROM nation WHERE n_name IN ('NATION_1','NATION_3','NATION_17')
+        |ORDER BY n""".stripMargin,
+
+    "distinct_op" ->
+      """SELECT DISTINCT c_mktsegment AS seg, 'n:'||CAST(c_nationkey AS VARCHAR) AS n
+        |FROM customer ORDER BY seg, n""".stripMargin,
+
+    "order_limit" ->
+      """SELECT 'o:'||CAST(o_orderkey AS VARCHAR) AS o,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+        |FROM orders
+        |ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) DESC, o
+        |LIMIT 10 OFFSET 5""".stripMargin,
+
+    "group_having" ->
+      """SELECT 'c:'||CAST(o_custkey AS VARCHAR) AS c, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY c""".stripMargin,
+
+    "agg_group_concat" ->
+      """SELECT 'n:'||CAST(c_nationkey AS VARCHAR) AS n,
+        |  string_agg(c_name, '|' ORDER BY c_name) AS names,
+        |  MIN(c_name) AS sample_name
+        |FROM customer GROUP BY c_nationkey ORDER BY n""".stripMargin,
+
+    "subquery_op" ->
+      """SELECT 'n:'||CAST(c_nationkey AS VARCHAR) AS n, n_name AS nname,
+        |  MAX(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)) AS maxbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_nationkey, n_name ORDER BY n""".stripMargin,
+
+    "path_transitive" ->
+      """WITH RECURSIVE step AS (
+        |  SELECT 'o:'||CAST(o_orderkey AS VARCHAR) AS f, 'c:'||CAST(o_custkey AS VARCHAR) AS t FROM orders
+        |  UNION ALL SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'n:'||CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'n:'||CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
+        |), tc AS (
+        |  SELECT f, t FROM step
+        |  UNION
+        |  SELECT tc.f, s.t FROM tc JOIN step s ON tc.t = s.f
+        |)
+        |SELECT DISTINCT f AS x FROM tc WHERE t = 'r:2' ORDER BY x""".stripMargin,
+
+    "construct_triples" ->
+      """WITH sol AS (
+        |  SELECT 'o:'||CAST(o_orderkey AS VARCHAR) AS o, 'c:'||CAST(o_custkey AS VARCHAR) AS c, c_mktsegment AS seg
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderstatus = 'P'
+        |)
+        |SELECT DISTINCT * FROM (
+        |  SELECT c AS s, 'hasOrder' AS p, o FROM sol
+        |  UNION ALL SELECT o AS s, 'inSegment' AS p, seg AS o FROM sol
+        |) ORDER BY s, p, o""".stripMargin,
+
+    "ask_query" ->
+      """SELECT EXISTS (
+        |  SELECT 1 FROM customer WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > 9000
+        |) AS ask""".stripMargin,
+
+    "describe_node" ->
+      (T + "SELECT s, p, o FROM triples WHERE s = 'c:42' ORDER BY p, o"),
   )
 }

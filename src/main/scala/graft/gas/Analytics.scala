@@ -1,0 +1,125 @@
+package graft.gas
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over an `edges(src, dst, weight)` DataFrame.
+  *
+  * Re-expresses Blazegraph's GAS (gather-apply-scatter) programs
+  * (bigdata-gas/src/main/java/com/bigdata/rdf/graph/analytics/
+  * {BFS,SSSP,CC,PR}.java) as frontier-based DataFrame iterations:
+  * each round joins only the *active frontier* (the GAS scheduler's
+  * vertex set) against the edge list, aggregates messages map-side,
+  * and localCheckpoints to truncate lineage/plan growth. On a cluster
+  * the edge DataFrame should be pre-partitioned by `src` so every
+  * frontier join shuffles only the (small) frontier, never the edges.
+  */
+object Analytics {
+
+  private def cp(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  /** BFS depth labeling from `source` (BFS.java: frontier expansion,
+    * visited-set pruning; depth = first-visit round). */
+  def bfs(edges: DataFrame, source: String, maxDepth: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
+    var visited = cp(spark.range(1).select(lit(source).as("node"), lit(0).as("depth")))
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = cp(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node"), lit(depth).as("depth"))
+          .distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti"))
+      visited = cp(visited.unionAll(next))
+      frontier = next
+    }
+    visited
+  }
+
+  /** Weighted single-source shortest paths (SSSP.java). Frontier =
+    * vertices whose tentative distance improved last round
+    * (Bellman-Ford with delta scheduling). */
+  def sssp(edges: DataFrame, source: String, maxIter: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    var dist = cp(spark.range(1).select(lit(source).as("node"), lit(0.0).as("dist")))
+    var frontier = dist
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      i += 1
+      val cand = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"), (frontier("dist") + edges("weight")).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      // keep only strict improvements over the current best
+      val improved = cp(
+        cand.join(dist.withColumnRenamed("dist", "old").withColumnRenamed("node", "n2"),
+                  cand("node") === col("n2"), "left")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select("node", "dist"))
+      dist = cp(
+        dist.join(improved.select(col("node").as("n3")), dist("node") === col("n3"), "left_anti")
+          .unionAll(improved))
+      frontier = improved
+    }
+    dist
+  }
+
+  /** Connected components by min-label propagation over the
+    * undirected closure (CC.java: "label = min(id over component)"). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    val und = edges.select("src", "dst")
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = und.select(col("src").as("node")).distinct()
+    var labels = cp(nodes.withColumn("label", col("node")))
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      i += 1
+      val nbrMin = labels.join(und, labels("node") === und("src"))
+        .groupBy(col("dst").as("node")).agg(min("label").as("nbr"))
+      val next = cp(
+        labels.join(nbrMin.withColumnRenamed("node", "n2"), labels("node") === col("n2"), "left")
+          .select(col("node"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
+      changed = !next.alias("a")
+        .join(labels.alias("b"), col("a.node") === col("b.node"))
+        .filter(col("a.label") =!= col("b.label")).isEmpty
+      labels = next
+    }
+    labels
+  }
+
+  /** PageRank, fixed iteration count, formula of PR.java:284:
+    * v = resetProb + (1 - resetProb) * Σ_in nbr/outdeg, all vertices
+    * initialized to resetProb. Per-iteration ROUND(9) keeps the values
+    * bit-identical to the (differently-ordered) oracle summation. */
+  def pageRank(edges: DataFrame, iters: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    val e = edges.select("src", "dst")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    val eDeg = cp(e.join(outDeg, "src"))
+    val nodes = cp(e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct())
+    var ranks = nodes.withColumn("rank", lit(resetProb))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(eDeg, ranks("node") === eDeg("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      ranks = cp(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            round(lit(resetProb) + lit(1 - resetProb) * coalesce(col("contrib"), lit(0.0)), 9)
+              .as("rank")))
+    }
+    ranks
+  }
+
+  /** In/out degree per vertex (the GAS vertex-distribution reducer). */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

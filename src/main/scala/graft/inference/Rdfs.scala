@@ -1,0 +1,58 @@
+package graft.inference
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sparql.Compiler
+
+/** RDFS forward-chaining closure.
+  *
+  * Blazegraph materializes RDFS entailments at load time with its rule
+  * engine (bigdata-core/bigdata-rdf/src/java/com/bigdata/rdf/rules/
+  * RuleRdfs05.java, RuleRdfs07.java, RuleRdfs09.java, RuleRdfs11.java,
+  * RuleRdfs02.java, RuleRdfs03.java + InferenceEngine). The rule set is
+  * stratified, so instead of a generic semi-naive datalog loop we:
+  *   1. close subClassOf / subPropertyOf transitively (rdfs11 / rdfs5)
+  *      — tiny ontology tables, frontier fixpoint;
+  *   2. lift properties along subPropertyOf (rdfs7);
+  *   3. apply domain/range typing (rdfs2 / rdfs3);
+  *   4. lift types along subClassOf (rdfs9).
+  * Each step is a broadcast join of the instance data against the
+  * (closed, tiny) ontology — no instance-side shuffle at all, which is
+  * the right plan at 100 TB: the ontology is always broadcast-sized.
+  */
+object Rdfs {
+
+  case class Ontology(subClassOf: DataFrame,    // (sub, sup)
+                      subPropertyOf: DataFrame, // (sub, sup)
+                      domain: DataFrame,        // (p, cls)
+                      range: DataFrame)         // (p, cls)
+
+  /** Full closure of instance triples (s,p,o) under the ontology. */
+  def closure(instance: DataFrame, ont: Ontology): DataFrame = {
+    val subC = Compiler.transitiveClosure(
+      ont.subClassOf.select(col("sub").as("from"), col("sup").as("to")))
+    val subP = Compiler.transitiveClosure(
+      ont.subPropertyOf.select(col("sub").as("from"), col("sup").as("to")))
+
+    // rdfs7: (s p o) & p ⊑* q → (s q o)
+    val lifted = instance.unionAll(
+      instance.join(broadcast(subP), instance("p") === subP("from"))
+        .select(col("s"), col("to").as("p"), col("o")))
+
+    // rdfs2/3: domain & range typing (applied post-lift)
+    val domTypes = lifted.join(broadcast(ont.domain), lifted("p") === ont.domain("p"))
+      .select(col("s"), lit("type").as("p"), col("cls").as("o"))
+    val rngTypes = lifted.join(broadcast(ont.range), lifted("p") === ont.range("p"))
+      .select(col("o").as("s"), lit("type").as("p"), col("cls").as("o"))
+
+    val types0 = lifted.filter(col("p") === "type")
+      .unionAll(domTypes).unionAll(rngTypes)
+
+    // rdfs9: (s type c) & c ⊑* c' → (s type c')
+    val types = types0.unionAll(
+      types0.join(broadcast(subC), types0("o") === subC("from"))
+        .select(col("s"), lit("type").as("p"), col("to").as("o")))
+
+    lifted.filter(col("p") =!= "type").unionAll(types).distinct()
+  }
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.rdf.{TpchRdf, TripleStore}
+import graft.search.FullText
+import graft.inference.Rdfs
+
+/** Full-text, inference, streaming and UPDATE coverage (SURVEY.md §2). */
+object EngineQueries {
+
+  /** Static demo ontology over the TPC-H vocabulary (SURVEY.md §3). */
+  private def ontology(s: SparkSession): Rdfs.Ontology = {
+    import s.implicits._
+    Rdfs.Ontology(
+      subClassOf = Seq(
+        ("Customer", "Agent"), ("Supplier", "Agent"), ("Agent", "Resource"),
+        ("Order", "Transaction"), ("Lineitem", "Transaction"), ("Transaction", "Resource"),
+        ("Nation", "Place"), ("Region", "Place"), ("Place", "Resource"),
+        ("Part", "Item"), ("Item", "Resource")).toDF("sub", "sup"),
+      subPropertyOf = Seq(
+        ("nation", "locatedIn"), ("region", "locatedIn")).toDF("sub", "sup"),
+      domain = Seq(("nation", "LocatedThing")).toDF("p", "cls"),
+      range = Seq(("nation", "Place"), ("region", "Place")).toDF("p", "cls"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fulltext_search" -> ((s, dir) =>
+      FullText.search(TpchRdf.table(s, dir, "documents"), Seq("spark", "join", "vector"), 20)),
+
+    "rdfs_closure" -> ((s, dir) => {
+      // instance slice: entity types + the location edges
+      val tri = TpchRdf.triples(s, dir)
+        .filter(col("p").isin("type", "nation", "region"))
+        .filter(col("p") =!= "type" || !col("o").isin("Order", "Lineitem", "Part"))
+      Rdfs.closure(tri, ontology(s))
+        .filter(col("p").isin("type", "locatedIn", "nation", "region"))
+        .orderBy("s", "p", "o")
+    }),
+
+    "stream_window" -> ((s, dir) => {
+      // Structured Streaming over the bounded events table: tumbling
+      // 1-day windows per event_type, complete-mode memory sink.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // glob form: the streaming file source requires a directory/glob
+      val stream = s.readStream.schema(schema).parquet(s"$dir/events.*")
+        // nanosAsLong surfaces ns-precision ts as LONG; `div` keeps it exact
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      val name = "stream_window_sink"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+                col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    "update_delete_insert" -> ((s, dir) => {
+      // DELETE { ?c mktsegment ?seg } INSERT { ?c segment_class ?cls }
+      // WHERE  { ?c mktsegment ?seg . BIND(retail-or-other AS ?cls) }
+      val store = TripleStore(TpchRdf.triples(s, dir))
+      val matched = store.filterP("mktsegment")
+      val inserts = matched.select(col("s"),
+        lit("segment_class").as("p"),
+        when(col("o").isin("BUILDING", "AUTOMOBILE"), "RETAIL").otherwise("OTHER").as("o"))
+      val updated = store.deleteInsert(matched, inserts)
+      updated.triples
+        .filter(col("p").isin("mktsegment", "segment_class", "acctbal") && col("s").startsWith("c:"))
+        .orderBy("s", "p", "o")
+    }),
+  )
+
+  private val T = "WITH " + TpchRdf.oracleCte + "\n"
+
+  val oracles: Map[String, String] = Map(
+    "fulltext_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |q AS (SELECT UNNEST(['spark','join','vector']) AS term)
+        |SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
+        |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "rdfs_closure" -> (
+      """WITH RECURSIVE sub(c1, c2) AS (
+        |  VALUES ('Customer','Agent'),('Supplier','Agent'),('Agent','Resource'),
+        |         ('Order','Transaction'),('Lineitem','Transaction'),('Transaction','Resource'),
+        |         ('Nation','Place'),('Region','Place'),('Place','Resource'),
+        |         ('Part','Item'),('Item','Resource')
+        |), subtc AS (
+        |  SELECT c1, c2 FROM sub
+        |  UNION SELECT s1.c1, s2.c2 FROM subtc s1 JOIN sub s2 ON s1.c2 = s2.c1
+        |), types0(s, o) AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'Customer' FROM customer
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'Nation' FROM nation
+        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'Supplier' FROM supplier
+        |  UNION ALL SELECT 'r:'||CAST(r_regionkey AS VARCHAR), 'Region' FROM region
+        |  -- rdfs2 domain(nation)=LocatedThing; rdfs3 range(nation)=Place, range(region)=Place
+        |  UNION ALL SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'LocatedThing' FROM customer
+        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'LocatedThing' FROM supplier
+        |  UNION ALL SELECT 'n:'||CAST(c_nationkey AS VARCHAR), 'Place' FROM customer
+        |  UNION ALL SELECT 'n:'||CAST(s_nationkey AS VARCHAR), 'Place' FROM supplier
+        |  UNION ALL SELECT 'r:'||CAST(n_regionkey AS VARCHAR), 'Place' FROM nation
+        |), types AS (
+        |  SELECT s, o FROM types0
+        |  UNION SELECT t.s, x.c2 FROM types0 t JOIN subtc x ON t.o = x.c1
+        |), located(s, o) AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'n:'||CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'n:'||CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
+        |)
+        |SELECT DISTINCT * FROM (
+        |  SELECT s, 'type' AS p, o FROM types
+        |  UNION ALL SELECT s, 'locatedIn' AS p, o FROM located
+        |  UNION ALL SELECT s, 'nation' AS p, o FROM located WHERE s NOT LIKE 'n:%'
+        |  UNION ALL SELECT s, 'region' AS p, o FROM located WHERE s LIKE 'n:%'
+        |) ORDER BY s, p, o""".stripMargin),
+
+    "stream_window" ->
+      """SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)), '%Y-%m-%d') AS day,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "update_delete_insert" ->
+      """SELECT s, p, o FROM (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS s, 'segment_class' AS p,
+        |    CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'RETAIL' ELSE 'OTHER' END AS o
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'acctbal',
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+        |  FROM customer
+        |) ORDER BY s, p, o""".stripMargin,
+  )
+}

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators (SURVEY.md §2, LLM-pipeline
+  * block). All operate on docs(doc_id: Long, text: String).
+  *
+  * Scale design: every variant avoids the O(n²) pair space —
+  *  - exact: one hash-groupBy on a 256-bit digest (never shuffles the
+  *    full text, only the 32-byte hash + id);
+  *  - n-gram Jaccard: inverted shingle index join — pairs materialize
+  *    only for docs sharing a shingle;
+  *  - MinHash/LSH: per-row signature (map-only) → band explosion →
+  *    shuffle on (band, key) only; exact-Jaccard verification runs on
+  *    the candidate set, not all pairs;
+  *  - SimHash: 64-bit sketch per row, 16-bit band buckets, Hamming
+  *    verification per bucket.
+  */
+object Dedup {
+
+  def words(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Distinct word 3-gram shingles per doc: (doc_id, shingles). */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*)))
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Exact dedup: canonical keeper per identical text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+
+  /** All pairs sharing ≥1 shingle with exact Jaccard ≥ minJ, via an
+    * inverted shingle index (the all-pairs pruning step). */
+  def ngramJaccard(docs: DataFrame, minJ: Double, n: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, n)
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val posts = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val inter = posts.alias("x").join(posts.alias("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("a", "b", "jaccard")
+  }
+
+  /** MinHash signature of `numHashes` permutations as an array column.
+    * h_i(S) = min_{s∈S} xxhash64(s, i) — map-only, no shuffle. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** MinHash + LSH banding (bandRows rows per band) → candidate pairs →
+    * exact-Jaccard verification ≥ minJ. With 64 hashes / 32 bands of 2,
+    * P(miss) at J=0.9 is (1-0.81)^32 ≈ 1e-23. */
+  def minhashLsh(docs: DataFrame, minJ: Double,
+                 numHashes: Int = 64, bandRows: Int = 2): DataFrame = {
+    val numBands = numHashes / bandRows
+    val sets = shingleSets(docs)
+    val sigs = sets.select(col("doc_id"), col("shingles"),
+      minhashSignature(col("shingles"), numHashes).as("sig"))
+    // band key = hash of the band's signature slice + band index
+    val banded = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * bandRows + 1, lit(bandRows)).cast("string"))))
+          .as("band_key"))
+    val candidates = banded.alias("x").join(banded.alias("y"),
+        col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // verify candidates with exact Jaccard on the shingle sets
+    val withSets = candidates
+      .join(sets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("a", "b", "jaccard")
+  }
+
+  /** 64-bit SimHash over the (tf-weighted) token stream. Bit loops are
+    * unrolled at plan-build time (shift amounts must be literals), so
+    * the whole sketch is one codegen'd projection — no shuffle. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val bitsums = aggregate(
+      transform(col("ws"), t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
+        (x, y) => x + y))
+    val sketch = (0 until 64).map(b =>
+        when(element_at(col("bitsums"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("bitsums", bitsums)
+      .withColumn("simhash", sketch)
+      .select("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
+    * from 16-bit band buckets (pigeonhole: d ≤ 3 ⇒ some band equal). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        concat(lit(b + ":"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).cast("string"))): _*))
+        .as("band"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travel as opaque `binary` columns with typed metadata; decode /
+  * feature-extraction runs per-partition so a real codec would be
+  * initialized once per task, not once per row (the Spark-native shape
+  * of a Pandas-UDF batch pipeline). The codec itself is a clearly
+  * marked deterministic STUB — the container has no image/audio libs —
+  * but the schema, batching, and partition layout are real and tested.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class DecodedRow(doc_id: Long, width: Int, height: Int,
+                        n_bytes: Long, format: String)
+
+  /** STUB decoder: deterministic pseudo-metadata from the byte stream.
+    * A real build would replace the body with an actual codec call
+    * (e.g. javax.imageio / ffmpeg) — signature and batching stay. */
+  def stubDecode(bytes: Array[Byte]): (Int, Int, String) = {
+    val w = 64 + (bytes.length % 640)
+    val h = 48 + ((if (bytes.nonEmpty) bytes(0) & 0xff else 0) % 480)
+    (w, h, "fake/raw")
+  }
+
+  /** Decode a binary media column per-partition (codec init amortized
+    * across the partition's rows, like mapInPandas batches). */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition "codec handle" — the expensive init a real
+      // decoder library would need exactly once per task
+      val codec = stubDecode _
+      rows.map { r =>
+        val (w, h, fmt) = codec(r.media)
+        DecodedRow(r.doc_id, w, h, r.media.length.toLong, fmt)
+      }
+    }
+  }
+
+  /** End-to-end demo pipeline: documents → synthetic binary media
+    * column (utf-8 bytes; stands in for real image payloads) →
+    * per-partition decode → typed metadata table. */
+  def decodeDocuments(spark: SparkSession, docsDir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(docsDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+      .repartition(8, col("doc_id"))   // partition layout a codec stage would use
+    decode(media).toDF()
+  }
+}

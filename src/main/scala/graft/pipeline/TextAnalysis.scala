@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash.polyhash
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All are map-only
+  * codegen'd projections (no shuffle, no UDF) — at 100 TB they run at
+  * parquet scan speed.
+  */
+object TextAnalysis {
+
+  import Dedup.words
+
+  private val markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("de", "shi", "he", "zai", "le"))
+
+  /** Marker-token language ID: argmax of per-language stopword hits,
+    * alphabetical tie-break, 'und' when nothing matches. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = words(col("text"))
+    val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isInCollection(ms)))
+    }
+    val scored = docs.select(
+      (col("doc_id") +: scoreCols.map { case (l, c) => c.as(s"sc_$l") }): _*)
+    val best = scoreCols.map(c => col(s"sc_${c._1}")).reduce(greatest(_, _))
+    // alphabetical-first tie-break: build the CASE chain in sorted order
+    val predAlpha = scoreCols.reverse.foldLeft(lit("und")) { case (els, (lang, _)) =>
+      when(col(s"sc_$lang") === col("best") && col("best") > 0, lang).otherwise(els)
+    }
+    scored.withColumn("best", best)
+      .withColumn("pred_lang", predAlpha)
+      .select("doc_id", "pred_lang")
+  }
+
+  /** Deterministic quality score in [0,1]:
+    * 0.4·min(1, n_tokens/50) + 0.3·type_token_ratio + 0.3·alpha_ratio. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = words(col("text"))
+    docs.select(col("doc_id"), toks.as("ws"), col("text"))
+      .withColumn("n_tokens", size(col("ws")).cast("double"))
+      .withColumn("ttr", size(array_distinct(col("ws"))) / col("n_tokens"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") /
+          length(col("text")))
+      .select(col("doc_id"),
+        round(lit(0.4) * least(lit(1.0), col("n_tokens") / 50.0)
+          + lit(0.3) * col("ttr") + lit(0.3) * col("alpha_ratio"), 6).as("quality"))
+  }
+
+  /** Token counts: whitespace tokens + BPE-ish regex tokens (word
+    * pieces and standalone punctuation). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)")).as("n_bpe_tokens"))
+
+  /** Rolling-hash fingerprint of the normalized text (native Catalyst
+    * expression, whole-stage codegen). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      polyhash(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("fingerprint"))
+}

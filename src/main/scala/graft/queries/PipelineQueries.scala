@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rdf.TpchRdf
+import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/** LLM-training-data pipeline coverage (SURVEY.md §2, pipeline block). */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = TpchRdf.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = TpchRdf.table(s, dir, "embeddings")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy("keeper")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), 0.5).orderBy("a", "b")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), 0.8).orderBy("a", "b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), 3).orderBy("a", "b")),
+    "dedup_embed_cosine" -> ((s, dir) =>
+      Ann.cosinePairs(embs(s, dir), 0.45).orderBy("a", "b")),
+    "ann_bruteforce" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.bruteForce(e.filter(col("vec_id") < 10), e, 5).orderBy("q_id", "rank")
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      // 6-bit sketch = 64 buckets: dense enough for recall at small SF
+      Ann.lshTopK(e.filter(col("vec_id") < 10), e, 3, numBits = 6).orderBy("q_id", "rank")
+    }),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir)).orderBy("doc_id")),
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeDocuments(s, s"$dir/documents.parquet").orderBy("doc_id")),
+  )
+
+  private val shingleCte =
+    """w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+      |       FROM w WHERE len(ws) >= 3),
+      |e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+      |sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+      |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      |          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jac AS (SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |        FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id)""".stripMargin
+
+  private def cosExpr(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY keeper",
+
+    "dedup_ngram_jaccard" ->
+      s"WITH $shingleCte\nSELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY a, b",
+
+    "dedup_minhash_lsh" ->
+      s"WITH $shingleCte\nSELECT a, b, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY a, b",
+
+    "dedup_embed_cosine" ->
+      s"""SELECT x.vec_id AS a, y.vec_id AS b, ROUND(${cosExpr("x.embedding", "y.embedding")}, 6) AS cos_sim
+         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+         |WHERE ${cosExpr("x.embedding", "y.embedding")} >= 0.45
+         |ORDER BY a, b""".stripMargin,
+
+    "ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS n_id, embedding AS ne FROM embeddings),
+         |scored AS (SELECT q_id, n_id, ${cosExpr("qe", "ne")} AS sim FROM q JOIN c ON q_id <> n_id),
+         |r AS (SELECT q_id, n_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM scored)
+         |SELECT q_id, n_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS sc_de,
+        |  len(list_filter(ws, x -> x IN ('the','a','is','and','of'))) AS sc_en,
+        |  len(list_filter(ws, x -> x IN ('el','la','los','y','es'))) AS sc_es,
+        |  len(list_filter(ws, x -> x IN ('le','les','des','et','est'))) AS sc_fr,
+        |  len(list_filter(ws, x -> x IN ('de','shi','he','zai','le'))) AS sc_zh
+        |  FROM t),
+        |b AS (SELECT doc_id, sc_de, sc_en, sc_es, sc_fr, sc_zh,
+        |  greatest(sc_de, sc_en, sc_es, sc_fr, sc_zh) AS best FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN sc_de = best THEN 'de'
+        |       WHEN sc_en = best THEN 'en'
+        |       WHEN sc_es = best THEN 'es'
+        |       WHEN sc_fr = best THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents)
+        |SELECT doc_id,
+        |  ROUND(0.4 * least(1.0, CAST(len(ws) AS DOUBLE) / 50.0)
+        |      + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
+        |      + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ''),
+        |                     c -> CAST(ord(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  64 + (length(text) % 640) AS width,
+        |  48 + (ord(substr(text, 1, 1)) % 480) AS height,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  'fake/raw' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

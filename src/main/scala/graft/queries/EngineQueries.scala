@@ -30,10 +30,10 @@ object EngineQueries {
       FullText.search(TpchRdf.table(s, dir, "documents"), Seq("spark", "join", "vector"), 20)),
 
     "rdfs_closure" -> ((s, dir) => {
-      // instance slice: entity types + the location edges
-      val tri = TpchRdf.triples(s, dir)
+      // instance slice: entity types + the location edges — sourced only
+      // from the four tables involved, so the fact tables never scan
+      val tri = TpchRdf.triplesFor(s, dir, Seq("customer", "nation", "region", "supplier"))
         .filter(col("p").isin("type", "nation", "region"))
-        .filter(col("p") =!= "type" || !col("o").isin("Order", "Lineitem", "Part"))
       Rdfs.closure(tri, ontology(s))
         .filter(col("p").isin("type", "locatedIn", "nation", "region"))
         .orderBy("s", "p", "o")
@@ -65,7 +65,9 @@ object EngineQueries {
     "update_delete_insert" -> ((s, dir) => {
       // DELETE { ?c mktsegment ?seg } INSERT { ?c segment_class ?cls }
       // WHERE  { ?c mktsegment ?seg . BIND(retail-or-other AS ?cls) }
-      val store = TripleStore(TpchRdf.triples(s, dir))
+      // — scoped to the customer subgraph (the lineitem/orders branches
+      // are untouched by this update, so they're never scanned)
+      val store = TripleStore(TpchRdf.triplesFor(s, dir, Seq("customer")))
       val matched = store.filterP("mktsegment")
       val inserts = matched.select(col("s"),
         lit("segment_class").as("p"),

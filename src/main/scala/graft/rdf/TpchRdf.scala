@@ -30,59 +30,78 @@ object TpchRdf {
   private def id(prefix: String, c: Column): Column =
     concat(lit(prefix + ":"), c.cast("string"))
 
+  val allTables: Seq[String] =
+    Seq("customer", "nation", "region", "supplier", "orders", "part", "lineitem")
+
   /** The full (s, p, o) string triple view. */
-  def triples(spark: SparkSession, dir: String): DataFrame = {
+  def triples(spark: SparkSession, dir: String): DataFrame =
+    triplesFor(spark, dir, allTables)
+
+  /** Triple view restricted to the branches sourced from `tables` —
+    * lets callers that only touch one entity's subgraph skip the other
+    * parquet scans entirely (the UPDATE path uses this). */
+  def triplesFor(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame =
+    tables.flatMap(branches(spark, dir, _)).reduce(_ unionAll _)
+
+  private def branches(spark: SparkSession, dir: String, tbl: String): Seq[DataFrame] = {
     def t(df: DataFrame, s: Column, p: String, o: Column): DataFrame =
       df.select(s.as("s"), lit(p).as("p"), o.cast("string").as("o"))
 
-    val c = table(spark, dir, "customer");  val cs = id("c", col("c_custkey"))
-    val n = table(spark, dir, "nation");    val ns = id("n", col("n_nationkey"))
-    val r = table(spark, dir, "region");    val rs = id("r", col("r_regionkey"))
-    val s = table(spark, dir, "supplier");  val ss = id("s", col("s_suppkey"))
-    val o = table(spark, dir, "orders");    val os = id("o", col("o_orderkey"))
-    val p = table(spark, dir, "part");      val ps = id("p", col("p_partkey"))
-    val l = table(spark, dir, "lineitem")
-    val ls = concat(lit("l:"), col("l_orderkey").cast("string"),
-                    lit(":"), col("l_linenumber").cast("string"))
+    lazy val c = table(spark, dir, "customer");  lazy val cs = id("c", col("c_custkey"))
+    lazy val n = table(spark, dir, "nation");    lazy val ns = id("n", col("n_nationkey"))
+    lazy val r = table(spark, dir, "region");    lazy val rs = id("r", col("r_regionkey"))
+    lazy val s = table(spark, dir, "supplier");  lazy val ss = id("s", col("s_suppkey"))
+    lazy val o = table(spark, dir, "orders");    lazy val os = id("o", col("o_orderkey"))
+    lazy val p = table(spark, dir, "part");      lazy val ps = id("p", col("p_partkey"))
+    lazy val l = table(spark, dir, "lineitem")
+    lazy val ls = concat(lit("l:"), col("l_orderkey").cast("string"),
+                         lit(":"), col("l_linenumber").cast("string"))
 
-    Seq(
-      t(c, cs, "type", lit("Customer")),
-      t(c, cs, "name", col("c_name")),
-      t(c, cs, "nation", id("n", col("c_nationkey"))),
-      t(c, cs, "acctbal", dec2(col("c_acctbal"))),
-      t(c, cs, "mktsegment", col("c_mktsegment")),
-      t(n, ns, "type", lit("Nation")),
-      t(n, ns, "name", col("n_name")),
-      t(n, ns, "region", id("r", col("n_regionkey"))),
-      t(r, rs, "type", lit("Region")),
-      t(r, rs, "name", col("r_name")),
-      t(s, ss, "type", lit("Supplier")),
-      t(s, ss, "name", col("s_name")),
-      t(s, ss, "nation", id("n", col("s_nationkey"))),
-      t(s, ss, "acctbal", dec2(col("s_acctbal"))),
-      t(o, os, "type", lit("Order")),
-      t(o, os, "customer", id("c", col("o_custkey"))),
-      t(o, os, "status", col("o_orderstatus")),
-      t(o, os, "totalprice", dec2(col("o_totalprice"))),
-      t(o, os, "orderdate", day(col("o_orderdate"))),
-      t(o, os, "priority", col("o_orderpriority")),
-      t(p, ps, "type", lit("Part")),
-      t(p, ps, "name", col("p_name")),
-      t(p, ps, "brand", col("p_brand")),
-      t(p, ps, "ptype", col("p_type")),
-      t(p, ps, "size", col("p_size").cast("string")),
-      t(p, ps, "retailprice", dec2(col("p_retailprice"))),
-      t(l, ls, "type", lit("Lineitem")),
-      t(l, ls, "order", id("o", col("l_orderkey"))),
-      t(l, ls, "part", id("p", col("l_partkey"))),
-      t(l, ls, "supplier", id("s", col("l_suppkey"))),
-      t(l, ls, "quantity", dec2(col("l_quantity"))),
-      t(l, ls, "extendedprice", dec2(col("l_extendedprice"))),
-      t(l, ls, "discount", dec2(col("l_discount"))),
-      t(l, ls, "returnflag", col("l_returnflag")),
-      t(l, ls, "linestatus", col("l_linestatus")),
-      t(l, ls, "shipdate", day(col("l_shipdate"))),
-    ).reduce(_ unionAll _)
+    tbl match {
+      case "customer" => Seq(
+        t(c, cs, "type", lit("Customer")),
+        t(c, cs, "name", col("c_name")),
+        t(c, cs, "nation", id("n", col("c_nationkey"))),
+        t(c, cs, "acctbal", dec2(col("c_acctbal"))),
+        t(c, cs, "mktsegment", col("c_mktsegment")))
+      case "nation" => Seq(
+        t(n, ns, "type", lit("Nation")),
+        t(n, ns, "name", col("n_name")),
+        t(n, ns, "region", id("r", col("n_regionkey"))))
+      case "region" => Seq(
+        t(r, rs, "type", lit("Region")),
+        t(r, rs, "name", col("r_name")))
+      case "supplier" => Seq(
+        t(s, ss, "type", lit("Supplier")),
+        t(s, ss, "name", col("s_name")),
+        t(s, ss, "nation", id("n", col("s_nationkey"))),
+        t(s, ss, "acctbal", dec2(col("s_acctbal"))))
+      case "orders" => Seq(
+        t(o, os, "type", lit("Order")),
+        t(o, os, "customer", id("c", col("o_custkey"))),
+        t(o, os, "status", col("o_orderstatus")),
+        t(o, os, "totalprice", dec2(col("o_totalprice"))),
+        t(o, os, "orderdate", day(col("o_orderdate"))),
+        t(o, os, "priority", col("o_orderpriority")))
+      case "part" => Seq(
+        t(p, ps, "type", lit("Part")),
+        t(p, ps, "name", col("p_name")),
+        t(p, ps, "brand", col("p_brand")),
+        t(p, ps, "ptype", col("p_type")),
+        t(p, ps, "size", col("p_size").cast("string")),
+        t(p, ps, "retailprice", dec2(col("p_retailprice"))))
+      case "lineitem" => Seq(
+        t(l, ls, "type", lit("Lineitem")),
+        t(l, ls, "order", id("o", col("l_orderkey"))),
+        t(l, ls, "part", id("p", col("l_partkey"))),
+        t(l, ls, "supplier", id("s", col("l_suppkey"))),
+        t(l, ls, "quantity", dec2(col("l_quantity"))),
+        t(l, ls, "extendedprice", dec2(col("l_extendedprice"))),
+        t(l, ls, "discount", dec2(col("l_discount"))),
+        t(l, ls, "returnflag", col("l_returnflag")),
+        t(l, ls, "linestatus", col("l_linestatus")),
+        t(l, ls, "shipdate", day(col("l_shipdate"))))
+    }
   }
 
   /** DuckDB CTE producing the byte-identical triple view, for oracles. */

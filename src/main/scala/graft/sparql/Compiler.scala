@@ -60,8 +60,9 @@ object Compiler {
     * the iteration pattern that survives 100-TB edge sets (on a real
     * cluster, swap localCheckpoint for reliable checkpoint).
     * Semantics of ArbitraryLengthPathNode with lowerBound=1. */
-  def transitiveClosure(step: DataFrame, maxIters: Int = 64): DataFrame = {
-    var closure = step.select("from", "to").distinct().localCheckpoint()
+  def transitiveClosure(stepIn: DataFrame, maxIters: Int = 64): DataFrame = {
+    val step = stepIn.select("from", "to").distinct().localCheckpoint()
+    var closure = step
     var frontier = closure
     var i = 0
     var done = false

@@ -222,6 +222,46 @@ object SparqlQueries {
 
     "describe_node" -> ((s, dir) =>
       tri(s, dir).filter(col("s") === "c:42").orderBy("p", "o")),
+
+    // FunctionRegistry coverage: string/numeric/conditional value exprs
+    "sparql_functions" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Extend(
+          Extend(
+            Extend(
+              Extend(
+                Extend(
+                  Extend(
+                    Project(Bgp(
+                      TriplePattern("?p", "name", "?pname"),
+                      TriplePattern("?p", "brand", "?brand"),
+                      TriplePattern("?p", "retailprice", "?price")),
+                      "p", "pname", "brand", "price"),
+                    "name_len", length(col("pname"))),
+                  "upper_brand", upper(col("brand"))),
+                "clean_name", regexp_replace(col("pname"), " ", "_")),
+              "prefix", substring(col("pname"), 1, 4)),
+            "price_ceil", ceil(col("price").cast("double")).cast("long")),
+          "price_band",
+          when(col("price").cast("double") > 500, "HIGH")
+            .otherwise(when(col("price").cast("double") > 200, "MID").otherwise("LOW"))),
+        Seq(col("p"))))),
+
+    // date value exprs: YEAR/MONTH/DAY over xsd:date-shaped literals
+    "sparql_datefns" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Filter(
+          Extend(
+            Extend(
+              Extend(
+                Project(Bgp(
+                  TriplePattern("?o", "orderdate", "?d"),
+                  TriplePattern("?o", "priority", "5-LOW")), "o", "d"),
+                "y", year(to_date(col("d")))),
+              "m", month(to_date(col("d")))),
+            "dom", dayofmonth(to_date(col("d")))),
+          col("y") === 1997),
+        Seq(col("o"))))),
   )
 
   private val T = "WITH " + TpchRdf.oracleCte + "\n"
@@ -369,5 +409,28 @@ object SparqlQueries {
 
     "describe_node" ->
       (T + "SELECT s, p, o FROM triples WHERE s = 'c:42' ORDER BY p, o"),
+
+    "sparql_functions" ->
+      """SELECT 'p:'||CAST(p_partkey AS VARCHAR) AS p, p_name AS pname, p_brand AS brand,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS price,
+        |  length(p_name) AS name_len,
+        |  upper(p_brand) AS upper_brand,
+        |  replace(p_name, ' ', '_') AS clean_name,
+        |  substr(p_name, 1, 4) AS prefix,
+        |  CAST(ceil(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)) AS BIGINT) AS price_ceil,
+        |  CASE WHEN CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) > 500 THEN 'HIGH'
+        |       WHEN CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) > 200 THEN 'MID'
+        |       ELSE 'LOW' END AS price_band
+        |FROM part ORDER BY p""".stripMargin,
+
+    "sparql_datefns" ->
+      """SELECT 'o:'||CAST(o_orderkey AS VARCHAR) AS o,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom
+        |FROM orders
+        |WHERE o_orderpriority = '5-LOW' AND year(o_orderdate) = 1997
+        |ORDER BY o""".stripMargin,
   )
 }

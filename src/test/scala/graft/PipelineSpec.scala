@@ -66,6 +66,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.rdd.getNumPartitions == 8)
   }
 
+  test("custom expressions register for SQL use") {
+    org.apache.spark.sql.graftshim.Shim.register(spark, "polyhash",
+      e => graft.functions.PolyHash(e.head))
+    docs.createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql("SELECT polyhash(text) AS h FROM docs_v ORDER BY doc_id LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = docs.orderBy("doc_id").limit(3)
+      .select(PolyHash.polyhash(col("text"))).collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("language id covers all docs with a deterministic label") {
     val lid = TextAnalysis.langId(docs)
     assert(lid.count() == docs.count())

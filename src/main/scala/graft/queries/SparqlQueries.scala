@@ -14,7 +14,7 @@ object SparqlQueries {
 
   private def tri(s: SparkSession, dir: String): DataFrame = TpchRdf.triples(s, dir)
   private def run(s: SparkSession, dir: String, a: Algebra): DataFrame =
-    Compiler.compile(a, tri(s, dir))
+    Compiler.compile(a, TpchRdf.source(s, dir))
 
   /** Exact-decimal sum rendered as double — see SURVEY.md §4. */
   private def dsum(c: org.apache.spark.sql.Column) =

@@ -2,6 +2,7 @@ package graft.rdf
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sparql.{Const, TriplePattern, TripleSource, Var}
 
 /** Virtual RDF triple view over the TPC-H-ish parquet tables.
   *
@@ -18,6 +19,13 @@ import org.apache.spark.sql.functions._
   * narrow parquet scan with pushed-down filters. Term "IDs" are
   * deterministic strings derived from source keys (`c:42`), so the same
   * view is expressible as a DuckDB CTE for the correctness oracle.
+  *
+  * The per-table property registry below is the single source of truth
+  * for BOTH the triple view and the star-fusion fast path
+  * (property-table compilation: patterns sharing a subject compile to
+  * ONE scan of the backing table instead of k branch scans joined
+  * k-1 times — the columnar-store analog of Blazegraph's SPO range
+  * scans over a common subject prefix).
   */
 object TpchRdf {
 
@@ -30,8 +38,59 @@ object TpchRdf {
   private def id(prefix: String, c: Column): Column =
     concat(lit(prefix + ":"), c.cast("string"))
 
-  val allTables: Seq[String] =
-    Seq("customer", "nation", "region", "supplier", "orders", "part", "lineitem")
+  /** One backing table: subject id expr + (predicate → object expr). */
+  final case class TableDef(name: String, subject: Column, props: Seq[(String, Column)]) {
+    def propMap: Map[String, Column] = props.toMap
+  }
+
+  val schema: Seq[TableDef] = Seq(
+    TableDef("customer", id("c", col("c_custkey")), Seq(
+      "type" -> lit("Customer"),
+      "name" -> col("c_name"),
+      "nation" -> id("n", col("c_nationkey")),
+      "acctbal" -> dec2(col("c_acctbal")),
+      "mktsegment" -> col("c_mktsegment"))),
+    TableDef("nation", id("n", col("n_nationkey")), Seq(
+      "type" -> lit("Nation"),
+      "name" -> col("n_name"),
+      "region" -> id("r", col("n_regionkey")))),
+    TableDef("region", id("r", col("r_regionkey")), Seq(
+      "type" -> lit("Region"),
+      "name" -> col("r_name"))),
+    TableDef("supplier", id("s", col("s_suppkey")), Seq(
+      "type" -> lit("Supplier"),
+      "name" -> col("s_name"),
+      "nation" -> id("n", col("s_nationkey")),
+      "acctbal" -> dec2(col("s_acctbal")))),
+    TableDef("orders", id("o", col("o_orderkey")), Seq(
+      "type" -> lit("Order"),
+      "customer" -> id("c", col("o_custkey")),
+      "status" -> col("o_orderstatus"),
+      "totalprice" -> dec2(col("o_totalprice")),
+      "orderdate" -> day(col("o_orderdate")),
+      "priority" -> col("o_orderpriority"))),
+    TableDef("part", id("p", col("p_partkey")), Seq(
+      "type" -> lit("Part"),
+      "name" -> col("p_name"),
+      "brand" -> col("p_brand"),
+      "ptype" -> col("p_type"),
+      "size" -> col("p_size").cast("string"),
+      "retailprice" -> dec2(col("p_retailprice")))),
+    TableDef("lineitem",
+      concat(lit("l:"), col("l_orderkey").cast("string"),
+             lit(":"), col("l_linenumber").cast("string")), Seq(
+      "type" -> lit("Lineitem"),
+      "order" -> id("o", col("l_orderkey")),
+      "part" -> id("p", col("l_partkey")),
+      "supplier" -> id("s", col("l_suppkey")),
+      "quantity" -> dec2(col("l_quantity")),
+      "extendedprice" -> dec2(col("l_extendedprice")),
+      "discount" -> dec2(col("l_discount")),
+      "returnflag" -> col("l_returnflag"),
+      "linestatus" -> col("l_linestatus"),
+      "shipdate" -> day(col("l_shipdate")))))
+
+  val allTables: Seq[String] = schema.map(_.name)
 
   /** The full (s, p, o) string triple view. */
   def triples(spark: SparkSession, dir: String): DataFrame =
@@ -40,68 +99,13 @@ object TpchRdf {
   /** Triple view restricted to the branches sourced from `tables` —
     * lets callers that only touch one entity's subgraph skip the other
     * parquet scans entirely (the UPDATE path uses this). */
-  def triplesFor(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame =
-    tables.flatMap(branches(spark, dir, _)).reduce(_ unionAll _)
-
-  private def branches(spark: SparkSession, dir: String, tbl: String): Seq[DataFrame] = {
-    def t(df: DataFrame, s: Column, p: String, o: Column): DataFrame =
-      df.select(s.as("s"), lit(p).as("p"), o.cast("string").as("o"))
-
-    lazy val c = table(spark, dir, "customer");  lazy val cs = id("c", col("c_custkey"))
-    lazy val n = table(spark, dir, "nation");    lazy val ns = id("n", col("n_nationkey"))
-    lazy val r = table(spark, dir, "region");    lazy val rs = id("r", col("r_regionkey"))
-    lazy val s = table(spark, dir, "supplier");  lazy val ss = id("s", col("s_suppkey"))
-    lazy val o = table(spark, dir, "orders");    lazy val os = id("o", col("o_orderkey"))
-    lazy val p = table(spark, dir, "part");      lazy val ps = id("p", col("p_partkey"))
-    lazy val l = table(spark, dir, "lineitem")
-    lazy val ls = concat(lit("l:"), col("l_orderkey").cast("string"),
-                         lit(":"), col("l_linenumber").cast("string"))
-
-    tbl match {
-      case "customer" => Seq(
-        t(c, cs, "type", lit("Customer")),
-        t(c, cs, "name", col("c_name")),
-        t(c, cs, "nation", id("n", col("c_nationkey"))),
-        t(c, cs, "acctbal", dec2(col("c_acctbal"))),
-        t(c, cs, "mktsegment", col("c_mktsegment")))
-      case "nation" => Seq(
-        t(n, ns, "type", lit("Nation")),
-        t(n, ns, "name", col("n_name")),
-        t(n, ns, "region", id("r", col("n_regionkey"))))
-      case "region" => Seq(
-        t(r, rs, "type", lit("Region")),
-        t(r, rs, "name", col("r_name")))
-      case "supplier" => Seq(
-        t(s, ss, "type", lit("Supplier")),
-        t(s, ss, "name", col("s_name")),
-        t(s, ss, "nation", id("n", col("s_nationkey"))),
-        t(s, ss, "acctbal", dec2(col("s_acctbal"))))
-      case "orders" => Seq(
-        t(o, os, "type", lit("Order")),
-        t(o, os, "customer", id("c", col("o_custkey"))),
-        t(o, os, "status", col("o_orderstatus")),
-        t(o, os, "totalprice", dec2(col("o_totalprice"))),
-        t(o, os, "orderdate", day(col("o_orderdate"))),
-        t(o, os, "priority", col("o_orderpriority")))
-      case "part" => Seq(
-        t(p, ps, "type", lit("Part")),
-        t(p, ps, "name", col("p_name")),
-        t(p, ps, "brand", col("p_brand")),
-        t(p, ps, "ptype", col("p_type")),
-        t(p, ps, "size", col("p_size").cast("string")),
-        t(p, ps, "retailprice", dec2(col("p_retailprice"))))
-      case "lineitem" => Seq(
-        t(l, ls, "type", lit("Lineitem")),
-        t(l, ls, "order", id("o", col("l_orderkey"))),
-        t(l, ls, "part", id("p", col("l_partkey"))),
-        t(l, ls, "supplier", id("s", col("l_suppkey"))),
-        t(l, ls, "quantity", dec2(col("l_quantity"))),
-        t(l, ls, "extendedprice", dec2(col("l_extendedprice"))),
-        t(l, ls, "discount", dec2(col("l_discount"))),
-        t(l, ls, "returnflag", col("l_returnflag")),
-        t(l, ls, "linestatus", col("l_linestatus")),
-        t(l, ls, "shipdate", day(col("l_shipdate"))))
-    }
+  def triplesFor(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame = {
+    val branches = for {
+      td <- schema if tables.contains(td.name)
+      (p, o) <- td.props
+    } yield table(spark, dir, td.name)
+      .select(td.subject.as("s"), lit(p).as("p"), o.cast("string").as("o"))
+    branches.reduce(_ unionAll _)
   }
 
   /** DuckDB CTE producing the byte-identical triple view, for oracles. */
@@ -148,5 +152,62 @@ object TpchRdf {
       s"SELECT 'l:'||${v("l_orderkey")}||':'||${v("l_linenumber")}, 'shipdate', ${dy("l_shipdate")} FROM lineitem",
     )
     "triples AS (\n  " + branches.mkString("\n  UNION ALL ") + "\n)"
+  }
+
+  /** A [[TripleSource]] with the star-fusion fast path enabled. */
+  /** Which table a reference predicate's objects identify. */
+  private val refTargets: Map[String, String] = Map(
+    "nation" -> "nation", "region" -> "region", "customer" -> "customer",
+    "order" -> "orders", "part" -> "part", "supplier" -> "supplier")
+
+  def source(spark: SparkSession, dir: String): TripleSource = new TripleSource {
+    lazy val triples: DataFrame = TpchRdf.triples(spark, dir)
+
+    override def refTarget(pred: String): Option[String] = refTargets.get(pred)
+
+    def fuseStar(patterns: Seq[TriplePattern],
+                 subjectTables: Option[Set[String]]): Option[DataFrame] = {
+      // only fusible when every pattern has a bound predicate and all
+      // patterns share one subject term
+      val preds = patterns.map(_.p).collect { case Const(p) => p }
+      if (preds.size != patterns.size) return None
+      // candidate tables = those defining every predicate of the star,
+      // narrowed by the compiler's range-typing constraint if present;
+      // a constant `type` object needs no special case — the generic
+      // constant-object filter below becomes lit(T) === 'v', which
+      // Catalyst folds to false and prunes the whole branch
+      val candidates = schema
+        .filter(td => subjectTables.forall(_.contains(td.name)))
+        .filter(td => preds.forall(td.propMap.contains))
+      if (candidates.isEmpty) return None
+      val fused = candidates.map { td =>
+        var df = table(spark, dir, td.name)
+        // constant-object filters
+        patterns.foreach {
+          case TriplePattern(_, Const(p), Const(v)) =>
+            df = df.filter(td.propMap(p).cast("string") === lit(v))
+          case _ => ()
+        }
+        // subject column
+        val subjCols: Seq[(String, Column)] = patterns.head.s match {
+          case Var(v)   => Seq(v -> td.subject)
+          case Const(v) => df = df.filter(td.subject === lit(v)); Nil
+        }
+        // object variables (dedup by var name; repeated var → equality)
+        val objVars = patterns.collect { case TriplePattern(_, Const(p), Var(v)) => v -> p }
+        objVars.groupBy(_._1).foreach { case (_, ps) =>
+          ps.map(_._2).distinct.sliding(2).foreach {
+            case Seq(p1, p2) =>
+              df = df.filter(td.propMap(p1).cast("string") === td.propMap(p2).cast("string"))
+            case _ => ()
+          }
+        }
+        val projected = (subjCols ++ objVars.map { case (v, p) =>
+          v -> td.propMap(p).cast("string")
+        }).distinctBy(_._1)
+        df.select(projected.map { case (v, c) => c.as(v) }: _*)
+      }
+      Some(fused.reduce(_ unionByName _))
+    }
   }
 }

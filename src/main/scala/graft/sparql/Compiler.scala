@@ -82,37 +82,61 @@ object Compiler {
     closure
   }
 
-  def compile(a: Algebra, triples: DataFrame): DataFrame = a match {
+  def compile(a: Algebra, triples: DataFrame): DataFrame =
+    compile(a, TripleSource.plain(triples))
+
+  def compile(a: Algebra, src: TripleSource): DataFrame = a match {
     case Bgp(patterns @ _*) =>
-      patterns.map(compilePattern(_, triples)).reduce(joinOn(_, _, "inner"))
-    case Join(l, r)      => joinOn(compile(l, triples), compile(r, triples), "inner")
-    case LeftJoin(l, r)  => joinOn(compile(l, triples), compile(r, triples), "left_outer")
-    case Exists(l, r)    => joinOn(compile(l, triples), compile(r, triples), "left_semi")
-    case NotExists(l, r) => joinOn(compile(l, triples), compile(r, triples), "left_anti")
-    case Minus(l, r)     => joinOn(compile(l, triples), compile(r, triples), "minus")
+      // range typing: a var used as the object of a reference predicate
+      // can only be a subject of that predicate's target table
+      val constraints: Map[String, Set[String]] = patterns
+        .collect { case TriplePattern(_, Const(p), Var(v)) =>
+          src.refTarget(p).map(t => v -> t)
+        }.flatten
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // star fusion: group patterns by subject term; each fully-bound
+      // group may compile to a single property-table scan
+      val groups = patterns.groupBy(_.s).values.toSeq
+        .sortBy(g => patterns.indexOf(g.head)) // deterministic join order
+      val dfs = groups.flatMap { g =>
+        val tables = g.head.s match {
+          case Var(v) => constraints.get(v)
+          case _      => None
+        }
+        src.fuseStar(g, tables) match {
+          case Some(df) => Seq(df)
+          case None     => g.map(compilePattern(_, src.triples))
+        }
+      }
+      dfs.reduce(joinOn(_, _, "inner"))
+    case Join(l, r)      => joinOn(compile(l, src), compile(r, src), "inner")
+    case LeftJoin(l, r)  => joinOn(compile(l, src), compile(r, src), "left_outer")
+    case Exists(l, r)    => joinOn(compile(l, src), compile(r, src), "left_semi")
+    case NotExists(l, r) => joinOn(compile(l, src), compile(r, src), "left_anti")
+    case Minus(l, r)     => joinOn(compile(l, src), compile(r, src), "minus")
     case Union(l, r) =>
-      compile(l, triples).unionByName(compile(r, triples), allowMissingColumns = true)
-    case Filter(c, cond)      => compile(c, triples).filter(cond)
-    case Extend(c, v, e)      => compile(c, triples).withColumn(v, e)
-    case Project(c, vars @ _*) => compile(c, triples).select(vars.map(col): _*)
-    case Distinct(c)          => compile(c, triples).distinct()
-    case OrderBy(c, keys)     => compile(c, triples).orderBy(keys: _*)
+      compile(l, src).unionByName(compile(r, src), allowMissingColumns = true)
+    case Filter(c, cond)      => compile(c, src).filter(cond)
+    case Extend(c, v, e)      => compile(c, src).withColumn(v, e)
+    case Project(c, vars @ _*) => compile(c, src).select(vars.map(col): _*)
+    case Distinct(c)          => compile(c, src).distinct()
+    case OrderBy(c, keys)     => compile(c, src).orderBy(keys: _*)
     case Slice(c, off, lim) =>
-      val d = compile(c, triples)
+      val d = compile(c, src)
       (if (off > 0) d.offset(off.toInt) else d).limit(lim.toInt)
     case Group(c, keys, aggs) =>
-      val d = compile(c, triples)
+      val d = compile(c, src)
       val aggCols = aggs.map { case (n, e) => e.as(n) }
       if (keys.isEmpty) d.agg(aggCols.head, aggCols.tail: _*)
       else d.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-    case SubQuery(l, sub) => joinOn(compile(l, triples), compile(sub, triples), "inner")
+    case SubQuery(l, sub) => joinOn(compile(l, src), compile(sub, src), "inner")
     case Values(vars, rows) =>
-      val spark = triples.sparkSession
+      val spark = src.triples.sparkSession
       val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
       val data = rows.map(r => org.apache.spark.sql.Row(r.map(_.orNull): _*))
       spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
     case PathPlus(s, preds, o, sVar, oVar) =>
-      val step = triples.filter(col("p").isin(preds: _*))
+      val step = src.triples.filter(col("p").isin(preds: _*))
         .select(col("s").as("from"), col("o").as("to"))
       val tc = transitiveClosure(step)
       val bound = Seq("from" -> s, "to" -> o).foldLeft(tc) {

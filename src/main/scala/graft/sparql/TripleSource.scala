@@ -1,0 +1,37 @@
+package graft.sparql
+
+import org.apache.spark.sql.DataFrame
+
+/** What the algebra compiler needs from a triple store.
+  *
+  * `fuseStar` is the property-table fast path: given BGP patterns that
+  * all share one subject term and have bound predicates, a source that
+  * knows its backing layout may compile them to a single scan (columns
+  * = the patterns' object variables) instead of one branch scan per
+  * pattern joined on the subject. Returning None falls back to the
+  * generic per-pattern plan. At 100 TB this is the difference between
+  * 1 scan and k scans + k-1 shuffles for every star query.
+  */
+trait TripleSource {
+  def triples: DataFrame
+
+  def fuseStar(patterns: Seq[TriplePattern],
+               subjectTables: Option[Set[String]] = None): Option[DataFrame]
+
+  /** Range typing: the backing table whose subjects the values of a
+    * reference predicate point at (e.g. `nation` → the nation table).
+    * Lets the compiler prune a variable's star to one table when that
+    * variable appears as the object of a reference predicate elsewhere
+    * in the BGP (the analog of Blazegraph's range-restricted access
+    * path selection). */
+  def refTarget(pred: String): Option[String] = None
+}
+
+object TripleSource {
+  /** Plain source over an opaque (s,p,o) DataFrame — no fusion. */
+  def plain(df: DataFrame): TripleSource = new TripleSource {
+    val triples: DataFrame = df
+    def fuseStar(patterns: Seq[TriplePattern],
+                 subjectTables: Option[Set[String]]): Option[DataFrame] = None
+  }
+}

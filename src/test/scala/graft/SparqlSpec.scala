@@ -11,9 +11,27 @@ class SparqlSpec extends AnyFunSuite {
 
   test("bound-predicate pattern prunes the union to one scan") {
     val df = Compiler.compile(Bgp(TriplePattern("?c", "mktsegment", "?seg")), tri)
-    val scans = df.queryExecution.executedPlan.collectLeaves()
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
     assert(scans.size == 1, s"expected 1 parquet scan, got ${scans.size}")
     assert(df.count() == 150)
+  }
+
+  test("star fusion + range typing compile a 5-pattern BGP to 2 scans") {
+    val df = Compiler.compile(
+      Bgp(TriplePattern("?c", "mktsegment", "BUILDING"),
+          TriplePattern("?c", "name", "?cname"),
+          TriplePattern("?c", "nation", "?n"),
+          TriplePattern("?n", "name", "?nname"),
+          TriplePattern("?c", "acctbal", "?bal")),
+      graft.rdf.TpchRdf.source(spark, SF))
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+    assert(scans.size == 2, s"expected 2 scans (fused star + nation), got ${scans.size}")
+    assert(df.count() == Compiler.compile(
+      Bgp(TriplePattern("?c", "mktsegment", "BUILDING"),
+          TriplePattern("?c", "name", "?cname"),
+          TriplePattern("?c", "nation", "?n"),
+          TriplePattern("?n", "name", "?nname"),
+          TriplePattern("?c", "acctbal", "?bal")), tri).count())
   }
 
   test("optional produces nulls for unmatched left rows") {

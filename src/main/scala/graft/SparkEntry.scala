@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SparqlQueries.defs ++ GasQueries.defs ++ EngineQueries.defs ++ PipelineQueries.defs
+    SparqlQueries.defs ++ GasQueries.defs ++ EngineQueries.defs ++
+      EngineQueries.quadDefs ++ PipelineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    SparqlQueries.oracles ++ GasQueries.oracles ++ EngineQueries.oracles ++ PipelineQueries.oracles
+    SparqlQueries.oracles ++ GasQueries.oracles ++ EngineQueries.oracles ++
+      EngineQueries.quadOracles ++ PipelineQueries.oracles
 }

@@ -116,6 +116,86 @@ object Analytics {
     ranks
   }
 
+  /** SSSP that also tracks the predecessor on the best path
+    * (min over struct(dist, pred) keeps tie-breaks deterministic). */
+  def ssspWithPred(edgesIn: DataFrame, source: String, maxIter: Int = 64): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val edges = cp(edgesIn.select("src", "dst", "weight"))
+    var dist = cp(spark.range(1).select(lit(source).as("node"),
+      lit(0.0).as("dist"), lit(null).cast("string").as("pred")))
+    var frontier = dist
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      i += 1
+      val cand = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"),
+          struct((frontier("dist") + edges("weight")).as("dist"), edges("src").as("pred")).as("dp"))
+        .groupBy("node").agg(min("dp").as("dp"))
+        .select(col("node"), col("dp.dist").as("dist"), col("dp.pred").as("pred"))
+      val improved = cp(
+        cand.join(dist.select(col("node").as("n2"), col("dist").as("old")),
+                  cand("node") === col("n2"), "left")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select("node", "dist", "pred"))
+      dist = cp(
+        dist.join(improved.select(col("node").as("n3")), dist("node") === col("n3"), "left_anti")
+          .unionAll(improved))
+      frontier = improved
+    }
+    dist
+  }
+
+  /** BFS from a seed SET, stopping once ≥ maxVertices are visited;
+    * result trimmed deterministically by (depth, node). */
+  def multiBfs(edgesIn: DataFrame, seeds: DataFrame, maxVertices: Int,
+               maxDepth: Int = 32): DataFrame = {
+    val edges = cp(edgesIn.select("src", "dst"))
+    var visited = cp(seeds.select(col("node")).distinct().withColumn("depth", lit(0)))
+    var frontier = visited
+    var depth = 0
+    var count = visited.count()
+    while (depth < maxDepth && count < maxVertices && !frontier.isEmpty) {
+      depth += 1
+      val next = cp(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node"), lit(depth).as("depth"))
+          .distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti"))
+      visited = cp(visited.unionAll(next))
+      frontier = next
+      count = visited.count()
+    }
+    visited.orderBy("depth", "node").limit(maxVertices)
+  }
+
+  /** Fuzzy shortest-path subgraph (FuzzySSSP.java): per-source SSSP →
+    * collect the vertices on the best paths to each reachable target →
+    * BFS-expand that set to ≤ maxVertices "close to the path" vertices. */
+  def fuzzySssp(edges: DataFrame, sources: Seq[String], targets: Seq[String],
+                maxVertices: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val pathVerts = sources.map { src =>
+      val d = cp(ssspWithPred(edges, src))
+      var acc = d.filter(col("node").isin(targets: _*)).select("node")
+      var frontier = acc
+      var i = 0
+      while (i < 64 && !frontier.isEmpty) {
+        i += 1
+        frontier = cp(
+          d.join(frontier.select(col("node").as("t")), col("node") === col("t"))
+            .filter(col("pred").isNotNull)
+            .select(col("pred").as("node")).distinct()
+            .join(acc, Seq("node"), "left_anti"))
+        acc = acc.unionAll(frontier)
+      }
+      acc
+    }.reduce(_ unionAll _).distinct()
+    // sources are path endpoints by definition, reachable targets or not
+    import spark.implicits._
+    val seeds = pathVerts.unionAll(sources.toDF("node")).distinct()
+    multiBfs(edges, seeds, maxVertices)
+  }
+
   /** In/out degree per vertex (the GAS vertex-distribution reducer). */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))

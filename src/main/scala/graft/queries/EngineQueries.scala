@@ -79,6 +79,35 @@ object EngineQueries {
     }),
   )
 
+  val quadDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // quads mode: triples carry a named-graph column; GRAPH ?g {} shape
+    "graph_quads" -> ((s, dir) =>
+      TpchRdf.quads(s, dir).groupBy("g").agg(count(lit(1)).as("n_triples")).orderBy("g")),
+    // GRAPH g:supplier { ?s acctbal ?bal } — graph-scoped pattern; the
+    // g/p literals prune the quad union to one scan like any predicate
+    "graph_named_pattern" -> ((s, dir) =>
+      TpchRdf.quads(s, dir)
+        .filter(col("g") === "g:supplier" && col("p") === "acctbal")
+        .select(col("s"), col("o").as("bal")).orderBy("s")),
+  )
+
+  val quadOracles: Map[String, String] = Map(
+    "graph_quads" ->
+      """SELECT g, n_triples FROM (
+        |  SELECT 'g:customer' AS g, 5 * COUNT(*) AS n_triples FROM customer
+        |  UNION ALL SELECT 'g:nation', 3 * COUNT(*) FROM nation
+        |  UNION ALL SELECT 'g:region', 2 * COUNT(*) FROM region
+        |  UNION ALL SELECT 'g:supplier', 4 * COUNT(*) FROM supplier
+        |  UNION ALL SELECT 'g:orders', 6 * COUNT(*) FROM orders
+        |  UNION ALL SELECT 'g:part', 6 * COUNT(*) FROM part
+        |  UNION ALL SELECT 'g:lineitem', 10 * COUNT(*) FROM lineitem
+        |) ORDER BY g""".stripMargin,
+    "graph_named_pattern" ->
+      """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS s,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
+        |FROM supplier ORDER BY s""".stripMargin,
+  )
+
   private val T = "WITH " + TpchRdf.oracleCte + "\n"
 
   val oracles: Map[String, String] = Map(

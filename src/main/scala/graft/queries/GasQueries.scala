@@ -66,6 +66,9 @@ object GasQueries {
       Analytics.pageRank(upEdges(s, dir), iters = 10).orderBy("node")),
     "gas_degree" -> ((s, dir) =>
       Analytics.degrees(hierEdges(s, dir)).orderBy("node")),
+    "gas_fuzzy_sssp" -> ((s, dir) =>
+      Analytics.fuzzySssp(hierEdges(s, dir), Seq("r:0"), Seq("c:5", "c:7"), 100)
+        .orderBy("depth", "node")),
   )
 
   /** PR oracle: 10 unrolled iterations (recursive CTEs can't aggregate
@@ -113,6 +116,21 @@ object GasQueries {
          |SELECT r.node, c.label FROM reach r JOIN comp c USING(root) ORDER BY node""".stripMargin,
 
     "gas_pr" -> prOracle,
+
+    // fuzzy SSSP on the forest: the shortest path r:0→target is the
+    // unique down-tree chain, so the path-vertex set is exact in SQL
+    "gas_fuzzy_sssp" ->
+      s"""WITH RECURSIVE $hierCte, tpath AS (
+         |  SELECT 'r:0' AS node
+         |  UNION SELECT 'c:'||CAST(c_custkey AS VARCHAR) FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |        WHERE c_custkey IN (5, 7) AND n_regionkey = 0
+         |  UNION SELECT 'n:'||CAST(c_nationkey AS VARCHAR) FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |        WHERE c_custkey IN (5, 7) AND n_regionkey = 0
+         |), b AS (
+         |  SELECT node, 0 AS depth FROM tpath
+         |  UNION ALL SELECT e.dst, b.depth + 1 FROM b JOIN edges e ON e.src = b.node WHERE b.depth < 3
+         |), md AS (SELECT node, MIN(depth) AS depth FROM b GROUP BY node)
+         |SELECT node, depth FROM md ORDER BY depth, node LIMIT 100""".stripMargin,
 
     "gas_degree" ->
       s"""WITH $hierCte,

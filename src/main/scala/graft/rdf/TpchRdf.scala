@@ -108,6 +108,20 @@ object TpchRdf {
     branches.reduce(_ unionAll _)
   }
 
+  /** Quad view (s, p, o, g): each backing table is a named graph
+    * `g:<table>` — Blazegraph's quads mode (SPOC statement indices,
+    * AbstractTripleStore quads=true) re-expressed as one extra literal
+    * column that Catalyst prunes exactly like the predicate column. */
+  def quads(spark: SparkSession, dir: String): DataFrame = {
+    val branches = for {
+      td <- schema
+      (p, o) <- td.props
+    } yield table(spark, dir, td.name)
+      .select(td.subject.as("s"), lit(p).as("p"), o.cast("string").as("o"),
+              lit("g:" + td.name).as("g"))
+    branches.reduce(_ unionAll _)
+  }
+
   /** DuckDB CTE producing the byte-identical triple view, for oracles. */
   val oracleCte: String = {
     def d2(c: String) = s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"

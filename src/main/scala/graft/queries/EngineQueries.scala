@@ -62,6 +62,15 @@ object EngineQueries {
         .orderBy("day", "event_type")
     }),
 
+    "events_sessionize" -> ((s, dir) => {
+      val ev = TpchRdf.table(s, dir, "events") // ts read as long nanos
+      graft.operators.Sessionize.byGap(ev, 30L * 60 * 1000000000L)
+        .select(col("user_id"), col("sess_idx"), col("n_events"),
+          date_format(timestamp_micros(expr("start_ns div 1000")), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+          date_format(timestamp_micros(expr("end_ns div 1000")), "yyyy-MM-dd HH:mm:ss").as("end_s"))
+        .orderBy("user_id", "sess_idx")
+    }),
+
     "update_delete_insert" -> ((s, dir) => {
       // DELETE { ?c mktsegment ?seg } INSERT { ?c segment_class ?cls }
       // WHERE  { ?c mktsegment ?seg . BIND(retail-or-other AS ?cls) }
@@ -165,6 +174,25 @@ object EngineQueries {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR (epoch_ns(ts) - epoch_ns(prev_ts)) > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM x
+        |), z AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_idx
+        |  FROM y
+        |)
+        |SELECT user_id, sess_idx, COUNT(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s
+        |FROM z GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
 
     "update_delete_insert" ->
       """SELECT s, p, o FROM (

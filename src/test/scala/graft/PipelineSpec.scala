@@ -77,6 +77,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("salted join equals plain join") {
+    val orders = TpchRdf.table(spark, SF, "orders")
+      .select(col("o_custkey").as("k"), col("o_totalprice"))
+    val cust = TpchRdf.table(spark, SF, "customer")
+      .select(col("c_custkey").as("k"), col("c_name"))
+    val plain = orders.join(cust, "k")
+    val salted = graft.operators.SkewJoin.saltedInner(orders, cust, "k", 8)
+    assert(plain.count() == salted.count())
+    assert(salted.select("k", "o_totalprice", "c_name")
+      .exceptAll(plain.select("k", "o_totalprice", "c_name")).isEmpty)
+  }
+
   test("language id covers all docs with a deterministic label") {
     val lid = TextAnalysis.langId(docs)
     assert(lid.count() == docs.count())

@@ -223,6 +223,16 @@ object SparqlQueries {
     "describe_node" -> ((s, dir) =>
       tri(s, dir).filter(col("s") === "c:42").orderBy("p", "o")),
 
+    // COUNT(DISTINCT ?x) aggregate (SPARQL count-distinct)
+    "agg_distinct_count" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Group(Bgp(TriplePattern("?l", "supplier", "?sup"),
+                  TriplePattern("?l", "part", "?part")),
+          Seq("sup"),
+          Seq("n_parts" -> countDistinct(col("part")),
+              "n_lines" -> count(lit(1)))),
+        Seq(col("sup"))))),
+
     // FunctionRegistry coverage: string/numeric/conditional value exprs
     "sparql_functions" -> ((s, dir) => run(s, dir,
       OrderBy(
@@ -409,6 +419,12 @@ object SparqlQueries {
 
     "describe_node" ->
       (T + "SELECT s, p, o FROM triples WHERE s = 'c:42' ORDER BY p, o"),
+
+    "agg_distinct_count" ->
+      """SELECT 's:'||CAST(l_suppkey AS VARCHAR) AS sup,
+        |  COUNT(DISTINCT 'p:'||CAST(l_partkey AS VARCHAR)) AS n_parts,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_suppkey ORDER BY sup""".stripMargin,
 
     "sparql_functions" ->
       """SELECT 'p:'||CAST(p_partkey AS VARCHAR) AS p, p_name AS pname, p_brand AS brand,

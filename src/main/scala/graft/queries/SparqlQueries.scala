@@ -223,6 +223,17 @@ object SparqlQueries {
     "describe_node" -> ((s, dir) =>
       tri(s, dir).filter(col("s") === "c:42").orderBy("p", "o")),
 
+    // end-to-end SPARQL *text* → Parser → Algebra → DataFrame
+    "sparql_parsed" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?cname ?bal WHERE {
+          |  ?c mktsegment "MACHINERY" .
+          |  ?c name ?cname .
+          |  ?c acctbal ?bal .
+          |  FILTER(?bal > 2500)
+          |} ORDER BY ?cname""".stripMargin),
+        graft.rdf.TpchRdf.source(s, dir))),
+
     // COUNT(DISTINCT ?x) aggregate (SPARQL count-distinct)
     "agg_distinct_count" -> ((s, dir) => run(s, dir,
       OrderBy(
@@ -419,6 +430,14 @@ object SparqlQueries {
 
     "describe_node" ->
       (T + "SELECT s, p, o FROM triples WHERE s = 'c:42' ORDER BY p, o"),
+
+    "sparql_parsed" ->
+      """SELECT c_name AS cname,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
+        |FROM customer
+        |WHERE c_mktsegment = 'MACHINERY'
+        |  AND CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) > 2500
+        |ORDER BY cname""".stripMargin,
 
     "agg_distinct_count" ->
       """SELECT 's:'||CAST(l_suppkey AS VARCHAR) AS sup,

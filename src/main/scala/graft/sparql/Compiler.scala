@@ -123,7 +123,8 @@ object Compiler {
     case OrderBy(c, keys)     => compile(c, src).orderBy(keys: _*)
     case Slice(c, off, lim) =>
       val d = compile(c, src)
-      (if (off > 0) d.offset(off.toInt) else d).limit(lim.toInt)
+      val shifted = if (off > 0) d.offset(off.toInt) else d
+      if (lim >= Int.MaxValue) shifted else shifted.limit(lim.toInt)
     case Group(c, keys, aggs) =>
       val d = compile(c, src)
       val aggCols = aggs.map { case (n, e) => e.as(n) }

@@ -42,8 +42,16 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_bad += 1; continue
         cg, cw = canon(got), canon(want)
+        # dtype *kind* must match too — the driver hashes raw values, so
+        # an int64 Spark column vs a float64 (HUGEINT) oracle column is a
+        # driver-side hash mismatch even when the normalized strings agree
+        kinds_g = {c: got[c].dtype.kind for c in got.columns}
+        kinds_w = {c: want[c].dtype.kind for c in want.columns}
         if sorted(got.columns) != sorted(want.columns):
             print(f"FAIL {name}: columns {sorted(got.columns)} vs {sorted(want.columns)}"); n_bad += 1
+        elif kinds_g != kinds_w:
+            bad = {c: (kinds_g[c], kinds_w[c]) for c in kinds_g if kinds_g[c] != kinds_w.get(c)}
+            print(f"FAIL {name}: dtype kinds differ {bad}"); n_bad += 1
         elif cg != cw:
             diff = [i for i, (a, b) in enumerate(zip(cg, cw)) if a != b][:3]
             print(f"FAIL {name}: {len(cg)} vs {len(cw)} rows; first diffs:")

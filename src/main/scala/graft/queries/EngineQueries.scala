@@ -92,11 +92,11 @@ object EngineQueries {
     // quads mode: triples carry a named-graph column; GRAPH ?g {} shape
     "graph_quads" -> ((s, dir) =>
       TpchRdf.quads(s, dir).groupBy("g").agg(count(lit(1)).as("n_triples")).orderBy("g")),
-    // GRAPH g:supplier { ?s acctbal ?bal } — graph-scoped pattern; the
-    // g/p literals prune the quad union to one scan like any predicate
+    // GRAPH g:supplier { ?s acctbal ?bal } — graph-scoped pattern; both
+    // literals bound → quadPattern resolves to ONE narrow scan of one
+    // table (the SPOC-index analog)
     "graph_named_pattern" -> ((s, dir) =>
-      TpchRdf.quads(s, dir)
-        .filter(col("g") === "g:supplier" && col("p") === "acctbal")
+      TpchRdf.quadPattern(s, dir, Some("g:supplier"), Some("acctbal"))
         .select(col("s"), col("o").as("bal")).orderBy("s")),
   )
 
@@ -186,7 +186,9 @@ object EngineQueries {
         |  FROM x
         |), z AS (
         |  SELECT user_id, ts,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_idx
+        |    -- DuckDB windowed SUM yields HUGEINT (float64 through pandas);
+        |    -- Spark's running sum is BIGINT — cast for dtype parity
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
         |  FROM y
         |)
         |SELECT user_id, sess_idx, COUNT(*) AS n_events,

@@ -221,7 +221,9 @@ object SparqlQueries {
     }),
 
     "describe_node" -> ((s, dir) =>
-      tri(s, dir).filter(col("s") === "c:42").orderBy("p", "o")),
+      // subject prefix → single-table access path: ONE scan, not one
+      // per union branch (the OSP-index analog; see TpchRdf.subjectTable)
+      TpchRdf.triplesForSubject(s, dir, "c:42").orderBy("p", "o")),
 
     // end-to-end SPARQL *text* → Parser → Algebra → DataFrame
     "sparql_parsed" -> ((s, dir) =>

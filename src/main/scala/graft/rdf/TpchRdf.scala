@@ -92,13 +92,51 @@ object TpchRdf {
 
   val allTables: Seq[String] = schema.map(_.name)
 
-  /** The full (s, p, o) string triple view. */
-  def triples(spark: SparkSession, dir: String): DataFrame =
-    triplesFor(spark, dir, allTables)
+  /** Subject-id prefix → backing table: the OSP-index analog. Subject
+    * ids encode their table (`c:42` → customer), so a bound-subject
+    * pattern resolves to ONE table scan instead of a scan per branch
+    * (reference: index selection in
+    * com.bigdata.rdf.store.AbstractTripleStore / SPOKeyOrder.getKeyOrder). */
+  private val prefixTable: Map[String, String] = Map(
+    "c" -> "customer", "n" -> "nation", "r" -> "region", "s" -> "supplier",
+    "o" -> "orders", "p" -> "part", "l" -> "lineitem")
 
-  /** Triple view restricted to the branches sourced from `tables` —
-    * lets callers that only touch one entity's subgraph skip the other
-    * parquet scans entirely (the UPDATE path uses this). */
+  def subjectTable(subjectId: String): Option[String] = {
+    val i = subjectId.indexOf(':')
+    if (i <= 0) None else prefixTable.get(subjectId.substring(0, i))
+  }
+
+  /** All triples of one table from a SINGLE parquet scan: explode an
+    * array of (p, o) structs instead of unioning one scan per
+    * predicate. For unbound-predicate access (DESCRIBE, full-view
+    * scans) this is 7 scans total instead of 36. */
+  private def explodeTriples(spark: SparkSession, dir: String, td: TableDef): DataFrame =
+    table(spark, dir, td.name)
+      .select(td.subject.as("s"),
+        explode(array(td.props.map { case (p, o) =>
+          struct(lit(p).as("p"), o.cast("string").as("o")) }: _*)).as("po"))
+      .select(col("s"), col("po.p").as("p"), col("po.o").as("o"))
+
+  /** The full (s, p, o) string triple view — one scan per table. */
+  def triples(spark: SparkSession, dir: String): DataFrame =
+    schema.map(explodeTriples(spark, dir, _)).reduce(_ unionAll _)
+
+  /** All triples of the single table owning `subjectId` (one scan),
+    * filtered to that subject; empty-view fallback if the prefix is
+    * unknown. The DESCRIBE access path. */
+  def triplesForSubject(spark: SparkSession, dir: String, subjectId: String): DataFrame =
+    subjectTable(subjectId) match {
+      case Some(t) =>
+        explodeTriples(spark, dir, schema.find(_.name == t).get)
+          .filter(col("s") === lit(subjectId))
+      case None => triples(spark, dir).filter(col("s") === lit(subjectId))
+    }
+
+  /** Per-predicate branch view restricted to `tables`. Predicate
+    * filters constant-fold per branch (each branch carries a literal
+    * `p`), so callers that filter on `p` get narrow single-column
+    * scans — the POS-index analog. Callers that scan all predicates
+    * should use [[triples]] (explode form) instead. */
   def triplesFor(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame = {
     val branches = for {
       td <- schema if tables.contains(td.name)
@@ -111,15 +149,29 @@ object TpchRdf {
   /** Quad view (s, p, o, g): each backing table is a named graph
     * `g:<table>` — Blazegraph's quads mode (SPOC statement indices,
     * AbstractTripleStore quads=true) re-expressed as one extra literal
-    * column that Catalyst prunes exactly like the predicate column. */
-  def quads(spark: SparkSession, dir: String): DataFrame = {
+    * column. One scan per table (g is a branch literal, so a bound g
+    * still prunes to a single scan). */
+  def quads(spark: SparkSession, dir: String): DataFrame =
+    schema.map { td =>
+      explodeTriples(spark, dir, td).withColumn("g", lit("g:" + td.name))
+    }.reduce(_ unionAll _)
+
+  /** Graph/predicate-bound quad access path: both literals known →
+    * exactly one narrow scan of one table (the SPOC-index analog). */
+  def quadPattern(spark: SparkSession, dir: String,
+                  g: Option[String], p: Option[String]): DataFrame = {
+    val tds = g match {
+      case Some(gv) => schema.filter(td => "g:" + td.name == gv)
+      case None     => schema
+    }
     val branches = for {
-      td <- schema
-      (p, o) <- td.props
+      td <- tds
+      (pred, o) <- td.props if p.forall(_ == pred)
     } yield table(spark, dir, td.name)
-      .select(td.subject.as("s"), lit(p).as("p"), o.cast("string").as("o"),
+      .select(td.subject.as("s"), lit(pred).as("p"), o.cast("string").as("o"),
               lit("g:" + td.name).as("g"))
-    branches.reduce(_ unionAll _)
+    if (branches.isEmpty) quads(spark, dir).limit(0)
+    else branches.reduce(_ unionAll _)
   }
 
   /** DuckDB CTE producing the byte-identical triple view, for oracles. */
@@ -179,12 +231,51 @@ object TpchRdf {
 
     override def refTarget(pred: String): Option[String] = refTargets.get(pred)
 
+    /** Per-pattern access-path selection:
+      *  - bound predicate → narrow per-table branch scans of only the
+      *    tables defining that predicate (POS-index analog);
+      *  - bound subject   → ONE exploded scan of the subject's table,
+      *    resolved from its id prefix (OSP-index analog);
+      *  - neither bound   → exploded full view, one scan per table. */
+    override def scan(tp: TriplePattern): DataFrame = tp.p match {
+      case Const(p) =>
+        val branches = schema.filter(_.propMap.contains(p)).map { td =>
+          var df = table(spark, dir, td.name)
+          tp.s match {
+            case Const(v) => df = df.filter(td.subject === lit(v))
+            case _        => ()
+          }
+          tp.o match {
+            case Const(v) => df = df.filter(td.propMap(p).cast("string") === lit(v))
+            case _        => ()
+          }
+          df.select(td.subject.as("s"), lit(p).as("p"),
+                    td.propMap(p).cast("string").as("o"))
+        }
+        if (branches.isEmpty) triples.limit(0)
+        else branches.reduce(_ unionAll _)
+      case _ =>
+        val base = tp.s match {
+          case Const(sv) => triplesForSubject(spark, dir, sv)
+          case _         => triples
+        }
+        tp.o match {
+          case Const(v) => base.filter(col("o") === lit(v))
+          case _        => base
+        }
+    }
+
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = {
       // only fusible when every pattern has a bound predicate and all
       // patterns share one subject term
       val preds = patterns.map(_.p).collect { case Const(p) => p }
       if (preds.size != patterns.size) return None
+      // a bound subject resolves its table from the id prefix
+      val subjTable = patterns.head.s match {
+        case Const(v) => subjectTable(v)
+        case _        => None
+      }
       // candidate tables = those defining every predicate of the star,
       // narrowed by the compiler's range-typing constraint if present;
       // a constant `type` object needs no special case — the generic
@@ -192,6 +283,7 @@ object TpchRdf {
       // Catalyst folds to false and prunes the whole branch
       val candidates = schema
         .filter(td => subjectTables.forall(_.contains(td.name)))
+        .filter(td => subjTable.forall(_ == td.name))
         .filter(td => preds.forall(td.propMap.contains))
       if (candidates.isEmpty) return None
       val fused = candidates.map { td =>

@@ -35,13 +35,10 @@ object Compiler {
     }
   }
 
-  private def compilePattern(tp: TriplePattern, triples: DataFrame): DataFrame = {
+  private def compilePattern(tp: TriplePattern, src: TripleSource): DataFrame = {
     val cols = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
-    // constant positions → pushed filters (bound p prunes the union to one scan)
-    val filtered = cols.foldLeft(triples) {
-      case (df, (c, Const(v))) => df.filter(col(c) === lit(v))
-      case (df, _)             => df
-    }
+    // access-path selection (constant positions applied) is the source's
+    val filtered = src.scan(tp)
     // same var twice in one pattern → equality constraint
     val varCols = cols.collect { case (c, Var(n)) => (c, n) }
     val eq = varCols.groupBy(_._2).values.filter(_.size > 1).foldLeft(filtered) {
@@ -82,6 +79,36 @@ object Compiler {
     closure
   }
 
+  /** Nodes reachable in ≥1 step from `seeds` (column `node`) — forward
+    * along (from→to) when `forward`, else the nodes that REACH the
+    * seeds. Same frontier-delta fixpoint as [[transitiveClosure]], but
+    * the state is one node set, never the O(V²) closure: the plan for a
+    * path query with a bound endpoint (ArbitraryLengthPathNode with a
+    * constant term — reference ast/ArbitraryLengthPathNode.java
+    * evaluates from the bound side for exactly this reason). */
+  def reachFrom(stepIn: DataFrame, seeds: DataFrame, forward: Boolean,
+                maxIters: Int = 64): DataFrame = {
+    val step = stepIn.select("from", "to").distinct().localCheckpoint()
+    val (key, out) = if (forward) ("from", "to") else ("to", "from")
+    var visited = step.join(seeds, step(key) === seeds("node"))
+      .select(col(out).as("node")).distinct().localCheckpoint()
+    var frontier = visited
+    var i = 0
+    var done = frontier.isEmpty
+    while (!done && i < maxIters) {
+      val grown = step.join(frontier, step(key) === frontier("node"))
+        .select(col(out).as("node")).distinct()
+      val delta = grown.join(visited, Seq("node"), "left_anti").localCheckpoint()
+      if (delta.isEmpty) done = true
+      else {
+        visited = visited.unionAll(delta).localCheckpoint()
+        frontier = delta
+        i += 1
+      }
+    }
+    visited
+  }
+
   def compile(a: Algebra, triples: DataFrame): DataFrame =
     compile(a, TripleSource.plain(triples))
 
@@ -105,7 +132,7 @@ object Compiler {
         }
         src.fuseStar(g, tables) match {
           case Some(df) => Seq(df)
-          case None     => g.map(compilePattern(_, src.triples))
+          case None     => g.map(compilePattern(_, src))
         }
       }
       dfs.reduce(joinOn(_, _, "inner"))
@@ -135,15 +162,34 @@ object Compiler {
       val spark = src.triples.sparkSession
       val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
       val data = rows.map(r => org.apache.spark.sql.Row(r.map(_.orNull): _*))
-      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+      // LocalRelation (no RDD round-trip): inline data stays on the
+      // driver plan side and broadcast-joins like a VALUES clause should
+      spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
     case PathPlus(s, preds, o, sVar, oVar) =>
-      val step = src.triples.filter(col("p").isin(preds: _*))
+      // step relation from per-predicate access paths (narrow branch
+      // scans), not a post-hoc filter over the full exploded view
+      val step = preds
+        .map(p => src.scan(TriplePattern(Var("s"), Const(p), Var("o"))))
+        .reduce(_ unionAll _)
         .select(col("s").as("from"), col("o").as("to"))
-      val tc = transitiveClosure(step)
-      val bound = Seq("from" -> s, "to" -> o).foldLeft(tc) {
-        case (df, (c, Const(v))) => df.filter(col(c) === lit(v))
-        case (df, _)             => df
+      val spark = step.sparkSession
+      def seed(v: String): DataFrame = {
+        import spark.implicits._
+        Seq(v).toDF("node")
       }
-      bound.select(col("from").as(sVar), col("to").as(oVar))
+      (s, o) match {
+        case (Var(_), Var(_)) => // unbounded: full closure is the answer
+          transitiveClosure(step).select(col("from").as(sVar), col("to").as(oVar))
+        case (Const(sv), Var(_)) => // forward BFS from the bound subject
+          reachFrom(step, seed(sv), forward = true)
+            .select(lit(sv).as(sVar), col("node").as(oVar))
+        case (Var(_), Const(ov)) => // backward BFS from the bound object
+          reachFrom(step, seed(ov), forward = false)
+            .select(col("node").as(sVar), lit(ov).as(oVar))
+        case (Const(sv), Const(ov)) => // reachability test
+          reachFrom(step, seed(sv), forward = true)
+            .filter(col("node") === lit(ov))
+            .select(lit(sv).as(sVar), lit(ov).as(oVar))
+      }
   }
 }

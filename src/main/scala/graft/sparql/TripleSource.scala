@@ -25,6 +25,19 @@ trait TripleSource {
     * in the BGP (the analog of Blazegraph's range-restricted access
     * path selection). */
   def refTarget(pred: String): Option[String] = None
+
+  /** Access-path selection for one triple pattern: return all (s,p,o)
+    * rows matching the pattern's constant positions, using the cheapest
+    * physical shape the source knows (the analog of Blazegraph picking
+    * the SPO vs POS vs OSP statement index per pattern). The default
+    * just filters the generic view. */
+  def scan(tp: TriplePattern): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o).foldLeft(triples) {
+      case (df, (c, Const(v))) => df.filter(col(c) === lit(v))
+      case (df, _)             => df
+    }
+  }
 }
 
 object TripleSource {

@@ -10,10 +10,31 @@ class SparqlSpec extends AnyFunSuite {
   private lazy val tri = TpchRdf.triples(spark, SF)
 
   test("bound-predicate pattern prunes the union to one scan") {
-    val df = Compiler.compile(Bgp(TriplePattern("?c", "mktsegment", "?seg")), tri)
+    val df = Compiler.compile(Bgp(TriplePattern("?c", "mktsegment", "?seg")),
+      TpchRdf.source(spark, SF))
     val scans = df.queryExecution.sparkPlan.collectLeaves()
     assert(scans.size == 1, s"expected 1 parquet scan, got ${scans.size}")
     assert(df.count() == 150)
+  }
+
+  test("bound-subject pattern resolves to a single-table scan (OSP analog)") {
+    val df = TpchRdf.triplesForSubject(spark, SF, "c:42")
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+    assert(scans.size == 1, s"expected 1 parquet scan, got ${scans.size}")
+    assert(df.count() == 5) // customer has 5 properties
+  }
+
+  test("full triple view is one scan per backing table") {
+    val scans = TpchRdf.triples(spark, SF).queryExecution.sparkPlan.collectLeaves()
+    assert(scans.size == 7, s"expected 7 scans (one per table), got ${scans.size}")
+    val qscans = TpchRdf.quads(spark, SF).queryExecution.sparkPlan.collectLeaves()
+    assert(qscans.size == 7, s"expected 7 quad scans, got ${qscans.size}")
+  }
+
+  test("bound graph+predicate quad pattern is one narrow scan") {
+    val df = TpchRdf.quadPattern(spark, SF, Some("g:supplier"), Some("acctbal"))
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+    assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
   }
 
   test("star fusion + range typing compile a 5-pattern BGP to 2 scans") {
@@ -63,6 +84,17 @@ class SparqlSpec extends AnyFunSuite {
     val up = Compiler.compile(
       PathPlus(Var("x"), Seq("customer", "nation", "region"), Const("r:0"), "x", "y"), tri)
     assert(up.count() > 0)
+  }
+
+  test("seeded (bound-endpoint) path closure equals filtered full closure") {
+    val src = TpchRdf.source(spark, SF)
+    val bound = Compiler.compile(
+      PathPlus(Var("x"), Seq("nation", "region"), Const("r:1"), "x", "y"), src)
+    val full = Compiler.compile(
+      PathPlus(Var("x"), Seq("nation", "region"), Var("y"), "x", "y"), src)
+      .filter(col("y") === "r:1")
+    assert(bound.select("x").except(full.select("x")).isEmpty)
+    assert(full.select("x").except(bound.select("x")).isEmpty)
   }
 
   test("TripleStore delete/insert/clear semantics") {

@@ -57,9 +57,10 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
 
 /** MinHash signature: element i = min over shingles of
   * xxhash64(shingle, i) — exactly Spark's XxHash64 chain
-  * (hashInt(i, hashUTF8String(s, 42L))), one UTF8 hash per shingle. */
-case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+  * (hashInt(i, hashUTF8String(s, 42L))), one UTF8 hash per shingle.
+  * Codegen keeps the per-shingle×per-hash loop inside
+  * WholeStageCodegen (the signature IS the map stage at 100 TB). */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -83,14 +84,40 @@ case class MinHashSig(child: Expression, numHashes: Int)
     new GenericArrayData(mins)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val mins = ctx.freshName("mins"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val hs = ctx.freshName("hs"); val h = ctx.freshName("h")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  long $hs = $xxh.hashUTF8String($a.getUTF8String($j), 42L);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $h = $xxh.hashInt($i, $hs);
+         |    if ($h < $mins[$i]) $mins[$i] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
 /** 64-bit SimHash over a token array: bit b set iff
-  * Σ_tokens (bit b of xxhash64(token) ? +1 : -1) > 0.
-  * One UTF8 hash + 64 bit-tests per token in a primitive loop —
-  * replaces an interpreted aggregate/zip_with chain. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  * Σ_tokens sign_b(token) > 0, where
+  *
+  *   th      = fold(bytes, 0)((a, c) => (a*31 + c) % 1_000_000_007)
+  *   sign_b  = +1 if (th * (2b+3) + b) % 1_000_000_007 > 500_000_003 else -1
+  *
+  * The per-bit decision derives from a polynomial rolling hash whose
+  * every intermediate stays < 2^38 — the SAME arithmetic is replayable
+  * in 64-bit SQL (the DuckDB oracle recomputes it with list_reduce
+  * over codepoints), so the whole simhash pipeline is oracle-checkable
+  * end-to-end. Codegen keeps the per-token loop at scan speed. */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -102,10 +129,11 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     val sums = new Array[Long](64)
     var j = 0
     while (j < arr.numElements()) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      val th = PolyHash.hash(arr.getUTF8String(j).getBytes)
       var b = 0
       while (b < 64) {
-        sums(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+        val vb = (th * (2L * b + 3L) + b) % 1000000007L
+        sums(b) += (if (vb > 500000003L) 1L else -1L)
         b += 1
       }
       j += 1
@@ -119,7 +147,104 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     out
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sums = ctx.freshName("sums"); val j = ctx.freshName("j")
+      val by = ctx.freshName("bytes"); val k = ctx.freshName("k")
+      val th = ctx.freshName("th"); val b = ctx.freshName("b")
+      val vb = ctx.freshName("vb"); val out = ctx.freshName("out")
+      s"""
+         |long[] $sums = new long[64];
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  byte[] $by = $a.getUTF8String($j).getBytes();
+         |  long $th = 0L;
+         |  for (int $k = 0; $k < $by.length; $k++) {
+         |    $th = ($th * 31L + (long)($by[$k] & 0xff)) % 1000000007L;
+         |  }
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    long $vb = ($th * (2L * $b + 3L) + $b) % 1000000007L;
+         |    $sums[$b] += ($vb > 500000003L) ? 1L : -1L;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($sums[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Random-hyperplane LSH bucket over array<float>: bit p of the bucket
+  * is the sign of  Σ_d emb[d] · w(p+offset, d), with the hyperplane
+  * component derived from pure 64-bit integer arithmetic
+  *
+  *   w(P, d) = ((P·1299721 + d·104729 + P·d·7919) % 1000003) / 1000003.0 − 0.5
+  *
+  * so the identical projection is computable in the DuckDB oracle
+  * (list_sum of the same sequential double fold — bit-for-bit, like
+  * FloatDot). `planeOffset` yields independent hash tables for
+  * multi-table LSH. One pass over the vector computes all bits —
+  * replaces 12 interpreted aggregate(zip_with(...)) folds per row. */
+case class LshBucket(child: Expression, numBits: Int, planeOffset: Int = 0)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"lsh_bucket needs array<float>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val projs = new Array[Double](numBits)
+    val n = arr.numElements()
+    var d = 0
+    while (d < n) {
+      val x = arr.getFloat(d).toDouble
+      var p = 0
+      while (p < numBits) {
+        val k = ((p + planeOffset).toLong * 1299721L + d.toLong * 104729L + (p + planeOffset).toLong * d * 7919L) % 1000003L
+        projs(p) += x * (k.toDouble / 1000003.0 - 0.5)
+        p += 1
+      }
+      d += 1
+    }
+    var out = 0L
+    var p = 0
+    while (p < numBits) {
+      if (projs(p) > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val projs = ctx.freshName("projs"); val n = ctx.freshName("n")
+      val d = ctx.freshName("d"); val p = ctx.freshName("p")
+      val x = ctx.freshName("x"); val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      s"""
+         |double[] $projs = new double[$numBits];
+         |int $n = $a.numElements();
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $x = (double) $a.getFloat($d);
+         |  for (int $p = 0; $p < $numBits; $p++) {
+         |    long $k = (((long)($p + $planeOffset)) * 1299721L + ((long)$d) * 104729L + ((long)($p + $planeOffset)) * $d * 7919L) % 1000003L;
+         |    $projs[$p] += $x * ((double)$k / 1000003.0 - 0.5);
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $p = 0; $p < $numBits; $p++) {
+         |  if ($projs[$p] > 0) $out |= (1L << $p);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
 }
 
 object VectorExprs {
@@ -131,4 +256,7 @@ object VectorExprs {
 
   def simhash64(tokens: Column): Column =
     Shim.column(SimHash64(Shim.expression(tokens)))
+
+  def lsh_bucket(emb: Column, numBits: Int, planeOffset: Int = 0): Column =
+    Shim.column(LshBucket(Shim.expression(emb), numBits, planeOffset))
 }

@@ -127,6 +127,54 @@ object PipelineQueries {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // replays the SimHash pipeline exactly: poly-hash per token, 64
+    // sign sums, banded candidate pairs, Hamming verify — the engine's
+    // arithmetic was designed to be 64-bit-SQL-expressible for this
+    "dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS tok FROM w WHERE len(ws) > 0),
+        |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS h FROM t),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN (h * (2*b + 3) + b) % 1000000007 > 500000003 THEN 1 ELSE -1 END) AS sgn
+        |         FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN
+        |           CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+        |         ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, CAST(b // 16 AS INTEGER) AS band,
+        |            CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bk
+        |          FROM bits GROUP BY doc_id, b // 16),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+        |FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
+    // replays the LSH bucketer: integer-derived hyperplanes, sequential
+    // double fold per plane (list_sum order == the codegen kernel's)
+    "ann_lsh" ->
+      s"""WITH pb AS (
+         |  SELECT vec_id, p,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(embedding[i] AS DOUBLE) *
+         |           (CAST((p*1299721 + (i-1)*104729 + p*(i-1)*7919) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))) AS proj
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 6)) AS p) pp),
+         |bk AS (SELECT vec_id, CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM pb GROUP BY vec_id),
+         |q AS (SELECT e.vec_id AS q_id, e.embedding AS qe, bk.bucket AS qb
+         |      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id < 10),
+         |c AS (SELECT e.vec_id AS n_id, e.embedding AS ne, bk.bucket AS nb
+         |      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+         |scored AS (SELECT q_id, n_id, ${cosExpr("qe", "ne")} AS sim
+         |           FROM q JOIN c ON qb = nb AND q_id <> n_id),
+         |r AS (SELECT q_id, n_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM scored)
+         |SELECT q_id, n_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin,
+
     "mm_decode" ->
       """SELECT doc_id,
         |  64 + (length(text) % 640) AS width,

@@ -45,6 +45,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked cosine pairs equal exact all-pairs (recall 1.0 on corpus)") {
+    val exact = Ann.cosinePairsExact(embs, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Ann.cosinePairs(embs, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(blocked == exact, s"missed=${exact -- blocked} extra=${blocked -- exact}")
+  }
+
+  test("multi-table ANN recall >= single-table at equal bits") {
+    val q = embs.filter(col("vec_id") < 5)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // this corpus's neighbors sit at cos ≈ 0.3–0.5 (θ ≈ 60–70°), so a
+    // single sketch almost never collides: recall needs many tables of
+    // few bits (4 bits × 32 tables ⇒ ≥ 98% per pair analytically)
+    val truth = hits(Ann.bruteForce(q, embs, 3))
+    val single = hits(Ann.lshTopK(q, embs, 3, numBits = 4))
+    val multi = hits(Ann.lshTopKMulti(q, embs, 3, numBits = 4, tables = 32))
+    val rs = (single intersect truth).size.toDouble / truth.size
+    val rm = (multi intersect truth).size.toDouble / truth.size
+    assert(rm >= rs, s"multi-table recall $rm < single-table $rs")
+    assert(rm >= 0.8, s"multi-table recall too low: $rm")
+  }
+
+  test("lsh bucket codegen matches a reference reimplementation") {
+    val row = embs.orderBy("vec_id").limit(1)
+      .select(col("embedding"), graft.functions.VectorExprs.lsh_bucket(col("embedding"), 6, 0).as("b"))
+      .head()
+    val emb = row.getSeq[Float](0)
+    var expect = 0L
+    for (p <- 0 until 6) {
+      var proj = 0.0
+      for (d <- emb.indices) {
+        val k = (p.toLong * 1299721L + d.toLong * 104729L + p.toLong * d * 7919L) % 1000003L
+        proj += emb(d).toDouble * (k.toDouble / 1000003.0 - 0.5)
+      }
+      if (proj > 0) expect |= (1L << p)
+    }
+    assert(row.getLong(1) == expect)
+  }
+
   test("polyhash: codegen path matches reference implementation") {
     val ref = "hello world 42"
     val expected = PolyHash.hash(ref.getBytes("UTF-8"))

@@ -29,6 +29,18 @@ object EngineQueries {
     "fulltext_search" -> ((s, dir) =>
       FullText.search(TpchRdf.table(s, dir, "documents"), Seq("spark", "join", "vector"), 20)),
 
+    // prefix match: each query entry matches every term it prefixes
+    // (reference: FullTextIndex.java prefixMatch=true)
+    "fulltext_prefix" -> ((s, dir) =>
+      FullText.search(TpchRdf.table(s, dir, "documents"), Seq("spar", "vec"), 20,
+        prefixMatch = true)),
+
+    // conjunctive search: only docs containing EVERY query term
+    // (reference: FullTextQuery matchAllTerms)
+    "fulltext_matchall" -> ((s, dir) =>
+      FullText.search(TpchRdf.table(s, dir, "documents"), Seq("the", "data"), 20,
+        matchAll = true)),
+
     "rdfs_closure" -> ((s, dir) => {
       // instance slice: entity types + the location edges — sourced only
       // from the four tables involved, so the fact tables never scan
@@ -98,6 +110,16 @@ object EngineQueries {
     "graph_named_pattern" -> ((s, dir) =>
       TpchRdf.quadPattern(s, dir, Some("g:supplier"), Some("acctbal"))
         .select(col("s"), col("o").as("bal")).orderBy("s")),
+
+    // SPARQL 1.1 graph management: COPY / MOVE / DROP on the quad store
+    // (reference: ast/CreateGraph.java family via AST2BOpUpdate)
+    "graph_management" -> ((s, dir) => {
+      val qs = graft.rdf.QuadStore(TpchRdf.quads(s, dir))
+        .copyGraph("g:nation", "g:staging")
+        .moveGraph("g:region", "g:archive")
+        .dropGraph("g:part")
+      qs.quads.groupBy("g").agg(count(lit(1)).as("n_triples")).orderBy("g")
+    }),
   )
 
   val quadOracles: Map[String, String] = Map(
@@ -115,6 +137,17 @@ object EngineQueries {
       """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS s,
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
         |FROM supplier ORDER BY s""".stripMargin,
+
+    "graph_management" ->
+      """SELECT g, n_triples FROM (
+        |  SELECT 'g:customer' AS g, 5 * COUNT(*) AS n_triples FROM customer
+        |  UNION ALL SELECT 'g:nation', 3 * COUNT(*) FROM nation
+        |  UNION ALL SELECT 'g:staging', 3 * COUNT(*) FROM nation
+        |  UNION ALL SELECT 'g:archive', 2 * COUNT(*) FROM region
+        |  UNION ALL SELECT 'g:supplier', 4 * COUNT(*) FROM supplier
+        |  UNION ALL SELECT 'g:orders', 6 * COUNT(*) FROM orders
+        |  UNION ALL SELECT 'g:lineitem', 10 * COUNT(*) FROM lineitem
+        |) ORDER BY g""".stripMargin,
   )
 
   private val T = "WITH " + TpchRdf.oracleCte + "\n"
@@ -132,6 +165,37 @@ object EngineQueries {
         |SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
         |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
         |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "fulltext_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |q AS (SELECT UNNEST(['spar','vec']) AS q_term),
+        |m AS (SELECT tf.doc_id, tf.term, tf.tf, q.q_term FROM tf JOIN q ON tf.term LIKE q.q_term || '%'),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT m.doc_id, ROUND(SUM(m.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
+        |FROM m JOIN dfreq ON m.term = dfreq.term CROSS JOIN n
+        |GROUP BY m.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "fulltext_matchall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |q AS (SELECT UNNEST(['the','data']) AS q_term),
+        |m AS (SELECT tf.doc_id, tf.term, tf.tf, q.q_term FROM tf JOIN q ON tf.term = q.q_term),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT m.doc_id, ROUND(SUM(m.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
+        |FROM m JOIN dfreq ON m.term = dfreq.term CROSS JOIN n
+        |GROUP BY m.doc_id
+        |HAVING COUNT(DISTINCT m.q_term) = 2
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "rdfs_closure" -> (

@@ -201,6 +201,41 @@ object SparqlQueries {
           "x")),
         Seq(col("x"))))),
 
+    // sequence path ?x customer/nation ?y (PathSequence)
+    "path_seq" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Distinct(Project(
+          Path(Var("x"), PathSeq(PathPred("customer"), PathPred("nation")),
+               Var("y"), "x", "y"),
+          "x", "y")),
+        Seq(col("x"), col("y"))))),
+
+    // inverse path ?n ^nation ?c (PathElt inverse)
+    "path_inverse" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Distinct(Project(
+          Path(Var("n"), PathInverse(PathPred("nation")), Var("c"), "n", "c"),
+          "n", "c")),
+        Seq(col("n"), col("c"))))),
+
+    // zero-or-more path c:7 (nation|region)* ?y — zero-length includes
+    // the bound subject itself (ZeroLengthPathNode semantics)
+    "path_star" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Distinct(Project(
+          Path(Const("c:7"), PathStar(PathAlt(PathPred("nation"), PathPred("region"))),
+               Var("y"), "x", "y"),
+          "y")),
+        Seq(col("y"))))),
+
+    // negated property set c:42 !(type|name) ?o (PathNegatedPropertySet)
+    "path_negated" -> ((s, dir) => run(s, dir,
+      OrderBy(
+        Project(
+          Path(Const("c:42"), PathNeg(Seq("type", "name")), Var("o"), "x", "o"),
+          "o"),
+        Seq(col("o"))))),
+
     "construct_triples" -> ((s, dir) => {
       // CONSTRUCT { ?c hasOrder ?o . ?o inSegment ?seg } WHERE {...}
       val sol = run(s, dir,
@@ -235,6 +270,68 @@ object SparqlQueries {
           |  FILTER(?bal > 2500)
           |} ORDER BY ?cname""".stripMargin),
         graft.rdf.TpchRdf.source(s, dir))),
+
+    // parsed text: aggregates + GROUP BY + HAVING (GroupByNode/HavingNode)
+    "sparql_parsed_agg" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?n (COUNT(*) AS ?n_cust) (SUM(?bal) AS ?total) WHERE {
+          |  ?c nation ?n .
+          |  ?c acctbal ?bal .
+          |} GROUP BY ?n HAVING(COUNT(*) >= 3) ORDER BY ?n""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // parsed text: PREFIX declaration + prefixed-IRI terms; base-IRI
+    // terms intern to the engine's local vocabulary (lexicon analog)
+    "sparql_parsed_prefix" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """PREFIX v: <urn:graft:>
+          |SELECT ?s ?bal WHERE {
+          |  ?s v:type "Supplier" .
+          |  ?s v:acctbal ?bal .
+          |  FILTER(?bal > 5000)
+          |} ORDER BY ?s""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // parsed text: property-path sequence in predicate position
+    "sparql_parsed_path" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT DISTINCT ?x WHERE { ?x customer/nation/region r:2 } ORDER BY ?x"""),
+        TpchRdf.source(s, dir))),
+
+    // parsed text: VALUES inline data joined on shared vars
+    "sparql_parsed_values" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?n ?nname WHERE {
+          |  ?n name ?nname .
+          |  VALUES ?nname { "NATION_2" "NATION_5" }
+          |} ORDER BY ?n""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // parsed text: CONSTRUCT template form
+    "sparql_parsed_construct" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """CONSTRUCT { ?c partner ?n } WHERE {
+          |  ?c nation ?n .
+          |  ?c mktsegment "MACHINERY"
+          |}""".stripMargin),
+        TpchRdf.source(s, dir)).orderBy("s", "p", "o")),
+
+    // parsed text: ASK form
+    "sparql_parsed_ask" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """ASK { ?c acctbal ?bal FILTER(?bal > 9000) }"""),
+        TpchRdf.source(s, dir))),
+
+    // parsed text: DESCRIBE form (ForwardOneStep describe mode)
+    "sparql_parsed_describe" -> ((s, dir) =>
+      Compiler.compile(Parser.parse("DESCRIBE c:42"),
+        TpchRdf.source(s, dir)).orderBy("p", "o")),
+
+    // parsed text: GRAPH ?g — the graph name is a solution variable
+    "graph_var_pattern" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?g ?x ?n WHERE { GRAPH ?g { ?x name ?n } } ORDER BY ?g ?x"""),
+        TpchRdf.source(s, dir))),
 
     // COUNT(DISTINCT ?x) aggregate (SPARQL count-distinct)
     "agg_distinct_count" -> ((s, dir) => run(s, dir,
@@ -414,6 +511,36 @@ object SparqlQueries {
         |)
         |SELECT DISTINCT f AS x FROM tc WHERE t = 'r:2' ORDER BY x""".stripMargin,
 
+    "path_seq" ->
+      """SELECT DISTINCT 'o:'||CAST(o_orderkey AS VARCHAR) AS x,
+        |  'n:'||CAST(c_nationkey AS VARCHAR) AS y
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY x, y""".stripMargin,
+
+    "path_inverse" ->
+      """SELECT DISTINCT n, c FROM (
+        |  SELECT 'n:'||CAST(c_nationkey AS VARCHAR) AS n, 'c:'||CAST(c_custkey AS VARCHAR) AS c FROM customer
+        |  UNION ALL
+        |  SELECT 'n:'||CAST(s_nationkey AS VARCHAR), 's:'||CAST(s_suppkey AS VARCHAR) FROM supplier
+        |) ORDER BY n, c""".stripMargin,
+
+    "path_star" ->
+      """WITH RECURSIVE step AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS f, 'n:'||CAST(c_nationkey AS VARCHAR) AS t FROM customer
+        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'n:'||CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
+        |), reach(y) AS (
+        |  SELECT 'c:7'
+        |  UNION
+        |  SELECT s.t FROM reach JOIN step s ON s.f = reach.y
+        |)
+        |SELECT y FROM reach ORDER BY y""".stripMargin,
+
+    "path_negated" ->
+      (T + """SELECT o FROM triples
+        |WHERE s = 'c:42' AND p NOT IN ('type', 'name')
+        |ORDER BY o""".stripMargin),
+
     "construct_triples" ->
       """WITH sol AS (
         |  SELECT 'o:'||CAST(o_orderkey AS VARCHAR) AS o, 'c:'||CAST(o_custkey AS VARCHAR) AS c, c_mktsegment AS seg
@@ -440,6 +567,59 @@ object SparqlQueries {
         |WHERE c_mktsegment = 'MACHINERY'
         |  AND CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) > 2500
         |ORDER BY cname""".stripMargin,
+
+    "sparql_parsed_agg" ->
+      // ?c ranges over ANY subject with nation+acctbal: customers AND suppliers
+      """WITH x AS (
+        |  SELECT 'n:'||CAST(c_nationkey AS VARCHAR) AS n, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer
+        |  UNION ALL
+        |  SELECT 'n:'||CAST(s_nationkey AS VARCHAR), CAST(s_acctbal AS DECIMAL(18,2)) FROM supplier
+        |)
+        |SELECT n, COUNT(*) AS n_cust, CAST(SUM(bal) AS DOUBLE) AS total
+        |FROM x GROUP BY n HAVING COUNT(*) >= 3
+        |ORDER BY n""".stripMargin,
+
+    "sparql_parsed_prefix" ->
+      """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS s,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
+        |FROM supplier
+        |WHERE CAST(CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) > 5000
+        |ORDER BY s""".stripMargin,
+
+    "sparql_parsed_path" ->
+      """SELECT DISTINCT 'o:'||CAST(o_orderkey AS VARCHAR) AS x
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |ORDER BY x""".stripMargin,
+
+    "sparql_parsed_values" ->
+      """SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS n, n_name AS nname
+        |FROM nation WHERE n_name IN ('NATION_2','NATION_5')
+        |ORDER BY n""".stripMargin,
+
+    "sparql_parsed_construct" ->
+      """SELECT DISTINCT 'c:'||CAST(c_custkey AS VARCHAR) AS s, 'partner' AS p,
+        |  'n:'||CAST(c_nationkey AS VARCHAR) AS o
+        |FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY s, p, o""".stripMargin,
+
+    "sparql_parsed_ask" ->
+      """SELECT EXISTS (
+        |  SELECT 1 FROM customer WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > 9000
+        |) AS ask""".stripMargin,
+
+    "sparql_parsed_describe" ->
+      (T + "SELECT s, p, o FROM triples WHERE s = 'c:42' ORDER BY p, o"),
+
+    "graph_var_pattern" ->
+      """SELECT g, x, n FROM (
+        |  SELECT 'g:customer' AS g, 'c:'||CAST(c_custkey AS VARCHAR) AS x, c_name AS n FROM customer
+        |  UNION ALL SELECT 'g:nation', 'n:'||CAST(n_nationkey AS VARCHAR), n_name FROM nation
+        |  UNION ALL SELECT 'g:region', 'r:'||CAST(r_regionkey AS VARCHAR), r_name FROM region
+        |  UNION ALL SELECT 'g:supplier', 's:'||CAST(s_suppkey AS VARCHAR), s_name FROM supplier
+        |  UNION ALL SELECT 'g:part', 'p:'||CAST(p_partkey AS VARCHAR), p_name FROM part
+        |) ORDER BY g, x""".stripMargin,
 
     "agg_distinct_count" ->
       """SELECT 's:'||CAST(l_suppkey AS VARCHAR) AS sup,

@@ -1,0 +1,69 @@
+package graft.rdf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Immutable quad-store handle with SPARQL 1.1 graph-management
+  * operations (reference: ast/CreateGraph.java:48 and siblings
+  * DropGraph / CopyGraph / MoveGraph / AddGraph, evaluated in
+  * ast/eval/AST2BOpUpdate.java over Blazegraph's SPOC indices).
+  *
+  * Functional like [[TripleStore]]: every operation returns a new
+  * handle over a derived lazy plan — at production scale these are
+  * lakehouse MERGE/partition operations (a named graph maps naturally
+  * onto a partition of the quad table, so DROP/MOVE are metadata-level
+  * partition ops, not row rewrites).
+  */
+final case class QuadStore(quads: DataFrame) {
+
+  private def cols = Seq("s", "p", "o", "g")
+
+  def graphs: DataFrame = quads.select("g").distinct()
+
+  /** The triples of one named graph. */
+  def graph(g: String): DataFrame =
+    quads.filter(col("g") === lit(g)).select("s", "p", "o")
+
+  /** CREATE GRAPH — graphs exist implicitly when non-empty (SPARQL
+    * allows empty-graph creation; a lazy view has nothing to persist,
+    * so CREATE is the identity, matching CREATE SILENT semantics). */
+  def createGraph(g: String): QuadStore = this
+
+  /** DROP GRAPH g. */
+  def dropGraph(g: String): QuadStore =
+    QuadStore(quads.filter(col("g") =!= lit(g)))
+
+  /** ADD from TO to — union `from`'s triples into `to` (set semantics),
+    * `from` unchanged. */
+  def addGraph(from: String, to: String): QuadStore = {
+    val incoming = graph(from).withColumn("g", lit(to)).select(cols.map(col): _*)
+    val fresh = incoming.join(quads, cols, "left_anti").distinct()
+    QuadStore(quads.unionAll(fresh))
+  }
+
+  /** COPY from TO to — `to` is replaced by `from`'s triples. */
+  def copyGraph(from: String, to: String): QuadStore =
+    dropGraph(to).addGraph(from, to)
+
+  /** MOVE from TO to — COPY then DROP the source. */
+  def moveGraph(from: String, to: String): QuadStore =
+    copyGraph(from, to).dropGraph(from)
+
+  /** INSERT DATA into a named graph (set semantics). */
+  def insertData(g: String, triples: DataFrame): QuadStore = {
+    val incoming = triples.select("s", "p", "o").withColumn("g", lit(g))
+      .select(cols.map(col): _*)
+    val fresh = incoming.join(quads, cols, "left_anti").distinct()
+    QuadStore(quads.unionAll(fresh))
+  }
+
+  /** DELETE DATA from a named graph. */
+  def deleteData(g: String, triples: DataFrame): QuadStore = {
+    val doomed = triples.select("s", "p", "o").withColumn("g", lit(g))
+      .select(cols.map(col): _*)
+    QuadStore(quads.join(doomed, cols, "left_anti"))
+  }
+
+  /** CLEAR ALL. */
+  def clear(): QuadStore = QuadStore(quads.limit(0))
+}

@@ -2,7 +2,7 @@ package graft.rdf
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sparql.{Const, TriplePattern, TripleSource, Var}
+import graft.sparql.{Const, Term, TriplePattern, TripleSource, Var}
 
 /** Virtual RDF triple view over the TPC-H-ish parquet tables.
   *
@@ -230,6 +230,26 @@ object TpchRdf {
     lazy val triples: DataFrame = TpchRdf.triples(spark, dir)
 
     override def refTarget(pred: String): Option[String] = refTargets.get(pred)
+
+    override def quads: Option[DataFrame] = Some(TpchRdf.quads(spark, dir))
+
+    /** Graph-scoped access path: bound predicate → narrow branch scans
+      * (bound g narrows to exactly ONE scan); unbound predicate → the
+      * exploded quad view, whose branch-literal g still prunes to one
+      * table when g is bound. */
+    override def quadScan(tp: TriplePattern, g: Term): DataFrame = {
+      val gOpt = g match { case Const(v) => Some(v); case _ => None }
+      val base = tp.p match {
+        case Const(p) => quadPattern(spark, dir, gOpt, Some(p))
+        case _ =>
+          val q = TpchRdf.quads(spark, dir)
+          gOpt.map(gv => q.filter(col("g") === lit(gv))).getOrElse(q)
+      }
+      Seq("s" -> tp.s, "o" -> tp.o).foldLeft(base) {
+        case (df, (c, Const(v))) => df.filter(col(c) === lit(v))
+        case (df, _)             => df
+      }
+    }
 
     /** Per-pattern access-path selection:
       *  - bound predicate → narrow per-table branch scans of only the

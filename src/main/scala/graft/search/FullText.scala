@@ -25,18 +25,45 @@ object FullText {
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
 
-  /** Top-k docs for the query terms, scored Σ tf·ln(N/df). */
-  def search(docs: DataFrame, query: Seq[String], k: Int = 20): DataFrame = {
+  /** Top-k docs for the query terms, scored Σ tf·ln(N/df).
+    *
+    * Document frequencies are computed from the postings that ALREADY
+    * matched the query — for a matched term that subset contains every
+    * posting of the term, so the df values are identical to global
+    * ones, but nothing vocabulary-sized is ever aggregated or
+    * broadcast: the only broadcast is |query| rows and |matched terms|
+    * df rows. (The earlier shape broadcast df for every term in the
+    * corpus — billions of rows at 100 TB.)
+    *
+    * Options mirror the reference's search API
+    * (com/bigdata/search/FullTextIndex.java prefixMatch;
+    * matchAllTerms in FullTextQuery):
+    *  - `prefixMatch`: query entries match any term they prefix;
+    *  - `matchAll`: only docs matching EVERY query entry score.
+    */
+  def search(docs: DataFrame, query: Seq[String], k: Int = 20,
+             prefixMatch: Boolean = false, matchAll: Boolean = false): DataFrame = {
     val postings = invertedIndex(docs)
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n"))
-    val q = docs.sparkSession.createDataFrame(query.map(Tuple1(_))).toDF("term")
-    postings
-      .join(broadcast(q), "term")
+    val q = docs.sparkSession.createDataFrame(query.map(Tuple1(_))).toDF("q_term")
+    val cond =
+      if (prefixMatch) col("term").startsWith(col("q_term"))
+      else col("term") === col("q_term")
+    val matched = postings.join(broadcast(q), cond)
+    // df per matched term == its global df (all of a term's postings
+    // survive the query join); countDistinct guards the prefix case
+    // where one posting can match several query entries
+    val dfreq = matched.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val scored = matched
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(n))
       .groupBy("doc_id")
-      .agg(round(sum(col("tf") * log(col("n").cast("double") / col("df"))), 6).as("score"))
+      .agg(round(sum(col("tf") * log(col("n").cast("double") / col("df"))), 6).as("score"),
+           countDistinct(col("q_term")).as("n_matched"))
+    val kept =
+      if (matchAll) scored.filter(col("n_matched") === query.size)
+      else scored
+    kept.select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

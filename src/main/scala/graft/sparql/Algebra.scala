@@ -59,7 +59,52 @@ final case class Slice(child: Algebra, offset: Long, limit: Long) extends Algebr
 final case class Group(child: Algebra, keys: Seq[String], aggs: Seq[(String, Column)]) extends Algebra
 /** Sub-SELECT: compiled independently, then joined on shared vars. */
 final case class SubQuery(left: Algebra, sub: Algebra) extends Algebra
-/** Arbitrary-length path  ?s (step)+ ?o  over a single-predicate step
-  * (ArbitraryLengthPathNode): transitive closure by frontier fixpoint. */
+/** Arbitrary-length path  ?s (step)+ ?o  over a union-of-predicates
+  * step (ArbitraryLengthPathNode, lowerBound=1): transitive closure by
+  * frontier fixpoint. Sugar for Path(s, PathPlusE(alt of preds), o). */
 final case class PathPlus(s: Term, predicates: Seq[String], o: Term,
                           sVar: String, oVar: String) extends Algebra
+
+/** SPARQL 1.1 property-path expression algebra (reference:
+  * ast/PathNode.java:94-318 — PathAlternative, PathSequence, PathElt
+  * with inverse/mod, PathNegatedPropertySet; zero-length semantics in
+  * ast/ZeroLengthPathNode.java:22). */
+sealed trait PathExpr
+/** Atomic predicate step `p`. */
+final case class PathPred(p: String) extends PathExpr
+/** Sequence `l / r`. */
+final case class PathSeq(l: PathExpr, r: PathExpr) extends PathExpr
+/** Alternative `l | r`. */
+final case class PathAlt(l: PathExpr, r: PathExpr) extends PathExpr
+/** Inverse `^e`. */
+final case class PathInverse(e: PathExpr) extends PathExpr
+/** One-or-more `e+`. */
+final case class PathPlusE(e: PathExpr) extends PathExpr
+/** Zero-or-more `e*` (zero-length path relates a bound term to itself;
+  * unbound ends range over all graph terms). */
+final case class PathStar(e: PathExpr) extends PathExpr
+/** Zero-or-one `e?`. */
+final case class PathOpt(e: PathExpr) extends PathExpr
+/** Negated property set `!(p1|…|pn)` (forward direction). */
+final case class PathNeg(preds: Seq[String]) extends PathExpr
+
+/** General property-path pattern  s path o  → solutions (sVar, oVar). */
+final case class Path(s: Term, path: PathExpr, o: Term,
+                      sVar: String, oVar: String) extends Algebra
+
+/** ASK { pattern } → one row, boolean column `ask` (AST2BOpUtility ask). */
+final case class Ask(child: Algebra) extends Algebra
+
+/** CONSTRUCT { template } WHERE { child } → distinct (s,p,o) rows
+  * instantiated from the template (ConstructNode). */
+final case class Construct(template: Seq[TriplePattern], child: Algebra) extends Algebra
+
+/** DESCRIBE <term> → all triples about the term (DescribeModeEnum
+  * ForwardOneStep; CBD adds blank-node expansion, moot in a model with
+  * no blank nodes). */
+final case class Describe(term: String) extends Algebra
+
+/** GRAPH g { child } — graph-scoped pattern group. A Const `g` scopes
+  * every pattern to one named graph; a Var `g` binds the graph name as
+  * a solution variable joined on shared vars. */
+final case class GraphPattern(g: Term, child: Algebra) extends Algebra

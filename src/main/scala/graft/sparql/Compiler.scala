@@ -165,31 +165,134 @@ object Compiler {
       // LocalRelation (no RDD round-trip): inline data stays on the
       // driver plan side and broadcast-joins like a VALUES clause should
       spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
-    case PathPlus(s, preds, o, sVar, oVar) =>
-      // step relation from per-predicate access paths (narrow branch
-      // scans), not a post-hoc filter over the full exploded view
-      val step = preds
-        .map(p => src.scan(TriplePattern(Var("s"), Const(p), Var("o"))))
-        .reduce(_ unionAll _)
+    case PathPlus(s, preds, o, sVar, oVar) => // sugar for the general form
+      compile(Path(s, PathPlusE(preds.map(PathPred).reduceLeft[PathExpr](PathAlt(_, _))),
+        o, sVar, oVar), src)
+
+    case Path(s, pe, o, sVar, oVar) => compilePath(s, pe, o, sVar, oVar, src)
+
+    case Ask(child) =>
+      val d = compile(child, src)
+      // ASK is inherently eager: existence of ≥1 solution
+      d.sparkSession.range(1).select(lit(!d.isEmpty).as("ask"))
+
+    case Construct(template, child) =>
+      val sol = compile(child, src)
+      def t2c(t: Term, n: String): Column = t match {
+        case Var(v)   => col(v).cast("string").as(n)
+        case Const(v) => lit(v).as(n)
+      }
+      template.map { tp =>
+        sol.select(t2c(tp.s, "s"), t2c(tp.p, "p"), t2c(tp.o, "o"))
+      }.reduce(_ unionAll _).distinct()
+
+    case Describe(t) =>
+      src.scan(TriplePattern(Const(t), Var("p"), Var("o")))
+
+    case GraphPattern(gTerm, child) => gTerm match {
+      case Const(_) =>
+        // constant graph: scope every pattern scan to that graph
+        val scoped = new TripleSource {
+          lazy val triples: DataFrame =
+            src.quadScan(TriplePattern(Var("s"), Var("p"), Var("o")), gTerm)
+              .select("s", "p", "o")
+          override def scan(tp: TriplePattern): DataFrame =
+            src.quadScan(tp, gTerm).select("s", "p", "o")
+          def fuseStar(patterns: Seq[TriplePattern],
+                       subjectTables: Option[Set[String]]): Option[DataFrame] = None
+        }
+        compile(child, scoped)
+      case Var(gv) => child match {
+        // variable graph: each pattern keeps g as a solution var, so
+        // patterns join on the graph variable like any shared var
+        case Bgp(patterns @ _*) =>
+          val dfs = patterns.map { tp =>
+            val q = src.quadScan(tp, gTerm)
+            val varCols = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+              .collect { case (c, Var(n)) => (c, n) } :+ ("g" -> gv)
+            val eq = varCols.groupBy(_._2).values.filter(_.size > 1).foldLeft(q) {
+              case (df, dups) => df.filter(col(dups.head._1) === col(dups(1)._1))
+            }
+            val proj = varCols.map(_._1).distinct.map { c =>
+              col(c).as(varCols.find(_._1 == c).get._2)
+            }
+            eq.select(proj: _*)
+          }
+          dfs.reduce(joinOn(_, _, "inner"))
+        case other => sys.error(s"GRAPH ?$gv requires a BGP group, got $other")
+      }
+    }
+  }
+
+  /** The binary relation a path expression denotes, as (from, to).
+    * Atomic steps come from per-predicate access paths (narrow branch
+    * scans); sequence is a join on the midpoint; closures are frontier
+    * fixpoints. */
+  private def pathRel(e: PathExpr, src: TripleSource): DataFrame = e match {
+    case PathPred(p) =>
+      src.scan(TriplePattern(Var("s"), Const(p), Var("o")))
         .select(col("s").as("from"), col("o").as("to"))
-      val spark = step.sparkSession
-      def seed(v: String): DataFrame = {
-        import spark.implicits._
-        Seq(v).toDF("node")
+    case PathNeg(ps) =>
+      src.triples.filter(!col("p").isin(ps: _*))
+        .select(col("s").as("from"), col("o").as("to"))
+    case PathInverse(x) =>
+      pathRel(x, src).select(col("to").as("from"), col("from").as("to"))
+    case PathAlt(l, r) => pathRel(l, src).unionAll(pathRel(r, src))
+    case PathSeq(l, r) =>
+      val lr = pathRel(l, src).select(col("from"), col("to").as("_mid"))
+      val rr = pathRel(r, src).select(col("from").as("_mid2"), col("to"))
+      lr.join(rr, col("_mid") === col("_mid2")).select(col("from"), col("to"))
+    case PathPlusE(x) => transitiveClosure(pathRel(x, src))
+    case PathStar(x)  => transitiveClosure(pathRel(x, src)).unionAll(zeroLength(src)).distinct()
+    case PathOpt(x)   => pathRel(x, src).unionAll(zeroLength(src)).distinct()
+  }
+
+  /** Zero-length path relation: every term of the graph relates to
+    * itself (SPARQL 1.1 §9.3 / ZeroLengthPathNode). */
+  private def zeroLength(src: TripleSource): DataFrame =
+    src.triples.select(col("s").as("n"))
+      .unionAll(src.triples.select(col("o").as("n")))
+      .distinct()
+      .select(col("n").as("from"), col("n").as("to"))
+
+  /** Path pattern with endpoint binding. Closure paths with a bound
+    * endpoint evaluate by seeded BFS — never the full closure
+    * (reference: ArbitraryLengthPathNode bounded evaluation). */
+  private def compilePath(s: Term, pe: PathExpr, o: Term,
+                          sVar: String, oVar: String, src: TripleSource): DataFrame = {
+    val spark = src.triples.sparkSession
+    def seed(v: String): DataFrame = {
+      import spark.implicits._
+      Seq(v).toDF("node")
+    }
+    def bounded(rel: DataFrame): DataFrame = {
+      val f = Seq("from" -> s, "to" -> o).foldLeft(rel) {
+        case (df, (c, Const(v))) => df.filter(col(c) === lit(v))
+        case (df, _)             => df
       }
-      (s, o) match {
-        case (Var(_), Var(_)) => // unbounded: full closure is the answer
-          transitiveClosure(step).select(col("from").as(sVar), col("to").as(oVar))
-        case (Const(sv), Var(_)) => // forward BFS from the bound subject
-          reachFrom(step, seed(sv), forward = true)
-            .select(lit(sv).as(sVar), col("node").as(oVar))
-        case (Var(_), Const(ov)) => // backward BFS from the bound object
-          reachFrom(step, seed(ov), forward = false)
-            .select(col("node").as(sVar), lit(ov).as(oVar))
-        case (Const(sv), Const(ov)) => // reachability test
-          reachFrom(step, seed(sv), forward = true)
-            .filter(col("node") === lit(ov))
-            .select(lit(sv).as(sVar), lit(ov).as(oVar))
-      }
+      f.select(col("from").as(sVar), col("to").as(oVar))
+    }
+    // seeded closure from a bound endpoint, optionally with zero-length
+    def seeded(x: PathExpr, v: String, forward: Boolean, zero: Boolean): DataFrame = {
+      val reach = reachFrom(pathRel(x, src), seed(v), forward)
+      val r = if (zero) reach.unionAll(seed(v)).distinct() else reach
+      if (forward) r.select(lit(v).as(sVar), col("node").as(oVar))
+      else r.select(col("node").as(sVar), lit(v).as(oVar))
+    }
+    (pe, s, o) match {
+      case (PathPlusE(x), Const(sv), Var(_)) => seeded(x, sv, forward = true, zero = false)
+      case (PathStar(x), Const(sv), Var(_))  => seeded(x, sv, forward = true, zero = true)
+      case (PathPlusE(x), Var(_), Const(ov)) => seeded(x, ov, forward = false, zero = false)
+      case (PathStar(x), Var(_), Const(ov))  => seeded(x, ov, forward = false, zero = true)
+      case (PathPlusE(x), Const(sv), Const(ov)) =>
+        reachFrom(pathRel(x, src), seed(sv), forward = true)
+          .filter(col("node") === lit(ov))
+          .select(lit(sv).as(sVar), lit(ov).as(oVar))
+      case (PathOpt(x), Const(sv), Var(_)) =>
+        pathRel(x, src).filter(col("from") === lit(sv)).select(col("to").as("node"))
+          .unionAll(seed(sv)).distinct()
+          .select(lit(sv).as(sVar), col("node").as(oVar))
+      case _ => bounded(pathRel(pe, src))
+    }
   }
 }

@@ -3,20 +3,38 @@ package graft.sparql
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Recursive-descent parser for a working subset of SPARQL 1.1 SELECT,
+/** Recursive-descent parser for a practical subset of SPARQL 1.1,
   * producing [[Algebra]] (which Compiler turns into a DataFrame plan).
   *
   * Covers the grammar Blazegraph's openrdf-based parser feeds into its
-  * AST (bigdata-core/.../sparql/ast/ASTBase hierarchy): triple
-  * patterns, `.`-separated blocks, FILTER (comparisons, &&, ||, !,
-  * regex/contains/strstarts, numeric + string literals), OPTIONAL,
-  * UNION, MINUS, FILTER [NOT] EXISTS, BIND(expr AS ?v), SELECT
-  * [DISTINCT], ORDER BY [ASC|DESC], LIMIT/OFFSET.
+  * AST (bigdata-core/.../sparql/ast/ASTBase hierarchy; grammar in
+  * /root/reference/sparql-grammar/):
+  *  - PREFIX declarations, `<iri>` and `pfx:local` terms
+  *  - SELECT [DISTINCT] with plain vars and `(AGG(?x) AS ?alias)`
+  *    aggregate projections; GROUP BY / HAVING (GroupByNode,
+  *    HavingNode); COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/SAMPLE with
+  *    DISTINCT and `COUNT(*)`
+  *  - ASK / CONSTRUCT { template } / DESCRIBE <term> query forms
+  *  - triple blocks, FILTER (comparisons, &&, ||, !, regex/contains/
+  *    strstarts), OPTIONAL, UNION, MINUS, FILTER [NOT] EXISTS,
+  *    BIND(expr AS ?v), VALUES inline data, GRAPH g { … } /
+  *    GRAPH ?g { … }
+  *  - property paths in predicate position: `/` `|` `^` `+` `*` `?`
+  *    `!(p1|…)` with parentheses (PathNode grammar)
+  *  - ORDER BY [ASC|DESC], LIMIT/OFFSET
   *
-  * Terms: `?var`, `"string literal"`, numbers, and bare symbols
-  * (`nation`, `c:42`) — matching the engine's string term model.
+  * Terms: `?var`, `"string literal"`, numbers, bare symbols (`nation`,
+  * `c:42`), `<iri>`, and declared-prefix names. IRIs inside the
+  * engine's base (`urn:graft:`) normalize to their local name — the
+  * lexicon-internalization step of a real store (LexiconRelation maps
+  * IRI ↔ internal id; here the internal id of a base-vocabulary term
+  * IS its local name, so `<urn:graft:nation>` ≡ `nation`).
   */
 object Parser {
+
+  /** The engine vocabulary base IRI: terms under it normalize to their
+    * local names. */
+  val Base = "urn:graft:"
 
   def parse(query: String): Algebra = new Parser(tokenize(query)).parseQuery()
 
@@ -36,11 +54,21 @@ object Parser {
       } else if (c == '?') {
         val start = i; i += 1
         while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
-        out += q.substring(start, i)
-      } else if ("{}().,".contains(c)) { out += c.toString; i += 1 }
-      else if ("<>=!&|".contains(c)) {
+        // bare '?' (no name) is the zero-or-one path modifier
+        out += (if (i == start + 1) "?" else q.substring(start, i))
+      } else if (c == '<') {
+        // '<' opens an IRI iff a '>' closes it before any whitespace
+        var j = i + 1
+        while (j < q.length && !q(j).isWhitespace && q(j) != '>') j += 1
+        if (j < q.length && q(j) == '>') { out += q.substring(i, j + 1); i = j + 1 }
+        else {
+          val two = q.substring(i, math.min(i + 2, q.length))
+          if (two == "<=") { out += two; i += 2 } else { out += "<"; i += 1 }
+        }
+      } else if ("{}().,;/|^+*".contains(c)) { out += c.toString; i += 1 }
+      else if (">=!&|".contains(c)) {
         val two = q.substring(i, math.min(i + 2, q.length))
-        if (Set("<=", ">=", "!=", "&&", "||").contains(two)) { out += two; i += 2 }
+        if (Set(">=", "!=", "&&", "||").contains(two)) { out += two; i += 2 }
         else { out += c.toString; i += 1 }
       } else if (symbolChars(c)) {
         val start = i
@@ -58,27 +86,168 @@ object Parser {
 
   private class Parser(tokens: Vector[String]) {
     private var pos = 0
+    private var prefixes = Map.empty[String, String]
+    private var synth = 0
     private def peek: String = if (pos < tokens.length) tokens(pos) else "<eof>"
+    private def peekAt(k: Int): String = if (pos + k < tokens.length) tokens(pos + k) else "<eof>"
     private def next(): String = { val t = peek; pos += 1; t }
     private def expect(t: String): Unit = {
       val got = next()
       require(got.equalsIgnoreCase(t), s"expected '$t', got '$got'")
     }
     private def peekIs(t: String): Boolean = peek.equalsIgnoreCase(t)
+    private def fresh(tag: String): String = { synth += 1; s"_${tag}$synth" }
 
     def parseQuery(): Algebra = {
+      while (peekIs("PREFIX") || peekIs("BASE")) {
+        if (peekIs("BASE")) { next(); next() } // accept and ignore explicit BASE
+        else {
+          next()
+          val name = next() // "pfx:" or ":"
+          require(name.endsWith(":"), s"bad prefix name '$name'")
+          val iri = next()
+          require(iri.startsWith("<") && iri.endsWith(">"), s"bad prefix IRI '$iri'")
+          prefixes += (name.dropRight(1) -> iri.drop(1).dropRight(1))
+        }
+      }
+      if (peekIs("ASK")) return parseAsk()
+      if (peekIs("CONSTRUCT")) return parseConstruct()
+      if (peekIs("DESCRIBE")) return parseDescribe()
+      parseSelect()
+    }
+
+    private def parseAsk(): Algebra = {
+      expect("ASK")
+      if (peekIs("WHERE")) next()
+      Ask(parseGroup())
+    }
+
+    private def parseConstruct(): Algebra = {
+      expect("CONSTRUCT")
+      expect("{")
+      val template = Vector.newBuilder[TriplePattern]
+      while (!peekIs("}")) {
+        if (peekIs(".")) next()
+        else {
+          val s = term(next()); val p = term(next()); val o = term(next())
+          template += TriplePattern(s, p, o)
+          if (peekIs(".")) next()
+        }
+      }
+      expect("}")
+      expect("WHERE")
+      Construct(template.result(), parseGroup())
+    }
+
+    private def parseDescribe(): Algebra = {
+      expect("DESCRIBE")
+      term(next()) match {
+        case Const(v) => Describe(v)
+        case Var(v)   => sys.error(s"DESCRIBE ?$v requires a WHERE form; only DESCRIBE <term> is supported")
+      }
+    }
+
+    /** One SELECT projection item. */
+    private sealed trait SelItem
+    private case class SelVar(name: String) extends SelItem
+    private case class SelAgg(alias: String, agg: Column) extends SelItem
+    private case class SelExpr(alias: String, expr: Column) extends SelItem
+
+    private val aggNames = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE")
+
+    /** AGG( [DISTINCT] ?x | * [; separator="…"] ) → Column.
+      * Numeric aggregates treat operands as xsd:decimal money strings
+      * (decimal(18,2) both engines — SURVEY §4 float policy). */
+    private def parseAggregate(): Column = {
+      val fn = next().toUpperCase
+      expect("(")
+      val distinct = if (peekIs("DISTINCT")) { next(); true } else false
+      val arg = next()
+      val c = if (arg == "*") lit(1) else col(arg.drop(1))
+      var sep = " "
+      if (peekIs(";")) { next() } // tolerated; separator handled below
+      if (peek.toUpperCase.startsWith("SEPARATOR")) {
+        next(); expect("=")
+        sep = next().stripPrefix("\"").stripSuffix("\"")
+      }
+      expect(")")
+      fn match {
+        case "COUNT" => if (distinct) countDistinct(c) else count(c)
+        case "SUM"   => sum(c.cast("decimal(18,2)")).cast("double")
+        case "AVG"   => avg(c.cast("decimal(18,2)")).cast("double")
+        case "MIN"   => min(c)
+        case "MAX"   => max(c)
+        case "GROUP_CONCAT" =>
+          // deterministic rendering: sorted concat (GROUP_CONCAT is
+          // unordered in the spec; a fixed order keeps oracles exact)
+          val base = if (distinct) collect_set(c) else collect_list(c)
+          array_join(array_sort(base), sep)
+        case "SAMPLE" => min(c) // deterministic choice
+        case other    => sys.error(s"unsupported aggregate $other")
+      }
+    }
+
+    private def parseSelect(): Algebra = {
       expect("SELECT")
       val distinct = if (peekIs("DISTINCT")) { next(); true } else false
-      val vars = Vector.newBuilder[String]
+      val items = Vector.newBuilder[SelItem]
       var star = false
       while (!peekIs("WHERE")) {
-        val t = next()
-        if (t == "*") star = true else { require(t.startsWith("?"), s"bad projection '$t'"); vars += t.drop(1) }
+        if (peekIs("(")) {
+          next()
+          val e =
+            if (aggNames.contains(peek.toUpperCase)) Left(parseAggregate())
+            else Right(parseExpr())
+          expect("AS")
+          val alias = next().drop(1)
+          expect(")")
+          items += (e match {
+            case Left(a)  => SelAgg(alias, a)
+            case Right(x) => SelExpr(alias, x)
+          })
+        } else {
+          val t = next()
+          if (t == "*") star = true
+          else { require(t.startsWith("?"), s"bad projection '$t'"); items += SelVar(t.drop(1)) }
+        }
       }
       expect("WHERE")
       var alg = parseGroup()
-      val vs = vars.result()
-      if (!star && vs.nonEmpty) alg = Project(alg, vs: _*)
+      val its = items.result()
+
+      // GROUP BY / HAVING
+      var groupKeys = Vector.empty[String]
+      var having: Option[Column] = None
+      val extraAggs = Vector.newBuilder[(String, Column)]
+      if (peekIs("GROUP")) {
+        next(); expect("BY")
+        while (peek.startsWith("?")) groupKeys :+= next().drop(1)
+      }
+      if (peekIs("HAVING")) {
+        next()
+        expect("(")
+        having = Some(parseExpr(aggSink = Some(a => {
+          val n = fresh("h")
+          extraAggs += (n -> a)
+          col(n)
+        })))
+        expect(")")
+      }
+      val aggItems = its.collect { case a: SelAgg => a }
+      if (aggItems.nonEmpty || groupKeys.nonEmpty) {
+        val aggs = aggItems.map(a => a.alias -> a.agg) ++ extraAggs.result()
+        alg = Group(alg, groupKeys, aggs)
+        having.foreach(h => alg = Filter(alg, h))
+        val visible = its.collect {
+          case SelVar(n)    => n
+          case SelAgg(n, _) => n
+        }
+        if (visible.nonEmpty) alg = Project(alg, visible: _*)
+      } else {
+        its.collect { case e: SelExpr => e }.foreach(e => alg = Extend(alg, e.alias, e.expr))
+        val vs = its.collect { case SelVar(n) => n; case SelExpr(n, _) => n }
+        if (!star && vs.nonEmpty) alg = Project(alg, vs: _*)
+      }
       if (distinct) alg = Distinct(alg)
       // solution modifiers
       if (peekIs("ORDER")) {
@@ -125,6 +294,12 @@ object Parser {
           val e = parseExpr()
           expect("AS"); val v = next(); expect(")")
           flush(); alg = Extend(orUnit(alg), v.drop(1), e)
+        } else if (peekIs("VALUES")) {
+          flush(); add(parseValues())
+        } else if (peekIs("GRAPH")) {
+          next()
+          val g = term(next())
+          flush(); add(GraphPattern(g, parseGroup()))
         } else if (peekIs("{")) {
           flush()
           var g = parseGroup()
@@ -132,9 +307,23 @@ object Parser {
           add(g)
         } else if (peekIs(".")) next()
         else {
-          // triple pattern
-          val s = next(); val p = next(); val o = parseTermToken()
-          patterns += TriplePattern(term(s), term(p), term(o))
+          // triple pattern, possibly with a property path predicate
+          val s = term(next())
+          if (peek.startsWith("?") && peek != "?") {
+            // variable predicate → plain pattern
+            val p = term(next()); val o = term(next())
+            patterns += TriplePattern(s, p, o)
+          } else {
+            val pe = parsePath()
+            val o = term(next())
+            pe match {
+              case PathPred(p) => patterns += TriplePattern(s, Const(p), o)
+              case path =>
+                val sv = s match { case Var(v) => v; case _ => fresh("ps") }
+                val ov = o match { case Var(v) => v; case _ => fresh("po") }
+                flush(); add(Path(s, path, o, sv, ov))
+            }
+          }
           if (peekIs(".")) next()
         }
       }
@@ -143,15 +332,94 @@ object Parser {
       orUnit(alg)
     }
 
+    /** VALUES ?v { "a" "b" } | VALUES (?a ?b) { ("x" "y") (UNDEF "z") } */
+    private def parseValues(): Algebra = {
+      expect("VALUES")
+      val vars = Vector.newBuilder[String]
+      if (peekIs("(")) {
+        next()
+        while (!peekIs(")")) vars += next().drop(1)
+        expect(")")
+      } else vars += next().drop(1)
+      val vs = vars.result()
+      expect("{")
+      val rows = Vector.newBuilder[Seq[Option[String]]]
+      def cell(): Option[String] = {
+        val t = next()
+        if (t.equalsIgnoreCase("UNDEF")) None
+        else Some(constValue(t))
+      }
+      while (!peekIs("}")) {
+        if (vs.size == 1) rows += Seq(cell())
+        else {
+          expect("(")
+          val row = Vector.newBuilder[Option[String]]
+          while (!peekIs(")")) row += cell()
+          expect(")")
+          rows += row.result()
+        }
+      }
+      expect("}")
+      Values(vs, rows.result())
+    }
+
+    // ---- property paths ----
+    /** path := seq ('|' seq)* */
+    private def parsePath(): PathExpr = {
+      var e = parsePathSeq()
+      while (peek == "|") { next(); e = PathAlt(e, parsePathSeq()) }
+      e
+    }
+    private def parsePathSeq(): PathExpr = {
+      var e = parsePathElt()
+      while (peek == "/") { next(); e = PathSeq(e, parsePathElt()) }
+      e
+    }
+    private def parsePathElt(): PathExpr = {
+      if (peek == "^") { next(); return PathInverse(parsePathElt()) }
+      var prim: PathExpr =
+        if (peek == "!") {
+          next(); expect("(")
+          val ps = Vector.newBuilder[String]
+          ps += constValue(next())
+          while (peek == "|") { next(); ps += constValue(next()) }
+          expect(")")
+          PathNeg(ps.result())
+        } else if (peek == "(") {
+          next()
+          val e = parsePath()
+          expect(")")
+          e
+        } else PathPred(constValue(next()))
+      peek match {
+        case "+" => next(); prim = PathPlusE(prim)
+        case "*" => next(); prim = PathStar(prim)
+        case "?" => next(); prim = PathOpt(prim)
+        case _   => ()
+      }
+      prim
+    }
+
     private def orUnit(a: Algebra): Algebra =
       if (a == null) sys.error("empty group pattern") else a
 
-    private def parseTermToken(): String = next()
+    /** Constant-term value of a token (IRI/prefix normalization). */
+    private def constValue(t: String): String =
+      if (t.startsWith("\"")) t.drop(1).dropRight(1)
+      else if (t.startsWith("<") && t.endsWith(">")) internIri(t.drop(1).dropRight(1))
+      else {
+        val i = t.indexOf(':')
+        if (i > 0 && prefixes.contains(t.substring(0, i)))
+          internIri(prefixes(t.substring(0, i)) + t.substring(i + 1))
+        else t
+      }
+
+    /** IRIs under the engine base intern to their local name. */
+    private def internIri(iri: String): String =
+      if (iri.startsWith(Base)) iri.drop(Base.length) else iri
 
     private def term(t: String): Term =
-      if (t.startsWith("?")) Var(t.drop(1))
-      else if (t.startsWith("\"")) Const(t.drop(1).dropRight(1))
-      else Const(t)
+      if (t.startsWith("?")) Var(t.drop(1)) else Const(constValue(t))
 
     /** FILTER ( expr ) */
     private def parseBracketedExpr(): Column = {
@@ -161,19 +429,20 @@ object Parser {
       e
     }
 
-    /** expr := andExpr (|| andExpr)* */
-    private def parseExpr(): Column = {
-      var e = parseAnd()
-      while (peek == "||") { next(); e = e || parseAnd() }
+    /** expr := andExpr (|| andExpr)*; `aggSink` turns aggregate calls
+      * inside the expr (HAVING position) into synthetic agg columns. */
+    private def parseExpr(aggSink: Option[Column => Column] = None): Column = {
+      var e = parseAnd(aggSink)
+      while (peek == "||") { next(); e = e || parseAnd(aggSink) }
       e
     }
-    private def parseAnd(): Column = {
-      var e = parseRel()
-      while (peek == "&&") { next(); e = e && parseRel() }
+    private def parseAnd(aggSink: Option[Column => Column]): Column = {
+      var e = parseRel(aggSink)
+      while (peek == "&&") { next(); e = e && parseRel(aggSink) }
       e
     }
-    private def parseRel(): Column = {
-      if (peek == "!") { next(); return !parseRel() }
+    private def parseRel(aggSink: Option[Column => Column]): Column = {
+      if (peek == "!") { next(); return !parseRel(aggSink) }
       if (peekIs("regex")) {
         next(); expect("("); val v = parsePrimary(); expect(",")
         val re = next(); expect(")")
@@ -189,10 +458,10 @@ object Parser {
         val s = next(); expect(")")
         return v.startsWith(s.drop(1).dropRight(1))
       }
-      val (l, lNum) = parsePrimary2()
+      val (l, lNum) = parsePrimary2(aggSink)
       peek match {
         case ">" | "<" | ">=" | "<=" | "=" | "!=" =>
-          val op = next(); val (r0, rNum) = parsePrimary2()
+          val op = next(); val (r0, rNum) = parsePrimary2(aggSink)
           // string-typed solution terms compare numerically against a
           // numeric literal (xsd numeric comparison semantics)
           val (lc, rc) =
@@ -207,14 +476,18 @@ object Parser {
         case _ => l
       }
     }
-    /** primary := ?var | number | "string"; Boolean = numeric literal */
-    private def parsePrimary2(): (Column, Boolean) = {
+    /** primary := ?var | number | "string" | AGG(...) in HAVING.
+      * Boolean = "behaves numerically" (numeric literal or aggregate). */
+    private def parsePrimary2(aggSink: Option[Column => Column] = None): (Column, Boolean) = {
+      if (aggSink.isDefined && aggNames.contains(peek.toUpperCase) && peekAt(1) == "(") {
+        return (aggSink.get(parseAggregate()), true)
+      }
       val t = next()
       if (t.startsWith("?")) (col(t.drop(1)), false)
       else if (t.startsWith("\"")) (lit(t.drop(1).dropRight(1)), false)
       else if (t.matches("""[-+]?\d+""")) (lit(t.toDouble), true)
       else if (t.matches("""[-+]?\d*\.\d+""")) (lit(t.toDouble), true)
-      else (lit(t), false)
+      else (lit(constValue(t)), false)
     }
     private def parsePrimary(): Column = parsePrimary2()._1
   }

@@ -38,6 +38,20 @@ trait TripleSource {
       case (df, _)             => df
     }
   }
+
+  /** Named-graph (quads) view (s, p, o, g), if this source has one. */
+  def quads: Option[DataFrame] = None
+
+  /** Access path for a graph-scoped pattern: (s,p,o,g) rows matching
+    * the constant positions, `g` constant included (SPOC index analog). */
+  def quadScan(tp: TriplePattern, g: Term): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val q = quads.getOrElse(sys.error("this triple source has no named graphs"))
+    Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o, "g" -> g).foldLeft(q) {
+      case (df, (c, Const(v))) => df.filter(col(c) === lit(v))
+      case (df, _)             => df
+    }
+  }
 }
 
 object TripleSource {

@@ -78,4 +78,62 @@ class ParserSpec extends AnyFunSuite {
     } ORDER BY ?band LIMIT 5""")
     assert(df.count() == 5)
   }
+
+  test("aggregates with GROUP BY and HAVING") {
+    val df = run("""SELECT ?n (COUNT(*) AS ?cnt) WHERE {
+      ?c nation ?n
+    } GROUP BY ?n HAVING(COUNT(*) >= 3) ORDER BY ?n""")
+    assert(df.columns.toSeq == Seq("n", "cnt"))
+    val expect = TpchRdf.table(spark, SF, "customer")
+      .groupBy("c_nationkey").count().filter(col("count") >= 3).count()
+    assert(df.count() == expect)
+  }
+
+  test("PREFIX expansion interns base-IRI terms to local names") {
+    val df = run("""PREFIX v: <urn:graft:>
+      SELECT ?r ?name WHERE { ?r v:type "Region" . ?r v:name ?name }""")
+    assert(df.count() == 5)
+    val full = run("""SELECT ?r ?name WHERE { ?r <urn:graft:type> "Region" . ?r name ?name }""")
+    assert(full.count() == 5)
+  }
+
+  test("property paths in text: sequence, alternative, star, inverse, negated") {
+    val seq = run("""SELECT DISTINCT ?x WHERE { ?x customer/nation ?n } ORDER BY ?x""")
+    assert(seq.count() == TpchRdf.table(spark, SF, "orders").count())
+    val star = run("""SELECT ?y WHERE { c:1 (nation|region)* ?y }""")
+    // zero-length (itself) + its nation + that nation's region
+    assert(star.count() == 3)
+    val inv = run("""SELECT ?c WHERE { n:1 ^nation ?c }""")
+    val expect = TpchRdf.table(spark, SF, "customer").filter(col("c_nationkey") === 1).count() +
+      TpchRdf.table(spark, SF, "supplier").filter(col("s_nationkey") === 1).count()
+    assert(inv.count() == expect)
+    val neg = run("""SELECT ?o WHERE { c:1 !(type|name) ?o }""")
+    assert(neg.count() == 3) // nation, acctbal, mktsegment
+  }
+
+  test("VALUES inline data") {
+    val df = run("""SELECT ?n ?nname WHERE {
+      ?n name ?nname . VALUES ?nname { "NATION_1" "NATION_2" }
+    }""")
+    assert(df.count() == 2)
+  }
+
+  test("GRAPH with constant and variable graph") {
+    val c = run("""SELECT ?s ?bal WHERE { GRAPH g:supplier { ?s acctbal ?bal } }""")
+    assert(c.count() == TpchRdf.table(spark, SF, "supplier").count())
+    val v = run("""SELECT ?g WHERE { GRAPH ?g { ?x region ?r } }""")
+    assert(v.select("g").distinct().collect().map(_.getString(0)).toSeq == Seq("g:nation"))
+  }
+
+  test("ASK, CONSTRUCT and DESCRIBE forms") {
+    val ask = run("""ASK { ?r type "Region" }""")
+    assert(ask.head().getBoolean(0))
+    val askNo = run("""ASK { ?r type "Starship" }""")
+    assert(!askNo.head().getBoolean(0))
+    val cons = run("""CONSTRUCT { ?c located ?n } WHERE { ?c nation ?n }""")
+    assert(cons.columns.toSeq == Seq("s", "p", "o"))
+    assert(cons.select("p").distinct().head().getString(0) == "located")
+    val desc = run("DESCRIBE c:1")
+    assert(desc.count() == 5)
+  }
 }

@@ -48,24 +48,38 @@ object Dedup {
       .select("keeper", "n_copies")
 
   /** All pairs sharing ≥1 shingle with exact Jaccard ≥ minJ, via an
-    * inverted shingle index (the all-pairs pruning step). */
-  def ngramJaccard(docs: DataFrame, minJ: Double, n: Int = 3): DataFrame = {
+    * inverted shingle index (the all-pairs pruning step).
+    *
+    * `maxDf` caps a shingle's document frequency: a shingle in k docs
+    * contributes k² candidate rows to the self-join, so one viral
+    * boilerplate shingle ("all rights reserved …") turns the join
+    * quadratic on a skewed 100-TB corpus. Shingles above the cap are
+    * dropped from candidate GENERATION only — near-dup pairs share
+    * many rare shingles, so recall is unaffected at any sane cap
+    * (asserted against the uncapped oracle). */
+  def ngramJaccard(docs: DataFrame, minJ: Double, n: Int = 3,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
     val sets = shingleSets(docs, n)
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
     val posts = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    // a shingle occurring in a single doc can't produce a pair — drop it
-    // before the self-join (cuts the posting list to the shared tail)
-    val shared = posts.groupBy("sh").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("sh")
+    // a shingle occurring in a single doc can't produce a pair, and one
+    // above the df cap would go quadratic — drop both from candidate
+    // generation before the self-join
+    val shared = posts.groupBy("sh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1 && col("c") <= maxDf).select("sh")
     val sharedPosts = posts.join(shared, "sh")
-    val inter = sharedPosts.alias("x").join(sharedPosts.alias("y"),
+    val candidates = sharedPosts.alias("x").join(sharedPosts.alias("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // exact verification on the full shingle sets, so the df cap can
+    // never skew the Jaccard value — only candidate generation
+    val withSets = candidates
+      .join(sets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 6))
+        round(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")), 6))
       .filter(col("jaccard") >= minJ)
       .select("a", "b", "jaccard")
   }

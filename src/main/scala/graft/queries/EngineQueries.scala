@@ -51,6 +51,51 @@ object EngineQueries {
         .orderBy("s", "p", "o")
     }),
 
+    // GeoSpatial service analog: z-order bucketing over synthetic
+    // supplier coordinates (integer-derived, so the oracle replays it)
+    "geo_zorder" -> ((s, dir) => {
+      val pts = geoPoints(s, dir)
+      pts.groupBy(graft.operators.Geo.zCell(col("lat"), col("lon"), 10).as("zcell"))
+        .agg(count(lit(1)).as("n")).orderBy("zcell")
+    }),
+
+    // bounding-box query (z-cell pruning's verify step)
+    "geo_bbox" -> ((s, dir) =>
+      geoPoints(s, dir)
+        .filter(graft.operators.Geo.inBBox(col("lat"), col("lon"), -45, 45, -90, 90))
+        .orderBy("k")),
+
+    // SymmetricOneStep DESCRIBE: triples where the node is subject OR
+    // object (DescribeModeEnum.SymmetricOneStep)
+    "describe_sym" -> ((s, dir) =>
+      TpchRdf.triplesForSubject(s, dir, "n:3")
+        .unionAll(TpchRdf.triples(s, dir).filter(col("o") === "n:3"))
+        .distinct().orderBy("s", "p", "o")),
+
+    // OWL rules: sameAs normalization + TransitiveProperty closure +
+    // inverseOf mirroring over a location subgraph with alias entities
+    "owl_closure" -> ((s, dir) => {
+      val cust = TpchRdf.table(s, dir, "customer")
+      val nat = TpchRdf.table(s, dir, "nation")
+      def id(pfx: String, c: org.apache.spark.sql.Column) =
+        concat(lit(pfx), c.cast("string"))
+      val inst = cust.select(id("c:", col("c_custkey")).as("s"),
+          lit("within").as("p"), id("n:", col("c_nationkey")).as("o"))
+        .unionAll(nat.select(id("n:", col("n_nationkey")), lit("within"),
+          id("r:", col("n_regionkey"))))
+        // alias entities: nn:<k> owl:sameAs n:<k>, carrying a label that
+        // must surface on the canonical id after normalization
+        .unionAll(nat.select(id("nn:", col("n_nationkey")), lit("sameAs"),
+          id("n:", col("n_nationkey"))))
+        .unionAll(nat.select(id("nn:", col("n_nationkey")), lit("alias_name"),
+          col("n_name")))
+      graft.inference.Owl.closure(inst,
+        graft.inference.Owl.Ontology(
+          transitive = Seq("within"),
+          inverses = Seq("within" -> "contains")))
+        .orderBy("s", "p", "o")
+    }),
+
     "stream_window" -> ((s, dir) => {
       // Structured Streaming over the bounded events table: tumbling
       // 1-day windows per event_type, complete-mode memory sink.
@@ -150,6 +195,14 @@ object EngineQueries {
         |) ORDER BY g""".stripMargin,
   )
 
+  /** Deterministic synthetic coordinates for the geo operators. */
+  private def geoPoints(s: SparkSession, dir: String): DataFrame = {
+    val k = col("s_suppkey").cast("long")
+    TpchRdf.table(s, dir, "supplier").select(k.as("k"),
+      ((k * 7919 % 18000) / lit(100.0) - lit(90.0)).as("lat"),
+      ((k * 104729 % 36000) / lit(100.0) - lit(180.0)).as("lon"))
+  }
+
   private val T = "WITH " + TpchRdf.oracleCte + "\n"
 
   val oracles: Map[String, String] = Map(
@@ -232,6 +285,45 @@ object EngineQueries {
         |  UNION ALL SELECT s, 'nation' AS p, o FROM located WHERE s NOT LIKE 'n:%'
         |  UNION ALL SELECT s, 'region' AS p, o FROM located WHERE s LIKE 'n:%'
         |) ORDER BY s, p, o""".stripMargin),
+
+    "geo_zorder" ->
+      """WITH s AS (SELECT s_suppkey AS k,
+        |    (s_suppkey * 7919 % 18000) / 100.0 - 90 AS lat,
+        |    (s_suppkey * 104729 % 36000) / 100.0 - 180 AS lon FROM supplier),
+        |q AS (SELECT k,
+        |    CAST(least(65535, greatest(0, floor((lat - (-90)) / 180 * 65536))) AS BIGINT) AS ly,
+        |    CAST(least(65535, greatest(0, floor((lon - (-180)) / 360 * 65536))) AS BIGINT) AS lx FROM s),
+        |z AS (SELECT k, CAST(SUM(
+        |    ((ly // CAST(power(2, i) AS BIGINT)) % 2) * CAST(power(2, 2*i+1) AS BIGINT) +
+        |    ((lx // CAST(power(2, i) AS BIGINT)) % 2) * CAST(power(2, 2*i) AS BIGINT)) AS BIGINT) AS zv
+        |  FROM q CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii GROUP BY k)
+        |SELECT zv // 4194304 AS zcell, COUNT(*) AS n FROM z GROUP BY 1 ORDER BY zcell""".stripMargin,
+
+    "geo_bbox" ->
+      """SELECT k, lat, lon FROM (
+        |  SELECT s_suppkey AS k,
+        |    (s_suppkey * 7919 % 18000) / 100.0 - 90 AS lat,
+        |    (s_suppkey * 104729 % 36000) / 100.0 - 180 AS lon FROM supplier)
+        |WHERE lat >= -45 AND lat <= 45 AND lon >= -90 AND lon <= 90
+        |ORDER BY k""".stripMargin,
+
+    "describe_sym" ->
+      (T + """SELECT DISTINCT s, p, o FROM triples
+        |WHERE s = 'n:3' OR o = 'n:3'
+        |ORDER BY s, p, o""".stripMargin),
+
+    "owl_closure" ->
+      """WITH w AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS s, 'n:'||CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR)
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |)
+        |SELECT s, p, o FROM (
+        |  SELECT s, 'within' AS p, o FROM w
+        |  UNION ALL SELECT o AS s, 'contains' AS p, s AS o FROM w
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'alias_name', n_name FROM nation
+        |) ORDER BY s, p, o""".stripMargin,
 
     "stream_window" ->
       """SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)), '%Y-%m-%d') AS day,

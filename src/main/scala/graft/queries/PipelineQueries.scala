@@ -15,7 +15,8 @@ object PipelineQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy("keeper")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(docs(s, dir), 0.5).orderBy("a", "b")),
+      // df cap 64: viral shingles never enter the candidate self-join
+      Dedup.ngramJaccard(docs(s, dir), 0.5, maxDf = 64).orderBy("a", "b")),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), 0.8).orderBy("a", "b")),
     "dedup_simhash" -> ((s, dir) =>

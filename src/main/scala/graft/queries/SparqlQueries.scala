@@ -327,6 +327,23 @@ object SparqlQueries {
       Compiler.compile(Parser.parse("DESCRIBE c:42"),
         TpchRdf.source(s, dir)).orderBy("p", "o")),
 
+    // GAS analytics from inside a SPARQL query (GASService.java):
+    // BFS from r:1 over the reversed nation/region link predicates
+    "gas_service_bfs" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?node ?depth WHERE {
+          |  SERVICE gas:service {
+          |    _:g gas:gasClass "bfs" .
+          |    _:g gas:in "r:1" .
+          |    _:g gas:linkType "nation" .
+          |    _:g gas:linkType "region" .
+          |    _:g gas:traversalDirection "Reverse" .
+          |    _:g gas:out ?node .
+          |    _:g gas:outVal ?depth .
+          |  }
+          |} ORDER BY ?node""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // parsed text: GRAPH ?g — the graph name is a solution variable
     "graph_var_pattern" -> ((s, dir) =>
       Compiler.compile(Parser.parse(
@@ -611,6 +628,19 @@ object SparqlQueries {
 
     "sparql_parsed_describe" ->
       (T + "SELECT s, p, o FROM triples WHERE s = 'c:42' ORDER BY p, o"),
+
+    "gas_service_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'r:'||CAST(n_regionkey AS VARCHAR) AS src, 'n:'||CAST(n_nationkey AS VARCHAR) AS dst FROM nation
+        |  UNION ALL SELECT 'n:'||CAST(c_nationkey AS VARCHAR), 'c:'||CAST(c_custkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'n:'||CAST(s_nationkey AS VARCHAR), 's:'||CAST(s_suppkey AS VARCHAR) FROM supplier
+        |), walk(node, depth) AS (
+        |  SELECT 'r:1', 0
+        |  UNION ALL
+        |  SELECT e.dst, walk.depth + 1 FROM walk JOIN e ON e.src = walk.node WHERE walk.depth < 4
+        |)
+        |SELECT node, CAST(MIN(depth) AS INTEGER) AS depth FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "graph_var_pattern" ->
       """SELECT g, x, n FROM (

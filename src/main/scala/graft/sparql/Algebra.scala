@@ -108,3 +108,12 @@ final case class Describe(term: String) extends Algebra
   * every pattern to one named graph; a Var `g` binds the graph name as
   * a solution variable joined on shared vars. */
 final case class GraphPattern(g: Term, child: Algebra) extends Algebra
+
+/** Graph analytics invoked from inside a query — the reference's
+  * `SERVICE gas:service { … }` (rdf/graph/impl/bd/GASService.java:136).
+  * `config` keys: gasClass (bfs|cc|pr), in (seed), linkType (edge
+  * predicate, repeatable), traversalDirection (Forward|Reverse).
+  * The result binds (outNode, outVal) and joins into the enclosing
+  * group on shared variables like any pattern. */
+final case class GasService(config: Seq[(String, String)],
+                            outNode: String, outVal: String) extends Algebra

@@ -202,27 +202,55 @@ object Compiler {
                        subjectTables: Option[Set[String]]): Option[DataFrame] = None
         }
         compile(child, scoped)
-      case Var(gv) => child match {
-        // variable graph: each pattern keeps g as a solution var, so
-        // patterns join on the graph variable like any shared var
-        case Bgp(patterns @ _*) =>
-          val dfs = patterns.map { tp =>
-            val q = src.quadScan(tp, gTerm)
-            val varCols = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
-              .collect { case (c, Var(n)) => (c, n) } :+ ("g" -> gv)
-            val eq = varCols.groupBy(_._2).values.filter(_.size > 1).foldLeft(q) {
-              case (df, dups) => df.filter(col(dups.head._1) === col(dups(1)._1))
-            }
-            val proj = varCols.map(_._1).distinct.map { c =>
-              col(c).as(varCols.find(_._1 == c).get._2)
-            }
-            eq.select(proj: _*)
-          }
-          dfs.reduce(joinOn(_, _, "inner"))
-        case other => sys.error(s"GRAPH ?$gv requires a BGP group, got $other")
-      }
+      case v: Var => compileGraphVar(v.name, child, src)
     }
+
+    case GasService(config, outNode, outVal) =>
+      val conf = config.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val preds = conf.getOrElse("linkType", Nil)
+      require(preds.nonEmpty, "gas:service needs >=1 gas:linkType")
+      val reverse = conf.get("traversalDirection").exists(_.head.equalsIgnoreCase("Reverse"))
+      val e0 = preds
+        .map(p => src.scan(TriplePattern(Var("s"), Const(p), Var("o"))))
+        .reduce(_ unionAll _)
+      val edges =
+        if (reverse) e0.select(col("o").as("src"), col("s").as("dst"))
+        else e0.select(col("s").as("src"), col("o").as("dst"))
+      import graft.gas.Analytics
+      conf("gasClass").head.toLowerCase match {
+        case "bfs" =>
+          Analytics.bfs(edges, conf("in").head)
+            .select(col("node").as(outNode), col("depth").as(outVal))
+        case "cc" =>
+          Analytics.connectedComponents(edges)
+            .select(col("node").as(outNode), col("label").as(outVal))
+        case "pr" =>
+          Analytics.pageRank(edges)
+            .select(col("node").as(outNode), col("rank").as(outVal))
+        case other => sys.error(s"unsupported gas:gasClass $other")
+      }
   }
+
+  /** GRAPH ?g — each pattern keeps g as a solution var, so patterns
+    * join on the graph variable like any shared var. */
+  private def compileGraphVar(gv: String, child: Algebra, src: TripleSource): DataFrame =
+    child match {
+      case Bgp(patterns @ _*) =>
+        val dfs = patterns.map { tp =>
+          val q = src.quadScan(tp, Var(gv))
+          val varCols = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+            .collect { case (c, Var(n)) => (c, n) } :+ ("g" -> gv)
+          val eq = varCols.groupBy(_._2).values.filter(_.size > 1).foldLeft(q) {
+            case (df, dups) => df.filter(col(dups.head._1) === col(dups(1)._1))
+          }
+          val proj = varCols.map(_._1).distinct.map { c =>
+            col(c).as(varCols.find(_._1 == c).get._2)
+          }
+          eq.select(proj: _*)
+        }
+        dfs.reduce(joinOn(_, _, "inner"))
+      case other => sys.error(s"GRAPH ?$gv requires a BGP group, got $other")
+    }
 
   /** The binary relation a path expression denotes, as (from, to).
     * Atomic steps come from per-predicate access paths (narrow branch

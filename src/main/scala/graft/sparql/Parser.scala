@@ -300,6 +300,28 @@ object Parser {
           next()
           val g = term(next())
           flush(); add(GraphPattern(g, parseGroup()))
+        } else if (peekIs("SERVICE")) {
+          next()
+          val svc = next()
+          require(svc == "gas:service" || svc == s"<${Base}gas#service>",
+            s"unsupported SERVICE '$svc' (only gas:service)")
+          expect("{")
+          val config = Vector.newBuilder[(String, String)]
+          var outNode = "node"; var outVal = "value"
+          while (!peekIs("}")) {
+            if (peekIs(".")) next()
+            else {
+              next() // service subject (blank-ish node), ignored
+              val key = next().stripPrefix("gas:")
+              val v = next()
+              if (key == "out") outNode = v.drop(1)
+              else if (key == "outVal") outVal = v.drop(1)
+              else config += (key -> constValue(v))
+              if (peekIs(".")) next()
+            }
+          }
+          expect("}")
+          flush(); add(GasService(config.result(), outNode, outVal))
         } else if (peekIs("{")) {
           flush()
           var g = parseGroup()

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.inference.Owl
+import graft.operators.Geo
+import graft.rdf.{QuadStore, TpchRdf}
+
+class EngineSpec extends AnyFunSuite {
+  import TestSpark.{spark, SF}
+  import spark.implicits._
+
+  test("owl: sameAs normalization rewrites both subject and object") {
+    val inst = Seq(
+      ("a", "sameAs", "a2"),
+      ("a2", "p", "b"),
+      ("c", "q", "a2")).toDF("s", "p", "o")
+    val out = Owl.closure(inst, Owl.Ontology()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(("a", "p", "b"), ("c", "q", "a")))
+  }
+
+  test("owl: transitive property closes, inverse mirrors closed edges") {
+    val inst = Seq(
+      ("x", "within", "y"),
+      ("y", "within", "z")).toDF("s", "p", "o")
+    val out = Owl.closure(inst, Owl.Ontology(
+      transitive = Seq("within"), inverses = Seq("within" -> "contains"))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("x", "within", "y"), ("y", "within", "z"), ("x", "within", "z"),
+      ("y", "contains", "x"), ("z", "contains", "y"), ("z", "contains", "x")))
+  }
+
+  test("owl: symmetric property mirrors itself") {
+    val inst = Seq(("a", "knows", "b")).toDF("s", "p", "o")
+    val out = Owl.closure(inst, Owl.Ontology(symmetric = Seq("knows"))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(("a", "knows", "b"), ("b", "knows", "a")))
+  }
+
+  test("quad store: drop/copy/move/add keep set semantics") {
+    val q = Seq(
+      ("s1", "p", "o1", "g:a"), ("s2", "p", "o2", "g:a"),
+      ("s3", "p", "o3", "g:b")).toDF("s", "p", "o", "g")
+    val store = QuadStore(q)
+    assert(store.dropGraph("g:a").quads.count() == 1)
+    val copied = store.copyGraph("g:a", "g:b")
+    assert(copied.graph("g:b").count() == 2) // b replaced by a's 2 triples
+    assert(copied.graph("g:a").count() == 2)
+    val moved = store.moveGraph("g:a", "g:c")
+    assert(moved.graph("g:a").count() == 0 && moved.graph("g:c").count() == 2)
+    val added = store.addGraph("g:a", "g:b")
+    assert(added.graph("g:b").count() == 3) // b's own + a's 2
+    // ADD twice is idempotent (set semantics)
+    assert(added.addGraph("g:a", "g:b").graph("g:b").count() == 3)
+  }
+
+  test("geo: z-order interleave is monotone in cell locality") {
+    val pts = Seq((0L, 10.0, 20.0), (1L, 10.01, 20.01), (2L, -80.0, 170.0))
+      .toDF("k", "lat", "lon")
+    val z = pts.select(col("k"), Geo.zOrder(col("lat"), col("lon")).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // near-identical points share a coarse cell; far ones do not
+    assert(z(0) >> 12 == z(1) >> 12)
+    assert(z(0) >> 12 != z(2) >> 12)
+    // quantization bounds: z fits in 32 bits
+    assert(z.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("geo: bbox filter equals manual range predicate") {
+    val sup = TpchRdf.table(spark, SF, "supplier")
+    val k = col("s_suppkey").cast("long")
+    val pts = sup.select(((k * 7919 % 18000) / 100.0 - 90.0).as("lat"),
+      ((k * 104729 % 36000) / 100.0 - 180.0).as("lon"))
+    val a = pts.filter(Geo.inBBox(col("lat"), col("lon"), -45, 45, -90, 90)).count()
+    val b = pts.filter(col("lat").between(-45, 45) && col("lon").between(-90, 90)).count()
+    assert(a == b && a > 0)
+  }
+
+  test("fulltext prefix and matchAll options") {
+    val docs = TpchRdf.table(spark, SF, "documents")
+    val pre = graft.search.FullText.search(docs, Seq("spar"), 1000, prefixMatch = true)
+    val exact = graft.search.FullText.search(docs, Seq("spark"), 1000)
+    assert(pre.count() >= exact.count())
+    val all = graft.search.FullText.search(docs, Seq("the", "data"), 1000, matchAll = true)
+    val any = graft.search.FullText.search(docs, Seq("the", "data"), 1000)
+    assert(all.count() <= any.count())
+  }
+
+  test("ngram jaccard df cap preserves recall on this corpus") {
+    val docs = TpchRdf.table(spark, SF, "documents")
+    val uncapped = graft.pipeline.Dedup.ngramJaccard(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.pipeline.Dedup.ngramJaccard(docs, 0.5, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+  }
+}

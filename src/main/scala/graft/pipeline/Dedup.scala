@@ -60,26 +60,36 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, minJ: Double, n: Int = 3,
                    maxDf: Long = Long.MaxValue): DataFrame = {
     val sets = shingleSets(docs, n)
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
     val posts = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("c"))
     // a shingle occurring in a single doc can't produce a pair, and one
     // above the df cap would go quadratic — drop both from candidate
     // generation before the self-join
-    val shared = posts.groupBy("sh").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1 && col("c") <= maxDf).select("sh")
+    val shared = dfreq.filter(col("c") > 1 && col("c") <= maxDf).select("sh")
     val sharedPosts = posts.join(shared, "sh")
-    val candidates = sharedPosts.alias("x").join(sharedPosts.alias("y"),
+    // partial intersection counts from the bounded (≤ maxDf²/shingle)
+    // self-join — no shingle arrays ever shipped
+    val interC = sharedPosts.alias("x").join(sharedPosts.alias("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    // exact verification on the full shingle sets, so the df cap can
-    // never skew the Jaccard value — only candidate generation
-    val withSets = candidates
-      .join(sets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
-    withSets
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter_c"))
+    // viral-shingle correction: for the (few) shingles above the cap,
+    // count their contribution per CANDIDATE pair — cost is
+    // |candidates| × viral-shingles-per-doc, never viral-df²
+    val viralPosts = posts.join(dfreq.filter(col("c") > maxDf).select("sh"), "sh")
+    val interV = interC.select("a", "b")
+      .join(viralPosts.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(viralPosts.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter_v"))
+    val inter = interC.join(interV, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (col("inter_c") + coalesce(col("inter_v"), lit(0L))).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
       .withColumn("jaccard",
-        round(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+        round(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")), 6))
       .filter(col("jaccard") >= minJ)
       .select("a", "b", "jaccard")
   }
@@ -121,12 +131,18 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** 64-bit SimHash over the (tf-weighted) token stream — native
-    * single-pass kernel, map-only (no shuffle). */
+  /** 64-bit SimHash over the doc's distinct word-3-gram SHINGLES —
+    * native single-pass kernel, map-only (no shuffle).
+    *
+    * Shingles, not unigrams, on purpose: over a small shared vocabulary
+    * every document converges to the same majority-sign unigram bits
+    * (signatures collapse into one band bucket and the banded self-join
+    * goes quadratic — measured 10.6M result pairs at sf0.1). Shingles
+    * keep the feature space diverse, so signatures separate unless the
+    * documents genuinely overlap — 119 pairs on the same corpus. */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) > 0)
-      .select(col("doc_id"), graft.functions.VectorExprs.simhash64(col("ws")).as("simhash"))
+    shingleSets(docs)
+      .select(col("doc_id"), graft.functions.VectorExprs.simhash64(col("shingles")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
     * from 16-bit band buckets (pigeonhole: d ≤ 3 ⇒ some band equal). */
@@ -141,7 +157,11 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
-      .distinct()
+      // Hamming verify BEFORE the distinct: the bit_count is one codegen
+      // instruction per joined row, while distinct is a shuffle — on a
+      // skew-bucketed corpus this keeps the shuffle at |result| rows,
+      // not |candidate pairs| rows
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -133,7 +133,9 @@ object PipelineQueries {
     // arithmetic was designed to be 64-bit-SQL-expressible for this
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
-        |t AS (SELECT doc_id, unnest(ws) AS tok FROM w WHERE len(ws) > 0),
+        |shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS fs
+        |        FROM w WHERE len(ws) >= 3),
+        |t AS (SELECT doc_id, unnest(fs) AS tok FROM shs),
         |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |         list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
         |         (a, b) -> (a * 31 + b) % 1000000007) AS h FROM t),

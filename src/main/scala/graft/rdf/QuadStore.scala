@@ -34,10 +34,13 @@ final case class QuadStore(quads: DataFrame) {
     QuadStore(quads.filter(col("g") =!= lit(g)))
 
   /** ADD from TO to — union `from`'s triples into `to` (set semantics),
-    * `from` unchanged. */
+    * `from` unchanged. The dedup anti-join is scoped to graph `to` —
+    * incoming rows can only collide there, so the right side is one
+    * graph, never the whole store. */
   def addGraph(from: String, to: String): QuadStore = {
     val incoming = graph(from).withColumn("g", lit(to)).select(cols.map(col): _*)
-    val fresh = incoming.join(quads, cols, "left_anti").distinct()
+    val fresh = incoming
+      .join(quads.filter(col("g") === lit(to)), cols, "left_anti").distinct()
     QuadStore(quads.unionAll(fresh))
   }
 
@@ -49,11 +52,13 @@ final case class QuadStore(quads: DataFrame) {
   def moveGraph(from: String, to: String): QuadStore =
     copyGraph(from, to).dropGraph(from)
 
-  /** INSERT DATA into a named graph (set semantics). */
+  /** INSERT DATA into a named graph (set semantics; dedup scoped to
+    * the target graph like [[addGraph]]). */
   def insertData(g: String, triples: DataFrame): QuadStore = {
     val incoming = triples.select("s", "p", "o").withColumn("g", lit(g))
       .select(cols.map(col): _*)
-    val fresh = incoming.join(quads, cols, "left_anti").distinct()
+    val fresh = incoming
+      .join(quads.filter(col("g") === lit(g)), cols, "left_anti").distinct()
     QuadStore(quads.unionAll(fresh))
   }
 

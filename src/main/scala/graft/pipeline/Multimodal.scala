@@ -53,4 +53,44 @@ object Multimodal {
       .repartition(8, col("doc_id"))   // partition layout a codec stage would use
     decode(media).toDF()
   }
+
+  case class FeatureRow(doc_id: Long, sum_bytes: Long, n_bytes: Int,
+                        n_distinct: Int, checksum: Long)
+
+  /** Feature extraction over the raw media bytes, per-partition (the
+    * "embed/extract" stage after decode in a real media pipeline —
+    * model/codec handle init once per task). Features are deterministic
+    * byte statistics so the oracle can replay them. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.media
+        var sum = 0L; var ck = 0L; var nd = 0
+        val seen = new Array[Boolean](256)
+        var i = 0
+        while (i < b.length) {
+          val v = b(i) & 0xff
+          sum += v
+          if (!seen(v)) { seen(v) = true; nd += 1 }
+          ck = (ck * 37L + v) % 1000000007L
+          i += 1
+        }
+        FeatureRow(r.doc_id, sum, b.length, nd, ck)
+      }
+    }
+  }
+
+  /** documents → media bytes → per-partition feature extraction. */
+  def featureDocuments(spark: SparkSession, docsDir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(docsDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+      .repartition(8, col("doc_id"))
+    extractFeatures(media).toDF()
+      .select(col("doc_id"),
+        round(col("sum_bytes").cast("double") / col("n_bytes"), 4).as("mean_byte"),
+        col("n_distinct"), col("checksum"))
+  }
 }

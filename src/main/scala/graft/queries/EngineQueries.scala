@@ -119,6 +119,24 @@ object EngineQueries {
         .orderBy("day", "event_type")
     }),
 
+    // stateful Structured Streaming: flatMapGroupsWithState keyed on
+    // user, state = the open session; equals the batch window version
+    "stream_sessionize" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val sessions = graft.operators.Sessionize
+        .byGapStreaming(stream, 30L * 60 * 1000000000L)
+      val name = "stream_sessionize_sink"
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), col("sess_idx"), col("n_events"),
+          date_format(timestamp_micros(expr("start_ns div 1000")), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+          date_format(timestamp_micros(expr("end_ns div 1000")), "yyyy-MM-dd HH:mm:ss").as("end_s"))
+        .orderBy("user_id", "sess_idx")
+    }),
+
     "events_sessionize" -> ((s, dir) => {
       val ev = TpchRdf.table(s, dir, "events") // ts read as long nanos
       graft.operators.Sessionize.byGap(ev, 30L * 60 * 1000000000L)
@@ -331,7 +349,23 @@ object EngineQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
-    "events_sessionize" ->
+    // identical result contract for the batch and streaming variants
+    "stream_sessionize" -> sessionizeSql,
+    "events_sessionize" -> sessionizeSql,
+
+    "update_delete_insert" ->
+      """SELECT s, p, o FROM (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS s, 'segment_class' AS p,
+        |    CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'RETAIL' ELSE 'OTHER' END AS o
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'acctbal',
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+        |  FROM customer
+        |) ORDER BY s, p, o""".stripMargin,
+  )
+
+  private lazy val sessionizeSql: String =
       """WITH x AS (
         |  SELECT user_id, event_id, ts,
         |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -350,17 +384,5 @@ object EngineQueries {
         |SELECT user_id, sess_idx, COUNT(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s
-        |FROM z GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
-
-    "update_delete_insert" ->
-      """SELECT s, p, o FROM (
-        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS s, 'segment_class' AS p,
-        |    CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'RETAIL' ELSE 'OTHER' END AS o
-        |  FROM customer
-        |  UNION ALL
-        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'acctbal',
-        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)
-        |  FROM customer
-        |) ORDER BY s, p, o""".stripMargin,
-  )
+        |FROM z GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin
 }

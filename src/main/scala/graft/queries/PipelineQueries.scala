@@ -42,6 +42,8 @@ object PipelineQueries {
       TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeDocuments(s, s"$dir/documents.parquet").orderBy("doc_id")),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.featureDocuments(s, s"$dir/documents.parquet").orderBy("doc_id")),
   )
 
   private val shingleCte =
@@ -177,6 +179,16 @@ object PipelineQueries {
          |r AS (SELECT q_id, n_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM scored)
          |SELECT q_id, n_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= 3
          |ORDER BY q_id, rank""".stripMargin,
+
+    "mm_features" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT)) AS bs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ROUND(CAST(list_sum(bs) AS DOUBLE) / len(bs), 4) AS mean_byte,
+        |  CAST(len(list_distinct(bs)) AS INTEGER) AS n_distinct,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (a, b) -> (a * 37 + b) % 1000000007) AS checksum
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "mm_decode" ->
       """SELECT doc_id,

@@ -327,6 +327,45 @@ object SparqlQueries {
       Compiler.compile(Parser.parse("DESCRIBE c:42"),
         TpchRdf.source(s, dir)).orderBy("p", "o")),
 
+    // parsed text: sub-SELECT in a group, joined on shared vars
+    "sparql_parsed_subquery" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?n ?nname ?maxbal WHERE {
+          |  ?n name ?nname .
+          |  ?n type "Nation" .
+          |  { SELECT ?n (MAX(?bal) AS ?maxbal) WHERE {
+          |      ?c nation ?n . ?c acctbal ?bal
+          |    } GROUP BY ?n }
+          |} ORDER BY ?n""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // parsed text: SPARQL value functions in BIND and FILTER
+    "sparql_parsed_fns" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?p ?pname ?nlen ?ub ?pre WHERE {
+          |  ?p name ?pname .
+          |  ?p brand ?brand .
+          |  BIND(STRLEN(?pname) AS ?nlen)
+          |  BIND(UCASE(?brand) AS ?ub)
+          |  BIND(SUBSTR(?pname, 1, 4) AS ?pre)
+          |  FILTER(STRLEN(?pname) > 12)
+          |} ORDER BY ?p""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // full-text search from inside a SPARQL query — the reference's
+    // bds:search magic service (ast/eval/SearchServiceFactory.java)
+    "fulltext_service" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?doc_id ?score WHERE {
+          |  SERVICE bds:search {
+          |    _:s bds:query "spark join vector" .
+          |    _:s bds:limit "20" .
+          |    _:s bds:out ?doc_id .
+          |    _:s bds:outVal ?score .
+          |  }
+          |} ORDER BY DESC(?score) ?doc_id""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // GAS analytics from inside a SPARQL query (GASService.java):
     // BFS from r:1 over the reversed nation/region link predicates
     "gas_service_bfs" -> ((s, dir) =>
@@ -628,6 +667,39 @@ object SparqlQueries {
 
     "sparql_parsed_describe" ->
       (T + "SELECT s, p, o FROM triples WHERE s = 'c:42' ORDER BY p, o"),
+
+    "sparql_parsed_subquery" ->
+      // ?c ranges over customers AND suppliers (both have nation+acctbal);
+      // MAX over the string term is lexicographic in both engines
+      """WITH x AS (
+        |  SELECT 'n:'||CAST(c_nationkey AS VARCHAR) AS n,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal FROM customer
+        |  UNION ALL
+        |  SELECT 'n:'||CAST(s_nationkey AS VARCHAR),
+        |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) FROM supplier
+        |), m AS (SELECT n, MAX(bal) AS maxbal FROM x GROUP BY n)
+        |SELECT m.n AS n, n_name AS nname, maxbal
+        |FROM m JOIN nation ON m.n = 'n:'||CAST(n_nationkey AS VARCHAR)
+        |ORDER BY n""".stripMargin,
+
+    "sparql_parsed_fns" ->
+      """SELECT 'p:'||CAST(p_partkey AS VARCHAR) AS p, p_name AS pname,
+        |  length(p_name) AS nlen, upper(p_brand) AS ub, substr(p_name, 1, 4) AS pre
+        |FROM part WHERE length(p_name) > 12 ORDER BY p""".stripMargin,
+
+    "fulltext_service" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |q AS (SELECT UNNEST(['spark','join','vector']) AS term)
+        |SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
+        |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "gas_service_bfs" ->
       """WITH RECURSIVE e AS (

@@ -233,6 +233,9 @@ object TpchRdf {
 
     override def quads: Option[DataFrame] = Some(TpchRdf.quads(spark, dir))
 
+    override def searchCorpus: Option[DataFrame] =
+      Some(table(spark, dir, "documents").select("doc_id", "text"))
+
     /** Graph-scoped access path: bound predicate → narrow branch scans
       * (bound g narrows to exactly ONE scan); unbound predicate → the
       * exploded quad view, whose branch-literal g still prunes to one

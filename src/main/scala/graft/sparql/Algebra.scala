@@ -117,3 +117,10 @@ final case class GraphPattern(g: Term, child: Algebra) extends Algebra
   * group on shared variables like any pattern. */
 final case class GasService(config: Seq[(String, String)],
                             outNode: String, outVal: String) extends Algebra
+
+/** Full-text search invoked from inside a query — the reference's
+  * `bds:search` magic service (ast/eval/SearchServiceFactory.java).
+  * Binds (outDoc, outScore) over the source's search corpus. */
+final case class SearchService(terms: Seq[String], limit: Int,
+                               prefixMatch: Boolean, matchAll: Boolean,
+                               outDoc: String, outScore: String) extends Algebra

@@ -229,6 +229,12 @@ object Compiler {
             .select(col("node").as(outNode), col("rank").as(outVal))
         case other => sys.error(s"unsupported gas:gasClass $other")
       }
+
+    case SearchService(terms, limit, prefix, matchAll, outDoc, outScore) =>
+      val corpus = src.searchCorpus
+        .getOrElse(sys.error("this triple source has no search corpus"))
+      graft.search.FullText.search(corpus, terms, limit, prefix, matchAll)
+        .select(col("doc_id").as(outDoc), col("score").as(outScore))
   }
 
   /** GRAPH ?g — each pattern keeps g as a solution var, so patterns

@@ -303,8 +303,6 @@ object Parser {
         } else if (peekIs("SERVICE")) {
           next()
           val svc = next()
-          require(svc == "gas:service" || svc == s"<${Base}gas#service>",
-            s"unsupported SERVICE '$svc' (only gas:service)")
           expect("{")
           val config = Vector.newBuilder[(String, String)]
           var outNode = "node"; var outVal = "value"
@@ -312,7 +310,7 @@ object Parser {
             if (peekIs(".")) next()
             else {
               next() // service subject (blank-ish node), ignored
-              val key = next().stripPrefix("gas:")
+              val key = next().dropWhile(_ != ':').drop(1) // gas:/bds: prefix
               val v = next()
               if (key == "out") outNode = v.drop(1)
               else if (key == "outVal") outVal = v.drop(1)
@@ -321,7 +319,27 @@ object Parser {
             }
           }
           expect("}")
-          flush(); add(GasService(config.result(), outNode, outVal))
+          val conf = config.result().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          flush()
+          svc match {
+            case "gas:service" => add(GasService(config.result(), outNode, outVal))
+            case "bds:search" =>
+              // reference magic-predicate search service (SearchServiceFactory)
+              val terms = conf.getOrElse("query", sys.error("bds:search needs bds:query"))
+                .head.split("\\s+").toSeq.filter(_.nonEmpty)
+              add(SearchService(terms,
+                conf.get("limit").map(_.head.toInt).getOrElse(20),
+                conf.get("prefixMatch").exists(_.head.toBoolean),
+                conf.get("matchAllTerms").exists(_.head.toBoolean),
+                outNode, outVal))
+            case other => sys.error(s"unsupported SERVICE '$other'")
+          }
+        } else if (peekIs("{") && peekAt(1).equalsIgnoreCase("SELECT")) {
+          // sub-SELECT: compiled independently, joined on shared vars
+          next()
+          val sub = parseSelect()
+          expect("}")
+          flush(); add(sub)
         } else if (peekIs("{")) {
           flush()
           var g = parseGroup()
@@ -498,11 +516,55 @@ object Parser {
         case _ => l
       }
     }
-    /** primary := ?var | number | "string" | AGG(...) in HAVING.
-      * Boolean = "behaves numerically" (numeric literal or aggregate). */
+    /** SPARQL value-function names accepted in expressions (the text
+      * face of FunctionRegistry; numeric ones operate on xsd-numeric
+      * string terms via a double cast). */
+    private val numericFns = Set("STRLEN", "ABS", "CEIL", "FLOOR", "YEAR", "MONTH", "DAY")
+    private val valueFns = numericFns ++
+      Set("UCASE", "LCASE", "STR", "SUBSTR", "CONCAT", "REPLACE", "IF", "COALESCE", "BOUND")
+
+    /** fn(args…) → Column. */
+    private def parseCall(aggSink: Option[Column => Column]): (Column, Boolean) = {
+      val name = next().toUpperCase
+      expect("(")
+      val args = Vector.newBuilder[Column]
+      if (!peekIs(")")) {
+        args += parseExpr(aggSink)
+        while (peekIs(",")) { next(); args += parseExpr(aggSink) }
+      }
+      expect(")")
+      val a = args.result()
+      val c = name match {
+        case "STRLEN"   => length(a(0))
+        case "UCASE"    => upper(a(0))
+        case "LCASE"    => lower(a(0))
+        case "STR"      => a(0).cast("string")
+        case "ABS"      => abs(a(0).cast("double"))
+        case "CEIL"     => ceil(a(0).cast("double")).cast("long")
+        case "FLOOR"    => floor(a(0).cast("double")).cast("long")
+        case "SUBSTR"   =>
+          if (a.size >= 3) a(0).substr(a(1).cast("int"), a(2).cast("int"))
+          else a(0).substr(a(1).cast("int"), lit(Int.MaxValue))
+        case "CONCAT"   => concat(a: _*)
+        case "REPLACE"  => regexp_replace(a(0), a(1), a(2))
+        case "IF"       => when(a(0), a(1)).otherwise(a(2))
+        case "COALESCE" => coalesce(a: _*)
+        case "BOUND"    => a(0).isNotNull
+        case "YEAR"     => year(to_date(a(0)))
+        case "MONTH"    => month(to_date(a(0)))
+        case "DAY"      => dayofmonth(to_date(a(0)))
+      }
+      (c, numericFns.contains(name))
+    }
+
+    /** primary := ?var | number | "string" | fn(...) | AGG(...) in
+      * HAVING. Boolean = "behaves numerically". */
     private def parsePrimary2(aggSink: Option[Column => Column] = None): (Column, Boolean) = {
       if (aggSink.isDefined && aggNames.contains(peek.toUpperCase) && peekAt(1) == "(") {
         return (aggSink.get(parseAggregate()), true)
+      }
+      if (valueFns.contains(peek.toUpperCase) && peekAt(1) == "(") {
+        return parseCall(aggSink)
       }
       val t = next()
       if (t.startsWith("?")) (col(t.drop(1)), false)

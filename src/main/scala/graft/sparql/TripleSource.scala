@@ -42,6 +42,10 @@ trait TripleSource {
   /** Named-graph (quads) view (s, p, o, g), if this source has one. */
   def quads: Option[DataFrame] = None
 
+  /** Corpus (doc_id, text) for the bds:search-style full-text service,
+    * if this source has one. */
+  def searchCorpus: Option[DataFrame] = None
+
   /** Access path for a graph-scoped pattern: (s,p,o,g) rows matching
     * the constant positions, `g` constant included (SPOC index analog). */
   def quadScan(tp: TriplePattern, g: Term): DataFrame = {

@@ -146,6 +146,33 @@ object EngineQueries {
         .orderBy("user_id", "sess_idx")
     }),
 
+    // the same update, but arriving as SPARQL UPDATE *text*
+    "sparql_parsed_update" -> ((s, dir) => {
+      val store = TripleStore(TpchRdf.triplesFor(s, dir, Seq("customer")))
+      val op = graft.sparql.Parser.parseUpdate(
+        """DELETE { ?c mktsegment ?seg }
+          |INSERT { ?c segment_class ?cls }
+          |WHERE {
+          |  ?c mktsegment ?seg .
+          |  BIND(IF(?seg = "BUILDING" || ?seg = "AUTOMOBILE", "RETAIL", "OTHER") AS ?cls)
+          |}""".stripMargin)
+      graft.sparql.Update(store, op).triples
+        .filter(col("p").isin("mktsegment", "segment_class", "acctbal") && col("s").startsWith("c:"))
+        .orderBy("s", "p", "o")
+    }),
+
+    // Blueprints/Gremlin-style traversal over the property-graph façade
+    "blueprints_traversal" -> ((s, dir) =>
+      graft.graph.PropertyGraph(TpchRdf.source(s, dir))
+        .V().has("mktsegment", "BUILDING").out("nation").out("region")
+        .values("name").distinct().orderBy("value")),
+
+    // DESCRIBE ?v WHERE { … } — describe every solution node
+    "describe_where" -> ((s, dir) =>
+      graft.sparql.Compiler.compile(graft.sparql.Parser.parse(
+        """DESCRIBE ?s WHERE { ?s nation "n:1" . ?s type "Supplier" }"""),
+        TpchRdf.source(s, dir)).orderBy("s", "p", "o")),
+
     "update_delete_insert" -> ((s, dir) => {
       // DELETE { ?c mktsegment ?seg } INSERT { ?c segment_class ?cls }
       // WHERE  { ?c mktsegment ?seg . BIND(retail-or-other AS ?cls) }
@@ -353,7 +380,23 @@ object EngineQueries {
     "stream_sessionize" -> sessionizeSql,
     "events_sessionize" -> sessionizeSql,
 
-    "update_delete_insert" ->
+    "update_delete_insert" -> updateSql,
+    "sparql_parsed_update" -> updateSql,
+
+    "blueprints_traversal" ->
+      """SELECT DISTINCT r_name AS value
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |  JOIN customer ON n_nationkey = c_nationkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY value""".stripMargin,
+
+    "describe_where" ->
+      (T + """SELECT s, p, o FROM triples
+        |WHERE s IN (SELECT 's:'||CAST(s_suppkey AS VARCHAR) FROM supplier WHERE s_nationkey = 1)
+        |ORDER BY s, p, o""".stripMargin),
+  )
+
+  private lazy val updateSql: String =
       """SELECT s, p, o FROM (
         |  SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS s, 'segment_class' AS p,
         |    CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'RETAIL' ELSE 'OTHER' END AS o
@@ -362,8 +405,7 @@ object EngineQueries {
         |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'acctbal',
         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)
         |  FROM customer
-        |) ORDER BY s, p, o""".stripMargin,
-  )
+        |) ORDER BY s, p, o""".stripMargin
 
   private lazy val sessionizeSql: String =
       """WITH x AS (

@@ -104,6 +104,23 @@ final case class Construct(template: Seq[TriplePattern], child: Algebra) extends
   * no blank nodes). */
 final case class Describe(term: String) extends Algebra
 
+/** DESCRIBE ?v WHERE { child } → triples about every node ?v binds to. */
+final case class DescribeWhere(v: String, child: Algebra) extends Algebra
+
+/** SPARQL 1.1 Update operations (reference: ast.DeleteInsertGraph,
+  * ast.InsertData, ast.DeleteData via AST2BOpUpdate). */
+sealed trait UpdateOp
+/** INSERT DATA { ground triples }. */
+final case class InsertData(triples: Seq[TriplePattern]) extends UpdateOp
+/** DELETE DATA { ground triples }. */
+final case class DeleteData(triples: Seq[TriplePattern]) extends UpdateOp
+/** DELETE { template } INSERT { template } WHERE { pattern } —
+  * templates instantiated against the pre-update state, deletes
+  * applied before inserts (SPARQL 1.1 Update §3.1.3). */
+final case class DeleteInsertWhere(delete: Seq[TriplePattern],
+                                   insert: Seq[TriplePattern],
+                                   where: Algebra) extends UpdateOp
+
 /** GRAPH g { child } — graph-scoped pattern group. A Const `g` scopes
   * every pattern to one named graph; a Var `g` binds the graph name as
   * a solution variable joined on shared vars. */

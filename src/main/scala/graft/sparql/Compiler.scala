@@ -189,6 +189,10 @@ object Compiler {
     case Describe(t) =>
       src.scan(TriplePattern(Const(t), Var("p"), Var("o")))
 
+    case DescribeWhere(v, child) =>
+      val nodes = compile(child, src).select(col(v).as("s")).distinct()
+      src.triples.join(nodes, "s")
+
     case GraphPattern(gTerm, child) => gTerm match {
       case Const(_) =>
         // constant graph: scope every pattern scan to that graph

@@ -38,6 +38,11 @@ object Parser {
 
   def parse(query: String): Algebra = new Parser(tokenize(query)).parseQuery()
 
+  /** Parse a SPARQL UPDATE request (INSERT DATA / DELETE DATA /
+    * DELETE {} INSERT {} WHERE {}). */
+  def parseUpdate(update: String): UpdateOp =
+    new Parser(tokenize(update)).parseUpdateTop()
+
   // ---- tokenizer ----
   private val symbolChars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_:#-.".toSet
 
@@ -65,7 +70,8 @@ object Parser {
           val two = q.substring(i, math.min(i + 2, q.length))
           if (two == "<=") { out += two; i += 2 } else { out += "<"; i += 1 }
         }
-      } else if ("{}().,;/|^+*".contains(c)) { out += c.toString; i += 1 }
+      } else if (c == '|' && i + 1 < q.length && q(i + 1) == '|') { out += "||"; i += 2 }
+      else if ("{}().,;/|^+*".contains(c)) { out += c.toString; i += 1 }
       else if (">=!&|".contains(c)) {
         val two = q.substring(i, math.min(i + 2, q.length))
         if (Set(">=", "!=", "&&", "||").contains(two)) { out += two; i += 2 }
@@ -116,6 +122,57 @@ object Parser {
       parseSelect()
     }
 
+    def parseUpdateTop(): UpdateOp = {
+      while (peekIs("PREFIX") || peekIs("BASE")) {
+        if (peekIs("BASE")) { next(); next() }
+        else {
+          next()
+          val name = next(); val iri = next()
+          prefixes += (name.dropRight(1) -> iri.drop(1).dropRight(1))
+        }
+      }
+      if (peekIs("INSERT")) {
+        next()
+        if (peekIs("DATA")) { next(); InsertData(parseTriplesBlock()) }
+        else { // INSERT { t } WHERE { p }
+          val ins = parseTriplesBlock()
+          expect("WHERE")
+          DeleteInsertWhere(Nil, ins, parseGroup())
+        }
+      } else {
+        expect("DELETE")
+        if (peekIs("DATA")) { next(); DeleteData(parseTriplesBlock()) }
+        else if (peekIs("WHERE")) { // DELETE WHERE { p }: pattern is template
+          next()
+          val saved = pos
+          val tmpl = parseTriplesBlock()
+          pos = saved
+          DeleteInsertWhere(tmpl, Nil, parseGroup())
+        } else {
+          val del = parseTriplesBlock()
+          val ins = if (peekIs("INSERT")) { next(); parseTriplesBlock() } else Nil
+          expect("WHERE")
+          DeleteInsertWhere(del, ins, parseGroup())
+        }
+      }
+    }
+
+    /** { t1 . t2 . … } of plain triples. */
+    private def parseTriplesBlock(): Seq[TriplePattern] = {
+      expect("{")
+      val out = Vector.newBuilder[TriplePattern]
+      while (!peekIs("}")) {
+        if (peekIs(".")) next()
+        else {
+          val s = term(next()); val p = term(next()); val o = term(next())
+          out += TriplePattern(s, p, o)
+          if (peekIs(".")) next()
+        }
+      }
+      expect("}")
+      out.result()
+    }
+
     private def parseAsk(): Algebra = {
       expect("ASK")
       if (peekIs("WHERE")) next()
@@ -143,7 +200,9 @@ object Parser {
       expect("DESCRIBE")
       term(next()) match {
         case Const(v) => Describe(v)
-        case Var(v)   => sys.error(s"DESCRIBE ?$v requires a WHERE form; only DESCRIBE <term> is supported")
+        case Var(v) =>
+          expect("WHERE")
+          DescribeWhere(v, parseGroup())
       }
     }
 

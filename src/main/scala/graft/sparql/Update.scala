@@ -1,0 +1,45 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.rdf.TripleStore
+
+/** Executes parsed SPARQL UPDATE operations against a [[TripleStore]]
+  * (reference: ast/eval/AST2BOpUpdate.java driving the B+Tree
+  * mutations; here each op yields a new functional store). */
+object Update {
+
+  private def t2c(t: Term, n: String): Column = t match {
+    case Var(v)   => col(v).cast("string").as(n)
+    case Const(v) => lit(v).as(n)
+  }
+
+  /** Instantiate a template against a solution DataFrame. */
+  private def instantiate(tmpl: Seq[TriplePattern], sol: DataFrame): DataFrame =
+    tmpl.map { tp =>
+      sol.select(t2c(tp.s, "s"), t2c(tp.p, "p"), t2c(tp.o, "o"))
+    }.reduce(_ unionAll _).distinct()
+
+  private def ground(ts: Seq[TriplePattern], store: TripleStore): DataFrame = {
+    val spark = store.triples.sparkSession
+    import spark.implicits._
+    ts.map {
+      case TriplePattern(Const(s), Const(p), Const(o)) => (s, p, o)
+      case other => sys.error(s"INSERT/DELETE DATA needs ground triples, got $other")
+    }.toDF("s", "p", "o")
+  }
+
+  /** Apply `op` to `store`; WHERE clauses evaluate against the store's
+    * own (pre-update) triples. */
+  def apply(store: TripleStore, op: UpdateOp): TripleStore = op match {
+    case InsertData(ts) => store.insertData(ground(ts, store))
+    case DeleteData(ts) => store.deleteData(ground(ts, store))
+    case DeleteInsertWhere(del, ins, where) =>
+      val sol = Compiler.compile(where, TripleSource.plain(store.triples))
+      val deletes =
+        if (del.isEmpty) store.triples.limit(0) else instantiate(del, sol)
+      val inserts =
+        if (ins.isEmpty) store.triples.limit(0) else instantiate(ins, sol)
+      store.deleteInsert(deletes, inserts)
+  }
+}

@@ -125,6 +125,66 @@ class ParserSpec extends AnyFunSuite {
     assert(v.select("g").distinct().collect().map(_.getString(0)).toSeq == Seq("g:nation"))
   }
 
+  test("sub-SELECT joins on shared vars") {
+    val df = run("""SELECT ?n ?cnt WHERE {
+      ?n type "Nation" .
+      { SELECT ?n (COUNT(*) AS ?cnt) WHERE { ?c nation ?n } GROUP BY ?n }
+    } ORDER BY ?n""")
+    assert(df.count() == 25)
+  }
+
+  test("value functions in FILTER and BIND") {
+    val df = run("""SELECT ?r ?up ?l WHERE {
+      ?r type "Region" . ?r name ?name .
+      BIND(UCASE(?name) AS ?up)
+      BIND(STRLEN(?name) AS ?l)
+      FILTER(STRLEN(?name) >= 8)
+    }""")
+    val expect = TpchRdf.table(spark, SF, "region")
+      .filter(length(col("r_name")) >= 8).count()
+    assert(df.count() == expect)
+    assert(df.select("up").collect().forall(r => r.getString(0) == r.getString(0).toUpperCase))
+  }
+
+  test("SERVICE bds:search binds doc/score") {
+    val df = run("""SELECT ?d ?sc WHERE {
+      SERVICE bds:search {
+        _:s bds:query "spark" .
+        _:s bds:limit "5" .
+        _:s bds:out ?d .
+        _:s bds:outVal ?sc .
+      }
+    }""")
+    assert(df.columns.toSeq == Seq("d", "sc"))
+    assert(df.count() <= 5 && df.count() > 0)
+  }
+
+  test("SPARQL UPDATE text forms") {
+    import graft.sparql.{Update, UpdateOp, InsertData}
+    val store = graft.rdf.TripleStore(
+      TpchRdf.triples(spark, SF).filter(col("p") === "mktsegment"))
+    val n = store.triples.count()
+    val ins = Parser.parseUpdate("""INSERT DATA { c:999999 mktsegment "SPACE" }""")
+    assert(Update(store, ins).triples.count() == n + 1)
+    val del = Parser.parseUpdate("""DELETE DATA { c:999999 mktsegment "SPACE" }""")
+    assert(Update(Update(store, ins), del).triples.count() == n)
+    val diw = Parser.parseUpdate(
+      """DELETE { ?c mktsegment ?s } INSERT { ?c seg "X" } WHERE { ?c mktsegment ?s }""")
+    val updated = Update(store, diw)
+    assert(updated.triples.filter(col("p") === "mktsegment").count() == 0)
+    assert(updated.triples.filter(col("p") === "seg").count() > 0)
+  }
+
+  test("DESCRIBE ?v WHERE and blueprints traversal") {
+    val d = run("""DESCRIBE ?r WHERE { ?r type "Region" }""")
+    assert(d.count() == 10) // 5 regions x 2 props
+    val g = graft.graph.PropertyGraph(src)
+    val names = g.V().has("type", "Region").values("name")
+    assert(names.count() == 5)
+    val back = g.V("r:1").in("region").out("region").values("name")
+    assert(back.distinct().count() == 1)
+  }
+
   test("ASK, CONSTRUCT and DESCRIBE forms") {
     val ask = run("""ASK { ?r type "Region" }""")
     assert(ask.head().getBoolean(0))

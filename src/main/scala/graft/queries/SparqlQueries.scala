@@ -339,16 +339,17 @@ object SparqlQueries {
           |} ORDER BY ?n""".stripMargin),
         TpchRdf.source(s, dir))),
 
-    // parsed text: SPARQL value functions in BIND and FILTER
+    // parsed text: SPARQL value functions, arithmetic, and IN
     "sparql_parsed_fns" -> ((s, dir) =>
       Compiler.compile(Parser.parse(
-        """SELECT ?p ?pname ?nlen ?ub ?pre WHERE {
+        """SELECT ?p ?pname ?nlen ?ub ?pre ?dbl WHERE {
           |  ?p name ?pname .
           |  ?p brand ?brand .
           |  BIND(STRLEN(?pname) AS ?nlen)
           |  BIND(UCASE(?brand) AS ?ub)
           |  BIND(SUBSTR(?pname, 1, 4) AS ?pre)
-          |  FILTER(STRLEN(?pname) > 12)
+          |  BIND(STRLEN(?pname) * 2 + 1 AS ?dbl)
+          |  FILTER(STRLEN(?pname) > 12 && ?brand IN ("Brand#1", "Brand#2", "Brand#3"))
           |} ORDER BY ?p""".stripMargin),
         TpchRdf.source(s, dir))),
 
@@ -684,8 +685,11 @@ object SparqlQueries {
 
     "sparql_parsed_fns" ->
       """SELECT 'p:'||CAST(p_partkey AS VARCHAR) AS p, p_name AS pname,
-        |  length(p_name) AS nlen, upper(p_brand) AS ub, substr(p_name, 1, 4) AS pre
-        |FROM part WHERE length(p_name) > 12 ORDER BY p""".stripMargin,
+        |  length(p_name) AS nlen, upper(p_brand) AS ub, substr(p_name, 1, 4) AS pre,
+        |  CAST(length(p_name) * 2 + 1 AS DOUBLE) AS dbl
+        |FROM part
+        |WHERE length(p_name) > 12 AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |ORDER BY p""".stripMargin,
 
     "fulltext_service" ->
       """WITH toks AS (

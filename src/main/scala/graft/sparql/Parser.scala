@@ -557,10 +557,21 @@ object Parser {
         val s = next(); expect(")")
         return v.startsWith(s.drop(1).dropRight(1))
       }
-      val (l, lNum) = parsePrimary2(aggSink)
+      val (l, lNum) = parseAdditive(aggSink)
+      if (peekIs("IN") || (peekIs("NOT") && peekAt(1).equalsIgnoreCase("IN"))) {
+        val negated = peekIs("NOT")
+        if (negated) next()
+        next(); expect("(")
+        val vals = Vector.newBuilder[String]
+        vals += constValue(next())
+        while (peekIs(",")) { next(); vals += constValue(next()) }
+        expect(")")
+        val c = l.isin(vals.result(): _*)
+        return if (negated) !c else c
+      }
       peek match {
         case ">" | "<" | ">=" | "<=" | "=" | "!=" =>
-          val op = next(); val (r0, rNum) = parsePrimary2(aggSink)
+          val op = next(); val (r0, rNum) = parseAdditive(aggSink)
           // string-typed solution terms compare numerically against a
           // numeric literal (xsd numeric comparison semantics)
           val (lc, rc) =
@@ -574,6 +585,30 @@ object Parser {
           }
         case _ => l
       }
+    }
+
+    /** additive := mult (('+'|'-') mult)*; SPARQL numeric operators —
+      * string terms entering arithmetic cast to double (xsd:decimal
+      * promotion). Returns (column, isNumeric). */
+    private def parseAdditive(aggSink: Option[Column => Column]): (Column, Boolean) = {
+      def num(cb: (Column, Boolean)): Column = if (cb._2) cb._1 else cb._1.cast("double")
+      var cur = parseMult(aggSink)
+      while (peek == "+" || peek == "-") {
+        val op = next()
+        val r = parseMult(aggSink)
+        cur = (if (op == "+") num(cur) + num(r) else num(cur) - num(r), true)
+      }
+      cur
+    }
+    private def parseMult(aggSink: Option[Column => Column]): (Column, Boolean) = {
+      def num(cb: (Column, Boolean)): Column = if (cb._2) cb._1 else cb._1.cast("double")
+      var cur = parsePrimary2(aggSink)
+      while (peek == "*" || peek == "/") {
+        val op = next()
+        val r = parsePrimary2(aggSink)
+        cur = (if (op == "*") num(cur) * num(r) else num(cur) / num(r), true)
+      }
+      cur
     }
     /** SPARQL value-function names accepted in expressions (the text
       * face of FunctionRegistry; numeric ones operate on xsd-numeric

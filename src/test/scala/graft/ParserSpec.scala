@@ -146,6 +146,20 @@ class ParserSpec extends AnyFunSuite {
     assert(df.select("up").collect().forall(r => r.getString(0) == r.getString(0).toUpperCase))
   }
 
+  test("arithmetic and IN in expressions") {
+    val df = run("""SELECT ?o ?double WHERE {
+      ?o totalprice ?price .
+      ?o status ?st .
+      BIND(?price * 2 AS ?double)
+      FILTER(?st IN ("F", "P") && ?price / 2 > 50000)
+    }""")
+    val expect = TpchRdf.table(spark, SF, "orders")
+      .filter(col("o_orderstatus").isin("F", "P") &&
+        col("o_totalprice").cast("decimal(18,2)").cast("string").cast("double") / 2 > 50000)
+      .count()
+    assert(df.count() == expect)
+  }
+
   test("SERVICE bds:search binds doc/score") {
     val df = run("""SELECT ?d ?sc WHERE {
       SERVICE bds:search {

@@ -72,4 +72,18 @@ object Rdfs {
 
     lifted.filter(col("p") =!= "type").unionAll(types).distinct()
   }
+
+  /** Incremental assertion — the truth-maintenance fast path
+    * (reference: com.bigdata.rdf.inf.TruthMaintenance +
+    * SPOAssertionBuffer: newly asserted statements run through the
+    * rules against the already-closed store instead of re-closing
+    * everything). The RDFS rule set is stratified with broadcast-sized
+    * ontology tables, so the delta's entailments depend only on the
+    * delta itself: closing the delta alone and unioning is exact.
+    * Retraction has no such shortcut (a derived triple may have other
+    * supports) — the Spark-native answer is that the closure is a
+    * recomputable VIEW, so retraction = recompute (reference gets the
+    * same effect via its "database-at-once" closure mode). */
+  def incrementalClosure(closed: DataFrame, delta: DataFrame, ont: Ontology): DataFrame =
+    closed.unionAll(closure(delta, ont)).distinct()
 }

@@ -96,6 +96,27 @@ object EngineQueries {
         .orderBy("s", "p", "o")
     }),
 
+    // truth maintenance: assert a delta against an already-closed store
+    // (TruthMaintenance/SPOAssertionBuffer analog) — must equal the
+    // from-scratch closure, and the driver's oracle checks exactly that
+    "rdfs_incremental" -> ((s, dir) => {
+      val tri = TpchRdf.triplesFor(s, dir, Seq("customer", "nation", "region", "supplier"))
+        .filter(col("p").isin("type", "nation", "region"))
+      val base = tri.filter(!col("s").startsWith("s:"))
+      val delta = tri.filter(col("s").startsWith("s:"))
+      Rdfs.incrementalClosure(Rdfs.closure(base, ontology(s)), delta, ontology(s))
+        .filter(col("p").isin("type", "locatedIn", "nation", "region"))
+        .orderBy("s", "p", "o")
+    }),
+
+    // lexicon round-trip: hash-id encode (map-only, no dictionary
+    // build) → id→term dictionary → decode joins
+    "lexicon_roundtrip" -> ((s, dir) => {
+      val tri = TpchRdf.triplesFor(s, dir, Seq("nation"))
+      graft.rdf.Lexicon.decode(graft.rdf.Lexicon.encode(tri),
+        graft.rdf.Lexicon.dictionary(tri)).orderBy("s", "p", "o")
+    }),
+
     "stream_window" -> ((s, dir) => {
       // Structured Streaming over the bounded events table: tumbling
       // 1-day windows per event_type, complete-mode memory sink.
@@ -296,40 +317,12 @@ object EngineQueries {
         |HAVING COUNT(DISTINCT m.q_term) = 2
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
-    "rdfs_closure" -> (
-      """WITH RECURSIVE sub(c1, c2) AS (
-        |  VALUES ('Customer','Agent'),('Supplier','Agent'),('Agent','Resource'),
-        |         ('Order','Transaction'),('Lineitem','Transaction'),('Transaction','Resource'),
-        |         ('Nation','Place'),('Region','Place'),('Place','Resource'),
-        |         ('Part','Item'),('Item','Resource')
-        |), subtc AS (
-        |  SELECT c1, c2 FROM sub
-        |  UNION SELECT s1.c1, s2.c2 FROM subtc s1 JOIN sub s2 ON s1.c2 = s2.c1
-        |), types0(s, o) AS (
-        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'Customer' FROM customer
-        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'Nation' FROM nation
-        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'Supplier' FROM supplier
-        |  UNION ALL SELECT 'r:'||CAST(r_regionkey AS VARCHAR), 'Region' FROM region
-        |  -- rdfs2 domain(nation)=LocatedThing; rdfs3 range(nation)=Place, range(region)=Place
-        |  UNION ALL SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'LocatedThing' FROM customer
-        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'LocatedThing' FROM supplier
-        |  UNION ALL SELECT 'n:'||CAST(c_nationkey AS VARCHAR), 'Place' FROM customer
-        |  UNION ALL SELECT 'n:'||CAST(s_nationkey AS VARCHAR), 'Place' FROM supplier
-        |  UNION ALL SELECT 'r:'||CAST(n_regionkey AS VARCHAR), 'Place' FROM nation
-        |), types AS (
-        |  SELECT s, o FROM types0
-        |  UNION SELECT t.s, x.c2 FROM types0 t JOIN subtc x ON t.o = x.c1
-        |), located(s, o) AS (
-        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'n:'||CAST(c_nationkey AS VARCHAR) FROM customer
-        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'n:'||CAST(s_nationkey AS VARCHAR) FROM supplier
-        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
-        |)
-        |SELECT DISTINCT * FROM (
-        |  SELECT s, 'type' AS p, o FROM types
-        |  UNION ALL SELECT s, 'locatedIn' AS p, o FROM located
-        |  UNION ALL SELECT s, 'nation' AS p, o FROM located WHERE s NOT LIKE 'n:%'
-        |  UNION ALL SELECT s, 'region' AS p, o FROM located WHERE s LIKE 'n:%'
-        |) ORDER BY s, p, o""".stripMargin),
+    "rdfs_closure" -> rdfsSql,
+    // incremental assertion must equal the from-scratch closure
+    "rdfs_incremental" -> rdfsSql,
+
+    "lexicon_roundtrip" ->
+      (T + "SELECT s, p, o FROM triples WHERE s LIKE 'n:%' ORDER BY s, p, o"),
 
     "geo_zorder" ->
       """WITH s AS (SELECT s_suppkey AS k,
@@ -427,4 +420,39 @@ object EngineQueries {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s
         |FROM z GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin
+
+  private lazy val rdfsSql: String =
+      """WITH RECURSIVE sub(c1, c2) AS (
+        |  VALUES ('Customer','Agent'),('Supplier','Agent'),('Agent','Resource'),
+        |         ('Order','Transaction'),('Lineitem','Transaction'),('Transaction','Resource'),
+        |         ('Nation','Place'),('Region','Place'),('Place','Resource'),
+        |         ('Part','Item'),('Item','Resource')
+        |), subtc AS (
+        |  SELECT c1, c2 FROM sub
+        |  UNION SELECT s1.c1, s2.c2 FROM subtc s1 JOIN sub s2 ON s1.c2 = s2.c1
+        |), types0(s, o) AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'Customer' FROM customer
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'Nation' FROM nation
+        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'Supplier' FROM supplier
+        |  UNION ALL SELECT 'r:'||CAST(r_regionkey AS VARCHAR), 'Region' FROM region
+        |  -- rdfs2 domain(nation)=LocatedThing; rdfs3 range(nation)=Place, range(region)=Place
+        |  UNION ALL SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'LocatedThing' FROM customer
+        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'LocatedThing' FROM supplier
+        |  UNION ALL SELECT 'n:'||CAST(c_nationkey AS VARCHAR), 'Place' FROM customer
+        |  UNION ALL SELECT 'n:'||CAST(s_nationkey AS VARCHAR), 'Place' FROM supplier
+        |  UNION ALL SELECT 'r:'||CAST(n_regionkey AS VARCHAR), 'Place' FROM nation
+        |), types AS (
+        |  SELECT s, o FROM types0
+        |  UNION SELECT t.s, x.c2 FROM types0 t JOIN subtc x ON t.o = x.c1
+        |), located(s, o) AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'n:'||CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'n:'||CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
+        |)
+        |SELECT DISTINCT * FROM (
+        |  SELECT s, 'type' AS p, o FROM types
+        |  UNION ALL SELECT s, 'locatedIn' AS p, o FROM located
+        |  UNION ALL SELECT s, 'nation' AS p, o FROM located WHERE s NOT LIKE 'n:%'
+        |  UNION ALL SELECT s, 'region' AS p, o FROM located WHERE s LIKE 'n:%'
+        |) ORDER BY s, p, o""".stripMargin
 }

@@ -140,6 +140,44 @@ object EngineQueries {
         .orderBy("day", "event_type")
     }),
 
+    // stream-static enrichment join: the streaming side joins a static
+    // dimension without any stream-side state (the dim is broadcast /
+    // re-read per micro-batch — the standard enrich shape)
+    "stream_enrich" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"),
+          concat(lit("n:"), col("c_nationkey").cast("string")).as("nation"))
+      val agg = stream.join(cust, stream("user_id") === cust("c_custkey"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      val name = "stream_enrich_sink"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("nation")
+    }),
+
+    // watermarked streaming dedup (exactly-once on late/replayed ids)
+    // feeding a downstream aggregate
+    "stream_dedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/events.*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      val name = "stream_dedup_sink"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("event_type")
+    }),
+
     // stateful Structured Streaming: flatMapGroupsWithState keyed on
     // user, state = the open session; equals the batch window version
     "stream_sessionize" -> ((s, dir) => {
@@ -372,6 +410,16 @@ object EngineQueries {
     // identical result contract for the batch and streaming variants
     "stream_sessionize" -> sessionizeSql,
     "events_sessionize" -> sessionizeSql,
+
+    "stream_enrich" ->
+      """SELECT 'n:'||CAST(c_nationkey AS VARCHAR) AS nation, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "update_delete_insert" -> updateSql,
     "sparql_parsed_update" -> updateSql,

@@ -181,19 +181,17 @@ object Parser {
 
     private def parseConstruct(): Algebra = {
       expect("CONSTRUCT")
-      expect("{")
-      val template = Vector.newBuilder[TriplePattern]
-      while (!peekIs("}")) {
-        if (peekIs(".")) next()
-        else {
-          val s = term(next()); val p = term(next()); val o = term(next())
-          template += TriplePattern(s, p, o)
-          if (peekIs(".")) next()
-        }
+      // CONSTRUCT WHERE { pattern } shorthand: pattern is the template
+      if (peekIs("WHERE")) {
+        next()
+        val saved = pos
+        val tmpl = parseTriplesBlock()
+        pos = saved
+        return Construct(tmpl, parseGroup())
       }
-      expect("}")
+      val template = parseTriplesBlock()
       expect("WHERE")
-      Construct(template.result(), parseGroup())
+      Construct(template, parseGroup())
     }
 
     private def parseDescribe(): Algebra = {
@@ -313,8 +311,9 @@ object Parser {
         next(); expect("BY")
         val keys = Vector.newBuilder[Column]
         while (peekIs("ASC") || peekIs("DESC") || peek.startsWith("?")) {
-          if (peekIs("ASC")) { next(); expect("("); val v = next().drop(1); expect(")"); keys += col(v).asc }
-          else if (peekIs("DESC")) { next(); expect("("); val v = next().drop(1); expect(")"); keys += col(v).desc }
+          // ASC/DESC take a full bracketed expression, not just a var
+          if (peekIs("ASC")) { next(); keys += parseBracketedExpr().asc }
+          else if (peekIs("DESC")) { next(); keys += parseBracketedExpr().desc }
           else keys += col(next().drop(1)).asc
         }
         alg = OrderBy(alg, keys.result())

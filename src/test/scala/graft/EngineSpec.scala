@@ -78,6 +78,32 @@ class EngineSpec extends AnyFunSuite {
     assert(a == b && a > 0)
   }
 
+  test("incremental RDFS closure equals from-scratch closure") {
+    import graft.inference.Rdfs
+    val ont = Rdfs.Ontology(
+      subClassOf = Seq(("A", "B"), ("B", "C")).toDF("sub", "sup"),
+      subPropertyOf = Seq(("p", "q")).toDF("sub", "sup"),
+      domain = Seq(("p", "D")).toDF("p", "cls"),
+      range = Seq(("p", "R")).toDF("p", "cls"))
+    val all = Seq(("x", "type", "A"), ("x", "p", "y"), ("z", "p", "w"),
+      ("z", "type", "B")).toDF("s", "p", "o")
+    val base = all.filter(col("s") === "x")
+    val delta = all.filter(col("s") =!= "x")
+    val full = Rdfs.closure(all, ont)
+    val incr = Rdfs.incrementalClosure(Rdfs.closure(base, ont), delta, ont)
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+  }
+
+  test("lexicon round-trip is lossless and collision-free on the corpus") {
+    import graft.rdf.Lexicon
+    val tri = TpchRdf.triplesFor(spark, SF, Seq("nation", "region"))
+    val dict = Lexicon.dictionary(tri)
+    // no two terms share an id
+    assert(dict.groupBy("id").count().filter(col("count") > 1).isEmpty)
+    val back = Lexicon.decode(Lexicon.encode(tri), dict)
+    assert(back.exceptAll(tri).isEmpty && tri.exceptAll(back).isEmpty)
+  }
+
   test("fulltext prefix and matchAll options") {
     val docs = TpchRdf.table(spark, SF, "documents")
     val pre = graft.search.FullText.search(docs, Seq("spar"), 1000, prefixMatch = true)

@@ -207,7 +207,17 @@ class ParserSpec extends AnyFunSuite {
     val cons = run("""CONSTRUCT { ?c located ?n } WHERE { ?c nation ?n }""")
     assert(cons.columns.toSeq == Seq("s", "p", "o"))
     assert(cons.select("p").distinct().head().getString(0) == "located")
+    // CONSTRUCT WHERE shorthand: the pattern IS the template
+    val short = run("""CONSTRUCT WHERE { ?n region ?r }""")
+    assert(short.count() == 25)
     val desc = run("DESCRIBE c:1")
     assert(desc.count() == 5)
+  }
+
+  test("ORDER BY with expressions") {
+    val df = run("""SELECT ?o ?price WHERE { ?o totalprice ?price }
+      ORDER BY DESC(?price * 1) ?o LIMIT 3""")
+    val top = df.select("price").collect().map(_.getString(0).toDouble)
+    assert(top.sorted.reverse.sameElements(top))
   }
 }

@@ -54,6 +54,52 @@ object Multimodal {
     decode(media).toDF()
   }
 
+  /** Fit decoded dimensions into a maxW×maxH box preserving aspect
+    * (never upscaling) — the metadata half of a resize stage; the
+    * pixel resample itself would live in the stubbed codec. */
+  def resizeDims(decoded: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame =
+    decoded
+      .withColumn("_scale", least(lit(maxW.toDouble) / col("width"),
+        lit(maxH.toDouble) / col("height"), lit(1.0)))
+      .withColumn("r_width", floor(col("width") * col("_scale")).cast("int"))
+      .withColumn("r_height", floor(col("height") * col("_scale")).cast("int"))
+      .drop("_scale")
+
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame_hash: Long)
+
+  /** Frame sampling for video-shaped media: the byte stream is treated
+    * as fixed-size frames and every `every`-th frame is emitted with a
+    * content hash (stand-in for a decoded keyframe). Per-partition
+    * iteration — one pass over the bytes, no shuffle. */
+  def sampleFrames(media: Dataset[MediaRow],
+                   frameBytes: Int = 1000, every: Int = 5): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.media.length
+        val nFrames = 1 + n / frameBytes
+        (0 until nFrames by every).iterator.map { i =>
+          val from = i * frameBytes
+          val until = math.min(n, from + frameBytes)
+          var h = 0L
+          var k = from
+          while (k < until) { h = (h * 31L + (r.media(k) & 0xff)) % 1000000007L; k += 1 }
+          FrameRow(r.doc_id, i.toLong, h)
+        }
+      }
+    }
+  }
+
+  /** documents → media bytes → sampled frame table. */
+  def frameDocuments(spark: SparkSession, docsDir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(docsDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+      .repartition(8, col("doc_id"))
+    sampleFrames(media).toDF()
+  }
+
   case class FeatureRow(doc_id: Long, sum_bytes: Long, n_bytes: Int,
                         n_distinct: Int, checksum: Long)
 

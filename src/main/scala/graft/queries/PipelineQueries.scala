@@ -44,6 +44,14 @@ object PipelineQueries {
       Multimodal.decodeDocuments(s, s"$dir/documents.parquet").orderBy("doc_id")),
     "mm_features" -> ((s, dir) =>
       Multimodal.featureDocuments(s, s"$dir/documents.parquet").orderBy("doc_id")),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeDims(
+        Multimodal.decodeDocuments(s, s"$dir/documents.parquet"))
+        .select("doc_id", "width", "height", "r_width", "r_height")
+        .orderBy("doc_id")),
+    "mm_framesample" -> ((s, dir) =>
+      Multimodal.frameDocuments(s, s"$dir/documents.parquet")
+        .orderBy("doc_id", "frame_idx")),
   )
 
   private val shingleCte =
@@ -189,6 +197,30 @@ object PipelineQueries {
         |  CAST(len(list_distinct(bs)) AS INTEGER) AS n_distinct,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (a, b) -> (a * 37 + b) % 1000000007) AS checksum
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |  64 + (length(text) % 640) AS width,
+        |  48 + (ord(substr(text, 1, 1)) % 480) AS height
+        |  FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |  least(224.0 / width, 224.0 / height, 1.0) AS sc FROM d)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(width * sc) AS INTEGER) AS r_width,
+        |  CAST(floor(height * sc) AS INTEGER) AS r_height
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "mm_framesample" ->
+      """WITH f AS (SELECT doc_id, text, 1 + length(text) // 1000 AS n_frames FROM documents),
+        |idx AS (SELECT doc_id, text, CAST(i AS BIGINT) AS frame_idx
+        |        FROM f CROSS JOIN (SELECT unnest(range(0, 1000)) AS i)
+        |        WHERE i < n_frames AND i % 5 = 0)
+        |SELECT doc_id, frame_idx,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(substr(text, 1 + CAST(frame_idx AS INTEGER) * 1000, 1000), ''),
+        |                   c -> CAST(ord(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS frame_hash
+        |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_decode" ->
       """SELECT doc_id,

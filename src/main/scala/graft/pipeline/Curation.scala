@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-curation operators — the composition layer a
+  * training-data pipeline runs over the building blocks in [[Dedup]],
+  * [[TextAnalysis]] and [[Ann]].
+  *
+  * Everything is deterministic and integer/decimal-derived so the
+  * DuckDB oracle replays each stage exactly.
+  */
+object Curation {
+
+  /** Keep one doc per exact-duplicate group, then apply quality,
+    * language and token-count gates. One pass per signal, all joined
+    * on doc_id — each signal is a map-side projection, the joins
+    * shuffle only (doc_id, small stats). */
+  def curate(docs: DataFrame, minQuality: Double, langs: Seq[String],
+             minTokens: Int, maxTokens: Int): DataFrame = {
+    val keepers = Dedup.exact(docs).select(col("keeper").as("doc_id"))
+    val quality = TextAnalysis.quality(docs)
+    val lang = TextAnalysis.langId(docs)
+    val tokens = TextAnalysis.tokenCounts(docs).select("doc_id", "n_ws_tokens")
+    keepers
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .join(tokens, "doc_id")
+      .filter(col("quality") >= minQuality &&
+        col("pred_lang").isin(langs: _*) &&
+        col("n_ws_tokens").between(minTokens, maxTokens))
+      .select("doc_id", "pred_lang", "quality", "n_ws_tokens")
+  }
+
+  /** Deterministic per-stratum downsampling: a doc survives iff
+    * (doc_id · 2654435761) mod 1000 < rate‰ for its stratum. Hash-mod
+    * sampling keeps the choice reproducible across runs/engines with
+    * no RNG state, and the per-stratum rates arrive as a broadcast
+    * map — the standard shape for rebalancing language/domain mix. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+                       ratesPerMille: Map[String, Int],
+                       defaultPerMille: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = ratesPerMille.toSeq.toDF(stratumCol, "_rate")
+    docs
+      .join(broadcast(rates), Seq(stratumCol), "left")
+      .withColumn("_rate", coalesce(col("_rate"), lit(defaultPerMille)))
+      .filter((col("doc_id") * lit(2654435761L)) % 1000 < col("_rate"))
+      .drop("_rate")
+  }
+
+  /** Benchmark decontamination: word n-gram overlap against a
+    * benchmark document set. Returns (doc_id, n_shared) for corpus
+    * docs sharing ≥1 distinct n-gram with any benchmark doc. The
+    * benchmark side's distinct n-grams are the join's small side;
+    * the corpus side never self-joins. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
+    val corpusGrams = Dedup.shingleSets(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val benchGrams = Dedup.shingleSets(benchmark, n)
+      .select(explode(col("shingles")).as("g")).distinct()
+    corpusGrams
+      .join(benchGrams, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+  }
+}

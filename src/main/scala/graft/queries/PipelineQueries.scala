@@ -44,6 +44,28 @@ object PipelineQueries {
       Multimodal.decodeDocuments(s, s"$dir/documents.parquet").orderBy("doc_id")),
     "mm_features" -> ((s, dir) =>
       Multimodal.featureDocuments(s, s"$dir/documents.parquet").orderBy("doc_id")),
+    // end-to-end curation: exact-dedup keepers + quality/lang/token gates
+    "pipeline_curate" -> ((s, dir) =>
+      graft.pipeline.Curation.curate(docs(s, dir), 0.45, Seq("en"), 20, 1000)
+        .orderBy("doc_id")),
+
+    // deterministic per-language downsampling (hash-mod, reproducible)
+    "pipeline_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val withLang = d.join(TextAnalysis.langId(d), "doc_id")
+      graft.pipeline.Curation.stratifiedSample(withLang, "pred_lang",
+          Map("en" -> 500, "de" -> 100), defaultPerMille = 100)
+        .select("doc_id", "pred_lang").orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: 5-gram overlap vs a benchmark subset
+    "pipeline_contam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Curation.contamination(
+          d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10), 5)
+        .orderBy("doc_id")
+    }),
+
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeDims(
         Multimodal.decodeDocuments(s, s"$dir/documents.parquet"))
@@ -197,6 +219,74 @@ object PipelineQueries {
         |  CAST(len(list_distinct(bs)) AS INTEGER) AS n_distinct,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (a, b) -> (a * 37 + b) % 1000000007) AS checksum
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate" ->
+      """WITH w AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |q AS (SELECT doc_id,
+        |  ROUND(0.4 * least(1.0, CAST(len(ws) AS DOUBLE) / 50.0)
+        |      + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
+        |      + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
+        |  FROM w),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS sc_de,
+        |  len(list_filter(ws, x -> x IN ('the','a','is','and','of'))) AS sc_en,
+        |  len(list_filter(ws, x -> x IN ('el','la','los','y','es'))) AS sc_es,
+        |  len(list_filter(ws, x -> x IN ('le','les','des','et','est'))) AS sc_fr,
+        |  len(list_filter(ws, x -> x IN ('de','shi','he','zai','le'))) AS sc_zh
+        |  FROM w),
+        |b AS (SELECT doc_id, sc_de, sc_en, sc_es, sc_fr, sc_zh,
+        |  greatest(sc_de, sc_en, sc_es, sc_fr, sc_zh) AS best FROM sc),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN sc_de = best THEN 'de'
+        |       WHEN sc_en = best THEN 'en'
+        |       WHEN sc_es = best THEN 'es'
+        |       WHEN sc_fr = best THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |  FROM b),
+        |t AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens FROM documents),
+        |k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+        |SELECT k.doc_id, pred_lang, quality, n_ws_tokens
+        |FROM k JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN t USING (doc_id)
+        |WHERE quality >= 0.45 AND pred_lang IN ('en') AND n_ws_tokens BETWEEN 20 AND 1000
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_sample" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS sc_de,
+        |  len(list_filter(ws, x -> x IN ('the','a','is','and','of'))) AS sc_en,
+        |  len(list_filter(ws, x -> x IN ('el','la','los','y','es'))) AS sc_es,
+        |  len(list_filter(ws, x -> x IN ('le','les','des','et','est'))) AS sc_fr,
+        |  len(list_filter(ws, x -> x IN ('de','shi','he','zai','le'))) AS sc_zh
+        |  FROM w),
+        |b AS (SELECT doc_id, sc_de, sc_en, sc_es, sc_fr, sc_zh,
+        |  greatest(sc_de, sc_en, sc_es, sc_fr, sc_zh) AS best FROM sc),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN sc_de = best THEN 'de'
+        |       WHEN sc_en = best THEN 'en'
+        |       WHEN sc_es = best THEN 'es'
+        |       WHEN sc_fr = best THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |  FROM b),
+        |r AS (SELECT doc_id, pred_lang,
+        |  CASE WHEN pred_lang = 'en' THEN 500 WHEN pred_lang = 'de' THEN 100 ELSE 100 END AS rate
+        |  FROM l)
+        |SELECT doc_id, pred_lang FROM r
+        |WHERE (doc_id * 2654435761) % 1000 < rate
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_contam" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+        |        i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]))) AS g
+        |      FROM w WHERE len(ws) >= 5),
+        |bg AS (SELECT DISTINCT g FROM g WHERE doc_id < 10),
+        |cg AS (SELECT doc_id, g FROM g WHERE doc_id >= 10)
+        |SELECT doc_id, COUNT(DISTINCT cg.g) AS n_shared
+        |FROM cg JOIN bg ON cg.g = bg.g
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "mm_resize" ->
       """WITH d AS (SELECT doc_id,

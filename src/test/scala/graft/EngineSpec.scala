@@ -104,6 +104,39 @@ class EngineSpec extends AnyFunSuite {
     assert(back.exceptAll(tri).isEmpty && tri.exceptAll(back).isEmpty)
   }
 
+  test("curation composes dedup/quality/lang/token gates") {
+    val docs = TpchRdf.table(spark, SF, "documents")
+    val out = graft.pipeline.Curation.curate(docs, 0.0, Seq("en", "de", "es", "fr", "zh", "und"),
+      0, Int.MaxValue)
+    // no gates → exactly the exact-dedup keepers
+    assert(out.count() == graft.pipeline.Dedup.exact(docs).count())
+    val tight = graft.pipeline.Curation.curate(docs, 0.45, Seq("en"), 20, 1000)
+    assert(tight.count() <= out.count())
+  }
+
+  test("stratified sampling is deterministic and rate-bounded") {
+    val docs = TpchRdf.table(spark, SF, "documents")
+      .withColumn("stratum", (col("doc_id") % 2 === 0).cast("string"))
+    def sample() = graft.pipeline.Curation.stratifiedSample(
+      docs, "stratum", Map("true" -> 500, "false" -> 100))
+    val a = sample().select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = sample().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // reproducible
+    val evens = docs.filter(col("stratum") === "true").count()
+    val kept = sample().filter(col("stratum") === "true").count()
+    assert(kept <= evens && kept > 0)
+  }
+
+  test("contamination finds planted near-dups across the split") {
+    val docs = TpchRdf.table(spark, SF, "documents")
+    val hits = graft.pipeline.Curation.contamination(
+      docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250), 5)
+    // any corpus doc sharing a 5-gram with the benchmark half shows up
+    assert(hits.count() >= 0)
+    assert(hits.columns.toSeq == Seq("doc_id", "n_shared"))
+    assert(hits.filter(col("n_shared") <= 0).count() == 0)
+  }
+
   test("fulltext prefix and matchAll options") {
     val docs = TpchRdf.table(spark, SF, "documents")
     val pre = graft.search.FullText.search(docs, Seq("spar"), 1000, prefixMatch = true)

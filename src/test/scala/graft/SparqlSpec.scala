@@ -86,6 +86,24 @@ class SparqlSpec extends AnyFunSuite {
     assert(up.count() > 0)
   }
 
+  test("VALUES compiles to a LocalRelation (no RDD round-trip)") {
+    val df = Compiler.compile(
+      Join(Bgp(TriplePattern("?n", "name", "?nname")),
+        Values(Seq("nname"), Seq(Seq(Some("NATION_1"))))),
+      TpchRdf.source(spark, SF))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation"), s"expected LocalRelation in:\n$plan")
+    assert(!plan.contains("ExistingRDD"), "VALUES must not round-trip through an RDD")
+  }
+
+  test("GRAPH var pattern scans only the predicate's branch tables") {
+    val df = Compiler.compile(
+      GraphPattern(Var("g"), Bgp(TriplePattern("?x", "region", "?r"))),
+      TpchRdf.source(spark, SF))
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+    assert(scans.size == 1, s"region pred lives in one table; got ${scans.size} scans")
+  }
+
   test("seeded (bound-endpoint) path closure equals filtered full closure") {
     val src = TpchRdf.source(spark, SF)
     val bound = Compiler.compile(

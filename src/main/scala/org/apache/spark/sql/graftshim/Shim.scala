@@ -19,4 +19,11 @@ object Shim {
                builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Static-int argument of a SQL function call (e.g. the bit width of
+    * `lsh_bucket(emb, 8)`): must be a foldable integer literal. */
+  def intLiteral(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+    case other => sys.error(s"expected an integer literal argument, got $other")
+  }
 }

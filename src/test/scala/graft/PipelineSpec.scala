@@ -109,14 +109,28 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("custom expressions register for SQL use") {
-    org.apache.spark.sql.graftshim.Shim.register(spark, "polyhash",
-      e => graft.functions.PolyHash(e.head))
+    graft.functions.GraftFunctions.registerAll(spark)
     docs.createOrReplaceTempView("docs_v")
     val viaSql = spark.sql("SELECT polyhash(text) AS h FROM docs_v ORDER BY doc_id LIMIT 3")
       .collect().map(_.getLong(0)).toSeq
     val viaCol = docs.orderBy("doc_id").limit(3)
       .select(PolyHash.polyhash(col("text"))).collect().map(_.getLong(0)).toSeq
     assert(viaSql == viaCol)
+    // the full function family is SQL-callable with literal params
+    embs.createOrReplaceTempView("embs_v")
+    val sqlBucket = spark.sql(
+      "SELECT lsh_bucket(embedding, 6, 0) AS b FROM embs_v ORDER BY vec_id LIMIT 1")
+      .head().getLong(0)
+    val colBucket = embs.orderBy("vec_id").limit(1)
+      .select(graft.functions.VectorExprs.lsh_bucket(col("embedding"), 6, 0))
+      .head().getLong(0)
+    assert(sqlBucket == colBucket)
+    val sh = spark.sql(
+      "SELECT simhash64(array('alpha','beta')) AS s, float_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
+      .head()
+    assert(sh.getDouble(1) == 2.0)
+    // extensions entry point injects without error
+    new graft.functions.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
   test("salted join equals plain join") {

@@ -327,6 +327,18 @@ object SparqlQueries {
       Compiler.compile(Parser.parse("DESCRIBE c:42"),
         TpchRdf.source(s, dir)).orderBy("p", "o")),
 
+    // parsed text: EXISTS inside a FILTER expression, mixed with a
+    // value condition (ExistsNode inside FilterNode)
+    "sparql_parsed_exists_expr" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?c ?name WHERE {
+          |  ?c type "Customer" .
+          |  ?c name ?name .
+          |  ?c acctbal ?bal .
+          |  FILTER(?bal > 3000 && EXISTS { ?o customer ?c . ?o status "O" })
+          |} ORDER BY ?c""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // parsed text: sub-SELECT in a group, joined on shared vars
     "sparql_parsed_subquery" -> ((s, dir) =>
       Compiler.compile(Parser.parse(
@@ -668,6 +680,13 @@ object SparqlQueries {
 
     "sparql_parsed_describe" ->
       (T + "SELECT s, p, o FROM triples WHERE s = 'c:42' ORDER BY p, o"),
+
+    "sparql_parsed_exists_expr" ->
+      """SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS c, c_name AS name
+        |FROM customer
+        |WHERE CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) > 3000
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c""".stripMargin,
 
     "sparql_parsed_subquery" ->
       // ?c ranges over customers AND suppliers (both have nation+acctbal);

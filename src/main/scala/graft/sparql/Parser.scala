@@ -342,7 +342,18 @@ object Parser {
           next()
           if (peekIs("EXISTS")) { next(); flush(); val g = parseGroup(); alg = Exists(orUnit(alg), g) }
           else if (peekIs("NOT")) { next(); expect("EXISTS"); flush(); val g = parseGroup(); alg = NotExists(orUnit(alg), g) }
-          else { val c = parseBracketedExpr(); flush(); alg = Filter(orUnit(alg), c) }
+          else if (bracketContainsExists()) {
+            // FILTER(expr && EXISTS {…} && …): each top-level conjunct
+            // is either a value expression (ANDed into one Filter) or
+            // an EXISTS/NOT EXISTS group (a semi/anti join)
+            val (cond, exs) = parseFilterParts()
+            flush()
+            cond.foreach(c => alg = Filter(orUnit(alg), c))
+            exs.foreach {
+              case (true, g)  => alg = Exists(orUnit(alg), g)
+              case (false, g) => alg = NotExists(orUnit(alg), g)
+            }
+          } else { val c = parseBracketedExpr(); flush(); alg = Filter(orUnit(alg), c) }
         } else if (peekIs("OPTIONAL")) {
           next(); flush(); val g = parseGroup(); alg = LeftJoin(orUnit(alg), g)
         } else if (peekIs("MINUS")) {
@@ -500,6 +511,48 @@ object Parser {
 
     private def orUnit(a: Algebra): Algebra =
       if (a == null) sys.error("empty group pattern") else a
+
+    /** Does the upcoming bracketed filter body contain a top-level
+      * EXISTS? (token scan to the matching close paren). */
+    private def bracketContainsExists(): Boolean = {
+      var i = pos
+      var depth = 0
+      while (i < tokens.length) {
+        tokens(i) match {
+          case "(" | "{" => depth += 1
+          case ")" | "}" =>
+            depth -= 1
+            if (depth == 0) return false
+          case t if t.equalsIgnoreCase("EXISTS") => return true
+          case _ => ()
+        }
+        i += 1
+      }
+      false
+    }
+
+    /** FILTER body with EXISTS conjuncts: `( c1 && EXISTS {…} && c2 )`.
+      * Conjuncts split at top-level `&&`; plain conjuncts AND into one
+      * condition (each conjunct may use `||` internally). */
+    private def parseFilterParts(): (Option[Column], Seq[(Boolean, Algebra)]) = {
+      expect("(")
+      var cond: Option[Column] = None
+      val exs = Vector.newBuilder[(Boolean, Algebra)]
+      var done = false
+      while (!done) {
+        if (peekIs("EXISTS")) { next(); exs += ((true, parseGroup())) }
+        else if (peekIs("NOT") && peekAt(1).equalsIgnoreCase("EXISTS")) {
+          next(); next(); exs += ((false, parseGroup()))
+        } else {
+          var c = parseRel(None)
+          while (peek == "||") { next(); c = c || parseRel(None) }
+          cond = Some(cond.map(_ && c).getOrElse(c))
+        }
+        if (peek == "&&") next() else done = true
+      }
+      expect(")")
+      (cond, exs.result())
+    }
 
     /** Constant-term value of a token (IRI/prefix normalization). */
     private def constValue(t: String): String =

@@ -228,6 +228,9 @@ object Compiler {
         case "cc" =>
           Analytics.connectedComponents(edges)
             .select(col("node").as(outNode), col("label").as(outVal))
+        case "sssp" =>
+          Analytics.sssp(edges.withColumn("weight", lit(1.0)), conf("in").head)
+            .select(col("node").as(outNode), col("dist").as(outVal))
         case "pr" =>
           Analytics.pageRank(edges)
             .select(col("node").as(outNode), col("rank").as(outVal))

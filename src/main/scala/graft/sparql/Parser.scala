@@ -219,8 +219,8 @@ object Parser {
       val fn = next().toUpperCase
       expect("(")
       val distinct = if (peekIs("DISTINCT")) { next(); true } else false
-      val arg = next()
-      val c = if (arg == "*") lit(1) else col(arg.drop(1))
+      // the argument is a full value expression (SUM(?a * ?b) etc.)
+      val c = if (peek == "*") { next(); lit(1) } else parseExpr()
       var sep = " "
       if (peekIs(";")) { next() } // tolerated; separator handled below
       if (peek.toUpperCase.startsWith("SEPARATOR")) {

@@ -160,6 +160,31 @@ class ParserSpec extends AnyFunSuite {
     assert(df.count() == expect)
   }
 
+  test("EXISTS inside FILTER expressions") {
+    val df = run("""SELECT ?c WHERE {
+      ?c type "Customer" . ?c acctbal ?bal .
+      FILTER(?bal > 3000 && EXISTS { ?o customer ?c } && NOT EXISTS { ?o2 customer ?c . ?o2 status "F" })
+    }""")
+    val viaAlgebra = Compiler.compile(
+      NotExists(
+        Exists(
+          Filter(Bgp(TriplePattern("?c", "type", "Customer"),
+                     TriplePattern("?c", "acctbal", "?bal")),
+            col("bal").cast("double") > 3000),
+          Bgp(TriplePattern("?o", "customer", "?c"))),
+        Bgp(TriplePattern("?o2", "customer", "?c"),
+            TriplePattern("?o2", "status", "F"))), src)
+    assert(df.count() == viaAlgebra.select("c").distinct().count())
+  }
+
+  test("aggregate over an expression") {
+    val df = run("""SELECT ?n (SUM(?bal * 2) AS ?tot) WHERE {
+      ?c nation ?n . ?c acctbal ?bal . ?c type "Customer"
+    } GROUP BY ?n ORDER BY ?n""")
+    assert(df.count() == 25)
+    assert(df.schema("tot").dataType.typeName == "double")
+  }
+
   test("SERVICE bds:search binds doc/score") {
     val df = run("""SELECT ?d ?sc WHERE {
       SERVICE bds:search {

@@ -44,13 +44,16 @@ final case class QuadStore(quads: DataFrame) {
     QuadStore(quads.unionAll(fresh))
   }
 
-  /** COPY from TO to — `to` is replaced by `from`'s triples. */
+  /** COPY from TO to — `to` is replaced by `from`'s triples.
+    * COPY g TO g is a no-op (SPARQL 1.1 Update §3.2.3) — without the
+    * guard, drop-then-add-from-the-dropped-graph would DELETE it. */
   def copyGraph(from: String, to: String): QuadStore =
-    dropGraph(to).addGraph(from, to)
+    if (from == to) this else dropGraph(to).addGraph(from, to)
 
-  /** MOVE from TO to — COPY then DROP the source. */
+  /** MOVE from TO to — COPY then DROP the source; MOVE g TO g is a
+    * no-op (SPARQL 1.1 Update §3.2.4). */
   def moveGraph(from: String, to: String): QuadStore =
-    copyGraph(from, to).dropGraph(from)
+    if (from == to) this else copyGraph(from, to).dropGraph(from)
 
   /** INSERT DATA into a named graph (set semantics; dedup scoped to
     * the target graph like [[addGraph]]). */

@@ -54,6 +54,9 @@ class EngineSpec extends AnyFunSuite {
     assert(added.graph("g:b").count() == 3) // b's own + a's 2
     // ADD twice is idempotent (set semantics)
     assert(added.addGraph("g:a", "g:b").graph("g:b").count() == 3)
+    // COPY/MOVE g TO g are no-ops (SPARQL 1.1 Update §3.2.3/3.2.4)
+    assert(store.copyGraph("g:a", "g:a").graph("g:a").count() == 2)
+    assert(store.moveGraph("g:a", "g:a").graph("g:a").count() == 2)
   }
 
   test("geo: z-order interleave is monotone in cell locality") {

@@ -24,10 +24,16 @@ object Compiler {
   private def joinOn(l: DataFrame, r: DataFrame, how: String): DataFrame = {
     val common = shared(l, r)
     if (common.isEmpty) how match {
-      case "inner"               => l.crossJoin(r)
-      case "left_outer"          => l.crossJoin(r) // OPTIONAL w/o shared vars over non-empty right
-      case "left_semi"           => l
-      case "left_anti" | "minus" => l             // MINUS w/ disjoint domains removes nothing
+      case "inner"      => l.crossJoin(r)
+      // OPTIONAL w/o shared vars: all right rows attach, but an EMPTY
+      // right side must still preserve the left rows (unbound) — a
+      // crossJoin would drop them
+      case "left_outer" => l.join(r, lit(true), "left_outer")
+      // EXISTS/NOT EXISTS with disjoint vars hinge on the right side
+      // being (non-)empty — evaluated lazily via a 1-row semi/anti join
+      case "left_semi"  => l.join(r.limit(1), lit(true), "left_semi")
+      case "left_anti"  => l.join(r.limit(1), lit(true), "left_anti")
+      case "minus"      => l // MINUS w/ disjoint domains removes nothing (§8.3)
     } else how match {
       case "minus" => l.join(r.select(common.map(col): _*), common, "left_anti")
       case "left_semi" | "left_anti" => l.join(r.select(common.map(col): _*), common, how)
@@ -136,6 +142,8 @@ object Compiler {
         }
       }
       dfs.reduce(joinOn(_, _, "inner"))
+    case Join(l, v: Values) => valuesJoin(compile(l, src), v)
+    case Join(v: Values, r) => valuesJoin(compile(r, src), v)
     case Join(l, r)      => joinOn(compile(l, src), compile(r, src), "inner")
     case LeftJoin(l, r)  => joinOn(compile(l, src), compile(r, src), "left_outer")
     case Exists(l, r)    => joinOn(compile(l, src), compile(r, src), "left_semi")
@@ -242,6 +250,27 @@ object Compiler {
         .getOrElse(sys.error("this triple source has no search corpus"))
       graft.search.FullText.search(corpus, terms, limit, prefix, matchAll)
         .select(col("doc_id").as(outDoc), col("score").as(outScore))
+  }
+
+  /** Join solutions against VALUES inline data with SPARQL
+    * compatibility semantics: an UNDEF cell is compatible with ANY
+    * binding (§10.2), so the join condition per shared var is
+    * `equal OR value IS NULL` — a plain equality join would silently
+    * drop every row a null should match. Vars only the VALUES side
+    * binds are carried into the solution (null where UNDEF). */
+  private def valuesJoin(lc: DataFrame, v: Values): DataFrame = {
+    val spark = lc.sparkSession
+    val schema = StructType(v.vars.map(n => StructField(s"_v_$n", StringType, nullable = true)))
+    val data = v.rows.map(r => org.apache.spark.sql.Row(r.map(_.orNull): _*))
+    val vdf = spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
+    val common = v.vars.filter(lc.columns.contains)
+    val joined =
+      if (common.isEmpty) lc.crossJoin(vdf)
+      else lc.join(vdf, common.map(n =>
+        col(n) === col(s"_v_$n") || col(s"_v_$n").isNull).reduce(_ && _))
+    val carried = v.vars.filterNot(lc.columns.contains)
+      .map(n => col(s"_v_$n").as(n))
+    joined.select(lc.columns.map(col) ++ carried: _*)
   }
 
   /** GRAPH ?g — each pattern keeps g as a solution var, so patterns

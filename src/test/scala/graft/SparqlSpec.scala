@@ -104,6 +104,41 @@ class SparqlSpec extends AnyFunSuite {
     assert(scans.size == 1, s"region pred lives in one table; got ${scans.size} scans")
   }
 
+  test("OPTIONAL over an empty disjoint group preserves left rows") {
+    val src = TpchRdf.source(spark, SF)
+    val df = Compiler.compile(
+      LeftJoin(
+        Bgp(TriplePattern("?r", "type", "Region")),
+        Bgp(TriplePattern("?x", "type", "Starship"))), src)
+    assert(df.count() == 5, "empty OPTIONAL must keep all left solutions")
+    assert(df.filter(col("x").isNull).count() == 5)
+  }
+
+  test("EXISTS/NOT EXISTS with disjoint vars hinge on right-side emptiness") {
+    val src = TpchRdf.source(spark, SF)
+    val some = Bgp(TriplePattern("?x", "type", "Nation"))
+    val none = Bgp(TriplePattern("?x2", "type", "Starship"))
+    val left = Bgp(TriplePattern("?r", "type", "Region"))
+    assert(Compiler.compile(Exists(left, some), src).count() == 5)
+    assert(Compiler.compile(Exists(left, none), src).count() == 0)
+    assert(Compiler.compile(NotExists(left, none), src).count() == 5)
+    assert(Compiler.compile(NotExists(left, some), src).count() == 0)
+  }
+
+  test("VALUES UNDEF is compatible with any binding") {
+    val src = TpchRdf.source(spark, SF)
+    val df = Compiler.compile(
+      Join(
+        Bgp(TriplePattern("?n", "name", "?nname"),
+            TriplePattern("?n", "type", "Nation")),
+        Values(Seq("nname", "tag"),
+          Seq(Seq(Some("NATION_1"), Some("one")),
+              Seq(None, Some("wild"))))), src)
+    // the UNDEF row matches all 25 nations; the bound row matches 1
+    assert(df.count() == 26)
+    assert(df.filter(col("tag") === "wild").count() == 25)
+  }
+
   test("seeded (bound-endpoint) path closure equals filtered full closure") {
     val src = TpchRdf.source(spark, SF)
     val bound = Compiler.compile(

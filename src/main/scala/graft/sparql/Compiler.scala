@@ -192,6 +192,9 @@ object Compiler {
       }
       template.map { tp =>
         sol.select(t2c(tp.s, "s"), t2c(tp.p, "p"), t2c(tp.o, "o"))
+          // a template triple with an unbound position is silently
+          // skipped (SPARQL 1.1 §16.2.1)
+          .na.drop()
       }.reduce(_ unionAll _).distinct()
 
     case Describe(t) =>

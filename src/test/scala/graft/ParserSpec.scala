@@ -235,6 +235,12 @@ class ParserSpec extends AnyFunSuite {
     // CONSTRUCT WHERE shorthand: the pattern IS the template
     val short = run("""CONSTRUCT WHERE { ?n region ?r }""")
     assert(short.count() == 25)
+    // template triples with unbound positions are skipped (§16.2.1)
+    val partial = run("""CONSTRUCT { ?n partnered ?c } WHERE {
+      ?n type "Nation"
+      OPTIONAL { ?c nation ?n . ?c mktsegment "NO_SUCH_SEGMENT" }
+    }""")
+    assert(partial.count() == 0, "unbound ?c must not emit null triples")
     val desc = run("DESCRIBE c:1")
     assert(desc.count() == 5)
   }

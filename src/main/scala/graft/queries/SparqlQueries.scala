@@ -69,6 +69,16 @@ object SparqlQueries {
         "nname", "cname"),
         Seq(col("nname"), col("cname"))))),
 
+    // OPTIONAL whose FILTER references an OUTER var → left-join condition
+    "optional_join_cond" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?nname ?cname WHERE {
+          |  ?n type "Nation" .
+          |  ?n name ?nname
+          |  OPTIONAL { ?c nation ?n . ?c name ?cname FILTER(?cname > ?nname) }
+          |} ORDER BY ?nname ?cname""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     "union_op" -> ((s, dir) => run(s, dir,
       OrderBy(Project(
         Union(
@@ -484,6 +494,16 @@ object SparqlQueries {
       """SELECT n_name AS nname, c_name AS cname
         |FROM nation LEFT JOIN customer
         |  ON c_nationkey = n_nationkey AND c_mktsegment = 'BUILDING'
+        |ORDER BY nname, cname""".stripMargin,
+
+    "optional_join_cond" ->
+      // ?c with nation+name spans customers AND suppliers
+      """WITH m AS (
+        |  SELECT c_nationkey AS nk, c_name AS cname FROM customer
+        |  UNION ALL SELECT s_nationkey, s_name FROM supplier
+        |)
+        |SELECT n_name AS nname, cname
+        |FROM nation LEFT JOIN m ON m.nk = n_nationkey AND m.cname > n_name
         |ORDER BY nname, cname""".stripMargin,
 
     "union_op" ->

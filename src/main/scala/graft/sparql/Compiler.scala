@@ -145,6 +145,16 @@ object Compiler {
     case Join(l, v: Values) => valuesJoin(compile(l, src), v)
     case Join(v: Values, r) => valuesJoin(compile(r, src), v)
     case Join(l, r)      => joinOn(compile(l, src), compile(r, src), "inner")
+    case LeftJoin(l, Filter(r, cond)) =>
+      // OPTIONAL { … FILTER(e) }: if e only sees the optional group's
+      // vars it's an ordinary inner filter; if it references OUTER vars
+      // it is part of the left-join CONDITION (SPARQL §6.2 LeftJoin
+      // expression — ASTAttachJoinFiltersOptimizer analog)
+      val lc = compile(l, src)
+      val rc = compile(r, src)
+      val refs = attrNames(lc.sparkSession, cond)
+      if (refs.subsetOf(rc.columns.toSet)) joinOn(lc, rc.filter(cond), "left_outer")
+      else leftJoinWithCond(lc, rc, cond)
     case LeftJoin(l, r)  => joinOn(compile(l, src), compile(r, src), "left_outer")
     case Exists(l, r)    => joinOn(compile(l, src), compile(r, src), "left_semi")
     case NotExists(l, r) => joinOn(compile(l, src), compile(r, src), "left_anti")
@@ -253,6 +263,38 @@ object Compiler {
         .getOrElse(sys.error("this triple source has no search corpus"))
       graft.search.FullText.search(corpus, terms, limit, prefix, matchAll)
         .select(col("doc_id").as(outDoc), col("score").as(outScore))
+  }
+
+  /** Unresolved attribute names referenced by a Column. */
+  private def attrNames(spark: org.apache.spark.sql.SparkSession, c: Column): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    org.apache.spark.sql.graftshim.Shim.catalystExpression(spark, c).collect {
+      case ua: UnresolvedAttribute => ua.name
+    }.toSet
+  }
+
+  /** LEFT JOIN whose condition mixes shared-var equality with a filter
+    * expression over both sides' vars. The right side's columns are
+    * prefixed to disambiguate, the condition's refs to right-side vars
+    * rewritten, and the output restores the solution's column names. */
+  private def leftJoinWithCond(lc: DataFrame, rc: DataFrame, cond: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graftshim.Shim
+    val common = lc.columns.toSeq.intersect(rc.columns.toSeq)
+    val rightOnly = rc.columns.filterNot(lc.columns.contains).toSeq
+    val rr = rc.columns.foldLeft(rc)((df, n) => df.withColumnRenamed(n, "_r_" + n))
+    // vars the right side binds resolve against the (renamed) right
+    // columns; on matching rows shared vars are equal, so either side
+    // is the SPARQL-compatible value
+    val rewritten = Shim.column(
+      Shim.catalystExpression(lc.sparkSession, cond).transform {
+        case ua: UnresolvedAttribute if rc.columns.contains(ua.name) =>
+          UnresolvedAttribute("_r_" + ua.name)
+      })
+    val joinCond = (common.map(n => col(n) === col("_r_" + n)) :+ rewritten)
+      .reduce(_ && _)
+    lc.join(rr, joinCond, "left_outer")
+      .select(lc.columns.map(col).toSeq ++ rightOnly.map(n => col("_r_" + n).as(n)): _*)
   }
 
   /** Join solutions against VALUES inline data with SPARQL

@@ -15,6 +15,13 @@ object Shim {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Eagerly-converted catalyst expression (ExpressionUtils.expression
+    * wraps lazily in a ColumnNodeExpression, which catalyst
+    * transform/collect cannot see through — use this when the tree
+    * must be introspected or rewritten). */
+  def catalystExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
   def register(spark: SparkSession, name: String,
                builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

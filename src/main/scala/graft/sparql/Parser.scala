@@ -667,7 +667,8 @@ object Parser {
       * string terms via a double cast). */
     private val numericFns = Set("STRLEN", "ABS", "CEIL", "FLOOR", "YEAR", "MONTH", "DAY")
     private val valueFns = numericFns ++
-      Set("UCASE", "LCASE", "STR", "SUBSTR", "CONCAT", "REPLACE", "IF", "COALESCE", "BOUND")
+      Set("UCASE", "LCASE", "STR", "SUBSTR", "CONCAT", "REPLACE", "IF", "COALESCE", "BOUND",
+        "STRSTARTS", "STRENDS", "CONTAINS", "STRBEFORE", "STRAFTER", "SAMETERM")
 
     /** fn(args…) → Column. */
     private def parseCall(aggSink: Option[Column => Column]): (Column, Boolean) = {
@@ -699,6 +700,17 @@ object Parser {
         case "YEAR"     => year(to_date(a(0)))
         case "MONTH"    => month(to_date(a(0)))
         case "DAY"      => dayofmonth(to_date(a(0)))
+        case "STRSTARTS" => a(0).startsWith(a(1))
+        case "STRENDS"   => a(0).endsWith(a(1))
+        case "CONTAINS"  => a(0).contains(a(1))
+        case "SAMETERM"  => a(0) === a(1)
+        // SPARQL §17.4.3.{3,4}: empty string when the needle is absent
+        case "STRBEFORE" =>
+          when(instr(a(0), a(1)) > 0,
+            substring(a(0), lit(1), instr(a(0), a(1)) - 1)).otherwise("")
+        case "STRAFTER" =>
+          when(instr(a(0), a(1)) > 0,
+            a(0).substr(instr(a(0), a(1)) + length(a(1)), length(a(0)))).otherwise("")
       }
       (c, numericFns.contains(name))
     }

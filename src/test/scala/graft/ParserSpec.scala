@@ -146,6 +146,21 @@ class ParserSpec extends AnyFunSuite {
     assert(df.select("up").collect().forall(r => r.getString(0) == r.getString(0).toUpperCase))
   }
 
+  test("SPARQL string functions: STRENDS/STRBEFORE/STRAFTER/SAMETERM") {
+    val df = run("""SELECT ?name ?pre ?post WHERE {
+      ?r type "Region" . ?r name ?name .
+      BIND(STRBEFORE(?name, "A") AS ?pre)
+      BIND(STRAFTER(?name, "A") AS ?post)
+      FILTER(STRENDS(?name, "A") || SAMETERM(?name, "EUROPE") || CONTAINS(?name, "EAST"))
+    }""")
+    val m = df.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(m.keySet == Set("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+    assert(m("AFRICA") == ("", "FRICA"))
+    assert(m("MIDDLE EAST") == ("MIDDLE E", "ST"))
+    // needle absent → empty string, not the input (§17.4.3)
+    assert(m("EUROPE") == ("", ""))
+  }
+
   test("arithmetic and IN in expressions") {
     val df = run("""SELECT ?o ?double WHERE {
       ?o totalprice ?price .

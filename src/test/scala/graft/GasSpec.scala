@@ -6,6 +6,30 @@ import graft.gas.Analytics
 import graft.queries.GasQueries
 
 class GasSpec extends AnyFunSuite {
+
+  test("generic Pregel BFS equals the tuned Analytics.bfs") {
+    import TestSpark.{spark, SF}
+    import org.apache.spark.sql.functions._
+    val edges = graft.queries.GasQueries.hierEdges(spark, SF)
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    val init = nodes.withColumn("depth",
+      when(col("node") === "r:0", 0).otherwise(Int.MaxValue))
+    val out = graft.gas.Pregel.run(edges, init) { (state, e, _) =>
+      val msgs = state.filter(col("depth") =!= Int.MaxValue)
+        .join(e, state("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("depth") + 1).as("nd"))
+      state.join(msgs.withColumnRenamed("node", "n2"),
+          state("node") === col("n2"), "left")
+        .select(col("node"), least(col("depth"), coalesce(col("nd"), col("depth"))).as("depth"))
+    }
+    val got = out.filter(col("depth") =!= Int.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val expect = graft.gas.Analytics.bfs(edges, "r:0")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == expect)
+  }
   import TestSpark.{spark, SF}
   private lazy val hier = GasQueries.hierEdges(spark, SF)
 

@@ -236,6 +236,22 @@ object TpchRdf {
     override def searchCorpus: Option[DataFrame] =
       Some(table(spark, dir, "documents").select("doc_id", "text"))
 
+    /** DESCRIBE-set access path with prefix pruning: the node set's
+      * distinct id prefixes (≤ one per table, a driver-side collect on
+      * a broadcast-sized set) select which tables to scan at all. */
+    override def scanForSubjects(nodes: DataFrame): DataFrame = {
+      val ns = nodes.select("s").distinct()
+      val prefixes = ns
+        .select(substring_index(col("s"), ":", 1).as("p")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val tables = prefixes.flatMap(prefixTable.get).distinct
+      if (tables.isEmpty) triples.limit(0)
+      else tables
+        .map(t => explodeTriples(spark, dir, schema.find(_.name == t).get))
+        .reduce(_ unionAll _)
+        .join(ns, "s")
+    }
+
     /** Graph-scoped access path: bound predicate → narrow branch scans
       * (bound g narrows to exactly ONE scan); unbound predicate → the
       * exploded quad view, whose branch-literal g still prunes to one

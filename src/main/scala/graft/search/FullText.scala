@@ -49,7 +49,11 @@ object FullText {
     val cond =
       if (prefixMatch) col("term").startsWith(col("q_term"))
       else col("term") === col("q_term")
-    val matched = postings.join(broadcast(q), cond)
+    // two consumers (df aggregation + scoring join) — materialize the
+    // query-scoped postings once instead of re-tokenizing the corpus
+    // per subtree (at production scale the inverted index is a
+    // persisted table and this is moot)
+    val matched = postings.join(broadcast(q), cond).localCheckpoint()
     // df per matched term == its global df (all of a term's postings
     // survive the query join); countDistinct guards the prefix case
     // where one posting can match several query entries

@@ -212,7 +212,7 @@ object Compiler {
 
     case DescribeWhere(v, child) =>
       val nodes = compile(child, src).select(col(v).as("s")).distinct()
-      src.triples.join(nodes, "s")
+      src.scanForSubjects(nodes)
 
     case GraphPattern(gTerm, child) => gTerm match {
       case Const(_) =>

@@ -46,6 +46,14 @@ trait TripleSource {
     * if this source has one. */
   def searchCorpus: Option[DataFrame] = None
 
+  /** All triples whose subject is in `nodes` (one column `s`) — the
+    * DESCRIBE-set access path. Default: join the full view. Sources
+    * that can map subjects to storage units (prefix → table) may
+    * restrict the scan set first. */
+  def scanForSubjects(nodes: DataFrame): DataFrame = {
+    triples.join(nodes.select("s").distinct(), "s")
+  }
+
   /** Access path for a graph-scoped pattern: (s,p,o,g) rows matching
     * the constant positions, `g` constant included (SPOC index analog). */
   def quadScan(tp: TriplePattern, g: Term): DataFrame = {

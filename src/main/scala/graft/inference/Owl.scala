@@ -27,16 +27,38 @@ import org.apache.spark.sql.functions._
 object Owl {
 
   /** Declarative bits of the ontology (the instance data carries the
-    * `sameAs` triples themselves). */
+    * `sameAs` triples themselves). `functional` properties derive
+    * sameAs: (s p o₁) ∧ (s p o₂) ⇒ o₁ sameAs o₂
+    * (RuleOwlFunctionalProperty); `inverseFunctional` mirrors it on
+    * the subject side (RuleOwlInverseFunctionalProperty). */
   case class Ontology(transitive: Seq[String] = Nil,
                       inverses: Seq[(String, String)] = Nil,
-                      symmetric: Seq[String] = Nil)
+                      symmetric: Seq[String] = Nil,
+                      functional: Seq[String] = Nil,
+                      inverseFunctional: Seq[String] = Nil)
 
-  /** Canonical-id mapping (id → canon) from the instance's sameAs
-    * triples: min label over each sameAs connected component. */
-  def sameAsCanon(instance: DataFrame): DataFrame = {
-    val sa = instance.filter(col("p") === "sameAs")
+  /** Canonical-id mapping (id → canon) from the instance's explicit
+    * sameAs triples plus the pairs functional / inverse-functional
+    * properties entail: min label over each sameAs component. */
+  def sameAsCanon(instance: DataFrame, ont: Ontology = Ontology()): DataFrame = {
+    val explicit = instance.filter(col("p") === "sameAs")
       .select(col("s").as("src"), col("o").as("dst"))
+    // functional p: objects sharing a subject co-refer (join stays
+    // bounded: per (s, p) the value multiplicity is the point of the
+    // declaration — violations are tiny by definition)
+    val fn = ont.functional.map { p =>
+      val e = instance.filter(col("p") === p)
+      e.select(col("s").as("k"), col("o").as("src"))
+        .join(e.select(col("s").as("k"), col("o").as("dst")), "k")
+        .filter(col("src") < col("dst")).select("src", "dst")
+    }
+    val ifn = ont.inverseFunctional.map { p =>
+      val e = instance.filter(col("p") === p)
+      e.select(col("o").as("k"), col("s").as("src"))
+        .join(e.select(col("o").as("k"), col("s").as("dst")), "k")
+        .filter(col("src") < col("dst")).select("src", "dst")
+    }
+    val sa = (explicit +: (fn ++ ifn)).reduce(_ unionAll _)
     graft.gas.Analytics.connectedComponents(sa)
       .filter(col("node") =!= col("label"))
       .select(col("node").as("id"), col("label").as("canon"))
@@ -45,7 +67,7 @@ object Owl {
   /** OWL closure of (s,p,o) instance triples. sameAs triples are
     * consumed by normalization and not re-emitted. */
   def closure(instance: DataFrame, ont: Ontology): DataFrame = {
-    val canon = sameAsCanon(instance)
+    val canon = sameAsCanon(instance, ont)
 
     def normalize(df: DataFrame): DataFrame = df
       .join(broadcast(canon.withColumnRenamed("id", "s").withColumnRenamed("canon", "_cs")),

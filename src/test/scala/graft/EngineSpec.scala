@@ -32,6 +32,26 @@ class EngineSpec extends AnyFunSuite {
       ("y", "contains", "x"), ("z", "contains", "y"), ("z", "contains", "x")))
   }
 
+  test("owl: functional property entails sameAs, normalized away") {
+    // s has two 'ssn' values → they co-refer; data attached to either
+    // alias lands on the canonical id
+    val inst = Seq(
+      ("s", "ssn", "id1"), ("s", "ssn", "id2"),
+      ("id2", "label", "L")).toDF("s", "p", "o")
+    val out = Owl.closure(inst, Owl.Ontology(functional = Seq("ssn"))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(("s", "ssn", "id1"), ("id1", "label", "L")))
+  }
+
+  test("owl: inverse-functional property entails subject sameAs") {
+    val inst = Seq(
+      ("a", "email", "x@y"), ("b", "email", "x@y"),
+      ("b", "label", "L")).toDF("s", "p", "o")
+    val out = Owl.closure(inst, Owl.Ontology(inverseFunctional = Seq("email"))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(("a", "email", "x@y"), ("a", "label", "L")))
+  }
+
   test("owl: symmetric property mirrors itself") {
     val inst = Seq(("a", "knows", "b")).toDF("s", "p", "o")
     val out = Owl.closure(inst, Owl.Ontology(symmetric = Seq("knows"))).collect()

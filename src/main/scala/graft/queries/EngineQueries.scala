@@ -260,6 +260,20 @@ object EngineQueries {
       TpchRdf.quadPattern(s, dir, Some("g:supplier"), Some("acctbal"))
         .select(col("s"), col("o").as("bal")).orderBy("s")),
 
+    // SPARQL UPDATE text with GRAPH blocks against the quad store
+    "graph_update" -> ((s, dir) => {
+      val qs = graft.rdf.QuadStore(TpchRdf.quads(s, dir))
+      val ins = graft.sparql.Parser.parseUpdate(
+        """INSERT DATA {
+          |  GRAPH g:annotations { r:0 reviewed "yes" . r:1 reviewed "yes" . r:2 reviewed "no" }
+          |  GRAPH g:region { r:99 type "Region" }
+          |}""".stripMargin)
+      val del = graft.sparql.Parser.parseUpdate(
+        """DELETE DATA { GRAPH g:annotations { r:2 reviewed "no" } }""")
+      graft.sparql.Update.applyQuads(graft.sparql.Update.applyQuads(qs, ins), del)
+        .quads.groupBy("g").agg(count(lit(1)).as("n_triples")).orderBy("g")
+    }),
+
     // SPARQL 1.1 graph management: COPY / MOVE / DROP on the quad store
     // (reference: ast/CreateGraph.java family via AST2BOpUpdate)
     "graph_management" -> ((s, dir) => {
@@ -286,6 +300,18 @@ object EngineQueries {
       """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS s,
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
         |FROM supplier ORDER BY s""".stripMargin,
+
+    "graph_update" ->
+      """SELECT g, n_triples FROM (
+        |  SELECT 'g:customer' AS g, 5 * COUNT(*) AS n_triples FROM customer
+        |  UNION ALL SELECT 'g:nation', 3 * COUNT(*) FROM nation
+        |  UNION ALL SELECT 'g:region', 2 * COUNT(*) + 1 FROM region
+        |  UNION ALL SELECT 'g:supplier', 4 * COUNT(*) FROM supplier
+        |  UNION ALL SELECT 'g:orders', 6 * COUNT(*) FROM orders
+        |  UNION ALL SELECT 'g:part', 6 * COUNT(*) FROM part
+        |  UNION ALL SELECT 'g:lineitem', 10 * COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'g:annotations', 2
+        |) ORDER BY g""".stripMargin,
 
     "graph_management" ->
       """SELECT g, n_triples FROM (

@@ -108,12 +108,14 @@ final case class Describe(term: String) extends Algebra
 final case class DescribeWhere(v: String, child: Algebra) extends Algebra
 
 /** SPARQL 1.1 Update operations (reference: ast.DeleteInsertGraph,
-  * ast.InsertData, ast.DeleteData via AST2BOpUpdate). */
+  * ast.InsertData, ast.DeleteData via AST2BOpUpdate). Ground data
+  * carries an optional named graph per triple (`GRAPH g { … }` blocks);
+  * None = the default graph. */
 sealed trait UpdateOp
-/** INSERT DATA { ground triples }. */
-final case class InsertData(triples: Seq[TriplePattern]) extends UpdateOp
-/** DELETE DATA { ground triples }. */
-final case class DeleteData(triples: Seq[TriplePattern]) extends UpdateOp
+/** INSERT DATA { ground triples | GRAPH g { … } }. */
+final case class InsertData(data: Seq[(Option[String], TriplePattern)]) extends UpdateOp
+/** DELETE DATA { ground triples | GRAPH g { … } }. */
+final case class DeleteData(data: Seq[(Option[String], TriplePattern)]) extends UpdateOp
 /** DELETE { template } INSERT { template } WHERE { pattern } —
   * templates instantiated against the pre-update state, deletes
   * applied before inserts (SPARQL 1.1 Update §3.1.3). */

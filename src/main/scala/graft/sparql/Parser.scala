@@ -133,7 +133,7 @@ object Parser {
       }
       if (peekIs("INSERT")) {
         next()
-        if (peekIs("DATA")) { next(); InsertData(parseTriplesBlock()) }
+        if (peekIs("DATA")) { next(); InsertData(parseDataBlock()) }
         else { // INSERT { t } WHERE { p }
           val ins = parseTriplesBlock()
           expect("WHERE")
@@ -141,7 +141,7 @@ object Parser {
         }
       } else {
         expect("DELETE")
-        if (peekIs("DATA")) { next(); DeleteData(parseTriplesBlock()) }
+        if (peekIs("DATA")) { next(); DeleteData(parseDataBlock()) }
         else if (peekIs("WHERE")) { // DELETE WHERE { p }: pattern is template
           next()
           val saved = pos
@@ -155,6 +155,36 @@ object Parser {
           DeleteInsertWhere(del, ins, parseGroup())
         }
       }
+    }
+
+    /** { t . GRAPH g { t . t } . t … } — ground data with optional
+      * named-graph blocks. */
+    private def parseDataBlock(): Seq[(Option[String], TriplePattern)] = {
+      expect("{")
+      val out = Vector.newBuilder[(Option[String], TriplePattern)]
+      while (!peekIs("}")) {
+        if (peekIs(".")) next()
+        else if (peekIs("GRAPH")) {
+          next()
+          val g = constValue(next())
+          expect("{")
+          while (!peekIs("}")) {
+            if (peekIs(".")) next()
+            else {
+              val s = term(next()); val p = term(next()); val o = term(next())
+              out += (Some(g) -> TriplePattern(s, p, o))
+              if (peekIs(".")) next()
+            }
+          }
+          expect("}")
+        } else {
+          val s = term(next()); val p = term(next()); val o = term(next())
+          out += (None -> TriplePattern(s, p, o))
+          if (peekIs(".")) next()
+        }
+      }
+      expect("}")
+      out.result()
     }
 
     /** { t1 . t2 . … } of plain triples. */

@@ -20,8 +20,8 @@ object Update {
       sol.select(t2c(tp.s, "s"), t2c(tp.p, "p"), t2c(tp.o, "o"))
     }.reduce(_ unionAll _).distinct()
 
-  private def ground(ts: Seq[TriplePattern], store: TripleStore): DataFrame = {
-    val spark = store.triples.sparkSession
+  private def ground(ts: Seq[TriplePattern],
+                     spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     ts.map {
       case TriplePattern(Const(s), Const(p), Const(o)) => (s, p, o)
@@ -29,11 +29,12 @@ object Update {
     }.toDF("s", "p", "o")
   }
 
-  /** Apply `op` to `store`; WHERE clauses evaluate against the store's
-    * own (pre-update) triples. */
+  /** Apply `op` to a triples-mode `store` (GRAPH tags on ground data
+    * are ignored — a triple store has one graph); WHERE clauses
+    * evaluate against the store's own (pre-update) triples. */
   def apply(store: TripleStore, op: UpdateOp): TripleStore = op match {
-    case InsertData(ts) => store.insertData(ground(ts, store))
-    case DeleteData(ts) => store.deleteData(ground(ts, store))
+    case InsertData(d) => store.insertData(ground(d.map(_._2), store.triples.sparkSession))
+    case DeleteData(d) => store.deleteData(ground(d.map(_._2), store.triples.sparkSession))
     case DeleteInsertWhere(del, ins, where) =>
       val sol = Compiler.compile(where, TripleSource.plain(store.triples))
       val deletes =
@@ -41,5 +42,21 @@ object Update {
       val inserts =
         if (ins.isEmpty) store.triples.limit(0) else instantiate(ins, sol)
       store.deleteInsert(deletes, inserts)
+  }
+
+  /** Apply ground-data ops to a quads-mode store: each GRAPH block
+    * lands in its named graph, bare triples in `defaultGraph`. */
+  def applyQuads(store: graft.rdf.QuadStore, op: UpdateOp,
+                 defaultGraph: String = "g:default"): graft.rdf.QuadStore = {
+    val spark = store.quads.sparkSession
+    def byGraph(d: Seq[(Option[String], TriplePattern)]) =
+      d.groupBy(_._1.getOrElse(defaultGraph)).view.mapValues(v => ground(v.map(_._2), spark))
+    op match {
+      case InsertData(d) =>
+        byGraph(d).foldLeft(store) { case (st, (g, df)) => st.insertData(g, df) }
+      case DeleteData(d) =>
+        byGraph(d).foldLeft(store) { case (st, (g, df)) => st.deleteData(g, df) }
+      case other => sys.error(s"quads-mode update supports ground data only, got $other")
+    }
   }
 }

@@ -139,6 +139,15 @@ class SparqlSpec extends AnyFunSuite {
     assert(df.filter(col("tag") === "wild").count() == 25)
   }
 
+  test("DESCRIBE-set prefix pruning scans only the nodes' tables") {
+    val df = Compiler.compile(
+      DescribeWhere("s", Bgp(TriplePattern("?s", "type", "Supplier"))),
+      TpchRdf.source(spark, SF))
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+    assert(scans.size <= 2, s"expected <=2 scans (supplier star + supplier describe), got ${scans.size}")
+    assert(df.select("p").distinct().count() == 4) // supplier property count
+  }
+
   test("seeded (bound-endpoint) path closure equals filtered full closure") {
     val src = TpchRdf.source(spark, SF)
     val bound = Compiler.compile(

@@ -406,6 +406,20 @@ object SparqlQueries {
           |} ORDER BY ?node""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // FROM dataset clause: default graph = merge of the FROM graphs
+    "sparql_from_graph" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?s ?bal FROM g:supplier WHERE { ?s acctbal ?bal } ORDER BY ?s"""),
+        TpchRdf.source(s, dir))),
+
+    // FROM NAMED: GRAPH ?g ranges only over the named graphs
+    "sparql_from_named" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?g ?x ?n FROM NAMED g:region FROM NAMED g:nation WHERE {
+          |  GRAPH ?g { ?x name ?n }
+          |} ORDER BY ?g ?x""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // parsed text: GRAPH ?g — the graph name is a solution variable
     "graph_var_pattern" -> ((s, dir) =>
       Compiler.compile(Parser.parse(
@@ -756,6 +770,17 @@ object SparqlQueries {
         |)
         |SELECT node, CAST(MIN(depth) AS INTEGER) AS depth FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "sparql_from_graph" ->
+      """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS s,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
+        |FROM supplier ORDER BY s""".stripMargin,
+
+    "sparql_from_named" ->
+      """SELECT g, x, n FROM (
+        |  SELECT 'g:nation' AS g, 'n:'||CAST(n_nationkey AS VARCHAR) AS x, n_name AS n FROM nation
+        |  UNION ALL SELECT 'g:region', 'r:'||CAST(r_regionkey AS VARCHAR), r_name FROM region
+        |) ORDER BY g, x""".stripMargin,
 
     "graph_var_pattern" ->
       """SELECT g, x, n FROM (

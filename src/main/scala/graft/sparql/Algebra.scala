@@ -128,6 +128,12 @@ final case class DeleteInsertWhere(delete: Seq[TriplePattern],
   * a solution variable joined on shared vars. */
 final case class GraphPattern(g: Term, child: Algebra) extends Algebra
 
+/** FROM / FROM NAMED dataset clauses (DatasetNode): the default graph
+  * becomes the merge of `defaults`, and GRAPH patterns range only over
+  * `named` (when non-empty). */
+final case class DatasetClause(defaults: Seq[String], named: Seq[String],
+                               child: Algebra) extends Algebra
+
 /** Graph analytics invoked from inside a query — the reference's
   * `SERVICE gas:service { … }` (rdf/graph/impl/bd/GASService.java:136).
   * `config` keys: gasClass (bfs|cc|pr), in (seed), linkType (edge

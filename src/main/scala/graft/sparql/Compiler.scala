@@ -230,6 +230,27 @@ object Compiler {
       case v: Var => compileGraphVar(v.name, child, src)
     }
 
+    case DatasetClause(defaults, named, child) =>
+      // dataset scoping wraps the source: default-graph patterns scan
+      // the FROM graphs' merge, GRAPH patterns see only FROM NAMED
+      val scoped = new TripleSource {
+        private def merged(tp: TriplePattern): DataFrame =
+          defaults.map(g => src.quadScan(tp, Const(g)).select("s", "p", "o"))
+            .reduceOption(_ unionAll _)
+            .getOrElse(src.triples.limit(0)) // dataset given, no FROM → empty default graph
+        lazy val triples: DataFrame = merged(TriplePattern(Var("s"), Var("p"), Var("o")))
+        override def scan(tp: TriplePattern): DataFrame = merged(tp)
+        override def quads: Option[DataFrame] = src.quads
+        override def quadScan(tp: TriplePattern, g: Term): DataFrame = {
+          val base = src.quadScan(tp, g)
+          if (named.isEmpty) base else base.filter(col("g").isin(named: _*))
+        }
+        override def searchCorpus: Option[DataFrame] = src.searchCorpus
+        def fuseStar(patterns: Seq[TriplePattern],
+                     subjectTables: Option[Set[String]]): Option[DataFrame] = None
+      }
+      compile(child, scoped)
+
     case GasService(config, outNode, outVal) =>
       val conf = config.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val preds = conf.getOrElse("linkType", Nil)

@@ -279,7 +279,7 @@ object Parser {
       val distinct = if (peekIs("DISTINCT")) { next(); true } else false
       val items = Vector.newBuilder[SelItem]
       var star = false
-      while (!peekIs("WHERE")) {
+      while (!peekIs("WHERE") && !peekIs("FROM")) {
         if (peekIs("(")) {
           next()
           val e =
@@ -298,8 +298,18 @@ object Parser {
           else { require(t.startsWith("?"), s"bad projection '$t'"); items += SelVar(t.drop(1)) }
         }
       }
+      // dataset clauses: FROM <g> / FROM NAMED <g>
+      val fromDefaults = Vector.newBuilder[String]
+      val fromNamed = Vector.newBuilder[String]
+      while (peekIs("FROM")) {
+        next()
+        if (peekIs("NAMED")) { next(); fromNamed += constValue(next()) }
+        else fromDefaults += constValue(next())
+      }
       expect("WHERE")
       var alg = parseGroup()
+      val (fd, fn) = (fromDefaults.result(), fromNamed.result())
+      if (fd.nonEmpty || fn.nonEmpty) alg = DatasetClause(fd, fn, alg)
       val its = items.result()
 
       // GROUP BY / HAVING

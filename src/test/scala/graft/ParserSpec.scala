@@ -118,6 +118,13 @@ class ParserSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("FROM and FROM NAMED dataset clauses") {
+    val d = run("""SELECT ?s ?o FROM g:region WHERE { ?s name ?o }""")
+    assert(d.count() == 5) // default graph = region only
+    val n = run("""SELECT ?g FROM NAMED g:region WHERE { GRAPH ?g { ?x name ?n } }""")
+    assert(n.select("g").distinct().collect().map(_.getString(0)).toSeq == Seq("g:region"))
+  }
+
   test("GRAPH with constant and variable graph") {
     val c = run("""SELECT ?s ?bal WHERE { GRAPH g:supplier { ?s acctbal ?bal } }""")
     assert(c.count() == TpchRdf.table(spark, SF, "supplier").count())

@@ -274,6 +274,18 @@ object EngineQueries {
         .quads.groupBy("g").agg(count(lit(1)).as("n_triples")).orderBy("g")
     }),
 
+    // WITH <g> DELETE/INSERT WHERE — graph-scoped update via text
+    "graph_with_update" -> ((s, dir) => {
+      val qs = graft.rdf.QuadStore(TpchRdf.quads(s, dir))
+      val op = graft.sparql.Parser.parseUpdate(
+        """WITH g:region
+          |DELETE { ?r name ?n }
+          |INSERT { ?r label ?n }
+          |WHERE { ?r name ?n }""".stripMargin)
+      graft.sparql.Update.applyQuads(qs, op)
+        .graph("g:region").orderBy("s", "p", "o")
+    }),
+
     // SPARQL 1.1 graph management: COPY / MOVE / DROP on the quad store
     // (reference: ast/CreateGraph.java family via AST2BOpUpdate)
     "graph_management" -> ((s, dir) => {
@@ -300,6 +312,12 @@ object EngineQueries {
       """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS s,
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
         |FROM supplier ORDER BY s""".stripMargin,
+
+    "graph_with_update" ->
+      """SELECT s, p, o FROM (
+        |  SELECT 'r:'||CAST(r_regionkey AS VARCHAR) AS s, 'type' AS p, 'Region' AS o FROM region
+        |  UNION ALL SELECT 'r:'||CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region
+        |) ORDER BY s, p, o""".stripMargin,
 
     "graph_update" ->
       """SELECT g, n_triples FROM (

@@ -122,6 +122,9 @@ final case class DeleteData(data: Seq[(Option[String], TriplePattern)]) extends 
 final case class DeleteInsertWhere(delete: Seq[TriplePattern],
                                    insert: Seq[TriplePattern],
                                    where: Algebra) extends UpdateOp
+/** WITH <g> DELETE/INSERT WHERE — the op's WHERE and templates are
+  * scoped to one named graph (§3.1.3 WITH). */
+final case class WithGraph(g: String, op: DeleteInsertWhere) extends UpdateOp
 
 /** GRAPH g { child } — graph-scoped pattern group. A Const `g` scopes
   * every pattern to one named graph; a Var `g` binds the graph name as

@@ -131,7 +131,15 @@ object Parser {
           prefixes += (name.dropRight(1) -> iri.drop(1).dropRight(1))
         }
       }
-      if (peekIs("INSERT")) {
+      if (peekIs("WITH")) {
+        next()
+        val g = constValue(next())
+        val inner = parseUpdateTop()
+        inner match {
+          case op: DeleteInsertWhere => WithGraph(g, op)
+          case other => sys.error(s"WITH <g> requires DELETE/INSERT WHERE, got $other")
+        }
+      } else if (peekIs("INSERT")) {
         next()
         if (peekIs("DATA")) { next(); InsertData(parseDataBlock()) }
         else { // INSERT { t } WHERE { p }

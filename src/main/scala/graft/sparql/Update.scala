@@ -56,7 +56,13 @@ object Update {
         byGraph(d).foldLeft(store) { case (st, (g, df)) => st.insertData(g, df) }
       case DeleteData(d) =>
         byGraph(d).foldLeft(store) { case (st, (g, df)) => st.deleteData(g, df) }
-      case other => sys.error(s"quads-mode update supports ground data only, got $other")
+      case WithGraph(g, DeleteInsertWhere(del, ins, where)) =>
+        // WHERE and templates evaluate against graph g only (§3.1.3)
+        val sol = Compiler.compile(where, TripleSource.plain(store.graph(g)))
+        val st1 =
+          if (del.isEmpty) store else store.deleteData(g, instantiate(del, sol))
+        if (ins.isEmpty) st1 else st1.insertData(g, instantiate(ins, sol))
+      case other => sys.error(s"quads-mode update supports ground data and WITH-scoped ops, got $other")
     }
   }
 }

@@ -79,6 +79,24 @@ class EngineSpec extends AnyFunSuite {
     assert(store.moveGraph("g:a", "g:a").graph("g:a").count() == 2)
   }
 
+  test("quad update: GRAPH blocks route per graph; WITH scopes WHERE") {
+    import graft.sparql.{Parser, Update}
+    val qs = QuadStore(Seq(("s1", "p", "o1", "g:a")).toDF("s", "p", "o", "g"))
+    val ins = Parser.parseUpdate("""INSERT DATA { x p y . GRAPH g:b { q r t } }""")
+    val after = Update.applyQuads(qs, ins)
+    assert(after.graph("g:default").count() == 1)
+    assert(after.graph("g:b").count() == 1)
+    assert(after.graph("g:a").count() == 1)
+    val del = Parser.parseUpdate("""DELETE DATA { GRAPH g:b { q r t } }""")
+    assert(Update.applyQuads(after, del).graph("g:b").count() == 0)
+    val wit = Parser.parseUpdate(
+      """WITH g:a DELETE { ?s p ?o } INSERT { ?s p2 ?o } WHERE { ?s p ?o }""")
+    val scoped = Update.applyQuads(after, wit)
+    assert(scoped.graph("g:a").collect().map(_.getString(1)).toSeq == Seq("p2"))
+    // the default graph's (x p y) is untouched by the WITH-scoped op
+    assert(scoped.graph("g:default").collect().map(_.getString(1)).toSeq == Seq("p"))
+  }
+
   test("geo: z-order interleave is monotone in cell locality") {
     val pts = Seq((0L, 10.0, 20.0), (1L, 10.01, 20.01), (2L, -80.0, 170.0))
       .toDF("k", "lat", "lon")

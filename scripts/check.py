@@ -23,7 +23,7 @@ def canon(df):
     rows = sorted(tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None))
     return rows
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -32,6 +32,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
@@ -67,6 +69,8 @@ def main(sf_dir, out_dir):
     # queries with no oracle → rows-only
     for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(res_dir.rstrip("/"))
+        if only and name not in only:
+            continue
         if name not in oracle:
             n = con.execute(f"SELECT count(*) FROM '{res_dir}/*.parquet'").fetchone()[0]
             print(f"ROWS {name}: {n}")
@@ -74,4 +78,5 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))

@@ -69,10 +69,15 @@ object Owl {
   def closure(instance: DataFrame, ont: Ontology): DataFrame = {
     val canon = sameAsCanon(instance, ont)
 
+    // The canonical map is INSTANCE-derived (explicit sameAs triples +
+    // functional-property entailments) — unlike the ontology tables it
+    // is not broadcast-sized by definition and can reach billions of
+    // rows on a web-scale corpus. No broadcast hint: AQE broadcasts
+    // when the runtime size estimate fits, shuffles otherwise.
     def normalize(df: DataFrame): DataFrame = df
-      .join(broadcast(canon.withColumnRenamed("id", "s").withColumnRenamed("canon", "_cs")),
+      .join(canon.withColumnRenamed("id", "s").withColumnRenamed("canon", "_cs"),
         Seq("s"), "left")
-      .join(broadcast(canon.withColumnRenamed("id", "o").withColumnRenamed("canon", "_co")),
+      .join(canon.withColumnRenamed("id", "o").withColumnRenamed("canon", "_co"),
         Seq("o"), "left")
       .select(coalesce(col("_cs"), col("s")).as("s"), col("p"),
               coalesce(col("_co"), col("o")).as("o"))

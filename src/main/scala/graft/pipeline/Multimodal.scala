@@ -42,17 +42,26 @@ object Multimodal {
     }
   }
 
-  /** End-to-end demo pipeline: documents → synthetic binary media
-    * column (utf-8 bytes; stands in for real image payloads) →
-    * per-partition decode → typed metadata table. */
-  def decodeDocuments(spark: SparkSession, docsDir: String): DataFrame = {
+  /** documents → synthetic binary media column (utf-8 bytes; stands in
+    * for real image payloads), laid out for a codec stage. Parallelism
+    * is a KNOB (defaults to the cluster's `defaultParallelism`), never
+    * a constant — a hardcoded count would collapse a 100-TB decode
+    * onto a handful of tasks. */
+  def mediaOf(spark: SparkSession, docsDir: String,
+              parallelism: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
-    val media = spark.read.parquet(docsDir)
+    val n = if (parallelism > 0) parallelism
+            else spark.sparkContext.defaultParallelism
+    spark.read.parquet(docsDir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .as[MediaRow]
-      .repartition(8, col("doc_id"))   // partition layout a codec stage would use
-    decode(media).toDF()
+      .repartition(n, col("doc_id"))
   }
+
+  /** End-to-end demo pipeline: documents → media bytes →
+    * per-partition decode → typed metadata table. */
+  def decodeDocuments(spark: SparkSession, docsDir: String): DataFrame =
+    decode(mediaOf(spark, docsDir)).toDF()
 
   /** Fit decoded dimensions into a maxW×maxH box preserving aspect
     * (never upscaling) — the metadata half of a resize stage; the
@@ -91,14 +100,8 @@ object Multimodal {
   }
 
   /** documents → media bytes → sampled frame table. */
-  def frameDocuments(spark: SparkSession, docsDir: String): DataFrame = {
-    import spark.implicits._
-    val media = spark.read.parquet(docsDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-      .as[MediaRow]
-      .repartition(8, col("doc_id"))
-    sampleFrames(media).toDF()
-  }
+  def frameDocuments(spark: SparkSession, docsDir: String): DataFrame =
+    sampleFrames(mediaOf(spark, docsDir)).toDF()
 
   case class FeatureRow(doc_id: Long, sum_bytes: Long, n_bytes: Int,
                         n_distinct: Int, checksum: Long)
@@ -128,15 +131,9 @@ object Multimodal {
   }
 
   /** documents → media bytes → per-partition feature extraction. */
-  def featureDocuments(spark: SparkSession, docsDir: String): DataFrame = {
-    import spark.implicits._
-    val media = spark.read.parquet(docsDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-      .as[MediaRow]
-      .repartition(8, col("doc_id"))
-    extractFeatures(media).toDF()
+  def featureDocuments(spark: SparkSession, docsDir: String): DataFrame =
+    extractFeatures(mediaOf(spark, docsDir)).toDF()
       .select(col("doc_id"),
         round(col("sum_bytes").cast("double") / col("n_bytes"), 4).as("mean_byte"),
         col("n_distinct"), col("checksum"))
-  }
 }

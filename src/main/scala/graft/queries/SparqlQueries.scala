@@ -371,7 +371,7 @@ object SparqlQueries {
           |  BIND(UCASE(?brand) AS ?ub)
           |  BIND(SUBSTR(?pname, 1, 4) AS ?pre)
           |  BIND(STRLEN(?pname) * 2 + 1 AS ?dbl)
-          |  FILTER(STRLEN(?pname) > 12 && ?brand IN ("Brand#1", "Brand#2", "Brand#3"))
+          |  FILTER(STRLEN(?pname) > 7 && ?brand IN ("Brand#2", "Brand#19", "Brand#4"))
           |} ORDER BY ?p""".stripMargin),
         TpchRdf.source(s, dir))),
 
@@ -741,7 +741,7 @@ object SparqlQueries {
         |  length(p_name) AS nlen, upper(p_brand) AS ub, substr(p_name, 1, 4) AS pre,
         |  CAST(length(p_name) * 2 + 1 AS DOUBLE) AS dbl
         |FROM part
-        |WHERE length(p_name) > 12 AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |WHERE length(p_name) > 7 AND p_brand IN ('Brand#2', 'Brand#19', 'Brand#4')
         |ORDER BY p""".stripMargin,
 
     "fulltext_service" ->

@@ -105,7 +105,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count() == docs.count())
     val twice = Multimodal.decodeDocuments(spark, s"$SF/documents.parquet")
     assert(out.exceptAll(twice).isEmpty && twice.exceptAll(out).isEmpty)
-    assert(out.rdd.getNumPartitions == 8)
+    // parallelism is a knob, defaulting to the cluster's parallelism
+    assert(out.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    val four = Multimodal.decode(
+      Multimodal.mediaOf(spark, s"$SF/documents.parquet", parallelism = 4))
+    assert(four.rdd.getNumPartitions == 4)
   }
 
   test("custom expressions register for SQL use") {

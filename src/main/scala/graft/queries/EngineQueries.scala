@@ -66,10 +66,12 @@ object EngineQueries {
         .orderBy("k")),
 
     // SymmetricOneStep DESCRIBE: triples where the node is subject OR
-    // object (DescribeModeEnum.SymmetricOneStep)
+    // object (DescribeModeEnum.SymmetricOneStep). The object side uses
+    // the OPS-analog access path: only branches that can reference the
+    // node's table are scanned, not the full view.
     "describe_sym" -> ((s, dir) =>
       TpchRdf.triplesForSubject(s, dir, "n:3")
-        .unionAll(TpchRdf.triples(s, dir).filter(col("o") === "n:3"))
+        .unionAll(TpchRdf.triplesForObject(s, dir, "n:3"))
         .distinct().orderBy("s", "p", "o")),
 
     // OWL rules: sameAs normalization + TransitiveProperty closure +

@@ -132,6 +132,43 @@ object TpchRdf {
       case None => triples(spark, dir).filter(col("s") === lit(subjectId))
     }
 
+  /** Bound-OBJECT access path — the OPS-index analog (reference:
+    * key-order selection in com.bigdata.rdf.spo.SPOKeyOrder /
+    * AbstractTripleStore; an object-bound pattern picks the OSP/OCSP
+    * index there). Branch selection by the object TERM TYPE:
+    *
+    *  - an id-shaped constant (`n:3`, known prefix) is an IRI-analog;
+    *    by RDF term-type disjointness (IRIs vs literals) it can only
+    *    be produced by the reference predicates targeting its table,
+    *    so the scan prunes to those branches — "what points at X" is
+    *    2-3 narrow scans with the equality pushed down, never a
+    *    full-corpus scan;
+    *  - any other constant is a literal-analog: reference branches
+    *    are pruned instead, and each literal-valued branch is a
+    *    narrow per-column scan with the pushed equality (zone-map
+    *    prunable at parquet level).
+    */
+  def triplesForObject(spark: SparkSession, dir: String, obj: String,
+                       graph: Boolean = false): DataFrame = {
+    val target = subjectTable(obj)
+    val branches = for {
+      td <- schema
+      (p, o) <- td.props
+      if (target match {
+        case Some(t) => refTargets.get(p).contains(t)
+        case None    => !refTargets.contains(p)
+      })
+    } yield {
+      val base = table(spark, dir, td.name)
+        .filter(o.cast("string") === lit(obj))
+        .select(td.subject.as("s"), lit(p).as("p"), o.cast("string").as("o"))
+      if (graph) base.withColumn("g", lit("g:" + td.name)) else base
+    }
+    val empty =
+      if (graph) quads(spark, dir).limit(0) else triples(spark, dir).limit(0)
+    if (branches.isEmpty) empty else branches.reduce(_ unionAll _)
+  }
+
   /** Per-predicate branch view restricted to `tables`. Predicate
     * filters constant-fold per branch (each branch carries a literal
     * `p`), so callers that filter on `p` get narrow single-column
@@ -252,17 +289,30 @@ object TpchRdf {
         .join(ns, "s")
     }
 
-    /** Graph-scoped access path: bound predicate → narrow branch scans
-      * (bound g narrows to exactly ONE scan); unbound predicate → the
+    /** Graph-scoped access path (SPOC analog): bound predicate →
+      * narrow branch scans (bound g narrows to exactly ONE scan);
+      * bound object → ref-branch-pruned scans (OCSP analog); bound
+      * subject → its prefix-resolved table only; otherwise the
       * exploded quad view, whose branch-literal g still prunes to one
       * table when g is bound. */
     override def quadScan(tp: TriplePattern, g: Term): DataFrame = {
       val gOpt = g match { case Const(v) => Some(v); case _ => None }
-      val base = tp.p match {
-        case Const(p) => quadPattern(spark, dir, gOpt, Some(p))
+      val base = (tp.p, tp.o) match {
+        case (Const(p), _) => quadPattern(spark, dir, gOpt, Some(p))
+        case (_, Const(ov)) =>
+          val ob = triplesForObject(spark, dir, ov, graph = true)
+          gOpt.map(gv => ob.filter(col("g") === lit(gv))).getOrElse(ob)
         case _ =>
-          val q = TpchRdf.quads(spark, dir)
-          gOpt.map(gv => q.filter(col("g") === lit(gv))).getOrElse(q)
+          val tds = schema
+            .filter(td => gOpt.forall(_ == "g:" + td.name))
+            .filter(td => tp.s match {
+              case Const(sv) => subjectTable(sv).contains(td.name)
+              case _         => true
+            })
+          if (tds.isEmpty) TpchRdf.quads(spark, dir).limit(0)
+          else tds.map(td => explodeTriples(spark, dir, td)
+                 .withColumn("g", lit("g:" + td.name)))
+            .reduce(_ unionAll _)
       }
       Seq("s" -> tp.s, "o" -> tp.o).foldLeft(base) {
         case (df, (c, Const(v))) => df.filter(col(c) === lit(v))
@@ -274,8 +324,10 @@ object TpchRdf {
       *  - bound predicate → narrow per-table branch scans of only the
       *    tables defining that predicate (POS-index analog);
       *  - bound subject   → ONE exploded scan of the subject's table,
-      *    resolved from its id prefix (OSP-index analog);
-      *  - neither bound   → exploded full view, one scan per table. */
+      *    resolved from its id prefix (SPO-index analog);
+      *  - bound object    → only the branches whose object term type
+      *    can produce the constant (OPS-index analog);
+      *  - nothing bound   → exploded full view, one scan per table. */
     override def scan(tp: TriplePattern): DataFrame = tp.p match {
       case Const(p) =>
         val branches = schema.filter(_.propMap.contains(p)).map { td =>
@@ -294,13 +346,15 @@ object TpchRdf {
         if (branches.isEmpty) triples.limit(0)
         else branches.reduce(_ unionAll _)
       case _ =>
-        val base = tp.s match {
-          case Const(sv) => triplesForSubject(spark, dir, sv)
-          case _         => triples
-        }
-        tp.o match {
-          case Const(v) => base.filter(col("o") === lit(v))
-          case _        => base
+        (tp.s, tp.o) match {
+          case (Const(sv), _) =>
+            val base = triplesForSubject(spark, dir, sv)
+            tp.o match {
+              case Const(v) => base.filter(col("o") === lit(v))
+              case _        => base
+            }
+          case (_, Const(ov)) => triplesForObject(spark, dir, ov)
+          case _              => triples
         }
     }
 

@@ -37,6 +37,39 @@ class SparqlSpec extends AnyFunSuite {
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
   }
 
+  test("bound-object id pattern scans only referencing branches (OPS analog)") {
+    val src = TpchRdf.source(spark, SF)
+    // n:3 is referenced only by customer.nation and supplier.nation
+    val df = Compiler.compile(Bgp(TriplePattern("?s", "?p", "n:3")), src)
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+    assert(scans.size == 2, s"expected 2 scans (customer+supplier), got ${scans.size}")
+    val want = tri.filter(col("o") === "n:3").select("s", "p")
+    assert(df.exceptAll(want).isEmpty && want.exceptAll(df).isEmpty)
+    // r:1 is referenced only from nation.region
+    val dfr = Compiler.compile(Bgp(TriplePattern("?s", "?p", "r:1")), src)
+    assert(dfr.queryExecution.sparkPlan.collectLeaves().size == 1)
+    // nothing references lineitem ids: statically empty, zero scans
+    val dfl = Compiler.compile(Bgp(TriplePattern("?s", "?p", "l:1:1")), src)
+    assert(dfl.count() == 0)
+  }
+
+  test("bound-object literal pattern prunes ref branches and matches the view") {
+    val df = Compiler.compile(Bgp(TriplePattern("?s", "?p", "BUILDING")),
+      TpchRdf.source(spark, SF))
+    val want = tri.filter(col("o") === "BUILDING").select("s", "p")
+    assert(df.exceptAll(want).isEmpty && want.exceptAll(df).isEmpty)
+    assert(df.count() > 0)
+  }
+
+  test("bound-object quad pattern prunes to referencing branches with graph col") {
+    val src = TpchRdf.source(spark, SF)
+    val df = src.quadScan(TriplePattern("?s", "?p", "n:3"), Var("g"))
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
+    assert(scans.size == 2, s"expected 2 scans, got ${scans.size}")
+    assert(df.select("g").distinct().collect().map(_.getString(0)).toSet ==
+      Set("g:customer", "g:supplier"))
+  }
+
   test("star fusion + range typing compile a 5-pattern BGP to 2 scans") {
     val df = Compiler.compile(
       Bgp(TriplePattern("?c", "mktsegment", "BUILDING"),

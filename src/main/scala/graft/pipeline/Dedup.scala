@@ -62,7 +62,10 @@ object Dedup {
     val sets = shingleSets(docs, n)
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
     val posts = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("c"))
+    // dfreq is vocabulary-sized (an aggregate, orders of magnitude
+    // smaller than the corpus) — persisted because both the candidate
+    // filter and the viral-cap precheck read it
+    val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("c")).persist()
     // a shingle occurring in a single doc can't produce a pair, and one
     // above the df cap would go quadratic — drop both from candidate
     // generation before the self-join
@@ -74,17 +77,27 @@ object Dedup {
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter_c"))
-    // viral-shingle correction: for the (few) shingles above the cap,
-    // count their contribution per CANDIDATE pair — cost is
-    // |candidates| × viral-shingles-per-doc, never viral-df²
-    val viralPosts = posts.join(dfreq.filter(col("c") > maxDf).select("sh"), "sh")
-    val interV = interC.select("a", "b")
-      .join(viralPosts.select(col("doc_id").as("a"), col("sh")), "a")
-      .join(viralPosts.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter_v"))
-    val inter = interC.join(interV, Seq("a", "b"), "left")
-      .select(col("a"), col("b"),
-        (col("inter_c") + coalesce(col("inter_v"), lit(0L))).as("inter"))
+    // viral-shingle correction is PAY-AS-YOU-GO: its two extra joins
+    // on the candidate set exist only when some shingle actually
+    // exceeds the cap (one cheap aggregate on the persisted dfreq
+    // decides — usually false, and then the plan carries no
+    // correction shuffles at all)
+    val hasViral = maxDf != Long.MaxValue && !dfreq.filter(col("c") > maxDf).isEmpty
+    val inter = if (!hasViral) {
+      interC.select(col("a"), col("b"), col("inter_c").as("inter"))
+    } else {
+      // for the (few) shingles above the cap, count their contribution
+      // per CANDIDATE pair — cost is |candidates| × viral-shingles-
+      // per-doc, never viral-df²
+      val viralPosts = posts.join(dfreq.filter(col("c") > maxDf).select("sh"), "sh")
+      val interV = interC.select("a", "b")
+        .join(viralPosts.select(col("doc_id").as("a"), col("sh")), "a")
+        .join(viralPosts.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter_v"))
+      interC.join(interV, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (col("inter_c") + coalesce(col("inter_v"), lit(0L))).as("inter"))
+    }
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")

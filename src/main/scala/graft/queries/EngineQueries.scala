@@ -297,6 +297,29 @@ object EngineQueries {
         .dropGraph("g:part")
       qs.quads.groupBy("g").agg(count(lit(1)).as("n_triples")).orderBy("g")
     }),
+
+    // TEXT-form graph management: a full ';'-separated UPDATE request
+    // (CLEAR/COPY/MOVE/DROP/CREATE/ADD + INSERT DATA + LOAD from an
+    // N-Triples file) parsed and applied in request order (reference:
+    // ast/CreateGraph.java family + ast/LoadGraph via AST2BOpUpdate)
+    "graph_mgmt_text" -> ((s, dir) => {
+      val nt = java.nio.file.Files.createTempFile("graft_load", ".nt")
+      java.nio.file.Files.writeString(nt,
+        "<urn:graft:x:1> <urn:graft:note> \"alpha\" .\n" +
+        "<urn:graft:x:2> <urn:graft:note> \"beta\" .\n")
+      val ops = graft.sparql.Parser.parseUpdates(
+        s"""CLEAR GRAPH g:part ;
+           |COPY g:nation TO g:staging ;
+           |MOVE g:region TO g:archive ;
+           |DROP SILENT GRAPH g:lineitem ;
+           |CREATE GRAPH g:fresh ;
+           |ADD g:archive TO g:staging ;
+           |INSERT DATA { GRAPH g:staging { y:1 note "gamma" } } ;
+           |LOAD <file://$nt> INTO GRAPH g:loaded""".stripMargin)
+      graft.sparql.Update
+        .applyQuadsSeq(graft.rdf.QuadStore(TpchRdf.quads(s, dir)), ops)
+        .quads.groupBy("g").agg(count(lit(1)).as("n_triples")).orderBy("g")
+    }),
   )
 
   val quadOracles: Map[String, String] = Map(
@@ -342,6 +365,18 @@ object EngineQueries {
         |  UNION ALL SELECT 'g:supplier', 4 * COUNT(*) FROM supplier
         |  UNION ALL SELECT 'g:orders', 6 * COUNT(*) FROM orders
         |  UNION ALL SELECT 'g:lineitem', 10 * COUNT(*) FROM lineitem
+        |) ORDER BY g""".stripMargin,
+
+    "graph_mgmt_text" ->
+      """SELECT g, n_triples FROM (
+        |  SELECT 'g:customer' AS g, 5 * COUNT(*) AS n_triples FROM customer
+        |  UNION ALL SELECT 'g:nation', 3 * COUNT(*) FROM nation
+        |  UNION ALL SELECT 'g:staging',
+        |    3 * (SELECT COUNT(*) FROM nation) + 2 * (SELECT COUNT(*) FROM region) + 1
+        |  UNION ALL SELECT 'g:archive', 2 * COUNT(*) FROM region
+        |  UNION ALL SELECT 'g:supplier', 4 * COUNT(*) FROM supplier
+        |  UNION ALL SELECT 'g:orders', 6 * COUNT(*) FROM orders
+        |  UNION ALL SELECT 'g:loaded', CAST(2 AS BIGINT)
         |) ORDER BY g""".stripMargin,
   )
 

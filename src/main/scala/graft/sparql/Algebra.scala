@@ -126,6 +126,35 @@ final case class DeleteInsertWhere(delete: Seq[TriplePattern],
   * scoped to one named graph (§3.1.3 WITH). */
 final case class WithGraph(g: String, op: DeleteInsertWhere) extends UpdateOp
 
+/** Text-form graph management (reference: ast/CreateGraph.java:48 and
+  * siblings ClearGraph/DropGraph/CopyGraph/MoveGraph/AddGraph,
+  * evaluated in ast/eval/AST2BOpUpdate.java). A `None` graph means the
+  * default graph; SILENT suppresses errors (moot for most ops here —
+  * graphs exist implicitly in a lazy view). */
+final case class CreateGraph(g: String, silent: Boolean = false) extends UpdateOp
+/** DROP [SILENT] GRAPH <g> | DEFAULT. */
+final case class DropGraph(g: Option[String], silent: Boolean = false) extends UpdateOp
+/** CLEAR [SILENT] GRAPH <g> | DEFAULT — same row-level effect as DROP
+  * in a view-backed store (the graph's triples vanish). */
+final case class ClearGraph(g: Option[String], silent: Boolean = false) extends UpdateOp
+/** CLEAR ALL / DROP ALL. */
+case object ClearAll extends UpdateOp
+/** COPY [SILENT] <from> TO <to>. */
+final case class CopyGraph(from: Option[String], to: Option[String],
+                           silent: Boolean = false) extends UpdateOp
+/** MOVE [SILENT] <from> TO <to>. */
+final case class MoveGraph(from: Option[String], to: Option[String],
+                           silent: Boolean = false) extends UpdateOp
+/** ADD [SILENT] <from> TO <to>. */
+final case class AddGraph(from: Option[String], to: Option[String],
+                          silent: Boolean = false) extends UpdateOp
+/** LOAD [SILENT] <source> [INTO GRAPH <g>] — source is a parquet
+  * (s,p,o) table or an N-Triples text file (reference:
+  * ast/LoadGraph.java via AST2BOpUpdate; the driver there is the
+  * RDF parser pipeline, here a Spark read). */
+final case class Load(source: String, graph: Option[String],
+                      silent: Boolean = false) extends UpdateOp
+
 /** GRAPH g { child } — graph-scoped pattern group. A Const `g` scopes
   * every pattern to one named graph; a Var `g` binds the graph name as
   * a solution variable joined on shared vars. */

@@ -43,6 +43,11 @@ object Parser {
   def parseUpdate(update: String): UpdateOp =
     new Parser(tokenize(update)).parseUpdateTop()
 
+  /** Parse a full UPDATE request: ';'-separated operation sequence
+    * (SPARQL 1.1 Update grammar [29] Update). */
+  def parseUpdates(update: String): Seq[UpdateOp] =
+    new Parser(tokenize(update)).parseUpdateSeq()
+
   // ---- tokenizer ----
   private val symbolChars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_:#-.".toSet
 
@@ -122,6 +127,25 @@ object Parser {
       parseSelect()
     }
 
+    def parseUpdateSeq(): Seq[UpdateOp] = {
+      val out = Vector.newBuilder[UpdateOp]
+      out += parseUpdateTop()
+      while (peekIs(";")) {
+        next()
+        if (peek != "<eof>") out += parseUpdateTop() // trailing ';' ok
+      }
+      require(peek == "<eof>", s"trailing tokens after update sequence: '$peek'")
+      out.result()
+    }
+
+    /** GRAPH <g> | DEFAULT | <g> — None = the default graph. */
+    private def graphOrDefault(): Option[String] =
+      if (peekIs("DEFAULT")) { next(); None }
+      else { if (peekIs("GRAPH")) next(); Some(constValue(next())) }
+
+    private def silentFlag(): Boolean =
+      if (peekIs("SILENT")) { next(); true } else false
+
     def parseUpdateTop(): UpdateOp = {
       while (peekIs("PREFIX") || peekIs("BASE")) {
         if (peekIs("BASE")) { next(); next() }
@@ -131,7 +155,39 @@ object Parser {
           prefixes += (name.dropRight(1) -> iri.drop(1).dropRight(1))
         }
       }
-      if (peekIs("WITH")) {
+      if (peekIs("LOAD")) {
+        next()
+        val silent = silentFlag()
+        val src = constValue(next())
+        val g = if (peekIs("INTO")) { next(); expect("GRAPH"); Some(constValue(next())) }
+                else None
+        Load(src, g, silent)
+      } else if (peekIs("CREATE")) {
+        next()
+        val silent = silentFlag()
+        expect("GRAPH")
+        CreateGraph(constValue(next()), silent)
+      } else if (peekIs("CLEAR") || peekIs("DROP")) {
+        val kw = next()
+        val silent = silentFlag()
+        if (peekIs("ALL")) { next(); ClearAll }
+        else {
+          val g = graphOrDefault()
+          if (kw.equalsIgnoreCase("DROP")) DropGraph(g, silent)
+          else ClearGraph(g, silent)
+        }
+      } else if (peekIs("COPY") || peekIs("MOVE") || peekIs("ADD")) {
+        val kw = next()
+        val silent = silentFlag()
+        val from = graphOrDefault()
+        expect("TO")
+        val to = graphOrDefault()
+        kw.toUpperCase match {
+          case "COPY" => CopyGraph(from, to, silent)
+          case "MOVE" => MoveGraph(from, to, silent)
+          case _      => AddGraph(from, to, silent)
+        }
+      } else if (peekIs("WITH")) {
         next()
         val g = constValue(next())
         val inner = parseUpdateTop()

@@ -42,6 +42,8 @@ object Update {
       val inserts =
         if (ins.isEmpty) store.triples.limit(0) else instantiate(ins, sol)
       store.deleteInsert(deletes, inserts)
+    case other =>
+      sys.error(s"triples-mode update supports ground data and DELETE/INSERT WHERE, got $other")
   }
 
   /** Apply ground-data ops to a quads-mode store: each GRAPH block
@@ -62,7 +64,51 @@ object Update {
         val st1 =
           if (del.isEmpty) store else store.deleteData(g, instantiate(del, sol))
         if (ins.isEmpty) st1 else st1.insertData(g, instantiate(ins, sol))
-      case other => sys.error(s"quads-mode update supports ground data and WITH-scoped ops, got $other")
+      // -- text-form graph management (ast/CreateGraph.java family) --
+      case CreateGraph(g, _)   => store.createGraph(g)
+      case DropGraph(g, _)     => store.dropGraph(g.getOrElse(defaultGraph))
+      case ClearGraph(g, _)    => store.dropGraph(g.getOrElse(defaultGraph))
+      case ClearAll            => store.clear()
+      case CopyGraph(f, t, _)  =>
+        store.copyGraph(f.getOrElse(defaultGraph), t.getOrElse(defaultGraph))
+      case MoveGraph(f, t, _)  =>
+        store.moveGraph(f.getOrElse(defaultGraph), t.getOrElse(defaultGraph))
+      case AddGraph(f, t, _)   =>
+        store.addGraph(f.getOrElse(defaultGraph), t.getOrElse(defaultGraph))
+      case Load(src, g, silent) =>
+        try store.insertData(g.getOrElse(defaultGraph), loadTriples(spark, src))
+        catch { case e: Exception if silent => store }
+      case other => sys.error(s"quads-mode update supports ground data, WITH-scoped ops and graph management, got $other")
+    }
+  }
+
+  /** Apply a ';'-separated op sequence in request order. */
+  def applyQuadsSeq(store: graft.rdf.QuadStore, ops: Seq[UpdateOp],
+                    defaultGraph: String = "g:default"): graft.rdf.QuadStore =
+    ops.foldLeft(store)(applyQuads(_, _, defaultGraph))
+
+  /** LOAD source reader: a parquet (s,p,o) table, or an N-Triples text
+    * file (`<s> <p> <o|"lit"> .` per line — the subset our term model
+    * produces). Term IRIs under the engine base intern to local names,
+    * matching the parser. A distributed text read, not a driver loop. */
+  def loadTriples(spark: org.apache.spark.sql.SparkSession, source: String): DataFrame = {
+    val path = source.stripPrefix("file://")
+    val base = graft.sparql.Parser.Base
+    def intern(c: Column): Column =
+      when(c.startsWith(base), c.substr(lit(base.length + 1), length(c))).otherwise(c)
+    if (path.endsWith(".parquet")) spark.read.parquet(path).select("s", "p", "o")
+    else {
+      val pat = """^\s*(<[^>]*>)\s+(<[^>]*>)\s+(<[^>]*>|"[^"]*")\s*\.\s*$"""
+      def unwrap(c: Column): Column =
+        when(c.startsWith("<"), intern(c.substr(lit(2), length(c) - 2)))
+          .otherwise(regexp_replace(c, "^\"|\"$", ""))
+      spark.read.text(path)
+        .select(regexp_extract(col("value"), pat, 1).as("rs"),
+                regexp_extract(col("value"), pat, 2).as("rp"),
+                regexp_extract(col("value"), pat, 3).as("ro"))
+        .filter(col("rs") =!= "")
+        .select(unwrap(col("rs")).as("s"), unwrap(col("rp")).as("p"),
+                unwrap(col("ro")).as("o"))
     }
   }
 }

@@ -97,6 +97,46 @@ class EngineSpec extends AnyFunSuite {
     assert(scoped.graph("g:default").collect().map(_.getString(1)).toSeq == Seq("p"))
   }
 
+  test("text-form graph management: sequence, SILENT, DEFAULT, LOAD") {
+    import graft.sparql.{Parser, Update}
+    import graft.sparql._
+    val qs = QuadStore(Seq(
+      ("s1", "p", "o1", "g:a"), ("s2", "p", "o2", "g:a"),
+      ("d1", "p", "od", "g:default")).toDF("s", "p", "o", "g"))
+    // ops parse to the right AST
+    assert(Parser.parseUpdate("CLEAR SILENT GRAPH g:a") == ClearGraph(Some("g:a"), silent = true))
+    assert(Parser.parseUpdate("DROP DEFAULT") == DropGraph(None))
+    assert(Parser.parseUpdate("CLEAR ALL") == ClearAll)
+    assert(Parser.parseUpdate("COPY g:a TO g:b") == CopyGraph(Some("g:a"), Some("g:b")))
+    assert(Parser.parseUpdate("MOVE GRAPH g:a TO DEFAULT") == MoveGraph(Some("g:a"), None))
+    assert(Parser.parseUpdate("ADD DEFAULT TO g:b") == AddGraph(None, Some("g:b")))
+    assert(Parser.parseUpdate("CREATE GRAPH g:new") == CreateGraph("g:new"))
+    assert(Parser.parseUpdate("LOAD <file:///x.nt> INTO GRAPH g:l") ==
+      Load("file:///x.nt", Some("g:l")))
+    // a ';'-separated request applies in order
+    val ops = Parser.parseUpdates(
+      "COPY g:a TO g:b ; DROP GRAPH g:a ; ADD g:b TO DEFAULT ;")
+    val out = Update.applyQuadsSeq(qs, ops)
+    assert(out.graph("g:a").count() == 0)
+    assert(out.graph("g:b").count() == 2)
+    assert(out.graph("g:default").count() == 3) // own d1 + b's 2
+    // CLEAR ALL empties the store
+    assert(Update.applyQuads(qs, ClearAll).quads.count() == 0)
+    // LOAD SILENT of a missing source is a no-op; non-silent throws
+    assert(Update.applyQuads(qs,
+      Load("/nonexistent.parquet", None, silent = true)).quads.count() == 3)
+    intercept[Exception] {
+      Update.applyQuads(qs, Load("/nonexistent.parquet", None)).quads.count()
+    }
+    // LOAD parquet (s,p,o) into a named graph
+    val dir = java.nio.file.Files.createTempDirectory("graft_load").toString
+    Seq(("ls", "lp", "lo")).toDF("s", "p", "o")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val loaded = Update.applyQuads(qs, Load(s"$dir/t.parquet", Some("g:l")))
+    assert(loaded.graph("g:l").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSeq == Seq(("ls", "lp", "lo")))
+  }
+
   test("geo: z-order interleave is monotone in cell locality") {
     val pts = Seq((0L, 10.0, 20.0), (1L, 10.01, 20.01), (2L, -80.0, 170.0))
       .toDF("k", "lat", "lon")

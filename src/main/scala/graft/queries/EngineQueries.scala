@@ -74,6 +74,28 @@ object EngineQueries {
         .unionAll(TpchRdf.triplesForObject(s, dir, "n:3"))
         .distinct().orderBy("s", "p", "o")),
 
+    // RDF*/RDR statement identifiers (Blazegraph sids mode,
+    // AbstractTripleStore.Options.STATEMENT_IDENTIFIERS): provenance
+    // statements asserted ABOUT base statements via content-hash sids,
+    // queried back through the RDF* `<<s p o>>` pattern form — the
+    // metadata join runs on a map-side sid computation in both engines
+    "rdr_annotation" -> ((s, dir) => {
+      val cust = TpchRdf.table(s, dir, "customer")
+      val base = cust.filter(col("c_acctbal") > 9000)
+        .select(concat(lit("c:"), col("c_custkey").cast("string")).as("s"),
+                lit("nation").as("p"),
+                concat(lit("n:"), col("c_nationkey").cast("string")).as("o"))
+      val store = TpchRdf.triples(s, dir)
+        .unionAll(graft.rdf.Rdr.annotate(base, "assurance", lit("gold")))
+      graft.sparql.Compiler.compile(graft.sparql.Parser.parse(
+        """SELECT ?c ?seg ?n ?v WHERE {
+          |  <<?c nation ?n>> assurance ?v .
+          |  ?c mktsegment ?seg .
+          |} ORDER BY ?c""".stripMargin),
+        graft.sparql.TripleSource.plain(store))
+        .withColumn("sid", graft.rdf.Rdr.sid(col("c"), lit("nation"), col("n")))
+    }),
+
     // OWL rules: sameAs normalization + TransitiveProperty closure +
     // inverseOf mirroring over a location subgraph with alias entities
     "owl_closure" -> ((s, dir) => {
@@ -468,6 +490,13 @@ object EngineQueries {
       (T + """SELECT DISTINCT s, p, o FROM triples
         |WHERE s = 'n:3' OR o = 'n:3'
         |ORDER BY s, p, o""".stripMargin),
+
+    "rdr_annotation" ->
+      """SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg,
+        |  'n:'||CAST(c_nationkey AS VARCHAR) AS n, 'gold' AS v,
+        |  'sid:'||md5('c:'||CAST(c_custkey AS VARCHAR)||'|nation|n:'||
+        |              CAST(c_nationkey AS VARCHAR)) AS sid
+        |FROM customer WHERE c_acctbal > 9000 ORDER BY c""".stripMargin,
 
     "owl_closure" ->
       """WITH w AS (

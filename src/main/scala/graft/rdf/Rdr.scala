@@ -1,0 +1,48 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** RDF-star (RDR) statement identifiers — Blazegraph's "sids" mode
+  * (reference: AbstractTripleStore.Options.STATEMENT_IDENTIFIERS,
+  * bigdata-core/bigdata-rdf/src/java/com/bigdata/rdf/store/AbstractTripleStore.java:862,
+  * and the sids-mode SPO indices that let a statement be the subject
+  * of other statements).
+  *
+  * Blazegraph assigns each asserted statement an internal statement
+  * identifier IV; metadata statements reference it. A Spark-native
+  * store has no mutable counter to hand out ids at 100 TB — instead
+  * the sid is a DETERMINISTIC content hash of the statement's terms
+  * (`sid:` + md5 of "s|p|o"), computable map-side in both engines
+  * (Spark `md5()`, DuckDB `md5()`, and driver-side for ground terms in
+  * the parser) with no coordination, no lookup table, and stable
+  * across recomputations. Metadata triples (sid, p, o) live in the
+  * same triple relation as base data, so every query operator works
+  * on them unchanged.
+  */
+object Rdr {
+
+  val Prefix = "sid:"
+
+  /** Statement id column: `sid:` + md5 hex of "s|p|o". */
+  def sid(s: Column, p: Column, o: Column): Column =
+    concat(lit(Prefix), md5(concat_ws("|", s, p, o)))
+
+  /** Driver-side sid of a ground statement — identical bytes to
+    * [[sid]] (used by the parser to fold `<<s p o>>` constants). */
+  def sidOf(s: String, p: String, o: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$s|$p|$o".getBytes("UTF-8"))
+    Prefix + d.map("%02x".format(_)).mkString
+  }
+
+  /** The (s,p,o) triples annotated with their statement ids. */
+  def reify(triples: DataFrame): DataFrame =
+    triples.withColumn("sid", sid(col("s"), col("p"), col("o")))
+
+  /** Metadata statements (sid(base) annot value) about `base` triples
+    * — the assertion shape of "statements about statements". */
+  def annotate(base: DataFrame, annot: String, value: Column): DataFrame =
+    base.select(sid(col("s"), col("p"), col("o")).as("s"),
+                lit(annot).as("p"), value.cast("string").as("o"))
+}

@@ -66,6 +66,9 @@ object Parser {
         while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
         // bare '?' (no name) is the zero-or-one path modifier
         out += (if (i == start + 1) "?" else q.substring(start, i))
+      } else if (c == '<' && i + 1 < q.length && q(i + 1) == '<') {
+        // RDF* embedded-triple opener
+        out += "<<"; i += 2
       } else if (c == '<') {
         // '<' opens an IRI iff a '>' closes it before any whitespace
         var j = i + 1
@@ -75,6 +78,9 @@ object Parser {
           val two = q.substring(i, math.min(i + 2, q.length))
           if (two == "<=") { out += two; i += 2 } else { out += "<"; i += 1 }
         }
+      } else if (c == '>' && i + 1 < q.length && q(i + 1) == '>') {
+        // RDF* embedded-triple closer
+        out += ">>"; i += 2
       } else if (c == '|' && i + 1 < q.length && q(i + 1) == '|') { out += "||"; i += 2 }
       else if ("{}().,;/|^+*".contains(c)) { out += c.toString; i += 1 }
       else if (">=!&|".contains(c)) {
@@ -235,14 +241,14 @@ object Parser {
           while (!peekIs("}")) {
             if (peekIs(".")) next()
             else {
-              val s = term(next()); val p = term(next()); val o = term(next())
+              val s = dataTerm(); val p = term(next()); val o = dataTerm()
               out += (Some(g) -> TriplePattern(s, p, o))
               if (peekIs(".")) next()
             }
           }
           expect("}")
         } else {
-          val s = term(next()); val p = term(next()); val o = term(next())
+          val s = dataTerm(); val p = term(next()); val o = dataTerm()
           out += (None -> TriplePattern(s, p, o))
           if (peekIs(".")) next()
         }
@@ -258,7 +264,7 @@ object Parser {
       while (!peekIs("}")) {
         if (peekIs(".")) next()
         else {
-          val s = term(next()); val p = term(next()); val o = term(next())
+          val s = dataTerm(); val p = term(next()); val o = dataTerm()
           out += TriplePattern(s, p, o)
           if (peekIs(".")) next()
         }
@@ -520,15 +526,40 @@ object Parser {
           add(g)
         } else if (peekIs(".")) next()
         else {
+          // RDF* embedded triple `<<s p o>>` in subject/object position
+          // (sids mode, AbstractTripleStore.Options.STATEMENT_IDENTIFIERS):
+          // ground → folds to its sid constant; with variables → the
+          // base pattern is added and a synthesized variable carries
+          // the map-side sid computation into the enclosing pattern
+          def patternTerm(): Term =
+            if (!peekIs("<<")) term(next())
+            else {
+              next()
+              val (es, ep, eo) = (term(next()), term(next()), term(next()))
+              expect(">>")
+              (es, ep, eo) match {
+                case (Const(a), Const(b), Const(c)) =>
+                  Const(graft.rdf.Rdr.sidOf(a, b, c))
+                case _ =>
+                  def tc(t: Term): Column =
+                    t match { case Var(v) => col(v); case Const(v) => lit(v) }
+                  val sv = fresh("sid")
+                  patterns += TriplePattern(es, ep, eo)
+                  flush()
+                  alg = Extend(orUnit(alg), sv,
+                    graft.rdf.Rdr.sid(tc(es), tc(ep), tc(eo)))
+                  Var(sv)
+              }
+            }
           // triple pattern, possibly with a property path predicate
-          val s = term(next())
+          val s = patternTerm()
           if (peek.startsWith("?") && peek != "?") {
             // variable predicate → plain pattern
-            val p = term(next()); val o = term(next())
+            val p = term(next()); val o = patternTerm()
             patterns += TriplePattern(s, p, o)
           } else {
             val pe = parsePath()
-            val o = term(next())
+            val o = patternTerm()
             pe match {
               case PathPred(p) => patterns += TriplePattern(s, Const(p), o)
               case path =>
@@ -675,6 +706,22 @@ object Parser {
 
     private def term(t: String): Term =
       if (t.startsWith("?")) Var(t.drop(1)) else Const(constValue(t))
+
+    /** RDF* embedded triple `<<s p o>>` in data/template position:
+      * must be ground, folds to its statement-id constant (sids mode,
+      * AbstractTripleStore.Options.STATEMENT_IDENTIFIERS). Assumes the
+      * leading `<<` is already consumed. */
+    private def groundSid(): Term = {
+      val (s, p, o) = (term(next()), term(next()), term(next()))
+      expect(">>")
+      (s, p, o) match {
+        case (Const(a), Const(b), Const(c)) => Const(graft.rdf.Rdr.sidOf(a, b, c))
+        case other => sys.error(s"embedded triple in data/template must be ground, got $other")
+      }
+    }
+
+    private def dataTerm(): Term =
+      if (peekIs("<<")) { next(); groundSid() } else term(next())
 
     /** FILTER ( expr ) */
     private def parseBracketedExpr(): Column = {

@@ -137,6 +137,34 @@ class EngineSpec extends AnyFunSuite {
       (r.getString(0), r.getString(1), r.getString(2))).toSeq == Seq(("ls", "lp", "lo")))
   }
 
+  test("RDF-star sids: ground fold, variable embedded join, INSERT DATA") {
+    import graft.rdf.Rdr
+    import graft.sparql.{Compiler, Parser, TripleSource, Update}
+    val base = Seq(("a", "knows", "b"), ("b", "knows", "c")).toDF("s", "p", "o")
+    val meta = Rdr.annotate(base.filter(col("s") === "a"), "certainty", lit("0.9"))
+    val store = base.unionAll(meta)
+    // ground embedded subject folds to its sid constant at parse time
+    val g = Compiler.compile(Parser.parse(
+      """SELECT ?v WHERE { <<a knows b>> certainty ?v }"""),
+      TripleSource.plain(store))
+    assert(g.collect().map(_.getString(0)).toSeq == Seq("0.9"))
+    // variable embedded triple: base pattern + map-side sid join
+    val q = Compiler.compile(Parser.parse(
+      """SELECT ?s ?o ?v WHERE { <<?s knows ?o>> certainty ?v }"""),
+      TripleSource.plain(store))
+    assert(q.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq(("a", "b", "0.9")))
+    // INSERT DATA accepts ground embedded triples
+    val after = Update(graft.rdf.TripleStore(base),
+      Parser.parseUpdate("""INSERT DATA { <<a knows b>> source "manual" }"""))
+    assert(after.triples
+      .filter(col("s") === Rdr.sidOf("a", "knows", "b")).count() == 1)
+    // driver-side and column-side sid formulations agree byte-for-byte
+    val viaCol = base.filter(col("s") === "a")
+      .select(Rdr.sid(col("s"), col("p"), col("o"))).collect()(0).getString(0)
+    assert(viaCol == Rdr.sidOf("a", "knows", "b"))
+  }
+
   test("geo: z-order interleave is monotone in cell locality") {
     val pts = Seq((0L, 10.0, 20.0), (1L, 10.01, 20.01), (2L, -80.0, 170.0))
       .toDF("k", "lat", "lon")

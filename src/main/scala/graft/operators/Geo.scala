@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Geospatial bucketing — the Spark-native analog of the reference's
@@ -42,4 +42,40 @@ object Geo {
              latMin: Double, latMax: Double,
              lonMin: Double, lonMax: Double): Column =
     lat >= latMin && lat <= latMax && lon >= lonMin && lon <= lonMax
+
+  /** The coarse z-cells that cover a bounding box: quantization is
+    * monotone, so every point inside the box falls in the rectangle of
+    * cells spanned by the quantized corners — a driver-side
+    * enumeration (≤ 2^bits values), never a scan. `bits` must be even
+    * (half to each axis). */
+  def coveringCells(latMin: Double, latMax: Double,
+                    lonMin: Double, lonMax: Double, bits: Int = 10): Seq[Long] = {
+    require(bits > 0 && bits % 2 == 0 && bits <= 32, s"bits must be even in (0,32], got $bits")
+    val half = bits / 2
+    def q(v: Double, mn: Double, mx: Double): Long =
+      math.min(65535L, math.max(0L, math.floor((v - mn) / (mx - mn) * 65536.0).toLong))
+    val shift = 16 - half
+    val (y0, y1) = (q(latMin, -90, 90) >> shift, q(latMax, -90, 90) >> shift)
+    val (x0, x1) = (q(lonMin, -180, 180) >> shift, q(lonMax, -180, 180) >> shift)
+    def interleave(y: Long, x: Long): Long =
+      (0 until half).map { i =>
+        (((y >> i) & 1L) << (2 * i + 1)) | (((x >> i) & 1L) << (2 * i))
+      }.reduce(_ | _)
+    for { y <- y0 to y1; x <- x0 to x1 } yield interleave(y, x)
+  }
+
+  /** Bounding-box search with z-cell pruning ahead of the exact
+    * verify — the plan shape of the reference's GeoSpatial service
+    * (ast/eval/GeoSpatialServiceFactory.java:133: z-order range scan,
+    * then per-point filter). On a table partitioned/zone-mapped by
+    * z-cell the IN-list prunes storage units; the bbox predicate then
+    * verifies exactly, so the cell granularity never changes results. */
+  def bboxSearch(points: DataFrame,
+                 latMin: Double, latMax: Double,
+                 lonMin: Double, lonMax: Double, bits: Int = 10): DataFrame = {
+    val cells = coveringCells(latMin, latMax, lonMin, lonMax, bits)
+    points
+      .filter(zCell(col("lat"), col("lon"), bits).isInCollection(cells))
+      .filter(inBBox(col("lat"), col("lon"), latMin, latMax, lonMin, lonMax))
+  }
 }

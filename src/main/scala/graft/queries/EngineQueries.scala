@@ -65,6 +65,24 @@ object EngineQueries {
         .filter(graft.operators.Geo.inBBox(col("lat"), col("lon"), -45, 45, -90, 90))
         .orderBy("k")),
 
+    // geospatial search from inside SPARQL — the reference's
+    // geo:search service (ast/eval/GeoSpatialServiceFactory.java:133,
+    // inRectangle): covering z-cells prune before the exact verify
+    "geo_service" -> ((s, dir) =>
+      graft.sparql.Compiler.compile(graft.sparql.Parser.parse(
+        """SELECT ?k ?lat ?lon WHERE {
+          |  SERVICE geo:search {
+          |    _:g geo:latMin "0" .
+          |    _:g geo:latMax "60" .
+          |    _:g geo:lonMin "-120" .
+          |    _:g geo:lonMax "30" .
+          |    _:g geo:out ?k .
+          |    _:g geo:outLat ?lat .
+          |    _:g geo:outLon ?lon .
+          |  }
+          |} ORDER BY ?k""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // SymmetricOneStep DESCRIBE: triples where the node is subject OR
     // object (DescribeModeEnum.SymmetricOneStep). The object side uses
     // the OPS-analog access path: only branches that can reference the
@@ -403,12 +421,8 @@ object EngineQueries {
   )
 
   /** Deterministic synthetic coordinates for the geo operators. */
-  private def geoPoints(s: SparkSession, dir: String): DataFrame = {
-    val k = col("s_suppkey").cast("long")
-    TpchRdf.table(s, dir, "supplier").select(k.as("k"),
-      ((k * 7919 % 18000) / lit(100.0) - lit(90.0)).as("lat"),
-      ((k * 104729 % 36000) / lit(100.0) - lit(180.0)).as("lon"))
-  }
+  private def geoPoints(s: SparkSession, dir: String): DataFrame =
+    TpchRdf.supplierPoints(s, dir)
 
   private val T = "WITH " + TpchRdf.oracleCte + "\n"
 
@@ -484,6 +498,14 @@ object EngineQueries {
         |    (s_suppkey * 7919 % 18000) / 100.0 - 90 AS lat,
         |    (s_suppkey * 104729 % 36000) / 100.0 - 180 AS lon FROM supplier)
         |WHERE lat >= -45 AND lat <= 45 AND lon >= -90 AND lon <= 90
+        |ORDER BY k""".stripMargin,
+
+    "geo_service" ->
+      """SELECT k, lat, lon FROM (
+        |  SELECT s_suppkey AS k,
+        |    (s_suppkey * 7919 % 18000) / 100.0 - 90 AS lat,
+        |    (s_suppkey * 104729 % 36000) / 100.0 - 180 AS lon FROM supplier)
+        |WHERE lat >= 0 AND lat <= 60 AND lon >= -120 AND lon <= 30
         |ORDER BY k""".stripMargin,
 
     "describe_sym" ->

@@ -263,6 +263,15 @@ object TpchRdf {
     "nation" -> "nation", "region" -> "region", "customer" -> "customer",
     "order" -> "orders", "part" -> "part", "supplier" -> "supplier")
 
+  /** Synthetic supplier coordinates (integer-derived, so the DuckDB
+    * oracle replays them bit-for-bit) — the demo geo corpus. */
+  def supplierPoints(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("s_suppkey").cast("long")
+    table(spark, dir, "supplier").select(k.as("k"),
+      ((k * 7919 % 18000) / lit(100.0) - lit(90.0)).as("lat"),
+      ((k * 104729 % 36000) / lit(100.0) - lit(180.0)).as("lon"))
+  }
+
   def source(spark: SparkSession, dir: String): TripleSource = new TripleSource {
     lazy val triples: DataFrame = TpchRdf.triples(spark, dir)
 
@@ -272,6 +281,9 @@ object TpchRdf {
 
     override def searchCorpus: Option[DataFrame] =
       Some(table(spark, dir, "documents").select("doc_id", "text"))
+
+    override def geoCorpus: Option[DataFrame] =
+      Some(supplierPoints(spark, dir))
 
     /** DESCRIBE-set access path with prefix pruning: the node set's
       * distinct id prefixes (≤ one per table, a driver-side collect on

@@ -181,3 +181,13 @@ final case class GasService(config: Seq[(String, String)],
 final case class SearchService(terms: Seq[String], limit: Int,
                                prefixMatch: Boolean, matchAll: Boolean,
                                outDoc: String, outScore: String) extends Algebra
+
+/** Geospatial search invoked from inside a query — the reference's
+  * `geo:search` service (ast/eval/GeoSpatialServiceFactory.java:133,
+  * inRectangle mode over z-order indices). Binds (outNode, outLat,
+  * outLon) over the source's geo corpus; the compiled plan prunes by
+  * covering z-cells before the exact bbox verify. */
+final case class GeoService(latMin: Double, latMax: Double,
+                            lonMin: Double, lonMax: Double,
+                            outNode: String, outLat: String,
+                            outLon: String) extends Algebra

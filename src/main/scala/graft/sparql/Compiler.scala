@@ -284,6 +284,12 @@ object Compiler {
         .getOrElse(sys.error("this triple source has no search corpus"))
       graft.search.FullText.search(corpus, terms, limit, prefix, matchAll)
         .select(col("doc_id").as(outDoc), col("score").as(outScore))
+
+    case GeoService(latMin, latMax, lonMin, lonMax, outK, outLat, outLon) =>
+      val pts = src.geoCorpus
+        .getOrElse(sys.error("this triple source has no geo corpus"))
+      graft.operators.Geo.bboxSearch(pts, latMin, latMax, lonMin, lonMax)
+        .select(col("k").as(outK), col("lat").as(outLat), col("lon").as(outLon))
   }
 
   /** Unresolved attribute names referenced by a Column. */

@@ -485,14 +485,17 @@ object Parser {
           expect("{")
           val config = Vector.newBuilder[(String, String)]
           var outNode = "node"; var outVal = "value"
+          var outLat = "lat"; var outLon = "lon"
           while (!peekIs("}")) {
             if (peekIs(".")) next()
             else {
               next() // service subject (blank-ish node), ignored
-              val key = next().dropWhile(_ != ':').drop(1) // gas:/bds: prefix
+              val key = next().dropWhile(_ != ':').drop(1) // gas:/bds:/geo: prefix
               val v = next()
               if (key == "out") outNode = v.drop(1)
               else if (key == "outVal") outVal = v.drop(1)
+              else if (key == "outLat") outLat = v.drop(1)
+              else if (key == "outLon") outLon = v.drop(1)
               else config += (key -> constValue(v))
               if (peekIs(".")) next()
             }
@@ -511,6 +514,13 @@ object Parser {
                 conf.get("prefixMatch").exists(_.head.toBoolean),
                 conf.get("matchAllTerms").exists(_.head.toBoolean),
                 outNode, outVal))
+            case "geo:search" =>
+              // reference geospatial service, inRectangle mode
+              // (ast/eval/GeoSpatialServiceFactory.java:133)
+              def d(key: String, dflt: Double) =
+                conf.get(key).map(_.head.toDouble).getOrElse(dflt)
+              add(GeoService(d("latMin", -90), d("latMax", 90),
+                d("lonMin", -180), d("lonMax", 180), outNode, outLat, outLon))
             case other => sys.error(s"unsupported SERVICE '$other'")
           }
         } else if (peekIs("{") && peekAt(1).equalsIgnoreCase("SELECT")) {

@@ -46,6 +46,10 @@ trait TripleSource {
     * if this source has one. */
   def searchCorpus: Option[DataFrame] = None
 
+  /** Point set (k, lat, lon) for the geo:search service, if this
+    * source has one. */
+  def geoCorpus: Option[DataFrame] = None
+
   /** All triples whose subject is in `nodes` (one column `s`) — the
     * DESCRIBE-set access path. Default: join the full view. Sources
     * that can map subjects to storage units (prefix → table) may

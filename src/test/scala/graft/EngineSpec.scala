@@ -165,6 +165,25 @@ class EngineSpec extends AnyFunSuite {
     assert(viaCol == Rdr.sidOf("a", "knows", "b"))
   }
 
+  test("geo: covering cells are a superset; bboxSearch == exact bbox filter") {
+    val pts = (1L to 500L).map(k =>
+      (k, (k * 7919 % 18000) / 100.0 - 90.0, (k * 104729 % 36000) / 100.0 - 180.0))
+      .toDF("k", "lat", "lon")
+    val (laMin, laMax, loMin, loMax) = (-10.0, 35.0, 20.0, 140.0)
+    val exact = pts.filter(Geo.inBBox(col("lat"), col("lon"), laMin, laMax, loMin, loMax))
+    val viaCells = Geo.bboxSearch(pts, laMin, laMax, loMin, loMax)
+    assert(viaCells.exceptAll(exact).isEmpty && exact.exceptAll(viaCells).isEmpty)
+    // every in-box point's cell is in the covering set (superset law)
+    val cells = Geo.coveringCells(laMin, laMax, loMin, loMax).toSet
+    val inBoxCells = exact.select(Geo.zCell(col("lat"), col("lon"), 10).as("c"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(inBoxCells.subsetOf(cells))
+    // and the covering set actually prunes: far-away cells are excluded
+    val allCells = pts.select(Geo.zCell(col("lat"), col("lon"), 10).as("c"))
+      .distinct().count()
+    assert(cells.size < allCells)
+  }
+
   test("geo: z-order interleave is monotone in cell locality") {
     val pts = Seq((0L, 10.0, 20.0), (1L, 10.01, 20.01), (2L, -80.0, 170.0))
       .toDF("k", "lat", "lon")

@@ -308,6 +308,17 @@ object SparqlQueries {
         """SELECT DISTINCT ?x WHERE { ?x customer/nation/region r:2 } ORDER BY ?x"""),
         TpchRdf.source(s, dir))),
 
+    // bounded path quantifier {n,m} — Blazegraph grammar extension
+    // (ArbitraryLengthPathNode lower/upper bounds): 1 step reaches the
+    // customer's nation, 2 steps its region
+    "path_bounded" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?s ?x WHERE {
+          |  ?s (nation|region){1,2} ?x .
+          |  ?s type "Customer" .
+          |} ORDER BY ?s ?x""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // parsed text: VALUES inline data joined on shared vars
     "sparql_parsed_values" -> ((s, dir) =>
       Compiler.compile(Parser.parse(
@@ -695,6 +706,16 @@ object SparqlQueries {
         |  JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_regionkey = 2
         |ORDER BY x""".stripMargin,
+
+    "path_bounded" ->
+      """SELECT s, x FROM (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS s,
+        |         'n:'||CAST(c_nationkey AS VARCHAR) AS x FROM customer
+        |  UNION ALL
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR),
+        |         'r:'||CAST(n_regionkey AS VARCHAR)
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |) ORDER BY s, x""".stripMargin,
 
     "sparql_parsed_values" ->
       """SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS n, n_name AS nname

@@ -87,6 +87,10 @@ final case class PathStar(e: PathExpr) extends PathExpr
 final case class PathOpt(e: PathExpr) extends PathExpr
 /** Negated property set `!(p1|…|pn)` (forward direction). */
 final case class PathNeg(preds: Seq[String]) extends PathExpr
+/** Bounded quantifier `p{n,m}` / `p{n,}` / `p{n}` — Blazegraph's
+  * grammar extension over SPARQL 1.1 (ArbitraryLengthPathNode
+  * lowerBound/upperBound evaluation). `hi` None = unbounded. */
+final case class PathBounded(e: PathExpr, lo: Int, hi: Option[Int]) extends PathExpr
 
 /** General property-path pattern  s path o  → solutions (sVar, oVar). */
 final case class Path(s: Term, path: PathExpr, o: Term,

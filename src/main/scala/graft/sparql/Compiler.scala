@@ -387,6 +387,48 @@ object Compiler {
     case PathPlusE(x) => transitiveClosure(pathRel(x, src))
     case PathStar(x)  => transitiveClosure(pathRel(x, src)).unionAll(zeroLength(src)).distinct()
     case PathOpt(x)   => pathRel(x, src).unionAll(zeroLength(src)).distinct()
+    case PathBounded(x, lo, hi) => boundedRel(pathRel(x, src), lo, hi, src)
+  }
+
+  /** `p{lo,hi}` as a relation: the union of exact-i-step compositions
+    * for i in [lo, hi] (ArbitraryLengthPathNode lower/upper bounds).
+    * An unbounded hi composes the lo-step relation with the 1+
+    * transitive closure; lo = 0 adds the zero-length relation. */
+  private def boundedRel(r0: DataFrame, lo: Int, hi: Option[Int],
+                         src: TripleSource): DataFrame = {
+    val r = r0.localCheckpoint()
+    def step(acc: DataFrame): DataFrame = acc
+      .select(col("from"), col("to").as("_m"))
+      .join(r.select(col("from").as("_m"), col("to")), "_m")
+      .select("from", "to").distinct()
+    def pow(i: Int): DataFrame = (2 to i).foldLeft(r)((acc, _) => step(acc))
+    hi match {
+      case Some(h) =>
+        // union of exact-i-step relations, i in [lo, h] (a pair kept
+        // at step i has SOME path of length i — the quantifier's
+        // semantics, not shortest-path)
+        val start = math.max(lo, 1)
+        val parts = Vector.newBuilder[DataFrame]
+        if (lo == 0) parts += zeroLength(src)
+        if (h >= start) {
+          var cur = pow(start)
+          parts += cur
+          for (_ <- start + 1 to h) { cur = step(cur); parts += cur }
+        }
+        parts.result().reduce(_ unionAll _).distinct()
+      case None =>
+        // p{lo,} = p^lo ∘ p*  (zero further steps allowed)
+        val cl = transitiveClosure(r)
+        if (lo == 0) cl.unionAll(zeroLength(src)).distinct()
+        else if (lo == 1) cl
+        else {
+          val base = pow(lo)
+          base.unionAll(
+            base.select(col("from"), col("to").as("_m"))
+              .join(cl.select(col("from").as("_m"), col("to")), "_m")
+              .select("from", "to")).distinct()
+        }
+    }
   }
 
   /** Zero-length path relation: every term of the graph relates to
@@ -421,7 +463,33 @@ object Compiler {
       if (forward) r.select(lit(v).as(sVar), col("node").as(oVar))
       else r.select(col("node").as(sVar), lit(v).as(oVar))
     }
+    // bounded-quantifier BFS from a bound endpoint: iterate the
+    // frontier lo..hi times, keeping every frontier in range — the
+    // relation powers are never materialized (ArbitraryLengthPathNode
+    // bounded evaluation)
+    def seededBounded(x: PathExpr, v: String, lo: Int, hi: Int,
+                      forward: Boolean): DataFrame = {
+      val rel0 = pathRel(x, src)
+      val rel = (if (forward) rel0
+                 else rel0.select(col("to").as("from"), col("from").as("to")))
+        .localCheckpoint()
+      var frontier = seed(v)
+      val acc = Vector.newBuilder[DataFrame]
+      if (lo == 0) acc += frontier
+      for (d <- 1 to hi) {
+        frontier = frontier.join(rel, col("node") === col("from"))
+          .select(col("to").as("node")).distinct()
+        if (d >= lo) acc += frontier
+      }
+      val r = acc.result().reduce(_ unionAll _).distinct()
+      if (forward) r.select(lit(v).as(sVar), col("node").as(oVar))
+      else r.select(col("node").as(sVar), lit(v).as(oVar))
+    }
     (pe, s, o) match {
+      case (PathBounded(x, lo, Some(hi)), Const(sv), Var(_)) =>
+        seededBounded(x, sv, lo, hi, forward = true)
+      case (PathBounded(x, lo, Some(hi)), Var(_), Const(ov)) =>
+        seededBounded(x, ov, lo, hi, forward = false)
       case (PathPlusE(x), Const(sv), Var(_)) => seeded(x, sv, forward = true, zero = false)
       case (PathStar(x), Const(sv), Var(_))  => seeded(x, sv, forward = true, zero = true)
       case (PathPlusE(x), Var(_), Const(ov)) => seeded(x, ov, forward = false, zero = false)

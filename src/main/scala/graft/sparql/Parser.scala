@@ -649,6 +649,19 @@ object Parser {
         case "+" => next(); prim = PathPlusE(prim)
         case "*" => next(); prim = PathStar(prim)
         case "?" => next(); prim = PathOpt(prim)
+        case "{" =>
+          // bounded quantifier {n}, {n,}, {n,m}, {,m} — Blazegraph
+          // grammar extension (ArbitraryLengthPathNode bounds)
+          next()
+          val lo = if (peek == ",") 0 else next().toInt
+          val hi =
+            if (peek == ",") {
+              next()
+              if (peek == "}") None else Some(next().toInt)
+            } else Some(lo)
+          expect("}")
+          hi.foreach(h => require(h >= lo, s"path bound {$lo,$h} is empty"))
+          prim = PathBounded(prim, lo, hi)
         case _   => ()
       }
       prim

@@ -267,6 +267,33 @@ class ParserSpec extends AnyFunSuite {
     assert(desc.count() == 5)
   }
 
+  test("bounded path quantifiers {n,m} / {n} / {n,} / {0,m}") {
+    // {1,2} == p | p/p
+    val b12 = run("""SELECT ?s ?x WHERE { ?s (nation|region){1,2} ?x } ORDER BY ?s ?x""")
+    val alt = run(
+      """SELECT ?s ?x WHERE { ?s (nation|region)|((nation|region)/(nation|region)) ?x }
+        |ORDER BY ?s ?x""".stripMargin)
+    assert(b12.exceptAll(alt).isEmpty && alt.exceptAll(b12).isEmpty)
+    // {2} == p/p
+    val b2 = run("""SELECT ?s ?x WHERE { ?s (nation|region){2} ?x } ORDER BY ?s ?x""")
+    val seq2 = run(
+      """SELECT ?s ?x WHERE { ?s (nation|region)/(nation|region) ?x } ORDER BY ?s ?x""")
+    assert(b2.exceptAll(seq2).isEmpty && seq2.exceptAll(b2).isEmpty)
+    // {1,} == p+  (on the region link: nation→region only, 1 step max)
+    val b1inf = run("""SELECT ?s ?x WHERE { ?s region{1,} ?x } ORDER BY ?s ?x""")
+    val plus = run("""SELECT ?s ?x WHERE { ?s region+ ?x } ORDER BY ?s ?x""")
+    assert(b1inf.exceptAll(plus).isEmpty && plus.exceptAll(b1inf).isEmpty)
+    // seeded evaluation from a bound endpoint: customers of n:2 in
+    // exactly 1..2 inverse steps ({1,2} over ^nation from the nation)
+    val seeded = run("""SELECT ?x WHERE { ?x nation{1,2} n:2 } ORDER BY ?x""")
+    val direct = run("""SELECT ?x WHERE { ?x nation n:2 } ORDER BY ?x""")
+    assert(seeded.exceptAll(direct).isEmpty && direct.exceptAll(seeded).isEmpty)
+    // {0,1} == p?  (zero-length included)
+    val b01 = run("""SELECT ?s ?x WHERE { ?s region{0,1} ?x } ORDER BY ?s ?x""")
+    val opt = run("""SELECT ?s ?x WHERE { ?s region? ?x } ORDER BY ?s ?x""")
+    assert(b01.exceptAll(opt).isEmpty && opt.exceptAll(b01).isEmpty)
+  }
+
   test("ORDER BY with expressions") {
     val df = run("""SELECT ?o ?price WHERE { ?o totalprice ?price }
       ORDER BY DESC(?price * 1) ?o LIMIT 3""")

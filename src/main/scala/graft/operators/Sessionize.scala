@@ -14,41 +14,122 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessionize {
 
   case class SessEvent(user_id: Long, event_id: Long, ts: Long)
-  /** Open-session state carried across micro-batches. */
+  /** Per-user state across micro-batches: the open session, or — after
+    * a close with no new open session — a counter-only marker
+    * (nEvents = 0) preserving the session numbering. */
   case class SessState(sessIdx: Long, nEvents: Long, startNs: Long, lastTs: Long)
   case class Session(user_id: Long, sess_idx: Long, n_events: Long,
                      start_ns: Long, end_ns: Long)
 
-  /** Streaming gap sessionization via `flatMapGroupsWithState`: the
-    * per-user state is the open session; each batch's events extend or
-    * close it. Closed sessions are emitted as they close. The trailing
-    * open session is ALSO emitted at the end of each batch (and the
-    * state cleared) — correct flush semantics for an AvailableNow /
-    * bounded run like the driver's; a 24×7 deployment would instead
-    * keep it in state with `EventTimeTimeout(gap)` so it emits only
-    * when the gap actually elapses. */
+  /** `event_id` marking end-of-stream for its user: flushes the open
+    * session. A bounded run appends one sentinel per user as the last
+    * input file; a 24×7 deployment never sends one. */
+  val EndOfStream: Long = -1L
+
+  /** Streaming gap sessionization via `flatMapGroupsWithState`, correct
+    * across ANY micro-batch split of the input:
+    *  - closed sessions emit as a later event exceeds the gap;
+    *  - the open session STAYS in state with an event-time timeout at
+    *    lastTs + gap — when the watermark passes it, the timeout fires
+    *    and emits it (no per-batch flush, so a session spanning a
+    *    batch boundary emits exactly once);
+    *  - an [[EndOfStream]] sentinel event flushes its user's open
+    *    session (how a bounded run drains trailing sessions);
+    *  - after any close, a counter-only state keeps per-user session
+    *    numbering monotone.
+    * Input needs a `ts_w` watermark: callers go through [[withEventTime]]. */
   def byGapStreaming(events: DataFrame, gapNanos: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.select(col("user_id"), col("event_id"), col("ts")).as[SessEvent]
+    val gapMs = gapNanos / 1000000L
+    withEventTime(events)
+      .as[SessEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
-          val sorted = it.toArray.sortBy(e => (e.ts, e.event_id))
           val out = Vector.newBuilder[Session]
-          var cur = state.getOption.orNull
-          for (e <- sorted) {
-            if (cur == null) cur = SessState(1L, 0L, e.ts, e.ts)
-            else if (e.ts - cur.lastTs > gapNanos) {
-              out += Session(uid, cur.sessIdx, cur.nEvents, cur.startNs, cur.lastTs)
-              cur = SessState(cur.sessIdx + 1, 0L, e.ts, e.ts)
-            }
-            cur = cur.copy(nEvents = cur.nEvents + 1, lastTs = e.ts)
+          def close(cur: SessState): SessState = {
+            out += Session(uid, cur.sessIdx, cur.nEvents, cur.startNs, cur.lastTs)
+            SessState(cur.sessIdx + 1, 0L, 0L, 0L) // counter-only
           }
-          if (cur != null) out += Session(uid, cur.sessIdx, cur.nEvents, cur.startNs, cur.lastTs)
-          state.remove() // bounded-run flush (see scaladoc)
+          if (state.hasTimedOut) {
+            // the gap elapsed in event time: the open session closes
+            state.update(close(state.get))
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts, e.event_id))
+            var cur = state.getOption.orNull
+            for (e <- sorted) {
+              if (e.event_id == EndOfStream) {
+                if (cur != null && cur.nEvents > 0) cur = close(cur)
+              } else {
+                if (cur == null) cur = SessState(1L, 1L, e.ts, e.ts)
+                else if (cur.nEvents == 0) // resume after counter-only
+                  cur = SessState(cur.sessIdx, 1L, e.ts, e.ts)
+                else if (e.ts - cur.lastTs > gapNanos)
+                  cur = close(cur).copy(nEvents = 1L, startNs = e.ts, lastTs = e.ts)
+                else
+                  cur = cur.copy(nEvents = cur.nEvents + 1, lastTs = e.ts)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              if (cur.nEvents > 0) {
+                // event-time alarm at lastTs+gap (clamped above the
+                // watermark: if the gap already elapsed globally, fire
+                // in the next batch)
+                val due = cur.lastTs / 1000000L + gapMs
+                state.setTimeoutTimestamp(math.max(due, state.getCurrentWatermarkMs() + 1))
+              }
+            }
+          }
           out.result().iterator
       }
+  }
+
+  /** Project (user_id, event_id, ts) plus the `ts_w` event-time
+    * column (ts is ns → µs precision) and a zero-delay watermark —
+    * the event-time clock the session timeouts run on. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        timestamp_micros((col("ts") / lit(1000L)).cast("long")).as("ts_w"))
+      .withWatermark("ts_w", "0 seconds")
+
+  /** Stage a bounded MULTI-BATCH input for [[byGapStreaming]]: the
+    * events time-split into `splits` files plus one [[EndOfStream]]
+    * sentinel row per user as a strictly-later file. Modification
+    * times are ordered so a file-source with maxFilesPerTrigger=1
+    * replays them as separate micro-batches in time order — sessions
+    * spanning a split boundary must survive in state, which is exactly
+    * the behavior a single-batch flush would get wrong. */
+  def stageBoundedInput(events: DataFrame, dir: String, splits: Int = 2): Unit = {
+    val schema = events.schema
+    val cuts: Seq[Long] =
+      if (splits <= 1) Nil
+      else events.select(col("ts").cast("double").as("d"))
+        .stat.approxQuantile("d", (1 until splits).map(_.toDouble / splits).toArray, 0.001)
+        .map(_.toLong).toSeq
+    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+    bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      events.filter(col("ts") > lo && col("ts") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(f"$dir/b$i%03d.parquet")
+    }
+    val sentinel = schema.fields.foldLeft(events.select("user_id").distinct()) {
+      (df, f) => f.name match {
+        case "user_id"  => df
+        case "event_id" => df.withColumn("event_id", lit(EndOfStream).cast(f.dataType))
+        case "ts"       => df.withColumn("ts", lit(Long.MaxValue / 4).cast(f.dataType))
+        case other      => df.withColumn(other, lit(null).cast(f.dataType))
+      }
+    }.select(schema.fieldNames.map(col): _*)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"$dir/b$splits%03d.parquet")
+    val now = System.currentTimeMillis()
+    def touch(p: String, t: Long): Unit = {
+      val d = new java.io.File(p)
+      (Option(d.listFiles()).toList.flatten :+ d).foreach(_.setLastModified(t))
+    }
+    (0 to splits).foreach(i =>
+      touch(f"$dir/b$i%03d.parquet", now - (splits - i).toLong * 600000L))
   }
 
   /** events(user_id, ts: Long nanos, ...) → one row per session. */

@@ -221,10 +221,16 @@ object EngineQueries {
     }),
 
     // stateful Structured Streaming: flatMapGroupsWithState keyed on
-    // user, state = the open session; equals the batch window version
+    // user, state = the open session (EventTimeTimeout, no per-batch
+    // flush). The input is staged as 3 time-ordered files with
+    // maxFilesPerTrigger=1, so sessions MUST survive micro-batch
+    // boundaries; trailing sessions drain via EndOfStream sentinels.
     "stream_sessionize" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val in = java.nio.file.Files.createTempDirectory("graft_sess").toString
+      graft.operators.Sessionize.stageBoundedInput(ev, in, splits = 2)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
       val sessions = graft.operators.Sessionize
         .byGapStreaming(stream, 30L * 60 * 1000000000L)
       val name = "stream_sessionize_sink"

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.inference.Owl
-import graft.operators.Geo
+import graft.operators.{Geo, Sessionize}
 import graft.rdf.{QuadStore, TpchRdf}
 
 class EngineSpec extends AnyFunSuite {
@@ -95,6 +95,30 @@ class EngineSpec extends AnyFunSuite {
     assert(scoped.graph("g:a").collect().map(_.getString(1)).toSeq == Seq("p2"))
     // the default graph's (x p y) is untouched by the WITH-scoped op
     assert(scoped.graph("g:default").collect().map(_.getString(1)).toSeq == Seq("p"))
+  }
+
+  test("streaming sessionization survives micro-batch boundaries") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = spark.read.parquet(s"$SF/events.parquet")
+    val gap = 30L * 60 * 1000000000L
+    // 4 time-ordered files + sentinel, one per micro-batch: sessions
+    // spanning any of the 3 interior boundaries must emit exactly once
+    val in = java.nio.file.Files.createTempDirectory("graft_sess_spec").toString
+    Sessionize.stageBoundedInput(ev, in, splits = 4)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
+    val q = Sessionize.byGapStreaming(stream, gap)
+      .writeStream.format("memory").queryName("sess_mb_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "input was not actually split across micro-batches")
+    val got = spark.table("sess_mb_sink")
+      .select("user_id", "sess_idx", "n_events", "start_ns", "end_ns")
+    val want = Sessionize.byGap(ev, gap)
+      .select("user_id", "sess_idx", "n_events", "start_ns", "end_ns")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "multi-batch streaming sessions differ from the batch result")
   }
 
   test("text-form graph management: sequence, SILENT, DEFAULT, LOAD") {

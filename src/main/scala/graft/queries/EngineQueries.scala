@@ -92,6 +92,51 @@ object EngineQueries {
         .unionAll(TpchRdf.triplesForObject(s, dir, "n:3"))
         .distinct().orderBy("s", "p", "o")),
 
+    // Concise Bounded Description (DescribeModeEnum.CBD, CBD.java:71):
+    // subject triples + metadata statements about them, transitively
+    // through sid statement identifiers (two annotation levels here)
+    "describe_cbd" -> ((s, dir) => {
+      val cust = TpchRdf.table(s, dir, "customer")
+      val natT = cust.select(
+        concat(lit("c:"), col("c_custkey").cast("string")).as("s"),
+        lit("nation").as("p"),
+        concat(lit("n:"), col("c_nationkey").cast("string")).as("o"))
+      val ann1 = graft.rdf.Rdr.annotate(natT, "source", lit("census"))
+      val ann2 = graft.rdf.Rdr.annotate(ann1, "checked_by", lit("auditor"))
+      val store = TpchRdf.triples(s, dir).unionAll(ann1).unionAll(ann2)
+      graft.rdf.Rdr.cbd(store, "c:5").orderBy("s", "p", "o")
+    }),
+
+    // full-text relevance/rank cutoffs (FullTextIndex.java:1004 region:
+    // minCosine/maxRank analogs) driven from SERVICE text
+    "fulltext_rank" -> ((s, dir) =>
+      graft.sparql.Compiler.compile(graft.sparql.Parser.parse(
+        """SELECT ?doc_id ?score WHERE {
+          |  SERVICE bds:search {
+          |    _:s bds:query "spark join vector" .
+          |    _:s bds:limit "50" .
+          |    _:s bds:minRelevance "2.5" .
+          |    _:s bds:maxRank "12" .
+          |    _:s bds:out ?doc_id .
+          |    _:s bds:outVal ?score .
+          |  }
+          |} ORDER BY DESC(?score) ?doc_id""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // full-text regex term match (the reference's REGEX match option):
+    // the regex runs on the term dictionary, never per-posting
+    "fulltext_regex" -> ((s, dir) =>
+      graft.sparql.Compiler.compile(graft.sparql.Parser.parse(
+        """SELECT ?doc_id ?score WHERE {
+          |  SERVICE bds:search {
+          |    _:s bds:regex "^(sc|sp|st).*" .
+          |    _:s bds:limit "15" .
+          |    _:s bds:out ?doc_id .
+          |    _:s bds:outVal ?score .
+          |  }
+          |} ORDER BY DESC(?score) ?doc_id""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // RDF*/RDR statement identifiers (Blazegraph sids mode,
     // AbstractTripleStore.Options.STATEMENT_IDENTIFIERS): provenance
     // statements asserted ABOUT base statements via content-hash sids,
@@ -518,6 +563,53 @@ object EngineQueries {
       (T + """SELECT DISTINCT s, p, o FROM triples
         |WHERE s = 'n:3' OR o = 'n:3'
         |ORDER BY s, p, o""".stripMargin),
+
+    "describe_cbd" ->
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey = 5),
+        |sid1 AS (SELECT 'sid:'||md5('c:5|nation|n:'||CAST(c_nationkey AS VARCHAR)) AS s FROM c)
+        |SELECT s, p, o FROM (
+        |  SELECT 'c:5' AS s, 'type' AS p, 'Customer' AS o FROM c
+        |  UNION ALL SELECT 'c:5', 'name', c_name FROM c
+        |  UNION ALL SELECT 'c:5', 'nation', 'n:'||CAST(c_nationkey AS VARCHAR) FROM c
+        |  UNION ALL SELECT 'c:5', 'acctbal', CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) FROM c
+        |  UNION ALL SELECT 'c:5', 'mktsegment', c_mktsegment FROM c
+        |  UNION ALL SELECT s, 'source', 'census' FROM sid1
+        |  UNION ALL SELECT 'sid:'||md5(s||'|source|census'), 'checked_by', 'auditor' FROM sid1
+        |) ORDER BY s, p, o""".stripMargin,
+
+    "fulltext_rank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |q AS (SELECT UNNEST(['spark','join','vector']) AS term),
+        |scored AS (
+        |  SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
+        |  FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |  GROUP BY tf.doc_id
+        |), ranked AS (
+        |  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM scored WHERE score >= 2.5
+        |)
+        |SELECT doc_id, score FROM ranked WHERE r <= 12
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    "fulltext_regex" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |q AS (SELECT DISTINCT term FROM tf WHERE regexp_matches(term, '^(sc|sp|st).*'))
+        |SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
+        |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     "rdr_annotation" ->
       """SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg,

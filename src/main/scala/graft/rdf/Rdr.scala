@@ -45,4 +45,38 @@ object Rdr {
   def annotate(base: DataFrame, annot: String, value: Column): DataFrame =
     base.select(sid(col("s"), col("p"), col("o")).as("s"),
                 lit(annot).as("p"), value.cast("string").as("o"))
+
+  /** Concise Bounded Description (reference: ast/eval/CBD.java:71 —
+    * DescribeModeEnum.CBD): the node's subject triples, recursing
+    * through anonymous resources. This model has no blank nodes; the
+    * anonymous-resource role is played by `sid:` statement identifiers
+    * — so the CBD of a node includes the metadata statements about
+    * each of its statements, transitively (the sids-mode CBD the
+    * reference computes when statement identifiers are enabled).
+    *
+    * Each round is one join of the (tiny) frontier against the store;
+    * recursion depth = annotation nesting, bounded and shallow — the
+    * `isEmpty` convergence check is a counter, not a data collect. */
+  def cbd(triples: DataFrame, node: String, maxDepth: Int = 10): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    var frontier = Seq(node).toDF("s")
+    var out: DataFrame = null
+    var described = frontier
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val layer = triples.join(frontier, "s")
+      out = if (out == null) layer else out.unionAll(layer)
+      // next frontier: anonymous objects of this layer + the sids of
+      // its statements (statements about them belong to the CBD),
+      // minus anything already described
+      val cand = layer.filter(col("o").startsWith(Prefix)).select(col("o").as("s"))
+        .unionAll(layer.select(sid(col("s"), col("p"), col("o")).as("s")))
+        .distinct()
+      frontier = cand.join(described, Seq("s"), "left_anti").localCheckpoint()
+      described = described.unionAll(frontier)
+      depth += 1
+    }
+    if (out == null) triples.limit(0) else out.distinct()
+  }
 }

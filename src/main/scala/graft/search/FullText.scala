@@ -36,24 +36,42 @@ object FullText {
     * corpus — billions of rows at 100 TB.)
     *
     * Options mirror the reference's search API
-    * (com/bigdata/search/FullTextIndex.java prefixMatch;
-    * matchAllTerms in FullTextQuery):
+    * (com/bigdata/search/FullTextIndex.java:1004 region; FullTextQuery):
     *  - `prefixMatch`: query entries match any term they prefix;
-    *  - `matchAll`: only docs matching EVERY query entry score.
+    *  - `matchAll`: only docs matching EVERY query entry score;
+    *  - `regex`: match index terms by regex instead of the query list
+    *    (the reference's REGEX match option);
+    *  - `minScore`: relevance cutoff (minCosine analog);
+    *  - `maxRank`: keep only the top `maxRank` ranked hits (maxRank
+    *    analog; rank = dense order by score desc, doc_id asc).
     */
   def search(docs: DataFrame, query: Seq[String], k: Int = 20,
-             prefixMatch: Boolean = false, matchAll: Boolean = false): DataFrame = {
+             prefixMatch: Boolean = false, matchAll: Boolean = false,
+             regex: Option[String] = None,
+             minScore: Option[Double] = None,
+             maxRank: Option[Int] = None): DataFrame = {
     val postings = invertedIndex(docs)
     val n = docs.select(count(lit(1)).as("n"))
-    val q = docs.sparkSession.createDataFrame(query.map(Tuple1(_))).toDF("q_term")
-    val cond =
-      if (prefixMatch) col("term").startsWith(col("q_term"))
-      else col("term") === col("q_term")
     // two consumers (df aggregation + scoring join) — materialize the
     // query-scoped postings once instead of re-tokenizing the corpus
     // per subtree (at production scale the inverted index is a
     // persisted table and this is moot)
-    val matched = postings.join(broadcast(q), cond).localCheckpoint()
+    val matched = (regex match {
+      case Some(re) =>
+        // regex match runs on the TERM DICTIONARY (distinct terms),
+        // never per-posting: at scale the dictionary is orders of
+        // magnitude smaller than the postings
+        val terms = postings.select("term").distinct()
+          .filter(col("term").rlike(re))
+          .withColumn("q_term", col("term"))
+        postings.join(broadcast(terms), "term")
+      case None =>
+        val q = docs.sparkSession.createDataFrame(query.map(Tuple1(_))).toDF("q_term")
+        val cond =
+          if (prefixMatch) col("term").startsWith(col("q_term"))
+          else col("term") === col("q_term")
+        postings.join(broadcast(q), cond)
+    }).localCheckpoint()
     // df per matched term == its global df (all of a term's postings
     // survive the query join); countDistinct guards the prefix case
     // where one posting can match several query entries
@@ -64,10 +82,19 @@ object FullText {
       .groupBy("doc_id")
       .agg(round(sum(col("tf") * log(col("n").cast("double") / col("df"))), 6).as("score"),
            countDistinct(col("q_term")).as("n_matched"))
-    val kept =
-      if (matchAll) scored.filter(col("n_matched") === query.size)
+    val kept0 =
+      if (matchAll && regex.isEmpty) scored.filter(col("n_matched") === query.size)
       else scored
-    kept.select("doc_id", "score")
+    val kept1 = minScore.fold(kept0)(ms => kept0.filter(col("score") >= ms))
+    val ranked = maxRank.fold(kept1) { mr =>
+      // rank within the (small, already score-filtered) hit set — the
+      // window runs on |hits| rows, not the corpus
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      kept1.withColumn("_rank", row_number().over(w))
+        .filter(col("_rank") <= mr).drop("_rank")
+    }
+    ranked.select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

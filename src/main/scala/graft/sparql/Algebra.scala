@@ -184,7 +184,10 @@ final case class GasService(config: Seq[(String, String)],
   * Binds (outDoc, outScore) over the source's search corpus. */
 final case class SearchService(terms: Seq[String], limit: Int,
                                prefixMatch: Boolean, matchAll: Boolean,
-                               outDoc: String, outScore: String) extends Algebra
+                               outDoc: String, outScore: String,
+                               regex: Option[String] = None,
+                               minScore: Option[Double] = None,
+                               maxRank: Option[Int] = None) extends Algebra
 
 /** Geospatial search invoked from inside a query — the reference's
   * `geo:search` service (ast/eval/GeoSpatialServiceFactory.java:133,

@@ -279,10 +279,12 @@ object Compiler {
         case other => sys.error(s"unsupported gas:gasClass $other")
       }
 
-    case SearchService(terms, limit, prefix, matchAll, outDoc, outScore) =>
+    case SearchService(terms, limit, prefix, matchAll, outDoc, outScore,
+                       regex, minScore, maxRank) =>
       val corpus = src.searchCorpus
         .getOrElse(sys.error("this triple source has no search corpus"))
-      graft.search.FullText.search(corpus, terms, limit, prefix, matchAll)
+      graft.search.FullText
+        .search(corpus, terms, limit, prefix, matchAll, regex, minScore, maxRank)
         .select(col("doc_id").as(outDoc), col("score").as(outScore))
 
     case GeoService(latMin, latMax, lonMin, lonMax, outK, outLat, outLon) =>

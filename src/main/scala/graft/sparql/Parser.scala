@@ -506,14 +506,20 @@ object Parser {
           svc match {
             case "gas:service" => add(GasService(config.result(), outNode, outVal))
             case "bds:search" =>
-              // reference magic-predicate search service (SearchServiceFactory)
-              val terms = conf.getOrElse("query", sys.error("bds:search needs bds:query"))
-                .head.split("\\s+").toSeq.filter(_.nonEmpty)
+              // reference magic-predicate search service
+              // (SearchServiceFactory; options at FullTextIndex.java:1004)
+              val terms = conf.get("query").toSeq
+                .flatMap(_.head.split("\\s+")).filter(_.nonEmpty)
+              require(terms.nonEmpty || conf.contains("regex"),
+                "bds:search needs bds:query or bds:regex")
               add(SearchService(terms,
                 conf.get("limit").map(_.head.toInt).getOrElse(20),
                 conf.get("prefixMatch").exists(_.head.toBoolean),
                 conf.get("matchAllTerms").exists(_.head.toBoolean),
-                outNode, outVal))
+                outNode, outVal,
+                conf.get("regex").map(_.head),
+                conf.get("minRelevance").map(_.head.toDouble),
+                conf.get("maxRank").map(_.head.toInt)))
             case "geo:search" =>
               // reference geospatial service, inRectangle mode
               // (ast/eval/GeoSpatialServiceFactory.java:133)

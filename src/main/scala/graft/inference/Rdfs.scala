@@ -86,4 +86,37 @@ object Rdfs {
     * same effect via its "database-at-once" closure mode). */
   def incrementalClosure(closed: DataFrame, delta: DataFrame, ont: Ontology): DataFrame =
     closed.unionAll(closure(delta, ont)).distinct()
+
+  /** Incremental RETRACTION via delete-rederive (DRed; reference:
+    * com.bigdata.rdf.inf.TruthMaintenance retraction path, which
+    * likewise computes the focused closure of the removed statements
+    * and re-derives survivors, rather than re-closing the store).
+    *
+    * The RDFS rule set's derivations are UNARY chains from single base
+    * statements (every join partner is a broadcast-sized ontology
+    * table), so:
+    *  1. overdelete = closure(retracted) — everything the retracted
+    *     statements could ever have derived (|retracted|-sized);
+    *  2. supporters = surviving base statements sharing a subject or
+    *     object with an overdeleted triple — the only rows whose
+    *     derivation chains can re-support one (retraction-sized
+    *     semi-joins against the base, never a full re-closure);
+    *  3. rederive = closure(supporters) ∩ overdelete;
+    *  4. result = closed − overdelete + rederived.
+    * Cost scales with |retracted| and its neighborhood, not |store|. */
+  def retractClosure(closed: DataFrame, base: DataFrame,
+                     retracted: DataFrame, ont: Ontology): DataFrame = {
+    val spo = Seq("s", "p", "o")
+    val over = closure(retracted, ont).localCheckpoint()
+    val remaining = base.join(retracted.select(spo.map(col): _*), spo, "left_anti")
+    val keys = over.select(col("s"))
+      .unionAll(over.select(col("o").as("s"))).distinct()
+    val supporters = remaining.join(keys, Seq("s"), "left_semi")
+      .select(spo.map(col): _*)
+      .unionAll(remaining.join(keys.withColumnRenamed("s", "o"), Seq("o"), "left_semi")
+        .select(spo.map(col): _*))
+      .distinct()
+    val rederived = closure(supporters, ont).join(over, spo, "left_semi")
+    closed.join(over, spo, "left_anti").unionAll(rederived).distinct()
+  }
 }

@@ -196,6 +196,20 @@ object EngineQueries {
         .orderBy("s", "p", "o")
     }),
 
+    // truth maintenance, retraction side: delete-rederive (DRed) —
+    // retracting the supplier statements must equal the from-scratch
+    // closure WITHOUT them (nation Place types supported only by
+    // suppliers disappear; ones also supported by customers survive
+    // the rederive step)
+    "rdfs_retract" -> ((s, dir) => {
+      val tri = TpchRdf.triplesFor(s, dir, Seq("customer", "nation", "region", "supplier"))
+        .filter(col("p").isin("type", "nation", "region"))
+      val retracted = tri.filter(col("s").startsWith("s:"))
+      Rdfs.retractClosure(Rdfs.closure(tri, ontology(s)), tri, retracted, ontology(s))
+        .filter(col("p").isin("type", "locatedIn", "nation", "region"))
+        .orderBy("s", "p", "o")
+    }),
+
     // lexicon round-trip: hash-id encode (map-only, no dictionary
     // build) → id→term dictionary → decode joins
     "lexicon_roundtrip" -> ((s, dir) => {
@@ -526,6 +540,9 @@ object EngineQueries {
     "rdfs_closure" -> rdfsSql,
     // incremental assertion must equal the from-scratch closure
     "rdfs_incremental" -> rdfsSql,
+    // DRed retraction must equal the from-scratch closure without the
+    // retracted statements
+    "rdfs_retract" -> rdfsRetractSql,
 
     "lexicon_roundtrip" ->
       (T + "SELECT s, p, o FROM triples WHERE s LIKE 'n:%' ORDER BY s, p, o"),
@@ -725,6 +742,38 @@ object EngineQueries {
         |), located(s, o) AS (
         |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'n:'||CAST(c_nationkey AS VARCHAR) FROM customer
         |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'n:'||CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
+        |)
+        |SELECT DISTINCT * FROM (
+        |  SELECT s, 'type' AS p, o FROM types
+        |  UNION ALL SELECT s, 'locatedIn' AS p, o FROM located
+        |  UNION ALL SELECT s, 'nation' AS p, o FROM located WHERE s NOT LIKE 'n:%'
+        |  UNION ALL SELECT s, 'region' AS p, o FROM located WHERE s LIKE 'n:%'
+        |) ORDER BY s, p, o""".stripMargin
+
+  /** The closure WITHOUT the supplier statements — what DRed
+    * retraction must reproduce (recompute-from-scratch oracle). */
+  private lazy val rdfsRetractSql: String =
+      """WITH RECURSIVE sub(c1, c2) AS (
+        |  VALUES ('Customer','Agent'),('Supplier','Agent'),('Agent','Resource'),
+        |         ('Order','Transaction'),('Lineitem','Transaction'),('Transaction','Resource'),
+        |         ('Nation','Place'),('Region','Place'),('Place','Resource'),
+        |         ('Part','Item'),('Item','Resource')
+        |), subtc AS (
+        |  SELECT c1, c2 FROM sub
+        |  UNION SELECT s1.c1, s2.c2 FROM subtc s1 JOIN sub s2 ON s1.c2 = s2.c1
+        |), types0(s, o) AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'Customer' FROM customer
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'Nation' FROM nation
+        |  UNION ALL SELECT 'r:'||CAST(r_regionkey AS VARCHAR), 'Region' FROM region
+        |  UNION ALL SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'LocatedThing' FROM customer
+        |  UNION ALL SELECT 'n:'||CAST(c_nationkey AS VARCHAR), 'Place' FROM customer
+        |  UNION ALL SELECT 'r:'||CAST(n_regionkey AS VARCHAR), 'Place' FROM nation
+        |), types AS (
+        |  SELECT s, o FROM types0
+        |  UNION SELECT t.s, x.c2 FROM types0 t JOIN subtc x ON t.o = x.c1
+        |), located(s, o) AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'n:'||CAST(c_nationkey AS VARCHAR) FROM customer
         |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
         |)
         |SELECT DISTINCT * FROM (

@@ -246,6 +246,30 @@ class EngineSpec extends AnyFunSuite {
     assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
   }
 
+  test("DRed retraction equals recompute; rederive step is load-bearing") {
+    import graft.inference.Rdfs
+    val ont = Rdfs.Ontology(
+      subClassOf = Seq(("A", "B"), ("B", "C")).toDF("sub", "sup"),
+      subPropertyOf = Seq(("p", "q")).toDF("sub", "sup"),
+      domain = Seq(("p", "D")).toDF("p", "cls"),
+      range = Seq(("p", "R")).toDF("p", "cls"))
+    // (x p y) and (x2 p y) both derive (y type R): retracting only
+    // (x p y) must KEEP (y type R) via the surviving support — the
+    // case naive "closed minus closure(retracted)" gets wrong
+    val all = Seq(("x", "p", "y"), ("x2", "p", "y"), ("z", "type", "A"))
+      .toDF("s", "p", "o")
+    val retracted = all.filter(col("s") === "x")
+    val closed = Rdfs.closure(all, ont)
+    val got = Rdfs.retractClosure(closed, all, retracted, ont)
+    val want = Rdfs.closure(all.filter(col("s") =!= "x"), ont)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.filter(col("s") === "y" && col("o") === "R").count() == 1)
+    // the naive subtraction WOULD have dropped the shared derivation
+    val naive = closed.join(Rdfs.closure(retracted, ont),
+      Seq("s", "p", "o"), "left_anti")
+    assert(naive.filter(col("s") === "y" && col("o") === "R").isEmpty)
+  }
+
   test("lexicon round-trip is lossless and collision-free on the corpus") {
     import graft.rdf.Lexicon
     val tri = TpchRdf.triplesFor(spark, SF, Seq("nation", "region"))

@@ -400,6 +400,27 @@ object SparqlQueries {
           |} ORDER BY DESC(?score) ?doc_id""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // SERVICE <endpoint> federation via the pluggable registry
+    // (ast/service/ServiceRegistry.java:67): the endpoint here is a
+    // second local store (the supplier view); a remote deployment
+    // registers an HTTP handler at the same seam. The SERVICE solution
+    // joins the enclosing group on the shared ?n variable.
+    "sparql_service_federated" -> ((s, dir) => {
+      graft.sparql.ServiceRegistry.register("urn:fed:suppliers",
+        graft.sparql.ServiceRegistry.localSource(
+          TpchRdf.triplesFor(s, dir, Seq("supplier"))))
+      Compiler.compile(Parser.parse(
+        """SELECT ?sup ?supname ?nname WHERE {
+          |  ?n name ?nname .
+          |  ?n type "Nation" .
+          |  SERVICE <urn:fed:suppliers> {
+          |    ?sup nation ?n .
+          |    ?sup name ?supname .
+          |  }
+          |} ORDER BY ?sup""".stripMargin),
+        TpchRdf.source(s, dir))
+    }),
+
     // GAS analytics from inside a SPARQL query (GASService.java):
     // BFS from r:1 over the reversed nation/region link predicates
     "gas_service_bfs" -> ((s, dir) =>
@@ -764,6 +785,11 @@ object SparqlQueries {
         |FROM part
         |WHERE length(p_name) > 7 AND p_brand IN ('Brand#2', 'Brand#19', 'Brand#4')
         |ORDER BY p""".stripMargin,
+
+    "sparql_service_federated" ->
+      """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS sup, s_name AS supname, n_name AS nname
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY sup""".stripMargin,
 
     "fulltext_service" ->
       """WITH toks AS (

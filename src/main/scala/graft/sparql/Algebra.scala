@@ -189,6 +189,12 @@ final case class SearchService(terms: Seq[String], limit: Int,
                                minScore: Option[Double] = None,
                                maxRank: Option[Int] = None) extends Algebra
 
+/** SERVICE <endpoint> { group } — federation to a registered endpoint
+  * (ast/service/ServiceRegistry.java:67; remote endpoints would go
+  * through the RemoteServiceCallImpl analog registered there). The
+  * handler's solution joins the enclosing group on shared variables. */
+final case class ServiceCall(endpoint: String, inner: Algebra) extends Algebra
+
 /** Geospatial search invoked from inside a query — the reference's
   * `geo:search` service (ast/eval/GeoSpatialServiceFactory.java:133,
   * inRectangle mode over z-order indices). Binds (outNode, outLat,

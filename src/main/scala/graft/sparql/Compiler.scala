@@ -287,6 +287,12 @@ object Compiler {
         .search(corpus, terms, limit, prefix, matchAll, regex, minScore, maxRank)
         .select(col("doc_id").as(outDoc), col("score").as(outScore))
 
+    case ServiceCall(endpoint, inner) =>
+      val handler = ServiceRegistry.lookup(endpoint).getOrElse(
+        sys.error(s"no service registered for <$endpoint> " +
+          "(a remote deployment would fall back to an HTTP call here)"))
+      handler(inner, src)
+
     case GeoService(latMin, latMax, lonMin, lonMax, outK, outLat, outLon) =>
       val pts = src.geoCorpus
         .getOrElse(sys.error("this triple source has no geo corpus"))

@@ -482,6 +482,13 @@ object Parser {
         } else if (peekIs("SERVICE")) {
           next()
           val svc = next()
+          if (svc.startsWith("<")) {
+            // SERVICE <endpoint> { group }: federation to a registered
+            // endpoint (ServiceRegistry.java:67); the inner group is
+            // ordinary algebra, evaluated by the endpoint's handler
+            flush()
+            add(ServiceCall(svc.drop(1).dropRight(1), parseGroup()))
+          } else {
           expect("{")
           val config = Vector.newBuilder[(String, String)]
           var outNode = "node"; var outVal = "value"
@@ -528,6 +535,7 @@ object Parser {
               add(GeoService(d("latMin", -90), d("latMax", 90),
                 d("lonMin", -180), d("lonMax", 180), outNode, outLat, outLon))
             case other => sys.error(s"unsupported SERVICE '$other'")
+          }
           }
         } else if (peekIs("{") && peekAt(1).equalsIgnoreCase("SELECT")) {
           // sub-SELECT: compiled independently, joined on shared vars

@@ -1,0 +1,42 @@
+package graft.sparql
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.concurrent.TrieMap
+
+/** SPARQL SERVICE federation — the reference's pluggable service
+  * registry (ast/service/ServiceRegistry.java:67 maps a service IRI to
+  * a ServiceFactory; unknown IRIs fall back to a remote HTTP call via
+  * RemoteServiceCallImpl).
+  *
+  * Spark-native shape: a handler receives the SERVICE group's algebra
+  * and returns its solution DataFrame; the compiler joins it into the
+  * enclosing group on shared variables like any other operand. The
+  * in-sandbox handlers are local (a handler backed by another triple
+  * source — federation across stores in one cluster); a production
+  * deployment registers a remote handler at exactly this seam, which
+  * serializes the inner group back to SPARQL text, POSTs it to the
+  * endpoint, and returns the result rows as a DataFrame (the
+  * RemoteServiceCallImpl analog — not implementable here: no egress).
+  * The magic services (gas:service, bds:search, geo:search) stay
+  * first-class algebra nodes, mirroring the reference's built-in
+  * factories.
+  */
+object ServiceRegistry {
+
+  /** endpoint handler: (inner SERVICE group, enclosing source) → rows. */
+  type Handler = (Algebra, TripleSource) => DataFrame
+
+  private val handlers = TrieMap.empty[String, Handler]
+
+  def register(endpoint: String, h: Handler): Unit = handlers.put(endpoint, h)
+
+  def unregister(endpoint: String): Unit = handlers.remove(endpoint)
+
+  def lookup(endpoint: String): Option[Handler] = handlers.get(endpoint)
+
+  /** Handler backed by a local (s,p,o) store: the SERVICE group is
+    * compiled against it — a "federated endpoint" that happens to live
+    * in the same cluster. */
+  def localSource(triples: => DataFrame): Handler =
+    (inner, _) => Compiler.compile(inner, TripleSource.plain(triples))
+}

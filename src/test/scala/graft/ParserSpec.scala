@@ -294,6 +294,26 @@ class ParserSpec extends AnyFunSuite {
     assert(b01.exceptAll(opt).isEmpty && opt.exceptAll(b01).isEmpty)
   }
 
+  test("SERVICE <endpoint> federation through the registry") {
+    ServiceRegistry.register("urn:test:nations",
+      ServiceRegistry.localSource(TpchRdf.triplesFor(spark, SF, Seq("nation"))))
+    val df = run(
+      """SELECT ?r ?nname WHERE {
+        |  ?r type "Region" .
+        |  SERVICE <urn:test:nations> { ?n region ?r . ?n name ?nname }
+        |} ORDER BY ?r ?nname""".stripMargin)
+    // every nation's name, joined to its region through the endpoint
+    assert(df.count() == 25)
+    assert(df.columns.toSeq == Seq("r", "nname"))
+    // unregistered endpoints fail with the registry error (the seam a
+    // remote HTTP handler would fill)
+    val err = intercept[RuntimeException] {
+      run("""SELECT ?x WHERE { SERVICE <urn:test:nowhere> { ?x type ?t } }""")
+    }
+    assert(err.getMessage.contains("no service registered"))
+    ServiceRegistry.unregister("urn:test:nations")
+  }
+
   test("ORDER BY with expressions") {
     val df = run("""SELECT ?o ?price WHERE { ?o totalprice ?price }
       ORDER BY DESC(?price * 1) ?o LIMIT 3""")

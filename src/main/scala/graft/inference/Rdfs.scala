@@ -46,15 +46,25 @@ object Rdfs {
     closure.toSeq.sorted.toDF("from", "to")
   }
 
-  /** Full closure of instance triples (s,p,o) under the ontology. */
+  /** Full closure of instance triples (s,p,o) under the ontology.
+    *
+    * The instance slice is materialized ONCE (localCheckpoint; a
+    * cluster run would persist/checkpoint reliably): the stratified
+    * rule tree references it from 8 subtrees, and without the
+    * materialization every subtree re-scans the source — the same
+    * read-amplification a load-time closure materialization avoids in
+    * the reference's InferenceEngine. */
   def closure(instance: DataFrame, ont: Ontology): DataFrame = {
     val subC = closeTiny(ont.subClassOf)
     val subP = closeTiny(ont.subPropertyOf)
+    val inst = instance.localCheckpoint()
 
-    // rdfs7: (s p o) & p ⊑* q → (s q o)
-    val lifted = instance.unionAll(
-      instance.join(broadcast(subP), instance("p") === subP("from"))
+    // rdfs7: (s p o) & p ⊑* q → (s q o)  (4 downstream consumers →
+    // materialized too)
+    val lifted = inst.unionAll(
+      inst.join(broadcast(subP), inst("p") === subP("from"))
         .select(col("s"), col("to").as("p"), col("o")))
+      .localCheckpoint()
 
     // rdfs2/3: domain & range typing (applied post-lift)
     val domTypes = lifted.join(broadcast(ont.domain), lifted("p") === ont.domain("p"))

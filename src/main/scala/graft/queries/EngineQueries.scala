@@ -103,8 +103,11 @@ object EngineQueries {
         concat(lit("n:"), col("c_nationkey").cast("string")).as("o"))
       val ann1 = graft.rdf.Rdr.annotate(natT, "source", lit("census"))
       val ann2 = graft.rdf.Rdr.annotate(ann1, "checked_by", lit("auditor"))
-      val store = TpchRdf.triples(s, dir).unionAll(ann1).unionAll(ann2)
-      graft.rdf.Rdr.cbd(store, "c:5").orderBy("s", "p", "o")
+      // overlay source: base subjects resolve through the prefix-pruned
+      // access path; the annotation overlay is a small filtered join
+      val src = graft.sparql.TripleSource
+        .overlay(TpchRdf.source(s, dir), ann1.unionAll(ann2))
+      graft.rdf.Rdr.cbd(src, "c:5").orderBy("s", "p", "o")
     }),
 
     // full-text relevance/rank cutoffs (FullTextIndex.java:1004 region:
@@ -148,14 +151,17 @@ object EngineQueries {
         .select(concat(lit("c:"), col("c_custkey").cast("string")).as("s"),
                 lit("nation").as("p"),
                 concat(lit("n:"), col("c_nationkey").cast("string")).as("o"))
-      val store = TpchRdf.triples(s, dir)
-        .unionAll(graft.rdf.Rdr.annotate(base, "assurance", lit("gold")))
+      // overlay source (focus-store shape): the nation/mktsegment
+      // patterns keep TpchRdf's branch-pruned access paths; the
+      // assurance pattern finds only the small metadata overlay
+      val store = graft.sparql.TripleSource.overlay(TpchRdf.source(s, dir),
+        graft.rdf.Rdr.annotate(base, "assurance", lit("gold")))
       graft.sparql.Compiler.compile(graft.sparql.Parser.parse(
         """SELECT ?c ?seg ?n ?v WHERE {
           |  <<?c nation ?n>> assurance ?v .
           |  ?c mktsegment ?seg .
           |} ORDER BY ?c""".stripMargin),
-        graft.sparql.TripleSource.plain(store))
+        store)
         .withColumn("sid", graft.rdf.Rdr.sid(col("c"), lit("nation"), col("n")))
     }),
 

@@ -57,15 +57,25 @@ object Rdr {
     * Each round is one join of the (tiny) frontier against the store;
     * recursion depth = annotation nesting, bounded and shallow — the
     * `isEmpty` convergence check is a counter, not a data collect. */
-  def cbd(triples: DataFrame, node: String, maxDepth: Int = 10): DataFrame = {
-    val spark = triples.sparkSession
+  def cbd(triples: DataFrame, node: String): DataFrame =
+    cbd(graft.sparql.TripleSource.plain(triples), node)
+
+  /** CBD through a [[graft.sparql.TripleSource]]: each round uses the
+    * source's SUBJECT access path (prefix-pruned scans on a backed
+    * source — one storage-unit read per round, never a full-view
+    * scan) and materializes only the CBD-sized layer. */
+  def cbd(src: graft.sparql.TripleSource, node: String,
+          maxDepth: Int = 10): DataFrame = {
+    val spark = src.triples.sparkSession
     import spark.implicits._
-    var frontier = Seq(node).toDF("s")
+    var frontier = Seq(node).toDF("s").localCheckpoint()
     var out: DataFrame = null
     var described = frontier
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
-      val layer = triples.join(frontier, "s")
+      // the layer is CBD-sized: materialize it so the candidate
+      // computation and the result union never re-run the scan
+      val layer = src.scanForSubjects(frontier).localCheckpoint()
       out = if (out == null) layer else out.unionAll(layer)
       // next frontier: anonymous objects of this layer + the sids of
       // its statements (statements about them belong to the CBD),
@@ -77,6 +87,6 @@ object Rdr {
       described = described.unionAll(frontier)
       depth += 1
     }
-    if (out == null) triples.limit(0) else out.distinct()
+    if (out == null) src.triples.limit(0) else out.distinct()
   }
 }

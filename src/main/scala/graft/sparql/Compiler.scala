@@ -141,7 +141,20 @@ object Compiler {
           case None     => g.map(compilePattern(_, src))
         }
       }
-      dfs.reduce(joinOn(_, _, "inner"))
+      // join order: connectivity-greedy — prefer an operand sharing a
+      // variable with the accumulated solution; a cartesian product
+      // only when the pattern graph is genuinely disconnected
+      // (ASTJoinOrderByTypeOptimizer analog)
+      val rem = scala.collection.mutable.ArrayBuffer(dfs: _*)
+      var acc = rem.remove(0)
+      var accCols = acc.columns.toSet
+      while (rem.nonEmpty) {
+        val i = rem.indexWhere(_.columns.exists(accCols.contains))
+        val pick = rem.remove(math.max(i, 0))
+        accCols ++= pick.columns
+        acc = joinOn(acc, pick, "inner")
+      }
+      acc
     case Join(l, v: Values) => valuesJoin(compile(l, src), v)
     case Join(v: Values, r) => valuesJoin(compile(r, src), v)
     case Join(l, r)      => joinOn(compile(l, src), compile(r, src), "inner")

@@ -555,6 +555,7 @@ object Parser {
           // ground → folds to its sid constant; with variables → the
           // base pattern is added and a synthesized variable carries
           // the map-side sid computation into the enclosing pattern
+          var embedded = false
           def patternTerm(): Term =
             if (!peekIs("<<")) term(next())
             else {
@@ -572,6 +573,7 @@ object Parser {
                   flush()
                   alg = Extend(orUnit(alg), sv,
                     graft.rdf.Rdr.sid(tc(es), tc(ep), tc(eo)))
+                  embedded = true
                   Var(sv)
               }
             }
@@ -592,6 +594,10 @@ object Parser {
                 flush(); add(Path(s, path, o, sv, ov))
             }
           }
+          // a statement carrying an embedded rewrite joins the
+          // sid-Extend side NOW, so later unrelated patterns never end
+          // up cartesian-joined with it inside one Bgp
+          if (embedded) flush()
           if (peekIs(".")) next()
         }
       }

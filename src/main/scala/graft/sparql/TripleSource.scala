@@ -31,13 +31,7 @@ trait TripleSource {
     * physical shape the source knows (the analog of Blazegraph picking
     * the SPO vs POS vs OSP statement index per pattern). The default
     * just filters the generic view. */
-  def scan(tp: TriplePattern): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o).foldLeft(triples) {
-      case (df, (c, Const(v))) => df.filter(col(c) === lit(v))
-      case (df, _)             => df
-    }
-  }
+  def scan(tp: TriplePattern): DataFrame = TripleSource.filterScan(triples, tp)
 
   /** Named-graph (quads) view (s, p, o, g), if this source has one. */
   def quads: Option[DataFrame] = None
@@ -71,10 +65,41 @@ trait TripleSource {
 }
 
 object TripleSource {
+  /** Constant-position filter over an opaque (s,p,o) relation. */
+  def filterScan(df: DataFrame, tp: TriplePattern): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o).foldLeft(df) {
+      case (d, (c, Const(v))) => d.filter(col(c) === lit(v))
+      case (d, _)             => d
+    }
+  }
+
   /** Plain source over an opaque (s,p,o) DataFrame — no fusion. */
   def plain(df: DataFrame): TripleSource = new TripleSource {
     val triples: DataFrame = df
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = None
+  }
+
+  /** Base store plus a (small) extra triple relation — the
+    * focus-store shape (reference: TruthMaintenance's TempTripleStore
+    * focus store layered over the main statement indices). Pattern
+    * scans reach the base through ITS access paths (branch pruning,
+    * prefix-resolved subjects) and the overlay through a plain filter
+    * — without this, a store-union forces every pattern back to a
+    * full-view scan. */
+  def overlay(base: TripleSource, extra: DataFrame): TripleSource = new TripleSource {
+    lazy val triples: DataFrame = base.triples.unionAll(extra)
+    def fuseStar(patterns: Seq[TriplePattern],
+                 subjectTables: Option[Set[String]]): Option[DataFrame] = None
+    override def refTarget(pred: String): Option[String] = base.refTarget(pred)
+    override def scan(tp: TriplePattern): DataFrame =
+      base.scan(tp).unionAll(filterScan(extra, tp))
+    override def scanForSubjects(nodes: DataFrame): DataFrame = {
+      val ns = nodes.select("s").distinct()
+      base.scanForSubjects(ns).unionAll(extra.join(ns, "s"))
+    }
+    override def searchCorpus: Option[DataFrame] = base.searchCorpus
+    override def geoCorpus: Option[DataFrame] = base.geoCorpus
   }
 }

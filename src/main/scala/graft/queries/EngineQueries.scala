@@ -399,6 +399,22 @@ object EngineQueries {
         .graph("g:region").orderBy("s", "p", "o")
     }),
 
+    // DELETE/INSERT with USING / USING NAMED: the WHERE evaluates
+    // against the update-side dataset (default graph = merge of USING
+    // graphs, GRAPH patterns range over USING NAMED), templates act on
+    // the default graph (SPARQL 1.1 Update §3.1.3; reference:
+    // DeleteInsertGraph carrying a DatasetNode)
+    "update_using" -> ((s, dir) => {
+      val qs = graft.rdf.QuadStore(TpchRdf.quads(s, dir))
+      val op = graft.sparql.Parser.parseUpdate(
+        """INSERT { ?n partof ?rname }
+          |USING g:nation
+          |USING NAMED g:region
+          |WHERE { ?n region ?r . GRAPH ?g { ?r name ?rname } }""".stripMargin)
+      graft.sparql.Update.applyQuads(qs, op)
+        .graph("g:default").orderBy("s", "p", "o")
+    }),
+
     // SPARQL 1.1 graph management: COPY / MOVE / DROP on the quad store
     // (reference: ast/CreateGraph.java family via AST2BOpUpdate)
     "graph_management" -> ((s, dir) => {
@@ -434,6 +450,11 @@ object EngineQueries {
   )
 
   val quadOracles: Map[String, String] = Map(
+    "update_using" ->
+      """SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS s, 'partof' AS p, r_name AS o
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s, p, o""".stripMargin,
+
     "graph_quads" ->
       """SELECT g, n_triples FROM (
         |  SELECT 'g:customer' AS g, 5 * COUNT(*) AS n_triples FROM customer

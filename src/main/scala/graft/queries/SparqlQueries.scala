@@ -386,6 +386,55 @@ object SparqlQueries {
           |} ORDER BY ?p""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // Blazegraph named subquery: WITH { SELECT … } AS %set evaluated
+    // ONCE into a named solution set; INCLUDE joins against the
+    // materialization (ast/NamedSubqueryRoot.java,
+    // ast/NamedSubqueryInclude.java)
+    "sparql_named_subquery" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?nname (COUNT(*) AS ?n_orders) (MAX(?bal) AS ?maxbal)
+          |WITH {
+          |  SELECT ?c ?nname ?bal WHERE {
+          |    ?c type "Customer" . ?c nation ?n .
+          |    ?n name ?nname . ?c acctbal ?bal
+          |  }
+          |} AS %custs
+          |WHERE {
+          |  INCLUDE %custs .
+          |  ?o customer ?c .
+          |  ?o status "F"
+          |} GROUP BY ?nname ORDER BY ?nname""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // query hints (com.bigdata.rdf.sparql.hints.QueryHintRegistry):
+    // hint:Query hint:optimizer "None" pins BGP join order to the
+    // textual pattern order (QueryOptimizerEnum.None) — same solution
+    // set, user-controlled plan
+    "sparql_hints" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?o ?c ?price WHERE {
+          |  hint:Query hint:optimizer "None" .
+          |  ?o customer ?c .
+          |  ?c nation ?n .
+          |  ?n region ?r .
+          |  ?r name "ASIA" .
+          |  ?o totalprice ?price .
+          |  ?o status "F"
+          |} ORDER BY ?o ?c""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // SPARQL §17.4.4 hash functions (FunctionRegistry MD5/SHA1/SHA256/
+    // SHA384/SHA512); MD5+SHA256 value-checked by the oracle, the rest
+    // in ParserSpec (DuckDB lacks sha1/sha384/sha512)
+    "sparql_hash_fns" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?n ?nname ?m ?h WHERE {
+          |  ?n type "Nation" . ?n name ?nname .
+          |  BIND(MD5(?nname) AS ?m)
+          |  BIND(SHA256(?nname) AS ?h)
+          |} ORDER BY ?n""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // full-text search from inside a SPARQL query — the reference's
     // bds:search magic service (ast/eval/SearchServiceFactory.java)
     "fulltext_service" -> ((s, dir) =>
@@ -785,6 +834,27 @@ object SparqlQueries {
         |FROM part
         |WHERE length(p_name) > 7 AND p_brand IN ('Brand#2', 'Brand#19', 'Brand#4')
         |ORDER BY p""".stripMargin,
+
+    "sparql_named_subquery" ->
+      """SELECT n_name AS nname, COUNT(*) AS n_orders,
+        |  MAX(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)) AS maxbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name ORDER BY nname""".stripMargin,
+
+    "sparql_hints" ->
+      """SELECT 'o:'||CAST(o_orderkey AS VARCHAR) AS o, 'c:'||CAST(o_custkey AS VARCHAR) AS c,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderstatus = 'F' ORDER BY o, c""".stripMargin,
+
+    "sparql_hash_fns" ->
+      """SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS n, n_name AS nname,
+        |  md5(n_name) AS m, sha256(n_name) AS h
+        |FROM nation ORDER BY n""".stripMargin,
 
     "sparql_service_federated" ->
       """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS sup, s_name AS supname, n_name AS nname

@@ -129,6 +129,12 @@ final case class DeleteInsertWhere(delete: Seq[TriplePattern],
 /** WITH <g> DELETE/INSERT WHERE — the op's WHERE and templates are
   * scoped to one named graph (§3.1.3 WITH). */
 final case class WithGraph(g: String, op: DeleteInsertWhere) extends UpdateOp
+/** DELETE/INSERT … USING <g> / USING NAMED <g> WHERE — the WHERE
+  * evaluates against the USING dataset (the update-side FROM/FROM
+  * NAMED, SPARQL 1.1 Update §3.1.3; reference: DeleteInsertGraph with
+  * a DatasetNode); templates act on the default graph. */
+final case class UsingClause(defaults: Seq[String], named: Seq[String],
+                             op: DeleteInsertWhere) extends UpdateOp
 
 /** Text-form graph management (reference: ast/CreateGraph.java:48 and
   * siblings ClearGraph/DropGraph/CopyGraph/MoveGraph/AddGraph,
@@ -163,6 +169,24 @@ final case class Load(source: String, graph: Option[String],
   * every pattern to one named graph; a Var `g` binds the graph name as
   * a solution variable joined on shared vars. */
 final case class GraphPattern(g: Term, child: Algebra) extends Algebra
+
+/** Blazegraph named subquery: `WITH { SELECT … } AS %name` evaluated
+  * ONCE into a named solution set; every INCLUDE joins against that
+  * materialization (reference: ast/NamedSubqueryRoot.java — evaluated
+  * before the WHERE clause into a hash-indexed solution set,
+  * ast/eval/AST2BOpUtility.java addNamedSubqueries). */
+final case class NamedSubquery(name: String, sub: Algebra, child: Algebra) extends Algebra
+
+/** `INCLUDE %name` — joins the enclosing group against the named
+  * solution set on shared variables (ast/NamedSubqueryInclude.java). */
+final case class NamedInclude(name: String) extends Algebra
+
+/** BGP whose join order is pinned to the textual pattern order —
+  * produced by `hint:Query hint:optimizer "None"`
+  * (com.bigdata.rdf.sparql.hints.QueryHintRegistry,
+  * QueryOptimizerEnum.None): the user takes join-order control, so no
+  * connectivity-greedy reorder and no star fusion. */
+final case class BgpFixed(patterns: Seq[TriplePattern]) extends Algebra
 
 /** FROM / FROM NAMED dataset clauses (DatasetNode): the default graph
   * becomes the merge of `defaults`, and GRAPH patterns range only over

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Compiler {
 
+  /** Named solution sets in scope during compilation (NamedSubqueryRoot
+    * materializations; INCLUDE resolves here). Scoped dynamically so
+    * nested compiles see their enclosing query's sets. */
+  private val namedSets =
+    new scala.util.DynamicVariable[Map[String, DataFrame]](Map.empty)
+
   /** Solution-compatibility join columns = shared variable names. */
   private def shared(l: DataFrame, r: DataFrame): Seq[String] =
     l.columns.toSeq.intersect(r.columns.toSeq)
@@ -155,6 +161,21 @@ object Compiler {
         acc = joinOn(acc, pick, "inner")
       }
       acc
+    case BgpFixed(patterns) =>
+      // hint:optimizer "None": join exactly in textual order — no
+      // greedy reorder, no star fusion (QueryOptimizerEnum.None; the
+      // reference likewise skips ASTJoinOrderByTypeOptimizer)
+      patterns.map(compilePattern(_, src)).reduceLeft(joinOn(_, _, "inner"))
+    case NamedSubquery(name, sub, child) =>
+      // evaluated ONCE into a named solution set; localCheckpoint
+      // materializes it so N INCLUDEs never re-run the sub-plan (the
+      // reference builds a hash-indexed solution set the same way; on
+      // a cluster this is a reliable checkpoint / cached table)
+      val set = compile(sub, src).localCheckpoint()
+      namedSets.withValue(namedSets.value + (name -> set))(compile(child, src))
+    case NamedInclude(name) =>
+      namedSets.value.getOrElse(name,
+        sys.error(s"INCLUDE %$name: no such named subquery in scope"))
     case Join(l, v: Values) => valuesJoin(compile(l, src), v)
     case Join(v: Values, r) => valuesJoin(compile(r, src), v)
     case Join(l, r)      => joinOn(compile(l, src), compile(r, src), "inner")

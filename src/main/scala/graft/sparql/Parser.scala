@@ -66,6 +66,11 @@ object Parser {
         while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
         // bare '?' (no name) is the zero-or-one path modifier
         out += (if (i == start + 1) "?" else q.substring(start, i))
+      } else if (c == '%') {
+        // named-solution-set name `%set` (Blazegraph WITH … AS %set)
+        val start = i; i += 1
+        while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        out += q.substring(start, i)
       } else if (c == '<' && i + 1 < q.length && q(i + 1) == '<') {
         // RDF* embedded-triple opener
         out += "<<"; i += 2
@@ -204,10 +209,11 @@ object Parser {
       } else if (peekIs("INSERT")) {
         next()
         if (peekIs("DATA")) { next(); InsertData(parseDataBlock()) }
-        else { // INSERT { t } WHERE { p }
+        else { // INSERT { t } [USING …] WHERE { p }
           val ins = parseTriplesBlock()
+          val (ud, un) = parseUsing()
           expect("WHERE")
-          DeleteInsertWhere(Nil, ins, parseGroup())
+          wrapUsing(ud, un, DeleteInsertWhere(Nil, ins, parseGroup()))
         }
       } else {
         expect("DELETE")
@@ -221,11 +227,28 @@ object Parser {
         } else {
           val del = parseTriplesBlock()
           val ins = if (peekIs("INSERT")) { next(); parseTriplesBlock() } else Nil
+          val (ud, un) = parseUsing()
           expect("WHERE")
-          DeleteInsertWhere(del, ins, parseGroup())
+          wrapUsing(ud, un, DeleteInsertWhere(del, ins, parseGroup()))
         }
       }
     }
+
+    /** USING <g> / USING NAMED <g> clauses (update-side dataset,
+      * SPARQL 1.1 Update §3.1.3). */
+    private def parseUsing(): (Seq[String], Seq[String]) = {
+      val d = Vector.newBuilder[String]; val n = Vector.newBuilder[String]
+      while (peekIs("USING")) {
+        next()
+        if (peekIs("NAMED")) { next(); n += constValue(next()) }
+        else d += constValue(next())
+      }
+      (d.result(), n.result())
+    }
+
+    private def wrapUsing(d: Seq[String], n: Seq[String],
+                          op: DeleteInsertWhere): UpdateOp =
+      if (d.isEmpty && n.isEmpty) op else UsingClause(d, n, op)
 
     /** { t . GRAPH g { t . t } . t … } — ground data with optional
       * named-graph blocks. */
@@ -349,7 +372,7 @@ object Parser {
       val distinct = if (peekIs("DISTINCT")) { next(); true } else false
       val items = Vector.newBuilder[SelItem]
       var star = false
-      while (!peekIs("WHERE") && !peekIs("FROM")) {
+      while (!peekIs("WHERE") && !peekIs("FROM") && !peekIs("WITH")) {
         if (peekIs("(")) {
           next()
           val e =
@@ -375,6 +398,18 @@ object Parser {
         next()
         if (peekIs("NAMED")) { next(); fromNamed += constValue(next()) }
         else fromDefaults += constValue(next())
+      }
+      // Blazegraph named subqueries: WITH { SELECT … } AS %set, each
+      // evaluated once and INCLUDE-able from any group below
+      // (ast/NamedSubqueryRoot.java)
+      val namedSubs = Vector.newBuilder[(String, Algebra)]
+      while (peekIs("WITH")) {
+        next(); expect("{")
+        val sub = parseSelect()
+        expect("}"); expect("AS")
+        val nm = next()
+        require(nm.startsWith("%"), s"named subquery name must be %name, got '$nm'")
+        namedSubs += (nm.drop(1) -> sub)
       }
       expect("WHERE")
       var alg = parseGroup()
@@ -434,7 +469,9 @@ object Parser {
         else { next(); offset = next().toLong }
       }
       if (limit >= 0 || offset > 0) alg = Slice(alg, offset, if (limit >= 0) limit else Long.MaxValue)
-      alg
+      // earlier WITH clauses are outermost, so later named subqueries
+      // (and the WHERE clause) may INCLUDE them
+      namedSubs.result().foldRight(alg) { case ((n, sub), a) => NamedSubquery(n, sub, a) }
     }
 
     /** GroupGraphPattern: { ... } */
@@ -443,12 +480,37 @@ object Parser {
       var alg: Algebra = null
       def add(a: Algebra): Unit = alg = if (alg == null) a else Join(alg, a)
       var patterns = Vector.newBuilder[TriplePattern]
+      // hint:Query hint:optimizer "None" pins BGP join order to the
+      // textual pattern order (QueryHintRegistry / QueryOptimizerEnum)
+      var fixedOrder = false
       def flush(): Unit = {
         val ps = patterns.result()
-        if (ps.nonEmpty) { add(Bgp(ps: _*)); patterns = Vector.newBuilder }
+        if (ps.nonEmpty) {
+          add(if (fixedOrder) BgpFixed(ps) else Bgp(ps: _*))
+          patterns = Vector.newBuilder
+        }
       }
       while (!peekIs("}")) {
-        if (peekIs("FILTER")) {
+        if (peek.startsWith("hint:")) {
+          // query-hint triple (reference magic predicates, scope subject
+          // hint:Query|hint:Group|hint:Prior): consumed, never matched
+          // against data. Only the optimizer hint changes compilation —
+          // Catalyst/AQE own the hints Blazegraph spells out by hand
+          // (analytic mode, chunkSize, hash-join variants).
+          next() // scope
+          val hname = next().stripPrefix("hint:")
+          val hval = constValue(next())
+          if (peekIs(".")) next()
+          if (hname.equalsIgnoreCase("optimizer") && hval.equalsIgnoreCase("None"))
+            fixedOrder = true
+        } else if (peekIs("INCLUDE")) {
+          // INCLUDE %set: join the named solution set on shared vars
+          next()
+          val nm = next()
+          require(nm.startsWith("%"), s"INCLUDE expects %name, got '$nm'")
+          if (peekIs(".")) next()
+          flush(); add(NamedInclude(nm.drop(1)))
+        } else if (peekIs("FILTER")) {
           next()
           if (peekIs("EXISTS")) { next(); flush(); val g = parseGroup(); alg = Exists(orUnit(alg), g) }
           else if (peekIs("NOT")) { next(); expect("EXISTS"); flush(); val g = parseGroup(); alg = NotExists(orUnit(alg), g) }
@@ -862,7 +924,8 @@ object Parser {
     private val numericFns = Set("STRLEN", "ABS", "CEIL", "FLOOR", "YEAR", "MONTH", "DAY")
     private val valueFns = numericFns ++
       Set("UCASE", "LCASE", "STR", "SUBSTR", "CONCAT", "REPLACE", "IF", "COALESCE", "BOUND",
-        "STRSTARTS", "STRENDS", "CONTAINS", "STRBEFORE", "STRAFTER", "SAMETERM")
+        "STRSTARTS", "STRENDS", "CONTAINS", "STRBEFORE", "STRAFTER", "SAMETERM",
+        "MD5", "SHA1", "SHA256", "SHA384", "SHA512")
 
     /** fn(args…) → Column. */
     private def parseCall(aggSink: Option[Column => Column]): (Column, Boolean) = {
@@ -894,6 +957,13 @@ object Parser {
         case "YEAR"     => year(to_date(a(0)))
         case "MONTH"    => month(to_date(a(0)))
         case "DAY"      => dayofmonth(to_date(a(0)))
+        // SPARQL §17.4.4.{12-16} hash functions (FunctionRegistry
+        // MD5/SHA1/…); lowercase hex in both engines
+        case "MD5"    => md5(a(0))
+        case "SHA1"   => sha1(a(0))
+        case "SHA256" => sha2(a(0), 256)
+        case "SHA384" => sha2(a(0), 384)
+        case "SHA512" => sha2(a(0), 512)
         case "STRSTARTS" => a(0).startsWith(a(1))
         case "STRENDS"   => a(0).endsWith(a(1))
         case "CONTAINS"  => a(0).contains(a(1))

@@ -64,6 +64,23 @@ object Update {
         val st1 =
           if (del.isEmpty) store else store.deleteData(g, instantiate(del, sol))
         if (ins.isEmpty) st1 else st1.insertData(g, instantiate(ins, sol))
+      case UsingClause(defaults, named, DeleteInsertWhere(del, ins, where)) =>
+        // the WHERE sees the USING dataset (update-side FROM/FROM
+        // NAMED): default-graph patterns scan the USING graphs' merge,
+        // GRAPH patterns range over USING NAMED; templates act on the
+        // default graph (§3.1.3 USING)
+        val src = new TripleSource {
+          lazy val triples: DataFrame = store.graph(defaultGraph)
+          override def quads: Option[DataFrame] = Some(store.quads)
+          def fuseStar(patterns: Seq[TriplePattern],
+                       subjectTables: Option[Set[String]]): Option[DataFrame] = None
+        }
+        val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
+        val st1 =
+          if (del.isEmpty) store
+          else store.deleteData(defaultGraph, instantiate(del, sol))
+        if (ins.isEmpty) st1
+        else st1.insertData(defaultGraph, instantiate(ins, sol))
       // -- text-form graph management (ast/CreateGraph.java family) --
       case CreateGraph(g, _)   => store.createGraph(g)
       case DropGraph(g, _)     => store.dropGraph(g.getOrElse(defaultGraph))

@@ -10,6 +10,28 @@ class EngineSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
   import spark.implicits._
 
+  test("USING scopes the update WHERE; templates act on the default graph") {
+    val qs = QuadStore(Seq(
+      ("a", "p", "x", "g:one"),
+      ("b", "p", "y", "g:two"),
+      ("x", "name", "X", "g:three"),
+      ("keep", "p", "z", "g:default")).toDF("s", "p", "o", "g"))
+    // WHERE sees ONLY g:one as the default graph (b/p/y in g:two is
+    // invisible); GRAPH ?g ranges over USING NAMED g:three only
+    val op = graft.sparql.Parser.parseUpdate(
+      """INSERT { ?s hit ?nm }
+        |USING g:one
+        |USING NAMED g:three
+        |WHERE { ?s p ?o . GRAPH ?g { ?o name ?nm } }""".stripMargin)
+    assert(op.isInstanceOf[graft.sparql.UsingClause])
+    val out = graft.sparql.Update.applyQuads(qs, op)
+    val got = out.graph("g:default").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("keep", "p", "z"), ("a", "hit", "X")))
+    // the USING graphs themselves are untouched
+    assert(out.graph("g:one").count() == 1 && out.graph("g:two").count() == 1)
+  }
+
   test("owl: sameAs normalization rewrites both subject and object") {
     val inst = Seq(
       ("a", "sameAs", "a2"),

@@ -320,4 +320,72 @@ class ParserSpec extends AnyFunSuite {
     val top = df.select("price").collect().map(_.getString(0).toDouble)
     assert(top.sorted.reverse.sameElements(top))
   }
+
+  test("named subquery: WITH … AS %set + INCLUDE equals the inlined query") {
+    val named = run(
+      """SELECT ?nname (COUNT(*) AS ?cnt)
+        |WITH {
+        |  SELECT ?c ?nname WHERE {
+        |    ?c type "Customer" . ?c nation ?n . ?n name ?nname
+        |  }
+        |} AS %custs
+        |WHERE { INCLUDE %custs . ?o customer ?c }
+        |GROUP BY ?nname ORDER BY ?nname""".stripMargin)
+    val inlined = run(
+      """SELECT ?nname (COUNT(*) AS ?cnt) WHERE {
+        |  ?c type "Customer" . ?c nation ?n . ?n name ?nname .
+        |  ?o customer ?c
+        |} GROUP BY ?nname ORDER BY ?nname""".stripMargin)
+    assert(named.collect().toSeq == inlined.collect().toSeq)
+    // the set is MATERIALIZED once (NamedSubqueryRoot → a checkpointed
+    // solution set): the plan reads an RDD scan, not the parquet source
+    import org.apache.spark.sql.execution.LogicalRDD
+    assert(named.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l }.nonEmpty)
+    // INCLUDE of an undefined set is an error
+    val err = intercept[RuntimeException] {
+      run("""SELECT ?x WHERE { INCLUDE %nope . ?x type "Region" }""")
+    }
+    assert(err.getMessage.contains("no such named subquery"))
+  }
+
+  test("hint:Query hint:optimizer None pins textual join order") {
+    val ast = Parser.parse(
+      """SELECT ?o ?c WHERE {
+        |  hint:Query hint:optimizer "None" .
+        |  ?o customer ?c . ?c nation ?n
+        |}""".stripMargin)
+    ast match {
+      case Project(BgpFixed(ps), _ @ _*) => assert(ps.size == 2)
+      case other => fail(s"expected Project(BgpFixed), got $other")
+    }
+    // the hint changes the plan, never the solutions
+    val hinted = Compiler.compile(ast, src)
+    val plain = run("""SELECT ?o ?c WHERE { ?o customer ?c . ?c nation ?n }""")
+    assert(hinted.exceptAll(plain).isEmpty && plain.exceptAll(hinted).isEmpty)
+    // non-optimizer hints are consumed without effect on semantics
+    val other = run(
+      """SELECT ?r WHERE { hint:Query hint:analytic "true" . ?r type "Region" }""")
+    assert(other.count() == 5)
+  }
+
+  test("SPARQL hash functions match known digests") {
+    val df = run(
+      """SELECT ?m ?s1 ?s256 ?s384 ?s512 WHERE {
+        |  ?r type "Region" . ?r name "ASIA" .
+        |  BIND(MD5("abc") AS ?m)    BIND(SHA1("abc") AS ?s1)
+        |  BIND(SHA256("abc") AS ?s256) BIND(SHA384("abc") AS ?s384)
+        |  BIND(SHA512("abc") AS ?s512)
+        |}""".stripMargin)
+    val r = df.collect().head
+    assert(r.getString(0) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getString(1) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(r.getString(2) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getString(3) ==
+      "cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed" +
+        "8086072ba1e7cc2358baeca134c825a7")
+    assert(r.getString(4) ==
+      "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+        "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f")
+  }
 }

@@ -113,6 +113,53 @@ object Ann {
       .filter(col("cos_sim") >= minSim)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    * LSH: every corpus vector is assigned to its nearest centroid in a
+    * broadcast centroid book (one map-side pass, K dot products per
+    * vector), queries probe their `nProbe` nearest cells, and exact
+    * cosine ranking runs only inside the probed cells — the shuffle
+    * carries cell ids, never vectors². The assignment argmax is a
+    * `max(struct(csim, c_id))` partial aggregate, so the K-way fanout
+    * collapses map-side and the shuffle moves ONE row per vector (a
+    * window over the fanout would move K·N rows).
+    *
+    * Centroids are a deterministic corpus sample (vec_id % centroidMod
+    * == 0) standing in for the k-means book a production pipeline
+    * trains offline — assignment, probing and in-cell ranking (the
+    * Spark-shaped parts) are identical either way. Ties in the argmax
+    * break toward the larger centroid id in both engines. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroidMod: Int = 64, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(corpus.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm")))
+    def fanout(df: DataFrame, idCol: String) = df
+      .select(col("vec_id").as(idCol), col("embedding").as("emb"),
+        norm(col("embedding")).as("nrm"))
+      .crossJoin(cents)
+      .select(col(idCol), col("emb"), col("nrm"), col("c_id"),
+        (dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("csim"))
+    val cells = fanout(corpus, "n_id")
+      .select(col("n_id"), col("emb"), col("nrm"),
+        struct(col("csim"), col("c_id")).as("sc"))
+      .groupBy("n_id")
+      .agg(first("emb").as("n_emb"), first("nrm").as("n_nrm"), max("sc").as("m"))
+      .select(col("n_id"), col("n_emb"), col("n_nrm"), col("m.c_id").as("cell"))
+    val pw = Window.partitionBy("q_id").orderBy(col("csim").desc, col("c_id").desc)
+    val probes = broadcast(fanout(queries, "q_id")
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"),
+        col("c_id").as("cell")))
+    val scored = probes.join(cells, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Multi-probe ANN: candidates from `tables` independent LSH tables
     * (union of bucket collisions), exact cosine ranking on the merged
     * candidate set. Recall rises with `tables` at constant per-table

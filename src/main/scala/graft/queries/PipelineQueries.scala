@@ -32,6 +32,11 @@ object PipelineQueries {
       // 6-bit sketch = 64 buckets: dense enough for recall at small SF
       Ann.lshTopK(e.filter(col("vec_id") < 10), e, 3, numBits = 6).orderBy("q_id", "rank")
     }),
+    "ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      // IVF coarse quantizer: ~N/64 centroids, 4-cell probe
+      Ann.ivfTopK(e.filter(col("vec_id") < 10), e, 5).orderBy("q_id", "rank")
+    }),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -208,6 +213,32 @@ object PipelineQueries {
          |           FROM q JOIN c ON qb = nb AND q_id <> n_id),
          |r AS (SELECT q_id, n_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM scored)
          |SELECT q_id, n_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 64 = 0),
+         |fan AS (
+         |  SELECT e.vec_id AS n_id, e.embedding AS ne, c.c_id,
+         |    ${cosExpr("e.embedding", "c.ce")} AS csim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |cells AS (
+         |  SELECT n_id, ne, c_id AS cell FROM (
+         |    SELECT n_id, ne, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY csim DESC, c_id DESC) AS rn
+         |    FROM fan) WHERE rn = 1),
+         |probes AS (
+         |  SELECT n_id AS q_id, ne AS qe, c_id AS cell FROM (
+         |    SELECT n_id, ne, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY csim DESC, c_id DESC) AS rn
+         |    FROM fan WHERE n_id < 10) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT q_id, n_id, ${cosExpr("qe", "ne")} AS sim
+         |  FROM probes JOIN cells USING (cell) WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_id, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |      FROM scored)
+         |SELECT q_id, n_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
     "mm_features" ->

@@ -423,6 +423,21 @@ object SparqlQueries {
           |} ORDER BY ?o ?c""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // SPARQL §17.4.2 term-testing functions (FunctionRegistry
+    // isIRI/isLiteral/isNumeric/isBlank) over the string-term lexicon:
+    // IRI = scheme-prefixed id term, literal = everything else, no
+    // blank nodes in the model (SURVEY §3)
+    "sparql_term_fns" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?s ?v ?is_iri ?is_num ?is_lit WHERE {
+          |  { ?s nation ?v } UNION { ?s name ?v }
+          |  BIND(isIRI(?v) AS ?is_iri)
+          |  BIND(isNumeric(?v) AS ?is_num)
+          |  BIND(isLiteral(?v) AS ?is_lit)
+          |  FILTER(!isBlank(?s))
+          |} ORDER BY ?s ?v""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // SPARQL §17.4.4 hash functions (FunctionRegistry MD5/SHA1/SHA256/
     // SHA384/SHA512); MD5+SHA256 value-checked by the oracle, the rest
     // in ParserSpec (DuckDB lacks sha1/sha384/sha512)
@@ -855,6 +870,21 @@ object SparqlQueries {
       """SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS n, n_name AS nname,
         |  md5(n_name) AS m, sha256(n_name) AS h
         |FROM nation ORDER BY n""".stripMargin,
+
+    "sparql_term_fns" ->
+      """WITH x AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS s, 'n:'||CAST(c_nationkey AS VARCHAR) AS v FROM customer
+        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), 'n:'||CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 'c:'||CAST(c_custkey AS VARCHAR), c_name FROM customer
+        |  UNION ALL SELECT 's:'||CAST(s_suppkey AS VARCHAR), s_name FROM supplier
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), n_name FROM nation
+        |  UNION ALL SELECT 'r:'||CAST(r_regionkey AS VARCHAR), r_name FROM region
+        |  UNION ALL SELECT 'p:'||CAST(p_partkey AS VARCHAR), p_name FROM part
+        |)
+        |SELECT s, v, regexp_matches(v, '^[A-Za-z][A-Za-z0-9+.-]*:') AS is_iri,
+        |  regexp_matches(v, '^[-+]?[0-9]+(\.[0-9]+)?$') AS is_num,
+        |  NOT regexp_matches(v, '^[A-Za-z][A-Za-z0-9+.-]*:') AS is_lit
+        |FROM x ORDER BY s, v""".stripMargin,
 
     "sparql_service_federated" ->
       """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS sup, s_name AS supname, n_name AS nname

@@ -36,6 +36,10 @@ object Parser {
     * local names. */
   val Base = "urn:graft:"
 
+  /** Lexical shape of an IRI term in the string lexicon: a scheme
+    * prefix (`c:`, `urn:`, `http:`) — SURVEY §3's id forms. */
+  private[sparql] val IriShape = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
   def parse(query: String): Algebra = new Parser(tokenize(query)).parseQuery()
 
   /** Parse a SPARQL UPDATE request (INSERT DATA / DELETE DATA /
@@ -925,7 +929,8 @@ object Parser {
     private val valueFns = numericFns ++
       Set("UCASE", "LCASE", "STR", "SUBSTR", "CONCAT", "REPLACE", "IF", "COALESCE", "BOUND",
         "STRSTARTS", "STRENDS", "CONTAINS", "STRBEFORE", "STRAFTER", "SAMETERM",
-        "MD5", "SHA1", "SHA256", "SHA384", "SHA512")
+        "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+        "ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC", "ISBLANK")
 
     /** fn(args…) → Column. */
     private def parseCall(aggSink: Option[Column => Column]): (Column, Boolean) = {
@@ -959,6 +964,15 @@ object Parser {
         case "DAY"      => dayofmonth(to_date(a(0)))
         // SPARQL §17.4.4.{12-16} hash functions (FunctionRegistry
         // MD5/SHA1/…); lowercase hex in both engines
+        // SPARQL §17.4.2 term-testing functions over the engine's
+        // string-term lexicon: an IRI is an id-shaped term (`c:42`,
+        // `urn:…` — scheme-prefixed; the same term-type rule the
+        // object-bound access path uses to prune literal branches);
+        // everything else is a literal. The model has no blank nodes.
+        case "ISIRI" | "ISURI" => a(0).rlike(IriShape)
+        case "ISLITERAL"       => !a(0).rlike(IriShape)
+        case "ISNUMERIC"       => a(0).rlike("^[-+]?[0-9]+(\\.[0-9]+)?$")
+        case "ISBLANK"         => lit(false)
         case "MD5"    => md5(a(0))
         case "SHA1"   => sha1(a(0))
         case "SHA256" => sha2(a(0), 256)

@@ -45,6 +45,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf: sims exact, one cell per vector, recall reported vs brute force") {
+    val q = embs.filter(col("vec_id") < 5)
+    val k = 5
+    val bf = Ann.bruteForce(q, embs, k).select("q_id", "n_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Ann.ivfTopK(q, embs, k, centroidMod = 64, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ivf.nonEmpty)
+    // every IVF sim agrees with the exact pairwise cosine
+    val allPairs = Ann.bruteForce(q, embs, Int.MaxValue).select("q_id", "n_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (key, sim) =>
+      assert(allPairs(key) == sim, s"sim mismatch for $key")
+    }
+    // probing 4 of ~N/64 cells on a random corpus still has to find a
+    // sizeable share of the true top-k (measured 0.8 on this corpus)
+    val recall = ivf.count { case (key, _) => bf.contains(key) }.toDouble / bf.size
+    assert(recall >= 0.5, s"ivf recall collapsed: $recall")
+  }
+
   test("blocked cosine pairs equal exact all-pairs (recall 1.0 on corpus)") {
     val exact = Ann.cosinePairsExact(embs, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -59,7 +59,12 @@ object Dedup {
     * (asserted against the uncapped oracle). */
   def ngramJaccard(docs: DataFrame, minJ: Double, n: Int = 3,
                    maxDf: Long = Long.MaxValue): DataFrame = {
-    val sets = shingleSets(docs, n)
+    // the shingle computation (typed map: tokenize + slide + distinct)
+    // is the expensive pass over the corpus — materialize it ONCE; five
+    // consumers read it (sizes, dfreq, both self-join sides, viral).
+    // At production scale this IS the persisted shingle index, the
+    // same index-materialization trade FullText documents.
+    val sets = shingleSets(docs, n).persist()
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
     val posts = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // dfreq is vocabulary-sized (an aggregate, orders of magnitude
@@ -70,7 +75,8 @@ object Dedup {
     // above the df cap would go quadratic — drop both from candidate
     // generation before the self-join
     val shared = dfreq.filter(col("c") > 1 && col("c") <= maxDf).select("sh")
-    val sharedPosts = posts.join(shared, "sh")
+    // materialized: the self-join reads it twice (x and y sides)
+    val sharedPosts = posts.join(shared, "sh").persist()
     // partial intersection counts from the bounded (≤ maxDf²/shingle)
     // self-join — no shingle arrays ever shipped
     val interC = sharedPosts.alias("x").join(sharedPosts.alias("y"),

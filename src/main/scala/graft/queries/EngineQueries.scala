@@ -104,9 +104,11 @@ object EngineQueries {
       val ann1 = graft.rdf.Rdr.annotate(natT, "source", lit("census"))
       val ann2 = graft.rdf.Rdr.annotate(ann1, "checked_by", lit("auditor"))
       // overlay source: base subjects resolve through the prefix-pruned
-      // access path; the annotation overlay is a small filtered join
+      // access path; the annotation overlay is materialized once —
+      // every CBD round reads it, and rebuilding it per round would
+      // re-scan customer and re-hash both annotation levels each time
       val src = graft.sparql.TripleSource
-        .overlay(TpchRdf.source(s, dir), ann1.unionAll(ann2))
+        .overlay(TpchRdf.source(s, dir), ann1.unionAll(ann2).localCheckpoint())
       graft.rdf.Rdr.cbd(src, "c:5").orderBy("s", "p", "o")
     }),
 

@@ -74,8 +74,10 @@ object Rdr {
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       // the layer is CBD-sized: materialize it so the candidate
-      // computation and the result union never re-run the scan
-      val layer = src.scanForSubjects(frontier).localCheckpoint()
+      // computation and the result union never re-run the scan. The
+      // frontier is description-sized by construction — broadcast it so
+      // the subject lookup is a map-side join, never a store shuffle
+      val layer = src.scanForSubjects(broadcast(frontier)).localCheckpoint()
       out = if (out == null) layer else out.unionAll(layer)
       // next frontier: anonymous objects of this layer + the sids of
       // its statements (statements about them belong to the CBD),

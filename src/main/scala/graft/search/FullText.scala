@@ -50,28 +50,36 @@ object FullText {
              regex: Option[String] = None,
              minScore: Option[Double] = None,
              maxRank: Option[Int] = None): DataFrame = {
-    val postings = invertedIndex(docs)
+    // the query-term match runs on RAW tokens, BELOW the tf aggregation:
+    // the (term, doc_id) shuffle then carries only matched postings,
+    // not the whole corpus index (a matched term keeps every one of its
+    // postings, so tf and df are identical to index-then-filter). The
+    // corpus is tokenized in one map-side pass either way; at
+    // production scale the inverted index is a persisted table and the
+    // build cost disappears entirely.
+    val raw = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val n = docs.select(count(lit(1)).as("n"))
-    // two consumers (df aggregation + scoring join) — materialize the
-    // query-scoped postings once instead of re-tokenizing the corpus
-    // per subtree (at production scale the inverted index is a
-    // persisted table and this is moot)
-    val matched = (regex match {
+    val matchedRaw = regex match {
       case Some(re) =>
         // regex match runs on the TERM DICTIONARY (distinct terms),
         // never per-posting: at scale the dictionary is orders of
         // magnitude smaller than the postings
-        val terms = postings.select("term").distinct()
+        val terms = raw.select("term").distinct()
           .filter(col("term").rlike(re))
           .withColumn("q_term", col("term"))
-        postings.join(broadcast(terms), "term")
+        raw.join(broadcast(terms), "term")
       case None =>
         val q = docs.sparkSession.createDataFrame(query.map(Tuple1(_))).toDF("q_term")
         val cond =
           if (prefixMatch) col("term").startsWith(col("q_term"))
           else col("term") === col("q_term")
-        postings.join(broadcast(q), cond)
-    }).localCheckpoint()
+        raw.join(broadcast(q), cond)
+    }
+    // two consumers (df aggregation + scoring join) — materialize the
+    // query-scoped postings once
+    val matched = matchedRaw
+      .groupBy("term", "q_term", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // df per matched term == its global df (all of a term's postings
     // survive the query join); countDistinct guards the prefix case
     // where one posting can match several query entries
@@ -87,12 +95,10 @@ object FullText {
       else scored
     val kept1 = minScore.fold(kept0)(ms => kept0.filter(col("score") >= ms))
     val ranked = maxRank.fold(kept1) { mr =>
-      // rank within the (small, already score-filtered) hit set — the
-      // window runs on |hits| rows, not the corpus
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col("doc_id"))
-      kept1.withColumn("_rank", row_number().over(w))
-        .filter(col("_rank") <= mr).drop("_rank")
+      // rank cutoff = top-mr by (score, doc_id): sort-limit compiles to
+      // TakeOrderedAndProject (per-partition top-K, then merge) — a
+      // global row_number window would move every hit to ONE partition
+      kept1.orderBy(col("score").desc, col("doc_id")).limit(mr)
     }
     ranked.select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id"))

@@ -254,6 +254,26 @@ object Parser {
                           op: DeleteInsertWhere): UpdateOp =
       if (d.isEmpty && n.isEmpty) op else UsingClause(d, n, op)
 
+    /** One subject's triples with `;` predicate-object lists and `,`
+      * object lists (grammar [75] TriplesSameSubject), fed to `sink`. */
+    private def sameSubjectTriples(sink: TriplePattern => Unit): Unit = {
+      val s = dataTerm()
+      def predObjs(): Unit = {
+        val p = predTerm()
+        var objs = true
+        while (objs) {
+          sink(TriplePattern(s, p, dataTerm()))
+          if (peekIs(",")) next() else objs = false
+        }
+      }
+      predObjs()
+      while (peekIs(";")) {
+        next()
+        if (!peekIs(".") && !peekIs("}") && !peekIs(";")) predObjs()
+      }
+      if (peekIs(".")) next()
+    }
+
     /** { t . GRAPH g { t . t } . t … } — ground data with optional
       * named-graph blocks. */
     private def parseDataBlock(): Seq[(Option[String], TriplePattern)] = {
@@ -267,18 +287,10 @@ object Parser {
           expect("{")
           while (!peekIs("}")) {
             if (peekIs(".")) next()
-            else {
-              val s = dataTerm(); val p = term(next()); val o = dataTerm()
-              out += (Some(g) -> TriplePattern(s, p, o))
-              if (peekIs(".")) next()
-            }
+            else sameSubjectTriples(tp => out += (Some(g) -> tp))
           }
           expect("}")
-        } else {
-          val s = dataTerm(); val p = term(next()); val o = dataTerm()
-          out += (None -> TriplePattern(s, p, o))
-          if (peekIs(".")) next()
-        }
+        } else sameSubjectTriples(tp => out += (None -> tp))
       }
       expect("}")
       out.result()
@@ -290,11 +302,7 @@ object Parser {
       val out = Vector.newBuilder[TriplePattern]
       while (!peekIs("}")) {
         if (peekIs(".")) next()
-        else {
-          val s = dataTerm(); val p = term(next()); val o = dataTerm()
-          out += TriplePattern(s, p, o)
-          if (peekIs(".")) next()
-        }
+        else sameSubjectTriples(out += _)
       }
       expect("}")
       out.result()
@@ -643,22 +651,40 @@ object Parser {
                   Var(sv)
               }
             }
-          // triple pattern, possibly with a property path predicate
+          // triple pattern, possibly with a property path predicate;
+          // supports predicate-object lists `s p1 o1 ; p2 o2` and
+          // object lists `s p o1 , o2` (SPARQL grammar [77]/[79])
           val s = patternTerm()
-          if (peek.startsWith("?") && peek != "?") {
-            // variable predicate → plain pattern
-            val p = term(next()); val o = patternTerm()
-            patterns += TriplePattern(s, p, o)
-          } else {
-            val pe = parsePath()
-            val o = patternTerm()
-            pe match {
-              case PathPred(p) => patterns += TriplePattern(s, Const(p), o)
-              case path =>
-                val sv = s match { case Var(v) => v; case _ => fresh("ps") }
-                val ov = o match { case Var(v) => v; case _ => fresh("po") }
-                flush(); add(Path(s, path, o, sv, ov))
+          def predObjList(): Unit = {
+            if (peek.startsWith("?") && peek != "?") {
+              // variable predicate → plain pattern
+              val p = term(next())
+              var objs = true
+              while (objs) {
+                val o = patternTerm()
+                patterns += TriplePattern(s, p, o)
+                if (peekIs(",")) next() else objs = false
+              }
+            } else {
+              val pe = parsePath()
+              var objs = true
+              while (objs) {
+                val o = patternTerm()
+                pe match {
+                  case PathPred(p) => patterns += TriplePattern(s, Const(p), o)
+                  case path =>
+                    val sv = s match { case Var(v) => v; case _ => fresh("ps") }
+                    val ov = o match { case Var(v) => v; case _ => fresh("po") }
+                    flush(); add(Path(s, path, o, sv, ov))
+                }
+                if (peekIs(",")) next() else objs = false
+              }
             }
+          }
+          predObjList()
+          while (peekIs(";")) {
+            next()
+            if (!peekIs(".") && !peekIs("}") && !peekIs(";")) predObjList()
           }
           // a statement carrying an embedded rewrite joins the
           // sid-Extend side NOW, so later unrelated patterns never end
@@ -730,7 +756,12 @@ object Parser {
           val e = parsePath()
           expect(")")
           e
-        } else PathPred(constValue(next()))
+        } else {
+          // `a` in predicate position abbreviates rdf:type (grammar
+          // [106] VerbSimple) — the engine's type predicate
+          val t = next()
+          PathPred(if (t == "a") "type" else constValue(t))
+        }
       peek match {
         case "+" => next(); prim = PathPlusE(prim)
         case "*" => next(); prim = PathStar(prim)
@@ -831,6 +862,12 @@ object Parser {
 
     private def dataTerm(): Term =
       if (peekIs("<<")) { next(); groundSid() } else term(next())
+
+    /** Predicate position in data/template triples: `a` ≡ type. */
+    private def predTerm(): Term = {
+      val t = next()
+      if (t == "a") Const("type") else term(t)
+    }
 
     /** FILTER ( expr ) */
     private def parseBracketedExpr(): Column = {

@@ -321,6 +321,34 @@ class ParserSpec extends AnyFunSuite {
     assert(top.sorted.reverse.sameElements(top))
   }
 
+  test("predicate-object lists, object lists and the `a` keyword") {
+    val sugar = run(
+      """SELECT ?c ?cname ?nname WHERE {
+        |  ?c a "Customer" ; name ?cname ; nation ?n .
+        |  ?n name ?nname
+        |} ORDER BY ?c""".stripMargin)
+    val plain = run(
+      """SELECT ?c ?cname ?nname WHERE {
+        |  ?c type "Customer" . ?c name ?cname . ?c nation ?n .
+        |  ?n name ?nname
+        |} ORDER BY ?c""".stripMargin)
+    assert(sugar.count() > 0)
+    assert(sugar.collect().toSeq == plain.collect().toSeq)
+    // an object list is CONJUNCTIVE (same s, same p, each object):
+    // no customer has two segments, so this is empty
+    val objList = run("""SELECT ?s WHERE { ?s mktsegment "BUILDING" , "MACHINERY" }""")
+    assert(objList.count() == 0)
+    // data blocks take the same sugar
+    Parser.parseUpdate("""INSERT DATA { x:1 a "Thing" ; note "n1" , "n2" }""") match {
+      case InsertData(d) =>
+        assert(d.map(_._2) == Seq(
+          TriplePattern("x:1", "type", "Thing"),
+          TriplePattern("x:1", "note", "n1"),
+          TriplePattern("x:1", "note", "n2")))
+      case other => fail(s"expected InsertData, got $other")
+    }
+  }
+
   test("named subquery: WITH … AS %set + INCLUDE equals the inlined query") {
     val named = run(
       """SELECT ?nname (COUNT(*) AS ?cnt)

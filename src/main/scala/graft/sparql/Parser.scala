@@ -91,7 +91,7 @@ object Parser {
         // RDF* embedded-triple closer
         out += ">>"; i += 2
       } else if (c == '|' && i + 1 < q.length && q(i + 1) == '|') { out += "||"; i += 2 }
-      else if ("{}().,;/|^+*".contains(c)) { out += c.toString; i += 1 }
+      else if ("{}().,;/|^+*[]".contains(c)) { out += c.toString; i += 1 }
       else if (">=!&|".contains(c)) {
         val two = q.substring(i, math.min(i + 2, q.length))
         if (Set(">=", "!=", "&&", "||").contains(two)) { out += two; i += 2 }
@@ -481,6 +481,9 @@ object Parser {
         else { next(); offset = next().toLong }
       }
       if (limit >= 0 || offset > 0) alg = Slice(alg, offset, if (limit >= 0) limit else Long.MaxValue)
+      // trailing VALUES clause (grammar [28] ValuesClause): inline data
+      // joined against the whole query's solutions
+      if (peekIs("VALUES")) alg = Join(alg, parseValues())
       // earlier WITH clauses are outermost, so later named subqueries
       // (and the WHERE clause) may INCLUDE them
       namedSubs.result().foldRight(alg) { case ((n, sub), a) => NamedSubquery(n, sub, a) }
@@ -631,7 +634,8 @@ object Parser {
           // the map-side sid computation into the enclosing pattern
           var embedded = false
           def patternTerm(): Term =
-            if (!peekIs("<<")) term(next())
+            if (peekIs("[")) bnodePropList()
+            else if (!peekIs("<<")) term(next())
             else {
               next()
               val (es, ep, eo) = (term(next()), term(next()), term(next()))
@@ -651,11 +655,10 @@ object Parser {
                   Var(sv)
               }
             }
-          // triple pattern, possibly with a property path predicate;
-          // supports predicate-object lists `s p1 o1 ; p2 o2` and
-          // object lists `s p o1 , o2` (SPARQL grammar [77]/[79])
-          val s = patternTerm()
-          def predObjList(): Unit = {
+          // one predicate (var or path) + its ','-separated objects
+          // for subject `s` (grammar [77] PropertyListNotEmpty /
+          // [79] ObjectList)
+          def predObjList(s: Term): Unit = {
             if (peek.startsWith("?") && peek != "?") {
               // variable predicate → plain pattern
               val p = term(next())
@@ -681,11 +684,33 @@ object Parser {
               }
             }
           }
-          predObjList()
-          while (peekIs(";")) {
-            next()
-            if (!peekIs(".") && !peekIs("}") && !peekIs(";")) predObjList()
+          def propertyList(s: Term): Unit = {
+            predObjList(s)
+            while (peekIs(";")) {
+              next()
+              if (!peekIs(".") && !peekIs("}") && !peekIs("]") && !peekIs(";"))
+                predObjList(s)
+            }
           }
+          // `[ p1 o1 ; p2 o2 ]` — blank-node property list (grammar
+          // [99]): an anonymous subject/object = a fresh variable that
+          // is never projected
+          def bnodePropList(): Term = {
+            expect("[")
+            val v = Var(fresh("bn"))
+            if (!peekIs("]")) propertyList(v)
+            expect("]")
+            v
+          }
+          // triple pattern, possibly with a property path predicate;
+          // supports predicate-object lists `s p1 o1 ; p2 o2` and
+          // object lists `s p o1 , o2`
+          val startedWithBracket = peekIs("[")
+          val s = patternTerm()
+          // `[ p o ] .` is a complete statement on its own; any other
+          // subject (incl. `[ … ] p o`) is followed by a property list
+          if (!(startedWithBracket && (peekIs(".") || peekIs("}"))))
+            propertyList(s)
           // a statement carrying an embedded rewrite joins the
           // sid-Extend side NOW, so later unrelated patterns never end
           // up cartesian-joined with it inside one Bgp

@@ -349,6 +349,25 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("blank-node property lists and trailing VALUES") {
+    val bn = run(
+      """SELECT ?nname WHERE {
+        |  [ a "Customer" ; nation [ name ?nname ; region ?r ] ; mktsegment "BUILDING" ]
+        |} ORDER BY ?nname""".stripMargin)
+    val plain = run(
+      """SELECT ?nname WHERE {
+        |  ?c type "Customer" . ?c nation ?n . ?c mktsegment "BUILDING" .
+        |  ?n name ?nname . ?n region ?r
+        |} ORDER BY ?nname""".stripMargin)
+    assert(bn.count() > 0)
+    assert(bn.collect().toSeq == plain.collect().toSeq)
+    // trailing VALUES joins the whole query's solutions (grammar [28])
+    val tv = run(
+      """SELECT ?n ?nname WHERE { ?n name ?nname . ?n type "Nation" }
+        |VALUES ?nname { "NATION_3" "NATION_7" }""".stripMargin)
+    assert(tv.count() == 2)
+  }
+
   test("named subquery: WITH … AS %set + INCLUDE equals the inlined query") {
     val named = run(
       """SELECT ?nname (COUNT(*) AS ?cnt)

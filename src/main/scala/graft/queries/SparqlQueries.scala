@@ -128,12 +128,15 @@ object SparqlQueries {
         "c", "name"),
         Seq(col("c"))))),
 
+    // customers with no F-status order — non-empty on the corpus, so
+    // the anti-join is value-checked, not just vacuously green
     "not_exists_antijoin" -> ((s, dir) => run(s, dir,
       OrderBy(Project(
         NotExists(
           Bgp(TriplePattern("?c", "type", "Customer"),
               TriplePattern("?c", "name", "?name")),
-          Bgp(TriplePattern("?o", "customer", "?c"))),
+          Bgp(TriplePattern("?o", "customer", "?c"),
+              TriplePattern("?o", "status", "F"))),
         "c", "name"),
         Seq(col("c"))))),
 
@@ -652,7 +655,8 @@ object SparqlQueries {
 
     "not_exists_antijoin" ->
       """SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS c, c_name AS name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c""".stripMargin,
 
     "bind_extend" ->

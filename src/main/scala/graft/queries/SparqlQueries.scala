@@ -426,6 +426,21 @@ object SparqlQueries {
           |} ORDER BY ?o ?c""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // everyday SPARQL shorthand, driver-checked end-to-end: `a` for
+    // rdf:type, `;` predicate-object lists, `,` object lists, nested
+    // `[ … ]` blank-node property lists, multi-term DESCRIBE-style
+    // star over one subject (grammar [75]/[77]/[79]/[99])
+    "sparql_parsed_sugar" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?cname ?nname ?bal WHERE {
+          |  [ a "Customer" ;
+          |    name ?cname ;
+          |    nation [ name ?nname ] ;
+          |    acctbal ?bal ;
+          |    mktsegment "BUILDING" ]
+          |} ORDER BY ?cname""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // SPARQL §17.4.2 term-testing functions (FunctionRegistry
     // isIRI/isLiteral/isNumeric/isBlank) over the string-term lexicon:
     // IRI = scheme-prefixed id term, literal = everything else, no
@@ -874,6 +889,13 @@ object SparqlQueries {
       """SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS n, n_name AS nname,
         |  md5(n_name) AS m, sha256(n_name) AS h
         |FROM nation ORDER BY n""".stripMargin,
+
+    "sparql_parsed_sugar" ->
+      """SELECT c_name AS cname, n_name AS nname,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY cname""".stripMargin,
 
     "sparql_term_fns" ->
       """WITH x AS (

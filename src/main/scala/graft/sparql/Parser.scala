@@ -332,7 +332,16 @@ object Parser {
     private def parseDescribe(): Algebra = {
       expect("DESCRIBE")
       term(next()) match {
-        case Const(v) => Describe(v)
+        case Const(v) =>
+          // DESCRIBE <t1> <t2> … — the merged (set-union) description
+          // of every term (grammar [11]: VarOrIri+)
+          var alg: Algebra = Describe(v)
+          var multi = false
+          while (peek != "<eof>" && !peekIs("WHERE")) {
+            alg = Union(alg, Describe(constValue(next())))
+            multi = true
+          }
+          if (multi) Distinct(alg) else alg
         case Var(v) =>
           expect("WHERE")
           DescribeWhere(v, parseGroup())

@@ -349,6 +349,12 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE with multiple terms merges the descriptions") {
+    val two = run("DESCRIBE c:42 n:3")
+    val merged = run("DESCRIBE c:42").unionAll(run("DESCRIBE n:3")).distinct()
+    assert(two.count() == merged.count() && two.count() > 0)
+  }
+
   test("blank-node property lists and trailing VALUES") {
     val bn = run(
       """SELECT ?nname WHERE {

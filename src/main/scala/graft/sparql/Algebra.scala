@@ -213,11 +213,14 @@ final case class SearchService(terms: Seq[String], limit: Int,
                                minScore: Option[Double] = None,
                                maxRank: Option[Int] = None) extends Algebra
 
-/** SERVICE <endpoint> { group } — federation to a registered endpoint
-  * (ast/service/ServiceRegistry.java:67; remote endpoints would go
-  * through the RemoteServiceCallImpl analog registered there). The
-  * handler's solution joins the enclosing group on shared variables. */
-final case class ServiceCall(endpoint: String, inner: Algebra) extends Algebra
+/** SERVICE [SILENT] <endpoint> { group } — federation to a registered
+  * endpoint (ast/service/ServiceRegistry.java:67; remote endpoints
+  * would go through the RemoteServiceCallImpl analog registered
+  * there). The handler's solution joins the enclosing group on shared
+  * variables; with `silent`, an unreachable endpoint contributes the
+  * unit solution instead of failing (§13.2 SILENT). */
+final case class ServiceCall(endpoint: String, inner: Algebra,
+                             silent: Boolean = false) extends Algebra
 
 /** Geospatial search invoked from inside a query — the reference's
   * `geo:search` service (ast/eval/GeoSpatialServiceFactory.java:133,

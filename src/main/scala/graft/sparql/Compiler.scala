@@ -321,11 +321,17 @@ object Compiler {
         .search(corpus, terms, limit, prefix, matchAll, regex, minScore, maxRank)
         .select(col("doc_id").as(outDoc), col("score").as(outScore))
 
-    case ServiceCall(endpoint, inner) =>
-      val handler = ServiceRegistry.lookup(endpoint).getOrElse(
-        sys.error(s"no service registered for <$endpoint> " +
-          "(a remote deployment would fall back to an HTTP call here)"))
-      handler(inner, src)
+    case ServiceCall(endpoint, inner, silent) =>
+      ServiceRegistry.lookup(endpoint) match {
+        case Some(handler) => handler(inner, src)
+        case None if silent =>
+          // SERVICE SILENT failure = the unit solution (§13.2): a
+          // single empty binding, so the enclosing join is unchanged
+          src.triples.sparkSession.range(1).select()
+        case None =>
+          sys.error(s"no service registered for <$endpoint> " +
+            "(a remote deployment would fall back to an HTTP call here)")
+      }
 
     case GeoService(latMin, latMax, lonMin, lonMax, outK, outLat, outLon) =>
       val pts = src.geoCorpus

@@ -374,7 +374,9 @@ object Parser {
       expect(")")
       fn match {
         case "COUNT" => if (distinct) countDistinct(c) else count(c)
-        case "SUM"   => sum(c.cast("decimal(18,2)")).cast("double")
+        case "SUM"   =>
+          val d = c.cast("decimal(18,2)")
+          (if (distinct) sum_distinct(d) else sum(d)).cast("double")
         case "AVG"   => avg(c.cast("decimal(18,2)")).cast("double")
         case "MIN"   => min(c)
         case "MAX"   => max(c)
@@ -567,13 +569,14 @@ object Parser {
           flush(); add(GraphPattern(g, parseGroup()))
         } else if (peekIs("SERVICE")) {
           next()
+          val silent = if (peekIs("SILENT")) { next(); true } else false
           val svc = next()
           if (svc.startsWith("<")) {
-            // SERVICE <endpoint> { group }: federation to a registered
-            // endpoint (ServiceRegistry.java:67); the inner group is
-            // ordinary algebra, evaluated by the endpoint's handler
+            // SERVICE [SILENT] <endpoint> { group }: federation to a
+            // registered endpoint (ServiceRegistry.java:67); the inner
+            // group is ordinary algebra, evaluated by the handler
             flush()
-            add(ServiceCall(svc.drop(1).dropRight(1), parseGroup()))
+            add(ServiceCall(svc.drop(1).dropRight(1), parseGroup(), silent))
           } else {
           expect("{")
           val config = Vector.newBuilder[(String, String)]

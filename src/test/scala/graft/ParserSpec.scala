@@ -349,6 +349,31 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("SERVICE SILENT on a missing endpoint yields the unit solution") {
+    val df = run(
+      """SELECT ?r WHERE {
+        |  ?r type "Region" .
+        |  SERVICE SILENT <urn:test:unreachable> { ?r note ?x }
+        |} ORDER BY ?r""".stripMargin)
+    assert(df.count() == 5) // enclosing solutions unchanged
+  }
+
+  test("SUM(DISTINCT ?x) deduplicates before summing") {
+    // name LENGTHS collide heavily, so distinct-sum ≪ plain sum
+    val d = run(
+      """SELECT (SUM(DISTINCT STRLEN(?name)) AS ?t) WHERE {
+        |  ?c type "Customer" . ?c name ?name }""".stripMargin)
+      .collect().head.getDouble(0)
+    val p = run(
+      """SELECT (SUM(STRLEN(?name)) AS ?t) WHERE {
+        |  ?c type "Customer" . ?c name ?name }""".stripMargin)
+      .collect().head.getDouble(0)
+    val expected = TpchRdf.table(spark, SF, "customer")
+      .select(length(col("c_name")).cast("decimal(18,2)").as("b"))
+      .distinct().agg(sum("b").cast("double")).collect().head.getDouble(0)
+    assert(d == expected && d != p)
+  }
+
   test("DESCRIBE with multiple terms merges the descriptions") {
     val two = run("DESCRIBE c:42 n:3")
     val merged = run("DESCRIBE c:42").unionAll(run("DESCRIBE n:3")).distinct()

@@ -36,19 +36,27 @@ final case class QuadStore(quads: DataFrame) {
   /** ADD from TO to — union `from`'s triples into `to` (set semantics),
     * `from` unchanged. The dedup anti-join is scoped to graph `to` —
     * incoming rows can only collide there, so the right side is one
-    * graph, never the whole store. */
+    * graph, never the whole store. STORE INVARIANT: every graph's
+    * triples are a set (insertData dedups arbitrary incoming data;
+    * graph-to-graph ops preserve it) — so set-minus-set here needs no
+    * extra distinct, saving a graph-sized shuffle per op. */
   def addGraph(from: String, to: String): QuadStore = {
     val incoming = graph(from).withColumn("g", lit(to)).select(cols.map(col): _*)
     val fresh = incoming
-      .join(quads.filter(col("g") === lit(to)), cols, "left_anti").distinct()
+      .join(quads.filter(col("g") === lit(to)), cols, "left_anti")
     QuadStore(quads.unionAll(fresh))
   }
 
-  /** COPY from TO to — `to` is replaced by `from`'s triples.
-    * COPY g TO g is a no-op (SPARQL 1.1 Update §3.2.3) — without the
-    * guard, drop-then-add-from-the-dropped-graph would DELETE it. */
+  /** COPY from TO to — `to` is replaced by `from`'s triples. The
+    * replaced target cannot collide with its replacement, so COPY is
+    * join-free: filter out `to`, union `from` relabeled (at production
+    * scale: a partition overwrite, no row rewrites). COPY g TO g is a
+    * no-op (SPARQL 1.1 Update §3.2.3) — without the guard,
+    * drop-then-recopy-from-the-dropped-graph would DELETE it. */
   def copyGraph(from: String, to: String): QuadStore =
-    if (from == to) this else dropGraph(to).addGraph(from, to)
+    if (from == to) this
+    else QuadStore(quads.filter(col("g") =!= lit(to)).unionAll(
+      graph(from).withColumn("g", lit(to)).select(cols.map(col): _*)))
 
   /** MOVE from TO to — COPY then DROP the source; MOVE g TO g is a
     * no-op (SPARQL 1.1 Update §3.2.4). */

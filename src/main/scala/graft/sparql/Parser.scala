@@ -224,10 +224,23 @@ object Parser {
         if (peekIs("DATA")) { next(); DeleteData(parseDataBlock()) }
         else if (peekIs("WHERE")) { // DELETE WHERE { p }: pattern is template
           next()
-          val saved = pos
-          val tmpl = parseTriplesBlock()
-          pos = saved
-          DeleteInsertWhere(tmpl, Nil, parseGroup())
+          if (peekAt(1).equalsIgnoreCase("GRAPH")) {
+            // DELETE WHERE { GRAPH <g> { P } } — the graph-scoped
+            // shorthand (§3.1.3): pattern is template, both scoped to g
+            expect("{"); expect("GRAPH")
+            val g = constValue(next())
+            val saved = pos
+            val tmpl = parseTriplesBlock()
+            pos = saved
+            val grp = parseGroup()
+            expect("}")
+            WithGraph(g, DeleteInsertWhere(tmpl, Nil, grp))
+          } else {
+            val saved = pos
+            val tmpl = parseTriplesBlock()
+            pos = saved
+            DeleteInsertWhere(tmpl, Nil, parseGroup())
+          }
         } else {
           val del = parseTriplesBlock()
           val ins = if (peekIs("INSERT")) { next(); parseTriplesBlock() } else Nil
@@ -322,11 +335,36 @@ object Parser {
         val saved = pos
         val tmpl = parseTriplesBlock()
         pos = saved
-        return Construct(tmpl, parseGroup())
+        return Construct(tmpl, constructModifiers(parseGroup()))
       }
       val template = parseTriplesBlock()
       expect("WHERE")
-      Construct(template, parseGroup())
+      Construct(template, constructModifiers(parseGroup()))
+    }
+
+    /** CONSTRUCT solution modifiers (§16.2: modifiers apply to the
+      * solution sequence BEFORE templating): ORDER BY + LIMIT/OFFSET
+      * wrap the WHERE child. */
+    private def constructModifiers(child0: Algebra): Algebra = {
+      var child = child0
+      if (peekIs("ORDER")) {
+        next(); expect("BY")
+        val keys = Vector.newBuilder[Column]
+        while (peekIs("ASC") || peekIs("DESC") || peek.startsWith("?")) {
+          if (peekIs("ASC")) { next(); keys += parseBracketedExpr().asc }
+          else if (peekIs("DESC")) { next(); keys += parseBracketedExpr().desc }
+          else keys += col(next().drop(1)).asc
+        }
+        child = OrderBy(child, keys.result())
+      }
+      var offset = 0L; var limit = -1L
+      while (peekIs("LIMIT") || peekIs("OFFSET")) {
+        if (peekIs("LIMIT")) { next(); limit = next().toLong }
+        else { next(); offset = next().toLong }
+      }
+      if (limit >= 0 || offset > 0)
+        child = Slice(child, offset, if (limit >= 0) limit else Long.MaxValue)
+      child
     }
 
     private def parseDescribe(): Algebra = {

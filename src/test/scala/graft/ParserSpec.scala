@@ -349,6 +349,26 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("CONSTRUCT with ORDER BY + LIMIT bounds the solution sequence") {
+    val df = run(
+      """CONSTRUCT { ?c top ?bal } WHERE {
+        |  ?c type "Customer" . ?c acctbal ?bal
+        |} ORDER BY DESC(?bal * 1) LIMIT 5""".stripMargin)
+    assert(df.count() == 5)
+    assert(df.select("p").distinct().collect().map(_.getString(0)).toSeq == Seq("top"))
+  }
+
+  test("DELETE WHERE { GRAPH g { ... } } scopes template and pattern to g") {
+    import spark.implicits._
+    val qs = graft.rdf.QuadStore(Seq(
+      ("a", "p", "x", "g:one"), ("b", "p", "y", "g:one"),
+      ("c", "p", "z", "g:two")).toDF("s", "p", "o", "g"))
+    val op = Parser.parseUpdate("""DELETE WHERE { GRAPH g:one { ?s p ?o } }""")
+    val out = graft.sparql.Update.applyQuads(qs, op)
+    assert(out.graph("g:one").count() == 0)
+    assert(out.graph("g:two").count() == 1)
+  }
+
   test("SERVICE SILENT on a missing endpoint yields the unit solution") {
     val df = run(
       """SELECT ?r WHERE {

@@ -121,6 +121,18 @@ object TpchRdf {
   def triples(spark: SparkSession, dir: String): DataFrame =
     schema.map(explodeTriples(spark, dir, _)).reduce(_ unionAll _)
 
+  /** Register the engine's relations as SQL temp views — `triples`,
+    * `quads`, and every backing table — so plain `spark.sql` reaches
+    * the store (with [[graft.functions.GraftFunctions.registerAll]],
+    * the whole engine is SQL-visible; bound-predicate filters on the
+    * views prune to single scans exactly like the DataFrame paths). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    triples(spark, dir).createOrReplaceTempView("triples")
+    quads(spark, dir).createOrReplaceTempView("quads")
+    (schema.map(_.name) ++ Seq("events", "documents", "embeddings"))
+      .foreach(t => table(spark, dir, t).createOrReplaceTempView(t))
+  }
+
   /** All triples of the single table owning `subjectId` (one scan),
     * filtered to that subject; empty-view fallback if the prefix is
     * unknown. The DESCRIBE access path. */

@@ -10,6 +10,22 @@ class EngineSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
   import spark.implicits._
 
+  test("SQL temp views expose the store to plain spark.sql") {
+    TpchRdf.registerViews(spark, SF)
+    graft.functions.GraftFunctions.registerAll(spark)
+    val n = spark.sql(
+      "SELECT count(*) FROM triples WHERE p = 'nation'").collect().head.getLong(0)
+    val direct = TpchRdf.table(spark, SF, "customer").count() +
+      TpchRdf.table(spark, SF, "supplier").count()
+    assert(n == direct)
+    // quads view prunes on the graph literal; graft fns callable in SQL
+    val q = spark.sql(
+      "SELECT count(*) FROM quads WHERE g = 'g:region'").collect().head.getLong(0)
+    assert(q == TpchRdf.table(spark, SF, "region").count() * 2)
+    val h = spark.sql("SELECT simhash64(array('a','b'))").collect().head.getLong(0)
+    assert(h == spark.sql("SELECT simhash64(array('a','b'))").collect().head.getLong(0))
+  }
+
   test("USING scopes the update WHERE; templates act on the default graph") {
     val qs = QuadStore(Seq(
       ("a", "p", "x", "g:one"),

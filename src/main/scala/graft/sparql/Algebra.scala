@@ -85,8 +85,11 @@ final case class PathPlusE(e: PathExpr) extends PathExpr
 final case class PathStar(e: PathExpr) extends PathExpr
 /** Zero-or-one `e?`. */
 final case class PathOpt(e: PathExpr) extends PathExpr
-/** Negated property set `!(p1|…|pn)` (forward direction). */
-final case class PathNeg(preds: Seq[String]) extends PathExpr
+/** Negated property set `!(p1|…|pn|^q1|…|^qm)` — per SPARQL 1.1
+  * §18.2.2.3 the forward elements form NPS(P) and the inverse elements
+  * inv(NPS(R)); each part exists only when its set is non-empty. */
+final case class PathNeg(preds: Seq[String],
+                         revPreds: Seq[String] = Nil) extends PathExpr
 /** Bounded quantifier `p{n,m}` / `p{n,}` / `p{n}` — Blazegraph's
   * grammar extension over SPARQL 1.1 (ArbitraryLengthPathNode
   * lowerBound/upperBound evaluation). `hi` None = unbounded. */

@@ -422,9 +422,19 @@ object Compiler {
     case PathPred(p) =>
       src.scan(TriplePattern(Var("s"), Const(p), Var("o")))
         .select(col("s").as("from"), col("o").as("to"))
-    case PathNeg(ps) =>
-      src.triples.filter(!col("p").isin(ps: _*))
-        .select(col("s").as("from"), col("o").as("to"))
+    case PathNeg(fwd, rev) =>
+      // NPS(P) ∪ inv(NPS(R)) — each part only when its set is
+      // non-empty (§18.2.2.3); `!(^q)` has NO forward component
+      val parts = Seq(
+        if (fwd.nonEmpty || rev.isEmpty)
+          Some(src.triples.filter(!col("p").isin(fwd: _*))
+            .select(col("s").as("from"), col("o").as("to")))
+        else None,
+        if (rev.nonEmpty)
+          Some(src.triples.filter(!col("p").isin(rev: _*))
+            .select(col("o").as("from"), col("s").as("to")))
+        else None).flatten
+      parts.reduce(_ unionAll _)
     case PathInverse(x) =>
       pathRel(x, src).select(col("to").as("from"), col("from").as("to"))
     case PathAlt(l, r) => pathRel(l, src).unionAll(pathRel(r, src))

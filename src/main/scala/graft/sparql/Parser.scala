@@ -820,12 +820,21 @@ object Parser {
       if (peek == "^") { next(); return PathInverse(parsePathElt()) }
       var prim: PathExpr =
         if (peek == "!") {
-          next(); expect("(")
-          val ps = Vector.newBuilder[String]
-          ps += constValue(next())
-          while (peek == "|") { next(); ps += constValue(next()) }
-          expect(")")
-          PathNeg(ps.result())
+          // !(p|^q|…) or !p / !^p — forward and inverse elements split
+          // into their own sets (grammar [94-96], §18.2.2.3)
+          next()
+          val fwd = Vector.newBuilder[String]
+          val rev = Vector.newBuilder[String]
+          def elem(): Unit =
+            if (peek == "^") { next(); rev += constValue(next()) }
+            else fwd += constValue(next())
+          if (peek == "(") {
+            next()
+            elem()
+            while (peek == "|") { next(); elem() }
+            expect(")")
+          } else elem()
+          PathNeg(fwd.result(), rev.result())
         } else if (peek == "(") {
           next()
           val e = parsePath()

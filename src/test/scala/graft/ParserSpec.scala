@@ -349,6 +349,22 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("negated property sets with inverse elements") {
+    // forward part: n:3's non-name triples; inverse part: everything
+    // pointing AT n:3 via a non-name predicate (customers+suppliers)
+    val mixed = run("""SELECT ?b WHERE { n:3 !(name|^name) ?b } ORDER BY ?b""")
+      .collect().map(_.getString(0)).toSet
+    val forward = run("""SELECT ?b WHERE { n:3 !(name) ?b }""")
+      .collect().map(_.getString(0)).toSet
+    val pointers = run("""SELECT ?b WHERE { ?b nation n:3 }""")
+      .collect().map(_.getString(0)).toSet
+    assert(pointers.nonEmpty && (mixed -- forward) == pointers)
+    // inverse-only NPS has NO forward component (§18.2.2.3)
+    val invOnly = run("""SELECT ?b WHERE { n:3 !(^name) ?b }""")
+      .collect().map(_.getString(0)).toSet
+    assert(invOnly == pointers)
+  }
+
   test("CONSTRUCT with ORDER BY + LIMIT bounds the solution sequence") {
     val df = run(
       """CONSTRUCT { ?c top ?bal } WHERE {

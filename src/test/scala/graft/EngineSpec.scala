@@ -10,6 +10,24 @@ class EngineSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
   import spark.implicits._
 
+  test("COPY/MOVE compile join-free; ADD keeps only the scoped anti-join") {
+    val qs = QuadStore(Seq(
+      ("a", "p", "x", "g:one"), ("b", "p", "y", "g:two")).toDF("s", "p", "o", "g"))
+    val copyPlan = qs.copyGraph("g:one", "g:two")
+      .quads.queryExecution.optimizedPlan.toString
+    assert(!copyPlan.contains("Join"), s"COPY must not join:\n$copyPlan")
+    val movePlan = qs.moveGraph("g:one", "g:two")
+      .quads.queryExecution.optimizedPlan.toString
+    assert(!movePlan.contains("Join"), s"MOVE must not join:\n$movePlan")
+    // correctness of the join-free forms
+    val copied = qs.copyGraph("g:one", "g:two").graph("g:two").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(copied == Set(("a", "p", "x")))
+    val added = qs.addGraph("g:one", "g:two").graph("g:two").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(added == Set(("a", "p", "x"), ("b", "p", "y")))
+  }
+
   test("SQL temp views expose the store to plain spark.sql") {
     TpchRdf.registerViews(spark, SF)
     graft.functions.GraftFunctions.registerAll(spark)

@@ -210,8 +210,12 @@ object EngineQueries {
     // suppliers disappear; ones also supported by customers survive
     // the rederive step)
     "rdfs_retract" -> ((s, dir) => {
+      // the instance slice feeds closure, the base anti-joins (×2) and
+      // the retraction filter — materialized once, like closure does
+      // internally (re-scanning 4 tables per consumer otherwise)
       val tri = TpchRdf.triplesFor(s, dir, Seq("customer", "nation", "region", "supplier"))
         .filter(col("p").isin("type", "nation", "region"))
+        .localCheckpoint()
       val retracted = tri.filter(col("s").startsWith("s:"))
       Rdfs.retractClosure(Rdfs.closure(tri, ontology(s)), tri, retracted, ontology(s))
         .filter(col("p").isin("type", "locatedIn", "nation", "region"))

@@ -64,6 +64,39 @@ object Geo {
     for { y <- y0 to y1; x <- x0 to x1 } yield interleave(y, x)
   }
 
+  /** Haversine great-circle distance (km) to a fixed center — IEEE
+    * double arithmetic whose operation ORDER mirrors the oracle SQL
+    * term-for-term, so both engines agree to well under the 6-dp
+    * rounding used on outputs. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Double, lon2: Double): Column = {
+    val sdlat = sin((lat1 - lit(lat2)) * lit(math.Pi) / 180 / 2)
+    val sdlon = sin((lon1 - lit(lon2)) * lit(math.Pi) / 180 / 2)
+    val a = sdlat * sdlat +
+      cos(lat1 * lit(math.Pi) / 180) * lit(math.cos(lat2 * math.Pi / 180)) * sdlon * sdlon
+    lit(2 * 6371.0) * asin(sqrt(a))
+  }
+
+  /** inCircle search (the reference's pointDistance/inCircle mode,
+    * GeoSpatial.java) — the circle's bounding box drives the z-cell
+    * prune (driver-side degree conversion), the exact haversine ≤
+    * radius predicate verifies. Both engines filter on the ROUNDED
+    * distance, so the cell granularity and ulp noise never change
+    * results. */
+  def circleSearch(points: DataFrame, lat: Double, lon: Double,
+                   radiusKm: Double, bits: Int = 10): DataFrame = {
+    val kmPerDeg = 6371.0 * math.Pi / 180.0
+    val dLat = radiusKm / kmPerDeg
+    val cosLat = math.cos(lat * math.Pi / 180.0)
+    val dLon = if (cosLat < 1e-9) 180.0 else radiusKm / (kmPerDeg * cosLat)
+    val cells = coveringCells(
+      math.max(-90, lat - dLat), math.min(90, lat + dLat),
+      math.max(-180, lon - dLon), math.min(180, lon + dLon), bits)
+    points
+      .filter(zCell(col("lat"), col("lon"), bits).isInCollection(cells))
+      .withColumn("dist_km", round(haversineKm(col("lat"), col("lon"), lat, lon), 6))
+      .filter(col("dist_km") <= radiusKm)
+  }
+
   /** Bounding-box search with z-cell pruning ahead of the exact
     * verify — the plan shape of the reference's GeoSpatial service
     * (ast/eval/GeoSpatialServiceFactory.java:133: z-order range scan,

@@ -83,6 +83,24 @@ object EngineQueries {
           |} ORDER BY ?k""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // geo:search inCircle mode (GeoSpatial.java pointDistance): the
+    // circle's bbox drives the z-cell prune, the exact (rounded)
+    // haversine distance verifies and is bound as a solution var
+    "geo_circle" -> ((s, dir) =>
+      graft.sparql.Compiler.compile(graft.sparql.Parser.parse(
+        """SELECT ?k ?lat ?lon ?d WHERE {
+          |  SERVICE geo:search {
+          |    _:g geo:lat "10" .
+          |    _:g geo:lon "-40" .
+          |    _:g geo:radiusKm "3000" .
+          |    _:g geo:out ?k .
+          |    _:g geo:outLat ?lat .
+          |    _:g geo:outLon ?lon .
+          |    _:g geo:outDist ?d .
+          |  }
+          |} ORDER BY ?k""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // SymmetricOneStep DESCRIBE: triples where the node is subject OR
     // object (DescribeModeEnum.SymmetricOneStep). The object side uses
     // the OPS-analog access path: only branches that can reference the
@@ -608,6 +626,22 @@ object EngineQueries {
         |    (s_suppkey * 104729 % 36000) / 100.0 - 180 AS lon FROM supplier)
         |WHERE lat >= 0 AND lat <= 60 AND lon >= -120 AND lon <= 30
         |ORDER BY k""".stripMargin,
+
+    "geo_circle" ->
+      """WITH pts AS (
+        |  SELECT s_suppkey AS k,
+        |    (s_suppkey * 7919 % 18000) / 100.0 - 90 AS lat,
+        |    (s_suppkey * 104729 % 36000) / 100.0 - 180 AS lon FROM supplier),
+        |h AS (SELECT k, lat, lon,
+        |  sin((lat - 10) * pi() / 180 / 2) AS sdlat,
+        |  sin((lon - -40.0) * pi() / 180 / 2) AS sdlon,
+        |  cos(lat * pi() / 180) AS clat
+        |  FROM pts),
+        |d AS (SELECT k, lat, lon,
+        |  ROUND(2 * 6371.0 * asin(sqrt(
+        |    sdlat * sdlat + clat * cos(10 * pi() / 180) * sdlon * sdlon)), 6) AS d
+        |  FROM h)
+        |SELECT k, lat, lon, d FROM d WHERE d <= 3000 ORDER BY k""".stripMargin,
 
     "describe_sym" ->
       (T + """SELECT DISTINCT s, p, o FROM triples

@@ -234,3 +234,12 @@ final case class GeoService(latMin: Double, latMax: Double,
                             lonMin: Double, lonMax: Double,
                             outNode: String, outLat: String,
                             outLon: String) extends Algebra
+
+/** geo:search inCircle mode (the reference's pointDistance predicates,
+  * com/bigdata/service/geospatial/GeoSpatial.java): points within
+  * `radiusKm` of (lat, lon), the circle's bbox pruning z-cells ahead
+  * of the exact haversine verify; binds (outNode, outLat, outLon,
+  * outDist). */
+final case class GeoCircle(lat: Double, lon: Double, radiusKm: Double,
+                           outNode: String, outLat: String,
+                           outLon: String, outDist: String) extends Algebra

@@ -338,6 +338,13 @@ object Compiler {
         .getOrElse(sys.error("this triple source has no geo corpus"))
       graft.operators.Geo.bboxSearch(pts, latMin, latMax, lonMin, lonMax)
         .select(col("k").as(outK), col("lat").as(outLat), col("lon").as(outLon))
+
+    case GeoCircle(lat, lon, radiusKm, outK, outLat, outLon, outDist) =>
+      val pts = src.geoCorpus
+        .getOrElse(sys.error("this triple source has no geo corpus"))
+      graft.operators.Geo.circleSearch(pts, lat, lon, radiusKm)
+        .select(col("k").as(outK), col("lat").as(outLat),
+          col("lon").as(outLon), col("dist_km").as(outDist))
   }
 
   /** Unresolved attribute names referenced by a Column. */

@@ -619,7 +619,7 @@ object Parser {
           expect("{")
           val config = Vector.newBuilder[(String, String)]
           var outNode = "node"; var outVal = "value"
-          var outLat = "lat"; var outLon = "lon"
+          var outLat = "lat"; var outLon = "lon"; var outDist = "dist_km"
           while (!peekIs("}")) {
             if (peekIs(".")) next()
             else {
@@ -630,6 +630,7 @@ object Parser {
               else if (key == "outVal") outVal = v.drop(1)
               else if (key == "outLat") outLat = v.drop(1)
               else if (key == "outLon") outLon = v.drop(1)
+              else if (key == "outDist") outDist = v.drop(1)
               else config += (key -> constValue(v))
               if (peekIs(".")) next()
             }
@@ -655,12 +656,18 @@ object Parser {
                 conf.get("minRelevance").map(_.head.toDouble),
                 conf.get("maxRank").map(_.head.toInt)))
             case "geo:search" =>
-              // reference geospatial service, inRectangle mode
-              // (ast/eval/GeoSpatialServiceFactory.java:133)
+              // reference geospatial service: inRectangle mode, or
+              // inCircle when a center+radius is given
+              // (ast/eval/GeoSpatialServiceFactory.java:133,
+              // GeoSpatial.java pointDistance predicates)
               def d(key: String, dflt: Double) =
                 conf.get(key).map(_.head.toDouble).getOrElse(dflt)
-              add(GeoService(d("latMin", -90), d("latMax", 90),
-                d("lonMin", -180), d("lonMax", 180), outNode, outLat, outLon))
+              if (conf.contains("radiusKm"))
+                add(GeoCircle(d("lat", 0), d("lon", 0), d("radiusKm", 0),
+                  outNode, outLat, outLon, outDist))
+              else
+                add(GeoService(d("latMin", -90), d("latMax", 90),
+                  d("lonMin", -180), d("lonMax", 180), outNode, outLat, outLon))
             case other => sys.error(s"unsupported SERVICE '$other'")
           }
           }

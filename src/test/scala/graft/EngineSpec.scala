@@ -10,6 +10,18 @@ class EngineSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
   import spark.implicits._
 
+  test("geo circle search: z-cell prune + exact haversine verify") {
+    val pts = Seq((1L, 10.0, -40.0), (2L, 35.0, -40.0), (3L, 80.0, 100.0))
+      .toDF("k", "lat", "lon")
+    val hits = Geo.circleSearch(pts, 10, -40, 3000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // (10,-40) is the center; (35,-40) is 25° of latitude ≈ 2780 km;
+    // (80,100) is on the other side of the planet
+    assert(hits.keySet == Set(1L, 2L))
+    assert(hits(1L) == 0.0)
+    assert(math.abs(hits(2L) - 25 * 111.19492664455873) < 1.0)
+  }
+
   test("COPY/MOVE compile join-free; ADD keeps only the scoped anti-join") {
     val qs = QuadStore(Seq(
       ("a", "p", "x", "g:one"), ("b", "p", "y", "g:two")).toDF("s", "p", "o", "g"))

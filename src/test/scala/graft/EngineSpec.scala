@@ -10,6 +10,24 @@ class EngineSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
   import spark.implicits._
 
+  test("materialized store: bound-p scan partition-prunes, results equal the view") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val view = TpchRdf.triples(spark, SF)
+    graft.rdf.TripleStorage.write(view, dir)
+    val src = graft.rdf.TripleStorage.source(spark, dir)
+    val scan = src.scan(graft.sparql.TriplePattern("?c", "nation", "?n"))
+    // partition pruning: the physical plan carries a partition filter
+    // on p, so only the p=nation directory is read
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("nation"),
+      s"expected partition pruning on p:\n$plan")
+    // same triples as the virtual view's branch scan
+    val fromView = TpchRdf.source(spark, SF)
+      .scan(graft.sparql.TriplePattern("?c", "nation", "?n"))
+      .select("s", "p", "o").collect().map(_.toSeq).toSet
+    assert(scan.select("s", "p", "o").collect().map(_.toSeq).toSet == fromView)
+  }
+
   test("geo circle search: z-cell prune + exact haversine verify") {
     val pts = Seq((1L, 10.0, -40.0), (2L, 35.0, -40.0), (3L, 80.0, 100.0))
       .toDF("k", "lat", "lon")

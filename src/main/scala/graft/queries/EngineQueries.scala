@@ -291,6 +291,36 @@ object EngineQueries {
       s.table(name).orderBy("nation")
     }),
 
+    // stream-stream INTERVAL JOIN — the streaming class the other
+    // stream_* queries don't cover: both sides watermarked, join state
+    // pruned by the watermark + time-range condition (views joined to
+    // the same user's purchases within 30 minutes). Inner interval
+    // joins are batching-invariant here: the 1h watermark always lags
+    // the 30min join window, so no matching pair is ever pruned early.
+    "stream_stream_join" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = views.join(buys,
+          col("user_id") === col("b_user") &&
+            col("purchase_ts") > col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+        .select("user_id", "view_id", "purchase_id")
+      val name = "stream_join_sink"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "view_id", "purchase_id")
+    }),
+
     // watermarked streaming dedup (exactly-once on late/replayed ids)
     // feeding a downstream aggregate
     "stream_dedup" -> ((s, dir) => {
@@ -734,6 +764,13 @@ object EngineQueries {
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT a.user_id AS user_id, a.event_id AS view_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, view_id, purchase_id""".stripMargin,
 
     "update_delete_insert" -> updateSql,
     "sparql_parsed_update" -> updateSql,

@@ -10,6 +10,44 @@ class EngineSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
   import spark.implicits._
 
+  test("stream-stream interval join is micro-batch invariant") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = spark.read.parquet(s"$SF/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    // time-split input at maxFilesPerTrigger=1 forces pairs that
+    // straddle a micro-batch boundary through the join STATE
+    Sessionize.stageBoundedInput(ev, dir, splits = 2)
+    def src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+      .withColumn("tsv", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("tsv").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("tsv").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(buys,
+        col("user_id") === col("b_user") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("user_id", "view_id", "purchase_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_mb")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj_mb").collect().map(_.toSeq).toSet
+    val batch = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"), col("event_id").as("purchase_id"),
+            col("ts").as("pts")),
+        col("user_id") === col("u2") && col("pts") > col("vts") &&
+          col("pts") <= col("vts") + lit(1800L * 1000000000L))
+      .select("user_id", "view_id", "purchase_id").collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == batch,
+      s"missed=${batch -- got} extra=${got -- batch}")
+  }
+
   test("materialized store: bound-p scan partition-prunes, results equal the view") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val view = TpchRdf.triples(spark, SF)

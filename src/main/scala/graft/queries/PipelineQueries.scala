@@ -23,6 +23,19 @@ object PipelineQueries {
       Dedup.simhashPairs(docs(s, dir), 3).orderBy("a", "b")),
     "dedup_embed_cosine" -> ((s, dir) =>
       Ann.cosinePairs(embs(s, dir), 0.45).orderBy("a", "b")),
+    // dedup CLUSTERING: near-dup pairs → connected components → one
+    // keeper per cluster (the step after pair generation in a real
+    // dedup pipeline; transitive closure, not pairwise pruning, so
+    // A~B~C collapses to one doc even when A≁C). Pairs come from the
+    // banded MinHash path; clustering reuses the frontier CC.
+    "dedup_cluster" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(docs(s, dir), 0.8).select("a", "b")
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      graft.gas.Analytics.connectedComponents(edges)
+        .groupBy(col("label").as("keeper"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy("keeper")
+    }),
     "ann_bruteforce" -> ((s, dir) => {
       val e = embs(s, dir)
       Ann.bruteForce(e.filter(col("vec_id") < 10), e, 5).orderBy("q_id", "rank")
@@ -106,6 +119,19 @@ object PipelineQueries {
 
     "dedup_minhash_lsh" ->
       s"WITH $shingleCte\nSELECT a, b, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY a, b",
+
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |p AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+         |),
+         |lbl AS (SELECT n, MIN(m) AS keeper FROM reach GROUP BY n)
+         |SELECT keeper, COUNT(*) AS cluster_size FROM lbl
+         |GROUP BY keeper ORDER BY keeper""".stripMargin,
 
     "dedup_embed_cosine" ->
       s"""SELECT x.vec_id AS a, y.vec_id AS b, ROUND(${cosExpr("x.embedding", "y.embedding")}, 6) AS cos_sim

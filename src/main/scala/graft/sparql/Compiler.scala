@@ -297,18 +297,22 @@ object Compiler {
         if (reverse) e0.select(col("o").as("src"), col("s").as("dst"))
         else e0.select(col("s").as("src"), col("o").as("dst"))
       import graft.gas.Analytics
+      // gas:maxIterations caps the fixpoint/iteration count
+      // (GASService.java Options.MAX_ITERATIONS analog)
+      val maxIt = conf.get("maxIterations").map(_.head.toInt)
       conf("gasClass").head.toLowerCase match {
         case "bfs" =>
-          Analytics.bfs(edges, conf("in").head)
+          Analytics.bfs(edges, conf("in").head, maxIt.getOrElse(32))
             .select(col("node").as(outNode), col("depth").as(outVal))
         case "cc" =>
-          Analytics.connectedComponents(edges)
+          Analytics.connectedComponents(edges, maxIt.getOrElse(64))
             .select(col("node").as(outNode), col("label").as(outVal))
         case "sssp" =>
-          Analytics.sssp(edges.withColumn("weight", lit(1.0)), conf("in").head)
+          Analytics.sssp(edges.withColumn("weight", lit(1.0)), conf("in").head,
+              maxIt.getOrElse(64))
             .select(col("node").as(outNode), col("dist").as(outVal))
         case "pr" =>
-          Analytics.pageRank(edges)
+          Analytics.pageRank(edges, maxIt.getOrElse(10))
             .select(col("node").as(outNode), col("rank").as(outVal))
         case other => sys.error(s"unsupported gas:gasClass $other")
       }

@@ -385,6 +385,25 @@ class ParserSpec extends AnyFunSuite {
     assert(out.graph("g:two").count() == 1)
   }
 
+  test("gas:maxIterations caps the BFS frontier expansion") {
+    val capped = run(
+      """SELECT ?n ?d WHERE {
+        |  SERVICE gas:service {
+        |    _:s gas:gasClass "bfs" .
+        |    _:s gas:in "r:2" .
+        |    _:s gas:linkType "region" .
+        |    _:s gas:linkType "nation" .
+        |    _:s gas:traversalDirection "Reverse" .
+        |    _:s gas:maxIterations "1" .
+        |    _:s gas:out ?n .
+        |    _:s gas:outVal ?d .
+        |  }
+        |} ORDER BY ?n""".stripMargin)
+    // depth ≤ 1: the seed and its direct neighbors only
+    assert(capped.count() > 1)
+    assert(capped.select(max(col("d").cast("int"))).collect().head.getInt(0) <= 1)
+  }
+
   test("SERVICE SILENT on a missing endpoint yields the unit solution") {
     val df = run(
       """SELECT ?r WHERE {

@@ -84,13 +84,34 @@ object Geo {
     * results. */
   def circleSearch(points: DataFrame, lat: Double, lon: Double,
                    radiusKm: Double, bits: Int = 10): DataFrame = {
-    val kmPerDeg = 6371.0 * math.Pi / 180.0
-    val dLat = radiusKm / kmPerDeg
-    val cosLat = math.cos(lat * math.Pi / 180.0)
-    val dLon = if (cosLat < 1e-9) 180.0 else radiusKm / (kmPerDeg * cosLat)
-    val cells = coveringCells(
-      math.max(-90, lat - dLat), math.min(90, lat + dLat),
-      math.max(-180, lon - dLon), math.min(180, lon + dLon), bits)
+    // exact spherical-cap bounding box. Latitude extent is the angular
+    // radius; longitude extent is asin(sin c / cos φ) — the cap's
+    // widest meridian crossing sits at a latitude ABOVE the center, so
+    // the naive r/(km-per-deg·cos φcenter) under-covers and the prune
+    // would drop fringe points (caught by GeoPropertySpec).
+    val c = radiusKm / 6371.0 // angular radius, radians
+    val phi = lat * math.Pi / 180.0
+    val dLat = math.toDegrees(c)
+    val capReachesPole = math.abs(lat) + dLat >= 90.0
+    val sinRatio = math.sin(c) / math.cos(phi)
+    val dLon =
+      if (capReachesPole || sinRatio >= 1.0) 180.0
+      else math.toDegrees(math.asin(sinRatio))
+    val (latLo, latHi) = (math.max(-90, lat - dLat), math.min(90, lat + dLat))
+    // a cap crossing the antimeridian covers TWO longitude ranges —
+    // clamping would prune points on the far side (the verify itself
+    // is wrap-safe: sin²(Δλ/2) is 360°-periodic)
+    val lonRanges: Seq[(Double, Double)] =
+      if (dLon >= 180.0) Seq((-180.0, 180.0))
+      else {
+        val (lo, hi) = (lon - dLon, lon + dLon)
+        if (lo < -180) Seq((-180.0, hi), (lo + 360, 180.0))
+        else if (hi > 180) Seq((-180.0, hi - 360), (lo, 180.0))
+        else Seq((lo, hi))
+      }
+    val cells = lonRanges
+      .flatMap { case (lo, hi) => coveringCells(latLo, latHi, lo, hi, bits) }
+      .distinct
     points
       .filter(zCell(col("lat"), col("lon"), bits).isInCollection(cells))
       .withColumn("dist_km", round(haversineKm(col("lat"), col("lon"), lat, lon), 6))

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.{check, Parameters}
+import graft.operators.Geo
+
+/** Property proofs for the geospatial prune: z-cell pruning must never
+  * lose a point (false negatives change RESULTS; false positives only
+  * cost the exact verify). Driver-side math only — no Spark session. */
+class GeoPropertySpec extends AnyFunSuite {
+
+  private val lat = Gen.chooseNum(-90.0, 90.0)
+  private val lon = Gen.chooseNum(-180.0, 180.0)
+
+  /** Driver-side twin of Geo.zCell (same quantize + interleave). */
+  private def zCell(la: Double, lo: Double, bits: Int): Long = {
+    def q(v: Double, mn: Double, mx: Double): Long =
+      math.min(65535L, math.max(0L, math.floor((v - mn) / (mx - mn) * 65536.0).toLong))
+    val (ly, lx) = (q(la, -90, 90), q(lo, -180, 180))
+    val z = (0 until 16).map { i =>
+      (((ly >> i) & 1L) << (2 * i + 1)) | (((lx >> i) & 1L) << (2 * i))
+    }.reduce(_ | _)
+    z >> (32 - bits)
+  }
+
+  private def run(name: String, prop: Prop): Unit = {
+    val r = check(Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(r.passed, s"$name: $r")
+  }
+
+  test("coveringCells never loses a point inside the box") {
+    run("covering", forAll(lat, lat, lon, lon, lat, lon) {
+      (la1, la2, lo1, lo2, pla, plo) =>
+        val (latMin, latMax) = (math.min(la1, la2), math.max(la1, la2))
+        val (lonMin, lonMax) = (math.min(lo1, lo2), math.max(lo1, lo2))
+        // clamp the probe point into the box
+        val p = (math.min(math.max(pla, latMin), latMax),
+                 math.min(math.max(plo, lonMin), lonMax))
+        val cells = Geo.coveringCells(latMin, latMax, lonMin, lonMax, 10).toSet
+        cells.contains(zCell(p._1, p._2, 10))
+    })
+  }
+
+  test("circle bbox prune never loses a point within the radius") {
+    val radius = Gen.chooseNum(1.0, 5000.0)
+    run("circle", forAll(lat, lon, radius, lat, lon) { (cla, clo, r, pla, plo) =>
+      // haversine distance, driver-side
+      val rad = math.Pi / 180
+      val sdlat = math.sin((pla - cla) * rad / 2)
+      val sdlon = math.sin((plo - clo) * rad / 2)
+      val a = sdlat * sdlat + math.cos(pla * rad) * math.cos(cla * rad) * sdlon * sdlon
+      val dist = 2 * 6371.0 * math.asin(math.sqrt(a))
+      // only points actually inside the circle constrain the prune
+      if (dist > r) true
+      else {
+        // the exact spherical-cap bbox circleSearch uses, incl. the
+        // antimeridian split
+        val c = r / 6371.0
+        val phi = cla * math.Pi / 180.0
+        val dLat = math.toDegrees(c)
+        val sinRatio = math.sin(c) / math.cos(phi)
+        val dLon =
+          if (math.abs(cla) + dLat >= 90.0 || sinRatio >= 1.0) 180.0
+          else math.toDegrees(math.asin(sinRatio))
+        val (latLo, latHi) = (math.max(-90, cla - dLat), math.min(90, cla + dLat))
+        val lonRanges: Seq[(Double, Double)] =
+          if (dLon >= 180.0) Seq((-180.0, 180.0))
+          else {
+            val (lo, hi) = (clo - dLon, clo + dLon)
+            if (lo < -180) Seq((-180.0, hi), (lo + 360, 180.0))
+            else if (hi > 180) Seq((-180.0, hi - 360), (lo, 180.0))
+            else Seq((lo, hi))
+          }
+        val cells = lonRanges
+          .flatMap { case (lo, hi) => Geo.coveringCells(latLo, latHi, lo, hi, 10) }
+          .toSet
+        cells.contains(zCell(pla, plo, 10))
+      }
+    })
+  }
+}

@@ -66,4 +66,24 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       polyhash(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("fingerprint"))
+
+  /** Sequence packing: assign docs to fixed-token-budget training
+    * packs. Deterministic greedy-by-id within a shard: the running
+    * token cumsum (window per shard, ordered by doc_id) divides by the
+    * budget — a doc lands in the pack its PRECEDING cumsum falls in,
+    * so packs fill in id order and every shard packs independently
+    * (the shard key is the parallelism unit at 100 TB: one sequential
+    * window per shard, never a global sort). Docs longer than the
+    * budget get a pack of their own, stilling the division. */
+  def packSequences(docs: DataFrame, shardCol: Column, tokensPerPack: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), shardCol.as("shard"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / tokensPerPack).as("pack_id"))
+  }
 }

@@ -52,6 +52,12 @@ object PipelineQueries {
     }),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
+    // sequence packing: docs → fixed-token-budget training packs,
+    // greedy by id within hash shards (each shard packs independently
+    // — the parallelism unit at scale)
+    "pipeline_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), pmod(col("doc_id"), lit(4)), 2048)
+        .orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(docs(s, dir)).orderBy("doc_id")),
     "text_tokens" -> ((s, dir) =>
@@ -181,6 +187,17 @@ object PipelineQueries {
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -2,7 +2,7 @@ package graft.rdf
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sparql.{TriplePattern, TripleSource}
+import graft.sparql.{Const, TriplePattern, TripleSource}
 
 /** Materialized triple storage — the on-disk analog of the reference's
   * POS statement index (com.bigdata.rdf.store.AbstractTripleStore's
@@ -34,6 +34,39 @@ object TripleStorage {
   def source(spark: SparkSession, path: String): TripleSource = new TripleSource {
     lazy val triples: DataFrame =
       spark.read.parquet(path).select("s", "p", "o")
+    def fuseStar(patterns: Seq[TriplePattern],
+                 subjectTables: Option[Set[String]]): Option[DataFrame] = None
+  }
+
+  /** The object-id scheme of a term (`n:3` → `n`), `lit` for plain
+    * literals — the OSP partition key. */
+  private def objBucket(o: org.apache.spark.sql.Column) =
+    when(o.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
+      substring_index(o, ":", 1)).otherwise("lit")
+
+  /** OSP twin: the same triples partitioned by the OBJECT's id scheme
+    * (literals pool under `lit`), objects sorted within partitions —
+    * "what points at X" reads one partition directory and zone-map
+    * prunes by `o`, the on-disk OSP-index analog. */
+  def writeOsp(triples: DataFrame, path: String): Unit =
+    triples.select(col("s"), col("p"), col("o"), objBucket(col("o")).as("ob"))
+      .repartition(col("ob"))
+      .sortWithinPartitions("o")
+      .write.mode("overwrite").partitionBy("ob").parquet(path)
+
+  /** TripleSource over the OSP store: a bound-object pattern filters
+    * the partition column first, so only the object's scheme directory
+    * is read. */
+  def ospSource(spark: SparkSession, path: String): TripleSource = new TripleSource {
+    lazy val triples: DataFrame =
+      spark.read.parquet(path).select("s", "p", "o")
+    override def scan(tp: TriplePattern): DataFrame = tp.o match {
+      case Const(v) =>
+        val bucket = if (v.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) v.takeWhile(_ != ':') else "lit"
+        TripleSource.filterScan(
+          spark.read.parquet(path).filter(col("ob") === bucket).select("s", "p", "o"), tp)
+      case _ => TripleSource.filterScan(triples, tp)
+    }
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = None
   }

@@ -66,6 +66,19 @@ class EngineSpec extends AnyFunSuite {
     assert(scan.select("s", "p", "o").collect().map(_.toSeq).toSet == fromView)
   }
 
+  test("OSP store: bound-object scan partition-prunes to the id scheme") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_osp").toString
+    graft.rdf.TripleStorage.writeOsp(TpchRdf.triples(spark, SF), dir)
+    val src = graft.rdf.TripleStorage.ospSource(spark, dir)
+    val scan = src.scan(graft.sparql.TriplePattern("?x", "?p", "n:3"))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ob"),
+      s"expected partition pruning on ob:\n$plan")
+    val expected = TpchRdf.triples(spark, SF).filter(col("o") === "n:3")
+      .collect().map(_.toSeq).toSet
+    assert(scan.select("s", "p", "o").collect().map(_.toSeq).toSet == expected)
+  }
+
   test("geo circle search: z-cell prune + exact haversine verify") {
     val pts = Seq((1L, 10.0, -40.0), (2L, 35.0, -40.0), (3L, 80.0, 100.0))
       .toDF("k", "lat", "lon")

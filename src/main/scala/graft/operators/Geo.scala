@@ -76,19 +76,15 @@ object Geo {
     lit(2 * 6371.0) * asin(sqrt(a))
   }
 
-  /** inCircle search (the reference's pointDistance/inCircle mode,
-    * GeoSpatial.java) — the circle's bounding box drives the z-cell
-    * prune (driver-side degree conversion), the exact haversine ≤
-    * radius predicate verifies. Both engines filter on the ROUNDED
-    * distance, so the cell granularity and ulp noise never change
-    * results. */
-  def circleSearch(points: DataFrame, lat: Double, lon: Double,
-                   radiusKm: Double, bits: Int = 10): DataFrame = {
-    // exact spherical-cap bounding box. Latitude extent is the angular
-    // radius; longitude extent is asin(sin c / cos φ) — the cap's
-    // widest meridian crossing sits at a latitude ABOVE the center, so
-    // the naive r/(km-per-deg·cos φcenter) under-covers and the prune
-    // would drop fringe points (caught by GeoPropertySpec).
+  /** Exact spherical-cap bounding box: latitude band + the longitude
+    * RANGES the cap covers (two when it crosses the antimeridian —
+    * clamping would prune far-side points). Longitude extent is
+    * asin(sin c / cos φ): the cap's widest meridian crossing sits at a
+    * latitude ABOVE the center, so the naive r/(km-per-deg·cos φ)
+    * under-covers (caught by GeoPropertySpec, which calls THIS
+    * function — keep prune math here, in one place). */
+  def capBounds(lat: Double, lon: Double, radiusKm: Double)
+      : (Double, Double, Seq[(Double, Double)]) = {
     val c = radiusKm / 6371.0 // angular radius, radians
     val phi = lat * math.Pi / 180.0
     val dLat = math.toDegrees(c)
@@ -97,10 +93,6 @@ object Geo {
     val dLon =
       if (capReachesPole || sinRatio >= 1.0) 180.0
       else math.toDegrees(math.asin(sinRatio))
-    val (latLo, latHi) = (math.max(-90, lat - dLat), math.min(90, lat + dLat))
-    // a cap crossing the antimeridian covers TWO longitude ranges —
-    // clamping would prune points on the far side (the verify itself
-    // is wrap-safe: sin²(Δλ/2) is 360°-periodic)
     val lonRanges: Seq[(Double, Double)] =
       if (dLon >= 180.0) Seq((-180.0, 180.0))
       else {
@@ -109,6 +101,17 @@ object Geo {
         else if (hi > 180) Seq((-180.0, hi - 360), (lo, 180.0))
         else Seq((lo, hi))
       }
+    (math.max(-90, lat - dLat), math.min(90, lat + dLat), lonRanges)
+  }
+
+  /** inCircle search (the reference's pointDistance/inCircle mode,
+    * GeoSpatial.java) — the circle's exact cap bounding box drives the
+    * z-cell prune, the exact haversine ≤ radius predicate verifies.
+    * Both engines filter on the ROUNDED distance, so the cell
+    * granularity and ulp noise never change results. */
+  def circleSearch(points: DataFrame, lat: Double, lon: Double,
+                   radiusKm: Double, bits: Int = 10): DataFrame = {
+    val (latLo, latHi, lonRanges) = capBounds(lat, lon, radiusKm)
     val cells = lonRanges
       .flatMap { case (lo, hi) => coveringCells(latLo, latHi, lo, hi, bits) }
       .distinct

@@ -74,10 +74,13 @@ object Sessionize {
             if (cur != null) {
               state.update(cur)
               if (cur.nEvents > 0) {
-                // event-time alarm at lastTs+gap (clamped above the
-                // watermark: if the gap already elapsed globally, fire
-                // in the next batch)
-                val due = cur.lastTs / 1000000L + gapMs
+                // event-time alarm at lastTs+gap, CEILED to the next
+                // whole millisecond — floor-truncating each term could
+                // fire the timeout up to ~2ms early and close a session
+                // a boundary event would still extend (clamped above
+                // the watermark: if the gap already elapsed globally,
+                // fire in the next batch)
+                val due = (cur.lastTs + gapNanos) / 1000000L + 1
                 state.setTimeoutTimestamp(math.max(due, state.getCurrentWatermarkMs() + 1))
               }
             }
@@ -92,7 +95,9 @@ object Sessionize {
   def withEventTime(events: DataFrame): DataFrame =
     events
       .select(col("user_id"), col("event_id"), col("ts"),
-        timestamp_micros((col("ts") / lit(1000L)).cast("long")).as("ts_w"))
+        // integral `div`: `/` on longs is double division, and a
+        // double's 53-bit mantissa cannot hold epoch-scale nanos
+        timestamp_micros(expr("ts div 1000")).as("ts_w"))
       .withWatermark("ts_w", "0 seconds")
 
   /** Stage a bounded MULTI-BATCH input for [[byGapStreaming]]: the

@@ -64,19 +64,22 @@ object Dedup {
     // consumers read it (sizes, dfreq, both self-join sides, viral).
     // At production scale this IS the persisted shingle index, the
     // same index-materialization trade FullText documents.
-    val sets = shingleSets(docs, n).persist()
+    // localCheckpoint (not persist): checkpointed RDDs are released by
+    // the ContextCleaner once unreferenced, while persist() pins cache
+    // entries for the session lifetime with no unpersist seam here.
+    val sets = shingleSets(docs, n).localCheckpoint()
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
     val posts = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // dfreq is vocabulary-sized (an aggregate, orders of magnitude
-    // smaller than the corpus) — persisted because both the candidate
-    // filter and the viral-cap precheck read it
-    val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("c")).persist()
+    // smaller than the corpus) — materialized because both the
+    // candidate filter and the viral-cap precheck read it
+    val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("c")).localCheckpoint()
     // a shingle occurring in a single doc can't produce a pair, and one
     // above the df cap would go quadratic — drop both from candidate
     // generation before the self-join
     val shared = dfreq.filter(col("c") > 1 && col("c") <= maxDf).select("sh")
     // materialized: the self-join reads it twice (x and y sides)
-    val sharedPosts = posts.join(shared, "sh").persist()
+    val sharedPosts = posts.join(shared, "sh").localCheckpoint()
     // partial intersection counts from the bounded (≤ maxDf²/shingle)
     // self-join — no shingle arrays ever shipped
     val interC = sharedPosts.alias("x").join(sharedPosts.alias("y"),

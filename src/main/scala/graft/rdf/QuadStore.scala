@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * lakehouse MERGE/partition operations (a named graph maps naturally
   * onto a partition of the quad table, so DROP/MOVE are metadata-level
   * partition ops, not row rewrites).
+  *
+  * INVARIANT: every graph's triples form a SET — `quads` passed to the
+  * constructor must be duplicate-free (RDF graphs are sets; the
+  * backing views here are). insertData/LOAD dedup arbitrary incoming
+  * data, and every graph-to-graph op preserves the invariant, which is
+  * what lets COPY/MOVE be join-free and ADD skip a distinct.
   */
 final case class QuadStore(quads: DataFrame) {
 

@@ -326,12 +326,17 @@ object Compiler {
         .select(col("doc_id").as(outDoc), col("score").as(outScore))
 
     case ServiceCall(endpoint, inner, silent) =>
+      // SERVICE SILENT failure = the unit solution (§13.2): a single
+      // empty binding, so the enclosing join is unchanged — covering
+      // BOTH an unregistered endpoint and a handler that fails while
+      // building its plan
+      def unit = src.triples.sparkSession.range(1).select()
       ServiceRegistry.lookup(endpoint) match {
-        case Some(handler) => handler(inner, src)
-        case None if silent =>
-          // SERVICE SILENT failure = the unit solution (§13.2): a
-          // single empty binding, so the enclosing join is unchanged
-          src.triples.sparkSession.range(1).select()
+        case Some(handler) =>
+          if (!silent) handler(inner, src)
+          else try handler(inner, src)
+               catch { case scala.util.control.NonFatal(_) => unit }
+        case None if silent => unit
         case None =>
           sys.error(s"no service registered for <$endpoint> " +
             "(a remote deployment would fall back to an HTTP call here)")
@@ -554,11 +559,35 @@ object Compiler {
       if (forward) r.select(lit(v).as(sVar), col("node").as(oVar))
       else r.select(col("node").as(sVar), lit(v).as(oVar))
     }
+    // p{lo,} from a bound endpoint: walk exactly lo frontier steps
+    // (F_lo = nodes with SOME length-lo path), then take everything
+    // reachable from F_lo in ≥0 further steps — the full closure of
+    // the whole relation is never materialized
+    def seededUnbounded(x: PathExpr, v: String, lo: Int,
+                        forward: Boolean): DataFrame = {
+      val rel0 = pathRel(x, src)
+      val rel = (if (forward) rel0
+                 else rel0.select(col("to").as("from"), col("from").as("to")))
+        .localCheckpoint()
+      var frontier = seed(v)
+      for (_ <- 1 to lo)
+        frontier = frontier.join(rel, col("node") === col("from"))
+          .select(col("to").as("node")).distinct()
+      val r = frontier
+        .unionAll(reachFrom(rel, frontier, forward = true))
+        .distinct()
+      if (forward) r.select(lit(v).as(sVar), col("node").as(oVar))
+      else r.select(col("node").as(sVar), lit(v).as(oVar))
+    }
     (pe, s, o) match {
       case (PathBounded(x, lo, Some(hi)), Const(sv), Var(_)) =>
         seededBounded(x, sv, lo, hi, forward = true)
       case (PathBounded(x, lo, Some(hi)), Var(_), Const(ov)) =>
         seededBounded(x, ov, lo, hi, forward = false)
+      case (PathBounded(x, lo, None), Const(sv), Var(_)) =>
+        seededUnbounded(x, sv, lo, forward = true)
+      case (PathBounded(x, lo, None), Var(_), Const(ov)) =>
+        seededUnbounded(x, ov, lo, forward = false)
       case (PathPlusE(x), Const(sv), Var(_)) => seeded(x, sv, forward = true, zero = false)
       case (PathStar(x), Const(sv), Var(_))  => seeded(x, sv, forward = true, zero = true)
       case (PathPlusE(x), Var(_), Const(ov)) => seeded(x, ov, forward = false, zero = false)

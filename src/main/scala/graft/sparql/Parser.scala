@@ -474,11 +474,12 @@ object Parser {
       }
       expect("WHERE")
       var alg = parseGroup()
-      val (fd, fn) = (fromDefaults.result(), fromNamed.result())
-      if (fd.nonEmpty || fn.nonEmpty) alg = DatasetClause(fd, fn, alg)
       val its = items.result()
 
-      // GROUP BY / HAVING
+      // ---- collect every tail clause BEFORE applying anything: the
+      // trailing VALUES clause is textually LAST but semantically
+      // joins the WHERE pattern before select expressions and
+      // solution modifiers (§18.2.4.3) ----
       var groupKeys = Vector.empty[String]
       var having: Option[Column] = None
       val extraAggs = Vector.newBuilder[(String, Column)]
@@ -496,6 +497,34 @@ object Parser {
         })))
         expect(")")
       }
+      var orderKeys: Option[Seq[Column]] = None
+      if (peekIs("ORDER")) {
+        next(); expect("BY")
+        val keys = Vector.newBuilder[Column]
+        while (peekIs("ASC") || peekIs("DESC") || peek.startsWith("?")) {
+          // ASC/DESC take a full bracketed expression, not just a var
+          if (peekIs("ASC")) { next(); keys += parseBracketedExpr().asc }
+          else if (peekIs("DESC")) { next(); keys += parseBracketedExpr().desc }
+          else keys += col(next().drop(1)).asc
+        }
+        orderKeys = Some(keys.result())
+      }
+      var offset = 0L; var limit = -1L
+      while (peekIs("LIMIT") || peekIs("OFFSET")) {
+        if (peekIs("LIMIT")) { next(); limit = next().toLong }
+        else { next(); offset = next().toLong }
+      }
+      // trailing VALUES clause (grammar [28] ValuesClause)
+      val trailingValues = if (peekIs("VALUES")) Some(parseValues()) else None
+
+      // ---- assemble in algebra order ----
+      trailingValues.foreach(v => alg = Join(alg, v))
+      // named subqueries enclose the pattern but sit INSIDE the
+      // dataset wrapper, so INCLUDEd sets see FROM / FROM NAMED
+      alg = namedSubs.result().foldRight(alg) { case ((n, sub), a) => NamedSubquery(n, sub, a) }
+      val (fd, fn) = (fromDefaults.result(), fromNamed.result())
+      if (fd.nonEmpty || fn.nonEmpty) alg = DatasetClause(fd, fn, alg)
+
       val aggItems = its.collect { case a: SelAgg => a }
       if (aggItems.nonEmpty || groupKeys.nonEmpty) {
         val aggs = aggItems.map(a => a.alias -> a.agg) ++ extraAggs.result()
@@ -512,30 +541,9 @@ object Parser {
         if (!star && vs.nonEmpty) alg = Project(alg, vs: _*)
       }
       if (distinct) alg = Distinct(alg)
-      // solution modifiers
-      if (peekIs("ORDER")) {
-        next(); expect("BY")
-        val keys = Vector.newBuilder[Column]
-        while (peekIs("ASC") || peekIs("DESC") || peek.startsWith("?")) {
-          // ASC/DESC take a full bracketed expression, not just a var
-          if (peekIs("ASC")) { next(); keys += parseBracketedExpr().asc }
-          else if (peekIs("DESC")) { next(); keys += parseBracketedExpr().desc }
-          else keys += col(next().drop(1)).asc
-        }
-        alg = OrderBy(alg, keys.result())
-      }
-      var offset = 0L; var limit = -1L
-      while (peekIs("LIMIT") || peekIs("OFFSET")) {
-        if (peekIs("LIMIT")) { next(); limit = next().toLong }
-        else { next(); offset = next().toLong }
-      }
+      orderKeys.foreach(ks => alg = OrderBy(alg, ks))
       if (limit >= 0 || offset > 0) alg = Slice(alg, offset, if (limit >= 0) limit else Long.MaxValue)
-      // trailing VALUES clause (grammar [28] ValuesClause): inline data
-      // joined against the whole query's solutions
-      if (peekIs("VALUES")) alg = Join(alg, parseValues())
-      // earlier WITH clauses are outermost, so later named subqueries
-      // (and the WHERE clause) may INCLUDE them
-      namedSubs.result().foldRight(alg) { case ((n, sub), a) => NamedSubquery(n, sub, a) }
+      alg
     }
 
     /** GroupGraphPattern: { ... } */

@@ -10,6 +10,13 @@ class EngineSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
   import spark.implicits._
 
+  test("invertedIndex postings carry exact term frequencies") {
+    val docs = Seq((1L, "spark spark join"), (2L, "join")).toDF("doc_id", "text")
+    val idx = graft.search.FullText.invertedIndex(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(idx == Map(("spark", 1L) -> 2L, ("join", 1L) -> 1L, ("join", 2L) -> 1L))
+  }
+
   test("stream-stream interval join is micro-batch invariant") {
     import org.apache.spark.sql.streaming.Trigger
     val ev = spark.read.parquet(s"$SF/events.parquet")

@@ -55,24 +55,9 @@ class GeoPropertySpec extends AnyFunSuite {
       // only points actually inside the circle constrain the prune
       if (dist > r) true
       else {
-        // the exact spherical-cap bbox circleSearch uses, incl. the
-        // antimeridian split
-        val c = r / 6371.0
-        val phi = cla * math.Pi / 180.0
-        val dLat = math.toDegrees(c)
-        val sinRatio = math.sin(c) / math.cos(phi)
-        val dLon =
-          if (math.abs(cla) + dLat >= 90.0 || sinRatio >= 1.0) 180.0
-          else math.toDegrees(math.asin(sinRatio))
-        val (latLo, latHi) = (math.max(-90, cla - dLat), math.min(90, cla + dLat))
-        val lonRanges: Seq[(Double, Double)] =
-          if (dLon >= 180.0) Seq((-180.0, 180.0))
-          else {
-            val (lo, hi) = (clo - dLon, clo + dLon)
-            if (lo < -180) Seq((-180.0, hi), (lo + 360, 180.0))
-            else if (hi > 180) Seq((-180.0, hi - 360), (lo, 180.0))
-            else Seq((lo, hi))
-          }
+        // the SAME cap-bbox function circleSearch uses — the property
+        // exercises production prune math, not a copy of it
+        val (latLo, latHi, lonRanges) = Geo.capBounds(cla, clo, r)
         val cells = lonRanges
           .flatMap { case (lo, hi) => Geo.coveringCells(latLo, latHi, lo, hi, 10) }
           .toSet

@@ -452,6 +452,24 @@ class ParserSpec extends AnyFunSuite {
       """SELECT ?n ?nname WHERE { ?n name ?nname . ?n type "Nation" }
         |VALUES ?nname { "NATION_3" "NATION_7" }""".stripMargin)
     assert(tv.count() == 2)
+    // §18.2.4.3: inline data joins BEFORE solution modifiers — the
+    // LIMIT applies to the joined solutions, not before the join
+    val tvLim = run(
+      """SELECT ?nname WHERE { ?n name ?nname . ?n type "Nation" }
+        |ORDER BY ?nname LIMIT 2
+        |VALUES ?nname { "NATION_9" }""".stripMargin)
+    assert(tvLim.collect().map(_.getString(0)).toSeq == Seq("NATION_9"))
+  }
+
+  test("named subqueries see the FROM dataset") {
+    // the INCLUDEd set must evaluate against the FROM graph's merge,
+    // not the unscoped store: g:nation subjects only
+    val df = run(
+      """SELECT ?s FROM g:nation
+        |WITH { SELECT ?s WHERE { ?s ?p ?o } } AS %x
+        |WHERE { INCLUDE %x }""".stripMargin)
+    val subjects = df.collect().map(_.getString(0)).toSet
+    assert(subjects.nonEmpty && subjects.forall(_.startsWith("n:")))
   }
 
   test("named subquery: WITH … AS %set + INCLUDE equals the inlined query") {

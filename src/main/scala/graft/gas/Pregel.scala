@@ -26,7 +26,12 @@ object Pregel {
     while (changed && i < maxIter) {
       i += 1
       val next = superstep(state, e, i).localCheckpoint()
-      changed = !next.exceptAll(state).isEmpty
+      // multiset equality needs BOTH directions — one-sided exceptAll
+      // reads a purely-shrinking superstep (rows removed, none added,
+      // e.g. k-core peeling) as a no-op and stops a round early. The
+      // one-sided check plus a count comparison is equivalent to the
+      // symmetric difference at half the exceptAll cost.
+      changed = !next.exceptAll(state).isEmpty || next.count() != state.count()
       state = next
     }
     state

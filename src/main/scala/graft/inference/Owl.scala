@@ -13,16 +13,20 @@ import org.apache.spark.sql.functions._
   *    canonical ids. Materializing the pairwise sameAs clique is
   *    O(k²) per clique; normalization is the shape that scales (it is
   *    also what Blazegraph's "vocab + IV smush" effectively does).
+  *  - owl:FunctionalProperty / owl:InverseFunctionalProperty — entail
+  *    sameAs pairs; derived ON CANONICAL ids to fixpoint, since a
+  *    merge can expose new shared keys (s1 sameAs s2, s1 p o1,
+  *    s2 p o2 ⇒ o1 sameAs o2 only after s1/s2 merge).
   *  - owl:TransitiveProperty (RuleOwlTransitiveProperty1.java) —
   *    per declared predicate, a frontier-fixpoint transitive closure.
   *  - owl:inverseOf (RuleOwlInverseOf1/2.java) and
-  *    owl:SymmetricProperty — mirror joins, applied after the
-  *    transitive step so derived edges get mirrored too.
-  *
-  * Rule order is stratified (normalize → close → mirror), which
-  * reaches the fixpoint in one pass for this rule set: closure inputs
-  * are canonicalized, and mirrors of closed edges need no re-closure
-  * (the mirror of a transitive closure IS the closure of the mirror).
+  *    owl:SymmetricProperty — mirror joins applied BOTH before the
+  *    transitive step (so closures compose through mirrored edges —
+  *    a symmetric+transitive predicate needs its base symmetrized
+  *    first) and after it (so closed edges reflect into the inverse
+  *    partner). The closure of a symmetrized relation is symmetric,
+  *    so this stratification reaches the fixpoint: the post-mirror
+  *    introduces no edge the closure step would grow further.
   */
 object Owl {
 
@@ -37,55 +41,98 @@ object Owl {
                       functional: Seq[String] = Nil,
                       inverseFunctional: Seq[String] = Nil)
 
-  /** Canonical-id mapping (id → canon) from the instance's explicit
-    * sameAs triples plus the pairs functional / inverse-functional
-    * properties entail: min label over each sameAs component. */
-  def sameAsCanon(instance: DataFrame, ont: Ontology = Ontology()): DataFrame = {
-    val explicit = instance.filter(col("p") === "sameAs")
-      .select(col("s").as("src"), col("o").as("dst"))
-    // functional p: objects sharing a subject co-refer (join stays
-    // bounded: per (s, p) the value multiplicity is the point of the
-    // declaration — violations are tiny by definition)
+  /** Rewrite s/o onto canonical ids. The canonical map is
+    * INSTANCE-derived (explicit sameAs triples + functional-property
+    * entailments) — unlike the ontology tables it is not
+    * broadcast-sized by definition and can reach billions of rows on a
+    * web-scale corpus. No broadcast hint: AQE broadcasts when the
+    * runtime size estimate fits, shuffles otherwise. */
+  private def normalizeBy(df: DataFrame, canon: DataFrame): DataFrame = df
+    .join(canon.withColumnRenamed("id", "s").withColumnRenamed("canon", "_cs"),
+      Seq("s"), "left")
+    .join(canon.withColumnRenamed("id", "o").withColumnRenamed("canon", "_co"),
+      Seq("o"), "left")
+    .select(coalesce(col("_cs"), col("s")).as("s"), col("p"),
+            coalesce(col("_co"), col("o")).as("o"))
+
+  /** sameAs pairs functional / inverse-functional properties entail on
+    * `inst` (joins stay bounded: per key the value multiplicity is the
+    * point of the declaration — violations are tiny by definition). */
+  private def entailedPairs(inst: DataFrame, ont: Ontology): Seq[DataFrame] = {
     val fn = ont.functional.map { p =>
-      val e = instance.filter(col("p") === p)
+      val e = inst.filter(col("p") === p)
       e.select(col("s").as("k"), col("o").as("src"))
         .join(e.select(col("s").as("k"), col("o").as("dst")), "k")
         .filter(col("src") < col("dst")).select("src", "dst")
     }
     val ifn = ont.inverseFunctional.map { p =>
-      val e = instance.filter(col("p") === p)
+      val e = inst.filter(col("p") === p)
       e.select(col("o").as("k"), col("s").as("src"))
         .join(e.select(col("o").as("k"), col("s").as("dst")), "k")
         .filter(col("src") < col("dst")).select("src", "dst")
     }
-    val sa = (explicit +: (fn ++ ifn)).reduce(_ unionAll _)
-    graft.gas.Analytics.connectedComponents(sa)
+    fn ++ ifn
+  }
+
+  private def componentsOf(pairs: DataFrame): DataFrame =
+    graft.gas.Analytics.connectedComponents(pairs, maxIter = 256)
       .filter(col("node") =!= col("label"))
       .select(col("node").as("id"), col("label").as("canon"))
+
+  /** Canonical-id mapping (id → canon): min label over each sameAs
+    * component, iterated with the functional-property entailments to
+    * FIXPOINT — a merge can expose new shared functional keys, so
+    * pairs are re-derived on canonicalized ids until no new
+    * co-reference appears (rounds track sameAs/functional nesting
+    * depth; 1-2 in practice, capped defensively). */
+  def sameAsCanon(instance: DataFrame, ont: Ontology = Ontology()): DataFrame = {
+    val explicit = instance.filter(col("p") === "sameAs")
+      .select(col("s").as("src"), col("o").as("dst"))
+    var pairs = (explicit +: entailedPairs(instance, ont))
+      .reduce(_ unionAll _).localCheckpoint()
+    var canon = componentsOf(pairs)
+    if (ont.functional.nonEmpty || ont.inverseFunctional.nonEmpty) {
+      var round = 0
+      var done = false
+      while (!done && round < 8) {
+        // derive on CANONICAL ids: two objects already co-referent
+        // normalize to one id and drop out under src < dst, so every
+        // surviving pair is a genuinely new merge
+        val fresh = entailedPairs(normalizeBy(instance, canon), ont)
+          .reduceOption(_ unionAll _)
+          .map(_.localCheckpoint())
+        if (fresh.forall(_.isEmpty)) done = true
+        else {
+          pairs = pairs.unionAll(fresh.get).localCheckpoint()
+          canon = componentsOf(pairs)
+          round += 1
+        }
+      }
+    }
+    canon
   }
 
   /** OWL closure of (s,p,o) instance triples. sameAs triples are
     * consumed by normalization and not re-emitted. */
   def closure(instance: DataFrame, ont: Ontology): DataFrame = {
     val canon = sameAsCanon(instance, ont)
+    val base = normalizeBy(instance.filter(col("p") =!= "sameAs"), canon)
 
-    // The canonical map is INSTANCE-derived (explicit sameAs triples +
-    // functional-property entailments) — unlike the ontology tables it
-    // is not broadcast-sized by definition and can reach billions of
-    // rows on a web-scale corpus. No broadcast hint: AQE broadcasts
-    // when the runtime size estimate fits, shuffles otherwise.
-    def normalize(df: DataFrame): DataFrame = df
-      .join(canon.withColumnRenamed("id", "s").withColumnRenamed("canon", "_cs"),
-        Seq("s"), "left")
-      .join(canon.withColumnRenamed("id", "o").withColumnRenamed("canon", "_co"),
-        Seq("o"), "left")
-      .select(coalesce(col("_cs"), col("s")).as("s"), col("p"),
-              coalesce(col("_co"), col("o")).as("o"))
+    val invPairs = ont.inverses.flatMap { case (p, q) => Seq(p -> q, q -> p) } ++
+      ont.symmetric.map(p => p -> p)
 
-    val base = normalize(instance.filter(col("p") =!= "sameAs"))
+    // PRE-mirror: symmetric/inverse base edges must exist in both
+    // directions BEFORE the transitive step, or compositions through
+    // mirrored edges are lost (a knows b, c knows b, knows
+    // symmetric+transitive ⇒ a knows c)
+    val preMirrored = invPairs.map { case (p, q) =>
+      base.filter(col("p") === p)
+        .select(col("o").as("s"), lit(q).as("p"), col("s").as("o"))
+    }
+    val seeded = (base +: preMirrored).reduce(_ unionAll _)
 
     // owl:TransitiveProperty — closure per declared predicate
-    val closed = ont.transitive.foldLeft(base) { (acc, p) =>
+    val closed = ont.transitive.foldLeft(seeded) { (acc, p) =>
       val step = acc.filter(col("p") === p)
         .select(col("s").as("from"), col("o").as("to"))
       val tc = graft.sparql.Compiler.transitiveClosure(step)
@@ -93,9 +140,9 @@ object Owl {
       acc.filter(col("p") =!= p).unionAll(tc)
     }
 
-    // owl:inverseOf (both directions) + owl:SymmetricProperty mirrors
-    val invPairs = ont.inverses.flatMap { case (p, q) => Seq(p -> q, q -> p) } ++
-      ont.symmetric.map(p => p -> p)
+    // POST-mirror: closed edges reflect into the inverse partner (the
+    // closure of a symmetrized relation is symmetric, so nothing here
+    // would grow further under the transitive step)
     val mirrored = invPairs.map { case (p, q) =>
       closed.filter(col("p") === p)
         .select(col("o").as("s"), lit(q).as("p"), col("s").as("o"))

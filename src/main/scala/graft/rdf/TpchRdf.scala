@@ -322,7 +322,15 @@ object TpchRdf {
     override def quadScan(tp: TriplePattern, g: Term): DataFrame = {
       val gOpt = g match { case Const(v) => Some(v); case _ => None }
       val base = (tp.p, tp.o) match {
-        case (Const(p), _) => quadPattern(spark, dir, gOpt, Some(p))
+        case (Const(p), _) =>
+          val qp = quadPattern(spark, dir, gOpt, Some(p))
+          // bound subject → its table's graph only; the branch-literal
+          // g folds the filter to a single remaining scan
+          tp.s match {
+            case Const(sv) => subjectTable(sv)
+              .map(t => qp.filter(col("g") === lit("g:" + t))).getOrElse(qp)
+            case _ => qp
+          }
         case (_, Const(ov)) =>
           val ob = triplesForObject(spark, dir, ov, graph = true)
           gOpt.map(gv => ob.filter(col("g") === lit(gv))).getOrElse(ob)
@@ -354,7 +362,14 @@ object TpchRdf {
       *  - nothing bound   → exploded full view, one scan per table. */
     override def scan(tp: TriplePattern): DataFrame = tp.p match {
       case Const(p) =>
-        val branches = schema.filter(_.propMap.contains(p)).map { td =>
+        // a bound subject narrows to its prefix-resolved table even
+        // under a bound predicate (SPO analog) — one scan, not one per
+        // predicate-defining table
+        val subjT = tp.s match { case Const(v) => subjectTable(v); case _ => None }
+        val branches = schema
+          .filter(_.propMap.contains(p))
+          .filter(td => subjT.forall(_ == td.name))
+          .map { td =>
           var df = table(spark, dir, td.name)
           tp.s match {
             case Const(v) => df = df.filter(td.subject === lit(v))
@@ -411,13 +426,20 @@ object TpchRdf {
             df = df.filter(td.propMap(p).cast("string") === lit(v))
           case _ => ()
         }
-        // subject column
-        val subjCols: Seq[(String, Column)] = patterns.head.s match {
-          case Var(v)   => Seq(v -> td.subject)
-          case Const(v) => df = df.filter(td.subject === lit(v)); Nil
-        }
         // object variables (dedup by var name; repeated var → equality)
         val objVars = patterns.collect { case TriplePattern(_, Const(p), Var(v)) => v -> p }
+        // subject column; a subject var REUSED in object position is an
+        // equality constraint (`?x name ?x`), not a free projection —
+        // dropping it would return unconstrained rows
+        val subjCols: Seq[(String, Column)] = patterns.head.s match {
+          case Var(v) =>
+            objVars.filter(_._1 == v).foreach { case (_, p) =>
+              df = df.filter(td.subject.cast("string") ===
+                td.propMap(p).cast("string"))
+            }
+            Seq(v -> td.subject)
+          case Const(v) => df = df.filter(td.subject === lit(v)); Nil
+        }
         objVars.groupBy(_._1).foreach { case (_, ps) =>
           ps.map(_._2).distinct.sliding(2).foreach {
             case Seq(p1, p2) =>

@@ -45,11 +45,14 @@ object FullText {
     *  - `maxRank`: keep only the top `maxRank` ranked hits (maxRank
     *    analog; rank = dense order by score desc, doc_id asc).
     */
-  def search(docs: DataFrame, query: Seq[String], k: Int = 20,
+  def search(docs: DataFrame, queryIn: Seq[String], k: Int = 20,
              prefixMatch: Boolean = false, matchAll: Boolean = false,
              regex: Option[String] = None,
              minScore: Option[Double] = None,
              maxRank: Option[Int] = None): DataFrame = {
+    // duplicate query entries would double-count tf in scores and make
+    // matchAll unsatisfiable (n_matched counts DISTINCT entries)
+    val query = queryIn.distinct
     // the query-term match runs on RAW tokens, BELOW the tf aggregation:
     // the (term, doc_id) shuffle then carries only matched postings,
     // not the whole corpus index (a matched term keeps every one of its
@@ -63,11 +66,14 @@ object FullText {
       case Some(re) =>
         // regex match runs on the TERM DICTIONARY (distinct terms),
         // never per-posting: at scale the dictionary is orders of
-        // magnitude smaller than the postings
+        // magnitude smaller than the postings. NO broadcast hint —
+        // the matched set is sized by the pattern, not the query
+        // (`.*` matches the whole dictionary); AQE broadcasts only
+        // when the runtime size fits
         val terms = raw.select("term").distinct()
           .filter(col("term").rlike(re))
           .withColumn("q_term", col("term"))
-        raw.join(broadcast(terms), "term")
+        raw.join(terms, "term")
       case None =>
         val q = docs.sparkSession.createDataFrame(query.map(Tuple1(_))).toDF("q_term")
         val cond =
@@ -85,7 +91,9 @@ object FullText {
     // where one posting can match several query entries
     val dfreq = matched.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val scored = matched
-      .join(broadcast(dfreq), "term")
+      // no hint: dfreq is per-matched-term — tiny for query lists but
+      // pattern-sized for regex/short-prefix matches; AQE decides
+      .join(dfreq, "term")
       .crossJoin(broadcast(n))
       .groupBy("doc_id")
       .agg(round(sum(col("tf") * log(col("n").cast("double") / col("df"))), 6).as("score"),

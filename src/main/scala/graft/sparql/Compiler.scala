@@ -88,6 +88,9 @@ object Compiler {
         i += 1
       }
     }
+    // silent truncation would return a WRONG (partial) closure — the
+    // semantics of `+`/transitive rules admit no iteration cap
+    require(done, s"transitive closure did not converge in $maxIters iterations")
     closure
   }
 
@@ -118,6 +121,7 @@ object Compiler {
         i += 1
       }
     }
+    require(done, s"seeded reachability did not converge in $maxIters iterations")
     visited
   }
 

@@ -154,6 +154,47 @@ class EngineSpec extends AnyFunSuite {
     assert(out.graph("g:one").count() == 1 && out.graph("g:two").count() == 1)
   }
 
+  test("owl: symmetric+transitive predicate closes through mirrored edges") {
+    val inst = Seq(("a", "knows", "b"), ("c", "knows", "b")).toDF("s", "p", "o")
+    val out = Owl.closure(inst, Owl.Ontology(
+        transitive = Seq("knows"), symmetric = Seq("knows"))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // a→b←c with knows symmetric+transitive entails a↔c
+    assert(out.contains(("a", "knows", "c")) && out.contains(("c", "knows", "a")))
+  }
+
+  test("owl: functional entailment applies on canonicalized ids") {
+    val inst = Seq(
+      ("s1", "sameAs", "s2"),
+      ("s1", "father", "o1"),
+      ("s2", "father", "o2")).toDF("s", "p", "o")
+    val m = Owl.sameAsCanon(inst, Owl.Ontology(functional = Seq("father")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // once s1/s2 merge, their father values co-refer too
+    assert(m.getOrElse("o2", "o2") == m.getOrElse("o1", "o1"))
+  }
+
+  test("pregel detects purely-shrinking supersteps") {
+    val init = (1 to 5).toDF("v")
+    val out = graft.gas.Pregel.run(spark.emptyDataFrame, init, maxIter = 10) {
+      (st, _, _) =>
+        if (st.isEmpty) st
+        else st.filter(col("v") < st.agg(max("v")).collect()(0).getInt(0))
+    }
+    // each peel removes the max; a one-sided change check would stop
+    // after the first shrink with 4 rows left
+    assert(out.isEmpty)
+  }
+
+  test("duplicate query terms neither double scores nor break matchAll") {
+    val docs2 = Seq((1L, "spark join"), (2L, "spark")).toDF("doc_id", "text")
+    val dup = graft.search.FullText.search(docs2, Seq("spark", "spark"), matchAll = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val one = graft.search.FullText.search(docs2, Seq("spark"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(dup == one && dup.nonEmpty)
+  }
+
   test("owl: sameAs normalization rewrites both subject and object") {
     val inst = Seq(
       ("a", "sameAs", "a2"),

@@ -461,6 +461,21 @@ class ParserSpec extends AnyFunSuite {
     assert(tvLim.collect().map(_.getString(0)).toSeq == Seq("NATION_9"))
   }
 
+  test("star fusion keeps subject-object equality for reused vars") {
+    // `?x name ?x` — no customer's name equals its own id, so the
+    // fused property-table path must return nothing, exactly like the
+    // per-pattern path (dropping the equality returns every customer)
+    val df = run("""SELECT ?x WHERE { ?x name ?x . ?x type "Customer" }""")
+    assert(df.count() == 0)
+  }
+
+  test("bound subject + bound predicate scans only the subject's table") {
+    val plan = run("""SELECT ?n WHERE { c:42 name ?n }""")
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+  }
+
   test("named subqueries see the FROM dataset") {
     // the INCLUDEd set must evaluate against the FROM graph's merge,
     // not the unscoped store: g:nation subjects only

@@ -73,9 +73,11 @@ final class Traversal private[graph] (src: TripleSource, frontier: Option[DataFr
     df.join(e, "v").select("value")
   }
 
-  /** Frontier with its properties as (v, p, o) rows. */
+  /** Frontier with its properties as (v, p, o) rows — through the
+    * source's DESCRIBE access path, so a backed source prefix-prunes
+    * the scan set instead of reading the full view. */
   def properties(): DataFrame =
-    src.triples.join(df.withColumnRenamed("v", "s"), "s")
+    src.scanForSubjects(df.withColumnRenamed("v", "s"))
 }
 
 object PropertyGraph {

@@ -40,7 +40,6 @@ object Sessionize {
     * Input needs a `ts_w` watermark: callers go through [[withEventTime]]. */
   def byGapStreaming(events: DataFrame, gapNanos: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapNanos / 1000000L
     withEventTime(events)
       .as[SessEvent]
       .groupByKey(_.user_id)

@@ -133,6 +133,10 @@ object Ann {
     val cents = broadcast(corpus.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         norm(col("embedding")).as("c_nrm")))
+    // an id distribution with no multiples of centroidMod would make
+    // every cell empty and silently return zero neighbors
+    require(!cents.isEmpty,
+      s"ivfTopK: no corpus vec_id is a multiple of $centroidMod — no centroids")
     def fanout(df: DataFrame, idCol: String) = df
       .select(col("vec_id").as(idCol), col("embedding").as("emb"),
         norm(col("embedding")).as("nrm"))

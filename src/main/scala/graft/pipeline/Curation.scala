@@ -43,10 +43,19 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = ratesPerMille.toSeq.toDF(stratumCol, "_rate")
+    // bucket = md5(doc_id)'s top 32 bits mod 1000: non-negative, no
+    // long-multiply overflow (Knuth-mult wrapped NEGATIVE for ids
+    // beyond ~3.5e9, surviving every rate incl. 0), and genuinely
+    // mixed — a residue "hash" depends only on doc_id mod 1000 and
+    // correlates with strided ids. Replayable in the oracle via
+    // CAST('0x'||substr(md5(..),1,8) AS BIGINT).
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(1000L))
     docs
       .join(broadcast(rates), Seq(stratumCol), "left")
       .withColumn("_rate", coalesce(col("_rate"), lit(defaultPerMille)))
-      .filter((col("doc_id") * lit(2654435761L)) % 1000 < col("_rate"))
+      .filter(bucket < col("_rate"))
       .drop("_rate")
   }
 

@@ -169,6 +169,11 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
     * from 16-bit band buckets (pigeonhole: d ≤ 3 ⇒ some band equal). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    // 4 bands of 16 bits: the pigeonhole guarantees a band collision
+    // only for Hamming distance ≤ 3 — a larger maxDist would silently
+    // lose pairs, so refuse it (more bands = the recall knob)
+    require(maxDist <= 3,
+      s"simhashPairs with 4 bands guarantees recall only for maxDist <= 3, got $maxDist")
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>

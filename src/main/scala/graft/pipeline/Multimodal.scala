@@ -86,7 +86,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val n = r.media.length
-        val nFrames = 1 + n / frameBytes
+        // ceil-div: `1 + n/frameBytes` emitted a phantom zero-byte
+        // frame whenever frameBytes divides n (and one for empty media)
+        val nFrames = (n + frameBytes - 1) / frameBytes
         (0 until nFrames by every).iterator.map { i =>
           val from = i * frameBytes
           val until = math.min(n, from + frameBytes)

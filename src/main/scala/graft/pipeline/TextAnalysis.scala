@@ -21,22 +21,26 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "he", "zai", "le"))
 
   /** Marker-token language ID: argmax of per-language stopword hits,
-    * alphabetical tie-break, 'und' when nothing matches. */
+    * alphabetical tie-break, 'und' when nothing matches. One typed-map
+    * pass (tokenize once, count all languages) — the HOF formulation
+    * (`filter` per language) is CodegenFallback and evaluated
+    * interpreted five times per row, the exact cost Dedup.shingleSets
+    * documents avoiding. Tokenization matches [[Dedup.words]]. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = words(col("text"))
-    val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      lang -> size(filter(toks, t => t.isInCollection(ms)))
-    }
-    val scored = docs.select(
-      (col("doc_id") +: scoreCols.map { case (l, c) => c.as(s"sc_$l") }): _*)
-    val best = scoreCols.map(c => col(s"sc_${c._1}")).reduce(greatest(_, _))
-    // alphabetical-first tie-break: build the CASE chain in sorted order
-    val predAlpha = scoreCols.reverse.foldLeft(lit("und")) { case (els, (lang, _)) =>
-      when(col(s"sc_$lang") === col("best") && col("best") > 0, lang).otherwise(els)
-    }
-    scored.withColumn("best", best)
-      .withColumn("pred_lang", predAlpha)
-      .select("doc_id", "pred_lang")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val langSets = markers.toSeq.sortBy(_._1).map { case (l, ms) => l -> ms.toSet }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val counts = langSets.map { case (_, s) => toks.count(s.contains) }
+        val best = if (counts.isEmpty) 0 else counts.max
+        // alphabetical-first tie-break: first sorted language at max
+        val pred = if (best == 0) "und" else langSets(counts.indexOf(best))._1
+        (id, pred)
+      }
+      .toDF("doc_id", "pred_lang")
   }
 
   /** Deterministic quality score in [0,1]:
@@ -56,9 +60,15 @@ object TextAnalysis {
 
   /** Token counts: whitespace tokens + BPE-ish regex tokens (word
     * pieces and standalone punctuation). */
+  /** Whitespace-token count; 0 for empty/blank text (split of an
+    * empty string yields [""] — 1 phantom token — in both engines). */
+  private def wsTokens(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+      wsTokens(col("text")).as("n_ws_tokens"),
       size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)")).as("n_bpe_tokens"))
 
   /** Rolling-hash fingerprint of the normalized text (native Catalyst
@@ -73,12 +83,14 @@ object TextAnalysis {
     * budget — a doc lands in the pack its PRECEDING cumsum falls in,
     * so packs fill in id order and every shard packs independently
     * (the shard key is the parallelism unit at 100 TB: one sequential
-    * window per shard, never a global sort). Docs longer than the
-    * budget get a pack of their own, stilling the division. */
+    * window per shard, never a global sort). A doc longer than the
+    * budget OVERFLOWS the pack it lands in (greedy semantics — packs
+    * are budget-sized except where a single oversized doc runs over;
+    * consumers needing hard caps split such docs upstream). */
   def packSequences(docs: DataFrame, shardCol: Column, tokensPerPack: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), shardCol.as("shard"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      wsTokens(col("text")).cast("long").as("n_tokens"))
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks

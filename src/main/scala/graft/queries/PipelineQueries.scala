@@ -184,13 +184,15 @@ object PipelineQueries {
 
     "text_tokens" ->
       """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pipeline_pack" ->
       """WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, shard, n_tokens,
         |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -348,7 +350,7 @@ object PipelineQueries {
         |  CASE WHEN pred_lang = 'en' THEN 500 WHEN pred_lang = 'de' THEN 100 ELSE 100 END AS rate
         |  FROM l)
         |SELECT doc_id, pred_lang FROM r
-        |WHERE (doc_id * 2654435761) % 1000 < rate
+        |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000 < rate
         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_contam" ->
@@ -375,7 +377,7 @@ object PipelineQueries {
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "mm_framesample" ->
-      """WITH f AS (SELECT doc_id, text, 1 + length(text) // 1000 AS n_frames FROM documents),
+      """WITH f AS (SELECT doc_id, text, (length(text) + 999) // 1000 AS n_frames FROM documents),
         |idx AS (SELECT doc_id, text, CAST(i AS BIGINT) AS frame_idx
         |        FROM f CROSS JOIN (SELECT unnest(range(0, 1000)) AS i)
         |        WHERE i < n_frames AND i % 5 = 0)

@@ -68,26 +68,38 @@ object Analytics {
   }
 
   /** Connected components by min-label propagation over the
-    * undirected closure (CC.java: "label = min(id over component)"). */
+    * undirected closure (CC.java: "label = min(id over component)").
+    *
+    * FRONTIER-DELTA: only vertices whose label improved last round
+    * propagate this round — an unchanged vertex's contribution is
+    * already reflected in every neighbor's label, so re-sending it is
+    * pure waste. The `imp` marker rides in the single per-iteration
+    * materialization (one checkpoint + one cheap scan per round, same
+    * job count as the full version), while the propagate join's left
+    * side shrinks from |V| to |changed| — after the first couple of
+    * rounds that is the far fringe only, and AQE broadcasts it. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame = {
     val und = cp(edges.select("src", "dst")
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val nodes = und.select(col("src").as("node")).distinct()
-    var labels = cp(nodes.withColumn("label", col("node")))
+    // round 0: every vertex "changed" (label = self)
+    var labels = cp(nodes.withColumn("label", col("node")).withColumn("imp", lit(true)))
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
       i += 1
-      val nbrMin = labels.join(und, labels("node") === und("src"))
+      val frontier = labels.filter(col("imp")).select("node", "label")
+      val nbrMin = frontier.join(und, frontier("node") === und("src"))
         .groupBy(col("dst").as("node")).agg(min("label").as("nbr"))
       // fuse label update + change detection into one materialization
       val next = cp(
-        labels.join(nbrMin.withColumnRenamed("node", "n2"), labels("node") === col("n2"), "left")
+        labels.select("node", "label")
+          .join(nbrMin.withColumnRenamed("node", "n2"), col("node") === col("n2"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
             (coalesce(col("nbr"), col("label")) < col("label")).as("imp")))
       changed = !next.filter(col("imp")).isEmpty
-      labels = next.drop("imp")
+      labels = next
     }
     labels.select("node", "label")
   }

@@ -36,4 +36,30 @@ object Pregel {
     }
     state
   }
+
+  /** Delta-reporting variant: the superstep maps (state, frontier,
+    * edges, iteration) → (next state, next frontier) where the frontier
+    * is the DELTA — the vertices whose state changed this superstep
+    * (the GAS scheduler set). Convergence = empty frontier: one cheap
+    * `isEmpty` on a just-checkpointed (usually tiny) frontier instead
+    * of `run`'s full-state exceptAll compare + count — the same trade
+    * the tuned [[Analytics]] loops make, now available to custom
+    * programs. Programs that cannot produce their delta cheaply should
+    * keep using [[run]]; a WRONG frontier (under-reporting changes)
+    * terminates early with a wrong answer, so the contract is on the
+    * program. */
+  def runDelta(edges: DataFrame, initial: DataFrame, maxIter: Int = 64)(
+      superstep: (DataFrame, DataFrame, DataFrame, Int) => (DataFrame, DataFrame)): DataFrame = {
+    val e = edges.localCheckpoint()
+    var state = initial.localCheckpoint()
+    var frontier = state
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      i += 1
+      val (nextState, nextFrontier) = superstep(state, frontier, e, i)
+      state = nextState.localCheckpoint()
+      frontier = nextFrontier.localCheckpoint()
+    }
+    state
+  }
 }

@@ -108,6 +108,9 @@ object Owl {
           round += 1
         }
       }
+      // silent truncation would return an incomplete canonical map —
+      // same hard-fail policy as the Compiler closure guards
+      require(done, s"sameAs/functional-property fixpoint did not converge in 8 rounds")
     }
     canon
   }

@@ -129,7 +129,10 @@ object Dedup {
   def minhashLsh(docs: DataFrame, minJ: Double,
                  numHashes: Int = 64, bandRows: Int = 2): DataFrame = {
     val numBands = numHashes / bandRows
-    val sets = shingleSets(docs)
+    // the shingle typed-map is the expensive corpus pass and feeds THREE
+    // consumers (signature build + both verify-join sides) — materialize
+    // once, same trade as ngramJaccard above
+    val sets = shingleSets(docs).localCheckpoint()
     val sigs = sets.select(col("doc_id"), col("shingles"),
       minhashSignature(col("shingles"), numHashes).as("sig"))
     // band key = hash of the band's signature slice + band index

@@ -32,8 +32,10 @@ object TextAnalysis {
     val langSets = markers.toSeq.sortBy(_._1).map { case (l, ms) => l -> ms.toSet }
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        // null text → no tokens → 'und' (the column-based path this
+        // replaced was null-safe; the typed map must be too)
+        val t = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
+        val toks = t.split("[^a-z0-9]+").filter(_.nonEmpty)
         val counts = langSets.map { case (_, s) => toks.count(s.contains) }
         val best = if (counts.isEmpty) 0 else counts.max
         // alphabetical-first tie-break: first sorted language at max

@@ -456,6 +456,26 @@ object SparqlQueries {
           |} ORDER BY ?s ?v""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // Language-tagged + datatyped literal term model (the lexicon IV
+    // layer analog — LexiconRelation.java, internal/impl/literal/*):
+    // STRLANG/STRDT build tagged forms, LANG/DATATYPE/STR introspect
+    // them, LANGMATCHES does RFC-4647 basic filtering; a typed literal
+    // parsed from text ("5"^^xsd:int) exercises the tokenizer facet
+    "sparql_lang_fns" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?n ?lbl ?lang ?dt ?dti ?dt_name ?plain WHERE {
+          |  ?n type "Nation" . ?n name ?name .
+          |  BIND(STRLANG(?name, IF(STRLEN(?name) = 8, "fr", "en-US")) AS ?lbl)
+          |  BIND(LANG(?lbl) AS ?lang)
+          |  BIND(DATATYPE(?lbl) AS ?dt)
+          |  BIND(DATATYPE("5"^^xsd:int) AS ?dti)
+          |  BIND(DATATYPE(?name) AS ?dt_name)
+          |  BIND(STR(?lbl) AS ?plain)
+          |  FILTER(LANGMATCHES(LANG(?lbl), "en"))
+          |} ORDER BY ?n""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // SPARQL §17.4.4 hash functions (FunctionRegistry MD5/SHA1/SHA256/
     // SHA384/SHA512); MD5+SHA256 value-checked by the oracle, the rest
     // in ParserSpec (DuckDB lacks sha1/sha384/sha512)
@@ -911,6 +931,27 @@ object SparqlQueries {
         |  regexp_matches(v, '^[-+]?[0-9]+(\.[0-9]+)?$') AS is_num,
         |  NOT regexp_matches(v, '^[A-Za-z][A-Za-z0-9+.-]*:') AS is_lit
         |FROM x ORDER BY s, v""".stripMargin,
+
+    "sparql_lang_fns" ->
+      """WITH nn AS (
+        |  SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS n, n_name AS name FROM nation
+        |), t AS (
+        |  SELECT n, name,
+        |    '"' || name || '"@' ||
+        |      CASE WHEN length(name) = 8 THEN 'fr' ELSE 'en-US' END AS lbl
+        |  FROM nn
+        |), x AS (
+        |  SELECT n, lbl,
+        |    regexp_extract(lbl, '^".*"@(.*)$', 1) AS lang,
+        |    'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' AS dt,
+        |    'http://www.w3.org/2001/XMLSchema#int' AS dti,
+        |    'http://www.w3.org/2001/XMLSchema#string' AS dt_name,
+        |    regexp_extract(lbl, '^"(.*)"@', 1) AS plain
+        |  FROM t
+        |)
+        |SELECT n, lbl, lang, dt, dti, dt_name, plain FROM x
+        |WHERE lower(lang) = 'en' OR lower(lang) LIKE 'en-%'
+        |ORDER BY n""".stripMargin,
 
     "sparql_service_federated" ->
       """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS sup, s_name AS supname, n_name AS nname

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * constructor must be duplicate-free (RDF graphs are sets; the
   * backing views here are). insertData/LOAD dedup arbitrary incoming
   * data, and every graph-to-graph op preserves the invariant, which is
-  * what lets COPY/MOVE be join-free and ADD skip a distinct.
+  * what lets COPY/MOVE be join-free and ADD skip a distinct. A caller
+  * holding quads of UNKNOWN provenance must enter through
+  * [[QuadStore.ofRaw]], which repairs duplicates once at the boundary
+  * instead of every op paying a defensive distinct.
   */
 final case class QuadStore(quads: DataFrame) {
 
@@ -88,4 +91,12 @@ final case class QuadStore(quads: DataFrame) {
 
   /** CLEAR ALL. */
   def clear(): QuadStore = QuadStore(quads.limit(0))
+}
+
+object QuadStore {
+  /** Boundary constructor for quads of unknown provenance: dedups ONCE
+    * so the set invariant holds and every subsequent op stays
+    * join-free. Use the case-class constructor only for inputs already
+    * known duplicate-free (the virtual TPC-H views are). */
+  def ofRaw(quads: DataFrame): QuadStore = QuadStore(quads.distinct())
 }

@@ -52,6 +52,11 @@ final case class Extend(child: Algebra, varName: String, expr: Column) extends A
 /** VALUES (?v1 ?v2) { (..) (..) } — inline data joined on shared vars. */
 final case class Values(vars: Seq[String], rows: Seq[Seq[Option[String]]]) extends Algebra
 final case class Project(child: Algebra, vars: String*) extends Algebra
+/** SELECT * — projects every NAMED variable, dropping parser-synthesized
+  * ones (`_`-prefixed: anonymous bnodes, path endpoints, sids) which are
+  * not projectable per SPARQL (anonymous bnodes are scoped to the
+  * pattern; grammar [99]). */
+final case class StarProject(child: Algebra) extends Algebra
 final case class Distinct(child: Algebra) extends Algebra
 final case class OrderBy(child: Algebra, keys: Seq[Column]) extends Algebra
 final case class Slice(child: Algebra, offset: Long, limit: Long) extends Algebra

@@ -202,6 +202,13 @@ object Compiler {
     case Filter(c, cond)      => compile(c, src).filter(cond)
     case Extend(c, v, e)      => compile(c, src).withColumn(v, e)
     case Project(c, vars @ _*) => compile(c, src).select(vars.map(col): _*)
+    case StarProject(c) =>
+      // SELECT *: named vars only — parser-synthesized `_`-prefixed
+      // columns (anonymous bnodes, path endpoints, sids) are not
+      // projectable solution variables
+      val df = compile(c, src)
+      val named = df.columns.filterNot(_.startsWith("_"))
+      if (named.length == df.columns.length) df else df.select(named.map(col).toSeq: _*)
     case Distinct(c)          => compile(c, src).distinct()
     case OrderBy(c, keys)     => compile(c, src).orderBy(keys: _*)
     case Slice(c, off, lim) =>
@@ -280,8 +287,14 @@ object Compiler {
         override def scan(tp: TriplePattern): DataFrame = merged(tp)
         override def quads: Option[DataFrame] = src.quads
         override def quadScan(tp: TriplePattern, g: Term): DataFrame = {
+          // §13.2 (and Update §3.1.3 for USING): with a dataset clause
+          // present, the named-graph set is EXACTLY the FROM NAMED /
+          // USING NAMED graphs — when none are given it is EMPTY and
+          // GRAPH patterns match nothing; they never fall back to all
+          // graphs of the underlying store.
           val base = src.quadScan(tp, g)
-          if (named.isEmpty) base else base.filter(col("g").isin(named: _*))
+          if (named.isEmpty) base.limit(0)
+          else base.filter(col("g").isin(named: _*))
         }
         override def searchCorpus: Option[DataFrame] = src.searchCorpus
         def fuseStar(patterns: Seq[TriplePattern],

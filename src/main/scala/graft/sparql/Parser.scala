@@ -64,7 +64,26 @@ object Parser {
       else if (c == '"') {
         val end = q.indexOf('"', i + 1)
         require(end > 0, s"unterminated string literal at $i")
-        out += q.substring(i, end + 1); i = end + 1
+        // a literal's tag facet — `"lex"@lang` or `"lex"^^<dt>` /
+        // `"lex"^^pfx:name` — stays part of the SAME token (grammar
+        // [129] RDFLiteral)
+        var j = end + 1
+        if (j < q.length && q(j) == '@') {
+          j += 1
+          while (j < q.length && (q(j).isLetterOrDigit || q(j) == '-')) j += 1
+        } else if (j + 1 < q.length && q(j) == '^' && q(j + 1) == '^') {
+          j += 2
+          if (j < q.length && q(j) == '<') {
+            val gt = q.indexOf('>', j)
+            require(gt > 0, s"unterminated datatype IRI at $j")
+            j = gt + 1
+          } else {
+            while (j < q.length && symbolChars(q(j))) j += 1
+            // trailing '.' is the statement terminator, not datatype
+            if (q(j - 1) == '.') j -= 1
+          }
+        }
+        out += q.substring(i, j); i = j
       } else if (c == '?') {
         val start = i; i += 1
         while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
@@ -538,7 +557,8 @@ object Parser {
       } else {
         its.collect { case e: SelExpr => e }.foreach(e => alg = Extend(alg, e.alias, e.expr))
         val vs = its.collect { case SelVar(n) => n; case SelExpr(n, _) => n }
-        if (!star && vs.nonEmpty) alg = Project(alg, vs: _*)
+        if (star) alg = StarProject(alg) // drops synthesized (`_`-prefixed) vars
+        else if (vs.nonEmpty) alg = Project(alg, vs: _*)
       }
       if (distinct) alg = Distinct(alg)
       orderKeys.foreach(ks => alg = OrderBy(alg, ks))
@@ -928,9 +948,23 @@ object Parser {
       (cond, exs.result())
     }
 
+    /** Stored term form of a literal token: plain `"abc"` → bare
+      * lexical form (the untagged string lexicon, unchanged);
+      * `"chat"@fr` → the tagged form verbatim; `"5"^^xsd:int` → the
+      * typed form with the datatype IRI prefix-expanded
+      * ([[RdfLiteral]]). */
+    private def literalValue(t: String): String = {
+      val close = t.lastIndexOf('"')
+      val lex = t.substring(1, close)
+      val tail = t.substring(close + 1)
+      if (tail.isEmpty) lex
+      else if (tail.startsWith("@")) "\"" + lex + "\"" + tail
+      else RdfLiteral.typed(lex, constValue(tail.drop(2)))
+    }
+
     /** Constant-term value of a token (IRI/prefix normalization). */
     private def constValue(t: String): String =
-      if (t.startsWith("\"")) t.drop(1).dropRight(1)
+      if (t.startsWith("\"")) literalValue(t)
       else if (t.startsWith("<") && t.endsWith(">")) internIri(t.drop(1).dropRight(1))
       else {
         val i = t.indexOf(':')
@@ -1061,12 +1095,16 @@ object Parser {
     /** SPARQL value-function names accepted in expressions (the text
       * face of FunctionRegistry; numeric ones operate on xsd-numeric
       * string terms via a double cast). */
-    private val numericFns = Set("STRLEN", "ABS", "CEIL", "FLOOR", "YEAR", "MONTH", "DAY")
+    private val numericFns = Set("STRLEN", "ABS", "CEIL", "FLOOR", "YEAR", "MONTH", "DAY",
+      "HOURS", "MINUTES", "SECONDS", "RAND")
     private val valueFns = numericFns ++
       Set("UCASE", "LCASE", "STR", "SUBSTR", "CONCAT", "REPLACE", "IF", "COALESCE", "BOUND",
         "STRSTARTS", "STRENDS", "CONTAINS", "STRBEFORE", "STRAFTER", "SAMETERM",
         "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
-        "ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC", "ISBLANK")
+        "ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC", "ISBLANK",
+        "LANG", "LANGMATCHES", "DATATYPE", "STRLANG", "STRDT",
+        "ENCODE_FOR_URI", "IRI", "URI", "BNODE", "TZ",
+        "NOW", "UUID", "STRUUID")
 
     /** fn(args…) → Column. */
     private def parseCall(aggSink: Option[Column => Column]): (Column, Boolean) = {
@@ -1083,7 +1121,8 @@ object Parser {
         case "STRLEN"   => length(a(0))
         case "UCASE"    => upper(a(0))
         case "LCASE"    => lower(a(0))
-        case "STR"      => a(0).cast("string")
+        // §17.4.2.5: the lexical form — strips a lang/datatype facet
+        case "STR"      => RdfLiteral.strOf(a(0).cast("string"))
         case "ABS"      => abs(a(0).cast("double"))
         case "CEIL"     => ceil(a(0).cast("double")).cast("long")
         case "FLOOR"    => floor(a(0).cast("double")).cast("long")
@@ -1095,9 +1134,9 @@ object Parser {
         case "IF"       => when(a(0), a(1)).otherwise(a(2))
         case "COALESCE" => coalesce(a: _*)
         case "BOUND"    => a(0).isNotNull
-        case "YEAR"     => year(to_date(a(0)))
-        case "MONTH"    => month(to_date(a(0)))
-        case "DAY"      => dayofmonth(to_date(a(0)))
+        case "YEAR"     => year(to_date(RdfLiteral.strOf(a(0))))
+        case "MONTH"    => month(to_date(RdfLiteral.strOf(a(0))))
+        case "DAY"      => dayofmonth(to_date(RdfLiteral.strOf(a(0))))
         // SPARQL §17.4.4.{12-16} hash functions (FunctionRegistry
         // MD5/SHA1/…); lowercase hex in both engines
         // SPARQL §17.4.2 term-testing functions over the engine's
@@ -1105,10 +1144,45 @@ object Parser {
         // `urn:…` — scheme-prefixed; the same term-type rule the
         // object-bound access path uses to prune literal branches);
         // everything else is a literal. The model has no blank nodes.
-        case "ISIRI" | "ISURI" => a(0).rlike(IriShape)
-        case "ISLITERAL"       => !a(0).rlike(IriShape)
-        case "ISNUMERIC"       => a(0).rlike("^[-+]?[0-9]+(\\.[0-9]+)?$")
-        case "ISBLANK"         => lit(false)
+        case "ISIRI" | "ISURI" => a(0).rlike(IriShape) && !a(0).startsWith("_:")
+        case "ISLITERAL"       => !a(0).rlike(IriShape) && !a(0).startsWith("_:")
+        // numeric lexical form, plain or numerically-typed (a tagged
+        // literal is rdf:langString, never numeric)
+        case "ISNUMERIC" =>
+          RdfLiteral.strOf(a(0)).rlike("^[-+]?[0-9]+(\\.[0-9]+)?$") &&
+            !RdfLiteral.isTagged(a(0))
+        case "ISBLANK"         => a(0).startsWith("_:")
+        // §17.4.2.{6-9} + §17.4.3.1: lang/datatype facet introspection
+        // over the tagged-literal term forms (RdfLiteral)
+        case "LANG"        => RdfLiteral.langOf(a(0))
+        case "LANGMATCHES" => RdfLiteral.langMatches(a(0), a(1))
+        case "DATATYPE"    => RdfLiteral.datatypeOf(a(0))
+        case "STRLANG"     => RdfLiteral.strLang(a(0), a(1))
+        case "STRDT"       => RdfLiteral.strDt(a(0), a(1))
+        // §17.4.2.8 IRI(str): strips any literal facet; base-relative
+        // IRIs intern to local names (the lexicon-internalization rule)
+        case "IRI" | "URI" =>
+          regexp_replace(RdfLiteral.strOf(a(0).cast("string")), "^" + Base, "")
+        // §17.4.2.9 BNODE(str): deterministic label per lexical form
+        case "BNODE" => concat(lit("_:"), a(0))
+        // §17.4.6 ENCODE_FOR_URI: percent-encode everything outside
+        // RFC 3986 unreserved. url_encode is form-encoding — repair
+        // the three divergences (space→'+', '*' kept, '~' escaped)
+        case "ENCODE_FOR_URI" =>
+          regexp_replace(regexp_replace(regexp_replace(
+            url_encode(a(0)), "\\+", "%20"), "\\*", "%2A"), "%7E", "~")
+        // §17.4.5 time accessors over xsd:dateTime-shaped terms
+        case "HOURS"   => hour(to_timestamp(RdfLiteral.strOf(a(0))))
+        case "MINUTES" => minute(to_timestamp(RdfLiteral.strOf(a(0))))
+        case "SECONDS" => second(to_timestamp(RdfLiteral.strOf(a(0))))
+        // TZ: the literal's timezone designator, '' when absent
+        case "TZ" => regexp_extract(RdfLiteral.strOf(a(0)), "(Z|[-+][0-9]{2}:[0-9]{2})$", 1)
+        // nondeterministic builtins (§17.4.1.3, §17.4.5.2, §17.4.2.10-11):
+        // real values, excluded from the deterministic oracle set
+        case "NOW"     => date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        case "UUID"    => concat(lit("urn:uuid:"), uuid())
+        case "STRUUID" => uuid()
+        case "RAND"    => rand()
         case "MD5"    => md5(a(0))
         case "SHA1"   => sha1(a(0))
         case "SHA256" => sha2(a(0), 256)
@@ -1140,7 +1214,7 @@ object Parser {
       }
       val t = next()
       if (t.startsWith("?")) (col(t.drop(1)), false)
-      else if (t.startsWith("\"")) (lit(t.drop(1).dropRight(1)), false)
+      else if (t.startsWith("\"")) (lit(literalValue(t)), false)
       else if (t.matches("""[-+]?\d+""")) (lit(t.toDouble), true)
       else if (t.matches("""[-+]?\d*\.\d+""")) (lit(t.toDouble), true)
       else (lit(constValue(t)), false)

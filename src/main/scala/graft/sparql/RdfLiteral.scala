@@ -1,0 +1,86 @@
+package graft.sparql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Language-tagged and datatyped literal term forms over the string
+  * lexicon.
+  *
+  * The lexicon keeps PLAIN literals as their bare lexical form (`ASIA`,
+  * `42`) — unchanged — and carries language-tagged / datatyped
+  * literals (reference: the lexicon IV layer,
+  * bigdata-core/bigdata-rdf/src/java/com/bigdata/rdf/lexicon/
+  * LexiconRelation.java and the internal/impl/literal classes) in
+  * their N-Triples-like lexical form, quotes included:
+  *
+  *   "chat"@fr
+  *   "5"^^http://www.w3.org/2001/XMLSchema#int
+  *
+  * One string column still holds every term (the point of the string
+  * lexicon: no schema change, no second column to join); the tag facet
+  * is self-describing, renderable by BOTH engines (the DuckDB oracle
+  * reproduces it with string concat / regexp_extract), and map-only to
+  * introspect — LANG / DATATYPE / STR / LANGMATCHES compile to
+  * codegen'd regexp/concat Column expressions, no UDF. A leading `"`
+  * cannot start an IRI-shaped term (scheme = letter-first), so tagged
+  * forms never collide with the IRI shape the access paths and
+  * ISIRI/ISLITERAL prune on.
+  */
+object RdfLiteral {
+
+  val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+  val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
+  val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
+  val RdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+  /** BCP-47-ish language tag (`fr`, `en-US`, `zh-Hant-TW`). */
+  private val langShape = "^\".*\"@[A-Za-z]+(-[A-Za-z0-9]+)*$"
+  private val typedShape = "^\".*\"\\^\\^"
+
+  // ---- Scala-side constructors (parser constants, ingest, tests) ----
+  def tagged(lex: String, lang: String): String = "\"" + lex + "\"@" + lang
+  def typed(lex: String, dt: String): String = "\"" + lex + "\"^^" + dt
+
+  def isTagged(c: Column): Column = c.rlike(langShape)
+  def isTyped(c: Column): Column = c.rlike(typedShape)
+
+  /** STR (§17.4.2.5): the lexical form — strips the tag facet; IRIs
+    * and plain literals pass through unchanged. */
+  def strOf(c: Column): Column =
+    when(isTagged(c) || isTyped(c), regexp_extract(c, "^\"(.*)\"(@|\\^\\^)", 1))
+      .otherwise(c)
+
+  /** LANG (§17.4.2.6): the language tag; '' for any untagged term. */
+  def langOf(c: Column): Column =
+    when(isTagged(c), regexp_extract(c, "^\".*\"@(.*)$", 1)).otherwise(lit(""))
+
+  /** DATATYPE (§17.4.2.7): explicit datatype of a typed literal;
+    * rdf:langString for tagged; numeric-shaped plain terms report
+    * xsd:integer/xsd:decimal (the lexicon stores numbers by lexical
+    * form — the same inference the reference's numeric IVs encode);
+    * other plain literals xsd:string; IRIs are a type error → unbound
+    * (null). */
+  def datatypeOf(c: Column): Column =
+    when(isTyped(c), regexp_extract(c, "^\".*\"\\^\\^(.*)$", 1))
+      .when(isTagged(c), lit(RdfLangString))
+      .when(c.rlike(Parser.IriShape), lit(null).cast("string"))
+      .when(c.rlike("^[-+]?[0-9]+$"), lit(XsdInteger))
+      .when(c.rlike("^[-+]?[0-9]*\\.[0-9]+$"), lit(XsdDecimal))
+      .otherwise(lit(XsdString))
+
+  /** LANGMATCHES (§17.4.3.1 / RFC 4647 basic filtering): '*' matches
+    * any non-empty tag; otherwise case-insensitive exact match or
+    * range-prefix at a '-' boundary (`fr` matches `fr-CA`). */
+  def langMatches(lang: Column, range: Column): Column =
+    when(range === "*", lang =!= "")
+      .otherwise(lower(lang) === lower(range) ||
+        lower(lang).startsWith(concat(lower(range), lit("-"))))
+
+  /** STRLANG (§17.4.2.8). */
+  def strLang(lex: Column, lang: Column): Column =
+    concat(lit("\""), lex, lit("\"@"), lang)
+
+  /** STRDT (§17.4.2.9). */
+  def strDt(lex: Column, dt: Column): Column =
+    concat(lit("\""), lex, lit("\"^^"), dt)
+}

@@ -115,6 +115,41 @@ object Owl {
     canon
   }
 
+  /** owl:equivalentClass / owl:equivalentProperty
+    * (RuleOwlEquivalentClass.java / RuleOwlEquivalentProperty.java):
+    * a ≡ b ⇔ a ⊑ b ∧ b ⊑ a, so equivalences fold into the RDFS
+    * ontology as MUTUAL sub-edges — the existing broadcast-sized
+    * closeTiny closures and rdfs7/rdfs9 lifts then entail both
+    * directions with no new rule machinery (and equivalence composes
+    * transitively with declared sub-edges for free). */
+  def withEquivalences(ont: Rdfs.Ontology,
+                       equivalentClasses: Seq[(String, String)] = Nil,
+                       equivalentProperties: Seq[(String, String)] = Nil): Rdfs.Ontology = {
+    val spark = ont.subClassOf.sparkSession
+    import spark.implicits._
+    def mutual(ps: Seq[(String, String)]) = ps.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val subC =
+      if (equivalentClasses.isEmpty) ont.subClassOf
+      else ont.subClassOf.unionAll(mutual(equivalentClasses).toDF("sub", "sup"))
+    val subP =
+      if (equivalentProperties.isEmpty) ont.subPropertyOf
+      else ont.subPropertyOf.unionAll(mutual(equivalentProperties).toDF("sub", "sup"))
+    ont.copy(subClassOf = subC, subPropertyOf = subP)
+  }
+
+  /** owl:hasValue (RuleOwlHasValue.java): a restriction class R with
+    * owl:onProperty p / owl:hasValue v types every instance holding
+    * (x p v): (x p v) ⇒ (x type R). `restrictions(cls, p, v)` is
+    * declarative ontology — broadcast-sized by definition — so this is
+    * ONE broadcast join against the instance data, no shuffle. Union
+    * the result into the instance BEFORE an RDFS closure and the
+    * restriction types lift through subClassOf like any other. */
+  def hasValueTypes(instance: DataFrame, restrictions: DataFrame): DataFrame =
+    instance
+      .join(broadcast(restrictions.select(col("cls"), col("p"), col("v").as("o"))),
+        Seq("p", "o"))
+      .select(col("s"), lit("type").as("p"), col("cls").as("o"))
+
   /** OWL closure of (s,p,o) instance triples. sameAs triples are
     * consumed by normalization and not re-emitted. */
   def closure(instance: DataFrame, ont: Ontology): DataFrame = {

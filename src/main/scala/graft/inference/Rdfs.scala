@@ -53,8 +53,16 @@ object Rdfs {
     * rule tree references it from 8 subtrees, and without the
     * materialization every subtree re-scans the source — the same
     * read-amplification a load-time closure materialization avoids in
-    * the reference's InferenceEngine. */
-  def closure(instance: DataFrame, ont: Ontology): DataFrame = {
+    * the reference's InferenceEngine.
+    *
+    * `axiomatic` additionally emits the RDF/RDFS axiomatic-rule
+    * entailments rdf1, rdfs4a/4b, rdfs6, rdfs8, rdfs10, rdfs12, rdfs13
+    * (reference: rules/RuleRdf01.java, RuleRdfs04a.java and siblings —
+    * Blazegraph ships them behind its axioms/forwardChain options,
+    * commonly OFF because they type every term as Resource/Property;
+    * same default here). All are map-side projections/distincts of the
+    * instance slice — no joins. */
+  def closure(instance: DataFrame, ont: Ontology, axiomatic: Boolean = false): DataFrame = {
     val subC = closeTiny(ont.subClassOf)
     val subP = closeTiny(ont.subPropertyOf)
     val inst = instance.localCheckpoint()
@@ -80,7 +88,32 @@ object Rdfs {
       types0.join(broadcast(subC), types0("o") === subC("from"))
         .select(col("s"), lit("type").as("p"), col("to").as("o")))
 
-    lifted.filter(col("p") =!= "type").unionAll(types).distinct()
+    val core = lifted.filter(col("p") =!= "type").unionAll(types)
+    val full = if (!axiomatic) core else {
+      // rdf1: every used predicate is a Property
+      val rdf1 = inst.select(col("p").as("s")).distinct()
+        .select(col("s"), lit("type").as("p"), lit("Property").as("o"))
+      // rdfs4a/4b: every subject and object is a Resource
+      val rdfs4 = inst.select(col("s"))
+        .unionAll(inst.select(col("o").as("s"))).distinct()
+        .select(col("s"), lit("type").as("p"), lit("Resource").as("o"))
+      // rdfs6: p type Property → p ⊑ p (reflexive, over rdf1's set)
+      val rdfs6 = inst.select(col("p").as("s")).distinct()
+        .select(col("s"), lit("subPropertyOf").as("p"), col("s").as("o"))
+      // rdfs8/10: c type Class → c ⊑ Resource, c ⊑ c — classes here are
+      // the type objects in play (the model types instances, not classes)
+      val classes = types0.select(col("o").as("s")).distinct()
+      val rdfs8 = classes.select(col("s"), lit("subClassOf").as("p"), lit("Resource").as("o"))
+      val rdfs10 = classes.select(col("s"), lit("subClassOf").as("p"), col("s").as("o"))
+      // rdfs12/13: container-membership properties / datatypes (empty
+      // unless the vocabulary appears)
+      val rdfs12 = types0.filter(col("o") === "ContainerMembershipProperty")
+        .select(col("s"), lit("subPropertyOf").as("p"), lit("member").as("o"))
+      val rdfs13 = types0.filter(col("o") === "Datatype")
+        .select(col("s"), lit("subClassOf").as("p"), lit("Literal").as("o"))
+      Seq(core, rdf1, rdfs4, rdfs6, rdfs8, rdfs10, rdfs12, rdfs13).reduce(_ unionAll _)
+    }
+    full.distinct()
   }
 
   /** Incremental assertion — the truth-maintenance fast path

@@ -29,6 +29,18 @@ object EngineQueries {
     "fulltext_search" -> ((s, dir) =>
       FullText.search(TpchRdf.table(s, dir, "documents"), Seq("spark", "join", "vector"), 20)),
 
+    // the PERSISTED-index production shape: the inverted index is
+    // written once as a parquet table and the query plan contains only
+    // the postings scan + broadcast semi-join — no tokenize/build stage
+    // (FullTextIndex is likewise a persisted statement index)
+    "fulltext_persisted" -> ((s, dir) => {
+      val docs = TpchRdf.table(s, dir, "documents")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ftidx").toString
+      FullText.invertedIndex(docs).write.mode("overwrite").parquet(idxDir)
+      FullText.searchIndex(s.read.parquet(idxDir), docs.count(),
+        Seq("spark", "join", "vector"), 20)
+    }),
+
     // prefix match: each query entry matches every term it prefixes
     // (reference: FullTextIndex.java prefixMatch=true)
     "fulltext_prefix" -> ((s, dir) =>
@@ -206,6 +218,31 @@ object EngineQueries {
         graft.inference.Owl.Ontology(
           transitive = Seq("within"),
           inverses = Seq("within" -> "contains")))
+        .orderBy("s", "p", "o")
+    }),
+
+    // owl:equivalentClass / owl:equivalentProperty / owl:hasValue
+    // (RuleOwlEquivalentClass/RuleOwlEquivalentProperty/RuleOwlHasValue):
+    // equivalences fold into the RDFS strata as mutual sub-edges; the
+    // hasValue restriction types BUILDING customers, and that type
+    // lifts through subClassOf (stratification proof)
+    "owl_equiv" -> ((s, dir) => {
+      import s.implicits._
+      val cust = TpchRdf.table(s, dir, "customer")
+      val cid = concat(lit("c:"), col("c_custkey").cast("string"))
+      val inst = cust.select(cid.as("s"), lit("type").as("p"), lit("Customer").as("o"))
+        .unionAll(cust.select(cid, lit("mktsegment"), col("c_mktsegment")))
+      val ont = graft.inference.Owl.withEquivalences(
+        Rdfs.Ontology(
+          subClassOf = Seq(("Customer", "Agent"), ("BuildingCustomer", "Priority"))
+            .toDF("sub", "sup"),
+          subPropertyOf = Seq.empty[(String, String)].toDF("sub", "sup"),
+          domain = Seq.empty[(String, String)].toDF("p", "cls"),
+          range = Seq.empty[(String, String)].toDF("p", "cls")),
+        equivalentClasses = Seq(("Customer", "Patron")),
+        equivalentProperties = Seq(("mktsegment", "segment")))
+      val restr = Seq(("BuildingCustomer", "mktsegment", "BUILDING")).toDF("cls", "p", "v")
+      Rdfs.closure(inst.unionAll(graft.inference.Owl.hasValueTypes(inst, restr)), ont)
         .orderBy("s", "p", "o")
     }),
 
@@ -501,9 +538,42 @@ object EngineQueries {
         .applyQuadsSeq(graft.rdf.QuadStore(TpchRdf.quads(s, dir)), ops)
         .quads.groupBy("g").agg(count(lit(1)).as("n_triples")).orderBy("g")
     }),
+
+    // LOAD of a Turtle document (reference: the Rio loaders in
+    // bigdata-rdf/rio/ — the migrating user's first action): prefixes,
+    // `a`, ';'/',' lists, a nested [ … ] bnode, lang-tagged and typed
+    // literals landing as RdfLiteral term forms
+    "load_turtle" -> ((s, dir) => {
+      val ttl = java.nio.file.Files.createTempFile("graft_load", ".ttl")
+      java.nio.file.Files.writeString(ttl,
+        """@prefix v: <urn:graft:> .
+          |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+          |# fixture: everyday Turtle forms
+          |v:t:1 a v:Thing ;
+          |  v:label "alpha"@en , "alpha"@fr ;
+          |  v:size "5"^^xsd:int .
+          |v:t:2 v:label "beta" ;
+          |  v:near [ v:label "inner" ] .
+          |""".stripMargin)
+      val ops = graft.sparql.Parser.parseUpdates(s"LOAD <file://$ttl> INTO GRAPH g:ttl")
+      graft.sparql.Update
+        .applyQuadsSeq(graft.rdf.QuadStore(TpchRdf.quads(s, dir)), ops)
+        .graph("g:ttl").orderBy("s", "p", "o")
+    }),
   )
 
   val quadOracles: Map[String, String] = Map(
+    "load_turtle" ->
+      """SELECT * FROM (VALUES
+        |  ('_:gen1', 'label', 'inner'),
+        |  ('t:1', 'type', 'Thing'),
+        |  ('t:1', 'label', '"alpha"@en'),
+        |  ('t:1', 'label', '"alpha"@fr'),
+        |  ('t:1', 'size', '"5"^^http://www.w3.org/2001/XMLSchema#int'),
+        |  ('t:2', 'label', 'beta'),
+        |  ('t:2', 'near', '_:gen1')
+        |) AS t(s, p, o) ORDER BY s, p, o""".stripMargin,
+
     "update_using" ->
       """SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS s, 'partof' AS p, r_name AS o
         |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -572,20 +642,25 @@ object EngineQueries {
 
   private val T = "WITH " + TpchRdf.oracleCte + "\n"
 
+  // identical result contract whether the index is built in-query or
+  // read persisted — one oracle serves both
+  private val ftSearchSql =
+    """WITH toks AS (
+      |  SELECT doc_id, t AS term
+      |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+      |  WHERE t <> ''
+      |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |q AS (SELECT UNNEST(['spark','join','vector']) AS term)
+      |SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
+      |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+      |GROUP BY tf.doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "fulltext_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, t AS term
-        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
-        |  WHERE t <> ''
-        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT COUNT(*) AS n FROM documents),
-        |q AS (SELECT UNNEST(['spark','join','vector']) AS term)
-        |SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
-        |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
-        |GROUP BY tf.doc_id
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "fulltext_search" -> ftSearchSql,
+    "fulltext_persisted" -> ftSearchSql,
 
     "fulltext_prefix" ->
       """WITH toks AS (
@@ -743,6 +818,20 @@ object EngineQueries {
         |  SELECT s, 'within' AS p, o FROM w
         |  UNION ALL SELECT o AS s, 'contains' AS p, s AS o FROM w
         |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'alias_name', n_name FROM nation
+        |) ORDER BY s, p, o""".stripMargin,
+
+    "owl_equiv" ->
+      """WITH c AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS s, c_mktsegment AS seg FROM customer
+        |)
+        |SELECT s, p, o FROM (
+        |  SELECT s, 'type' AS p, 'Customer' AS o FROM c
+        |  UNION ALL SELECT s, 'type', 'Agent' FROM c
+        |  UNION ALL SELECT s, 'type', 'Patron' FROM c
+        |  UNION ALL SELECT s, 'mktsegment', seg FROM c
+        |  UNION ALL SELECT s, 'segment', seg FROM c
+        |  UNION ALL SELECT s, 'type', 'BuildingCustomer' FROM c WHERE seg = 'BUILDING'
+        |  UNION ALL SELECT s, 'type', 'Priority' FROM c WHERE seg = 'BUILDING'
         |) ORDER BY s, p, o""".stripMargin,
 
     "stream_window" ->

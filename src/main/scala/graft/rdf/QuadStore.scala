@@ -82,6 +82,15 @@ final case class QuadStore(quads: DataFrame) {
     QuadStore(quads.unionAll(fresh))
   }
 
+  /** INSERT quads that carry their OWN graph tags (the N-Quads LOAD
+    * path): set semantics like [[insertData]], with the dedup anti-join
+    * keyed on all four columns — at production scale only the touched
+    * graphs' partitions participate. */
+  def insertQuads(incoming0: DataFrame): QuadStore = {
+    val incoming = incoming0.select(cols.map(col): _*).distinct()
+    QuadStore(quads.unionAll(incoming.join(quads, cols, "left_anti")))
+  }
+
   /** DELETE DATA from a named graph. */
   def deleteData(g: String, triples: DataFrame): QuadStore = {
     val doomed = triples.select("s", "p", "o").withColumn("g", lit(g))

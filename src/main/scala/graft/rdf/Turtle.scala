@@ -1,0 +1,227 @@
+package graft.rdf
+
+/** Pragmatic Turtle (.ttl) parser for the LOAD path (reference: the
+  * Rio-based loaders in
+  * bigdata-core/bigdata-rdf/src/java/com/bigdata/rdf/rio/ — a
+  * migrating user's first action is `LOAD <file.ttl>`).
+  *
+  * Covers everyday Turtle: `@prefix`/`@base` (and SPARQL-style
+  * PREFIX/BASE), `a`, `;` predicate-object lists, `,` object lists,
+  * `[ … ]` anonymous bnodes (nested), `#` comments, numeric/boolean
+  * literals, and string literals with backslash escapes and
+  * lang/datatype tags — `"x"@en` / `"5"^^xsd:int` parse to the
+  * [[graft.sparql.RdfLiteral]] tagged term forms, IRIs under the
+  * engine base intern to local names (the same lexicon rule the SPARQL
+  * parser applies). RDF collections `( … )` and triple-quoted strings
+  * fail loud rather than mis-parse.
+  *
+  * Scale: Turtle is NOT a splittable format — statements span lines
+  * and prefix declarations are file-global — so one file parses in one
+  * task: distributed ACROSS files, sequential within, the same
+  * contract as the reference's per-file stream parse. Bulk ingest at
+  * 100 TB belongs in parquet / line-splittable N-Triples; a .ttl LOAD
+  * is the ontology/fixture-sized migration path.
+  */
+object Turtle {
+
+  /** Parse one Turtle document to (s, p, o) term triples. */
+  def parse(content: String): Vector[(String, String, String)] =
+    new Ttl(content).run()
+
+  private final class Ttl(s: String) {
+    private var i = 0
+    private var prefixes = Map.empty[String, String]
+    private var base = ""
+    private var bn = 0
+    private val out = Vector.newBuilder[(String, String, String)]
+
+    def run(): Vector[(String, String, String)] = {
+      skip()
+      while (i < s.length) { directiveOrStatement(); skip() }
+      out.result()
+    }
+
+    private def skip(): Unit = {
+      var go = true
+      while (go) {
+        while (i < s.length && s(i).isWhitespace) i += 1
+        if (i < s.length && s(i) == '#') {
+          while (i < s.length && s(i) != '\n') i += 1
+        } else go = false
+      }
+    }
+
+    private def fail(msg: String): Nothing = {
+      val ctx = s.substring(math.max(0, i - 25), math.min(s.length, i + 25))
+      sys.error(s"turtle: $msg at offset $i near '...$ctx...'")
+    }
+
+    private def expect(c: Char): Unit = {
+      skip()
+      if (i >= s.length || s(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+
+    private def peekIs(c: Char): Boolean = { skip(); i < s.length && s(i) == c }
+
+    /** Bare word (prefixed name / keyword / number). A trailing '.' is
+      * the statement terminator unless the word is a decimal. */
+    private def word(): String = {
+      skip()
+      val st = i
+      while (i < s.length && !s(i).isWhitespace && !"<>\"[];,()#".contains(s(i))) i += 1
+      var w = s.substring(st, i)
+      if (w.length > 1 && w.endsWith(".") && !w.matches("""[-+]?[0-9]*\.[0-9]+""")) {
+        w = w.dropRight(1); i -= 1
+      }
+      if (w.isEmpty) fail("empty term")
+      w
+    }
+
+    private def iriRef(): String = {
+      skip()
+      if (i >= s.length || s(i) != '<') fail("expected <iri>")
+      val end = s.indexOf('>', i + 1)
+      if (end < 0) fail("unterminated IRI")
+      val iri = s.substring(i + 1, end)
+      i = end + 1
+      iri
+    }
+
+    /** Base-resolve (pragmatic concat for relative refs) + intern
+      * engine-base IRIs to local names (Parser.internIri rule). */
+    private def intern(iri: String): String = {
+      val full =
+        if (base.nonEmpty && !iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) base + iri
+        else iri
+      if (full.startsWith(graft.sparql.Parser.Base))
+        full.drop(graft.sparql.Parser.Base.length)
+      else full
+    }
+
+    /** Prefixed-name expansion; `_:label` bnodes and undeclared-prefix
+      * terms (already-internal lexicon forms like `c:42`) pass through. */
+    private def pname(w: String): String = {
+      val idx = w.indexOf(':')
+      if (idx >= 0 && prefixes.contains(w.substring(0, idx)))
+        intern(prefixes(w.substring(0, idx)) + w.substring(idx + 1))
+      else w
+    }
+
+    private def directiveOrStatement(): Unit = {
+      if (s.startsWith("@prefix", i)) { i += 7; prefixDecl(dot = true) }
+      else if (s.startsWith("@base", i)) { i += 5; baseDecl(dot = true) }
+      else if (s.regionMatches(true, i, "PREFIX ", 0, 7)) { i += 6; prefixDecl(dot = false) }
+      else if (s.regionMatches(true, i, "BASE ", 0, 5)) { i += 4; baseDecl(dot = false) }
+      else statement()
+    }
+
+    private def prefixDecl(dot: Boolean): Unit = {
+      val p = word()
+      if (!p.endsWith(":")) fail(s"prefix declaration needs 'pfx:', got '$p'")
+      prefixes += (p.dropRight(1) -> iriRef())
+      if (dot) expect('.')
+    }
+
+    private def baseDecl(dot: Boolean): Unit = {
+      base = iriRef()
+      if (dot) expect('.')
+    }
+
+    private def statement(): Unit = {
+      val subj = nodeTerm(allowLiteral = false)
+      // `[ p o ] .` is a complete statement on its own
+      if (!peekIs('.')) predObjList(subj)
+      expect('.')
+    }
+
+    private def predObjList(subj: String): Unit = {
+      var go = true
+      while (go) {
+        val p = verb()
+        objectList(subj, p)
+        if (peekIs(';')) {
+          i += 1
+          // tolerate a trailing ';' before '.' or ']'
+          if (peekIs('.') || peekIs(']')) go = false
+        } else go = false
+      }
+    }
+
+    private def verb(): String = {
+      skip()
+      if (i < s.length && s(i) == '<') intern(iriRef())
+      else {
+        val w = word()
+        if (w == "a") "type" else pname(w)
+      }
+    }
+
+    private def objectList(subj: String, p: String): Unit = {
+      var go = true
+      while (go) {
+        out += ((subj, p, nodeTerm(allowLiteral = true)))
+        if (peekIs(',')) i += 1 else go = false
+      }
+    }
+
+    private def nodeTerm(allowLiteral: Boolean): String = {
+      skip()
+      if (i >= s.length) fail("unexpected end of input")
+      s(i) match {
+        case '<' => intern(iriRef())
+        case '[' =>
+          i += 1
+          bn += 1
+          val id = s"_:gen$bn"
+          if (!peekIs(']')) predObjList(id)
+          expect(']')
+          id
+        case '(' => fail("RDF collections '( … )' are not supported")
+        case '"' =>
+          if (!allowLiteral) fail("literal in subject/predicate position")
+          literal()
+        case _ =>
+          word() match {
+            case w @ ("true" | "false") => w
+            case n if n.matches("""[-+]?[0-9]+|[-+]?[0-9]*\.[0-9]+([eE][-+]?[0-9]+)?""") => n
+            case other => pname(other)
+          }
+      }
+    }
+
+    private def literal(): String = {
+      if (s.startsWith("\"\"\"", i)) fail("triple-quoted strings are not supported")
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          i += 1
+          sb += (s(i) match {
+            case 'n' => '\n'
+            case 't' => '\t'
+            case 'r' => '\r'
+            case 'u' =>
+              val h = s.substring(i + 1, i + 5); i += 4
+              Integer.parseInt(h, 16).toChar
+            case c => c // covers \" \\ and pass-through
+          })
+          i += 1
+        } else { sb += s(i); i += 1 }
+      }
+      if (i >= s.length) fail("unterminated string literal")
+      i += 1
+      val lex = sb.toString
+      if (i < s.length && s(i) == '@') {
+        i += 1
+        val st = i
+        while (i < s.length && (s(i).isLetterOrDigit || s(i) == '-')) i += 1
+        graft.sparql.RdfLiteral.tagged(lex, s.substring(st, i))
+      } else if (s.startsWith("^^", i)) {
+        i += 2
+        val dt = if (i < s.length && s(i) == '<') intern(iriRef()) else pname(word())
+        graft.sparql.RdfLiteral.typed(lex, dt)
+      } else lex
+    }
+  }
+}

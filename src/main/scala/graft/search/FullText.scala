@@ -86,6 +86,47 @@ object FullText {
     val matched = matchedRaw
       .groupBy("term", "q_term", "doc_id").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    rankAndScore(matched, n, query.size, matchAll, regex, minScore, maxRank, k)
+  }
+
+  /** Search a PERSISTED inverted-index table `(term, doc_id, tf)` —
+    * the production shape the build-per-query path's scaladoc promises:
+    * `invertedIndex(docs)` is written ONCE as a parquet table
+    * (bucketing/partitioning by term is the 100-TB layout) and every
+    * query is then a broadcast semi-join against the postings with NO
+    * tokenize/build stage in its plan. `nDocs` is the corpus size the
+    * IDF needs — a one-row statistic a deployment stores alongside the
+    * index at build time. */
+  def searchIndex(index: DataFrame, nDocs: Long, queryIn: Seq[String], k: Int = 20,
+                  prefixMatch: Boolean = false, matchAll: Boolean = false,
+                  regex: Option[String] = None,
+                  minScore: Option[Double] = None,
+                  maxRank: Option[Int] = None): DataFrame = {
+    val query = queryIn.distinct
+    val spark = index.sparkSession
+    val matched = (regex match {
+      case Some(re) =>
+        val terms = index.select("term").distinct()
+          .filter(col("term").rlike(re))
+          .withColumn("q_term", col("term"))
+        index.join(terms, "term")
+      case None =>
+        val q = spark.createDataFrame(query.map(Tuple1(_))).toDF("q_term")
+        val cond =
+          if (prefixMatch) col("term").startsWith(col("q_term"))
+          else col("term") === col("q_term")
+        index.join(broadcast(q), cond)
+    }).select("term", "q_term", "doc_id", "tf").localCheckpoint()
+    val n = spark.range(1).select(lit(nDocs).as("n"))
+    rankAndScore(matched, n, query.size, matchAll, regex, minScore, maxRank, k)
+  }
+
+  /** Shared scoring tail over query-matched postings
+    * (term, q_term, doc_id, tf). */
+  private def rankAndScore(matched: DataFrame, n: DataFrame, nQuery: Int,
+                           matchAll: Boolean, regex: Option[String],
+                           minScore: Option[Double], maxRank: Option[Int],
+                           k: Int): DataFrame = {
     // df per matched term == its global df (all of a term's postings
     // survive the query join); countDistinct guards the prefix case
     // where one posting can match several query entries
@@ -99,7 +140,7 @@ object FullText {
       .agg(round(sum(col("tf") * log(col("n").cast("double") / col("df"))), 6).as("score"),
            countDistinct(col("q_term")).as("n_matched"))
     val kept0 =
-      if (matchAll && regex.isEmpty) scored.filter(col("n_matched") === query.size)
+      if (matchAll && regex.isEmpty) scored.filter(col("n_matched") === nQuery)
       else scored
     val kept1 = minScore.fold(kept0)(ms => kept0.filter(col("score") >= ms))
     val ranked = maxRank.fold(kept1) { mr =>

@@ -93,8 +93,14 @@ object Update {
       case AddGraph(f, t, _)   =>
         store.addGraph(f.getOrElse(defaultGraph), t.getOrElse(defaultGraph))
       case Load(src, g, silent) =>
-        try store.insertData(g.getOrElse(defaultGraph), loadTriples(spark, src))
-        catch { case e: Exception if silent => store }
+        try {
+          if (src.stripPrefix("file://").endsWith(".nq")) {
+            // N-Quads: each statement carries its own graph; INTO GRAPH
+            // overrides the tags (the reference's Rio N-Quads handling)
+            val q = loadQuads(spark, src)
+            store.insertQuads(g.fold(q)(gg => q.withColumn("g", lit(gg))))
+          } else store.insertData(g.getOrElse(defaultGraph), loadTriples(spark, src))
+        } catch { case e: Exception if silent => store }
       case other => sys.error(s"quads-mode update supports ground data, WITH-scoped ops and graph management, got $other")
     }
   }
@@ -104,28 +110,55 @@ object Update {
                     defaultGraph: String = "g:default"): graft.rdf.QuadStore =
     ops.foldLeft(store)(applyQuads(_, _, defaultGraph))
 
-  /** LOAD source reader: a parquet (s,p,o) table, or an N-Triples text
-    * file (`<s> <p> <o|"lit"> .` per line — the subset our term model
-    * produces). Term IRIs under the engine base intern to local names,
-    * matching the parser. A distributed text read, not a driver loop. */
+  /** LOAD source reader: a parquet (s,p,o) table, a Turtle (.ttl)
+    * document ([[graft.rdf.Turtle]] — whole-file parse, one task per
+    * file since Turtle is not splittable), or an N-Triples text file
+    * (`<s> <p> <o|"lit"> .` per line — line-splittable, the bulk-scale
+    * text format). Term IRIs under the engine base intern to local
+    * names, matching the parser. Distributed reads, not driver loops. */
   def loadTriples(spark: org.apache.spark.sql.SparkSession, source: String): DataFrame = {
     val path = source.stripPrefix("file://")
-    val base = graft.sparql.Parser.Base
-    def intern(c: Column): Column =
-      when(c.startsWith(base), c.substr(lit(base.length + 1), length(c))).otherwise(c)
     if (path.endsWith(".parquet")) spark.read.parquet(path).select("s", "p", "o")
+    else if (path.endsWith(".ttl")) {
+      import spark.implicits._
+      spark.read.option("wholetext", "true").textFile(path)
+        .flatMap(graft.rdf.Turtle.parse(_))
+        .toDF("s", "p", "o")
+    }
     else {
       val pat = """^\s*(<[^>]*>)\s+(<[^>]*>)\s+(<[^>]*>|"[^"]*")\s*\.\s*$"""
-      def unwrap(c: Column): Column =
-        when(c.startsWith("<"), intern(c.substr(lit(2), length(c) - 2)))
-          .otherwise(regexp_replace(c, "^\"|\"$", ""))
       spark.read.text(path)
         .select(regexp_extract(col("value"), pat, 1).as("rs"),
                 regexp_extract(col("value"), pat, 2).as("rp"),
                 regexp_extract(col("value"), pat, 3).as("ro"))
         .filter(col("rs") =!= "")
-        .select(unwrap(col("rs")).as("s"), unwrap(col("rp")).as("p"),
-                unwrap(col("ro")).as("o"))
+        .select(unwrapTerm(col("rs")).as("s"), unwrapTerm(col("rp")).as("p"),
+                unwrapTerm(col("ro")).as("o"))
     }
+  }
+
+  /** N-Quads reader: `<s> <p> <o|"lit"> <g> .` per line — line-
+    * splittable like N-Triples (the bulk-scale serialized-quad path),
+    * each statement carrying its graph tag. */
+  def loadQuads(spark: org.apache.spark.sql.SparkSession, source: String): DataFrame = {
+    val path = source.stripPrefix("file://")
+    val pat = """^\s*(<[^>]*>)\s+(<[^>]*>)\s+(<[^>]*>|"[^"]*")\s+(<[^>]*>)\s*\.\s*$"""
+    spark.read.text(path)
+      .select(regexp_extract(col("value"), pat, 1).as("rs"),
+              regexp_extract(col("value"), pat, 2).as("rp"),
+              regexp_extract(col("value"), pat, 3).as("ro"),
+              regexp_extract(col("value"), pat, 4).as("rg"))
+      .filter(col("rs") =!= "")
+      .select(unwrapTerm(col("rs")).as("s"), unwrapTerm(col("rp")).as("p"),
+              unwrapTerm(col("ro")).as("o"), unwrapTerm(col("rg")).as("g"))
+  }
+
+  /** `<iri>` → interned term; `"lit"` → lexical form. */
+  private def unwrapTerm(c: Column): Column = {
+    val base = graft.sparql.Parser.Base
+    def intern(x: Column): Column =
+      when(x.startsWith(base), x.substr(lit(base.length + 1), length(x))).otherwise(x)
+    when(c.startsWith("<"), intern(c.substr(lit(2), length(c) - 2)))
+      .otherwise(regexp_replace(c, "^\"|\"$", ""))
   }
 }

@@ -516,4 +516,76 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == uncapped)
   }
+
+  test("RDFS axiomatic rules are emitted only under the flag") {
+    import graft.inference.Rdfs
+    val inst = Seq(("a", "knows", "b"), ("a", "type", "Person")).toDF("s", "p", "o")
+    val ont = Rdfs.Ontology(
+      subClassOf = Seq.empty[(String, String)].toDF("sub", "sup"),
+      subPropertyOf = Seq.empty[(String, String)].toDF("sub", "sup"),
+      domain = Seq.empty[(String, String)].toDF("p", "cls"),
+      range = Seq.empty[(String, String)].toDF("p", "cls"))
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val off = set(Rdfs.closure(inst, ont))
+    assert(off == Set(("a", "knows", "b"), ("a", "type", "Person")))
+    val on = set(Rdfs.closure(inst, ont, axiomatic = true))
+    // rdf1, rdfs4a/4b, rdfs6, rdfs8, rdfs10 on the vocabulary in play
+    assert(on.contains(("knows", "type", "Property")))
+    assert(on.contains(("type", "type", "Property")))
+    assert(on.contains(("a", "type", "Resource")))
+    assert(on.contains(("b", "type", "Resource")))
+    assert(on.contains(("knows", "subPropertyOf", "knows")))
+    assert(on.contains(("Person", "subClassOf", "Resource")))
+    assert(on.contains(("Person", "subClassOf", "Person")))
+    assert(off.subsetOf(on))
+  }
+
+  test("persisted inverted-index search equals build-per-query search") {
+    import graft.search.FullText
+    val docs = TpchRdf.table(spark, SF, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ftidx_t").toString
+    FullText.invertedIndex(docs).write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val a = FullText.search(docs, Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = FullText.searchIndex(persisted, docs.count(), Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+    // prefix + matchAll options hold against the persisted index too
+    val c = FullText.search(docs, Seq("spar", "vec"), 10, prefixMatch = true)
+      .collect().toSeq
+    val d = FullText.searchIndex(persisted, docs.count(), Seq("spar", "vec"), 10,
+      prefixMatch = true).collect().toSeq
+    assert(c == d)
+  }
+
+  test("owl hasValue types holders and equivalences entail both ways") {
+    import graft.inference.{Owl, Rdfs}
+    val inst = Seq(
+      ("x", "seg", "GOLD"), ("y", "seg", "IRON"), ("x", "type", "Cust"))
+      .toDF("s", "p", "o")
+    val restr = Seq(("GoldCust", "seg", "GOLD")).toDF("cls", "p", "v")
+    val hv = Owl.hasValueTypes(inst, restr).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(hv == Set(("x", "type", "GoldCust")))
+    val ont = Owl.withEquivalences(
+      Rdfs.Ontology(
+        subClassOf = Seq.empty[(String, String)].toDF("sub", "sup"),
+        subPropertyOf = Seq.empty[(String, String)].toDF("sub", "sup"),
+        domain = Seq.empty[(String, String)].toDF("p", "cls"),
+        range = Seq.empty[(String, String)].toDF("p", "cls")),
+      equivalentClasses = Seq(("Cust", "Patron")),
+      equivalentProperties = Seq(("seg", "segment")))
+    val closed = Rdfs.closure(inst, ont).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(closed.contains(("x", "type", "Patron")))
+    assert(closed.contains(("x", "segment", "GOLD")))
+    assert(closed.contains(("y", "segment", "IRON")))
+    // and a Patron-typed instance is entailed back to Cust
+    val inst2 = Seq(("z", "type", "Patron")).toDF("s", "p", "o")
+    val closed2 = Rdfs.closure(inst2, ont).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(closed2.contains(("z", "type", "Cust")))
+  }
 }

@@ -62,4 +62,21 @@ class GasSpec extends AnyFunSuite {
     assert(byKind("n") > 0.15)
     assert(byKind("r") > byKind("n")) // regions gather nation mass
   }
+
+  test("delta Pregel: frontier-reporting BFS equals tuned Analytics.bfs") {
+    val edges = GasQueries.hierEdges(spark, SF)
+    val seed = spark.range(1).select(lit("r:0").as("node"), lit(0).as("depth"))
+    // custom program reports its frontier: convergence = empty delta,
+    // no full-state exceptAll compare anywhere in the loop
+    val out = graft.gas.Pregel.runDelta(edges, seed) { (state, frontier, e, i) =>
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), lit(i).as("depth")).distinct()
+        .join(state.select("node"), Seq("node"), "left_anti")
+      (state.unionAll(next), next)
+    }
+    val got = out.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val expect = Analytics.bfs(edges, "r:0")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == expect)
+  }
 }

@@ -554,4 +554,151 @@ class ParserSpec extends AnyFunSuite {
       "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
         "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f")
   }
+
+  test("tagged/typed literals: LANG, DATATYPE, STR, STRLANG, STRDT") {
+    val df = run(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?name ?lbl ?lang ?dt ?plain ?dtt ?dts ?dtn WHERE {
+        |  ?r type "Region" . ?r name ?name .
+        |  BIND(STRLANG(?name, "en-US") AS ?lbl)
+        |  BIND(LANG(?lbl) AS ?lang)
+        |  BIND(DATATYPE(?lbl) AS ?dt)
+        |  BIND(STR(?lbl) AS ?plain)
+        |  BIND(DATATYPE("3.5"^^xsd:decimal) AS ?dtt)
+        |  BIND(DATATYPE(?name) AS ?dts)
+        |  BIND(DATATYPE("42") AS ?dtn)
+        |  FILTER(LANGMATCHES(LANG(?lbl), "en"))
+        |} ORDER BY ?name""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 5) // every region label matched "en" via en-US
+    val r = rows.head
+    val name = r.getString(0)
+    assert(r.getString(1) == "\"" + name + "\"@en-US")
+    assert(r.getString(2) == "en-US")
+    assert(r.getString(3) == RdfLiteral.RdfLangString)
+    assert(r.getString(4) == name) // STR strips the facet
+    assert(r.getString(5) == "http://www.w3.org/2001/XMLSchema#decimal")
+    assert(r.getString(6) == RdfLiteral.XsdString)
+    assert(r.getString(7) == RdfLiteral.XsdInteger)
+  }
+
+  test("LANGMATCHES: case-insensitive, range prefix, star; STRDT roundtrip") {
+    val df = run(
+      """SELECT ?m1 ?m2 ?m3 ?m4 ?td WHERE {
+        |  ?r type "Region" . ?r name "ASIA" .
+        |  BIND(STRLANG("chat", "fr-CA") AS ?x)
+        |  BIND(LANGMATCHES(LANG(?x), "FR") AS ?m1)
+        |  BIND(LANGMATCHES(LANG(?x), "fr-ca") AS ?m2)
+        |  BIND(LANGMATCHES(LANG(?x), "*") AS ?m3)
+        |  BIND(LANGMATCHES(LANG(?x), "frx") AS ?m4)
+        |  BIND(STRDT("5", <urn:mytype>) AS ?td)
+        |}""".stripMargin)
+    val r = df.collect().head
+    assert(r.getBoolean(0))  // range prefix fr → fr-CA
+    assert(r.getBoolean(1))  // case-insensitive exact
+    assert(r.getBoolean(2))  // '*' matches any tagged
+    assert(!r.getBoolean(3)) // 'frx' is not a prefix at a '-' boundary
+    assert(r.getString(4) == "\"5\"^^urn:mytype")
+  }
+
+  test("misc builtins: ENCODE_FOR_URI, IRI, BNODE/isBlank, TZ, HOURS") {
+    val df = run(
+      """SELECT ?e ?i ?b ?isb ?tz ?h WHERE {
+        |  ?r type "Region" . ?r name "ASIA" .
+        |  BIND(ENCODE_FOR_URI("a b~c*") AS ?e)
+        |  BIND(IRI("urn:graft:nation") AS ?i)
+        |  BIND(BNODE("x1") AS ?b)
+        |  BIND(ISBLANK(BNODE("x1")) AS ?isb)
+        |  BIND(TZ("2011-01-10T14:45:13.815-05:00") AS ?tz)
+        |  BIND(HOURS("2011-01-10T14:45:13") AS ?h)
+        |}""".stripMargin)
+    val r = df.collect().head
+    assert(r.getString(0) == "a%20b~c%2A") // §17.4.6 unreserved kept, rest encoded
+    assert(r.getString(1) == "nation")     // base-IRI interning
+    assert(r.getString(2) == "_:x1")
+    assert(r.getBoolean(3))
+    assert(r.getString(4) == "-05:00")
+    assert(r.getInt(5) == 14)
+  }
+
+  test("SELECT * excludes synthesized bnode vars (not projectable)") {
+    val df = run("""SELECT * WHERE { [ type "Region" ; name ?n ] }""")
+    assert(df.columns.toSeq == Seq("n"))
+    assert(df.count() == 5)
+  }
+
+  test("dataset clause without FROM NAMED empties the named-graph set") {
+    // §13.2: FROM present, FROM NAMED absent → GRAPH matches nothing
+    val qsrc = TpchRdf.source(spark, SF)
+    val none = Compiler.compile(Parser.parse(
+      """SELECT ?g ?s FROM g:nation WHERE { GRAPH ?g { ?s ?p ?o } }"""), qsrc)
+    assert(none.count() == 0)
+    // with FROM NAMED the same pattern ranges over exactly that graph
+    val some = Compiler.compile(Parser.parse(
+      """SELECT ?g ?s FROM g:nation FROM NAMED g:region WHERE { GRAPH ?g { ?s ?p ?o } }"""), qsrc)
+    assert(some.select("g").distinct().collect().map(_.getString(0)).toSeq == Seq("g:region"))
+  }
+
+  test("Turtle parser: prefixes, a, lists, bnodes, tags, comments, numbers") {
+    val ttl =
+      """@prefix v: <urn:graft:> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |# a comment line
+        |v:t:1 a v:Thing ;
+        |  v:label "alpha"@en , "beta" ;
+        |  v:size "5"^^xsd:int .
+        |v:t:2 v:near [ v:label "inner" ] .
+        |<urn:graft:t:3> v:weight 3.5 ; v:flag true .
+        |""".stripMargin
+    val ts = graft.rdf.Turtle.parse(ttl).toSet
+    assert(ts == Set(
+      ("t:1", "type", "Thing"),
+      ("t:1", "label", "\"alpha\"@en"),
+      ("t:1", "label", "beta"),
+      ("t:1", "size", "\"5\"^^http://www.w3.org/2001/XMLSchema#int"),
+      ("t:2", "near", "_:gen1"),
+      ("_:gen1", "label", "inner"),
+      ("t:3", "weight", "3.5"),
+      ("t:3", "flag", "true")))
+    // unsupported constructs fail loud, never mis-parse
+    intercept[RuntimeException](graft.rdf.Turtle.parse("v:a v:b ( 1 2 ) ."))
+  }
+
+  test("LOAD .nq: quads land in their own graphs; INTO GRAPH overrides") {
+    val nq = java.nio.file.Files.createTempFile("graft_load", ".nq")
+    java.nio.file.Files.writeString(nq,
+      "<urn:graft:x:1> <urn:graft:note> \"alpha\" <urn:graft:g:a> .\n" +
+      "<urn:graft:x:2> <urn:graft:note> \"beta\" <urn:graft:g:b> .\n" +
+      "<urn:graft:x:2> <urn:graft:note> \"beta\" <urn:graft:g:b> .\n") // dup line
+    import spark.implicits._
+    val empty = graft.rdf.QuadStore(Seq.empty[(String, String, String, String)]
+      .toDF("s", "p", "o", "g"))
+    val own = graft.sparql.Update.applyQuadsSeq(empty,
+      graft.sparql.Parser.parseUpdates(s"LOAD <file://$nq>"))
+    assert(own.quads.collect().map(r => (r.getString(0), r.getString(3))).toSet ==
+      Set(("x:1", "g:a"), ("x:2", "g:b"))) // set semantics: dup line collapsed
+    val forced = graft.sparql.Update.applyQuadsSeq(empty,
+      graft.sparql.Parser.parseUpdates(s"LOAD <file://$nq> INTO GRAPH g:all"))
+    assert(forced.quads.select("g").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("g:all"))
+  }
+
+  test("Blueprints mutation façade: mutate then traverse round-trip") {
+    val g = graft.graph.MutableGraph.empty(spark)
+      .addVertex("v:1", "Person").addVertex("v:2", "Person").addVertex("v:3", "City")
+      .addEdge("v:1", "knows", "v:2").addEdge("v:1", "lives", "v:3")
+      .setProperty("v:1", "name", "ann")
+    assert(g.traversal.V().has("type", "Person").df.count() == 2)
+    assert(g.traversal.V("v:1").out("knows").df.collect().map(_.getString(0)).toSeq == Seq("v:2"))
+    // setProperty REPLACES the previous value
+    val g2 = g.setProperty("v:1", "name", "bob")
+    assert(g2.traversal.V("v:1").values("name").collect().map(_.getString(0)).toSeq == Seq("bob"))
+    // removeVertex drops the vertex AND its incident edges
+    val g3 = g2.removeVertex("v:2")
+    assert(g3.traversal.V("v:1").out("knows").df.count() == 0)
+    assert(g3.store.triples.filter(col("s") === "v:2" || col("o") === "v:2").count() == 0)
+    val g4 = g3.removeEdge("v:1", "lives", "v:3").removeProperty("v:1", "name")
+    assert(g4.traversal.V("v:1").out("lives").df.count() == 0)
+    assert(g4.traversal.V("v:1").values("name").count() == 0)
+  }
 }

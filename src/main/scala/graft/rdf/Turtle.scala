@@ -26,16 +26,24 @@ object Turtle {
 
   /** Parse one Turtle document to (s, p, o) term triples. */
   def parse(content: String): Vector[(String, String, String)] =
-    new Ttl(content).run()
+    new Ttl(content, "").run().map { case (s, p, o, _) => (s, p, o) }
 
-  private final class Ttl(s: String) {
+  /** Parse a TriG document (Turtle + named-graph blocks: `GRAPH <g>
+    * { … }` or the short form `<g> { … }`) to (s, p, o, g) quads;
+    * statements outside any block land in `defaultGraph`. Same
+    * non-splittable whole-file contract as Turtle. */
+  def parseTrig(content: String, defaultGraph: String): Vector[(String, String, String, String)] =
+    new Ttl(content, defaultGraph).run()
+
+  private final class Ttl(s: String, defaultGraph: String) {
     private var i = 0
     private var prefixes = Map.empty[String, String]
     private var base = ""
     private var bn = 0
-    private val out = Vector.newBuilder[(String, String, String)]
+    private var curGraph = defaultGraph
+    private val out = Vector.newBuilder[(String, String, String, String)]
 
-    def run(): Vector[(String, String, String)] = {
+    def run(): Vector[(String, String, String, String)] = {
       skip()
       while (i < s.length) { directiveOrStatement(); skip() }
       out.result()
@@ -113,7 +121,32 @@ object Turtle {
       else if (s.startsWith("@base", i)) { i += 5; baseDecl(dot = true) }
       else if (s.regionMatches(true, i, "PREFIX ", 0, 7)) { i += 6; prefixDecl(dot = false) }
       else if (s.regionMatches(true, i, "BASE ", 0, 5)) { i += 4; baseDecl(dot = false) }
-      else statement()
+      else if (s.regionMatches(true, i, "GRAPH", 0, 5) &&
+               i + 5 < s.length && s(i + 5).isWhitespace) {
+        i += 5
+        graphBlock(nodeTerm(allowLiteral = false))
+      } else if (s(i) == '<' || s(i).isLetter || s(i) == '_') {
+        // TriG short form `<g> { … }`: lookahead — an IRI/pname
+        // followed by '{' labels a graph block, otherwise it was a
+        // subject (nodeTerm for those shapes emits nothing, so the
+        // position restore is safe)
+        val mark = i
+        val t = nodeTerm(allowLiteral = false)
+        if (peekIs('{')) graphBlock(t)
+        else { i = mark; statement() }
+      } else statement()
+    }
+
+    /** `GRAPH? label { statements }` — statements inside carry the
+      * block's graph label (TriG [2g]); an optional trailing '.' is
+      * tolerated. */
+    private def graphBlock(label: String): Unit = {
+      expect('{')
+      curGraph = label
+      while (!peekIs('}')) statement()
+      expect('}')
+      curGraph = defaultGraph
+      if (peekIs('.')) i += 1
     }
 
     private def prefixDecl(dot: Boolean): Unit = {
@@ -160,7 +193,7 @@ object Turtle {
     private def objectList(subj: String, p: String): Unit = {
       var go = true
       while (go) {
-        out += ((subj, p, nodeTerm(allowLiteral = true)))
+        out += ((subj, p, nodeTerm(allowLiteral = true), curGraph))
         if (peekIs(',')) i += 1 else go = false
       }
     }

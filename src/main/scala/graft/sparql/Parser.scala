@@ -1055,10 +1055,13 @@ object Parser {
         case ">" | "<" | ">=" | "<=" | "=" | "!=" =>
           val op = next(); val (r0, rNum) = parseAdditive(aggSink)
           // string-typed solution terms compare numerically against a
-          // numeric literal (xsd numeric comparison semantics)
+          // numeric literal (xsd numeric comparison semantics); the
+          // strOf unwrap makes a TYPED numeric literal ("5"^^xsd:int)
+          // compare by value — for plain terms it is a first-char
+          // regex miss, not a hot-path cost
           val (lc, rc) =
-            if (rNum && !lNum) (l.cast("double"), r0)
-            else if (lNum && !rNum) (l, r0.cast("double"))
+            if (rNum && !lNum) (RdfLiteral.strOf(l).cast("double"), r0)
+            else if (lNum && !rNum) (l, RdfLiteral.strOf(r0).cast("double"))
             else (l, r0)
           op match {
             case ">" => lc > rc; case "<" => lc < rc
@@ -1073,7 +1076,7 @@ object Parser {
       * string terms entering arithmetic cast to double (xsd:decimal
       * promotion). Returns (column, isNumeric). */
     private def parseAdditive(aggSink: Option[Column => Column]): (Column, Boolean) = {
-      def num(cb: (Column, Boolean)): Column = if (cb._2) cb._1 else cb._1.cast("double")
+      def num(cb: (Column, Boolean)): Column = if (cb._2) cb._1 else RdfLiteral.strOf(cb._1).cast("double")
       var cur = parseMult(aggSink)
       while (peek == "+" || peek == "-") {
         val op = next()
@@ -1083,7 +1086,7 @@ object Parser {
       cur
     }
     private def parseMult(aggSink: Option[Column => Column]): (Column, Boolean) = {
-      def num(cb: (Column, Boolean)): Column = if (cb._2) cb._1 else cb._1.cast("double")
+      def num(cb: (Column, Boolean)): Column = if (cb._2) cb._1 else RdfLiteral.strOf(cb._1).cast("double")
       var cur = parsePrimary2(aggSink)
       while (peek == "*" || peek == "/") {
         val op = next()

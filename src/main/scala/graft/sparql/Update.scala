@@ -94,10 +94,19 @@ object Update {
         store.addGraph(f.getOrElse(defaultGraph), t.getOrElse(defaultGraph))
       case Load(src, g, silent) =>
         try {
-          if (src.stripPrefix("file://").endsWith(".nq")) {
+          val path = src.stripPrefix("file://")
+          if (path.endsWith(".nq")) {
             // N-Quads: each statement carries its own graph; INTO GRAPH
             // overrides the tags (the reference's Rio N-Quads handling)
             val q = loadQuads(spark, src)
+            store.insertQuads(g.fold(q)(gg => q.withColumn("g", lit(gg))))
+          } else if (path.endsWith(".trig")) {
+            // TriG: GRAPH blocks carry their labels, bare statements
+            // land in the request's default graph; INTO GRAPH overrides
+            import spark.implicits._
+            val q = spark.read.option("wholetext", "true").textFile(path)
+              .flatMap(graft.rdf.Turtle.parseTrig(_, defaultGraph))
+              .toDF("s", "p", "o", "g")
             store.insertQuads(g.fold(q)(gg => q.withColumn("g", lit(gg))))
           } else store.insertData(g.getOrElse(defaultGraph), loadTriples(spark, src))
         } catch { case e: Exception if silent => store }

@@ -621,6 +621,20 @@ class ParserSpec extends AnyFunSuite {
     assert(r.getInt(5) == 14)
   }
 
+  test("typed numeric literals compare and compute by VALUE") {
+    val df = run(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?v ?sum WHERE {
+        |  ?r type "Region" . ?r name "ASIA" .
+        |  BIND("5"^^xsd:int AS ?v)
+        |  BIND(?v + 2 AS ?sum)
+        |  FILTER(?v > 3)
+        |}""".stripMargin)
+    val r = df.collect().head
+    assert(r.getString(0) == "\"5\"^^http://www.w3.org/2001/XMLSchema#int")
+    assert(r.getDouble(1) == 7.0)
+  }
+
   test("SELECT * excludes synthesized bnode vars (not projectable)") {
     val df = run("""SELECT * WHERE { [ type "Region" ; name ?n ] }""")
     assert(df.columns.toSeq == Seq("n"))
@@ -662,6 +676,28 @@ class ParserSpec extends AnyFunSuite {
       ("t:3", "flag", "true")))
     // unsupported constructs fail loud, never mis-parse
     intercept[RuntimeException](graft.rdf.Turtle.parse("v:a v:b ( 1 2 ) ."))
+  }
+
+  test("LOAD .trig: GRAPH blocks carry labels, bare statements hit default") {
+    val trig = java.nio.file.Files.createTempFile("graft_load", ".trig")
+    java.nio.file.Files.writeString(trig,
+      """@prefix v: <urn:graft:> .
+        |v:x:0 v:note "outside" .
+        |GRAPH v:g:a { v:x:1 v:note "alpha" ; v:kind v:Widget . }
+        |v:g:b { v:x:2 v:note "beta"@fr . }
+        |""".stripMargin)
+    import spark.implicits._
+    val empty = graft.rdf.QuadStore(Seq.empty[(String, String, String, String)]
+      .toDF("s", "p", "o", "g"))
+    val st = graft.sparql.Update.applyQuadsSeq(empty,
+      graft.sparql.Parser.parseUpdates(s"LOAD <file://$trig>"))
+    val got = st.quads.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("x:0", "note", "outside", "g:default"),
+      ("x:1", "note", "alpha", "g:a"),
+      ("x:1", "kind", "Widget", "g:a"),
+      ("x:2", "note", "\"beta\"@fr", "g:b")))
   }
 
   test("LOAD .nq: quads land in their own graphs; INTO GRAPH overrides") {

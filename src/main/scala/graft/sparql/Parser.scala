@@ -38,7 +38,7 @@ object Parser {
 
   /** Lexical shape of an IRI term in the string lexicon: a scheme
     * prefix (`c:`, `urn:`, `http:`) — SURVEY §3's id forms. */
-  private[sparql] val IriShape = "^[A-Za-z][A-Za-z0-9+.-]*:"
+  private[graft] val IriShape = "^[A-Za-z][A-Za-z0-9+.-]*:"
 
   def parse(query: String): Algebra = new Parser(tokenize(query)).parseQuery()
 

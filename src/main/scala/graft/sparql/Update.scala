@@ -135,7 +135,7 @@ object Update {
         .toDF("s", "p", "o")
     }
     else {
-      val pat = """^\s*(<[^>]*>)\s+(<[^>]*>)\s+(<[^>]*>|"[^"]*")\s*\.\s*$"""
+      val pat = "^\\s*" + RTerm + "\\s+" + RTerm + "\\s+" + OTerm + "\\s*\\.\\s*$"
       spark.read.text(path)
         .select(regexp_extract(col("value"), pat, 1).as("rs"),
                 regexp_extract(col("value"), pat, 2).as("rp"),
@@ -151,7 +151,7 @@ object Update {
     * each statement carrying its graph tag. */
   def loadQuads(spark: org.apache.spark.sql.SparkSession, source: String): DataFrame = {
     val path = source.stripPrefix("file://")
-    val pat = """^\s*(<[^>]*>)\s+(<[^>]*>)\s+(<[^>]*>|"[^"]*")\s+(<[^>]*>)\s*\.\s*$"""
+    val pat = "^\\s*" + RTerm + "\\s+" + RTerm + "\\s+" + OTerm + "\\s+" + RTerm + "\\s*\\.\\s*$"
     spark.read.text(path)
       .select(regexp_extract(col("value"), pat, 1).as("rs"),
               regexp_extract(col("value"), pat, 2).as("rp"),
@@ -162,12 +162,32 @@ object Update {
               unwrapTerm(col("ro")).as("o"), unwrapTerm(col("rg")).as("g"))
   }
 
-  /** `<iri>` → interned term; `"lit"` → lexical form. */
+  /** Resource position: IRI or bnode label. */
+  private val RTerm = """(<[^>]*>|_:[A-Za-z0-9]+)"""
+  /** Object position: resource, or a literal with backslash escapes
+    * and an optional `@lang` / `^^<dt>` facet. */
+  private val OTerm = """(<[^>]*>|_:[A-Za-z0-9]+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)"""
+
+  /** `<iri>` → interned term; `"lit"` → unescaped lexical form; facet
+    * forms land as the RdfLiteral tagged/typed term encodings
+    * (inverse of [[graft.rdf.Serializer]]). */
   private def unwrapTerm(c: Column): Column = {
     val base = graft.sparql.Parser.Base
     def intern(x: Column): Column =
       when(x.startsWith(base), x.substr(lit(base.length + 1), length(x))).otherwise(x)
+    def unesc(x: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(
+        x, "\\\\n", "\n"), "\\\\t", "\t"), "\\\\\"", "\"")
     when(c.startsWith("<"), intern(c.substr(lit(2), length(c) - 2)))
-      .otherwise(regexp_replace(c, "^\"|\"$", ""))
+      .when(c.startsWith("_:"), c)
+      // "lex"@lang → tagged form with the lex unescaped
+      .when(c.rlike("^\".*\"@"),
+        concat(lit("\""), unesc(regexp_extract(c, "^\"(.*)\"@", 1)),
+          lit("\"@"), regexp_extract(c, "\"@([A-Za-z0-9-]+)$", 1)))
+      // "lex"^^<dt> → typed form with the datatype IRI interned
+      .when(c.rlike("^\".*\"\\^\\^<"),
+        concat(lit("\""), unesc(regexp_extract(c, "^\"(.*)\"\\^\\^<", 1)),
+          lit("\"^^"), intern(regexp_extract(c, "\\^\\^<(.*)>$", 1))))
+      .otherwise(unesc(regexp_replace(c, "^\"|\"$", "")))
   }
 }

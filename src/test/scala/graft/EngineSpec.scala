@@ -560,6 +560,31 @@ class EngineSpec extends AnyFunSuite {
     assert(c == d)
   }
 
+  test("N-Triples/N-Quads export round-trips through LOAD") {
+    import graft.rdf.Serializer
+    // real view triples + every tricky term shape: tagged, typed,
+    // escaped literal, bnode, global IRI
+    val tri = TpchRdf.triplesFor(spark, SF, Seq("nation", "region"))
+      .unionAll(Seq(
+        ("x:1", "label", "\"chat\"@fr"),
+        ("x:1", "size", "\"5\"^^http://www.w3.org/2001/XMLSchema#int"),
+        ("x:1", "note", "say \"hi\"\nok"),
+        ("x:1", "near", "_:b1"),
+        ("x:1", "link", "http://example.org/a")).toDF("s", "p", "o"))
+    def s3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_nt").toString
+    Serializer.toNTriples(tri).write.mode("overwrite").text(dir)
+    assert(s3(graft.sparql.Update.loadTriples(spark, dir)) == s3(tri))
+    val quads = tri.withColumn("g", lit("g:a"))
+    val qdir = java.nio.file.Files.createTempDirectory("graft_nq").toString
+    Serializer.toNQuads(quads).write.mode("overwrite").text(qdir)
+    val backQ = graft.sparql.Update.loadQuads(spark, qdir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(backQ == quads.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
+  }
+
   test("owl hasValue types holders and equivalences entail both ways") {
     import graft.inference.{Owl, Rdfs}
     val inst = Seq(

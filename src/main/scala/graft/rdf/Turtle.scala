@@ -77,7 +77,7 @@ object Turtle {
     private def word(): String = {
       skip()
       val st = i
-      while (i < s.length && !s(i).isWhitespace && !"<>\"[];,()#".contains(s(i))) i += 1
+      while (i < s.length && !s(i).isWhitespace && !"<>\"[];,(){}#".contains(s(i))) i += 1
       var w = s.substring(st, i)
       if (w.length > 1 && w.endsWith(".") && !w.matches("""[-+]?[0-9]*\.[0-9]+""")) {
         w = w.dropRight(1); i -= 1

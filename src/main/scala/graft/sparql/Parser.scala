@@ -1024,20 +1024,22 @@ object Parser {
     }
     private def parseRel(aggSink: Option[Column => Column]): Column = {
       if (peek == "!") { next(); return !parseRel(aggSink) }
+      // the test shortcuts match on the LEXICAL form (tag-transparent;
+      // pass-through for plain terms)
       if (peekIs("regex")) {
         next(); expect("("); val v = parsePrimary(); expect(",")
         val re = next(); expect(")")
-        return v.rlike(re.drop(1).dropRight(1))
+        return RdfLiteral.strOf(v).rlike(re.drop(1).dropRight(1))
       }
       if (peekIs("contains")) {
         next(); expect("("); val v = parsePrimary(); expect(",")
         val s = next(); expect(")")
-        return v.contains(s.drop(1).dropRight(1))
+        return RdfLiteral.strOf(v).contains(s.drop(1).dropRight(1))
       }
       if (peekIs("strstarts")) {
         next(); expect("("); val v = parsePrimary(); expect(",")
         val s = next(); expect(")")
-        return v.startsWith(s.drop(1).dropRight(1))
+        return RdfLiteral.strOf(v).startsWith(s.drop(1).dropRight(1))
       }
       val (l, lNum) = parseAdditive(aggSink)
       if (peekIs("IN") || (peekIs("NOT") && peekAt(1).equalsIgnoreCase("IN"))) {
@@ -1120,20 +1122,25 @@ object Parser {
       }
       expect(")")
       val a = args.result()
+      // §17.4.3 argument rule: string ops act on the LEXICAL form and
+      // preserve a language tag on the result (tag-transparent)
+      def lexOp(f: Column => Column): Column = RdfLiteral.mapLexPreserveTag(a(0))(f)
       val c = name match {
-        case "STRLEN"   => length(a(0))
-        case "UCASE"    => upper(a(0))
-        case "LCASE"    => lower(a(0))
+        case "STRLEN"   => length(RdfLiteral.strOf(a(0)))
+        case "UCASE"    => lexOp(upper)
+        case "LCASE"    => lexOp(lower)
         // §17.4.2.5: the lexical form — strips a lang/datatype facet
         case "STR"      => RdfLiteral.strOf(a(0).cast("string"))
-        case "ABS"      => abs(a(0).cast("double"))
-        case "CEIL"     => ceil(a(0).cast("double")).cast("long")
-        case "FLOOR"    => floor(a(0).cast("double")).cast("long")
+        case "ABS"      => abs(RdfLiteral.strOf(a(0)).cast("double"))
+        case "CEIL"     => ceil(RdfLiteral.strOf(a(0)).cast("double")).cast("long")
+        case "FLOOR"    => floor(RdfLiteral.strOf(a(0)).cast("double")).cast("long")
         case "SUBSTR"   =>
-          if (a.size >= 3) a(0).substr(a(1).cast("int"), a(2).cast("int"))
-          else a(0).substr(a(1).cast("int"), lit(Int.MaxValue))
-        case "CONCAT"   => concat(a: _*)
-        case "REPLACE"  => regexp_replace(a(0), a(1), a(2))
+          if (a.size >= 3) lexOp(_.substr(a(1).cast("int"), a(2).cast("int")))
+          else lexOp(_.substr(a(1).cast("int"), lit(Int.MaxValue)))
+        // CONCAT over lexical forms → simple literal (the same-lang
+        // tagged-result case of §17.4.3.2 is not modeled)
+        case "CONCAT"   => concat(a.map(RdfLiteral.strOf): _*)
+        case "REPLACE"  => lexOp(regexp_replace(_, a(1), a(2)))
         case "IF"       => when(a(0), a(1)).otherwise(a(2))
         case "COALESCE" => coalesce(a: _*)
         case "BOUND"    => a(0).isNotNull
@@ -1191,17 +1198,24 @@ object Parser {
         case "SHA256" => sha2(a(0), 256)
         case "SHA384" => sha2(a(0), 384)
         case "SHA512" => sha2(a(0), 512)
-        case "STRSTARTS" => a(0).startsWith(a(1))
-        case "STRENDS"   => a(0).endsWith(a(1))
-        case "CONTAINS"  => a(0).contains(a(1))
+        // tests compare lexical forms (tag-transparent)
+        case "STRSTARTS" => RdfLiteral.strOf(a(0)).startsWith(RdfLiteral.strOf(a(1)))
+        case "STRENDS"   => RdfLiteral.strOf(a(0)).endsWith(RdfLiteral.strOf(a(1)))
+        case "CONTAINS"  => RdfLiteral.strOf(a(0)).contains(RdfLiteral.strOf(a(1)))
+        // term identity, facets included (§17.4.1.8)
         case "SAMETERM"  => a(0) === a(1)
-        // SPARQL §17.4.3.{3,4}: empty string when the needle is absent
-        case "STRBEFORE" =>
-          when(instr(a(0), a(1)) > 0,
-            substring(a(0), lit(1), instr(a(0), a(1)) - 1)).otherwise("")
-        case "STRAFTER" =>
-          when(instr(a(0), a(1)) > 0,
-            a(0).substr(instr(a(0), a(1)) + length(a(1)), length(a(0)))).otherwise("")
+        // SPARQL §17.4.3.{3,4}: empty string when the needle is absent;
+        // a found result keeps the first argument's language tag
+        case "STRBEFORE" => lexOp { lex =>
+          val needle = RdfLiteral.strOf(a(1))
+          when(instr(lex, needle) > 0,
+            substring(lex, lit(1), instr(lex, needle) - 1)).otherwise("")
+        }
+        case "STRAFTER" => lexOp { lex =>
+          val needle = RdfLiteral.strOf(a(1))
+          when(instr(lex, needle) > 0,
+            lex.substr(instr(lex, needle) + length(needle), length(lex))).otherwise("")
+        }
       }
       (c, numericFns.contains(name))
     }

@@ -76,6 +76,19 @@ object RdfLiteral {
       .otherwise(lower(lang) === lower(range) ||
         lower(lang).startsWith(concat(lower(range), lit("-"))))
 
+  /** §17.4.3 string-function argument rule: the operation applies to
+    * the LEXICAL form, and a language tag is preserved on the result
+    * (UCASE("foo"@en) = "FOO"@en). Typed and plain literals operate on
+    * their lexical form and yield simple literals. For plain terms
+    * (the lexicon norm) this is a first-char regex miss then `f`
+    * verbatim — no hot-path cost. */
+  def mapLexPreserveTag(c: Column)(f: Column => Column): Column =
+    when(isTagged(c),
+      concat(lit("\""), f(regexp_extract(c, "^\"(.*)\"@", 1)),
+        lit("\"@"), regexp_extract(c, "\"@([A-Za-z0-9-]+)$", 1)))
+      .when(isTyped(c), f(regexp_extract(c, "^\"(.*)\"\\^\\^", 1)))
+      .otherwise(f(c))
+
   /** STRLANG (§17.4.2.8). */
   def strLang(lex: Column, lang: Column): Column =
     concat(lit("\""), lex, lit("\"@"), lang)

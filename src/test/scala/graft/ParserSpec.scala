@@ -621,6 +621,27 @@ class ParserSpec extends AnyFunSuite {
     assert(r.getInt(5) == 14)
   }
 
+  test("string functions are tag-transparent (§17.4.3 argument rule)") {
+    val df = run(
+      """SELECT ?len ?up ?sub ?cont ?before ?rep WHERE {
+        |  ?r type "Region" . ?r name "ASIA" .
+        |  BIND(STRLANG("chat noir", "fr") AS ?x)
+        |  BIND(STRLEN(?x) AS ?len)
+        |  BIND(UCASE(?x) AS ?up)
+        |  BIND(SUBSTR(?x, 1, 4) AS ?sub)
+        |  BIND(CONTAINS(?x, "noir") AS ?cont)
+        |  BIND(STRBEFORE(?x, " ") AS ?before)
+        |  BIND(REPLACE(?x, "noir", "blanc") AS ?rep)
+        |}""".stripMargin)
+    val r = df.collect().head
+    assert(r.getInt(0) == 9)                      // lexical length, not the tagged form's
+    assert(r.getString(1) == "\"CHAT NOIR\"@fr")  // tag preserved
+    assert(r.getString(2) == "\"chat\"@fr")
+    assert(r.getBoolean(3))
+    assert(r.getString(4) == "\"chat\"@fr")
+    assert(r.getString(5) == "\"chat blanc\"@fr")
+  }
+
   test("typed numeric literals compare and compute by VALUE") {
     val df = run(
       """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>

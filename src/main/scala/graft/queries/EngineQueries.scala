@@ -560,9 +560,50 @@ object EngineQueries {
         .applyQuadsSeq(graft.rdf.QuadStore(TpchRdf.quads(s, dir)), ops)
         .graph("g:ttl").orderBy("s", "p", "o")
     }),
+
+    // LOAD of an RDF/XML document (reference: rio/ wires Rio's
+    // RDFXMLParser — the format legacy ontologies and OWL files ship
+    // in): typed node elements, property attributes, xml:lang and
+    // rdf:datatype literals, nested/nodeID bnodes, parseType=Resource
+    "load_rdfxml" -> ((s, dir) => {
+      val rdf = java.nio.file.Files.createTempFile("graft_load", ".rdf")
+      java.nio.file.Files.writeString(rdf,
+        """<?xml version="1.0"?>
+          |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+          |         xmlns:v="urn:graft:">
+          |  <v:Thing rdf:about="urn:graft:t:1" v:code="A1">
+          |    <v:label xml:lang="en">alpha</v:label>
+          |    <v:size rdf:datatype="http://www.w3.org/2001/XMLSchema#int">5</v:size>
+          |    <v:near rdf:resource="urn:graft:t:2"/>
+          |  </v:Thing>
+          |  <rdf:Description rdf:about="urn:graft:t:2">
+          |    <v:inner><rdf:Description rdf:nodeID="b7">
+          |      <v:label>inner</v:label>
+          |    </rdf:Description></v:inner>
+          |    <v:meta rdf:parseType="Resource"><v:score>9</v:score></v:meta>
+          |  </rdf:Description>
+          |</rdf:RDF>""".stripMargin)
+      val ops = graft.sparql.Parser.parseUpdates(s"LOAD <file://$rdf> INTO GRAPH g:xml")
+      graft.sparql.Update
+        .applyQuadsSeq(graft.rdf.QuadStore(TpchRdf.quads(s, dir)), ops)
+        .graph("g:xml").orderBy("s", "p", "o")
+    }),
   )
 
   val quadOracles: Map[String, String] = Map(
+    "load_rdfxml" ->
+      """SELECT * FROM (VALUES
+        |  ('_:b7', 'label', 'inner'),
+        |  ('_:gen1', 'score', '9'),
+        |  ('t:1', 'type', 'Thing'),
+        |  ('t:1', 'code', 'A1'),
+        |  ('t:1', 'label', '"alpha"@en'),
+        |  ('t:1', 'size', '"5"^^http://www.w3.org/2001/XMLSchema#int'),
+        |  ('t:1', 'near', 't:2'),
+        |  ('t:2', 'inner', '_:b7'),
+        |  ('t:2', 'meta', '_:gen1')
+        |) AS t(s, p, o) ORDER BY s, p, o""".stripMargin,
+
     "load_turtle" ->
       """SELECT * FROM (VALUES
         |  ('_:gen1', 'label', 'inner'),

@@ -1,0 +1,173 @@
+package graft.rdf
+
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.{Element, Node}
+
+/** Pragmatic RDF/XML parser for the LOAD path — the reference's
+  * original Rio ingest format (bigdata-core/bigdata-rdf/src/java/com/
+  * bigdata/rdf/rio/ wires Rio's RDFXMLParser; legacy ontologies and
+  * OWL files ship as RDF/XML more often than any other syntax).
+  *
+  * Covers the everyday grammar (W3C RDF/XML Syntax spec):
+  * `rdf:RDF` root, `rdf:Description` and typed node elements,
+  * `rdf:about` / `rdf:ID` / `rdf:nodeID`, property elements with
+  * `rdf:resource` / `rdf:nodeID` / nested node elements /
+  * `rdf:parseType="Resource"`, property attributes, `rdf:datatype`
+  * typed literals and inherited `xml:lang` tags (landing as the
+  * [[graft.sparql.RdfLiteral]] term forms), `xml:base` resolution,
+  * and container items `rdf:li` → `rdf:_n`. `parseType="Collection"`
+  * and `parseType="Literal"` (XML literals) fail loud rather than
+  * mis-parse. Parsing uses the JDK's namespace-aware DOM — no
+  * external dependency.
+  *
+  * Scale: XML is not splittable — one file parses in one task,
+  * distributed ACROSS files, the same per-file contract as Turtle
+  * ([[Turtle]]) and the reference's stream parse. Bulk ingest belongs
+  * in parquet / N-Triples; .rdf LOAD is the ontology-sized path.
+  */
+object RdfXml {
+
+  private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+  /** Parse one RDF/XML document to (s, p, o) term triples. */
+  def parse(content: String): Vector[(String, String, String)] = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true)
+    // fixture-sized documents only; no DTD fetching (zero egress)
+    f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+    val doc = f.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(content.getBytes("UTF-8")))
+    new Walk().run(doc.getDocumentElement)
+  }
+
+  private final class Walk {
+    private var bn = 0
+    private val out = Vector.newBuilder[(String, String, String)]
+
+    def run(root: Element): Vector[(String, String, String)] = {
+      val base = Option(root.getAttribute("xml:base")).filter(_.nonEmpty).getOrElse("")
+      val lang = Option(root.getAttribute("xml:lang")).filter(_.nonEmpty)
+      if (root.getNamespaceURI == RdfNs && root.getLocalName == "RDF")
+        childElements(root).foreach(nodeElement(_, base, lang))
+      else nodeElement(root, base, lang) // a single node element as root
+      out.result()
+    }
+
+    private def fail(msg: String): Nothing = sys.error(s"rdfxml: $msg")
+
+    private def childElements(e: Element): Vector[Element] = {
+      val ns = e.getChildNodes
+      (0 until ns.getLength).collect {
+        case i if ns.item(i).getNodeType == Node.ELEMENT_NODE =>
+          ns.item(i).asInstanceOf[Element]
+      }.toVector
+    }
+
+    private def textContent(e: Element): String = e.getTextContent
+
+    /** Base-resolve a relative reference, then intern engine-base IRIs
+      * to local lexicon names (the Turtle/N-Triples loaders' rule). */
+    private def intern(iri: String, base: String): String = {
+      val full =
+        if (base.nonEmpty && !iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) base + iri
+        else iri
+      if (full.startsWith(graft.sparql.Parser.Base))
+        full.drop(graft.sparql.Parser.Base.length)
+      else full
+    }
+
+    private def attr(e: Element, local: String): Option[String] =
+      Option(e.getAttributeNS(RdfNs, local)).filter(_.nonEmpty)
+
+    private def freshBnode(): String = { bn += 1; s"_:gen$bn" }
+
+    private def inherited(e: Element, lang: Option[String]): Option[String] =
+      Option(e.getAttribute("xml:lang")).filter(_.nonEmpty).orElse(lang)
+
+    private def inheritedBase(e: Element, base: String): String =
+      Option(e.getAttribute("xml:base")).filter(_.nonEmpty).getOrElse(base)
+
+    /** A node element: subject from about/ID/nodeID (else a fresh
+      * bnode); a non-Description element name asserts rdf:type;
+      * non-syntax attributes are property attributes; children are
+      * property elements. Returns the subject term. */
+    private def nodeElement(e: Element, base0: String, lang0: Option[String]): String = {
+      val base = inheritedBase(e, base0)
+      val lang = inherited(e, lang0)
+      val subj = attr(e, "about").map(intern(_, base))
+        .orElse(attr(e, "ID").map(id => intern(base + "#" + id, base)))
+        .orElse(attr(e, "nodeID").map("_:" + _))
+        .getOrElse(freshBnode())
+      if (!(e.getNamespaceURI == RdfNs && e.getLocalName == "Description"))
+        out += ((subj, "type", intern(e.getNamespaceURI + e.getLocalName, base)))
+      propertyAttributes(e, subj, base, lang)
+      var li = 0
+      childElements(e).foreach { pe =>
+        val (p, n) = predicateOf(pe, base, li)
+        li = n
+        propertyElement(pe, subj, p, base, lang)
+      }
+      subj
+    }
+
+    /** Property-attribute abbreviation: any attribute outside the
+      * rdf:/xml: syntax space asserts a plain-literal statement. */
+    private def propertyAttributes(e: Element, subj: String, base: String,
+                                   lang: Option[String]): Unit = {
+      val as = e.getAttributes
+      (0 until as.getLength).foreach { i =>
+        val a = as.item(i)
+        val ns = Option(a.getNamespaceURI).getOrElse("")
+        val isSyntax = ns == RdfNs || ns == "http://www.w3.org/XML/1998/namespace" ||
+          ns == "http://www.w3.org/2000/xmlns/" || a.getNodeName.startsWith("xml")
+        if (!isSyntax && ns.nonEmpty)
+          out += ((subj, intern(ns + a.getLocalName, base), literal(a.getNodeValue, lang, None)))
+      }
+    }
+
+    /** `rdf:li` numbers container members `rdf:_1`, `rdf:_2`, … in
+      * document order; everything else is its expanded name. */
+    private def predicateOf(pe: Element, base: String, li: Int): (String, Int) =
+      if (pe.getNamespaceURI == RdfNs && pe.getLocalName == "li")
+        (intern(RdfNs + "_" + (li + 1), base), li + 1)
+      else (intern(pe.getNamespaceURI + pe.getLocalName, base), li)
+
+    private def literal(lex: String, lang: Option[String], dt: Option[String]): String =
+      dt.map(graft.sparql.RdfLiteral.typed(lex, _))
+        .orElse(lang.map(graft.sparql.RdfLiteral.tagged(lex, _)))
+        .getOrElse(lex)
+
+    private def propertyElement(pe: Element, subj: String, p: String,
+                                base0: String, lang0: Option[String]): Unit = {
+      val base = inheritedBase(pe, base0)
+      val lang = inherited(pe, lang0)
+      val kids = childElements(pe)
+      (attr(pe, "parseType"), attr(pe, "resource"), attr(pe, "nodeID")) match {
+        case (Some("Resource"), _, _) =>
+          // omitted node element: a fresh bnode whose property elements
+          // are this element's children
+          val b = freshBnode()
+          out += ((subj, p, b))
+          var li = 0
+          kids.foreach { inner =>
+            val (ip, n) = predicateOf(inner, base, li)
+            li = n
+            propertyElement(inner, b, ip, base, lang)
+          }
+        case (Some(other), _, _) =>
+          fail(s"parseType=\"$other\" is not supported")
+        case (None, Some(res), _) =>
+          out += ((subj, p, intern(res, base)))
+          propertyAttributes(pe, intern(res, base), base, lang)
+        case (None, None, Some(id)) =>
+          out += ((subj, p, "_:" + id))
+        case (None, None, None) if kids.nonEmpty =>
+          // nested node element(s)
+          kids.foreach(k => out += ((subj, p, nodeElement(k, base, lang))))
+        case _ =>
+          out += ((subj, p, literal(textContent(pe), lang,
+            attr(pe, "datatype").map(intern(_, base)))))
+      }
+    }
+  }
+}

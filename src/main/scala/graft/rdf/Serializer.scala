@@ -65,4 +65,123 @@ object Serializer {
     quads.select(concat(
       resource(col("s")), lit(" "), resource(col("p")), lit(" "),
       objTerm(col("o")), lit(" "), resource(col("g")), lit(" .")).as("value"))
+
+  // ---- SPARQL Query Results formats --------------------------------
+  //
+  // The four response serializations the reference's NanoSparqlServer
+  // negotiates (bigdata-core/bigdata-sail/.../webapp/ wires Rio's
+  // SPARQLResultsJSONWriter/XMLWriter/CSVWriter/TSVWriter): W3C
+  // "SPARQL 1.1 Query Results JSON Format", "SPARQL Query Results XML
+  // Format", and "SPARQL 1.1 Query Results CSV and TSV Formats".
+  // Each renders the per-solution body as a map-only line projection
+  // (stays distributed; a 100-TB result set serializes in parallel)
+  // with the document-global head/foot as constant strings the caller
+  // writes around the lines. Unbound variables (nulls) are omitted
+  // (JSON/XML) or empty (CSV/TSV), per the specs.
+
+  /** The full IRI a term denotes (base-local names re-expand), no
+    * angle brackets — the JSON/XML/CSV `uri` rendering. */
+  private def iriOf(c: Column): Column =
+    when(c.rlike(globalScheme), c)
+      .otherwise(concat(lit(graft.sparql.Parser.Base), c))
+
+  private def isIriTerm(c: Column): Column =
+    c.rlike(graft.sparql.Parser.IriShape) && !c.startsWith("_:")
+
+  /** One results.bindings element per row (column `value`): a JSON
+    * object keyed by variable with `{"type","value","xml:lang",
+    * "datatype"}` term objects. `to_json` owns the escaping; null
+    * (unbound) vars drop out of the object. */
+  def sparqlJsonBindings(solutions: DataFrame): DataFrame = {
+    val lit0 = graft.sparql.RdfLiteral
+    val fields = solutions.columns.map { v =>
+      val c = col("`" + v + "`").cast("string")
+      val term = when(c.isNull, lit(null).cast("struct<type:string,value:string,`xml:lang`:string,datatype:string>"))
+        .when(c.startsWith("_:"), struct(
+          lit("bnode").as("type"), regexp_replace(c, "^_:", "").as("value"),
+          lit(null).cast("string").as("xml:lang"), lit(null).cast("string").as("datatype")))
+        .when(isIriTerm(c), struct(
+          lit("uri").as("type"), iriOf(c).as("value"),
+          lit(null).cast("string").as("xml:lang"), lit(null).cast("string").as("datatype")))
+        .otherwise(struct(
+          lit("literal").as("type"), lit0.strOf(c).as("value"),
+          when(lit0.isTagged(c), lit0.langOf(c)).as("xml:lang"),
+          when(lit0.isTyped(c), regexp_extract(c, "^\".*\"\\^\\^(.*)$", 1)).as("datatype")))
+      term.as(v)
+    }
+    solutions.select(to_json(struct(fields.toSeq: _*)).as("value"))
+  }
+
+  /** Document head/foot around [[sparqlJsonBindings]] lines (the
+    * caller joins lines with ','). */
+  def sparqlJsonHead(vars: Seq[String]): String =
+    """{"head":{"vars":[""" + vars.map("\"" + _ + "\"").mkString(",") +
+      """]},"results":{"bindings":["""
+  val sparqlJsonFoot: String = "]}}"
+
+  private def xmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** One `<result>` element per row (column `value`), XML-escaped;
+    * [[sparqlXmlHead]]/[[sparqlXmlFoot]] wrap the document. */
+  def sparqlXmlResults(solutions: DataFrame): DataFrame = {
+    val lit0 = graft.sparql.RdfLiteral
+    val bindings = solutions.columns.map { v =>
+      val c = col("`" + v + "`").cast("string")
+      when(c.isNull, lit(""))
+        .when(c.startsWith("_:"), concat(
+          lit(s"""<binding name="$v"><bnode>"""),
+          xmlEscape(regexp_replace(c, "^_:", "")), lit("</bnode></binding>")))
+        .when(isIriTerm(c), concat(
+          lit(s"""<binding name="$v"><uri>"""), xmlEscape(iriOf(c)), lit("</uri></binding>")))
+        .when(lit0.isTagged(c), concat(
+          lit(s"""<binding name="$v"><literal xml:lang=""""), lit0.langOf(c),
+          lit("\">"), xmlEscape(lit0.strOf(c)), lit("</literal></binding>")))
+        .when(lit0.isTyped(c), concat(
+          lit(s"""<binding name="$v"><literal datatype=""""),
+          xmlEscape(regexp_extract(c, "^\".*\"\\^\\^(.*)$", 1)),
+          lit("\">"), xmlEscape(lit0.strOf(c)), lit("</literal></binding>")))
+        .otherwise(concat(
+          lit(s"""<binding name="$v"><literal>"""), xmlEscape(c), lit("</literal></binding>")))
+    }
+    solutions.select(concat(lit("<result>") +: bindings.toSeq :+ lit("</result>"): _*).as("value"))
+  }
+
+  def sparqlXmlHead(vars: Seq[String]): String =
+    """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>""" +
+      vars.map(v => s"""<variable name="$v"/>""").mkString + "</head><results>"
+  val sparqlXmlFoot: String = "</results></sparql>"
+
+  /** CSV rows (one per solution, column `value`): plain values —
+    * lexical forms for literals, full IRIs, `_:label` bnodes — quoted
+    * per RFC 4180 when they contain a comma, quote, or newline. The
+    * header line is `vars.mkString(",")`. */
+  def sparqlCsvRows(solutions: DataFrame): DataFrame = {
+    val lit0 = graft.sparql.RdfLiteral
+    val cells = solutions.columns.map { v =>
+      val c = col("`" + v + "`").cast("string")
+      val plain = when(c.isNull, lit(""))
+        .when(c.startsWith("_:"), c)
+        .when(isIriTerm(c), iriOf(c))
+        .otherwise(lit0.strOf(c))
+      when(plain.rlike("[,\"\n\r]"),
+        concat(lit("\""), regexp_replace(plain, "\"", "\"\""), lit("\"")))
+        .otherwise(plain)
+    }
+    solutions.select(concat_ws(",", cells.toSeq: _*).as("value"))
+  }
+
+  /** TSV rows: terms in SPARQL syntax (`<iri>`, `"lit"@tag`, bare
+    * numbers), tab-separated; the header is `vars.map("?"+_)
+    * .mkString("\t")`. Reuses the N-Triples object rendering. */
+  def sparqlTsvRows(solutions: DataFrame): DataFrame = {
+    val cells = solutions.columns.map { v =>
+      val c = col("`" + v + "`").cast("string")
+      when(c.isNull, lit(""))
+        .when(c.rlike("^[-+]?[0-9]+(\\.[0-9]+)?$"), c) // numbers stay bare
+        .otherwise(objTerm(c))
+    }
+    solutions.select(concat_ws("\t", cells.toSeq: _*).as("value"))
+  }
 }

@@ -1137,9 +1137,10 @@ object Parser {
         case "SUBSTR"   =>
           if (a.size >= 3) lexOp(_.substr(a(1).cast("int"), a(2).cast("int")))
           else lexOp(_.substr(a(1).cast("int"), lit(Int.MaxValue)))
-        // CONCAT over lexical forms → simple literal (the same-lang
-        // tagged-result case of §17.4.3.2 is not modeled)
-        case "CONCAT"   => concat(a.map(RdfLiteral.strOf): _*)
+        // §17.4.3.2 CONCAT: lexical forms concatenate; when EVERY
+        // argument carries the same language tag the result keeps it,
+        // otherwise a simple literal
+        case "CONCAT"   => RdfLiteral.concatTerms(a)
         case "REPLACE"  => lexOp(regexp_replace(_, a(1), a(2)))
         case "IF"       => when(a(0), a(1)).otherwise(a(2))
         case "COALESCE" => coalesce(a: _*)

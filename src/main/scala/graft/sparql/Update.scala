@@ -121,7 +121,9 @@ object Update {
 
   /** LOAD source reader: a parquet (s,p,o) table, a Turtle (.ttl)
     * document ([[graft.rdf.Turtle]] — whole-file parse, one task per
-    * file since Turtle is not splittable), or an N-Triples text file
+    * file since Turtle is not splittable), an RDF/XML (.rdf/.rdfxml/
+    * .owl) document ([[graft.rdf.RdfXml]], same whole-file contract),
+    * or an N-Triples text file
     * (`<s> <p> <o|"lit"> .` per line — line-splittable, the bulk-scale
     * text format). Term IRIs under the engine base intern to local
     * names, matching the parser. Distributed reads, not driver loops. */
@@ -132,6 +134,14 @@ object Update {
       import spark.implicits._
       spark.read.option("wholetext", "true").textFile(path)
         .flatMap(graft.rdf.Turtle.parse(_))
+        .toDF("s", "p", "o")
+    }
+    else if (path.endsWith(".rdf") || path.endsWith(".rdfxml") || path.endsWith(".owl")) {
+      // RDF/XML (the reference's Rio RDFXMLParser format) — whole-file
+      // parse per task like Turtle; XML is not splittable
+      import spark.implicits._
+      spark.read.option("wholetext", "true").textFile(path)
+        .flatMap(graft.rdf.RdfXml.parse(_))
         .toDF("s", "p", "o")
     }
     else {

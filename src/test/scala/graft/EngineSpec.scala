@@ -585,6 +585,52 @@ class EngineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
   }
 
+  test("SPARQL results serializers: JSON/XML/CSV/TSV term rendering") {
+    import graft.rdf.Serializer
+    val sol = Seq(
+      ("c:1", "\"chat\"@fr", "42"),
+      ("http://example.org/a", "\"5\"^^http://www.w3.org/2001/XMLSchema#int", null),
+      ("_:b0", "plain, text", "3.5"))
+      .toDF("s", "lbl", "n")
+    def lines(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getString(0)).toSeq
+
+    val json = lines(Serializer.sparqlJsonBindings(sol))
+    assert(json(0) ==
+      """{"s":{"type":"uri","value":"urn:graft:c:1"},""" +
+      """"lbl":{"type":"literal","value":"chat","xml:lang":"fr"},""" +
+      """"n":{"type":"literal","value":"42"}}""")
+    assert(json(1) ==
+      """{"s":{"type":"uri","value":"http://example.org/a"},""" +
+      """"lbl":{"type":"literal","value":"5","datatype":"http://www.w3.org/2001/XMLSchema#int"}}""")
+    assert(json(2) ==
+      """{"s":{"type":"bnode","value":"b0"},""" +
+      """"lbl":{"type":"literal","value":"plain, text"},""" +
+      """"n":{"type":"literal","value":"3.5"}}""")
+    assert(Serializer.sparqlJsonHead(Seq("s", "lbl", "n")) ==
+      """{"head":{"vars":["s","lbl","n"]},"results":{"bindings":[""")
+
+    val xml = lines(Serializer.sparqlXmlResults(sol))
+    assert(xml(0) == "<result>" +
+      """<binding name="s"><uri>urn:graft:c:1</uri></binding>""" +
+      """<binding name="lbl"><literal xml:lang="fr">chat</literal></binding>""" +
+      """<binding name="n"><literal>42</literal></binding>""" + "</result>")
+    assert(xml(1) == "<result>" +
+      """<binding name="s"><uri>http://example.org/a</uri></binding>""" +
+      """<binding name="lbl"><literal datatype="http://www.w3.org/2001/XMLSchema#int">5</literal></binding>""" +
+      "</result>")
+
+    val csv = lines(Serializer.sparqlCsvRows(sol))
+    assert(csv == Seq(
+      "urn:graft:c:1,chat,42",
+      "http://example.org/a,5,",
+      "_:b0,\"plain, text\",3.5"))
+
+    val tsv = lines(Serializer.sparqlTsvRows(sol))
+    assert(tsv(0) == "<urn:graft:c:1>\t\"chat\"@fr\t42")
+    assert(tsv(2) == "_:b0\t\"plain, text\"\t3.5")
+  }
+
   test("owl hasValue types holders and equivalences entail both ways") {
     import graft.inference.{Owl, Rdfs}
     val inst = Seq(

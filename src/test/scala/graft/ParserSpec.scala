@@ -740,6 +740,90 @@ class ParserSpec extends AnyFunSuite {
       Seq("g:all"))
   }
 
+  test("RDF/XML parser: node elements, attrs, lang, datatype, nesting, li") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:v="urn:graft:" xml:base="urn:graft:">
+        |  <v:Thing rdf:about="t:1" v:code="A1">
+        |    <v:label xml:lang="en">alpha</v:label>
+        |    <v:size rdf:datatype="http://www.w3.org/2001/XMLSchema#int">5</v:size>
+        |    <v:near rdf:resource="t:2"/>
+        |  </v:Thing>
+        |  <rdf:Description rdf:about="t:2">
+        |    <v:inner>
+        |      <rdf:Description rdf:nodeID="b7">
+        |        <v:label>inner</v:label>
+        |      </rdf:Description>
+        |    </v:inner>
+        |    <v:meta rdf:parseType="Resource">
+        |      <v:score>9</v:score>
+        |    </v:meta>
+        |  </rdf:Description>
+        |  <rdf:Seq rdf:about="q:1">
+        |    <rdf:li>one</rdf:li>
+        |    <rdf:li>two</rdf:li>
+        |  </rdf:Seq>
+        |</rdf:RDF>""".stripMargin
+    val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val ts = graft.rdf.RdfXml.parse(xml).toSet
+    assert(ts == Set(
+      ("t:1", "type", "Thing"),
+      ("t:1", "code", "A1"),
+      ("t:1", "label", "\"alpha\"@en"),
+      ("t:1", "size", "\"5\"^^http://www.w3.org/2001/XMLSchema#int"),
+      ("t:1", "near", "t:2"),
+      ("t:2", "inner", "_:b7"),
+      ("_:b7", "label", "inner"),
+      ("t:2", "meta", "_:gen1"),
+      ("_:gen1", "score", "9"),
+      ("q:1", "type", RdfNs + "Seq"),
+      ("q:1", RdfNs + "_1", "one"),
+      ("q:1", RdfNs + "_2", "two")))
+    // unsupported constructs fail loud, never mis-parse
+    intercept[RuntimeException](graft.rdf.RdfXml.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:v="urn:graft:">
+        |<rdf:Description rdf:about="urn:graft:t:1">
+        |  <v:items rdf:parseType="Collection"/>
+        |</rdf:Description></rdf:RDF>""".stripMargin))
+  }
+
+  test("LOAD .rdf: RDF/XML lands in the target graph") {
+    val rdf = java.nio.file.Files.createTempFile("graft_load", ".rdf")
+    java.nio.file.Files.writeString(rdf,
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:v="urn:graft:">
+        |  <v:Widget rdf:about="urn:graft:w:1">
+        |    <v:label xml:lang="en">gear</v:label>
+        |  </v:Widget>
+        |</rdf:RDF>""".stripMargin)
+    import spark.implicits._
+    val empty = graft.rdf.QuadStore(Seq.empty[(String, String, String, String)]
+      .toDF("s", "p", "o", "g"))
+    val st = graft.sparql.Update.applyQuadsSeq(empty,
+      graft.sparql.Parser.parseUpdates(s"LOAD <file://$rdf> INTO GRAPH g:xml"))
+    val got = st.quads.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("w:1", "type", "Widget", "g:xml"),
+      ("w:1", "label", "\"gear\"@en", "g:xml")))
+  }
+
+  test("CONCAT keeps a shared language tag, drops mixed ones (§17.4.3.2)") {
+    val df = run(
+      """SELECT ?a ?b ?c WHERE {
+        |  ?r type "Region" .
+        |  BIND(CONCAT("foo"@en, "bar"@en) AS ?a)
+        |  BIND(CONCAT("foo"@en, "bar"@fr) AS ?b)
+        |  BIND(CONCAT("x", "y") AS ?c)
+        |} LIMIT 1""".stripMargin)
+    val r = df.collect().head
+    assert(r.getString(0) == "\"foobar\"@en")
+    assert(r.getString(1) == "foobar")
+    assert(r.getString(2) == "xy")
+  }
+
   test("Blueprints mutation façade: mutate then traverse round-trip") {
     val g = graft.graph.MutableGraph.empty(spark)
       .addVertex("v:1", "Person").addVertex("v:2", "Person").addVertex("v:3", "City")

@@ -588,9 +588,57 @@ object EngineQueries {
         .applyQuadsSeq(graft.rdf.QuadStore(TpchRdf.quads(s, dir)), ops)
         .graph("g:xml").orderBy("s", "p", "o")
     }),
+
+    // LOAD of a JSON-LD document (reference: rio/ registers Rio's
+    // JSONLDParser — the format web data ships in): @context term
+    // maps + @type:@id coercion + compact IRIs, @id/@type, @value
+    // literal objects with @language/@type, arrays, nested bnodes
+    "load_jsonld" -> ((s, dir) => {
+      val jl = java.nio.file.Files.createTempFile("graft_load", ".jsonld")
+      java.nio.file.Files.writeString(jl,
+        """{
+          |  "@context": {
+          |    "v": "urn:graft:",
+          |    "label": "urn:graft:label",
+          |    "size": "urn:graft:size",
+          |    "near": {"@id": "urn:graft:near", "@type": "@id"},
+          |    "Thing": "urn:graft:Thing"
+          |  },
+          |  "@graph": [
+          |    {
+          |      "@id": "urn:graft:t:1",
+          |      "@type": "Thing",
+          |      "label": [{"@value": "alpha", "@language": "en"}, "plain"],
+          |      "size": {"@value": "5", "@type": "http://www.w3.org/2001/XMLSchema#int"},
+          |      "near": "urn:graft:t:2"
+          |    },
+          |    {
+          |      "@id": "urn:graft:t:2",
+          |      "v:inner": {"label": "inner"},
+          |      "v:weight": 3.5
+          |    }
+          |  ]
+          |}""".stripMargin)
+      val ops = graft.sparql.Parser.parseUpdates(s"LOAD <file://$jl> INTO GRAPH g:json")
+      graft.sparql.Update
+        .applyQuadsSeq(graft.rdf.QuadStore(TpchRdf.quads(s, dir)), ops)
+        .graph("g:json").orderBy("s", "p", "o")
+    }),
   )
 
   val quadOracles: Map[String, String] = Map(
+    "load_jsonld" ->
+      """SELECT * FROM (VALUES
+        |  ('_:gen1', 'label', 'inner'),
+        |  ('t:1', 'type', 'Thing'),
+        |  ('t:1', 'label', '"alpha"@en'),
+        |  ('t:1', 'label', 'plain'),
+        |  ('t:1', 'size', '"5"^^http://www.w3.org/2001/XMLSchema#int'),
+        |  ('t:1', 'near', 't:2'),
+        |  ('t:2', 'inner', '_:gen1'),
+        |  ('t:2', 'weight', '3.5')
+        |) AS t(s, p, o) ORDER BY s, p, o""".stripMargin,
+
     "load_rdfxml" ->
       """SELECT * FROM (VALUES
         |  ('_:b7', 'label', 'inner'),

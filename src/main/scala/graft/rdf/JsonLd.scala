@@ -1,0 +1,133 @@
+package graft.rdf
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Pragmatic JSON-LD parser for the LOAD path — the last of the
+  * reference's everyday Rio ingest formats (bigdata-core/bigdata-rdf/
+  * src/java/com/bigdata/rdf/rio/ registers Rio's JSONLDParser; web
+  * data increasingly ships as JSON-LD).
+  *
+  * Covers the common authoring subset of the W3C JSON-LD 1.0 grammar:
+  * a top-level node object, array of node objects, or `@graph` array;
+  * `@context` with term→IRI mappings, `{"@id":…}`/`{"@type":"@id"}`
+  * term definitions, `@vocab`, and compact IRIs (`pfx:local`); `@id`
+  * and `@type` (string or array); property values as strings, numbers,
+  * booleans, `{"@value", "@language"| "@type"}` literal objects
+  * (landing as the [[graft.sparql.RdfLiteral]] term forms),
+  * `{"@id":…}` references, arrays, and nested node objects (fresh
+  * bnodes when un-@id'd). Remote `@context` URLs, `@list`/`@set`
+  * containers, and nested named `@graph`s fail loud rather than
+  * mis-parse. JSON parsing uses Jackson, already on Spark's classpath
+  * — no new dependency.
+  *
+  * Scale: a JSON-LD document is one JSON value — not splittable — so
+  * one file parses in one task, distributed ACROSS files (the Turtle /
+  * RDF/XML contract). Bulk ingest belongs in parquet / N-Triples;
+  * newline-delimited JSON corpora are the `documents` table path.
+  */
+object JsonLd {
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse one JSON-LD document to (s, p, o) term triples. */
+  def parse(content: String): Vector[(String, String, String)] =
+    new Walk().run(mapper.readTree(content))
+
+  private final class Walk {
+    private var bn = 0
+    private var terms = Map.empty[String, String] // term -> IRI (or keyword alias)
+    private var idTerms = Set.empty[String]       // terms coerced @type:@id
+    private var vocab = ""
+    private val out = Vector.newBuilder[(String, String, String)]
+
+    def run(root: JsonNode): Vector[(String, String, String)] = {
+      if (root.isObject && root.has("@context")) context(root.get("@context"))
+      val nodes: Seq[JsonNode] =
+        if (root.isArray) root.elements().asScala.toSeq
+        else if (root.has("@graph")) root.get("@graph").elements().asScala.toSeq
+        else Seq(root)
+      nodes.foreach(nodeObject)
+      out.result()
+    }
+
+    private def fail(msg: String): Nothing = sys.error(s"jsonld: $msg")
+
+    private def context(ctx: JsonNode): Unit = {
+      if (!ctx.isObject) fail("remote/non-object @context is not supported")
+      ctx.fields().asScala.foreach { e =>
+        val (term, v) = (e.getKey, e.getValue)
+        if (term == "@vocab") vocab = v.asText()
+        else if (v.isTextual) terms += (term -> v.asText())
+        else if (v.isObject) {
+          // expanded term definition: {"@id": iri, "@type": "@id"|dt}
+          if (v.has("@id")) terms += (term -> v.get("@id").asText())
+          if (v.has("@type") && v.get("@type").asText() == "@id") idTerms += term
+        } else fail(s"unsupported @context entry for '$term'")
+      }
+    }
+
+    /** Term/compact-IRI/vocab expansion, then engine-base interning
+      * (the rule every loader applies). `rdf:type`-mapped terms and
+      * full IRIs pass through expansion untouched. */
+    private def expand(t: String): String = {
+      val iri =
+        if (terms.contains(t)) terms(t)
+        else {
+          val idx = t.indexOf(':')
+          if (idx > 0 && terms.contains(t.substring(0, idx)))
+            terms(t.substring(0, idx)) + t.substring(idx + 1)
+          else if (idx < 0 && vocab.nonEmpty) vocab + t
+          else t
+        }
+      if (iri.startsWith(graft.sparql.Parser.Base))
+        iri.drop(graft.sparql.Parser.Base.length)
+      else iri
+    }
+
+    private def freshBnode(): String = { bn += 1; s"_:gen$bn" }
+
+    /** Emit a node object's statements; returns its subject term. */
+    private def nodeObject(n: JsonNode): String = {
+      if (!n.isObject) fail(s"expected a node object, got $n")
+      val subj =
+        if (n.has("@id")) expand(n.get("@id").asText()) else freshBnode()
+      n.fields().asScala.foreach { e =>
+        val (k, v) = (e.getKey, e.getValue)
+        k match {
+          case "@id" | "@context" => ()
+          case "@type" =>
+            asArray(v).foreach(t => out += ((subj, "type", expand(t.asText()))))
+          case "@graph" => fail("nested named @graph is not supported")
+          case "@list" | "@set" => fail(s"'$k' containers are not supported")
+          case _ if k.startsWith("@") => fail(s"unsupported keyword '$k'")
+          case _ =>
+            val p = expand(k)
+            asArray(v).foreach(item => out += ((subj, p, value(item, k))))
+        }
+      }
+      subj
+    }
+
+    private def asArray(v: JsonNode): Seq[JsonNode] =
+      if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+
+    /** A property value: literal, reference, literal object, or a
+      * nested node object. */
+    private def value(v: JsonNode, term: String): String = {
+      if (v.isTextual) {
+        if (idTerms.contains(term)) expand(v.asText()) else v.asText()
+      }
+      else if (v.isNumber || v.isBoolean) v.asText()
+      else if (v.isObject && v.has("@value")) {
+        val lex = v.get("@value").asText()
+        if (v.has("@language")) graft.sparql.RdfLiteral.tagged(lex, v.get("@language").asText())
+        else if (v.has("@type")) graft.sparql.RdfLiteral.typed(lex, expand(v.get("@type").asText()))
+        else lex
+      }
+      else if (v.isObject && v.has("@id") && v.size() == 1) expand(v.get("@id").asText())
+      else if (v.isObject) nodeObject(v)
+      else fail(s"unsupported value $v")
+    }
+  }
+}

@@ -144,6 +144,14 @@ object Update {
         .flatMap(graft.rdf.RdfXml.parse(_))
         .toDF("s", "p", "o")
     }
+    else if (path.endsWith(".jsonld")) {
+      // JSON-LD (Rio JSONLDParser analog) — one JSON value per file,
+      // whole-file parse per task
+      import spark.implicits._
+      spark.read.option("wholetext", "true").textFile(path)
+        .flatMap(graft.rdf.JsonLd.parse(_))
+        .toDF("s", "p", "o")
+    }
     else {
       val pat = "^\\s*" + RTerm + "\\s+" + RTerm + "\\s+" + OTerm + "\\s*\\.\\s*$"
       spark.read.text(path)

@@ -810,6 +810,39 @@ class ParserSpec extends AnyFunSuite {
       ("w:1", "label", "\"gear\"@en", "g:xml")))
   }
 
+  test("JSON-LD parser: context, coercion, literals, nesting, vocab") {
+    val jl =
+      """{
+        |  "@context": {
+        |    "@vocab": "urn:graft:",
+        |    "near": {"@id": "urn:graft:near", "@type": "@id"},
+        |    "x": "urn:graft:x:"
+        |  },
+        |  "@id": "urn:graft:t:1",
+        |  "@type": ["Thing", "x:Special"],
+        |  "label": {"@value": "chat", "@language": "fr"},
+        |  "size": {"@value": "5", "@type": "http://www.w3.org/2001/XMLSchema#int"},
+        |  "near": "urn:graft:t:2",
+        |  "flag": true,
+        |  "child": {"label": "inner"}
+        |}""".stripMargin
+    val ts = graft.rdf.JsonLd.parse(jl).toSet
+    assert(ts == Set(
+      ("t:1", "type", "Thing"),
+      ("t:1", "type", "x:Special"),
+      ("t:1", "label", "\"chat\"@fr"),
+      ("t:1", "size", "\"5\"^^http://www.w3.org/2001/XMLSchema#int"),
+      ("t:1", "near", "t:2"),
+      ("t:1", "flag", "true"),
+      ("t:1", "child", "_:gen1"),
+      ("_:gen1", "label", "inner")))
+    // unsupported constructs fail loud, never mis-parse
+    intercept[RuntimeException](graft.rdf.JsonLd.parse(
+      """{"@context": "http://remote.example/ctx", "@id": "urn:graft:t:1"}"""))
+    intercept[RuntimeException](graft.rdf.JsonLd.parse(
+      """{"@id": "urn:graft:t:1", "urn:graft:items": {"@list": ["a"]}}"""))
+  }
+
   test("CONCAT keeps a shared language tag, drops mixed ones (§17.4.3.2)") {
     val df = run(
       """SELECT ?a ?b ?c WHERE {

@@ -66,6 +66,66 @@ object Serializer {
       resource(col("s")), lit(" "), resource(col("p")), lit(" "),
       objTerm(col("o")), lit(" "), resource(col("g")), lit(" .")).as("value"))
 
+  /** Default Turtle prefix table: the engine base plus the vocabularies
+    * the term model actually emits. */
+  val defaultPrefixes: Seq[(String, String)] = Seq(
+    "g" -> graft.sparql.Parser.Base,
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#",
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#")
+
+  /** `@prefix` header block for [[toTurtle]] lines. */
+  def turtleHeader(prefixes: Seq[(String, String)] = defaultPrefixes): String =
+    prefixes.map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("\n") + "\n"
+
+  /** Turtle EXPORT with prefix compression and `;`/`,` grouping — the
+    * pretty-printing half of Rio's TurtleWriter
+    * (bigdata-rdf/rio/ writers). One multi-line block per SUBJECT
+    * (column `value`): predicates sorted and joined with ';', repeated
+    * predicates' objects joined with ',', `rdf:type` written as `a`.
+    * Two shuffles on (s,p) then (s) — the grouping semantic itself —
+    * then map-only rendering; stays distributed across subjects, so a
+    * 100-TB export parallelizes (prefix table is a constant, not
+    * document state). Emit [[turtleHeader]] ahead of the lines. */
+  def toTurtle(triples: DataFrame,
+               prefixes: Seq[(String, String)] = defaultPrefixes): DataFrame = {
+    val res = compressTerm(_: Column, prefixes)
+    val obj = {
+      val c = col("o")
+      val typedDt = regexp_extract(c, "\\^\\^(.*)$", 1)
+      when(c.startsWith("_:"), c)
+        .when(graft.sparql.RdfLiteral.isTagged(c), c)
+        .when(graft.sparql.RdfLiteral.isTyped(c),
+          concat(regexp_extract(c, "^(\".*\")\\^\\^", 1), lit("^^"), res(typedDt)))
+        .when(c.rlike(graft.sparql.Parser.IriShape), res(c))
+        .otherwise(concat(lit("\""), escape(c), lit("\"")))
+    }
+    val pred = when(col("p") === "type", lit("a")).otherwise(res(col("p")))
+    triples
+      .groupBy(col("s"), pred.as("pt"))
+      .agg(concat_ws(" , ", sort_array(collect_list(obj))).as("objs"))
+      .groupBy(col("s"))
+      .agg(concat_ws(" ;\n    ",
+        sort_array(collect_list(concat(col("pt"), lit(" "), col("objs"))))).as("body"))
+      .select(concat(res(col("s")), lit(" "), col("body"), lit(" .")).as("value"))
+  }
+
+  /** Prefix-compress a full-or-local resource term (longest namespace
+    * wins — Turtle 1.1 PN_LOCAL allows ':', so base-local ids like
+    * `c:42` compress to `g:c:42`); bnodes pass through, no-match falls
+    * back to `<iri>`. */
+  private def compressTerm(c: Column, prefixes: Seq[(String, String)]): Column = {
+    val full = when(c.rlike(globalScheme), c)
+      .otherwise(concat(lit(graft.sparql.Parser.Base), c))
+    val fallback = concat(lit("<"), full, lit(">"))
+    val compressed = prefixes.sortBy(-_._2.length).foldRight(fallback) {
+      case ((p, ns), els) =>
+        when(full.startsWith(ns),
+          concat(lit(p + ":"), full.substr(lit(ns.length + 1), lit(Int.MaxValue))))
+          .otherwise(els)
+    }
+    when(c.startsWith("_:"), c).otherwise(compressed)
+  }
+
   // ---- SPARQL Query Results formats --------------------------------
   //
   // The four response serializations the reference's NanoSparqlServer

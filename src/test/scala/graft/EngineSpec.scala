@@ -585,6 +585,37 @@ class EngineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
   }
 
+  test("Turtle export: prefix compression, grouping, LOAD round-trip") {
+    import graft.rdf.Serializer
+    val tri = Seq(
+      ("c:1", "type", "Customer"),
+      ("c:1", "name", "ann"),
+      ("c:1", "tagline", "\"hi\"@en"),
+      ("c:1", "size", "\"5\"^^http://www.w3.org/2001/XMLSchema#int"),
+      ("c:1", "link", "http://example.org/x"),
+      ("c:2", "name", "bob"),
+      ("c:2", "name", "bobby"),
+      ("_:b1", "name", "anon")).toDF("s", "p", "o")
+    val lines = Serializer.toTurtle(tri).collect().map(_.getString(0))
+    val c1 = lines.find(_.startsWith("g:c:1")).get
+    // base-local terms compress under g:, xsd under xsd:, rdf:type is 'a'
+    assert(c1.startsWith("g:c:1 a \"Customer\""))
+    assert(c1.contains("g:size \"5\"^^xsd:int"))
+    assert(c1.contains("g:link <http://example.org/x>"))
+    assert(c1.contains("g:tagline \"hi\"@en"))
+    assert(c1.contains(" ;\n    "))
+    // repeated predicate folds into a ',' object list, objects sorted
+    assert(lines.find(_.startsWith("g:c:2")).get == "g:c:2 g:name \"bob\" , \"bobby\" .")
+    assert(lines.exists(_.startsWith("_:b1 g:name \"anon\"")))
+    // the document LOADs back to exactly the input triples
+    val ttl = java.nio.file.Files.createTempFile("graft_ttl_rt", ".ttl")
+    java.nio.file.Files.writeString(ttl,
+      Serializer.turtleHeader() + "\n" + lines.mkString("\n\n") + "\n")
+    val back = graft.sparql.Update.loadTriples(spark, ttl.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back == tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+  }
+
   test("SPARQL results serializers: JSON/XML/CSV/TSV term rendering") {
     import graft.rdf.Serializer
     val sol = Seq(

@@ -47,7 +47,7 @@ object JsonLd {
         if (root.isArray) root.elements().asScala.toSeq
         else if (root.has("@graph")) root.get("@graph").elements().asScala.toSeq
         else Seq(root)
-      nodes.foreach(nodeObject)
+      nodes.foreach(nodeObject(_, isRoot = nodes.size == 1 && (nodes.head eq root)))
       out.result()
     }
 
@@ -88,14 +88,19 @@ object JsonLd {
     private def freshBnode(): String = { bn += 1; s"_:gen$bn" }
 
     /** Emit a node object's statements; returns its subject term. */
-    private def nodeObject(n: JsonNode): String = {
+    private def nodeObject(n: JsonNode, isRoot: Boolean = false): String = {
       if (!n.isObject) fail(s"expected a node object, got $n")
       val subj =
         if (n.has("@id")) expand(n.get("@id").asText()) else freshBnode()
       n.fields().asScala.foreach { e =>
         val (k, v) = (e.getKey, e.getValue)
         k match {
-          case "@id" | "@context" => ()
+          case "@id" => ()
+          case "@context" =>
+            // the document context was consumed in run(); a SCOPED
+            // context on an inner node would silently change term
+            // meanings — fail loud instead
+            if (!isRoot) fail("scoped (non-root) @context is not supported")
           case "@type" =>
             asArray(v).foreach(t => out += ((subj, "type", expand(t.asText()))))
           case "@graph" => fail("nested named @graph is not supported")

@@ -81,8 +81,12 @@ object RdfXml {
 
     private def freshBnode(): String = { bn += 1; s"_:gen$bn" }
 
+    /** xml:lang inherits from ancestors; an explicit `xml:lang=""`
+      * RESETS it (XML 1.0 §2.12). */
     private def inherited(e: Element, lang: Option[String]): Option[String] =
-      Option(e.getAttribute("xml:lang")).filter(_.nonEmpty).orElse(lang)
+      if (e.hasAttribute("xml:lang"))
+        Option(e.getAttribute("xml:lang")).filter(_.nonEmpty)
+      else lang
 
     private def inheritedBase(e: Element, base: String): String =
       Option(e.getAttribute("xml:base")).filter(_.nonEmpty).getOrElse(base)

@@ -94,15 +94,14 @@ object RdfLiteral {
     * (CONCAT("a"@en, "b"@en) = "ab"@en; any plain/typed/other-lang
     * argument makes it a simple literal). Single-pass Column algebra —
     * still codegen'd regexp/concat, no UDF. */
-  def concatTerms(a: Seq[Column]): Column = {
-    val lexCat = concat(a.map(strOf): _*)
-    if (a.size < 2) lexCat
+  def concatTerms(a: Seq[Column]): Column =
+    if (a.isEmpty) lit("")
     else {
+      val lexCat = concat(a.map(strOf): _*)
       val lang0 = langOf(a.head)
       val allSame = a.tail.foldLeft(lang0 =!= "") { (acc, c) => acc && langOf(c) === lang0 }
       when(allSame, strLang(lexCat, lang0)).otherwise(lexCat)
     }
-  }
 
   /** STRLANG (§17.4.2.8). */
   def strLang(lex: Column, lang: Column): Column =

@@ -745,8 +745,10 @@ class ParserSpec extends AnyFunSuite {
       """<?xml version="1.0"?>
         |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
         |         xmlns:v="urn:graft:" xml:base="urn:graft:">
-        |  <v:Thing rdf:about="t:1" v:code="A1">
+        |  <v:Thing rdf:about="t:1" v:code="A1" xml:lang="de">
         |    <v:label xml:lang="en">alpha</v:label>
+        |    <v:memo>notiz</v:memo>
+        |    <v:plain xml:lang="">reset</v:plain>
         |    <v:size rdf:datatype="http://www.w3.org/2001/XMLSchema#int">5</v:size>
         |    <v:near rdf:resource="t:2"/>
         |  </v:Thing>
@@ -769,8 +771,10 @@ class ParserSpec extends AnyFunSuite {
     val ts = graft.rdf.RdfXml.parse(xml).toSet
     assert(ts == Set(
       ("t:1", "type", "Thing"),
-      ("t:1", "code", "A1"),
+      ("t:1", "code", "\"A1\"@de"), // property attr takes in-scope lang
       ("t:1", "label", "\"alpha\"@en"),
+      ("t:1", "memo", "\"notiz\"@de"), // inherited from the node element
+      ("t:1", "plain", "reset"),       // xml:lang="" resets inheritance
       ("t:1", "size", "\"5\"^^http://www.w3.org/2001/XMLSchema#int"),
       ("t:1", "near", "t:2"),
       ("t:2", "inner", "_:b7"),
@@ -841,20 +845,26 @@ class ParserSpec extends AnyFunSuite {
       """{"@context": "http://remote.example/ctx", "@id": "urn:graft:t:1"}"""))
     intercept[RuntimeException](graft.rdf.JsonLd.parse(
       """{"@id": "urn:graft:t:1", "urn:graft:items": {"@list": ["a"]}}"""))
+    // a scoped @context on an inner node would change term meanings
+    intercept[RuntimeException](graft.rdf.JsonLd.parse(
+      """{"@graph": [{"@id": "urn:graft:t:1",
+        |  "urn:graft:child": {"@context": {"x": "urn:other:"}, "@id": "urn:graft:t:2"}}]}""".stripMargin))
   }
 
   test("CONCAT keeps a shared language tag, drops mixed ones (§17.4.3.2)") {
     val df = run(
-      """SELECT ?a ?b ?c WHERE {
+      """SELECT ?a ?b ?c ?d WHERE {
         |  ?r type "Region" .
         |  BIND(CONCAT("foo"@en, "bar"@en) AS ?a)
         |  BIND(CONCAT("foo"@en, "bar"@fr) AS ?b)
         |  BIND(CONCAT("x", "y") AS ?c)
+        |  BIND(CONCAT("solo"@de) AS ?d)
         |} LIMIT 1""".stripMargin)
     val r = df.collect().head
     assert(r.getString(0) == "\"foobar\"@en")
     assert(r.getString(1) == "foobar")
     assert(r.getString(2) == "xy")
+    assert(r.getString(3) == "\"solo\"@de")
   }
 
   test("Blueprints mutation façade: mutate then traverse round-trip") {

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.rdf.{QuadStore, Serializer}
+import graft.sparql.{Compiler, Parser, TriplePattern, TripleSource, Update}
+
+/** The migrating user's single entry point — the analog of the
+  * reference's repository-connection surface
+  * (bigdata-core/bigdata-sail/src/java/com/bigdata/rdf/sail/
+  * BigdataSailRepositoryConnection: prepareTupleQuery / prepareUpdate /
+  * add / export). Wraps a [[graft.rdf.QuadStore]]:
+  *
+  *   - `query` evaluates SPARQL text (SELECT/ASK/CONSTRUCT/DESCRIBE).
+  *     The default graph is the RDF MERGE of all graphs (the
+  *     reference's quads-mode default-graph-as-union behavior); GRAPH
+  *     patterns range over the named graphs.
+  *   - `update` applies a ';'-separated SPARQL UPDATE request and
+  *     returns the new immutable handle (stores are functional plans).
+  *   - `load` ingests any supported serialization by file extension
+  *     (.ttl/.trig/.rdf/.rdfxml/.owl/.jsonld/.nt/.nq/parquet).
+  *   - `exportNQuads` / `exportTurtle` serialize back out.
+  *
+  * Everything stays a lazy DataFrame plan — nothing evaluates until
+  * the caller acts on a result. For tuned TPC-H-shaped access paths
+  * (star fusion, per-table branch pruning) use the schema-aware
+  * [[graft.rdf.TpchRdf]] source; this façade's generic source still
+  * constant-folds pattern filters into the quad scan.
+  */
+final case class Graft(spark: SparkSession, store: QuadStore,
+                       defaultGraph: String = "g:default") {
+
+  private lazy val source: TripleSource = new TripleSource {
+    // RDF merge across graphs: the same triple asserted in two graphs
+    // is ONE triple in the merged default graph (set semantics)
+    lazy val triples: DataFrame = store.quads.select("s", "p", "o").distinct()
+    def fuseStar(patterns: Seq[TriplePattern],
+                 subjectTables: Option[Set[String]]): Option[DataFrame] = None
+    override def quads: Option[DataFrame] = Some(store.quads)
+  }
+
+  /** SPARQL query text → result DataFrame (solutions, triples for
+    * CONSTRUCT/DESCRIBE, or a 1-row boolean for ASK). */
+  def query(q: String): DataFrame = Compiler.compile(Parser.parse(q), source)
+
+  /** SPARQL UPDATE request text (';'-separated ops, incl. graph
+    * management and LOAD) → updated handle. */
+  def update(q: String): Graft =
+    copy(store = Update.applyQuadsSeq(store, Parser.parseUpdates(q), defaultGraph))
+
+  /** LOAD a serialized RDF document (format by extension). */
+  def load(path: String, graph: Option[String] = None): Graft =
+    update(s"LOAD <file://$path>" + graph.fold("")(g => s" INTO GRAPH $g"))
+
+  /** One N-Quads line per statement (column `value`) — map-only. */
+  def exportNQuads: DataFrame = Serializer.toNQuads(store.quads)
+
+  /** Pretty Turtle blocks for ONE graph (column `value`); write
+    * [[graft.rdf.Serializer.turtleHeader]] ahead of the lines. */
+  def exportTurtle(graph: String): DataFrame =
+    Serializer.toTurtle(store.graph(graph))
+}
+
+object Graft {
+
+  /** A fresh empty store. */
+  def empty(spark: SparkSession): Graft = {
+    import spark.implicits._
+    Graft(spark, QuadStore(
+      Seq.empty[(String, String, String, String)].toDF("s", "p", "o", "g")))
+  }
+
+  /** Wrap an existing (s,p,o) DataFrame as the default graph. */
+  def ofTriples(spark: SparkSession, triples: DataFrame,
+                graph: String = "g:default"): Graft = {
+    import org.apache.spark.sql.functions.lit
+    Graft(spark, QuadStore(
+      triples.select("s", "p", "o").withColumn("g", lit(graph))))
+  }
+
+  /** Wrap an existing (s,p,o,g) DataFrame. */
+  def ofQuads(spark: SparkSession, quads: DataFrame): Graft =
+    Graft(spark, QuadStore(quads.select("s", "p", "o", "g")))
+}

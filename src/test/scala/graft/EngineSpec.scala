@@ -585,6 +585,36 @@ class EngineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
   }
 
+  test("Graft façade: update, query, graphs, load, export end-to-end") {
+    val g0 = graft.Graft.empty(spark).update(
+      """INSERT DATA {
+        |  x:1 type "Widget" .
+        |  x:1 label "gear"@en .
+        |  GRAPH g:extra { x:2 label "cog" }
+        |}""".stripMargin)
+    // default graph = merge of all graphs (quads-mode union default)
+    val sel = g0.query("""SELECT ?s ?l WHERE { ?s label ?l } ORDER BY ?s""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(sel == Seq(("x:1", "\"gear\"@en"), ("x:2", "cog")))
+    // GRAPH patterns range over the named graphs
+    val named = g0.query("""SELECT ?g ?s WHERE { GRAPH ?g { ?s label ?l } } ORDER BY ?g""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(named.contains(("g:extra", "x:2")))
+    assert(g0.query("""ASK { x:1 type "Widget" }""").collect().head.getBoolean(0))
+    // update is functional: the original handle is unchanged
+    val g1 = g0.update("""DELETE DATA { GRAPH g:extra { x:2 label "cog" } }""")
+    assert(g1.query("""SELECT ?s ?l WHERE { ?s label ?l }""").count() == 1)
+    assert(g0.query("""SELECT ?s ?l WHERE { ?s label ?l }""").count() == 2)
+    // export → load round trip through the N-Quads path
+    val dir = java.nio.file.Files.createTempDirectory("graft_facade").toString + "/out.nq"
+    g0.exportNQuads.write.text(dir)
+    val back = graft.Graft.empty(spark).update(s"LOAD <file://$dir>")
+    assert(back.store.quads.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet ==
+      g0.store.quads.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
+  }
+
   test("Turtle export: prefix compression, grouping, LOAD round-trip") {
     import graft.rdf.Serializer
     val tri = Seq(

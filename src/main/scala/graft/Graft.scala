@@ -58,6 +58,10 @@ final case class Graft(spark: SparkSession, store: QuadStore,
     * [[graft.rdf.Serializer.turtleHeader]] ahead of the lines. */
   def exportTurtle(graph: String): DataFrame =
     Serializer.toTurtle(store.graph(graph))
+
+  /** Pretty TriG `GRAPH { … }` blocks for the whole store (column
+    * `value`); write [[graft.rdf.Serializer.turtleHeader]] first. */
+  def exportTrig: DataFrame = Serializer.toTrig(store.quads)
 }
 
 object Graft {

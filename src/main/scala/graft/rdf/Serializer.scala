@@ -89,6 +89,34 @@ object Serializer {
   def toTurtle(triples: DataFrame,
                prefixes: Seq[(String, String)] = defaultPrefixes): DataFrame = {
     val res = compressTerm(_: Column, prefixes)
+    subjectBlocks(triples, prefixes)
+      .select(concat(res(col("s")), lit(" "), col("body"), lit(" .")).as("value"))
+  }
+
+  /** TriG EXPORT: one `GRAPH <g> { … }` block per graph (column
+    * `value`), each holding its subjects' pretty-printed Turtle
+    * statements — Rio's TriGWriter analog. A graph's block aggregates
+    * on the graph key, so export parallelism is per-GRAPH (fine for
+    * management-sized graph sets; a single 100-TB graph should export
+    * as per-statement N-Quads instead — that path stays map-only).
+    * Emit [[turtleHeader]] ahead of the lines; [[Turtle.parseTrig]]
+    * reads the result back losslessly. */
+  def toTrig(quads: DataFrame,
+             prefixes: Seq[(String, String)] = defaultPrefixes): DataFrame = {
+    val res = compressTerm(_: Column, prefixes)
+    subjectBlocks(quads, prefixes, Seq(col("g")))
+      .select(col("g"), concat(res(col("s")), lit(" "), col("body"), lit(" .")).as("stmt"))
+      .groupBy(col("g"))
+      .agg(concat_ws("\n  ", sort_array(collect_list(col("stmt")))).as("stmts"))
+      .select(concat(lit("GRAPH "), res(col("g")), lit(" {\n  "),
+        col("stmts"), lit("\n}")).as("value"))
+  }
+
+  /** Shared grouping core: per (extraKeys, s) Turtle bodies with `;`/
+    * `,` folding, predicates compressed and `a` for rdf:type. */
+  private def subjectBlocks(df: DataFrame, prefixes: Seq[(String, String)],
+                            extraKeys: Seq[Column] = Seq.empty): DataFrame = {
+    val res = compressTerm(_: Column, prefixes)
     val obj = {
       val c = col("o")
       val typedDt = regexp_extract(c, "\\^\\^(.*)$", 1)
@@ -100,13 +128,11 @@ object Serializer {
         .otherwise(concat(lit("\""), escape(c), lit("\"")))
     }
     val pred = when(col("p") === "type", lit("a")).otherwise(res(col("p")))
-    triples
-      .groupBy(col("s"), pred.as("pt"))
+    df.groupBy(extraKeys :+ col("s") :+ pred.as("pt"): _*)
       .agg(concat_ws(" , ", sort_array(collect_list(obj))).as("objs"))
-      .groupBy(col("s"))
+      .groupBy(extraKeys :+ col("s"): _*)
       .agg(concat_ws(" ;\n    ",
         sort_array(collect_list(concat(col("pt"), lit(" "), col("objs"))))).as("body"))
-      .select(concat(res(col("s")), lit(" "), col("body"), lit(" .")).as("value"))
   }
 
   /** Prefix-compress a full-or-local resource term (longest namespace

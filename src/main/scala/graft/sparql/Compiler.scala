@@ -444,7 +444,18 @@ object Compiler {
           eq.select(proj: _*)
         }
         dfs.reduce(joinOn(_, _, "inner"))
-      case other => sys.error(s"GRAPH ?$gv requires a BGP group, got $other")
+      // group operators inside a variable-graph block: the graph var
+      // is one more solution column, so joins/filters/extends compose
+      // exactly like the generic plans (same-graph co-occurrence falls
+      // out of the natural join carrying `gv`)
+      case Filter(inner, cond) => compileGraphVar(gv, inner, src).filter(cond)
+      case Extend(inner, v, e) => compileGraphVar(gv, inner, src).withColumn(v, e)
+      case Join(l, r) =>
+        joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, r, src), "inner")
+      case Union(l, r) =>
+        compileGraphVar(gv, l, src)
+          .unionByName(compileGraphVar(gv, r, src), allowMissingColumns = true)
+      case other => sys.error(s"GRAPH ?$gv supports BGP/FILTER/BIND/JOIN/UNION groups, got $other")
     }
 
   /** The binary relation a path expression denotes, as (from, to).

@@ -646,6 +646,30 @@ class EngineSpec extends AnyFunSuite {
     assert(back == tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
   }
 
+  test("TriG export: per-graph blocks, LOAD round-trip") {
+    import graft.rdf.Serializer
+    val quads = Seq(
+      ("c:1", "type", "Customer", "g:a"),
+      ("c:1", "name", "ann", "g:a"),
+      ("c:1", "tag", "\"hi\"@en", "g:a"),
+      ("c:2", "name", "bob", "g:b"),
+      ("c:2", "name", "bobby", "g:b")).toDF("s", "p", "o", "g")
+    val lines = Serializer.toTrig(quads).collect().map(_.getString(0))
+    assert(lines.length == 2) // one block per graph
+    val ga = lines.find(_.startsWith("GRAPH g:g:a")).get
+    assert(ga.contains("g:c:1 a \"Customer\"") && ga.contains("g:tag \"hi\"@en"))
+    val trig = java.nio.file.Files.createTempFile("graft_trig_rt", ".trig")
+    java.nio.file.Files.writeString(trig,
+      Serializer.turtleHeader() + "\n" + lines.mkString("\n\n") + "\n")
+    val back = graft.sparql.Update.applyQuadsSeq(
+      graft.Graft.empty(spark).store, // empty quad store
+      graft.sparql.Parser.parseUpdates(s"LOAD <file://$trig>"))
+    assert(back.quads.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet ==
+      quads.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
+  }
+
   test("SPARQL results serializers: JSON/XML/CSV/TSV term rendering") {
     import graft.rdf.Serializer
     val sol = Seq(

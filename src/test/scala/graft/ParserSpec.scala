@@ -740,6 +740,25 @@ class ParserSpec extends AnyFunSuite {
       Seq("g:all"))
   }
 
+  test("GRAPH ?g groups: FILTER/BIND/UNION compose with the graph var") {
+    val df = run(
+      """SELECT ?g ?s ?ln WHERE {
+        |  GRAPH ?g { ?s name ?nm FILTER(STRSTARTS(?nm, "A") || STRSTARTS(?nm, "N")) BIND(STRLEN(?nm) AS ?ln) }
+        |}""".stripMargin)
+    val expect = TpchRdf.quads(spark, SF)
+      .filter(col("p") === "name" && (col("o").startsWith("A") || col("o").startsWith("N")))
+    assert(df.count() == expect.count() && df.count() > 0)
+    assert(df.select("g").distinct().count() > 1) // spans multiple graphs
+    // UNION inside a variable-graph block keeps per-branch graph tags
+    val u = run(
+      """SELECT ?g ?s ?v WHERE {
+        |  GRAPH ?g { { ?s name ?v } UNION { ?s mktsegment ?v } }
+        |}""".stripMargin)
+    val nameN = TpchRdf.quads(spark, SF).filter(col("p") === "name").count()
+    val segN = TpchRdf.quads(spark, SF).filter(col("p") === "mktsegment").count()
+    assert(u.count() == nameN + segN)
+  }
+
   test("RDF/XML parser: node elements, attrs, lang, datatype, nesting, li") {
     val xml =
       """<?xml version="1.0"?>

@@ -234,6 +234,12 @@ object Serializer {
     solutions.select(concat(lit("<result>") +: bindings.toSeq :+ lit("</result>"): _*).as("value"))
   }
 
+  /** Boolean (ASK) result documents — constant strings, no body. */
+  def sparqlAskJson(b: Boolean): String = s"""{"head":{},"boolean":$b}"""
+  def sparqlAskXml(b: Boolean): String =
+    """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#">""" +
+      s"<head/><boolean>$b</boolean></sparql>"
+
   def sparqlXmlHead(vars: Seq[String]): String =
     """<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>""" +
       vars.map(v => s"""<variable name="$v"/>""").mkString + "</head><results>"

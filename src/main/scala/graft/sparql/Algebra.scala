@@ -228,7 +228,8 @@ final case class SearchService(terms: Seq[String], limit: Int,
   * variables; with `silent`, an unreachable endpoint contributes the
   * unit solution instead of failing (§13.2 SILENT). */
 final case class ServiceCall(endpoint: String, inner: Algebra,
-                             silent: Boolean = false) extends Algebra
+                             silent: Boolean = false,
+                             srcText: Option[String] = None) extends Algebra
 
 /** Geospatial search invoked from inside a query — the reference's
   * `geo:search` service (ast/eval/GeoSpatialServiceFactory.java:133,

@@ -342,21 +342,26 @@ object Compiler {
         .search(corpus, terms, limit, prefix, matchAll, regex, minScore, maxRank)
         .select(col("doc_id").as(outDoc), col("score").as(outScore))
 
-    case ServiceCall(endpoint, inner, silent) =>
+    case ServiceCall(endpoint, inner, silent, srcText) =>
       // SERVICE SILENT failure = the unit solution (§13.2): a single
       // empty binding, so the enclosing join is unchanged — covering
       // BOTH an unregistered endpoint and a handler that fails while
       // building its plan
       def unit = src.triples.sparkSession.range(1).select()
+      def attempt(f: => DataFrame): DataFrame =
+        if (!silent) f
+        else try f catch { case scala.util.control.NonFatal(_) => unit }
       ServiceRegistry.lookup(endpoint) match {
-        case Some(handler) =>
-          if (!silent) handler(inner, src)
-          else try handler(inner, src)
-               catch { case scala.util.control.NonFatal(_) => unit }
-        case None if silent => unit
-        case None =>
-          sys.error(s"no service registered for <$endpoint> " +
-            "(a remote deployment would fall back to an HTTP call here)")
+        case Some(handler) => attempt(handler(inner, src))
+        case None => ServiceRegistry.lookupRemote(endpoint) match {
+          case Some(remote) => attempt(remote(srcText.getOrElse(
+            sys.error("remote SERVICE needs the group's source text — " +
+              "hand-built ASTs cannot be serialized to an endpoint"))))
+          case None if silent => unit
+          case None =>
+            sys.error(s"no service registered for <$endpoint> " +
+              "(a remote deployment registers a RemoteHandler here)")
+        }
       }
 
     case GeoService(latMin, latMax, lonMin, lonMax, outK, outLat, outLon) =>

@@ -640,9 +640,15 @@ object Parser {
           if (svc.startsWith("<")) {
             // SERVICE [SILENT] <endpoint> { group }: federation to a
             // registered endpoint (ServiceRegistry.java:67); the inner
-            // group is ordinary algebra, evaluated by the handler
+            // group is ordinary algebra, evaluated by the handler. The
+            // group's token span rides along as srcText — what a
+            // remote handler POSTs (RemoteServiceCallImpl serializes
+            // the service group back to SPARQL the same way)
             flush()
-            add(ServiceCall(svc.drop(1).dropRight(1), parseGroup(), silent))
+            val t0 = pos
+            val g = parseGroup()
+            val text = tokens.slice(t0, pos).mkString(" ")
+            add(ServiceCall(svc.drop(1).dropRight(1), g, silent, Some(text)))
           } else {
           expect("{")
           val config = Vector.newBuilder[(String, String)]

@@ -39,4 +39,26 @@ object ServiceRegistry {
     * in the same cluster. */
   def localSource(triples: => DataFrame): Handler =
     (inner, _) => Compiler.compile(inner, TripleSource.plain(triples))
+
+  // ---- remote (text-serializing) endpoints --------------------------
+
+  /** Remote-endpoint handler: receives the SERVICE group's ORIGINAL
+    * SPARQL TEXT (braces included — embed as `SELECT * WHERE <text>`)
+    * and returns the endpoint's solutions. This is the serialization
+    * half of the reference's RemoteServiceCallImpl (which re-renders
+    * the service group to SPARQL and POSTs it); a production handler
+    * wraps an HTTP client around exactly this signature — the
+    * transport is the only piece the sandbox leaves out (no egress).
+    * Parsed queries carry the text automatically
+    * ([[ServiceCall.srcText]]); hand-built ASTs without text cannot be
+    * remoted and fail loud. */
+  type RemoteHandler = String => DataFrame
+
+  private val remotes = TrieMap.empty[String, RemoteHandler]
+
+  def registerRemote(endpoint: String, h: RemoteHandler): Unit = remotes.put(endpoint, h)
+
+  def unregisterRemote(endpoint: String): Unit = remotes.remove(endpoint)
+
+  def lookupRemote(endpoint: String): Option[RemoteHandler] = remotes.get(endpoint)
 }

@@ -714,6 +714,9 @@ class EngineSpec extends AnyFunSuite {
     val tsv = lines(Serializer.sparqlTsvRows(sol))
     assert(tsv(0) == "<urn:graft:c:1>\t\"chat\"@fr\t42")
     assert(tsv(2) == "_:b0\t\"plain, text\"\t3.5")
+
+    assert(Serializer.sparqlAskJson(true) == """{"head":{},"boolean":true}""")
+    assert(Serializer.sparqlAskXml(false).contains("<boolean>false</boolean>"))
   }
 
   test("owl hasValue types holders and equivalences entail both ways") {

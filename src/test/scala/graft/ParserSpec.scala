@@ -740,6 +740,28 @@ class ParserSpec extends AnyFunSuite {
       Seq("g:all"))
   }
 
+  test("remote SERVICE seam: group text serializes, endpoint re-parses") {
+    val ep = "http://remote.example/sparql"
+    // what a real federated endpoint does with the POSTed group text:
+    // parse it, evaluate against its own store, return the solutions —
+    // a production RemoteHandler swaps this body for an HTTP client
+    graft.sparql.ServiceRegistry.registerRemote(ep, text => {
+      assert(text.startsWith("{") && text.contains("FILTER"))
+      Compiler.compile(Parser.parse(s"SELECT * WHERE $text"), src)
+    })
+    try {
+      val df = run(
+        s"""SELECT ?r ?nm WHERE {
+           |  ?r type "Region" .
+           |  SERVICE <$ep> { ?r name ?nm FILTER(STRSTARTS(?nm, "A")) }
+           |} ORDER BY ?nm""".stripMargin)
+      assert(df.collect().map(_.getString(1)).toSeq == Seq("AFRICA", "AMERICA", "ASIA"))
+      // a hand-built AST has no source text to serialize → loud error
+      val astOnly = ServiceCall(ep, Bgp(TriplePattern("?s", "name", "?nm")))
+      intercept[RuntimeException](Compiler.compile(astOnly, src))
+    } finally graft.sparql.ServiceRegistry.unregisterRemote(ep)
+  }
+
   test("GRAPH ?g groups: FILTER/BIND/UNION compose with the graph var") {
     val df = run(
       """SELECT ?g ?s ?ln WHERE {

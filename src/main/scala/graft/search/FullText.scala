@@ -25,6 +25,23 @@ object FullText {
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
 
+  /** Incremental maintenance of a persisted inverted index — the
+    * reference keeps its text index in step with statement
+    * assert/retract (com.bigdata.search text indexer hooks) rather
+    * than rebuilding. Replaces changed docs (an id present in both
+    * inputs re-indexes), drops removed ones. Cost scales with the
+    * DELTA: the anti-join prunes on doc_id and only the added docs
+    * tokenize; at production scale this is the lakehouse MERGE keyed
+    * on doc_id (partition the persisted index by a doc_id hash bucket
+    * so the anti-join touches only matching buckets). */
+  def updateIndex(index: DataFrame, addedDocs: DataFrame,
+                  removedDocIds: DataFrame): DataFrame = {
+    val gone = removedDocIds.select("doc_id")
+      .unionByName(addedDocs.select("doc_id")).distinct()
+    index.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(invertedIndex(addedDocs).select("doc_id", "term", "tf"))
+  }
+
   /** Top-k docs for the query terms, scored Σ tf·ln(N/df).
     *
     * Document frequencies are computed from the postings that ALREADY

@@ -560,6 +560,22 @@ class EngineSpec extends AnyFunSuite {
     assert(c == d)
   }
 
+  test("incremental inverted-index maintenance equals a rebuild") {
+    import graft.search.FullText
+    val docs = TpchRdf.table(spark, SF, "documents")
+    val first = docs.filter(col("doc_id") % 3 =!= 0)
+    val added = docs.filter(col("doc_id") % 3 === 0)
+    val removed = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val maintained = FullText.updateIndex(FullText.invertedIndex(first), added, removed)
+    // replace-wins: an id both removed and (re)added stays indexed
+    val expectCorpus = docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 =!= 0)
+    def s3(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "term", "tf").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(s3(maintained) == s3(FullText.invertedIndex(expectCorpus)))
+    assert(s3(maintained).nonEmpty)
+  }
+
   test("N-Triples/N-Quads export round-trips through LOAD") {
     import graft.rdf.Serializer
     // real view triples + every tricky term shape: tagged, typed,

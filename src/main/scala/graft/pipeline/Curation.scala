@@ -59,6 +59,34 @@ object Curation {
       .drop("_rate")
   }
 
+  /** Deterministic MIXTURE sampling: hit a target domain mix in one
+    * pass — training-data curation's "rebalance the corpus to these
+    * domain weights" op. Each listed stratum's per-mille rate derives
+    * from its own corpus count (`floor(1000·budget·w / n)`, capped at
+    * keep-all 1000; unlisted strata drop), then the same md5-bucket
+    * rule as [[stratifiedSample]] applies it. The rate table is
+    * per-stratum (broadcast-sized by definition); the docs side is one
+    * broadcast join + map-side filter — zero doc shuffles, and the
+    * count aggregation is the only pass over the corpus. Replayable
+    * bit-for-bit in SQL (counts CTE + the md5 bucket). */
+  def mixtureSample(docs: DataFrame, stratumCol: String,
+                    targetWeights: Map[String, Double], budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = targetWeights.toSeq.toDF(stratumCol, "_w")
+    val rates = docs.groupBy(stratumCol).agg(count(lit(1)).as("_n"))
+      .join(w, stratumCol)
+      .withColumn("_rate", least(lit(1000L),
+        floor(lit(1000.0) * lit(budget.toDouble) * col("_w") / col("_n")).cast("long")))
+      .select(col(stratumCol), col("_rate"))
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(1000L))
+    docs.join(broadcast(rates), Seq(stratumCol))
+      .filter(bucket < col("_rate"))
+      .drop("_rate")
+  }
+
   /** Benchmark decontamination: word n-gram overlap against a
     * benchmark document set. Returns (doc_id, n_shared) for corpus
     * docs sharing ≥1 distinct n-gram with any benchmark doc. The

@@ -82,6 +82,14 @@ object PipelineQueries {
         .select("doc_id", "pred_lang").orderBy("doc_id")
     }),
 
+    // mixture sampling: rebalance the corpus to target domain weights
+    // (en:de:fr = 2:1:1 at a 200-doc budget; unlisted langs drop)
+    "pipeline_mix" -> ((s, dir) => {
+      graft.pipeline.Curation.mixtureSample(docs(s, dir), "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), budget = 200)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // benchmark decontamination: 5-gram overlap vs a benchmark subset
     "pipeline_contam" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -351,6 +359,16 @@ object PipelineQueries {
         |  FROM l)
         |SELECT doc_id, pred_lang FROM r
         |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000 < rate
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_mix" ->
+      """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25)),
+        |rates AS (SELECT counts.lang,
+        |  LEAST(1000, CAST(FLOOR(1000.0 * 200 * wt / n) AS BIGINT)) AS rate
+        |  FROM counts JOIN w ON counts.lang = w.lang)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000 < rate
         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_contam" ->

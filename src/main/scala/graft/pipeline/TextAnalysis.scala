@@ -73,6 +73,28 @@ object TextAnalysis {
       wsTokens(col("text")).as("n_ws_tokens"),
       size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)")).as("n_bpe_tokens"))
 
+  /** Unigram log-probability quality signal — the LM-scored gate of a
+    * training-data pipeline (higher = more typical of the corpus):
+    * mean ln p(token) per doc under the corpus' OWN unigram
+    * distribution. The vocabulary-sized (term → count) aggregate stays
+    * in the shuffle and joins back on the term — never broadcast or
+    * collected; the token pass is materialized once for its two
+    * consumers (frequency build + scoring join). Docs with no tokens
+    * drop. 4-dp rounding keeps engine ulp drift (ln + summation
+    * order) away from the compare boundary — the float policy every
+    * scoring oracle here uses. */
+  def logprobScore(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("t"))
+      .filter(col("t") =!= "")
+      .localCheckpoint()
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").cast("double").as("tot"))
+    toks.join(freq, "t").crossJoin(total)
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("cnt") / col("tot"))), 4).as("logprob"))
+  }
+
   /** Rolling-hash fingerprint of the normalized text (native Catalyst
     * expression, whole-stage codegen). */
   def fingerprint(docs: DataFrame): DataFrame =

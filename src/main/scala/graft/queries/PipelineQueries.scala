@@ -64,6 +64,8 @@ object PipelineQueries {
       TextAnalysis.tokenCounts(docs(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
+    "text_logprob" -> ((s, dir) =>
+      TextAnalysis.logprobScore(docs(s, dir)).orderBy("doc_id")),
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeDocuments(s, s"$dir/documents.parquet").orderBy("doc_id")),
     "mm_features" -> ((s, dir) =>
@@ -360,6 +362,15 @@ object PipelineQueries {
         |SELECT doc_id, pred_lang FROM r
         |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000 < rate
         |ORDER BY doc_id""".stripMargin,
+
+    "text_logprob" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS t FROM w),
+        |f AS (SELECT t, COUNT(*) AS cnt FROM t GROUP BY t),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM f)
+        |SELECT doc_id, ROUND(AVG(LN(cnt / tot)), 4) AS logprob
+        |FROM t JOIN f USING (t), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pipeline_mix" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),

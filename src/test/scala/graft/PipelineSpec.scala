@@ -169,6 +169,20 @@ class PipelineSpec extends AnyFunSuite {
       .exceptAll(plain.select("k", "o_totalprice", "c_name")).isEmpty)
   }
 
+  test("mixtureSample: broadcast-only doc path, keep-all cap, target strata") {
+    import graft.pipeline.Curation
+    val out = Curation.mixtureSample(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), budget = 200)
+    // the docs side joins the per-stratum rate table by broadcast —
+    // the corpus itself never shuffles
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr")) && langs.nonEmpty)
+    // a budget beyond availability caps at keep-all (rate 1000)
+    val all = Curation.mixtureSample(docs, "lang", Map("en" -> 1.0), budget = 10000000L)
+    assert(all.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("language id covers all docs with a deterministic label") {
     val lid = TextAnalysis.langId(docs)
     assert(lid.count() == docs.count())

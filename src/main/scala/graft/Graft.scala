@@ -62,6 +62,11 @@ final case class Graft(spark: SparkSession, store: QuadStore,
   /** Pretty TriG `GRAPH { … }` blocks for the whole store (column
     * `value`); write [[graft.rdf.Serializer.turtleHeader]] first. */
   def exportTrig: DataFrame = Serializer.toTrig(store.quads)
+
+  /** Expanded JSON-LD node objects for ONE graph (column `value`);
+    * wrap the comma-joined lines in `[ … ]`. */
+  def exportJsonLd(graph: String): DataFrame =
+    Serializer.toJsonLd(store.graph(graph))
 }
 
 object Graft {

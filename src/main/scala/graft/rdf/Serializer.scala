@@ -152,6 +152,53 @@ object Serializer {
     when(c.startsWith("_:"), c).otherwise(compressed)
   }
 
+  /** JSON-LD EXPORT: one flat node object per SUBJECT (column
+    * `value`) — Rio's JSONLDWriter analog (expanded form, no
+    * `@context`, so every consumer reads it without context
+    * resolution). `@id`/`@type` plus one array per predicate whose
+    * elements are `{"@id"}` references or `{"@value"[,"@language"|
+    * "@type"]}` literal objects; `to_json` owns all string escaping.
+    * The caller wraps the comma-joined lines in `[ … ]` (or feeds
+    * them to any NDJSON-of-node-objects reader). Same grouping
+    * shape as [[toTurtle]]: shuffles on (s,p)/(s) then map-only
+    * rendering, parallel across subjects. [[JsonLd.parse]] reads the
+    * wrapped document back losslessly. */
+  def toJsonLd(triples: DataFrame): DataFrame = {
+    // a JSON string literal (quotes included) with real JSON escaping:
+    // to_json of a 1-element array, brackets stripped
+    def jsonStr(c: Column): Column = {
+      val a = to_json(array(c))
+      a.substr(lit(2), length(a) - lit(2))
+    }
+    val c = col("o")
+    val lit0 = graft.sparql.RdfLiteral
+    val resRef = (t: Column) => when(t.startsWith("_:"), t).otherwise(iriOf(t))
+    val objJson =
+      when(c.startsWith("_:") || c.rlike(graft.sparql.Parser.IriShape),
+        concat(lit("{\"@id\":"), jsonStr(resRef(c)), lit("}")))
+        .when(lit0.isTagged(c), concat(
+          lit("{\"@value\":"), jsonStr(lit0.strOf(c)),
+          lit(",\"@language\":"), jsonStr(lit0.langOf(c)), lit("}")))
+        .when(lit0.isTyped(c), concat(
+          lit("{\"@value\":"), jsonStr(lit0.strOf(c)),
+          lit(",\"@type\":"), jsonStr(regexp_extract(c, "^\".*\"\\^\\^(.*)$", 1)), lit("}")))
+        .otherwise(concat(lit("{\"@value\":"), jsonStr(c), lit("}")))
+    val isType = col("p") === "type"
+    // rdf:type → "@type": [name strings]; other predicates key their
+    // object arrays; '@' sorts first so @type lands before predicates
+    val rendered = when(isType, jsonStr(when(c.rlike(graft.sparql.Parser.IriShape), iriOf(c)).otherwise(c)))
+      .otherwise(objJson)
+    triples
+      .groupBy(col("s"), when(isType, lit("\"@type\"")).otherwise(jsonStr(col("p"))).as("key"))
+      .agg(concat_ws(",", sort_array(collect_list(rendered))).as("objs"))
+      .groupBy(col("s"))
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat(col("key"), lit(":["), col("objs"), lit("]"))))).as("body"))
+      .select(concat(
+        lit("{\"@id\":"), jsonStr(resRef(col("s"))), lit(","),
+        col("body"), lit("}")).as("value"))
+  }
+
   // ---- SPARQL Query Results formats --------------------------------
   //
   // The four response serializations the reference's NanoSparqlServer

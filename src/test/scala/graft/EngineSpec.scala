@@ -662,6 +662,27 @@ class EngineSpec extends AnyFunSuite {
     assert(back == tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
   }
 
+  test("JSON-LD export: node objects round-trip through the parser") {
+    import graft.rdf.{JsonLd, Serializer}
+    val tri = Seq(
+      ("c:1", "type", "Customer"),
+      ("c:1", "name", "say \"hi\"\nok"),
+      ("c:1", "tag", "\"chat\"@fr"),
+      ("c:1", "size", "\"5\"^^http://www.w3.org/2001/XMLSchema#int"),
+      ("c:1", "near", "c:2"),
+      ("c:1", "link", "http://example.org/a"),
+      ("_:b1", "name", "anon")).toDF("s", "p", "o")
+    val lines = Serializer.toJsonLd(tri).collect().map(_.getString(0))
+    val c1 = lines.find(_.contains("urn:graft:c:1")).get
+    // @type sorts first; references are {"@id"}, literals {"@value"}
+    assert(c1.startsWith("""{"@id":"urn:graft:c:1","@type":["Customer"]"""))
+    assert(c1.contains(""""tag":[{"@value":"chat","@language":"fr"}]"""))
+    assert(c1.contains(""""size":[{"@value":"5","@type":"http://www.w3.org/2001/XMLSchema#int"}]"""))
+    assert(c1.contains(""""near":[{"@id":"urn:graft:c:2"}]"""))
+    val back = JsonLd.parse(lines.mkString("[", ",", "]")).toSet
+    assert(back == tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+  }
+
   test("TriG export: per-graph blocks, LOAD round-trip") {
     import graft.rdf.Serializer
     val quads = Seq(

@@ -199,6 +199,62 @@ object Serializer {
         col("body"), lit("}")).as("value"))
   }
 
+  /** RDF/XML EXPORT: one `<rdf:Description rdf:about="…">` element per
+    * SUBJECT (column `value`) — Rio's RDFXMLWriter analog. Object
+    * forms: `rdf:resource` references, `rdf:nodeID` bnodes, xml:lang /
+    * rdf:datatype literals; predicates must be expandable QNames in
+    * the `g:` (engine-base) namespace or the rdf: namespace — true for
+    * every lexicon term form. Wrap the lines in [[rdfXmlHead]] /
+    * [[rdfXmlFoot]]. Same grouping shape as the other pretty writers;
+    * [[RdfXml.parse]] reads the document back losslessly. */
+  def toRdfXml(triples: DataFrame): DataFrame = {
+    val esc = xmlEscape(_: Column)
+    def attrEsc(x: Column): Column = regexp_replace(esc(x), "\"", "&quot;")
+    val c = col("o")
+    val lit0 = graft.sparql.RdfLiteral
+    // predicate element QName: lexicon-local names live in the g:
+    // (engine-base) namespace — g:name, g:type (the loader maps them
+    // back: parse(g:type) → "type"); a full-IRI predicate splits at
+    // its last '#'/'/' into a local xmlns:n declaration, the standard
+    // RDF/XML writer rule
+    val isGlobalP = col("p").rlike(globalScheme)
+    val qname = when(isGlobalP,
+      concat(lit("n:"), regexp_extract(col("p"), "([^#/]+)$", 1)))
+      .otherwise(concat(lit("g:"), col("p")))
+    val nsDecl = when(isGlobalP, concat(
+      lit(" xmlns:n=\""), attrEsc(regexp_extract(col("p"), "^(.*[#/])[^#/]*$", 1)), lit("\"")))
+      .otherwise(lit(""))
+    val obj =
+      when(c.startsWith("_:"), concat(
+        lit("<"), qname, nsDecl,
+        lit(" rdf:nodeID=\""), attrEsc(regexp_replace(c, "^_:", "")), lit("\"/>")))
+        .when(lit0.isTagged(c), concat(
+          lit("<"), qname, nsDecl, lit(" xml:lang=\""), lit0.langOf(c), lit("\">"),
+          esc(lit0.strOf(c)), lit("</"), qname, lit(">")))
+        .when(lit0.isTyped(c), concat(
+          lit("<"), qname, nsDecl, lit(" rdf:datatype=\""),
+          attrEsc(regexp_extract(c, "^\".*\"\\^\\^(.*)$", 1)), lit("\">"),
+          esc(lit0.strOf(c)), lit("</"), qname, lit(">")))
+        .when(c.rlike(graft.sparql.Parser.IriShape), concat(
+          lit("<"), qname, nsDecl, lit(" rdf:resource=\""), attrEsc(iriOf(c)), lit("\"/>")))
+        .otherwise(concat(
+          lit("<"), qname, nsDecl, lit(">"), esc(c), lit("</"), qname, lit(">")))
+    val subjAttr = when(col("s").startsWith("_:"),
+      concat(lit("rdf:nodeID=\""), attrEsc(regexp_replace(col("s"), "^_:", "")), lit("\"")))
+      .otherwise(concat(lit("rdf:about=\""), attrEsc(iriOf(col("s"))), lit("\"")))
+    triples
+      .groupBy(col("s"))
+      .agg(concat_ws("", sort_array(collect_list(obj))).as("body"))
+      .select(concat(
+        lit("<rdf:Description "), subjAttr, lit(">"),
+        col("body"), lit("</rdf:Description>")).as("value"))
+  }
+
+  def rdfXmlHead: String =
+    """<?xml version="1.0"?><rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" """ +
+      s"""xmlns:g="${graft.sparql.Parser.Base}">"""
+  val rdfXmlFoot: String = "</rdf:RDF>"
+
   // ---- SPARQL Query Results formats --------------------------------
   //
   // The four response serializations the reference's NanoSparqlServer

@@ -662,6 +662,27 @@ class EngineSpec extends AnyFunSuite {
     assert(back == tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
   }
 
+  test("RDF/XML export: description elements round-trip through the parser") {
+    import graft.rdf.{RdfXml, Serializer}
+    val tri = Seq(
+      ("c:1", "type", "Customer"),
+      ("c:1", "name", "say \"hi\" <ok> & done"),
+      ("c:1", "tag", "\"chat\"@fr"),
+      ("c:1", "size", "\"5\"^^http://www.w3.org/2001/XMLSchema#int"),
+      ("c:1", "near", "c:2"),
+      ("c:1", "link", "http://example.org/a"),
+      ("c:1", "http://purl.org/dc/terms/title", "dc title"),
+      ("_:b1", "name", "anon")).toDF("s", "p", "o")
+    val lines = Serializer.toRdfXml(tri).collect().map(_.getString(0))
+    val c1 = lines.find(_.contains("urn:graft:c:1")).get
+    assert(c1.contains("""<g:tag xml:lang="fr">chat</g:tag>"""))
+    assert(c1.contains("""<g:near rdf:resource="urn:graft:c:2"/>"""))
+    assert(c1.contains("""<n:title xmlns:n="http://purl.org/dc/terms/">dc title</n:title>"""))
+    val doc = Serializer.rdfXmlHead + lines.mkString + Serializer.rdfXmlFoot
+    assert(RdfXml.parse(doc).toSet ==
+      tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+  }
+
   test("JSON-LD export: node objects round-trip through the parser") {
     import graft.rdf.{JsonLd, Serializer}
     val tri = Seq(

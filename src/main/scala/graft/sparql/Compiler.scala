@@ -460,7 +460,10 @@ object Compiler {
       case Union(l, r) =>
         compileGraphVar(gv, l, src)
           .unionByName(compileGraphVar(gv, r, src), allowMissingColumns = true)
-      case other => sys.error(s"GRAPH ?$gv supports BGP/FILTER/BIND/JOIN/UNION groups, got $other")
+      // VALUES constrains solutions without graph membership — it
+      // joins in unscoped, like the generic plan
+      case v: Values => compile(v, src)
+      case other => sys.error(s"GRAPH ?$gv supports BGP/FILTER/BIND/JOIN/UNION/VALUES groups, got $other")
     }
 
   /** The binary relation a path expression denotes, as (from, to).

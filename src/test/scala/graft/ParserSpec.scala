@@ -779,6 +779,12 @@ class ParserSpec extends AnyFunSuite {
     val nameN = TpchRdf.quads(spark, SF).filter(col("p") === "name").count()
     val segN = TpchRdf.quads(spark, SF).filter(col("p") === "mktsegment").count()
     assert(u.count() == nameN + segN)
+    // VALUES inside the block constrains solutions, graph-unscoped
+    val v = run(
+      """SELECT ?g ?s ?nm WHERE {
+        |  GRAPH ?g { ?s name ?nm VALUES ?nm { "AFRICA" "ASIA" } }
+        |}""".stripMargin)
+    assert(v.collect().map(_.getString(2)).toSet == Set("AFRICA", "ASIA"))
   }
 
   test("RDF/XML parser: node elements, attrs, lang, datatype, nesting, li") {

@@ -32,9 +32,11 @@ object JsonLd {
 
   /** Parse one JSON-LD document to (s, p, o) term triples. */
   def parse(content: String): Vector[(String, String, String)] =
-    new Walk().run(mapper.readTree(content))
+    new Walk(Scope.of(content)).run(mapper.readTree(content))
 
-  private final class Walk {
+  /** `docScope` scopes every bnode label to the document (RDF 1.1
+    * §3.4 — see [[Scope]]). */
+  private final class Walk(docScope: String) {
     private var bn = 0
     private var terms = Map.empty[String, String] // term -> IRI (or keyword alias)
     private var idTerms = Set.empty[String]       // terms coerced @type:@id
@@ -71,6 +73,7 @@ object JsonLd {
       * (the rule every loader applies). `rdf:type`-mapped terms and
       * full IRIs pass through expansion untouched. */
     private def expand(t: String): String = {
+      if (t.startsWith("_:")) return "_:" + docScope + "-" + t.drop(2)
       val iri =
         if (terms.contains(t)) terms(t)
         else {
@@ -85,7 +88,7 @@ object JsonLd {
       else iri
     }
 
-    private def freshBnode(): String = { bn += 1; s"_:gen$bn" }
+    private def freshBnode(): String = { bn += 1; s"_:$docScope-gen$bn" }
 
     /** Emit a node object's statements; returns its subject term. */
     private def nodeObject(n: JsonNode, isRoot: Boolean = false): String = {

@@ -37,10 +37,12 @@ object RdfXml {
     f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
     val doc = f.newDocumentBuilder()
       .parse(new java.io.ByteArrayInputStream(content.getBytes("UTF-8")))
-    new Walk().run(doc.getDocumentElement)
+    new Walk(Scope.of(content)).run(doc.getDocumentElement)
   }
 
-  private final class Walk {
+  /** `docScope` scopes every bnode label to the document (RDF 1.1
+    * §3.4 — see [[Scope]]). */
+  private final class Walk(docScope: String) {
     private var bn = 0
     private val out = Vector.newBuilder[(String, String, String)]
 
@@ -79,7 +81,7 @@ object RdfXml {
     private def attr(e: Element, local: String): Option[String] =
       Option(e.getAttributeNS(RdfNs, local)).filter(_.nonEmpty)
 
-    private def freshBnode(): String = { bn += 1; s"_:gen$bn" }
+    private def freshBnode(): String = { bn += 1; s"_:$docScope-gen$bn" }
 
     /** xml:lang inherits from ancestors; an explicit `xml:lang=""`
       * RESETS it (XML 1.0 §2.12). */
@@ -100,7 +102,7 @@ object RdfXml {
       val lang = inherited(e, lang0)
       val subj = attr(e, "about").map(intern(_, base))
         .orElse(attr(e, "ID").map(id => intern(base + "#" + id, base)))
-        .orElse(attr(e, "nodeID").map("_:" + _))
+        .orElse(attr(e, "nodeID").map("_:" + docScope + "-" + _))
         .getOrElse(freshBnode())
       if (!(e.getNamespaceURI == RdfNs && e.getLocalName == "Description"))
         out += ((subj, "type", intern(e.getNamespaceURI + e.getLocalName, base)))
@@ -164,7 +166,7 @@ object RdfXml {
           out += ((subj, p, intern(res, base)))
           propertyAttributes(pe, intern(res, base), base, lang)
         case (None, None, Some(id)) =>
-          out += ((subj, p, "_:" + id))
+          out += ((subj, p, "_:" + docScope + "-" + id))
         case (None, None, None) if kids.nonEmpty =>
           // nested node element(s)
           kids.foreach(k => out += ((subj, p, nodeElement(k, base, lang))))

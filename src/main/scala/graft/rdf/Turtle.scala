@@ -42,6 +42,13 @@ object Turtle {
     private var bn = 0
     private var curGraph = defaultGraph
     private val out = Vector.newBuilder[(String, String, String, String)]
+    // bnode identity is DOCUMENT-scoped (RDF 1.1 §3.4; Rio mints fresh
+    // ids per parse): scope every label — generated and explicit — by
+    // a content hash so multi-file loads and repeated LOADs into one
+    // store never alias distinct nodes. Deterministic (same doc →
+    // same labels), so oracles stay exact after display normalization
+    // (strip `_:<8hex>-`).
+    private val docScope = Scope.of(s)
 
     def run(): Vector[(String, String, String, String)] = {
       skip()
@@ -107,9 +114,11 @@ object Turtle {
       else full
     }
 
-    /** Prefixed-name expansion; `_:label` bnodes and undeclared-prefix
-      * terms (already-internal lexicon forms like `c:42`) pass through. */
+    /** Prefixed-name expansion; `_:label` bnodes rescope to the
+      * document; undeclared-prefix terms (already-internal lexicon
+      * forms like `c:42`) pass through. */
     private def pname(w: String): String = {
+      if (w.startsWith("_:")) return "_:" + docScope + "-" + w.drop(2)
       val idx = w.indexOf(':')
       if (idx >= 0 && prefixes.contains(w.substring(0, idx)))
         intern(prefixes(w.substring(0, idx)) + w.substring(idx + 1))
@@ -206,7 +215,7 @@ object Turtle {
         case '[' =>
           i += 1
           bn += 1
-          val id = s"_:gen$bn"
+          val id = s"_:$docScope-gen$bn"
           if (!peekIs(']')) predObjList(id)
           expect(']')
           id
@@ -257,4 +266,15 @@ object Turtle {
       } else lex
     }
   }
+}
+
+/** Document scope for blank-node labels: a deterministic 8-hex content
+  * hash shared by every whole-file parser (Turtle/TriG, RDF/XML,
+  * JSON-LD) — same document, same labels; different documents never
+  * alias. Display normalization strips `_:<8hex>-`. */
+private[rdf] object Scope {
+  def of(content: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(content.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
 }

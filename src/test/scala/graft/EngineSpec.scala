@@ -657,8 +657,10 @@ class EngineSpec extends AnyFunSuite {
     val ttl = java.nio.file.Files.createTempFile("graft_ttl_rt", ".ttl")
     java.nio.file.Files.writeString(ttl,
       Serializer.turtleHeader() + "\n" + lines.mkString("\n\n") + "\n")
+    // reloading rescopes bnode labels to the new document — normalize
+    def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{8}-", "_:")
     val back = graft.sparql.Update.loadTriples(spark, ttl.toString)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      .collect().map(r => (unscope(r.getString(0)), r.getString(1), unscope(r.getString(2)))).toSet
     assert(back == tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
   }
 
@@ -679,7 +681,8 @@ class EngineSpec extends AnyFunSuite {
     assert(c1.contains("""<g:near rdf:resource="urn:graft:c:2"/>"""))
     assert(c1.contains("""<n:title xmlns:n="http://purl.org/dc/terms/">dc title</n:title>"""))
     val doc = Serializer.rdfXmlHead + lines.mkString + Serializer.rdfXmlFoot
-    assert(RdfXml.parse(doc).toSet ==
+    def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{8}-", "_:")
+    assert(RdfXml.parse(doc).map { case (a, b, c) => (unscope(a), b, unscope(c)) }.toSet ==
       tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
   }
 
@@ -700,7 +703,9 @@ class EngineSpec extends AnyFunSuite {
     assert(c1.contains(""""tag":[{"@value":"chat","@language":"fr"}]"""))
     assert(c1.contains(""""size":[{"@value":"5","@type":"http://www.w3.org/2001/XMLSchema#int"}]"""))
     assert(c1.contains(""""near":[{"@id":"urn:graft:c:2"}]"""))
-    val back = JsonLd.parse(lines.mkString("[", ",", "]")).toSet
+    def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{8}-", "_:")
+    val back = JsonLd.parse(lines.mkString("[", ",", "]"))
+      .map { case (a, b, c) => (unscope(a), b, unscope(c)) }.toSet
     assert(back == tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
   }
 

@@ -7,6 +7,11 @@ import graft.sparql._
 
 class ParserSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
+  // loader bnode labels are document-scoped by an 8-hex content hash;
+  // strip the scope for stable expectations
+  private def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{8}-", "_:")
+  private def unscope3(x: (String, String, String)): (String, String, String) =
+    (unscope(x._1), x._2, unscope(x._3))
   private lazy val src = TpchRdf.source(spark, SF)
   private def run(q: String) = Compiler.compile(Parser.parse(q), src)
 
@@ -685,7 +690,7 @@ class ParserSpec extends AnyFunSuite {
         |v:t:2 v:near [ v:label "inner" ] .
         |<urn:graft:t:3> v:weight 3.5 ; v:flag true .
         |""".stripMargin
-    val ts = graft.rdf.Turtle.parse(ttl).toSet
+    val ts = graft.rdf.Turtle.parse(ttl).map(unscope3).toSet
     assert(ts == Set(
       ("t:1", "type", "Thing"),
       ("t:1", "label", "\"alpha\"@en"),
@@ -815,7 +820,7 @@ class ParserSpec extends AnyFunSuite {
         |  </rdf:Seq>
         |</rdf:RDF>""".stripMargin
     val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
-    val ts = graft.rdf.RdfXml.parse(xml).toSet
+    val ts = graft.rdf.RdfXml.parse(xml).map(unscope3).toSet
     assert(ts == Set(
       ("t:1", "type", "Thing"),
       ("t:1", "code", "\"A1\"@de"), // property attr takes in-scope lang
@@ -837,6 +842,27 @@ class ParserSpec extends AnyFunSuite {
         |<rdf:Description rdf:about="urn:graft:t:1">
         |  <v:items rdf:parseType="Collection"/>
         |</rdf:Description></rdf:RDF>""".stripMargin))
+  }
+
+  test("LOAD of a directory parses whole files in parallel tasks") {
+    // the scale contract for non-splittable formats: distributed
+    // ACROSS files, sequential within — a directory LOAD must carry
+    // one task per file, with per-file prefix/bnode scoping
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl_many")
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(dir.resolve(s"part$i.ttl"),
+        s"""@prefix v: <urn:graft:> .
+           |v:f:$i v:label "file $i" ; v:near [ v:label "inner $i" ] .
+           |""".stripMargin)
+    }
+    val got = graft.sparql.Update.loadTriples(spark, dir.toString + "/*.ttl")
+    // wholetext keeps one file per row → one parse task per file
+    assert(got.count() == 9)
+    assert(got.filter(col("p") === "label").count() == 6) // 3 subjects + 3 bnodes
+    // bnode identity is document-scoped: the three files' anonymous
+    // nodes stay DISTINCT (an unscoped _:gen1 would alias them)
+    assert(got.filter(col("s").startsWith("_:")).select("s").distinct().count() == 3)
+    assert(got.filter(col("s") === "f:2").count() == 2)
   }
 
   test("LOAD .rdf: RDF/XML lands in the target graph") {
@@ -877,7 +903,7 @@ class ParserSpec extends AnyFunSuite {
         |  "flag": true,
         |  "child": {"label": "inner"}
         |}""".stripMargin
-    val ts = graft.rdf.JsonLd.parse(jl).toSet
+    val ts = graft.rdf.JsonLd.parse(jl).map(unscope3).toSet
     assert(ts == Set(
       ("t:1", "type", "Thing"),
       ("t:1", "type", "x:Special"),

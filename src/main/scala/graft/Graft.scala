@@ -27,12 +27,19 @@ import graft.sparql.{Compiler, Parser, TriplePattern, TripleSource, Update}
   * constant-folds pattern filters into the quad scan.
   */
 final case class Graft(spark: SparkSession, store: QuadStore,
-                       defaultGraph: String = "g:default") {
+                       defaultGraph: String = "g:default",
+                       unionDefaultGraph: Boolean = true) {
 
   private lazy val source: TripleSource = new TripleSource {
-    // RDF merge across graphs: the same triple asserted in two graphs
-    // is ONE triple in the merged default graph (set semantics)
-    lazy val triples: DataFrame = store.quads.select("s", "p", "o").distinct()
+    // `unionDefaultGraph` mirrors the reference's quads-mode option
+    // (BigdataSail UNION_DEFAULT_GRAPH, on by default there too):
+    // true → queries' default graph is the RDF MERGE of all graphs
+    // (set semantics: the same triple in two graphs is one triple);
+    // false → strictly the `defaultGraph` named graph, no merge
+    // distinct needed
+    lazy val triples: DataFrame =
+      if (unionDefaultGraph) store.quads.select("s", "p", "o").distinct()
+      else store.graph(defaultGraph)
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = None
     override def quads: Option[DataFrame] = Some(store.quads)

@@ -621,6 +621,10 @@ class EngineSpec extends AnyFunSuite {
     val g1 = g0.update("""DELETE DATA { GRAPH g:extra { x:2 label "cog" } }""")
     assert(g1.query("""SELECT ?s ?l WHERE { ?s label ?l }""").count() == 1)
     assert(g0.query("""SELECT ?s ?l WHERE { ?s label ?l }""").count() == 2)
+    // unionDefaultGraph=false: strictly the default graph, no merge
+    val strict = g0.copy(unionDefaultGraph = false)
+    assert(strict.query("""SELECT ?s ?l WHERE { ?s label ?l }""")
+      .collect().map(_.getString(0)).toSeq == Seq("x:1"))
     // export → load round trip through the N-Quads path
     val dir = java.nio.file.Files.createTempDirectory("graft_facade").toString + "/out.nq"
     g0.exportNQuads.write.text(dir)

@@ -10,12 +10,12 @@ import graft.inference.Rdfs
 /** Full-text, inference, streaming and UPDATE coverage (SURVEY.md §2). */
 object EngineQueries {
 
-  /** Loader bnode labels are document-scoped by an 8-hex content hash
+  /** Loader bnode labels are document-scoped by an 16-hex content hash
     * ([[graft.rdf.Turtle]] Scope — RDF 1.1 §3.4 document-scoped bnode
     * identity); single-document fixtures normalize the scope away for
     * a stable oracle rendering. */
   private def unscope(c: org.apache.spark.sql.Column) =
-    regexp_replace(c, "^_:[0-9a-f]{8}-", "_:")
+    regexp_replace(c, "^_:[0-9a-f]{16}-", "_:")
 
   /** Static demo ontology over the TPC-H vocabulary (SURVEY.md §3). */
   private def ontology(s: SparkSession): Rdfs.Ontology = {

@@ -47,7 +47,15 @@ object JsonLd {
       if (root.isObject && root.has("@context")) context(root.get("@context"))
       val nodes: Seq[JsonNode] =
         if (root.isArray) root.elements().asScala.toSeq
-        else if (root.has("@graph")) root.get("@graph").elements().asScala.toSeq
+        else if (root.has("@graph")) {
+          // a root carrying @graph plus its own @id/properties is the
+          // named-graph document shape — dropping the root node's own
+          // statements would mis-parse silently, so fail loud
+          val extra = root.fieldNames().asScala.toSet -- Set("@context", "@graph")
+          if (extra.nonEmpty)
+            fail(s"root node with @graph and own keys ${extra.mkString(",")} (named-graph document) is not supported")
+          root.get("@graph").elements().asScala.toSeq
+        }
         else Seq(root)
       nodes.foreach(nodeObject(_, isRoot = nodes.size == 1 && (nodes.head eq root)))
       out.result()
@@ -83,9 +91,7 @@ object JsonLd {
           else if (idx < 0 && vocab.nonEmpty) vocab + t
           else t
         }
-      if (iri.startsWith(graft.sparql.Parser.Base))
-        iri.drop(graft.sparql.Parser.Base.length)
-      else iri
+      Scope.intern(iri, "")
     }
 
     private def freshBnode(): String = { bn += 1; s"_:$docScope-gen$bn" }

@@ -57,6 +57,14 @@ object RdfXml {
 
     private def fail(msg: String): Nothing = sys.error(s"rdfxml: $msg")
 
+    /** Namespace-less elements would concatenate into `null`-prefixed
+      * terms — fail loud per the module contract. */
+    private def nsOf(e: Element): String = {
+      val ns = e.getNamespaceURI
+      if (ns == null) fail(s"element '${e.getNodeName}' has no namespace")
+      ns
+    }
+
     private def childElements(e: Element): Vector[Element] = {
       val ns = e.getChildNodes
       (0 until ns.getLength).collect {
@@ -67,16 +75,7 @@ object RdfXml {
 
     private def textContent(e: Element): String = e.getTextContent
 
-    /** Base-resolve a relative reference, then intern engine-base IRIs
-      * to local lexicon names (the Turtle/N-Triples loaders' rule). */
-    private def intern(iri: String, base: String): String = {
-      val full =
-        if (base.nonEmpty && !iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) base + iri
-        else iri
-      if (full.startsWith(graft.sparql.Parser.Base))
-        full.drop(graft.sparql.Parser.Base.length)
-      else full
-    }
+    private def intern(iri: String, base: String): String = Scope.intern(iri, base)
 
     private def attr(e: Element, local: String): Option[String] =
       Option(e.getAttributeNS(RdfNs, local)).filter(_.nonEmpty)
@@ -104,8 +103,8 @@ object RdfXml {
         .orElse(attr(e, "ID").map(id => intern(base + "#" + id, base)))
         .orElse(attr(e, "nodeID").map("_:" + docScope + "-" + _))
         .getOrElse(freshBnode())
-      if (!(e.getNamespaceURI == RdfNs && e.getLocalName == "Description"))
-        out += ((subj, "type", intern(e.getNamespaceURI + e.getLocalName, base)))
+      if (!(nsOf(e) == RdfNs && e.getLocalName == "Description"))
+        out += ((subj, "type", intern(nsOf(e) + e.getLocalName, base)))
       propertyAttributes(e, subj, base, lang)
       var li = 0
       childElements(e).foreach { pe =>
@@ -136,7 +135,7 @@ object RdfXml {
     private def predicateOf(pe: Element, base: String, li: Int): (String, Int) =
       if (pe.getNamespaceURI == RdfNs && pe.getLocalName == "li")
         (intern(RdfNs + "_" + (li + 1), base), li + 1)
-      else (intern(pe.getNamespaceURI + pe.getLocalName, base), li)
+      else (intern(nsOf(pe) + pe.getLocalName, base), li)
 
     private def literal(lex: String, lang: Option[String], dt: Option[String]): String =
       dt.map(graft.sparql.RdfLiteral.typed(lex, _))

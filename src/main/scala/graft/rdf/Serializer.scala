@@ -25,14 +25,16 @@ object Serializer {
     * loaders' interning. */
   private val globalScheme = "^(http|https|urn|file|mailto|did|tag):"
 
-  /** Escapes `"`, newline, tab (the characters that would break the
-    * line format). A literal already CONTAINING a two-char `\"`/`\n`
-    * sequence would alias on reload — chained regexp stages cannot do
-    * the single-pass full escape; documented limitation, vanishingly
-    * rare in text corpora, and the loaders mirror exactly this set. */
+  /** Escapes `"`, newline, carriage return, tab (the characters that
+    * would break the line format — an unescaped `\r` even SPLITS the
+    * record in Spark's text reader). A literal already CONTAINING a
+    * two-char `\"`/`\n` sequence would alias on reload — chained
+    * regexp stages cannot do the single-pass full escape; documented
+    * limitation, vanishingly rare in text corpora, and the loaders
+    * mirror exactly this set. */
   private def escape(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(
-      c, "\"", "\\\\\""), "\n", "\\\\n"), "\t", "\\\\t")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
 
   /** Resource position (s/p/g): bnode label or an angle-bracketed IRI,
     * re-expanding base-local names. */
@@ -41,18 +43,25 @@ object Serializer {
       .when(c.rlike(globalScheme), concat(lit("<"), c, lit(">")))
       .otherwise(concat(lit("<" + graft.sparql.Parser.Base), c, lit(">")))
 
-  /** Object position: IRI/bnode → resource form; tagged literal is
-    * already its N-Triples form (modulo datatype brackets); everything
-    * else quotes as a plain literal. */
-  private def objTerm(c: Column): Column = {
-    val typedDt = regexp_extract(c, "\\^\\^(.*)$", 1)
+  /** Object position, parameterized by the resource renderer (angle
+    * brackets for N-Triples, prefix compression for Turtle/TriG):
+    * IRI/bnode → resource form; tagged/typed literals re-quote their
+    * LEXICAL form through escape() (a raw facet form with embedded
+    * quotes or newlines would break the line format); plain literals
+    * quote + escape. */
+  private def objTermWith(c: Column, res: Column => Column): Column = {
+    val lit0 = graft.sparql.RdfLiteral
     when(c.startsWith("_:"), c)
-      .when(graft.sparql.RdfLiteral.isTagged(c), c)
-      .when(graft.sparql.RdfLiteral.isTyped(c),
-        concat(regexp_extract(c, "^(\".*\")\\^\\^", 1), lit("^^"), resource(typedDt)))
-      .when(c.rlike(graft.sparql.Parser.IriShape), resource(c))
+      .when(lit0.isTagged(c), concat(
+        lit("\""), escape(lit0.strOf(c)), lit("\"@"), lit0.langOf(c)))
+      .when(lit0.isTyped(c), concat(
+        lit("\""), escape(lit0.strOf(c)), lit("\"^^"),
+        res(regexp_extract(c, "(?s)^\".*\"\\^\\^(.*)$", 1))))
+      .when(c.rlike(graft.sparql.Parser.IriShape), res(c))
       .otherwise(concat(lit("\""), escape(c), lit("\"")))
   }
+
+  private def objTerm(c: Column): Column = objTermWith(c, resource)
 
   /** triples(s,p,o) → one N-Triples line per row (column `value`). */
   def toNTriples(triples: DataFrame): DataFrame =
@@ -117,16 +126,7 @@ object Serializer {
   private def subjectBlocks(df: DataFrame, prefixes: Seq[(String, String)],
                             extraKeys: Seq[Column] = Seq.empty): DataFrame = {
     val res = compressTerm(_: Column, prefixes)
-    val obj = {
-      val c = col("o")
-      val typedDt = regexp_extract(c, "\\^\\^(.*)$", 1)
-      when(c.startsWith("_:"), c)
-        .when(graft.sparql.RdfLiteral.isTagged(c), c)
-        .when(graft.sparql.RdfLiteral.isTyped(c),
-          concat(regexp_extract(c, "^(\".*\")\\^\\^", 1), lit("^^"), res(typedDt)))
-        .when(c.rlike(graft.sparql.Parser.IriShape), res(c))
-        .otherwise(concat(lit("\""), escape(c), lit("\"")))
-    }
+    val obj = objTermWith(col("o"), res)
     val pred = when(col("p") === "type", lit("a")).otherwise(res(col("p")))
     df.groupBy(extraKeys :+ col("s") :+ pred.as("pt"): _*)
       .agg(concat_ws(" , ", sort_array(collect_list(obj))).as("objs"))

@@ -47,7 +47,7 @@ object Turtle {
     // a content hash so multi-file loads and repeated LOADs into one
     // store never alias distinct nodes. Deterministic (same doc →
     // same labels), so oracles stay exact after display normalization
-    // (strip `_:<8hex>-`).
+    // (strip `_:<16hex>-`).
     private val docScope = Scope.of(s)
 
     def run(): Vector[(String, String, String, String)] = {
@@ -103,16 +103,7 @@ object Turtle {
       iri
     }
 
-    /** Base-resolve (pragmatic concat for relative refs) + intern
-      * engine-base IRIs to local names (Parser.internIri rule). */
-    private def intern(iri: String): String = {
-      val full =
-        if (base.nonEmpty && !iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) base + iri
-        else iri
-      if (full.startsWith(graft.sparql.Parser.Base))
-        full.drop(graft.sparql.Parser.Base.length)
-      else full
-    }
+    private def intern(iri: String): String = Scope.intern(iri, base)
 
     /** Prefixed-name expansion; `_:label` bnodes rescope to the
       * document; undeclared-prefix terms (already-internal lexicon
@@ -268,13 +259,29 @@ object Turtle {
   }
 }
 
-/** Document scope for blank-node labels: a deterministic 8-hex content
-  * hash shared by every whole-file parser (Turtle/TriG, RDF/XML,
-  * JSON-LD) — same document, same labels; different documents never
-  * alias. Display normalization strips `_:<8hex>-`. */
+/** Document scope for blank-node labels: a deterministic 16-hex
+  * (64-bit) content hash shared by every whole-file parser
+  * (Turtle/TriG, RDF/XML, JSON-LD) — same document, same labels;
+  * 64 bits keeps the cross-document collision (= silent bnode
+  * aliasing) probability negligible even at 100M-file corpora (32
+  * bits would hit the birthday bound at ~77k files). Display
+  * normalization strips `_:<16hex>-`. */
 private[rdf] object Scope {
   def of(content: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(content.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+      .take(8).map("%02x".format(_)).mkString
+
+  /** The ONE base-resolve + engine-base interning rule every loader
+    * applies (Parser.internIri analog): relative references resolve
+    * against `base` (pragmatic concat), engine-base IRIs intern to
+    * local lexicon names. Shared so the loaders cannot diverge. */
+  def intern(iri: String, base: String): String = {
+    val full =
+      if (base.nonEmpty && !iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) base + iri
+      else iri
+    if (full.startsWith(graft.sparql.Parser.Base))
+      full.drop(graft.sparql.Parser.Base.length)
+    else full
+  }
 }

@@ -468,7 +468,12 @@ object Parser {
         } else {
           val t = next()
           if (t == "*") star = true
-          else { require(t.startsWith("?"), s"bad projection '$t'"); items += SelVar(t.drop(1)) }
+          else {
+            require(t.startsWith("?"), s"bad projection '$t'")
+            require(!t.startsWith("?_"),
+              s"variable names starting with '_' are reserved ('$t')")
+            items += SelVar(t.drop(1))
+          }
         }
       }
       // dataset clauses: FROM <g> / FROM NAMED <g>
@@ -984,7 +989,15 @@ object Parser {
       if (iri.startsWith(Base)) iri.drop(Base.length) else iri
 
     private def term(t: String): Term =
-      if (t.startsWith("?")) Var(t.drop(1)) else Const(constValue(t))
+      if (t.startsWith("?")) {
+        // '_'-prefixed names are reserved for parser-synthesized
+        // columns (anonymous bnodes, path endpoints, sids) which
+        // SELECT * excludes — a user variable sharing the prefix would
+        // silently vanish from results, so reject loud instead
+        require(!t.startsWith("?_"),
+          s"variable names starting with '_' are reserved ('$t')")
+        Var(t.drop(1))
+      } else Const(constValue(t))
 
     /** RDF* embedded triple `<<s p o>>` in data/template position:
       * must be ground, folds to its statement-id constant (sids mode,

@@ -33,9 +33,12 @@ object RdfLiteral {
   val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
   val RdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
-  /** BCP-47-ish language tag (`fr`, `en-US`, `zh-Hant-TW`). */
-  private val langShape = "^\".*\"@[A-Za-z]+(-[A-Za-z0-9]+)*$"
-  private val typedShape = "^\".*\"\\^\\^"
+  /** BCP-47-ish language tag (`fr`, `en-US`, `zh-Hant-TW`). `(?s)`
+    * lets the lexical form span newlines — without it a multiline
+    * tagged literal would silently fall through every facet branch
+    * and be treated as a plain literal. */
+  private val langShape = "(?s)^\".*\"@[A-Za-z]+(-[A-Za-z0-9]+)*$"
+  private val typedShape = "(?s)^\".*\"\\^\\^"
 
   // ---- Scala-side constructors (parser constants, ingest, tests) ----
   def tagged(lex: String, lang: String): String = "\"" + lex + "\"@" + lang
@@ -47,12 +50,12 @@ object RdfLiteral {
   /** STR (§17.4.2.5): the lexical form — strips the tag facet; IRIs
     * and plain literals pass through unchanged. */
   def strOf(c: Column): Column =
-    when(isTagged(c) || isTyped(c), regexp_extract(c, "^\"(.*)\"(@|\\^\\^)", 1))
+    when(isTagged(c) || isTyped(c), regexp_extract(c, "(?s)^\"(.*)\"(@|\\^\\^)", 1))
       .otherwise(c)
 
   /** LANG (§17.4.2.6): the language tag; '' for any untagged term. */
   def langOf(c: Column): Column =
-    when(isTagged(c), regexp_extract(c, "^\".*\"@(.*)$", 1)).otherwise(lit(""))
+    when(isTagged(c), regexp_extract(c, "(?s)^\".*\"@(.*)$", 1)).otherwise(lit(""))
 
   /** DATATYPE (§17.4.2.7): explicit datatype of a typed literal;
     * rdf:langString for tagged; numeric-shaped plain terms report
@@ -61,7 +64,7 @@ object RdfLiteral {
     * other plain literals xsd:string; IRIs are a type error → unbound
     * (null). */
   def datatypeOf(c: Column): Column =
-    when(isTyped(c), regexp_extract(c, "^\".*\"\\^\\^(.*)$", 1))
+    when(isTyped(c), regexp_extract(c, "(?s)^\".*\"\\^\\^(.*)$", 1))
       .when(isTagged(c), lit(RdfLangString))
       .when(c.rlike(Parser.IriShape), lit(null).cast("string"))
       .when(c.rlike("^[-+]?[0-9]+$"), lit(XsdInteger))
@@ -84,9 +87,9 @@ object RdfLiteral {
     * verbatim — no hot-path cost. */
   def mapLexPreserveTag(c: Column)(f: Column => Column): Column =
     when(isTagged(c),
-      concat(lit("\""), f(regexp_extract(c, "^\"(.*)\"@", 1)),
+      concat(lit("\""), f(regexp_extract(c, "(?s)^\"(.*)\"@", 1)),
         lit("\"@"), regexp_extract(c, "\"@([A-Za-z0-9-]+)$", 1)))
-      .when(isTyped(c), f(regexp_extract(c, "^\"(.*)\"\\^\\^", 1)))
+      .when(isTyped(c), f(regexp_extract(c, "(?s)^\"(.*)\"\\^\\^", 1)))
       .otherwise(f(c))
 
   /** CONCAT (§17.4.3.2): lexical forms concatenate; the result keeps a

@@ -95,20 +95,27 @@ object Update {
       case Load(src, g, silent) =>
         try {
           val path = src.stripPrefix("file://")
+          // SILENT must absorb PARSE failures too (§3.1.4 success/no-op)
+          // — the document parsers run lazily inside read tasks, so a
+          // silent LOAD materializes the parsed data eagerly (inside
+          // this try) before it reaches the store
+          def force(df: DataFrame): DataFrame =
+            if (silent) df.localCheckpoint() else df
           if (path.endsWith(".nq")) {
             // N-Quads: each statement carries its own graph; INTO GRAPH
             // overrides the tags (the reference's Rio N-Quads handling)
-            val q = loadQuads(spark, src)
+            val q = force(loadQuads(spark, src))
             store.insertQuads(g.fold(q)(gg => q.withColumn("g", lit(gg))))
           } else if (path.endsWith(".trig")) {
             // TriG: GRAPH blocks carry their labels, bare statements
             // land in the request's default graph; INTO GRAPH overrides
             import spark.implicits._
-            val q = spark.read.option("wholetext", "true").textFile(path)
+            val q = force(spark.read.option("wholetext", "true").textFile(path)
               .flatMap(graft.rdf.Turtle.parseTrig(_, defaultGraph))
-              .toDF("s", "p", "o", "g")
+              .toDF("s", "p", "o", "g"))
             store.insertQuads(g.fold(q)(gg => q.withColumn("g", lit(gg))))
-          } else store.insertData(g.getOrElse(defaultGraph), loadTriples(spark, src))
+          } else store.insertData(g.getOrElse(defaultGraph),
+            force(loadTriples(spark, src)))
         } catch { case e: Exception if silent => store }
       case other => sys.error(s"quads-mode update supports ground data, WITH-scoped ops and graph management, got $other")
     }
@@ -180,11 +187,13 @@ object Update {
               unwrapTerm(col("ro")).as("o"), unwrapTerm(col("rg")).as("g"))
   }
 
-  /** Resource position: IRI or bnode label. */
-  private val RTerm = """(<[^>]*>|_:[A-Za-z0-9]+)"""
+  /** Resource position: IRI or bnode label — labels admit `-`/`_`
+    * (N-Triples PN_CHARS; the loaders' document-scoped labels are
+    * `<8hex>-…`). */
+  private val RTerm = """(<[^>]*>|_:[A-Za-z0-9_-]+)"""
   /** Object position: resource, or a literal with backslash escapes
     * and an optional `@lang` / `^^<dt>` facet. */
-  private val OTerm = """(<[^>]*>|_:[A-Za-z0-9]+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)"""
+  private val OTerm = """(<[^>]*>|_:[A-Za-z0-9_-]+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)"""
 
   /** `<iri>` → interned term; `"lit"` → unescaped lexical form; facet
     * forms land as the RdfLiteral tagged/typed term encodings
@@ -194,8 +203,8 @@ object Update {
     def intern(x: Column): Column =
       when(x.startsWith(base), x.substr(lit(base.length + 1), length(x))).otherwise(x)
     def unesc(x: Column): Column =
-      regexp_replace(regexp_replace(regexp_replace(
-        x, "\\\\n", "\n"), "\\\\t", "\t"), "\\\\\"", "\"")
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        x, "\\\\n", "\n"), "\\\\r", "\r"), "\\\\t", "\t"), "\\\\\"", "\"")
     when(c.startsWith("<"), intern(c.substr(lit(2), length(c) - 2)))
       .when(c.startsWith("_:"), c)
       // "lex"@lang → tagged form with the lex unescaped

@@ -585,7 +585,10 @@ class EngineSpec extends AnyFunSuite {
         ("x:1", "label", "\"chat\"@fr"),
         ("x:1", "size", "\"5\"^^http://www.w3.org/2001/XMLSchema#int"),
         ("x:1", "note", "say \"hi\"\nok"),
+        ("x:1", "note2", "line1\rline2"),               // CR splits records if unescaped
+        ("x:1", "tag2", "\"l1\nl2 \"q\"\"@en"),         // multiline+quoted TAGGED lexical form
         ("x:1", "near", "_:b1"),
+        ("x:1", "near2", "_:0123456789abcdef-gen1"),    // loader-scoped label shape
         ("x:1", "link", "http://example.org/a")).toDF("s", "p", "o"))
     def s3(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
@@ -662,7 +665,7 @@ class EngineSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(ttl,
       Serializer.turtleHeader() + "\n" + lines.mkString("\n\n") + "\n")
     // reloading rescopes bnode labels to the new document — normalize
-    def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{8}-", "_:")
+    def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{16}-", "_:")
     val back = graft.sparql.Update.loadTriples(spark, ttl.toString)
       .collect().map(r => (unscope(r.getString(0)), r.getString(1), unscope(r.getString(2)))).toSet
     assert(back == tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
@@ -685,7 +688,7 @@ class EngineSpec extends AnyFunSuite {
     assert(c1.contains("""<g:near rdf:resource="urn:graft:c:2"/>"""))
     assert(c1.contains("""<n:title xmlns:n="http://purl.org/dc/terms/">dc title</n:title>"""))
     val doc = Serializer.rdfXmlHead + lines.mkString + Serializer.rdfXmlFoot
-    def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{8}-", "_:")
+    def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{16}-", "_:")
     assert(RdfXml.parse(doc).map { case (a, b, c) => (unscope(a), b, unscope(c)) }.toSet ==
       tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
   }
@@ -707,7 +710,7 @@ class EngineSpec extends AnyFunSuite {
     assert(c1.contains(""""tag":[{"@value":"chat","@language":"fr"}]"""))
     assert(c1.contains(""""size":[{"@value":"5","@type":"http://www.w3.org/2001/XMLSchema#int"}]"""))
     assert(c1.contains(""""near":[{"@id":"urn:graft:c:2"}]"""))
-    def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{8}-", "_:")
+    def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{16}-", "_:")
     val back = JsonLd.parse(lines.mkString("[", ",", "]"))
       .map { case (a, b, c) => (unscope(a), b, unscope(c)) }.toSet
     assert(back == tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)

@@ -7,9 +7,9 @@ import graft.sparql._
 
 class ParserSpec extends AnyFunSuite {
   import TestSpark.{spark, SF}
-  // loader bnode labels are document-scoped by an 8-hex content hash;
+  // loader bnode labels are document-scoped by an 16-hex content hash;
   // strip the scope for stable expectations
-  private def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{8}-", "_:")
+  private def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{16}-", "_:")
   private def unscope3(x: (String, String, String)): (String, String, String) =
     (unscope(x._1), x._2, unscope(x._3))
   private lazy val src = TpchRdf.source(spark, SF)
@@ -842,6 +842,32 @@ class ParserSpec extends AnyFunSuite {
         |<rdf:Description rdf:about="urn:graft:t:1">
         |  <v:items rdf:parseType="Collection"/>
         |</rdf:Description></rdf:RDF>""".stripMargin))
+  }
+
+  test("review fixes: LOAD SILENT parse errors, null-ns, root @graph, ?_ vars") {
+    import spark.implicits._
+    // LOAD SILENT absorbs a PARSE failure (lazy inside the read task)
+    val bad = java.nio.file.Files.createTempFile("graft_bad", ".ttl")
+    java.nio.file.Files.writeString(bad, "v:a v:b ( broken collection ) .")
+    val empty = graft.rdf.QuadStore(Seq.empty[(String, String, String, String)]
+      .toDF("s", "p", "o", "g"))
+    val silent = graft.sparql.Update.applyQuadsSeq(empty,
+      graft.sparql.Parser.parseUpdates(s"LOAD SILENT <file://$bad>"))
+    assert(silent.quads.count() == 0) // success/no-op per §3.1.4
+    intercept[Exception] { // non-SILENT still fails (at action time)
+      graft.sparql.Update.applyQuadsSeq(empty,
+        graft.sparql.Parser.parseUpdates(s"LOAD <file://$bad>")).quads.count()
+    }
+    // namespace-less RDF/XML elements fail loud, never "null"-terms
+    intercept[RuntimeException](graft.rdf.RdfXml.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+        |<Thing rdf:about="urn:graft:t:1"/></rdf:RDF>""".stripMargin))
+    // root node object with @graph AND its own keys fails loud
+    intercept[RuntimeException](graft.rdf.JsonLd.parse(
+      """{"@id": "urn:graft:g1", "urn:graft:name": "x", "@graph": []}"""))
+    // '_'-prefixed variables are reserved (SELECT * excludes them)
+    intercept[IllegalArgumentException](
+      Parser.parse("SELECT * WHERE { ?_s ?p ?o }"))
   }
 
   test("LOAD of a directory parses whole files in parallel tasks") {

@@ -36,9 +36,16 @@ final case class Graft(spark: SparkSession, store: QuadStore,
     // true → queries' default graph is the RDF MERGE of all graphs
     // (set semantics: the same triple in two graphs is one triple);
     // false → strictly the `defaultGraph` named graph, no merge
-    // distinct needed
+    // distinct needed. The merge view is materialized ONCE per handle
+    // (localCheckpoint — sound because stores are immutable per
+    // handle): without it every pattern scan of every query re-pays
+    // the full-store distinct shuffle, and the subtree can re-execute
+    // within one multi-pattern plan. Trade-off: scans filter the
+    // materialized blocks instead of pushing predicates into parquet —
+    // at 100 TB the once-per-handle shuffle beats a per-scan one.
     lazy val triples: DataFrame =
-      if (unionDefaultGraph) store.quads.select("s", "p", "o").distinct()
+      if (unionDefaultGraph)
+        store.quads.select("s", "p", "o").distinct().localCheckpoint()
       else store.graph(defaultGraph)
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = None
@@ -74,6 +81,13 @@ final case class Graft(spark: SparkSession, store: QuadStore,
     * wrap the comma-joined lines in `[ … ]`. */
   def exportJsonLd(graph: String): DataFrame =
     Serializer.toJsonLd(store.graph(graph))
+
+  /** Compacted JSON-LD node objects for ONE graph (column `value`) —
+    * IRIs compact under [[graft.rdf.Serializer.defaultPrefixes]]; wrap
+    * as `{"@context":` + [[graft.rdf.Serializer.jsonLdContext]] +
+    * `,"@graph":[` + lines + `]}`. */
+  def exportJsonLdCompact(graph: String): DataFrame =
+    Serializer.toJsonLdCompact(store.graph(graph))
 }
 
 object Graft {

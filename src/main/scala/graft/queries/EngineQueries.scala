@@ -553,7 +553,7 @@ object EngineQueries {
     "load_turtle" -> ((s, dir) => {
       val ttl = java.nio.file.Files.createTempFile("graft_load", ".ttl")
       java.nio.file.Files.writeString(ttl,
-        """@prefix v: <urn:graft:> .
+        ("""@prefix v: <urn:graft:> .
           |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
           |# fixture: everyday Turtle forms
           |v:t:1 a v:Thing ;
@@ -561,7 +561,11 @@ object EngineQueries {
           |  v:size "5"^^xsd:int .
           |v:t:2 v:label "beta" ;
           |  v:near [ v:label "inner" ] .
-          |""".stripMargin)
+          |v:t:3 v:items ( v:t:1 "x" 2 ) ;
+          |  v:note TQmulti
+          |line "quoted" textTQ .
+          |v:t:4 v:items () .
+          |""").stripMargin.replace("TQ", "\"\"\""))
       val ops = graft.sparql.Parser.parseUpdates(s"LOAD <file://$ttl> INTO GRAPH g:ttl")
       graft.sparql.Update
         .applyQuadsSeq(graft.rdf.QuadStore(TpchRdf.quads(s, dir)), ops)
@@ -590,6 +594,10 @@ object EngineQueries {
           |      <v:label>inner</v:label>
           |    </rdf:Description></v:inner>
           |    <v:meta rdf:parseType="Resource"><v:score>9</v:score></v:meta>
+          |    <v:items rdf:parseType="Collection">
+          |      <rdf:Description rdf:about="urn:graft:t:1"/>
+          |      <rdf:Description rdf:nodeID="b9"/>
+          |    </v:items>
           |  </rdf:Description>
           |</rdf:RDF>""".stripMargin)
       val ops = graft.sparql.Parser.parseUpdates(s"LOAD <file://$rdf> INTO GRAPH g:xml")
@@ -626,7 +634,9 @@ object EngineQueries {
           |    {
           |      "@id": "urn:graft:t:2",
           |      "v:inner": {"label": "inner"},
-          |      "v:weight": 3.5
+          |      "v:weight": 3.5,
+          |      "v:tags": {"@list": ["a", {"@value": "b", "@language": "en"}]},
+          |      "v:empty": {"@list": []}
           |    }
           |  ]
           |}""".stripMargin)
@@ -649,7 +659,13 @@ object EngineQueries {
         |  ('t:1', 'size', '"5"^^http://www.w3.org/2001/XMLSchema#int'),
         |  ('t:1', 'near', 't:2'),
         |  ('t:2', 'inner', '_:gen1'),
-        |  ('t:2', 'weight', '3.5')
+        |  ('t:2', 'weight', '3.5'),
+        |  ('t:2', 'tags', '_:gen2'),
+        |  ('_:gen2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'a'),
+        |  ('_:gen2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '_:gen3'),
+        |  ('_:gen3', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', '"b"@en'),
+        |  ('_:gen3', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil'),
+        |  ('t:2', 'empty', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil')
         |) AS t(s, p, o) ORDER BY s, p, o""".stripMargin,
 
     "load_rdfxml" ->
@@ -662,7 +678,12 @@ object EngineQueries {
         |  ('t:1', 'size', '"5"^^http://www.w3.org/2001/XMLSchema#int'),
         |  ('t:1', 'near', 't:2'),
         |  ('t:2', 'inner', '_:b7'),
-        |  ('t:2', 'meta', '_:gen1')
+        |  ('t:2', 'meta', '_:gen1'),
+        |  ('t:2', 'items', '_:gen2'),
+        |  ('_:gen2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 't:1'),
+        |  ('_:gen2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '_:gen3'),
+        |  ('_:gen3', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', '_:b9'),
+        |  ('_:gen3', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil')
         |) AS t(s, p, o) ORDER BY s, p, o""".stripMargin,
 
     "load_turtle" ->
@@ -673,7 +694,16 @@ object EngineQueries {
         |  ('t:1', 'label', '"alpha"@fr'),
         |  ('t:1', 'size', '"5"^^http://www.w3.org/2001/XMLSchema#int'),
         |  ('t:2', 'label', 'beta'),
-        |  ('t:2', 'near', '_:gen1')
+        |  ('t:2', 'near', '_:gen1'),
+        |  ('t:3', 'items', '_:gen2'),
+        |  ('_:gen2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 't:1'),
+        |  ('_:gen2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '_:gen3'),
+        |  ('_:gen3', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'x'),
+        |  ('_:gen3', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '_:gen4'),
+        |  ('_:gen4', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', '2'),
+        |  ('_:gen4', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil'),
+        |  ('t:3', 'note', 'multi' || chr(10) || 'line "quoted" text'),
+        |  ('t:4', 'items', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil')
         |) AS t(s, p, o) ORDER BY s, p, o""".stripMargin,
 
     "update_using" ->

@@ -560,6 +560,22 @@ object SparqlQueries {
         """SELECT ?g ?x ?n WHERE { GRAPH ?g { ?x name ?n } } ORDER BY ?g ?x"""),
         TpchRdf.source(s, dir))),
 
+    // group operators INSIDE a variable-GRAPH block: OPTIONAL composes
+    // via the graph-var-carrying left join, and the property-path
+    // closure evaluates WITHIN each graph (§13.3 per-graph semantics;
+    // nodes packed as (g, term) structs so one distributed fixpoint
+    // serves every graph — reference: AST2BOpUtility graph-context
+    // propagation into ArbitraryLengthPathNode)
+    "graph_var_path" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?g ?s ?nm ?ref WHERE {
+          |  GRAPH ?g {
+          |    ?s name ?nm
+          |    OPTIONAL { ?s (nation|region)+ ?ref }
+          |  }
+          |} ORDER BY ?g ?s ?ref""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // COUNT(DISTINCT ?x) aggregate (SPARQL count-distinct)
     "agg_distinct_count" -> ((s, dir) => run(s, dir,
       OrderBy(
@@ -1004,6 +1020,22 @@ object SparqlQueries {
         |  UNION ALL SELECT 'g:supplier', 's:'||CAST(s_suppkey AS VARCHAR), s_name FROM supplier
         |  UNION ALL SELECT 'g:part', 'p:'||CAST(p_partkey AS VARCHAR), p_name FROM part
         |) ORDER BY g, x""".stripMargin,
+
+    // per-graph closure: within each table-graph the (nation|region)+
+    // relation is exactly the table's own single ref hop (ref targets
+    // live in OTHER graphs, so no second step exists inside the graph);
+    // region/part rows have no ref edge → OPTIONAL leaves ref NULL
+    "graph_var_path" ->
+      """SELECT g, s, nm, ref FROM (
+        |  SELECT 'g:customer' AS g, 'c:'||CAST(c_custkey AS VARCHAR) AS s, c_name AS nm,
+        |         'n:'||CAST(c_nationkey AS VARCHAR) AS ref FROM customer
+        |  UNION ALL SELECT 'g:nation', 'n:'||CAST(n_nationkey AS VARCHAR), n_name,
+        |         'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 'g:region', 'r:'||CAST(r_regionkey AS VARCHAR), r_name, NULL FROM region
+        |  UNION ALL SELECT 'g:supplier', 's:'||CAST(s_suppkey AS VARCHAR), s_name,
+        |         'n:'||CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 'g:part', 'p:'||CAST(p_partkey AS VARCHAR), p_name, NULL FROM part
+        |) ORDER BY g, s, ref""".stripMargin,
 
     "agg_distinct_count" ->
       """SELECT 's:'||CAST(l_suppkey AS VARCHAR) AS sup,

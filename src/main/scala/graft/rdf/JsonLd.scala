@@ -15,11 +15,14 @@ import scala.jdk.CollectionConverters._
   * and `@type` (string or array); property values as strings, numbers,
   * booleans, `{"@value", "@language"| "@type"}` literal objects
   * (landing as the [[graft.sparql.RdfLiteral]] term forms),
-  * `{"@id":…}` references, arrays, and nested node objects (fresh
-  * bnodes when un-@id'd). Remote `@context` URLs, `@list`/`@set`
-  * containers, and nested named `@graph`s fail loud rather than
-  * mis-parse. JSON parsing uses Jackson, already on Spark's classpath
-  * — no new dependency.
+  * `{"@id":…}` references, arrays, nested node objects (fresh
+  * bnodes when un-@id'd), `{"@list":[…]}` values (desugared to
+  * rdf:first/rdf:rest chains, the Turtle-collection rule), and
+  * `{"@set":[…]}` property values (a set is just its members —
+  * §6.11, the unordered container). Remote `@context` URLs and
+  * nested named `@graph`s fail loud rather than mis-parse. JSON
+  * parsing uses Jackson, already on Spark's classpath — no new
+  * dependency.
   *
   * Scale: a JSON-LD document is one JSON value — not splittable — so
   * one file parses in one task, distributed ACROSS files (the Turtle /
@@ -117,7 +120,14 @@ object JsonLd {
           case _ if k.startsWith("@") => fail(s"unsupported keyword '$k'")
           case _ =>
             val p = expand(k)
-            asArray(v).foreach(item => out += ((subj, p, value(item, k))))
+            // a {"@set":[…]} property value is just its members
+            // (§6.11: @set is the explicit unordered container)
+            val vv =
+              if (v.isObject && v.has("@set")) {
+                if (v.size() != 1) fail(s"@set object with extra keys $v")
+                v.get("@set")
+              } else v
+            asArray(vv).foreach(item => out += ((subj, p, value(item, k))))
         }
       }
       subj
@@ -139,9 +149,28 @@ object JsonLd {
         else if (v.has("@type")) graft.sparql.RdfLiteral.typed(lex, expand(v.get("@type").asText()))
         else lex
       }
+      else if (v.isObject && v.has("@list")) {
+        // @list value object (JSON-LD 1.0 §6.11) → rdf:first/rdf:rest
+        // chain of doc-scoped bnodes — the same desugar as a Turtle
+        // collection; rdf:nil when empty
+        if (v.size() != 1) fail(s"@list object with extra keys $v")
+        listChain(asArray(v.get("@list")).map(value(_, term)))
+      }
       else if (v.isObject && v.has("@id") && v.size() == 1) expand(v.get("@id").asText())
       else if (v.isObject) nodeObject(v)
       else fail(s"unsupported value $v")
     }
+
+    private def listChain(items: Seq[String]): String =
+      if (items.isEmpty) Turtle.RdfNil
+      else {
+        val nodes = items.map(_ => freshBnode())
+        for (idx <- items.indices) {
+          out += ((nodes(idx), Turtle.RdfFirst, items(idx)))
+          out += ((nodes(idx), Turtle.RdfRest,
+            if (idx == items.size - 1) Turtle.RdfNil else nodes(idx + 1)))
+        }
+        nodes.head
+      }
   }
 }

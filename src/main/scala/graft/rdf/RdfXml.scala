@@ -15,8 +15,9 @@ import org.w3c.dom.{Element, Node}
   * `rdf:parseType="Resource"`, property attributes, `rdf:datatype`
   * typed literals and inherited `xml:lang` tags (landing as the
   * [[graft.sparql.RdfLiteral]] term forms), `xml:base` resolution,
-  * and container items `rdf:li` → `rdf:_n`. `parseType="Collection"`
-  * and `parseType="Literal"` (XML literals) fail loud rather than
+  * container items `rdf:li` → `rdf:_n`, and `parseType="Collection"`
+  * (desugared to rdf:first/rdf:rest chains, §7.2.19).
+  * `parseType="Literal"` (XML literals) fails loud rather than
   * mis-parse. Parsing uses the JDK's namespace-aware DOM — no
   * external dependency.
   *
@@ -33,8 +34,17 @@ object RdfXml {
   def parse(content: String): Vector[(String, String, String)] = {
     val f = DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(true)
-    // fixture-sized documents only; no DTD fetching (zero egress)
+    // untrusted-ingest hardening: no DOCTYPE at all (kills XXE file
+    // disclosure, SSRF, and entity-expansion DoS), no external
+    // entities even if a parser ignores the first flag, and the JDK
+    // secure-processing limits as a backstop.
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
     f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+    f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
     val doc = f.newDocumentBuilder()
       .parse(new java.io.ByteArrayInputStream(content.getBytes("UTF-8")))
     new Walk(Scope.of(content)).run(doc.getDocumentElement)
@@ -158,6 +168,21 @@ object RdfXml {
             val (ip, n) = predicateOf(inner, base, li)
             li = n
             propertyElement(inner, b, ip, base, lang)
+          }
+        case (Some("Collection"), _, _) =>
+          // RDF/XML §7.2.19: the child node elements form an RDF
+          // collection — the same rdf:first/rdf:rest desugar as a
+          // Turtle `( … )`; empty → rdf:nil
+          val items = kids.map(nodeElement(_, base, lang))
+          if (items.isEmpty) out += ((subj, p, Turtle.RdfNil))
+          else {
+            val nodes = items.map(_ => freshBnode())
+            out += ((subj, p, nodes.head))
+            for (idx <- items.indices) {
+              out += ((nodes(idx), Turtle.RdfFirst, items(idx)))
+              out += ((nodes(idx), Turtle.RdfRest,
+                if (idx == items.size - 1) Turtle.RdfNil else nodes(idx + 1)))
+            }
           }
         case (Some(other), _, _) =>
           fail(s"parseType=\"$other\" is not supported")

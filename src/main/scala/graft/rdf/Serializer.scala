@@ -25,16 +25,19 @@ object Serializer {
     * loaders' interning. */
   private val globalScheme = "^(http|https|urn|file|mailto|did|tag):"
 
-  /** Escapes `"`, newline, carriage return, tab (the characters that
-    * would break the line format — an unescaped `\r` even SPLITS the
-    * record in Spark's text reader). A literal already CONTAINING a
-    * two-char `\"`/`\n` sequence would alias on reload — chained
-    * regexp stages cannot do the single-pass full escape; documented
-    * limitation, vanishingly rare in text corpora, and the loaders
-    * mirror exactly this set. */
+  /** Escapes backslash FIRST, then `"`, newline, carriage return, tab
+    * (the characters that would break the line format — an unescaped
+    * `\r` even SPLITS the record in Spark's text reader). Escaping
+    * `\` first makes the chain lossless: a literal containing the raw
+    * two-char text `\n` renders as `\\n` and reloads as `\n`, while a
+    * real newline renders as `\n` and reloads as a newline — the
+    * loaders' sentinel unescape ([[graft.sparql.Update]]) is the exact
+    * inverse. Backslashes are common in code corpora; this must not
+    * alias. */
   private def escape(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      c, "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
 
   /** Resource position (s/p/g): bnode label or an angle-bracketed IRI,
     * re-expanding base-local names. */
@@ -56,7 +59,7 @@ object Serializer {
         lit("\""), escape(lit0.strOf(c)), lit("\"@"), lit0.langOf(c)))
       .when(lit0.isTyped(c), concat(
         lit("\""), escape(lit0.strOf(c)), lit("\"^^"),
-        res(regexp_extract(c, "(?s)^\".*\"\\^\\^(.*)$", 1))))
+        res(lit0.typedDatatypeOf(c))))
       .when(c.rlike(graft.sparql.Parser.IriShape), res(c))
       .otherwise(concat(lit("\""), escape(c), lit("\"")))
   }
@@ -181,7 +184,7 @@ object Serializer {
           lit(",\"@language\":"), jsonStr(lit0.langOf(c)), lit("}")))
         .when(lit0.isTyped(c), concat(
           lit("{\"@value\":"), jsonStr(lit0.strOf(c)),
-          lit(",\"@type\":"), jsonStr(regexp_extract(c, "^\".*\"\\^\\^(.*)$", 1)), lit("}")))
+          lit(",\"@type\":"), jsonStr(lit0.typedDatatypeOf(c)), lit("}")))
         .otherwise(concat(lit("{\"@value\":"), jsonStr(c), lit("}")))
     val isType = col("p") === "type"
     // rdf:type → "@type": [name strings]; other predicates key their
@@ -196,6 +199,70 @@ object Serializer {
         concat(col("key"), lit(":["), col("objs"), lit("]"))))).as("body"))
       .select(concat(
         lit("{\"@id\":"), jsonStr(resRef(col("s"))), lit(","),
+        col("body"), lit("}")).as("value"))
+  }
+
+  /** The `"@context":{…}` member for [[toJsonLdCompact]] documents:
+    * the prefix table as JSON-LD prefix mappings. Caller assembles
+    * `{"@context":` + this + `,"@graph":[` + lines.mkString(",") +
+    * `]}` — the shape [[JsonLd.parse]] reads back. */
+  def jsonLdContext(prefixes: Seq[(String, String)] = defaultPrefixes): String =
+    prefixes.map { case (p, ns) => s""""$p":"$ns"""" }.mkString("{", ",", "}")
+
+  /** COMPACTED JSON-LD export — the form users diff against authored
+    * documents (Rio JSONLDWriter with compaction): every IRI — `@id`s,
+    * predicate keys, `@type` values, literal datatypes — is a compact
+    * IRI under the shared Turtle prefix table, and plain string
+    * literals collapse to bare JSON strings (tagged/typed keep their
+    * `@value` objects; `{"@id"}` objects keep references distinct from
+    * literals, so nothing aliases). Same grouping shape as
+    * [[toJsonLd]]: shuffles on (s,p)/(s), then map-only rendering,
+    * parallel across subjects. Wrap the comma-joined lines with
+    * [[jsonLdContext]]; [[JsonLd.parse]] expands the result back to
+    * exactly the input triples. */
+  def toJsonLdCompact(triples: DataFrame,
+                      prefixes: Seq[(String, String)] = defaultPrefixes): DataFrame = {
+    def jsonStr(c: Column): Column = {
+      val a = to_json(array(c))
+      a.substr(lit(2), length(a) - lit(2))
+    }
+    // compact IRI: longest namespace wins, bnodes pass, no-match keeps
+    // the full IRI (JSON-LD needs no angle brackets, unlike Turtle)
+    def compactIri(c: Column): Column = {
+      val full = iriOf(c)
+      val compressed = prefixes.sortBy(-_._2.length).foldRight(full) {
+        case ((p, ns), els) =>
+          when(full.startsWith(ns),
+            concat(lit(p + ":"), full.substr(lit(ns.length + 1), lit(Int.MaxValue))))
+            .otherwise(els)
+      }
+      when(c.startsWith("_:"), c).otherwise(compressed)
+    }
+    val c = col("o")
+    val lit0 = graft.sparql.RdfLiteral
+    val objJson =
+      when(c.startsWith("_:") || c.rlike(graft.sparql.Parser.IriShape),
+        concat(lit("{\"@id\":"), jsonStr(compactIri(c)), lit("}")))
+        .when(lit0.isTagged(c), concat(
+          lit("{\"@value\":"), jsonStr(lit0.strOf(c)),
+          lit(",\"@language\":"), jsonStr(lit0.langOf(c)), lit("}")))
+        .when(lit0.isTyped(c), concat(
+          lit("{\"@value\":"), jsonStr(lit0.strOf(c)),
+          lit(",\"@type\":"), jsonStr(compactIri(lit0.typedDatatypeOf(c))), lit("}")))
+        // plain literal → bare JSON string (compaction); the parser
+        // never prefix-expands an uncoerced string value, so a literal
+        // that LOOKS like `g:x` still reloads as the literal
+        .otherwise(jsonStr(c))
+    val isType = col("p") === "type"
+    val rendered = when(isType, jsonStr(compactIri(c))).otherwise(objJson)
+    triples
+      .groupBy(col("s"), when(isType, lit("\"@type\"")).otherwise(jsonStr(compactIri(col("p")))).as("key"))
+      .agg(concat_ws(",", sort_array(collect_list(rendered))).as("objs"))
+      .groupBy(col("s"))
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat(col("key"), lit(":["), col("objs"), lit("]"))))).as("body"))
+      .select(concat(
+        lit("{\"@id\":"), jsonStr(compactIri(col("s"))), lit(","),
         col("body"), lit("}")).as("value"))
   }
 
@@ -233,7 +300,7 @@ object Serializer {
           esc(lit0.strOf(c)), lit("</"), qname, lit(">")))
         .when(lit0.isTyped(c), concat(
           lit("<"), qname, nsDecl, lit(" rdf:datatype=\""),
-          attrEsc(regexp_extract(c, "^\".*\"\\^\\^(.*)$", 1)), lit("\">"),
+          attrEsc(lit0.typedDatatypeOf(c)), lit("\">"),
           esc(lit0.strOf(c)), lit("</"), qname, lit(">")))
         .when(c.rlike(graft.sparql.Parser.IriShape), concat(
           lit("<"), qname, nsDecl, lit(" rdf:resource=\""), attrEsc(iriOf(c)), lit("\"/>")))
@@ -295,7 +362,7 @@ object Serializer {
         .otherwise(struct(
           lit("literal").as("type"), lit0.strOf(c).as("value"),
           when(lit0.isTagged(c), lit0.langOf(c)).as("xml:lang"),
-          when(lit0.isTyped(c), regexp_extract(c, "^\".*\"\\^\\^(.*)$", 1)).as("datatype")))
+          when(lit0.isTyped(c), lit0.typedDatatypeOf(c)).as("datatype")))
       term.as(v)
     }
     solutions.select(to_json(struct(fields.toSeq: _*)).as("value"))
@@ -329,7 +396,7 @@ object Serializer {
           lit("\">"), xmlEscape(lit0.strOf(c)), lit("</literal></binding>")))
         .when(lit0.isTyped(c), concat(
           lit(s"""<binding name="$v"><literal datatype=""""),
-          xmlEscape(regexp_extract(c, "^\".*\"\\^\\^(.*)$", 1)),
+          xmlEscape(lit0.typedDatatypeOf(c)),
           lit("\">"), xmlEscape(lit0.strOf(c)), lit("</literal></binding>")))
         .otherwise(concat(
           lit(s"""<binding name="$v"><literal>"""), xmlEscape(c), lit("</literal></binding>")))

@@ -8,12 +8,13 @@ package graft.rdf
   * Covers everyday Turtle: `@prefix`/`@base` (and SPARQL-style
   * PREFIX/BASE), `a`, `;` predicate-object lists, `,` object lists,
   * `[ … ]` anonymous bnodes (nested), `#` comments, numeric/boolean
-  * literals, and string literals with backslash escapes and
+  * literals, RDF collections `( … )` (desugared to rdf:first/rdf:rest
+  * chains of doc-scoped bnodes, §2.8), triple-quoted `"""…"""` long
+  * strings, and string literals with backslash escapes and
   * lang/datatype tags — `"x"@en` / `"5"^^xsd:int` parse to the
   * [[graft.sparql.RdfLiteral]] tagged term forms, IRIs under the
   * engine base intern to local names (the same lexicon rule the SPARQL
-  * parser applies). RDF collections `( … )` and triple-quoted strings
-  * fail loud rather than mis-parse.
+  * parser applies).
   *
   * Scale: Turtle is NOT a splittable format — statements span lines
   * and prefix declarations are file-global — so one file parses in one
@@ -23,6 +24,10 @@ package graft.rdf
   * is the ontology/fixture-sized migration path.
   */
 object Turtle {
+
+  private[rdf] val RdfFirst = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+  private[rdf] val RdfRest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+  private[rdf] val RdfNil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
   /** Parse one Turtle document to (s, p, o) term triples. */
   def parse(content: String): Vector[(String, String, String)] =
@@ -210,7 +215,14 @@ object Turtle {
           if (!peekIs(']')) predObjList(id)
           expect(']')
           id
-        case '(' => fail("RDF collections '( … )' are not supported")
+        case '(' =>
+          // RDF collection [Turtle 1.1 §2.8]: desugars to an
+          // rdf:first/rdf:rest chain of doc-scoped bnodes; () is rdf:nil
+          i += 1
+          val items = Vector.newBuilder[String]
+          while (!peekIs(')')) items += nodeTerm(allowLiteral = true)
+          expect(')')
+          collection(items.result())
         case '"' =>
           if (!allowLiteral) fail("literal in subject/predicate position")
           literal()
@@ -223,28 +235,56 @@ object Turtle {
       }
     }
 
-    private def literal(): String = {
-      if (s.startsWith("\"\"\"", i)) fail("triple-quoted strings are not supported")
-      i += 1
-      val sb = new StringBuilder
-      while (i < s.length && s(i) != '"') {
-        if (s(i) == '\\' && i + 1 < s.length) {
-          i += 1
-          sb += (s(i) match {
-            case 'n' => '\n'
-            case 't' => '\t'
-            case 'r' => '\r'
-            case 'u' =>
-              val h = s.substring(i + 1, i + 5); i += 4
-              Integer.parseInt(h, 16).toChar
-            case c => c // covers \" \\ and pass-through
-          })
-          i += 1
-        } else { sb += s(i); i += 1 }
+    /** Emit a collection's first/rest spine; returns its head node
+      * (rdf:nil when empty). Shared by the Turtle `( … )` form and the
+      * JSON-LD `@list` / RDF/XML `parseType="Collection"` desugars. */
+    private def collection(items: Vector[String]): String =
+      if (items.isEmpty) Turtle.RdfNil
+      else {
+        val nodes = items.map { _ => bn += 1; s"_:$docScope-gen$bn" }
+        for (idx <- items.indices) {
+          out += ((nodes(idx), Turtle.RdfFirst, items(idx), curGraph))
+          out += ((nodes(idx), Turtle.RdfRest,
+            if (idx == items.length - 1) Turtle.RdfNil else nodes(idx + 1), curGraph))
+        }
+        nodes.head
       }
-      if (i >= s.length) fail("unterminated string literal")
-      i += 1
-      val lex = sb.toString
+
+    /** One content char into `sb`, decoding a backslash escape. */
+    private def consumeChar(sb: StringBuilder): Unit =
+      if (s(i) == '\\' && i + 1 < s.length) {
+        i += 1
+        sb += (s(i) match {
+          case 'n' => '\n'
+          case 't' => '\t'
+          case 'r' => '\r'
+          case 'u' =>
+            val h = s.substring(i + 1, i + 5); i += 4
+            Integer.parseInt(h, 16).toChar
+          case c => c // covers \" \\ and pass-through
+        })
+        i += 1
+      } else { sb += s(i); i += 1 }
+
+    private def literal(): String = {
+      val lex =
+        if (s.startsWith("\"\"\"", i)) {
+          // STRING_LITERAL_LONG_QUOTE [Turtle 1.1 22]: raw newlines and
+          // quotes allowed, content ends at the next unescaped `"""`
+          i += 3
+          val sb = new StringBuilder
+          while (i < s.length && !s.startsWith("\"\"\"", i)) consumeChar(sb)
+          if (i >= s.length) fail("unterminated triple-quoted string")
+          i += 3
+          sb.toString
+        } else {
+          i += 1
+          val sb = new StringBuilder
+          while (i < s.length && s(i) != '"') consumeChar(sb)
+          if (i >= s.length) fail("unterminated string literal")
+          i += 1
+          sb.toString
+        }
       if (i < s.length && s(i) == '@') {
         i += 1
         val st = i

@@ -452,19 +452,83 @@ object Compiler {
       // group operators inside a variable-graph block: the graph var
       // is one more solution column, so joins/filters/extends compose
       // exactly like the generic plans (same-graph co-occurrence falls
-      // out of the natural join carrying `gv`)
+      // out of the natural join carrying `gv`) — §13.3 per-graph
+      // evaluation is exactly "join on gv too"
       case Filter(inner, cond) => compileGraphVar(gv, inner, src).filter(cond)
       case Extend(inner, v, e) => compileGraphVar(gv, inner, src).withColumn(v, e)
       case Join(l, r) =>
         joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, r, src), "inner")
+      case LeftJoin(l, Filter(r, cond)) =>
+        // OPTIONAL { … FILTER(e) } — same condition-vs-filter split as
+        // the generic plan, both sides carrying the graph var
+        val lc = compileGraphVar(gv, l, src)
+        val rc = compileGraphVar(gv, r, src)
+        val refs = attrNames(lc.sparkSession, cond)
+        if (refs.subsetOf(rc.columns.toSet)) joinOn(lc, rc.filter(cond), "left_outer")
+        else leftJoinWithCond(lc, rc, cond)
+      case LeftJoin(l, r) =>
+        joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, r, src), "left_outer")
+      case Minus(l, r) =>
+        joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, r, src), "minus")
+      case Exists(l, r) =>
+        joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, r, src), "left_semi")
+      case NotExists(l, r) =>
+        joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, r, src), "left_anti")
       case Union(l, r) =>
         compileGraphVar(gv, l, src)
           .unionByName(compileGraphVar(gv, r, src), allowMissingColumns = true)
-      // VALUES constrains solutions without graph membership — it
-      // joins in unscoped, like the generic plan
-      case v: Values => compile(v, src)
-      case other => sys.error(s"GRAPH ?$gv supports BGP/FILTER/BIND/JOIN/UNION/VALUES groups, got $other")
+      // VALUES is graph-independent, so §13.3 per-graph iteration makes
+      // its solutions hold in EVERY graph: join the graph keys in so
+      // ?g is always bound (compiling it unscoped left a null ?g when
+      // unioned with scoped branches)
+      case v: Values =>
+        val q = src.quads.getOrElse(sys.error(s"GRAPH ?$gv needs a quads source"))
+        val keys = q.select(col("g").as(gv)).distinct()
+        joinOn(compile(v, src), keys, "inner")
+      case Path(s, pe, o, sVar, oVar) => compileGraphVarPath(gv, s, pe, o, sVar, oVar, src)
+      case other => sys.error(s"GRAPH ?$gv supports BGP/FILTER/BIND/JOIN/OPTIONAL/MINUS/EXISTS/UNION/VALUES/path groups, got $other")
     }
+
+  /** Property path inside `GRAPH ?g` (§13.3 + §9.3: the path relation
+    * is evaluated WITHIN each named graph separately). Implementation:
+    * pack every node as a `(g, term)` struct at the leaf quad scans —
+    * a step edge never leaves its graph, so the SHARED closure /
+    * fixpoint machinery ([[transitiveClosure]]) computes all graphs'
+    * path relations independently in ONE distributed pass (no
+    * driver-side per-graph loop; at 100 TB the graph key just widens
+    * the shuffle key). Reference: AST2BOpUtility's graph-context
+    * propagation into ArbitraryLengthPathNode. */
+  private def compileGraphVarPath(gv: String, s: Term, pe: PathExpr, o: Term,
+                                  sVar: String, oVar: String,
+                                  src: TripleSource): DataFrame = {
+    def pack(df: DataFrame): DataFrame =
+      df.select(
+        struct(col("g").as("g"), col("s").as("n")).as("s"), col("p"),
+        struct(col("g").as("g"), col("o").as("n")).as("o"))
+    val packedSrc = new TripleSource {
+      lazy val triples: DataFrame =
+        pack(src.quadScan(TriplePattern(Var("s"), Var("p"), Var("o")), Var(gv)))
+      override def scan(tp: TriplePattern): DataFrame = {
+        // path leaves bind only the predicate (pathRel's contract);
+        // endpoint constants are applied below, on the packed relation
+        pack(src.quadScan(TriplePattern(Var("s"), tp.p, Var("o")), Var(gv)))
+      }
+      def fuseStar(patterns: Seq[TriplePattern],
+                   subjectTables: Option[Set[String]]): Option[DataFrame] = None
+    }
+    val rel = pathRel(pe, packedSrc) // (from, to) as (g, n) structs
+    val filt = Seq("from" -> s, "to" -> o).foldLeft(rel) {
+      case (df, (c, Const(v))) => df.filter(col(c).getField("n") === lit(v))
+      case (df, _)             => df
+    }
+    // both endpoints carry the same g by construction; bind ?g once
+    if (sVar == oVar)
+      filt.filter(col("from").getField("n") === col("to").getField("n"))
+        .select(col("from").getField("g").as(gv), col("from").getField("n").as(sVar))
+    else
+      filt.select(col("from").getField("g").as(gv),
+        col("from").getField("n").as(sVar), col("to").getField("n").as(oVar))
+  }
 
   /** The binary relation a path expression denotes, as (from, to).
     * Atomic steps come from per-predicate access paths (narrow branch

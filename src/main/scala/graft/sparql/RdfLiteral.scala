@@ -71,6 +71,13 @@ object RdfLiteral {
       .when(c.rlike("^[-+]?[0-9]*\\.[0-9]+$"), lit(XsdDecimal))
       .otherwise(lit(XsdString))
 
+  /** The explicit datatype IRI of a TYPED literal term form — the
+    * single extract every serializer shares (callers guard with
+    * [[isTyped]]). `(?s)` so a lexical form spanning newlines still
+    * yields its datatype instead of an empty string. */
+  def typedDatatypeOf(c: Column): Column =
+    regexp_extract(c, "(?s)^\".*\"\\^\\^(.*)$", 1)
+
   /** LANGMATCHES (§17.4.3.1 / RFC 4647 basic filtering): '*' matches
     * any non-empty tag; otherwise case-insensitive exact match or
     * range-prefix at a '-' boundary (`fr` matches `fr-CA`). */

@@ -161,13 +161,9 @@ object Update {
     }
     else {
       val pat = "^\\s*" + RTerm + "\\s+" + RTerm + "\\s+" + OTerm + "\\s*\\.\\s*$"
-      spark.read.text(path)
-        .select(regexp_extract(col("value"), pat, 1).as("rs"),
-                regexp_extract(col("value"), pat, 2).as("rp"),
-                regexp_extract(col("value"), pat, 3).as("ro"))
-        .filter(col("rs") =!= "")
-        .select(unwrapTerm(col("rs")).as("s"), unwrapTerm(col("rp")).as("p"),
-                unwrapTerm(col("ro")).as("o"))
+      val rows = lineStatements(spark, path, pat, "ntriples")
+      rows.select(fileScoped(unwrapTerm(col("t1"))).as("s"), unwrapTerm(col("t2")).as("p"),
+                  fileScoped(unwrapTerm(col("t3"))).as("o"))
     }
   }
 
@@ -177,15 +173,42 @@ object Update {
   def loadQuads(spark: org.apache.spark.sql.SparkSession, source: String): DataFrame = {
     val path = source.stripPrefix("file://")
     val pat = "^\\s*" + RTerm + "\\s+" + RTerm + "\\s+" + OTerm + "\\s+" + RTerm + "\\s*\\.\\s*$"
-    spark.read.text(path)
-      .select(regexp_extract(col("value"), pat, 1).as("rs"),
-              regexp_extract(col("value"), pat, 2).as("rp"),
-              regexp_extract(col("value"), pat, 3).as("ro"),
-              regexp_extract(col("value"), pat, 4).as("rg"))
-      .filter(col("rs") =!= "")
-      .select(unwrapTerm(col("rs")).as("s"), unwrapTerm(col("rp")).as("p"),
-              unwrapTerm(col("ro")).as("o"), unwrapTerm(col("rg")).as("g"))
+    val rows = lineStatements(spark, path, pat, "nquads")
+    rows.select(fileScoped(unwrapTerm(col("t1"))).as("s"), unwrapTerm(col("t2")).as("p"),
+                fileScoped(unwrapTerm(col("t3"))).as("o"),
+                fileScoped(unwrapTerm(col("t4"))).as("g"))
   }
+
+  /** Shared line-format scan: skips blank and `#`-comment lines, then
+    * FAILS LOUD on any remaining line the statement grammar does not
+    * match (a silent drop would be silent data loss at 100-TB ingest;
+    * SILENT LOAD still absorbs the error because it forces the read
+    * inside its own try). Emits capture groups `t1..tN`. */
+  private def lineStatements(spark: org.apache.spark.sql.SparkSession,
+                             path: String, pat: String, fmt: String): DataFrame = {
+    val groups = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+    val line = col("value")
+    spark.read.text(path)
+      .filter(trim(line) =!= "" && !trim(line).startsWith("#"))
+      .select((line +: (1 to groups).map(i =>
+        regexp_extract(line, pat, i).as(s"t$i"))): _*)
+      // the guard lives in a FILTER, not a projected column — a
+      // projection is pruned away by count()-style plans and the error
+      // would silently vanish with it
+      .filter(when(col("t1") === "", raise_error(concat(
+        lit(s"$fmt: unparseable line: "), line))).otherwise(lit(true)))
+  }
+
+  /** Blank-node labels in the line formats are document-scoped (RDF
+    * 1.1 §3.4) exactly like the whole-file parsers' [[graft.rdf.Scope]]:
+    * two .nt files both using `_:b1` must NOT alias. The scope key is
+    * a 64-bit hash of the input file name, evaluated in the scan task
+    * (before any shuffle), rendered 16-hex to match Scope.of's width
+    * so display normalization strips both the same way. */
+  private def fileScoped(c: Column): Column =
+    when(c.startsWith("_:"),
+      concat(lit("_:"), format_string("%016x", xxhash64(input_file_name())),
+        lit("-"), c.substr(lit(3), length(c)))).otherwise(c)
 
   /** Resource position: IRI or bnode label — labels admit `-`/`_`
     * (N-Triples PN_CHARS; the loaders' document-scoped labels are
@@ -202,9 +225,18 @@ object Update {
     val base = graft.sparql.Parser.Base
     def intern(x: Column): Column =
       when(x.startsWith(base), x.substr(lit(base.length + 1), length(x))).otherwise(x)
+    // Exact inverse of Serializer.escape: park escaped backslashes
+    // (`\\`) on a sentinel first so `\\n` (raw backslash + 'n' in the
+    // data) is NOT misread as a newline, decode the named escapes,
+    // then restore the sentinel as a single backslash. U+FFFF is a
+    // Unicode noncharacter (never valid interchange text), so it
+    // cannot collide with real data.
     def unesc(x: Column): Column =
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        x, "\\\\n", "\n"), "\\\\r", "\r"), "\\\\t", "\t"), "\\\\\"", "\"")
+      regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(x, "\\\\\\\\", "\uFFFF"),
+          "\\\\n", "\n"), "\\\\r", "\r"), "\\\\t", "\t"), "\\\\\"", "\""),
+        "\uFFFF", "\\\\")
     when(c.startsWith("<"), intern(c.substr(lit(2), length(c) - 2)))
       .when(c.startsWith("_:"), c)
       // "lex"@lang → tagged form with the lex unescaped

@@ -579,7 +579,8 @@ class EngineSpec extends AnyFunSuite {
   test("N-Triples/N-Quads export round-trips through LOAD") {
     import graft.rdf.Serializer
     // real view triples + every tricky term shape: tagged, typed,
-    // escaped literal, bnode, global IRI
+    // escaped literal, backslashes (raw `\`, two-char `\n` text,
+    // trailing `\`), bnode, global IRI
     val tri = TpchRdf.triplesFor(spark, SF, Seq("nation", "region"))
       .unionAll(Seq(
         ("x:1", "label", "\"chat\"@fr"),
@@ -587,11 +588,18 @@ class EngineSpec extends AnyFunSuite {
         ("x:1", "note", "say \"hi\"\nok"),
         ("x:1", "note2", "line1\rline2"),               // CR splits records if unescaped
         ("x:1", "tag2", "\"l1\nl2 \"q\"\"@en"),         // multiline+quoted TAGGED lexical form
+        ("x:1", "code", "a\\b raw\\nnot-nl"),           // raw backslash + literal 2-char \n text
+        ("x:1", "code2", "ends with backslash\\"),      // trailing \ must not eat the closing quote
+        ("x:1", "code3", "\"c:\\\\path\\n\"@en"),       // tagged lexical form full of backslashes
         ("x:1", "near", "_:b1"),
         ("x:1", "near2", "_:0123456789abcdef-gen1"),    // loader-scoped label shape
         ("x:1", "link", "http://example.org/a")).toDF("s", "p", "o"))
+    // reloading rescopes bnode labels to the source file — normalize
+    // by stripping ALL scope prefixes (the fixture's pre-scoped label
+    // gains a second, file-level prefix on reload)
+    def unscope(t: String) = t.replaceAll("^_:([0-9a-f]{16}-)+", "_:")
     def s3(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      df.collect().map(r => (unscope(r.getString(0)), r.getString(1), unscope(r.getString(2)))).toSet
     val dir = java.nio.file.Files.createTempDirectory("graft_nt").toString
     Serializer.toNTriples(tri).write.mode("overwrite").text(dir)
     assert(s3(graft.sparql.Update.loadTriples(spark, dir)) == s3(tri))
@@ -599,9 +607,32 @@ class EngineSpec extends AnyFunSuite {
     val qdir = java.nio.file.Files.createTempDirectory("graft_nq").toString
     Serializer.toNQuads(quads).write.mode("overwrite").text(qdir)
     val backQ = graft.sparql.Update.loadQuads(spark, qdir)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      .collect().map(r => (unscope(r.getString(0)), r.getString(1), unscope(r.getString(2)), r.getString(3))).toSet
     assert(backQ == quads.collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet)
+      .map(r => (unscope(r.getString(0)), r.getString(1), unscope(r.getString(2)), r.getString(3))).toSet)
+  }
+
+  test("line loaders: comments/blank lines skip, garbage fails loud, bnodes scope per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntl")
+    java.nio.file.Files.writeString(dir.resolve("a.nt"),
+      "# comment line\n\n<urn:graft:x:1> <urn:graft:p> _:b1 .\n_:b1 <urn:graft:q> \"v\" .\n")
+    java.nio.file.Files.writeString(dir.resolve("b.nt"),
+      "_:b1 <urn:graft:q> \"w\" .\n")
+    val back = graft.sparql.Update.loadTriples(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(back.length == 3)
+    // the two files' _:b1 labels must NOT alias (RDF 1.1 §3.4 scoping)
+    val labels = back.collect { case (s, _, _) if s.startsWith("_:") => s }.toSet
+    assert(labels.size == 2, s"cross-file bnode aliasing: $labels")
+    // within a file the label is stable across lines
+    val aScoped = back.collect { case (_, "p", o) => o }.head
+    assert(back.exists(t => t._1 == aScoped && t._3 == "v"))
+    // an unparseable (non-blank, non-comment) line is loud data loss
+    java.nio.file.Files.writeString(dir.resolve("c.nt"), "this is not a statement\n")
+    val ex = intercept[Exception] {
+      graft.sparql.Update.loadTriples(spark, dir.toString).count()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("Graft façade: update, query, graphs, load, export end-to-end") {
@@ -624,6 +655,15 @@ class EngineSpec extends AnyFunSuite {
     val g1 = g0.update("""DELETE DATA { GRAPH g:extra { x:2 label "cog" } }""")
     assert(g1.query("""SELECT ?s ?l WHERE { ?s label ?l }""").count() == 1)
     assert(g0.query("""SELECT ?s ?l WHERE { ?s label ?l }""").count() == 2)
+    // the union-default-graph merge is materialized ONCE per handle:
+    // a multi-pattern query's executed plan carries NO distinct
+    // aggregate (the checkpointed merge is scanned per pattern, the
+    // full-store distinct shuffle is not re-paid per scan)
+    val multiPlan = g0.query(
+      """SELECT ?s WHERE { ?s type ?t . ?s label ?l }""")
+      .queryExecution.executedPlan.toString
+    assert(!multiPlan.contains("HashAggregate"),
+      s"per-pattern merge distinct leaked into the plan:\n$multiPlan")
     // unionDefaultGraph=false: strictly the default graph, no merge
     val strict = g0.copy(unionDefaultGraph = false)
     assert(strict.query("""SELECT ?s ?l WHERE { ?s label ?l }""")
@@ -712,6 +752,35 @@ class EngineSpec extends AnyFunSuite {
     assert(c1.contains(""""near":[{"@id":"urn:graft:c:2"}]"""))
     def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{16}-", "_:")
     val back = JsonLd.parse(lines.mkString("[", ",", "]"))
+      .map { case (a, b, c) => (unscope(a), b, unscope(c)) }.toSet
+    assert(back == tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+  }
+
+  test("JSON-LD compacted export: prefix table, bare strings, round-trip") {
+    import graft.rdf.{JsonLd, Serializer}
+    val tri = Seq(
+      ("c:1", "type", "Customer"),
+      ("c:1", "name", "ann"),
+      ("c:1", "tag", "\"chat\"@fr"),
+      ("c:1", "size", "\"5\"^^http://www.w3.org/2001/XMLSchema#int"),
+      ("c:1", "near", "c:2"),
+      ("c:1", "link", "http://example.org/a"),
+      ("_:b1", "name", "anon")).toDF("s", "p", "o")
+    val lines = Serializer.toJsonLdCompact(tri).collect().map(_.getString(0))
+    val c1 = lines.find(_.contains("\"g:c:1\"")).get
+    // exact compacted fixture: every IRI position is a compact IRI,
+    // the plain literal is a bare string, '@' members sort first
+    assert(c1 ==
+      """{"@id":"g:c:1","@type":["g:Customer"],""" +
+      """"g:link":[{"@id":"http://example.org/a"}],"g:name":["ann"],""" +
+      """"g:near":[{"@id":"g:c:2"}],""" +
+      """"g:size":[{"@value":"5","@type":"xsd:int"}],""" +
+      """"g:tag":[{"@value":"chat","@language":"fr"}]}""")
+    // the @context-wrapped document expands back to exactly the input
+    val doc = "{\"@context\":" + Serializer.jsonLdContext() +
+      ",\"@graph\":[" + lines.mkString(",") + "]}"
+    def unscope(t: String) = t.replaceAll("^_:[0-9a-f]{16}-", "_:")
+    val back = JsonLd.parse(doc)
       .map { case (a, b, c) => (unscope(a), b, unscope(c)) }.toSet
     assert(back == tri.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
   }

@@ -700,8 +700,27 @@ class ParserSpec extends AnyFunSuite {
       ("_:gen1", "label", "inner"),
       ("t:3", "weight", "3.5"),
       ("t:3", "flag", "true")))
-    // unsupported constructs fail loud, never mis-parse
-    intercept[RuntimeException](graft.rdf.Turtle.parse("v:a v:b ( 1 2 ) ."))
+    // collections desugar to a doc-scoped rdf:first/rdf:rest chain
+    val coll = graft.rdf.Turtle.parse("<urn:graft:a> <urn:graft:b> ( 1 2 ) .")
+      .map(unscope3)
+    val first = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    val rest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+    val nil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+    assert(coll.toSet == Set(
+      ("a", "b", "_:gen1"),
+      ("_:gen1", first, "1"), ("_:gen1", rest, "_:gen2"),
+      ("_:gen2", first, "2"), ("_:gen2", rest, nil)))
+    assert(graft.rdf.Turtle.parse("<urn:graft:a> <urn:graft:b> ( ) .")
+      .map(unscope3) == Vector(("a", "b", nil)))
+    // triple-quoted long strings: raw newlines and quotes in content
+    val tq = graft.rdf.Turtle.parse(
+      "<urn:graft:a> <urn:graft:b> \"\"\"l1\nhas \"q\" marks\"\"\"@en .").map(unscope3)
+    assert(tq == Vector(("a", "b", "\"l1\nhas \"q\" marks\"@en")))
+    // unsupported/broken constructs still fail loud, never mis-parse
+    intercept[RuntimeException](
+      graft.rdf.Turtle.parse("<urn:graft:a> <urn:graft:b> \"unterminated ."))
+    intercept[RuntimeException](
+      graft.rdf.Turtle.parse("<urn:graft:a> <urn:graft:b> ( 1 2 ."))
   }
 
   test("LOAD .trig: GRAPH blocks carry labels, bare statements hit default") {
@@ -784,12 +803,53 @@ class ParserSpec extends AnyFunSuite {
     val nameN = TpchRdf.quads(spark, SF).filter(col("p") === "name").count()
     val segN = TpchRdf.quads(spark, SF).filter(col("p") === "mktsegment").count()
     assert(u.count() == nameN + segN)
-    // VALUES inside the block constrains solutions, graph-unscoped
+    // VALUES inside the block constrains solutions, ?g stays bound
     val v = run(
       """SELECT ?g ?s ?nm WHERE {
         |  GRAPH ?g { ?s name ?nm VALUES ?nm { "AFRICA" "ASIA" } }
         |}""".stripMargin)
     assert(v.collect().map(_.getString(2)).toSet == Set("AFRICA", "ASIA"))
+  }
+
+  test("GRAPH ?g groups: OPTIONAL/MINUS/paths evaluate per graph") {
+    import spark.implicits._
+    val q = Seq(
+      // g:a — chain x1 → x2 → x3, labels on x1/x2
+      ("x:1", "next", "x:2", "g:a"),
+      ("x:2", "next", "x:3", "g:a"),
+      ("x:1", "label", "one", "g:a"),
+      ("x:2", "label", "two", "g:a"),
+      // g:b — disjoint chain x3 → x4; x1 labeled but WITHOUT next here
+      ("x:3", "next", "x:4", "g:b"),
+      ("x:1", "label", "uno", "g:b")).toDF("s", "p", "o", "g")
+    val qsrc = new TripleSource {
+      lazy val triples = q.select("s", "p", "o")
+      override def quads = Some(q)
+      def fuseStar(patterns: Seq[TriplePattern],
+                   subjectTables: Option[Set[String]]): Option[org.apache.spark.sql.DataFrame] = None
+    }
+    def runQ(text: String) = Compiler.compile(Parser.parse(text), qsrc)
+    // p+ closes WITHIN each graph — x:1 never reaches x:4 (that hop is g:b)
+    val p = runQ("SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a next+ ?b } }")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(p == Set(
+      ("g:a", "x:1", "x:2"), ("g:a", "x:1", "x:3"), ("g:a", "x:2", "x:3"),
+      ("g:b", "x:3", "x:4")))
+    // OPTIONAL matches in the SAME graph only: x:1 has next in g:a, not g:b
+    val o = runQ("SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s label ?l OPTIONAL { ?s next ?t } } }")
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(o == Set(
+      ("g:a", "x:1", Some("x:2")), ("g:a", "x:2", Some("x:3")),
+      ("g:b", "x:1", None)))
+    // MINUS removes per graph: only g:b's x:1 lacks a next edge
+    val m = runQ("SELECT ?g ?s WHERE { GRAPH ?g { ?s label ?l MINUS { ?s next ?t } } }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(m == Set(("g:b", "x:1")))
+    // a VALUES branch under UNION binds ?g (one row per named graph)
+    val u = runQ("""SELECT ?g ?v WHERE { GRAPH ?g { { ?s label ?v } UNION { VALUES ?v { "zz" } } } }""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!u.exists(_._1 == null), s"null ?g leaked: ${u.toSeq}")
+    assert(u.count(_._2 == "zz") == 2 && u.length == 5)
   }
 
   test("RDF/XML parser: node elements, attrs, lang, datatype, nesting, li") {
@@ -840,7 +900,16 @@ class ParserSpec extends AnyFunSuite {
     intercept[RuntimeException](graft.rdf.RdfXml.parse(
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:v="urn:graft:">
         |<rdf:Description rdf:about="urn:graft:t:1">
-        |  <v:items rdf:parseType="Collection"/>
+        |  <v:items rdf:parseType="Literal"><b>x</b></v:items>
+        |</rdf:Description></rdf:RDF>""".stripMargin))
+    // untrusted-ingest hardening: any DOCTYPE (and thus XXE / entity
+    // expansion / local-file disclosure) is rejected outright
+    intercept[Exception](graft.rdf.RdfXml.parse(
+      """<?xml version="1.0"?>
+        |<!DOCTYPE rdf:RDF [<!ENTITY xxe SYSTEM "file:///etc/hostname">]>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:v="urn:graft:">
+        |<rdf:Description rdf:about="urn:graft:t:1">
+        |  <v:label>&xxe;</v:label>
         |</rdf:Description></rdf:RDF>""".stripMargin))
   }
 
@@ -848,7 +917,7 @@ class ParserSpec extends AnyFunSuite {
     import spark.implicits._
     // LOAD SILENT absorbs a PARSE failure (lazy inside the read task)
     val bad = java.nio.file.Files.createTempFile("graft_bad", ".ttl")
-    java.nio.file.Files.writeString(bad, "v:a v:b ( broken collection ) .")
+    java.nio.file.Files.writeString(bad, "v:a v:b \"unterminated literal .")
     val empty = graft.rdf.QuadStore(Seq.empty[(String, String, String, String)]
       .toDF("s", "p", "o", "g"))
     val silent = graft.sparql.Update.applyQuadsSeq(empty,
@@ -942,8 +1011,24 @@ class ParserSpec extends AnyFunSuite {
     // unsupported constructs fail loud, never mis-parse
     intercept[RuntimeException](graft.rdf.JsonLd.parse(
       """{"@context": "http://remote.example/ctx", "@id": "urn:graft:t:1"}"""))
+    // @list desugars to an rdf:first/rdf:rest chain (Turtle rule)
+    val lst = graft.rdf.JsonLd.parse(
+      """{"@id": "urn:graft:t:1", "urn:graft:items": {"@list": ["a"]}}""")
+      .map(unscope3).toSet
+    assert(lst == Set(
+      ("t:1", "items", "_:gen1"),
+      ("_:gen1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#first", "a"),
+      ("_:gen1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil")))
+    // @set is just its members (§6.11 unordered container)
+    assert(graft.rdf.JsonLd.parse(
+      """{"@id": "urn:graft:t:1", "urn:graft:items": {"@set": ["a", "b"]}}""").toSet ==
+      Set(("t:1", "items", "a"), ("t:1", "items", "b")))
+    // keyword containers with extra keys still fail loud
     intercept[RuntimeException](graft.rdf.JsonLd.parse(
-      """{"@id": "urn:graft:t:1", "urn:graft:items": {"@list": ["a"]}}"""))
+      """{"@id": "urn:graft:t:1", "urn:graft:items": {"@set": ["a"], "@id": "urn:x"}}"""))
+    intercept[RuntimeException](graft.rdf.JsonLd.parse(
+      """{"@id": "urn:graft:t:1", "urn:graft:items": {"@list": ["a"], "@id": "urn:x"}}"""))
     // a scoped @context on an inner node would change term meanings
     intercept[RuntimeException](graft.rdf.JsonLd.parse(
       """{"@graph": [{"@id": "urn:graft:t:1",

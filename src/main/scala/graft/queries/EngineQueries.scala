@@ -598,6 +598,7 @@ object EngineQueries {
           |      <rdf:Description rdf:about="urn:graft:t:1"/>
           |      <rdf:Description rdf:nodeID="b9"/>
           |    </v:items>
+          |    <v:doc rdf:parseType="Literal">x <b>y</b></v:doc>
           |  </rdf:Description>
           |</rdf:RDF>""".stripMargin)
       val ops = graft.sparql.Parser.parseUpdates(s"LOAD <file://$rdf> INTO GRAPH g:xml")
@@ -637,6 +638,11 @@ object EngineQueries {
           |      "v:weight": 3.5,
           |      "v:tags": {"@list": ["a", {"@value": "b", "@language": "en"}]},
           |      "v:empty": {"@list": []}
+          |    },
+          |    {
+          |      "@id": "urn:graft:g:sub",
+          |      "v:source": "crawl",
+          |      "@graph": [{"@id": "urn:graft:t:9", "label": "ng"}]
           |    }
           |  ]
           |}""".stripMargin)
@@ -665,7 +671,9 @@ object EngineQueries {
         |  ('_:gen2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '_:gen3'),
         |  ('_:gen3', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', '"b"@en'),
         |  ('_:gen3', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil'),
-        |  ('t:2', 'empty', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil')
+        |  ('t:2', 'empty', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil'),
+        |  ('g:sub', 'source', 'crawl'),
+        |  ('t:9', 'label', 'ng')
         |) AS t(s, p, o) ORDER BY s, p, o""".stripMargin,
 
     "load_rdfxml" ->
@@ -679,6 +687,7 @@ object EngineQueries {
         |  ('t:1', 'near', 't:2'),
         |  ('t:2', 'inner', '_:b7'),
         |  ('t:2', 'meta', '_:gen1'),
+        |  ('t:2', 'doc', '"x <b>y</b>"^^http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral'),
         |  ('t:2', 'items', '_:gen2'),
         |  ('_:gen2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 't:1'),
         |  ('_:gen2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '_:gen3'),

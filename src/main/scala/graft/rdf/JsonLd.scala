@@ -19,10 +19,14 @@ import scala.jdk.CollectionConverters._
   * bnodes when un-@id'd), `{"@list":[…]}` values (desugared to
   * rdf:first/rdf:rest chains, the Turtle-collection rule), and
   * `{"@set":[…]}` property values (a set is just its members —
-  * §6.11, the unordered container). Remote `@context` URLs and
-  * nested named `@graph`s fail loud rather than mis-parse. JSON
-  * parsing uses Jackson, already on Spark's classpath — no new
-  * dependency.
+  * §6.11, the unordered container). [[parseQuads]] additionally reads
+  * named-graph documents: a node object carrying `@id` + `@graph`
+  * names a graph whose member statements are the `@graph` array
+  * (JSON-LD 1.0 §6.13), and the node's OWN other properties are
+  * default-graph statements about the graph name — the expansion
+  * algorithm's dataset mapping. Remote `@context` URLs fail loud
+  * rather than mis-parse. JSON parsing uses Jackson, already on
+  * Spark's classpath — no new dependency.
   *
   * Scale: a JSON-LD document is one JSON value — not splittable — so
   * one file parses in one task, distributed ACROSS files (the Turtle /
@@ -33,30 +37,40 @@ object JsonLd {
 
   private val mapper = new ObjectMapper()
 
-  /** Parse one JSON-LD document to (s, p, o) term triples. */
+  /** Parse one JSON-LD document to (s, p, o) term triples (named
+    * graphs flattened away — LOAD INTO GRAPH targets one graph). */
   def parse(content: String): Vector[(String, String, String)] =
-    new Walk(Scope.of(content)).run(mapper.readTree(content))
+    parseQuads(content, "").map { case (s, p, o, _) => (s, p, o) }
+
+  /** Parse one JSON-LD document to (s, p, o, g) quads: top-level
+    * statements land in `defaultGraph`; a node object with `@id` +
+    * `@graph` contributes its `@graph` members under that graph name
+    * (§6.13) and its own other properties as default-graph statements
+    * about the name. */
+  def parseQuads(content: String, defaultGraph: String): Vector[(String, String, String, String)] =
+    new Walk(Scope.of(content), defaultGraph).run(mapper.readTree(content))
 
   /** `docScope` scopes every bnode label to the document (RDF 1.1
     * §3.4 — see [[Scope]]). */
-  private final class Walk(docScope: String) {
+  private final class Walk(docScope: String, defaultGraph: String) {
     private var bn = 0
     private var terms = Map.empty[String, String] // term -> IRI (or keyword alias)
     private var idTerms = Set.empty[String]       // terms coerced @type:@id
     private var vocab = ""
-    private val out = Vector.newBuilder[(String, String, String)]
+    private var curGraph = defaultGraph
+    private val out = Vector.newBuilder[(String, String, String, String)]
 
-    def run(root: JsonNode): Vector[(String, String, String)] = {
+    def run(root: JsonNode): Vector[(String, String, String, String)] = {
       if (root.isObject && root.has("@context")) context(root.get("@context"))
       val nodes: Seq[JsonNode] =
         if (root.isArray) root.elements().asScala.toSeq
-        else if (root.has("@graph")) {
-          // a root carrying @graph plus its own @id/properties is the
-          // named-graph document shape — dropping the root node's own
-          // statements would mis-parse silently, so fail loud
+        else if (root.has("@graph") && !root.has("@id")) {
+          // top-level @graph without @id = the default graph's nodes;
+          // with @id the root is itself a named-graph node object and
+          // falls through to nodeObject's @graph handling
           val extra = root.fieldNames().asScala.toSet -- Set("@context", "@graph")
           if (extra.nonEmpty)
-            fail(s"root node with @graph and own keys ${extra.mkString(",")} (named-graph document) is not supported")
+            fail(s"root node with @graph and non-@id keys ${extra.mkString(",")} is not supported")
           root.get("@graph").elements().asScala.toSeq
         }
         else Seq(root)
@@ -114,8 +128,16 @@ object JsonLd {
             // meanings — fail loud instead
             if (!isRoot) fail("scoped (non-root) @context is not supported")
           case "@type" =>
-            asArray(v).foreach(t => out += ((subj, "type", expand(t.asText()))))
-          case "@graph" => fail("nested named @graph is not supported")
+            asArray(v).foreach(t => out += ((subj, "type", expand(t.asText()), curGraph)))
+          case "@graph" =>
+            // named-graph node object (§6.13): members evaluate under
+            // the node's @id as graph name. One level only — a graph
+            // inside a graph has no RDF dataset meaning.
+            if (curGraph != defaultGraph) fail("doubly-nested @graph is not supported")
+            if (!n.has("@id")) fail("@graph on an un-@id'd inner node is not supported")
+            curGraph = subj
+            asArray(v).foreach(nodeObject(_))
+            curGraph = defaultGraph
           case "@list" | "@set" => fail(s"'$k' containers are not supported")
           case _ if k.startsWith("@") => fail(s"unsupported keyword '$k'")
           case _ =>
@@ -127,7 +149,7 @@ object JsonLd {
                 if (v.size() != 1) fail(s"@set object with extra keys $v")
                 v.get("@set")
               } else v
-            asArray(vv).foreach(item => out += ((subj, p, value(item, k))))
+            asArray(vv).foreach(item => out += ((subj, p, value(item, k), curGraph)))
         }
       }
       subj
@@ -166,9 +188,9 @@ object JsonLd {
       else {
         val nodes = items.map(_ => freshBnode())
         for (idx <- items.indices) {
-          out += ((nodes(idx), Turtle.RdfFirst, items(idx)))
+          out += ((nodes(idx), Turtle.RdfFirst, items(idx), curGraph))
           out += ((nodes(idx), Turtle.RdfRest,
-            if (idx == items.size - 1) Turtle.RdfNil else nodes(idx + 1)))
+            if (idx == items.size - 1) Turtle.RdfNil else nodes(idx + 1), curGraph))
         }
         nodes.head
       }

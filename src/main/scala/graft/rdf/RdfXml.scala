@@ -15,10 +15,10 @@ import org.w3c.dom.{Element, Node}
   * `rdf:parseType="Resource"`, property attributes, `rdf:datatype`
   * typed literals and inherited `xml:lang` tags (landing as the
   * [[graft.sparql.RdfLiteral]] term forms), `xml:base` resolution,
-  * container items `rdf:li` → `rdf:_n`, and `parseType="Collection"`
-  * (desugared to rdf:first/rdf:rest chains, §7.2.19).
-  * `parseType="Literal"` (XML literals) fails loud rather than
-  * mis-parse. Parsing uses the JDK's namespace-aware DOM — no
+  * container items `rdf:li` → `rdf:_n`, `parseType="Collection"`
+  * (desugared to rdf:first/rdf:rest chains, §7.2.19), and
+  * `parseType="Literal"` (XML literals → rdf:XMLLiteral typed terms,
+  * §7.2.17). Parsing uses the JDK's namespace-aware DOM — no
   * external dependency.
   *
   * Scale: XML is not splittable — one file parses in one task,
@@ -184,6 +184,24 @@ object RdfXml {
                 if (idx == items.size - 1) Turtle.RdfNil else nodes(idx + 1)))
             }
           }
+        case (Some("Literal"), _, _) =>
+          // RDF/XML §7.2.17: the element content is an XML literal —
+          // serialized markup as the lexical form, typed
+          // rdf:XMLLiteral. (Spec canonicalization is exclusive C14N;
+          // we serialize the DOM nodes directly — equal documents
+          // parse equal here, which is the contract queries need.)
+          val tf = javax.xml.transform.TransformerFactory.newInstance()
+          tf.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+          val t = tf.newTransformer()
+          t.setOutputProperty(javax.xml.transform.OutputKeys.OMIT_XML_DECLARATION, "yes")
+          val sw = new java.io.StringWriter()
+          val ns = pe.getChildNodes
+          (0 until ns.getLength).foreach { i =>
+            t.transform(new javax.xml.transform.dom.DOMSource(ns.item(i)),
+              new javax.xml.transform.stream.StreamResult(sw))
+          }
+          out += ((subj, p,
+            graft.sparql.RdfLiteral.typed(sw.toString, RdfNs + "XMLLiteral")))
         case (Some(other), _, _) =>
           fail(s"parseType=\"$other\" is not supported")
         case (None, Some(res), _) =>

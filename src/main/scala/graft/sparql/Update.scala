@@ -114,6 +114,17 @@ object Update {
               .flatMap(graft.rdf.Turtle.parseTrig(_, defaultGraph))
               .toDF("s", "p", "o", "g"))
             store.insertQuads(g.fold(q)(gg => q.withColumn("g", lit(gg))))
+          } else if (path.endsWith(".jsonld") && g.isEmpty) {
+            // JSON-LD named-graph documents (§6.13): named-graph node
+            // objects carry their labels, top-level statements land in
+            // the request's default graph. With INTO GRAPH the whole
+            // document is flattened into the target (the triples path
+            // below).
+            import spark.implicits._
+            val q = force(spark.read.option("wholetext", "true").textFile(path)
+              .flatMap(graft.rdf.JsonLd.parseQuads(_, defaultGraph))
+              .toDF("s", "p", "o", "g"))
+            store.insertQuads(q)
           } else store.insertData(g.getOrElse(defaultGraph),
             force(loadTriples(spark, src)))
         } catch { case e: Exception if silent => store }

@@ -896,11 +896,20 @@ class ParserSpec extends AnyFunSuite {
       ("q:1", "type", RdfNs + "Seq"),
       ("q:1", RdfNs + "_1", "one"),
       ("q:1", RdfNs + "_2", "two")))
-    // unsupported constructs fail loud, never mis-parse
+    // parseType="Literal" (§7.2.17): content markup becomes the
+    // lexical form of an rdf:XMLLiteral typed term — mixed text and
+    // elements serialize in document order
+    assert(graft.rdf.RdfXml.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:v="urn:graft:">
+        |<rdf:Description rdf:about="urn:graft:t:1">
+        |  <v:items rdf:parseType="Literal">plain <b>x</b></v:items>
+        |</rdf:Description></rdf:RDF>""".stripMargin).toSet ==
+      Set(("t:1", "items", "\"plain <b>x</b>\"^^" + RdfNs + "XMLLiteral")))
+    // unknown parseTypes still fail loud, never mis-parse
     intercept[RuntimeException](graft.rdf.RdfXml.parse(
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:v="urn:graft:">
         |<rdf:Description rdf:about="urn:graft:t:1">
-        |  <v:items rdf:parseType="Literal"><b>x</b></v:items>
+        |  <v:items rdf:parseType="Bogus"><b>x</b></v:items>
         |</rdf:Description></rdf:RDF>""".stripMargin))
     // untrusted-ingest hardening: any DOCTYPE (and thus XXE / entity
     // expansion / local-file disclosure) is rejected outright
@@ -931,9 +940,10 @@ class ParserSpec extends AnyFunSuite {
     intercept[RuntimeException](graft.rdf.RdfXml.parse(
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
         |<Thing rdf:about="urn:graft:t:1"/></rdf:RDF>""".stripMargin))
-    // root node object with @graph AND its own keys fails loud
+    // root node with @graph and non-@id keys (un-named graph document
+    // carrying stray statements) fails loud
     intercept[RuntimeException](graft.rdf.JsonLd.parse(
-      """{"@id": "urn:graft:g1", "urn:graft:name": "x", "@graph": []}"""))
+      """{"urn:graft:name": "x", "@graph": [{"@id": "urn:graft:t:1"}]}"""))
     // '_'-prefixed variables are reserved (SELECT * excludes them)
     intercept[IllegalArgumentException](
       Parser.parse("SELECT * WHERE { ?_s ?p ?o }"))
@@ -1033,6 +1043,57 @@ class ParserSpec extends AnyFunSuite {
     intercept[RuntimeException](graft.rdf.JsonLd.parse(
       """{"@graph": [{"@id": "urn:graft:t:1",
         |  "urn:graft:child": {"@context": {"x": "urn:other:"}, "@id": "urn:graft:t:2"}}]}""".stripMargin))
+  }
+
+  test("JSON-LD named graphs: @id+@graph nodes carry labels, LOAD lands quads") {
+    // named-graph node objects (§6.13): members under the node's @id,
+    // the node's own properties as default-graph statements about it
+    val doc =
+      """{
+        |  "@context": {"@vocab": "urn:graft:"},
+        |  "@graph": [
+        |    {"@id": "urn:graft:t:1", "label": "top"},
+        |    {
+        |      "@id": "urn:graft:g:one",
+        |      "source": "crawler",
+        |      "@graph": [
+        |        {"@id": "urn:graft:t:2", "label": "in-one",
+        |         "child": {"label": "nested"}}
+        |      ]
+        |    }
+        |  ]
+        |}""".stripMargin
+    def unscope4(t: (String, String, String, String)) = {
+      def u(x: String) = x.replaceAll("^_:[0-9a-f]{16}-", "_:")
+      (u(t._1), t._2, u(t._3), t._4)
+    }
+    val qs = graft.rdf.JsonLd.parseQuads(doc, "g:default").map(unscope4).toSet
+    assert(qs == Set(
+      ("t:1", "label", "top", "g:default"),
+      ("g:one", "source", "crawler", "g:default"),
+      ("t:2", "label", "in-one", "g:one"),
+      ("t:2", "child", "_:gen1", "g:one"),
+      ("_:gen1", "label", "nested", "g:one")))
+    // flattened triple view drops the graph dimension (LOAD INTO GRAPH)
+    assert(graft.rdf.JsonLd.parse(doc).length == 5)
+    // a graph inside a graph has no dataset meaning — fail loud
+    intercept[RuntimeException](graft.rdf.JsonLd.parseQuads(
+      """{"@id": "urn:graft:g:a", "@graph": [
+        |  {"@id": "urn:graft:g:b", "@graph": [{"@id": "urn:graft:t:9"}]}]}""".stripMargin,
+      "g:default"))
+    // bare LOAD routes named graphs to their labels; INTO GRAPH flattens
+    import spark.implicits._
+    val f = java.nio.file.Files.createTempFile("graft_ng", ".jsonld")
+    java.nio.file.Files.writeString(f, doc)
+    val empty = graft.rdf.QuadStore(Seq.empty[(String, String, String, String)]
+      .toDF("s", "p", "o", "g"))
+    val st = graft.sparql.Update.applyQuadsSeq(empty,
+      graft.sparql.Parser.parseUpdates(s"LOAD <file://$f>"))
+    assert(st.quads.filter(col("g") === "g:one").count() == 3)
+    assert(st.quads.filter(col("g") === "g:default").count() == 2)
+    val flat = graft.sparql.Update.applyQuadsSeq(empty,
+      graft.sparql.Parser.parseUpdates(s"LOAD <file://$f> INTO GRAPH g:all"))
+    assert(flat.quads.filter(col("g") === "g:all").count() == 5)
   }
 
   test("CONCAT keeps a shared language tag, drops mixed ones (§17.4.3.2)") {

@@ -51,11 +51,13 @@ object Bench {
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, sfDir).count() }
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          // a failed re-run must NOT masquerade as a fast timing —
+          // -1.0 is the documented error sentinel for the whole entry
+          try { SparkEntry.queries(name)(spark, sfDir).count()
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
         }
-        name -> times.min
+        name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }.toMap
     val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

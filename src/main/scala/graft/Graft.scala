@@ -30,6 +30,10 @@ final case class Graft(spark: SparkSession, store: QuadStore,
                        defaultGraph: String = "g:default",
                        unionDefaultGraph: Boolean = true) {
 
+  /** Set iff the union-default-graph merge view has been materialized
+    * for this handle (see [[release]]). */
+  @transient private[this] var mergedView: Option[DataFrame] = None
+
   private lazy val source: TripleSource = new TripleSource {
     // `unionDefaultGraph` mirrors the reference's quads-mode option
     // (BigdataSail UNION_DEFAULT_GRAPH, on by default there too):
@@ -43,10 +47,15 @@ final case class Graft(spark: SparkSession, store: QuadStore,
     // within one multi-pattern plan. Trade-off: scans filter the
     // materialized blocks instead of pushing predicates into parquet —
     // at 100 TB the once-per-handle shuffle beats a per-scan one.
-    lazy val triples: DataFrame =
-      if (unionDefaultGraph)
-        store.quads.select("s", "p", "o").distinct().localCheckpoint()
-      else store.graph(defaultGraph)
+    // memoized via `mergedView` (NOT a lazy val: release() drops the
+    // checkpoint blocks, so the next scan must re-materialize a fresh
+    // view rather than reuse a DataFrame over dropped blocks)
+    def triples: DataFrame =
+      if (unionDefaultGraph) mergedView.getOrElse {
+        val m = store.quads.select("s", "p", "o").distinct().localCheckpoint()
+        mergedView = Some(m)
+        m
+      } else store.graph(defaultGraph)
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = None
     override def quads: Option[DataFrame] = Some(store.quads)
@@ -57,9 +66,22 @@ final case class Graft(spark: SparkSession, store: QuadStore,
   def query(q: String): DataFrame = Compiler.compile(Parser.parse(q), source)
 
   /** SPARQL UPDATE request text (';'-separated ops, incl. graph
-    * management and LOAD) → updated handle. */
+    * management and LOAD) → updated handle. The superseded handle's
+    * materialized merge view (if any) stays live until GC or an
+    * explicit [[release]] — an update-then-query LOOP should release
+    * each superseded handle (or run `unionDefaultGraph = false`)
+    * rather than accumulate checkpoint blocks. */
   def update(q: String): Graft =
     copy(store = Update.applyQuadsSeq(store, Parser.parseUpdates(q), defaultGraph))
+
+  /** Drop this handle's materialized union-default-graph view from
+    * block storage (no-op if never materialized or already released).
+    * Queries on the handle remain valid — the next default-graph scan
+    * just re-materializes. */
+  def release(): Unit = {
+    mergedView.foreach(org.apache.spark.sql.graftshim.Shim.unpersistCheckpoint)
+    mergedView = None
+  }
 
   /** LOAD a serialized RDF document (format by extension). */
   def load(path: String, graph: Option[String] = None): Graft =

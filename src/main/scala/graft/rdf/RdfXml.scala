@@ -56,6 +56,16 @@ object RdfXml {
     private var bn = 0
     private val out = Vector.newBuilder[(String, String, String)]
 
+    /** One Transformer per document walk (factory lookup is service
+      * discovery — per-element construction would pay it N times). */
+    private lazy val xmlSerializer = {
+      val tf = javax.xml.transform.TransformerFactory.newInstance()
+      tf.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+      val t = tf.newTransformer()
+      t.setOutputProperty(javax.xml.transform.OutputKeys.OMIT_XML_DECLARATION, "yes")
+      t
+    }
+
     def run(root: Element): Vector[(String, String, String)] = {
       val base = Option(root.getAttribute("xml:base")).filter(_.nonEmpty).getOrElse("")
       val lang = Option(root.getAttribute("xml:lang")).filter(_.nonEmpty)
@@ -190,14 +200,10 @@ object RdfXml {
           // rdf:XMLLiteral. (Spec canonicalization is exclusive C14N;
           // we serialize the DOM nodes directly — equal documents
           // parse equal here, which is the contract queries need.)
-          val tf = javax.xml.transform.TransformerFactory.newInstance()
-          tf.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
-          val t = tf.newTransformer()
-          t.setOutputProperty(javax.xml.transform.OutputKeys.OMIT_XML_DECLARATION, "yes")
           val sw = new java.io.StringWriter()
           val ns = pe.getChildNodes
           (0 until ns.getLength).foreach { i =>
-            t.transform(new javax.xml.transform.dom.DOMSource(ns.item(i)),
+            xmlSerializer.transform(new javax.xml.transform.dom.DOMSource(ns.item(i)),
               new javax.xml.transform.stream.StreamResult(sw))
           }
           out += ((subj, p,

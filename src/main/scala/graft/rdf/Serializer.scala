@@ -166,13 +166,15 @@ object Serializer {
     * shape as [[toTurtle]]: shuffles on (s,p)/(s) then map-only
     * rendering, parallel across subjects. [[JsonLd.parse]] reads the
     * wrapped document back losslessly. */
+  /** A JSON string literal (quotes included) with real JSON escaping:
+    * to_json of a 1-element array, brackets stripped. Shared by both
+    * JSON-LD writers so literal rendering cannot diverge. */
+  private def jsonStr(c: Column): Column = {
+    val a = to_json(array(c))
+    a.substr(lit(2), length(a) - lit(2))
+  }
+
   def toJsonLd(triples: DataFrame): DataFrame = {
-    // a JSON string literal (quotes included) with real JSON escaping:
-    // to_json of a 1-element array, brackets stripped
-    def jsonStr(c: Column): Column = {
-      val a = to_json(array(c))
-      a.substr(lit(2), length(a) - lit(2))
-    }
     val c = col("o")
     val lit0 = graft.sparql.RdfLiteral
     val resRef = (t: Column) => when(t.startsWith("_:"), t).otherwise(iriOf(t))
@@ -222,10 +224,6 @@ object Serializer {
     * exactly the input triples. */
   def toJsonLdCompact(triples: DataFrame,
                       prefixes: Seq[(String, String)] = defaultPrefixes): DataFrame = {
-    def jsonStr(c: Column): Column = {
-      val a = to_json(array(c))
-      a.substr(lit(2), length(a) - lit(2))
-    }
     // compact IRI: longest namespace wins, bnodes pass, no-match keeps
     // the full IRI (JSON-LD needs no angle brackets, unlike Turtle)
     def compactIri(c: Column): Column = {

@@ -236,8 +236,11 @@ object Turtle {
     }
 
     /** Emit a collection's first/rest spine; returns its head node
-      * (rdf:nil when empty). Shared by the Turtle `( … )` form and the
-      * JSON-LD `@list` / RDF/XML `parseType="Collection"` desugars. */
+      * (rdf:nil when empty). The JSON-LD `@list` and RDF/XML
+      * `parseType="Collection"` walkers apply the SAME desugar rule
+      * against their own builders (each walker owns its bnode counter
+      * and output sink, so the spine loop is repeated per walker, not
+      * shared). */
     private def collection(items: Vector[String]): String =
       if (items.isEmpty) Turtle.RdfNil
       else {
@@ -270,10 +273,14 @@ object Turtle {
       val lex =
         if (s.startsWith("\"\"\"", i)) {
           // STRING_LITERAL_LONG_QUOTE [Turtle 1.1 22]: raw newlines and
-          // quotes allowed, content ends at the next unescaped `"""`
+          // quotes allowed; the grammar permits up to TWO quotes before
+          // the closing delimiter (longest match), so a `"""` run with
+          // a quote right after it is content-quote + still-open
           i += 3
           val sb = new StringBuilder
-          while (i < s.length && !s.startsWith("\"\"\"", i)) consumeChar(sb)
+          while (i < s.length &&
+                 !(s.startsWith("\"\"\"", i) && !(i + 3 < s.length && s(i + 3) == '"')))
+            consumeChar(sb)
           if (i >= s.length) fail("unterminated triple-quoted string")
           i += 3
           sb.toString

@@ -456,6 +456,10 @@ object Compiler {
       // evaluation is exactly "join on gv too"
       case Filter(inner, cond) => compileGraphVar(gv, inner, src).filter(cond)
       case Extend(inner, v, e) => compileGraphVar(gv, inner, src).withColumn(v, e)
+      // VALUES joined inside the block keeps §10.2 UNDEF compatibility
+      // (plain equality would drop every row an UNDEF should match)
+      case Join(l, v: Values) => valuesJoin(compileGraphVar(gv, l, src), v)
+      case Join(v: Values, r) => valuesJoin(compileGraphVar(gv, r, src), v)
       case Join(l, r) =>
         joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, r, src), "inner")
       case LeftJoin(l, Filter(r, cond)) =>
@@ -469,7 +473,17 @@ object Compiler {
       case LeftJoin(l, r) =>
         joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, r, src), "left_outer")
       case Minus(l, r) =>
-        joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, r, src), "minus")
+        // §13.3: the operands evaluate per graph with ?g as CONTEXT,
+        // not a solution var — so MINUS compatibility (§8.3) is judged
+        // on the pattern variables only. Operands sharing no pattern
+        // var remove nothing (the disjoint-domain rule; anti-joining
+        // on the always-common ?g would wrongly empty the block),
+        // while a genuine shared var anti-joins WITH ?g so right
+        // solutions only remove same-graph left solutions.
+        val lc = compileGraphVar(gv, l, src)
+        val rc = compileGraphVar(gv, r, src)
+        if ((lc.columns.toSet.intersect(rc.columns.toSet) - gv).isEmpty) lc
+        else joinOn(lc, rc, "minus")
       case Exists(l, r) =>
         joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, r, src), "left_semi")
       case NotExists(l, r) =>
@@ -521,13 +535,20 @@ object Compiler {
       case (df, (c, Const(v))) => df.filter(col(c).getField("n") === lit(v))
       case (df, _)             => df
     }
-    // both endpoints carry the same g by construction; bind ?g once
-    if (sVar == oVar)
-      filt.filter(col("from").getField("n") === col("to").getField("n"))
-        .select(col("from").getField("g").as(gv), col("from").getField("n").as(sVar))
-    else
-      filt.select(col("from").getField("g").as(gv),
-        col("from").getField("n").as(sVar), col("to").getField("n").as(oVar))
+    // both endpoints carry the same g by construction; bind ?g once.
+    // A repeated endpoint var — including one colliding with the
+    // graph var itself (`?s p+ ?g`) — is an equality constraint, never
+    // a duplicate output column.
+    val eq1 = if (sVar == oVar)
+      filt.filter(col("from").getField("n") === col("to").getField("n")) else filt
+    val eq2 = if (sVar == gv)
+      eq1.filter(col("from").getField("n") === col("from").getField("g")) else eq1
+    val eq3 = if (oVar == gv)
+      eq2.filter(col("to").getField("n") === col("to").getField("g")) else eq2
+    val cols = Seq(col("from").getField("g").as(gv)) ++
+      (if (sVar != gv) Seq(col("from").getField("n").as(sVar)) else Nil) ++
+      (if (oVar != gv && oVar != sVar) Seq(col("to").getField("n").as(oVar)) else Nil)
+    eq3.select(cols: _*)
   }
 
   /** The binary relation a path expression denotes, as (from, to).

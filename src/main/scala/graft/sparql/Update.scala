@@ -171,7 +171,7 @@ object Update {
         .toDF("s", "p", "o")
     }
     else {
-      val pat = "^\\s*" + RTerm + "\\s+" + RTerm + "\\s+" + OTerm + "\\s*\\.\\s*$"
+      val pat = "^\\s*" + RTerm + "\\s+" + RTerm + "\\s+" + OTerm + EolComment
       val rows = lineStatements(spark, path, pat, "ntriples")
       rows.select(fileScoped(unwrapTerm(col("t1"))).as("s"), unwrapTerm(col("t2")).as("p"),
                   fileScoped(unwrapTerm(col("t3"))).as("o"))
@@ -183,7 +183,7 @@ object Update {
     * each statement carrying its graph tag. */
   def loadQuads(spark: org.apache.spark.sql.SparkSession, source: String): DataFrame = {
     val path = source.stripPrefix("file://")
-    val pat = "^\\s*" + RTerm + "\\s+" + RTerm + "\\s+" + OTerm + "\\s+" + RTerm + "\\s*\\.\\s*$"
+    val pat = "^\\s*" + RTerm + "\\s+" + RTerm + "\\s+" + OTerm + "\\s+" + RTerm + EolComment
     val rows = lineStatements(spark, path, pat, "nquads")
     rows.select(fileScoped(unwrapTerm(col("t1"))).as("s"), unwrapTerm(col("t2")).as("p"),
                 fileScoped(unwrapTerm(col("t3"))).as("o"),
@@ -220,6 +220,12 @@ object Update {
     when(c.startsWith("_:"),
       concat(lit("_:"), format_string("%016x", xxhash64(input_file_name())),
         lit("-"), c.substr(lit(3), length(c)))).otherwise(c)
+
+  /** Statement tail: the terminating `.`, then optionally an
+    * end-of-line `#` comment (comments are whitespace in the
+    * N-Triples 1.1 grammar — rejecting them would refuse spec-valid
+    * files). Non-capturing, so `t1..tN` indices are unaffected. */
+  private val EolComment = """\s*\.\s*(?:#.*)?$"""
 
   /** Resource position: IRI or bnode label — labels admit `-`/`_`
     * (N-Triples PN_CHARS; the loaders' document-scoped labels are

@@ -33,4 +33,14 @@ object Shim {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
     case other => sys.error(s"expected an integer literal argument, got $other")
   }
+
+  /** Unpersist the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame (its plan is a `LogicalRDD` over the persisted RDD —
+    * `df.rdd.unpersist()` would target a NEW rdd, not those blocks).
+    * No-op for other plans. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

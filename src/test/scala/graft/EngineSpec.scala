@@ -627,6 +627,13 @@ class EngineSpec extends AnyFunSuite {
     // within a file the label is stable across lines
     val aScoped = back.collect { case (_, "p", o) => o }.head
     assert(back.exists(t => t._1 == aScoped && t._3 == "v"))
+    // an end-of-line comment after the '.' is spec-valid N-Triples
+    // (comments are whitespace) — it must parse, not raise
+    java.nio.file.Files.writeString(dir.resolve("d.nt"),
+      "<urn:graft:x:3> <urn:graft:q> \"say \\\"hi\\\"\" . # provenance \"note\"\n")
+    val withC = graft.sparql.Update.loadTriples(spark, (dir.resolve("d.nt")).toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(withC.toSeq == Seq(("x:3", "q", "say \"hi\"")))
     // an unparseable (non-blank, non-comment) line is loud data loss
     java.nio.file.Files.writeString(dir.resolve("c.nt"), "this is not a statement\n")
     val ex = intercept[Exception] {
@@ -664,6 +671,12 @@ class EngineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!multiPlan.contains("HashAggregate"),
       s"per-pattern merge distinct leaked into the plan:\n$multiPlan")
+    // release() drops the materialized merge blocks; a later query on
+    // the same handle re-materializes instead of failing on dropped
+    // checkpoint blocks
+    g0.release()
+    assert(g0.query("""SELECT ?s ?l WHERE { ?s label ?l }""").count() == 2)
+    g0.release()
     // unionDefaultGraph=false: strictly the default graph, no merge
     val strict = g0.copy(unionDefaultGraph = false)
     assert(strict.query("""SELECT ?s ?l WHERE { ?s label ?l }""")

@@ -716,6 +716,12 @@ class ParserSpec extends AnyFunSuite {
     val tq = graft.rdf.Turtle.parse(
       "<urn:graft:a> <urn:graft:b> \"\"\"l1\nhas \"q\" marks\"\"\"@en .").map(unscope3)
     assert(tq == Vector(("a", "b", "\"l1\nhas \"q\" marks\"@en")))
+    // longest-match closing: up to two content quotes may touch the
+    // closing delimiter ("""a"""" is content a", """a""""" is a"")
+    assert(graft.rdf.Turtle.parse("<urn:graft:a> <urn:graft:b> \"\"\"a\"\"\"\" .")
+      == Vector(("a", "b", "a\"")))
+    assert(graft.rdf.Turtle.parse("<urn:graft:a> <urn:graft:b> \"\"\"a\"\"\"\"\" .")
+      == Vector(("a", "b", "a\"\"")))
     // unsupported/broken constructs still fail loud, never mis-parse
     intercept[RuntimeException](
       graft.rdf.Turtle.parse("<urn:graft:a> <urn:graft:b> \"unterminated ."))
@@ -850,6 +856,23 @@ class ParserSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(!u.exists(_._1 == null), s"null ?g leaked: ${u.toSeq}")
     assert(u.count(_._2 == "zz") == 2 && u.length == 5)
+    // MINUS with NO shared pattern var removes nothing (§8.3 disjoint
+    // domains — ?g is evaluation context, not an operand var; an
+    // anti-join on ?g alone would wrongly empty every graph with edges)
+    val md = runQ("SELECT ?g ?s WHERE { GRAPH ?g { ?s label ?l MINUS { ?a next ?b } } }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(md == Set(("g:a", "x:1"), ("g:a", "x:2"), ("g:b", "x:1")))
+    // VALUES joined in-block keeps §10.2 UNDEF compatibility: the
+    // UNDEF row matches every solution instead of equality-nulling out
+    val vu = runQ(
+      """SELECT ?g ?s ?l WHERE { GRAPH ?g { ?s label ?l VALUES ?l { "one" UNDEF } } }""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(vu == Set(
+      ("g:a", "x:1", "one"), ("g:a", "x:2", "two"), ("g:b", "x:1", "uno")))
+    // a path endpoint REUSING the graph var is an equality constraint,
+    // not a duplicate ?g column (x:1 next+ reaches nothing named g:a)
+    val pg = runQ("SELECT ?g WHERE { GRAPH ?g { ?s next+ ?g } } ORDER BY ?g")
+    assert(pg.columns.toSeq == Seq("g") && pg.count() == 0)
   }
 
   test("RDF/XML parser: node elements, attrs, lang, datatype, nesting, li") {

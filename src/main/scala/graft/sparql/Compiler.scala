@@ -530,7 +530,40 @@ object Compiler {
       def fuseStar(patterns: Seq[TriplePattern],
                    subjectTables: Option[Set[String]]): Option[DataFrame] = None
     }
-    val rel = pathRel(pe, packedSrc) // (from, to) as (g, n) structs
+    // seeded evaluation when a closure endpoint is bound — the generic
+    // path compiler's rule (never materialize the full closure). The
+    // seed is the (g, const) packed node per GRAPH KEY for `p+` (a
+    // seed without edges in its graph just reaches nothing), and per
+    // graph MEMBERSHIP for the `p*` zero-length pairs (§9.3: a node
+    // self-relates only in graphs it is a term of).
+    def constNode(v: String): Column =
+      struct(col("node").getField("g").as("g"), lit(v).as("n"))
+    def graphKeySeed(v: String): DataFrame = {
+      val q = src.quads.getOrElse(sys.error(s"GRAPH ?$gv needs a quads source"))
+      q.select(col("g")).distinct()
+        .select(struct(col("g").as("g"), lit(v).as("n")).as("node"))
+    }
+    def memberSeed(v: String): DataFrame =
+      packedSrc.triples.select(col("s").as("node"))
+        .unionAll(packedSrc.triples.select(col("o").as("node")))
+        .filter(col("node").getField("n") === lit(v)).distinct()
+    val rel = (pe, s, o) match { // (from, to) as (g, n) structs
+      case (PathPlusE(x), Const(sv), _) =>
+        reachFrom(pathRel(x, packedSrc), graphKeySeed(sv), forward = true)
+          .select(constNode(sv).as("from"), col("node").as("to"))
+      case (PathPlusE(x), _, Const(ov)) =>
+        reachFrom(pathRel(x, packedSrc), graphKeySeed(ov), forward = false)
+          .select(col("node").as("from"), constNode(ov).as("to"))
+      case (PathStar(x), Const(sv), _) =>
+        reachFrom(pathRel(x, packedSrc), graphKeySeed(sv), forward = true)
+          .unionAll(memberSeed(sv)).distinct()
+          .select(constNode(sv).as("from"), col("node").as("to"))
+      case (PathStar(x), _, Const(ov)) =>
+        reachFrom(pathRel(x, packedSrc), graphKeySeed(ov), forward = false)
+          .unionAll(memberSeed(ov)).distinct()
+          .select(col("node").as("from"), constNode(ov).as("to"))
+      case _ => pathRel(pe, packedSrc)
+    }
     val filt = Seq("from" -> s, "to" -> o).foldLeft(rel) {
       case (df, (c, Const(v))) => df.filter(col(c).getField("n") === lit(v))
       case (df, _)             => df

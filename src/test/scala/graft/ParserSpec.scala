@@ -873,6 +873,21 @@ class ParserSpec extends AnyFunSuite {
     // not a duplicate ?g column (x:1 next+ reaches nothing named g:a)
     val pg = runQ("SELECT ?g WHERE { GRAPH ?g { ?s next+ ?g } } ORDER BY ?g")
     assert(pg.columns.toSeq == Seq("g") && pg.count() == 0)
+    // bound-endpoint closures inside GRAPH ?g evaluate SEEDED and
+    // still per graph: x:1's next+ reach is g:a-only (the g:b hop
+    // x:3→x:4 is another graph's edge)
+    val sp = runQ("SELECT ?g ?b WHERE { GRAPH ?g { <urn:graft:x:1> next+ ?b } }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sp == Set(("g:a", "x:2"), ("g:a", "x:3")))
+    // p* zero-length self-pair appears only in graphs the node is a
+    // term OF: x:4 occurs in g:b alone, with no outgoing edges
+    val st = runQ("SELECT ?g ?b WHERE { GRAPH ?g { <urn:graft:x:4> next* ?b } }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(st == Set(("g:b", "x:4")))
+    // reverse seeding: bound object
+    val so = runQ("SELECT ?g ?a WHERE { GRAPH ?g { ?a next+ <urn:graft:x:3> } }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(so == Set(("g:a", "x:1"), ("g:a", "x:2")))
   }
 
   test("RDF/XML parser: node elements, attrs, lang, datatype, nesting, li") {

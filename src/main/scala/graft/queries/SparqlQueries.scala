@@ -378,13 +378,15 @@ object SparqlQueries {
     // parsed text: SPARQL value functions, arithmetic, and IN
     "sparql_parsed_fns" -> ((s, dir) =>
       Compiler.compile(Parser.parse(
-        """SELECT ?p ?pname ?nlen ?ub ?pre ?dbl WHERE {
+        """SELECT ?p ?pname ?nlen ?ub ?pre ?dbl ?rnd WHERE {
           |  ?p name ?pname .
           |  ?p brand ?brand .
+          |  ?p retailprice ?rp .
           |  BIND(STRLEN(?pname) AS ?nlen)
           |  BIND(UCASE(?brand) AS ?ub)
           |  BIND(SUBSTR(?pname, 1, 4) AS ?pre)
           |  BIND(STRLEN(?pname) * 2 + 1 AS ?dbl)
+          |  BIND(ROUND(?rp) AS ?rnd)
           |  FILTER(STRLEN(?pname) > 7 && ?brand IN ("Brand#2", "Brand#19", "Brand#4"))
           |} ORDER BY ?p""".stripMargin),
         TpchRdf.source(s, dir))),
@@ -900,7 +902,8 @@ object SparqlQueries {
     "sparql_parsed_fns" ->
       """SELECT 'p:'||CAST(p_partkey AS VARCHAR) AS p, p_name AS pname,
         |  length(p_name) AS nlen, upper(p_brand) AS ub, substr(p_name, 1, 4) AS pre,
-        |  CAST(length(p_name) * 2 + 1 AS DOUBLE) AS dbl
+        |  CAST(length(p_name) * 2 + 1 AS DOUBLE) AS dbl,
+        |  CAST(floor(p_retailprice + 0.5) AS BIGINT) AS rnd
         |FROM part
         |WHERE length(p_name) > 7 AND p_brand IN ('Brand#2', 'Brand#19', 'Brand#4')
         |ORDER BY p""".stripMargin,

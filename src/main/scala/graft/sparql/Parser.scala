@@ -1119,7 +1119,7 @@ object Parser {
     /** SPARQL value-function names accepted in expressions (the text
       * face of FunctionRegistry; numeric ones operate on xsd-numeric
       * string terms via a double cast). */
-    private val numericFns = Set("STRLEN", "ABS", "CEIL", "FLOOR", "YEAR", "MONTH", "DAY",
+    private val numericFns = Set("STRLEN", "ABS", "CEIL", "FLOOR", "ROUND", "YEAR", "MONTH", "DAY",
       "HOURS", "MINUTES", "SECONDS", "RAND")
     private val valueFns = numericFns ++
       Set("UCASE", "LCASE", "STR", "SUBSTR", "CONCAT", "REPLACE", "IF", "COALESCE", "BOUND",
@@ -1127,7 +1127,7 @@ object Parser {
         "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
         "ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC", "ISBLANK",
         "LANG", "LANGMATCHES", "DATATYPE", "STRLANG", "STRDT",
-        "ENCODE_FOR_URI", "IRI", "URI", "BNODE", "TZ",
+        "ENCODE_FOR_URI", "IRI", "URI", "BNODE", "TZ", "TIMEZONE",
         "NOW", "UUID", "STRUUID")
 
     /** fn(args…) → Column. */
@@ -1153,6 +1153,10 @@ object Parser {
         case "ABS"      => abs(RdfLiteral.strOf(a(0)).cast("double"))
         case "CEIL"     => ceil(RdfLiteral.strOf(a(0)).cast("double")).cast("long")
         case "FLOOR"    => floor(RdfLiteral.strOf(a(0)).cast("double")).cast("long")
+        // §17.4.4.3 fn:round rounds ties toward POSITIVE infinity
+        // (-2.5 → -2), not away from zero — floor(x + 0.5) is exact
+        case "ROUND"    =>
+          floor(RdfLiteral.strOf(a(0)).cast("double") + lit(0.5)).cast("long")
         case "SUBSTR"   =>
           if (a.size >= 3) lexOp(_.substr(a(1).cast("int"), a(2).cast("int")))
           else lexOp(_.substr(a(1).cast("int"), lit(Int.MaxValue)))
@@ -1207,6 +1211,20 @@ object Parser {
         case "SECONDS" => second(to_timestamp(RdfLiteral.strOf(a(0))))
         // TZ: the literal's timezone designator, '' when absent
         case "TZ" => regexp_extract(RdfLiteral.strOf(a(0)), "(Z|[-+][0-9]{2}:[0-9]{2})$", 1)
+        // §17.4.5.7 TIMEZONE: the designator as an xsd:dayTimeDuration
+        // typed term ("-05:00" → "-PT5H", Z/+00:00 → "PT0S"); error
+        // (unbound) when the literal carries no timezone
+        case "TIMEZONE" =>
+          val tz = regexp_extract(RdfLiteral.strOf(a(0)), "(Z|[-+][0-9]{2}:[0-9]{2})$", 1)
+          val h = substring(tz, 2, 2).cast("int")
+          val m = substring(tz, 5, 2).cast("int")
+          val dur = when(tz === "Z" || (h === 0 && m === 0), lit("PT0S"))
+            .otherwise(concat(
+              when(tz.startsWith("-"), lit("-")).otherwise(lit("")), lit("PT"),
+              h.cast("string"), lit("H"),
+              when(m > 0, concat(m.cast("string"), lit("M"))).otherwise(lit(""))))
+          when(tz === "", lit(null)).otherwise(
+            RdfLiteral.strDt(dur, lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration")))
         // nondeterministic builtins (§17.4.1.3, §17.4.5.2, §17.4.2.10-11):
         // real values, excluded from the deterministic oracle set
         case "NOW"     => date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'")

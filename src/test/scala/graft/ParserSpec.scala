@@ -626,6 +626,29 @@ class ParserSpec extends AnyFunSuite {
     assert(r.getInt(5) == 14)
   }
 
+  test("ROUND ties toward +inf; TIMEZONE yields xsd:dayTimeDuration terms") {
+    val df = run(
+      """SELECT ?r1 ?r2 ?r3 ?t1 ?t2 ?t3 ?t4 WHERE {
+        |  ?r type "Region" . ?r name "ASIA" .
+        |  BIND(ROUND(2.5) AS ?r1)
+        |  BIND(ROUND(-2.5) AS ?r2)
+        |  BIND(ROUND(2.4999) AS ?r3)
+        |  BIND(TIMEZONE("2011-01-10T14:45:13.815-05:00") AS ?t1)
+        |  BIND(TIMEZONE("2011-01-10T14:45:13Z") AS ?t2)
+        |  BIND(TIMEZONE("2011-01-10T14:45:13+05:30") AS ?t3)
+        |  BIND(TIMEZONE("2011-01-10T14:45:13") AS ?t4)
+        |}""".stripMargin)
+    val r = df.collect().head
+    val dt = "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == -2L)  // fn:round ties toward POSITIVE infinity
+    assert(r.getLong(2) == 2L)
+    assert(r.getString(3) == "\"-PT5H\"^^" + dt)
+    assert(r.getString(4) == "\"PT0S\"^^" + dt)
+    assert(r.getString(5) == "\"PT5H30M\"^^" + dt)
+    assert(r.isNullAt(6))        // no designator → error → unbound
+  }
+
   test("string functions are tag-transparent (§17.4.3 argument rule)") {
     val df = run(
       """SELECT ?len ?up ?sub ?cont ?before ?rep WHERE {

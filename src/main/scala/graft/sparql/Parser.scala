@@ -369,9 +369,13 @@ object Parser {
       if (peekIs("ORDER")) {
         next(); expect("BY")
         val keys = Vector.newBuilder[Column]
-        while (peekIs("ASC") || peekIs("DESC") || peek.startsWith("?")) {
+        while (peekIs("ASC") || peekIs("DESC") || peek.startsWith("?") ||
+               (valueFns.contains(peek.toUpperCase) && peekAt(1) == "(")) {
           if (peekIs("ASC")) { next(); keys += parseBracketedExpr().asc }
           else if (peekIs("DESC")) { next(); keys += parseBracketedExpr().desc }
+          // bare expression order condition (grammar [24] OrderCondition
+          // admits a constraint/function call without ASC/DESC)
+          else if (!peek.startsWith("?")) keys += parseExpr().asc
           else keys += col(next().drop(1)).asc
         }
         child = OrderBy(child, keys.result())
@@ -449,7 +453,11 @@ object Parser {
 
     private def parseSelect(): Algebra = {
       expect("SELECT")
-      val distinct = if (peekIs("DISTINCT")) { next(); true } else false
+      // REDUCED permits ANY duplicate reduction between none and full
+      // (§15.3.1) — evaluating it as DISTINCT is a conforming choice
+      // and keeps results deterministic for the oracle
+      val distinct =
+        if (peekIs("DISTINCT") || peekIs("REDUCED")) { next(); true } else false
       val items = Vector.newBuilder[SelItem]
       var star = false
       while (!peekIs("WHERE") && !peekIs("FROM") && !peekIs("WITH")) {
@@ -525,10 +533,13 @@ object Parser {
       if (peekIs("ORDER")) {
         next(); expect("BY")
         val keys = Vector.newBuilder[Column]
-        while (peekIs("ASC") || peekIs("DESC") || peek.startsWith("?")) {
-          // ASC/DESC take a full bracketed expression, not just a var
+        while (peekIs("ASC") || peekIs("DESC") || peek.startsWith("?") ||
+               (valueFns.contains(peek.toUpperCase) && peekAt(1) == "(")) {
+          // ASC/DESC take a full bracketed expression, not just a var;
+          // a bare function call is also a legal OrderCondition ([24])
           if (peekIs("ASC")) { next(); keys += parseBracketedExpr().asc }
           else if (peekIs("DESC")) { next(); keys += parseBracketedExpr().desc }
+          else if (!peek.startsWith("?")) keys += parseExpr().asc
           else keys += col(next().drop(1)).asc
         }
         orderKeys = Some(keys.result())

@@ -82,6 +82,19 @@ class ParserSpec extends AnyFunSuite {
       BIND(?price AS ?band)
     } ORDER BY ?band LIMIT 5""")
     assert(df.count() == 5)
+    // REDUCED evaluates as full dedup (a conforming §15.3.1 choice)
+    val red = run("""SELECT REDUCED ?band WHERE {
+      ?p retailprice ?price .
+      BIND(?price AS ?band)
+    } ORDER BY ?band LIMIT 5""")
+    assert(red.collect().toSeq == df.collect().toSeq)
+  }
+
+  test("ORDER BY accepts bare function-call conditions (grammar [24])") {
+    val df = run(
+      """SELECT ?n WHERE { ?r type "Region" . ?r name ?n } ORDER BY STRLEN(?n) ?n""")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("ASIA", "AFRICA", "EUROPE", "AMERICA", "MIDDLE EAST"))
   }
 
   test("aggregates with GROUP BY and HAVING") {

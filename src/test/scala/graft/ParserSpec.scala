@@ -828,6 +828,66 @@ class ParserSpec extends AnyFunSuite {
     } finally graft.sparql.ServiceRegistry.unregisterRemote(ep)
   }
 
+  test("remote SERVICE over HTTP: loopback endpoint, W3C JSON round-trip") {
+    // a real SPARQL-protocol endpoint on 127.0.0.1 (JDK HttpServer, no
+    // egress): parse the POSTed query, evaluate, render W3C JSON —
+    // proving the FULL RemoteServiceCallImpl analog end to end: group
+    // text → HTTP POST → results JSON → term-form solutions
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sparql", new com.sun.net.httpserver.HttpHandler {
+      def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val q = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        assert(ex.getRequestHeaders.getFirst("Content-Type") == "application/sparql-query")
+        val sols = Compiler.compile(Parser.parse(q), src)
+        val lines = graft.rdf.Serializer.sparqlJsonBindings(sols)
+          .collect().map(_.getString(0))
+        val doc = graft.rdf.Serializer.sparqlJsonHead(sols.columns.toSeq) +
+          lines.mkString(",") + graft.rdf.Serializer.sparqlJsonFoot
+        val bytes = doc.getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/sparql-results+json")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    val ep = s"http://127.0.0.1:${server.getAddress.getPort}/sparql"
+    graft.sparql.RemoteService.register(spark, ep)
+    try {
+      // IRIs intern back to local names; tagged terms survive the wire
+      val df = run(
+        s"""SELECT ?r ?nm ?tag WHERE {
+           |  ?r type "Region" .
+           |  SERVICE <$ep> {
+           |    ?r name ?nm FILTER(STRSTARTS(?nm, "A"))
+           |    BIND(STRLANG(?nm, "en") AS ?tag)
+           |  }
+           |} ORDER BY ?nm""".stripMargin)
+      val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(got.map(_._2).toSeq == Seq("AFRICA", "AMERICA", "ASIA"))
+      assert(got.forall { case (r, nm, tag) =>
+        r.startsWith("r:") && tag == "\"" + nm + "\"@en" })
+      // typed terms survive too
+      val ty = run(
+        s"""SELECT ?t WHERE { SERVICE <$ep> {
+           |  ?r name ?nm FILTER(?nm = "ASIA")
+           |  BIND(STRDT(?nm, <http://www.w3.org/2001/XMLSchema#token>) AS ?t)
+           |} }""".stripMargin).collect().map(_.getString(0))
+      assert(ty.toSeq ==
+        Seq("\"ASIA\"^^http://www.w3.org/2001/XMLSchema#token"))
+      // an HTTP failure is a loud SERVICE error, not empty solutions
+      val dead = s"http://127.0.0.1:${server.getAddress.getPort}/nope"
+      graft.sparql.RemoteService.register(spark, dead)
+      try intercept[Exception] {
+        run(s"""SELECT ?x WHERE { SERVICE <$dead> { ?x name ?y } }""").collect()
+      } finally graft.sparql.ServiceRegistry.unregisterRemote(dead)
+    } finally {
+      graft.sparql.ServiceRegistry.unregisterRemote(ep)
+      server.stop(0)
+    }
+  }
+
   test("GRAPH ?g groups: FILTER/BIND/UNION compose with the graph var") {
     val df = run(
       """SELECT ?g ?s ?ln WHERE {

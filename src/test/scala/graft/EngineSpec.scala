@@ -642,6 +642,68 @@ class EngineSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("SPARQL protocol server: query forms, content types, update, federation") {
+    import graft.server.SparqlServer
+    val g0 = graft.Graft.empty(spark).update(
+      """INSERT DATA { x:1 type "Widget" . x:1 label "gear" . x:2 label "cog" }""")
+    val srv = new SparqlServer(g0).start()
+    val http = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String, ct: String, accept: String = "") = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(srv.address + path))
+        .header("Content-Type", ct)
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      if (accept.nonEmpty) b.header("Accept", accept)
+      http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      // SELECT → W3C JSON, parseable by the engine's own results reader
+      val sel = post("/sparql", """SELECT ?s ?l WHERE { ?s label ?l } ORDER BY ?l""",
+        "application/sparql-query")
+      assert(sel.statusCode() == 200)
+      assert(sel.headers().firstValue("Content-Type").get()
+        .startsWith("application/sparql-results+json"))
+      val back = graft.sparql.RemoteService.parseJsonResults(spark, sel.body())
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(back.toSeq == Seq(("x:2", "cog"), ("x:1", "gear")))
+      // GET + Accept: CSV
+      val q = java.net.URLEncoder.encode("SELECT ?l WHERE { x:1 label ?l }", "UTF-8")
+      val csv = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(srv.address + "/sparql?query=" + q))
+        .header("Accept", "text/csv").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(csv.body() == "l\r\ngear")
+      // ASK → boolean document
+      assert(post("/sparql", """ASK { x:1 type "Widget" }""",
+        "application/sparql-query").body() == """{"head":{},"boolean":true}""")
+      // CONSTRUCT → N-Triples
+      val nt = post("/sparql", """CONSTRUCT { ?s made ?l } WHERE { ?s label ?l }""",
+        "application/sparql-query")
+      assert(nt.headers().firstValue("Content-Type").get().startsWith("application/n-triples"))
+      assert(nt.body().split("\n").toSet == Set(
+        "<urn:graft:x:1> <urn:graft:made> \"gear\" .",
+        "<urn:graft:x:2> <urn:graft:made> \"cog\" ."))
+      // update → 204, visible to later queries (form-encoded variant)
+      val upd = post("/sparql/update",
+        "update=" + java.net.URLEncoder.encode(
+          """INSERT DATA { x:3 label "axle" }""", "UTF-8"),
+        "application/x-www-form-urlencoded")
+      assert(upd.statusCode() == 204)
+      val n = post("/sparql", """SELECT ?s WHERE { ?s label ?o }""",
+        "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, n.body()).count() == 3)
+      // federation: another engine SERVICEs this server over real HTTP
+      graft.sparql.RemoteService.register(spark, srv.address + "/sparql")
+      try {
+        val fed = graft.sparql.Compiler.compile(graft.sparql.Parser.parse(
+          s"""SELECT ?s ?l WHERE { SERVICE <${srv.address}/sparql> { ?s label ?l } } ORDER BY ?l"""),
+          TpchRdf.source(spark, SF))
+        assert(fed.collect().map(_.getString(1)).toSeq == Seq("axle", "cog", "gear"))
+      } finally graft.sparql.ServiceRegistry.unregisterRemote(srv.address + "/sparql")
+      // a malformed query is a 400, not a hung exchange
+      assert(post("/sparql", "SELEKT ?x", "application/sparql-query").statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("Graft façade: update, query, graphs, load, export end-to-end") {
     val g0 = graft.Graft.empty(spark).update(
       """INSERT DATA {

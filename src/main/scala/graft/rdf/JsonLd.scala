@@ -24,9 +24,16 @@ import scala.jdk.CollectionConverters._
   * names a graph whose member statements are the `@graph` array
   * (JSON-LD 1.0 §6.13), and the node's OWN other properties are
   * default-graph statements about the graph name — the expansion
-  * algorithm's dataset mapping. Remote `@context` URLs fail loud
-  * rather than mis-parse. JSON parsing uses Jackson, already on
-  * Spark's classpath — no new dependency.
+  * algorithm's dataset mapping. Remote `@context` URLs (string and
+  * array forms, §6.1 left-to-right combination) resolve through the
+  * OPT-IN [[setContextResolver]] hook — off by default (fetching URLs
+  * from an untrusted document is SSRF; same policy as the RDF/XML
+  * DOCTYPE ban) and fail loud when unregistered. The resolver is a
+  * per-JVM registration: set it on the driver for driver-side parses;
+  * a cluster LOAD of remote-context documents needs it registered in
+  * an executor plugin (or pre-expanded documents — the robust bulk
+  * path). JSON parsing uses Jackson, already on Spark's classpath —
+  * no new dependency.
   *
   * Scale: a JSON-LD document is one JSON value — not splittable — so
   * one file parses in one task, distributed ACROSS files (the Turtle /
@@ -36,6 +43,48 @@ import scala.jdk.CollectionConverters._
 object JsonLd {
 
   private val mapper = new ObjectMapper()
+
+  /** Remote `@context` resolution is OFF by default — fetching URLs
+    * while parsing an UNTRUSTED document is an SSRF vector (the same
+    * class the RDF/XML loader's DOCTYPE ban closes), so a bare URL
+    * context fails loud unless a resolver is registered explicitly.
+    * The resolver receives the context URL and returns its JSON text;
+    * [[httpResolver]] is the stock HTTP client for trusted pipelines.
+    * Resolved contexts cache per URL (web contexts are static
+    * documents; one fetch per executor JVM, not per file). */
+  @volatile private var contextResolver: Option[String => String] = None
+  private val contextCache = new java.util.concurrent.ConcurrentHashMap[String, com.fasterxml.jackson.databind.JsonNode]()
+
+  /** Register (or clear) the remote-context resolver. */
+  def setContextResolver(r: Option[String => String]): Unit = {
+    contextResolver = r
+    contextCache.clear()
+  }
+
+  /** Stock resolver: GET the context URL, accept application/ld+json. */
+  def httpResolver(timeoutMs: Int = 30000): String => String = { url =>
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+      .header("Accept", "application/ld+json, application/json")
+      .GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2, s"@context $url: HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** Resolve a remote context URL to its `@context` member (cached). */
+  private def resolveRemote(url: String): com.fasterxml.jackson.databind.JsonNode = {
+    val r = contextResolver.getOrElse(sys.error(
+      s"jsonld: remote @context '$url' — no resolver registered " +
+        "(JsonLd.setContextResolver; off by default against SSRF)"))
+    contextCache.computeIfAbsent(url, { u =>
+      val doc = mapper.readTree(r(u))
+      if (doc.has("@context")) doc.get("@context") else doc
+    })
+  }
 
   /** Parse one JSON-LD document to (s, p, o) term triples (named
     * graphs flattened away — LOAD INTO GRAPH targets one graph). */
@@ -81,7 +130,11 @@ object JsonLd {
     private def fail(msg: String): Nothing = sys.error(s"jsonld: $msg")
 
     private def context(ctx: JsonNode): Unit = {
-      if (!ctx.isObject) fail("remote/non-object @context is not supported")
+      // an array combines contexts left-to-right (JSON-LD 1.0 §6.1 —
+      // later definitions win); a string is a remote context URL
+      if (ctx.isArray) { ctx.elements().asScala.foreach(context); return }
+      if (ctx.isTextual) { context(resolveRemote(ctx.asText())); return }
+      if (!ctx.isObject) fail("non-object @context is not supported")
       ctx.fields().asScala.foreach { e =>
         val (term, v) = (e.getKey, e.getValue)
         if (term == "@vocab") vocab = v.asText()

@@ -1152,9 +1152,26 @@ class ParserSpec extends AnyFunSuite {
       ("t:1", "flag", "true"),
       ("t:1", "child", "_:gen1"),
       ("_:gen1", "label", "inner")))
-    // unsupported constructs fail loud, never mis-parse
+    // a remote @context with NO registered resolver fails loud (SSRF
+    // off-by-default policy), never mis-parses
     intercept[RuntimeException](graft.rdf.JsonLd.parse(
       """{"@context": "http://remote.example/ctx", "@id": "urn:graft:t:1"}"""))
+    // with a resolver registered, remote + inline contexts combine
+    // left-to-right (§6.1) and the remote document caches per URL
+    var fetches = 0
+    graft.rdf.JsonLd.setContextResolver(Some { url =>
+      fetches += 1
+      assert(url == "http://ctx.example/v1")
+      """{"@context": {"@vocab": "urn:graft:", "near": {"@id": "urn:graft:near", "@type": "@id"}}}"""
+    })
+    try {
+      val doc =
+        """{"@context": ["http://ctx.example/v1", {"label": "urn:graft:label"}],
+          |  "@id": "urn:graft:t:1", "label": "x", "near": "urn:graft:t:2"}""".stripMargin
+      assert(graft.rdf.JsonLd.parse(doc).toSet == Set(
+        ("t:1", "label", "x"), ("t:1", "near", "t:2")))
+      assert(graft.rdf.JsonLd.parse(doc).nonEmpty && fetches == 1) // cached re-parse
+    } finally graft.rdf.JsonLd.setContextResolver(None)
     // @list desugars to an rdf:first/rdf:rest chain (Turtle rule)
     val lst = graft.rdf.JsonLd.parse(
       """{"@id": "urn:graft:t:1", "urn:graft:items": {"@list": ["a"]}}""")

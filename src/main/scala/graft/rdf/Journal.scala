@@ -1,0 +1,237 @@
+package graft.rdf
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent, versioned quad store — the durable half the reference
+  * keeps in its Journal (com.bigdata.journal.AbstractJournal: an
+  * append-only write path that `commitNow` seals into immutable commit
+  * points, with read-only transactions served from any HISTORICAL
+  * commit point), re-expressed as a lakehouse commit log instead of a
+  * B+Tree write-ahead store:
+  *
+  * {{{
+  *   <dir>/segments/c<version>-adds.parquet   appended quad rows
+  *   <dir>/segments/c<version>-dels.parquet   tombstoned quad rows
+  *   <dir>/commits/<version>.json             commit record (atomic)
+  * }}}
+  *
+  * A [[commit]] only ever APPENDS parquet segments, then publishes the
+  * commit record with an atomic rename — readers either see the whole
+  * commit or none of it, and existing data is never rewritten (the
+  * 100-TB ingest contract: incremental load cost scales with the
+  * delta, not the store). Within one commit, deletes apply before
+  * inserts — SPARQL Update's DELETE/INSERT order (§3.1.3) — so
+  * delete+insert of the same quad leaves it present.
+  *
+  * [[snapshot]] resolves a version's state with the base segment kept
+  * OUT of the shuffle: only the delta actions since the last
+  * compaction go through a per-key latest-action argmax, and the base
+  * joins that (broadcast-sized under AQE when deltas are small) key
+  * set with one anti-join. [[compact]] rewrites the resolved state as
+  * a single base segment, so steady-state reads are a plain parquet
+  * scan (fast path: zero shuffles, plan-asserted in EngineSpec); the
+  * superseded segments stay on disk, which is what keeps every
+  * historical version readable — [[vacuum]] trades that history for
+  * space.
+  *
+  * Single-writer: two racing commits of the same version fail loud on
+  * the CREATE_NEW publish (the reference serializes writers through
+  * the journal's write lock; a lakehouse serializes through the log).
+  */
+final class Journal private (spark: SparkSession, dir: Path) {
+
+  import Journal._
+
+  /** Latest committed version (0 = the empty store [[Journal.create]]
+    * publishes). */
+  def version: Long = records.last.version
+
+  private def commitsDir = dir.resolve("commits")
+
+  private def records: Seq[Record] = {
+    val files = Journal.listDir(commitsDir)
+      .filter(_.getFileName.toString.endsWith(".json"))
+    require(files.nonEmpty, s"not a journal (no commit records): $dir")
+    files.map(readRecord).sortBy(_.version)
+  }
+
+  private def seg(rec: Record, suffix: String): Option[DataFrame] = {
+    val p = dir.resolve("segments").resolve(s"c${rec.version}-$suffix.parquet")
+    if (Files.exists(p)) Some(spark.read.parquet(p.toString).select(COLS.map(col): _*))
+    else None
+  }
+
+  /** The store's state at `v` (default: latest) as a duplicate-free
+    * (s,p,o,g) DataFrame — safe to hand straight to [[QuadStore]]'s
+    * set-invariant constructor. */
+  def snapshot(v: Long = -1L): DataFrame = {
+    val recs = records
+    val at = if (v < 0) recs.last.version else v
+    require(recs.exists(_.version == at), s"no commit point $at in $dir")
+    val visible = recs.filter(_.version <= at)
+    // Resolution restarts at the last compaction ≤ at: its base segment
+    // is the full state then, so earlier segments are irrelevant.
+    val baseVer = visible.filter(_.compacted).map(_.version).max
+    val base = seg(visible.find(_.version == baseVer).get, "adds")
+    val deltas = visible.filter(_.version > baseVer)
+
+    val acts = deltas.flatMap { r =>
+      // add outranks delete at equal version (deletes apply first)
+      seg(r, "dels").map(_.withColumn("seq", lit(r.version * 2))) ++
+        seg(r, "adds").map(_.withColumn("seq", lit(r.version * 2 + 1)))
+    }
+    if (acts.isEmpty) base.getOrElse(emptyQuads(spark))
+    else {
+      val resolved = acts.reduce(_ unionAll _)
+        .groupBy(COLS.map(col): _*).agg(max(col("seq")).as("seq"))
+      val live = resolved.filter(col("seq") % 2 === 1).select(COLS.map(col): _*)
+      base match {
+        case None    => live
+        case Some(b) => b.join(resolved, COLS, "left_anti").unionAll(live)
+      }
+    }
+  }
+
+  /** Append a commit: `dels` tombstones apply first, then `adds`
+    * (deduped; inserting an already-present quad is idempotent under
+    * resolution). Returns the new version. Either side may be empty —
+    * empty sides write no segment. */
+  def commit(adds: DataFrame, dels: DataFrame): Long =
+    commitWith(adds, dels, None)
+
+  private def commitWith(adds: DataFrame, dels: DataFrame,
+                         batchId: Option[Long]): Long = {
+    val next = version + 1
+    def writeSeg(df: DataFrame, suffix: String): Unit = {
+      val rows = df.select(COLS.map(col): _*).distinct()
+      if (!rows.isEmpty)
+        rows.write.mode("errorifexists")
+          .parquet(dir.resolve("segments").resolve(s"c$next-$suffix.parquet").toString)
+    }
+    writeSeg(dels, "dels")
+    writeSeg(adds, "adds")
+    publish(Record(next, compacted = false, batchId))
+    next
+  }
+
+  /** Convenience: insert-only commit. */
+  def append(adds: DataFrame): Long = commit(adds, emptyQuads(spark))
+
+  /** Structured Streaming sink body — use from `foreachBatch`:
+    * {{{ quads.writeStream.foreachBatch(journal.sinkBatch _).start() }}}
+    * Exactly-once through the commit log itself: the micro-batch id is
+    * recorded on the commit record, and a REPLAYED batch (Spark
+    * re-runs the last batch after failure recovery) is recognized and
+    * skipped — the same idempotent-sink contract a lakehouse
+    * `txnAppId/txnVersion` write carries. */
+  def sinkBatch(adds: DataFrame, batchId: Long): Unit =
+    // empty batches (e.g. a trigger's finalization batch) commit
+    // nothing — skipping them is idempotent too, so they need no
+    // batch-id record
+    if (!records.exists(_.batchId.contains(batchId)) && !adds.isEmpty) {
+      commitWith(adds, emptyQuads(spark), Some(batchId))
+      ()
+    }
+
+  /** Materialize the current state as a single base segment and seal it
+    * as a new compacted commit point: subsequent [[snapshot]]s of it
+    * are one parquet scan, zero shuffles. History stays readable. */
+  def compact(): Long = {
+    val next = version + 1
+    val snap = snapshot()
+    if (!snap.isEmpty)
+      snap.write.mode("errorifexists")
+        .parquet(dir.resolve("segments").resolve(s"c$next-adds.parquet").toString)
+    publish(Record(next, compacted = true))
+    next
+  }
+
+  /** Drop every segment superseded by the latest compaction — the
+    * space-for-history trade. Historical versions BEFORE that
+    * compaction become unreadable; their commit records are removed
+    * too so a stale read fails loud rather than resolving wrong. */
+  def vacuum(): Unit = {
+    val recs = records
+    val baseVer = recs.filter(_.compacted).map(_.version).max
+    recs.filter(r => r.version < baseVer).foreach { r =>
+      Seq("adds", "dels").foreach { sfx =>
+        val p = dir.resolve("segments").resolve(s"c${r.version}-$sfx.parquet")
+        if (Files.exists(p)) deleteRecursively(p)
+      }
+      Files.deleteIfExists(commitsDir.resolve(s"${r.version}.json"))
+    }
+  }
+
+  private def publish(rec: Record): Unit = {
+    val tmp = Files.createTempFile(commitsDir, ".publish", ".tmp")
+    val batch = rec.batchId.map(b => s""","batchId":$b""").getOrElse("")
+    Files.write(tmp,
+      s"""{"version":${rec.version},"compacted":${rec.compacted}$batch}"""
+        .getBytes(StandardCharsets.UTF_8))
+    // CREATE_NEW via failing move: a concurrent writer publishing the
+    // same version loses loudly instead of silently overwriting.
+    val target = commitsDir.resolve(s"${rec.version}.json")
+    if (Files.exists(target)) {
+      Files.delete(tmp)
+      throw new IllegalStateException(
+        s"concurrent commit: version ${rec.version} already published in $dir")
+    }
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readRecord(p: Path): Record = {
+    val node = mapper.readTree(Files.readAllBytes(p))
+    Record(node.get("version").asLong(), node.get("compacted").asBoolean(),
+      Option(node.get("batchId")).map(_.asLong()))
+  }
+}
+
+object Journal {
+
+  private val COLS = Seq("s", "p", "o", "g")
+  private val mapper = new ObjectMapper()
+
+  private final case class Record(version: Long, compacted: Boolean,
+                                  batchId: Option[Long] = None)
+
+  private def emptyQuads(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String, String)].toDF(COLS: _*)
+  }
+
+  /** Initialize an empty journal at `dir` (must not already hold one):
+    * publishes the empty compacted commit 0. */
+  def create(spark: SparkSession, dir: String): Journal = {
+    val root = Paths.get(dir)
+    val commits = root.resolve("commits")
+    require(!Files.exists(commits) || listDir(commits).isEmpty,
+      s"journal already exists at $dir")
+    Files.createDirectories(commits)
+    Files.createDirectories(root.resolve("segments"))
+    val j = new Journal(spark, root)
+    j.publish(Record(0, compacted = true))
+    j
+  }
+
+  /** Open an existing journal. */
+  def open(spark: SparkSession, dir: String): Journal = {
+    val root = Paths.get(dir)
+    require(Files.exists(root.resolve("commits")), s"no journal at $dir")
+    new Journal(spark, root)
+  }
+
+  private def listDir(p: Path): Seq[Path] = {
+    val stream = Files.list(p)
+    try stream.toArray.toSeq.asInstanceOf[Seq[Path]] finally stream.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rdf.{Journal, QuadStore}
+
+class JournalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def quads(rows: (String, String, String, String)*) =
+    rows.toDF("s", "p", "o", "g")
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_journal").toString
+
+  test("commit points accumulate; snapshot reads any historical version") {
+    val j = Journal.create(spark, tmp())
+    assert(j.version == 0 && rowsOf(j.snapshot()).isEmpty)
+    j.append(quads(("a", "p", "1", "g"), ("b", "p", "2", "g")))
+    j.commit(
+      adds = quads(("c", "p", "3", "g")),
+      dels = quads(("a", "p", "1", "g")))
+    assert(j.version == 2)
+    assert(rowsOf(j.snapshot(0)).isEmpty)
+    assert(rowsOf(j.snapshot(1)) ==
+      Set(("a", "p", "1", "g"), ("b", "p", "2", "g")))
+    assert(rowsOf(j.snapshot()) ==
+      Set(("b", "p", "2", "g"), ("c", "p", "3", "g")))
+  }
+
+  test("delete+insert of the same quad in one commit leaves it present (SPARQL order)") {
+    val j = Journal.create(spark, tmp())
+    j.append(quads(("x", "p", "1", "g")))
+    j.commit(adds = quads(("x", "p", "1", "g")), dels = quads(("x", "p", "1", "g")))
+    assert(rowsOf(j.snapshot()) == Set(("x", "p", "1", "g")))
+    // and a later lone delete really removes it, then a re-add revives it
+    j.commit(adds = quads(), dels = quads(("x", "p", "1", "g")))
+    assert(rowsOf(j.snapshot()).isEmpty)
+    j.append(quads(("x", "p", "1", "g")))
+    assert(rowsOf(j.snapshot()) == Set(("x", "p", "1", "g")))
+  }
+
+  test("duplicate adds across commits resolve to one row (set semantics)") {
+    val j = Journal.create(spark, tmp())
+    j.append(quads(("a", "p", "1", "g"), ("a", "p", "1", "g")))
+    j.append(quads(("a", "p", "1", "g")))
+    assert(j.snapshot().count() == 1)
+    // safe to hand to QuadStore's set-invariant constructor
+    assert(QuadStore(j.snapshot()).graphs.count() == 1)
+  }
+
+  test("compact seals a fast path: snapshot of a compacted head is shuffle-free") {
+    val j = Journal.create(spark, tmp())
+    j.append(quads(("a", "p", "1", "g"), ("b", "p", "2", "g")))
+    j.commit(adds = quads(("c", "q", "3", "h")), dels = quads(("a", "p", "1", "g")))
+    val before = rowsOf(j.snapshot())
+    val cv = j.compact()
+    assert(rowsOf(j.snapshot()) == before)
+    val plan = j.snapshot(cv).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compacted snapshot should be a bare scan:\n$plan")
+    // history before the compaction still resolves
+    assert(rowsOf(j.snapshot(1)) == Set(("a", "p", "1", "g"), ("b", "p", "2", "g")))
+    // deltas after the compaction resolve against the base via anti-join
+    j.append(quads(("d", "p", "4", "g")))
+    assert(rowsOf(j.snapshot()) == before + (("d", "p", "4", "g")))
+    val deltaPlan = j.snapshot().queryExecution.executedPlan.toString
+    assert(deltaPlan.contains("LeftAnti"), s"base should merge via anti-join:\n$deltaPlan")
+  }
+
+  test("vacuum drops pre-compaction history loudly, keeps the head readable") {
+    val j = Journal.create(spark, tmp())
+    j.append(quads(("a", "p", "1", "g")))
+    j.commit(adds = quads(("b", "p", "2", "g")), dels = quads(("a", "p", "1", "g")))
+    j.compact()
+    j.vacuum()
+    assert(rowsOf(j.snapshot()) == Set(("b", "p", "2", "g")))
+    intercept[IllegalArgumentException](j.snapshot(1).collect())
+  }
+
+  test("sinkBatch is exactly-once: a replayed micro-batch id commits nothing") {
+    val j = Journal.create(spark, tmp())
+    j.sinkBatch(quads(("a", "p", "1", "g")), batchId = 0L)
+    assert(j.version == 1)
+    // Spark replays the in-flight batch after failure recovery
+    j.sinkBatch(quads(("a", "p", "1", "g")), batchId = 0L)
+    assert(j.version == 1)
+    j.sinkBatch(quads(("b", "p", "2", "g")), batchId = 1L)
+    assert(j.version == 2 && j.snapshot().count() == 2)
+  }
+
+  test("streaming ingest: readStream -> foreachBatch lands micro-batches as commits") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft_jstream")
+    // two files -> two micro-batches at maxFilesPerTrigger=1
+    quads(("a", "p", "1", "g")).coalesce(1).write.parquet(s"$in/f0.parquet")
+    quads(("b", "p", "2", "g"), ("a", "p", "1", "g")).coalesce(1)
+      .write.parquet(s"$in/f1.parquet")
+    val j = Journal.create(spark, tmp())
+    val q = spark.readStream.schema(quads().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
+      .writeStream.foreachBatch(j.sinkBatch _)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(j.version == 2)
+    assert(rowsOf(j.snapshot()) == Set(("a", "p", "1", "g"), ("b", "p", "2", "g")))
+  }
+
+  test("open() reattaches; create() on an existing journal and version races fail loud") {
+    val dir = tmp()
+    val j = Journal.create(spark, dir)
+    j.append(quads(("a", "p", "1", "g")))
+    val j2 = Journal.open(spark, dir)
+    assert(j2.version == 1 && rowsOf(j2.snapshot()) == Set(("a", "p", "1", "g")))
+    intercept[IllegalArgumentException](Journal.create(spark, dir))
+    // a racing writer's half-landed segment for the next version makes
+    // the errorifexists append fail loud instead of overwriting
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "segments", "c2-adds.parquet"))
+    intercept[Exception](j.append(quads(("b", "p", "2", "g"))))
+  }
+}

@@ -121,6 +121,90 @@ object Geo {
       .filter(col("dist_km") <= radiusKm)
   }
 
+  /** 10-bit quantization of an epoch-time coordinate into [0, 1023]
+    * over the corpus' configured time domain — the reference's
+    * geospatial datatypes carry their per-dimension schema in config
+    * (GeoSpatial.java datatype declarations). */
+  def quantizeTime(t: Column, tMin: Long, tMax: Long): Column =
+    least(lit(1023L), greatest(lit(0L),
+      floor((t - lit(tMin)).cast("double") / lit((tMax - tMin + 1).toDouble)
+        * lit(1024.0)).cast("long")))
+
+  /** 30-bit Morton interleave of quantized (lat, lon, time) — the
+    * reference's DEFAULT geospatial datatype is lat-lon-TIME
+    * (com/bigdata/service/geospatial/GeoSpatial.java built-in
+    * lat-lon-time literal): 10 bits per dimension, lat highest. */
+  def zOrder3(lat: Column, lon: Column, t: Column,
+              tMin: Long, tMax: Long): Column = {
+    val ly = shiftright(quantize(lat, -90.0, 90.0), 6)   // 16 -> 10 bits
+    val lx = shiftright(quantize(lon, -180.0, 180.0), 6)
+    val lt = quantizeTime(t, tMin, tMax)
+    (0 until 10).map { i =>
+      shiftright(ly, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i + 2)) +
+        shiftright(lx, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i + 1)) +
+        shiftright(lt, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i))
+    }.reduce(_ + _)
+  }
+
+  /** Coarse spatiotemporal z-cell: top `bits` of the 30-bit key
+    * (`bits` divisible by 3 — one share per dimension). */
+  def zCell3(lat: Column, lon: Column, t: Column,
+             tMin: Long, tMax: Long, bits: Int = 12): Column =
+    shiftright(zOrder3(lat, lon, t, tMin, tMax), 30 - bits)
+
+  /** Covering cells of a (bbox × time-range) block at `bits`
+    * granularity — monotone quantization per axis, so the cube of
+    * cells spanned by the quantized corners covers every inside
+    * point; driver-side enumeration like [[coveringCells]]. */
+  def coveringCells3(latMin: Double, latMax: Double,
+                     lonMin: Double, lonMax: Double,
+                     t0: Long, t1: Long, tMin: Long, tMax: Long,
+                     bits: Int = 12): Seq[Long] = {
+    require(bits > 0 && bits % 3 == 0 && bits <= 30,
+      s"bits must be divisible by 3 in (0,30], got $bits")
+    val per = bits / 3
+    def q(v: Double, mn: Double, mx: Double): Long =
+      math.min(65535L, math.max(0L, math.floor((v - mn) / (mx - mn) * 65536.0).toLong)) >> 6
+    def qt(t: Long): Long =
+      math.min(1023L, math.max(0L,
+        math.floor((t - tMin).toDouble / (tMax - tMin + 1).toDouble * 1024.0).toLong))
+    val shift = 10 - per
+    val (y0, y1) = (q(latMin, -90, 90) >> shift, q(latMax, -90, 90) >> shift)
+    val (x0, x1) = (q(lonMin, -180, 180) >> shift, q(lonMax, -180, 180) >> shift)
+    // clamp query bounds into the declared domain BEFORE quantizing:
+    // avoids Long overflow on open-ended (MinValue/MaxValue) bounds,
+    // and keeps the edge cells (where out-of-domain points clamp to)
+    // in the enumeration so the exact verify still sees them
+    def clampT(t: Long) = math.min(math.max(t, tMin), tMax)
+    val (w0, w1) = (qt(clampT(t0)) >> shift, qt(clampT(t1)) >> shift)
+    def interleave(y: Long, x: Long, w: Long): Long =
+      (0 until per).map { i =>
+        (((y >> i) & 1L) << (3 * i + 2)) | (((x >> i) & 1L) << (3 * i + 1)) |
+          (((w >> i) & 1L) << (3 * i))
+      }.reduce(_ | _)
+    for { y <- y0 to y1; x <- x0 to x1; w <- w0 to w1 } yield interleave(y, x, w)
+  }
+
+  /** Spatiotemporal search — the reference's lat-lon-time datatype
+    * queried inRectangle + geo:timeStart/geo:timeEnd
+    * (GeoSpatialServiceFactory.java time-range constraints): covering
+    * 3D z-cells prune, the exact bbox ∧ time-interval predicate
+    * verifies, so cell granularity never changes results. `points`
+    * needs (k, lat, lon, t); (tMin, tMax) is the corpus' declared
+    * time domain. */
+  def spatioTemporalSearch(points: DataFrame,
+                           latMin: Double, latMax: Double,
+                           lonMin: Double, lonMax: Double,
+                           t0: Long, t1: Long, tMin: Long, tMax: Long,
+                           bits: Int = 12): DataFrame = {
+    val cells = coveringCells3(latMin, latMax, lonMin, lonMax, t0, t1, tMin, tMax, bits)
+    points
+      .filter(zCell3(col("lat"), col("lon"), col("t"), tMin, tMax, bits)
+        .isInCollection(cells))
+      .filter(inBBox(col("lat"), col("lon"), latMin, latMax, lonMin, lonMax) &&
+        col("t") >= t0 && col("t") <= t1)
+  }
+
   /** Bounding-box search with z-cell pruning ahead of the exact
     * verify — the plan shape of the reference's GeoSpatial service
     * (ast/eval/GeoSpatialServiceFactory.java:133: z-order range scan,

@@ -120,6 +120,28 @@ object EngineQueries {
           |} ORDER BY ?k""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // the reference's DEFAULT geospatial datatype is lat-lon-TIME
+    // (GeoSpatial.java built-in literal): geo:timeStart/geo:timeEnd add
+    // a time-interval constraint and the search prunes on 3D
+    // (lat,lon,t) z-cells before the exact bbox ∧ interval verify
+    "geo_time" -> ((s, dir) =>
+      graft.sparql.Compiler.compile(graft.sparql.Parser.parse(
+        """SELECT ?k ?lat ?lon ?t WHERE {
+          |  SERVICE geo:search {
+          |    _:g geo:latMin "-60" .
+          |    _:g geo:latMax "60" .
+          |    _:g geo:lonMin "-150" .
+          |    _:g geo:lonMax "90" .
+          |    _:g geo:timeStart "100" .
+          |    _:g geo:timeEnd "400" .
+          |    _:g geo:out ?k .
+          |    _:g geo:outLat ?lat .
+          |    _:g geo:outLon ?lon .
+          |    _:g geo:outTime ?t .
+          |  }
+          |} ORDER BY ?k""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // SymmetricOneStep DESCRIBE: triples where the node is subject OR
     // object (DescribeModeEnum.SymmetricOneStep). The object side uses
     // the OPS-analog access path: only branches that can reference the
@@ -546,6 +568,37 @@ object EngineQueries {
         .quads.groupBy("g").agg(count(lit(1)).as("n_triples")).orderBy("g")
     }),
 
+    // Persistent versioned store (reference: com.bigdata.journal
+    // .AbstractJournal — append-only commits sealed into commit
+    // points, historical reads from any commit point): commit /
+    // tombstone / compact / post-compaction delta, resolved snapshot.
+    // Within-commit semantics: deletes before inserts (§3.1.3), so
+    // nation 1's delete+re-add of its name leaves it present.
+    "store_journal" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_journal").toString
+      val j = graft.rdf.Journal.create(s, tmp)
+      val nation = TpchRdf.table(s, dir, "nation")
+      def idc(prefix: String, c: org.apache.spark.sql.Column) =
+        concat(lit(prefix + ":"), c.cast("string"))
+      val names = nation.select(idc("n", col("n_nationkey")).as("s"),
+        lit("name").as("p"), col("n_name").as("o"), lit("g:n").as("g"))
+      val regions = nation.select(idc("n", col("n_nationkey")).as("s"),
+        lit("region").as("p"), idc("r", col("n_regionkey")).as("o"), lit("g:n").as("g"))
+      j.append(names.unionAll(regions))
+      val audited = nation.filter(col("n_regionkey") === 1)
+        .select(idc("n", col("n_nationkey")).as("s"), lit("audited").as("p"),
+          lit("yes").as("o"), lit("g:n").as("g"))
+      val n1name = names.filter(col("s") === "n:1")
+      j.commit(
+        adds = audited.unionAll(n1name),
+        dels = regions.filter(col("o") === "r:0").unionAll(n1name))
+      j.compact()
+      j.append(Seq(("meta:journal", "compacted", "true", "g:meta"))
+        .toDF("s", "p", "o", "g"))
+      j.snapshot().orderBy("s", "p", "o", "g")
+    }),
+
     // LOAD of a Turtle document (reference: the Rio loaders in
     // bigdata-rdf/rio/ — the migrating user's first action): prefixes,
     // `a`, ';'/',' lists, a nested [ … ] bnode, lang-tagged and typed
@@ -764,6 +817,17 @@ object EngineQueries {
         |  UNION ALL SELECT 'g:lineitem', 10 * COUNT(*) FROM lineitem
         |) ORDER BY g""".stripMargin,
 
+    "store_journal" ->
+      """SELECT s, p, o, g FROM (
+        |  SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS s, 'name' AS p,
+        |         n_name AS o, 'g:n' AS g FROM nation
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'region',
+        |         'r:'||CAST(n_regionkey AS VARCHAR), 'g:n' FROM nation WHERE n_regionkey <> 0
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'audited',
+        |         'yes', 'g:n' FROM nation WHERE n_regionkey = 1
+        |  UNION ALL SELECT 'meta:journal', 'compacted', 'true', 'g:meta'
+        |) ORDER BY s, p, o, g""".stripMargin,
+
     "graph_mgmt_text" ->
       """SELECT g, n_triples FROM (
         |  SELECT 'g:customer' AS g, 5 * COUNT(*) AS n_triples FROM customer
@@ -863,6 +927,16 @@ object EngineQueries {
         |    (s_suppkey * 7919 % 18000) / 100.0 - 90 AS lat,
         |    (s_suppkey * 104729 % 36000) / 100.0 - 180 AS lon FROM supplier)
         |WHERE lat >= -45 AND lat <= 45 AND lon >= -90 AND lon <= 90
+        |ORDER BY k""".stripMargin,
+
+    "geo_time" ->
+      """SELECT k, lat, lon, t FROM (
+        |  SELECT s_suppkey AS k,
+        |    (s_suppkey * 7919 % 18000) / 100.0 - 90 AS lat,
+        |    (s_suppkey * 104729 % 36000) / 100.0 - 180 AS lon,
+        |    CAST(s_suppkey * 131 % 1000 AS BIGINT) AS t FROM supplier)
+        |WHERE lat >= -60 AND lat <= 60 AND lon >= -150 AND lon <= 90
+        |  AND t >= 100 AND t <= 400
         |ORDER BY k""".stripMargin,
 
     "geo_service" ->

@@ -284,6 +284,12 @@ object TpchRdf {
       ((k * 104729 % 36000) / lit(100.0) - lit(180.0)).as("lon"))
   }
 
+  /** Spatiotemporal twin: the same points with a deterministic epoch
+    * "day" in [0, 999] — the lat-lon-TIME corpus (declared time
+    * domain (0, 999)). */
+  def supplierPointsT(spark: SparkSession, dir: String): DataFrame =
+    supplierPoints(spark, dir).withColumn("t", (col("k") * 131) % 1000)
+
   def source(spark: SparkSession, dir: String): TripleSource = new TripleSource {
     lazy val triples: DataFrame = TpchRdf.triples(spark, dir)
 
@@ -296,6 +302,9 @@ object TpchRdf {
 
     override def geoCorpus: Option[DataFrame] =
       Some(supplierPoints(spark, dir))
+
+    override def geoCorpusTime: Option[(DataFrame, Long, Long)] =
+      Some((supplierPointsT(spark, dir), 0L, 999L))
 
     /** DESCRIBE-set access path with prefix pruning: the node set's
       * distinct id prefixes (≤ one per table, a driver-side collect on

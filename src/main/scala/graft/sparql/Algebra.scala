@@ -239,7 +239,12 @@ final case class ServiceCall(endpoint: String, inner: Algebra,
 final case class GeoService(latMin: Double, latMax: Double,
                             lonMin: Double, lonMax: Double,
                             outNode: String, outLat: String,
-                            outLon: String) extends Algebra
+                            outLon: String,
+                            // geo:timeStart/geo:timeEnd — the
+                            // reference's DEFAULT lat-lon-TIME
+                            // datatype adds a time-interval constraint
+                            time: Option[(Long, Long)] = None,
+                            outT: String = "t") extends Algebra
 
 /** geo:search inCircle mode (the reference's pointDistance predicates,
   * com/bigdata/service/geospatial/GeoSpatial.java): points within

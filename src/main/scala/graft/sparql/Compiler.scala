@@ -364,11 +364,22 @@ object Compiler {
         }
       }
 
-    case GeoService(latMin, latMax, lonMin, lonMax, outK, outLat, outLon) =>
+    case GeoService(latMin, latMax, lonMin, lonMax, outK, outLat, outLon, None, _) =>
       val pts = src.geoCorpus
         .getOrElse(sys.error("this triple source has no geo corpus"))
       graft.operators.Geo.bboxSearch(pts, latMin, latMax, lonMin, lonMax)
         .select(col("k").as(outK), col("lat").as(outLat), col("lon").as(outLon))
+
+    case GeoService(latMin, latMax, lonMin, lonMax, outK, outLat, outLon,
+                    Some((t0, t1)), outT) =>
+      // lat-lon-TIME datatype: 3D z-cells prune the (bbox × interval)
+      // block, exact predicate verifies, time value bound as a var
+      val (pts, tMin, tMax) = src.geoCorpusTime
+        .getOrElse(sys.error("this triple source has no lat-lon-time geo corpus"))
+      graft.operators.Geo
+        .spatioTemporalSearch(pts, latMin, latMax, lonMin, lonMax, t0, t1, tMin, tMax)
+        .select(col("k").as(outK), col("lat").as(outLat),
+          col("lon").as(outLon), col("t").as(outT))
 
     case GeoCircle(lat, lon, radiusKm, outK, outLat, outLon, outDist) =>
       val pts = src.geoCorpus

@@ -670,6 +670,7 @@ object Parser {
           val config = Vector.newBuilder[(String, String)]
           var outNode = "node"; var outVal = "value"
           var outLat = "lat"; var outLon = "lon"; var outDist = "dist_km"
+          var outT = "t"
           while (!peekIs("}")) {
             if (peekIs(".")) next()
             else {
@@ -681,6 +682,7 @@ object Parser {
               else if (key == "outLat") outLat = v.drop(1)
               else if (key == "outLon") outLon = v.drop(1)
               else if (key == "outDist") outDist = v.drop(1)
+              else if (key == "outTime") outT = v.drop(1)
               else config += (key -> constValue(v))
               if (peekIs(".")) next()
             }
@@ -715,9 +717,18 @@ object Parser {
               if (conf.contains("radiusKm"))
                 add(GeoCircle(d("lat", 0), d("lon", 0), d("radiusKm", 0),
                   outNode, outLat, outLon, outDist))
-              else
+              else {
+                // geo:timeStart/geo:timeEnd switch the search onto the
+                // reference's default lat-lon-TIME datatype
+                val time =
+                  if (conf.contains("timeStart") || conf.contains("timeEnd"))
+                    Some((conf.get("timeStart").map(_.head.toLong).getOrElse(Long.MinValue),
+                      conf.get("timeEnd").map(_.head.toLong).getOrElse(Long.MaxValue)))
+                  else None
                 add(GeoService(d("latMin", -90), d("latMax", 90),
-                  d("lonMin", -180), d("lonMax", 180), outNode, outLat, outLon))
+                  d("lonMin", -180), d("lonMax", 180), outNode, outLat, outLon,
+                  time, outT))
+              }
             case other => sys.error(s"unsupported SERVICE '$other'")
           }
           }

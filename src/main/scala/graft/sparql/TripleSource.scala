@@ -44,6 +44,12 @@ trait TripleSource {
     * source has one. */
   def geoCorpus: Option[DataFrame] = None
 
+  /** Spatiotemporal point set (k, lat, lon, t) with its declared time
+    * domain (tMin, tMax) — the reference's DEFAULT lat-lon-time
+    * geospatial datatype (GeoSpatial.java), queried when geo:search
+    * carries geo:timeStart/geo:timeEnd. */
+  def geoCorpusTime: Option[(DataFrame, Long, Long)] = None
+
   /** All triples whose subject is in `nodes` (one column `s`) — the
     * DESCRIBE-set access path. Default: join the full view. Sources
     * that can map subjects to storage units (prefix → table) may
@@ -101,5 +107,6 @@ object TripleSource {
     }
     override def searchCorpus: Option[DataFrame] = base.searchCorpus
     override def geoCorpus: Option[DataFrame] = base.geoCorpus
+    override def geoCorpusTime: Option[(DataFrame, Long, Long)] = base.geoCorpusTime
   }
 }

@@ -43,6 +43,35 @@ class GeoPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("3D covering cells never lose a point inside the (bbox × interval) block") {
+    val t = Gen.chooseNum(0L, 999L)
+    // driver-side twin of Geo.zCell3 (quantize to 10 bits/dim + 3-way interleave)
+    def zCell3(la: Double, lo: Double, tv: Long, bits: Int): Long = {
+      def q(v: Double, mn: Double, mx: Double): Long =
+        (math.min(65535L, math.max(0L, math.floor((v - mn) / (mx - mn) * 65536.0).toLong))) >> 6
+      val qt = math.min(1023L, math.max(0L, math.floor(tv.toDouble / 1000.0 * 1024.0).toLong))
+      val (ly, lx) = (q(la, -90, 90), q(lo, -180, 180))
+      val z = (0 until 10).map { i =>
+        (((ly >> i) & 1L) << (3 * i + 2)) | (((lx >> i) & 1L) << (3 * i + 1)) |
+          (((qt >> i) & 1L) << (3 * i))
+      }.reduce(_ | _)
+      z >> (30 - bits)
+    }
+    run("covering3", forAll(lat, lat, lon, lon, Gen.zip(t, t), lat, lon, t) {
+      (la1, la2, lo1, lo2, ts, pla, plo, pt) =>
+        val (latMin, latMax) = (math.min(la1, la2), math.max(la1, la2))
+        val (lonMin, lonMax) = (math.min(lo1, lo2), math.max(lo1, lo2))
+        val (t0, t9) = (math.min(ts._1, ts._2), math.max(ts._1, ts._2))
+        // clamp the probe into the block
+        val p = (math.min(math.max(pla, latMin), latMax),
+                 math.min(math.max(plo, lonMin), lonMax),
+                 math.min(math.max(pt, t0), t9))
+        val cells = Geo.coveringCells3(latMin, latMax, lonMin, lonMax,
+          t0, t9, 0L, 999L, 12).toSet
+        cells.contains(zCell3(p._1, p._2, p._3, 12))
+    })
+  }
+
   test("circle bbox prune never loses a point within the radius") {
     val radius = Gen.chooseNum(1.0, 5000.0)
     run("circle", forAll(lat, lon, radius, lat, lon) { (cla, clo, r, pla, plo) =>

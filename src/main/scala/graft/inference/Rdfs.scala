@@ -148,7 +148,17 @@ object Rdfs {
     *  4. result = closed − overdelete + rederived.
     * Cost scales with |retracted| and its neighborhood, not |store|. */
   def retractClosure(closed: DataFrame, base: DataFrame,
-                     retracted: DataFrame, ont: Ontology): DataFrame = {
+                     retracted: DataFrame, ont: Ontology): DataFrame =
+    closed.join(retractRemoved(base, retracted, ont), Seq("s", "p", "o"), "left_anti")
+
+  /** The delta-scoped REMOVED set of a retraction: overdelete minus
+    * what the retraction's neighborhood re-derives (steps 1-3 of the
+    * DRed recipe) — |retracted|-sized, never |store|-sized. This is
+    * what a maintained-closure store commits as tombstones
+    * ([[MaintainedClosure]]); [[retractClosure]] is one anti-join on
+    * top of it. */
+  def retractRemoved(base: DataFrame, retracted: DataFrame,
+                     ont: Ontology): DataFrame = {
     val spo = Seq("s", "p", "o")
     val over = closure(retracted, ont).localCheckpoint()
     val remaining = base.join(retracted.select(spo.map(col): _*), spo, "left_anti")
@@ -160,6 +170,6 @@ object Rdfs {
         .select(spo.map(col): _*))
       .distinct()
     val rederived = closure(supporters, ont).join(over, spo, "left_semi")
-    closed.join(over, spo, "left_anti").unionAll(rederived).distinct()
+    over.join(rederived, spo, "left_anti")
   }
 }

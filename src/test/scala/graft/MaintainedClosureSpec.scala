@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.inference.{MaintainedClosure, Rdfs}
+
+class MaintainedClosureSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val ont = Rdfs.Ontology(
+    subClassOf = Seq(("A", "B"), ("B", "C")).toDF("sub", "sup"),
+    subPropertyOf = Seq(("p", "q")).toDF("sub", "sup"),
+    domain = Seq(("p", "D")).toDF("p", "cls"),
+    range = Seq(("p", "R")).toDF("p", "cls"))
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_tm").toString
+
+  private def rowsOf(df: DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  private def sameSet(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("each commit point's closure equals a from-scratch closure of its base") {
+    val tm = MaintainedClosure.create(spark, tmp(), ont)
+    assert(tm.version == 0 && rowsOf(tm.closure()).isEmpty)
+    val v1 = tm.assertTriples(Seq(("x", "type", "A"), ("x", "p", "y")).toDF("s", "p", "o"))
+    val v2 = tm.assertTriples(Seq(("z", "type", "B")).toDF("s", "p", "o"))
+    assert(v1 == 1 && v2 == 2 && tm.version == 2)
+    // time-travel reads see the ENTAILED state of each commit point
+    Seq(v1, v2).foreach { v =>
+      assert(sameSet(tm.closure(v), Rdfs.closure(tm.base(v), ont)),
+        s"closure at v$v diverged from recompute")
+    }
+    // the entailments are really there (rdfs9 type lift to C at v1)
+    assert(rowsOf(tm.closure(v1)).contains(("x", "type", "C")))
+    assert(!rowsOf(tm.closure(v1)).contains(("z", "type", "C")))
+    assert(rowsOf(tm.closure(v2)).contains(("z", "type", "C")))
+  }
+
+  test("DRed retraction keeps shared-support entailments; history intact") {
+    val tm = MaintainedClosure.create(spark, tmp(), ont)
+    // (x p y) and (x2 p y) both derive (y type R): retracting only
+    // (x p y) must KEEP (y type R) via the surviving support
+    tm.assertTriples(Seq(("x", "p", "y"), ("x2", "p", "y"), ("z", "type", "A"))
+      .toDF("s", "p", "o"))
+    val v2 = tm.retractTriples(Seq(("x", "p", "y")).toDF("s", "p", "o"))
+    assert(v2 == 2)
+    assert(sameSet(tm.closure(), Rdfs.closure(tm.base(), ont)))
+    assert(rowsOf(tm.closure()).contains(("y", "type", "R")))
+    assert(!rowsOf(tm.closure()).exists(_._1 == "x"))
+    // the pre-retraction commit point still shows x's entailments
+    assert(rowsOf(tm.closure(1)).contains(("x", "type", "D")))
+    // and a retraction whose LAST support dies drops the derivation
+    tm.retractTriples(Seq(("x2", "p", "y")).toDF("s", "p", "o"))
+    assert(!rowsOf(tm.closure()).contains(("y", "type", "R")))
+    assert(sameSet(tm.closure(), Rdfs.closure(tm.base(), ont)))
+  }
+
+  test("open() reattaches; compact seals both journals in step") {
+    val dir = tmp()
+    val tm = MaintainedClosure.create(spark, dir, ont)
+    tm.assertTriples(Seq(("x", "type", "A")).toDF("s", "p", "o"))
+    tm.compact()
+    val tm2 = MaintainedClosure.open(spark, dir, ont)
+    assert(tm2.version == 2)
+    assert(sameSet(tm2.closure(), Rdfs.closure(tm2.base(), ont)))
+    assert(rowsOf(tm2.closure()).contains(("x", "type", "C")))
+    // compacted head resolves shuffle-free on both stores
+    Seq(tm2.base(), tm2.closure()).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"compacted head should be a bare scan:\n$plan")
+    }
+  }
+}

@@ -704,6 +704,45 @@ class EngineSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("SPARQL protocol server: multi-tenant namespaces are isolated") {
+    import graft.server.SparqlServer
+    val g0 = graft.Graft.empty(spark).update("""INSERT DATA { x:1 label "gear" }""")
+    val srv = new SparqlServer(g0).start()
+    val http = java.net.http.HttpClient.newHttpClient()
+    def send(b: java.net.http.HttpRequest.Builder) =
+      http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    def req(path: String) =
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(srv.address + path))
+    def post(path: String, body: String, ct: String) =
+      send(req(path).header("Content-Type", ct)
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)))
+    def count(path: String) = graft.sparql.RemoteService.parseJsonResults(spark,
+      post(path, "SELECT ?s WHERE { ?s label ?o }", "application/sparql-query").body()).count()
+    try {
+      // default namespace `kb` aliases the bare /sparql paths
+      assert(count("/namespace/kb/sparql") == 1 && count("/sparql") == 1)
+      // create a second namespace; it starts empty and is isolated
+      assert(post("/namespace", "name=scratch", "application/x-www-form-urlencoded")
+        .statusCode() == 201)
+      assert(post("/namespace", "name=scratch", "application/x-www-form-urlencoded")
+        .statusCode() == 409)
+      assert(count("/namespace/scratch/sparql") == 0)
+      assert(post("/namespace/scratch/sparql/update",
+        """INSERT DATA { y:1 label "cog" . y:2 label "axle" }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(count("/namespace/scratch/sparql") == 2)
+      assert(count("/sparql") == 1) // default KB untouched
+      // the listing names both endpoints (N-Triples description lines)
+      val list = send(req("/namespace").GET()).body()
+      assert(list.contains("/namespace/kb/sparql>") && list.contains("\"scratch\""))
+      // delete drops the namespace; its endpoint 404s, default survives
+      assert(send(req("/namespace/scratch").DELETE()).statusCode() == 200)
+      assert(post("/namespace/scratch/sparql", "ASK { ?s ?p ?o }",
+        "application/sparql-query").statusCode() == 404)
+      assert(count("/sparql") == 1)
+    } finally srv.stop()
+  }
+
   test("Graft façade: update, query, graphs, load, export end-to-end") {
     val g0 = graft.Graft.empty(spark).update(
       """INSERT DATA {

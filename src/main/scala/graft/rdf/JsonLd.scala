@@ -19,7 +19,11 @@ import scala.jdk.CollectionConverters._
   * bnodes when un-@id'd), `{"@list":[…]}` values (desugared to
   * rdf:first/rdf:rest chains, the Turtle-collection rule), and
   * `{"@set":[…]}` property values (a set is just its members —
-  * §6.11, the unordered container). [[parseQuads]] additionally reads
+  * §6.11, the unordered container), and `@container: "@list"|"@set"`
+  * term definitions (§6.11 — a list-container term's array value is
+  * ONE ordered list; other term-definition keys and the 1.1
+  * index/language containers fail loud rather than silently reshape
+  * data). [[parseQuads]] additionally reads
   * named-graph documents: a node object carrying `@id` + `@graph`
   * names a graph whose member statements are the `@graph` array
   * (JSON-LD 1.0 §6.13), and the node's OWN other properties are
@@ -105,6 +109,7 @@ object JsonLd {
     private var bn = 0
     private var terms = Map.empty[String, String] // term -> IRI (or keyword alias)
     private var idTerms = Set.empty[String]       // terms coerced @type:@id
+    private var listTerms = Set.empty[String]     // terms with @container: @list
     private var vocab = ""
     private var curGraph = defaultGraph
     private val out = Vector.newBuilder[(String, String, String, String)]
@@ -140,9 +145,22 @@ object JsonLd {
         if (term == "@vocab") vocab = v.asText()
         else if (v.isTextual) terms += (term -> v.asText())
         else if (v.isObject) {
-          // expanded term definition: {"@id": iri, "@type": "@id"|dt}
+          // expanded term definition:
+          //   {"@id": iri, "@type": "@id"|dt, "@container": "@list"|"@set"}
+          val unknown = v.fieldNames().asScala.toSet -- Set("@id", "@type", "@container")
+          if (unknown.nonEmpty)
+            fail(s"unsupported term-definition keys ${unknown.mkString(",")} for '$term'")
           if (v.has("@id")) terms += (term -> v.get("@id").asText())
           if (v.has("@type") && v.get("@type").asText() == "@id") idTerms += term
+          if (v.has("@container")) v.get("@container").asText() match {
+            // @list: the term's values form ONE ordered rdf list
+            // (§6.11); @set is the default unordered semantics, so a
+            // no-op; the 1.1 index/language/id/graph containers would
+            // silently reshape data — fail loud
+            case "@list" => listTerms += term
+            case "@set"  => ()
+            case other   => fail(s"unsupported @container '$other' for '$term'")
+          }
         } else fail(s"unsupported @context entry for '$term'")
       }
     }
@@ -202,7 +220,11 @@ object JsonLd {
                 if (v.size() != 1) fail(s"@set object with extra keys $v")
                 v.get("@set")
               } else v
-            asArray(vv).foreach(item => out += ((subj, p, value(item, k), curGraph)))
+            if (listTerms.contains(k) && !(vv.isObject && vv.has("@list")))
+              // @container:@list term (§6.11): the array IS one list
+              out += ((subj, p, listChain(asArray(vv).map(value(_, k))), curGraph))
+            else
+              asArray(vv).foreach(item => out += ((subj, p, value(item, k), curGraph)))
         }
       }
       subj

@@ -1190,6 +1190,32 @@ class ParserSpec extends AnyFunSuite {
       """{"@id": "urn:graft:t:1", "urn:graft:items": {"@set": ["a"], "@id": "urn:x"}}"""))
     intercept[RuntimeException](graft.rdf.JsonLd.parse(
       """{"@id": "urn:graft:t:1", "urn:graft:items": {"@list": ["a"], "@id": "urn:x"}}"""))
+    // @container:@list in a term definition makes the term's array ONE
+    // ordered list (§6.11); @set container is the default semantics
+    val byCtx = graft.rdf.JsonLd.parse(
+      """{"@context": {"items": {"@id": "urn:graft:items", "@container": "@list"},
+        |               "tags": {"@id": "urn:graft:tags", "@container": "@set"}},
+        |  "@id": "urn:graft:t:1", "items": ["a", "b"], "tags": ["x", "y"]}""".stripMargin)
+      .map(unscope3)
+    assert(byCtx.count(_._2 == "items") == 1) // one list head, not two values
+    val heads = byCtx.filter(_._2 == "items").map(_._3)
+    assert(byCtx.filter(t => heads.contains(t._1))
+      .exists(t => t._2.endsWith("#first") && t._3 == "a"))
+    assert(byCtx.filter(_._2 == "tags").map(_._3).toSet == Set("x", "y"))
+    // a @container:@list term whose VALUE is already {"@list": …} keeps
+    // value-object semantics (no double wrapping)
+    val already = graft.rdf.JsonLd.parse(
+      """{"@context": {"items": {"@id": "urn:graft:items", "@container": "@list"}},
+        |  "@id": "urn:graft:t:1", "items": {"@list": ["a"]}}""".stripMargin).map(unscope3)
+    assert(already.count(_._2 == "items") == 1 &&
+      already.exists(t => t._2.endsWith("#first") && t._3 == "a"))
+    // 1.1-only containers and unknown term-definition keys fail loud
+    intercept[RuntimeException](graft.rdf.JsonLd.parse(
+      """{"@context": {"items": {"@id": "urn:graft:items", "@container": "@index"}},
+        |  "@id": "urn:graft:t:1", "items": "a"}""".stripMargin))
+    intercept[RuntimeException](graft.rdf.JsonLd.parse(
+      """{"@context": {"items": {"@reverse": "urn:graft:items"}},
+        |  "@id": "urn:graft:t:1", "items": "a"}""".stripMargin))
     // a scoped @context on an inner node would change term meanings
     intercept[RuntimeException](graft.rdf.JsonLd.parse(
       """{"@graph": [{"@id": "urn:graft:t:1",

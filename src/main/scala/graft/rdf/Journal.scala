@@ -1,7 +1,7 @@
 package graft.rdf
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -53,12 +53,34 @@ final class Journal private (spark: SparkSession, dir: Path) {
 
   private def commitsDir = dir.resolve("commits")
 
-  private def records: Seq[Record] = {
-    val files = Journal.listDir(commitsDir)
+  /** Parsed log tail, cached per handle. Commit records are immutable
+    * and append-only (vacuum is the one remover and invalidates), so a
+    * refresh parses ONLY records newer than the cached max — O(new)
+    * JSON reads per operation instead of O(commits), the log-checkpoint
+    * discipline a long-lived streaming sink needs. The directory
+    * listing itself stays (another handle on the same dir may have
+    * published), but a listing reads no file bodies. */
+  @volatile private var cachedRecords: Vector[Record] = Vector.empty
+
+  /** Commit-record JSON parses performed by this handle — test
+    * instrumentation for the one-parse-per-new-record invariant. */
+  private[graft] var recordParses: Long = 0L
+
+  private def records: Seq[Record] = synchronized {
+    val maxKnown = if (cachedRecords.isEmpty) -1L else cachedRecords.last.version
+    val fresh = Journal.listDir(commitsDir)
       .filter(_.getFileName.toString.endsWith(".json"))
-    require(files.nonEmpty, s"not a journal (no commit records): $dir")
-    files.map(readRecord).sortBy(_.version)
+      .filter(p => versionOf(p) > maxKnown)
+      .map(readRecord)
+    if (fresh.nonEmpty)
+      cachedRecords = (cachedRecords ++ fresh).sortBy(_.version)
+    require(cachedRecords.nonEmpty, s"not a journal (no commit records): $dir")
+    cachedRecords
   }
+
+  /** Commit record files are named `<version>.json`. */
+  private def versionOf(p: Path): Long =
+    p.getFileName.toString.stripSuffix(".json").toLong
 
   private def seg(rec: Record, suffix: String): Option[DataFrame] = {
     val p = dir.resolve("segments").resolve(s"c${rec.version}-$suffix.parquet")
@@ -102,10 +124,10 @@ final class Journal private (spark: SparkSession, dir: Path) {
     * resolution). Returns the new version. Either side may be empty —
     * empty sides write no segment. */
   def commit(adds: DataFrame, dels: DataFrame): Long =
-    commitWith(adds, dels, None)
+    commitWith(adds, dels, None, None)
 
   private def commitWith(adds: DataFrame, dels: DataFrame,
-                         batchId: Option[Long]): Long = {
+                         batchId: Option[Long], appId: Option[String]): Long = {
     val next = version + 1
     def writeSeg(df: DataFrame, suffix: String): Unit = {
       val rows = df.select(COLS.map(col): _*).distinct()
@@ -115,7 +137,7 @@ final class Journal private (spark: SparkSession, dir: Path) {
     }
     writeSeg(dels, "dels")
     writeSeg(adds, "adds")
-    publish(Record(next, compacted = false, batchId))
+    publish(Record(next, compacted = false, batchId, appId))
     next
   }
 
@@ -123,20 +145,32 @@ final class Journal private (spark: SparkSession, dir: Path) {
   def append(adds: DataFrame): Long = commit(adds, emptyQuads(spark))
 
   /** Structured Streaming sink body — use from `foreachBatch`:
-    * {{{ quads.writeStream.foreachBatch(journal.sinkBatch _).start() }}}
-    * Exactly-once through the commit log itself: the micro-batch id is
-    * recorded on the commit record, and a REPLAYED batch (Spark
+    * {{{ quads.writeStream.foreachBatch(journal.sink("ingest") _).start() }}}
+    * Exactly-once through the commit log itself: the (appId, batchId)
+    * pair is recorded on the commit record — the lakehouse
+    * `txnAppId/txnVersion` contract — so a REPLAYED batch (Spark
     * re-runs the last batch after failure recovery) is recognized and
-    * skipped — the same idempotent-sink contract a lakehouse
-    * `txnAppId/txnVersion` write carries. */
-  def sinkBatch(adds: DataFrame, batchId: Long): Unit =
+    * skipped, while a DIFFERENT query's batch 0 (a fresh checkpoint
+    * restarts ids at 0) is a new transaction, not a false replay.
+    * `appId` identifies the writing query across restarts: use one
+    * stable id per (streaming query, checkpoint location). */
+  def sink(appId: String)(adds: DataFrame, batchId: Long): Unit = {
+    require(appId.matches("[A-Za-z0-9._-]+"), s"bad sink appId: $appId")
     // empty batches (e.g. a trigger's finalization batch) commit
     // nothing — skipping them is idempotent too, so they need no
     // batch-id record
-    if (!records.exists(_.batchId.contains(batchId)) && !adds.isEmpty) {
-      commitWith(adds, emptyQuads(spark), Some(batchId))
+    val replayed = records.exists(r =>
+      r.batchId.contains(batchId) && r.appId.getOrElse(DefaultAppId) == appId)
+    if (!replayed && !adds.isEmpty) {
+      commitWith(adds, emptyQuads(spark), Some(batchId), Some(appId))
       ()
     }
+  }
+
+  /** [[sink]] under the default app id — for a journal bound to ONE
+    * streaming query for its lifetime. */
+  def sinkBatch(adds: DataFrame, batchId: Long): Unit =
+    sink(DefaultAppId)(adds, batchId)
 
   /** Materialize the current state as a single base segment and seal it
     * as a new compacted commit point: subsequent [[snapshot]]s of it
@@ -155,7 +189,7 @@ final class Journal private (spark: SparkSession, dir: Path) {
     * space-for-history trade. Historical versions BEFORE that
     * compaction become unreadable; their commit records are removed
     * too so a stale read fails loud rather than resolving wrong. */
-  def vacuum(): Unit = {
+  def vacuum(): Unit = synchronized {
     val recs = records
     val baseVer = recs.filter(_.compacted).map(_.version).max
     recs.filter(r => r.version < baseVer).foreach { r =>
@@ -165,29 +199,50 @@ final class Journal private (spark: SparkSession, dir: Path) {
       }
       Files.deleteIfExists(commitsDir.resolve(s"${r.version}.json"))
     }
+    // the one operation that REMOVES records — drop them from the tail
+    // cache so a stale historical read fails loud, not resolves wrong
+    cachedRecords = cachedRecords.filter(_.version >= baseVer)
   }
 
-  private def publish(rec: Record): Unit = {
+  private def publish(rec: Record): Unit = synchronized {
     val tmp = Files.createTempFile(commitsDir, ".publish", ".tmp")
     val batch = rec.batchId.map(b => s""","batchId":$b""").getOrElse("")
+    val app = rec.appId.map(a => s""","appId":"$a"""").getOrElse("")
     Files.write(tmp,
-      s"""{"version":${rec.version},"compacted":${rec.compacted}$batch}"""
+      s"""{"version":${rec.version},"compacted":${rec.compacted}$batch$app}"""
         .getBytes(StandardCharsets.UTF_8))
-    // CREATE_NEW via failing move: a concurrent writer publishing the
-    // same version loses loudly instead of silently overwriting.
+    // Atomic AND exclusive: a hard link lands the fully-written record
+    // in one namespace operation and FAILS (FileAlreadyExistsException)
+    // if a racing writer published the same version first — no
+    // check-then-move window where ATOMIC_MOVE would silently replace
+    // the winner's record for a segment-free commit.
     val target = commitsDir.resolve(s"${rec.version}.json")
-    if (Files.exists(target)) {
-      Files.delete(tmp)
-      throw new IllegalStateException(
-        s"concurrent commit: version ${rec.version} already published in $dir")
+    try Files.createLink(target, tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        Files.delete(tmp)
+        throw new IllegalStateException(
+          s"concurrent commit: version ${rec.version} already published in $dir")
+      case _: UnsupportedOperationException =>
+        // no hard links on this filesystem: exclusive CREATE_NEW copy
+        // (still fails loud on a race; records are tiny, and readers
+        // list by name only after the write below completes... the
+        // worst case is a reader parsing a partial record and erroring,
+        // never resolving wrong state)
+        Files.copy(tmp, target) // CREATE_NEW semantics: throws if exists
+        Files.delete(tmp)
     }
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(tmp)
+    // the publisher knows its own record — extend the cache directly
+    cachedRecords = (cachedRecords :+ rec).sortBy(_.version)
   }
 
   private def readRecord(p: Path): Record = {
+    recordParses += 1
     val node = mapper.readTree(Files.readAllBytes(p))
     Record(node.get("version").asLong(), node.get("compacted").asBoolean(),
-      Option(node.get("batchId")).map(_.asLong()))
+      Option(node.get("batchId")).map(_.asLong()),
+      Option(node.get("appId")).map(_.asText()))
   }
 }
 
@@ -196,8 +251,14 @@ object Journal {
   private val COLS = Seq("s", "p", "o", "g")
   private val mapper = new ObjectMapper()
 
+  /** App id recorded by [[Journal.sinkBatch]]; pre-appId records (no
+    * `"appId"` member) replay-match under it, keeping old journals
+    * readable. */
+  private val DefaultAppId = "default"
+
   private final case class Record(version: Long, compacted: Boolean,
-                                  batchId: Option[Long] = None)
+                                  batchId: Option[Long] = None,
+                                  appId: Option[String] = None)
 
   private def emptyQuads(spark: SparkSession): DataFrame = {
     import spark.implicits._

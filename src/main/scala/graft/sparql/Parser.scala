@@ -722,8 +722,10 @@ object Parser {
                 // reference's default lat-lon-TIME datatype
                 val time =
                   if (conf.contains("timeStart") || conf.contains("timeEnd"))
-                    Some((conf.get("timeStart").map(_.head.toLong).getOrElse(Long.MinValue),
-                      conf.get("timeEnd").map(_.head.toLong).getOrElse(Long.MaxValue)))
+                    // toDouble.toLong: accept decimal lexical forms
+                    // ("100.0") like every other geo:search parameter
+                    Some((conf.get("timeStart").map(_.head.toDouble.toLong).getOrElse(Long.MinValue),
+                      conf.get("timeEnd").map(_.head.toDouble.toLong).getOrElse(Long.MaxValue)))
                   else None
                 add(GeoService(d("latMin", -90), d("latMax", 90),
                   d("lonMin", -180), d("lonMax", 180), outNode, outLat, outLon,

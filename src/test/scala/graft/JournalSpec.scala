@@ -90,6 +90,42 @@ class JournalSpec extends AnyFunSuite {
     assert(j.version == 2 && j.snapshot().count() == 2)
   }
 
+  test("sink: batch ids are scoped per appId — a fresh query's batch 0 is not a replay") {
+    val j = Journal.create(spark, tmp())
+    j.sink("queryA")(quads(("a", "p", "1", "g")), batchId = 0L)
+    assert(j.version == 1)
+    // same app, same batch id: replay, skipped
+    j.sink("queryA")(quads(("a", "p", "1", "g")), batchId = 0L)
+    assert(j.version == 1)
+    // a NEW streaming query (fresh checkpoint) restarts ids at 0 —
+    // different appId, so its first batch is a new transaction
+    j.sink("queryB")(quads(("b", "p", "2", "g")), batchId = 0L)
+    assert(j.version == 2 && j.snapshot().count() == 2)
+    intercept[IllegalArgumentException](j.sink("bad app id!")(quads(), 0L))
+  }
+
+  test("log tail is cached: many commits parse each record once, reattach parses all once") {
+    val dir = tmp()
+    val j = Journal.create(spark, dir)
+    val n = 12
+    (1 to n).foreach(i => j.append(quads(("s" + i, "p", i.toString, "g"))))
+    // the publishing handle extends its own cache — zero re-parses of
+    // its own records, so parses stay O(1) not O(commits^2)
+    assert(j.recordParses <= 1, s"publisher re-parsed its own log: ${j.recordParses}")
+    assert(j.snapshot().count() == n && j.recordParses <= 1)
+    // a reattaching handle parses the whole tail exactly once...
+    val j2 = Journal.open(spark, dir)
+    assert(j2.version == n.toLong)
+    val afterOpen = j2.recordParses
+    assert(afterOpen == n + 1L, s"open should parse each record once: $afterOpen")
+    // ...and subsequent operations parse nothing new
+    j2.snapshot().count(); j2.version
+    assert(j2.recordParses == afterOpen)
+    // records published by ANOTHER handle are picked up incrementally
+    j.append(quads(("x", "p", "x", "g")))
+    assert(j2.version == n + 1L && j2.recordParses == afterOpen + 1)
+  }
+
   test("streaming ingest: readStream -> foreachBatch lands micro-batches as commits") {
     import org.apache.spark.sql.streaming.Trigger
     val in = java.nio.file.Files.createTempDirectory("graft_jstream")

@@ -68,6 +68,32 @@ final class MaintainedClosure private (spark: SparkSession,
 
   /** Seal both journals' current state for fast steady-state reads. */
   def compact(): Unit = { baseJ.compact(); closedJ.compact(); () }
+
+  /** Lockstep recovery — assert/retract commit the two journals
+    * non-atomically (base first), so a crash between the two publishes
+    * leaves the closure exactly ONE commit behind. [[MaintainedClosure.open]]
+    * calls this: the missing closure delta is recomputed from the base
+    * journal's own last commit (adds → incremental closure, dels →
+    * DRed removed-set against the pre-commit base — the same
+    * |delta|-shaped math the live paths use, though the recovery diff
+    * itself reads two base snapshots; recovery is a crash-rare path).
+    * Any other version skew has no single-step repair and fails loud. */
+  private def repairLockstep(): Unit = {
+    val bv = baseJ.version
+    val cv = closedJ.version
+    if (bv == cv) ()
+    else if (bv == cv + 1) {
+      val before = stripG(baseJ.snapshot(cv)).localCheckpoint()
+      val after = stripG(baseJ.snapshot(bv)).localCheckpoint()
+      val added = after.exceptAll(before)
+      val retracted = before.exceptAll(after)
+      closedJ.commit(
+        adds = withG(Rdfs.closure(added, ont)),
+        dels = withG(Rdfs.retractRemoved(before, retracted, ont)))
+      ()
+    } else throw new IllegalStateException(
+      s"maintained store out of step beyond repair: base at v$bv, closure at v$cv")
+  }
 }
 
 object MaintainedClosure {
@@ -77,9 +103,14 @@ object MaintainedClosure {
     new MaintainedClosure(spark, ont,
       Journal.create(spark, s"$dir/base"), Journal.create(spark, s"$dir/closed"))
 
-  /** Reattach to an existing maintained store. */
+  /** Reattach to an existing maintained store, verifying the two
+    * journals advance in lockstep and rolling the closure forward by
+    * one recomputed delta if a crash landed between their commits. */
   def open(spark: SparkSession, dir: String,
-           ont: Rdfs.Ontology): MaintainedClosure =
-    new MaintainedClosure(spark, ont,
+           ont: Rdfs.Ontology): MaintainedClosure = {
+    val tm = new MaintainedClosure(spark, ont,
       Journal.open(spark, s"$dir/base"), Journal.open(spark, s"$dir/closed"))
+    tm.repairLockstep()
+    tm
+  }
 }

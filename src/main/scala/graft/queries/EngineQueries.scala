@@ -319,8 +319,8 @@ object EngineQueries {
       // 1-day windows per event_type, complete-mode memory sink.
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // glob form: the streaming file source requires a directory/glob
-      val stream = s.readStream.schema(schema).parquet(s"$dir/events.*")
-        // nanosAsLong surfaces ns-precision ts as LONG; `div` keeps it exact
+      val stream = TpchRdf.tsNanos(s.readStream.schema(schema).parquet(s"$dir/events.*"))
+        // ns-epoch LONG (normalized); `div` keeps the µs conversion exact
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = stream
         .withWatermark("ts", "1 hour")
@@ -365,7 +365,7 @@ object EngineQueries {
     // the 30min join window, so no matching pair is ever pruned early.
     "stream_stream_join" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      def src = TpchRdf.tsNanos(s.readStream.schema(schema).parquet(s"$dir/events.*"))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val views = src.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"),
@@ -391,7 +391,7 @@ object EngineQueries {
     // feeding a downstream aggregate
     "stream_dedup" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val stream = TpchRdf.tsNanos(s.readStream.schema(schema).parquet(s"$dir/events.*"))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = stream
         .withWatermark("ts", "1 hour")
@@ -411,7 +411,7 @@ object EngineQueries {
     // maxFilesPerTrigger=1, so sessions MUST survive micro-batch
     // boundaries; trailing sessions drain via EndOfStream sentinels.
     "stream_sessionize" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = TpchRdf.tsNanos(s.read.parquet(s"$dir/events.parquet"))
       val in = java.nio.file.Files.createTempDirectory("graft_sess").toString
       graft.operators.Sessionize.stageBoundedInput(ev, in, splits = 2)
       val stream = s.readStream.schema(ev.schema)
@@ -430,7 +430,7 @@ object EngineQueries {
     }),
 
     "events_sessionize" -> ((s, dir) => {
-      val ev = TpchRdf.table(s, dir, "events") // ts read as long nanos
+      val ev = TpchRdf.tsNanos(TpchRdf.table(s, dir, "events")) // ts as ns-epoch long
       graft.operators.Sessionize.byGap(ev, 30L * 60 * 1000000000L)
         .select(col("user_id"), col("sess_idx"), col("n_events"),
           date_format(timestamp_micros(expr("start_ns div 1000")), "yyyy-MM-dd HH:mm:ss").as("start_s"),

@@ -34,10 +34,30 @@ final class Repository private (spark: SparkSession, val journal: Journal) {
   def connection(v: Long = -1L): Graft =
     Graft.ofQuads(spark, journal.snapshot(v))
 
-  /** Persist `g`'s state as the next commit point and return its
-    * version. Writes only the diff vs the current head; a no-op diff
-    * still publishes a (segment-free) commit record, like the
-    * reference's commit of an unchanged connection. */
+  /** THE durable write path: apply a ';'-separated SPARQL UPDATE
+    * request to the head and seal its mutation delta as the next
+    * commit point. The committed (adds, dels) are the ops' OWN
+    * mutation sets ([[graft.sparql.Update.quadsDeltaSeq]]) — a small
+    * INSERT/DELETE DATA plans zero store scans (plan-asserted in
+    * RepositorySpec), so commit cost scales with the change, not the
+    * store. The reference's SailConnection.commit stages the same
+    * assert/retract buffers into its journal's commit point. */
+  def update(request: String): Long = {
+    val head = connection()
+    val (adds, dels) = graft.sparql.Update.quadsDeltaSeq(
+      head.store, graft.sparql.Parser.parseUpdates(request), head.defaultGraph)
+    journal.commit(adds, dels)
+  }
+
+  /** Persist an OPAQUE handle's state as the next commit point and
+    * return its version — the fallback for mutations not expressed as
+    * an update request (e.g. a handle built from arbitrary
+    * DataFrames). Diff-shaped on disk (one adds + one dels segment vs
+    * the head) but the PLAN is two full-state anti-joins — an
+    * O(store) double shuffle. Prefer [[update]], whose commit plans
+    * only the delta; a no-op diff still publishes a (segment-free)
+    * commit record, like the reference's commit of an unchanged
+    * connection. */
   def commit(g: Graft): Long = {
     val cols = Seq("s", "p", "o", "g")
     val head = journal.snapshot()

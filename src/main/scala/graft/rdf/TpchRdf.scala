@@ -32,6 +32,18 @@ object TpchRdf {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` has shipped as TIMESTAMP(NANOS) — surfaced as a
+    * ns-epoch LONG under the `nanosAsLong` legacy flag — and as
+    * TIMESTAMP(MICROS) — surfaced as TIMESTAMP — across testdata
+    * generations. Normalize to the ns-epoch LONG the sessionize /
+    * window arithmetic runs on (exact: micros ×1000; the UTC session
+    * makes the NTZ→instant cast lossless). Batch and streaming alike. */
+  def tsNanos(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn(c, unix_micros(col(c).cast("timestamp")) * 1000L)
+    }
+
   /** Canonical 2-decimal rendering, exact in both engines. */
   private def dec2(c: Column): Column = c.cast("decimal(18,2)").cast("string")
   private def day(c: Column): Column = date_format(c, "yyyy-MM-dd")

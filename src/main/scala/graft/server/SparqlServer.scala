@@ -2,62 +2,234 @@ package graft.server
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import graft.Graft
-import graft.rdf.Serializer
-import graft.sparql.{Algebra, Ask, Parser}
+import graft.rdf.{QuadStore, Repository, Serializer}
+import graft.sparql.{Algebra, Ask, Parser, Update}
 import java.net.InetSocketAddress
-import java.util.concurrent.ConcurrentHashMap
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.{ConcurrentHashMap, Executors}
 import java.util.concurrent.atomic.AtomicReference
+import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
 
-/** Minimal SPARQL 1.1 Protocol endpoint over [[graft.Graft]] handles —
-  * the NanoSparqlServer analog (bigdata-core/bigdata-sails/.../webapp/
-  * NanoSparqlServer.java: query + update servlets over a repository
-  * connection). JDK HttpServer, no new dependency.
+/** SPARQL 1.1 Protocol endpoint + REST management plane over
+  * [[graft.Graft]] handles — the NanoSparqlServer analog
+  * (bigdata-core/bigdata-sails/.../webapp/NanoSparqlServer.java and its
+  * servlet stack). JDK HttpServer, no new dependency.
   *
+  * QUERY + UPDATE (QueryServlet/UpdateServlet):
   *   - `POST /sparql` with `application/sparql-query` (or
   *     `GET /sparql?query=…`): SELECT renders by Accept —
   *     `application/sparql-results+json` (default) / `+xml` /
   *     `text/csv` / `text/tab-separated-values`; ASK renders the
   *     boolean document (JSON/XML); CONSTRUCT / DESCRIBE render
-  *     N-Triples (`application/n-triples`).
-  *   - `POST /sparql/update` with `application/sparql-update`:
-  *     applies the ';'-separated request to the handle (functional
-  *     swap on an AtomicReference) and returns 204.
+  *     N-Triples. Result documents STREAM: rows leave through a
+  *     chunked response via `toLocalIterator`, so an unbounded
+  *     CONSTRUCT never buffers on the driver (one partition at a time
+  *     does — the protocol's floor).
+  *   - `…?explain` returns the formatted Spark plan as `text/plain`
+  *     instead of results (BigdataRDFContext's explain mode analog).
+  *   - `POST /sparql/update` with `application/sparql-update` (or
+  *     form `update=`): applies the ';'-separated request, 204.
   *
-  * MULTI-TENANCY (the reference's MultiTenancyServlet — one server,
-  * many isolated knowledge bases, each a namespace):
+  * DATA INGEST (InsertServlet/DeleteServlet — the curl surface every
+  * migrating Blazegraph script hits on day one):
+  *   - `POST /sparql` with an RDF document body — Content-Type picks
+  *     the parser: `text/turtle`, `application/n-triples`,
+  *     `application/rdf+xml`, `application/ld+json`,
+  *     `application/n-quads`, `application/trig`; optional
+  *     `context-uri=` (or `graph=`) targets a named graph. Returns the
+  *     reference's `<data modified="N"/>` document. An unsupported
+  *     content type is a loud 415, never a silent parse-as-query.
+  *   - `DELETE /sparql?query=<CONSTRUCT…>` removes the construction's
+  *     statements (every graph they appear in);
+  *     `DELETE /sparql` with an RDF body removes those statements.
   *
+  * METADATA (QueryServlet.java:152-171 / RESTServlet.java:252-269):
+  *   - `GET /sparql?ESTCARD[&s=…&p=…&o=…&c=…]` — fast range count of
+  *     the matching access path, `<data rangeCount="N"/>`;
+  *   - `GET /sparql?CONTEXTS` — `<contexts><context uri=…/>…`;
+  *   - `GET /sparql?GETSTMTS[&s=…&p=…&o=…&c=…]` — matching statements
+  *     as streamed N-Quads. Term parameters are N-Triples-encoded
+  *     (`<iri>`, `"lit"`, `"lit"@lang`, `"lit"^^<dt>`).
+  *
+  * STATUS + CANCEL (StatusServlet.java:165-240): every query runs in
+  * its own Spark job group keyed by UUID; `GET /status` lists running
+  * queries, `…?cancelQuery&queryId=<uuid>` cancels the group
+  * (`SparkContext.cancelJobGroup` — the cluster-wide kill the
+  * reference implements by hand).
+  *
+  * MULTI-TENANCY (MultiTenancyServlet — one server, many isolated
+  * knowledge bases):
   *   - `GET /namespace` — one N-Triples description line per live
-  *     namespace (the reference answers RDF here too);
-  *   - `POST /namespace` with `name=…` — create an empty namespace
-  *     (409 if it exists);
-  *   - `DELETE /namespace/<ns>` — drop it (404 if absent);
-  *   - `/namespace/<ns>/sparql` and `/namespace/<ns>/sparql/update` —
-  *     the full protocol surface, scoped to that namespace's handle.
+  *     namespace; `POST /namespace` with `name=…` creates (409 if it
+  *     exists); `DELETE /namespace/<ns>` drops it — except the DEFAULT
+  *     namespace, which is protected (403), as the reference protects
+  *     its default KB;
+  *   - `/namespace/<ns>/sparql[/update]` — the full surface above,
+  *     scoped. The bare `/sparql` paths resolve the default namespace
+  *     (`kb`) PER REQUEST, so they can never diverge from
+  *     `/namespace/kb/sparql`.
   *
-  * The bare `/sparql` paths alias the DEFAULT namespace (`kb`, the
-  * reference's default), which always exists.
+  * DURABILITY: constructed over a journal directory
+  * ([[SparqlServer.durable]]), every namespace is a [[Repository]] —
+  * updates commit their op-shaped delta through the journal
+  * ([[Repository.update]]), ingest lands as insert-only commits, and a
+  * server restart reattaches every namespace from disk (the
+  * reference's namespaces are journal-backed the same way). The
+  * in-memory constructor keeps the old ephemeral behavior for tests
+  * and scratch serving.
   *
-  * Serving is driver-side by nature — the protocol buffers one HTTP
-  * response per request; the four results serializers themselves stay
-  * distributed up to the final collect, and a 100-TB RESULT does not
-  * belong on a protocol endpoint (export paths write files instead).
   * [[graft.sparql.RemoteService]] speaks this protocol back, so two
-  * graft clusters federate over SERVICE with no extra glue
-  * (integration-tested: server ↔ RemoteService round-trip). */
-final class SparqlServer(initial: Graft, host: String = "127.0.0.1", port: Int = 0,
-                         defaultNamespace: String = "kb") {
+  * graft clusters federate over SERVICE with no extra glue, and
+  * [[graft.server.RemoteRepository]] is the client-side analog of the
+  * reference's bigdata-client RemoteRepository. */
+final class SparqlServer private (initial: Graft, host: String, port: Int,
+                                  val defaultNamespace: String,
+                                  journalDir: Option[String]) {
 
-  private val namespaces = new ConcurrentHashMap[String, AtomicReference[Graft]]()
-  namespaces.put(defaultNamespace, new AtomicReference[Graft](initial))
-  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  def this(initial: Graft, host: String = "127.0.0.1", port: Int = 0,
+           defaultNamespace: String = "kb") =
+    this(initial, host, port, defaultNamespace, None)
+
+  private val spark = initial.spark
+  import spark.implicits._
+
+  // ---- tenants ----------------------------------------------------
+
+  /** One namespace's store operations — memory- or journal-backed. */
+  private sealed trait Tenant {
+    def current: Graft
+    def update(text: String): Unit
+    /** Insert parsed quads; returns the statement count ingested. */
+    def ingest(quads: DataFrame): Long
+    /** Remove every graph's occurrence of the (s,p,o) rows; returns
+      * the quad count removed. */
+    def remove(spo: DataFrame): Long
+    def destroy(): Unit
+  }
+
+  private def emptyQuads: DataFrame =
+    Seq.empty[(String, String, String, String)].toDF("s", "p", "o", "g")
+
+  private final class MemTenant(ref: AtomicReference[Graft]) extends Tenant {
+    def current: Graft = ref.get()
+    def update(text: String): Unit = { ref.updateAndGet(_.update(text)); () }
+    def ingest(quads: DataFrame): Long = {
+      val q = quads.localCheckpoint()
+      ref.updateAndGet(g => g.copy(store = g.store.insertQuads(q)))
+      q.count()
+    }
+    def remove(spo: DataFrame): Long = {
+      val keys = Seq("s", "p", "o")
+      val doomed = ref.get().store.quads
+        .join(spo.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
+          keys, "left_semi")
+        .localCheckpoint()
+      ref.updateAndGet(g => g.copy(store =
+        QuadStore(g.store.quads.join(doomed, Seq("s", "p", "o", "g"), "left_anti"))))
+      doomed.count()
+    }
+    def destroy(): Unit = ()
+  }
+
+  /** Journal-backed namespace: reads serve a per-version cached
+    * connection (so the union-default-graph merge view materializes
+    * once per COMMIT, not once per request), writes commit through the
+    * repository's delta path. */
+  private final class DurableTenant(repo: Repository, dir: Path) extends Tenant {
+    @volatile private var cached: (Long, Graft) = (-1L, null)
+    def current: Graft = {
+      val v = repo.version
+      val c = cached
+      if (c._1 == v && c._2 != null) c._2
+      else synchronized {
+        if (cached._1 != v || cached._2 == null) cached = (v, repo.connection())
+        cached._2
+      }
+    }
+    def update(text: String): Unit = { repo.update(text); () }
+    def ingest(quads: DataFrame): Long = {
+      val q = quads.localCheckpoint()
+      repo.journal.commit(adds = q, dels = emptyQuads)
+      q.count()
+    }
+    def remove(spo: DataFrame): Long = {
+      val keys = Seq("s", "p", "o")
+      val doomed = current.store.quads
+        .join(spo.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
+          keys, "left_semi")
+        .localCheckpoint()
+      repo.journal.commit(adds = emptyQuads, dels = doomed)
+      doomed.count()
+    }
+    def destroy(): Unit = deleteRecursively(dir)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  private val namespaces = new ConcurrentHashMap[String, Tenant]()
+
+  journalDir match {
+    case None =>
+      namespaces.put(defaultNamespace, new MemTenant(new AtomicReference(initial)))
+    case Some(d) =>
+      val root = Paths.get(d)
+      Files.createDirectories(root)
+      // reattach every namespace the directory already holds
+      val subs = Files.list(root)
+      try subs.iterator().asScala.foreach { sub =>
+        if (Files.exists(sub.resolve("commits")))
+          namespaces.put(sub.getFileName.toString,
+            new DurableTenant(Repository.open(spark, sub.toString), sub))
+      } finally subs.close()
+      if (!namespaces.containsKey(defaultNamespace)) {
+        val sub = root.resolve(defaultNamespace)
+        val repo = Repository.create(spark, sub.toString)
+        if (!initial.store.quads.isEmpty)
+          repo.journal.append(initial.store.quads)
+        namespaces.put(defaultNamespace, new DurableTenant(repo, sub))
+      }
+  }
+
+  private def tenant(ns: String): Tenant = {
+    val t = namespaces.get(ns)
+    require(t != null, s"no namespace $ns")
+    t
+  }
 
   /** The current (latest-updated) handle of a namespace (default: the
-    * default namespace). */
-  def current(ns: String = defaultNamespace): Graft = {
-    val ref = namespaces.get(ns)
-    require(ref != null, s"no namespace $ns")
-    ref.get()
+    * default namespace, resolved per call — never a stale alias). */
+  def current(ns: String = defaultNamespace): Graft = tenant(ns).current
+
+  // ---- running-query registry (StatusServlet analog) ---------------
+
+  private final case class Running(id: String, ns: String, query: String,
+                                   startedMs: Long)
+  private val running = new ConcurrentHashMap[String, Running]()
+
+  /** Run `body`'s Spark jobs inside a cancellable job group: a
+    * `cancelQuery` on the UUID interrupts them cluster-wide. */
+  private def inJobGroup[T](ns: String, q: String)(body: => T): T = {
+    val id = java.util.UUID.randomUUID().toString
+    running.put(id, Running(id, ns, q, System.currentTimeMillis()))
+    spark.sparkContext.setJobGroup(id, s"sparql:$ns", interruptOnCancel = true)
+    try body
+    finally { spark.sparkContext.clearJobGroup(); running.remove(id) }
   }
+
+  // ---- http plumbing ----------------------------------------------
+
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  // a thread per in-flight exchange: a long-running query must not
+  // block /status or the cancel that kills it
+  server.setExecutor(Executors.newCachedThreadPool())
 
   /** `http://host:port` of the bound socket (port 0 = OS-assigned). */
   def address: String =
@@ -72,17 +244,57 @@ final class SparqlServer(initial: Graft, host: String = "127.0.0.1", port: Int =
     ex.close()
   }
 
-  /** `query=`/`update=` from a URL-encoded form or query string. */
+  /** Chunked-transfer document: `head`, then `rows` joined by `sep`,
+    * then `foot` — written as each partition's iterator arrives, so
+    * the driver holds one partition of rows at a time, never the
+    * result set. */
+  private def respondStream(ex: HttpExchange, contentType: String, head: String,
+                            rows: Iterator[String], sep: String,
+                            foot: String): Unit = {
+    ex.getResponseHeaders.add("Content-Type", contentType)
+    ex.sendResponseHeaders(200, 0) // 0 = chunked
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(ex.getResponseBody, "UTF-8"))
+    out.write(head)
+    var first = true
+    rows.foreach { r =>
+      if (!first) out.write(sep)
+      out.write(r); first = false
+    }
+    out.write(foot)
+    out.flush(); out.close(); ex.close()
+  }
+
+  /** One column of strings, driver-bounded to a partition at a time. */
+  private def lines(df: DataFrame): Iterator[String] =
+    df.toLocalIterator().asScala.map(_.getString(0))
+
   private def formParam(s: String, key: String): Option[String] =
     s.split('&').collectFirst {
       case kv if kv.startsWith(key + "=") =>
         java.net.URLDecoder.decode(kv.drop(key.length + 1), "UTF-8")
     }
 
+  /** Query-string / form flags and values: `ESTCARD&s=…` parses to
+    * presence + decoded values. */
+  private def params(raw: String): Map[String, Option[String]] =
+    raw.split('&').filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k)    => k -> None
+        case Array(k, v) => k -> Some(java.net.URLDecoder.decode(v, "UTF-8"))
+      }
+    }.toMap
+
+  private def rawQuery(ex: HttpExchange): String =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+
+  private def contentType(ex: HttpExchange): String =
+    Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+
   private def queryText(ex: HttpExchange): Option[String] = {
-    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-    if (ex.getRequestMethod == "GET")
-      Option(ex.getRequestURI.getRawQuery).flatMap(formParam(_, "query"))
+    val ct = contentType(ex)
+    if (ex.getRequestMethod == "GET" || ex.getRequestMethod == "DELETE")
+      formParam(rawQuery(ex), "query")
     else {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       if (ct.startsWith("application/x-www-form-urlencoded")) formParam(body, "query")
@@ -90,68 +302,247 @@ final class SparqlServer(initial: Graft, host: String = "127.0.0.1", port: Int =
     }
   }
 
-  private def handleQuery(ex: HttpExchange, ref: AtomicReference[Graft]): Unit =
-    try {
-      val q = queryText(ex).getOrElse(sys.error("no query in request"))
-      val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
-      val g = ref.get()
-      val ast = Parser.parse(q)
-      val df = g.query(q)
-      ast match {
-        case _: Ask =>
-          val b = df.collect().head.getBoolean(0)
-          if (accept.contains("xml"))
-            respond(ex, 200, "application/sparql-results+xml", Serializer.sparqlAskXml(b))
-          else respond(ex, 200, "application/sparql-results+json", Serializer.sparqlAskJson(b))
-        case _ if isGraphResult(ast) =>
-          val lines = Serializer.toNTriples(df).collect().map(_.getString(0))
-          respond(ex, 200, "application/n-triples", lines.mkString("\n"))
-        case _ =>
-          val vars = df.columns.toSeq
-          if (accept.contains("csv")) {
-            val rows = Serializer.sparqlCsvRows(df).collect().map(_.getString(0))
-            respond(ex, 200, "text/csv",
-              (vars.mkString(",") +: rows).mkString("\r\n"))
-          } else if (accept.contains("tab-separated")) {
-            val rows = Serializer.sparqlTsvRows(df).collect().map(_.getString(0))
-            respond(ex, 200, "text/tab-separated-values",
-              (vars.map("?" + _).mkString("\t") +: rows).mkString("\n"))
-          } else if (accept.contains("xml")) {
-            val rows = Serializer.sparqlXmlResults(df).collect().map(_.getString(0))
-            respond(ex, 200, "application/sparql-results+xml",
-              Serializer.sparqlXmlHead(vars) + rows.mkString + Serializer.sparqlXmlFoot)
-          } else {
-            val rows = Serializer.sparqlJsonBindings(df).collect().map(_.getString(0))
-            respond(ex, 200, "application/sparql-results+json",
-              Serializer.sparqlJsonHead(vars) + rows.mkString(",") + Serializer.sparqlJsonFoot)
-          }
-      }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
-    }
+  // ---- term + document decoding -----------------------------------
 
-  /** CONSTRUCT and the DESCRIBE family produce triple-shaped output. */
+  /** Content-Type → LOAD extension; the single dispatch table for both
+    * ingest and body-DELETE (InsertServlet's Rio format negotiation). */
+  private val rdfContentTypes = Map(
+    "text/turtle" -> "ttl", "application/x-turtle" -> "ttl",
+    "application/n-triples" -> "nt", "text/plain" -> "nt",
+    "application/rdf+xml" -> "rdf", "application/ld+json" -> "jsonld",
+    "application/n-quads" -> "nq", "application/trig" -> "trig")
+
+  private def rdfExtension(ct: String): Option[String] =
+    rdfContentTypes.get(ct.split(';').head.trim.toLowerCase)
+
+  /** Parse a request body as an RDF document by writing it to a spill
+    * file and running the distributed LOAD readers over it — the same
+    * code path (and the same loud parse failures) as SPARQL LOAD. */
+  private def bodyQuads(ex: HttpExchange, ext: String, graph: Option[String],
+                        defaultGraph: String): DataFrame = {
+    val tmp = Files.createTempFile("graft_post", s".$ext")
+    Files.write(tmp, ex.getRequestBody.readAllBytes())
+    Update.loadOpQuads(spark, s"file://$tmp", graph, defaultGraph)
+  }
+
+  /** Intern a plain IRI the way the loaders do (`urn:graft:x` → `x`). */
+  private def internIri(iri: String): String =
+    if (iri.startsWith(Parser.Base)) iri.drop(Parser.Base.length) else iri
+
+  /** An N-Triples-encoded term parameter (`<iri>`, `"lit"`,
+    * `"lit"@lang`, `"lit"^^<dt>`, `_:b`) → the engine's term encoding;
+    * a bare value passes through (convenience the reference's ESTCARD
+    * does not need, but curl users will thank). */
+  private def ntTerm(t: String): String = {
+    val Tagged = "^\"(.*)\"@([A-Za-z0-9-]+)$".r
+    val Typed = "^\"(.*)\"\\^\\^<(.*)>$".r
+    val Quoted = "^\"(.*)\"$".r
+    def unesc(s: String): String = s
+      .replace("\\\\", "￿").replace("\\n", "\n").replace("\\r", "\r")
+      .replace("\\t", "\t").replace("\\\"", "\"").replace("￿", "\\")
+    t match {
+      case _ if t.startsWith("<") && t.endsWith(">") =>
+        internIri(t.substring(1, t.length - 1))
+      case Tagged(lex, lang) => "\"" + unesc(lex) + "\"@" + lang
+      case Typed(lex, dt)    => "\"" + unesc(lex) + "\"^^" + internIri(dt)
+      case Quoted(lex)       => unesc(lex)
+      case _                 => t
+    }
+  }
+
+  /** The quad access path for ESTCARD/GETSTMTS: bound terms prune the
+    * scan (the narrow-scan pruning the quad source already proves). */
+  private def accessPath(g: Graft, p: Map[String, Option[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Seq("s" -> "s", "p" -> "p", "o" -> "o", "c" -> "g").foldLeft(g.store.quads) {
+      case (df, (param, column)) =>
+        p.get(param).flatten match {
+          case Some(term) => df.filter(col(column) === ntTerm(term))
+          case None       => df
+        }
+    }
+  }
+
+  // ---- handlers ---------------------------------------------------
+
   private def isGraphResult(ast: Algebra): Boolean = ast match {
     case _: graft.sparql.Construct | _: graft.sparql.Describe |
          _: graft.sparql.DescribeWhere => true
     case _ => false
   }
 
-  private def handleUpdate(ex: HttpExchange, ref: AtomicReference[Graft]): Unit =
+  private def handleQuery(ex: HttpExchange, ns: String): Unit =
     try {
-      val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+      val qp = params(rawQuery(ex))
+      if (ex.getRequestMethod == "GET" && qp.contains("ESTCARD")) handleEstcard(ex, ns)
+      else if (ex.getRequestMethod == "GET" && qp.contains("CONTEXTS")) handleContexts(ex, ns)
+      else if (ex.getRequestMethod == "GET" && qp.contains("GETSTMTS")) handleGetStmts(ex, ns)
+      else if (ex.getRequestMethod == "DELETE") handleDelete(ex, ns)
+      else if (ex.getRequestMethod == "POST" && rdfExtension(contentType(ex)).isDefined)
+        handleInsert(ex, ns)
+      else if (ex.getRequestMethod == "POST" &&
+        contentType(ex).startsWith("application/x-www-form-urlencoded") &&
+        queryText(ex).isEmpty)
+        // a form without query= is not a query request — don't guess
+        respond(ex, 400, "text/plain", "bad request: no query in form")
+      else {
+        val q = queryText(ex).getOrElse(sys.error("no query in request"))
+        val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+        val g = tenant(ns).current
+        val ast = Parser.parse(q)
+        val df = g.query(q)
+        if (qp.contains("explain")) {
+          // the reference's ?explain: the query PLAN, not the results
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          respond(ex, 200, "text/plain", plan)
+        } else inJobGroup(ns, q) {
+          ast match {
+            case _: Ask =>
+              val b = df.collect().head.getBoolean(0)
+              if (accept.contains("xml"))
+                respond(ex, 200, "application/sparql-results+xml", Serializer.sparqlAskXml(b))
+              else respond(ex, 200, "application/sparql-results+json", Serializer.sparqlAskJson(b))
+            case _ if isGraphResult(ast) =>
+              respondStream(ex, "application/n-triples", "",
+                lines(Serializer.toNTriples(df)), "\n", "")
+            case _ =>
+              val vars = df.columns.toSeq
+              if (accept.contains("csv"))
+                respondStream(ex, "text/csv", vars.mkString(",") + "\r\n",
+                  lines(Serializer.sparqlCsvRows(df)), "\r\n", "")
+              else if (accept.contains("tab-separated"))
+                respondStream(ex, "text/tab-separated-values",
+                  vars.map("?" + _).mkString("\t") + "\n",
+                  lines(Serializer.sparqlTsvRows(df)), "\n", "")
+              else if (accept.contains("xml"))
+                respondStream(ex, "application/sparql-results+xml",
+                  Serializer.sparqlXmlHead(vars),
+                  lines(Serializer.sparqlXmlResults(df)), "", Serializer.sparqlXmlFoot)
+              else
+                respondStream(ex, "application/sparql-results+json",
+                  Serializer.sparqlJsonHead(vars),
+                  lines(Serializer.sparqlJsonBindings(df)), ",", Serializer.sparqlJsonFoot)
+          }
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+    }
+
+  /** `POST /sparql` with an RDF document body (InsertServlet.java:61:
+    * POST-with-body; content-type picks the parser, `context-uri`
+    * the target graph). */
+  private def handleInsert(ex: HttpExchange, ns: String): Unit = {
+    val ext = rdfExtension(contentType(ex)).getOrElse(
+      sys.error(s"unsupported RDF content type: ${contentType(ex)}"))
+    val qp = params(rawQuery(ex))
+    val graph = qp.get("context-uri").flatten.orElse(qp.get("graph").flatten)
+      .map(internIri)
+    val t = tenant(ns)
+    val quads = bodyQuads(ex, ext, graph, t.current.defaultGraph)
+    val n = inJobGroup(ns, s"data-POST ($ext)") { t.ingest(quads) }
+    respond(ex, 200, "application/xml",
+      s"""<?xml version="1.0"?><data modified="$n"/>""")
+  }
+
+  /** `DELETE /sparql?query=<CONSTRUCT…>` or DELETE-with-body
+    * (DeleteServlet.java): removes the described statements from every
+    * graph they appear in. */
+  private def handleDelete(ex: HttpExchange, ns: String): Unit = {
+    val t = tenant(ns)
+    val spo: DataFrame = queryText(ex) match {
+      case Some(q) =>
+        val ast = Parser.parse(q)
+        require(isGraphResult(ast),
+          "DELETE with query requires CONSTRUCT or DESCRIBE")
+        t.current.query(q).select("s", "p", "o")
+      case None =>
+        val ext = rdfExtension(contentType(ex)).getOrElse(
+          sys.error(s"DELETE needs ?query=… or an RDF body; got content type '${contentType(ex)}'"))
+        bodyQuads(ex, ext, None, t.current.defaultGraph).select("s", "p", "o")
+    }
+    val n = inJobGroup(ns, "data-DELETE") { t.remove(spo) }
+    respond(ex, 200, "application/xml",
+      s"""<?xml version="1.0"?><data modified="$n"/>""")
+  }
+
+  /** `GET /sparql?ESTCARD&…` — the reference's fast range count
+    * (QueryServlet.java:152: ESTCARD over the chosen access path). */
+  private def handleEstcard(ex: HttpExchange, ns: String): Unit = {
+    val t0 = System.currentTimeMillis()
+    val n = inJobGroup(ns, "ESTCARD") {
+      accessPath(tenant(ns).current, params(rawQuery(ex))).count()
+    }
+    respond(ex, 200, "application/xml",
+      s"""<?xml version="1.0"?><data rangeCount="$n" milliseconds="${System.currentTimeMillis() - t0}"/>""")
+  }
+
+  /** `GET /sparql?CONTEXTS` — the named graphs (QueryServlet CONTEXTS
+    * op), as the reference's contexts XML document. */
+  private def handleContexts(ex: HttpExchange, ns: String): Unit = {
+    val gs = inJobGroup(ns, "CONTEXTS") {
+      tenant(ns).current.store.graphs.collect().map(_.getString(0)).sorted
+    }
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace("\"", "&quot;")
+    val body = gs.map { g =>
+      val iri = if (g.matches("^(http|https|urn|file|mailto|did|tag):.*")) g
+                else Parser.Base + g
+      s"""<context uri="${esc(iri)}"/>"""
+    }.mkString
+    respond(ex, 200, "application/xml",
+      s"""<?xml version="1.0"?><contexts>$body</contexts>""")
+  }
+
+  /** `GET /sparql?GETSTMTS&…` — the matching statements, streamed as
+    * N-Quads (QueryServlet GETSTMTS / ExportServlet analog). */
+  private def handleGetStmts(ex: HttpExchange, ns: String): Unit =
+    inJobGroup(ns, "GETSTMTS") {
+      val df = accessPath(tenant(ns).current, params(rawQuery(ex)))
+      respondStream(ex, "application/n-quads", "",
+        lines(Serializer.toNQuads(df)), "\n", "")
+    }
+
+  private def handleUpdate(ex: HttpExchange, ns: String): Unit =
+    try {
+      val ct = contentType(ex)
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       val text =
         if (ct.startsWith("application/x-www-form-urlencoded"))
           formParam(body, "update").getOrElse(sys.error("no update in form"))
         else body // application/sparql-update
-      ref.updateAndGet(g => g.update(text))
+      tenant(ns).update(text)
       respond(ex, 204, "text/plain", "")
     } catch {
       case scala.util.control.NonFatal(e) =>
         respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
     }
+
+  private object StatusHandler extends HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      try {
+        val qp = params(rawQuery(ex))
+        if (qp.contains("cancelQuery")) {
+          val id = qp.get("queryId").flatten.getOrElse(sys.error("no queryId"))
+          if (running.containsKey(id)) {
+            spark.sparkContext.cancelJobGroup(id)
+            respond(ex, 200, "text/plain", s"cancelled: $id")
+          } else respond(ex, 404, "text/plain", s"no such query: $id")
+        } else {
+          val now = System.currentTimeMillis()
+          val rows = running.values.asScala.toSeq.sortBy(_.startedMs).map { r =>
+            val q1 = r.query.replace('\n', ' ').take(120)
+            s"${r.id}\t${r.ns}\t${now - r.startedMs}ms\t$q1"
+          }
+          respond(ex, 200, "text/plain",
+            (s"running: ${rows.size}" +: rows).mkString("\n"))
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+      }
+  }
 
   private object NamespaceHandler extends HttpHandler {
     def handle(ex: HttpExchange): Unit =
@@ -162,32 +553,45 @@ final class SparqlServer(initial: Graft, host: String = "127.0.0.1", port: Int =
           case (Nil, "GET") =>
             // one description line per namespace, like the reference's
             // RDF answer (title + its scoped protocol endpoint)
-            val lines = {
-              import scala.jdk.CollectionConverters._
-              namespaces.keys.asScala.toSeq.sorted.map { ns =>
-                s"""<$address/namespace/$ns/sparql> <http://purl.org/dc/terms/title> "$ns" ."""
-              }
+            val lines = namespaces.keys.asScala.toSeq.sorted.map { ns =>
+              s"""<$address/namespace/$ns/sparql> <http://purl.org/dc/terms/title> "$ns" ."""
             }
             respond(ex, 200, "application/n-triples", lines.mkString("\n"))
           case (Nil, "POST") =>
             val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
             val name = formParam(body, "name")
-              .orElse(Option(ex.getRequestURI.getRawQuery).flatMap(formParam(_, "name")))
+              .orElse(formParam(rawQuery(ex), "name"))
               .getOrElse(sys.error("no name in request"))
             require(name.matches("[A-Za-z0-9_-]+"), s"bad namespace name: $name")
-            val fresh = new AtomicReference[Graft](Graft.empty(initial.spark))
+            val fresh: Tenant = journalDir match {
+              case None => new MemTenant(new AtomicReference(Graft.empty(spark)))
+              case Some(d) =>
+                val sub = Paths.get(d).resolve(name)
+                if (namespaces.containsKey(name) || Files.exists(sub)) {
+                  respond(ex, 409, "text/plain", s"namespace exists: $name"); return
+                }
+                new DurableTenant(Repository.create(spark, sub.toString), sub)
+            }
             if (namespaces.putIfAbsent(name, fresh) != null)
               respond(ex, 409, "text/plain", s"namespace exists: $name")
             else respond(ex, 201, "text/plain", s"created: $name")
           case (List(ns), "DELETE") =>
-            if (namespaces.remove(ns) != null) respond(ex, 200, "text/plain", s"deleted: $ns")
-            else respond(ex, 404, "text/plain", s"no namespace: $ns")
+            // the default namespace backs the bare /sparql alias — the
+            // reference's MultiTenancyServlet protects its default KB
+            // the same way
+            if (ns == defaultNamespace)
+              respond(ex, 403, "text/plain", s"cannot delete the default namespace: $ns")
+            else {
+              val t = namespaces.remove(ns)
+              if (t != null) { t.destroy(); respond(ex, 200, "text/plain", s"deleted: $ns") }
+              else respond(ex, 404, "text/plain", s"no namespace: $ns")
+            }
           case (ns :: tail, _) =>
-            val ref = namespaces.get(ns)
-            if (ref == null) respond(ex, 404, "text/plain", s"no namespace: $ns")
+            if (!namespaces.containsKey(ns))
+              respond(ex, 404, "text/plain", s"no namespace: $ns")
             else tail match {
-              case List("sparql")           => handleQuery(ex, ref)
-              case List("sparql", "update") => handleUpdate(ex, ref)
+              case List("sparql")           => handleQuery(ex, ns)
+              case List("sparql", "update") => handleUpdate(ex, ns)
               case _ => respond(ex, 404, "text/plain", s"no such resource: $rest")
             }
           case _ => respond(ex, 405, "text/plain", "method not allowed")
@@ -198,13 +602,25 @@ final class SparqlServer(initial: Graft, host: String = "127.0.0.1", port: Int =
       }
   }
 
-  private val defaultRef = namespaces.get(defaultNamespace)
+  // the bare paths resolve the DEFAULT namespace per request — they
+  // alias /namespace/<default>/… exactly, never a captured handle
   server.createContext("/sparql/update",
-    (ex: HttpExchange) => handleUpdate(ex, defaultRef))
+    (ex: HttpExchange) => handleUpdate(ex, defaultNamespace))
   server.createContext("/sparql",
-    (ex: HttpExchange) => handleQuery(ex, defaultRef))
+    (ex: HttpExchange) => handleQuery(ex, defaultNamespace))
   server.createContext("/namespace", NamespaceHandler)
+  server.createContext("/status", StatusHandler)
 
   def start(): this.type = { server.start(); this }
   def stop(): Unit = server.stop(0)
+}
+
+object SparqlServer {
+  /** A server whose namespaces are journal-backed [[Repository]]s
+    * under `journalDir` — restart reattaches every namespace from
+    * disk. `initial` seeds the default namespace's journal on FIRST
+    * creation only (reattachment keeps the durable state). */
+  def durable(initial: Graft, journalDir: String, host: String = "127.0.0.1",
+              port: Int = 0, defaultNamespace: String = "kb"): SparqlServer =
+    new SparqlServer(initial, host, port, defaultNamespace, Some(journalDir))
 }

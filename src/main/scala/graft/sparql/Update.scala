@@ -64,6 +64,18 @@ object Update {
         val st1 =
           if (del.isEmpty) store else store.deleteData(g, instantiate(del, sol))
         if (ins.isEmpty) st1 else st1.insertData(g, instantiate(ins, sol))
+      case DeleteInsertWhere(del, ins, where) =>
+        // bare (no WITH/USING) DELETE/INSERT WHERE in quads mode: the
+        // WHERE sees the union default graph (the façade's quads-mode
+        // query convention), templates act on `defaultGraph` (§3.1.3:
+        // template triples without GRAPH address the default graph)
+        val merged = store.quads.select("s", "p", "o").distinct()
+        val sol = Compiler.compile(where, TripleSource.plain(merged))
+        val st1 =
+          if (del.isEmpty) store
+          else store.deleteData(defaultGraph, instantiate(del, sol))
+        if (ins.isEmpty) st1
+        else st1.insertData(defaultGraph, instantiate(ins, sol))
       case UsingClause(defaults, named, DeleteInsertWhere(del, ins, where)) =>
         // the WHERE sees the USING dataset (update-side FROM/FROM
         // NAMED): default-graph patterns scan the USING graphs' merge,
@@ -94,39 +106,12 @@ object Update {
         store.addGraph(f.getOrElse(defaultGraph), t.getOrElse(defaultGraph))
       case Load(src, g, silent) =>
         try {
-          val path = src.stripPrefix("file://")
           // SILENT must absorb PARSE failures too (§3.1.4 success/no-op)
           // — the document parsers run lazily inside read tasks, so a
           // silent LOAD materializes the parsed data eagerly (inside
           // this try) before it reaches the store
-          def force(df: DataFrame): DataFrame =
-            if (silent) df.localCheckpoint() else df
-          if (path.endsWith(".nq")) {
-            // N-Quads: each statement carries its own graph; INTO GRAPH
-            // overrides the tags (the reference's Rio N-Quads handling)
-            val q = force(loadQuads(spark, src))
-            store.insertQuads(g.fold(q)(gg => q.withColumn("g", lit(gg))))
-          } else if (path.endsWith(".trig")) {
-            // TriG: GRAPH blocks carry their labels, bare statements
-            // land in the request's default graph; INTO GRAPH overrides
-            import spark.implicits._
-            val q = force(spark.read.option("wholetext", "true").textFile(path)
-              .flatMap(graft.rdf.Turtle.parseTrig(_, defaultGraph))
-              .toDF("s", "p", "o", "g"))
-            store.insertQuads(g.fold(q)(gg => q.withColumn("g", lit(gg))))
-          } else if (path.endsWith(".jsonld") && g.isEmpty) {
-            // JSON-LD named-graph documents (§6.13): named-graph node
-            // objects carry their labels, top-level statements land in
-            // the request's default graph. With INTO GRAPH the whole
-            // document is flattened into the target (the triples path
-            // below).
-            import spark.implicits._
-            val q = force(spark.read.option("wholetext", "true").textFile(path)
-              .flatMap(graft.rdf.JsonLd.parseQuads(_, defaultGraph))
-              .toDF("s", "p", "o", "g"))
-            store.insertQuads(q)
-          } else store.insertData(g.getOrElse(defaultGraph),
-            force(loadTriples(spark, src)))
+          val q = loadOpQuads(spark, src, g, defaultGraph)
+          store.insertQuads(if (silent) q.localCheckpoint() else q)
         } catch { case e: Exception if silent => store }
       case other => sys.error(s"quads-mode update supports ground data, WITH-scoped ops and graph management, got $other")
     }
@@ -136,6 +121,122 @@ object Update {
   def applyQuadsSeq(store: graft.rdf.QuadStore, ops: Seq[UpdateOp],
                     defaultGraph: String = "g:default"): graft.rdf.QuadStore =
     ops.foldLeft(store)(applyQuads(_, _, defaultGraph))
+
+  /** The (g-tagged) quads a LOAD op contributes — shared by the store
+    * apply and the delta path. N-Quads/TriG statements carry their own
+    * graph tags (INTO GRAPH overrides); JSON-LD named-graph documents
+    * keep their labels unless INTO GRAPH flattens; every triples-mode
+    * document lands whole in the target graph. */
+  private[graft] def loadOpQuads(spark: org.apache.spark.sql.SparkSession, src: String,
+                                 g: Option[String], defaultGraph: String): DataFrame = {
+    val path = src.stripPrefix("file://")
+    import spark.implicits._
+    if (path.endsWith(".nq")) {
+      val q = loadQuads(spark, src)
+      g.fold(q)(gg => q.withColumn("g", lit(gg)))
+    } else if (path.endsWith(".trig")) {
+      val q = spark.read.option("wholetext", "true").textFile(path)
+        .flatMap(graft.rdf.Turtle.parseTrig(_, defaultGraph))
+        .toDF("s", "p", "o", "g")
+      g.fold(q)(gg => q.withColumn("g", lit(gg)))
+    } else if (path.endsWith(".jsonld") && g.isEmpty) {
+      spark.read.option("wholetext", "true").textFile(path)
+        .flatMap(graft.rdf.JsonLd.parseQuads(_, defaultGraph))
+        .toDF("s", "p", "o", "g")
+    } else loadTriples(spark, src)
+      .select("s", "p", "o").withColumn("g", lit(g.getOrElse(defaultGraph)))
+  }
+
+  /** The journal-shaped mutation delta of one op against `store`:
+    * `(adds, dels)` quad DataFrames sized by the CHANGE, never the
+    * store — the write path [[graft.rdf.Repository.update]] commits
+    * (the reference stages exactly these sets in its
+    * TruthMaintenance/commitNow buffers; a lakehouse MERGE ships the
+    * matched/not-matched sets the same way). Ground-data ops emit
+    * their own rows verbatim: journal resolution is idempotent for
+    * re-inserted quads and tombstones of absent quads, so NO
+    * existence anti-join against the store is needed — a small
+    * INSERT/DELETE DATA commit plans zero store scans (plan-asserted
+    * in RepositorySpec). Graph-management deltas are graph-sized (that
+    * IS the change). WHERE-driven ops evaluate against the pre-update
+    * store, like [[applyQuads]]. */
+  def quadsDelta(store: graft.rdf.QuadStore, op: UpdateOp,
+                 defaultGraph: String = "g:default"): (DataFrame, DataFrame) = {
+    val spark = store.quads.sparkSession
+    val nothing = graft.rdf.QuadStore(store.quads.limit(0)).quads
+    def tag(g: String, df: DataFrame): DataFrame =
+      df.select("s", "p", "o").withColumn("g", lit(g))
+    def byGraph(d: Seq[(Option[String], TriplePattern)]): DataFrame =
+      d.groupBy(_._1.getOrElse(defaultGraph)).view
+        .mapValues(v => ground(v.map(_._2), spark)).toSeq
+        .map { case (g, df) => tag(g, df) }
+        .reduceOption(_ unionAll _).getOrElse(nothing)
+    def tagged(g: String, tmpl: Seq[TriplePattern], sol: DataFrame): DataFrame =
+      if (tmpl.isEmpty) nothing else tag(g, instantiate(tmpl, sol))
+    op match {
+      case InsertData(d) => (byGraph(d), nothing)
+      case DeleteData(d) => (nothing, byGraph(d))
+      case WithGraph(g, DeleteInsertWhere(del, ins, where)) =>
+        val sol = Compiler.compile(where, TripleSource.plain(store.graph(g)))
+        (tagged(g, ins, sol), tagged(g, del, sol))
+      case DeleteInsertWhere(del, ins, where) =>
+        val merged = store.quads.select("s", "p", "o").distinct()
+        val sol = Compiler.compile(where, TripleSource.plain(merged))
+        (tagged(defaultGraph, ins, sol), tagged(defaultGraph, del, sol))
+      case UsingClause(defaults, named, DeleteInsertWhere(del, ins, where)) =>
+        val src = new TripleSource {
+          lazy val triples: DataFrame = store.graph(defaultGraph)
+          override def quads: Option[DataFrame] = Some(store.quads)
+          def fuseStar(patterns: Seq[TriplePattern],
+                       subjectTables: Option[Set[String]]): Option[DataFrame] = None
+        }
+        val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
+        (tagged(defaultGraph, ins, sol), tagged(defaultGraph, del, sol))
+      case CreateGraph(_, _) => (nothing, nothing)
+      case DropGraph(g, _)   =>
+        (nothing, tag(g.getOrElse(defaultGraph), store.graph(g.getOrElse(defaultGraph))))
+      case ClearGraph(g, _)  =>
+        (nothing, tag(g.getOrElse(defaultGraph), store.graph(g.getOrElse(defaultGraph))))
+      case ClearAll          => (nothing, store.quads)
+      case CopyGraph(f0, t0, _) =>
+        val (f, t) = (f0.getOrElse(defaultGraph), t0.getOrElse(defaultGraph))
+        if (f == t) (nothing, nothing)
+        else (tag(t, store.graph(f)), tag(t, store.graph(t)))
+      case MoveGraph(f0, t0, _) =>
+        val (f, t) = (f0.getOrElse(defaultGraph), t0.getOrElse(defaultGraph))
+        if (f == t) (nothing, nothing)
+        else (tag(t, store.graph(f)),
+          tag(t, store.graph(t)).unionAll(tag(f, store.graph(f))))
+      case AddGraph(f0, t0, _) =>
+        (tag(t0.getOrElse(defaultGraph), store.graph(f0.getOrElse(defaultGraph))), nothing)
+      case Load(src, g, silent) =>
+        try {
+          val q = loadOpQuads(spark, src, g, defaultGraph)
+          ((if (silent) q.localCheckpoint() else q), nothing)
+        } catch { case e: Exception if silent => (nothing, nothing) }
+      case other => sys.error(s"quads-mode update supports ground data, WITH-scoped ops and graph management, got $other")
+    }
+  }
+
+  /** Fold an op sequence into ONE journal commit's `(adds, dels)`.
+    * Later ops see earlier ops' store state (request order, §3.1);
+    * the accumulated sets compose under the cancellation law
+    * `A' = (A \ dels) ∪ adds`, `D' = D ∪ dels`, which is exactly what
+    * makes a single commit (dels apply before adds) reproduce the
+    * sequential result: a row op1 inserts and op2 deletes leaves the
+    * commit, a row op1 deletes and op2 re-inserts rides the
+    * within-commit add-outranks-delete rule. All delta-sized joins. */
+  def quadsDeltaSeq(store: graft.rdf.QuadStore, ops: Seq[UpdateOp],
+                    defaultGraph: String = "g:default"): (DataFrame, DataFrame) = {
+    val cols = Seq("s", "p", "o", "g")
+    val nothing = store.quads.limit(0)
+    ops.foldLeft((store, nothing, nothing)) { case ((st, accA, accD), op) =>
+      val (a, d) = quadsDelta(st, op, defaultGraph)
+      (applyQuads(st, op, defaultGraph),
+        accA.join(d, cols, "left_anti").unionAll(a),
+        accD.unionAll(d))
+    } match { case (_, a, d) => (a, d) }
+  }
 
   /** LOAD source reader: a parquet (s,p,o) table, a Turtle (.ttl)
     * document ([[graft.rdf.Turtle]] — whole-file parse, one task per

@@ -59,6 +59,37 @@ class MaintainedClosureSpec extends AnyFunSuite {
     assert(sameSet(tm.closure(), Rdfs.closure(tm.base(), ont)))
   }
 
+  test("open() repairs a crash between the two journal commits (one-step lag)") {
+    import graft.rdf.Journal
+    import org.apache.spark.sql.functions.lit
+    val dir = tmp()
+    val tm = MaintainedClosure.create(spark, dir, ont)
+    tm.assertTriples(Seq(("x", "type", "A"), ("w", "p", "y")).toDF("s", "p", "o"))
+    def withG(df: DataFrame) = df.withColumn("g", lit("g:closure"))
+    // crash simulation 1: an assert landed on base/ but died before
+    // the closure commit — base is one version ahead
+    Journal.open(spark, s"$dir/base")
+      .append(withG(Seq(("z", "type", "B")).toDF("s", "p", "o")))
+    val tm2 = MaintainedClosure.open(spark, dir, ont)
+    assert(tm2.version == 2)
+    assert(sameSet(tm2.closure(), Rdfs.closure(tm2.base(), ont)))
+    assert(rowsOf(tm2.closure()).contains(("z", "type", "C")))
+    // crash simulation 2: a retract landed on base/ only; the repair
+    // must DRed the closure (keep shared support, drop dead support)
+    Journal.open(spark, s"$dir/base").commit(
+      adds = withG(Seq.empty[(String, String, String)].toDF("s", "p", "o")),
+      dels = withG(Seq(("w", "p", "y")).toDF("s", "p", "o")))
+    val tm3 = MaintainedClosure.open(spark, dir, ont)
+    assert(tm3.version == 3)
+    assert(sameSet(tm3.closure(), Rdfs.closure(tm3.base(), ont)))
+    assert(!rowsOf(tm3.closure()).exists(_._1 == "w"))
+    // beyond one step there is no single-step repair: fail loud
+    val base = Journal.open(spark, s"$dir/base")
+    base.append(withG(Seq(("q", "type", "A")).toDF("s", "p", "o")))
+    base.append(withG(Seq(("r", "type", "A")).toDF("s", "p", "o")))
+    intercept[IllegalStateException](MaintainedClosure.open(spark, dir, ont))
+  }
+
   test("open() reattaches; compact seals both journals in step") {
     val dir = tmp()
     val tm = MaintainedClosure.create(spark, dir, ont)

@@ -57,6 +57,51 @@ class RepositorySpec extends AnyFunSuite {
     assert(repo.connection().store.quads.count() == 4)
   }
 
+  test("update() commits the ops' own delta: no store scan in a small commit's plan") {
+    val dir = tmp()
+    val repo = Repository.create(spark, dir)
+    repo.update("INSERT DATA { <e:a> <e:p> \"1\" . <e:b> <e:p> \"2\" }")
+    repo.compact() // give the head a real parquet base segment
+    // the delta of a ground INSERT DATA never touches the store: its
+    // plan is a local relation, not a parquet scan of the base
+    val head = repo.connection()
+    val (adds, dels) = graft.sparql.Update.quadsDeltaSeq(head.store,
+      graft.sparql.Parser.parseUpdates("INSERT DATA { <e:c> <e:p> \"3\" }"))
+    val plan = adds.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"ground-delta commit should plan zero store scans:\n$plan")
+    assert(dels.isEmpty)
+    // and the committed segment holds only the delta row
+    val v = repo.update("INSERT DATA { <e:c> <e:p> \"3\" }")
+    val seg = spark.read.parquet(s"$dir/segments/c$v-adds.parquet")
+    assert(seg.count() == 1 && seg.collect()(0).getString(0) == "e:c")
+    assert(repo.connection().store.quads.count() == 3)
+  }
+
+  test("update() folds a multi-op request into one commit with sequential semantics") {
+    val dir = tmp()
+    val repo = Repository.create(spark, dir)
+    repo.update("INSERT DATA { <e:a> <e:p> \"1\" }")
+    // insert-then-delete within one request cancels; delete-then-insert revives
+    val v = repo.update(
+      """INSERT DATA { <e:tmp> <e:p> "t" } ;
+        |DELETE DATA { <e:tmp> <e:p> "t" } ;
+        |DELETE DATA { <e:a> <e:p> "1" } ;
+        |INSERT DATA { <e:a> <e:p> "1" . <e:b> <e:p> "2" }""".stripMargin)
+    assert(v == 2)
+    assert(values(repo.connection().query("SELECT ?s WHERE { ?s <e:p> ?v }")) ==
+      Set(Seq("e:a"), Seq("e:b")))
+    // WHERE-driven op and graph management ride the same delta path
+    repo.update("DELETE { ?s <e:p> ?v } INSERT { ?s <e:q> ?v } WHERE { ?s <e:p> ?v }")
+    assert(values(repo.connection().query("SELECT ?s WHERE { ?s <e:q> ?v }")) ==
+      Set(Seq("e:a"), Seq("e:b")))
+    repo.update("CLEAR ALL")
+    assert(repo.connection().store.quads.isEmpty)
+    // history still resolves exactly
+    assert(values(repo.connection(2).query("SELECT ?s WHERE { ?s <e:p> ?v }")) ==
+      Set(Seq("e:a"), Seq("e:b")))
+  }
+
   test("compact seals the head; named-graph updates persist per graph") {
     val dir = tmp()
     val repo = Repository.create(spark, dir)

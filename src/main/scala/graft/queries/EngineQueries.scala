@@ -599,6 +599,30 @@ object EngineQueries {
       j.snapshot().orderBy("s", "p", "o", "g")
     }),
 
+    // Durable repository with DELTA-shaped SPARQL UPDATE commits
+    // (reference: BigdataSailRepository/SailConnection.commit staging
+    // its assert/retract buffers into the journal's commit point).
+    // The update request's ground INSERT DATA + WITH-scoped
+    // DELETE/INSERT WHERE commit their OWN mutation sets — the plan
+    // never anti-joins the full store (the 100-TB write contract,
+    // plan-asserted in RepositorySpec). Exercises seed append, the
+    // multi-op delta fold, compaction, and a cold reopen.
+    "store_repository" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_repoq").toString
+      val repo = graft.rdf.Repository.create(s, tmp)
+      val nation = TpchRdf.table(s, dir, "nation")
+      repo.journal.append(nation.select(
+        concat(lit("n:"), col("n_nationkey").cast("string")).as("s"),
+        lit("name").as("p"), col("n_name").as("o"), lit("g:n").as("g")))
+      repo.update(
+        """INSERT DATA { GRAPH g:meta { meta:repo versioned "true" } } ;
+          |WITH g:n DELETE { ?n name ?x } INSERT { ?n renamed ?x }
+          |WHERE { ?n name ?x . FILTER(STRSTARTS(?x, "A")) }""".stripMargin)
+      repo.compact()
+      graft.rdf.Repository.open(s, tmp).connection().store.quads
+        .orderBy("s", "p", "o", "g")
+    }),
+
     // LOAD of a Turtle document (reference: the Rio loaders in
     // bigdata-rdf/rio/ — the migrating user's first action): prefixes,
     // `a`, ';'/',' lists, a nested [ … ] bnode, lang-tagged and typed
@@ -826,6 +850,14 @@ object EngineQueries {
         |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'audited',
         |         'yes', 'g:n' FROM nation WHERE n_regionkey = 1
         |  UNION ALL SELECT 'meta:journal', 'compacted', 'true', 'g:meta'
+        |) ORDER BY s, p, o, g""".stripMargin,
+
+    "store_repository" ->
+      """SELECT s, p, o, g FROM (
+        |  SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS s,
+        |         CASE WHEN n_name LIKE 'A%' THEN 'renamed' ELSE 'name' END AS p,
+        |         n_name AS o, 'g:n' AS g FROM nation
+        |  UNION ALL SELECT 'meta:repo', 'versioned', 'true', 'g:meta'
         |) ORDER BY s, p, o, g""".stripMargin,
 
     "graph_mgmt_text" ->

@@ -105,6 +105,11 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     /** Remove every graph's occurrence of the (s,p,o) rows; returns
       * the quad count removed. */
     def remove(spo: DataFrame): Long
+    /** Read-only connection against a historical commit point — the
+      * protocol's `?timestamp=` knob (TxServlet's read-only tx
+      * analog); durable namespaces only. */
+    def at(version: Long): Graft =
+      sys.error("timestamp reads need a journal-backed namespace")
     def destroy(): Unit
   }
 
@@ -148,6 +153,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       }
     }
     def update(text: String): Unit = { repo.update(text); () }
+    override def at(version: Long): Graft = repo.connection(version)
     def ingest(quads: DataFrame): Long = {
       val q = quads.localCheckpoint()
       repo.journal.commit(adds = q, dels = emptyQuads)
@@ -251,6 +257,11 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   private def respondStream(ex: HttpExchange, contentType: String, head: String,
                             rows: Iterator[String], sep: String,
                             foot: String): Unit = {
+    // force the FIRST partition's job before committing the status
+    // line: a query error (or a cancelQuery) during it surfaces as a
+    // clean 400 rather than an aborted 200 stream. Later partitions'
+    // errors abort mid-stream — the floor of true streaming.
+    rows.hasNext
     ex.getResponseHeaders.add("Content-Type", contentType)
     ex.sendResponseHeaders(200, 0) // 0 = chunked
     val out = new java.io.BufferedWriter(
@@ -388,7 +399,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       else {
         val q = queryText(ex).getOrElse(sys.error("no query in request"))
         val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
-        val g = tenant(ns).current
+        // ?timestamp=<version>: a read-only tx against that commit
+        // point (the reference's TxServlet/timestamp protocol knob)
+        val g = qp.get("timestamp").flatten match {
+          case Some(v) => tenant(ns).at(v.toLong)
+          case None    => tenant(ns).current
+        }
         val ast = Parser.parse(q)
         val df = g.query(q)
         if (qp.contains("explain")) {
@@ -428,7 +444,10 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
-        respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+        // if a streamed response already committed its status line the
+        // best we can do is drop the connection
+        try respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+        catch { case scala.util.control.NonFatal(_) => ex.close() }
     }
 
   /** `POST /sparql` with an RDF document body (InsertServlet.java:61:

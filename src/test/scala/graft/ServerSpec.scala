@@ -1,0 +1,231 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.server.{RemoteRepository, SparqlServer}
+
+/** REST management plane integration: data ingest, metadata ops,
+  * status/cancel, durable namespaces, and the RemoteRepository client
+  * — all over real loopback HTTP. */
+class ServerSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_server").toString
+
+  private val http = java.net.http.HttpClient.newHttpClient()
+  private def send(b: java.net.http.HttpRequest.Builder) =
+    http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+  private def req(url: String) =
+    java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+  private def post(url: String, body: String, ct: String) =
+    send(req(url).header("Content-Type", ct)
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)))
+
+  test("data POST: RDF document bodies land by content type; bad type fails loud") {
+    val srv = new SparqlServer(Graft.empty(spark)).start()
+    try {
+      // Turtle body (InsertServlet analog) — modified count comes back
+      val ttl = post(srv.address + "/sparql",
+        """@prefix x: <urn:graft:x:> . x:1 x:label "gear" . x:2 x:label "cog" .""",
+        "text/turtle")
+      assert(ttl.statusCode() == 200 && ttl.body().contains("""modified="2""""))
+      // N-Triples body into a named graph via context-uri
+      val nt = post(srv.address + "/sparql?context-uri=" +
+        java.net.URLEncoder.encode("urn:graft:g:extra", "UTF-8"),
+        "<urn:graft:x:3> <urn:graft:x:label> \"axle\" .",
+        "application/n-triples")
+      assert(nt.statusCode() == 200 && nt.body().contains("""modified="1""""))
+      // all three visible (union default graph); graph filter works
+      val n = post(srv.address + "/sparql",
+        "SELECT ?s WHERE { ?s <urn:graft:x:label> ?l }", "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, n.body()).count() == 3)
+      val g = post(srv.address + "/sparql",
+        "SELECT ?s WHERE { GRAPH <urn:graft:g:extra> { ?s ?p ?l } }",
+        "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, g.body()).count() == 1)
+      // an unparseable document is a loud 400, not silent data loss
+      assert(post(srv.address + "/sparql", "this is not turtle @@@",
+        "text/turtle").statusCode() == 400)
+      // DELETE with CONSTRUCT removes the described statements everywhere
+      val del = send(req(srv.address + "/sparql?query=" + java.net.URLEncoder.encode(
+        """CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o . FILTER(?o = "axle") }""",
+        "UTF-8")).DELETE())
+      assert(del.statusCode() == 200 && del.body().contains("""modified="1""""))
+      // DELETE with an RDF body removes those statements
+      val delBody = send(req(srv.address + "/sparql")
+        .header("Content-Type", "application/n-triples")
+        .method("DELETE", java.net.http.HttpRequest.BodyPublishers.ofString(
+          "<urn:graft:x:1> <urn:graft:x:label> \"gear\" .")))
+      assert(delBody.statusCode() == 200 && delBody.body().contains("""modified="1""""))
+      val left = post(srv.address + "/sparql",
+        "SELECT ?s WHERE { ?s <urn:graft:x:label> ?l }", "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, left.body())
+        .collect().map(_.getString(0)).toSeq == Seq("x:2"))
+    } finally srv.stop()
+  }
+
+  test("ESTCARD / CONTEXTS / GETSTMTS / explain") {
+    val g0 = Graft.empty(spark).update(
+      """INSERT DATA {
+        |  x:1 label "gear" . x:1 type "Widget" . x:2 label "cog" .
+        |  GRAPH g:extra { x:3 label "axle" }
+        |}""".stripMargin)
+    val srv = new SparqlServer(g0).start()
+    try {
+      def get(url: String) = send(req(url).GET())
+      // unconstrained ESTCARD = quad count; bound-term paths prune
+      assert(get(srv.address + "/sparql?ESTCARD").body().contains("""rangeCount="4""""))
+      val p = java.net.URLEncoder.encode("<urn:graft:label>", "UTF-8")
+      assert(get(srv.address + s"/sparql?ESTCARD&p=$p").body().contains("""rangeCount="3""""))
+      val s1 = java.net.URLEncoder.encode("<urn:graft:x:1>", "UTF-8")
+      assert(get(srv.address + s"/sparql?ESTCARD&s=$s1").body().contains("""rangeCount="2""""))
+      val o = java.net.URLEncoder.encode("\"cog\"", "UTF-8")
+      assert(get(srv.address + s"/sparql?ESTCARD&o=$o").body().contains("""rangeCount="1""""))
+      // CONTEXTS lists the named graphs
+      val ctx = get(srv.address + "/sparql?CONTEXTS").body()
+      assert(ctx.contains("urn:graft:g:extra") && ctx.contains("urn:graft:g:default"))
+      // GETSTMTS streams matching statements as N-Quads
+      val stmts = get(srv.address + s"/sparql?GETSTMTS&s=$s1").body()
+      assert(stmts.split("\n").length == 2 && stmts.contains("<urn:graft:x:1>"))
+      val c = java.net.URLEncoder.encode("<urn:graft:g:extra>", "UTF-8")
+      assert(get(srv.address + s"/sparql?GETSTMTS&c=$c").body().contains("axle"))
+      // ?explain returns the formatted plan, not results
+      val plan = get(srv.address + "/sparql?explain&query=" + java.net.URLEncoder.encode(
+        "SELECT ?s WHERE { ?s label ?l }", "UTF-8"))
+      assert(plan.statusCode() == 200 &&
+        plan.headers().firstValue("Content-Type").get().startsWith("text/plain") &&
+        plan.body().contains("Physical Plan"))
+    } finally srv.stop()
+  }
+
+  test("status lists running queries; cancelQuery kills one cluster-wide") {
+    val g0 = Graft.empty(spark).update("""INSERT DATA { x:1 label "gear" }""")
+    val srv = new SparqlServer(g0).start()
+    try {
+      // a deliberately slow query: a SERVICE whose solution DataFrame
+      // sleeps inside its Spark tasks, so only a job-group cancel can
+      // end it early
+      val slow = "SELECT ?s WHERE { SERVICE <http://slow.test/sparql> { ?s ?p ?o } }"
+      graft.sparql.ServiceRegistry.registerRemote("http://slow.test/sparql", { _ =>
+        import TestSpark.spark.implicits._
+        TestSpark.spark.range(0, 8, 1, 8)
+          .map { i => Thread.sleep(5000); i }
+          .toDF("n").selectExpr("CAST(n AS STRING) AS s", "'p' AS p", "'o' AS o")
+      })
+      val fut = scala.concurrent.Future {
+        post(srv.address + "/sparql", slow, "application/sparql-query")
+      }(scala.concurrent.ExecutionContext.global)
+      // the query shows up in /status
+      var id = ""
+      val deadline = System.currentTimeMillis() + 5000
+      while (id.isEmpty && System.currentTimeMillis() < deadline) {
+        val lines = send(req(srv.address + "/status").GET()).body().split("\n")
+        lines.drop(1).headOption.foreach(l => id = l.split("\t").head)
+        if (id.isEmpty) Thread.sleep(100)
+      }
+      assert(id.nonEmpty, "running query never appeared in /status")
+      // cancel is acknowledged and the request completes (not hung)
+      assert(send(req(srv.address + s"/status?cancelQuery&queryId=$id").GET())
+        .statusCode() == 200)
+      val resp = scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(90, "s"))
+      assert(resp.statusCode() == 200 || resp.statusCode() == 400)
+      // registry drains back to empty
+      val after = send(req(srv.address + "/status").GET()).body()
+      assert(after.startsWith("running: 0"))
+      // cancelling an unknown id is a 404
+      assert(send(req(srv.address + "/status?cancelQuery&queryId=nope").GET())
+        .statusCode() == 404)
+    } finally {
+      graft.sparql.ServiceRegistry.unregisterRemote("urn:graft:slow")
+      srv.stop()
+    }
+  }
+
+  test("durable namespaces: restart reattaches state; default KB is protected") {
+    val dir = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), dir).start()
+    try {
+      assert(post(srv.address + "/sparql/update",
+        """INSERT DATA { x:1 label "gear" }""", "application/sparql-update")
+        .statusCode() == 204)
+      assert(post(srv.address + "/namespace", "name=scratch",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      assert(post(srv.address + "/namespace/scratch/sparql/update",
+        """INSERT DATA { y:1 label "cog" }""", "application/sparql-update")
+        .statusCode() == 204)
+      // deleting the DEFAULT namespace is forbidden (403), bare alias safe
+      assert(send(req(srv.address + "/namespace/kb").DELETE()).statusCode() == 403)
+    } finally srv.stop()
+
+    // cold restart over the same journal dir: both namespaces reattach
+    val srv2 = SparqlServer.durable(Graft.empty(spark), dir).start()
+    try {
+      def count(path: String) = graft.sparql.RemoteService.parseJsonResults(spark,
+        post(srv2.address + path, "SELECT ?s WHERE { ?s label ?o }",
+          "application/sparql-query").body()).count()
+      assert(count("/sparql") == 1)
+      assert(count("/namespace/scratch/sparql") == 1)
+      // durable namespace delete removes it from disk too
+      assert(send(req(srv2.address + "/namespace/scratch").DELETE()).statusCode() == 200)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "scratch")))
+    } finally srv2.stop()
+
+    // third start: scratch stays gone, default survives
+    val srv3 = SparqlServer.durable(Graft.empty(spark), dir).start()
+    try {
+      val list = send(req(srv3.address + "/namespace").GET()).body()
+      assert(list.contains("\"kb\"") && !list.contains("scratch"))
+    } finally srv3.stop()
+  }
+
+  test("RemoteRepository client: full protocol surface over loopback") {
+    val dir = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), dir).start()
+    val repo = new RemoteRepository(spark, srv.address)
+    try {
+      // update + query
+      repo.update("""INSERT DATA { x:1 label "gear" . x:1 type "Widget" }""")
+      assert(repo.ask("""ASK { x:1 type "Widget" }"""))
+      assert(repo.query("SELECT ?s ?l WHERE { ?s label ?l }")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("x:1", "gear")))
+      // data POST (Turtle) + ESTCARD + contexts
+      assert(repo.postData(
+        """<urn:graft:x:2> <urn:graft:label> "cog" .""", "text/turtle") == 1)
+      assert(repo.estimateCardinality() == 3)
+      assert(repo.estimateCardinality(p = Some("<urn:graft:label>")) == 2)
+      assert(repo.contexts().contains("urn:graft:g:default"))
+      // CONSTRUCT round-trips through the distributed N-Triples loader
+      val graph = repo.queryGraph("CONSTRUCT { ?s made ?l } WHERE { ?s label ?l }")
+      assert(graph.collect().map(_.getString(2)).toSet == Set("gear", "cog"))
+      // GETSTMTS
+      assert(repo.statements(s = Some("<urn:graft:x:1>")).count() == 2)
+      // deleteByQuery + deleteData
+      assert(repo.deleteByQuery(
+        """CONSTRUCT { ?s ?p "cog" } WHERE { ?s ?p "cog" }""") == 1)
+      assert(repo.deleteData(
+        "<urn:graft:x:1> <urn:graft:type> \"Widget\" .",
+        "application/n-triples") == 1)
+      assert(repo.estimateCardinality() == 1)
+      // explain
+      assert(repo.explain("SELECT ?s WHERE { ?s label ?l }").contains("Physical Plan"))
+      // namespace management
+      repo.createNamespace("side")
+      assert(repo.listNamespaces().toSet == Set("kb", "side"))
+      val side = repo.forNamespace("side")
+      side.update("""INSERT DATA { z:1 label "axle" }""")
+      assert(side.estimateCardinality() == 1)
+      assert(repo.estimateCardinality() == 1) // default untouched
+      repo.dropNamespace("side")
+      assert(repo.listNamespaces() == Seq("kb"))
+      intercept[IllegalArgumentException](repo.dropNamespace("kb")) // 403
+      // status endpoint responds
+      assert(repo.status().startsWith("running:"))
+      // ?timestamp= reads a historical commit point (read-only tx):
+      // version 1 predates every later mutation of this test
+      assert(repo.query("SELECT ?s ?l WHERE { ?s label ?l }",
+        timestamp = Some(1L)).collect().map(_.getString(1)).toSeq == Seq("gear"))
+    } finally srv.stop()
+  }
+}

@@ -172,6 +172,11 @@ final class Journal private (spark: SparkSession, dir: Path) {
   def sinkBatch(adds: DataFrame, batchId: Long): Unit =
     sink(DefaultAppId)(adds, batchId)
 
+  /** Version of the most recent compacted commit point (0 = only the
+    * empty base). The delta count `version - lastCompacted` is the
+    * snapshot-resolution cost driver — compaction policy input. */
+  def lastCompacted: Long = records.filter(_.compacted).map(_.version).max
+
   /** Materialize the current state as a single base segment and seal it
     * as a new compacted commit point: subsequent [[snapshot]]s of it
     * are one parquet scan, zero shuffles. History stays readable. */

@@ -85,11 +85,12 @@ import scala.jdk.CollectionConverters._
   * reference's bigdata-client RemoteRepository. */
 final class SparqlServer private (initial: Graft, host: String, port: Int,
                                   val defaultNamespace: String,
-                                  journalDir: Option[String]) {
+                                  journalDir: Option[String],
+                                  autoCompactEvery: Int) {
 
   def this(initial: Graft, host: String = "127.0.0.1", port: Int = 0,
            defaultNamespace: String = "kb") =
-    this(initial, host, port, defaultNamespace, None)
+    this(initial, host, port, defaultNamespace, None, Int.MaxValue)
 
   private val spark = initial.spark
   import spark.implicits._
@@ -140,7 +141,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   /** Journal-backed namespace: reads serve a per-version cached
     * connection (so the union-default-graph merge view materializes
     * once per COMMIT, not once per request), writes commit through the
-    * repository's delta path. */
+    * repository's delta path. Every `autoCompactEvery` commits the
+    * journal compacts itself — a server-managed store must keep its
+    * own snapshot-resolution cost bounded (the reference's journal
+    * likewise compacts on its own overflow schedule), or a year of
+    * small REST updates degrades every read into an
+    * O(delta-count)-input resolution. */
   private final class DurableTenant(repo: Repository, dir: Path) extends Tenant {
     @volatile private var cached: (Long, Graft) = (-1L, null)
     def current: Graft = {
@@ -152,11 +158,17 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         cached._2
       }
     }
-    def update(text: String): Unit = { repo.update(text); () }
+    private def maybeCompact(): Unit = synchronized {
+      if (repo.version - repo.journal.lastCompacted >= autoCompactEvery)
+        repo.compact()
+      ()
+    }
+    def update(text: String): Unit = { repo.update(text); maybeCompact() }
     override def at(version: Long): Graft = repo.connection(version)
     def ingest(quads: DataFrame): Long = {
       val q = quads.localCheckpoint()
       repo.journal.commit(adds = q, dels = emptyQuads)
+      maybeCompact()
       q.count()
     }
     def remove(spo: DataFrame): Long = {
@@ -166,6 +178,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
           keys, "left_semi")
         .localCheckpoint()
       repo.journal.commit(adds = emptyQuads, dels = doomed)
+      maybeCompact()
       doomed.count()
     }
     def destroy(): Unit = deleteRecursively(dir)
@@ -389,7 +402,8 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       else if (ex.getRequestMethod == "GET" && qp.contains("CONTEXTS")) handleContexts(ex, ns)
       else if (ex.getRequestMethod == "GET" && qp.contains("GETSTMTS")) handleGetStmts(ex, ns)
       else if (ex.getRequestMethod == "DELETE") handleDelete(ex, ns)
-      else if (ex.getRequestMethod == "POST" && rdfExtension(contentType(ex)).isDefined)
+      else if (ex.getRequestMethod == "POST" &&
+        (rdfExtension(contentType(ex)).isDefined || qp.contains("uri")))
         handleInsert(ex, ns)
       else if (ex.getRequestMethod == "POST" &&
         contentType(ex).startsWith("application/x-www-form-urlencoded") &&
@@ -452,16 +466,24 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
 
   /** `POST /sparql` with an RDF document body (InsertServlet.java:61:
     * POST-with-body; content-type picks the parser, `context-uri`
-    * the target graph). */
+    * the target graph), or `?uri=<document-url>` (InsertServlet's
+    * POST-with-URIs form, `file:` scheme — a cluster ingests from
+    * shared storage, not by tunneling bytes through the coordinator). */
   private def handleInsert(ex: HttpExchange, ns: String): Unit = {
-    val ext = rdfExtension(contentType(ex)).getOrElse(
-      sys.error(s"unsupported RDF content type: ${contentType(ex)}"))
     val qp = params(rawQuery(ex))
     val graph = qp.get("context-uri").flatten.orElse(qp.get("graph").flatten)
       .map(internIri)
     val t = tenant(ns)
-    val quads = bodyQuads(ex, ext, graph, t.current.defaultGraph)
-    val n = inJobGroup(ns, s"data-POST ($ext)") { t.ingest(quads) }
+    val quads = qp.get("uri").flatten match {
+      case Some(uri) =>
+        require(uri.startsWith("file:"), s"only file: ingest URIs are supported, got $uri")
+        Update.loadOpQuads(spark, uri, graph, t.current.defaultGraph)
+      case None =>
+        val ext = rdfExtension(contentType(ex)).getOrElse(
+          sys.error(s"unsupported RDF content type: ${contentType(ex)}"))
+        bodyQuads(ex, ext, graph, t.current.defaultGraph)
+    }
+    val n = inJobGroup(ns, "data-POST") { t.ingest(quads) }
     respond(ex, 200, "application/xml",
       s"""<?xml version="1.0"?><data modified="$n"/>""")
   }
@@ -611,6 +633,19 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             else tail match {
               case List("sparql")           => handleQuery(ex, ns)
               case List("sparql", "update") => handleUpdate(ex, ns)
+              case List("properties")       =>
+                // MultiTenancyServlet's properties document, as the
+                // reference's java.util.Properties XML format
+                val durable = journalDir.isDefined
+                val props = Seq(
+                  "com.bigdata.rdf.sail.namespace" -> ns,
+                  "graft.quads" -> "true",
+                  "graft.durable" -> durable.toString) ++
+                  journalDir.map(d => "graft.journal" -> s"$d/$ns")
+                val entries = props.map { case (k, v) =>
+                  s"""<entry key="$k">$v</entry>""" }.mkString
+                respond(ex, 200, "application/xml",
+                  s"""<?xml version="1.0"?><!DOCTYPE properties SYSTEM "http://java.sun.com/dtd/properties.dtd"><properties>$entries</properties>""")
               case _ => respond(ex, 404, "text/plain", s"no such resource: $rest")
             }
           case _ => respond(ex, 405, "text/plain", "method not allowed")
@@ -638,8 +673,14 @@ object SparqlServer {
   /** A server whose namespaces are journal-backed [[Repository]]s
     * under `journalDir` — restart reattaches every namespace from
     * disk. `initial` seeds the default namespace's journal on FIRST
-    * creation only (reattachment keeps the durable state). */
+    * creation only (reattachment keeps the durable state).
+    * `autoCompactEvery`: compact a namespace's journal after that
+    * many uncompacted commits (bounds snapshot-resolution cost under
+    * a steady REST write load; history before the latest compaction
+    * stays readable until `vacuum`). */
   def durable(initial: Graft, journalDir: String, host: String = "127.0.0.1",
-              port: Int = 0, defaultNamespace: String = "kb"): SparqlServer =
-    new SparqlServer(initial, host, port, defaultNamespace, Some(journalDir))
+              port: Int = 0, defaultNamespace: String = "kb",
+              autoCompactEvery: Int = 64): SparqlServer =
+    new SparqlServer(initial, host, port, defaultNamespace, Some(journalDir),
+      autoCompactEvery)
 }

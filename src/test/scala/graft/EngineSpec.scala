@@ -19,7 +19,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("stream-stream interval join is micro-batch invariant") {
     import org.apache.spark.sql.streaming.Trigger
-    val ev = spark.read.parquet(s"$SF/events.parquet")
+    val ev = TpchRdf.tsNanos(spark.read.parquet(s"$SF/events.parquet"))
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
     // time-split input at maxFilesPerTrigger=1 forces pairs that
     // straddle a micro-batch boundary through the join STATE
@@ -284,7 +284,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("streaming sessionization survives micro-batch boundaries") {
     import org.apache.spark.sql.streaming.Trigger
-    val ev = spark.read.parquet(s"$SF/events.parquet")
+    val ev = TpchRdf.tsNanos(spark.read.parquet(s"$SF/events.parquet"))
     val gap = 30L * 60 * 1000000000L
     // 4 time-ordered files + sentinel, one per micro-batch: sessions
     // spanning any of the 3 interior boundaries must emit exactly once

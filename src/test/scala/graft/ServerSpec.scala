@@ -156,6 +156,21 @@ class ServerSpec extends AnyFunSuite {
         .statusCode() == 204)
       // deleting the DEFAULT namespace is forbidden (403), bare alias safe
       assert(send(req(srv.address + "/namespace/kb").DELETE()).statusCode() == 403)
+      // properties document (MultiTenancyServlet analog)
+      val props = send(req(srv.address + "/namespace/scratch/properties").GET())
+      assert(props.statusCode() == 200 &&
+        props.body().contains("""<entry key="com.bigdata.rdf.sail.namespace">scratch</entry>""") &&
+        props.body().contains("""<entry key="graft.durable">true</entry>"""))
+      // ?uri= ingest (InsertServlet POST-with-URIs, file: scheme)
+      val nt = java.nio.file.Files.createTempFile("graft_uri", ".nt")
+      java.nio.file.Files.writeString(nt,
+        "<urn:graft:u:1> <urn:graft:label> \"fetched\" .\n")
+      val uri = java.net.URLEncoder.encode(s"file://$nt", "UTF-8")
+      val ins = post(srv.address + s"/sparql?uri=$uri", "", "text/plain")
+      assert(ins.statusCode() == 200 && ins.body().contains("""modified="1""""))
+      // non-file ingest URIs are refused loudly (no egress from here)
+      assert(post(srv.address + "/sparql?uri=http%3A%2F%2Fexample.org%2Fd.ttl",
+        "", "text/plain").statusCode() == 400)
     } finally srv.stop()
 
     // cold restart over the same journal dir: both namespaces reattach
@@ -164,7 +179,8 @@ class ServerSpec extends AnyFunSuite {
       def count(path: String) = graft.sparql.RemoteService.parseJsonResults(spark,
         post(srv2.address + path, "SELECT ?s WHERE { ?s label ?o }",
           "application/sparql-query").body()).count()
-      assert(count("/sparql") == 1)
+      // 2 = the update's row + the ?uri= ingested row, both durable
+      assert(count("/sparql") == 2)
       assert(count("/namespace/scratch/sparql") == 1)
       // durable namespace delete removes it from disk too
       assert(send(req(srv2.address + "/namespace/scratch").DELETE()).statusCode() == 200)
@@ -177,6 +193,30 @@ class ServerSpec extends AnyFunSuite {
       val list = send(req(srv3.address + "/namespace").GET()).body()
       assert(list.contains("\"kb\"") && !list.contains("scratch"))
     } finally srv3.stop()
+  }
+
+  test("durable namespaces auto-compact: steady REST writes keep resolution bounded") {
+    val dir = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), dir, autoCompactEvery = 4).start()
+    try {
+      (1 to 9).foreach { i =>
+        assert(post(srv.address + "/sparql/update",
+          s"""INSERT DATA { x:$i label "v$i" }""", "application/sparql-update")
+          .statusCode() == 204)
+      }
+      // 9 commits at autoCompactEvery=4 → at least two compactions
+      // interleaved; state stays exact
+      val rows = graft.sparql.RemoteService.parseJsonResults(spark,
+        post(srv.address + "/sparql", "SELECT ?s WHERE { ?s label ?o }",
+          "application/sparql-query").body())
+      assert(rows.count() == 9)
+      val j = graft.rdf.Journal.open(spark, s"$dir/kb")
+      assert(j.lastCompacted > 0, "no compaction ever ran")
+      assert(j.version - j.lastCompacted < 4 + 2,
+        s"uncompacted tail unbounded: v${j.version} vs compacted ${j.lastCompacted}")
+      // the head snapshot resolves from the compacted base + small tail
+      assert(j.snapshot().count() == 9)
+    } finally srv.stop()
   }
 
   test("RemoteRepository client: full protocol surface over loopback") {

@@ -89,15 +89,19 @@ final class RemoteRepository(spark: SparkSession, root: String,
   }
 
   /** CONSTRUCT / DESCRIBE → (s,p,o) DataFrame. The N-Triples response
-    * spills to a temp file and parses through the distributed loader,
-    * so term decoding matches LOAD exactly. */
+    * STREAMS straight to a spill file (never a driver string — the
+    * server chunks, the client writes as bytes arrive) and parses
+    * through the distributed loader, so term decoding matches LOAD
+    * exactly and an unbounded graph result never buffers anywhere. */
   def queryGraph(q: String): DataFrame = {
-    val resp = send(req(s"$base/sparql")
+    val tmp = Files.createTempFile("graft_remote", ".nt")
+    val resp = http.send(req(s"$base/sparql")
       .header("Content-Type", "application/sparql-query")
       .header("Accept", "application/n-triples")
-      .POST(HttpRequest.BodyPublishers.ofString(q)), 200)
-    val tmp = Files.createTempFile("graft_remote", ".nt")
-    Files.writeString(tmp, resp.body())
+      .POST(HttpRequest.BodyPublishers.ofString(q)).build(),
+      HttpResponse.BodyHandlers.ofFile(tmp))
+    require(resp.statusCode() == 200,
+      s"remote repository: HTTP ${resp.statusCode()}")
     Update.loadTriples(spark, tmp.toString)
   }
 
@@ -173,12 +177,15 @@ final class RemoteRepository(spark: SparkSession, root: String,
   }
 
   /** Matching statements as an (s,p,o,g) DataFrame (GETSTMTS),
-    * spill-file parsed like [[queryGraph]]. */
+    * stream-spilled and parsed like [[queryGraph]]. */
   def statements(s: Option[String] = None, p: Option[String] = None,
                  o: Option[String] = None, c: Option[String] = None): DataFrame = {
-    val resp = send(req(s"$base/sparql?" + termQuery("GETSTMTS", s, p, o, c)).GET(), 200)
     val tmp = Files.createTempFile("graft_remote", ".nq")
-    Files.writeString(tmp, resp.body())
+    val resp = http.send(
+      req(s"$base/sparql?" + termQuery("GETSTMTS", s, p, o, c)).GET().build(),
+      HttpResponse.BodyHandlers.ofFile(tmp))
+    require(resp.statusCode() == 200,
+      s"remote repository: HTTP ${resp.statusCode()}")
     Update.loadQuads(spark, tmp.toString)
   }
 

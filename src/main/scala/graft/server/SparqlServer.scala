@@ -163,15 +163,18 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         repo.compact()
       ()
     }
-    def update(text: String): Unit = { repo.update(text); maybeCompact() }
+    // writes serialize per namespace (the reference's single-writer
+    // journal lock): two concurrent REST updates queue instead of one
+    // failing loud on the journal's version race
+    def update(text: String): Unit = synchronized { repo.update(text); maybeCompact() }
     override def at(version: Long): Graft = repo.connection(version)
-    def ingest(quads: DataFrame): Long = {
+    def ingest(quads: DataFrame): Long = synchronized {
       val q = quads.localCheckpoint()
       repo.journal.commit(adds = q, dels = emptyQuads)
       maybeCompact()
       q.count()
     }
-    def remove(spo: DataFrame): Long = {
+    def remove(spo: DataFrame): Long = synchronized {
       val keys = Seq("s", "p", "o")
       val doomed = current.store.quads
         .join(spo.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
@@ -341,7 +344,11 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
 
   /** Parse a request body as an RDF document by writing it to a spill
     * file and running the distributed LOAD readers over it — the same
-    * code path (and the same loud parse failures) as SPARQL LOAD. */
+    * code path (and the same loud parse failures) as SPARQL LOAD.
+    * A POSTed body is driver-received by protocol nature (and the
+    * spill file is driver-local): bulk cluster-scale ingest goes
+    * through `?uri=` against shared storage instead, where executors
+    * read the document directly. */
   private def bodyQuads(ex: HttpExchange, ext: String, graph: Option[String],
                         defaultGraph: String): DataFrame = {
     val tmp = Files.createTempFile("graft_post", s".$ext")

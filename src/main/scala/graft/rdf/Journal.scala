@@ -67,9 +67,16 @@ final class Journal private (spark: SparkSession, dir: Path) {
   private[graft] var recordParses: Long = 0L
 
   private def records: Seq[Record] = synchronized {
+    // cold attach seeds from the checkpoint (ONE file read for the
+    // whole pre-compaction history — the Delta `_last_checkpoint`
+    // discipline) instead of parsing every record file
+    if (cachedRecords.isEmpty) cachedRecords = readCheckpoint()
     val maxKnown = if (cachedRecords.isEmpty) -1L else cachedRecords.last.version
     val fresh = Journal.listDir(commitsDir)
-      .filter(_.getFileName.toString.endsWith(".json"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") && !n.startsWith("_")
+      }
       .filter(p => versionOf(p) > maxKnown)
       .map(readRecord)
     if (fresh.nonEmpty)
@@ -81,6 +88,30 @@ final class Journal private (spark: SparkSession, dir: Path) {
   /** Commit record files are named `<version>.json`. */
   private def versionOf(p: Path): Long =
     p.getFileName.toString.stripSuffix(".json").toLong
+
+  private def checkpointFile = commitsDir.resolve("_checkpoint.json")
+
+  /** Write the full parsed record list as one checkpoint document —
+    * called under the existing `synchronized` publish path by
+    * [[compact]] and [[vacuum]] (single-writer; the advisory overwrite
+    * is atomic-move). */
+  private def writeCheckpoint(recs: Seq[Record]): Unit = {
+    val body = recs.map(recordJson).mkString("[", ",", "]")
+    val tmp = Files.createTempFile(commitsDir, ".ckpt", ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, checkpointFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readCheckpoint(): Vector[Record] =
+    if (!Files.exists(checkpointFile)) Vector.empty
+    else {
+      val root = mapper.readTree(Files.readAllBytes(checkpointFile))
+      val it = root.elements()
+      val out = Vector.newBuilder[Record]
+      while (it.hasNext) out += parseRecord(it.next())
+      out.result().sortBy(_.version)
+    }
 
   private def seg(rec: Record, suffix: String): Option[DataFrame] = {
     val p = dir.resolve("segments").resolve(s"c${rec.version}-$suffix.parquet")
@@ -187,6 +218,9 @@ final class Journal private (spark: SparkSession, dir: Path) {
       snap.write.mode("errorifexists")
         .parquet(dir.resolve("segments").resolve(s"c$next-adds.parquet").toString)
     publish(Record(next, compacted = true))
+    // compaction is the natural log-checkpoint moment: a cold open
+    // then reads ONE checkpoint file + only post-compaction records
+    synchronized { writeCheckpoint(cachedRecords) }
     next
   }
 
@@ -205,17 +239,21 @@ final class Journal private (spark: SparkSession, dir: Path) {
       Files.deleteIfExists(commitsDir.resolve(s"${r.version}.json"))
     }
     // the one operation that REMOVES records — drop them from the tail
-    // cache so a stale historical read fails loud, not resolves wrong
+    // cache AND rewrite the checkpoint so neither a live handle nor a
+    // cold open can resolve a vacuumed version silently wrong
     cachedRecords = cachedRecords.filter(_.version >= baseVer)
+    writeCheckpoint(cachedRecords)
+  }
+
+  private def recordJson(rec: Record): String = {
+    val batch = rec.batchId.map(b => s""","batchId":$b""").getOrElse("")
+    val app = rec.appId.map(a => s""","appId":"$a"""").getOrElse("")
+    s"""{"version":${rec.version},"compacted":${rec.compacted}$batch$app}"""
   }
 
   private def publish(rec: Record): Unit = synchronized {
     val tmp = Files.createTempFile(commitsDir, ".publish", ".tmp")
-    val batch = rec.batchId.map(b => s""","batchId":$b""").getOrElse("")
-    val app = rec.appId.map(a => s""","appId":"$a"""").getOrElse("")
-    Files.write(tmp,
-      s"""{"version":${rec.version},"compacted":${rec.compacted}$batch$app}"""
-        .getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, recordJson(rec).getBytes(StandardCharsets.UTF_8))
     // Atomic AND exclusive: a hard link lands the fully-written record
     // in one namespace operation and FAILS (FileAlreadyExistsException)
     // if a racing writer published the same version first — no
@@ -244,11 +282,13 @@ final class Journal private (spark: SparkSession, dir: Path) {
 
   private def readRecord(p: Path): Record = {
     recordParses += 1
-    val node = mapper.readTree(Files.readAllBytes(p))
+    parseRecord(mapper.readTree(Files.readAllBytes(p)))
+  }
+
+  private def parseRecord(node: com.fasterxml.jackson.databind.JsonNode): Record =
     Record(node.get("version").asLong(), node.get("compacted").asBoolean(),
       Option(node.get("batchId")).map(_.asLong()),
       Option(node.get("appId")).map(_.asText()))
-  }
 }
 
 object Journal {

@@ -189,6 +189,44 @@ final class RemoteRepository(spark: SparkSession, root: String,
     Update.loadQuads(spark, tmp.toString)
   }
 
+  // ---- Graph Store Protocol ---------------------------------------
+
+  private def gspUrl(graph: Option[String]): String =
+    s"$base/rdf-graphs?" + graph.fold("default")(g => s"graph=${enc(g)}")
+
+  /** GSP GET: one graph as an (s,p,o) DataFrame (None = default
+    * graph), stream-spilled like [[queryGraph]]. */
+  def getGraph(graph: Option[String] = None): DataFrame = {
+    val tmp = Files.createTempFile("graft_remote", ".nt")
+    val resp = http.send(req(gspUrl(graph)).GET().build(),
+      HttpResponse.BodyHandlers.ofFile(tmp))
+    require(resp.statusCode() == 200,
+      s"remote repository: HTTP ${resp.statusCode()}")
+    Update.loadTriples(spark, tmp.toString)
+  }
+
+  /** GSP PUT: replace a graph with the document body. */
+  def putGraph(body: String, contentType: String,
+               graph: Option[String] = None): Unit = {
+    send(req(gspUrl(graph)).header("Content-Type", contentType)
+      .PUT(HttpRequest.BodyPublishers.ofString(body)), 204)
+    ()
+  }
+
+  /** GSP POST: merge the document body into a graph. */
+  def mergeGraph(body: String, contentType: String,
+                 graph: Option[String] = None): Long = {
+    val resp = send(req(gspUrl(graph)).header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofString(body)), 200)
+    resp.body() match { case Modified(n) => n.toLong }
+  }
+
+  /** GSP DELETE: drop a graph. */
+  def dropGraph(graph: Option[String] = None): Unit = {
+    send(req(gspUrl(graph)).DELETE(), 204)
+    ()
+  }
+
   // ---- management (RemoteRepositoryManager analog) ----------------
 
   /** Live namespaces on the server. */

@@ -111,6 +111,10 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       * analog); durable namespaces only. */
     def at(version: Long): Graft =
       sys.error("timestamp reads need a journal-backed namespace")
+    /** Graph Store Protocol PUT: replace graph `g` with `quads`. */
+    def putGraph(g: String, quads: DataFrame): Unit
+    /** Graph Store Protocol DELETE: drop graph `g`. */
+    def dropGraph(g: String): Unit
     def destroy(): Unit
   }
 
@@ -134,6 +138,15 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       ref.updateAndGet(g => g.copy(store =
         QuadStore(g.store.quads.join(doomed, Seq("s", "p", "o", "g"), "left_anti"))))
       doomed.count()
+    }
+    def putGraph(g: String, quads: DataFrame): Unit = {
+      val q = quads.localCheckpoint()
+      ref.updateAndGet(h => h.copy(store = h.store.dropGraph(g).insertQuads(q)))
+      ()
+    }
+    def dropGraph(g: String): Unit = {
+      ref.updateAndGet(h => h.copy(store = h.store.dropGraph(g)))
+      ()
     }
     def destroy(): Unit = ()
   }
@@ -183,6 +196,18 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       repo.journal.commit(adds = emptyQuads, dels = doomed)
       maybeCompact()
       doomed.count()
+    }
+    def putGraph(g: String, quads: DataFrame): Unit = synchronized {
+      import org.apache.spark.sql.functions.{col, lit}
+      val old = current.store.quads.filter(col("g") === lit(g))
+      repo.journal.commit(adds = quads.localCheckpoint(), dels = old)
+      maybeCompact()
+    }
+    def dropGraph(g: String): Unit = synchronized {
+      import org.apache.spark.sql.functions.{col, lit}
+      val old = current.store.quads.filter(col("g") === lit(g))
+      repo.journal.commit(adds = emptyQuads, dels = old)
+      maybeCompact()
     }
     def destroy(): Unit = deleteRecursively(dir)
   }
@@ -552,6 +577,53 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         lines(Serializer.toNQuads(df)), "\n", "")
     }
 
+  /** SPARQL 1.1 Graph Store Protocol (`/rdf-graphs?graph=<iri>` or
+    * `?default`): GET streams the graph as N-Triples, PUT replaces it
+    * with the request body (204), POST merges the body into it
+    * (`<data modified>`), DELETE drops it (204); GET/DELETE of an
+    * empty graph is a 404 per the spec. The reference exposes the
+    * same operations through its Insert/Delete servlets; GSP adds the
+    * standard URL shapes a generic client library expects. */
+  private def handleGraphStore(ex: HttpExchange, ns: String): Unit =
+    try {
+      val qp = params(rawQuery(ex))
+      val t = tenant(ns)
+      val g =
+        if (qp.contains("default")) t.current.defaultGraph
+        else internIri(qp.get("graph").flatten.getOrElse(
+          sys.error("graph store request needs ?graph=<iri> or ?default")))
+      def graphRows = t.current.store.graph(g)
+      ex.getRequestMethod match {
+        case "GET" => inJobGroup(ns, s"GSP GET $g") {
+          if (graphRows.isEmpty) respond(ex, 404, "text/plain", s"no graph: $g")
+          else respondStream(ex, "application/n-triples", "",
+            lines(Serializer.toNTriples(graphRows)), "\n", "")
+        }
+        case "PUT" =>
+          val ext = rdfExtension(contentType(ex)).getOrElse(
+            sys.error(s"unsupported RDF content type: ${contentType(ex)}"))
+          val quads = bodyQuads(ex, ext, Some(g), g)
+          inJobGroup(ns, s"GSP PUT $g") { t.putGraph(g, quads) }
+          respond(ex, 204, "text/plain", "")
+        case "POST" =>
+          val ext = rdfExtension(contentType(ex)).getOrElse(
+            sys.error(s"unsupported RDF content type: ${contentType(ex)}"))
+          val quads = bodyQuads(ex, ext, Some(g), g)
+          val n = inJobGroup(ns, s"GSP POST $g") { t.ingest(quads) }
+          respond(ex, 200, "application/xml",
+            s"""<?xml version="1.0"?><data modified="$n"/>""")
+        case "DELETE" => inJobGroup(ns, s"GSP DELETE $g") {
+          if (graphRows.isEmpty) respond(ex, 404, "text/plain", s"no graph: $g")
+          else { t.dropGraph(g); respond(ex, 204, "text/plain", "") }
+        }
+        case other => respond(ex, 405, "text/plain", s"method not allowed: $other")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+        catch { case scala.util.control.NonFatal(_) => ex.close() }
+    }
+
   private def handleUpdate(ex: HttpExchange, ns: String): Unit =
     try {
       val ct = contentType(ex)
@@ -640,6 +712,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             else tail match {
               case List("sparql")           => handleQuery(ex, ns)
               case List("sparql", "update") => handleUpdate(ex, ns)
+              case List("rdf-graphs")       => handleGraphStore(ex, ns)
               case List("properties")       =>
                 // MultiTenancyServlet's properties document, as the
                 // reference's java.util.Properties XML format
@@ -669,6 +742,8 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     (ex: HttpExchange) => handleUpdate(ex, defaultNamespace))
   server.createContext("/sparql",
     (ex: HttpExchange) => handleQuery(ex, defaultNamespace))
+  server.createContext("/rdf-graphs",
+    (ex: HttpExchange) => handleGraphStore(ex, defaultNamespace))
   server.createContext("/namespace", NamespaceHandler)
   server.createContext("/status", StatusHandler)
 

@@ -124,6 +124,21 @@ class JournalSpec extends AnyFunSuite {
     // records published by ANOTHER handle are picked up incrementally
     j.append(quads(("x", "p", "x", "g")))
     assert(j2.version == n + 1L && j2.recordParses == afterOpen + 1)
+    // compaction writes a log CHECKPOINT: a cold attach then reads ONE
+    // checkpoint document + only post-compaction record files, instead
+    // of parsing the whole history
+    j2.compact()
+    j2.append(quads(("y", "p", "y", "g")))
+    val j3 = Journal.open(spark, dir)
+    assert(j3.version == n + 3L)
+    assert(j3.recordParses == 1,
+      s"cold open after checkpoint should parse only the tail: ${j3.recordParses}")
+    assert(j3.snapshot().count() == n + 2L)
+    // vacuum rewrites the checkpoint so a stale version fails loud
+    // from a COLD handle too
+    j3.vacuum()
+    val j4 = Journal.open(spark, dir)
+    intercept[IllegalArgumentException](j4.snapshot(1).collect())
   }
 
   test("streaming ingest: readStream -> foreachBatch lands micro-batches as commits") {

@@ -195,6 +195,45 @@ class ServerSpec extends AnyFunSuite {
     } finally srv3.stop()
   }
 
+  test("Graph Store Protocol: PUT replaces, POST merges, GET streams, DELETE drops") {
+    val srv = new SparqlServer(Graft.empty(spark)).start()
+    val enc = java.net.URLEncoder.encode("urn:graft:g:gsp", "UTF-8")
+    val url = srv.address + s"/rdf-graphs?graph=$enc"
+    try {
+      // GET/DELETE of an absent graph is a 404 (GSP §5.2/§5.4)
+      assert(send(req(url).GET()).statusCode() == 404)
+      assert(send(req(url).DELETE()).statusCode() == 404)
+      // PUT creates the graph from the body
+      assert(send(req(url).header("Content-Type", "text/turtle")
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """<urn:graft:a> <urn:graft:p> "1" . <urn:graft:b> <urn:graft:p> "2" .""")))
+        .statusCode() == 204)
+      val got = send(req(url).GET())
+      assert(got.statusCode() == 200 && got.body().split("\n").length == 2)
+      // POST merges (set semantics: one row new, one duplicate)
+      val merged = post(url,
+        """<urn:graft:b> <urn:graft:p> "2" . <urn:graft:c> <urn:graft:p> "3" .""",
+        "text/turtle")
+      assert(merged.statusCode() == 200)
+      assert(send(req(url).GET()).body().split("\n").length == 3)
+      // PUT replaces wholesale
+      assert(send(req(url).header("Content-Type", "application/n-triples")
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "<urn:graft:z> <urn:graft:p> \"9\" .")))
+        .statusCode() == 204)
+      val replaced = send(req(url).GET()).body()
+      assert(replaced.split("\n").length == 1 && replaced.contains("urn:graft:z"))
+      // the graph is visible to SPARQL as a named graph
+      val viaSparql = post(srv.address + "/sparql",
+        "SELECT ?s WHERE { GRAPH <urn:graft:g:gsp> { ?s ?p ?o } }",
+        "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, viaSparql.body()).count() == 1)
+      // DELETE drops it; subsequent GET 404s
+      assert(send(req(url).DELETE()).statusCode() == 204)
+      assert(send(req(url).GET()).statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("durable namespaces auto-compact: steady REST writes keep resolution bounded") {
     val dir = tmp()
     val srv = SparqlServer.durable(Graft.empty(spark), dir, autoCompactEvery = 4).start()
@@ -262,6 +301,15 @@ class ServerSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](repo.dropNamespace("kb")) // 403
       // status endpoint responds
       assert(repo.status().startsWith("running:"))
+      // Graph Store Protocol through the client (durable backend)
+      repo.putGraph("""<urn:graft:k:1> <urn:graft:p> "v" .""",
+        "application/n-triples", Some("urn:graft:g:k"))
+      assert(repo.getGraph(Some("urn:graft:g:k")).count() == 1)
+      assert(repo.mergeGraph("""<urn:graft:k:2> <urn:graft:p> "w" .""",
+        "application/n-triples", Some("urn:graft:g:k")) == 1)
+      assert(repo.getGraph(Some("urn:graft:g:k")).count() == 2)
+      repo.dropGraph(Some("urn:graft:g:k"))
+      intercept[IllegalArgumentException](repo.getGraph(Some("urn:graft:g:k")))
       // ?timestamp= reads a historical commit point (read-only tx):
       // version 1 predates every later mutation of this test
       assert(repo.query("SELECT ?s ?l WHERE { ?s label ?l }",

@@ -623,6 +623,39 @@ object EngineQueries {
         .orderBy("s", "p", "o", "g")
     }),
 
+    // Serializer round-trip as a DRIVER-checked path (reference: the
+    // Rio writer/parser pairing — exports must reload losslessly):
+    // quads render to N-Quads lines (map-only, distributed write),
+    // the line loader parses them back, and the oracle replays the
+    // original relational content — any escaping or term-form drift
+    // breaks the hash.
+    "export_roundtrip" -> ((s, dir) => {
+      val nation = TpchRdf.table(s, dir, "nation")
+      def idc(p: String, c: org.apache.spark.sql.Column) =
+        concat(lit(p + ":"), c.cast("string"))
+      val quads = nation.select(idc("n", col("n_nationkey")).as("s"),
+          lit("name").as("p"), col("n_name").as("o"), lit("g:n").as("g"))
+        .unionAll(nation.select(idc("n", col("n_nationkey")).as("s"),
+          lit("region").as("p"), idc("r", col("n_regionkey")).as("o"),
+          lit("g:n").as("g")))
+      val out = java.nio.file.Files.createTempDirectory("graft_export")
+        .toString + "/nq"
+      graft.rdf.Serializer.toNQuads(quads).write.mode("overwrite").text(out)
+      graft.sparql.Update.loadQuads(s, out).orderBy("s", "p", "o", "g")
+    }),
+
+    // SPARQL results serialization as a DRIVER-checked path (the
+    // NanoSparqlServer CSV response body): solution terms render per
+    // RFC-4180 — IRIs re-expand under the base, literals plain — and
+    // the oracle reproduces the exact byte content of each row.
+    "results_csv" -> ((s, dir) => {
+      val nation = TpchRdf.table(s, dir, "nation")
+      val sol = nation.select(
+        concat(lit("n:"), col("n_nationkey").cast("string")).as("s"),
+        col("n_name").as("name"))
+      graft.rdf.Serializer.sparqlCsvRows(sol).orderBy("value")
+    }),
+
     // LOAD of a Turtle document (reference: the Rio loaders in
     // bigdata-rdf/rio/ — the migrating user's first action): prefixes,
     // `a`, ';'/',' lists, a nested [ … ] bnode, lang-tagged and typed
@@ -859,6 +892,18 @@ object EngineQueries {
         |         n_name AS o, 'g:n' AS g FROM nation
         |  UNION ALL SELECT 'meta:repo', 'versioned', 'true', 'g:meta'
         |) ORDER BY s, p, o, g""".stripMargin,
+
+    "export_roundtrip" ->
+      """SELECT s, p, o, g FROM (
+        |  SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS s, 'name' AS p,
+        |         n_name AS o, 'g:n' AS g FROM nation
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'region',
+        |         'r:'||CAST(n_regionkey AS VARCHAR), 'g:n' FROM nation
+        |) ORDER BY s, p, o, g""".stripMargin,
+
+    "results_csv" ->
+      """SELECT 'urn:graft:n:'||CAST(n_nationkey AS VARCHAR)||','||n_name AS value
+        |FROM nation ORDER BY value""".stripMargin,
 
     "graph_mgmt_text" ->
       """SELECT g, n_triples FROM (

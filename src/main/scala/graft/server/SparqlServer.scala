@@ -343,14 +343,24 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   private def contentType(ex: HttpExchange): String =
     Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
 
+  /** A form body's `update=`, stashed by [[queryText]] for the same
+    * handler invocation (one thread per exchange) — the request body
+    * can only be read once. */
+  private val formUpdate = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+
   private def queryText(ex: HttpExchange): Option[String] = {
     val ct = contentType(ex)
+    formUpdate.set(None)
     if (ex.getRequestMethod == "GET" || ex.getRequestMethod == "DELETE")
       formParam(rawQuery(ex), "query")
     else {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      if (ct.startsWith("application/x-www-form-urlencoded")) formParam(body, "query")
-      else Some(body) // application/sparql-query (and permissive default)
+      if (ct.startsWith("application/x-www-form-urlencoded")) {
+        formUpdate.set(formParam(body, "update"))
+        formParam(body, "query")
+      } else Some(body) // application/sparql-query (and permissive default)
     }
   }
 
@@ -439,10 +449,16 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         handleInsert(ex, ns)
       else if (ex.getRequestMethod == "POST" &&
         contentType(ex).startsWith("application/x-www-form-urlencoded") &&
-        queryText(ex).isEmpty)
-        // a form without query= is not a query request — don't guess
-        respond(ex, 400, "text/plain", "bad request: no query in form")
-      else {
+        queryText(ex).isEmpty) {
+        // the reference's RESTServlet dispatches a form's update= from
+        // the bare /sparql endpoint too; a form with neither query=
+        // nor update= is not guessed at
+        formUpdate.get() match {
+          case Some(u) => tenant(ns).update(u); respond(ex, 204, "text/plain", "")
+          case None =>
+            respond(ex, 400, "text/plain", "bad request: no query or update in form")
+        }
+      } else {
         val q = queryText(ex).getOrElse(sys.error("no query in request"))
         val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
         // ?timestamp=<version>: a read-only tx against that commit
@@ -466,7 +482,18 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                 respond(ex, 200, "application/sparql-results+xml", Serializer.sparqlAskXml(b))
               else respond(ex, 200, "application/sparql-results+json", Serializer.sparqlAskJson(b))
             case _ if isGraphResult(ast) =>
-              respondStream(ex, "application/n-triples", "",
+              // graph results negotiate the RDF format (the reference
+              // negotiates Rio writers the same way): Turtle and
+              // compacted JSON-LD on request, N-Triples default —
+              // all streamed
+              if (accept.contains("turtle"))
+                respondStream(ex, "text/turtle", Serializer.turtleHeader() + "\n",
+                  lines(Serializer.toTurtle(df)), "\n", "")
+              else if (accept.contains("ld+json"))
+                respondStream(ex, "application/ld+json",
+                  "{\"@context\":" + Serializer.jsonLdContext() + ",\"@graph\":[",
+                  lines(Serializer.toJsonLdCompact(df)), ",", "]}")
+              else respondStream(ex, "application/n-triples", "",
                 lines(Serializer.toNTriples(df)), "\n", "")
             case _ =>
               val vars = df.columns.toSeq

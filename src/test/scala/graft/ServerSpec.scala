@@ -46,6 +46,16 @@ class ServerSpec extends AnyFunSuite {
       // an unparseable document is a loud 400, not silent data loss
       assert(post(srv.address + "/sparql", "this is not turtle @@@",
         "text/turtle").statusCode() == 400)
+      // form update= dispatches from the bare /sparql endpoint too
+      assert(post(srv.address + "/sparql",
+        "update=" + java.net.URLEncoder.encode(
+          """INSERT DATA { x:9 note "form" }""", "UTF-8"),
+        "application/x-www-form-urlencoded").statusCode() == 204)
+      assert(post(srv.address + "/sparql", "ASK { x:9 note ?o }",
+        "application/sparql-query").body().contains("true"))
+      // a form with neither query= nor update= stays a loud 400
+      assert(post(srv.address + "/sparql", "other=1",
+        "application/x-www-form-urlencoded").statusCode() == 400)
       // DELETE with CONSTRUCT removes the described statements everywhere
       val del = send(req(srv.address + "/sparql?query=" + java.net.URLEncoder.encode(
         """CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o . FILTER(?o = "axle") }""",
@@ -61,6 +71,28 @@ class ServerSpec extends AnyFunSuite {
         "SELECT ?s WHERE { ?s <urn:graft:x:label> ?l }", "application/sparql-query")
       assert(graft.sparql.RemoteService.parseJsonResults(spark, left.body())
         .collect().map(_.getString(0)).toSeq == Seq("x:2"))
+    } finally srv.stop()
+  }
+
+  test("graph results negotiate Turtle and JSON-LD") {
+    val g0 = Graft.empty(spark).update(
+      """INSERT DATA { x:1 label "gear" . x:2 label "cog" }""")
+    val srv = new SparqlServer(g0).start()
+    try {
+      def construct(accept: String) = send(
+        req(srv.address + "/sparql").header("Content-Type", "application/sparql-query")
+          .header("Accept", accept)
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            "CONSTRUCT { ?s made ?l } WHERE { ?s label ?l }")))
+      val ttl = construct("text/turtle")
+      assert(ttl.headers().firstValue("Content-Type").get().startsWith("text/turtle"))
+      assert(ttl.body().contains("@prefix") && ttl.body().contains("\"gear\""))
+      // the Turtle response reloads losslessly
+      val back = graft.rdf.Turtle.parse(ttl.body())
+      assert(back.map(_._3).toSet == Set("gear", "cog"))
+      val jld = construct("application/ld+json")
+      assert(jld.headers().firstValue("Content-Type").get().startsWith("application/ld+json"))
+      assert(graft.rdf.JsonLd.parse(jld.body()).map(_._3).toSet == Set("gear", "cog"))
     } finally srv.stop()
   }
 

@@ -445,6 +445,11 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       else if (ex.getRequestMethod == "GET" && qp.contains("GETSTMTS")) handleGetStmts(ex, ns)
       else if (ex.getRequestMethod == "DELETE") handleDelete(ex, ns)
       else if (ex.getRequestMethod == "POST" &&
+        contentType(ex).startsWith("application/sparql-update"))
+        // the reference dispatches update bodies from /sparql by
+        // content type (UpdateServlet via RESTServlet)
+        handleUpdate(ex, ns)
+      else if (ex.getRequestMethod == "POST" &&
         (rdfExtension(contentType(ex)).isDefined || qp.contains("uri")))
         handleInsert(ex, ns)
       else if (ex.getRequestMethod == "POST" &&

@@ -56,6 +56,12 @@ class ServerSpec extends AnyFunSuite {
       // a form with neither query= nor update= stays a loud 400
       assert(post(srv.address + "/sparql", "other=1",
         "application/x-www-form-urlencoded").statusCode() == 400)
+      // and a raw sparql-update body dispatches from /sparql by CT
+      assert(post(srv.address + "/sparql",
+        """INSERT DATA { x:10 note "ct" }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(post(srv.address + "/sparql", "ASK { x:10 note ?o }",
+        "application/sparql-query").body().contains("true"))
       // DELETE with CONSTRUCT removes the described statements everywhere
       val del = send(req(srv.address + "/sparql?query=" + java.net.URLEncoder.encode(
         """CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o . FILTER(?o = "axle") }""",

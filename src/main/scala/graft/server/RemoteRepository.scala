@@ -95,6 +95,7 @@ final class RemoteRepository(spark: SparkSession, root: String,
     * exactly and an unbounded graph result never buffers anywhere. */
   def queryGraph(q: String): DataFrame = {
     val tmp = Files.createTempFile("graft_remote", ".nt")
+    tmp.toFile.deleteOnExit() // consumed lazily by executor tasks
     val resp = http.send(req(s"$base/sparql")
       .header("Content-Type", "application/sparql-query")
       .header("Accept", "application/n-triples")
@@ -181,6 +182,7 @@ final class RemoteRepository(spark: SparkSession, root: String,
   def statements(s: Option[String] = None, p: Option[String] = None,
                  o: Option[String] = None, c: Option[String] = None): DataFrame = {
     val tmp = Files.createTempFile("graft_remote", ".nq")
+    tmp.toFile.deleteOnExit() // consumed lazily by executor tasks
     val resp = http.send(
       req(s"$base/sparql?" + termQuery("GETSTMTS", s, p, o, c)).GET().build(),
       HttpResponse.BodyHandlers.ofFile(tmp))
@@ -198,6 +200,7 @@ final class RemoteRepository(spark: SparkSession, root: String,
     * graph), stream-spilled like [[queryGraph]]. */
   def getGraph(graph: Option[String] = None): DataFrame = {
     val tmp = Files.createTempFile("graft_remote", ".nt")
+    tmp.toFile.deleteOnExit() // consumed lazily by executor tasks
     val resp = http.send(req(gspUrl(graph)).GET().build(),
       HttpResponse.BodyHandlers.ofFile(tmp))
     require(resp.statusCode() == 200,

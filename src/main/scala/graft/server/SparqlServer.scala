@@ -385,11 +385,17 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     * through `?uri=` against shared storage instead, where executors
     * read the document directly. */
   private def bodyQuads(ex: HttpExchange, ext: String, graph: Option[String],
-                        defaultGraph: String): DataFrame = {
+                        defaultGraph: String): (DataFrame, Path) = {
     val tmp = Files.createTempFile("graft_post", s".$ext")
     Files.write(tmp, ex.getRequestBody.readAllBytes())
-    Update.loadOpQuads(spark, s"file://$tmp", graph, defaultGraph)
+    (Update.loadOpQuads(spark, s"file://$tmp", graph, defaultGraph), tmp)
   }
+
+  /** Delete a request's spill file once the tenant op has MATERIALIZED
+    * the parsed data (every mutation path localCheckpoints before it
+    * returns) — a long-lived server must not accumulate request
+    * bodies on disk. */
+  private def dropSpill(p: Path): Unit = { Files.deleteIfExists(p); () }
 
   /** Intern a plain IRI the way the loaders do (`urn:graft:x` → `x`). */
   private def internIri(iri: String): String =
@@ -538,16 +544,19 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     val graph = qp.get("context-uri").flatten.orElse(qp.get("graph").flatten)
       .map(internIri)
     val t = tenant(ns)
-    val quads = qp.get("uri").flatten match {
+    val (quads, spill) = qp.get("uri").flatten match {
       case Some(uri) =>
         require(uri.startsWith("file:"), s"only file: ingest URIs are supported, got $uri")
-        Update.loadOpQuads(spark, uri, graph, t.current.defaultGraph)
+        (Update.loadOpQuads(spark, uri, graph, t.current.defaultGraph), None)
       case None =>
         val ext = rdfExtension(contentType(ex)).getOrElse(
           sys.error(s"unsupported RDF content type: ${contentType(ex)}"))
-        bodyQuads(ex, ext, graph, t.current.defaultGraph)
+        val (q, tmp) = bodyQuads(ex, ext, graph, t.current.defaultGraph)
+        (q, Some(tmp))
     }
-    val n = inJobGroup(ns, "data-POST") { t.ingest(quads) }
+    val n =
+      try inJobGroup(ns, "data-POST") { t.ingest(quads) }
+      finally spill.foreach(dropSpill)
     respond(ex, 200, "application/xml",
       s"""<?xml version="1.0"?><data modified="$n"/>""")
   }
@@ -557,18 +566,21 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     * graph they appear in. */
   private def handleDelete(ex: HttpExchange, ns: String): Unit = {
     val t = tenant(ns)
-    val spo: DataFrame = queryText(ex) match {
+    val (spo, spill) = queryText(ex) match {
       case Some(q) =>
         val ast = Parser.parse(q)
         require(isGraphResult(ast),
           "DELETE with query requires CONSTRUCT or DESCRIBE")
-        t.current.query(q).select("s", "p", "o")
+        (t.current.query(q).select("s", "p", "o"), None)
       case None =>
         val ext = rdfExtension(contentType(ex)).getOrElse(
           sys.error(s"DELETE needs ?query=… or an RDF body; got content type '${contentType(ex)}'"))
-        bodyQuads(ex, ext, None, t.current.defaultGraph).select("s", "p", "o")
+        val (q, tmp) = bodyQuads(ex, ext, None, t.current.defaultGraph)
+        (q.select("s", "p", "o"), Some(tmp))
     }
-    val n = inJobGroup(ns, "data-DELETE") { t.remove(spo) }
+    val n =
+      try inJobGroup(ns, "data-DELETE") { t.remove(spo) }
+      finally spill.foreach(dropSpill)
     respond(ex, 200, "application/xml",
       s"""<?xml version="1.0"?><data modified="$n"/>""")
   }
@@ -634,14 +646,17 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         case "PUT" =>
           val ext = rdfExtension(contentType(ex)).getOrElse(
             sys.error(s"unsupported RDF content type: ${contentType(ex)}"))
-          val quads = bodyQuads(ex, ext, Some(g), g)
-          inJobGroup(ns, s"GSP PUT $g") { t.putGraph(g, quads) }
+          val (quads, spill) = bodyQuads(ex, ext, Some(g), g)
+          try inJobGroup(ns, s"GSP PUT $g") { t.putGraph(g, quads) }
+          finally dropSpill(spill)
           respond(ex, 204, "text/plain", "")
         case "POST" =>
           val ext = rdfExtension(contentType(ex)).getOrElse(
             sys.error(s"unsupported RDF content type: ${contentType(ex)}"))
-          val quads = bodyQuads(ex, ext, Some(g), g)
-          val n = inJobGroup(ns, s"GSP POST $g") { t.ingest(quads) }
+          val (quads, spill) = bodyQuads(ex, ext, Some(g), g)
+          val n =
+            try inJobGroup(ns, s"GSP POST $g") { t.ingest(quads) }
+            finally dropSpill(spill)
           respond(ex, 200, "application/xml",
             s"""<?xml version="1.0"?><data modified="$n"/>""")
         case "DELETE" => inJobGroup(ns, s"GSP DELETE $g") {

@@ -130,16 +130,17 @@ object Update {
   private[graft] def loadOpQuads(spark: org.apache.spark.sql.SparkSession, src: String,
                                  g: Option[String], defaultGraph: String): DataFrame = {
     val path = src.stripPrefix("file://")
+    val fmt = fmtPath(src)
     import spark.implicits._
-    if (path.endsWith(".nq")) {
+    if (fmt.endsWith(".nq")) {
       val q = loadQuads(spark, src)
       g.fold(q)(gg => q.withColumn("g", lit(gg)))
-    } else if (path.endsWith(".trig")) {
+    } else if (fmt.endsWith(".trig")) {
       val q = spark.read.option("wholetext", "true").textFile(path)
         .flatMap(graft.rdf.Turtle.parseTrig(_, defaultGraph))
         .toDF("s", "p", "o", "g")
       g.fold(q)(gg => q.withColumn("g", lit(gg)))
-    } else if (path.endsWith(".jsonld") && g.isEmpty) {
+    } else if (fmt.endsWith(".jsonld") && g.isEmpty) {
       spark.read.option("wholetext", "true").textFile(path)
         .flatMap(graft.rdf.JsonLd.parseQuads(_, defaultGraph))
         .toDF("s", "p", "o", "g")
@@ -246,16 +247,24 @@ object Update {
     * (`<s> <p> <o|"lit"> .` per line — line-splittable, the bulk-scale
     * text format). Term IRIs under the engine base intern to local
     * names, matching the parser. Distributed reads, not driver loops. */
+  /** Format detection path: compression suffixes are transparent to
+    * Spark's text readers (`.nt.gz` parses like `.nt` — bulk corpora
+    * ship compressed), so they are stripped for the extension switch
+    * ONLY; the read itself uses the real path. */
+  private def fmtPath(source: String): String =
+    source.stripPrefix("file://").stripSuffix(".gz").stripSuffix(".bz2")
+
   def loadTriples(spark: org.apache.spark.sql.SparkSession, source: String): DataFrame = {
     val path = source.stripPrefix("file://")
-    if (path.endsWith(".parquet")) spark.read.parquet(path).select("s", "p", "o")
-    else if (path.endsWith(".ttl")) {
+    val fmt = fmtPath(source)
+    if (fmt.endsWith(".parquet")) spark.read.parquet(path).select("s", "p", "o")
+    else if (fmt.endsWith(".ttl")) {
       import spark.implicits._
       spark.read.option("wholetext", "true").textFile(path)
         .flatMap(graft.rdf.Turtle.parse(_))
         .toDF("s", "p", "o")
     }
-    else if (path.endsWith(".rdf") || path.endsWith(".rdfxml") || path.endsWith(".owl")) {
+    else if (fmt.endsWith(".rdf") || fmt.endsWith(".rdfxml") || fmt.endsWith(".owl")) {
       // RDF/XML (the reference's Rio RDFXMLParser format) — whole-file
       // parse per task like Turtle; XML is not splittable
       import spark.implicits._
@@ -263,7 +272,7 @@ object Update {
         .flatMap(graft.rdf.RdfXml.parse(_))
         .toDF("s", "p", "o")
     }
-    else if (path.endsWith(".jsonld")) {
+    else if (fmt.endsWith(".jsonld")) {
       // JSON-LD (Rio JSONLDParser analog) — one JSON value per file,
       // whole-file parse per task
       import spark.implicits._

@@ -1000,4 +1000,25 @@ class EngineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(closed2.contains(("z", "type", "Cust")))
   }
+
+  test("LOAD reads gzip-compressed documents (.nt.gz / .ttl.gz)") {
+    // bulk corpora ship compressed; Spark's text readers decompress
+    // transparently — the format switch must look through the suffix
+    val nt = java.nio.file.Files.createTempFile("graft_gz", ".nt.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(nt))
+    out.write(("<urn:graft:z:1> <urn:graft:label> \"packed\" .\n" +
+      "<urn:graft:z:2> <urn:graft:label> \"tight\" .\n").getBytes("UTF-8"))
+    out.close()
+    val g1 = graft.Graft.empty(spark).update(s"LOAD <file://$nt>")
+    assert(g1.query("""SELECT ?s ?l WHERE { ?s label ?l } ORDER BY ?l""")
+      .collect().map(_.getString(1)).toSeq == Seq("packed", "tight"))
+    val ttl = java.nio.file.Files.createTempFile("graft_gz", ".ttl.gz")
+    val out2 = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(ttl))
+    out2.write("""@prefix v: <urn:graft:> . v:z:3 v:label "turtle" .""".getBytes("UTF-8"))
+    out2.close()
+    val g2 = g1.update(s"LOAD <file://$ttl>")
+    assert(g2.query("""SELECT ?s WHERE { ?s label "turtle" }""").count() == 1)
+  }
 }

@@ -446,7 +446,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   private def handleQuery(ex: HttpExchange, ns: String): Unit =
     try {
       val qp = params(rawQuery(ex))
-      if (ex.getRequestMethod == "GET" && qp.contains("ESTCARD")) handleEstcard(ex, ns)
+      if (ex.getRequestMethod == "GET" && qp.isEmpty)
+        // SPARQL 1.1 Service Description — the reference answers a
+        // bare GET on the endpoint with one (BigdataRDFServlet /
+        // VoID+SD document); N-Triples, one line per statement
+        handleServiceDescription(ex, ns)
+      else if (ex.getRequestMethod == "GET" && qp.contains("ESTCARD")) handleEstcard(ex, ns)
       else if (ex.getRequestMethod == "GET" && qp.contains("CONTEXTS")) handleContexts(ex, ns)
       else if (ex.getRequestMethod == "GET" && qp.contains("GETSTMTS")) handleGetStmts(ex, ns)
       else if (ex.getRequestMethod == "DELETE") handleDelete(ex, ns)
@@ -533,6 +538,35 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         try respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
         catch { case scala.util.control.NonFatal(_) => ex.close() }
     }
+
+  /** SPARQL 1.1 Service Description (§3): what this endpoint speaks,
+    * as N-Triples over the `sd:` vocabulary. */
+  private def handleServiceDescription(ex: HttpExchange, ns: String): Unit = {
+    val sd = "http://www.w3.org/ns/sparql-service-description#"
+    val ep = s"$address/namespace/$ns/sparql"
+    val b = "_:svc"
+    val lines = Seq(
+      s"""$b <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <${sd}Service> .""",
+      s"""$b <${sd}endpoint> <$ep> .""",
+      s"""$b <${sd}supportedLanguage> <${sd}SPARQL11Query> .""",
+      s"""$b <${sd}supportedLanguage> <${sd}SPARQL11Update> .""",
+      s"""$b <${sd}feature> <${sd}UnionDefaultGraph> .""",
+      s"""$b <${sd}feature> <${sd}BasicFederatedQuery> .""",
+      s"""$b <${sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_JSON> .""",
+      s"""$b <${sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_XML> .""",
+      s"""$b <${sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_CSV> .""",
+      s"""$b <${sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_TSV> .""",
+      s"""$b <${sd}resultFormat> <http://www.w3.org/ns/formats/N-Triples> .""",
+      s"""$b <${sd}resultFormat> <http://www.w3.org/ns/formats/Turtle> .""",
+      s"""$b <${sd}resultFormat> <http://www.w3.org/ns/formats/JSON-LD> .""",
+      s"""$b <${sd}inputFormat> <http://www.w3.org/ns/formats/Turtle> .""",
+      s"""$b <${sd}inputFormat> <http://www.w3.org/ns/formats/N-Triples> .""",
+      s"""$b <${sd}inputFormat> <http://www.w3.org/ns/formats/N-Quads> .""",
+      s"""$b <${sd}inputFormat> <http://www.w3.org/ns/formats/TriG> .""",
+      s"""$b <${sd}inputFormat> <http://www.w3.org/ns/formats/RDF_XML> .""",
+      s"""$b <${sd}inputFormat> <http://www.w3.org/ns/formats/JSON-LD> .""")
+    respond(ex, 200, "application/n-triples", lines.mkString("\n"))
+  }
 
   /** `POST /sparql` with an RDF document body (InsertServlet.java:61:
     * POST-with-body; content-type picks the parser, `context-uri`

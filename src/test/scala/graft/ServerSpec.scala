@@ -80,6 +80,18 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("bare GET /sparql answers a SPARQL 1.1 service description") {
+    val srv = new SparqlServer(Graft.empty(spark)).start()
+    try {
+      val resp = send(req(srv.address + "/sparql").GET())
+      assert(resp.statusCode() == 200)
+      val body = resp.body()
+      assert(body.contains("sparql-service-description#Service"))
+      assert(body.contains("SPARQL11Query") && body.contains("SPARQL11Update"))
+      assert(body.contains(s"<${srv.address}/namespace/kb/sparql>"))
+    } finally srv.stop()
+  }
+
   test("graph results negotiate Turtle and JSON-LD") {
     val g0 = Graft.empty(spark).update(
       """INSERT DATA { x:1 label "gear" . x:2 label "cog" }""")

@@ -620,7 +620,11 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   }
 
   /** `GET /sparql?ESTCARD&…` — the reference's fast range count
-    * (QueryServlet.java:152: ESTCARD over the chosen access path). */
+    * (QueryServlet.java:152: ESTCARD over the chosen access path).
+    * The reference answers an ESTIMATE from B+Tree page metadata;
+    * here the count is EXACT — bound terms prune the scan, and an
+    * unconstrained count over a compacted head is parquet
+    * row-group-metadata work, not a data read. */
   private def handleEstcard(ex: HttpExchange, ns: String): Unit = {
     val t0 = System.currentTimeMillis()
     val n = inJobGroup(ns, "ESTCARD") {

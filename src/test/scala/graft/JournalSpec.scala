@@ -158,6 +158,34 @@ class JournalSpec extends AnyFunSuite {
     assert(rowsOf(j.snapshot()) == Set(("a", "p", "1", "g"), ("b", "p", "2", "g")))
   }
 
+  test("BulkLoad: mixed-format files land as one commit; reattach + incremental batch") {
+    import graft.rdf.BulkLoad
+    val nt = java.nio.file.Files.createTempFile("graft_bulk", ".nt")
+    java.nio.file.Files.writeString(nt,
+      "<urn:graft:b:1> <urn:graft:label> \"one\" .\n" +
+      "<urn:graft:b:2> <urn:graft:label> \"two\" .\n")
+    val ttl = java.nio.file.Files.createTempFile("graft_bulk", ".ttl")
+    java.nio.file.Files.writeString(ttl,
+      """@prefix v: <urn:graft:> . v:b:3 v:label "three" .""")
+    val dir = tmp()
+    val (v1, n1) = BulkLoad.run(spark, dir, Seq(nt.toString, ttl.toString))
+    assert(n1 == 3 && v1 == 1)
+    val j = Journal.open(spark, dir)
+    assert(j.snapshot().count() == 3)
+    // compacted: the head is a bare scan
+    assert(!j.snapshot().queryExecution.executedPlan.toString.contains("Exchange"))
+    // a second batch reattaches and appends into a named graph
+    val nq = java.nio.file.Files.createTempFile("graft_bulk", ".nt")
+    java.nio.file.Files.writeString(nq,
+      "<urn:graft:b:4> <urn:graft:label> \"four\" .\n")
+    val (v2, n2) = BulkLoad.run(spark, dir, Seq(nq.toString),
+      graph = Some("g:extra"), compact = false)
+    assert(n2 == 1 && v2 > v1)
+    val snap = Journal.open(spark, dir).snapshot()
+    assert(snap.count() == 4)
+    assert(snap.filter(org.apache.spark.sql.functions.col("g") === "g:extra").count() == 1)
+  }
+
   test("open() reattaches; create() on an existing journal and version races fail loud") {
     val dir = tmp()
     val j = Journal.create(spark, dir)

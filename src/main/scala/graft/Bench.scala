@@ -75,49 +75,72 @@ object Bench {
   }
 
   /** Best recorded sf0.1 wall-time per query across the BENCH_r01-r06
-    * artifacts (full-run and isolated members) — the drift baseline
-    * for the re-time protocol. A query absent here (newer than the
-    * records, or lost to artifact truncation) is re-timed only via the
-    * top-5 rule until a future round's record captures it. */
+    * artifacts plus round-7's local full runs and isolated re-times
+    * (full coverage: every driver query has a record) — the drift
+    * baseline for the re-time protocol. */
   private val priorBest: Map[String, Double] = Map(
     "agg_distinct_count" -> 0.87, "agg_group_concat" -> 0.46,
-    "ann_bruteforce" -> 0.99, "ann_ivf" -> 1.32, "ann_lsh" -> 0.44,
-    "ask_query" -> 0.49, "bgp_chain_join" -> 0.61, "bgp_star_join" -> 0.66,
+    "ann_bruteforce" -> 0.99, "ann_ivf" -> 1.32,
+    "ann_lsh" -> 0.44, "ask_query" -> 0.49,
+    "bgp_chain_join" -> 0.61, "bgp_star_join" -> 0.55,
     "bind_extend" -> 0.2, "blueprints_traversal" -> 1.36,
-    "construct_triples" -> 1.73, "dedup_cluster" -> 3.48,
-    "dedup_embed_cosine" -> 3.29, "dedup_exact" -> 0.43,
-    "dedup_minhash_lsh" -> 2.77, "dedup_ngram_jaccard" -> 2.89,
-    "dedup_simhash" -> 9.19, "describe_cbd" -> 3.4, "describe_node" -> 0.18,
-    "describe_sym" -> 0.81, "distinct_op" -> 0.26, "events_sessionize" -> 1.11,
-    "exists_semijoin" -> 0.63, "filter_expr" -> 0.31, "filter_regex" -> 0.31,
-    "fulltext_prefix" -> 0.65, "fulltext_search" -> 0.75,
-    "fulltext_service" -> 0.75, "gas_bfs" -> 3.86, "gas_cc" -> 7.68,
-    "gas_degree" -> 1.25, "gas_fuzzy_sssp" -> 7.89, "gas_pr" -> 2.99,
-    "gas_service_bfs" -> 1.23, "gas_sssp" -> 2.93, "geo_bbox" -> 0.15,
-    "geo_circle" -> 0.61, "geo_zorder" -> 0.44, "graph_named_pattern" -> 0.12,
-    "graph_quads" -> 1.47, "graph_with_update" -> 1.2, "group_having" -> 0.29,
-    "lexicon_roundtrip" -> 0.87, "load_jsonld" -> 1.08, "minus_op" -> 0.71,
-    "mm_decode" -> 0.29, "mm_resize" -> 0.18, "not_exists_antijoin" -> 0.54,
-    "optional_leftjoin" -> 0.44, "order_limit" -> 0.31, "owl_closure" -> 2.02,
-    "owl_equiv" -> 2.06, "path_bounded" -> 1.3, "path_inverse" -> 0.7,
-    "path_negated" -> 0.86, "path_seq" -> 1.14, "path_star" -> 1.21,
-    "path_transitive" -> 2.57, "pipeline_contam" -> 0.7,
-    "pipeline_curate" -> 0.64, "pipeline_pack" -> 0.14,
-    "pipeline_sample" -> 0.32, "q1_agg" -> 0.32, "rdfs_closure" -> 1.64,
-    "rdfs_incremental" -> 1.83, "rdr_annotation" -> 0.81,
-    "sparql_datefns" -> 0.3, "sparql_from_graph" -> 0.11,
-    "sparql_from_named" -> 0.3, "sparql_functions" -> 0.11,
-    "sparql_hints" -> 1.1, "sparql_lang_fns" -> 0.47,
+    "construct_triples" -> 1.21, "dedup_cluster" -> 3.48,
+    "dedup_embed_cosine" -> 3.03, "dedup_exact" -> 0.37,
+    "dedup_minhash_lsh" -> 1.62, "dedup_ngram_jaccard" -> 2.89,
+    "dedup_simhash" -> 1.68, "describe_cbd" -> 2.87,
+    "describe_node" -> 0.12, "describe_sym" -> 0.81,
+    "describe_where" -> 0.74, "distinct_op" -> 0.19,
+    "events_sessionize" -> 1.07, "exists_semijoin" -> 0.63,
+    "export_roundtrip" -> 1.14, "filter_expr" -> 0.27,
+    "filter_regex" -> 0.19, "fulltext_matchall" -> 0.65,
+    "fulltext_persisted" -> 2.07, "fulltext_prefix" -> 0.65,
+    "fulltext_rank" -> 0.95, "fulltext_regex" -> 0.79,
+    "fulltext_search" -> 0.53, "fulltext_service" -> 0.54,
+    "gas_bfs" -> 2.42, "gas_cc" -> 5.4,
+    "gas_degree" -> 0.7, "gas_fuzzy_sssp" -> 3.94,
+    "gas_pr" -> 2.99, "gas_service_bfs" -> 1.23,
+    "gas_sssp" -> 2.49, "geo_bbox" -> 0.15,
+    "geo_circle" -> 0.54, "geo_service" -> 0.47,
+    "geo_time" -> 0.6, "geo_zorder" -> 0.42,
+    "graph_management" -> 1.67, "graph_mgmt_text" -> 3.68,
+    "graph_named_pattern" -> 0.12, "graph_quads" -> 1.33,
+    "graph_update" -> 3.12, "graph_var_path" -> 1.26,
+    "graph_var_pattern" -> 0.44, "graph_with_update" -> 1.2,
+    "group_having" -> 0.29, "lexicon_roundtrip" -> 0.79,
+    "load_jsonld" -> 0.82, "load_rdfxml" -> 0.72,
+    "load_turtle" -> 0.63, "minus_op" -> 0.71,
+    "mm_decode" -> 0.29, "mm_features" -> 0.25,
+    "mm_framesample" -> 0.26, "mm_resize" -> 0.18,
+    "not_exists_antijoin" -> 0.54, "optional_join_cond" -> 0.68,
+    "optional_leftjoin" -> 0.44, "order_limit" -> 0.31,
+    "owl_closure" -> 2.02, "owl_equiv" -> 1.08,
+    "path_bounded" -> 1.3, "path_inverse" -> 0.7,
+    "path_negated" -> 0.86, "path_seq" -> 1.14,
+    "path_star" -> 1.21, "path_transitive" -> 2.57,
+    "pipeline_contam" -> 0.7, "pipeline_curate" -> 0.64,
+    "pipeline_mix" -> 0.4, "pipeline_pack" -> 0.14,
+    "pipeline_sample" -> 0.32, "q1_agg" -> 0.32,
+    "rdfs_closure" -> 1.64, "rdfs_incremental" -> 1.83,
+    "rdfs_retract" -> 3.54, "rdr_annotation" -> 0.81,
+    "results_csv" -> 0.18, "sparql_datefns" -> 0.23,
+    "sparql_from_graph" -> 0.11, "sparql_from_named" -> 0.3,
+    "sparql_functions" -> 0.11, "sparql_hash_fns" -> 0.33,
+    "sparql_hints" -> 1.1, "sparql_lang_fns" -> 0.43,
     "sparql_named_subquery" -> 0.6, "sparql_parsed" -> 0.13,
     "sparql_parsed_agg" -> 0.3, "sparql_parsed_ask" -> 0.25,
-    "sparql_parsed_construct" -> 0.25, "sparql_parsed_exists_expr" -> 0.35,
-    "sparql_parsed_fns" -> 0.13, "sparql_parsed_path" -> 0.91,
-    "sparql_parsed_prefix" -> 0.81, "sparql_parsed_subquery" -> 0.52,
-    "sparql_parsed_sugar" -> 0.21, "sparql_parsed_update" -> 0.85,
-    "sparql_parsed_values" -> 0.46, "sparql_service_federated" -> 0.59,
-    "sparql_term_fns" -> 0.5, "store_journal" -> 2.47, "stream_enrich" -> 1.37,
-    "stream_stream_join" -> 6.75, "stream_window" -> 1.56,
-    "subquery_op" -> 1.67, "text_fingerprint" -> 0.12, "text_langid" -> 0.16,
-    "text_logprob" -> 0.86, "text_quality" -> 0.19, "text_tokens" -> 0.11,
-    "union_op" -> 0.3, "update_delete_insert" -> 0.99)
+    "sparql_parsed_construct" -> 0.25, "sparql_parsed_describe" -> 0.16,
+    "sparql_parsed_exists_expr" -> 0.35, "sparql_parsed_fns" -> 0.13,
+    "sparql_parsed_path" -> 0.91, "sparql_parsed_prefix" -> 0.23,
+    "sparql_parsed_subquery" -> 0.52, "sparql_parsed_sugar" -> 0.21,
+    "sparql_parsed_update" -> 0.85, "sparql_parsed_values" -> 0.46,
+    "sparql_service_federated" -> 0.59, "sparql_term_fns" -> 0.5,
+    "store_journal" -> 2.36, "store_repository" -> 1.91,
+    "stream_dedup" -> 3.23, "stream_enrich" -> 1.11,
+    "stream_sessionize" -> 4.15, "stream_stream_join" -> 2.86,
+    "stream_window" -> 1.29, "subquery_op" -> 0.99,
+    "text_fingerprint" -> 0.12, "text_langid" -> 0.16,
+    "text_logprob" -> 0.85, "text_quality" -> 0.13,
+    "text_tokens" -> 0.11, "union_op" -> 0.3,
+    "update_delete_insert" -> 0.99, "update_using" -> 0.96,
+    "values_inline" -> 0.19)
 }

@@ -131,6 +131,16 @@ final class RemoteRepository(spark: SparkSession, root: String,
     resp.body() match { case Modified(n) => n.toLong }
   }
 
+  /** Ingest by URI (`POST /sparql?uri=file:…` — the InsertServlet
+    * POST-with-URIs form): the SERVER's executors read the document
+    * from shared storage, nothing tunnels through this client. */
+  def postUri(uri: String, graph: Option[String] = None): Long = {
+    val url = s"$base/sparql?uri=${enc(uri)}" +
+      graph.fold("")(g => s"&context-uri=${enc(g)}")
+    val resp = send(req(url).POST(HttpRequest.BodyPublishers.noBody()), 200)
+    resp.body() match { case Modified(n) => n.toLong }
+  }
+
   /** POST an RDF document file (content type by extension). */
   def postFile(path: String, graph: Option[String] = None): Long = {
     val ct = path.split('.').last match {

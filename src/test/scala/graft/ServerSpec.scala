@@ -351,6 +351,12 @@ class ServerSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](repo.dropNamespace("kb")) // 403
       // status endpoint responds
       assert(repo.status().startsWith("running:"))
+      // ?uri= ingest through the client (server-side distributed read)
+      val ntf = java.nio.file.Files.createTempFile("graft_cli", ".nt")
+      java.nio.file.Files.writeString(ntf,
+        "<urn:graft:u:9> <urn:graft:label> \"uri\" .\n")
+      assert(repo.postUri(s"file://$ntf") == 1)
+      assert(repo.estimateCardinality(s = Some("<urn:graft:u:9>")) == 1)
       // Graph Store Protocol through the client (durable backend)
       repo.putGraph("""<urn:graft:k:1> <urn:graft:p> "v" .""",
         "application/n-triples", Some("urn:graft:g:k"))

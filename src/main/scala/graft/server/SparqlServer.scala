@@ -260,6 +260,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   private final case class Running(id: String, ns: String, query: String,
                                    startedMs: Long)
   private val running = new ConcurrentHashMap[String, Running]()
+  private val served = new java.util.concurrent.atomic.AtomicLong()
 
   /** Run `body`'s Spark jobs inside a cancellable job group: a
     * `cancelQuery` on the UUID interrupts them cluster-wide. */
@@ -268,7 +269,9 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     running.put(id, Running(id, ns, q, System.currentTimeMillis()))
     spark.sparkContext.setJobGroup(id, s"sparql:$ns", interruptOnCancel = true)
     try body
-    finally { spark.sparkContext.clearJobGroup(); running.remove(id) }
+    finally {
+      spark.sparkContext.clearJobGroup(); running.remove(id); served.incrementAndGet()
+    }
   }
 
   // ---- http plumbing ----------------------------------------------
@@ -282,9 +285,20 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   def address: String =
     s"http://${server.getAddress.getHostString}:${server.getAddress.getPort}"
 
+  private def wantsGzip(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Accept-Encoding")).exists(_.contains("gzip"))
+
   private def respond(ex: HttpExchange, status: Int, contentType: String,
                       body: String): Unit = {
-    val bytes = body.getBytes("UTF-8")
+    val raw = body.getBytes("UTF-8")
+    val bytes =
+      if (raw.nonEmpty && wantsGzip(ex)) {
+        ex.getResponseHeaders.add("Content-Encoding", "gzip")
+        val buf = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(buf)
+        gz.write(raw); gz.close()
+        buf.toByteArray
+      } else raw
     ex.getResponseHeaders.add("Content-Type", contentType)
     ex.sendResponseHeaders(status, if (bytes.isEmpty) -1L else bytes.length.toLong)
     if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
@@ -304,9 +318,16 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     // errors abort mid-stream — the floor of true streaming.
     rows.hasNext
     ex.getResponseHeaders.add("Content-Type", contentType)
+    // transfer compression composes with chunking: a 100-GB N-Triples
+    // export over HTTP is mostly repeated IRIs — gzip when asked
+    val gzip = wantsGzip(ex)
+    if (gzip) ex.getResponseHeaders.add("Content-Encoding", "gzip")
     ex.sendResponseHeaders(200, 0) // 0 = chunked
+    val sink: java.io.OutputStream =
+      if (gzip) new java.util.zip.GZIPOutputStream(ex.getResponseBody, 8192)
+      else ex.getResponseBody
     val out = new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(ex.getResponseBody, "UTF-8"))
+      new java.io.OutputStreamWriter(sink, "UTF-8"))
     out.write(head)
     var first = true
     rows.foreach { r =>
@@ -476,7 +497,18 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         }
       } else {
         val q = queryText(ex).getOrElse(sys.error("no query in request"))
-        val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+        // ?format=json|xml|csv|tsv|turtle|ntriples|jsonld overrides the
+        // Accept header (the reference's format= convenience for curl)
+        val accept = qp.get("format").flatten.map {
+          case "json" => "application/sparql-results+json"
+          case "xml" => "application/sparql-results+xml"
+          case "csv" => "text/csv"
+          case "tsv" => "text/tab-separated-values"
+          case "turtle" | "ttl" => "text/turtle"
+          case "ntriples" | "nt" => "application/n-triples"
+          case "jsonld" => "application/ld+json"
+          case other => sys.error(s"unknown format: $other")
+        }.getOrElse(Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse(""))
         // ?timestamp=<version>: a read-only tx against that commit
         // point (the reference's TxServlet/timestamp protocol knob)
         val g = qp.get("timestamp").flatten match {
@@ -741,7 +773,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             s"${r.id}\t${r.ns}\t${now - r.startedMs}ms\t$q1"
           }
           respond(ex, 200, "text/plain",
-            (s"running: ${rows.size}" +: rows).mkString("\n"))
+            (s"running: ${rows.size} served: ${served.get()}" +: rows).mkString("\n"))
         }
       } catch {
         case scala.util.control.NonFatal(e) =>

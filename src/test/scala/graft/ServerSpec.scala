@@ -80,6 +80,32 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("?format= override and gzip response encoding") {
+    val g0 = Graft.empty(spark).update("""INSERT DATA { x:1 label "gear" }""")
+    val srv = new SparqlServer(g0).start()
+    try {
+      val q = java.net.URLEncoder.encode("SELECT ?l WHERE { x:1 label ?l }", "UTF-8")
+      // format= beats the Accept header (curl convenience)
+      val csv = send(req(srv.address + s"/sparql?query=$q&format=csv")
+        .header("Accept", "application/sparql-results+json").GET())
+      assert(csv.headers().firstValue("Content-Type").get().startsWith("text/csv"))
+      assert(csv.body() == "l\r\ngear")
+      assert(send(req(srv.address + s"/sparql?query=$q&format=nosuch").GET())
+        .statusCode() == 400)
+      // Accept-Encoding: gzip compresses both buffered and streamed
+      // responses; decode manually (HttpClient does not auto-inflate)
+      val gz = http.send(req(srv.address + s"/sparql?query=$q&format=csv")
+        .header("Accept-Encoding", "gzip").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      assert(gz.headers().firstValue("Content-Encoding").get() == "gzip")
+      val inflated = new String(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz.body())).readAllBytes(), "UTF-8")
+      assert(inflated == "l\r\ngear")
+      // status carries the served counter
+      assert(send(req(srv.address + "/status").GET()).body().contains("served:"))
+    } finally srv.stop()
+  }
+
   test("bare GET /sparql answers a SPARQL 1.1 service description") {
     val srv = new SparqlServer(Graft.empty(spark)).start()
     try {

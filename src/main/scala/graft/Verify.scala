@@ -15,7 +15,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); surface as long + convert
+      // older testdata ships events.ts as TIMESTAMP(NANOS) — the flag
+      // surfaces it as long; TpchRdf.tsNanos normalizes either way
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

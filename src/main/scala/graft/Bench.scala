@@ -74,22 +74,22 @@ object Bench {
     spark.stop()
   }
 
-  /** Best recorded sf0.1 wall-time per query across the BENCH_r01-r06
-    * artifacts plus round-7's local full runs and isolated re-times
+  /** Best recorded sf0.1 wall-time per query across the BENCH_r01-r07
+    * artifacts (including round-7's isolated re-times)
     * (full coverage: every driver query has a record) — the drift
     * baseline for the re-time protocol. */
   private val priorBest: Map[String, Double] = Map(
-    "agg_distinct_count" -> 0.87, "agg_group_concat" -> 0.46,
-    "ann_bruteforce" -> 0.99, "ann_ivf" -> 1.32,
+    "agg_distinct_count" -> 0.87, "agg_group_concat" -> 0.21,
+    "ann_bruteforce" -> 0.39, "ann_ivf" -> 0.56,
     "ann_lsh" -> 0.44, "ask_query" -> 0.49,
     "bgp_chain_join" -> 0.61, "bgp_star_join" -> 0.55,
     "bind_extend" -> 0.2, "blueprints_traversal" -> 1.36,
     "construct_triples" -> 1.21, "dedup_cluster" -> 3.48,
     "dedup_embed_cosine" -> 3.03, "dedup_exact" -> 0.37,
     "dedup_minhash_lsh" -> 1.62, "dedup_ngram_jaccard" -> 2.89,
-    "dedup_simhash" -> 1.68, "describe_cbd" -> 2.87,
+    "dedup_simhash" -> 1.68, "describe_cbd" -> 2.15,
     "describe_node" -> 0.12, "describe_sym" -> 0.81,
-    "describe_where" -> 0.74, "distinct_op" -> 0.19,
+    "describe_where" -> 0.74, "distinct_op" -> 0.14,
     "events_sessionize" -> 1.07, "exists_semijoin" -> 0.63,
     "export_roundtrip" -> 1.14, "filter_expr" -> 0.27,
     "filter_regex" -> 0.19, "fulltext_matchall" -> 0.65,
@@ -118,9 +118,9 @@ object Bench {
     "path_negated" -> 0.86, "path_seq" -> 1.14,
     "path_star" -> 1.21, "path_transitive" -> 2.57,
     "pipeline_contam" -> 0.7, "pipeline_curate" -> 0.64,
-    "pipeline_mix" -> 0.4, "pipeline_pack" -> 0.14,
+    "pipeline_mix" -> 0.21, "pipeline_pack" -> 0.11,
     "pipeline_sample" -> 0.32, "q1_agg" -> 0.32,
-    "rdfs_closure" -> 1.64, "rdfs_incremental" -> 1.83,
+    "rdfs_closure" -> 1.64, "rdfs_incremental" -> 1.71,
     "rdfs_retract" -> 3.54, "rdr_annotation" -> 0.81,
     "results_csv" -> 0.18, "sparql_datefns" -> 0.23,
     "sparql_from_graph" -> 0.11, "sparql_from_named" -> 0.3,
@@ -134,12 +134,12 @@ object Bench {
     "sparql_parsed_subquery" -> 0.52, "sparql_parsed_sugar" -> 0.21,
     "sparql_parsed_update" -> 0.85, "sparql_parsed_values" -> 0.46,
     "sparql_service_federated" -> 0.59, "sparql_term_fns" -> 0.5,
-    "store_journal" -> 2.36, "store_repository" -> 1.91,
+    "store_journal" -> 2.36, "store_repository" -> 1.88,
     "stream_dedup" -> 3.23, "stream_enrich" -> 1.11,
     "stream_sessionize" -> 4.15, "stream_stream_join" -> 2.86,
-    "stream_window" -> 1.29, "subquery_op" -> 0.99,
-    "text_fingerprint" -> 0.12, "text_langid" -> 0.16,
-    "text_logprob" -> 0.85, "text_quality" -> 0.13,
+    "stream_window" -> 1.29, "subquery_op" -> 0.68,
+    "text_fingerprint" -> 0.1, "text_langid" -> 0.16,
+    "text_logprob" -> 0.54, "text_quality" -> 0.13,
     "text_tokens" -> 0.11, "union_op" -> 0.3,
     "update_delete_insert" -> 0.99, "update_using" -> 0.96,
     "values_inline" -> 0.19)

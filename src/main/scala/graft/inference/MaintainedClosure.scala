@@ -87,6 +87,12 @@ final class MaintainedClosure private (spark: SparkSession,
       val after = stripG(baseJ.snapshot(bv)).localCheckpoint()
       val added = after.exceptAll(before)
       val retracted = before.exceptAll(after)
+      // the crash may have hit INSIDE the closure journal's own commit
+      // — after its segment write, before its record publish. Those
+      // orphan segments are unreachable by readers but would make the
+      // recovery commit's own segment write fail (`errorifexists`);
+      // clear them first so recovery converges instead of wedging.
+      closedJ.dropOrphanSegments(cv + 1)
       closedJ.commit(
         adds = withG(Rdfs.closure(added, ont)),
         dels = withG(Rdfs.retractRemoved(before, retracted, ont)))

@@ -29,18 +29,31 @@ object BulkLoad {
     * returns (version, statements loaded). */
   def run(spark: SparkSession, dir: String, paths: Seq[String],
           graph: Option[String] = None, compact: Boolean = true): (Long, Long) = {
-    require(paths.nonEmpty, "no input files")
     val journal =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "commits")))
         Journal.open(spark, dir)
       else Journal.create(spark, dir)
+    runWith(spark, journal, paths, graph, compact)
+  }
+
+  /** Core over an already-open journal handle (the REST bulk-load
+    * endpoint drives the server tenant's own journal through this —
+    * no second handle on the directory). SINGLE-PASS by design: the
+    * one corpus read is the segment parquet write itself
+    * ([[Journal.appendRaw]] — no staging checkpoint, no write-side
+    * `distinct()` shuffle; set semantics are the journal resolution's
+    * job), and the statement count comes from the committed segment's
+    * parquet FOOTERS, a metadata read. The reference's DataLoader
+    * streams documents through to the journal the same way. */
+  def runWith(spark: SparkSession, journal: Journal, paths: Seq[String],
+              graph: Option[String] = None, compact: Boolean = true): (Long, Long) = {
+    require(paths.nonEmpty, "no input files")
     val defaultGraph = "g:default"
     val quads: DataFrame = paths
       .map(p => Update.loadOpQuads(spark, p, graph, defaultGraph))
       .reduce(_ unionAll _)
-      .localCheckpoint() // parse once: the commit writes it, the count reads it
-    val v = journal.append(quads)
-    val n = quads.count()
+    val v = journal.appendRaw(quads)
+    val n = journal.segmentRowCount(v).getOrElse(0L)
     if (compact) journal.compact()
     (v, n)
   }

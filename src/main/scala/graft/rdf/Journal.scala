@@ -71,12 +71,20 @@ final class Journal private (spark: SparkSession, dir: Path) {
     // whole pre-compaction history — the Delta `_last_checkpoint`
     // discipline) instead of parsing every record file
     if (cachedRecords.isEmpty) cachedRecords = readCheckpoint()
+    val listing = Journal.listDir(commitsDir).filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".json") && !n.startsWith("_")
+    }
+    // a vacuum by ANOTHER handle/process REMOVES records: drop cache
+    // entries whose commit file is gone (the listing is already in
+    // hand — no extra I/O), so a stale handle's read of a vacuumed
+    // version fails loud on the "no commit point" require instead of
+    // resolving silently wrong from cached metadata
+    val onDisk = listing.map(versionOf).toSet
+    if (cachedRecords.exists(r => !onDisk.contains(r.version)))
+      cachedRecords = cachedRecords.filter(r => onDisk.contains(r.version))
     val maxKnown = if (cachedRecords.isEmpty) -1L else cachedRecords.last.version
-    val fresh = Journal.listDir(commitsDir)
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".json") && !n.startsWith("_")
-      }
+    val fresh = listing
       .filter(p => versionOf(p) > maxKnown)
       .map(readRecord)
     if (fresh.nonEmpty)
@@ -115,8 +123,20 @@ final class Journal private (spark: SparkSession, dir: Path) {
 
   private def seg(rec: Record, suffix: String): Option[DataFrame] = {
     val p = dir.resolve("segments").resolve(s"c${rec.version}-$suffix.parquet")
-    if (Files.exists(p)) Some(spark.read.parquet(p.toString).select(COLS.map(col): _*))
-    else None
+    def read = Some(
+      spark.read.schema(QUAD_SCHEMA).parquet(p.toString).select(COLS.map(col): _*))
+    rec.segs match {
+      // the record manifests its segments: a missing manifested file
+      // means the data is GONE (foreign vacuum, manual damage) — fail
+      // loud, never resolve an empty state; an unmanifested suffix
+      // needs no filesystem probe at all
+      case Some(ss) if !ss.contains(suffix) => None
+      case Some(_) =>
+        require(Files.exists(p), s"journal segment missing (vacuumed by another handle?): $p")
+        read
+      case None => // legacy record (pre-manifest): probe as before
+        if (Files.exists(p)) read else None
+    }
   }
 
   /** The store's state at `v` (default: latest) as a duplicate-free
@@ -158,22 +178,70 @@ final class Journal private (spark: SparkSession, dir: Path) {
     commitWith(adds, dels, None, None)
 
   private def commitWith(adds: DataFrame, dels: DataFrame,
-                         batchId: Option[Long], appId: Option[String]): Long = {
+                         batchId: Option[Long], appId: Option[String],
+                         dedup: Boolean = true): Long = {
     val next = version + 1
-    def writeSeg(df: DataFrame, suffix: String): Unit = {
-      val rows = df.select(COLS.map(col): _*).distinct()
-      if (!rows.isEmpty)
-        rows.write.mode("errorifexists")
-          .parquet(dir.resolve("segments").resolve(s"c$next-$suffix.parquet").toString)
+    def writeSeg(df: DataFrame, suffix: String): Boolean = {
+      val rows0 = df.select(COLS.map(col): _*)
+      val rows = if (dedup) rows0.distinct() else rows0
+      if (rows.isEmpty) false
+      else {
+        writeSegment(rows, next, suffix)
+        true
+      }
     }
-    writeSeg(dels, "dels")
-    writeSeg(adds, "adds")
-    publish(Record(next, compacted = false, batchId, appId))
+    val wrote = Seq("dels" -> writeSeg(dels, "dels"), "adds" -> writeSeg(adds, "adds"))
+    publish(Record(next, compacted = false, batchId, appId,
+      segs = Some(wrote.collect { case (s, true) => s }.toSet)))
     next
   }
 
+  /** One segment write — graph-partitioned parquet, so graph-scoped
+    * ops (GSP PUT/DELETE, DROP/CLEAR GRAPH) and graph-bound reads
+    * prune to one partition directory instead of scanning the head
+    * (the quads-mode per-graph access-path scoping the reference gets
+    * from its SPOC/POCS B+Tree key order). */
+  private def writeSegment(rows: DataFrame, version: Long, suffix: String): Unit =
+    rows.write.mode("errorifexists").partitionBy("g")
+      .parquet(dir.resolve("segments").resolve(s"c$version-$suffix.parquet").toString)
+
   /** Convenience: insert-only commit. */
   def append(adds: DataFrame): Long = commit(adds, emptyQuads(spark))
+
+  /** Insert-only commit WITHOUT the write-side `distinct()` — the
+    * bulk-ingest path: the one corpus pass is the segment write
+    * itself. Duplicate rows inside an adds segment are harmless for
+    * correctness (snapshot resolution's per-key argmax dedups, and
+    * the next [[compact]] rewrites the deduped state); they only cost
+    * segment storage until then. Returns the new version. */
+  def appendRaw(adds: DataFrame): Long =
+    commitWith(adds, emptyQuads(spark), None, None, dedup = false)
+
+  /** Exact row count of a committed version's adds segment from
+    * parquet FOOTER metadata — no Spark job, no data read (the
+    * reference answers rangeCount from B+Tree page metadata the same
+    * way). `graph`: count only that graph's partition directory.
+    * None when the version wrote no adds segment. */
+  def segmentRowCount(v: Long, graph: Option[String] = None): Option[Long] = {
+    val rec = records.find(_.version == v).getOrElse(
+      sys.error(s"no commit point $v in $dir"))
+    if (rec.segs.exists(!_.contains("adds"))) return None
+    val p = dir.resolve("segments").resolve(s"c$v-adds.parquet")
+    if (!Files.exists(p)) return None
+    graph match {
+      case None => Some(Journal.parquetRowCount(p))
+      case Some(g) =>
+        // a legacy (pre-partitioning) segment keeps g as a data column
+        // — footers can't answer a graph-bound count there
+        val partitioned = Journal.listDir(p)
+          .exists(_.getFileName.toString.startsWith("g="))
+        if (!partitioned) None
+        else {
+          val sub = p.resolve("g=" + escapePathName(g))
+          if (!Files.exists(sub)) Some(0L) else Some(Journal.parquetRowCount(sub))
+        }
+    }
+  }
 
   /** Structured Streaming sink body — use from `foreachBatch`:
     * {{{ quads.writeStream.foreachBatch(journal.sink("ingest") _).start() }}}
@@ -214,10 +282,10 @@ final class Journal private (spark: SparkSession, dir: Path) {
   def compact(): Long = {
     val next = version + 1
     val snap = snapshot()
-    if (!snap.isEmpty)
-      snap.write.mode("errorifexists")
-        .parquet(dir.resolve("segments").resolve(s"c$next-adds.parquet").toString)
-    publish(Record(next, compacted = true))
+    val wrote = !snap.isEmpty
+    if (wrote) writeSegment(snap, next, "adds")
+    publish(Record(next, compacted = true,
+      segs = Some(if (wrote) Set("adds") else Set.empty)))
     // compaction is the natural log-checkpoint moment: a cold open
     // then reads ONE checkpoint file + only post-compaction records
     synchronized { writeCheckpoint(cachedRecords) }
@@ -248,7 +316,9 @@ final class Journal private (spark: SparkSession, dir: Path) {
   private def recordJson(rec: Record): String = {
     val batch = rec.batchId.map(b => s""","batchId":$b""").getOrElse("")
     val app = rec.appId.map(a => s""","appId":"$a"""").getOrElse("")
-    s"""{"version":${rec.version},"compacted":${rec.compacted}$batch$app}"""
+    val segs = rec.segs.map(ss =>
+      s""","segs":[${ss.toSeq.sorted.map(s => s""""$s"""").mkString(",")}]""").getOrElse("")
+    s"""{"version":${rec.version},"compacted":${rec.compacted}$batch$app$segs}"""
   }
 
   private def publish(rec: Record): Unit = synchronized {
@@ -267,12 +337,25 @@ final class Journal private (spark: SparkSession, dir: Path) {
         throw new IllegalStateException(
           s"concurrent commit: version ${rec.version} already published in $dir")
       case _: UnsupportedOperationException =>
-        // no hard links on this filesystem: exclusive CREATE_NEW copy
-        // (still fails loud on a race; records are tiny, and readers
-        // list by name only after the write below completes... the
-        // worst case is a reader parsing a partial record and erroring,
-        // never resolving wrong state)
-        Files.copy(tmp, target) // CREATE_NEW semantics: throws if exists
+        // no hard links on this filesystem: exclusive CREATE_NEW copy.
+        // A copy is not atomic, so a crash mid-copy can leave a
+        // truncated target — on the next publish of that version,
+        // validate the existing file and clear it if unparseable
+        // (readers that raced the partial already failed LOUD on the
+        // parse; without this, the journal would stay wedged).
+        try Files.copy(tmp, target) // CREATE_NEW semantics: throws if exists
+        catch {
+          case _: FileAlreadyExistsException =>
+            val partial =
+              try { parseRecord(mapper.readTree(Files.readAllBytes(target))); false }
+              catch { case scala.util.control.NonFatal(_) => true }
+            if (partial) { Files.delete(target); Files.copy(tmp, target) }
+            else {
+              Files.delete(tmp)
+              throw new IllegalStateException(
+                s"concurrent commit: version ${rec.version} already published in $dir")
+            }
+        }
         Files.delete(tmp)
     }
     Files.deleteIfExists(tmp)
@@ -288,7 +371,27 @@ final class Journal private (spark: SparkSession, dir: Path) {
   private def parseRecord(node: com.fasterxml.jackson.databind.JsonNode): Record =
     Record(node.get("version").asLong(), node.get("compacted").asBoolean(),
       Option(node.get("batchId")).map(_.asLong()),
-      Option(node.get("appId")).map(_.asText()))
+      Option(node.get("appId")).map(_.asText()),
+      Option(node.get("segs")).map { arr =>
+        val it = arr.elements()
+        val out = Set.newBuilder[String]
+        while (it.hasNext) out += it.next().asText()
+        out.result()
+      })
+
+  /** Remove segment files of an UNPUBLISHED version — crash-repair
+    * support ([[graft.inference.MaintainedClosure]]): a crash between
+    * a segment write and its record publish leaves orphan files that
+    * no reader can reach but that block re-committing the version
+    * (`errorifexists`). Refuses to touch a published version. */
+  private[graft] def dropOrphanSegments(v: Long): Unit = synchronized {
+    require(!records.exists(_.version == v),
+      s"version $v is published in $dir — not an orphan")
+    Seq("adds", "dels").foreach { sfx =>
+      Journal.deleteRecursively(
+        dir.resolve("segments").resolve(s"c$v-$sfx.parquet"))
+    }
+  }
 }
 
 object Journal {
@@ -301,9 +404,23 @@ object Journal {
     * readable. */
   private val DefaultAppId = "default"
 
+  /** `segs`: which segment files this commit wrote (its manifest) —
+    * lets readers skip filesystem probes and fail LOUD when a
+    * manifested file is missing. None on legacy (pre-manifest)
+    * records, which fall back to existence probes. */
   private final case class Record(version: Long, compacted: Boolean,
                                   batchId: Option[Long] = None,
-                                  appId: Option[String] = None)
+                                  appId: Option[String] = None,
+                                  segs: Option[Set[String]] = None)
+
+  /** Segments are (s,p,o) data files under `g=<value>` partition
+    * directories; the explicit schema pins `g` to string (partition
+    * values must NOT type-infer — a graph named "123" stays a
+    * string) and keeps legacy unpartitioned segments (g as a data
+    * column) readable through the same call. */
+  private val QUAD_SCHEMA = org.apache.spark.sql.types.StructType(
+    Seq("s", "p", "o", "g").map(n =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
 
   private def emptyQuads(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -320,7 +437,7 @@ object Journal {
     Files.createDirectories(commits)
     Files.createDirectories(root.resolve("segments"))
     val j = new Journal(spark, root)
-    j.publish(Record(0, compacted = true))
+    j.publish(Record(0, compacted = true, segs = Some(Set.empty)))
     j
   }
 
@@ -334,6 +451,27 @@ object Journal {
   private def listDir(p: Path): Seq[Path] = {
     val stream = Files.list(p)
     try stream.toArray.toSeq.asInstanceOf[Seq[Path]] finally stream.close()
+  }
+
+  /** Hive-style partition-value escaping, matching what
+    * `DataFrameWriter.partitionBy` writes into directory names. */
+  private[rdf] def escapePathName(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  /** Sum of parquet row counts under `root` from file FOOTERS only —
+    * a metadata read (each footer is a few KB at the file tail), not
+    * a scan; no Spark job runs. */
+  private[graft] def parquetRowCount(root: Path): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def walk(p: Path): Long =
+      if (Files.isDirectory(p)) listDir(p).map(walk).sum
+      else if (p.getFileName.toString.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } else 0L
+    walk(root)
   }
 
   private def deleteRecursively(p: Path): Unit = {

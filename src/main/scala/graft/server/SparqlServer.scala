@@ -111,10 +111,31 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       * analog); durable namespaces only. */
     def at(version: Long): Graft =
       sys.error("timestamp reads need a journal-backed namespace")
+    /** Journal head version (-1 for in-memory tenants). */
+    def version: Long = -1L
     /** Graph Store Protocol PUT: replace graph `g` with `quads`. */
     def putGraph(g: String, quads: DataFrame): Unit
     /** Graph Store Protocol DELETE: drop graph `g`. */
     def dropGraph(g: String): Unit
+    /** Mass-load server-visible files/globs as ONE commit (the
+      * DataLoaderServlet analog); returns (version, statements). */
+    def bulkLoad(paths: Seq[String], graph: Option[String],
+                 compact: Boolean): (Long, Long) = {
+      val quads = paths
+        .map(p => Update.loadOpQuads(spark, p, graph, current.defaultGraph))
+        .reduce(_ unionAll _)
+      (-1L, ingest(quads))
+    }
+    /** Metadata-only ESTCARD: Some(n) when the count is answerable
+      * from parquet footers (durable + fully compacted head), None →
+      * caller falls back to an exact count job. */
+    def metadataCount(graph: Option[String]): Option[Long] = None
+    /** Atomically apply a staged tx's items (update texts + parsed
+      * quad batches) as one commit; `expectVersion` is the journal
+      * version at tx creation — a head that moved since is a CONFLICT
+      * (first-committer-wins, whole-store granularity). */
+    def commitStaged(items: Seq[Either[String, DataFrame]],
+                     expectVersion: Long): Long
     def destroy(): Unit
   }
 
@@ -147,6 +168,16 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     def dropGraph(g: String): Unit = {
       ref.updateAndGet(h => h.copy(store = h.store.dropGraph(g)))
       ()
+    }
+    def commitStaged(items: Seq[Either[String, DataFrame]],
+                     expectVersion: Long): Long = {
+      // in-memory tenants have no commit log to conflict against; the
+      // updateAndGet applies the whole staged sequence atomically
+      ref.updateAndGet(g0 => items.foldLeft(g0) {
+        case (h, Left(text)) => h.update(text)
+        case (h, Right(df))  => h.copy(store = h.store.insertQuads(df))
+      })
+      -1L
     }
     def destroy(): Unit = ()
   }
@@ -181,6 +212,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     // failing loud on the journal's version race
     def update(text: String): Unit = synchronized { repo.update(text); maybeCompact() }
     override def at(version: Long): Graft = repo.connection(version)
+    override def version: Long = repo.version
     def ingest(quads: DataFrame): Long = synchronized {
       val q = quads.localCheckpoint()
       repo.journal.commit(adds = q, dels = emptyQuads)
@@ -209,8 +241,50 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       repo.journal.commit(adds = emptyQuads, dels = old)
       maybeCompact()
     }
+    override def bulkLoad(paths: Seq[String], graph: Option[String],
+                          compact: Boolean): (Long, Long) = synchronized {
+      // drives THIS tenant's journal handle — no second handle on the
+      // directory; single-pass (appendRaw + footer count) by design
+      val r = graft.rdf.BulkLoad.runWith(spark, repo.journal, paths, graph, compact)
+      if (!compact) maybeCompact()
+      r
+    }
+    override def metadataCount(graph: Option[String]): Option[Long] = {
+      val j = repo.journal
+      val v = j.version
+      // fully-compacted head: the base segment IS the state, so its
+      // footers answer exactly (the reference's rangeCount answers
+      // from B+Tree page metadata the same way); with pending deltas
+      // the caller runs the exact count instead
+      if (j.lastCompacted != v) None
+      else j.segmentRowCount(v, graph) match {
+        case Some(n) => Some(n)
+        // no adds segment at a compacted head = empty state; but a
+        // graph-bound None may instead mean a legacy unpartitioned
+        // segment the footers can't scope — fall back to the exact job
+        case None => if (graph.isEmpty) Some(0L) else None
+      }
+    }
+    def commitStaged(items: Seq[Either[String, DataFrame]],
+                     expectVersion: Long): Long = synchronized {
+      if (repo.version != expectVersion)
+        throw new TxConflict(
+          s"tx conflict: head moved from v$expectVersion to v${repo.version}")
+      val head = current
+      val mixed = items.map {
+        case Left(text) => Left(graft.sparql.Parser.parseUpdates(text))
+        case Right(df)  => Right(df)
+      }
+      val (adds, dels) = Update.quadsDeltaMixed(head.store, mixed, head.defaultGraph)
+      val v = repo.journal.commit(adds, dels)
+      maybeCompact()
+      v
+    }
     def destroy(): Unit = deleteRecursively(dir)
   }
+
+  /** Staged-tx commit lost first-committer-wins validation. */
+  private final class TxConflict(msg: String) extends RuntimeException(msg)
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
@@ -254,6 +328,30 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   /** The current (latest-updated) handle of a namespace (default: the
     * default namespace, resolved per call — never a stale alias). */
   def current(ns: String = defaultNamespace): Graft = tenant(ns).current
+
+  // ---- multi-request write transactions (TxServlet analog) ---------
+
+  /** One open transaction: staged items apply at commit in arrival
+    * order, as ONE journal commit. `startVersion` is the namespace's
+    * head at creation — validation is first-committer-wins at
+    * whole-store granularity (coarser than the reference's
+    * per-index-range conflict detection, never less safe). */
+  private final case class Tx(id: String, ns: String, startVersion: Long,
+                              items: scala.collection.mutable.Buffer[Either[String, DataFrame]],
+                              startedMs: Long)
+  private val txs = new ConcurrentHashMap[String, Tx]()
+
+  private def stageTx(id: String, ns: String,
+                      item: Either[String, DataFrame]): Unit = {
+    val tx = txs.get(id)
+    require(tx != null, s"no such transaction: $id")
+    require(tx.ns == ns, s"transaction $id belongs to namespace ${tx.ns}, not $ns")
+    // stage-time parse check: a malformed update fails ITS request
+    // loudly, not the eventual commit
+    item.left.foreach(t => Parser.parseUpdates(t))
+    tx.items.synchronized { tx.items += item }
+    ()
+  }
 
   // ---- running-query registry (StatusServlet analog) ---------------
 
@@ -427,9 +525,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     * a bare value passes through (convenience the reference's ESTCARD
     * does not need, but curl users will thank). */
   private def ntTerm(t: String): String = {
-    val Tagged = "^\"(.*)\"@([A-Za-z0-9-]+)$".r
-    val Typed = "^\"(.*)\"\\^\\^<(.*)>$".r
-    val Quoted = "^\"(.*)\"$".r
+    // (?s): a literal term may carry raw newlines (the RdfLiteral
+    // DOTALL convention) — without it such a term falls through to
+    // the bare-value branch
+    val Tagged = "(?s)^\"(.*)\"@([A-Za-z0-9-]+)$".r
+    val Typed = "(?s)^\"(.*)\"\\^\\^<(.*)>$".r
+    val Quoted = "(?s)^\"(.*)\"$".r
     def unesc(s: String): String = s
       .replace("\\\\", "￿").replace("\\n", "\n").replace("\\r", "\r")
       .replace("\\t", "\t").replace("\\\"", "\"").replace("￿", "\\")
@@ -485,18 +586,37 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         (rdfExtension(contentType(ex)).isDefined || qp.contains("uri")))
         handleInsert(ex, ns)
       else if (ex.getRequestMethod == "POST" &&
-        contentType(ex).startsWith("application/x-www-form-urlencoded") &&
-        queryText(ex).isEmpty) {
-        // the reference's RESTServlet dispatches a form's update= from
-        // the bare /sparql endpoint too; a form with neither query=
-        // nor update= is not guessed at
-        formUpdate.get() match {
-          case Some(u) => tenant(ns).update(u); respond(ex, 204, "text/plain", "")
-          case None =>
-            respond(ex, 400, "text/plain", "bad request: no query or update in form")
+        contentType(ex).startsWith("application/x-www-form-urlencoded")) {
+        // the one-shot request body is read ONCE here: queryText
+        // stashes the form's update= and returns its query=, and the
+        // reference's RESTServlet form dispatch follows — query= runs,
+        // else update= applies, else a form with neither is not
+        // guessed at (SPARQL 1.1 Protocol's URL-encoded POST binding)
+        queryText(ex) match {
+          case Some(q) => execQuery(ex, ns, qp, q)
+          case None => formUpdate.get() match {
+            case Some(u) => tenant(ns).update(u); respond(ex, 204, "text/plain", "")
+            case None =>
+              respond(ex, 400, "text/plain", "bad request: no query or update in form")
+          }
         }
       } else {
         val q = queryText(ex).getOrElse(sys.error("no query in request"))
+        execQuery(ex, ns, qp, q)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // if a streamed response already committed its status line the
+        // best we can do is drop the connection
+        try respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+        catch { case scala.util.control.NonFatal(_) => ex.close() }
+    }
+
+  /** Execute query text `q` and render per the protocol knobs in `qp`
+    * (`format=`, `timestamp=`, `explain`) — shared by every dispatch
+    * arm that carries a query. */
+  private def execQuery(ex: HttpExchange, ns: String,
+                        qp: Map[String, Option[String]], q: String): Unit = {
         // ?format=json|xml|csv|tsv|turtle|ntriples|jsonld overrides the
         // Accept header (the reference's format= convenience for curl)
         val accept = qp.get("format").flatten.map {
@@ -562,14 +682,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                   lines(Serializer.sparqlJsonBindings(df)), ",", Serializer.sparqlJsonFoot)
           }
         }
-      }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        // if a streamed response already committed its status line the
-        // best we can do is drop the connection
-        try respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
-        catch { case scala.util.control.NonFatal(_) => ex.close() }
-    }
+  }
 
   /** SPARQL 1.1 Service Description (§3): what this endpoint speaks,
     * as N-Triples over the `sd:` vocabulary. */
@@ -620,11 +733,22 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         val (q, tmp) = bodyQuads(ex, ext, graph, t.current.defaultGraph)
         (q, Some(tmp))
     }
-    val n =
-      try inJobGroup(ns, "data-POST") { t.ingest(quads) }
-      finally spill.foreach(dropSpill)
-    respond(ex, 200, "application/xml",
-      s"""<?xml version="1.0"?><data modified="$n"/>""")
+    qp.get("tx").flatten match {
+      case Some(id) =>
+        // materialize before the spill file drops, then stage
+        val staged =
+          try inJobGroup(ns, "data-POST (staged)") { quads.localCheckpoint() }
+          finally spill.foreach(dropSpill)
+        stageTx(id, ns, Right(staged))
+        respond(ex, 200, "application/xml",
+          s"""<?xml version="1.0"?><data modified="${staged.count()}" staged="true"/>""")
+      case None =>
+        val n =
+          try inJobGroup(ns, "data-POST") { t.ingest(quads) }
+          finally spill.foreach(dropSpill)
+        respond(ex, 200, "application/xml",
+          s"""<?xml version="1.0"?><data modified="$n"/>""")
+    }
   }
 
   /** `DELETE /sparql?query=<CONSTRUCT…>` or DELETE-with-body
@@ -653,18 +777,60 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
 
   /** `GET /sparql?ESTCARD&…` — the reference's fast range count
     * (QueryServlet.java:152: ESTCARD over the chosen access path).
-    * The reference answers an ESTIMATE from B+Tree page metadata;
-    * here the count is EXACT — bound terms prune the scan, and an
-    * unconstrained count over a compacted head is parquet
-    * row-group-metadata work, not a data read. */
+    * The reference answers from B+Tree page metadata; here an unbound
+    * or graph-only-bound count over a DURABLE, fully-compacted head is
+    * answered from parquet FOOTERS (graph-partitioned segments scope
+    * the `c=` term to one partition directory) — no Spark job, no data
+    * read; the response carries `fastpath="metadata"` so callers (and
+    * tests) can tell. Bound s/p/o terms run an exact count over the
+    * pruned access path. */
   private def handleEstcard(ex: HttpExchange, ns: String): Unit = {
     val t0 = System.currentTimeMillis()
-    val n = inJobGroup(ns, "ESTCARD") {
-      accessPath(tenant(ns).current, params(rawQuery(ex))).count()
+    val qp = params(rawQuery(ex))
+    val spoBound = Seq("s", "p", "o").exists(k => qp.get(k).flatten.isDefined)
+    val graph = qp.get("c").flatten.map(ntTerm)
+    val fast = if (spoBound) None else tenant(ns).metadataCount(graph)
+    val (n, attrs) = fast match {
+      case Some(m) => (m, s""" fastpath="metadata"""")
+      case None => (inJobGroup(ns, "ESTCARD") {
+        accessPath(tenant(ns).current, qp).count()
+      }, "")
     }
     respond(ex, 200, "application/xml",
-      s"""<?xml version="1.0"?><data rangeCount="$n" milliseconds="${System.currentTimeMillis() - t0}"/>""")
+      s"""<?xml version="1.0"?><data rangeCount="$n" milliseconds="${System.currentTimeMillis() - t0}"$attrs/>""")
   }
+
+  /** `POST /dataloader` (namespace-scoped: `/namespace/<ns>/dataloader`)
+    * — the DataLoaderServlet analog (bigdata-sails/.../webapp/
+    * DataLoaderServlet.java:61: POST a properties doc naming
+    * server-visible files/dirs to mass-load). Body: `text/plain`, one
+    * file path/dir/glob per line (`#` comments skipped); `?graph=`
+    * targets a named graph, `?no-compact` skips the final seal. The
+    * whole batch lands as ONE commit through the tenant's own journal
+    * (single-pass: segment write + footer count). Non-`file:` schemes
+    * are refused loudly, like `?uri=` ingest. */
+  private def handleDataLoader(ex: HttpExchange, ns: String): Unit =
+    try {
+      require(ex.getRequestMethod == "POST", "dataloader requires POST")
+      val qp = params(rawQuery(ex))
+      val graph = qp.get("graph").flatten.map(internIri)
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val paths = body.split('\n').map(_.trim)
+        .filter(p => p.nonEmpty && !p.startsWith("#")).toSeq
+      require(paths.nonEmpty, "no input paths in body")
+      paths.foreach { p =>
+        require(!p.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") || p.startsWith("file:"),
+          s"only file: ingest paths are supported, got $p")
+      }
+      val (v, n) = inJobGroup(ns, "BULK-LOAD") {
+        tenant(ns).bulkLoad(paths, graph, compact = !qp.contains("no-compact"))
+      }
+      respond(ex, 200, "application/xml",
+        s"""<?xml version="1.0"?><data modified="$n" version="$v"/>""")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+    }
 
   /** `GET /sparql?CONTEXTS` — the named graphs (QueryServlet CONTEXTS
     * op), as the reference's contexts XML document. */
@@ -749,7 +915,10 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         if (ct.startsWith("application/x-www-form-urlencoded"))
           formParam(body, "update").getOrElse(sys.error("no update in form"))
         else body // application/sparql-update
-      tenant(ns).update(text)
+      params(rawQuery(ex)).get("tx").flatten match {
+        case Some(id) => stageTx(id, ns, Left(text))  // staged, not committed
+        case None     => tenant(ns).update(text)
+      }
       respond(ex, 204, "text/plain", "")
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -781,6 +950,158 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       }
   }
 
+  /** Multi-request write transactions, minimal form (TxServlet.java:71
+    * analog): `POST /tx` begins one (`?ns=` scopes it; default
+    * namespace otherwise) and returns its id; requests carrying
+    * `?tx=<id>` STAGE their mutation instead of committing;
+    * `POST /tx/<id>/commit` publishes the staged sequence as ONE
+    * journal commit — a head that moved since tx creation is a loud
+    * 409 (first-committer-wins); `POST /tx/<id>/abort` discards.
+    * Read isolation is the existing `?timestamp=` commit-point knob
+    * (SURVEY §7's stance); staged writes are invisible until commit. */
+  private object TxHandler extends HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      try {
+        val rest = ex.getRequestURI.getPath.stripPrefix("/tx").stripPrefix("/")
+        val parts = if (rest.isEmpty) Nil else rest.split("/").toList
+        (parts, ex.getRequestMethod) match {
+          case (Nil, "POST") =>
+            val ns = params(rawQuery(ex)).get("ns").flatten.getOrElse(defaultNamespace)
+            val t = tenant(ns)
+            val id = java.util.UUID.randomUUID().toString
+            txs.put(id, Tx(id, ns, t.version,
+              scala.collection.mutable.Buffer.empty, System.currentTimeMillis()))
+            respond(ex, 201, "application/xml",
+              s"""<?xml version="1.0"?><tx txId="$id" namespace="$ns" readsOnCommitTime="${t.version}"/>""")
+          case (Nil, "GET") =>
+            val rows = txs.values.asScala.toSeq.sortBy(_.startedMs).map { t =>
+              s"""<tx txId="${t.id}" namespace="${t.ns}" staged="${t.items.size}"/>"""
+            }
+            respond(ex, 200, "application/xml",
+              s"""<?xml version="1.0"?><txs>${rows.mkString}</txs>""")
+          case (List(id, "commit"), "POST") =>
+            val tx = txs.remove(id)
+            if (tx == null) respond(ex, 404, "text/plain", s"no such transaction: $id")
+            else
+              try {
+                val v = inJobGroup(tx.ns, s"TX-COMMIT $id") {
+                  tenant(tx.ns).commitStaged(tx.items.synchronized(tx.items.toSeq),
+                    tx.startVersion)
+                }
+                respond(ex, 200, "application/xml",
+                  s"""<?xml version="1.0"?><tx txId="$id" committed="$v"/>""")
+              } catch {
+                case e: TxConflict => respond(ex, 409, "text/plain", e.getMessage)
+              }
+          case (List(id, "abort"), "POST") =>
+            if (txs.remove(id) == null)
+              respond(ex, 404, "text/plain", s"no such transaction: $id")
+            else respond(ex, 200, "application/xml",
+              s"""<?xml version="1.0"?><tx txId="$id" aborted="true"/>""")
+          case _ => respond(ex, 405, "text/plain", "unsupported tx operation")
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+      }
+  }
+
+  /** Blueprints REST binding (BlueprintsServletProxy.java:41 analog):
+    * the [[graft.graph.MutableGraph]] mutation surface over HTTP,
+    * compiled onto the namespace's own SPARQL UPDATE write path —
+    * durable tenants journal these like any update, and vertices/
+    * edges ARE statements (the BigdataGraph mapping). POST form:
+    * {{{
+    *   op=addVertex&id=v[&label=L]        op=addEdge&out=a&label=p&in=b
+    *   op=setProperty&id=v&key=k&value=x  op=removeProperty&id=v&key=k
+    *   op=removeEdge&out=a&label=p&in=b   op=removeVertex&id=v
+    * }}}
+    * GET `?vertex=<id>` streams the vertex's statements as N-Triples
+    * (mutate → traverse round-trip for a remote property-graph
+    * client). */
+  private def handleBlueprints(ex: HttpExchange, ns: String): Unit =
+    try {
+      if (ex.getRequestMethod == "GET") {
+        val id = params(rawQuery(ex)).get("vertex").flatten
+          .getOrElse(sys.error("GET needs ?vertex=<id>"))
+        import org.apache.spark.sql.functions.col
+        val df = tenant(ns).current.store.quads
+          .filter(col("s") === id).select("s", "p", "o").distinct()
+        inJobGroup(ns, s"BLUEPRINTS GET $id") {
+          respondStream(ex, "application/n-triples", "",
+            lines(Serializer.toNTriples(df)), "\n", "")
+        }
+      } else {
+        require(ex.getRequestMethod == "POST", "blueprints requires GET or POST")
+        val form = params(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        def p(k: String) = form.get(k).flatten.getOrElse(sys.error(s"missing param $k"))
+        // bare ids render under the engine base (the loaders intern it
+        // back to the local name MutableGraph uses); full IRIs pass
+        def iri(x: String) = {
+          require(x.matches("[^\\s<>\"{}|^`]+"), s"bad term: $x")
+          if (x.matches("^(http|https|urn|file|mailto|did|tag):.*")) s"<$x>"
+          else s"<${Parser.Base}$x>"
+        }
+        def strLit(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+        val text = p("op") match {
+          case "addVertex" =>
+            s"INSERT DATA { ${iri(p("id"))} ${iri("type")} ${iri(form.get("label").flatten.getOrElse("Vertex"))} }"
+          case "addEdge" =>
+            s"INSERT DATA { ${iri(p("out"))} ${iri(p("label"))} ${iri(p("in"))} }"
+          case "setProperty" =>
+            s"DELETE { ${iri(p("id"))} ${iri(p("key"))} ?o } WHERE { ${iri(p("id"))} ${iri(p("key"))} ?o } ; " +
+              s"INSERT DATA { ${iri(p("id"))} ${iri(p("key"))} ${strLit(p("value"))} }"
+          case "removeProperty" =>
+            s"DELETE { ${iri(p("id"))} ${iri(p("key"))} ?o } WHERE { ${iri(p("id"))} ${iri(p("key"))} ?o }"
+          case "removeEdge" =>
+            s"DELETE DATA { ${iri(p("out"))} ${iri(p("label"))} ${iri(p("in"))} }"
+          case "removeVertex" =>
+            s"DELETE { ${iri(p("id"))} ?p ?o } WHERE { ${iri(p("id"))} ?p ?o } ; " +
+              s"DELETE { ?s ?p ${iri(p("id"))} } WHERE { ?s ?p ${iri(p("id"))} }"
+          case other => sys.error(s"unknown blueprints op: $other")
+        }
+        tenant(ns).update(text)
+        respond(ex, 204, "text/plain", "")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+    }
+
+  /** Minimal workbench landing page (the spirit of
+    * WorkbenchServlet.java:45, not the full browser workbench): each
+    * namespace's endpoints plus a query form wired to the protocol's
+    * own GET binding. */
+  private object IndexHandler extends HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestURI.getPath != "/")
+          respond(ex, 404, "text/plain",
+            s"no such resource: ${ex.getRequestURI.getPath}")
+        else {
+          val nss = namespaces.keys.asScala.toSeq.sorted.map { ns =>
+            s"""<li><b>$ns</b> — <a href="/namespace/$ns/sparql">sparql</a> · """ +
+              s"""<a href="/namespace/$ns/properties">properties</a></li>"""
+          }.mkString
+          val html =
+            s"""<!DOCTYPE html><html><head><title>graft</title></head><body>
+               |<h1>graft SPARQL server</h1>
+               |<p><a href="/status">status</a> · default namespace: <code>$defaultNamespace</code></p>
+               |<h2>Namespaces</h2><ul>$nss</ul>
+               |<h2>Query (default namespace)</h2>
+               |<form action="/sparql" method="get">
+               |<textarea name="query" rows="6" cols="80">SELECT ?s ?p ?o WHERE { ?s ?p ?o } LIMIT 10</textarea><br/>
+               |<input type="hidden" name="format" value="json"/><button type="submit">Run</button>
+               |</form></body></html>""".stripMargin
+          respond(ex, 200, "text/html; charset=utf-8", html)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+      }
+  }
+
   private object NamespaceHandler extends HttpHandler {
     def handle(ex: HttpExchange): Unit =
       try {
@@ -800,18 +1121,30 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
               .orElse(formParam(rawQuery(ex), "name"))
               .getOrElse(sys.error("no name in request"))
             require(name.matches("[A-Za-z0-9_-]+"), s"bad namespace name: $name")
-            val fresh: Tenant = journalDir match {
-              case None => new MemTenant(new AtomicReference(Graft.empty(spark)))
-              case Some(d) =>
-                val sub = Paths.get(d).resolve(name)
-                if (namespaces.containsKey(name) || Files.exists(sub)) {
-                  respond(ex, 409, "text/plain", s"namespace exists: $name"); return
+            // computeIfAbsent decides the winner BEFORE any disk state
+            // is made — no check-then-create window where a racing
+            // loser leaks a freshly created journal directory; a
+            // journal dir already on disk (but unattached) surfaces as
+            // Journal.create's "already exists" → 409 below
+            val createdNew = new java.util.concurrent.atomic.AtomicBoolean(false)
+            try {
+              namespaces.computeIfAbsent(name, { _ =>
+                val t: Tenant = journalDir match {
+                  case None => new MemTenant(new AtomicReference(Graft.empty(spark)))
+                  case Some(d) =>
+                    val sub = Paths.get(d).resolve(name)
+                    new DurableTenant(Repository.create(spark, sub.toString), sub)
                 }
-                new DurableTenant(Repository.create(spark, sub.toString), sub)
+                createdNew.set(true)
+                t
+              })
+              if (createdNew.get) respond(ex, 201, "text/plain", s"created: $name")
+              else respond(ex, 409, "text/plain", s"namespace exists: $name")
+            } catch {
+              case e: IllegalArgumentException
+                if e.getMessage != null && e.getMessage.contains("already exists") =>
+                respond(ex, 409, "text/plain", s"namespace exists: $name")
             }
-            if (namespaces.putIfAbsent(name, fresh) != null)
-              respond(ex, 409, "text/plain", s"namespace exists: $name")
-            else respond(ex, 201, "text/plain", s"created: $name")
           case (List(ns), "DELETE") =>
             // the default namespace backs the bare /sparql alias — the
             // reference's MultiTenancyServlet protects its default KB
@@ -830,6 +1163,8 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
               case List("sparql")           => handleQuery(ex, ns)
               case List("sparql", "update") => handleUpdate(ex, ns)
               case List("rdf-graphs")       => handleGraphStore(ex, ns)
+              case List("dataloader")       => handleDataLoader(ex, ns)
+              case List("blueprints")       => handleBlueprints(ex, ns)
               case List("properties")       =>
                 // MultiTenancyServlet's properties document, as the
                 // reference's java.util.Properties XML format
@@ -861,8 +1196,14 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     (ex: HttpExchange) => handleQuery(ex, defaultNamespace))
   server.createContext("/rdf-graphs",
     (ex: HttpExchange) => handleGraphStore(ex, defaultNamespace))
+  server.createContext("/dataloader",
+    (ex: HttpExchange) => handleDataLoader(ex, defaultNamespace))
+  server.createContext("/blueprints",
+    (ex: HttpExchange) => handleBlueprints(ex, defaultNamespace))
   server.createContext("/namespace", NamespaceHandler)
   server.createContext("/status", StatusHandler)
+  server.createContext("/tx", TxHandler)
+  server.createContext("/", IndexHandler)
 
   def start(): this.type = { server.start(); this }
   def stop(): Unit = server.stop(0)

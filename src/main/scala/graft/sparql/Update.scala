@@ -228,14 +228,31 @@ object Update {
     * commit, a row op1 deletes and op2 re-inserts rides the
     * within-commit add-outranks-delete rule. All delta-sized joins. */
   def quadsDeltaSeq(store: graft.rdf.QuadStore, ops: Seq[UpdateOp],
-                    defaultGraph: String = "g:default"): (DataFrame, DataFrame) = {
+                    defaultGraph: String = "g:default"): (DataFrame, DataFrame) =
+    quadsDeltaMixed(store, Seq(Left(ops)), defaultGraph)
+
+  /** [[quadsDeltaSeq]] over a MIXED sequence of parsed update requests
+    * and pre-parsed quad batches — the multi-request write-transaction
+    * fold (TxServlet analog): each staged request applies in arrival
+    * order under the same cancellation law, and the whole tx lands as
+    * ONE commit's (adds, dels). A `Right(quads)` batch is an
+    * insert-only step (REST data POST staged into a tx). */
+  def quadsDeltaMixed(store: graft.rdf.QuadStore,
+                      items: Seq[Either[Seq[UpdateOp], DataFrame]],
+                      defaultGraph: String = "g:default"): (DataFrame, DataFrame) = {
     val cols = Seq("s", "p", "o", "g")
     val nothing = store.quads.limit(0)
-    ops.foldLeft((store, nothing, nothing)) { case ((st, accA, accD), op) =>
-      val (a, d) = quadsDelta(st, op, defaultGraph)
-      (applyQuads(st, op, defaultGraph),
-        accA.join(d, cols, "left_anti").unionAll(a),
-        accD.unionAll(d))
+    items.foldLeft((store, nothing, nothing)) {
+      case ((st, accA, accD), Left(ops)) =>
+        ops.foldLeft((st, accA, accD)) { case ((s2, a2, d2), op) =>
+          val (a, d) = quadsDelta(s2, op, defaultGraph)
+          (applyQuads(s2, op, defaultGraph),
+            a2.join(d, cols, "left_anti").unionAll(a),
+            d2.unionAll(d))
+        }
+      case ((st, accA, accD), Right(q)) =>
+        val qq = q.select(cols.head, cols.tail: _*)
+        (st.insertQuads(qq), accA.unionAll(qq), accD)
     } match { case (_, a, d) => (a, d) }
   }
 

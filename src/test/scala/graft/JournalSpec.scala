@@ -186,6 +186,49 @@ class JournalSpec extends AnyFunSuite {
     assert(snap.filter(org.apache.spark.sql.functions.col("g") === "g:extra").count() == 1)
   }
 
+  test("segments are graph-partitioned: a graph-bound read prunes to one partition") {
+    val j = Journal.create(spark, tmp())
+    j.append(quads(("a", "p", "1", "g1"), ("b", "p", "2", "g2"), ("c", "p", "3", "g3")))
+    j.compact()
+    val df = j.snapshot().filter($"g" === "g1")
+    assert(rowsOf(df) == Set(("a", "p", "1", "g1")))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: ["), s"no partition pruning in:\n$scan")
+    val pf = "(?s).*PartitionFilters: \\[([^\\]]*)\\].*".r
+      .replaceAllIn(scan, m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
+    assert(pf.contains("g"), s"partition filter should carry g, got: $pf")
+  }
+
+  test("appendRaw skips the write-side distinct; snapshot stays set-semantic; footer counts") {
+    val j = Journal.create(spark, tmp())
+    val v = j.appendRaw(quads(
+      ("a", "p", "1", "g1"), ("a", "p", "1", "g1"), ("b", "p", "2", "g2")))
+    // the raw segment keeps the duplicate — the count is a FOOTER read
+    assert(j.segmentRowCount(v).contains(3L))
+    assert(j.segmentRowCount(v, Some("g2")).contains(1L))
+    assert(j.segmentRowCount(v, Some("gX")).contains(0L))
+    // resolution dedups; compaction rewrites the deduped state
+    assert(j.snapshot().count() == 2)
+    val cv = j.compact()
+    assert(j.segmentRowCount(cv).contains(2L))
+  }
+
+  test("a vacuum by ANOTHER handle fails a stale handle's historical read loud") {
+    val dir = tmp()
+    val j = Journal.create(spark, dir)
+    j.append(quads(("a", "p", "1", "g")))
+    j.append(quads(("b", "p", "2", "g")))
+    val stale = Journal.open(spark, dir)
+    assert(stale.snapshot(1).count() == 1) // warm the stale handle's record cache
+    j.compact()
+    j.vacuum()
+    // pre-fix: the cached record resolved version 1 from missing
+    // segments into an EMPTY state; now the refresh drops removed
+    // records and the read fails on "no commit point"
+    intercept[IllegalArgumentException](stale.snapshot(1).collect())
+    assert(stale.snapshot().count() == 2) // the head stays readable
+  }
+
   test("open() reattaches; create() on an existing journal and version races fail loud") {
     val dir = tmp()
     val j = Journal.create(spark, dir)

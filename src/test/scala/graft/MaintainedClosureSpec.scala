@@ -90,6 +90,27 @@ class MaintainedClosureSpec extends AnyFunSuite {
     intercept[IllegalStateException](MaintainedClosure.open(spark, dir, ont))
   }
 
+  test("open() repairs a crash INSIDE the closure journal's own commit (orphan segment)") {
+    import graft.rdf.Journal
+    import org.apache.spark.sql.functions.lit
+    val dir = tmp()
+    val tm = MaintainedClosure.create(spark, dir, ont)
+    tm.assertTriples(Seq(("x", "type", "A")).toDF("s", "p", "o"))
+    def withG(df: DataFrame) = df.withColumn("g", lit("g:closure"))
+    // crash window sub-case: base advanced to v2, and the closure
+    // commit DIED after writing its c2 adds segment but before
+    // publishing its record — recovery must clear the orphan instead
+    // of wedging on errorifexists
+    Journal.open(spark, s"$dir/base")
+      .append(withG(Seq(("z", "type", "B")).toDF("s", "p", "o")))
+    withG(Seq(("z", "type", "B")).toDF("s", "p", "o"))
+      .write.partitionBy("g").parquet(s"$dir/closed/segments/c2-adds.parquet")
+    val tm2 = MaintainedClosure.open(spark, dir, ont)
+    assert(tm2.version == 2)
+    assert(sameSet(tm2.closure(), Rdfs.closure(tm2.base(), ont)))
+    assert(rowsOf(tm2.closure()).contains(("z", "type", "C")))
+  }
+
   test("open() reattaches; compact seals both journals in step") {
     val dir = tmp()
     val tm = MaintainedClosure.create(spark, dir, ont)

@@ -310,6 +310,189 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("form-encoded POST query= runs the query (SPARQL 1.1 URL-encoded POST binding)") {
+    val srv = new SparqlServer(Graft.empty(spark)).start()
+    try {
+      val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+      assert(post(srv.address + "/sparql",
+        "update=" + enc("""INSERT DATA { x:f1 note "a" . x:f2 note "b" }"""),
+        "application/x-www-form-urlencoded").statusCode() == 204)
+      // the regression: dispatch used to drain the one-shot body
+      // checking for query=, then re-read it and 400 on every form query
+      val r = post(srv.address + "/sparql",
+        "query=" + enc("SELECT ?s WHERE { ?s note ?o }"),
+        "application/x-www-form-urlencoded")
+      assert(r.statusCode() == 200, r.body())
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, r.body()).count() == 2)
+    } finally srv.stop()
+  }
+
+  test("protocol NT-term parameters accept literals with raw newlines") {
+    val srv = new SparqlServer(Graft.empty(spark)).start()
+    try {
+      assert(post(srv.address + "/sparql",
+        "<urn:graft:x:m> <urn:graft:note> \"line1\\nline2\" .",
+        "application/n-triples").statusCode() == 200)
+      val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+      // the decoded o= carries a RAW newline — (?s) keeps it a literal
+      val est = send(req(srv.address + "/sparql?ESTCARD&o=" +
+        enc("\"line1\nline2\"")).GET())
+      assert(est.statusCode() == 200 && est.body().contains("""rangeCount="1""""),
+        est.body())
+    } finally srv.stop()
+  }
+
+  test("concurrent-safe namespace creation: duplicate create is 409, no leaked dir") {
+    val dir = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), dir).start()
+    try {
+      val mk = () => post(srv.address + "/namespace", "name=dup",
+        "application/x-www-form-urlencoded")
+      assert(mk().statusCode() == 201)
+      assert(mk().statusCode() == 409)
+      // an orphan journal dir on disk (unattached) is a 409 too, not a 400
+      val orphan = java.nio.file.Paths.get(dir, "orphan")
+      graft.rdf.Repository.create(spark, orphan.toString)
+      srv.stop()
+      val srv2 = SparqlServer.durable(Graft.empty(spark), dir).start()
+      try {
+        // reattach picked it up — creating over it reports exists
+        assert(post(srv2.address + "/namespace", "name=orphan",
+          "application/x-www-form-urlencoded").statusCode() == 409)
+        assert(post(srv2.address + "/namespace", "name=dup",
+          "application/x-www-form-urlencoded").statusCode() == 409)
+      } finally srv2.stop()
+    } finally scala.util.Try(srv.stop())
+  }
+
+  test("REST bulk load: a directory glob lands as ONE commit; ESTCARD answers from metadata") {
+    val data = java.nio.file.Files.createTempDirectory("graft_dl")
+    java.nio.file.Files.writeString(data.resolve("a.nt"),
+      "<urn:graft:d:1> <urn:graft:label> \"one\" .\n" +
+      "<urn:graft:d:2> <urn:graft:label> \"two\" .\n")
+    java.nio.file.Files.writeString(data.resolve("b.nt"),
+      "<urn:graft:d:3> <urn:graft:label> \"three\" .\n")
+    val srv = SparqlServer.durable(Graft.empty(spark), tmp()).start()
+    try {
+      // one glob line -> one commit; count from segment footers
+      val r = post(srv.address + "/dataloader", s"# batch 1\n$data/*.nt\n", "text/plain")
+      assert(r.statusCode() == 200 && r.body().contains("""modified="3""""), r.body())
+      val q = post(srv.address + "/sparql",
+        "SELECT ?s WHERE { ?s <urn:graft:label> ?l }", "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, q.body()).count() == 3)
+      // non-file schemes are refused loudly
+      assert(post(srv.address + "/dataloader", "https://example.com/x.nt",
+        "text/plain").statusCode() == 400)
+      // the dataloader compacted the head: unbound ESTCARD is a
+      // metadata read (no Spark job), marked fastpath="metadata"
+      val est = send(req(srv.address + "/sparql?ESTCARD").GET())
+      assert(est.body().contains("""rangeCount="3"""") &&
+        est.body().contains("""fastpath="metadata""""), est.body())
+      // graph-bound ESTCARD prunes to one partition directory
+      val estg = send(req(srv.address + "/sparql?ESTCARD&c=" +
+        java.net.URLEncoder.encode("<urn:graft:g:default>", "UTF-8")).GET())
+      assert(estg.body().contains("""rangeCount="3"""") &&
+        estg.body().contains("""fastpath="metadata""""), estg.body())
+      val estg0 = send(req(srv.address + "/sparql?ESTCARD&c=" +
+        java.net.URLEncoder.encode("<urn:graft:g:none>", "UTF-8")).GET())
+      assert(estg0.body().contains("""rangeCount="0""""), estg0.body())
+      // a bound s/p/o term still runs the exact pruned count
+      val ests = send(req(srv.address + "/sparql?ESTCARD&s=" +
+        java.net.URLEncoder.encode("<urn:graft:d:1>", "UTF-8")).GET())
+      assert(ests.body().contains("""rangeCount="1"""") &&
+        !ests.body().contains("fastpath"), ests.body())
+    } finally srv.stop()
+  }
+
+  test("multi-request write tx: staged invisibly, commits atomically, abort/conflict loud") {
+    val srv = SparqlServer.durable(Graft.empty(spark), tmp()).start()
+    try {
+      val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+      def begin() = {
+        val r = post(srv.address + "/tx", "", "text/plain")
+        assert(r.statusCode() == 201, r.body())
+        "txId=\"([0-9a-f-]+)\"".r.findFirstMatchIn(r.body()).get.group(1)
+      }
+      def count() = {
+        val r = post(srv.address + "/sparql",
+          "SELECT ?s WHERE { ?s <urn:graft:note> ?o }", "application/sparql-query")
+        graft.sparql.RemoteService.parseJsonResults(spark, r.body()).count()
+      }
+      val tx = begin()
+      // two requests stage: an update and an RDF-body data POST
+      assert(post(srv.address + s"/sparql/update?tx=$tx",
+        """INSERT DATA { x:t1 note "a" }""", "application/sparql-update")
+        .statusCode() == 204)
+      val ins = post(srv.address + s"/sparql?tx=$tx",
+        "<urn:graft:x:t2> <urn:graft:note> \"b\" .", "application/n-triples")
+      assert(ins.statusCode() == 200 && ins.body().contains("""staged="true""""))
+      assert(count() == 0, "staged writes must be invisible before commit")
+      // commit lands BOTH as one commit point
+      val c = post(srv.address + s"/tx/$tx/commit", "", "text/plain")
+      assert(c.statusCode() == 200 && c.body().contains("committed="), c.body())
+      assert(count() == 2)
+      // abort leaves no trace
+      val tx2 = begin()
+      assert(post(srv.address + s"/sparql/update?tx=$tx2",
+        """INSERT DATA { x:t3 note "c" }""", "application/sparql-update")
+        .statusCode() == 204)
+      assert(post(srv.address + s"/tx/$tx2/abort", "", "text/plain").statusCode() == 200)
+      assert(count() == 2)
+      assert(post(srv.address + s"/tx/$tx2/commit", "", "text/plain").statusCode() == 404)
+      // first-committer-wins: two concurrent txs, the loser is a 409
+      val txA = begin(); val txB = begin()
+      assert(post(srv.address + s"/sparql/update?tx=$txA",
+        """INSERT DATA { x:t4 note "d" }""", "application/sparql-update")
+        .statusCode() == 204)
+      assert(post(srv.address + s"/sparql/update?tx=$txB",
+        """INSERT DATA { x:t5 note "e" }""", "application/sparql-update")
+        .statusCode() == 204)
+      assert(post(srv.address + s"/tx/$txA/commit", "", "text/plain").statusCode() == 200)
+      assert(post(srv.address + s"/tx/$txB/commit", "", "text/plain").statusCode() == 409)
+      assert(count() == 3)
+      // staging into an unknown tx is loud
+      assert(post(srv.address + "/sparql/update?tx=nope",
+        """INSERT DATA { x:t6 note "f" }""", "application/sparql-update")
+        .statusCode() == 400)
+    } finally srv.stop()
+  }
+
+  test("blueprints REST: mutate over HTTP, traverse back; workbench index serves HTML") {
+    val srv = new SparqlServer(Graft.empty(spark)).start()
+    try {
+      val form = "application/x-www-form-urlencoded"
+      def bp(body: String) = post(srv.address + "/blueprints", body, form)
+      assert(bp("op=addVertex&id=v:alice&label=Person").statusCode() == 204)
+      assert(bp("op=addVertex&id=v:bob&label=Person").statusCode() == 204)
+      assert(bp("op=addEdge&out=v:alice&label=knows&in=v:bob").statusCode() == 204)
+      assert(bp("op=setProperty&id=v:alice&key=name&value=Alice").statusCode() == 204)
+      assert(bp("op=setProperty&id=v:alice&key=name&value=Alice+B").statusCode() == 204)
+      // single-valued set: the second set REPLACED the first
+      val v = send(req(srv.address + "/blueprints?vertex=" +
+        java.net.URLEncoder.encode("v:alice", "UTF-8")).GET())
+      assert(v.statusCode() == 200, v.body())
+      assert(v.body().contains("knows") && v.body().contains("Alice B") &&
+        !v.body().contains("\"Alice\""), v.body())
+      // traverse through SPARQL too (same statements)
+      val q = post(srv.address + "/sparql",
+        "SELECT ?x WHERE { <urn:graft:v:alice> <urn:graft:knows> ?x }",
+        "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, q.body())
+        .collect().map(_.getString(0)).toSeq == Seq("v:bob"))
+      // removeVertex drops the vertex AND incident edges
+      assert(bp("op=removeVertex&id=v:bob").statusCode() == 204)
+      val q2 = post(srv.address + "/sparql",
+        "SELECT ?x WHERE { ?s <urn:graft:knows> ?x }", "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, q2.body()).count() == 0)
+      assert(bp("op=unknown&id=v").statusCode() == 400)
+      // workbench index: HTML naming each namespace's endpoint
+      val idx = send(req(srv.address + "/").GET())
+      assert(idx.statusCode() == 200 && idx.body().contains("<html") &&
+        idx.body().contains("/namespace/kb/sparql"), idx.body().take(200))
+      assert(send(req(srv.address + "/nothing-here").GET()).statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("durable namespaces auto-compact: steady REST writes keep resolution bounded") {
     val dir = tmp()
     val srv = SparqlServer.durable(Graft.empty(spark), dir, autoCompactEvery = 4).start()

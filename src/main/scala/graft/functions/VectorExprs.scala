@@ -245,6 +245,118 @@ case class LshBucket(child: Expression, numBits: Int, planeOffset: Int = 0)
   override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
 }
 
+/** |A ∩ B| of two SORTED duplicate-free string arrays by linear
+  * merge. `array_intersect` builds a fresh hash set PER CALL — at
+  * millions of enumerated candidate pairs inside a banded near-dup
+  * join that allocation is the entire query cost (measured: the
+  * round-8 inline-verify restructure spent ~90% of its CPU in
+  * SQLOpenHashSet.<init>); the merge does one binary UTF8 comparison
+  * per element with zero allocation. Caller contract: both inputs
+  * ascending in UTF8 BINARY order with no duplicates —
+  * [[graft.pipeline.Dedup.shingleSets]] emits exactly that (shingles
+  * are ASCII by construction, so Java and UTF8 byte orders agree). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"sorted_intersect_count needs array<string> inputs, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      // binaryCompare, NOT compareTo: Spark 4's compareTo routes
+      // through an isTesting() guard that reads System.getenv PER
+      // CALL — measured as the whole join's cost at millions of
+      // comparisons/s across 32 threads
+      val cmp = x.getUTF8String(i).binaryCompare(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $cmp = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
+/** |A ∩ B| of two SORTED duplicate-free long arrays — the primitive
+  * twin of [[SortedIntersectCount]] and the verify kernel the banded
+  * near-dup join actually uses: element access is a direct memory
+  * read (`getLong`), so the merge allocates NOTHING per pair, where
+  * even the string merge pays one UTF8String wrapper per element
+  * (~10¹⁰ allocations at sf1's enumerated-pair counts, measured as
+  * GC-bound). Callers pre-hash string sets with xxhash64 — a 64-bit
+  * collision inside a ~10²-element set (≈10⁻¹⁶ per pair) is the
+  * accepted error bound. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"sorted_long_intersect_count needs array<bigint> inputs, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersectCount =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   def float_dot(a: Column, b: Column): Column =
     Shim.column(FloatDot(Shim.expression(a), Shim.expression(b)))
@@ -257,4 +369,10 @@ object VectorExprs {
 
   def lsh_bucket(emb: Column, numBits: Int, planeOffset: Int = 0): Column =
     Shim.column(LshBucket(Shim.expression(emb), numBits, planeOffset))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Shim.column(SortedIntersectCount(Shim.expression(a), Shim.expression(b)))
+
+  def sorted_long_intersect_count(a: Column, b: Column): Column =
+    Shim.column(SortedLongIntersectCount(Shim.expression(a), Shim.expression(b)))
 }

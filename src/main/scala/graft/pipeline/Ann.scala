@@ -91,26 +91,44 @@ object Ann {
     * PipelineSpec). */
   def cosinePairs(vectors: DataFrame, minSim: Double,
                   numBits: Int = 4, tables: Int = 32): DataFrame = {
-    val v = vectors.select(col("vec_id"), col("embedding"))
-    val keyed = v.select(col("vec_id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"), lshBucket(col("embedding"), numBits, t).as("bkt"))): _*))
-        .as("k"))
-      .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
-    val candidates = keyed.alias("x").join(keyed.alias("y"),
+    // Verification is INLINE in the bucket join (the minhashLsh
+    // restructure, same reason): banding rows carry (embedding, norm),
+    // the exact cosine evaluates as the join's post-condition, and
+    // only verified pairs leave the join — the shuffle is
+    // |vectors|·tables rows, never the bucket-local pair space. The
+    // round-8 sf1 run measured the old candidates→distinct→re-join
+    // shape at ~4×10⁸ shuffled candidate rows for 19k true pairs
+    // (16 coarse buckets × clustered embeddings); enumerating those
+    // pairs inside codegen instead turns three quadratic shuffles
+    // into one linear one. Same pairs, same cos_sim values.
+    val keyed = vectors.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"), lshBucket(col("embedding"), numBits, t).as("bkt"))): _*))
+          .as("k"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
+    // SHUFFLE_MERGE pinned, like minhashLsh: broadcast would collapse
+    // the enumeration onto the scan's few partitions; the high-fanout
+    // repartition on the join key spreads the bucket-local pair
+    // enumeration (the skew unit) across 8× the default partitions
+    val parts = vectors.sparkSession.sparkContext.defaultParallelism * 8
+    def side(n: String) = keyed.repartition(parts, col("tbl"), col("bkt")).alias(n)
+    side("x").hint("SHUFFLE_MERGE").join(side("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        (dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm"))).as("raw"))
+      // filter RAW first (exactly the oracle's WHERE), round only
+      // survivors: Spark's round(_, 6) allocates a BigDecimal via
+      // Double.toString per call — measured as ~10µs/pair, the whole
+      // join cost at 10⁸ enumerated pairs
+      .filter(col("raw") >= minSim)
+      .select(col("a"), col("b"), round(col("raw"), 6).as("cos_sim"))
+      // distinct LAST: k-table collisions of a verified pair emit k
+      // identical rows — |result|-sized, not |candidates|-sized
       .distinct()
-    val withVecs = candidates
-      .join(v.select(col("vec_id").as("a"), col("embedding").as("ea"),
-        norm(col("embedding")).as("na")), "a")
-      .join(v.select(col("vec_id").as("b"), col("embedding").as("eb"),
-        norm(col("embedding")).as("nb")), "b")
-    withVecs
-      .select(col("a"), col("b"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= minSim)
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to

@@ -35,7 +35,10 @@ object Dedup {
       .map { case (id, text) =>
         val toks = text.toLowerCase(java.util.Locale.ROOT)
           .split("[^a-z0-9]+").filter(_.nonEmpty)
-        (id, toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toArray.distinct)
+        // sorted: the banded verify joins count intersections with the
+        // zero-allocation sorted-merge kernel (shingles are ASCII, so
+        // Java's sort order IS UTF8 binary order — the kernel contract)
+        (id, toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toArray.distinct.sorted)
       }
       .toDF("doc_id", "shingles")
       .filter(size(col("shingles")) > 0)
@@ -124,36 +127,76 @@ object Dedup {
     graft.functions.VectorExprs.minhash_sig(shingles, numHashes)
 
   /** MinHash + LSH banding (bandRows rows per band) → candidate pairs →
-    * exact-Jaccard verification ≥ minJ. With 64 hashes / 32 bands of 2,
-    * P(miss) at J=0.9 is (1-0.81)^32 ≈ 1e-23. */
+    * exact-Jaccard verification ≥ minJ. Defaults: 128 hashes in 32
+    * bands of 4 — at J=0.8 a true pair misses every band with
+    * P=(1−0.8⁴)^32 ≈ 5·10⁻⁸, while a background pair at J≈0.3 collides
+    * per band with J⁴≈0.8% instead of J²≈9%: the round-8 sf1 run
+    * measured template corpora hold thousands of moderate-J docs per
+    * 2-row band bucket, and that noise enumeration (not the true
+    * pairs) was the whole cost — 4-row bands cut it ~11× for the same
+    * band count and shuffle size.
+    *
+    * Verification is INLINE in the band join: the banding rows carry
+    * the shingle set, and exact Jaccard evaluates as the join's
+    * post-condition — candidate pairs are enumerated inside the
+    * sort-merge join's codegen and NEVER shuffled or materialized.
+    * The round-8 sf1 evidence run measured why this matters: on a
+    * template-heavy corpus, band buckets hold O(family) docs, so
+    * candidates run 30 000× the true-pair count (79M candidates /
+    * 2 560 pairs at 50k docs) — the old candidates→distinct→re-join
+    * shape shuffled that 79M twice with shingle-array payloads,
+    * while this shape shuffles |docs|·bands rows once and emits only
+    * verified pairs. Same pairs, same Jaccard values, same recall. */
   def minhashLsh(docs: DataFrame, minJ: Double,
-                 numHashes: Int = 64, bandRows: Int = 2): DataFrame = {
+                 numHashes: Int = 128, bandRows: Int = 4): DataFrame = {
     val numBands = numHashes / bandRows
-    // the shingle typed-map is the expensive corpus pass and feeds THREE
-    // consumers (signature build + both verify-join sides) — materialize
-    // once, same trade as ngramJaccard above
+    // the shingle typed-map is the expensive corpus pass — materialize
+    // once; the banding (the join's only shuffle) reads it once per side.
+    // The verify payload is the SORTED xxhash64 of each shingle, not
+    // the strings: the merge kernel then reads primitive longs (zero
+    // allocation per pair) and the banded rows shuffle ~2× smaller
     val sets = shingleSets(docs).localCheckpoint()
-    val sigs = sets.select(col("doc_id"), col("shingles"),
+    val sigs = sets.select(col("doc_id"),
+      sort_array(transform(col("shingles"), s => xxhash64(s))).as("hs"),
+      size(col("shingles")).as("sz"),
       minhashSignature(col("shingles"), numHashes).as("sig"))
     // band key = hash of the band's signature slice + band index
-    val banded = sigs.select(col("doc_id"),
+    val banded = sigs.select(col("doc_id"), col("hs"), col("sz"),
         explode(transform(sequence(lit(0), lit(numBands - 1)),
           b => xxhash64(b, slice(col("sig"), b * bandRows + 1, lit(bandRows)).cast("string"))))
           .as("band_key"))
-    val candidates = banded.alias("x").join(banded.alias("y"),
+    // SHUFFLE_MERGE pinned: a broadcast of the banded side would
+    // inherit the SCAN's partitioning for the enumeration (measured:
+    // one task burning the whole pair space); the shuffle join
+    // repartitions both sides on band_key across the cluster — which
+    // is also the only strategy that exists at 100 TB. The explicit
+    // high-fanout repartition satisfies the join's distribution
+    // requirement directly, so enumeration-heavy buckets spread over
+    // 8× the default partitions (within-group work is the skew unit)
+    val parts = docs.sparkSession.sparkContext.defaultParallelism * 8
+    def side(n: String) = banded.repartition(parts, col("band_key")).alias(n)
+    side("x").hint("SHUFFLE_MERGE").join(side("y"),
         col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    // verify candidates with exact Jaccard on the shingle sets
-    val withSets = candidates
-      .join(sets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
-    withSets
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
-      .withColumn("jaccard",
-        round(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        graft.functions.VectorExprs
+          .sorted_long_intersect_count(col("x.hs"), col("y.hs"))
+          .cast("double").as("inter"),
+        col("x.sz").as("sa"), col("y.sz").as("sb"))
+      .withColumn("raw", col("inter") / (col("sa") + col("sb") - col("inter")))
+      // the RAW prefilter runs per enumerated pair; round(_, 6) runs
+      // only on survivors — Spark's ROUND allocates a BigDecimal via
+      // Double.toString per call (measured: the dominant per-pair
+      // cost at 10⁸ enumerated pairs). The 1e-6 slack admits every
+      // value that could round up past minJ, and the exact
+      // filter-on-rounded below keeps the oracle's semantics
+      .filter(col("raw") >= minJ - 1e-6)
+      .withColumn("jaccard", round(col("raw"), 6))
       .filter(col("jaccard") >= minJ)
+      // distinct LAST, on verified rows only: a pair colliding in k
+      // bands emits k identical rows — |result|·k is tiny, while the
+      // old pre-verify distinct shuffled the full candidate space
       .select("a", "b", "jaccard")
+      .distinct()
   }
 
   /** 64-bit SimHash over the doc's distinct word-3-gram SHINGLES —

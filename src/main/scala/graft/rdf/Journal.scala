@@ -379,6 +379,29 @@ final class Journal private (spark: SparkSession, dir: Path) {
         out.result()
       })
 
+  /** Copy this journal's state to `target` (must not exist) — the
+    * online-backup primitive (BackupServlet.java:62 snapshots the
+    * reference's journal over HTTP the same way). Segments copy
+    * BEFORE commit records: every record landed in the backup has its
+    * manifested segments already there, so a record published DURING
+    * an unquiesced copy at worst goes missing from the backup (the
+    * backup is the pre-copy state), never resolves wrong — and the
+    * server endpoint holds the namespace write lock anyway. All
+    * files are immutable once published, so a plain copy is a
+    * consistent snapshot. */
+  def backupTo(target: Path): Unit = {
+    require(!Files.exists(target), s"backup target already exists: $target")
+    def copyTree(from: Path, to: Path): Unit = {
+      if (Files.isDirectory(from)) {
+        Files.createDirectories(to)
+        Journal.listDir(from).foreach(c => copyTree(c, to.resolve(c.getFileName)))
+      } else Files.copy(from, to)
+    }
+    Files.createDirectories(target)
+    copyTree(dir.resolve("segments"), target.resolve("segments"))
+    copyTree(dir.resolve("commits"), target.resolve("commits"))
+  }
+
   /** Remove segment files of an UNPUBLISHED version — crash-repair
     * support ([[graft.inference.MaintainedClosure]]): a crash between
     * a segment write and its record publish leaves orphan files that

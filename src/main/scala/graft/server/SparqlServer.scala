@@ -136,6 +136,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       * (first-committer-wins, whole-store granularity). */
     def commitStaged(items: Seq[Either[String, DataFrame]],
                      expectVersion: Long): Long
+    /** Online backup: snapshot the namespace's journal to a
+      * server-visible directory while holding the write lock
+      * (quiesced); durable namespaces only. Returns the backed-up
+      * version. */
+    def backup(target: Path): Long =
+      sys.error("backup needs a journal-backed namespace")
     def destroy(): Unit
   }
 
@@ -265,6 +271,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         case None => if (graph.isEmpty) Some(0L) else None
       }
     }
+    override def backup(target: Path): Long = synchronized {
+      // under the tenant write lock: no commit can land mid-copy, so
+      // the snapshot is exactly the current version
+      repo.journal.backupTo(target)
+      repo.version
+    }
     def commitStaged(items: Seq[Either[String, DataFrame]],
                      expectVersion: Long): Long = synchronized {
       if (repo.version != expectVersion)
@@ -360,15 +372,29 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   private val running = new ConcurrentHashMap[String, Running]()
   private val served = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Completed-operation stats ring (CountersServlet analog-lite):
+    * the last [[HistoryCap]] operations with their wall times, the
+    * per-query history document `/counters` serves. Deeper metrics
+    * (task/shuffle/IO) are the Spark UI's job — deliberately not
+    * re-implemented here. */
+  private final case class Done(ns: String, op: String, elapsedMs: Long,
+                                endedMs: Long)
+  private val HistoryCap = 200
+  private val history = new java.util.concurrent.ConcurrentLinkedDeque[Done]()
+
   /** Run `body`'s Spark jobs inside a cancellable job group: a
     * `cancelQuery` on the UUID interrupts them cluster-wide. */
   private def inJobGroup[T](ns: String, q: String)(body: => T): T = {
     val id = java.util.UUID.randomUUID().toString
-    running.put(id, Running(id, ns, q, System.currentTimeMillis()))
+    val t0 = System.currentTimeMillis()
+    running.put(id, Running(id, ns, q, t0))
     spark.sparkContext.setJobGroup(id, s"sparql:$ns", interruptOnCancel = true)
     try body
     finally {
       spark.sparkContext.clearJobGroup(); running.remove(id); served.incrementAndGet()
+      val now = System.currentTimeMillis()
+      history.addFirst(Done(ns, q.replace('\n', ' ').take(120), now - t0, now))
+      while (history.size > HistoryCap) history.pollLast()
     }
   }
 
@@ -950,6 +976,54 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       }
   }
 
+  /** `POST /backup?target=<dir>` (bare + namespace-scoped) — online
+    * journal snapshot (BackupServlet.java:62 analog): copies the
+    * namespace's commit log + segments to a server-visible directory
+    * under the namespace WRITE LOCK (quiesced — no commit lands
+    * mid-copy), so the copy is itself an openable journal
+    * (`Repository.open`/`SparqlServer.durable` reattach it as-is).
+    * Durable namespaces only; non-file targets refused. */
+  private def handleBackup(ex: HttpExchange, ns: String): Unit =
+    try {
+      require(ex.getRequestMethod == "POST", "backup requires POST")
+      val target = params(rawQuery(ex)).get("target").flatten
+        .getOrElse(sys.error("backup needs ?target=<server-visible-dir>"))
+      require(!target.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") || target.startsWith("file:"),
+        s"only file: backup targets are supported, got $target")
+      val v = tenant(ns).backup(Paths.get(target.stripPrefix("file://")))
+      respond(ex, 200, "application/xml",
+        s"""<?xml version="1.0"?><data backup="${target.replace("&", "&amp;").replace("\"", "&quot;")}" version="$v"/>""")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+    }
+
+  /** `GET /counters` — performance-counters document (CountersServlet
+    * analog-lite): served/running totals plus per-namespace
+    * aggregates and the recent-operation history ring. Deep
+    * executor/shuffle/IO metrics are deliberately NOT re-implemented
+    * — that is the Spark UI's job (the declared non-goal split). */
+  private object CountersHandler extends HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      try {
+        def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+          .replace(">", "&gt;").replace("\"", "&quot;")
+        val h = history.iterator().asScala.toSeq
+        val byNs = h.groupBy(_.ns).toSeq.sortBy(_._1).map { case (n, ds) =>
+          val avg = ds.map(_.elapsedMs).sum / ds.size
+          s"""<namespace name="${esc(n)}" ops="${ds.size}" avgMs="$avg" maxMs="${ds.map(_.elapsedMs).max}"/>"""
+        }.mkString
+        val recent = h.take(20).map { d =>
+          s"""<op ns="${esc(d.ns)}" ms="${d.elapsedMs}">${esc(d.op)}</op>"""
+        }.mkString
+        respond(ex, 200, "application/xml",
+          s"""<?xml version="1.0"?><counters served="${served.get()}" running="${running.size}">$byNs<recent>$recent</recent></counters>""")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+      }
+  }
+
   /** Multi-request write transactions, minimal form (TxServlet.java:71
     * analog): `POST /tx` begins one (`?ns=` scopes it; default
     * namespace otherwise) and returns its id; requests carrying
@@ -1165,6 +1239,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
               case List("rdf-graphs")       => handleGraphStore(ex, ns)
               case List("dataloader")       => handleDataLoader(ex, ns)
               case List("blueprints")       => handleBlueprints(ex, ns)
+              case List("backup")           => handleBackup(ex, ns)
               case List("properties")       =>
                 // MultiTenancyServlet's properties document, as the
                 // reference's java.util.Properties XML format
@@ -1200,8 +1275,11 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     (ex: HttpExchange) => handleDataLoader(ex, defaultNamespace))
   server.createContext("/blueprints",
     (ex: HttpExchange) => handleBlueprints(ex, defaultNamespace))
+  server.createContext("/backup",
+    (ex: HttpExchange) => handleBackup(ex, defaultNamespace))
   server.createContext("/namespace", NamespaceHandler)
   server.createContext("/status", StatusHandler)
+  server.createContext("/counters", CountersHandler)
   server.createContext("/tx", TxHandler)
   server.createContext("/", IndexHandler)
 

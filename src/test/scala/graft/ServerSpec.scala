@@ -493,6 +493,43 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("online backup snapshots the journal; /counters serves operation history") {
+    val srv = SparqlServer.durable(Graft.empty(spark), tmp()).start()
+    try {
+      assert(post(srv.address + "/sparql/update",
+        """INSERT DATA { x:b1 note "a" . x:b2 note "b" }""",
+        "application/sparql-update").statusCode() == 204)
+      val target = tmp() + "/snap"
+      val r = post(srv.address + "/backup?target=" +
+        java.net.URLEncoder.encode(target, "UTF-8"), "", "text/plain")
+      assert(r.statusCode() == 200 && r.body().contains("version="), r.body())
+      // the copy is itself an openable repository with the same state
+      val back = graft.rdf.Repository.open(spark, target)
+      assert(back.connection().query("SELECT ?s WHERE { ?s note ?o }").count() == 2)
+      // the live server keeps serving and mutating after the backup
+      assert(post(srv.address + "/sparql/update",
+        """INSERT DATA { x:b3 note "c" }""",
+        "application/sparql-update").statusCode() == 204)
+      // ...without touching the snapshot
+      assert(back.connection().query("SELECT ?s WHERE { ?s note ?o }").count() == 2)
+      // an existing target is refused loudly
+      assert(post(srv.address + "/backup?target=" +
+        java.net.URLEncoder.encode(target, "UTF-8"), "", "text/plain")
+        .statusCode() == 400)
+      // a remote scheme is refused loudly
+      assert(post(srv.address + "/backup?target=" +
+        java.net.URLEncoder.encode("s3://bucket/x", "UTF-8"), "", "text/plain")
+        .statusCode() == 400)
+      // counters: a query lands in the history ring with its namespace
+      assert(post(srv.address + "/sparql", "ASK { x:b1 note ?o }",
+        "application/sparql-query").statusCode() == 200)
+      val c = send(req(srv.address + "/counters").GET())
+      assert(c.statusCode() == 200 && c.body().contains("served=") &&
+        c.body().contains("""<namespace name="kb"""") &&
+        c.body().contains("<recent>"), c.body())
+    } finally srv.stop()
+  }
+
   test("durable namespaces auto-compact: steady REST writes keep resolution bounded") {
     val dir = tmp()
     val srv = SparqlServer.durable(Graft.empty(spark), dir, autoCompactEvery = 4).start()

@@ -182,6 +182,62 @@ object Ann {
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Topic clustering of an embedding corpus: one Lloyd iteration of
+    * k-means from a deterministic seed book (vec_id % centroidMod == 0,
+    * the [[ivfTopK]] convention), returning each vector's final
+    * cluster and its cosine to the updated centroid.
+    *
+    * Spark shape, stage by stage — the 100-TB plan:
+    *  1. seed assignment: broadcast seed book, map-side
+    *     `max(struct(csim, c_id))` argmax — one row per vector leaves
+    *     the map, never the K-way fanout;
+    *  2. centroid update: element-wise mean via posexplode →
+    *     groupBy(cluster, dim) — the shuffle carries (cluster, dim,
+    *     partial sum): K·64 reduced rows, with map-side combine doing
+    *     the heavy lifting;
+    *  3. reassignment: broadcast the K updated centroids back over the
+    *     corpus, map-side argmax again.
+    * Nothing ever shuffles the vector pair space; iterating Lloyd
+    * further is this same loop driven to a fixpoint (the GAS iteration
+    * discipline) — one iteration keeps the oracle SQL-expressible.
+    * Tie-breaks (equal cosine) go to the larger cluster id in both
+    * engines. */
+  def kmeansAssign(vectors: DataFrame, centroidMod: Int = 64): DataFrame = {
+    val seeds = broadcast(vectors.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm")))
+    require(!seeds.isEmpty,
+      s"kmeansAssign: no vec_id is a multiple of $centroidMod — no seeds")
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    // 1. seed assignment (map-side argmax over the broadcast book)
+    val assigned = v.crossJoin(seeds)
+      .select(col("vec_id"), col("embedding"),
+        struct((dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm"))).as("csim"), col("c_id")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first("embedding").as("embedding"), max("sc").as("m"))
+      .select(col("vec_id"), col("embedding"), col("m.c_id").as("cluster"))
+    // 2. centroid update: per-dimension mean, re-assembled in dim order
+    val means = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim").agg(avg(col("x").cast("double")).as("mv"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("dm"))
+      .select(col("cluster").as("c_id"),
+        transform(col("dm"), e => e("mv")).as("c_emb"))
+      .select(col("c_id"), col("c_emb"), norm(col("c_emb")).as("c_nrm"))
+    // 3. reassignment against the updated book (the dot kernel takes
+    // float×double directly — codegen, no HOF fallback in the fanout)
+    v.crossJoin(broadcast(means))
+      .select(col("vec_id"),
+        struct((dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm"))).as("csim"), col("c_id")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("m"))
+      .select(col("vec_id"), col("m.c_id").as("cluster"),
+        round(col("m.csim"), 6).as("sim"))
+  }
+
   /** Multi-probe ANN: candidates from `tables` independent LSH tables
     * (union of bucket collisions), exact cosine ranking on the merged
     * candidate set. Recall rises with `tables` at constant per-table

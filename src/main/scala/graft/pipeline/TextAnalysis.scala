@@ -101,6 +101,105 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       polyhash(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("fingerprint"))
 
+  // PII patterns shared with the DuckDB oracle (kept RE2-compatible —
+  // no backrefs/lookaround — so both engines compile them identically)
+  private[pipeline] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[pipeline] val PhoneRe = "\\+[0-9]{7,15}|\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  private[pipeline] val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scan + redaction — the privacy gate of a training-data
+    * pipeline: per-doc counts of emails / phone numbers / IPv4
+    * addresses, and the fingerprint of the REDACTED text (classes
+    * replaced in a fixed order: email → phone → ip, so both engines
+    * see the same intermediate strings when classes overlap). All
+    * regex work is codegen'd `regexp_count`/`regexp_replace` — a
+    * map-only projection that runs at scan speed at 100 TB; the
+    * redacted text itself never shuffles, only its 8-byte
+    * fingerprint. Detection correctness (on text that HAS PII — the
+    * oracle corpus has none) is pinned by PipelineSpec fixtures. */
+  def pii(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      polyhash(redacted).as("redacted_fp"))
+  }
+
+  /** Repetition signals (the Gopher-rules repetition family): fraction
+    * of tokens that are the single most frequent token, and the
+    * duplicate word-2-gram fraction. One typed-map pass per doc (same
+    * rationale as [[langId]]: per-row hash counting beats the
+    * CodegenFallback HOF chain ~40×); docs with zero tokens drop —
+    * they have no repetition to measure. Raw doubles leave the map;
+    * rounding happens in the column layer so both engines round the
+    * identical IEEE value. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
+        val toks = t.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else {
+          val counts = new java.util.HashMap[String, Int]()
+          toks.foreach(w => counts.merge(w, 1, Integer.sum))
+          var mx = 0
+          counts.values.forEach(c => if (c > mx) mx = c)
+          val topFrac = mx.toDouble / toks.length
+          val dupFrac =
+            if (toks.length < 2) 0.0
+            else {
+              val grams = new java.util.HashSet[String]()
+              var i = 0
+              while (i < toks.length - 1) { grams.add(toks(i) + " " + toks(i + 1)); i += 1 }
+              1.0 - grams.size.toDouble / (toks.length - 1)
+            }
+          Some((id, topFrac, dupFrac))
+        }
+      }
+      .toDF("doc_id", "raw_top", "raw_dup")
+      .select(col("doc_id"), round(col("raw_top"), 6).as("top_word_frac"),
+        round(col("raw_dup"), 6).as("dup_2gram_frac"))
+  }
+
+  /** Byte-distribution Shannon entropy of the lowercased text (nats) —
+    * see [[graft.functions.ByteEntropy]]: native codegen, histogram in
+    * operator mutable state, zero per-row allocation. 4-dp rounding
+    * absorbs cross-engine summation-order ulp drift. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      round(graft.functions.ByteEntropy.byte_entropy(lower(col("text"))), 4)
+        .as("char_entropy"))
+
+  /** Context-window chunking: overlapping fixed-token windows (size
+    * `chunkTokens`, step `stride`) — how a training pipeline splits
+    * long documents into model-context-sized sequences. Map-only:
+    * tokenize once, explode the window-start sequence, slice — the
+    * chunk fingerprint (not the chunk text) is what downstream dedup
+    * consumes, so at 100 TB the wide strings never shuffle. Chunk k
+    * covers tokens [k·stride, k·stride + chunkTokens); the last chunk
+    * may run short; zero-token docs drop. */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"chunk: need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          floor((size(col("ws")) - 1) / stride).cast("int"))).as("k"))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+        slice(col("ws"), col("k") * stride + 1, lit(chunkTokens)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        polyhash(concat_ws(" ", col("cw"))).as("chunk_fp"))
+  }
+
   /** Sequence packing: assign docs to fixed-token-budget training
     * packs. Deterministic greedy-by-id within a shard: the running
     * token cumsum (window per shard, ordered by doc_id) divides by the

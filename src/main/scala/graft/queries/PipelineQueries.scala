@@ -100,6 +100,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PII scan + redaction (counts per class + redacted-text
+    // fingerprint; detection on PII-bearing text is PipelineSpec's job
+    // — this corpus is PII-free, so counts are zero and the
+    // fingerprint pins the redaction plumbing)
+    "text_pii" -> ((s, dir) =>
+      TextAnalysis.pii(docs(s, dir)).orderBy("doc_id")),
+
+    // Gopher-style repetition signals: top-token fraction + duplicate
+    // 2-gram fraction
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir)).orderBy("doc_id")),
+
+    // byte-distribution Shannon entropy (nats) — codegen kernel
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir)).orderBy("doc_id")),
+
+    // context-window chunking: 64-token windows, stride 48
+    "pipeline_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(docs(s, dir)).orderBy("doc_id", "chunk_idx")),
+
+    // topic clustering: one Lloyd iteration from deterministic seeds
+    "pipeline_kmeans" -> ((s, dir) =>
+      Ann.kmeansAssign(embs(s, dir)).orderBy("vec_id")),
+
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeDims(
         Multimodal.decodeDocuments(s, s"$dir/documents.parquet"))
@@ -416,6 +440,90 @@ object PipelineQueries {
         |                   c -> CAST(ord(c) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS frame_hash
         |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // PII: identical RE2-compatible patterns, identical replacement
+    // order (email → phone → ip); fp replays PolyHash over codepoints
+    "text_pii" ->
+      """WITH r AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{7,15}|\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS red
+        |  FROM documents)
+        |SELECT d.doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}|\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(red, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS redacted_fp
+        |FROM documents d JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |           FROM documents),
+        |f AS (SELECT doc_id, unnest(ws) AS t FROM w),
+        |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM tc GROUP BY 1),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ws) < 2 THEN 0.0
+        |             ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+        |                    i -> ws[i]||' '||ws[i+1]))) AS DOUBLE) / (len(ws) - 1) END AS dupg
+        |      FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, ROUND(CAST(mx AS DOUBLE) / n, 6) AS top_word_frac,
+        |       ROUND(dupg, 6) AS dup_2gram_frac
+        |FROM top JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // + 0.0 normalizes IEEE -0.0 (an all-one-char doc) to +0.0, the
+    // engine's sign
+    "text_entropy" ->
+      """WITH c AS (SELECT doc_id, string_split(lower(text), '') AS cs FROM documents),
+        |u AS (SELECT doc_id, unnest(cs) AS ch FROM c),
+        |cc AS (SELECT doc_id, ch, COUNT(*) AS n FROM u GROUP BY 1, 2),
+        |t AS (SELECT doc_id, SUM(n) AS tot FROM cc GROUP BY 1),
+        |e AS (SELECT cc.doc_id,
+        |        -SUM((CAST(n AS DOUBLE) / tot) * LN(CAST(n AS DOUBLE) / tot)) AS h
+        |      FROM cc JOIN t USING (doc_id) GROUP BY cc.doc_id)
+        |SELECT d.doc_id, ROUND(COALESCE(e.h, 0.0) + 0.0, 4) AS char_entropy
+        |FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "pipeline_chunk" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |           FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(0, ((len(ws) - 1) // 48) + 1)) AS k
+        |        FROM w WHERE len(ws) > 0),
+        |ch AS (SELECT doc_id, k AS chunk_idx,
+        |         list_slice(ws, k * 48 + 1, k * 48 + 64) AS cw FROM idx)
+        |SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS n_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(array_to_string(cw, ' '), ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS chunk_fp
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // replays kmeansAssign: seed argmax (ties → larger c_id), per-dim
+    // double means, reassignment against the updated book
+    "pipeline_kmeans" ->
+      s"""WITH seeds AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 64 = 0),
+         |fan AS (SELECT e.vec_id, e.embedding, c.c_id,
+         |          ${cosExpr("e.embedding", "c.ce")} AS csim
+         |        FROM embeddings e CROSS JOIN seeds c),
+         |assign0 AS (SELECT vec_id, embedding, c_id AS cluster FROM (
+         |  SELECT vec_id, embedding, c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) AS rn
+         |  FROM fan) WHERE rn = 1),
+         |m AS (SELECT cluster, i, AVG(CAST(embedding[i] AS DOUBLE)) AS mv
+         |      FROM assign0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY cluster, i),
+         |mc AS (SELECT cluster AS c_id, list(mv ORDER BY i) AS ce FROM m GROUP BY cluster),
+         |fan2 AS (SELECT e.vec_id, c.c_id,
+         |  (list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c.ce[i]))
+         |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(range(1, 65), i -> c.ce[i] * c.ce[i]))))) AS sim
+         |  FROM embeddings e CROSS JOIN mc c)
+         |SELECT vec_id, c_id AS cluster, ROUND(sim, 6) AS sim FROM (
+         |  SELECT vec_id, c_id, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id DESC) AS rn
+         |  FROM fan2) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "mm_decode" ->
       """SELECT doc_id,

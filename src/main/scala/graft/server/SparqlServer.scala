@@ -1135,7 +1135,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
               s"DELETE { ?s ?p ${iri(p("id"))} } WHERE { ?s ?p ${iri(p("id"))} }"
           case other => sys.error(s"unknown blueprints op: $other")
         }
-        tenant(ns).update(text)
+        inJobGroup(ns, s"BLUEPRINTS ${p("op")}") { tenant(ns).update(text) }
         respond(ex, 204, "text/plain", "")
       }
     } catch {

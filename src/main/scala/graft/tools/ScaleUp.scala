@@ -110,8 +110,18 @@ object ScaleUp {
         if (i == 0) col("embedding")
         else concat(slice(col("embedding"), shift + 1, dim - shift),
                     slice(col("embedding"), lit(1), shift))
+      // rotation alone repeats every `dim` replicas (factor > 64 would
+      // hand replicas i and i+64 IDENTICAL transforms → artificial
+      // cross-replica exact dups). Compose a per-replica deterministic
+      // ±1 sign pattern: D_i·R_i is orthogonal, so every intra-replica
+      // pairwise cosine is preserved EXACTLY while any two replicas'
+      // transforms differ (sign patterns collide with prob 2^-64).
+      val signed =
+        if (i == 0) rolled
+        else transform(rolled, (x, k) =>
+          when(pmod(xxhash64(lit(i), k), lit(2)) === 0, x).otherwise(-x))
       d.withColumn("vec_id", off("vec_id", vecS, i))
-        .withColumn("embedding", rolled)
+        .withColumn("embedding", signed)
     })
   }
 }

@@ -188,4 +188,133 @@ class PipelineSpec extends AnyFunSuite {
     assert(lid.count() == docs.count())
     assert(lid.filter(!col("pred_lang").isin("de", "en", "es", "fr", "zh", "und")).count() == 0)
   }
+
+  test("pii: detects and redacts emails/phones/ips on PII-bearing text") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "contact alice@example.com or bob.smith+tag@mail.co.uk today"),
+      (2L, "call 555-123-4567 or +4915112345678 now"),
+      (3L, "server at 10.0.0.1 and 192.168.255.254 responded"),
+      (4L, "mixed: eve@corp.io from 172.16.0.9 dialed 800-555-0199"),
+      (5L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pii(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 0L, 0L)))
+    assert(out(2L) == ((0L, 2L, 0L)))
+    assert(out(3L) == ((0L, 0L, 2L)))
+    assert(out(4L) == ((1L, 1L, 1L)))
+    assert(out(5L) == ((0L, 0L, 0L)))
+    // redaction removes every detected span: fingerprint equals the
+    // hand-redacted text's fingerprint
+    val red = TextAnalysis.pii(fixture).filter(col("doc_id") === 4L)
+      .select("redacted_fp").head.getLong(0)
+    val expect = PolyHash.hash(
+      "mixed: <EMAIL> from <IP> dialed <PHONE>".getBytes("UTF-8"))
+    assert(red == expect)
+    // a PII-free doc's redaction is the identity
+    val clean = TextAnalysis.pii(fixture).filter(col("doc_id") === 5L)
+      .select("redacted_fp").head.getLong(0)
+    assert(clean == PolyHash.hash("clean text with no identifiers at all".getBytes("UTF-8")))
+  }
+
+  test("repetition: boilerplate scores high, varied text low") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "spam spam spam spam spam"),              // all one token
+      (2L, "alpha beta gamma delta epsilon zeta"),   // all distinct
+      (3L, "one two one two one two one two")        // repeated 2-grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((1.0, 0.75))) // 4 bigrams, 1 distinct "spam spam"
+    assert(out(2L)._1 < 0.2 && out(2L)._2 == 0.0)
+    assert(out(3L)._1 == 0.5 && out(3L)._2 > 0.7)
+    // corpus run: fractions in range, every tokenized doc covered
+    val full = TextAnalysis.repetition(docs)
+    assert(full.filter(col("top_word_frac") <= 0 || col("top_word_frac") > 1).count() == 0)
+    assert(full.filter(col("dup_2gram_frac") < 0 || col("dup_2gram_frac") > 1).count() == 0)
+  }
+
+  test("char entropy: codegen matches reference impl; uniform text scores 0") {
+    import spark.implicits._
+    val fixture = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(fixture).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - math.log(2)) < 1e-3)
+    assert(math.abs(out(3L) - math.log(4)) < 1e-3)
+    // codegen path (corpus scan) equals the interpreted reference
+    val viaExpr = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaRef = docs.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> BigDecimal(graft.functions.ByteEntropy.entropy(
+        r.getString(1).toLowerCase.getBytes("UTF-8")))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(viaExpr == viaRef)
+  }
+
+  test("chunk: windows tile with overlap, fingerprints match slices") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val fixture = Seq((1L, text), (2L, "tiny doc"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(fixture, chunkTokens = 64, stride = 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // 150 tokens, stride 48 → starts 0,48,96,144 → 4 chunks
+    assert(out.keys.count(_._1 == 1L) == 4)
+    assert(out((1L, 0L))._1 == 64L)   // full window
+    assert(out((1L, 3L))._1 == 6L)    // tail: tokens 145..150
+    assert(out.keys.count(_._1 == 2L) == 1 && out((2L, 0L))._1 == 2L)
+    assert(!out.keys.exists(_._1 == 3L)) // zero-token docs drop
+    val expect = PolyHash.hash((49 to 112).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+    assert(out((1L, 1L))._2 == expect)
+  }
+
+  test("scaleup: replica transform is orthogonal (intra-replica cosines preserved, replicas decorrelated)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_scaleup").toString
+    try {
+      graft.tools.ScaleUp.run(spark, SF, out, 3)
+      val e = spark.read.parquet(s"$out/embeddings.parquet")
+      val base = embs.count()
+      assert(e.count() == base * 3)
+      def vecs(lo: Long, hi: Long) = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val span = { var s = 1L; val mx = embs.agg(max("vec_id")).head.getLong(0)
+                   while (s <= mx) s *= 10; s }
+      val r0 = vecs(0, span); val r1 = vecs(span, 2 * span)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+      }
+      val ids = r0.keys.toSeq.sorted.take(6)
+      // intra-replica pairwise cosines preserved (orthogonal transform)
+      for (Seq(i, j) <- ids.combinations(2)) {
+        val c0 = cos(r0(i), r0(j))
+        val c1 = cos(r1(i + span), r1(j + span))
+        assert(math.abs(c0 - c1) < 1e-5, s"intra-replica cosine drifted: $c0 vs $c1")
+      }
+      // cross-replica copies of the same base vector are decorrelated,
+      // not artificial exact dups
+      val selfCos = ids.map(i => cos(r0(i), r1(i + span)))
+      assert(selfCos.forall(_ < 0.95), s"replica copies too correlated: $selfCos")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
+  test("kmeans: every vector assigned, clusters are seed ids, plan broadcasts the book") {
+    val out = Ann.kmeansAssign(embs, centroidMod = 64)
+    val rows = out.collect()
+    assert(rows.length == embs.count())
+    val seedIds = embs.filter(col("vec_id") % 64 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(1)).toSet.subsetOf(seedIds))
+    assert(rows.forall(r => r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9))
+    // both assignment fanouts broadcast the centroid book — the corpus
+    // never shuffles for the argmax
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
 }

@@ -50,7 +50,10 @@ object Bench {
     val retime = (results.toSeq.sortBy(-_._2).take(5).map(_._1) ++ drifters)
       .distinct.take(25)
     val isolated: Map[String, Double] =
-      if (only.nonEmpty) Map.empty
+      // priorBest is sf0.1 evidence — at a derived larger SF every
+      // query reads as a "drifter" and the re-time pass would double
+      // the run for a baseline that doesn't apply
+      if (only.nonEmpty || !sfDir.contains("sf0.1")) Map.empty
       else retime.map { name =>
         val times = (1 to 2).map { _ =>
           // drop the full run's leftover cached/checkpointed blocks

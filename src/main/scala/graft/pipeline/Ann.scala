@@ -267,4 +267,84 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space coarsely, then prune pairwise WITHIN clusters —
+    * cosine ≥ tau against a lower-id cluster-mate marks a vector as a
+    * duplicate. Returns pruned vectors only: (vec_id, dup_of, cos_sim)
+    * where dup_of is the smallest qualifying cluster-mate.
+    *
+    * The cluster book is the deterministic seed book (`vec_id %
+    * centroidMod == 0`, map-side argmax over a broadcast — the
+    * [[kmeansAssign]] step-1 cells, i.e. the IVF coarse quantizer).
+    * Scale shape: the pair space is confined to cells — the self-join
+    * shuffles on the cluster id only, and cell population is bounded
+    * by K (scale K with N, ~√N cells keeps cells constant-sized).
+    * Skewed cells are AQE skew-join territory; the pair space never
+    * goes global. */
+  def semanticDedup(vectors: DataFrame, tau: Double,
+                    centroidMod: Int = 64): DataFrame = {
+    val seeds = broadcast(vectors.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm")))
+    require(!seeds.isEmpty,
+      s"semanticDedup: no vec_id is a multiple of $centroidMod — no seeds")
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    // map-side argmax over the broadcast book (ties → larger c_id,
+    // the kmeansAssign convention)
+    val assigned = v.crossJoin(seeds)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        struct((dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm"))).as("csim"), col("c_id")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first("embedding").as("embedding"), first("nrm").as("nrm"),
+        max("sc").as("m"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("m.c_id").as("cluster"))
+    val a = assigned.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
+      col("nrm").as("a_nrm"), col("cluster"))
+    val b = assigned.select(col("vec_id").as("b"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"), col("cluster"))
+    // intra-cell pairs; filter on RAW similarity (round only survivors)
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("sim"))
+      .filter(col("sim") >= tau)
+    pairs.groupBy(col("b").as("vec_id"))
+      .agg(min(struct(col("a"), col("sim"))).as("m"))
+      .select(col("vec_id"), col("m.a").as("dup_of"),
+        round(col("m.sim"), 6).as("cos_sim"))
+  }
+
+  /** Symmetric int8 quantization per embedding (the storage/serving
+    * compression step of an embedding pipeline): scale = max|x|/127,
+    * qᵢ = clamp(⌊xᵢ/scale + 0.5⌋, ±127). Emits the scale plus two
+    * deterministic digests of the quantized vector (position-weighted
+    * checksum, saturation count) rather than the array itself — what a
+    * verification pass audits at corpus scale. Map-only typed pass
+    * (no shuffle); ⌊x+0.5⌋ rather than round() because banker's/
+    * half-away ties differ across engines while floor is IEEE-exact
+    * everywhere. */
+  def quantizeInt8(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        val xs = if (emb == null) Seq.empty[Double] else emb.map(_.toDouble)
+        val maxAbs = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+        val scale = maxAbs / 127.0
+        val q =
+          if (scale == 0.0) xs.map(_ => 0L)
+          else xs.map(x => math.max(-127L, math.min(127L,
+            math.floor(x / scale + 0.5).toLong)))
+        val checksum = q.zipWithIndex.map { case (qv, i) => qv * (i + 1) }.sum
+        val nSat = q.count(qv => math.abs(qv) == 127L)
+        (id, scale, checksum, nSat.toLong)
+      }
+      .toDF("vec_id", "scale", "q_checksum", "n_sat")
+      .select(col("vec_id"), round(col("scale"), 6).as("qscale"),
+        col("q_checksum"), col("n_sat"))
+  }
 }

@@ -102,4 +102,25 @@ object Curation {
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_shared"))
   }
+
+  /** Deterministic training-order shuffle + sharding: each doc gets a
+    * reproducible pseudo-random sort key (seeded polynomial hash of
+    * its id), a shard (key mod `shards`), and its position within the
+    * shard's key order. The global permutation is fixed by `seed`
+    * alone — rerunning the pipeline reproduces byte-identical epochs.
+    *
+    * Scale shape: NO global sort. Each shard sorts independently
+    * (partition-window row_number keyed on the shard), so with
+    * production shard counts (≥ #executors) the sort is embarrassingly
+    * parallel and each shard writes one training file. */
+  def shardOrder(docs: DataFrame, shards: Int = 8, seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = graft.functions.PolyHash.polyhash(
+      concat(col("doc_id").cast("string"), lit(":" + seed)))
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))
+    docs.select(col("doc_id"), key.as("skey"))
+      .withColumn("shard", col("skey") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
 }

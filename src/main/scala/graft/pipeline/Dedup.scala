@@ -28,10 +28,11 @@ object Dedup {
     * transform/element_at/array_distinct chain evaluates interpreted
     * (HOFs are CodegenFallback) at ~5 ms/doc — the sliding-window JVM
     * loop is ~40× faster and equally shuffle-free. */
-  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
+  def shingleSets(docs: DataFrame, n: Int = 3,
+                  keepEmpty: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val raw = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val toks = text.toLowerCase(java.util.Locale.ROOT)
           .split("[^a-z0-9]+").filter(_.nonEmpty)
@@ -41,7 +42,10 @@ object Dedup {
         (id, toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toArray.distinct.sorted)
       }
       .toDF("doc_id", "shingles")
-      .filter(size(col("shingles")) > 0)
+    // pair-producing consumers drop shingle-less docs at the source;
+    // per-doc profile operators (substringDup, incrementalDedup) keep
+    // them — a doc shorter than the window still needs an output row
+    if (keepEmpty) raw else raw.filter(size(col("shingles")) > 0)
   }
 
   /** Exact dedup: canonical keeper per identical text. */
@@ -236,5 +240,88 @@ object Dedup {
       // not |candidate pairs| rows
       .filter(col("hamming") <= maxDist)
       .distinct()
+  }
+
+  /** Duplicate-span profile per document (the distributed analog of
+    * suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): the fraction of a
+    * doc's `w`-word windows that occur verbatim in ANY other doc.
+    * A pipeline gates on `dup_frac` ("drop docs >50% duplicated
+    * spans") — per-doc output, so NO pair enumeration ever happens:
+    * the plan is window-frequency (one shuffle on the window key, a
+    * windowed count, map-side combine) + per-doc re-aggregation.
+    * Shuffle volume is |distinct windows|, never |pairs|.
+    *
+    * Short docs (< w words) have zero windows and dup_frac 0. */
+  def substringDup(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = shingleSets(docs, w, keepEmpty = true)
+      .select(col("doc_id"), col("shingles").as("wins"))
+    // zero-window docs must survive to the output, but a shared NULL
+    // window key would funnel ALL of them into one window partition
+    // (a guaranteed hot key at corpus scale) — give each a per-doc
+    // sentinel instead (a leading space can't collide with real
+    // space-joined [a-z0-9]+ windows): unique keys spread evenly and
+    // count as wdf=1 → never "duplicated"
+    val e = wins
+      .select(col("doc_id"), size(col("wins")).as("n_windows"),
+        explode_outer(col("wins")).as("w0"))
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("w0"),
+          concat(lit(" "), col("doc_id").cast("string"))).as("win"))
+    // document frequency per window via a partition-window count: one
+    // shuffle keyed on the window, reused directly by the per-doc
+    // re-aggregation (vs groupBy+self-join = two scans of the postings)
+    val wdf = count(lit(1)).over(Window.partitionBy("win"))
+    e.withColumn("dup", when(wdf > 1 && !col("win").startsWith(" "), 1L)
+        .otherwise(0L))
+      .groupBy("doc_id")
+      .agg(first(col("n_windows")).as("n_windows"), sum(col("dup")).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows").cast("long").as("n_windows"),
+        col("n_dup_windows"),
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+          .as("dup_frac"))
+  }
+
+  /** Incremental dedup of a NEW batch against a PRIOR corpus snapshot
+    * (the cross-snapshot dedup step of a recurring crawl pipeline):
+    * a new doc is a duplicate when it shares ≥1 verbatim `w`-word
+    * window with any prior doc. Returns one row per new doc:
+    * (doc_id, n_shared, is_dup).
+    *
+    * Scale shape: the prior corpus is consumed ONCE to build a bloom
+    * sketch over window hashes (distributed aggregate, driver holds
+    * only the O(expectedItems)-bit sketch). The new batch probes the
+    * sketch MAP-SIDE ([[graft.functions.BloomMightContain]], codegen) —
+    * at a typical 1‰ inter-snapshot overlap, ~99.9% of new windows
+    * (minus fpp) never reach a shuffle. Bloom survivors are then
+    * exact-verified with a join against the prior windows, so false
+    * positives cannot flag a doc: results are EXACTLY the semi-join
+    * semantics, the sketch only prunes join input. */
+  def incrementalDedup(newDocs: DataFrame, prior: DataFrame, w: Int = 8,
+                       fpp: Double = 0.01): DataFrame = {
+    // three consumers (count, sketch build, exact verify) — pay the
+    // prior-corpus tokenize/window pass once
+    val priorWins = shingleSets(prior, w)
+      .select(explode(col("shingles")).as("win")).distinct()
+      .localCheckpoint()
+    // sketch over 64-bit window hashes (hashing first keeps the
+    // aggregate's traffic fixed-width; the exact verify below joins on
+    // the window text, so hash collisions cannot create false dups)
+    val nPrior = math.max(1L, priorWins.count())
+    val sketch = priorWins.select(xxhash64(col("win")).as("h"))
+      .stat.bloomFilter("h", nPrior, fpp)
+    // keepEmpty: a short new doc still gets its (0, false) output row
+    val newWins = shingleSets(newDocs, w, keepEmpty = true).localCheckpoint()
+    val survivors = newWins
+      .select(col("doc_id"), explode(col("shingles")).as("win"))
+      .filter(graft.functions.BloomExprs.bloom_might_contain(xxhash64(col("win")), sketch))
+      .join(priorWins, "win")                       // exact verify
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    newWins.select("doc_id")
+      .join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("is_dup"))
   }
 }

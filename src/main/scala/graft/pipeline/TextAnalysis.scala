@@ -221,4 +221,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / tokensPerPack).as("pack_id"))
   }
+
+  /** Hashed linear text classifier (the fastText-style quality/domain
+    * gate of a curation pipeline): tokens hash into `dim` buckets
+    * (feature hashing, Weinberger et al. 2009), each bucket carries a
+    * fixed deterministic weight, and the doc's margin is the summed
+    * bucket weights. `label` = margin > 0 is the keep/drop gate.
+    *
+    * The weight table is IMPLICIT — w(b) = ((b·2654435761) mod
+    * 1000003)/1000003 − ½, a Knuth-hash spread over (−½, ½] — so
+    * nothing is broadcast and the scoring pass is map-only at scan
+    * speed; swapping in trained weights is a broadcast array lookup
+    * with the same shape. All arithmetic is exact-integer then one
+    * float division per token: the DuckDB oracle replays it
+    * bit-for-bit. One typed-map pass per doc (tokenize once), the
+    * [[langId]] discipline. */
+  def classify(docs: DataFrame, dim: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val t = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
+        val toks = t.split("[^a-z0-9]+").filter(_.nonEmpty)
+        var margin = 0.0
+        toks.foreach { tok =>
+          val b = graft.functions.PolyHash.hash(
+            tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % dim
+          margin += (b * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
+        }
+        (id, margin)
+      }
+      .toDF("doc_id", "margin")
+      .select(col("doc_id"), round(col("margin"), 6).as("margin"),
+        (col("margin") > 0).as("label"))
+  }
 }

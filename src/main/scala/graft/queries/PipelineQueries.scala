@@ -132,6 +132,35 @@ object PipelineQueries {
     "mm_framesample" -> ((s, dir) =>
       Multimodal.frameDocuments(s, s"$dir/documents.parquet")
         .orderBy("doc_id", "frame_idx")),
+
+    // duplicate-span profile: fraction of a doc's verbatim 8-word
+    // windows that occur in any other doc (substring-dedup gate)
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDup(docs(s, dir)).orderBy("doc_id")),
+
+    // cross-snapshot incremental dedup: new batch (id ≥ 250) vs prior
+    // corpus (id < 250), bloom-prefiltered, exact-verified
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalDedup(d.filter(col("doc_id") >= 250),
+        d.filter(col("doc_id") < 250)).orderBy("doc_id")
+    }),
+
+    // SemDeDup: coarse-cell clustering + intra-cell cosine pruning
+    "dedup_semantic" -> ((s, dir) =>
+      Ann.semanticDedup(embs(s, dir), 0.45).orderBy("vec_id")),
+
+    // hashed linear classifier margin (fastText-style keep/drop gate)
+    "text_classify" -> ((s, dir) =>
+      TextAnalysis.classify(docs(s, dir)).orderBy("doc_id")),
+
+    // deterministic training-order shuffle: seeded key → shard → pos
+    "pipeline_shard" -> ((s, dir) =>
+      graft.pipeline.Curation.shardOrder(docs(s, dir)).orderBy("doc_id")),
+
+    // int8 symmetric quantization digests per embedding
+    "emb_quantize" -> ((s, dir) =>
+      Ann.quantizeInt8(embs(s, dir)).orderBy("vec_id")),
   )
 
   private val shingleCte =
@@ -144,6 +173,22 @@ object PipelineQueries {
       |          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |jac AS (SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
       |        FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id)""".stripMargin
+
+  /** Distinct verbatim 8-word windows per doc (empty list when the doc
+    * has < 8 words) — the substring-dedup unit, mirroring
+    * [[graft.pipeline.Dedup.shingleSets]] with n = 8. */
+  private val winCte =
+    """w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+      |win AS (SELECT doc_id, CASE WHEN len(ws) >= 8 THEN list_distinct(list_transform(range(1, len(ws) - 6),
+      |        i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7])) ELSE [] END AS wins FROM w)""".stripMargin
+
+  /** Polynomial rolling hash of a string expression — the PolyHash
+    * kernel ((acc·31 + byte) mod 1e9+7) replayed over codepoints
+    * (inputs are ASCII, so codepoint = byte). */
+  private def polyhashSql(s: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   private def cosExpr(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
@@ -532,5 +577,70 @@ object PipelineQueries {
         |  CAST(length(text) AS BIGINT) AS n_bytes,
         |  'fake/raw' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring" ->
+      s"""WITH $winCte,
+         |e AS (SELECT doc_id, unnest(wins) AS win FROM win),
+         |df AS (SELECT win, COUNT(*) AS wdf FROM e GROUP BY win),
+         |dup AS (SELECT doc_id, COUNT(*) AS n_dup FROM e JOIN df USING (win) WHERE wdf > 1 GROUP BY doc_id)
+         |SELECT w2.doc_id, CAST(len(w2.wins) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+         |  CASE WHEN len(w2.wins) = 0 THEN 0.0
+         |       ELSE ROUND(CAST(coalesce(n_dup, 0) AS DOUBLE) / len(w2.wins), 6) END AS dup_frac
+         |FROM win w2 LEFT JOIN dup ON w2.doc_id = dup.doc_id
+         |ORDER BY w2.doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $winCte,
+         |ne AS (SELECT doc_id, unnest(wins) AS win FROM win WHERE doc_id >= 250),
+         |pw AS (SELECT DISTINCT win FROM (SELECT unnest(wins) AS win FROM win WHERE doc_id < 250)),
+         |sh AS (SELECT doc_id, COUNT(*) AS n_shared FROM ne JOIN pw USING (win) GROUP BY doc_id)
+         |SELECT w2.doc_id, CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(n_shared, 0) > 0 AS is_dup
+         |FROM win w2 LEFT JOIN sh ON w2.doc_id = sh.doc_id
+         |WHERE w2.doc_id >= 250 ORDER BY w2.doc_id""".stripMargin,
+
+    // replays semanticDedup: seed-cell argmax (ties → larger c_id, the
+    // kmeans convention), intra-cell pairs on RAW cosine ≥ τ, keep the
+    // smallest qualifying cluster-mate per pruned vector
+    "dedup_semantic" ->
+      s"""WITH seeds AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 64 = 0),
+         |fan AS (SELECT e.vec_id, e.embedding, c.c_id,
+         |          ${cosExpr("e.embedding", "c.ce")} AS csim
+         |        FROM embeddings e CROSS JOIN seeds c),
+         |assign0 AS (SELECT vec_id, embedding, c_id AS cluster FROM (
+         |  SELECT vec_id, embedding, c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) AS rn
+         |  FROM fan) WHERE rn = 1),
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosExpr("x.embedding", "y.embedding")} AS sim
+         |      FROM assign0 x JOIN assign0 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+         |q AS (SELECT a, b, sim FROM p WHERE sim >= 0.45)
+         |SELECT b AS vec_id, a AS dup_of, ROUND(sim, 6) AS cos_sim FROM (
+         |  SELECT a, b, sim, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn FROM q) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+
+    "text_classify" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+         |m AS (SELECT doc_id, coalesce(list_sum(list_transform(ws,
+         |  tok -> CAST(${polyhashSql("tok")} % 1024 * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)), 0.0) AS margin
+         |  FROM t)
+         |SELECT doc_id, ROUND(margin, 6) AS margin, margin > 0 AS label
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "pipeline_shard" ->
+      s"""WITH k AS (SELECT doc_id, ${polyhashSql("CAST(doc_id AS VARCHAR)||':42'")} AS skey FROM documents)
+         |SELECT doc_id, skey % 8 AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS pos
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale FROM embeddings)
+        |SELECT vec_id, ROUND(scale, 6) AS qscale,
+        |  CAST(CASE WHEN scale = 0 THEN 0 ELSE list_sum(list_transform(range(1, 65),
+        |    i -> greatest(-127, least(127, floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5))) * i)) END AS BIGINT) AS q_checksum,
+        |  CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE len(list_filter(range(1, 65),
+        |    i -> abs(greatest(-127, least(127, floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5)))) = 127)) END AS n_sat
+        |FROM m ORDER BY vec_id""".stripMargin,
   )
 }

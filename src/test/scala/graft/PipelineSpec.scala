@@ -317,4 +317,149 @@ class PipelineSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
+
+  test("bloom_might_contain: no false negatives, fpp in range, codegen + interpreted agree") {
+    import graft.functions.BloomExprs.bloom_might_contain
+    val n = 2000L
+    val base = spark.range(n).select(xxhash64(col("id").cast("string")).as("h"))
+    val sketch = base.stat.bloomFilter("h", n, 0.03)
+    // every inserted key probes true (bloom guarantee: zero false negatives)
+    assert(base.filter(!bloom_might_contain(col("h"), sketch)).isEmpty)
+    // disjoint probe set: false-positive rate near the configured fpp
+    val other = spark.range(n, 10 * n)
+      .select(xxhash64(col("id").cast("string")).as("h"))
+    val fp = other.filter(bloom_might_contain(col("h"), sketch)).count()
+    assert(fp.toDouble / (9 * n) < 0.1, s"fp rate ${fp.toDouble / (9 * n)}")
+    // interpreted eval path (no codegen) returns the same verdicts
+    val expr = graft.functions.BloomMightContain(
+      org.apache.spark.sql.graftshim.Shim.expression(lit(0L)), {
+        val bos = new java.io.ByteArrayOutputStream(); sketch.writeTo(bos); bos.toByteArray
+      })
+    val hs = base.limit(50).collect().map(_.getLong(0))
+    assert(hs.forall(expr.test))
+  }
+
+  test("incrementalDedup matches the exact (bloom-free) semi-join semantics") {
+    val newB = docs.filter(col("doc_id") >= 250)
+    val prior = docs.filter(col("doc_id") < 250)
+    val got = Dedup.incrementalDedup(newB, prior)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // exact reference: distinct window intersection computed directly
+    val pw = Dedup.shingleSets(prior, 8)
+      .select(explode(col("shingles")).as("win")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val exact = Dedup.shingleSets(newB, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).count(pw.contains)).toMap
+    assert(got.nonEmpty && got.exists(_._3), "planted cross-split near-dups expected")
+    got.foreach { case (id, nShared, isDup) =>
+      assert(nShared == exact(id).toLong, s"doc $id: $nShared vs exact ${exact(id)}")
+      assert(isDup == (nShared > 0))
+    }
+    assert(got.map(_._1).toSet == exact.keySet)
+  }
+
+  test("substringDup: planted near-dups carry dup_frac > 0, unique docs 0, short docs 0 windows") {
+    val out = Dedup.substringDup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == docs.count())
+    // a doc pair with J >= 0.8 shares long verbatim spans → both flagged
+    val planted = Dedup.ngramJaccard(docs, 0.8).select("a", "b").collect()
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      assert(out(r.getLong(0))._3 > 0.0 && out(r.getLong(1))._3 > 0.0)
+    }
+    out.values.foreach { case (nw, nd, frac) =>
+      assert(nd <= nw)
+      if (nw == 0) assert(frac == 0.0)
+      else assert(math.abs(frac - nd.toDouble / nw) < 1e-6 + 1e-9)
+    }
+  }
+
+  test("semanticDedup: pruned vectors really have a lower-id near-identical cluster-mate") {
+    val pruned = graft.pipeline.Ann.semanticDedup(embs, 0.45).collect()
+    assert(pruned.nonEmpty, "planted embedding near-dups expected")
+    // ground truth: exact all-pairs cosine at the same tau
+    val exactPairs = graft.pipeline.Ann.cosinePairs(embs, 0.45)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pruned.foreach { r =>
+      val (v, dupOf, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(dupOf < v)
+      assert(sim >= 0.45 - 1e-6)
+      assert(exactPairs.contains((dupOf, v)),
+        s"($dupOf, $v) not in exact cosine pairs")
+    }
+  }
+
+  test("classify: margins deterministic and equal for identical token streams") {
+    val a = TextAnalysis.classify(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val b = TextAnalysis.classify(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(a == b)
+    a.values.foreach { case (m, l) => assert(l == (m > 0) || m == 0.0) }
+    // same token multiset ⇒ same margin (hashing is content-only)
+    val spark2 = spark; import spark2.implicits._
+    val twin = Seq((1L, "alpha beta gamma"), (2L, "alpha  beta,GAMMA")).toDF("doc_id", "text")
+    val tm = TextAnalysis.classify(twin).collect().map(r => r.getDouble(1))
+    assert(tm(0) == tm(1))
+  }
+
+  test("shardOrder: reproducible permutation, dense per-shard positions, no global sort") {
+    val out = graft.pipeline.Curation.shardOrder(docs, shards = 8, seed = 42)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == docs.count())
+    assert(rows.map(_._1).toSet.size == rows.length)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // partition-window sort, not a global Sort over the corpus: the
+    // sort node is preceded by a hash-partitioning on the shard key
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning"))
+    // determinism across runs
+    val again = graft.pipeline.Curation.shardOrder(docs, shards = 8, seed = 42)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet)
+  }
+
+  test("substringDup + incrementalDedup keep short (<w words) docs with zero windows") {
+    val spark2 = spark; import spark2.implicits._
+    val tiny = Seq(
+      (1L, "one two three"),                                      // < 8 words
+      (2L, "a b c d e f g h i j"),
+      (3L, "a b c d e f g h i j"),                                // near-dup of 2
+      (4L, "k l m n o p q r s t u v w x y z unique tail words")).toDF("doc_id", "text")
+    val prof = Dedup.substringDup(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(prof.keySet == Set(1L, 2L, 3L, 4L))
+    assert(prof(1L) == ((0L, 0.0)))
+    assert(prof(2L)._2 > 0 && prof(3L)._2 > 0 && prof(4L)._2 == 0.0)
+    val inc = Dedup.incrementalDedup(
+        tiny.filter(col("doc_id") >= 3), tiny.filter(col("doc_id") < 3))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(inc == Map(3L -> true, 4L -> false))
+    val incShort = Dedup.incrementalDedup(
+        tiny.filter(col("doc_id") === 1), tiny.filter(col("doc_id") > 1))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(incShort == Map(1L -> false))
+  }
+
+  test("quantizeInt8: reconstruction within half a step, digests consistent") {
+    val digs = graft.pipeline.Ann.quantizeInt8(embs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val raw = embs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(digs.keySet == raw.keySet)
+    raw.foreach { case (id, emb) =>
+      val xs = emb.map(_.toDouble)
+      val scale = xs.map(math.abs).max / 127.0
+      val q = xs.map(x => math.max(-127L, math.min(127L, math.floor(x / scale + 0.5).toLong)))
+      // round-trip error bound: |x − q·scale| ≤ scale/2 (+ float eps)
+      xs.zip(q).foreach { case (x, qv) =>
+        assert(math.abs(x - qv * scale) <= scale / 2 + 1e-9) }
+      val (qscale, checksum, nSat) = digs(id)
+      assert(math.abs(qscale - scale) < 5e-7)
+      assert(checksum == q.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum)
+      assert(nSat == q.count(v => math.abs(v) == 127L))
+    }
+  }
 }

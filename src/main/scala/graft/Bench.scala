@@ -122,6 +122,13 @@ object Bench {
     "path_star" -> 1.21, "path_transitive" -> 2.57,
     "pipeline_contam" -> 0.7, "pipeline_curate" -> 0.64,
     "pipeline_mix" -> 0.21, "pipeline_pack" -> 0.11,
+    // round-8 additions, recorded from the round-8b sf0.1 full run
+    "text_pii" -> 0.12, "text_repetition" -> 0.3,
+    "text_entropy" -> 0.13, "pipeline_chunk" -> 0.41,
+    "pipeline_kmeans" -> 1.12, "dedup_substring" -> 0.93,
+    "dedup_incremental" -> 1.14, "dedup_semantic" -> 3.0,
+    "text_classify" -> 0.23, "pipeline_shard" -> 0.11,
+    "emb_quantize" -> 0.22,
     "pipeline_sample" -> 0.32, "q1_agg" -> 0.32,
     "rdfs_closure" -> 1.64, "rdfs_incremental" -> 1.71,
     "rdfs_retract" -> 3.54, "rdr_annotation" -> 0.81,

@@ -379,6 +379,35 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 }
 
 object VectorExprs {
+
+  /** JVM-side replication of [[LshBucket]] for kernels that already
+    * hold the vector as exact float→double components (the conversion
+    * is lossless, so the projections — and therefore the bucket — are
+    * bit-identical to the expression path). Loop structure mirrors
+    * nullSafeEval exactly: d outer, p inner, accumulation in d order. */
+  def lshBucketOf(emb: Array[Double], numBits: Int, planeOffset: Int): Long = {
+    val projs = new Array[Double](numBits)
+    var d = 0
+    while (d < emb.length) {
+      val x = emb(d)
+      var p = 0
+      while (p < numBits) {
+        val pp = (p + planeOffset).toLong
+        val k = (pp * 1299721L + d.toLong * 104729L + pp * d * 7919L) % 1000003L
+        projs(p) += x * (k.toDouble / 1000003.0 - 0.5)
+        p += 1
+      }
+      d += 1
+    }
+    var out = 0L
+    var p = 0
+    while (p < numBits) {
+      if (projs(p) > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
   def float_dot(a: Column, b: Column): Column =
     Shim.column(FloatDot(Shim.expression(a), Shim.expression(b)))
 

@@ -51,6 +51,71 @@ object Ann {
   def lshBucket(emb: Column, numBits: Int = 12, table: Int = 0): Column =
     graft.functions.VectorExprs.lsh_bucket(emb, numBits, table * numBits)
 
+  /** Driver-side centroid book: (c_id, components-as-double, norm),
+    * ascending c_id. Vocabulary-sized — K rows of `dim` doubles (the
+    * broadcast-ontology discipline: bounded by K, never corpus-sized).
+    * float components convert exactly, so float- and double-centroid
+    * books share one representation with bit-identical arithmetic. */
+  private def collectBook(cents: DataFrame): Array[(Long, Array[Double], Double)] =
+    cents.collect().map { r =>
+      val emb = r.getSeq[Any](1).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+      }.toArray
+      var acc = 0.0; var i = 0
+      while (i < emb.length) { acc += emb(i) * emb(i); i += 1 }
+      (r.getLong(0), emb, math.sqrt(acc))
+    }.sortBy(_._1)
+
+  /** Nearest-centroid assignment with NO row fanout:
+    * (vec_id, embedding, nrm, cluster, csim), one output row per input
+    * vector. The book rides a broadcast variable and each partition
+    * loops it per row inside one typed map — pure scan-speed compute.
+    *
+    * This replaces the crossJoin+groupBy(max(struct)) argmax shape:
+    * that plan materializes N·K rows EACH carrying the embedding
+    * array through a sort-based aggregate (`first(array)` forces
+    * SortAggregate, one UnsafeArrayData copy per fanout row) — with
+    * the K = N/centroidMod default that is quadratic in N, and the
+    * 100× scale probe measured exactly this (all 25 executor threads
+    * pinned in SortBasedAggregationIterator array copies). The flops
+    * are unchanged; the 625M-row shuffle+sort+copy is what vanishes.
+    *
+    * Arithmetic parity: sequential-fold double accumulation identical
+    * to the FloatDot expression, so csim matches the expression path
+    * (and the DuckDB oracles) bit-for-bit. Ties (equal csim) go to the
+    * larger c_id — max(struct(csim, c_id)) semantics — via ascending
+    * c_id iteration with `>=` replacement. */
+  private def assignToBook(vectors: DataFrame,
+      book: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(book)
+    vectors.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val bk = bc.value
+        it.map { case (id, embSeq) =>
+          val emb = embSeq.toArray
+          var n2 = 0.0; var i = 0
+          while (i < emb.length) { val x = emb(i).toDouble; n2 += x * x; i += 1 }
+          val nrm = math.sqrt(n2)
+          var bestSim = Double.NegativeInfinity; var bestC = -1L
+          var j = 0
+          while (j < bk.length) {
+            val c = bk(j); val ce = c._2
+            val n = math.min(emb.length, ce.length)
+            var acc = 0.0; var k = 0
+            while (k < n) { acc += emb(k).toDouble * ce(k); k += 1 }
+            val csim = acc / (nrm * c._3)
+            if (csim >= bestSim) { bestSim = csim; bestC = c._1 }
+            j += 1
+          }
+          (id, embSeq, nrm, bestC, bestSim)
+        }
+      }
+      .toDF("vec_id", "embedding", "nrm", "cluster", "csim")
+  }
+
   /** Bucketed ANN: exact cosine ranking within the query's bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numBits: Int = 12): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -88,7 +153,19 @@ object Ann {
     * pair at cos=θ is (1−(1−θ/π)^numBits)^tables — with 4 bits × 32
     * tables at cos ≥ 0.45 that is ≈ 0.2% per pair and 0 observed on
     * the test corpus (recall asserted against cosinePairsExact in
-    * PipelineSpec). */
+    * PipelineSpec).
+    *
+    * Honest limits, measured at the derived scale runs: θ = 0.45 is a
+    * 63° angle — hyperplane-LSH contrast is WEAK there, so (a) the
+    * bucket-local enumeration is Θ(N²/2^numBits) per table (the 100×
+    * probe measured it as the engine's slowest operator even after the
+    * kernel rewrite below), and (b) threshold-boundary pairs can miss
+    * every table (the 10× corpus shows 2 misses in ~9k qualifying
+    * pairs, both at cos < 0.468). Exact all-pairs at low θ has no
+    * sub-quadratic answer; production-scale semantic dedup at 100 TB
+    * is [[semanticDedup]] (cluster-confined, linear) — this operator's
+    * exactness sweet spot is the near-dup regime θ ≳ 0.7 where both
+    * effects vanish exponentially. */
   def cosinePairs(vectors: DataFrame, minSim: Double,
                   numBits: Int = 4, tables: Int = 32): DataFrame = {
     // Verification is INLINE in the bucket join (the minhashLsh
@@ -101,34 +178,108 @@ object Ann {
     // (16 coarse buckets × clustered embeddings); enumerating those
     // pairs inside codegen instead turns three quadratic shuffles
     // into one linear one. Same pairs, same cos_sim values.
-    val keyed = vectors.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"),
+    // Bucket-local enumeration as ONE typed kernel per (table, bucket)
+    // group rather than a self-join: the 100× probe measured the
+    // sort-merge-join formulation at ~20× the raw dot-product flops —
+    // per-candidate UnsafeRow assembly and SMJ buffering dominate when
+    // buckets enumerate ~N²/B pairs. flatMapGroups materializes each
+    // bucket once (bounded: |bucket| ≈ N/2^numBits vectors — the
+    // group, not the pair space), converts to primitive double arrays,
+    // and runs the pair loop at memory speed. Two extra pruners, both
+    // exact-safe:
+    //  - pairs are enumerated in the FIRST table they collide in
+    //    (earlier-table collisions detected by re-hashing — pure
+    //    arithmetic, no extra shuffle), so the k-table duplicate work
+    //    and the |result|·k distinct() both disappear;
+    //  - a Cauchy-Schwarz suffix bound (split at dim/2, 1e-9 guard)
+    //    abandons a pair mid-dot once it provably can't reach minSim —
+    //    random pairs (cos ≈ 0) cut ~40% of the multiply-adds.
+    // Arithmetic parity: the surviving dots are the same sequential
+    // float→double fold as the FloatDot expression, so cos_sim values
+    // (and the DuckDB oracle) match bit-for-bit.
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val half = 32
+    val eps = 1e-9
+    vectors.select(col("vec_id"), col("embedding"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"), lshBucket(col("embedding"), numBits, t).as("bkt"))): _*))
           .as("k"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("k.tbl").as("tbl"), col("k.bkt").as("bkt"))
-    // SHUFFLE_MERGE pinned, like minhashLsh: broadcast would collapse
-    // the enumeration onto the scan's few partitions; the high-fanout
-    // repartition on the join key spreads the bucket-local pair
-    // enumeration (the skew unit) across 8× the default partitions
-    val parts = vectors.sparkSession.sparkContext.defaultParallelism * 8
-    def side(n: String) = keyed.repartition(parts, col("tbl"), col("bkt")).alias(n)
-    side("x").hint("SHUFFLE_MERGE").join(side("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        (dot(col("x.embedding"), col("y.embedding")) /
-          (col("x.nrm") * col("y.nrm"))).as("raw"))
-      // filter RAW first (exactly the oracle's WHERE), round only
-      // survivors: Spark's round(_, 6) allocates a BigDecimal via
-      // Double.toString per call — measured as ~10µs/pair, the whole
-      // join cost at 10⁸ enumerated pairs
-      .filter(col("raw") >= minSim)
+      .select(col("k.tbl").as("tbl"), col("k.bkt").as("bkt"),
+        col("vec_id"), col("embedding"))
+      .as[(Int, Long, Long, Seq[Float])]
+      .groupByKey { case (tbl, bkt, _, _) => (tbl, bkt) }
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Seq[Float])]) =>
+        val tbl = key._1
+        val items = it.toArray.sortBy(_._3)
+        val n = items.length
+        val ids = new Array[Long](n)
+        val embs = new Array[Array[Double]](n)
+        val nrms = new Array[Double](n)
+        val sufs = new Array[Double](n)       // ‖x[half:]‖ for the CS bound
+        val prev = new Array[Array[Long]](n)  // buckets in tables < tbl
+        var i = 0
+        while (i < n) {
+          ids(i) = items(i)._3
+          val src = items(i)._4
+          val e = new Array[Double](src.length)
+          var d = 0; var full = 0.0; var tail = 0.0
+          while (d < e.length) {
+            val x = src(d).toDouble; e(d) = x; full += x * x
+            if (d >= half) tail += x * x
+            d += 1
+          }
+          embs(i) = e; nrms(i) = math.sqrt(full); sufs(i) = math.sqrt(tail)
+          // per-ITEM earlier-table sketches (n·tbl hashes once), so
+          // first-collision ownership below is a long-compare per pair
+          val pb = new Array[Long](tbl)
+          var t = 0
+          while (t < tbl) {
+            pb(t) = graft.functions.VectorExprs.lshBucketOf(e, numBits, t * numBits)
+            t += 1
+          }
+          prev(i) = pb
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var a = 0
+        while (a < n) {
+          val ea = embs(a); val pa = prev(a)
+          var b = a + 1
+          while (b < n) {
+            // first-collision ownership: a pair colliding in an earlier
+            // table was emitted there — skip it here (this replaces the
+            // result-wide distinct() AND the duplicate dot products)
+            val pb = prev(b)
+            var owned = true
+            var t = 0
+            while (owned && t < tbl) {
+              if (pa(t) == pb(t)) owned = false
+              t += 1
+            }
+            if (owned) {
+              val eb = embs(b)
+              val denom = nrms(a) * nrms(b)
+              var acc = 0.0; var d = 0
+              while (d < half && d < ea.length) { acc += ea(d) * eb(d); d += 1 }
+              // upper bound on the full dot: partial + ‖tailA‖·‖tailB‖
+              // (Cauchy-Schwarz); the ε guard keeps a 1-ulp-boundary
+              // pair from being pruned — survivors still compute the
+              // EXACT sequential fold, so emitted sims are unchanged
+              if (acc + sufs(a) * sufs(b) >= (minSim - eps) * denom) {
+                while (d < ea.length) { acc += ea(d) * eb(d); d += 1 }
+                val raw = acc / denom
+                if (raw >= minSim) out += ((ids(a), ids(b), raw))
+              }
+            }
+            b += 1
+          }
+          a += 1
+        }
+        out.iterator
+      }
+      .toDF("a", "b", "raw")
       .select(col("a"), col("b"), round(col("raw"), 6).as("cos_sim"))
-      // distinct LAST: k-table collisions of a verified pair emit k
-      // identical rows — |result|-sized, not |candidates|-sized
-      .distinct()
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
@@ -161,12 +312,14 @@ object Ann {
       .crossJoin(cents)
       .select(col(idCol), col("emb"), col("nrm"), col("c_id"),
         (dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("csim"))
-    val cells = fanout(corpus, "n_id")
-      .select(col("n_id"), col("emb"), col("nrm"),
-        struct(col("csim"), col("c_id")).as("sc"))
-      .groupBy("n_id")
-      .agg(first("emb").as("n_emb"), first("nrm").as("n_nrm"), max("sc").as("m"))
-      .select(col("n_id"), col("n_emb"), col("n_nrm"), col("m.c_id").as("cell"))
+    // corpus-side cell assignment: map-side book argmax, one row per
+    // vector (the expression fanout stays QUERY-side only, where |Q|·K
+    // is small — corpus-side it is quadratic with the K = N/64 default)
+    val cells = assignToBook(corpus,
+        collectBook(corpus.filter(col("vec_id") % centroidMod === 0)
+          .select(col("vec_id"), col("embedding"))))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("cluster").as("cell"))
     val pw = Window.partitionBy("q_id").orderBy(col("csim").desc, col("c_id").desc)
     val probes = broadcast(fanout(queries, "q_id")
       .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nProbe)
@@ -203,39 +356,28 @@ object Ann {
     * Tie-breaks (equal cosine) go to the larger cluster id in both
     * engines. */
   def kmeansAssign(vectors: DataFrame, centroidMod: Int = 64): DataFrame = {
-    val seeds = broadcast(vectors.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        norm(col("embedding")).as("c_nrm")))
-    require(!seeds.isEmpty,
+    // 1. seed assignment: map-side book argmax, one row per vector
+    val book0 = collectBook(vectors.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id"), col("embedding")))
+    require(book0.nonEmpty,
       s"kmeansAssign: no vec_id is a multiple of $centroidMod — no seeds")
-    val v = vectors.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-    // 1. seed assignment (map-side argmax over the broadcast book)
-    val assigned = v.crossJoin(seeds)
-      .select(col("vec_id"), col("embedding"),
-        struct((dot(col("embedding"), col("c_emb")) /
-          (col("nrm") * col("c_nrm"))).as("csim"), col("c_id")).as("sc"))
-      .groupBy("vec_id")
-      .agg(first("embedding").as("embedding"), max("sc").as("m"))
-      .select(col("vec_id"), col("embedding"), col("m.c_id").as("cluster"))
-    // 2. centroid update: per-dimension mean, re-assembled in dim order
-    val means = assigned
+    val assigned = assignToBook(vectors, book0)
+    // 2. centroid update: per-dimension mean — distributed (the
+    // shuffle carries K·dim reduced partials), assembled into the new
+    // book on the driver (K·dim doubles, vocabulary-sized)
+    val book1 = assigned
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("cluster", "dim").agg(avg(col("x").cast("double")).as("mv"))
-      .groupBy("cluster")
-      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("dm"))
-      .select(col("cluster").as("c_id"),
-        transform(col("dm"), e => e("mv")).as("c_emb"))
-      .select(col("c_id"), col("c_emb"), norm(col("c_emb")).as("c_nrm"))
-    // 3. reassignment against the updated book (the dot kernel takes
-    // float×double directly — codegen, no HOF fallback in the fanout)
-    v.crossJoin(broadcast(means))
-      .select(col("vec_id"),
-        struct((dot(col("embedding"), col("c_emb")) /
-          (col("nrm") * col("c_nrm"))).as("csim"), col("c_id")).as("sc"))
-      .groupBy("vec_id").agg(max("sc").as("m"))
-      .select(col("vec_id"), col("m.c_id").as("cluster"),
-        round(col("m.csim"), 6).as("sim"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (cId, rows) =>
+        val emb = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        var acc = 0.0; var i = 0
+        while (i < emb.length) { acc += emb(i) * emb(i); i += 1 }
+        (cId, emb, math.sqrt(acc))
+      }.toArray.sortBy(_._1)
+    // 3. reassignment against the updated book — map-side again
+    assignToBook(vectors, book1)
+      .select(col("vec_id"), col("cluster"), round(col("csim"), 6).as("sim"))
   }
 
   /** Multi-probe ANN: candidates from `tables` independent LSH tables
@@ -284,24 +426,14 @@ object Ann {
     * goes global. */
   def semanticDedup(vectors: DataFrame, tau: Double,
                     centroidMod: Int = 64): DataFrame = {
-    val seeds = broadcast(vectors.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        norm(col("embedding")).as("c_nrm")))
-    require(!seeds.isEmpty,
+    // map-side book argmax (ties → larger c_id, the kmeansAssign
+    // convention) — one row per vector, no fanout
+    val book = collectBook(vectors.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id"), col("embedding")))
+    require(book.nonEmpty,
       s"semanticDedup: no vec_id is a multiple of $centroidMod — no seeds")
-    val v = vectors.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-    // map-side argmax over the broadcast book (ties → larger c_id,
-    // the kmeansAssign convention)
-    val assigned = v.crossJoin(seeds)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        struct((dot(col("embedding"), col("c_emb")) /
-          (col("nrm") * col("c_nrm"))).as("csim"), col("c_id")).as("sc"))
-      .groupBy("vec_id")
-      .agg(first("embedding").as("embedding"), first("nrm").as("nrm"),
-        max("sc").as("m"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("m.c_id").as("cluster"))
+    val assigned = assignToBook(vectors, book)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
     val a = assigned.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
       col("nrm").as("a_nrm"), col("cluster"))
     val b = assigned.select(col("vec_id").as("b"), col("embedding").as("b_emb"),

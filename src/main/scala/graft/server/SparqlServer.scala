@@ -349,9 +349,28 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     * whole-store granularity (coarser than the reference's
     * per-index-range conflict detection, never less safe). */
   private final case class Tx(id: String, ns: String, startVersion: Long,
+                              base: Graft,
                               items: scala.collection.mutable.Buffer[Either[String, DataFrame]],
                               startedMs: Long)
   private val txs = new ConcurrentHashMap[String, Tx]()
+
+  /** Read-your-writes view of an open transaction: the namespace as of
+    * tx creation (`base` — Graft is immutable, so holding it IS the
+    * start snapshot, for memory and journal tenants alike) with the
+    * staged items folded on top in arrival order. Pure plan
+    * composition — nothing is published, the journal never sees it —
+    * giving queries carrying `?tx=` the reference TxServlet's full
+    * read/write-tx isolation: a tx sees its own staged writes, other
+    * connections don't. */
+  private def txView(id: String, ns: String): Graft = {
+    val tx = txs.get(id)
+    require(tx != null, s"no such transaction: $id")
+    require(tx.ns == ns, s"transaction $id belongs to namespace ${tx.ns}, not $ns")
+    tx.items.synchronized { tx.items.toVector }.foldLeft(tx.base) {
+      case (h, Left(text)) => h.update(text)
+      case (h, Right(df))  => h.copy(store = h.store.insertQuads(df))
+    }
+  }
 
   private def stageTx(id: String, ns: String,
                       item: Either[String, DataFrame]): Unit = {
@@ -659,7 +678,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         // point (the reference's TxServlet/timestamp protocol knob)
         val g = qp.get("timestamp").flatten match {
           case Some(v) => tenant(ns).at(v.toLong)
-          case None    => tenant(ns).current
+          // ?tx=<id>: read inside an open transaction — start snapshot
+          // + own staged writes (read-your-writes)
+          case None => qp.get("tx").flatten match {
+            case Some(id) => txView(id, ns)
+            case None     => tenant(ns).current
+          }
         }
         val ast = Parser.parse(q)
         val df = g.query(q)
@@ -1031,8 +1055,11 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     * `POST /tx/<id>/commit` publishes the staged sequence as ONE
     * journal commit — a head that moved since tx creation is a loud
     * 409 (first-committer-wins); `POST /tx/<id>/abort` discards.
-    * Read isolation is the existing `?timestamp=` commit-point knob
-    * (SURVEY §7's stance); staged writes are invisible until commit. */
+    * Queries carrying `?tx=<id>` read INSIDE the transaction — the
+    * start snapshot plus the tx's own staged writes ([[txView]]) —
+    * while other connections never see staged state until commit:
+    * the reference's full read/write-tx isolation. `?timestamp=`
+    * remains the read-only commit-point knob. */
   private object TxHandler extends HttpHandler {
     def handle(ex: HttpExchange): Unit =
       try {
@@ -1043,7 +1070,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             val ns = params(rawQuery(ex)).get("ns").flatten.getOrElse(defaultNamespace)
             val t = tenant(ns)
             val id = java.util.UUID.randomUUID().toString
-            txs.put(id, Tx(id, ns, t.version,
+            txs.put(id, Tx(id, ns, t.version, t.current,
               scala.collection.mutable.Buffer.empty, System.currentTimeMillis()))
             respond(ex, 201, "application/xml",
               s"""<?xml version="1.0"?><tx txId="$id" namespace="$ns" readsOnCommitTime="${t.version}"/>""")

@@ -312,10 +312,13 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(rows.map(_.getLong(1)).toSet.subsetOf(seedIds))
     assert(rows.forall(r => r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9))
-    // both assignment fanouts broadcast the centroid book — the corpus
-    // never shuffles for the argmax
+    // the reassignment is a single map-side pass over the corpus with
+    // the centroid book in a broadcast variable: NO join, NO exchange,
+    // no N·K row fanout (the crossJoin+argmax shape this replaced was
+    // measured quadratic at the 100× probe)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
   test("bloom_might_contain: no false negatives, fpp in range, codegen + interpreted agree") {

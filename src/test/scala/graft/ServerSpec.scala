@@ -427,6 +427,17 @@ class ServerSpec extends AnyFunSuite {
         "<urn:graft:x:t2> <urn:graft:note> \"b\" .", "application/n-triples")
       assert(ins.statusCode() == 200 && ins.body().contains("""staged="true""""))
       assert(count() == 0, "staged writes must be invisible before commit")
+      // …but the tx's OWN queries see them (read-your-writes): both
+      // the staged update and the staged data POST, in order
+      val inTx = post(srv.address + s"/sparql?tx=$tx",
+        "SELECT ?s WHERE { ?s <urn:graft:note> ?o }", "application/sparql-query")
+      assert(inTx.statusCode() == 200, inTx.body())
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, inTx.body()).count() == 2,
+        inTx.body())
+      // an unknown tx id on a query is loud, not silently latest-head
+      assert(post(srv.address + "/sparql?tx=nope",
+        "SELECT ?s WHERE { ?s ?p ?o }", "application/sparql-query")
+        .statusCode() == 400)
       // commit lands BOTH as one commit point
       val c = post(srv.address + s"/tx/$tx/commit", "", "text/plain")
       assert(c.statusCode() == 200 && c.body().contains("committed="), c.body())

@@ -128,7 +128,7 @@ object Bench {
     "pipeline_kmeans" -> 1.12, "dedup_substring" -> 0.93,
     "dedup_incremental" -> 1.14, "dedup_semantic" -> 3.0,
     "text_classify" -> 0.23, "pipeline_shard" -> 0.11,
-    "emb_quantize" -> 0.22,
+    "emb_quantize" -> 0.22, "ann_pq" -> 2.2,
     "pipeline_sample" -> 0.32, "q1_agg" -> 0.32,
     "rdfs_closure" -> 1.64, "rdfs_incremental" -> 1.71,
     "rdfs_retract" -> 3.54, "rdr_annotation" -> 0.81,

@@ -410,6 +410,118 @@ object Ann {
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Product-quantization ANN (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", 2011) — the third scale path next
+    * to LSH bucketing and the IVF coarse quantizer, and the one with
+    * the smallest index: each corpus vector compresses to `subspaces`
+    * code indexes (8 bytes here vs 256 for the raw floats).
+    *
+    *  - Codebook: the `dim/subspaces`-dim sub-vectors of the first
+    *    `codesPerSub` deterministic seeds (lowest vec_id % seedMod ==
+    *    0, the IVF/kmeans seed convention) — driver-collected,
+    *    vocabulary-sized.
+    *  - Encode (map-only typed pass, no shuffle): per subspace, the
+    *    code index minimizing exact L2 distance (ties → lower index).
+    *  - Search: asymmetric distance (ADC) — each query precomputes a
+    *    subspaces×codesPerSub distance table (exact ‖q_s − c_s‖²);
+    *    scoring a corpus vector is `subspaces` table lookups, never a
+    *    float-vector read. Scoring shuffles (q_id, n_id, adist) only.
+    *
+    * Approximate by design (like ann_lsh): ranks by quantized
+    * distance. The oracle replays codebook, encoding, tie-breaks and
+    * ADC bit-for-bit, so results are deterministic-exact vs DuckDB;
+    * recall vs exact cosine is reported by PipelineSpec, not claimed.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             subspaces: Int = 8, codesPerSub: Int = 16,
+             seedMod: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // codebook: codesPerSub seed vectors, ascending vec_id → code index
+    val seedRows = corpus.filter(col("vec_id") % seedMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(codesPerSub)
+      .as[(Long, Seq[Float])].collect()
+    require(seedRows.length == codesPerSub,
+      s"pqTopK: need $codesPerSub seeds (vec_id % $seedMod == 0), got ${seedRows.length}")
+    val dim = seedRows.head._2.length
+    require(dim % subspaces == 0, s"pqTopK: $dim dims not divisible by $subspaces")
+    val subDim = dim / subspaces
+    // codebook(s)(c)(d): subspace s, code c, component d — exact
+    // float→double
+    val codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(subspaces, codesPerSub, subDim) { (s, c, d) =>
+        seedRows(c)._2(s * subDim + d).toDouble
+      }
+    val bcBook = spark.sparkContext.broadcast(codebook)
+    // corpus encode: one typed pass → (n_id, codes[subspaces])
+    val encoded = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val book = bcBook.value
+        it.map { case (id, emb) =>
+          val codes = new Array[Int](subspaces)
+          var s = 0
+          while (s < subspaces) {
+            var bestD = Double.PositiveInfinity; var bestC = 0
+            var c = 0
+            while (c < codesPerSub) {
+              val cs = book(s)(c)
+              var d2 = 0.0; var d = 0
+              while (d < subDim) {
+                val diff = emb(s * subDim + d).toDouble - cs(d)
+                d2 += diff * diff; d += 1
+              }
+              if (d2 < bestD) { bestD = d2; bestC = c }   // tie → lower index
+              c += 1
+            }
+            codes(s) = bestC; s += 1
+          }
+          (id, codes.toSeq)
+        }
+      }
+    // per-query ADC tables: |Q| × subspaces × codesPerSub doubles
+    val qTabs: Map[Long, Array[Double]] = queries
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect()
+      .map { case (qid, qe) =>
+        val tab = new Array[Double](subspaces * codesPerSub)
+        var s = 0
+        while (s < subspaces) {
+          var c = 0
+          while (c < codesPerSub) {
+            val cs = bcBook.value(s)(c)
+            var d2 = 0.0; var d = 0
+            while (d < subDim) {
+              val diff = qe(s * subDim + d).toDouble - cs(d)
+              d2 += diff * diff; d += 1
+            }
+            tab(s * codesPerSub + c) = d2; c += 1
+          }
+          s += 1
+        }
+        qid -> tab
+      }.toMap
+    val bcTabs = spark.sparkContext.broadcast(qTabs.toSeq.sortBy(_._1))
+    // score: subspaces lookups per (query, corpus) pair, map-only
+    val scored = encoded.mapPartitions { it =>
+      val tabs = bcTabs.value
+      it.flatMap { case (nId, codes) =>
+        tabs.iterator.collect { case (qId, tab) if qId != nId =>
+          var adist = 0.0; var s = 0
+          while (s < subspaces) {
+            adist += tab(s * codesPerSub + codes(s)); s += 1
+          }
+          (qId, nId, adist)
+        }
+      }
+    }.toDF("q_id", "n_id", "adist")
+    val w = Window.partitionBy("q_id").orderBy(col("adist"), col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("adist"), 6).as("adist"), col("rank"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embedding space coarsely, then prune pairwise WITHIN clusters —
     * cosine ≥ tau against a lower-id cluster-mate marks a vector as a

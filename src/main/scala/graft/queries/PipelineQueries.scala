@@ -161,6 +161,12 @@ object PipelineQueries {
     // int8 symmetric quantization digests per embedding
     "emb_quantize" -> ((s, dir) =>
       Ann.quantizeInt8(embs(s, dir)).orderBy("vec_id")),
+
+    // product-quantization ANN: 8 subspaces × 16 codes, ADC ranking
+    "ann_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.pqTopK(e.filter(col("vec_id") < 10), e, 5).orderBy("q_id", "rank")
+    }),
   )
 
   private val shingleCte =
@@ -632,6 +638,39 @@ object PipelineQueries {
          |SELECT doc_id, skey % 8 AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS pos
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    // replays pqTopK: 16-seed codebook (ascending vec_id → code index),
+    // per-subspace L2 argmin encode (ties → lower index), ADC scoring
+    // summed in subspace order (list(… ORDER BY s) keeps the fold
+    // sequential like the JVM kernel — bare SUM() has no order)
+    "ann_pq" ->
+      """WITH seeds AS (
+        |  SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cix
+        |  FROM embeddings WHERE vec_id % 16 = 0 ORDER BY vec_id LIMIT 16),
+        |sub AS (SELECT unnest(range(0, 8)) AS s),
+        |enc AS (
+        |  SELECT vec_id, s, cix FROM (
+        |    SELECT e.vec_id, sub.s, sd.cix,
+        |      list_sum(list_transform(range(1, 9), d ->
+        |        (CAST(e.embedding[sub.s * 8 + d] AS DOUBLE) - CAST(sd.embedding[sub.s * 8 + d] AS DOUBLE))
+        |        * (CAST(e.embedding[sub.s * 8 + d] AS DOUBLE) - CAST(sd.embedding[sub.s * 8 + d] AS DOUBLE)))) AS d2
+        |    FROM embeddings e CROSS JOIN sub CROSS JOIN seeds sd)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cix) = 1),
+        |qt AS (
+        |  SELECT q.vec_id AS q_id, sub.s, sd.cix,
+        |    list_sum(list_transform(range(1, 9), d ->
+        |      (CAST(q.embedding[sub.s * 8 + d] AS DOUBLE) - CAST(sd.embedding[sub.s * 8 + d] AS DOUBLE))
+        |      * (CAST(q.embedding[sub.s * 8 + d] AS DOUBLE) - CAST(sd.embedding[sub.s * 8 + d] AS DOUBLE)))) AS d2
+        |  FROM embeddings q CROSS JOIN sub CROSS JOIN seeds sd WHERE q.vec_id < 10),
+        |ad AS (
+        |  SELECT qt.q_id, enc.vec_id AS n_id, list_sum(list(qt.d2 ORDER BY qt.s)) AS adist
+        |  FROM qt JOIN enc ON qt.s = enc.s AND qt.cix = enc.cix
+        |  WHERE qt.q_id <> enc.vec_id GROUP BY 1, 2)
+        |SELECT q_id, n_id, ROUND(adist, 6) AS adist, rank FROM (
+        |  SELECT q_id, n_id, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank
+        |  FROM ad) WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
     "emb_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,

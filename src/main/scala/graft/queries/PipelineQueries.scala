@@ -167,6 +167,12 @@ object PipelineQueries {
       val e = embs(s, dir)
       Ann.pqTopK(e.filter(col("vec_id") < 10), e, 5).orderBy("q_id", "rank")
     }),
+
+    // streaming near-dup gate: simhash banded state across 3
+    // micro-batches; doc flagged iff an earlier (smaller-id) doc is
+    // within Hamming 3 — batching-invariant, replayed by a batch oracle
+    "stream_neardup" -> ((s, dir) =>
+      graft.operators.NearDup.run(s, docs(s, dir)).orderBy("doc_id")),
   )
 
   private val shingleCte =
@@ -638,6 +644,31 @@ object PipelineQueries {
          |SELECT doc_id, skey % 8 AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) AS pos
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    // replays the streaming near-dup gate in batch: same simhash CTEs
+    // as dedup_simhash; is_dup ⇔ ∃ smaller-id doc within Hamming 3
+    // (order by doc_id, not arrival — the batching-invariance contract)
+    "stream_neardup" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS fs
+        |        FROM w WHERE len(ws) >= 3),
+        |t AS (SELECT doc_id, unnest(fs) AS tok FROM shs),
+        |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS h FROM t),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN (h * (2*b + 3) + b) % 1000000007 > 500000003 THEN 1 ELSE -1 END) AS sgn
+        |         FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN
+        |           CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+        |         ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |dups AS (SELECT DISTINCT y.doc_id
+        |         FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |           AND bit_count(xor(x.simhash, y.simhash)) <= 3)
+        |SELECT sh.doc_id, sh.doc_id IN (SELECT doc_id FROM dups) AS is_dup
+        |FROM sh ORDER BY doc_id""".stripMargin,
 
     // replays pqTopK: 16-seed codebook (ascending vec_id → code index),
     // per-subspace L2 argmin encode (ties → lower index), ADC scoring

@@ -473,6 +473,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap.sum >= overlap.size, s"PQ found no true neighbors: $overlap")
   }
 
+  test("cosinePairs kernel equals exact all-pairs on randomized corpora (dups, ties, noise)") {
+    val spark2 = spark; import spark2.implicits._
+    for (seed <- Seq(7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Array.fill(40)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+      val rows = (0 until 160).map { i =>
+        val v =
+          if (i < 40) base(i)                                          // originals
+          else if (i < 80) base(i - 40).map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f) // near-dups
+          else if (i < 100) base(i - 80).clone()                       // exact dups (cos=1 ties)
+          else Array.fill(64)(rnd.nextFloat() * 2 - 1)                 // background
+        (i.toLong, v.toSeq)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val got = graft.pipeline.Ann.cosinePairs(df, 0.45).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // driver-side exact reference with the kernel's arithmetic
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < 64) {
+          d += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val exact = (for {
+        i <- rows.indices; j <- (i + 1) until rows.length
+        c = cos(rows(i)._2, rows(j)._2) if c >= 0.45
+      } yield (i.toLong, j.toLong) -> c).toMap
+      // no spurious pairs, values exact
+      got.foreach { case (k, v) =>
+        assert(exact.contains(k), s"seed $seed: spurious pair $k")
+        assert(v == math.rint(exact(k) * 1e6) / 1e6 ||
+               math.abs(v - exact(k)) < 1e-6)
+      }
+      // full recall away from the LSH boundary band (≥ 0.5 here —
+      // the scaladoc'd boundary-miss regime is below that)
+      exact.filter(_._2 >= 0.5).keys.foreach { k =>
+        assert(got.contains(k), s"seed $seed: missed clear pair $k (cos=${exact(k)})")
+      }
+      assert(exact.exists(_._2 >= 0.9), "corpus should contain planted near-dups")
+    }
+  }
+
+  test("streaming near-dup: batching-invariant, matches the batch pair set") {
+    val one = graft.operators.NearDup.run(spark, docs, splits = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val three = graft.operators.NearDup.run(spark, docs, splits = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(one == three, "verdicts must not depend on micro-batch boundaries")
+    // batch ground truth: b of every simhashPairs (a < b) pair is a dup
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val expectedDups = pairs.map(_._2).toSet
+    assert(three.filter(_._2).keySet == expectedDups)
+  }
+
   test("quantizeInt8: reconstruction within half a step, digests consistent") {
     val digs = graft.pipeline.Ann.quantizeInt8(embs).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap

@@ -591,4 +591,52 @@ object Ann {
       .select(col("vec_id"), round(col("scale"), 6).as("qscale"),
         col("q_checksum"), col("n_sat"))
   }
+
+  /** Johnson–Lindenstrauss random projection digests: project each
+    * 64-dim embedding to `outDim` dims with a deterministic ±1 sign
+    * matrix (Achlioptas 2003 — database-friendly random projections),
+    * scaled by 1/√outDim so distances are preserved in expectation.
+    * Emitted per vector: projected L2 norm, argmax output dimension
+    * (first-max tie-break), and a position-weighted checksum — the
+    * digests downstream dedup/ANN would key on after reduction.
+    *
+    * The sign matrix is IMPLICIT — s(j,d) = +1 iff
+    * ((j·64+d)·2654435761) mod 1000003 is even — so nothing is
+    * broadcast and the pass is map-only at scan speed (the oracle
+    * replays the Knuth-hash signs exactly). Inner sums run d-ascending
+    * in float→double promotion, the [[FloatDot]] arithmetic-parity
+    * convention. Null/empty embeddings drop. */
+  def randomProject(vectors: DataFrame, outDim: Int = 16): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        if (emb == null || emb.isEmpty) None
+        else {
+          val x = emb.toArray
+          val y = Array.tabulate(outDim) { j =>
+            var s = 0.0
+            var d = 0
+            while (d < x.length) {
+              val sign = if (((j.toLong * 64 + d) * 2654435761L % 1000003L) % 2 == 0) 1.0 else -1.0
+              s += x(d).toDouble * sign
+              d += 1
+            }
+            s / math.sqrt(outDim.toDouble)
+          }
+          var norm2 = 0.0; var checksum = 0.0; var amax = 0
+          var j = 0
+          while (j < outDim) {
+            norm2 += y(j) * y(j)
+            checksum += (j + 1) * y(j)
+            if (y(j) > y(amax)) amax = j
+            j += 1
+          }
+          Some((id, math.sqrt(norm2), amax.toLong, checksum))
+        }
+      }
+      .toDF("vec_id", "raw_norm", "p_argmax", "raw_checksum")
+      .select(col("vec_id"), round(col("raw_norm"), 4).as("p_norm"),
+        col("p_argmax"), round(col("raw_checksum"), 4).as("p_checksum"))
+  }
 }

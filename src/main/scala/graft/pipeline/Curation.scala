@@ -103,6 +103,63 @@ object Curation {
       .agg(countDistinct(col("g")).as("n_shared"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * doc by how target-domain-like its hashed-unigram profile is —
+    * weight(doc) = Σ_tokens ln p̂_target(bucket) − ln p̂_raw(bucket),
+    * with add-1 smoothing over `buckets` feature-hash buckets. Docs
+    * with high weight are what importance resampling keeps when
+    * curating toward a target domain (the step between raw crawl and
+    * the mixture sampler above).
+    *
+    * Scale shape: the bucket profiles are ONE aggregation over the
+    * token stream (buckets-sized result — 256 rows here), collected
+    * and broadcast as a plain log-ratio array; scoring is then a
+    * map-only typed pass (tokenize once, sum lr[hash(tok) % B] in
+    * token order) — the token stream is never joined or re-shuffled,
+    * so at 100 TB the profile build is the only shuffle and it carries
+    * ≤ `buckets` rows per map task. The [[graft.pipeline.Ann]]
+    * assignToBook lesson applied to scoring: vocabulary-sized
+    * reference tables ride a broadcast variable into a typed map, not
+    * a join. Zero-token docs drop (they have no profile to score). */
+  def dsirWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                  buckets: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"), isTarget.as("tgt"),
+        explode(Dedup.words(col("text"))).as("t"))
+      .select(col("tgt"),
+        pmod(graft.functions.PolyHash.polyhash(col("t")), lit(buckets.toLong)).as("bk"))
+    val prof = toks.groupBy("bk")
+      .agg(count(when(col("tgt"), 1)).as("tc"), count(lit(1)).as("rc"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+    val tTot = prof.map(_._2).sum.toDouble
+    val rTot = prof.map(_._3).sum.toDouble
+    val lr = Array.tabulate(buckets) { b =>
+      val (tc, rc) = prof.find(_._1 == b).map(p => (p._2, p._3)).getOrElse((0L, 0L))
+      math.log((tc + 1.0) / (tTot + buckets)) - math.log((rc + 1.0) / (rTot + buckets))
+    }
+    val lrB = spark.sparkContext.broadcast(lr)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
+        val ws = t.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (ws.isEmpty) None
+        else {
+          val table = lrB.value
+          var w = 0.0
+          ws.foreach { tok =>
+            val b = (graft.functions.PolyHash.hash(
+              tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % buckets).toInt
+            w += table(b)
+          }
+          Some((id, ws.length.toLong, w))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "raw_w")
+      .select(col("doc_id"), col("n_tokens"), round(col("raw_w"), 4).as("dsir_weight"))
+  }
+
   /** Deterministic training-order shuffle + sharding: each doc gets a
     * reproducible pseudo-random sort key (seeded polynomial hash of
     * its id), a shard (key mod `shards`), and its position within the

@@ -222,6 +222,38 @@ object TextAnalysis {
         floor((col("cum") - col("n_tokens")) / tokensPerPack).as("pack_id"))
   }
 
+  /** BPE merge-candidate table (Sennrich et al. 2016): the first round
+    * of byte-pair-encoding tokenizer training — corpus-wide counts of
+    * adjacent character pairs, ranked by frequency. The top-ranked
+    * pair is the first merge a BPE trainer would apply; the full
+    * ranked table is the trainer's working set.
+    *
+    * Scale shape — the classic BPE trick: pair counting runs over the
+    * DISTINCT-WORD table weighted by word frequency, never over corpus
+    * positions. The one corpus-wide shuffle is the vocabulary build
+    * (word → count, vocabulary-sized); pair extraction then fans out
+    * per distinct word, and the pair aggregate is bounded by
+    * |charset|² rows (~1.3k for [a-z0-9]) regardless of corpus size —
+    * so the final rank window runs over a charset²-bounded table, not
+    * data-sized (the single-partition window is safe by construction).
+    * Pairs count occurrences within a word (not distinct), matching
+    * BPE's merge-frequency semantics. */
+  def bpePairCounts(docs: DataFrame, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val pairs = vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("f").as("cnt"))
+    pairs
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("pair", "cnt", "rank")
+  }
+
   /** Hashed linear text classifier (the fastText-style quality/domain
     * gate of a curation pipeline): tokens hash into `dim` buckets
     * (feature hashing, Weinberger et al. 2009), each bucket carries a

@@ -173,6 +173,21 @@ object PipelineQueries {
     // within Hamming 3 — batching-invariant, replayed by a batch oracle
     "stream_neardup" -> ((s, dir) =>
       graft.operators.NearDup.run(s, docs(s, dir)).orderBy("doc_id")),
+
+    // DSIR importance weights toward a target domain (sources 0-3):
+    // hashed-unigram log-ratio profile, broadcast table + map-only score
+    "pipeline_dsir" -> ((s, dir) =>
+      graft.pipeline.Curation.dsirWeights(docs(s, dir),
+        col("source").isin("src0", "src1", "src2", "src3")).orderBy("doc_id")),
+
+    // BPE tokenizer training, round 1: ranked adjacent-char-pair counts
+    // over the frequency-weighted distinct-word table
+    "tokenize_bpe" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(docs(s, dir)).orderBy("rank")),
+
+    // Johnson-Lindenstrauss ±1 random projection digests (64 → 16 dims)
+    "emb_project" -> ((s, dir) =>
+      Ann.randomProject(embs(s, dir)).orderBy("vec_id")),
   )
 
   private val shingleCte =
@@ -669,6 +684,50 @@ object PipelineQueries {
         |           AND bit_count(xor(x.simhash, y.simhash)) <= 3)
         |SELECT sh.doc_id, sh.doc_id IN (SELECT doc_id FROM dups) AS is_dup
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // replays dsirWeights: 256-bucket hashed-unigram profiles with
+    // add-1 smoothing; target = sources 0-3; weight = Σ ln(pt/pr)
+    "pipeline_dsir" ->
+      s"""WITH w AS (SELECT doc_id, source IN ('src0','src1','src2','src3') AS tgt,
+         |            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+         |tok AS (SELECT doc_id, tgt, unnest(ws) AS t FROM w),
+         |bk AS (SELECT doc_id, tgt, ${polyhashSql("t")} % 256 AS b FROM tok),
+         |prof AS (SELECT b, CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS tc,
+         |           CAST(COUNT(*) AS DOUBLE) AS rc FROM bk GROUP BY b),
+         |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM prof),
+         |lr AS (SELECT b, ln((tc + 1.0) / (tt + 256.0)) - ln((rc + 1.0) / (rt + 256.0)) AS lr
+         |       FROM prof CROSS JOIN tot),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(lr.lr) AS raw_w
+         |       FROM bk JOIN lr ON bk.b = lr.b GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, ROUND(raw_w, 4) AS dsir_weight FROM sc ORDER BY doc_id""".stripMargin,
+
+    // replays bpePairCounts: frequency-weighted distinct-word table →
+    // adjacent char-pair occurrence counts → (cnt desc, pair) rank
+    "tokenize_bpe" ->
+      """WITH w AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |v AS (SELECT unnest(ws) AS wd FROM w),
+        |vc AS (SELECT wd, COUNT(*) AS f FROM v GROUP BY wd),
+        |p AS (SELECT unnest(list_transform(range(1, len(wd)), i -> substr(wd, CAST(i AS INTEGER), 2))) AS pair, f
+        |      FROM vc WHERE len(wd) >= 2),
+        |a AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM p GROUP BY pair),
+        |r AS (SELECT pair, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank FROM a)
+        |SELECT pair, cnt, rank FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // replays randomProject: implicit Knuth-hash ±1 sign matrix,
+    // d-ascending float→double dot, 1/√16 scale; argmax first-max
+    "emb_project" ->
+      """WITH dims AS (SELECT unnest(range(0, 16)) AS j),
+        |y AS (SELECT vec_id, j,
+        |        list_sum(list_transform(range(1, 65), d ->
+        |          CAST(embedding[d] AS DOUBLE) *
+        |          (CASE WHEN (((j*64 + (d-1)) * 2654435761) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)))
+        |        / sqrt(16.0) AS yj
+        |      FROM embeddings CROSS JOIN dims WHERE len(embedding) > 0),
+        |agg AS (SELECT vec_id, ROUND(sqrt(SUM(yj*yj)), 4) AS p_norm,
+        |          ROUND(SUM((j+1)*yj), 4) AS p_checksum FROM y GROUP BY vec_id),
+        |am AS (SELECT vec_id, CAST(j AS BIGINT) AS p_argmax FROM y
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY yj DESC, j) = 1)
+        |SELECT vec_id, p_norm, p_argmax, p_checksum FROM agg JOIN am USING (vec_id) ORDER BY vec_id""".stripMargin,
 
     // replays pqTopK: 16-seed codebook (ascending vec_id → code index),
     // per-subspace L2 argmin encode (ties → lower index), ADC scoring

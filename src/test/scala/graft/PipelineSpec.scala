@@ -532,6 +532,75 @@ class PipelineSpec extends AnyFunSuite {
     assert(three.filter(_._2).keySet == expectedDups)
   }
 
+  test("dsir: target-domain docs score higher; weights are finite and token-scaled") {
+    val spark2 = spark; import spark2.implicits._
+    val isTgt = col("source").isin("src0", "src1", "src2", "src3")
+    val w = graft.pipeline.Curation.dsirWeights(docs, isTgt)
+      .join(docs.select(col("doc_id"), isTgt.as("tgt")), "doc_id")
+      .select("doc_id", "n_tokens", "dsir_weight", "tgt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(w.nonEmpty && w.forall(x => !x._3.isNaN && !x._3.isInfinite))
+    // importance weights separate the domains ON AVERAGE: the target
+    // sources' mean per-token weight must exceed the non-targets'
+    val perTok = w.map(x => (x._4, x._3 / x._2))
+    val tMean = perTok.filter(_._1).map(_._2).sum / perTok.count(_._1)
+    val rMean = perTok.filterNot(_._1).map(_._2).sum / perTok.count(!_._1)
+    assert(tMean > rMean,
+      s"target mean per-token weight $tMean should exceed non-target $rMean")
+    // synthetic separation check: a corpus whose target half uses a
+    // disjoint vocabulary must rank every target doc above every raw doc
+    val synth = (0 until 40).map { i =>
+      val txt = if (i < 20) s"alpha beta gamma delta tok$i" else s"omega psi chi phi tok$i"
+      (i.toLong, txt, "en", if (i < 20) "tgt" else "bg", txt.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sw = graft.pipeline.Curation.dsirWeights(synth, col("source") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val minTgt = (0 until 20).map(i => sw(i.toLong)).min
+    val maxBg = (20 until 40).map(i => sw(i.toLong)).max
+    assert(minTgt > maxBg, s"disjoint-vocab target docs must dominate: $minTgt vs $maxBg")
+  }
+
+  test("bpe pair counts: rank 1 is the corpus' most frequent adjacent pair, counts exact") {
+    val spark2 = spark; import spark2.implicits._
+    val got = TextAnalysis.bpePairCounts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 50 && got.map(_._3).toSeq == (1L to 50L))
+    // driver-side exact recount on the same tokenization
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    docs.select("text").as[String].collect().foreach { t =>
+      t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+        .foreach { w =>
+          var i = 0
+          while (i < w.length - 1) {
+            counts(w.substring(i, i + 2)) =
+              counts.getOrElse(w.substring(i, i + 2), 0L) + 1
+            i += 1
+          }
+        }
+    }
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(50)
+    assert(got.sortBy(_._3).map(x => (x._1, x._2)).toSeq == want)
+  }
+
+  test("random projection: JL distance preservation in expectation, digests deterministic") {
+    val a = Ann.randomProject(embs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    val b = Ann.randomProject(embs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(a == b, "projection must be deterministic across runs")
+    assert(a.values.forall(v => v._2 >= 0 && v._2 < 16))
+    // JL: projected norm concentrates around the original norm —
+    // check the mean ratio is within 20% (unbiased in expectation)
+    val spark2 = spark; import spark2.implicits._
+    val orig = embs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (id, e) =>
+        id -> math.sqrt(e.map(x => x.toDouble * x.toDouble).sum)
+      }.toMap
+    val ratios = a.collect { case (id, (pn, _, _)) if orig(id) > 0 => pn / orig(id) }
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.2, s"mean norm ratio $mean should be ~1")
+  }
+
   test("quantizeInt8: reconstruction within half a step, digests consistent") {
     val digs = graft.pipeline.Ann.quantizeInt8(embs).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap

@@ -429,6 +429,22 @@ object EngineQueries {
         .orderBy("user_id", "sess_idx")
     }),
 
+    // as-of join: each click picks up the latest at-or-before view of
+    // the same user — one key shuffle + sorted carry-forward, never a
+    // ts-range pair explosion (see AsofJoin scaladoc)
+    "events_asof" -> ((s, dir) => {
+      val ev = TpchRdf.tsNanos(TpchRdf.table(s, dir, "events"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"),
+          col("value").as("view_value"))
+      graft.operators.AsofJoin.leftAsof(clicks, views, "user_id", "ts",
+          "view_event_id", Seq("view_event_id", "view_value"))
+        .select("event_id", "user_id", "value", "view_event_id", "view_value")
+        .orderBy("event_id")
+    }),
+
     "events_sessionize" -> ((s, dir) => {
       val ev = TpchRdf.tsNanos(TpchRdf.table(s, dir, "events")) // ts as ns-epoch long
       graft.operators.Sessionize.byGap(ev, 30L * 60 * 1000000000L)
@@ -1135,6 +1151,18 @@ object EngineQueries {
     // identical result contract for the batch and streaming variants
     "stream_sessionize" -> sessionizeSql,
     "events_sessionize" -> sessionizeSql,
+
+    // replays leftAsof: per click, the view with max (ts, event_id)
+    // at-or-before the click's ts for the same user
+    "events_asof" ->
+      """SELECT l.event_id, l.user_id, l.value, v.view_event_id, v.view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS view_event_id, r.value AS view_value
+        |  FROM events r
+        |  WHERE r.event_type = 'view' AND r.user_id = l.user_id AND r.ts <= l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) v ON true
+        |ORDER BY event_id""".stripMargin,
 
     "stream_enrich" ->
       """SELECT 'n:'||CAST(c_nationkey AS VARCHAR) AS nation, COUNT(*) AS n_events,

@@ -1021,4 +1021,31 @@ class EngineSpec extends AnyFunSuite {
     val g2 = g1.update(s"LOAD <file://$ttl>")
     assert(g2.query("""SELECT ?s WHERE { ?s label "turtle" }""").count() == 1)
   }
+
+  test("asof join: latest at-or-before match, ties by ord, NULL when none; one exchange, no join") {
+    val left = Seq(
+      (100L, 10L, 1L, "l10"),  // matches r at ts=10 (same instant wins)
+      (101L, 15L, 1L, "l15"),  // matches the later of the two ts=12 rows
+      (102L, 5L, 1L, "l5"),    // before every right row -> NULL
+      (103L, 99L, 2L, "l99")   // key with no right rows at all -> NULL
+    ).toDF("event_id", "ts", "user_id", "tag")
+    val right = Seq(
+      (1L, 10L, 1L, "r10"),
+      (2L, 12L, 1L, "r12a"),
+      (3L, 12L, 1L, "r12b")    // same ts, larger ord -> wins
+    ).toDF("r_id", "ts", "user_id", "r_tag")
+    val out = graft.operators.AsofJoin.leftAsof(left, right, "user_id", "ts",
+        "r_id", Seq("r_id", "r_tag")).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(out(100L) == ((Some(1L), Some("r10"))))
+    assert(out(101L) == ((Some(3L), Some("r12b"))))
+    assert(out(102L) == ((None, None)))
+    assert(out(103L) == ((None, None)))
+    // scale shape: a single key-partition exchange, zero join operators
+    val plan = graft.operators.AsofJoin.leftAsof(left, right, "user_id", "ts",
+      "r_id", Seq("r_id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof must not plan a join:\n$plan")
+    assert("hashpartitioning".r.findAllIn(plan).size <= 2, // pre-AQE + reuse
+      s"asof should shuffle once on the key:\n$plan")
+  }
 }

@@ -222,6 +222,52 @@ object TextAnalysis {
         floor((col("cum") - col("n_tokens")) / tokensPerPack).as("pack_id"))
   }
 
+  /** Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003
+    * — the MOSS algorithm): select a position-attributed subset of
+    * k-gram hashes such that any shared substring of length ≥ k+w−1
+    * between two docs is guaranteed to share a fingerprint. Per doc:
+    * char k-gram rolling hashes over the normalized text, then each
+    * sliding window of w hashes selects its minimum (ties → the
+    * RIGHTMOST minimal position — the "robust" rule that keeps
+    * fingerprint density ~2/(w+1)); consecutive windows re-selecting
+    * the same (pos, hash) dedupe. Docs shorter than one window emit
+    * the single whole-text selection; docs shorter than k emit none.
+    *
+    * Map-only typed pass (tokenize-free: the hash array and the
+    * window scan live entirely in one row's computation) — at 100 TB
+    * this is scan-speed and emits ~n/w·2 fingerprint rows per doc,
+    * the compact unit downstream plagiarism/overlap joins key on.
+    * All-integer arithmetic: the oracle replays it exactly, no float
+    * policy needed. */
+  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = (if (text == null) "" else text)
+          .toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ")
+        if (t.length < k) Iterator.empty
+        else {
+          val n = t.length - k + 1
+          val h = Array.tabulate(n)(i => graft.functions.PolyHash.hash(
+            t.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          val sel = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+          var j = 0
+          val lastStart = math.max(0, n - w)
+          while (j <= lastStart) {
+            val end = math.min(j + w, n) // short final corpus handled by clamp
+            var m = h(j); var mp = j
+            var p = j + 1
+            while (p < end) { if (h(p) <= m) { m = h(p); mp = p }; p += 1 }
+            sel += (((mp + 1).toLong, m)) // 1-based pos, SQL substr convention
+            j += 1
+          }
+          sel.iterator.map { case (pos, fp) => (id, pos, fp) }
+        }
+      }
+      .toDF("doc_id", "pos", "fp")
+  }
+
   /** BPE merge-candidate table (Sennrich et al. 2016): the first round
     * of byte-pair-encoding tokenizer training — corpus-wide counts of
     * adjacent character pairs, ranked by frequency. The top-ranked

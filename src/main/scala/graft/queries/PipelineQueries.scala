@@ -188,6 +188,11 @@ object PipelineQueries {
     // Johnson-Lindenstrauss ±1 random projection digests (64 → 16 dims)
     "emb_project" -> ((s, dir) =>
       Ann.randomProject(embs(s, dir)).orderBy("vec_id")),
+
+    // robust winnowing fingerprints (MOSS): rightmost-min of each
+    // 4-window over char 5-gram hashes — all-integer, exact oracle
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(docs(s, dir)).orderBy("doc_id", "pos")),
   )
 
   private val shingleCte =
@@ -728,6 +733,22 @@ object PipelineQueries {
         |am AS (SELECT vec_id, CAST(j AS BIGINT) AS p_argmax FROM y
         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY yj DESC, j) = 1)
         |SELECT vec_id, p_norm, p_argmax, p_checksum FROM agg JOIN am USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    // replays winnow: 5-gram polyhashes over normalized text, each
+    // 4-window keeps its rightmost minimum (list_reverse+position),
+    // DISTINCT collapses re-selections — integer-exact
+    "text_winnow" ->
+      s"""WITH g AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS s FROM documents),
+         |h AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |        ${polyhashSql("substr(s, CAST(i AS INTEGER), 5)")} AS hv
+         |      FROM g, unnest(range(1, len(s) - 3)) AS t(i) WHERE len(s) >= 5),
+         |hl AS (SELECT doc_id, list(hv ORDER BY pos) AS l FROM h GROUP BY doc_id),
+         |wins AS (SELECT doc_id, l, unnest(range(1, greatest(1, len(l) - 3) + 1)) AS j FROM hl),
+         |sel AS (SELECT doc_id,
+         |          CAST(j + len(l[j:j+3]) - list_position(list_reverse(l[j:j+3]), list_min(l[j:j+3])) AS BIGINT) AS pos,
+         |          list_min(l[j:j+3]) AS fp
+         |        FROM wins)
+         |SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""".stripMargin,
 
     // replays pqTopK: 16-seed codebook (ascending vec_id → code index),
     // per-subspace L2 argmin encode (ties → lower index), ADC scoring

@@ -601,6 +601,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(mean - 1.0) < 0.2, s"mean norm ratio $mean should be ~1")
   }
 
+  test("winnowing: shared substrings >= k+w-1 guarantee a shared fingerprint; density ~2/(w+1)") {
+    val spark2 = spark; import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    def randTxt(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = "the quick brown fox jumps over it" // >> k+w-1 = 8 chars
+    val fixture = Seq(
+      (1L, randTxt(60) + " " + shared + " " + randTxt(60)),
+      (2L, randTxt(80) + " " + shared),
+      (3L, randTxt(120))).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    // the MOSS guarantee: docs 1 and 2 share the planted substring
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "docs sharing a >= k+w-1 substring must share a fingerprint")
+    // density: ~2/(w+1) of positions selected (robust winnowing bound)
+    val real = TextAnalysis.winnow(docs).collect()
+    val nPos = docs.select(sum(greatest(length(
+      regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")) - 4, lit(0))))
+      .collect()(0).getLong(0)
+    val density = real.length.toDouble / nPos
+    assert(density > 0.1 && density < 0.5, s"fingerprint density $density out of range")
+  }
+
   test("quantizeInt8: reconstruction within half a step, digests consistent") {
     val digs = graft.pipeline.Ann.quantizeInt8(embs).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap

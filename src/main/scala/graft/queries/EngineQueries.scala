@@ -445,6 +445,23 @@ object EngineQueries {
         .orderBy("event_id")
     }),
 
+    // interval join: per error event, the same user's clicks in the
+    // preceding 2 hours — bucketized equi-join, never a per-key
+    // cartesian (see RangeJoin scaladoc)
+    "events_range" -> ((s, dir) => {
+      val ev = TpchRdf.tsNanos(TpchRdf.table(s, dir, "events"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "ts", "user_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      graft.operators.RangeJoin.intervalJoin(errors, clicks, "user_id", "ts",
+          before = 7200L * 1000000000L, after = 0L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("click_value").cast("decimal(18,2)")).cast("double").as("click_sum"))
+        .orderBy("event_id")
+    }),
+
     "events_sessionize" -> ((s, dir) => {
       val ev = TpchRdf.tsNanos(TpchRdf.table(s, dir, "events")) // ts as ns-epoch long
       graft.operators.Sessionize.byGap(ev, 30L * 60 * 1000000000L)
@@ -1151,6 +1168,17 @@ object EngineQueries {
     // identical result contract for the batch and streaming variants
     "stream_sessionize" -> sessionizeSql,
     "events_sessionize" -> sessionizeSql,
+
+    // replays intervalJoin: inner range join, inclusive 2-hour
+    // look-back window per error event
+    "events_range" ->
+      """SELECT l.event_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        |  CAST(SUM(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE) AS click_sum
+        |FROM events l JOIN events r
+        |  ON l.event_type = 'error' AND r.event_type = 'click'
+        |  AND r.user_id = l.user_id
+        |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 7200 SECOND
+        |GROUP BY l.event_id ORDER BY l.event_id""".stripMargin,
 
     // replays leftAsof: per click, the view with max (ts, event_id)
     // at-or-before the click's ts for the same user

@@ -1022,6 +1022,44 @@ class EngineSpec extends AnyFunSuite {
     assert(g2.query("""SELECT ?s WHERE { ?s label "turtle" }""").count() == 1)
   }
 
+  test("range join: equals brute-force theta join incl. bin/window boundaries; equi-join plan") {
+    val rnd = new scala.util.Random(5)
+    // timestamps planted ON window edges, ON bin edges, and random
+    val lRows = (Seq(1000L, 2000L, 2600L) ++ Seq.fill(40)(rnd.nextLong(5000))).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts, (i % 3).toLong) }
+    val rRows = (Seq(400L, 1000L, 1800L, 2000L) ++ Seq.fill(60)(rnd.nextLong(5000))).zipWithIndex
+      .map { case (ts, i) => ((100 + i).toLong, ts, (i % 3).toLong, i * 1.5) }
+    val left = lRows.toDF("event_id", "ts", "user_id")
+    val right = rRows.toDF("r_id", "ts", "user_id", "v")
+    val (before, after) = (600L, 0L)
+    val got = graft.operators.RangeJoin.intervalJoin(left, right, "user_id", "ts", before, after)
+      .select("event_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (lid, lts, lk) <- lRows
+      (rid, rts, rk, _) <- rRows
+      if lk == rk && rts >= lts - before && rts <= lts + after
+    } yield (lid, rid)).toSet
+    assert(want.nonEmpty, "fixture should produce matches")
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+    // each pair exactly once (bin enumeration must not double-count)
+    val rows = graft.operators.RangeJoin.intervalJoin(left, right, "user_id", "ts", before, after)
+      .select("event_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.toSet.size, "pairs must meet exactly once")
+    // symmetric window crossing bin boundaries both ways
+    val sym = graft.operators.RangeJoin.intervalJoin(left, right, "user_id", "ts", 300L, 300L)
+      .select("event_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val symWant = (for {
+      (lid, lts, lk) <- lRows; (rid, rts, rk, _) <- rRows
+      if lk == rk && rts >= lts - 300L && rts <= lts + 300L
+    } yield (lid, rid)).toSet
+    assert(sym == symWant)
+    // scale shape: a partitioned equi-join, never nested-loop/cartesian
+    val plan = graft.operators.RangeJoin.intervalJoin(left, right, "user_id", "ts", before, after)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
   test("asof join: latest at-or-before match, ties by ord, NULL when none; one exchange, no join") {
     val left = Seq(
       (100L, 10L, 1L, "l10"),  // matches r at ts=10 (same instant wins)

@@ -69,6 +69,18 @@ object GasQueries {
     "gas_fuzzy_sssp" -> ((s, dir) =>
       Analytics.fuzzySssp(hierEdges(s, dir), Seq("r:0"), Seq("c:5", "c:7"), 100)
         .orderBy("depth", "node")),
+    // triangle counts over the supplier co-supply graph (suppliers
+    // joined by co-supplying an order — ≤ C(7,2) pairs per order, so
+    // edge building is linear in lineitem)
+    "gas_triangles" -> ((s, dir) => {
+      val li = TpchRdf.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sp"))
+      val co = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.sp") < col("y.sp"))
+        .select(concat(lit("s:"), col("x.sp").cast("string")).as("src"),
+          concat(lit("s:"), col("y.sp").cast("string")).as("dst"))
+      Analytics.triangleCounts(co).orderBy("node")
+    }),
   )
 
   /** PR oracle: 10 unrolled iterations (recursive CTEs can't aggregate
@@ -94,6 +106,19 @@ object GasQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // replays triangleCounts: canonical a<b co-supply edges, each
+    // triangle x<y<z enumerated once, per-node unnest
+    "gas_triangles" ->
+      """WITH co AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |            FROM lineitem x JOIN lineitem y
+        |              ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM co e1 JOIN co e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN co e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (SELECT unnest([x, y, z]) AS sk FROM tri)
+        |SELECT 's:'||CAST(sk AS VARCHAR) AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY sk ORDER BY node""".stripMargin,
+
     "gas_bfs" ->
       s"""WITH RECURSIVE $hierCte, b AS (
          |  SELECT 'r:0' AS node, 0 AS depth

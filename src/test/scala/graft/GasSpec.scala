@@ -79,4 +79,35 @@ class GasSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(got == expect)
   }
+
+  test("triangle counts: K4, attached star, dup/reversed edges collapse") {
+    import TestSpark.spark
+    import spark.implicits._
+    // K4 on a,b,c,d (each vertex in C(3,2)=3 triangles), a star at s
+    // (no triangles), duplicate + reversed edges that must collapse
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("b", "a"), ("c", "a"),             // reversed dups
+      ("a", "b"),                          // exact dup
+      ("s", "x"), ("s", "y"), ("s", "z"), // star: wedges but no closure
+      ("a", "a")                           // self-loop: dropped
+    ).toDF("src", "dst")
+    val got = Analytics.triangleCounts(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // brute-force cross-check on a random graph (n=12, p~0.4)
+    val rnd = new scala.util.Random(3)
+    val vs = ('a' to 'l').map(_.toString)
+    val ue = (for { i <- vs.indices; j <- (i + 1) until vs.length
+                    if rnd.nextDouble() < 0.4 } yield (vs(i), vs(j)))
+    val want = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val es = ue.toSet
+    for { i <- vs.indices; j <- (i + 1) until vs.length; k <- (j + 1) until vs.length
+          if es((vs(i), vs(j))) && es((vs(j), vs(k))) && es((vs(i), vs(k))) } {
+      want(vs(i)) += 1; want(vs(j)) += 1; want(vs(k)) += 1
+    }
+    val got2 = Analytics.triangleCounts(ue.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == want.toMap, s"got $got2 want $want")
+  }
 }

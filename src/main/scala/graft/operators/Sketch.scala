@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketches. The HyperLogLog here is fully
+  * DETERMINISTIC — the hash is md5-derived and every register/estimate
+  * step is exact integer or binary-fraction arithmetic — so the DuckDB
+  * oracle replays the whole sketch bit-for-bit (registers pinned by an
+  * integer checksum), unlike Spark's own `approx_count_distinct`
+  * whose HLL++ internals are not SQL-expressible.
+  */
+object Sketch {
+
+  /** HyperLogLog distinct-count estimate per group (Flajolet et al.
+    * 2007): 32-bit md5-derived hash, top `p` bits pick one of m=2^p
+    * registers, the register keeps the max leading-zero rank of the
+    * remaining 32−p bits; estimate = α_m·m²/Σ 2^−M[j] with the
+    * standard small-range linear-counting correction (V empty
+    * registers → m·ln(m/V)).
+    *
+    * Scale story — the reason sketches exist: the per-(group, bucket)
+    * `max(rank)` aggregate combines map-side, so each map task ships
+    * ≤ m register rows per group no matter how many values it saw;
+    * the value stream itself never shuffles. An exact
+    * `countDistinct` shuffles every distinct value; this shuffles
+    * 2^p · |groups| rows. Registers are exact integers and Σ 2^−M is
+    * a sum of exact binary fractions, so cross-engine drift is
+    * confined to the final α/ln arithmetic (4-dp policy). Returns
+    * (group, hll_est, n_empty, reg_checksum) where reg_checksum =
+    * Σ M[j]·(j+1) pins every register exactly. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+                  p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll: p must be in [4,16], got $p")
+    val m = 1 << p
+    val wBits = 32 - p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val h = conv(substring(md5(value.cast("string")), 1, 8), 16, 10).cast("long")
+    val w = h.bitwiseAND(lit((1L << wBits) - 1))
+    val gcols = groupCols.map(col)
+    val reg = df
+      .select((gcols :+ shiftright(h, wBits).as("bucket") :+
+        when(w === 0, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(w))).as("rank")): _*)
+      .groupBy((gcols :+ col("bucket")): _*)
+      .agg(max(col("rank")).as("M"))
+    val agg = reg.groupBy(gcols: _*)
+      .agg(sum(pow(lit(2.0), -col("M"))).as("s"),
+        count(lit(1)).as("nb"),
+        sum(col("M") * (col("bucket") + 1)).cast("long").as("reg_checksum"))
+      .withColumn("v", lit(m.toLong) - col("nb"))
+      .withColumn("e_raw", lit(alpha * m * m) / (col("s") + (lit(m.toLong) - col("nb"))))
+    agg.select((gcols :+
+      round(when(col("e_raw") <= 2.5 * m && col("v") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+        .otherwise(col("e_raw")), 4).as("hll_est") :+
+      col("v").as("n_empty") :+ col("reg_checksum")): _*)
+  }
+}

@@ -445,6 +445,16 @@ object EngineQueries {
         .orderBy("event_id")
     }),
 
+    // HyperLogLog distinct parts per returnflag — register-sized
+    // shuffle (2^p rows/group, map-side combined), exact countDistinct
+    // joined alongside to show the estimate lands
+    "sketch_hll" -> ((s, dir) => {
+      val li = TpchRdf.table(s, dir, "lineitem")
+      val sk = graft.operators.Sketch.hllDistinct(li, Seq("l_returnflag"), col("l_partkey"))
+      val ex = li.groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n_exact"))
+      sk.join(ex, "l_returnflag").orderBy("l_returnflag")
+    }),
+
     // interval join: per error event, the same user's clicks in the
     // preceding 2 hours — bucketized equi-join, never a per-key
     // cartesian (see RangeJoin scaladoc)
@@ -1168,6 +1178,25 @@ object EngineQueries {
     // identical result contract for the batch and streaming variants
     "stream_sessionize" -> sessionizeSql,
     "events_sessionize" -> sessionizeSql,
+
+    // replays hllDistinct p=6: 32-bit md5 hash, 64 registers, ranks
+    // via bin-length, linear-counting small-range correction
+    "sketch_hll" ->
+      """WITH h AS (SELECT l_returnflag AS flag, l_partkey,
+        |             CAST(('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,8)) AS BIGINT) AS h FROM lineitem),
+        |r AS (SELECT flag, h // 67108864 AS bucket,
+        |        CASE WHEN h % 67108864 = 0 THEN 27
+        |             ELSE 27 - length(bin(h % 67108864)) END AS rank FROM h),
+        |reg AS (SELECT flag, bucket, MAX(rank) AS M FROM r GROUP BY flag, bucket),
+        |agg AS (SELECT flag, SUM(power(2.0, -M)) AS s, COUNT(*) AS nb,
+        |          CAST(SUM(M * (bucket + 1)) AS BIGINT) AS reg_checksum FROM reg GROUP BY flag),
+        |est AS (SELECT flag, 0.709 * 64 * 64 / (s + (64 - nb)) AS e_raw,
+        |          CAST(64 - nb AS BIGINT) AS v, reg_checksum FROM agg),
+        |ex AS (SELECT l_returnflag AS flag, COUNT(DISTINCT l_partkey) AS n_exact FROM lineitem GROUP BY 1)
+        |SELECT est.flag AS l_returnflag,
+        |  ROUND(CASE WHEN e_raw <= 160.0 AND v > 0 THEN 64.0 * ln(64.0 / v) ELSE e_raw END, 4) AS hll_est,
+        |  v AS n_empty, reg_checksum, n_exact
+        |FROM est JOIN ex ON est.flag = ex.flag ORDER BY l_returnflag""".stripMargin,
 
     // replays intervalJoin: inner range join, inclusive 2-hour
     // look-back window per error event

@@ -1022,6 +1022,31 @@ class EngineSpec extends AnyFunSuite {
     assert(g2.query("""SELECT ?s WHERE { ?s label "turtle" }""").count() == 1)
   }
 
+  test("hll sketch: estimates within 3 sigma across cardinalities; register shuffle is map-combined") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1.04/sqrt(64) ~ 13% standard error; allow 3 sigma
+    for (n <- Seq(50, 500, 5000)) {
+      val df = (1 to n).map(i => ("g", i.toLong)).toDF("grp", "v")
+      val est = graft.operators.Sketch.hllDistinct(df, Seq("grp"), col("v"))
+        .collect()(0).getDouble(1)
+      assert(math.abs(est - n) / n < 0.39, s"n=$n est=$est off by >3 sigma")
+    }
+    // determinism
+    val df = (1 to 1000).map(i => ((i % 4).toString, i.toLong)).toDF("grp", "v")
+    val a = graft.operators.Sketch.hllDistinct(df, Seq("grp"), col("v")).collect().toSeq
+    val b = graft.operators.Sketch.hllDistinct(df, Seq("grp"), col("v")).collect().toSeq
+    assert(a.sortBy(_.getString(0)).toString == b.sortBy(_.getString(0)).toString)
+    // scale shape: partial max(rank) runs BEFORE the exchange so map
+    // tasks ship register rows, not value rows
+    val plan = graft.operators.Sketch.hllDistinct(df, Seq("grp"), col("v"))
+      .queryExecution.executedPlan.toString
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("partial_max")
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      s"register max must combine map-side (below the first exchange):\n$plan")
+  }
+
   test("range join: equals brute-force theta join incl. bin/window boundaries; equi-join plan") {
     val rnd = new scala.util.Random(5)
     // timestamps planted ON window edges, ON bin edges, and random

@@ -61,4 +61,39 @@ object Sketch {
         .otherwise(col("e_raw")), 4).as("hll_est") :+
       col("v").as("n_empty") :+ col("reg_checksum")): _*)
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) build: `d`
+    * independent hash rows × `w` counters over a stream of (item,
+    * weight=1) — the heavy-hitter / frequency-estimate primitive.
+    * Row r hashes item x to polyhash(r ++ ":" ++ x) mod w. Returns
+    * the (row, bucket, cnt) counter table: d·w rows TOTAL regardless
+    * of input size, map-side combined — the entire sketch fits in a
+    * broadcast (the point of a sketch at 100 TB: counters shuffle,
+    * items don't). */
+  def cmsBuild(items: DataFrame, item: Column, d: Int = 4, w: Int = 256): DataFrame = {
+    val rows = items.sparkSession.range(d).select(col("id").cast("int").as("row"))
+    items.select(item.cast("string").as("x"))
+      .crossJoin(broadcast(rows))
+      .select(col("row"), pmod(graft.functions.PolyHash.polyhash(
+        concat(col("row").cast("string"), lit(":"), col("x"))), lit(w.toLong)).as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: estimated frequency of each item in
+    * `queries` = min over the d rows of its counter — never less than
+    * the true count (one-sided error ≤ ε·N with prob 1−δ, ε=e/w,
+    * δ=e^−d). The d·w counter table broadcasts; lookups are a
+    * broadcast join + min aggregate. */
+  def cmsEstimate(sketch: DataFrame, queries: DataFrame, item: Column,
+                  d: Int = 4, w: Int = 256): DataFrame = {
+    val spark = queries.sparkSession
+    val rows = spark.range(d).select(col("id").cast("int").as("row"))
+    queries.select(item.cast("string").as("x"))
+      .crossJoin(broadcast(rows))
+      .select(col("x"), col("row"), pmod(graft.functions.PolyHash.polyhash(
+        concat(col("row").cast("string"), lit(":"), col("x"))), lit(w.toLong)).as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("x")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
 }

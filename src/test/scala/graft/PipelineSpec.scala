@@ -625,6 +625,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(density > 0.1 && density < 0.5, s"fingerprint density $density out of range")
   }
 
+  test("count-min: never underestimates, exact for heavy hitters, d*w-bounded table") {
+    val spark2 = spark; import spark2.implicits._
+    val items = (1 to 3000).map { i =>
+      // zipfian-ish: item k appears ~3000/k times
+      val k = (3000.0 / i).toInt.max(1)
+      s"item$k"
+    }.toDF("x")
+    val sketch = graft.operators.Sketch.cmsBuild(items, col("x"))
+    assert(sketch.count() <= 4 * 256, "counter table must stay d*w-bounded")
+    val exact = items.groupBy("x").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qs = exact.keys.toSeq.toDF("x")
+    val est = graft.operators.Sketch.cmsEstimate(sketch, qs, col("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS underestimated $k: ${est(k)} < $n")
+    }
+    // heavy hitters collide rarely at N=3000, w=256: the top item's
+    // overestimate must be small relative to its count
+    val (topK, topN) = exact.maxBy(_._2)
+    assert(est(topK) - topN <= 0.1 * 3000, s"heavy hitter $topK est ${est(topK)} vs $topN")
+  }
+
   test("quantizeInt8: reconstruction within half a step, digests consistent") {
     val digs = graft.pipeline.Ann.quantizeInt8(embs).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap

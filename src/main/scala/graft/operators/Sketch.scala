@@ -30,25 +30,40 @@ object Sketch {
     * (group, hll_est, n_empty, reg_checksum) where reg_checksum =
     * Σ M[j]·(j+1) pins every register exactly. */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
-                  p: Int = 6): DataFrame = {
+                  p: Int = 6): DataFrame =
+    hllFromRegisters(hllRegisters(df, groupCols, value, p), groupCols, p)
+
+  /** The register stage alone: per (group, bucket) max rank. A
+    * STREAMING frame works too — `max` is a semilattice merge, so the
+    * registers (and therefore the estimate) are independent of
+    * micro-batch boundaries: the mergeability that makes sketches the
+    * right distinct-count answer for both 100-TB batch AND unbounded
+    * streams. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column,
+                   p: Int = 6): DataFrame = {
     require(p >= 4 && p <= 16, s"hll: p must be in [4,16], got $p")
-    val m = 1 << p
     val wBits = 32 - p
+    val h = conv(substring(md5(value.cast("string")), 1, 8), 16, 10).cast("long")
+    val w = h.bitwiseAND(lit((1L << wBits) - 1))
+    val gcols = groupCols.map(col)
+    df.select((gcols :+ shiftright(h, wBits).as("bucket") :+
+        when(w === 0, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(w))).as("rank")): _*)
+      .groupBy((gcols :+ col("bucket")): _*)
+      .agg(max(col("rank")).as("M"))
+  }
+
+  /** Estimate from a register table (the output of [[hllRegisters]],
+    * batch or streaming-complete). */
+  def hllFromRegisters(reg: DataFrame, groupCols: Seq[String], p: Int = 6): DataFrame = {
+    val m = 1 << p
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
       case 64 => 0.709
       case _  => 0.7213 / (1 + 1.079 / m)
     }
-    val h = conv(substring(md5(value.cast("string")), 1, 8), 16, 10).cast("long")
-    val w = h.bitwiseAND(lit((1L << wBits) - 1))
     val gcols = groupCols.map(col)
-    val reg = df
-      .select((gcols :+ shiftright(h, wBits).as("bucket") :+
-        when(w === 0, lit(wBits + 1))
-          .otherwise(lit(wBits + 1) - length(bin(w))).as("rank")): _*)
-      .groupBy((gcols :+ col("bucket")): _*)
-      .agg(max(col("rank")).as("M"))
     val agg = reg.groupBy(gcols: _*)
       .agg(sum(pow(lit(2.0), -col("M"))).as("s"),
         count(lit(1)).as("nb"),
@@ -60,6 +75,35 @@ object Sketch {
         lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
         .otherwise(col("e_raw")), 4).as("hll_est") :+
       col("v").as("n_empty") :+ col("reg_checksum")): _*)
+  }
+
+  /** Streaming HLL: replay `df` as `splits` micro-batches (staged by
+    * a hash of the row so batch composition is arbitrary), maintain
+    * the registers as a streaming max aggregate (complete mode — the
+    * state IS the 2^p·|groups| register table, never the values),
+    * and estimate from the final registers. Because register merge is
+    * a max-semilattice, the result is bit-identical to the batch
+    * sketch over the same rows — asserted by the driver oracle, which
+    * replays the BATCH formula. */
+  def hllStreaming(df: DataFrame, groupCols: Seq[String], value: Column,
+                   p: Int = 6, splits: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val in = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val staged = df.select((groupCols.map(col) :+ value.as("_v")): _*)
+    (0 until splits).foreach { i =>
+      staged.filter(pmod(conv(substring(md5(col("_v").cast("string")), 9, 8), 16, 10)
+          .cast("long"), lit(splits.toLong)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(f"$in/b$i%03d.parquet")
+    }
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
+    val reg = hllRegisters(stream, groupCols, col("_v"), p)
+    val name = "stream_hll_sink"
+    val q = reg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    hllFromRegisters(spark.table(name), groupCols, p)
   }
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) build: `d`

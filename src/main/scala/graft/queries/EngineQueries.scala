@@ -455,6 +455,18 @@ object EngineQueries {
       sk.join(ex, "l_returnflag").orderBy("l_returnflag")
     }),
 
+    // STREAMING HyperLogLog: registers maintained as a streaming max
+    // aggregate over 3 hash-staged micro-batches — max-semilattice
+    // merge makes the result bit-identical to the batch sketch (the
+    // oracle replays the batch formula)
+    "stream_hll" -> ((s, dir) => {
+      val ev = TpchRdf.table(s, dir, "events")
+      val sk = graft.operators.Sketch.hllStreaming(
+        ev.select("event_type", "user_id"), Seq("event_type"), col("user_id"))
+      val ex = ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+      sk.join(ex, "event_type").orderBy("event_type")
+    }),
+
     // interval join: per error event, the same user's clicks in the
     // preceding 2 hours — bucketized equi-join, never a per-key
     // cartesian (see RangeJoin scaladoc)
@@ -1178,6 +1190,25 @@ object EngineQueries {
     // identical result contract for the batch and streaming variants
     "stream_sessionize" -> sessionizeSql,
     "events_sessionize" -> sessionizeSql,
+
+    // replays the STREAM as its batch equivalent: the register merge
+    // is a max-semilattice, so the batch HLL formula IS the oracle
+    "stream_hll" ->
+      """WITH h AS (SELECT event_type, user_id,
+        |             CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8)) AS BIGINT) AS h FROM events),
+        |r AS (SELECT event_type, h // 67108864 AS bucket,
+        |        CASE WHEN h % 67108864 = 0 THEN 27
+        |             ELSE 27 - length(bin(h % 67108864)) END AS rank FROM h),
+        |reg AS (SELECT event_type, bucket, MAX(rank) AS M FROM r GROUP BY 1, 2),
+        |agg AS (SELECT event_type, SUM(power(2.0, -M)) AS s, COUNT(*) AS nb,
+        |          CAST(SUM(M * (bucket + 1)) AS BIGINT) AS reg_checksum FROM reg GROUP BY 1),
+        |est AS (SELECT event_type, 0.709 * 64 * 64 / (s + (64 - nb)) AS e_raw,
+        |          CAST(64 - nb AS BIGINT) AS v, reg_checksum FROM agg),
+        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+        |SELECT est.event_type,
+        |  ROUND(CASE WHEN e_raw <= 160.0 AND v > 0 THEN 64.0 * ln(64.0 / v) ELSE e_raw END, 4) AS hll_est,
+        |  v AS n_empty, reg_checksum, n_exact
+        |FROM est JOIN ex ON est.event_type = ex.event_type ORDER BY est.event_type""".stripMargin,
 
     // replays hllDistinct p=6: 32-bit md5 hash, 64 registers, ranks
     // via bin-length, linear-counting small-range correction

@@ -1047,6 +1047,21 @@ class EngineSpec extends AnyFunSuite {
       s"register max must combine map-side (below the first exchange):\n$plan")
   }
 
+  test("streaming hll equals the batch sketch regardless of batch count") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 2000).map(i => ((i % 3).toString, (i % 700).toLong)).toDF("grp", "v")
+    val batch = graft.operators.Sketch.hllDistinct(df, Seq("grp"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    for (splits <- Seq(1, 4)) {
+      val streamed = graft.operators.Sketch.hllStreaming(df, Seq("grp"), col("v"),
+          splits = splits)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(streamed == batch,
+        s"splits=$splits: streaming registers must merge to the batch sketch")
+    }
+  }
+
   test("range join: equals brute-force theta join incl. bin/window boundaries; equi-join plan") {
     val rnd = new scala.util.Random(5)
     // timestamps planted ON window edges, ON bin edges, and random

@@ -455,6 +455,26 @@ object EngineQueries {
       sk.join(ex, "l_returnflag").orderBy("l_returnflag")
     }),
 
+    // funnel analytics: per user, earliest view → first click at/after
+    // it → first error at/after that; three conditional-min aggregates
+    // each shuffling one row per user — never a sequence collect
+    "events_funnel" -> ((s, dir) => {
+      val ev = TpchRdf.tsNanos(TpchRdf.table(s, dir, "events"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"), min("v_ts").as("v_ts"))
+      val e = ev.filter(col("event_type") === "error").join(c, "user_id")
+        .filter(col("ts") >= col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("e_ts"),
+          min("c_ts").as("c_ts"), min("v_ts").as("v_ts"))
+      e.select(col("user_id"),
+          (col("c_ts") - col("v_ts")).as("click_delay_ns"),
+          (col("e_ts") - col("c_ts")).as("error_delay_ns"))
+        .orderBy("user_id")
+    }),
+
     // STREAMING HyperLogLog: registers maintained as a streaming max
     // aggregate over 3 hash-staged micro-batches — max-semilattice
     // merge makes the result bit-identical to the batch sketch (the
@@ -1190,6 +1210,20 @@ object EngineQueries {
     // identical result contract for the batch and streaming variants
     "stream_sessionize" -> sessionizeSql,
     "events_sessionize" -> sessionizeSql,
+
+    // replays the view→click→error funnel chain; delays in exact ns
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts, MIN(v.v_ts) AS v_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |er AS (SELECT e.user_id, MIN(e.ts) AS e_ts, MIN(c.c_ts) AS c_ts, MIN(c.v_ts) AS v_ts
+        |       FROM events e JOIN c ON e.user_id = c.user_id
+        |       WHERE e.event_type = 'error' AND e.ts >= c.c_ts GROUP BY 1)
+        |SELECT user_id,
+        |  (epoch_us(c_ts) - epoch_us(v_ts)) * 1000 AS click_delay_ns,
+        |  (epoch_us(e_ts) - epoch_us(c_ts)) * 1000 AS error_delay_ns
+        |FROM er ORDER BY user_id""".stripMargin,
 
     // replays the STREAM as its batch equivalent: the register merge
     // is a max-semilattice, so the batch HLL formula IS the oracle

@@ -636,7 +636,8 @@ object Ann {
         }
       }
       .toDF("vec_id", "raw_norm", "p_argmax", "raw_checksum")
+      // + 0.0: collapse IEEE −0.0 on the signed checksum (see dsir)
       .select(col("vec_id"), round(col("raw_norm"), 4).as("p_norm"),
-        col("p_argmax"), round(col("raw_checksum"), 4).as("p_checksum"))
+        col("p_argmax"), (round(col("raw_checksum"), 4) + lit(0.0)).as("p_checksum"))
   }
 }

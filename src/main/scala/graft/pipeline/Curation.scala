@@ -157,7 +157,10 @@ object Curation {
         }
       }
       .toDF("doc_id", "n_tokens", "raw_w")
-      .select(col("doc_id"), col("n_tokens"), round(col("raw_w"), 4).as("dsir_weight"))
+      // + 0.0 collapses IEEE −0.0 (a weight rounding to zero from
+      // below) onto +0.0 — engines disagree on ROUND's signed zero
+      .select(col("doc_id"), col("n_tokens"),
+        (round(col("raw_w"), 4) + lit(0.0)).as("dsir_weight"))
   }
 
   /** Deterministic training-order shuffle + sharding: each doc gets a

@@ -720,7 +720,7 @@ object PipelineQueries {
          |       FROM prof CROSS JOIN tot),
          |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(lr.lr) AS raw_w
          |       FROM bk JOIN lr ON bk.b = lr.b GROUP BY doc_id)
-         |SELECT doc_id, n_tokens, ROUND(raw_w, 4) AS dsir_weight FROM sc ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, n_tokens, ROUND(raw_w, 4) + 0.0 AS dsir_weight FROM sc ORDER BY doc_id""".stripMargin,
 
     // replays bpePairCounts: frequency-weighted distinct-word table →
     // adjacent char-pair occurrence counts → (cnt desc, pair) rank
@@ -745,7 +745,7 @@ object PipelineQueries {
         |        / sqrt(16.0) AS yj
         |      FROM embeddings CROSS JOIN dims WHERE len(embedding) > 0),
         |agg AS (SELECT vec_id, ROUND(sqrt(SUM(yj*yj)), 4) AS p_norm,
-        |          ROUND(SUM((j+1)*yj), 4) AS p_checksum FROM y GROUP BY vec_id),
+        |          ROUND(SUM((j+1)*yj), 4) + 0.0 AS p_checksum FROM y GROUP BY vec_id),
         |am AS (SELECT vec_id, CAST(j AS BIGINT) AS p_argmax FROM y
         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY yj DESC, j) = 1)
         |SELECT vec_id, p_norm, p_argmax, p_checksum FROM agg JOIN am USING (vec_id) ORDER BY vec_id""".stripMargin,

@@ -129,6 +129,13 @@ object Bench {
     "dedup_incremental" -> 1.14, "dedup_semantic" -> 3.0,
     "text_classify" -> 0.23, "pipeline_shard" -> 0.11,
     "emb_quantize" -> 0.22, "ann_pq" -> 2.2,
+    // round-8b continuation additions (isolated sf0.1 readings)
+    "stream_neardup" -> 5.01, "pipeline_dsir" -> 2.70,
+    "tokenize_bpe" -> 0.93, "emb_project" -> 0.68,
+    "text_winnow" -> 0.66, "events_asof" -> 0.57,
+    "events_range" -> 1.24, "gas_triangles" -> 3.92,
+    "sketch_hll" -> 0.70, "sketch_cms" -> 1.00,
+    "stream_hll" -> 6.50, "events_funnel" -> 1.54,
     "pipeline_sample" -> 0.32, "q1_agg" -> 0.32,
     "rdfs_closure" -> 1.64, "rdfs_incremental" -> 1.71,
     "rdfs_retract" -> 3.54, "rdr_annotation" -> 0.81,

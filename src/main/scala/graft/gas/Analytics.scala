@@ -235,19 +235,24 @@ object Analytics {
     * explode the shuffle. Three shuffles total: degree agg, wedge
     * self-join, closing join. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val ue = edges.select(least(col("src"), col("dst")).as("a"),
+    // the canonical edge set has FOUR consumers (degree agg, orient,
+    // wedge self-join ×2 sides, closing join) — materialize it once or
+    // an expensive upstream edge derivation (e.g. a dedup pair
+    // pipeline) re-executes per consumer (measured: 8.9 s → 3.0 s on
+    // the near-dup graph at sf0.1)
+    val ue = cp(edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct())
     val deg = ue.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withDeg = ue
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
-    val oriented = withDeg.select(
+    val oriented = cp(withDeg.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")), col("a")).otherwise(col("b")).as("u"),
       when(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")), col("b")).otherwise(col("a")).as("v"))
+        (col("da") === col("db") && col("a") < col("b")), col("b")).otherwise(col("a")).as("v")))
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .select(col("x.u").as("ta"), col("x.v").as("tb"), col("y.v").as("tc"))

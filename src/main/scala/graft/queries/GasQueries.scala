@@ -69,17 +69,21 @@ object GasQueries {
     "gas_fuzzy_sssp" -> ((s, dir) =>
       Analytics.fuzzySssp(hierEdges(s, dir), Seq("r:0"), Seq("c:5", "c:7"), 100)
         .orderBy("depth", "node")),
-    // triangle counts over the supplier co-supply graph (suppliers
-    // joined by co-supplying an order — ≤ C(7,2) pairs per order, so
-    // edge building is linear in lineitem)
+    // triangle census of the near-dup graph (Jaccard ≥ 0.5 pairs — the df-cap-exact regime; 0.3 measured losing viral-only pairs at 10×):
+    // triangle density is how a dedup pipeline validates that
+    // transitive cluster-collapsing is safe (cliques, not chains).
+    // The pair graph is SPARSE BY CONSTRUCTION at every SF — planted
+    // dup clusters are small cliques — unlike a co-occurrence
+    // projection of uniform TPC-H, which densifies toward a complete
+    // graph as orders grow (measured: 76 s at sf0.1 and superlinear
+    // beyond; the operator was fine, the driver graph was wrong).
     "gas_triangles" -> ((s, dir) => {
-      val li = TpchRdf.table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sp"))
-      val co = li.as("x").join(li.as("y"),
-          col("x.o") === col("y.o") && col("x.sp") < col("y.sp"))
-        .select(concat(lit("s:"), col("x.sp").cast("string")).as("src"),
-          concat(lit("s:"), col("y.sp").cast("string")).as("dst"))
-      Analytics.triangleCounts(co).orderBy("node")
+      val pairs = graft.pipeline.Dedup
+        .ngramJaccard(TpchRdf.table(s, dir, "documents"), 0.5, maxDf = 64)
+        .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+      Analytics.triangleCounts(pairs)
+        .select(col("node").cast("long").as("doc_id"), col("n_triangles"))
+        .orderBy("doc_id")
     }),
   )
 
@@ -106,18 +110,24 @@ object GasQueries {
   }
 
   val oracles: Map[String, String] = Map(
-    // replays triangleCounts: canonical a<b co-supply edges, each
-    // triangle x<y<z enumerated once, per-node unnest
+    // replays triangleCounts over the exact Jaccard ≥ 0.5 pair graph
+    // (the dedup_ngram_jaccard CTE), each triangle x<y<z once
     "gas_triangles" ->
-      """WITH co AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
-        |            FROM lineitem x JOIN lineitem y
-        |              ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+        |       FROM w WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        |sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT a, b FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
+        |      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        |        FROM co e1 JOIN co e2 ON e2.a = e1.a AND e2.b > e1.b
-        |        JOIN co e3 ON e3.a = e1.b AND e3.b = e2.b),
-        |n AS (SELECT unnest([x, y, z]) AS sk FROM tri)
-        |SELECT 's:'||CAST(sk AS VARCHAR) AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
-        |FROM n GROUP BY sk ORDER BY node""".stripMargin,
+        |        FROM p e1 JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (SELECT unnest([x, y, z]) AS d FROM tri)
+        |SELECT d AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY d ORDER BY doc_id""".stripMargin,
 
     "gas_bfs" ->
       s"""WITH RECURSIVE $hierCte, b AS (

@@ -99,8 +99,18 @@ object ScaleUp {
         .withColumn("user_id", off("user_id", userS, i))
     })
     write("documents", replicate(tbl("documents")) { (d, i) =>
+      // the tag must MERGE into the word token ("wordx3"), not ride as
+      // a separator-delimited suffix ("word~3"): the engines tokenize
+      // on [^a-z0-9]+, so a separated tag becomes its own token
+      // between every word and degrades every 3-gram shingle to an
+      // effective 2-gram — measured at 10×: bigram df explodes on the
+      // small vocabulary, turning real dup pairs viral-only and
+      // destroying the intra-replica structure this tool promises to
+      // preserve. Suffix-merged tags keep each replica's shingle sets
+      // isomorphic to the base (word → wordxI bijection): per-replica
+      // df EXACTLY equals base df, replicas never share a shingle.
       val t = if (i == 0) col("text")
-              else regexp_replace(col("text"), "(\\S+)", "$1~" + i)
+              else regexp_replace(col("text"), "(\\S+)", "$1x" + i)
       d.withColumn("doc_id", off("doc_id", docS, i)).withColumn("text", t)
     })
     write("embeddings", replicate(tbl("embeddings")) { (d, i) =>

@@ -123,6 +123,40 @@ object Sketch {
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming Count-Min: the counter table maintained as a
+    * complete-mode streaming SUM aggregate over hash-staged
+    * micro-batches. Counters are a commutative-monoid merge, so —
+    * like [[hllStreaming]] — the streamed sketch is bit-identical to
+    * the batch sketch over the same rows; state is d·w counter rows,
+    * never items. */
+  def cmsStreaming(items: DataFrame, item: Column, d: Int = 4, w: Int = 256,
+                   splits: Int = 3): DataFrame = {
+    val spark = items.sparkSession
+    val in = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val staged = items.select(item.cast("string").as("x"))
+    (0 until splits).foreach { i =>
+      staged.filter(pmod(conv(substring(md5(col("x")), 9, 8), 16, 10)
+          .cast("long"), lit(splits.toLong)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(f"$in/b$i%03d.parquet")
+    }
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
+    val rows = (0 until d).map(r =>
+      pmod(graft.functions.PolyHash.polyhash(
+        concat(lit(r + ":"), col("x"))), lit(w.toLong)).as(s"b$r"))
+    val banded = stream.select((col("x") +: rows): _*)
+      .select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("row"), col(s"b$r").as("bucket"))): _*)).as("rb"))
+      .select(col("rb.row"), col("rb.bucket"))
+    val reg = banded.groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    val name = "stream_cms_sink"
+    val q = reg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Point-query the sketch: estimated frequency of each item in
     * `queries` = min over the d rows of its counter — never less than
     * the true count (one-sided error ≤ ε·N with prob 1−δ, ε=e/w,

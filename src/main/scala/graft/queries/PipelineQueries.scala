@@ -209,6 +209,22 @@ object PipelineQueries {
         .select(col("x").as("token"), col("n_exact"), col("cms_est"))
         .orderBy("token")
     }),
+
+    // STREAMING Count-Min: counters as a complete-mode streaming sum —
+    // commutative-monoid merge ⇒ identical to the batch sketch (same
+    // oracle shape as sketch_cms)
+    "stream_cms" -> ((s, dir) => {
+      val t = docs(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val sketch = graft.operators.Sketch.cmsStreaming(t, col("tok"))
+      val exact = t.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("tok")).limit(20)
+      graft.operators.Sketch.cmsEstimate(sketch, top, col("tok"))
+        .join(top.withColumnRenamed("tok", "x"), "x")
+        .select(col("x").as("token"), col("n_exact"), col("cms_est"))
+        .orderBy("token")
+    }),
   )
 
   private val shingleCte =
@@ -769,6 +785,23 @@ object PipelineQueries {
     // replays cmsBuild + cmsEstimate: 4 hash rows × 256 buckets,
     // row-salted polyhash, min-over-rows point query
     "sketch_cms" ->
+      s"""WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+         |ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM t GROUP BY tok),
+         |top AS (SELECT tok, n_exact FROM ex ORDER BY n_exact DESC, tok LIMIT 20),
+         |rows_ AS (SELECT unnest(range(0, 4)) AS r),
+         |sk AS (SELECT r, ${polyhashSql("CAST(r AS VARCHAR)||':'||tok")} % 256 AS bucket,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |       FROM t CROSS JOIN rows_ GROUP BY 1, 2),
+         |q AS (SELECT top.tok, top.n_exact, r,
+         |        ${polyhashSql("CAST(r AS VARCHAR)||':'||tok")} % 256 AS bucket
+         |      FROM top CROSS JOIN rows_),
+         |est AS (SELECT q.tok, q.n_exact, MIN(coalesce(sk.cnt, 0)) AS cms_est
+         |        FROM q LEFT JOIN sk ON q.r = sk.r AND q.bucket = sk.bucket GROUP BY 1, 2)
+         |SELECT tok AS token, n_exact, cms_est FROM est ORDER BY token""".stripMargin,
+
+    // the streaming CMS replays as its batch equivalent (counter merge
+    // is a commutative monoid — same oracle as sketch_cms)
+    "stream_cms" ->
       s"""WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
          |ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM t GROUP BY tok),
          |top AS (SELECT tok, n_exact FROM ex ORDER BY n_exact DESC, tok LIMIT 20),

@@ -648,6 +648,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(est(topK) - topN <= 0.1 * 3000, s"heavy hitter $topK est ${est(topK)} vs $topN")
   }
 
+  test("streaming cms equals the batch counter table") {
+    val spark2 = spark; import spark2.implicits._
+    val items = (1 to 1500).map(i => s"item${i % 97}").toDF("x")
+    val batch = graft.operators.Sketch.cmsBuild(items, col("x")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = graft.operators.Sketch.cmsStreaming(items, col("x"), splits = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, "streamed counters must merge to the batch table")
+  }
+
   test("quantizeInt8: reconstruction within half a step, digests consistent") {
     val digs = graft.pipeline.Ann.quantizeInt8(embs).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap

@@ -300,6 +300,46 @@ object TextAnalysis {
       .select("pair", "cnt", "rank")
   }
 
+  /** PMI-ranked collocations (Church & Hanks 1990): adjacent word
+    * pairs scored by pointwise mutual information
+    * ln(c(ab)·N / (c(a)·c(b))) against the corpus' own unigram
+    * distribution, minimum pair count `minCount`, top `topK` by
+    * (rounded PMI desc, bigram). The "which word pairs are a unit"
+    * signal a tokenizer/phrase-mining pass feeds on.
+    *
+    * Scale shape: one token pass feeds both the unigram and the
+    * adjacent-bigram aggregates (both vocabulary-sized shuffles);
+    * scoring joins are count-table-sized. The rank window runs over
+    * the minCount-filtered PMI table — heavy-bigram-sized, not
+    * corpus-sized. Ranking uses the ROUNDED pmi so cross-engine tie
+    * order is deterministic. */
+  def collocations(docs: DataFrame, minCount: Long = 5, topK: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .localCheckpoint()
+    val uni = toks.select(explode(col("ws")).as("t"))
+    val n = uni.count()
+    val uc = uni.groupBy("t").agg(count(lit(1)).as("c"))
+    val bg = toks.select(col("ws")).as[Seq[String]]
+      .flatMap(ws => ws.iterator.zip(ws.iterator.drop(1)))
+      .toDF("w1", "w2")
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    val pmi = bc
+      .join(uc.select(col("t").as("w1"), col("c").as("ca")), "w1")
+      .join(uc.select(col("t").as("w2"), col("c").as("cb")), "w2")
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("cab").as("n_pair"),
+        round(log(col("cab").cast("double") * lit(n) / (col("ca") * col("cb"))), 4)
+          .as("pmi"))
+    pmi.withColumn("rank", row_number()
+        .over(Window.orderBy(col("pmi").desc, col("bigram"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("bigram", "n_pair", "pmi", "rank")
+  }
+
   /** Hashed linear text classifier (the fastText-style quality/domain
     * gate of a curation pipeline): tokens hash into `dim` buckets
     * (feature hashing, Weinberger et al. 2009), each bucket carries a

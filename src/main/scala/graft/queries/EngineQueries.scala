@@ -455,6 +455,23 @@ object EngineQueries {
       sk.join(ex, "l_returnflag").orderBy("l_returnflag")
     }),
 
+    // cohort retention: users grouped by first-seen day, distinct
+    // active users at each day offset ≤ 7 — two user-keyed aggregates
+    // + a count, never a per-user event collect
+    "events_retention" -> ((s, dir) => {
+      val ev = TpchRdf.tsNanos(TpchRdf.table(s, dir, "events"))
+        .select(col("user_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+      val cohort = ev.groupBy("user_id").agg(min("d").as("c0"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("c0"), datediff(col("d"), col("c0")).as("k"))
+        .filter(col("k") <= 7).distinct()
+        .groupBy(date_format(col("c0"), "yyyy-MM-dd").as("cohort_day"),
+          col("k").cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // funnel analytics: per user, earliest view → first click at/after
     // it → first error at/after that; three conditional-min aggregates
     // each shuffling one row per user — never a sequence collect
@@ -1210,6 +1227,17 @@ object EngineQueries {
     // identical result contract for the batch and streaming variants
     "stream_sessionize" -> sessionizeSql,
     "events_sessionize" -> sessionizeSql,
+
+    // replays cohort retention: first-seen day per user, distinct
+    // (user, offset) activity within a week of the cohort day
+    "events_retention" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS c0 FROM d GROUP BY 1),
+        |a AS (SELECT DISTINCT d.user_id, c.c0, date_diff('day', c.c0, d.d) AS k
+        |      FROM d JOIN c ON d.user_id = c.user_id WHERE date_diff('day', c.c0, d.d) <= 7)
+        |SELECT strftime(c0, '%Y-%m-%d') AS cohort_day, CAST(k AS BIGINT) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     // replays the view→click→error funnel chain; delays in exact ns
     "events_funnel" ->

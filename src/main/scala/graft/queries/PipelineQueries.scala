@@ -210,6 +210,11 @@ object PipelineQueries {
         .orderBy("token")
     }),
 
+    // PMI collocations: top word pairs vs the corpus' own unigram
+    // distribution (rank over the minCount-filtered table only)
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(docs(s, dir)).orderBy("rank")),
+
     // STREAMING Count-Min: counters as a complete-mode streaming sum —
     // commutative-monoid merge ⇒ identical to the batch sketch (same
     // oracle shape as sketch_cms)
@@ -798,6 +803,22 @@ object PipelineQueries {
          |est AS (SELECT q.tok, q.n_exact, MIN(coalesce(sk.cnt, 0)) AS cms_est
          |        FROM q LEFT JOIN sk ON q.r = sk.r AND q.bucket = sk.bucket GROUP BY 1, 2)
          |SELECT tok AS token, n_exact, cms_est FROM est ORDER BY token""".stripMargin,
+
+    // replays collocations: PMI over adjacent bigrams, ln(cab·N/(ca·cb)),
+    // rank by (rounded pmi desc, bigram)
+    "text_collocations" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS t FROM w),
+        |n AS (SELECT COUNT(*) AS nn FROM uni),
+        |uc AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+        |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM w, unnest(range(1, len(ws))) AS tt(i) WHERE len(ws) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |p AS (SELECT w1||' '||w2 AS bigram, CAST(cab AS BIGINT) AS n_pair,
+        |        ROUND(ln(CAST(cab AS DOUBLE) * nn / (ca.c * cb.c)), 4) AS pmi
+        |      FROM bc CROSS JOIN n JOIN uc ca ON ca.t = bc.w1 JOIN uc cb ON cb.t = bc.w2),
+        |r AS (SELECT bigram, n_pair, pmi,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS BIGINT) AS rank FROM p)
+        |SELECT bigram, n_pair, pmi, rank FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin,
 
     // the streaming CMS replays as its batch equivalent (counter merge
     // is a commutative monoid — same oracle as sketch_cms)

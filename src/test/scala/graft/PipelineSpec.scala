@@ -648,6 +648,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(est(topK) - topN <= 0.1 * 3000, s"heavy hitter $topK est ${est(topK)} vs $topN")
   }
 
+  test("collocations: planted phrase tops PMI ranking; counts respect minCount") {
+    val spark2 = spark; import spark2.implicits._
+    val rnd = new scala.util.Random(9)
+    val common = Seq("the", "a", "of", "and", "data", "table", "row", "scan")
+    // plant a rigid phrase "zig zag" that always co-occurs; background
+    // is random common-word soup
+    val fixture = (0 until 80).map { i =>
+      val noise = Seq.fill(30)(common(rnd.nextInt(common.size))).mkString(" ")
+      (i.toLong, s"$noise zig zag $noise", "en", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.collocations(fixture, minCount = 5, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty && got.forall(_._2 >= 5))
+    assert(got.head._1 == "zig zag",
+      s"the rigid planted phrase must rank first, got ${got.head}")
+    assert(got.map(_._4).toSeq == (1L to got.length))
+  }
+
   test("streaming cms equals the batch counter table") {
     val spark2 = spark; import spark2.implicits._
     val items = (1 to 1500).map(i => s"item${i % 97}").toDF("x")

@@ -90,13 +90,15 @@ object Sketch {
     val spark = df.sparkSession
     val in = java.nio.file.Files.createTempDirectory("graft_hll").toString
     val staged = df.select((groupCols.map(col) :+ value.as("_v")): _*)
-    (0 until splits).foreach { i =>
-      staged.filter(pmod(conv(substring(md5(col("_v").cast("string")), 9, 8), 16, 10)
-          .cast("long"), lit(splits.toLong)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(f"$in/b$i%03d.parquet")
-    }
+    // ONE pass: repartition on a value hash and let each part file
+    // become a micro-batch (maxFilesPerTrigger=1). The earlier
+    // filter-per-split staging re-scanned the input `splits` times —
+    // 3 full corpus scans at 100× for what is one shuffle write.
+    staged.repartition(splits, pmod(conv(substring(
+        md5(col("_v").cast("string")), 9, 8), 16, 10).cast("long"), lit(splits.toLong)))
+      .write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(staged.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
+      .option("maxFilesPerTrigger", "1").parquet(in)
     val reg = hllRegisters(stream, groupCols, col("_v"), p)
     val name = "stream_hll_sink"
     val q = reg.writeStream.format("memory").queryName(name)
@@ -134,13 +136,12 @@ object Sketch {
     val spark = items.sparkSession
     val in = java.nio.file.Files.createTempDirectory("graft_cms").toString
     val staged = items.select(item.cast("string").as("x"))
-    (0 until splits).foreach { i =>
-      staged.filter(pmod(conv(substring(md5(col("x")), 9, 8), 16, 10)
-          .cast("long"), lit(splits.toLong)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(f"$in/b$i%03d.parquet")
-    }
+    // one-pass staging, same rationale as [[hllStreaming]]
+    staged.repartition(splits, pmod(conv(substring(
+        md5(col("x")), 9, 8), 16, 10).cast("long"), lit(splits.toLong)))
+      .write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(staged.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
+      .option("maxFilesPerTrigger", "1").parquet(in)
     val rows = (0 until d).map(r =>
       pmod(graft.functions.PolyHash.polyhash(
         concat(lit(r + ":"), col("x"))), lit(w.toLong)).as(s"b$r"))

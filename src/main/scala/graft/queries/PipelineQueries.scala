@@ -210,6 +210,25 @@ object PipelineQueries {
         .orderBy("token")
     }),
 
+    // the WHOLE curation pipeline as one composed query: exact-dedup
+    // keepers → quality/lang/token gates → DSIR target-domain gate
+    // (profile built on the RAW corpus, the standard DSIR protocol) →
+    // deterministic shard+order. What a migrating training-data team
+    // actually runs end to end.
+    "pipeline_end2end" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val curated = graft.pipeline.Curation.curate(d, 0.45, Seq("en"), 20, 1000)
+      val dsir = graft.pipeline.Curation.dsirWeights(d,
+        col("source").isin("src0", "src1", "src2", "src3"))
+      val kept = curated.join(dsir.select("doc_id", "dsir_weight"), "doc_id")
+        .filter(col("dsir_weight") > -1.7) // importance floor: the target-leaning half of this corpus
+      val sharded = graft.pipeline.Curation.shardOrder(kept, shards = 8)
+      kept.join(sharded, "doc_id")
+        .select("doc_id", "pred_lang", "quality", "n_ws_tokens",
+          "dsir_weight", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
     // PMI collocations: top word pairs vs the corpus' own unigram
     // distribution (rank over the minCount-filtered table only)
     "text_collocations" -> ((s, dir) =>
@@ -803,6 +822,52 @@ object PipelineQueries {
          |est AS (SELECT q.tok, q.n_exact, MIN(coalesce(sk.cnt, 0)) AS cms_est
          |        FROM q LEFT JOIN sk ON q.r = sk.r AND q.bucket = sk.bucket GROUP BY 1, 2)
          |SELECT tok AS token, n_exact, cms_est FROM est ORDER BY token""".stripMargin,
+
+    // replays the composed pipeline: curate gates ∘ dsir gate ∘ shard
+    "pipeline_end2end" ->
+      s"""WITH w AS (SELECT doc_id, text, source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+         |q AS (SELECT doc_id,
+         |  ROUND(0.4 * least(1.0, CAST(len(ws) AS DOUBLE) / 50.0)
+         |      + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
+         |      + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
+         |  FROM w),
+         |sc AS (SELECT doc_id,
+         |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS sc_de,
+         |  len(list_filter(ws, x -> x IN ('the','a','is','and','of'))) AS sc_en,
+         |  len(list_filter(ws, x -> x IN ('el','la','los','y','es'))) AS sc_es,
+         |  len(list_filter(ws, x -> x IN ('le','les','des','et','est'))) AS sc_fr,
+         |  len(list_filter(ws, x -> x IN ('de','shi','he','zai','le'))) AS sc_zh
+         |  FROM w),
+         |b AS (SELECT doc_id, sc_de, sc_en, sc_es, sc_fr, sc_zh,
+         |  greatest(sc_de, sc_en, sc_es, sc_fr, sc_zh) AS best FROM sc),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN best = 0 THEN 'und'
+         |       WHEN sc_de = best THEN 'de'
+         |       WHEN sc_en = best THEN 'en'
+         |       WHEN sc_es = best THEN 'es'
+         |       WHEN sc_fr = best THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         |  FROM b),
+         |t AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens FROM documents),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         |tok AS (SELECT doc_id, source IN ('src0','src1','src2','src3') AS tgt, unnest(ws) AS t FROM w),
+         |bk AS (SELECT doc_id, tgt, ${polyhashSql("t")} % 256 AS b FROM tok),
+         |prof AS (SELECT b, CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS tc,
+         |           CAST(COUNT(*) AS DOUBLE) AS rc FROM bk GROUP BY b),
+         |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM prof),
+         |lr AS (SELECT b, ln((tc + 1.0) / (tt + 256.0)) - ln((rc + 1.0) / (rt + 256.0)) AS lr
+         |       FROM prof CROSS JOIN tot),
+         |ds AS (SELECT doc_id, ROUND(SUM(lr.lr), 4) + 0.0 AS dsir_weight
+         |       FROM bk JOIN lr ON bk.b = lr.b GROUP BY doc_id),
+         |kept AS (SELECT keep.doc_id, pred_lang, quality, n_ws_tokens, dsir_weight
+         |         FROM keep JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN t USING (doc_id) JOIN ds USING (doc_id)
+         |         WHERE quality >= 0.45 AND pred_lang IN ('en')
+         |           AND n_ws_tokens BETWEEN 20 AND 1000 AND dsir_weight > -1.7),
+         |sh AS (SELECT doc_id, ${polyhashSql("CAST(doc_id AS VARCHAR)||':42'")} AS skey FROM kept)
+         |SELECT kept.doc_id, pred_lang, quality, n_ws_tokens, dsir_weight,
+         |  skey % 8 AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, kept.doc_id) AS BIGINT) AS pos
+         |FROM kept JOIN sh ON kept.doc_id = sh.doc_id ORDER BY kept.doc_id""".stripMargin,
 
     // replays collocations: PMI over adjacent bigrams, ln(cab·N/(ca·cb)),
     // rank by (rounded pmi desc, bigram)

@@ -1100,6 +1100,28 @@ class EngineSpec extends AnyFunSuite {
       s"range join must stay an equi-join:\n$plan")
   }
 
+  test("asof join equals brute-force reference on randomized inputs (dup ts, hot keys)") {
+    val spark2 = spark; import spark2.implicits._
+    for (seed <- Seq(1, 17)) {
+      val rnd = new scala.util.Random(seed)
+      // few keys (hot), timestamps drawn from a SMALL range so duplicate
+      // ts on both sides are common — the tie-break paths get exercised
+      val lRows = (0 until 120).map(i => (i.toLong, rnd.nextLong(40), rnd.nextLong(5)))
+      val rRows = (0 until 150).map(i => (1000L + i, rnd.nextLong(40), rnd.nextLong(5), s"p$i"))
+      val got = graft.operators.AsofJoin.leftAsof(
+          lRows.toDF("event_id", "ts", "user_id"),
+          rRows.toDF("r_id", "ts", "user_id", "payload"),
+          "user_id", "ts", "r_id", Seq("r_id", "payload"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      val want = lRows.map { case (lid, lts, lk) =>
+        val cand = rRows.filter(r => r._3 == lk && r._2 <= lts)
+        lid -> (if (cand.isEmpty) None
+                else Some(cand.maxBy(r => (r._2, r._1))._1))
+      }.toMap
+      assert(got == want, s"seed $seed: asof diverged from reference")
+    }
+  }
+
   test("asof join: latest at-or-before match, ties by ord, NULL when none; one exchange, no join") {
     val left = Seq(
       (100L, 10L, 1L, "l10"),  // matches r at ts=10 (same instant wins)

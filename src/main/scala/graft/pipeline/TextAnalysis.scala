@@ -340,6 +340,36 @@ object TextAnalysis {
       .select("bigram", "n_pair", "pmi", "rank")
   }
 
+  /** Bigram language-model score — [[logprobScore]]'s context-aware
+    * sibling: mean ln p(wᵢ | wᵢ₋₁) under the corpus' own add-1
+    * smoothed bigram model, p = (c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V). The
+    * fluency gate that catches shuffled-word text a unigram score
+    * can't. Same scale discipline as logprob: the bigram and unigram
+    * count tables stay in the shuffle (vocabulary-sized) and join
+    * back on their keys — never broadcast, never collected; the
+    * bigram stream is materialized once for its two consumers. Docs
+    * with < 2 tokens drop; 4-dp float policy. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bg = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, ws) =>
+        ws.iterator.zip(ws.iterator.drop(1)).map { case (a, b) => (id, a, b) }
+      }
+      .toDF("doc_id", "w1", "w2")
+      .localCheckpoint()
+    val uni = docs.select(explode(words(col("text"))).as("t")).localCheckpoint()
+    val v = uni.distinct().count()
+    val uc = uni.groupBy("t").agg(count(lit(1)).as("cu"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bg.join(bc, Seq("w1", "w2"))
+      .join(uc.withColumnRenamed("t", "w1"), "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("cb") + lit(1.0)) / (col("cu") + lit(v)))), 4).as("lm_score"))
+  }
+
   /** Hashed linear text classifier (the fastText-style quality/domain
     * gate of a curation pipeline): tokens hash into `dim` buckets
     * (feature hashing, Weinberger et al. 2009), each bucket carries a

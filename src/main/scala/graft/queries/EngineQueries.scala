@@ -455,6 +455,25 @@ object EngineQueries {
       sk.join(ex, "l_returnflag").orderBy("l_returnflag")
     }),
 
+    // per-user 3σ outliers, ALL-INTEGER decision arithmetic: with
+    // exact cent counts c and per-user (n, S1=Σc, S2=Σc²), the test
+    // v−mean > 3σ becomes (c·n−S1)² > 9·(n·S2−S1²) ∧ c·n>S1 — no
+    // float mean/stddev whose summation order could flip a boundary
+    // event between engines. One user-keyed aggregate + broadcast-back
+    // join; stats rows are user-sized, never event-sized.
+    "events_outliers" -> ((s, dir) => {
+      val ev = TpchRdf.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("value") * 100).cast("long").as("c"))
+      val st = ev.groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+      val d = col("c") * col("n") - col("s1")
+      ev.join(st, "user_id")
+        .filter(d > 0 && d * d > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
     // cohort retention: users grouped by first-seen day, distinct
     // active users at each day offset ≤ 7 — two user-keyed aggregates
     // + a count, never a per-user event collect
@@ -1227,6 +1246,18 @@ object EngineQueries {
     // identical result contract for the batch and streaming variants
     "stream_sessionize" -> sessionizeSql,
     "events_sessionize" -> sessionizeSql,
+
+    // replays the integer 3σ test: exact cents, (cn−S1)² > 9(nS2−S1²)
+    "events_outliers" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |             CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
+        |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c*c) AS BIGINT) AS s2
+        |       FROM e GROUP BY 1)
+        |SELECT event_id, e.user_id, value
+        |FROM e JOIN st ON e.user_id = st.user_id
+        |WHERE (c*n - s1) > 0 AND (c*n - s1)*(c*n - s1) > 9*(n*s2 - s1*s1)
+        |ORDER BY event_id""".stripMargin,
 
     // replays cohort retention: first-seen day per user, distinct
     // (user, offset) activity within a week of the cohort day

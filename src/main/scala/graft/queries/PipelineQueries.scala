@@ -234,6 +234,10 @@ object PipelineQueries {
     "text_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(docs(s, dir)).orderBy("rank")),
 
+    // bigram LM fluency score (context-aware sibling of text_logprob)
+    "text_ngram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(docs(s, dir)).orderBy("doc_id")),
+
     // STREAMING Count-Min: counters as a complete-mode streaming sum —
     // commutative-monoid merge ⇒ identical to the batch sketch (same
     // oracle shape as sketch_cms)
@@ -868,6 +872,19 @@ object PipelineQueries {
          |  skey % 8 AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, kept.doc_id) AS BIGINT) AS pos
          |FROM kept JOIN sh ON kept.doc_id = sh.doc_id ORDER BY kept.doc_id""".stripMargin,
+
+    // replays bigramLmScore: add-1 smoothed p(w2|w1), mean ln per doc
+    "text_ngram_lm" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS t FROM w),
+        |vc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM uni),
+        |uc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY t),
+        |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM w, unnest(range(1, len(ws))) AS tt(i) WHERE len(ws) >= 2),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(ln((bc.cb + 1.0) / (uc.cu + vc.v))), 4) AS lm_score
+        |FROM bg JOIN bc USING (w1, w2) JOIN uc ON uc.t = bg.w1 CROSS JOIN vc
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // replays collocations: PMI over adjacent bigrams, ln(cab·N/(ca·cb)),
     // rank by (rounded pmi desc, bigram)

@@ -1047,6 +1047,31 @@ class EngineSpec extends AnyFunSuite {
       s"register max must combine map-side (below the first exchange):\n$plan")
   }
 
+  test("integer 3-sigma outliers: planted spike flagged, boundary value is not") {
+    val spark2 = spark; import spark2.implicits._
+    // 20 values of 10.00 and one spike: sigma is driven by the spike
+    // itself; verify against a driver-side exact recompute
+    val vals = Seq.fill(20)(10.00) :+ 200.00
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, 1L, v) }
+    // reuse the query's arithmetic directly on a local frame
+    val ev = rows.toDF("event_id", "user_id", "value")
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("value") * 100).cast("long").as("c"))
+    val st = ev.groupBy("user_id").agg(count(lit(1)).as("n"),
+      sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+    val d = col("c") * col("n") - col("s1")
+    val flagged = ev.join(st, "user_id")
+      .filter(d > 0 && d * d > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // exact reference
+    val cs = vals.map(v => math.round(v * 100))
+    val (n, s1, s2) = (cs.length.toLong, cs.sum, cs.map(c => c * c).sum)
+    val want = cs.zipWithIndex.collect { case (c, i)
+      if c * n - s1 > 0 && (c * n - s1) * (c * n - s1) > 9 * (n * s2 - s1 * s1) => i.toLong
+    }.toSet
+    assert(flagged == want && want == Set(20L), s"flagged=$flagged want=$want")
+  }
+
   test("streaming hll equals the batch sketch regardless of batch count") {
     val spark2 = spark
     import spark2.implicits._

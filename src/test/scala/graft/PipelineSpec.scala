@@ -666,6 +666,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._4).toSeq == (1L to got.length))
   }
 
+  test("bigram LM: shuffled-word doc scores below its natural-order twins") {
+    val spark2 = spark; import spark2.implicits._
+    val sent = "the quick brown fox jumps over the lazy dog and runs far away"
+    val shuffled = "dog the far jumps quick and away brown the runs lazy fox over"
+    val fixture = ((0 until 20).map(i => (i.toLong, sent)) :+ (99L, shuffled))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scores = TextAnalysis.bigramLmScore(fixture).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(0L) > scores(99L),
+      s"natural order ${scores(0L)} must outscore shuffled ${scores(99L)}")
+  }
+
   test("streaming cms equals the batch counter table") {
     val spark2 = spark; import spark2.implicits._
     val items = (1 to 1500).map(i => s"item${i % 97}").toDF("x")

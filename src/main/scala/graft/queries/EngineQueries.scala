@@ -455,6 +455,20 @@ object EngineQueries {
       sk.join(ex, "l_returnflag").orderBy("l_returnflag")
     }),
 
+    // per-user event-type transition matrix (the Markov-chain view of
+    // user journeys): lag over (user, ts-order) — one user-keyed
+    // window shuffle, output |types|² rows
+    "events_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = TpchRdf.tsNanos(TpchRdf.table(s, dir, "events"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev.select(col("user_id"), col("event_type").as("to_type"),
+          lag("event_type", 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // per-user 3σ outliers, ALL-INTEGER decision arithmetic: with
     // exact cent counts c and per-user (n, S1=Σc, S2=Σc²), the test
     // v−mean > 3σ becomes (c·n−S1)² > 9·(n·S2−S1²) ∧ c·n>S1 — no
@@ -1246,6 +1260,15 @@ object EngineQueries {
     // identical result contract for the batch and streaming variants
     "stream_sessionize" -> sessionizeSql,
     "events_sessionize" -> sessionizeSql,
+
+    // replays the transition matrix: lag over (user, ts, event_id)
+    "events_transitions" ->
+      """WITH t AS (SELECT user_id, event_type AS to_type,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |           FROM events)
+        |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     // replays the integer 3σ test: exact cents, (cn−S1)² > 9(nS2−S1²)
     "events_outliers" ->

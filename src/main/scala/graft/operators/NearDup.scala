@@ -89,7 +89,7 @@ object NearDup {
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
     val verdicts = byBandStreaming(graft.pipeline.Dedup.simhash(stream), maxDist)
-    val name = "stream_neardup_sink"
+    val name = "stream_neardup_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = verdicts.writeStream.format("memory").queryName(name)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

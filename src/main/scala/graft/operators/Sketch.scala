@@ -100,7 +100,7 @@ object Sketch {
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val reg = hllRegisters(stream, groupCols, col("_v"), p)
-    val name = "stream_hll_sink"
+    val name = "stream_hll_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = reg.writeStream.format("memory").queryName(name)
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -150,7 +150,7 @@ object Sketch {
         struct(lit(r).as("row"), col(s"b$r").as("bucket"))): _*)).as("rb"))
       .select(col("rb.row"), col("rb.bucket"))
     val reg = banded.groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
-    val name = "stream_cms_sink"
+    val name = "stream_cms_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = reg.writeStream.format("memory").queryName(name)
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

@@ -136,10 +136,10 @@ object Bench {
     "events_range" -> 1.24, "gas_triangles" -> 3.92,
     "sketch_hll" -> 0.70, "sketch_cms" -> 1.00,
     "stream_hll" -> 6.50, "events_funnel" -> 1.54,
-    "stream_cms" -> 7.46, "text_collocations" -> 1.86,
+    "stream_cms" -> 3.66, "text_collocations" -> 1.86,
     "events_retention" -> 2.31, "pipeline_end2end" -> 4.93,
     "events_outliers" -> 1.40, "text_ngram_lm" -> 3.88,
-    "events_transitions" -> 2.06,
+    "events_transitions" -> 2.06, "table_profile" -> 2.06,
     "pipeline_sample" -> 0.32, "q1_agg" -> 0.32,
     "rdfs_closure" -> 1.64, "rdfs_incremental" -> 1.71,
     "rdfs_retract" -> 3.54, "rdr_annotation" -> 0.81,

@@ -445,6 +445,15 @@ object EngineQueries {
         .orderBy("event_id")
     }),
 
+    // ANALYZE-style profile: one unpivoted scan → per-column row/null
+    // counts + HLL distinct estimates (|cols|·(2^p+1) shuffled rows)
+    "table_profile" -> ((s, dir) => {
+      val li = TpchRdf.table(s, dir, "lineitem")
+      graft.operators.TableProfile.profile(li,
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))
+        .orderBy("cname")
+    }),
+
     // HyperLogLog distinct parts per returnflag — register-sized
     // shuffle (2^p rows/group, map-side combined), exact countDistinct
     // joined alongside to show the estimate lands
@@ -1325,6 +1334,31 @@ object EngineQueries {
         |  ROUND(CASE WHEN e_raw <= 160.0 AND v > 0 THEN 64.0 * ln(64.0 / v) ELSE e_raw END, 4) AS hll_est,
         |  v AS n_empty, reg_checksum, n_exact
         |FROM est JOIN ex ON est.event_type = ex.event_type ORDER BY est.event_type""".stripMargin,
+
+    // replays the column profile: unpivot UNION ALL + the HLL formula
+    // grouped by column name
+    "table_profile" ->
+      """WITH st AS (
+        |  SELECT 'l_orderkey' AS cname, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem),
+        |stats AS (SELECT cname, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |            CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |          FROM st GROUP BY 1),
+        |h AS (SELECT cname, CAST(('0x'||substr(md5(v),1,8)) AS BIGINT) AS h
+        |      FROM st WHERE v IS NOT NULL),
+        |r AS (SELECT cname, h // 67108864 AS bucket,
+        |        CASE WHEN h % 67108864 = 0 THEN 27
+        |             ELSE 27 - length(bin(h % 67108864)) END AS rank FROM h),
+        |reg AS (SELECT cname, bucket, MAX(rank) AS M FROM r GROUP BY 1, 2),
+        |agg AS (SELECT cname, SUM(power(2.0, -M)) AS s, COUNT(*) AS nb FROM reg GROUP BY 1),
+        |est AS (SELECT cname, 0.709 * 64 * 64 / (s + (64 - nb)) AS e_raw,
+        |          CAST(64 - nb AS BIGINT) AS v FROM agg)
+        |SELECT stats.cname, n_rows, n_null,
+        |  ROUND(CASE WHEN e_raw <= 160.0 AND v > 0 THEN 64.0 * ln(64.0 / v) ELSE e_raw END, 4) AS hll_est
+        |FROM stats JOIN est ON stats.cname = est.cname ORDER BY stats.cname""".stripMargin,
 
     // replays hllDistinct p=6: 32-bit md5 hash, 64 registers, ranks
     // via bin-length, linear-counting small-range correction

@@ -263,6 +263,30 @@ object Analytics {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per vertex: 2T/(d(d−1)) over the
+    * undirected graph — triangle counts from [[triangleCounts]]
+    * joined with undirected degrees; vertices of degree < 2 get 0.
+    * The cluster-cohesion metric (cliques ≈ 1, chains ≈ 0) a dedup
+    * pipeline reads off its near-dup graph. Costs = triangleCounts +
+    * one degree aggregate over the SAME materialized canonical edge
+    * set (passed through, so the upstream edge derivation is not
+    * recomputed). */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val ue = cp(edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val deg = ue.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(ue.select(col("a").as("src"), col("b").as("dst")))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 4))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
   /** In/out degree per vertex (the GAS vertex-distribution reducer). */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))

@@ -85,6 +85,18 @@ object GasQueries {
         .select(col("node").cast("long").as("doc_id"), col("n_triangles"))
         .orderBy("doc_id")
     }),
+    // local clustering coefficients of the same near-dup graph —
+    // cliques ≈ 1 vs chains ≈ 0: the cluster-cohesion read a dedup
+    // pipeline uses to validate transitive collapsing
+    "gas_clustering" -> ((s, dir) => {
+      val pairs = graft.pipeline.Dedup
+        .ngramJaccard(TpchRdf.table(s, dir, "documents"), 0.5, maxDf = 64)
+        .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+      Analytics.clusteringCoeff(pairs)
+        .select(col("node").cast("long").as("doc_id"), col("degree"),
+          col("n_triangles"), col("coeff"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** PR oracle: 10 unrolled iterations (recursive CTEs can't aggregate
@@ -128,6 +140,29 @@ object GasQueries {
         |n AS (SELECT unnest([x, y, z]) AS d FROM tri)
         |SELECT d AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY d ORDER BY doc_id""".stripMargin,
+
+    // same pair graph; coeff = 2T/(d(d−1)), degree-joined triangles
+    "gas_clustering" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+        |       FROM w WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        |sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT a, b FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
+        |      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |deg AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        |          (SELECT a AS d FROM p UNION ALL SELECT b FROM p) GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM p e1 JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tc AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS t FROM
+        |         (SELECT unnest([x, y, z]) AS d FROM tri) GROUP BY 1)
+        |SELECT deg.d AS doc_id, degree, coalesce(t, 0) AS n_triangles,
+        |  CASE WHEN degree >= 2 THEN ROUND(2.0 * coalesce(t, 0) / (degree * (degree - 1)), 4)
+        |       ELSE 0.0 END AS coeff
+        |FROM deg LEFT JOIN tc ON deg.d = tc.d ORDER BY doc_id""".stripMargin,
 
     "gas_bfs" ->
       s"""WITH RECURSIVE $hierCte, b AS (

@@ -110,4 +110,20 @@ class GasSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got2 == want.toMap, s"got $got2 want $want")
   }
+
+  test("clustering coefficients: K4 vertices are 1.0, chain interiors 0, leaves 0") {
+    import TestSpark.spark
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"), // K4
+      ("p", "q"), ("q", "r")                                                  // chain
+    ).toDF("src", "dst")
+    val got = Analytics.clusteringCoeff(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq("a", "b", "c", "d").foreach { v =>
+      assert(got(v) == ((3L, 3L, 1.0)), s"$v: ${got(v)}")
+    }
+    assert(got("q") == ((2L, 0L, 0.0)))  // chain interior: degree 2, no closure
+    assert(got("p") == ((1L, 0L, 0.0)))  // leaf: degree < 2
+  }
 }

@@ -370,6 +370,62 @@ object TextAnalysis {
         round(avg(log((col("cb") + lit(1.0)) / (col("cu") + lit(v)))), 4).as("lm_score"))
   }
 
+  /** T5-style span corruption digest (Raffel et al. 2020): mask
+    * fixed-length token spans at a deterministic stride (span k
+    * covers positions [1 + k·stride, …+spanLen), full spans only),
+    * replace each with a `mask_k` sentinel, and emit the corrupted
+    * sequence's fingerprint plus the targets sequence's
+    * ("mask_0 t₁ t₂ t₃ mask_1 …") fingerprint — the input/label pair
+    * digest of a span-corruption pretraining pipeline. Map-only typed
+    * pass; only doc_id + counts + two 8-byte fingerprints shuffle,
+    * never the corrupted text. All-integer/string arithmetic: the
+    * oracle replays it exactly. */
+  def spanCorruption(docs: DataFrame, stride: Int = 10, spanLen: Int = 3): DataFrame = {
+    require(stride >= spanLen && spanLen >= 1,
+      s"spanCorruption: need spanLen <= stride, got $spanLen/$stride")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
+        val ws = t.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (ws.isEmpty) None
+        else {
+          val n = ws.length
+          val corrupted = new StringBuilder
+          val targets = new StringBuilder
+          var nSpans = 0
+          var i = 0 // 0-based position
+          while (i < n) {
+            val r = i % stride
+            val spanStart = i - r
+            val fullSpan = spanStart + spanLen <= n
+            if (r == 0 && fullSpan) {
+              val k = i / stride
+              if (corrupted.nonEmpty) corrupted.append(' ')
+              corrupted.append("mask_").append(k)
+              if (targets.nonEmpty) targets.append(' ')
+              targets.append("mask_").append(k)
+              var j = 0
+              while (j < spanLen) { targets.append(' ').append(ws(i + j)); j += 1 }
+              nSpans += 1
+            } else if (r < spanLen && fullSpan) {
+              // interior of a masked span: dropped from the input
+            } else {
+              if (corrupted.nonEmpty) corrupted.append(' ')
+              corrupted.append(ws(i))
+            }
+            i += 1
+          }
+          def fp(s: String) = graft.functions.PolyHash.hash(
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Some((id, nSpans.toLong, (nSpans * spanLen).toLong,
+            fp(corrupted.toString), fp(targets.toString)))
+        }
+      }
+      .toDF("doc_id", "n_spans", "n_masked", "corrupted_fp", "targets_fp")
+  }
+
   /** Hashed linear text classifier (the fastText-style quality/domain
     * gate of a curation pipeline): tokens hash into `dim` buckets
     * (feature hashing, Weinberger et al. 2009), each bucket carries a

@@ -238,6 +238,11 @@ object PipelineQueries {
     "text_ngram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(docs(s, dir)).orderBy("doc_id")),
 
+    // T5-style span corruption: stride-10 3-token spans → input/label
+    // fingerprints (map-only; text never shuffles)
+    "pipeline_spans" -> ((s, dir) =>
+      TextAnalysis.spanCorruption(docs(s, dir)).orderBy("doc_id")),
+
     // STREAMING Count-Min: counters as a complete-mode streaming sum —
     // commutative-monoid merge ⇒ identical to the batch sketch (same
     // oracle shape as sketch_cms)
@@ -872,6 +877,26 @@ object PipelineQueries {
          |  skey % 8 AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, kept.doc_id) AS BIGINT) AS pos
          |FROM kept JOIN sh ON kept.doc_id = sh.doc_id ORDER BY kept.doc_id""".stripMargin,
+
+    // replays spanCorruption: stride-10/len-3 full spans, mask_k
+    // sentinels, corrupted+targets polyhash fingerprints
+    "pipeline_spans" ->
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+         |d AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 1),
+         |c AS (SELECT doc_id, n,
+         |  array_to_string(list_filter(list_transform(range(1, n + 1), q ->
+         |    CASE WHEN (q-1) % 10 = 0 AND q + 2 <= n THEN 'mask_'||CAST((q-1)//10 AS VARCHAR)
+         |         WHEN (q-1) % 10 < 3 AND (q-1) - ((q-1) % 10) + 3 <= n THEN ''
+         |         ELSE ws[q] END), x -> x <> ''), ' ') AS corrupted,
+         |  array_to_string(list_transform(list_filter(range(1, n + 1), q -> (q-1) % 10 = 0 AND q + 2 <= n),
+         |    q -> 'mask_'||CAST((q-1)//10 AS VARCHAR)||' '||ws[q]||' '||ws[q+1]||' '||ws[q+2]), ' ') AS targets,
+         |  len(list_filter(range(1, n + 1), q -> (q-1) % 10 = 0 AND q + 2 <= n)) AS n_spans
+         | FROM d)
+         |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(n_spans * 3 AS BIGINT) AS n_masked,
+         |  CASE WHEN corrupted = '' THEN 0 ELSE ${polyhashSql("corrupted")} END AS corrupted_fp,
+         |  CASE WHEN targets = '' THEN 0 ELSE ${polyhashSql("targets")} END AS targets_fp
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // replays bigramLmScore: add-1 smoothed p(w2|w1), mean ln per doc
     "text_ngram_lm" ->

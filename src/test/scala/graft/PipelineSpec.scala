@@ -666,6 +666,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._4).toSeq == (1L to got.length))
   }
 
+  test("span corruption: fingerprints match hand-built input/label pair; tail span skipped") {
+    val spark2 = spark; import spark2.implicits._
+    // 13 tokens: span 0 covers t1-t3 (positions 1-3); the next start
+    // (position 11) has only 3 left (11,12,13) -> full, masked too
+    val toks = (1 to 13).map(i => s"t$i")
+    val fixture = Seq((1L, toks.mkString(" "), "en", "s", 1L),
+        (2L, "a b", "en", "s", 1L)) // too short for any span
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.spanCorruption(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def fp(s: String) = graft.functions.PolyHash.hash(s.getBytes("UTF-8"))
+    val corrupted1 = "mask_0 t4 t5 t6 t7 t8 t9 t10 mask_1"
+    val targets1 = "mask_0 t1 t2 t3 mask_1 t11 t12 t13"
+    assert(got(1L) == ((2L, 6L, fp(corrupted1), fp(targets1))), s"got ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, fp("a b"), fp(""))))
+  }
+
   test("bigram LM: shuffled-word doc scores below its natural-order twins") {
     val spark2 = spark; import spark2.implicits._
     val sent = "the quick brown fox jumps over the lazy dog and runs far away"

@@ -287,6 +287,46 @@ object Analytics {
           .otherwise(lit(0.0)).as("coeff"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over all edge endpoints — positive = hubs link
+    * hubs, negative = hubs link leaves. Every sum is over exact
+    * integer degrees (one aggregate over the 2|E| oriented endpoint
+    * list), so only the final Pearson division is floating point —
+    * the oracle replays it bit-for-bit. Returns one row
+    * (n_edges, assortativity, NULL when a side is degree-constant). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val ue = cp(edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val deg = ue.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val both = ue.select(col("a"), col("b"))
+      .unionAll(ue.select(col("b").as("a"), col("a").as("b")))
+    val j = both
+      .join(deg.select(col("node").as("a"), col("d").as("dx")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("dy")), "b")
+    // mean-form Pearson, NOT the m2·Σxy−Σx·Σy cross-product form:
+    // the integer cross products overflow long at ~10M endpoints
+    // (DuckDB silently widens to HUGEINT, Spark wraps — a silent
+    // cross-engine divergence); the raw sums themselves stay exact
+    // longs, and both engines then run the identical double formula
+    val mx = col("sx").cast("double") / col("m2")
+    val my = col("sy").cast("double") / col("m2")
+    val vx = col("sxx").cast("double") / col("m2") - mx * mx
+    val vy = col("syy").cast("double") / col("m2") - my * my
+    j.agg(count(lit(1)).as("m2"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select((col("m2") / 2).cast("long").as("n_edges"),
+        // degree-constant graph (e.g. complete/regular) has zero
+        // variance: the coefficient is undefined — NULL, not an error
+        when(vx <= 0 || vy <= 0, lit(null).cast("double"))
+          .otherwise(round((col("sxy").cast("double") / col("m2") - mx * my) /
+            sqrt(vx * vy), 4)).as("assortativity"))
+  }
+
   /** In/out degree per vertex (the GAS vertex-distribution reducer). */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))

@@ -85,6 +85,16 @@ object GasQueries {
         .select(col("node").cast("long").as("doc_id"), col("n_triangles"))
         .orderBy("doc_id")
     }),
+    // degree assortativity of the near-dup graph (one-row summary;
+    // co-supply was tried first and is degenerate-COMPLETE at small
+    // SF — constant degree, zero variance, undefined coefficient)
+    "gas_assortativity" -> ((s, dir) => {
+      val pairs = graft.pipeline.Dedup
+        .ngramJaccard(TpchRdf.table(s, dir, "documents"), 0.5, maxDf = 64)
+        .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+      Analytics.assortativity(pairs)
+    }),
+
     // local clustering coefficients of the same near-dup graph —
     // cliques ≈ 1 vs chains ≈ 0: the cluster-cohesion read a dedup
     // pipeline uses to validate transitive collapsing
@@ -140,6 +150,36 @@ object GasQueries {
         |n AS (SELECT unnest([x, y, z]) AS d FROM tri)
         |SELECT d AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY d ORDER BY doc_id""".stripMargin,
+
+    // replays assortativity in the identical mean-form double formula
+    "gas_assortativity" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+        |       FROM w WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        |sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |co AS (SELECT a, b FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
+        |      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+        |          (SELECT a AS n FROM co UNION ALL SELECT b FROM co) GROUP BY 1),
+        |bo AS (SELECT a, b FROM co UNION ALL SELECT b, a FROM co),
+        |j AS (SELECT dx.d AS dx, dy.d AS dy FROM bo
+        |      JOIN deg dx ON dx.n = bo.a JOIN deg dy ON dy.n = bo.b),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+        |          CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+        |          CAST(SUM(dx*dy) AS BIGINT) AS sxy, CAST(SUM(dx*dx) AS BIGINT) AS sxx,
+        |          CAST(SUM(dy*dy) AS BIGINT) AS syy FROM j)
+        |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN (CAST(sxx AS DOUBLE) / m2 - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2)) <= 0
+        |         OR (CAST(syy AS DOUBLE) / m2 - (CAST(sy AS DOUBLE) / m2) * (CAST(sy AS DOUBLE) / m2)) <= 0
+        |       THEN NULL
+        |  ELSE ROUND((CAST(sxy AS DOUBLE) / m2 - (CAST(sx AS DOUBLE) / m2) * (CAST(sy AS DOUBLE) / m2)) /
+        |    sqrt((CAST(sxx AS DOUBLE) / m2 - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2)) *
+        |         (CAST(syy AS DOUBLE) / m2 - (CAST(sy AS DOUBLE) / m2) * (CAST(sy AS DOUBLE) / m2))), 4)
+        |  END AS assortativity
+        |FROM agg""".stripMargin,
 
     // same pair graph; coeff = 2T/(d(d−1)), degree-joined triangles
     "gas_clustering" ->

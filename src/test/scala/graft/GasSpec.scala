@@ -126,4 +126,21 @@ class GasSpec extends AnyFunSuite {
     assert(got("q") == ((2L, 0L, 0.0)))  // chain interior: degree 2, no closure
     assert(got("p") == ((1L, 0L, 0.0)))  // leaf: degree < 2
   }
+
+  test("assortativity: star is -1, disjoint unequal cliques are +1, regular graph is NULL") {
+    import TestSpark.spark
+    import spark.implicits._
+    def r(edges: Seq[(String, String)]): Option[Double] = {
+      val row = Analytics.assortativity(edges.toDF("src", "dst")).collect()(0)
+      if (row.isNullAt(1)) None else Some(row.getDouble(1))
+    }
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"))
+    assert(r(star).contains(-1.0), s"star should be -1, got ${r(star)}")
+    // K3 ∪ K4: endpoints always equal-degree -> +1
+    val cliques = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("p", "q"), ("p", "s"), ("p", "t"), ("q", "s"), ("q", "t"), ("s", "t"))
+    assert(r(cliques).contains(1.0), s"cliques should be +1, got ${r(cliques)}")
+    // K3 alone: every degree equal -> zero variance -> undefined
+    assert(r(Seq(("a", "b"), ("a", "c"), ("b", "c"))).isEmpty)
+  }
 }

@@ -43,6 +43,22 @@ object Ann {
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS — the retrieval scoring
+    * of dot-product-trained embedding models, where cosine's norm
+    * division is WRONG: a longer vector legitimately scores higher).
+    * Same shape as [[bruteForce]]: broadcast query block, map-side
+    * codegen dots, per-query sort-limit — no norm division. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), dot(col("q_emb"), col("n_emb")).as("ip"))
+    val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), round(col("ip"), 6).as("ip"), col("rank"))
+  }
+
   /** Sign-sketch bucket id from `numBits` hyperplanes — native codegen
     * kernel, one pass over the vector for all bits; `table` selects an
     * independent set of hyperplanes for multi-table LSH. The hyperplane

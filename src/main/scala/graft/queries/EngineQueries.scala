@@ -464,6 +464,17 @@ object EngineQueries {
       sk.join(ex, "l_returnflag").orderBy("l_returnflag")
     }),
 
+    // hour-of-day × event-type activity heatmap (UTC) — one aggregate,
+    // 24·|types| output rows
+    "events_heatmap" -> ((s, dir) => {
+      val ev = TpchRdf.tsNanos(TpchRdf.table(s, dir, "events"))
+      ev.groupBy(hour(timestamp_micros(expr("ts div 1000"))).cast("long").as("hour_utc"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("hour_utc", "event_type")
+    }),
+
     // per-user event-type transition matrix (the Markov-chain view of
     // user journeys): lag over (user, ts-order) — one user-keyed
     // window shuffle, output |types|² rows
@@ -1269,6 +1280,13 @@ object EngineQueries {
     // identical result contract for the batch and streaming variants
     "stream_sessionize" -> sessionizeSql,
     "events_sessionize" -> sessionizeSql,
+
+    // replays the hour×type heatmap with exact decimal value sums
+    "events_heatmap" ->
+      """SELECT CAST(date_part('hour', ts) AS BIGINT) AS hour_utc, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_utc, event_type""".stripMargin,
 
     // replays the transition matrix: lag over (user, ts, event_id)
     "events_transitions" ->

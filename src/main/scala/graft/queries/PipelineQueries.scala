@@ -243,6 +243,13 @@ object PipelineQueries {
     "pipeline_spans" -> ((s, dir) =>
       TextAnalysis.spanCorruption(docs(s, dir)).orderBy("doc_id")),
 
+    // exact MIPS top-k: raw inner product, no norm division — the
+    // retrieval scoring of dot-trained embedding models
+    "ann_mips" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.mipsTopK(e.filter(col("vec_id") < 10), e, 5).orderBy("q_id", "rank")
+    }),
+
     // STREAMING Count-Min: counters as a complete-mode streaming sum —
     // commutative-monoid merge ⇒ identical to the batch sketch (same
     // oracle shape as sketch_cms)
@@ -877,6 +884,17 @@ object PipelineQueries {
          |  skey % 8 AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, kept.doc_id) AS BIGINT) AS pos
          |FROM kept JOIN sh ON kept.doc_id = sh.doc_id ORDER BY kept.doc_id""".stripMargin,
+
+    // replays mipsTopK: raw dot products, (ip desc, n_id) rank
+    "ann_mips" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, embedding AS ne FROM embeddings),
+        |scored AS (SELECT q_id, n_id,
+        |    list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))) AS ip
+        |  FROM q JOIN c ON q_id <> n_id),
+        |r AS (SELECT q_id, n_id, ip, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS rank FROM scored)
+        |SELECT q_id, n_id, ROUND(ip, 6) AS ip, rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
     // replays spanCorruption: stride-10/len-3 full spans, mask_k
     // sentinels, corrupted+targets polyhash fingerprints

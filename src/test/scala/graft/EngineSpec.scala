@@ -1087,6 +1087,31 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("range join bins correctly at ns-epoch magnitudes beyond double's 2^53") {
+    val spark2 = spark; import spark2.implicits._
+    // 2026 in nanoseconds ~ 1.77e18: consecutive longs here are NOT
+    // representable as doubles (ulp ~ 256), so float binning would
+    // mis-bin boundary rows — this pins the integral-div claim
+    val base = 1770000000000000000L
+    val win = 600L * 1000000000L // 10-minute window
+    val lRows = (0 until 40).map(i => (i.toLong, base + i * 97_000_000_000L, 1L))
+    // right rows planted exactly ON left window edges (ts - win, ts)
+    val rRows = lRows.flatMap { case (lid, ts, k) =>
+      Seq((1000 + lid * 4, ts - win, k), (1001 + lid * 4, ts - win - 1, k),
+          (1002 + lid * 4, ts, k), (1003 + lid * 4, ts + 1, k))
+    }
+    val got = graft.operators.RangeJoin.intervalJoin(
+        lRows.toDF("event_id", "ts", "user_id"),
+        rRows.toDF("r_id", "ts", "user_id"), "user_id", "ts", win, 0L)
+      .select("event_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (lid, lts, lk) <- lRows; (rid, rts, rk) <- rRows
+      if lk == rk && rts >= lts - win && rts <= lts
+    } yield (lid, rid)).toSet
+    assert(want.nonEmpty && got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("range join: equals brute-force theta join incl. bin/window boundaries; equi-join plan") {
     val rnd = new scala.util.Random(5)
     // timestamps planted ON window edges, ON bin edges, and random

@@ -475,6 +475,15 @@ object EngineQueries {
         .orderBy("hour_utc", "event_type")
     }),
 
+    // STREAMING transition counting: per-user last-event state carries
+    // boundary-spanning transitions across micro-batches — same batch
+    // oracle as events_transitions (batching-invariant)
+    "stream_transitions" -> ((s, dir) => {
+      val ev = TpchRdf.tsNanos(TpchRdf.table(s, dir, "events"))
+        .select("user_id", "ts", "event_id", "event_type")
+      graft.operators.Transitions.run(s, ev).orderBy("from_type", "to_type")
+    }),
+
     // per-user event-type transition matrix (the Markov-chain view of
     // user journeys): lag over (user, ts-order) — one user-keyed
     // window shuffle, output |types|² rows
@@ -1287,6 +1296,16 @@ object EngineQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_utc, event_type""".stripMargin,
+
+    // the stream replays as the batch lag formula (state carries
+    // boundary transitions, so the batch answer IS the oracle)
+    "stream_transitions" ->
+      """WITH t AS (SELECT user_id, event_type AS to_type,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |           FROM events)
+        |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     // replays the transition matrix: lag over (user, ts, event_id)
     "events_transitions" ->

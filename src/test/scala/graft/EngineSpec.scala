@@ -1072,6 +1072,22 @@ class EngineSpec extends AnyFunSuite {
     assert(flagged == want && want == Set(20L), s"flagged=$flagged want=$want")
   }
 
+  test("streaming transitions: batching-invariant, boundary transitions counted once") {
+    import graft.rdf.TpchRdf
+    val ev = TpchRdf.tsNanos(TpchRdf.table(spark, SF, "events"))
+      .select("user_id", "ts", "event_id", "event_type")
+    def counts(splits: Int) = graft.operators.Transitions.run(spark, ev, splits)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val one = counts(1)
+    val three = counts(3)
+    assert(one == three, "verdicts must not depend on micro-batch boundaries")
+    // total transitions = total events - distinct users (each user's
+    // first event opens no transition)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(three.values.sum == nEvents - nUsers)
+  }
+
   test("streaming hll equals the batch sketch regardless of batch count") {
     val spark2 = spark
     import spark2.implicits._

@@ -142,6 +142,7 @@ object Bench {
     "events_transitions" -> 2.06, "table_profile" -> 2.06,
     "gas_clustering" -> 4.0, "pipeline_spans" -> 0.85,
     "gas_assortativity" -> 4.0, "ann_mips" -> 1.44, "events_heatmap" -> 0.80, "stream_transitions" -> 7.36,
+    "tokenize_bpe2" -> 3.75,
     "pipeline_sample" -> 0.32, "q1_agg" -> 0.32,
     "rdfs_closure" -> 1.64, "rdfs_incremental" -> 1.71,
     "rdfs_retract" -> 3.54, "rdr_annotation" -> 0.81,

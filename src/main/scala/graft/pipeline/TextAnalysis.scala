@@ -300,6 +300,39 @@ object TextAnalysis {
       .select("pair", "cnt", "rank")
   }
 
+  /** BPE training, round 2: APPLY the round-1 top merge (standard BPE
+    * application — left-to-right non-overlapping replacement, the
+    * exact semantics of `replace` in both engines; the merged unit
+    * becomes the single symbol '#', outside the [a-z0-9] alphabet)
+    * and re-rank the adjacent-symbol pairs. Demonstrates the
+    * iterate step of [[bpePairCounts]]' trainer: the whole round is
+    * two vocabulary-sized aggregates + a 1-row broadcast (the chosen
+    * merge), so k rounds cost k vocabulary passes — corpus positions
+    * are never revisited. */
+  def bpeSecondRound(docs: DataFrame, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // two consumers: round-1 pairs + re-merge
+    def pairCounts(word: Column, freq: Column, df: DataFrame) =
+      df.filter(length(word) >= 2)
+        .select(freq.as("f"), explode(expr(
+          s"transform(sequence(1, length(${word.toString}) - 1), i -> substring(${word.toString}, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("f").as("cnt"))
+    val pairs1 = pairCounts(col("w"), col("f"), vocab)
+    val m1 = pairs1.orderBy(col("cnt").desc, col("pair")).limit(1)
+      .select(col("pair").as("merge1"))
+    val vocab2 = vocab.crossJoin(broadcast(m1))
+      .select(col("merge1"), col("f"), expr("replace(w, merge1, '#')").as("w2"))
+    val pairs2 = pairCounts(col("w2"), col("f"), vocab2)
+      .crossJoin(broadcast(m1))
+    pairs2
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("merge1", "pair", "cnt", "rank")
+  }
+
   /** PMI-ranked collocations (Church & Hanks 1990): adjacent word
     * pairs scored by pointwise mutual information
     * ln(c(ab)·N / (c(a)·c(b))) against the corpus' own unigram

@@ -243,6 +243,11 @@ object PipelineQueries {
     "pipeline_spans" -> ((s, dir) =>
       TextAnalysis.spanCorruption(docs(s, dir)).orderBy("doc_id")),
 
+    // BPE round 2: apply the top merge (left-to-right non-overlap,
+    // merged unit = '#'), re-rank adjacent symbol pairs
+    "tokenize_bpe2" -> ((s, dir) =>
+      TextAnalysis.bpeSecondRound(docs(s, dir)).orderBy("rank")),
+
     // exact MIPS top-k: raw inner product, no norm division — the
     // retrieval scoring of dot-trained embedding models
     "ann_mips" -> ((s, dir) => {
@@ -884,6 +889,25 @@ object PipelineQueries {
          |  skey % 8 AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, kept.doc_id) AS BIGINT) AS pos
          |FROM kept JOIN sh ON kept.doc_id = sh.doc_id ORDER BY kept.doc_id""".stripMargin,
+
+    // replays bpeSecondRound: round-1 top merge via QUALIFY, replace()
+    // application (identical left-to-right non-overlap semantics),
+    // round-2 pair rank
+    "tokenize_bpe2" ->
+      """WITH w AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |v AS (SELECT unnest(ws) AS wd FROM w),
+        |vc AS (SELECT wd, COUNT(*) AS f FROM v GROUP BY wd),
+        |p1 AS (SELECT pair, SUM(f) AS cnt FROM (
+        |         SELECT unnest(list_transform(range(1, len(wd)), i -> substr(wd, CAST(i AS INTEGER), 2))) AS pair, f
+        |         FROM vc WHERE len(wd) >= 2) GROUP BY pair),
+        |m1 AS (SELECT pair AS merge1 FROM p1 QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) = 1),
+        |v2 AS (SELECT merge1, f, replace(wd, merge1, '#') AS w2 FROM vc CROSS JOIN m1),
+        |p2 AS (SELECT merge1, pair, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+        |         SELECT merge1, unnest(list_transform(range(1, len(w2)), i -> substr(w2, CAST(i AS INTEGER), 2))) AS pair, f
+        |         FROM v2 WHERE len(w2) >= 2) GROUP BY merge1, pair),
+        |r AS (SELECT merge1, pair, cnt,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank FROM p2)
+        |SELECT merge1, pair, cnt, rank FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // replays mipsTopK: raw dot products, (ip desc, n_id) rank
     "ann_mips" ->

@@ -666,6 +666,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._4).toSeq == (1L to got.length))
   }
 
+  test("bpe round 2: merge applied left-to-right non-overlapping, round-2 pairs over symbols") {
+    val spark2 = spark; import spark2.implicits._
+    // "aaa" x10: round-1 top merge is "aa" (2 occurrences/word);
+    // greedy application gives "#a" (NOT "a#" or double-merge)
+    val fixture = (0 until 10).map(i => (i.toLong, "aaa", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.bpeSecondRound(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.head._1 == "aa", s"merge should be 'aa': ${got.head}")
+    assert(got.map(x => x._2 -> x._3).toMap == Map("#a" -> 10L),
+      s"round-2 pairs should be exactly {#a: 10}: ${got.toSeq}")
+  }
+
   test("span corruption: fingerprints match hand-built input/label pair; tail span skipped") {
     val spark2 = spark; import spark2.implicits._
     // 13 tokens: span 0 covers t1-t3 (positions 1-3); the next start

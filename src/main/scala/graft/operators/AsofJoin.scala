@@ -23,10 +23,12 @@ import org.apache.spark.sql.types.StructType
   * once, and AQE's skew split handles hot keys because the window is
   * per-key-ordered, not per-key-collected.
   *
-  * Caveat (standard last-observation-carried-forward): a right row
-  * whose payload column is genuinely NULL is skipped in favor of an
-  * older non-null one — pre-coalesce sentinel values if NULL payloads
-  * must win.
+  * Row-atomicity: the payload columns are carried as ONE struct by a
+  * single `last(ignoreNulls)` — the attached payload always comes from
+  * a single right row (the latest at-or-before), never a per-column mix
+  * of different right rows. A right row whose payload columns are NULL
+  * still wins the carry (its NULLs are attached as-is), matching what a
+  * lateral `ORDER BY ts DESC LIMIT 1` join would produce.
   */
 object AsofJoin {
 
@@ -39,27 +41,30 @@ object AsofJoin {
   def leftAsof(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightOrd: String, payload: Seq[String]): DataFrame = {
     val lStructType = StructType(left.schema.fields)
-    val pType = payload.map(c => c -> right.schema(c).dataType).toMap
+    val pStructType = StructType(payload.map(c => right.schema(c)))
     val ordType = right.schema(rightOrd).dataType
     val lRows = left.select(
-      (col(key).as("_k") :: col(ts).as("_ts") ::
-        lit(null).cast(ordType).as("_ord") :: lit(1).as("_side") ::
-        struct(left.columns.map(col).toIndexedSeq: _*).as("_l") ::
-        payload.map(c => lit(null).cast(pType(c)).as("_p_" + c)).toList): _*)
+      col(key).as("_k"), col(ts).as("_ts"),
+      lit(null).cast(ordType).as("_ord"), lit(1).as("_side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("_l"),
+      lit(null).cast(pStructType).as("_p"))
     val rRows = right.select(
-      (col(key).as("_k") :: col(ts).as("_ts") ::
-        col(rightOrd).as("_ord") :: lit(0).as("_side") ::
-        lit(null).cast(lStructType).as("_l") ::
-        payload.map(c => col(c).as("_p_" + c)).toList): _*)
+      col(key).as("_k"), col(ts).as("_ts"),
+      col(rightOrd).as("_ord"), lit(0).as("_side"),
+      lit(null).cast(lStructType).as("_l"),
+      struct(payload.map(col).toIndexedSeq: _*).as("_p"))
     // right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
     // same-instant right row is visible to the left row; _ord orders
-    // right rows among themselves (larger = later = wins the carry)
+    // right rows among themselves (larger = later = wins the carry).
+    // The payload rides as ONE struct (non-null on every right row even
+    // when its fields are null), so a single last(ignoreNulls) attaches
+    // an atomic right row — never a cross-row mix of payload columns.
     val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"), col("_ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lRows.unionByName(rRows)
-      .select((col("_side") :: col("_l") ::
-        payload.map(c => last(col("_p_" + c), ignoreNulls = true).over(w).as(c)).toList): _*)
+      .select(col("_side"), col("_l"),
+        last(col("_p"), ignoreNulls = true).over(w).as("_p"))
       .filter(col("_side") === 1)
-      .select((col("_l.*") :: payload.map(col).toList): _*)
+      .select((col("_l.*") :: payload.map(c => col("_p." + c).as(c)).toList): _*)
   }
 }

@@ -105,7 +105,8 @@ object Sketch {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    hllFromRegisters(spark.table(name), groupCols, p)
+    StreamStage.reap(spark, name, in)(
+      hllFromRegisters(spark.table(name), groupCols, p))
   }
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) build: `d`
@@ -155,7 +156,7 @@ object Sketch {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    StreamStage.reap(spark, name, in)(spark.table(name))
   }
 
   /** Point-query the sketch: estimated frequency of each item in

@@ -25,6 +25,10 @@ object TableProfile {
       count(when(col("v").isNull, 1)).as("n_null"))
     val hll = Sketch.hllDistinct(stacked.filter(col("v").isNotNull),
       Seq("cname"), col("v"), p)
-    stats.join(hll.select("cname", "hll_est"), "cname")
+    // left join: an all-NULL column has no rows on the HLL side (it is
+    // built over non-null values only) but must still appear in the
+    // profile — that is exactly the column an ANALYZE pass should report
+    stats.join(hll.select("cname", "hll_est"), Seq("cname"), "left")
+      .withColumn("hll_est", coalesce(col("hll_est"), lit(0.0)))
   }
 }

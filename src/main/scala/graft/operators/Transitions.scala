@@ -66,6 +66,7 @@ object Transitions {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name).groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    StreamStage.reap(spark, name, in)(
+      spark.table(name).groupBy("from_type", "to_type").agg(count(lit(1)).as("n")))
   }
 }

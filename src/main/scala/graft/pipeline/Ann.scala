@@ -181,9 +181,36 @@ object Ann {
     * sub-quadratic answer; production-scale semantic dedup at 100 TB
     * is [[semanticDedup]] (cluster-confined, linear) — this operator's
     * exactness sweet spot is the near-dup regime θ ≳ 0.7 where both
-    * effects vanish exponentially. */
+    * effects vanish exponentially. A scale guard enforces the regime:
+    * when the bucket histogram predicts more than
+    * `maxAvgPairsPerVector` enumerated pairs per vector, the call is
+    * REFUSED loudly (pointing at [[semanticDedup]] / numBits / the
+    * cap) rather than launching an unbounded quadratic job. */
   def cosinePairs(vectors: DataFrame, minSim: Double,
-                  numBits: Int = 4, tables: Int = 32): DataFrame = {
+                  numBits: Int = 4, tables: Int = 32,
+                  maxAvgPairsPerVector: Long = 1L << 20): DataFrame = {
+    // ---- scale guard (refuse-loud, the simhashPairs discipline) ----
+    // Bucket-local enumeration is Θ(Σ_b n_b² / 2) per table; on a corpus
+    // big (or skewed) enough that the average enumerated pairs per
+    // vector exceed the cap, this is a quadratic job a 100-TB user
+    // should not get silently. Estimate from table 0's histogram (one
+    // cheap |V|→2^numBits aggregate; tables are statistically alike,
+    // and first-collision ownership only shrinks the true work), then
+    // refuse with the documented escape paths. Exactness is untouched —
+    // the guard never drops pairs, it rejects the call.
+    val est = vectors
+      .select(lshBucket(col("embedding"), numBits, 0).as("gb"))
+      .groupBy("gb").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("ss"), sum(col("n")).as("nv")).head()
+    if (!est.isNullAt(1) && est.getLong(1) > 0) {
+      val estPairsPerVec = est.getLong(0).toDouble / 2 / est.getLong(1) * tables
+      require(estPairsPerVec <= maxAvgPairsPerVector,
+        f"cosinePairs: estimated $estPairsPerVec%.0f enumerated pairs per vector " +
+          s"(cap $maxAvgPairsPerVector) — at this corpus size/threshold the " +
+          "bucket-local pair space is quadratic. Use Ann.semanticDedup (cell-" +
+          "confined, linear) for at-scale semantic dedup, raise numBits for " +
+          "more bucket contrast, or raise maxAvgPairsPerVector explicitly.")
+    }
     // Verification is INLINE in the bucket join (the minhashLsh
     // restructure, same reason): banding rows carry (embedding, norm),
     // the exact cosine evaluates as the join's post-condition, and

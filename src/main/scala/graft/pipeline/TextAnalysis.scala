@@ -314,17 +314,20 @@ object TextAnalysis {
     val vocab = docs.select(explode(words(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .localCheckpoint() // two consumers: round-1 pairs + re-merge
-    def pairCounts(word: Column, freq: Column, df: DataFrame) =
-      df.filter(length(word) >= 2)
-        .select(freq.as("f"), explode(expr(
-          s"transform(sequence(1, length(${word.toString}) - 1), i -> substring(${word.toString}, i, 2))")).as("pair"))
+    // word/freq are bare attribute NAMES (not Columns): the lambda body
+    // is a SQL string, and interpolating Column.toString only resolves
+    // for unqualified attributes — a derived column would mis-parse
+    def pairCounts(word: String, freq: String, df: DataFrame) =
+      df.filter(length(col(word)) >= 2)
+        .select(col(freq).as("f"), explode(expr(
+          s"transform(sequence(1, length($word) - 1), i -> substring($word, i, 2))")).as("pair"))
         .groupBy("pair").agg(sum("f").as("cnt"))
-    val pairs1 = pairCounts(col("w"), col("f"), vocab)
+    val pairs1 = pairCounts("w", "f", vocab)
     val m1 = pairs1.orderBy(col("cnt").desc, col("pair")).limit(1)
       .select(col("pair").as("merge1"))
     val vocab2 = vocab.crossJoin(broadcast(m1))
       .select(col("merge1"), col("f"), expr("replace(w, merge1, '#')").as("w2"))
-    val pairs2 = pairCounts(col("w2"), col("f"), vocab2)
+    val pairs2 = pairCounts("w2", "f", vocab2)
       .crossJoin(broadcast(m1))
     pairs2
       .withColumn("rank", row_number()

@@ -510,9 +510,16 @@ object EngineQueries {
           round(col("value") * 100).cast("long").as("c"))
       val st = ev.groupBy("user_id").agg(count(lit(1)).as("n"),
         sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
-      val d = col("c") * col("n") - col("s1")
+      // cross products (d², n·S2, S1²) ride decimal(38,0), not long:
+      // 1M events/user at ~$10⁷ cents keeps every term under 10³⁸, while
+      // the long form would wrap silently at S1 ≈ 3·10⁹ (S1² > 2⁶³) —
+      // the exact cross-engine divergence DuckDB surfaces as HUGEINT
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d = col("c").cast(dec) * col("n").cast(dec) - col("s1").cast(dec)
       ev.join(st, "user_id")
-        .filter(d > 0 && d * d > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+        .filter(d > 0 && d * d >
+          lit(9L).cast(dec) * (col("n").cast(dec) * col("s2").cast(dec) -
+            col("s1").cast(dec) * col("s1").cast(dec)))
         .select("event_id", "user_id", "value")
         .orderBy("event_id")
     }),
@@ -1316,16 +1323,21 @@ object EngineQueries {
         |FROM t WHERE from_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
-    // replays the integer 3σ test: exact cents, (cn−S1)² > 9(nS2−S1²)
+    // replays the integer 3σ test: exact cents, (cn−S1)² > 9(nS2−S1²);
+    // cross products in HUGEINT to mirror the decimal(38,0) Spark side
     "events_outliers" ->
       """WITH e AS (SELECT event_id, user_id, value,
         |             CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
         |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
         |         CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c*c) AS BIGINT) AS s2
-        |       FROM e GROUP BY 1)
-        |SELECT event_id, e.user_id, value
-        |FROM e JOIN st ON e.user_id = st.user_id
-        |WHERE (c*n - s1) > 0 AND (c*n - s1)*(c*n - s1) > 9*(n*s2 - s1*s1)
+        |       FROM e GROUP BY 1),
+        |j AS (SELECT event_id, e.user_id, value,
+        |        CAST(c AS HUGEINT)*CAST(n AS HUGEINT) - CAST(s1 AS HUGEINT) AS d,
+        |        CAST(n AS HUGEINT)*CAST(s2 AS HUGEINT)
+        |          - CAST(s1 AS HUGEINT)*CAST(s1 AS HUGEINT) AS var9
+        |      FROM e JOIN st ON e.user_id = st.user_id)
+        |SELECT event_id, user_id, value FROM j
+        |WHERE d > 0 AND d*d > 9*var9
         |ORDER BY event_id""".stripMargin,
 
     // replays cohort retention: first-seen day per user, distinct

@@ -174,6 +174,20 @@ object PipelineQueries {
     "stream_neardup" -> ((s, dir) =>
       graft.operators.NearDup.run(s, docs(s, dir)).orderBy("doc_id")),
 
+    // windowed streaming near-dup with watermark-evicted state: event
+    // time = crawl sequence (doc_id seconds); dup ⇔ an earlier doc
+    // within the 500-doc horizon matches at Hamming ≤ 3 — band state
+    // holds one horizon of docs, not the corpus (bound spec-asserted)
+    "stream_neardup_ttl" -> ((s, dir) =>
+      graft.operators.NearDup.run(s, docs(s, dir), horizonSec = Some(500L))
+        .orderBy("doc_id")),
+
+    // bounded-state stream + periodic expired-archive band sweep:
+    // verdicts ≡ the unbounded full-history run, state stays bounded
+    "stream_neardup_archive" -> ((s, dir) =>
+      graft.operators.NearDup.runWithArchive(s, docs(s, dir), horizonSec = 500L)
+        .orderBy("doc_id")),
+
     // DSIR importance weights toward a target domain (sources 0-3):
     // hashed-unigram log-ratio profile, broadcast table + map-only score
     "pipeline_dsir" -> ((s, dir) =>
@@ -746,6 +760,55 @@ object PipelineQueries {
     // as dedup_simhash; is_dup ⇔ ∃ smaller-id doc within Hamming 3
     // (order by doc_id, not arrival — the batching-invariance contract)
     "stream_neardup" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS fs
+        |        FROM w WHERE len(ws) >= 3),
+        |t AS (SELECT doc_id, unnest(fs) AS tok FROM shs),
+        |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS h FROM t),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN (h * (2*b + 3) + b) % 1000000007 > 500000003 THEN 1 ELSE -1 END) AS sgn
+        |         FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN
+        |           CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+        |         ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |dups AS (SELECT DISTINCT y.doc_id
+        |         FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |           AND bit_count(xor(x.simhash, y.simhash)) <= 3)
+        |SELECT sh.doc_id, sh.doc_id IN (SELECT doc_id FROM dups) AS is_dup
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // replays the TTL-windowed streaming gate: same simhash CTEs, dup
+    // scoped to earlier docs within the 500-id event-time horizon
+    "stream_neardup_ttl" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS fs
+        |        FROM w WHERE len(ws) >= 3),
+        |t AS (SELECT doc_id, unnest(fs) AS tok FROM shs),
+        |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS h FROM t),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN (h * (2*b + 3) + b) % 1000000007 > 500000003 THEN 1 ELSE -1 END) AS sgn
+        |         FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN
+        |           CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+        |         ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |dups AS (SELECT DISTINCT y.doc_id
+        |         FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |           AND y.doc_id - x.doc_id <= 500
+        |           AND bit_count(xor(x.simhash, y.simhash)) <= 3)
+        |SELECT sh.doc_id, sh.doc_id IN (SELECT doc_id FROM dups) AS is_dup
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // the archive-fold run must reproduce the full-history verdicts:
+    // identical oracle to stream_neardup (horizon-window ∪ stale sweep)
+    "stream_neardup_archive" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
         |shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS fs
         |        FROM w WHERE len(ws) >= 3),

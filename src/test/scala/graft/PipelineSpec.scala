@@ -74,6 +74,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(blocked == exact, s"missed=${exact -- blocked} extra=${blocked -- exact}")
   }
 
+  test("cosinePairs scale guard refuses a quadratic pair space loudly") {
+    // same corpus, pathologically low cap: the bucket histogram
+    // predicts more enumerated pairs/vector than allowed → refuse with
+    // the documented escape paths instead of launching the job
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Ann.cosinePairs(embs, 0.45, maxAvgPairsPerVector = 4L)
+    }
+    assert(e.getMessage.contains("semanticDedup"))
+    // explicit cap raise is the unguarded escape hatch — same results
+    val guardedOff = Ann.cosinePairs(embs, 0.45, maxAvgPairsPerVector = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val default = Ann.cosinePairs(embs, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(guardedOff == default)
+  }
+
   test("multi-table ANN recall >= single-table at equal bits") {
     val q = embs.filter(col("vec_id") < 5)
     def hits(df: org.apache.spark.sql.DataFrame) =
@@ -530,6 +546,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     val expectedDups = pairs.map(_._2).toSet
     assert(three.filter(_._2).keySet == expectedDups)
+  }
+
+  test("streaming near-dup TTL: windowed verdicts batching-invariant, state bounded") {
+    val h = 100L
+    val (one, _) = graft.operators.NearDup.runWithProgress(
+      spark, docs, splits = 1, horizonSec = Some(h))
+    val oneM = one.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val (five, peakTtl) = graft.operators.NearDup.runWithProgress(
+      spark, docs, splits = 5, horizonSec = Some(h))
+    val fiveM = five.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // eviction is conservative (only provably-dead entries), so the
+    // windowed verdicts must not depend on micro-batch boundaries
+    assert(oneM == fiveM, "TTL verdicts must be batching-invariant")
+    // windowed ground truth: dup ⇔ an earlier pair-partner within h ids
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.filter(p => p._2 - p._1 <= h).map(_._2).toSet
+    assert(fiveM.filter(_._2).keySet == expected)
+    // and the window genuinely narrows vs full history on this corpus
+    val fullDups = pairs.map(_._2).toSet
+    assert(expected != fullDups,
+      "fixture should contain a dup pair wider than the horizon")
+    // state bound: a 500-doc replay with h=100 keeps ≲ 2 horizons of
+    // band rows live (current batch + the unevictable watermark tail),
+    // far under the unbounded 4·|docs|; peak is post-eviction per batch
+    val (_, peakFull) = graft.operators.NearDup.runWithProgress(
+      spark, docs, splits = 5)
+    assert(peakFull >= 4L * docs.count() * 9 / 10,
+      s"unbounded run should retain ~all band rows, got $peakFull")
+    assert(peakTtl <= peakFull / 2,
+      s"TTL state ($peakTtl rows) should stay well under unbounded ($peakFull)")
+  }
+
+  test("streaming near-dup archive fold: bounded state ≡ full-history verdicts") {
+    val full = graft.operators.NearDup.run(spark, docs, splits = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val folded = graft.operators.NearDup.runWithArchive(
+        spark, docs, splits = 3, horizonSec = 100L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(folded == full,
+      "horizon window ∪ expired-archive sweep must equal full history")
   }
 
   test("dsir: target-domain docs score higher; weights are finite and token-scaled") {

@@ -336,6 +336,67 @@ object TextAnalysis {
       .select("merge1", "pair", "cnt", "rank")
   }
 
+  /** k-round BPE trainer — the full generalization of
+    * [[bpePairCounts]] (round 1) and [[bpeSecondRound]] (round 2):
+    * each round counts adjacent-SYMBOL pairs over the
+    * frequency-weighted distinct-word table, picks the top pair
+    * (cnt desc, then (x, y) lexicographic — deterministic across
+    * engines), and applies it as a greedy left-to-right
+    * non-overlapping merge before the next round. Returns the merge
+    * table (round, x, y, cnt) — the trained tokenizer's merge list.
+    *
+    * Scale shape (the gas_pr driver-loop discipline): the corpus is
+    * read ONCE into the vocabulary table (word → count); every round
+    * after that is a vocabulary-sized pair aggregate + a 1-row driver
+    * collect (the chosen merge) + a typed-map merge application,
+    * `localCheckpoint`ed so the plan never grows with k — k rounds
+    * cost k vocabulary passes, and corpus positions are never
+    * revisited. At 100 TB the vocabulary is millions of rows while the
+    * corpus is billions, so the per-round cost is corpus-independent.
+    *
+    * Merge application is a left fold (append, or coalesce the tail
+    * when (last, cur) == (x, y)); the fold is exactly greedy
+    * left-to-right non-overlap because a merged symbol x·y can never
+    * re-match as the x of the same round's pair (|x·y| > |x|) —
+    * spec-asserted on overlap-heavy synthetic words ("aaaa"). */
+  def bpeTrain(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toArray, f) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val pairs = vocab.toDF("syms", "f")
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS x, element_at(syms, i + 1) AS y))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y")).agg(sum("f").as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("x"), col("y")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (mx, my, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, mx, my, cnt))
+        vocab = vocab.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (out.nonEmpty && out.last == mx && s == my)
+              out(out.length - 1) = mx + my
+            else out += s
+          }
+          (out.toArray, f)
+        }.localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "x", "y", "cnt")
+  }
+
   /** PMI-ranked collocations (Church & Hanks 1990): adjacent word
     * pairs scored by pointwise mutual information
     * ln(c(ab)·N / (c(a)·c(b))) against the corpus' own unigram

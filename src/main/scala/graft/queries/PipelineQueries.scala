@@ -262,6 +262,12 @@ object PipelineQueries {
     "tokenize_bpe2" -> ((s, dir) =>
       TextAnalysis.bpeSecondRound(docs(s, dir)).orderBy("rank")),
 
+    // k-round BPE trainer (k=8): per round, top adjacent-symbol pair
+    // applied as a greedy left-to-right non-overlap merge — k
+    // vocabulary passes, corpus read once, plan checkpoint-truncated
+    "tokenize_bpe_k" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir), 8).orderBy("round")),
+
     // exact MIPS top-k: raw inner product, no norm division — the
     // retrieval scoring of dot-trained embedding models
     "ann_mips" -> ((s, dir) => {
@@ -318,7 +324,45 @@ object PipelineQueries {
        | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |   * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
 
+  /** k-round BPE oracle: each round is LEAD-pair counts → top-1 merge
+    * (cnt desc, x, y) → greedy left-to-right non-overlap application.
+    * Non-overlap needs care only when x = y (e.g. 'l l'): matches then
+    * form islands of consecutive positions, and greedy takes the odd
+    * offsets — computed with a run-parity window (pos − ROW_NUMBER
+    * islands). For x ≠ y adjacent matches are impossible, so every
+    * match is taken. Positions re-densify per round so the island
+    * arithmetic stays valid. */
+  private def bpeTrainOracleSql(k: Int): String = {
+    val head =
+      """WITH w0 AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |wu AS (SELECT unnest(ws) AS wd FROM w0),
+        |vb AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS f FROM wu GROUP BY wd),
+        |e0 AS (SELECT wd, f, CAST(unnest(range(1, len(wd) + 1)) AS BIGINT) AS pos FROM vb),
+        |v1 AS (SELECT wd AS wid, f, pos, substring(wd, CAST(pos AS INTEGER), 1) AS sym FROM e0)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (SELECT wid, f, pos, sym, LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt FROM v$i),
+         |m$i AS (SELECT sym AS x, nxt AS y, CAST(SUM(f) AS BIGINT) AS cnt FROM p$i
+         |        WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1),
+         |q$i AS (SELECT p.wid, p.f, p.pos, p.sym, m.x, m.y,
+         |          CASE WHEN p.sym = m.x AND p.nxt = m.y THEN 1 ELSE 0 END AS isp
+         |        FROM p$i p CROSS JOIN m$i m),
+         |g$i AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY wid, isp ORDER BY pos) AS grp FROM q$i),
+         |s$i AS (SELECT *, CASE WHEN isp = 1
+         |          AND ROW_NUMBER() OVER (PARTITION BY wid, isp, grp ORDER BY pos) % 2 = 1
+         |          THEN 1 ELSE 0 END AS sel FROM g$i),
+         |r$i AS (SELECT wid, f, pos, sel, LAG(sel) OVER (PARTITION BY wid ORDER BY pos) AS psel,
+         |          CASE WHEN sel = 1 THEN x || y ELSE sym END AS sym2 FROM s$i),
+         |v${i + 1} AS (SELECT wid, f, CAST(ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS BIGINT) AS pos,
+         |          sym2 AS sym FROM r$i WHERE COALESCE(psel, 0) = 0)""".stripMargin
+    }.mkString(",\n")
+    val tail = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, x, y, cnt FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"$head,\n$rounds\nSELECT round, x, y, cnt FROM (\n$tail\n) ORDER BY round"
+  }
+
   val oracles: Map[String, String] = Map(
+    "tokenize_bpe_k" -> bpeTrainOracleSql(8),
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY keeper",
 

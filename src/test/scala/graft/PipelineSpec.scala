@@ -548,6 +548,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(three.filter(_._2).keySet == expectedDups)
   }
 
+  test("bpeTrain: greedy left-to-right non-overlap merges, hand-checked 3 rounds") {
+    val spark2 = spark; import spark2.implicits._
+    // engineered so round 1 merges (a,a) — the x=y overlap case:
+    // greedy L2R must give aaaa→[aa,aa] and aaa→[aa,a], never [a,aa,a]
+    val df = Seq((1L, "aaaa aaa ab"), (2L, "aaaa aaaa b")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, 3).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // counts: aaaa f=3, aaa f=1, ab f=1, b f=1
+    // r1: (a,a) = 3·3 + 2·1 = 11        → aaaa=[aa,aa], aaa=[aa,a]
+    // r2: (aa,aa) = 3 beats (aa,a)=1     → aaaa=[aaaa]
+    // r3: tie at 1 — (a,b) < (aa,a) lexicographically on (x, y)
+    assert(merges == Seq((1L, "a", "a", 11L), (2L, "aa", "aa", 3L),
+      (3L, "a", "b", 1L)), s"got $merges")
+  }
+
+  test("bpeTrain on the corpus: k merges, counts non-increasing, symbols compose") {
+    val merges = TextAnalysis.bpeTrain(docs, 6).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges.map(_._1) == (1L to 6L))
+    // each round's winning count can only shrink or hold: merging never
+    // creates new occurrences of a previously-available pair
+    assert(merges.sliding(2).forall { case Seq(p, n) => n._4 <= p._4; case _ => true })
+    // round 1 merges two single chars; later merges build on earlier
+    val alphabet = ('a' to 'z').map(_.toString).toSet ++ ('0' to '9').map(_.toString)
+    assert(alphabet(merges.head._2) && alphabet(merges.head._3))
+  }
+
   test("streaming near-dup TTL: windowed verdicts batching-invariant, state bounded") {
     val h = 100L
     val (one, _) = graft.operators.NearDup.runWithProgress(

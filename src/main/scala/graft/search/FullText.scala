@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object FullText {
 
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+  def tokens(c: Column): Column = Analyzer.Latin().tokenize(c)
 
-  /** Inverted postings (term, doc_id, tf) from docs(doc_id, text). */
-  def invertedIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+  /** Inverted postings (term, doc_id, tf) from docs(doc_id, text);
+    * `analyzer` picks the tokenization (per-language/per-namespace —
+    * the ConfigurableAnalyzerFactory seam, see [[Analyzer]]). */
+  def invertedIndex(docs: DataFrame,
+                    analyzer: Analyzer = Analyzer.Latin()): DataFrame =
+    docs.select(col("doc_id"), explode(analyzer.tokenize(col("text"))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
 
   /** Incremental maintenance of a persisted inverted index — the
@@ -35,11 +37,12 @@ object FullText {
     * on doc_id (partition the persisted index by a doc_id hash bucket
     * so the anti-join touches only matching buckets). */
   def updateIndex(index: DataFrame, addedDocs: DataFrame,
-                  removedDocIds: DataFrame): DataFrame = {
+                  removedDocIds: DataFrame,
+                  analyzer: Analyzer = Analyzer.Latin()): DataFrame = {
     val gone = removedDocIds.select("doc_id")
       .unionByName(addedDocs.select("doc_id")).distinct()
     index.join(gone, Seq("doc_id"), "left_anti")
-      .unionByName(invertedIndex(addedDocs).select("doc_id", "term", "tf"))
+      .unionByName(invertedIndex(addedDocs, analyzer).select("doc_id", "term", "tf"))
   }
 
   /** Top-k docs for the query terms, scored Σ tf·ln(N/df).
@@ -66,7 +69,8 @@ object FullText {
              prefixMatch: Boolean = false, matchAll: Boolean = false,
              regex: Option[String] = None,
              minScore: Option[Double] = None,
-             maxRank: Option[Int] = None): DataFrame = {
+             maxRank: Option[Int] = None,
+             analyzer: Analyzer = Analyzer.Latin()): DataFrame = {
     // duplicate query entries would double-count tf in scores and make
     // matchAll unsatisfiable (n_matched counts DISTINCT entries)
     val query = queryIn.distinct
@@ -77,7 +81,8 @@ object FullText {
     // corpus is tokenized in one map-side pass either way; at
     // production scale the inverted index is a persisted table and the
     // build cost disappears entirely.
-    val raw = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val raw = docs.select(col("doc_id"),
+      explode(analyzer.tokenize(col("text"))).as("term"))
     val n = docs.select(count(lit(1)).as("n"))
     val matchedRaw = regex match {
       case Some(re) =>

@@ -219,7 +219,8 @@ final case class SearchService(terms: Seq[String], limit: Int,
                                outDoc: String, outScore: String,
                                regex: Option[String] = None,
                                minScore: Option[Double] = None,
-                               maxRank: Option[Int] = None) extends Algebra
+                               maxRank: Option[Int] = None,
+                               analyzer: Option[String] = None) extends Algebra
 
 /** SERVICE [SILENT] <endpoint> { group } — federation to a registered
   * endpoint (ast/service/ServiceRegistry.java:67; remote endpoints

@@ -335,11 +335,18 @@ object Compiler {
       }
 
     case SearchService(terms, limit, prefix, matchAll, outDoc, outScore,
-                       regex, minScore, maxRank) =>
+                       regex, minScore, maxRank, analyzerName) =>
       val corpus = src.searchCorpus
         .getOrElse(sys.error("this triple source has no search corpus"))
+      val az = analyzerName.map(graft.search.Analyzer.byName(_))
+        .getOrElse(graft.search.Analyzer.Latin())
+      // the query string re-tokenizes through the SAME analyzer the
+      // index uses (e.g. 数据库 → [数据, 据库]) — whitespace splitting
+      // alone would never match a bigram index
+      val qTerms = terms.flatMap(az.tokenizeLocal)
       graft.search.FullText
-        .search(corpus, terms, limit, prefix, matchAll, regex, minScore, maxRank)
+        .search(corpus, qTerms, limit, prefix, matchAll, regex, minScore,
+          maxRank, az)
         .select(col("doc_id").as(outDoc), col("score").as(outScore))
 
     case ServiceCall(endpoint, inner, silent, srcText) =>

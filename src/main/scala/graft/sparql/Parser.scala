@@ -706,7 +706,11 @@ object Parser {
                 outNode, outVal,
                 conf.get("regex").map(_.head),
                 conf.get("minRelevance").map(_.head.toDouble),
-                conf.get("maxRank").map(_.head.toInt)))
+                conf.get("maxRank").map(_.head.toInt),
+                // bds:analyzer: analyzer name ("cjk") or language tag
+                // ("zh") — the ConfigurableAnalyzerFactory per-namespace
+                // seam surfaced as a per-query option
+                conf.get("analyzer").map(_.head)))
             case "geo:search" =>
               // reference geospatial service: inRectangle mode, or
               // inCircle when a center+radius is given

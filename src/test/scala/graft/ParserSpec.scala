@@ -238,6 +238,32 @@ class ParserSpec extends AnyFunSuite {
     assert(df.count() <= 5 && df.count() > 0)
   }
 
+  test("SERVICE bds:search with bds:analyzer finds CJK docs end-to-end") {
+    val spark2 = spark; import spark2.implicits._
+    val cjkSrc = new TripleSource {
+      def triples = src.triples
+      def fuseStar(patterns: Seq[TriplePattern],
+                   subjectTables: Option[Set[String]]) = None
+      override def searchCorpus = Some(Seq(
+        (1L, "这是一个分布式数据库系统"), (2L, "数据库查询优化"),
+        (3L, "plain english")).toDF("doc_id", "text"))
+    }
+    def q(analyzerLine: String) = Compiler.compile(Parser.parse(s"""SELECT ?d ?sc WHERE {
+      SERVICE bds:search {
+        _:s bds:query "数据库" .
+        $analyzerLine
+        _:s bds:out ?d .
+        _:s bds:outVal ?sc .
+      }
+    }"""), cjkSrc)
+    // without the analyzer option the Latin tokenizer sees nothing
+    assert(q("").count() == 0)
+    // bds:analyzer "cjk" (or a language tag "zh") finds both CJK docs
+    assert(q("""_:s bds:analyzer "cjk" .""").select("d")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(q("""_:s bds:analyzer "zh" .""").count() == 2)
+  }
+
   test("SPARQL UPDATE text forms") {
     import graft.sparql.{Update, UpdateOp, InsertData}
     val store = graft.rdf.TripleStore(

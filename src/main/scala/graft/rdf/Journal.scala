@@ -243,6 +243,33 @@ final class Journal private (spark: SparkSession, dir: Path) {
     }
   }
 
+  /** Graphs touched by commit `v` (adds ∪ dels), read from the
+    * graph-partitioned segment MANIFESTS (directory names) — no data
+    * read, no Spark job. None when a segment predates partitioning
+    * (g was a data column: the touched set is unknowable without a
+    * scan) — callers must treat None as "could be anything".
+    * Feeds graph-level transaction conflict validation (the
+    * reference's TxServlet.java:56-58 per-index-range revision check,
+    * at partition granularity). */
+  def touchedGraphs(v: Long): Option[Set[String]] = {
+    val rec = records.find(_.version == v).getOrElse(
+      sys.error(s"no commit point $v in $dir"))
+    val suffixes = rec.segs.getOrElse(Set("adds", "dels"))
+    suffixes.toSeq.foldLeft(Option(Set.empty[String])) { (acc, sfx) =>
+      val p = dir.resolve("segments").resolve(s"c$v-$sfx.parquet")
+      if (!Files.exists(p)) acc
+      else {
+        val entries = Journal.listDir(p).map(_.getFileName.toString)
+        val parts = entries.filter(_.startsWith("g="))
+        val legacyData = entries.exists(_.endsWith(".parquet"))
+        if (parts.isEmpty && legacyData) None // legacy unpartitioned
+        else for (a <- acc) yield a ++ parts.map(n =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(n.drop(2)))
+      }
+    }
+  }
+
   /** Structured Streaming sink body — use from `foreachBatch`:
     * {{{ quads.writeStream.foreachBatch(journal.sink("ingest") _).start() }}}
     * Exactly-once through the commit log itself: the (appId, batchId)

@@ -279,15 +279,39 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     }
     def commitStaged(items: Seq[Either[String, DataFrame]],
                      expectVersion: Long): Long = synchronized {
-      if (repo.version != expectVersion)
-        throw new TxConflict(
-          s"tx conflict: head moved from v$expectVersion to v${repo.version}")
       val head = current
       val mixed = items.map {
         case Left(text) => Left(graft.sparql.Parser.parseUpdates(text))
         case Right(df)  => Right(df)
       }
-      val (adds, dels) = Update.quadsDeltaMixed(head.store, mixed, head.defaultGraph)
+      var (adds, dels) = Update.quadsDeltaMixed(head.store, mixed, head.defaultGraph)
+      if (repo.version != expectVersion) {
+        // graph-level write-set validation (TxServlet.java:56-58's
+        // per-index-range revision check, at partition granularity):
+        // the partitionBy("g") segment manifests name every graph the
+        // interleaved commits wrote — a 409 only when that set
+        // intersects THIS tx's write set; disjoint-graph writers
+        // commit, rebased onto the current head. Never less safe than
+        // whole-head validation: an unknowable touched set (legacy
+        // unpartitioned segment) still conflicts.
+        adds = adds.localCheckpoint(); dels = dels.localCheckpoint()
+        val interleaved: Option[Set[String]] =
+          (expectVersion + 1 to repo.version)
+            .foldLeft(Option(Set.empty[String])) { (acc, v) =>
+              for { a <- acc; t <- repo.journal.touchedGraphs(v) } yield a ++ t
+            }
+        val mine = adds.select("g").unionByName(dels.select("g")).distinct()
+          .collect().flatMap(r => Option(r.getString(0))).toSet
+        interleaved match {
+          case Some(gs) if (gs & mine).isEmpty => // disjoint: proceed
+          case Some(gs) => throw new TxConflict(
+            s"tx conflict: graph(s) ${(gs & mine).toSeq.sorted.mkString(", ")} " +
+              s"modified since v$expectVersion (head now v${repo.version})")
+          case None => throw new TxConflict(
+            s"tx conflict: head moved from v$expectVersion to v${repo.version} " +
+              "and a legacy unpartitioned segment hides its touched graphs")
+        }
+      }
       val v = repo.journal.commit(adds, dels)
       maybeCompact()
       v

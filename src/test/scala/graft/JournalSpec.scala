@@ -199,6 +199,16 @@ class JournalSpec extends AnyFunSuite {
     assert(pf.contains("g"), s"partition filter should carry g, got: $pf")
   }
 
+  test("touchedGraphs reads the manifest: per-commit graph sets, no data scan") {
+    val j = Journal.create(spark, tmp())
+    val v1 = j.append(quads(("a", "p", "1", "g1"), ("b", "p", "2", "g2")))
+    val v2 = j.commit(quads(("c", "p", "3", "g3")), quads(("a", "p", "1", "g1")))
+    assert(j.touchedGraphs(v1).contains(Set("g1", "g2")))
+    // adds ∪ dels: the delete of g1 counts as touching g1
+    assert(j.touchedGraphs(v2).contains(Set("g1", "g3")))
+    intercept[RuntimeException] { j.touchedGraphs(99L) }
+  }
+
   test("appendRaw skips the write-side distinct; snapshot stays set-semantic; footer counts") {
     val j = Journal.create(spark, tmp())
     val v = j.appendRaw(quads(

@@ -468,6 +468,44 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("graph-level tx conflict: disjoint-graph txs both commit, same-graph 409s") {
+    val srv = SparqlServer.durable(Graft.empty(spark), tmp()).start()
+    try {
+      def begin() = {
+        val r = post(srv.address + "/tx", "", "text/plain")
+        assert(r.statusCode() == 201, r.body())
+        "txId=\"([0-9a-f-]+)\"".r.findFirstMatchIn(r.body()).get.group(1)
+      }
+      def stage(tx: String, g: String, s: String) =
+        assert(post(srv.address + s"/sparql/update?tx=$tx",
+          s"""INSERT DATA { GRAPH <urn:graft:g:$g> { x:$s note "$s" } }""",
+          "application/sparql-update").statusCode() == 204)
+      // the spurious-409 case the whole-head check produced: two txs on
+      // DISJOINT graphs — the second commit validates against the
+      // interleaved commit's manifest graph set and proceeds (TxServlet
+      // per-index-range validation, at g-partition granularity)
+      val txA = begin(); val txB = begin()
+      stage(txA, "one", "a"); stage(txB, "two", "b")
+      assert(post(srv.address + s"/tx/$txA/commit", "", "text/plain").statusCode() == 200)
+      val rb = post(srv.address + s"/tx/$txB/commit", "", "text/plain")
+      assert(rb.statusCode() == 200, s"disjoint-graph tx must commit: ${rb.body()}")
+      // both writes are in the head
+      val q = post(srv.address + "/sparql",
+        "SELECT ?s WHERE { GRAPH ?g { ?s <urn:graft:note> ?o } }",
+        "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, q.body()).count() == 2,
+        q.body())
+      // same-graph interleaving is still a loud 409, naming the graph
+      val txC = begin(); val txD = begin()
+      stage(txC, "one", "c"); stage(txD, "one", "d")
+      assert(post(srv.address + s"/tx/$txC/commit", "", "text/plain").statusCode() == 200)
+      val rd = post(srv.address + s"/tx/$txD/commit", "", "text/plain")
+      assert(rd.statusCode() == 409, rd.body())
+      // graphs are interned to local names engine-side
+      assert(rd.body().contains("g:one"), rd.body())
+    } finally srv.stop()
+  }
+
   test("blueprints REST: mutate over HTTP, traverse back; workbench index serves HTML") {
     val srv = new SparqlServer(Graft.empty(spark)).start()
     try {

@@ -117,6 +117,76 @@ object Sketch {
     * of input size, map-side combined — the entire sketch fits in a
     * broadcast (the point of a sketch at 100 TB: counters shuffle,
     * items don't). */
+  /** Unbounded-source harness: the HLL register aggregate over a RATE
+    * stream — the deployment shape where data arrives forever and the
+    * sketch is read while the stream runs. The rate source emits
+    * sequential values; rows ≥ n are filtered so the processed value
+    * domain is exactly [0, n), and an event-time watermark rides the
+    * plan — proving the register state needs no late-data protection:
+    * max is a merge-invariant semilattice, so trigger cadence and
+    * watermark placement cannot change the final registers
+    * (spec-asserted bit-equal to the batch sketch of range(n)). */
+  def hllRateSource(spark: org.apache.spark.sql.SparkSession, n: Long,
+                    p: Int = 6, rowsPerSecond: Int = 5000): DataFrame = {
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .withWatermark("timestamp", "0 seconds")
+      .filter(col("value") < n)
+      .select(lit("all").as("grp"), col("value"))
+    drainRate(spark, hllRegisters(stream, Seq("grp"), col("value"), p),
+      n, "rate_hll_sink_")
+  }
+
+  /** CMS counter table over a rate stream — same contract as
+    * [[hllRateSource]]: counter increments form a commutative monoid,
+    * so the drained table equals [[cmsBuild]] over range(n). */
+  def cmsRateSource(spark: org.apache.spark.sql.SparkSession, n: Long,
+                    d: Int = 4, w: Int = 256,
+                    rowsPerSecond: Int = 5000): DataFrame = {
+    val rows = spark.range(d).select(col("id").cast("int").as("row"))
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .withWatermark("timestamp", "0 seconds")
+      .filter(col("value") < n)
+      .select(col("value").cast("string").as("x"))
+      .crossJoin(broadcast(rows))
+      .select(col("row"), pmod(graft.functions.PolyHash.polyhash(
+        concat(col("row").cast("string"), lit(":"), col("x"))), lit(w.toLong)).as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    drainRate(spark, stream, n, "rate_cms_sink_")
+  }
+
+  /** Run a complete-mode register aggregate off an unbounded rate
+    * stream until the source has emitted `n` rows (sequential values ⇒
+    * the whole [0, n) domain processed), then stop and return the
+    * final register table. Progress batchIds dedup the poll so the
+    * input count never double-counts a retained progress entry. */
+  private def drainRate(spark: org.apache.spark.sql.SparkSession,
+                        agg: DataFrame, n: Long, sinkPrefix: String): DataFrame = {
+    val name = sinkPrefix + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var total = 0L
+      val deadline = System.currentTimeMillis() + 120000L
+      while (total < n && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        for (pr <- q.recentProgress if !seen.contains(pr.batchId)) {
+          seen += pr.batchId; total += pr.numInputRows
+        }
+      }
+      require(total >= n,
+        s"rate source emitted only $total of $n rows before timeout")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   def cmsBuild(items: DataFrame, item: Column, d: Int = 4, w: Int = 256): DataFrame = {
     val rows = items.sparkSession.range(d).select(col("id").cast("int").as("row"))
     items.select(item.cast("string").as("x"))

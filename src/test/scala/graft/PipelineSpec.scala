@@ -548,6 +548,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(three.filter(_._2).keySet == expectedDups)
   }
 
+  test("rate-source sketches equal the batch sketch: merge-invariant under live triggers") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.operators.Sketch
+    val n = 20000L
+    // HLL: registers from an unbounded rate stream (watermark + live
+    // ProcessingTime triggers) must be BIT-EQUAL to the batch registers
+    // over the same value domain — max is a semilattice merge
+    val rateReg = Sketch.hllRateSource(spark, n)
+      .select("bucket", "M").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batchReg = Sketch.hllRegisters(
+        spark.range(n).select(lit("all").as("grp"), col("id").as("v")),
+        Seq("grp"), col("v"))
+      .select("bucket", "M").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rateReg == batchReg)
+    // CMS: counter increments are a commutative monoid — same contract
+    val rateCms = Sketch.cmsRateSource(spark, n)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batchCms = Sketch.cmsBuild(spark.range(n).toDF("x"), col("x"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rateCms == batchCms)
+  }
+
   test("bpeTrain: greedy left-to-right non-overlap merges, hand-checked 3 rounds") {
     val spark2 = spark; import spark2.implicits._
     // engineered so round 1 merges (a,a) — the x=y overlap case:

@@ -61,9 +61,13 @@ object Dedup {
     * contributes k² candidate rows to the self-join, so one viral
     * boilerplate shingle ("all rights reserved …") turns the join
     * quadratic on a skewed 100-TB corpus. Shingles above the cap are
-    * dropped from candidate GENERATION only — near-dup pairs share
-    * many rare shingles, so recall is unaffected at any sane cap
-    * (asserted against the uncapped oracle). */
+    * dropped from candidate GENERATION only, and the capped operator
+    * is EXACT at any threshold: docs whose viral-shingle mass could
+    * cover a qualifying intersection on its own (va ≥ minJ·sa — the
+    * only possible missed-pair endpoints) re-run candidate generation
+    * uncapped among themselves, pay-as-you-go (see the escalation
+    * block below; asserted against the uncapped oracle, including a
+    * viral-only-pairs corpus). */
   def ngramJaccard(docs: DataFrame, minJ: Double, n: Int = 3,
                    maxDf: Long = Long.MaxValue): DataFrame = {
     // the shingle computation (typed map: tokenize + slide + distinct)
@@ -114,7 +118,32 @@ object Dedup {
         .select(col("a"), col("b"),
           (col("inter_c") + coalesce(col("inter_v"), lit(0L))).as("inter"))
     }
-    inter
+    // CAP ESCALATION (round-9): a pair whose ENTIRE intersection is
+    // viral shingles never surfaces as a candidate — the regime where
+    // the cap was previously inexact. Certification bound: J ≥ minJ
+    // forces I ≥ minJ·max(sa, sb) (from I ≥ minJ/(1+minJ)·(sa+sb) and
+    // sb ≥ I), and an all-viral intersection needs I ≤ min(va, vb) —
+    // so only a doc with viral-shingle count va ≥ minJ·sa can be a
+    // missed-pair endpoint. Candidate generation re-runs EXACTLY (all
+    // shingles, no cap) for those docs alone: pay-as-you-go, the set
+    // is empty unless viral mass dominates a doc's shingle set, and
+    // both paths compute exact intersections so the merge is a
+    // same-value dedup. This makes the capped operator exact at ANY
+    // threshold, not just the no-viral-qualifying-pairs regime.
+    val interX = if (!hasViral) inter else {
+      val vc = posts.join(dfreq.filter(col("c") > maxDf).select("sh"), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("vc"))
+      val uncert = sizes.join(vc, "doc_id")
+        .filter(col("vc").cast("double") >= lit(minJ) * col("sz") - lit(1e-9))
+        .select("doc_id")
+      val uPosts = posts.join(uncert, "doc_id").localCheckpoint()
+      val interU = uPosts.alias("x").join(uPosts.alias("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      inter.unionByName(interU).groupBy("a", "b").agg(max("inter").as("inter"))
+    }
+    interX
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
       .withColumn("jaccard",

@@ -452,6 +452,11 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   def address: String =
     s"http://${server.getAddress.getHostString}:${server.getAddress.getPort}"
 
+  /** HTML-escape for workbench/status pages. */
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
   private def wantsGzip(ex: HttpExchange): Boolean =
     Option(ex.getRequestHeaders.getFirst("Accept-Encoding")).exists(_.contains("gzip"))
 
@@ -1198,6 +1203,71 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     * WorkbenchServlet.java:45, not the full browser workbench): each
     * namespace's endpoints plus a query form wired to the protocol's
     * own GET binding. */
+  /** The workbench query form: a namespace switcher + textarea whose
+    * POST renders an HTML bindings table ([[WorkbenchHandler]]). */
+  private def workbenchForm(selectedNs: String,
+                            queryText: String =
+                              "SELECT ?s ?p ?o WHERE { ?s ?p ?o } LIMIT 10"): String = {
+    val opts = namespaces.keys.asScala.toSeq.sorted.map { ns =>
+      val sel = if (ns == selectedNs) " selected" else ""
+      s"""<option value="${esc(ns)}"$sel>${esc(ns)}</option>"""
+    }.mkString
+    s"""<form action="/workbench" method="post">
+       |<label>namespace <select name="ns">$opts</select></label><br/>
+       |<textarea name="query" rows="6" cols="80">${esc(queryText)}</textarea><br/>
+       |<button type="submit">Run</button>
+       |</form>""".stripMargin
+  }
+
+  /** Browser result rendering beyond the landing page
+    * (WorkbenchServlet.java:45 / bigdata-war-html's query view, the
+    * migration-comfort slice): the workbench form POSTs here and the
+    * bindings render as an HTML table under the same form (namespace
+    * switcher re-targets it). Row cap 500 keeps the page bounded —
+    * the protocol endpoints stream full results; ASK renders its
+    * boolean as a one-cell table through the same path. */
+  private object WorkbenchHandler extends HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod == "GET")
+          respond(ex, 200, "text/html; charset=utf-8",
+            s"""<!DOCTYPE html><html><head><title>graft workbench</title></head>
+               |<body><h1>graft workbench</h1>${workbenchForm(defaultNamespace)}</body></html>""".stripMargin)
+        else {
+          require(ex.getRequestMethod == "POST", "workbench requires GET or POST")
+          val form = params(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+          val ns = form.get("ns").flatten.getOrElse(defaultNamespace)
+          if (!namespaces.containsKey(ns)) sys.error(s"no namespace: $ns")
+          val q = form.get("query").flatten.getOrElse(sys.error("no query in form"))
+          val df = tenant(ns).current.query(q)
+          val (vars, rows) = inJobGroup(ns, s"WORKBENCH $q") {
+            (df.columns.toSeq, df.limit(501).collect())
+          }
+          val shown = rows.take(500)
+          val thead = vars.map(v => s"<th>${esc(v)}</th>").mkString
+          val trs = shown.map { r =>
+            vars.indices.map { i =>
+              val v = if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
+              s"<td>${esc(v)}</td>"
+            }.mkString("<tr>", "", "</tr>")
+          }.mkString
+          val note =
+            if (rows.length > 500)
+              "<p>(first 500 rows shown — the protocol endpoint streams full results)</p>"
+            else ""
+          respond(ex, 200, "text/html; charset=utf-8",
+            s"""<!DOCTYPE html><html><head><title>graft workbench</title></head><body>
+               |<h1>graft workbench</h1>${workbenchForm(ns, q)}
+               |<p>${shown.length} row(s) · namespace <code>${esc(ns)}</code></p>
+               |<table border="1"><thead><tr>$thead</tr></thead><tbody>$trs</tbody></table>
+               |$note</body></html>""".stripMargin)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+      }
+  }
+
   private object IndexHandler extends HttpHandler {
     def handle(ex: HttpExchange): Unit =
       try {
@@ -1214,11 +1284,9 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                |<h1>graft SPARQL server</h1>
                |<p><a href="/status">status</a> · default namespace: <code>$defaultNamespace</code></p>
                |<h2>Namespaces</h2><ul>$nss</ul>
-               |<h2>Query (default namespace)</h2>
-               |<form action="/sparql" method="get">
-               |<textarea name="query" rows="6" cols="80">SELECT ?s ?p ?o WHERE { ?s ?p ?o } LIMIT 10</textarea><br/>
-               |<input type="hidden" name="format" value="json"/><button type="submit">Run</button>
-               |</form></body></html>""".stripMargin
+               |<h2>Query</h2>
+               |${workbenchForm(defaultNamespace)}
+               |</body></html>""".stripMargin
           respond(ex, 200, "text/html; charset=utf-8", html)
         }
       } catch {
@@ -1332,6 +1400,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   server.createContext("/status", StatusHandler)
   server.createContext("/counters", CountersHandler)
   server.createContext("/tx", TxHandler)
+  server.createContext("/workbench", WorkbenchHandler)
   server.createContext("/", IndexHandler)
 
   def start(): this.type = { server.start(); this }

@@ -565,6 +565,36 @@ class EngineSpec extends AnyFunSuite {
     val capped = graft.pipeline.Dedup.ngramJaccard(docs, 0.5, maxDf = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == uncapped)
+    // and at the LOW threshold the r8 scale runs measured losing
+    // viral-only pairs: the escalation path must restore exactness
+    val un03 = graft.pipeline.Dedup.ngramJaccard(docs, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cap03 = graft.pipeline.Dedup.ngramJaccard(docs, 0.3, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cap03 == un03, s"missed=${un03 -- cap03} extra=${cap03 -- un03}")
+  }
+
+  test("df-cap escalation: viral-only pairs survive an aggressive cap exactly") {
+    val spark2 = spark; import spark2.implicits._
+    // 8 docs sharing ONLY a boilerplate phrase (every shared shingle
+    // viral at maxDf=4) + per-doc unique tails tuned so J ≥ 0.3 holds
+    // for the pairs; pre-escalation code found ZERO of them
+    val boiler = "all rights reserved to the original author of record"
+    val docs = (0 until 8).map(i =>
+      (i.toLong, s"$boiler unique$i tail$i")).toDF("doc_id", "text")
+    val uncapped = graft.pipeline.Dedup.ngramJaccard(docs, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped.nonEmpty, "fixture should produce qualifying pairs")
+    val capped = graft.pipeline.Dedup.ngramJaccard(docs, 0.3, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped,
+      s"missed=${uncapped -- capped} extra=${capped -- uncapped}")
+    // certification holds at the high threshold too (no false extras)
+    val capped09 = graft.pipeline.Dedup.ngramJaccard(docs, 0.9, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val un09 = graft.pipeline.Dedup.ngramJaccard(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped09 == un09)
   }
 
   test("RDFS axiomatic rules are emitted only under the flag") {

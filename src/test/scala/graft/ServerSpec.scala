@@ -534,11 +534,32 @@ class ServerSpec extends AnyFunSuite {
         "SELECT ?x WHERE { ?s <urn:graft:knows> ?x }", "application/sparql-query")
       assert(graft.sparql.RemoteService.parseJsonResults(spark, q2.body()).count() == 0)
       assert(bp("op=unknown&id=v").statusCode() == 400)
-      // workbench index: HTML naming each namespace's endpoint
+      // workbench index: HTML naming each namespace's endpoint, with
+      // the query form posting to /workbench and a namespace switcher
       val idx = send(req(srv.address + "/").GET())
       assert(idx.statusCode() == 200 && idx.body().contains("<html") &&
         idx.body().contains("/namespace/kb/sparql"), idx.body().take(200))
+      assert(idx.body().contains("""action="/workbench"""") &&
+        idx.body().contains("""<select name="ns""""), idx.body().take(400))
       assert(send(req(srv.address + "/nothing-here").GET()).statusCode() == 404)
+      // workbench form path: a SELECT renders an HTML bindings table
+      val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+      val wb = post(srv.address + "/workbench",
+        s"ns=kb&query=${enc("SELECT ?s ?x WHERE { ?s <urn:graft:knows> ?x }")}",
+        "application/x-www-form-urlencoded")
+      assert(wb.statusCode() == 200, wb.body().take(300))
+      assert(wb.body().contains("<table") && wb.body().contains("<th>s</th>") &&
+        wb.body().contains("<th>x</th>"), wb.body().take(600))
+      // ASK renders through the same table path; bad ns is loud
+      val ask = post(srv.address + "/workbench",
+        s"ns=kb&query=${enc("ASK { ?s ?p ?o }")}",
+        "application/x-www-form-urlencoded")
+      assert(ask.statusCode() == 200 && ask.body().contains("<table"), ask.body().take(300))
+      assert(post(srv.address + "/workbench", s"ns=nope&query=${enc("ASK {}")}",
+        "application/x-www-form-urlencoded").statusCode() == 400)
+      // bare GET serves the form
+      val wf = send(req(srv.address + "/workbench").GET())
+      assert(wf.statusCode() == 200 && wf.body().contains("<textarea"), wf.body().take(200))
     } finally srv.stop()
   }
 

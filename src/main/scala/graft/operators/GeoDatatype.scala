@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One declared coordinate component of a custom geospatial datatype:
+  * its column name and value domain (values outside clamp to the
+  * domain edge, like the built-in lat/lon quantizers). */
+final case class GeoField(name: String, min: Double, max: Double) {
+  require(max > min, s"geo field $name: max must exceed min")
+}
+
+/** Custom geospatial datatype configurations — the seam the reference
+  * exposes as per-deployment datatype declarations
+  * (bigdata-core/bigdata-rdf/src/java/com/bigdata/service/geospatial/
+  * GeoSpatialDatatypeConfiguration.java:56: a JSON config names the
+  * ordered components — latitude/longitude/time/custom fields with
+  * their ranges — and the engine builds its z-order index over them).
+  * Graft's two built-ins ([[Geo.zOrder]] lat-lon, [[Geo.zOrder3]]
+  * lat-lon-time) are instances of this general form: k declared
+  * fields, `bitsPerField` quantization bits each, Morton-interleaved
+  * most-significant-field-first, searched by covering-cell prune +
+  * exact verify — the identical plan shape, for ANY component schema,
+  * so cell granularity never changes results.
+  *
+  * Scale: `zOrder` is a computed codegen column — partition or
+  * zone-map the 100-TB point table by `zCell` and a range query reads
+  * only the covering cells' storage units; the cell enumeration is
+  * driver-side corner arithmetic (≤ 2^bits values, capped). */
+final case class GeoDatatype(fields: Seq[GeoField], bitsPerField: Int = 8) {
+  require(fields.nonEmpty, "GeoDatatype needs at least one field")
+  require(fields.map(_.name).distinct.size == fields.size,
+    "GeoDatatype field names must be distinct")
+  require(bitsPerField >= 1 && bitsPerField <= 16,
+    s"bitsPerField must be in [1,16], got $bitsPerField")
+  require(fields.size * bitsPerField <= 60,
+    s"total key bits ${fields.size * bitsPerField} exceed 60 (long-safe bound)")
+
+  private val k = fields.size
+  private val m = (1L << bitsPerField) - 1
+
+  /** Quantize one component into [0, 2^bitsPerField − 1], clamped. */
+  def quantize(c: Column, f: GeoField): Column =
+    least(lit(m), greatest(lit(0L),
+      floor((c - lit(f.min)) / lit(f.max - f.min) * lit((m + 1).toDouble))
+        .cast("long")))
+
+  /** k-D Morton key of the declared components (one column per field,
+    * declaration order; field 0 takes the most significant bit of
+    * each k-bit plane). */
+  def zOrder(cols: Seq[Column]): Column = {
+    require(cols.size == k, s"zOrder needs $k columns, got ${cols.size}")
+    val qs = fields.zip(cols).map { case (f, c) => quantize(c, f) }
+    (0 until bitsPerField).flatMap { i =>
+      qs.zipWithIndex.map { case (q, j) =>
+        shiftright(q, i).bitwiseAND(lit(1L)) * lit(1L << (k * i + (k - 1 - j)))
+      }
+    }.reduce(_ + _)
+  }
+
+  /** Coarse cell: top `bits` of the key (`bits` divisible by k — an
+    * equal share per field, same contract as [[Geo.zCell3]]). */
+  def zCell(cols: Seq[Column], bits: Int): Column = {
+    requireBits(bits)
+    shiftright(zOrder(cols), k * bitsPerField - bits)
+  }
+
+  private def requireBits(bits: Int): Unit =
+    require(bits > 0 && bits % k == 0 && bits <= math.min(k * bitsPerField, 24),
+      s"bits must be divisible by $k in (0, ${math.min(k * bitsPerField, 24)}], got $bits")
+
+  private def qLocal(v: Double, f: GeoField): Long =
+    math.min(m, math.max(0L,
+      math.floor((v - f.min) / (f.max - f.min) * (m + 1).toDouble).toLong))
+
+  /** Covering cells of a per-field range block: quantization is
+    * monotone per axis, so the k-cube of cells spanned by the
+    * quantized corners covers every inside point — driver-side
+    * enumeration, never a scan. Query bounds clamp into the declared
+    * domain first (keeps edge cells, avoids overflow on open-ended
+    * bounds — the [[Geo.coveringCells3]] lesson). */
+  def coveringCells(ranges: Seq[(Double, Double)], bits: Int): Seq[Long] = {
+    require(ranges.size == k, s"need $k ranges, got ${ranges.size}")
+    requireBits(bits)
+    val per = bits / k
+    val shift = bitsPerField - per
+    val spans: Seq[Seq[Long]] = fields.zip(ranges).map { case (f, (lo, hi)) =>
+      def clamp(v: Double) = math.min(math.max(v, f.min), f.max)
+      ((qLocal(clamp(lo), f) >> shift) to (qLocal(clamp(hi), f) >> shift)).toSeq
+    }
+    spans.foldLeft(Seq(Seq.empty[Long]))((acc, span) =>
+        acc.flatMap(prefix => span.map(prefix :+ _)))
+      .map { coords =>
+        (0 until per).flatMap(i => coords.zipWithIndex.map { case (q, j) =>
+          ((q >> i) & 1L) << (k * i + (k - 1 - j))
+        }).reduce(_ | _)
+      }
+  }
+
+  /** Range search over a points table carrying one column per declared
+    * field: covering-cell prune ahead of the exact per-field range
+    * verify (the GeoSpatialServiceFactory plan shape — z-range scan,
+    * then per-point filter). */
+  def rangeSearch(points: DataFrame, ranges: Seq[(Double, Double)],
+                  bits: Int): DataFrame = {
+    val cols = fields.map(f => col(f.name))
+    val cells = coveringCells(ranges, bits)
+    val exact = fields.zip(ranges).map { case (f, (lo, hi)) =>
+      col(f.name) >= lit(lo) && col(f.name) <= lit(hi)
+    }.reduce(_ && _)
+    points.filter(zCell(cols, bits).isInCollection(cells)).filter(exact)
+  }
+}
+
+object GeoDatatype {
+  /** The built-in lat-lon datatype expressed through the config
+    * system — bit-identical keys to [[Geo.zOrder]] (spec-asserted). */
+  val latLon: GeoDatatype = GeoDatatype(
+    Seq(GeoField("lat", -90, 90), GeoField("lon", -180, 180)), bitsPerField = 16)
+}

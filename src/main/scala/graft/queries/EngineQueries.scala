@@ -142,6 +142,19 @@ object EngineQueries {
           |} ORDER BY ?k""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // CUSTOM geospatial datatype (GeoSpatialDatatypeConfiguration.java
+    // :56 analog): a declared (lat, lon, day) component schema drives
+    // the generalized k-D z-order covering-cell prune + exact verify
+    "geo_custom" -> ((s, dir) => {
+      val dt = graft.operators.GeoDatatype(Seq(
+        graft.operators.GeoField("lat", -90, 90),
+        graft.operators.GeoField("lon", -180, 180),
+        graft.operators.GeoField("t", 0, 999)), bitsPerField = 10)
+      dt.rangeSearch(TpchRdf.supplierPointsT(s, dir),
+          Seq((-30.0, 75.0), (-120.0, 60.0), (200.0, 700.0)), bits = 12)
+        .orderBy("k")
+    }),
+
     // SymmetricOneStep DESCRIBE: triples where the node is subject OR
     // object (DescribeModeEnum.SymmetricOneStep). The object side uses
     // the OPS-analog access path: only branches that can reference the
@@ -1175,6 +1188,18 @@ object EngineQueries {
         |    CAST(s_suppkey * 131 % 1000 AS BIGINT) AS t FROM supplier)
         |WHERE lat >= -60 AND lat <= 60 AND lon >= -150 AND lon <= 90
         |  AND t >= 100 AND t <= 400
+        |ORDER BY k""".stripMargin,
+
+    // the prune never changes results, so the oracle is the plain
+    // range filter over the declared components
+    "geo_custom" ->
+      """SELECT k, lat, lon, t FROM (
+        |  SELECT s_suppkey AS k,
+        |    (s_suppkey * 7919 % 18000) / 100.0 - 90 AS lat,
+        |    (s_suppkey * 104729 % 36000) / 100.0 - 180 AS lon,
+        |    CAST(s_suppkey * 131 % 1000 AS BIGINT) AS t FROM supplier)
+        |WHERE lat >= -30 AND lat <= 75 AND lon >= -120 AND lon <= 60
+        |  AND t >= 200 AND t <= 700
         |ORDER BY k""".stripMargin,
 
     "geo_service" ->

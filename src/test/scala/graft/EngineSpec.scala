@@ -574,6 +574,28 @@ class EngineSpec extends AnyFunSuite {
     assert(cap03 == un03, s"missed=${un03 -- cap03} extra=${cap03 -- un03}")
   }
 
+  test("GeoDatatype: latLon keys bit-identical to Geo.zOrder; rangeSearch exact") {
+    import graft.operators.{Geo, GeoDatatype, GeoField}
+    val pts = TpchRdf.supplierPointsT(spark, SF)
+    val builtin = pts.select(col("k"), Geo.zOrder(col("lat"), col("lon")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val config = pts.select(col("k"),
+        GeoDatatype.latLon.zOrder(Seq(col("lat"), col("lon"))).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(builtin == config, "the config system must reproduce the built-in keys")
+    val dt = GeoDatatype(Seq(GeoField("lat", -90, 90), GeoField("lon", -180, 180),
+      GeoField("t", 0, 999)), bitsPerField = 10)
+    val ranges = Seq((-30.0, 75.0), (-120.0, 60.0), (200.0, 700.0))
+    val got = dt.rangeSearch(pts, ranges, 12)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val want = pts.filter(col("lat").between(-30, 75) &&
+        col("lon").between(-120, 60) && col("t").between(200, 700))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // the prune is real: a strict subset of the 2^12 cell space
+    assert(dt.coveringCells(ranges, 12).size < (1 << 12))
+  }
+
   test("df-cap escalation: viral-only pairs survive an aggressive cap exactly") {
     val spark2 = spark; import spark2.implicits._
     // 8 docs sharing ONLY a boilerplate phrase (every shared shingle

@@ -72,6 +72,47 @@ class GeoPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("custom datatype: latLon config covering cells match the built-in") {
+    import graft.operators.GeoDatatype
+    run("latlon-config", forAll(lat, lat, lon, lon) { (la1, la2, lo1, lo2) =>
+      val (latMin, latMax) = (math.min(la1, la2), math.max(la1, la2))
+      val (lonMin, lonMax) = (math.min(lo1, lo2), math.max(lo1, lo2))
+      val builtin = Geo.coveringCells(latMin, latMax, lonMin, lonMax, 10).toSet
+      val config = GeoDatatype.latLon
+        .coveringCells(Seq((latMin, latMax), (lonMin, lonMax)), 10).toSet
+      builtin == config
+    })
+  }
+
+  test("custom 3-field datatype: covering cells never lose an inside point") {
+    import graft.operators.{GeoDatatype, GeoField}
+    val alt = Gen.chooseNum(0.0, 5000.0)
+    val dt = GeoDatatype(Seq(GeoField("x", -90, 90), GeoField("y", -180, 180),
+      GeoField("alt", 0, 5000)), bitsPerField = 10)
+    // driver-side twin of dt.zCell (1024-level quantize + 3-way interleave)
+    def q(v: Double, mn: Double, mx: Double): Long =
+      math.min(1023L, math.max(0L, math.floor((v - mn) / (mx - mn) * 1024.0).toLong))
+    def cell(x: Double, y: Double, a: Double, bits: Int): Long = {
+      val qs = Seq(q(x, -90, 90), q(y, -180, 180), q(a, 0, 5000))
+      val z = (0 until 10).flatMap(i => qs.zipWithIndex.map { case (qq, j) =>
+        ((qq >> i) & 1L) << (3 * i + (2 - j))
+      }).reduce(_ | _)
+      z >> (30 - bits)
+    }
+    run("custom3", forAll(Gen.zip(lat, lat, lon, lon), Gen.zip(alt, alt),
+      Gen.zip(lat, lon, alt)) { case ((x1, x2, y1, y2), (a1, a2), (px, py, pa)) =>
+      val (xMin, xMax) = (math.min(x1, x2), math.max(x1, x2))
+      val (yMin, yMax) = (math.min(y1, y2), math.max(y1, y2))
+      val (aMin, aMax) = (math.min(a1, a2), math.max(a1, a2))
+      val p = (math.min(math.max(px, xMin), xMax),
+               math.min(math.max(py, yMin), yMax),
+               math.min(math.max(pa, aMin), aMax))
+      val cells = dt.coveringCells(
+        Seq((xMin, xMax), (yMin, yMax), (aMin, aMax)), 12).toSet
+      cells.contains(cell(p._1, p._2, p._3, 12))
+    })
+  }
+
   test("circle bbox prune never loses a point within the radius") {
     val radius = Gen.chooseNum(1.0, 5000.0)
     run("circle", forAll(lat, lon, radius, lat, lon) { (cla, clo, r, pla, plo) =>

@@ -1216,6 +1216,16 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
        |<label>namespace <select name="ns">$opts</select></label><br/>
        |<textarea name="query" rows="6" cols="80">${esc(queryText)}</textarea><br/>
        |<button type="submit">Run</button>
+       |</form>
+       |<h3>Update</h3>
+       |<form action="/workbench" method="post">
+       |<label>namespace <select name="ns">$opts</select></label><br/>
+       |<textarea name="update" rows="4" cols="80"></textarea><br/>
+       |<button type="submit">Apply</button>
+       |</form>
+       |<h3>New namespace</h3>
+       |<form action="/namespace" method="post">
+       |<input name="name" pattern="[A-Za-z0-9_-]+"/><button type="submit">Create</button>
        |</form>""".stripMargin
   }
 
@@ -1238,7 +1248,17 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
           val form = params(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
           val ns = form.get("ns").flatten.getOrElse(defaultNamespace)
           if (!namespaces.containsKey(ns)) sys.error(s"no namespace: $ns")
-          val q = form.get("query").flatten.getOrElse(sys.error("no query in form"))
+          val upd = form.get("update").flatten.filter(_.trim.nonEmpty)
+          if (upd.isDefined) {
+            // browser update form: apply through the namespace's own
+            // write path, confirm with the workbench page
+            inJobGroup(ns, s"WORKBENCH-UPDATE ${upd.get}") { tenant(ns).update(upd.get) }
+            respond(ex, 200, "text/html; charset=utf-8",
+              s"""<!DOCTYPE html><html><head><title>graft workbench</title></head><body>
+                 |<h1>graft workbench</h1><p>update applied to <code>${esc(ns)}</code></p>
+                 |${workbenchForm(ns)}</body></html>""".stripMargin)
+          } else {
+          val q = form.get("query").flatten.getOrElse(sys.error("no query or update in form"))
           val df = tenant(ns).current.query(q)
           val (vars, rows) = inJobGroup(ns, s"WORKBENCH $q") {
             (df.columns.toSeq, df.limit(501).collect())
@@ -1261,6 +1281,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                |<p>${shown.length} row(s) · namespace <code>${esc(ns)}</code></p>
                |<table border="1"><thead><tr>$thead</tr></thead><tbody>$trs</tbody></table>
                |$note</body></html>""".stripMargin)
+          }
         }
       } catch {
         case scala.util.control.NonFatal(e) =>

@@ -560,6 +560,20 @@ class ServerSpec extends AnyFunSuite {
       // bare GET serves the form
       val wf = send(req(srv.address + "/workbench").GET())
       assert(wf.statusCode() == 200 && wf.body().contains("<textarea"), wf.body().take(200))
+      // update form: applies through the namespace write path, then the
+      // query form sees the new data
+      val up = post(srv.address + "/workbench",
+        s"ns=kb&update=${enc("""INSERT DATA { x:wb note "from-browser" }""")}",
+        "application/x-www-form-urlencoded")
+      assert(up.statusCode() == 200 && up.body().contains("update applied"), up.body().take(300))
+      val wq = post(srv.address + "/workbench",
+        s"ns=kb&query=${enc("SELECT ?o WHERE { <urn:graft:x:wb> <urn:graft:note> ?o }")}",
+        "application/x-www-form-urlencoded")
+      assert(wq.body().contains("from-browser"), wq.body().take(600))
+      // the index page carries the create-namespace form (POST /namespace
+      // is the protocol endpoint the form drives)
+      val idx2 = send(req(srv.address + "/").GET())
+      assert(idx2.body().contains("""action="/namespace""""), idx2.body().take(600))
     } finally srv.stop()
   }
 

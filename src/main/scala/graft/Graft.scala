@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.rdf.{QuadStore, Serializer}
-import graft.sparql.{Compiler, Parser, TriplePattern, TripleSource, Update}
+import graft.sparql.{Compiler, Parser, RdfLiteral, TriplePattern, TripleSource, Update}
+import org.apache.spark.sql.functions.col
 
 /** The migrating user's single entry point — the analog of the
   * reference's repository-connection surface
@@ -59,6 +60,20 @@ final case class Graft(spark: SparkSession, store: QuadStore,
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = None
     override def quads: Option[DataFrame] = Some(store.quads)
+    // bds:search over a real store searches its LITERALS — the
+    // reference's FullTextIndex indexes every literal's lexical form
+    // and binds the matched literal term (SearchServiceFactory). The
+    // corpus is the distinct object-literal set (vocabulary-sized, a
+    // cheap aggregate; at production scale this IS the persisted
+    // literal index FullText.invertedIndex builds once); doc_id = the
+    // full term so hits bind/render as literals, text = the lexical
+    // form (tag-stripped) so tokenization sees the value.
+    override def searchCorpus: Option[DataFrame] = Some {
+      val t = store.quads.select(col("o").cast("string").as("t")).distinct()
+      val isIri = col("t").rlike(Parser.IriShape) && !col("t").startsWith("_:")
+      t.filter(!isIri && !col("t").startsWith("_:"))
+        .select(col("t").as("doc_id"), RdfLiteral.strOf(col("t")).as("text"))
+    }
   }
 
   /** SPARQL query text → result DataFrame (solutions, triples for

@@ -101,18 +101,40 @@ object Analytics {
     // 116.5/148.6/171.5s vs string 137.9/192.2/271.4s — a ~15% median
     // shift inside a ~2× box swing, not the hoped 4×: the short "c:123"
     // node strings only halve, and the per-round join cost is
-    // unchanged. Kept: it also shrinks executor memory footprint, and
-    // sf0.1/10× show parity (no regression at any scale).
-    val und0 = edges.select("src", "dst")
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val dict = cp(und0.select(col("src").as("name")).distinct()
-      .withColumn("nid", monotonically_increasing_id()))
-    val und = cp(und0
-      .join(dict.withColumnRenamed("name", "src"), "src")
-      .withColumnRenamed("nid", "sid")
-      .join(dict.withColumnRenamed("name", "dst"), "dst")
-      .select(col("sid").as("src"), col("nid").as("dst")))
-    val nodes = dict.select(col("nid").as("node"))
+    // unchanged. ADAPTIVE: the dictionary machinery is ~6 fixed extra
+    // stages (dict distinct + 2 encode joins + decode agg), which
+    // DOUBLED dedup_cluster's tiny CC (~100 edges) — so encoding
+    // engages only above an edge-count threshold where checkpoint
+    // volume is the cost center; small graphs run the string loop
+    // directly (identical semantics: least() on strings).
+    val undS = cp(edges.select("src", "dst")
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    if (undS.count() < 1000000L) {
+      val nodes = undS.select(col("src").as("node")).distinct()
+      ccLoop(undS, nodes, maxIter).select("node", "label")
+    } else {
+      val dict = cp(undS.select(col("src").as("name")).distinct()
+        .withColumn("nid", monotonically_increasing_id()))
+      val und = cp(undS
+        .join(dict.withColumnRenamed("name", "src"), "src")
+        .withColumnRenamed("nid", "sid")
+        .join(dict.withColumnRenamed("name", "dst"), "dst")
+        .select(col("sid").as("src"), col("nid").as("dst")))
+      val labels = ccLoop(und, dict.select(col("nid").as("node")), maxIter)
+      // decode + canonicalize: the component representative under the
+      // arbitrary encoding maps to min(original node) with one
+      // component-keyed aggregate (component-count-sized shuffle)
+      val named = labels.select(col("node").as("nid"), col("label").as("lid"))
+        .join(dict, "nid").select(col("name").as("node"), col("lid"))
+      val reps = named.groupBy("lid").agg(min("node").as("label"))
+      named.join(reps, "lid").select("node", "label")
+    }
+  }
+
+  /** The frontier-delta min-label loop, generic over the node type
+    * (strings and longs both order under least/min). Returns
+    * (node, label, imp) at the converged round. */
+  private def ccLoop(und: DataFrame, nodes: DataFrame, maxIter: Int): DataFrame = {
     // round 0: every vertex "changed" (label = self)
     var labels = cp(nodes.withColumn("label", col("node")).withColumn("imp", lit(true)))
     var changed = true
@@ -132,13 +154,7 @@ object Analytics {
       changed = !next.filter(col("imp")).isEmpty
       labels = next
     }
-    // decode + canonicalize: the component representative under the
-    // arbitrary encoding maps to min(original node) with one
-    // component-keyed aggregate (component-count-sized shuffle)
-    val named = labels.select(col("node").as("nid"), col("label").as("lid"))
-      .join(dict, "nid").select(col("name").as("node"), col("lid"))
-    val reps = named.groupBy("lid").agg(min("node").as("label"))
-    named.join(reps, "lid").select("node", "label")
+    labels
   }
 
   /** PageRank, fixed iteration count, formula of PR.java:284:

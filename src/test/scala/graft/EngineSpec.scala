@@ -574,6 +574,32 @@ class EngineSpec extends AnyFunSuite {
     assert(cap03 == un03, s"missed=${un03 -- cap03} extra=${cap03 -- un03}")
   }
 
+  test("bds:search on a real store searches literal values, binds the literal") {
+    // the reference's FullTextIndex indexes every literal's lexical
+    // form; graft namespaces previously had NO search corpus (the
+    // service errored) — now the store's object literals are it
+    val g = Graft.empty(spark).update(
+      """INSERT DATA { x:a note "the spark engine" . x:b note "plain words" . x:b link x:a }""")
+    val hits = g.query(
+      """SELECT ?lit ?sc WHERE {
+        |  SERVICE bds:search { _:s bds:query "spark" . _:s bds:out ?lit . _:s bds:outVal ?sc }
+        |}""".stripMargin).collect()
+    assert(hits.map(_.getString(0)).toSeq == Seq("the spark engine"))
+    // IRIs are not indexed: "link" targets x:a but no literal says x
+    val none = g.query(
+      """SELECT ?lit WHERE {
+        |  SERVICE bds:search { _:s bds:query "x" . _:s bds:out ?lit }
+        |}""".stripMargin).count()
+    assert(none == 0)
+    // the bound literal joins back into the graph like any term
+    val joined = g.query(
+      """SELECT ?s WHERE {
+        |  SERVICE bds:search { _:s bds:query "plain" . _:s bds:out ?lit }
+        |  ?s note ?lit
+        |}""".stripMargin).collect().map(_.getString(0))
+    assert(joined.toSeq == Seq("x:b"))
+  }
+
   test("GeoDatatype: latLon keys bit-identical to Geo.zOrder; rangeSearch exact") {
     import graft.operators.{Geo, GeoDatatype, GeoField}
     val pts = TpchRdf.supplierPointsT(spark, SF)

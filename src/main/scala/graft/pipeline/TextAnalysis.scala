@@ -362,16 +362,48 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, k: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeLoop(docs, k)._1.toDF("round", "x", "y", "cnt")
+  }
+
+  /** BPE ENCODE — the inference side of [[bpeTrain]]: train k merges,
+    * then tokenize the corpus with the resulting vocabulary. Returns
+    * (doc_id, n_words, n_tokens) where n_tokens counts the symbols of
+    * each word AFTER the k merges (the sequence length a trainer's
+    * data loader budgets on).
+    *
+    * Scale shape: the per-word symbol count lives on the
+    * vocabulary table (the loop's own state — no extra passes), so
+    * encoding is ONE corpus token pass joined against a
+    * vocabulary-sized (word → length) table; AQE broadcasts it when
+    * it fits. Document text never shuffles. */
+  def bpeEncode(docs: DataFrame, k: Int = 8): DataFrame = {
+    val (_, vocab) = bpeLoop(docs, k)
+    val wordLen = vocab.toDF("w", "syms", "f")
+      .select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .join(wordLen, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tokens"))
+  }
+
+  /** Shared trainer loop: k rounds of pair-count → top merge → greedy
+    * fold application over the frequency-weighted word table; returns
+    * (merge list, final vocabulary (word, symbols, freq)). */
+  private def bpeLoop(docs: DataFrame, k: Int)
+      : (Seq[(Long, String, String, Long)],
+         org.apache.spark.sql.Dataset[(String, Array[String], Long)]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     var vocab = docs.select(explode(words(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString).toArray, f) }
+      .map { case (w, f) => (w, w.map(_.toString).toArray, f) }
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= k && !exhausted) {
-      val pairs = vocab.toDF("syms", "f")
+      val pairs = vocab.toDF("w", "syms", "f")
         .filter(size(col("syms")) >= 2)
         .select(col("f"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
@@ -382,19 +414,19 @@ object TextAnalysis {
       else {
         val (mx, my, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round.toLong, mx, my, cnt))
-        vocab = vocab.map { case (syms, f) =>
+        vocab = vocab.map { case (w, syms, f) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           syms.foreach { s =>
             if (out.nonEmpty && out.last == mx && s == my)
               out(out.length - 1) = mx + my
             else out += s
           }
-          (out.toArray, f)
+          (w, out.toArray, f)
         }.localCheckpoint()
         round += 1
       }
     }
-    merges.toSeq.toDF("round", "x", "y", "cnt")
+    (merges.toSeq, vocab)
   }
 
   /** PMI-ranked collocations (Church & Hanks 1990): adjacent word

@@ -268,6 +268,12 @@ object PipelineQueries {
     "tokenize_bpe_k" -> ((s, dir) =>
       TextAnalysis.bpeTrain(docs(s, dir), 8).orderBy("round")),
 
+    // BPE ENCODE (the trainer's inference side): tokenize the corpus
+    // with the trained vocabulary — one corpus token pass joined
+    // against the vocabulary-sized (word -> length) table
+    "tokenize_apply" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(docs(s, dir), 8).orderBy("doc_id")),
+
     // exact MIPS top-k: raw inner product, no norm division — the
     // retrieval scoring of dot-trained embedding models
     "ann_mips" -> ((s, dir) => {
@@ -334,7 +340,7 @@ object PipelineQueries {
     * arithmetic stays valid. */
   private def bpeTrainOracleSql(k: Int): String = {
     val head =
-      """WITH w0 AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
         |wu AS (SELECT unnest(ws) AS wd FROM w0),
         |vb AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS f FROM wu GROUP BY wd),
         |e0 AS (SELECT wd, f, CAST(unnest(range(1, len(wd) + 1)) AS BIGINT) AS pos FROM vb),
@@ -361,8 +367,23 @@ object PipelineQueries {
     s"$head,\n$rounds\nSELECT round, x, y, cnt FROM (\n$tail\n) ORDER BY round"
   }
 
+  /** Encode oracle: run the same k-round chain, then tokenize the
+    * corpus with the trained vocabulary — per-doc word count and
+    * post-merge symbol count (the sequence length a data loader
+    * budgets on). */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val train = bpeTrainOracleSql(k)
+    val chain = train.substring(0, train.lastIndexOf("\nSELECT round"))
+    s"""$chain,
+       |wt AS (SELECT wid, CAST(COUNT(*) AS BIGINT) AS n_sym FROM v${k + 1} GROUP BY wid),
+       |dw AS (SELECT doc_id, unnest(ws) AS wd FROM w0)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+       |FROM dw JOIN wt ON dw.wd = wt.wid GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "tokenize_bpe_k" -> bpeTrainOracleSql(8),
+    "tokenize_apply" -> bpeEncodeOracleSql(8),
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY keeper",
 

@@ -585,6 +585,20 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "a", "b", 1L)), s"got $merges")
   }
 
+  test("bpeEncode: post-merge sequence lengths, hand-checked at k=2") {
+    val spark2 = spark; import spark2.implicits._
+    val df = Seq((1L, "aaaa aaa ab"), (2L, "aaaa aaaa b")).toDF("doc_id", "text")
+    // k=2 merges (a,a) then (aa,aa): aaaa=[aaaa](1), aaa=[aa,a](2),
+    // ab=[a,b](2), b=[b](1)
+    val enc = TextAnalysis.bpeEncode(df, 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(enc == Seq((1L, 3L, 5L), (2L, 3L, 3L)), s"got $enc")
+    // more merges can only shorten sequences
+    val enc0 = TextAnalysis.bpeEncode(df, 0).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(enc.forall { case (id, _, n) => n <= enc0(id) })
+  }
+
   test("bpeTrain on the corpus: k merges, counts non-increasing, symbols compose") {
     val merges = TextAnalysis.bpeTrain(docs, 6).orderBy("round").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq

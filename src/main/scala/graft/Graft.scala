@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions.col
   */
 final case class Graft(spark: SparkSession, store: QuadStore,
                        defaultGraph: String = "g:default",
-                       unionDefaultGraph: Boolean = true) {
+                       unionDefaultGraph: Boolean = true,
+                       analyzerName: Option[String] = None) {
 
   /** Set iff the union-default-graph merge view has been materialized
     * for this handle (see [[release]]). */
@@ -68,6 +69,9 @@ final case class Graft(spark: SparkSession, store: QuadStore,
     // literal index FullText.invertedIndex builds once); doc_id = the
     // full term so hits bind/render as literals, text = the lexical
     // form (tag-stripped) so tokenization sees the value.
+    // per-namespace analyzer config (ConfigurableAnalyzerFactory):
+    // bds:search without bds:analyzer tokenizes with this
+    override def defaultAnalyzer: Option[String] = analyzerName
     override def searchCorpus: Option[DataFrame] = Some {
       val t = store.quads.select(col("o").cast("string").as("t")).distinct()
       val isIri = col("t").rlike(Parser.IriShape) && !col("t").startsWith("_:")

@@ -199,12 +199,21 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     * O(delta-count)-input resolution. */
   private final class DurableTenant(repo: Repository, dir: Path) extends Tenant {
     @volatile private var cached: (Long, Graft) = (-1L, null)
+    // per-namespace analyzer config, persisted beside the journal
+    // (ConfigurableAnalyzerFactory stores it in namespace properties);
+    // read once at attach — restart reattaches it with the namespace
+    private val analyzerConf: Option[String] = {
+      val f = dir.resolve("analyzer.conf")
+      if (Files.exists(f)) Some(Files.readString(f).trim).filter(_.nonEmpty) else None
+    }
+    private def withConf(g: Graft): Graft =
+      if (analyzerConf.isDefined) g.copy(analyzerName = analyzerConf) else g
     def current: Graft = {
       val v = repo.version
       val c = cached
       if (c._1 == v && c._2 != null) c._2
       else synchronized {
-        if (cached._1 != v || cached._2 == null) cached = (v, repo.connection())
+        if (cached._1 != v || cached._2 == null) cached = (v, withConf(repo.connection()))
         cached._2
       }
     }
@@ -217,7 +226,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     // journal lock): two concurrent REST updates queue instead of one
     // failing loud on the journal's version race
     def update(text: String): Unit = synchronized { repo.update(text); maybeCompact() }
-    override def at(version: Long): Graft = repo.connection(version)
+    override def at(version: Long): Graft = withConf(repo.connection(version))
     override def version: Long = repo.version
     def ingest(quads: DataFrame): Long = synchronized {
       val q = quads.localCheckpoint()
@@ -1341,13 +1350,23 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             // journal dir already on disk (but unattached) surfaces as
             // Journal.create's "already exists" → 409 below
             val createdNew = new java.util.concurrent.atomic.AtomicBoolean(false)
+            // optional per-namespace analyzer (bds:search default);
+            // persisted beside a durable journal, restart reattaches it
+            val analyzer = formParam(body, "analyzer")
+              .orElse(formParam(rawQuery(ex), "analyzer"))
+              .filter(_.nonEmpty)
+            analyzer.foreach(a => require(a.matches("[A-Za-z0-9_-]+"),
+              s"bad analyzer name: $a"))
             try {
               namespaces.computeIfAbsent(name, { _ =>
                 val t: Tenant = journalDir match {
-                  case None => new MemTenant(new AtomicReference(Graft.empty(spark)))
+                  case None => new MemTenant(new AtomicReference(
+                    Graft.empty(spark).copy(analyzerName = analyzer)))
                   case Some(d) =>
                     val sub = Paths.get(d).resolve(name)
-                    new DurableTenant(Repository.create(spark, sub.toString), sub)
+                    val repo = Repository.create(spark, sub.toString)
+                    analyzer.foreach(a => Files.writeString(sub.resolve("analyzer.conf"), a))
+                    new DurableTenant(repo, sub)
                 }
                 createdNew.set(true)
                 t
@@ -1388,7 +1407,8 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                   "com.bigdata.rdf.sail.namespace" -> ns,
                   "graft.quads" -> "true",
                   "graft.durable" -> durable.toString) ++
-                  journalDir.map(d => "graft.journal" -> s"$d/$ns")
+                  journalDir.map(d => "graft.journal" -> s"$d/$ns") ++
+                  tenant(ns).current.analyzerName.map("graft.analyzer" -> _)
                 val entries = props.map { case (k, v) =>
                   s"""<entry key="$k">$v</entry>""" }.mkString
                 respond(ex, 200, "application/xml",

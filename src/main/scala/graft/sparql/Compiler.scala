@@ -297,6 +297,7 @@ object Compiler {
           else base.filter(col("g").isin(named: _*))
         }
         override def searchCorpus: Option[DataFrame] = src.searchCorpus
+        override def defaultAnalyzer: Option[String] = src.defaultAnalyzer
         def fuseStar(patterns: Seq[TriplePattern],
                      subjectTables: Option[Set[String]]): Option[DataFrame] = None
       }
@@ -338,7 +339,8 @@ object Compiler {
                        regex, minScore, maxRank, analyzerName) =>
       val corpus = src.searchCorpus
         .getOrElse(sys.error("this triple source has no search corpus"))
-      val az = analyzerName.map(graft.search.Analyzer.byName(_))
+      val az = analyzerName.orElse(src.defaultAnalyzer)
+        .map(graft.search.Analyzer.byName(_))
         .getOrElse(graft.search.Analyzer.Latin())
       // the query string re-tokenizes through the SAME analyzer the
       // index uses (e.g. 数据库 → [数据, 据库]) — whitespace splitting

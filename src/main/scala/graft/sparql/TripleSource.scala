@@ -40,6 +40,12 @@ trait TripleSource {
     * if this source has one. */
   def searchCorpus: Option[DataFrame] = None
 
+  /** Default analyzer NAME for bds:search when the query carries no
+    * bds:analyzer — the per-namespace analyzer configuration the
+    * reference stores in namespace properties
+    * (ConfigurableAnalyzerFactory). */
+  def defaultAnalyzer: Option[String] = None
+
   /** Point set (k, lat, lon) for the geo:search service, if this
     * source has one. */
   def geoCorpus: Option[DataFrame] = None
@@ -106,6 +112,7 @@ object TripleSource {
       base.scanForSubjects(ns).unionAll(extra.join(ns, "s"))
     }
     override def searchCorpus: Option[DataFrame] = base.searchCorpus
+    override def defaultAnalyzer: Option[String] = base.defaultAnalyzer
     override def geoCorpus: Option[DataFrame] = base.geoCorpus
     override def geoCorpusTime: Option[(DataFrame, Long, Long)] = base.geoCorpusTime
   }

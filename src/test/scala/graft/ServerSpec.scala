@@ -468,6 +468,45 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("per-namespace analyzer config: bds:search default, survives restart") {
+    val root = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), root).start()
+    val q = """SELECT ?lit WHERE {
+              |  SERVICE bds:search { _:s bds:query "数据库" . _:s bds:out ?lit }
+              |}""".stripMargin
+    try {
+      assert(post(srv.address + "/namespace", "name=zhkb&analyzer=cjk",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      assert(post(srv.address + "/namespace/zhkb/sparql/update",
+        """INSERT DATA { x:d1 note "分布式数据库系统" }""",
+        "application/sparql-update").statusCode() == 204)
+      // the namespace's configured analyzer drives bds:search with NO
+      // bds:analyzer in the query — CJK literals match
+      val r = post(srv.address + "/namespace/zhkb/sparql", q,
+        "application/sparql-query")
+      assert(r.statusCode() == 200, r.body().take(300))
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, r.body()).count() == 1,
+        r.body())
+      // the default namespace has no analyzer config → Latin → no hits
+      assert(post(srv.address + "/sparql/update",
+        """INSERT DATA { x:d2 note "分布式数据库系统" }""",
+        "application/sparql-update").statusCode() == 204)
+      val rd = post(srv.address + "/sparql", q, "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, rd.body()).count() == 0)
+      // properties document names the analyzer
+      val pr = send(req(srv.address + "/namespace/zhkb/properties").GET())
+      assert(pr.body().contains("""<entry key="graft.analyzer">cjk</entry>"""), pr.body())
+    } finally srv.stop()
+    // restart: the conf reattaches with the namespace
+    val srv2 = SparqlServer.durable(Graft.empty(spark), root).start()
+    try {
+      val r2 = post(srv2.address + "/namespace/zhkb/sparql", q,
+        "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, r2.body()).count() == 1,
+        r2.body())
+    } finally srv2.stop()
+  }
+
   test("graph-level tx conflict: disjoint-graph txs both commit, same-graph 409s") {
     val srv = SparqlServer.durable(Graft.empty(spark), tmp()).start()
     try {

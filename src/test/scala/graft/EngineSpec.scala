@@ -1342,4 +1342,20 @@ class EngineSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(plan).size <= 2, // pre-AQE + reuse
       s"asof should shuffle once on the key:\n$plan")
   }
+
+  test("asof join payload is ROW-ATOMIC: NULL columns never mix right rows") {
+    val spark2 = spark; import spark2.implicits._
+    // the latest right row has payload (NULL, "y2"): the attached pair
+    // must be exactly that — a per-column carry would resurrect "x1"
+    // from the OLDER row and hand back a right row that never existed
+    val left = Seq((100L, 20L, 1L)).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (1L, 10L, 1L, Option("x1"), Option("y1")),
+      (2L, 15L, 1L, Option.empty[String], Option("y2"))
+    ).toDF("r_id", "ts", "user_id", "px", "py")
+    val out = graft.operators.AsofJoin.leftAsof(left, right, "user_id", "ts",
+        "r_id", Seq("px", "py")).collect().head
+    assert(Option(out.get(3)).isEmpty, "px must be the latest row's NULL")
+    assert(out.getString(4) == "y2")
+  }
 }

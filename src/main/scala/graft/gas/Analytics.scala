@@ -107,6 +107,19 @@ object Analytics {
     // engages only above an edge-count threshold where checkpoint
     // volume is the cost center; small graphs run the string loop
     // directly (identical semantics: least() on strings).
+    //
+    // Iteration-count reduction (large-star/small-star, Kiveris et al.
+    // 2014) was ANALYZED and rejected: round count there is ~2·log₂|V|
+    // (≈25 at the 100× corpus's 33M edges) regardless of topology,
+    // while the frontier-delta loop's round count is bounded by the
+    // distance from each component's min-label node to its farthest
+    // member — and every graph this engine feeds CC is shallow (the
+    // TPC-H hierarchy forest has eccentricity ≤ 6; near-dup candidate
+    // graphs have tiny components), so the loop converges in ≤ ~8
+    // rounds. Star-contraction would TRIPLE the checkpointed rounds
+    // and rewrite |E|-row frames instead of |V|-row labels per round.
+    // It only wins on high-diameter graphs (long chains); if one ever
+    // shows up, gate on a measured round count, not up front.
     val undS = cp(edges.select("src", "dst")
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
     if (undS.count() < 1000000L) {

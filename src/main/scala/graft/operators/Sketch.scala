@@ -137,6 +137,30 @@ object Sketch {
       n, "rate_hll_sink_")
   }
 
+  /** The same register aggregate over Spark's "socket" TCP line
+    * source — the transport shape a deployment points at a feed shim
+    * when no replayable log (Kafka) is available. What this surface
+    * adds over [[hllRateSource]], and what a user must know:
+    * the socket source keeps NO offsets (at-most-once on failure — a
+    * production feed needs a replayable log), applies no backpressure
+    * beyond the kernel socket buffer, and never reconnects (the
+    * emitter must outlive the query). None of that changes the
+    * result: registers are a max-semilattice merge, so the drained
+    * table is bit-equal to the batch sketch over the same lines
+    * (spec-asserted against a loopback line server). Non-numeric
+    * lines null out under try_cast and are dropped (a plain ANSI cast
+    * would kill the query on the first malformed line), so a noisy
+    * feed degrades to its parseable subset instead of failing. */
+  def hllSocketSource(spark: org.apache.spark.sql.SparkSession,
+                      host: String, port: Int, n: Long, p: Int = 6): DataFrame = {
+    val stream = spark.readStream.format("socket")
+      .option("host", host).option("port", port.toString).load()
+      .select(lit("all").as("grp"), expr("try_cast(value AS BIGINT)").as("v"))
+      .filter(col("v").isNotNull && col("v") < n)
+    drainRate(spark, hllRegisters(stream, Seq("grp"), col("v"), p),
+      n, "socket_hll_sink_")
+  }
+
   /** CMS counter table over a rate stream — same contract as
     * [[hllRateSource]]: counter increments form a commutative monoid,
     * so the drained table equals [[cmsBuild]] over range(n). */

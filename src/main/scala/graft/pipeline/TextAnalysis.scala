@@ -588,4 +588,101 @@ object TextAnalysis {
       .select(col("doc_id"), round(col("margin"), 6).as("margin"),
         (col("margin") > 0).as("label"))
   }
+
+  // the 8 stopwords of the Gopher rule set (Rae et al. 2021, A1.1)
+  private val GopherStops =
+    Set("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule filter (Rae et al. 2021 §A1.1) — the classic
+    * rule battery of a web-scale curation pipeline: word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio, bullet-/ellipsis-
+    * line fractions, alphabetic-word fraction, stopword presence.
+    *
+    * One typed-map pass per doc (all 8 counters from a single scan of
+    * the string), and every DECISION is all-integer via
+    * cross-multiplication (10·symbols ≤ words instead of ratios) — the
+    * events_outliers discipline: no float threshold whose rounding
+    * could flip a boundary doc between engines. Line trimming strips
+    * exactly space/tab in both engines (Java trim and SQL ltrim
+    * disagree on other whitespace). Map-only at scan speed; 100 TB =
+    * a parquet scan, no shuffle. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, textOrNull) =>
+        val text = if (textOrNull == null) "" else textOrNull
+        // explicit whitespace class: Java \s and RE2 \s disagree on \x0B
+        val ws = text.split("[ \\t\\n\\r\\u000B\\f]+").filter(_.nonEmpty)
+        val nWords = ws.length.toLong
+        var sumWChars = 0L
+        var nAlpha = 0L
+        ws.foreach { w =>
+          sumWChars += w.length
+          if (w.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+            nAlpha += 1
+        }
+        // symbols: '#' chars + non-overlapping '...' matches + '…'
+        var nSym = 0L
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i)
+          if (c == '#' || c == '…') { nSym += 1; i += 1 }
+          else if (c == '.' && i + 2 < text.length &&
+                   text.charAt(i + 1) == '.' && text.charAt(i + 2) == '.') {
+            nSym += 1; i += 3
+          } else i += 1
+        }
+        val lines = text.split("\n", -1)
+        val nLines = lines.length.toLong
+        var nBullet = 0L
+        var nEll = 0L
+        lines.foreach { ln =>
+          val l = ln.dropWhile(c => c == ' ' || c == '\t')
+          if (l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))
+            nBullet += 1
+          val r = l.reverse.dropWhile(c => c == ' ' || c == '\t').reverse
+          if (r.endsWith("...") || r.endsWith("…")) nEll += 1
+        }
+        val toks = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val nStop = toks.iterator.filter(GopherStops).toSet.size.toLong
+        (id, nWords, sumWChars, nAlpha, nSym, nLines, nBullet, nEll, nStop)
+      }
+      .toDF("doc_id", "n_words", "sum_wchars", "n_alpha_words", "n_symbols",
+        "n_lines", "n_bullet_lines", "n_ellipsis_lines", "n_stopwords")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L).as("keep_word_count"),
+        (lit(3L) * col("n_words") <= col("sum_wchars") &&
+          col("sum_wchars") <= lit(10L) * col("n_words")).as("keep_mean_wlen"),
+        (lit(10L) * col("n_symbols") <= col("n_words")).as("keep_symbol"),
+        (lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines")).as("keep_bullet"),
+        (lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines")).as("keep_ellipsis"),
+        (lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words")).as("keep_alpha"),
+        (col("n_stopwords") >= 2L).as("keep_stopwords"))
+      .withColumn("keep",
+        col("keep_word_count") && col("keep_mean_wlen") && col("keep_symbol") &&
+          col("keep_bullet") && col("keep_ellipsis") && col("keep_alpha") &&
+          col("keep_stopwords"))
+  }
+
+  /** CCNet-style per-language perplexity buckets (Wenzek et al. 2020):
+    * docs scored by [[logprobScore]] (higher = more corpus-typical)
+    * are split into head/middle/tail TERCILES within each language —
+    * the standard "keep the head, maybe the middle" curation knob.
+    * NTILE over (score desc, doc_id) is fully ordered, so the bucket
+    * assignment is deterministic and engine-independent even on score
+    * ties. One score pass + one per-language window; the window
+    * shuffles (lang, score, id) triples only — text never moves. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("logprob").desc, col("doc_id"))
+    docs.select("doc_id", "lang")
+      .join(logprobScore(docs), "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("logprob"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -570,6 +570,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(rateCms == batchCms)
   }
 
+  test("socket-source sketch equals the batch sketch: TCP line transport") {
+    import graft.operators.Sketch
+    val n = 5000L
+    // loopback line server: one connection, n numeric lines, then held
+    // open — the socket source never reconnects, so the emitter must
+    // outlive the query (closing early fails the stream, not the data)
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var drained = false
+    val emitter = new Thread(() => {
+      val s = server.accept()
+      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        new java.io.BufferedOutputStream(s.getOutputStream), "UTF-8"))
+      (0L until n).foreach { i => w.println(i) }
+      w.println("not-a-number") // nulls out under try_cast, dropped
+      w.flush()
+      while (!drained) Thread.sleep(50)
+      s.close()
+    })
+    emitter.setDaemon(true)
+    emitter.start()
+    try {
+      val sockReg = Sketch.hllSocketSource(spark, "127.0.0.1", server.getLocalPort, n)
+        .select("bucket", "M").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val batchReg = Sketch.hllRegisters(
+          spark.range(n).select(lit("all").as("grp"), col("id").as("v")),
+          Seq("grp"), col("v"))
+        .select("bucket", "M").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(sockReg == batchReg)
+    } finally { drained = true; server.close() }
+  }
+
   test("bpeTrain: greedy left-to-right non-overlap merges, hand-checked 3 rounds") {
     val spark2 = spark; import spark2.implicits._
     // engineered so round 1 merges (a,a) — the x=y overlap case:

@@ -296,6 +296,15 @@ object PipelineQueries {
         .select(col("x").as("token"), col("n_exact"), col("cms_est"))
         .orderBy("token")
     }),
+
+    // Gopher rule battery (Rae et al. 2021 A1.1): 7 keep flags from
+    // one typed-map scan, all decisions integer cross-multiplied
+    "text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir)).orderBy("doc_id")),
+
+    // CCNet-style per-language perplexity terciles (head/middle/tail)
+    "text_ccnet_buckets" -> ((s, dir) =>
+      TextAnalysis.ccnetBuckets(docs(s, dir)).orderBy("doc_id")),
   )
 
   private val shingleCte =
@@ -1156,5 +1165,58 @@ object PipelineQueries {
         |  CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE len(list_filter(range(1, 65),
         |    i -> abs(greatest(-127, least(127, floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5)))) = 127)) END AS n_sat
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    // Gopher rules: same counters, same integer cross-multiplied
+    // decisions; whitespace class spelled out (Java \s ≠ RE2 \s on
+    // \x0B), line trimming strips exactly space/tab in both engines
+    "text_gopher" ->
+      """WITH base AS (SELECT doc_id, COALESCE(text, '') AS text,
+        |  list_filter(string_split_regex(COALESCE(text, ''), '[ \t\n\r\x0B\f]+'), w -> w <> '') AS ws,
+        |  string_split(COALESCE(text, ''), chr(10)) AS lines,
+        |  list_filter(string_split_regex(lower(COALESCE(text, '')), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_wchars,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |  CAST(len(regexp_extract_all(text, '#|…|\.\.\.')) AS BIGINT) AS n_symbols,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(lines, x -> ltrim(x, ' ' || chr(9)) LIKE '-%'
+        |    OR ltrim(x, ' ' || chr(9)) LIKE '*%' OR ltrim(x, ' ' || chr(9)) LIKE '•%')) AS BIGINT) AS n_bullet_lines,
+        |  CAST(len(list_filter(lines, x -> rtrim(ltrim(x, ' ' || chr(9)), ' ' || chr(9)) LIKE '%...'
+        |    OR rtrim(ltrim(x, ' ' || chr(9)), ' ' || chr(9)) LIKE '%…')) AS BIGINT) AS n_ellipsis_lines,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    s -> list_contains(toks, s))) AS BIGINT) AS n_stopwords
+        |  FROM base)
+        |SELECT doc_id, n_words,
+        |  (n_words >= 50 AND n_words <= 100000) AS keep_word_count,
+        |  (3 * n_words <= sum_wchars AND sum_wchars <= 10 * n_words) AS keep_mean_wlen,
+        |  (10 * n_symbols <= n_words) AS keep_symbol,
+        |  (10 * n_bullet_lines <= 9 * n_lines) AS keep_bullet,
+        |  (10 * n_ellipsis_lines <= 3 * n_lines) AS keep_ellipsis,
+        |  (5 * n_alpha_words >= 4 * n_words) AS keep_alpha,
+        |  (n_stopwords >= 2) AS keep_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND 3 * n_words <= sum_wchars AND sum_wchars <= 10 * n_words
+        |   AND 10 * n_symbols <= n_words
+        |   AND 10 * n_bullet_lines <= 9 * n_lines
+        |   AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |   AND 5 * n_alpha_words >= 4 * n_words
+        |   AND n_stopwords >= 2) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // CCNet buckets: the text_logprob CTE + a per-language NTILE over
+    // the ROUNDED score (ties broken by doc_id — deterministic in both)
+    "text_ccnet_buckets" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS t FROM w),
+        |f AS (SELECT t, COUNT(*) AS cnt FROM t GROUP BY t),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM f),
+        |lp AS (SELECT doc_id, ROUND(AVG(LN(cnt / tot)), 4) AS logprob
+        |       FROM t JOIN f USING (t), tot GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, lp.logprob,
+        |  CASE NTILE(3) OVER (PARTITION BY d.lang ORDER BY lp.logprob DESC, d.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM documents d JOIN lp USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

@@ -234,6 +234,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(clean == PolyHash.hash("clean text with no identifiers at all".getBytes("UTF-8")))
   }
 
+  test("gopherRules: each rule trips on its engineered fixture") {
+    import spark.implicits._
+    // 60 varied words with stopwords — passes everything
+    val good = (1 to 60).map(i => if (i % 7 == 0) "the" else if (i % 11 == 0) "with" else s"word$i").mkString(" ")
+    val fixture = Seq(
+      (1L, good),
+      (2L, "too short to pass"),                                    // word count < 50
+      (3L, (1 to 60).map(_ => "a").mkString(" ")),                  // mean word length < 3
+      (4L, (1 to 60).map(i => s"## word$i #").mkString(" ")),       // symbol ratio > 0.1
+      (5L, (1 to 60).map(i => s"- the bullet with word$i").mkString("\n")), // all lines bullets
+      (6L, (1 to 60).map(i => s"the line with word$i ...").mkString("\n")), // all lines ellipsis
+      (7L, (1 to 60).map(i => s"${i}000").mkString(" ") + " the of"), // alpha fraction < 0.8
+      (8L, (1 to 60).map(i => s"word$i").mkString(" ")))             // no stopwords
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(fixture).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(r(1L).schema.fieldIndex("keep")), "good doc must keep")
+    def failsOnly(id: Long, col: String): Unit = {
+      val row = r(id)
+      val idx = row.schema.fieldIndex(col)
+      assert(!row.getBoolean(idx), s"doc $id should fail $col")
+      assert(!row.getBoolean(row.schema.fieldIndex("keep")))
+    }
+    failsOnly(2L, "keep_word_count")
+    failsOnly(3L, "keep_mean_wlen")
+    failsOnly(4L, "keep_symbol")
+    failsOnly(5L, "keep_bullet")
+    failsOnly(6L, "keep_ellipsis")
+    failsOnly(7L, "keep_alpha")
+    failsOnly(8L, "keep_stopwords")
+    // the '…' char and a '....' run: 4 dots = ONE '...' match (both engines
+    // scan left-to-right non-overlapping), '…' counts once
+    val sym = TextAnalysis.gopherRules(
+        Seq((9L, "x … y .... z")).toDF("doc_id", "text"))
+      .select("keep_symbol").head.getBoolean(0)
+    assert(!sym, "2 symbols vs 5 words trips the 10x rule")
+  }
+
+  test("ccnetBuckets: terciles per language, head = most corpus-typical") {
+    val b = TextAnalysis.ccnetBuckets(docs)
+    val counts = b.groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // NTILE(3): bucket sizes within a language differ by at most 1
+    val langs = counts.keys.map(_._1).toSet
+    for (l <- langs) {
+      val sizes = Seq("head", "middle", "tail").map(bk => counts.getOrElse((l, bk), 0L))
+      assert(sizes.max - sizes.min <= 1, s"$l sizes $sizes")
+    }
+    // head docs score >= tail docs within every language
+    val rows = b.collect().map(r => (r.getString(1), r.getString(3), r.getDouble(2)))
+    for (l <- langs) {
+      val head = rows.filter(x => x._1 == l && x._2 == "head").map(_._3)
+      val tail = rows.filter(x => x._1 == l && x._2 == "tail").map(_._3)
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.min >= tail.max, s"$l head/tail overlap")
+    }
+  }
+
   test("repetition: boilerplate scores high, varied text low") {
     import spark.implicits._
     val fixture = Seq(

@@ -194,6 +194,38 @@ object Analytics {
     ranks
   }
 
+  /** Personalized PageRank: the [[pageRank]] recurrence with the
+    * teleport mass confined to a source set instead of spread
+    * uniformly — v = resetProb·1{v∈S} + (1−resetProb)·Σ_in nbr/outdeg,
+    * initialized to the indicator. The proximity-to-S score behind
+    * "related entities" queries. Same plan discipline as pageRank:
+    * per-iteration checkpoint truncation, contribution aggregate
+    * shuffles one row per reachable vertex, per-iteration ROUND(9)
+    * pins engine summation-order drift. Mass at dangling vertices
+    * exits the system (identically in both engines). */
+  def personalizedPageRank(edges: DataFrame, sources: Seq[String],
+                           iters: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    val e = edges.select("src", "dst")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    val eDeg = cp(e.join(outDeg, "src"))
+    val nodes = cp(e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct())
+    def ind = when(col("node").isInCollection(sources), lit(resetProb))
+      .otherwise(lit(0.0))
+    var ranks = nodes.withColumn("rank", ind)
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(eDeg, ranks("node") === eDeg("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      ranks = cp(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            round(ind + lit(1 - resetProb) * coalesce(col("contrib"), lit(0.0)), 9)
+              .as("rank")))
+    }
+    ranks
+  }
+
   /** SSSP that also tracks the predecessor on the best path
     * (min over struct(dist, pred) keeps tie-breaks deterministic). */
   def ssspWithPred(edgesIn: DataFrame, source: String, maxIter: Int = 64): DataFrame = {

@@ -64,6 +64,10 @@ object GasQueries {
       Analytics.connectedComponents(hierEdges(s, dir)).orderBy("node")),
     "gas_pr" -> ((s, dir) =>
       Analytics.pageRank(upEdges(s, dir), iters = 10).orderBy("node")),
+    // personalized PR: teleport mass pinned to r:0, proximity flows
+    // down that region's subtree; other components stay exactly 0
+    "gas_ppr" -> ((s, dir) =>
+      Analytics.personalizedPageRank(hierEdges(s, dir), Seq("r:0")).orderBy("node")),
     "gas_degree" -> ((s, dir) =>
       Analytics.degrees(hierEdges(s, dir)).orderBy("node")),
     "gas_fuzzy_sssp" -> ((s, dir) =>
@@ -131,7 +135,30 @@ object GasQueries {
        |SELECT node, rank FROM pr10 ORDER BY node""".stripMargin
   }
 
+  // prOracle's unrolled-iteration shape with the teleport indicator
+  // pinned to r:0 over the hierarchy edges
+  private val pprOracle: String = {
+    val ind = "CASE WHEN n.node = 'r:0' THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+    val iters = (1 to 10).map { k =>
+      s"""pr$k AS (
+         |  SELECT n.node, ROUND($ind + (1 - CAST(0.15 AS DOUBLE)) * COALESCE(c.contrib, 0), 9) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.rank / o.d) AS contrib
+         |    FROM pr${k - 1} p JOIN edges e ON p.node = e.src JOIN outd o ON o.src = e.src
+         |    GROUP BY e.dst
+         |  ) c ON n.node = c.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $hierCte,
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |outd AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+       |pr0 AS (SELECT node, CASE WHEN node = 'r:0' THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rank FROM nodes),
+       |$iters
+       |SELECT node, rank FROM pr10 ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "gas_ppr" -> pprOracle,
     // replays triangleCounts over the exact Jaccard ≥ 0.5 pair graph
     // (the dedup_ngram_jaccard CTE), each triangle x<y<z once
     "gas_triangles" ->

@@ -127,6 +127,22 @@ class GasSpec extends AnyFunSuite {
     assert(got("p") == ((1L, 0L, 0.0)))  // leaf: degree < 2
   }
 
+  test("personalized pagerank: mass confined to the source's component, decays with depth") {
+    import TestSpark.spark
+    import spark.implicits._
+    // two disjoint chains; teleport pinned to a1
+    val edges = Seq(("a1", "a2"), ("a2", "a3"),
+      ("b1", "b2"), ("b2", "b3")).toDF("src", "dst")
+    val r = Analytics.personalizedPageRank(edges, Seq("a1"), iters = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("b1") == 0.0 && r("b2") == 0.0 && r("b3") == 0.0,
+      "no teleport, no in-flow: the other component must be exactly zero")
+    assert(r("a1") == 0.15, "source holds exactly the teleport mass")
+    assert(r("a1") > r("a2") && r("a2") > r("a3"),
+      s"proximity must decay along the chain: $r")
+    assert(r("a2") == 0.1275, "one hop: 0.85 * 0.15")
+  }
+
   test("assortativity: star is -1, disjoint unequal cliques are +1, regular graph is NULL") {
     import TestSpark.spark
     import spark.implicits._

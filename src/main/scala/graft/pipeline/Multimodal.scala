@@ -48,11 +48,16 @@ object Multimodal {
     * a constant — a hardcoded count would collapse a 100-TB decode
     * onto a handful of tasks. */
   def mediaOf(spark: SparkSession, docsDir: String,
-              parallelism: Int = 0): Dataset[MediaRow] = {
+              parallelism: Int = 0): Dataset[MediaRow] =
+    mediaFrom(spark.read.parquet(docsDir), parallelism)
+
+  /** (doc_id, text) rows → binary media, same layout contract. */
+  def mediaFrom(docs: DataFrame, parallelism: Int = 0): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val n = if (parallelism > 0) parallelism
             else spark.sparkContext.defaultParallelism
-    spark.read.parquet(docsDir)
+    docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .as[MediaRow]
       .repartition(n, col("doc_id"))
@@ -138,4 +143,41 @@ object Multimodal {
       .select(col("doc_id"),
         round(col("sum_bytes").cast("double") / col("n_bytes"), 4).as("mean_byte"),
         col("n_distinct"), col("checksum"))
+
+  /** Exact media dedup by content hash — the first stage of every
+    * image/video curation pipeline (byte-identical re-crawls, mirror
+    * copies). md5 over the RAW BINARY column (codegen), one hash-keyed
+    * aggregate: the media bytes themselves never shuffle — only
+    * (hash, doc_id) pairs do, so 100 TB of media costs a scan plus a
+    * 48-byte-per-row exchange. Keeper = min doc_id per hash. */
+  def dedupMedia(media: Dataset[MediaRow]): DataFrame = {
+    val h = media.toDF().select(col("doc_id"), md5(col("media")).as("h"))
+    val groups = h.groupBy("h")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+    h.join(groups, "h")
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"), col("n_copies"))
+  }
+
+  /** Near-dup detection for video-shaped media via SHARED SAMPLED
+    * FRAMES: two docs whose [[sampleFrames]] streams share ≥ minShared
+    * frame hashes are near-dups (re-encodes, trims, and container
+    * changes keep most keyframes; the standard shared-fingerprint
+    * test). Scale shape = the shingle-index discipline of
+    * ngramJaccard: an inverted (frame_hash → docs) index, VIRAL
+    * frames (df > maxDf — intro logos, black frames) dropped before
+    * pair enumeration so a hot hash can't quadratic the join; pairs
+    * are counted, never re-joined to the media. */
+  def frameNearDup(frames: DataFrame, minShared: Int = 2,
+                   maxDf: Int = 64): DataFrame = {
+    val idx = frames.select(col("frame_hash"), col("doc_id")).distinct()
+    val df = idx.groupBy("frame_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val small = idx.join(df.select("frame_hash"), "frame_hash")
+    small.as("x").join(small.as("y"), "frame_hash")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

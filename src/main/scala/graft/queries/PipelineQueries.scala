@@ -305,6 +305,30 @@ object PipelineQueries {
     // CCNet-style per-language perplexity terciles (head/middle/tail)
     "text_ccnet_buckets" -> ((s, dir) =>
       TextAnalysis.ccnetBuckets(docs(s, dir)).orderBy("doc_id")),
+
+    // exact media dedup by binary content hash; mirror copies planted
+    // (doc_id+10000, same bytes) since the base corpus has none
+    "mm_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val mirrors = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      Multimodal.dedupMedia(Multimodal.mediaFrom(d.unionAll(mirrors)))
+        .orderBy("doc_id")
+    }),
+
+    // video-shaped near-dup via shared sampled frames; re-encode
+    // variants planted (same content + a trailer — aligned prefix
+    // frames survive, the case frame fingerprints exist to catch)
+    "mm_near_frames" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val variants = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(col("text"), lit(" reencoded trailer segment")).as("text"))
+      val frames = Multimodal.sampleFrames(
+        Multimodal.mediaFrom(d.unionAll(variants)),
+        frameBytes = 64, every = 2).toDF()
+      Multimodal.frameNearDup(frames).orderBy("a", "b")
+    }),
   )
 
   private val shingleCte =
@@ -1218,5 +1242,36 @@ object PipelineQueries {
         |  CASE NTILE(3) OVER (PARTITION BY d.lang ORDER BY lp.logprob DESC, d.doc_id)
         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM documents d JOIN lp USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // md5(text) = md5 of the UTF-8 bytes = Spark's md5 over the
+    // encoded binary media column
+    "mm_dedup" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20),
+        |h AS (SELECT doc_id, md5(text) AS h FROM all_docs),
+        |g AS (SELECT h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM h GROUP BY h)
+        |SELECT doc_id, keeper, (doc_id <> keeper) AS is_dup, n_copies
+        |FROM h JOIN g USING (h) ORDER BY doc_id""".stripMargin,
+
+    // the mm_framesample rolling-hash CTE at frameBytes=64/every=2
+    // over the variant-augmented corpus, then the df-capped pair count
+    "mm_near_frames" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text || ' reencoded trailer segment' FROM documents WHERE doc_id < 20),
+        |f AS (SELECT doc_id, text, (length(text) + 63) // 64 AS n_frames FROM all_docs),
+        |idx AS (SELECT doc_id, text, CAST(i AS BIGINT) AS frame_idx
+        |        FROM f CROSS JOIN (SELECT unnest(range(0, 1000)) AS i)
+        |        WHERE i < n_frames AND i % 2 = 0),
+        |fr AS (SELECT doc_id, frame_idx,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(substr(text, 1 + CAST(frame_idx AS INTEGER) * 64, 64), ''),
+        |                   c -> CAST(ord(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS frame_hash FROM idx),
+        |u AS (SELECT DISTINCT frame_hash, doc_id FROM fr),
+        |keepable AS (SELECT frame_hash FROM u GROUP BY frame_hash HAVING COUNT(*) <= 64),
+        |s AS (SELECT u.frame_hash, u.doc_id FROM u JOIN keepable USING (frame_hash))
+        |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+        |FROM s x JOIN s y ON x.frame_hash = y.frame_hash AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b""".stripMargin,
   )
 }

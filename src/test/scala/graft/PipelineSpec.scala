@@ -234,6 +234,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(clean == PolyHash.hash("clean text with no identifiers at all".getBytes("UTF-8")))
   }
 
+  test("dedupMedia: byte-identical media collapse to the min-id keeper") {
+    import spark.implicits._
+    val media = Multimodal.mediaFrom(Seq(
+      (7L, "same bytes"), (3L, "same bytes"), (9L, "other")).toDF("doc_id", "text"))
+    val r = Multimodal.dedupMedia(media).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2), x.getLong(3)))).toMap
+    assert(r(3L) == ((3L, false, 2L)))
+    assert(r(7L) == ((3L, true, 2L)))
+    assert(r(9L) == ((9L, false, 1L)))
+  }
+
+  test("frameNearDup: aligned-prefix variants pair, viral frames capped") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"block$i".padTo(16, 'x')).mkString // 40 frames of 16
+    val fixture = Seq(
+      (1L, base), (2L, base + "trailer-segment-x"), // shares all 40 full frames
+      (3L, "totally different content that shares no aligned block with the others"))
+      .toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaFrom(fixture), frameBytes = 16, every = 2).toDF()
+    val pairs = Multimodal.frameNearDup(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 20L)), s"got ${pairs.toSeq}")
+    // a frame above the df cap is dropped BEFORE pair enumeration
+    val viral = Multimodal.frameNearDup(frames, minShared = 1, maxDf = 1)
+    assert(viral.isEmpty, "df-capped frames must not enumerate pairs")
+  }
+
   test("gopherRules: each rule trips on its engineered fixture") {
     import spark.implicits._
     // 60 varied words with stopwords — passes everything

@@ -194,6 +194,52 @@ object Analytics {
     ranks
   }
 
+  /** k-core decomposition membership by iterative peeling (Seidman
+    * 1983): drop every vertex whose degree within the REMAINING graph
+    * is < k, repeat to fixpoint; survivors form the k-core. Returns
+    * (node, core_deg) — the in-core degree of each surviving vertex.
+    *
+    * Plan shape per round: two semijoins of the |2E| undirected block
+    * against the (shrinking) remaining-node set + one degree
+    * aggregate; the node set is checkpoint-truncated (gas_pr
+    * discipline) so the plan never grows with rounds. Round count is
+    * the longest peel chain — near-clique graphs (dedup candidates)
+    * peel in 1-3 rounds; the DuckDB oracle unrolls 24 rounds, which
+    * equals the fixpoint whenever convergence needs ≤ 24 (extra
+    * rounds are no-ops at a fixpoint) — [[kCoreWithRounds]] exposes
+    * the count and the spec pins it. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame =
+    kCoreWithRounds(edges, k, maxRounds)._1
+
+  def kCoreWithRounds(edges: DataFrame, k: Int,
+                      maxRounds: Int = 64): (DataFrame, Int) = {
+    val und = cp(edges.select("src", "dst")
+      .filter(col("src") =!= col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var rem = cp(und.select(col("src").as("node")).distinct())
+    var prevCount = rem.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val deg = und
+        .join(rem.withColumnRenamed("node", "src"), "src")
+        .join(rem.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      rem = cp(deg.filter(col("deg") >= k).select(col("src").as("node")))
+      val c = rem.count()
+      converged = c == prevCount
+      prevCount = c
+    }
+    require(converged, s"k-core did not converge in $maxRounds rounds")
+    val core = und
+      .join(rem.withColumnRenamed("node", "src"), "src")
+      .join(rem.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+    (core, rounds)
+  }
+
   /** Personalized PageRank: the [[pageRank]] recurrence with the
     * teleport mass confined to a source set instead of spread
     * uniformly — v = resetProb·1{v∈S} + (1−resetProb)·Σ_in nbr/outdeg,

@@ -99,6 +99,18 @@ object GasQueries {
       Analytics.assortativity(pairs)
     }),
 
+    // 2-core of the near-dup graph: peel degree-1 hangers-on until
+    // only mutually-corroborated dup clusters remain — the "is this
+    // cluster real or one chained borderline pair?" read
+    "gas_kcore" -> ((s, dir) => {
+      val pairs = graft.pipeline.Dedup
+        .ngramJaccard(TpchRdf.table(s, dir, "documents"), 0.5, maxDf = 64)
+        .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+      Analytics.kCore(pairs, 2)
+        .select(col("node").cast("long").as("doc_id"), col("core_deg"))
+        .orderBy("doc_id")
+    }),
+
     // local clustering coefficients of the same near-dup graph —
     // cliques ≈ 1 vs chains ≈ 0: the cluster-cohesion read a dedup
     // pipeline uses to validate transitive collapsing
@@ -157,8 +169,40 @@ object GasQueries {
        |SELECT node, rank FROM pr10 ORDER BY node""".stripMargin
   }
 
+  // k-core oracle: the near-dup pair CTE + 24 unrolled peel rounds
+  // (a fixpoint is invariant under extra rounds, so 24 ≡ the Spark
+  // loop's fixpoint whenever convergence needs ≤ 24 — the spec pins
+  // the actual round count well under that)
+  private val kcoreOracle: String = {
+    // MATERIALIZED: each round references the previous one TWICE, and
+    // DuckDB inlines CTEs by default — 24 unmaterialized rounds would
+    // expand 2^24 subplans (measured as an fd explosion, not a hang)
+    val rounds = (1 to 24).map { r =>
+      s"""rem$r AS MATERIALIZED (SELECT node FROM (
+         |  SELECT u.s AS node, COUNT(*) AS c FROM und u
+         |  JOIN rem${r - 1} x ON u.s = x.node JOIN rem${r - 1} y ON u.d = y.node
+         |  GROUP BY u.s) WHERE c >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shs
+       |       FROM w WHERE len(ws) >= 3),
+       |e AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+       |sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+       |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+       |          FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |p AS (SELECT a, b FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
+       |      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5),
+       |und AS MATERIALIZED (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
+       |rem0 AS MATERIALIZED (SELECT s AS node FROM und GROUP BY s),
+       |$rounds
+       |SELECT u.s AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM und u JOIN rem24 x ON u.s = x.node JOIN rem24 y ON u.d = y.node
+       |GROUP BY u.s ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "gas_ppr" -> pprOracle,
+    "gas_kcore" -> kcoreOracle,
     // replays triangleCounts over the exact Jaccard ≥ 0.5 pair graph
     // (the dedup_ngram_jaccard CTE), each triangle x<y<z once
     "gas_triangles" ->

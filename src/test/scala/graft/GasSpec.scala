@@ -127,6 +127,26 @@ class GasSpec extends AnyFunSuite {
     assert(got("p") == ((1L, 0L, 0.0)))  // leaf: degree < 2
   }
 
+  test("kCore: pendant chains peel away round by round, K4 survives") {
+    import TestSpark.spark
+    import spark.implicits._
+    // K4 with a 2-hop pendant chain d—e—f
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f")).toDF("src", "dst")
+    val (core, rounds) = Analytics.kCoreWithRounds(edges, 2)
+    val got = core.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), s"got $got")
+    // e survives round 1 (sees d and f), falls in round 2 once f is
+    // gone; round 3 confirms the fixpoint — chains peel ONE hop/round
+    assert(rounds == 3, s"rounds=$rounds")
+    // 3-core of the same graph: the chain AND nothing else... K4 is 3-regular
+    val three = Analytics.kCore(edges, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(three == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // 4-core: empty (loud empty, not an error)
+    assert(Analytics.kCore(edges, 4).isEmpty)
+  }
+
   test("personalized pagerank: mass confined to the source's component, decays with depth") {
     import TestSpark.spark
     import spark.implicits._

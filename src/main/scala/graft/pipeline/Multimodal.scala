@@ -151,10 +151,14 @@ object Multimodal {
     * (hash, doc_id) pairs do, so 100 TB of media costs a scan plus a
     * 48-byte-per-row exchange. Keeper = min doc_id per hash. */
   def dedupMedia(media: Dataset[MediaRow]): DataFrame = {
-    val h = media.toDF().select(col("doc_id"), md5(col("media")).as("h"))
-    val groups = h.groupBy("h")
-      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
-    h.join(groups, "h")
+    // one hash-partitioned window instead of aggregate+join-back: a
+    // single exchange on h, and no corpus-sized build side for AQE to
+    // mistakenly broadcast at scale
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    media.toDF().select(col("doc_id"), md5(col("media")).as("h"))
+      .select(col("doc_id"),
+        min("doc_id").over(w).as("keeper"),
+        count(lit(1)).over(w).as("n_copies"))
       .select(col("doc_id"), col("keeper"),
         (col("doc_id") =!= col("keeper")).as("is_dup"), col("n_copies"))
   }

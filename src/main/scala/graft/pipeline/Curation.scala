@@ -183,4 +183,55 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("doc_id", "shard", "pos")
   }
+
+  /** Token-budget selection: keep the highest-quality docs whose
+    * cumulative token count fits `budget` — "fill a 10B-token budget
+    * with the best of the crawl", the last gate before training.
+    *
+    * Semantics = the greedy prefix of docs ordered by
+    * (quality desc, doc_id): a doc is kept iff the running token sum
+    * up to and including it stays ≤ budget (no skip-and-continue — a
+    * too-big doc at the boundary ends the prefix, identically in both
+    * engines).
+    *
+    * Scale shape: order statistics WITHOUT a global sort. Quality
+    * quantizes into 1001 integer buckets (quality is already
+    * 6dp-rounded to [0,1]); a 1001-row histogram of per-bucket token
+    * sums collects to the driver, which picks the threshold bucket.
+    * Buckets strictly above it are kept wholesale (a filter); only
+    * the ONE boundary bucket — ~1/1000 of the corpus — pays an
+    * ordered running-sum window. The shardOrder discipline applied to
+    * prefix selection. */
+  def budgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.pipeline.TextAnalysis.quality(docs)
+      .join(graft.pipeline.TextAnalysis.tokenCounts(docs)
+        .select("doc_id", "n_ws_tokens"), "doc_id")
+      .withColumn("bkt", floor(col("quality") * 1000).cast("long"))
+      .localCheckpoint()
+    val hist = d.groupBy("bkt").agg(sum("n_ws_tokens").as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(-_._1) // 1001-row driver table, never corpus-sized
+    var cum = 0L
+    var threshold = Long.MinValue // bucket that overflows the budget
+    var above = 0L                // tokens in buckets strictly above it
+    var i = 0
+    while (i < hist.length && threshold == Long.MinValue) {
+      if (cum + hist(i)._2 > budget) { threshold = hist(i)._1; above = cum }
+      else cum += hist(i)._2
+      i += 1
+    }
+    if (threshold == Long.MinValue)
+      d.select("doc_id", "quality", "n_ws_tokens") // everything fits
+    else {
+      val whole = d.filter(col("bkt") > threshold)
+      val w = Window.orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boundary = d.filter(col("bkt") === threshold)
+        .withColumn("cum", sum("n_ws_tokens").over(w))
+        .filter(col("cum") + above <= budget)
+      whole.select("doc_id", "quality", "n_ws_tokens")
+        .unionAll(boundary.select("doc_id", "quality", "n_ws_tokens"))
+    }
+  }
 }

@@ -316,6 +316,12 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // token-budget selection: the greedy best-quality prefix under a
+    // 10k-token budget — histogram + driver threshold, NO global sort
+    "pipeline_budget" -> ((s, dir) =>
+      graft.pipeline.Curation.budgetSelect(docs(s, dir), 10000L)
+        .orderBy("doc_id")),
+
     // video-shaped near-dup via shared sampled frames; re-encode
     // variants planted (same content + a trailer — aligned prefix
     // frames survive, the case frame fingerprints exist to catch)
@@ -1242,6 +1248,27 @@ object PipelineQueries {
         |  CASE NTILE(3) OVER (PARTITION BY d.lang ORDER BY lp.logprob DESC, d.doc_id)
         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM documents d JOIN lp USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // budget selection replayed as the plain global running-sum prefix
+    // (the histogram/threshold decomposition is plan shape, not
+    // semantics): cum over (quality desc, doc_id) is monotone, so
+    // WHERE cum <= budget IS the greedy prefix
+    "pipeline_budget" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |q AS (SELECT doc_id,
+        |  ROUND(0.4 * least(1.0, CAST(len(ws) AS DOUBLE) / 50.0)
+        |      + 0.3 * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
+        |      + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
+        |  FROM t),
+        |tk AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens FROM documents),
+        |d AS (SELECT q.doc_id, q.quality, tk.n_ws_tokens FROM q JOIN tk USING (doc_id)),
+        |s AS (SELECT doc_id, quality, n_ws_tokens,
+        |  SUM(n_ws_tokens) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT doc_id, quality, n_ws_tokens FROM s WHERE cum <= 10000
+        |ORDER BY doc_id""".stripMargin,
 
     // md5(text) = md5 of the UTF-8 bytes = Spark's md5 over the
     // encoded binary media column

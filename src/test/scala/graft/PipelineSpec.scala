@@ -975,4 +975,30 @@ class PipelineSpec extends AnyFunSuite {
       assert(nSat == q.count(v => math.abs(v) == 127L))
     }
   }
+
+  test("budgetSelect: greedy best-quality prefix, boundary doc ends it") {
+    // the selection must equal the plain running-sum prefix over
+    // (quality desc, doc_id) — the histogram/threshold decomposition
+    // is plan shape, not semantics
+    val sel = graft.pipeline.Curation.budgetSelect(docs, 10000L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val ranked = graft.pipeline.TextAnalysis.quality(docs)
+      .join(graft.pipeline.TextAnalysis.tokenCounts(docs)
+        .select("doc_id", "n_ws_tokens"), "doc_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("quality"),
+        r.getAs[Long]("n_ws_tokens")))
+    var cum = 0L
+    val expect = ranked.takeWhile { case (_, _, t) => cum += t; cum <= 10000L }
+    assert(sel.toSet == expect.toSet,
+      s"selected=${sel.length} expected=${expect.length}")
+    // the prefix is strict: a too-big doc at the boundary ends it even
+    // if a later doc would individually fit (no skip-and-continue)
+    val kept = sel.map(_._1).toSet
+    val afterCut = ranked.drop(expect.length).map(_._1)
+    assert(afterCut.nonEmpty && afterCut.forall(id => !kept(id)))
+    // everything-fits branch returns the whole corpus
+    val all = graft.pipeline.Curation.budgetSelect(docs, Long.MaxValue / 4)
+    assert(all.count() == docs.count())
+  }
 }

@@ -70,8 +70,9 @@ object TextAnalysis {
 
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      wsTokens(col("text")).as("n_ws_tokens"),
-      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)")).as("n_bpe_tokens"))
+      wsTokens(col("text")).cast("long").as("n_ws_tokens"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .cast("long").as("n_bpe_tokens"))
 
   /** Unigram log-probability quality signal — the LM-scored gate of a
     * training-data pipeline (higher = more typical of the corpus):
@@ -670,19 +671,59 @@ object TextAnalysis {
     * docs scored by [[logprobScore]] (higher = more corpus-typical)
     * are split into head/middle/tail TERCILES within each language —
     * the standard "keep the head, maybe the middle" curation knob.
-    * NTILE over (score desc, doc_id) is fully ordered, so the bucket
-    * assignment is deterministic and engine-independent even on score
-    * ties. One score pass + one per-language window; the window
-    * shuffles (lang, score, id) triples only — text never moves. */
+    * Semantics are exactly NTILE(3) OVER (PARTITION BY lang ORDER BY
+    * logprob DESC, doc_id): deterministic and engine-independent even
+    * on score ties.
+    *
+    * Scale shape: order statistics WITHOUT a per-language doc sort
+    * (the [[graft.pipeline.Curation.budgetSelect]] discipline). A
+    * per-language doc-level NTILE window would total-sort the
+    * dominant language of a 100-TB corpus in ONE task. Instead:
+    * logprob is already 4-dp rounded, so the (lang, score) histogram
+    * is bounded by languages x the score grid, never the corpus. The
+    * tercile cut RANKS (NTILE's ceil distribution) are computed over
+    * the histogram; every (lang, score) tie group whose rank interval
+    * falls inside one tercile labels map-side via a broadcast join;
+    * only the <=2 tie groups per language that STRADDLE a cut pay a
+    * doc_id-ordered row_number — and that window is partitioned by
+    * (lang, logprob), i.e. one small tie group per task, never a
+    * whole language. Doc text never moves; the doc-level side
+    * shuffles nothing (broadcast label join). */
   def ccnetBuckets(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("logprob").desc, col("doc_id"))
-    docs.select("doc_id", "lang")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select("doc_id", "lang")
       .join(logprobScore(docs), "doc_id")
-      .withColumn("tercile", ntile(3).over(w))
+      .localCheckpoint() // two consumers: histogram + label join
+    // bounded: one row per distinct (lang, 4dp score)
+    val hist = scored.groupBy("lang", "logprob").agg(count(lit(1)).as("cnt"))
+    val byScore = Window.partitionBy("lang").orderBy(col("logprob").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = hist
+      .withColumn("hi", sum("cnt").over(byScore))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+      .withColumn("lo", col("hi") - col("cnt") + 1L)
+    // NTILE(3) ceil distribution: the first (n % 3) terciles hold
+    // floor(n/3)+1 rows; cut1/cut2 are the last ranks of head/middle.
+    val q = floor(col("n") / 3L)
+    val c1 = q + when(col("n") % 3L >= 1L, 1L).otherwise(0L)
+    val c2 = c1 + q + when(col("n") % 3L >= 2L, 1L).otherwise(0L)
+    val labeled = ranks.select(col("lang"), col("logprob"), col("lo"),
+      c1.as("c1"), c2.as("c2"),
+      when(col("hi") <= c1, "head")
+        .when(col("lo") > c2, "tail")
+        .when(col("lo") > c1 && col("hi") <= c2, "middle")
+        .otherwise(lit(null).cast("string")).as("bucket0")) // null = straddles a cut
+    val j = scored.join(broadcast(labeled), Seq("lang", "logprob"))
+    val interior = j.filter(col("bucket0").isNotNull)
       .select(col("doc_id"), col("lang"), col("logprob"),
-        when(col("tercile") === 1, "head")
-          .when(col("tercile") === 2, "middle")
+        col("bucket0").as("bucket"))
+    val tieGroup = Window.partitionBy("lang", "logprob").orderBy("doc_id")
+    val boundary = j.filter(col("bucket0").isNull)
+      .withColumn("r", col("lo") - 1L + row_number().over(tieGroup))
+      .select(col("doc_id"), col("lang"), col("logprob"),
+        when(col("r") <= col("c1"), "head")
+          .when(col("r") <= col("c2"), "middle")
           .otherwise("tail").as("bucket"))
+    interior.unionAll(boundary)
   }
 }

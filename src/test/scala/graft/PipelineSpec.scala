@@ -320,6 +320,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ccnetBuckets: exact NTILE parity without a per-language doc sort") {
+    import org.apache.spark.sql.expressions.Window
+    val b = TextAnalysis.ccnetBuckets(docs)
+    // bit-exact parity with the doc-level NTILE formulation
+    val w = Window.partitionBy("lang").orderBy(col("logprob").desc, col("doc_id"))
+    val oracle = docs.select("doc_id", "lang")
+      .join(TextAnalysis.logprobScore(docs), "doc_id")
+      .withColumn("t", ntile(3).over(w))
+      .select(col("doc_id"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+    val mism = b.select("doc_id", "bucket").as("g")
+      .join(oracle.as("o"), Seq("doc_id"))
+      .filter(col("g.bucket") =!= col("o.bucket")).count()
+    assert(mism == 0, s"$mism docs differ from NTILE")
+    // scale shape: no ntile anywhere; the only DOC-level window is the
+    // boundary row_number partitioned by (lang, logprob) tie group
+    val plan = b.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("ntile"), "ntile must not appear")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+    val docLevelWindows = b.queryExecution.optimizedPlan.collect {
+      case lw: LW if lw.windowExpressions.exists(_.toString.contains("row_number")) =>
+        lw.partitionSpec.map(_.toString)
+    }
+    assert(docLevelWindows.nonEmpty)
+    docLevelWindows.foreach { spec =>
+      assert(spec.exists(_.contains("logprob")),
+        s"doc-level window must be tie-group-partitioned, got $spec")
+    }
+  }
+
   test("repetition: boilerplate scores high, varied text low") {
     import spark.implicits._
     val fixture = Seq(

@@ -1,0 +1,375 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Porter's suffix-stripping stemmer (Porter 1980, "An algorithm for
+  * suffix stripping" — the algorithm behind Lucene's EnglishAnalyzer,
+  * which the reference wires as its default English analyzer:
+  * bigdata-core/bigdata/src/java/com/bigdata/search/
+  * DefaultAnalyzerFactory.java:69). Stemming at BOTH index and query
+  * time makes "databases" match "database" — the everyday-recall gap
+  * a surface-form index has.
+  *
+  * Operates only on pure a-z tokens (post-lowercase); anything else —
+  * digits, CJK bigrams, diacritics — passes through unchanged, so the
+  * stemmer composes safely behind any tokenizer. Pure JVM code: it is
+  * invoked from inside the [[AnalyzeText]] codegen expression, never
+  * as an interpreted per-token lambda.
+  */
+object PorterStemmer {
+
+  def stem(word: String): String = {
+    if (word.length < 3) return word
+    var i = 0
+    while (i < word.length) {
+      val c = word.charAt(i)
+      if (c < 'a' || c > 'z') return word
+      i += 1
+    }
+    val s = new Stem(word.toCharArray)
+    s.run()
+    new String(s.b, 0, s.k + 1)
+  }
+
+  /** One stem evaluation over a char buffer; `k` is the index of the
+    * last live char, `j` the candidate stem end set by `ends`. */
+  private final class Stem(val b: Array[Char]) {
+    var k: Int = b.length - 1
+    private var j: Int = 0
+
+    private def cons(i: Int): Boolean = b(i) match {
+      case 'a' | 'e' | 'i' | 'o' | 'u' => false
+      case 'y'                         => if (i == 0) true else !cons(i - 1)
+      case _                           => true
+    }
+
+    /** measure: number of vowel→consonant transitions in b[0..j] */
+    private def m(): Int = {
+      var n = 0
+      var i = 0
+      while (i <= j && cons(i)) i += 1
+      if (i > j) return 0
+      i += 1
+      while (true) {
+        while (i <= j && !cons(i)) i += 1
+        if (i > j) return n
+        i += 1; n += 1
+        while (i <= j && cons(i)) i += 1
+        if (i > j) return n
+        i += 1
+      }
+      n
+    }
+
+    private def vowelInStem(): Boolean = {
+      var i = 0
+      while (i <= j) { if (!cons(i)) return true; i += 1 }
+      false
+    }
+
+    private def doubleC(i: Int): Boolean =
+      i >= 1 && b(i) == b(i - 1) && cons(i)
+
+    /** consonant–vowel–consonant ending, last consonant not w/x/y:
+      * the "short word" test that restores a trailing e (hop→hope). */
+    private def cvc(i: Int): Boolean = {
+      if (i < 2 || !cons(i) || cons(i - 1) || !cons(i - 2)) return false
+      val c = b(i)
+      c != 'w' && c != 'x' && c != 'y'
+    }
+
+    private def ends(s: String): Boolean = {
+      val l = s.length
+      val o = k - l + 1
+      if (o < 0) return false
+      var i = 0
+      while (i < l) { if (b(o + i) != s.charAt(i)) return false; i += 1 }
+      j = k - l
+      true
+    }
+
+    private def setTo(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { b(j + 1 + i) = s.charAt(i); i += 1 }
+      k = j + s.length
+    }
+
+    private def r(s: String): Unit = if (m() > 0) setTo(s)
+
+    /** plurals and -ed/-ing */
+    private def step1(): Unit = {
+      if (b(k) == 's') {
+        if (ends("sses")) k -= 2
+        else if (ends("ies")) setTo("i")
+        else if (b(k - 1) != 's') k -= 1
+      }
+      if (ends("eed")) { if (m() > 0) k -= 1 }
+      else if ((ends("ed") || ends("ing")) && vowelInStem()) {
+        k = j
+        if (ends("at")) setTo("ate")
+        else if (ends("bl")) setTo("ble")
+        else if (ends("iz")) setTo("ize")
+        else if (doubleC(k)) {
+          val c = b(k)
+          if (c != 'l' && c != 's' && c != 'z') k -= 1
+        } else if (m() == 1 && cvc(k)) setTo("e")
+      }
+    }
+
+    /** terminal y → i when another vowel is in the stem */
+    private def step2(): Unit =
+      if (ends("y") && vowelInStem()) b(k) = 'i'
+
+    /** double suffixes → single (ization → ize, ational → ate, …) */
+    private def step3(): Unit = {
+      if (k == 0) return
+      b(k - 1) match {
+        case 'a' =>
+          if (ends("ational")) r("ate")
+          else if (ends("tional")) r("tion")
+        case 'c' =>
+          if (ends("enci")) r("ence")
+          else if (ends("anci")) r("ance")
+        case 'e' => if (ends("izer")) r("ize")
+        case 'l' =>
+          if (ends("bli")) r("ble")
+          else if (ends("alli")) r("al")
+          else if (ends("entli")) r("ent")
+          else if (ends("eli")) r("e")
+          else if (ends("ousli")) r("ous")
+        case 'o' =>
+          if (ends("ization")) r("ize")
+          else if (ends("ation")) r("ate")
+          else if (ends("ator")) r("ate")
+        case 's' =>
+          if (ends("alism")) r("al")
+          else if (ends("iveness")) r("ive")
+          else if (ends("fulness")) r("ful")
+          else if (ends("ousness")) r("ous")
+        case 't' =>
+          if (ends("aliti")) r("al")
+          else if (ends("iviti")) r("ive")
+          else if (ends("biliti")) r("ble")
+        case 'g' => if (ends("logi")) r("log")
+        case _   =>
+      }
+    }
+
+    /** -ic-, -full, -ness */
+    private def step4(): Unit = b(k) match {
+      case 'e' =>
+        if (ends("icate")) r("ic")
+        else if (ends("ative")) r("")
+        else if (ends("alize")) r("al")
+      case 'i' => if (ends("iciti")) r("ic")
+      case 'l' =>
+        if (ends("ical")) r("ic")
+        else if (ends("ful")) r("")
+      case 's' => if (ends("ness")) r("")
+      case _   =>
+    }
+
+    /** drop -ant, -ence, … when the measure is high enough */
+    private def step5(): Unit = {
+      if (k == 0) return
+      val hit = b(k - 1) match {
+        case 'a' => ends("al")
+        case 'c' => ends("ance") || ends("ence")
+        case 'e' => ends("er")
+        case 'i' => ends("ic")
+        case 'l' => ends("able") || ends("ible")
+        case 'n' => ends("ant") || ends("ement") || ends("ment") || ends("ent")
+        case 'o' => (ends("ion") && j >= 0 && (b(j) == 's' || b(j) == 't')) || ends("ou")
+        case 's' => ends("ism")
+        case 't' => ends("ati") || ends("iti")
+        case 'u' => ends("ous")
+        case 'v' => ends("ive")
+        case 'z' => ends("ize")
+        case _   => false
+      }
+      if (hit && m() > 1) k = j
+    }
+
+    /** final -e and -ll cleanup */
+    private def step6(): Unit = {
+      j = k
+      if (b(k) == 'e') {
+        val a = m()
+        if (a > 1 || (a == 1 && !cvc(k - 1))) k -= 1
+      }
+      if (b(k) == 'l' && doubleC(k) && m() > 1) k -= 1
+    }
+
+    def run(): Unit = {
+      if (k <= 1) return
+      step1(); step2(); step3(); step4(); step5(); step6()
+    }
+  }
+}
+
+/** The single tokenizer implementation shared by the [[AnalyzeText]]
+  * codegen expression (index path, runs on data) and
+  * `Analyzer.tokenizeLocal` (query path, runs on the driver) — one
+  * body of code, so index-time and query-time tokenization can never
+  * drift (the reference enforces the same invariant by using one
+  * Lucene analyzer instance for both:
+  * bigdata-core/bigdata/src/java/com/bigdata/search/FullTextIndex.java).
+  *
+  * Modes:
+  *  - LATIN: lowercased a-z0-9 runs (the default analyzer's contract);
+  *  - CJK: bigrams over Han/Hiragana/Katakana/Hangul runs of the raw
+  *    text, then the LATIN tokens — bit-parity with the previous
+  *    higher-order-function column formulation, but in ONE codegen
+  *    call instead of an interpreted CodegenFallback lambda tree;
+  *  - UNICODE: lowercased runs of Unicode letters/digits across ALL
+  *    scripts — Cyrillic, Arabic, Greek, Hebrew, Devanagari, Thai …
+  *    tokenize instead of silently producing zero terms; CJK segments
+  *    inside a run still emit bigrams (no word delimiters to split on).
+  *
+  * Scans by CODEPOINT (supplementary Han stays whole); stopwords drop
+  * before stemming (the Lucene EnglishAnalyzer filter order).
+  */
+object Tokenize {
+  final val LATIN = 0
+  final val CJK = 1
+  final val UNICODE = 2
+
+  private def isCjkCp(cp: Int): Boolean = {
+    val s = Character.UnicodeScript.of(cp)
+    (s eq Character.UnicodeScript.HAN) || (s eq Character.UnicodeScript.HIRAGANA) ||
+      (s eq Character.UnicodeScript.KATAKANA) || (s eq Character.UnicodeScript.HANGUL)
+  }
+
+  private def latinRuns(text: String, out: ArrayBuffer[String]): Unit = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= text.length) {
+      val c = if (i < text.length) text.charAt(i) else ' '
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+  }
+
+  /** ASCII-only uppercase needs the full lowercase pass the SQL
+    * `lower()` does (e.g. İ lowercases to i + combining dot, keeping
+    * the i); run it before extracting a-z0-9 runs for parity with the
+    * previous `split(lower(c), …)` column. */
+  private def latinRunsLowered(text: String, out: ArrayBuffer[String]): Unit =
+    latinRuns(text.toLowerCase(java.util.Locale.ROOT), out)
+
+  /** bigrams of each maximal CJK run (length-1 run → the single char) */
+  private def cjkBigrams(text: String, out: ArrayBuffer[String]): Unit = {
+    val run = new ArrayBuffer[Int](16)
+    def flush(): Unit = {
+      if (run.length == 1) out += new String(Character.toChars(run(0)))
+      else {
+        var i = 0
+        while (i + 1 < run.length) {
+          out += new String(Character.toChars(run(i))) +
+            new String(Character.toChars(run(i + 1)))
+          i += 1
+        }
+      }
+      run.clear()
+    }
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (isCjkCp(cp)) run += cp
+      else if (run.nonEmpty) flush()
+      i += Character.charCount(cp)
+    }
+    if (run.nonEmpty) flush()
+  }
+
+  /** lowercased letter/digit runs over ALL scripts; CJK segments
+    * inside a run emit bigrams, everything else emits the run text */
+  private def unicodeRuns(text: String, out: ArrayBuffer[String]): Unit = {
+    val t = text.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder // current non-CJK segment
+    val cjk = new java.lang.StringBuilder // current CJK segment
+    def flushWord(): Unit =
+      if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+    def flushCjk(): Unit = if (cjk.length > 0) {
+      cjkBigrams(cjk.toString, out); cjk.setLength(0)
+    }
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      if (Character.isLetter(cp) || Character.isDigit(cp)) {
+        if (isCjkCp(cp)) { flushWord(); cjk.appendCodePoint(cp) }
+        else { flushCjk(); sb.appendCodePoint(cp) }
+      } else { flushWord(); flushCjk() }
+      i += Character.charCount(cp)
+    }
+    flushWord(); flushCjk()
+  }
+
+  def tokenizeJava(mode: Int, stem: Boolean, stops: Set[String],
+                   text: String): Array[String] = {
+    val out = new ArrayBuffer[String](32)
+    mode match {
+      case LATIN => latinRunsLowered(text, out)
+      case CJK   => cjkBigrams(text, out); latinRunsLowered(text, out)
+      case UNICODE => unicodeRuns(text, out)
+      case other => sys.error(s"unknown tokenizer mode $other")
+    }
+    val kept = if (stops.isEmpty) out else out.filterNot(stops)
+    val res = if (stem) kept.map(PorterStemmer.stem) else kept
+    res.toArray
+  }
+}
+
+/** Native codegen tokenizer expression: text → array<string> of index
+  * terms in ONE generated call. Replaces the
+  * transform/flatten/sequence higher-order-function formulation, which
+  * is CodegenFallback — an interpreted lambda tree evaluated per row
+  * (§6.5: anything per-token belongs in a native codegen expression).
+  * The per-token work runs as plain JVM code inside the generated
+  * consume(), so the scan stage keeps its WholeStageCodegen span. */
+case class AnalyzeText(child: Expression, mode: Int, stem: Boolean,
+                       stopwords: Set[String]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"analyze_text needs STRING, got ${child.dataType}")
+
+  /** Executor-side tokenize (also the codegen target via reference obj). */
+  def run(s: UTF8String): ArrayData = {
+    val toks = Tokenize.tokenizeJava(mode, stem, stopwords, s.toString)
+    val arr = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { arr(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(v: Any): Any = run(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("analyzeText", this, classOf[AnalyzeText].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.run($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): AnalyzeText =
+    copy(child = c)
+}
+
+object AnalyzeText {
+  def analyze_text(c: Column, mode: Int, stem: Boolean,
+                   stopwords: Set[String]): Column =
+    Shim.column(AnalyzeText(Shim.expression(c), mode, stem, stopwords))
+}

@@ -558,6 +558,98 @@ class EngineSpec extends AnyFunSuite {
     assert(!idx.exists(_._2 == 2L))
   }
 
+  test("Unicode analyzer: Cyrillic and Arabic bds:search return hits (Latin: silence)") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.search.{Analyzer, FullText}
+    val corpus = Seq(
+      (1L, "распределённая база данных"),        // ru: distributed database
+      (2L, "оптимизация запросов к базе"),        // ru: query optimisation
+      (3L, "قاعدة البيانات الموزعة"),             // ar: distributed database
+      (4L, "Αναζήτηση πλήρους κειμένου"),         // el: full-text search
+      (5L, "plain english text only")).toDF("doc_id", "text")
+    // the r9 failure mode: Latin tokenizes all of 1-4 to NOTHING
+    assert(FullText.search(corpus, Seq("база"), 20).count() == 0)
+    val az = Analyzer.Unicode()
+    val ru = FullText.search(corpus, az.tokenizeLocal("База"), 20, analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(ru == Set(1L), s"got $ru") // exact surface form, lowercased
+    val ar = FullText.search(corpus, az.tokenizeLocal("البيانات"), 20, analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(ar == Set(3L), s"got $ar")
+    val el = FullText.search(corpus, az.tokenizeLocal("κειμένου"), 20, analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(el == Set(4L), s"got $el")
+    // embedded Latin still tokenizes; CJK inside a Unicode corpus bigrams
+    val en = FullText.search(corpus, Seq("english"), 20, analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(en == Set(5L))
+    // registry: non-Latin-script tags resolve to Unicode
+    for (l <- Seq("ru", "ar", "el", "he", "hi", "th", "uk-UA"))
+      assert(Analyzer.forLanguage(l).isInstanceOf[Analyzer.Unicode], l)
+    assert(Analyzer.byName("unicode").isInstanceOf[Analyzer.Unicode])
+  }
+
+  test("Porter stemmer: paper vectors; En analyzer matches inflected forms e2e") {
+    import graft.functions.PorterStemmer.stem
+    // vectors from the published algorithm (Porter 1980)
+    assert(stem("caresses") == "caress")
+    assert(stem("ponies") == "poni")
+    assert(stem("cats") == "cat")
+    assert(stem("feed") == "feed")
+    assert(stem("agreed") == "agre") // step1b → agree, step5a strips the e
+    assert(stem("motoring") == "motor")
+    assert(stem("sing") == "sing")
+    assert(stem("conflated") == "conflat") // step1b → conflate, step5a strips the e
+    assert(stem("hopping") == "hop")
+    assert(stem("relational") == "relat")
+    assert(stem("connection") == "connect")
+    assert(stem("databases") == "databas" && stem("database") == "databas")
+    // non a-z tokens pass through untouched
+    assert(stem("数据") == "数据" && stem("x86") == "x86")
+
+    val spark2 = spark; import spark2.implicits._
+    import graft.search.{Analyzer, FullText}
+    val docs = Seq(
+      (1L, "the database stores relations"),
+      (2L, "databases are queried relationally"),
+      (3L, "unrelated text entirely")).toDF("doc_id", "text")
+    // surface-form Latin index: "databases" misses doc 1
+    val surface = FullText.search(docs, Seq("databases"), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(surface == Set(2L))
+    // En analyzer stems BOTH sides: query databases → databas → docs 1+2
+    val az = Analyzer.En()
+    val stemmed = FullText.search(docs, az.tokenizeLocal("databases"), 20,
+        analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(stemmed == Set(1L, 2L), s"got $stemmed")
+    // stopwords drop BEFORE stemming (Lucene EnglishAnalyzer order)
+    assert(az.tokenizeLocal("the databases are stored") ==
+      Seq("databas", "store"))
+    assert(Analyzer.byName("english").isInstanceOf[Analyzer.En])
+  }
+
+  test("analyzers: column path and tokenizeLocal agree (single shared body)") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.search.Analyzer
+    val samples = Seq(
+      "Mixed 语言 text с кириллицей and قواعد numbers 42",
+      "日本語の検索エンジン desu",
+      "  leading spaces, UPPER Case, punct!!! ",
+      "", "   ", "singleChar 语")
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    for (az <- Seq(Analyzer.Latin(), Analyzer.Cjk(), Analyzer.Unicode(),
+        Analyzer.En(), Analyzer.Latin(Set("and", "text")))) {
+      val colPath = df.select(col("doc_id"), az.tokenize(col("text")).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      samples.zipWithIndex.foreach { case (s, i) =>
+        assert(colPath(i.toLong) == az.tokenizeLocal(s),
+          s"$az diverges on '$s'")
+      }
+    }
+  }
+
   test("ngram jaccard df cap preserves recall on this corpus") {
     val docs = TpchRdf.table(spark, SF, "documents")
     val uncapped = graft.pipeline.Dedup.ngramJaccard(docs, 0.5)

@@ -256,6 +256,14 @@ object Analytics {
     val eDeg = cp(e.join(outDeg, "src"))
     val nodes = cp(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct())
+    // fail loud on out-of-graph sources: their teleport mass would
+    // silently vanish (a typo'd source returns a plausible all-zero
+    // frame) and an isolated source would get no output row at all
+    val present = nodes.filter(col("node").isInCollection(sources))
+      .collect().map(_.getString(0)).toSet // bounded by |sources|
+    val missing = sources.filterNot(present)
+    require(missing.isEmpty,
+      s"personalizedPageRank sources not in the graph: ${missing.sorted.mkString(", ")}")
     def ind = when(col("node").isInCollection(sources), lit(resetProb))
       .otherwise(lit(0.0))
     var ranks = nodes.withColumn("rank", ind)

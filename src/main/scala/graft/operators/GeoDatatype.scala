@@ -65,9 +65,13 @@ final case class GeoDatatype(fields: Seq[GeoField], bitsPerField: Int = 8) {
     shiftright(zOrder(cols), k * bitsPerField - bits)
   }
 
+  // 18-bit cap: coveringCells enumerates up to 2^bits cells on the
+  // DRIVER and the prune inlines them into the plan — 2^18 (256k,
+  // collapsed to ranges before planning) is the most a filter should
+  // ever carry; the built-in Geo queries use 10-12
   private def requireBits(bits: Int): Unit =
-    require(bits > 0 && bits % k == 0 && bits <= math.min(k * bitsPerField, 24),
-      s"bits must be divisible by $k in (0, ${math.min(k * bitsPerField, 24)}], got $bits")
+    require(bits > 0 && bits % k == 0 && bits <= math.min(k * bitsPerField, 18),
+      s"bits must be divisible by $k in (0, ${math.min(k * bitsPerField, 18)}], got $bits")
 
   private def qLocal(v: Double, f: GeoField): Long =
     math.min(m, math.max(0L,
@@ -100,15 +104,36 @@ final case class GeoDatatype(fields: Seq[GeoField], bitsPerField: Int = 8) {
   /** Range search over a points table carrying one column per declared
     * field: covering-cell prune ahead of the exact per-field range
     * verify (the GeoSpatialServiceFactory plan shape — z-range scan,
-    * then per-point filter). */
+    * then per-point filter).
+    *
+    * The prune is PLAN-SIZE-BOUNDED: the covering k-cube's sorted cell
+    * ids collapse into contiguous [lo, hi] runs (a full Morton
+    * sub-square is one run), each a BETWEEN predicate — the reference
+    * likewise scans z-RANGES, not cell lists. If a pathological query
+    * still yields >1024 runs, the prune degrades to the single
+    * [min, max] envelope: coarser, still a prune, and the exact
+    * per-field filter behind it keeps the result identical either
+    * way. Nothing cell-count-sized ever reaches the plan. */
   def rangeSearch(points: DataFrame, ranges: Seq[(Double, Double)],
                   bits: Int): DataFrame = {
     val cols = fields.map(f => col(f.name))
-    val cells = coveringCells(ranges, bits)
+    val cells = coveringCells(ranges, bits).sorted
+    val runs = cells.foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc :+ ((lo, hi)), c) if c == hi + 1 => acc :+ (lo, hi + 1)
+      case (acc, c)                              => acc :+ (c, c)
+    }
+    val zc = zCell(cols, bits)
+    val prune =
+      if (runs.isEmpty) lit(false)
+      else if (runs.size <= 1024)
+        runs.map { case (lo, hi) =>
+          if (lo == hi) zc === lit(lo) else zc.between(lit(lo), lit(hi))
+        }.reduce(_ || _)
+      else zc.between(lit(cells.head), lit(cells.last))
     val exact = fields.zip(ranges).map { case (f, (lo, hi)) =>
       col(f.name) >= lit(lo) && col(f.name) <= lit(hi)
     }.reduce(_ && _)
-    points.filter(zCell(cols, bits).isInCollection(cells)).filter(exact)
+    points.filter(prune).filter(exact)
   }
 }
 

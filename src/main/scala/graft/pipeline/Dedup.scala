@@ -133,8 +133,13 @@ object Dedup {
     val interX = if (!hasViral) inter else {
       val vc = posts.join(dfreq.filter(col("c") > maxDf).select("sh"), "sh")
         .groupBy("doc_id").agg(count(lit(1)).as("vc"))
+      // rounding-aware bound: the final filter accepts round(J, 6) >=
+      // minJ, i.e. true J down to minJ - 5e-7 — certify against THAT
+      // threshold or a boundary pair with an all-viral intersection
+      // could slip past the escalation (its endpoint va can sit just
+      // below minJ*sz while the rounded J still qualifies)
       val uncert = sizes.join(vc, "doc_id")
-        .filter(col("vc").cast("double") >= lit(minJ) * col("sz") - lit(1e-9))
+        .filter(col("vc").cast("double") >= (lit(minJ) - lit(5e-7)) * col("sz"))
         .select("doc_id")
       val uPosts = posts.join(uncert, "doc_id").localCheckpoint()
       val interU = uPosts.alias("x").join(uPosts.alias("y"),

@@ -298,6 +298,13 @@ final class Journal private (spark: SparkSession, dir: Path) {
   def sinkBatch(adds: DataFrame, batchId: Long): Unit =
     sink(DefaultAppId)(adds, batchId)
 
+  /** True when commit point v is a compaction snapshot: it rewrites
+    * the whole store state as one segment (its manifest names every
+    * graph) but makes NO logical change — conflict validation must
+    * skip it or every tx racing an auto-compaction 409s spuriously. */
+  def compactedAt(v: Long): Boolean =
+    records.find(_.version == v).exists(_.compacted)
+
   /** Version of the most recent compacted commit point (0 = only the
     * empty base). The delta count `version - lastCompacted` is the
     * snapshot-resolution cost driver — compaction policy input. */

@@ -295,17 +295,31 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       }
       var (adds, dels) = Update.quadsDeltaMixed(head.store, mixed, head.defaultGraph)
       if (repo.version != expectVersion) {
-        // graph-level write-set validation (TxServlet.java:56-58's
-        // per-index-range revision check, at partition granularity):
-        // the partitionBy("g") segment manifests name every graph the
-        // interleaved commits wrote — a 409 only when that set
-        // intersects THIS tx's write set; disjoint-graph writers
-        // commit, rebased onto the current head. Never less safe than
-        // whole-head validation: an unknowable touched set (legacy
-        // unpartitioned segment) still conflicts.
+        // Two-sided conflict validation when the head moved:
+        //
+        // 1. WRITE set (TxServlet.java:56-58's per-index-range revision
+        //    check, at partition granularity): the partitionBy("g")
+        //    segment manifests name every graph the interleaved commits
+        //    wrote — 409 when that set intersects THIS tx's write set.
+        //    Compaction commits are skipped: a compaction snapshot
+        //    names every graph but changes nothing logically, and
+        //    maybeCompact() runs after every write, so counting it
+        //    would 409 every tx racing an auto-compaction.
+        //
+        // 2. READ set, by re-evaluation: graph manifests can't tell
+        //    WHAT an update's WHERE read, so the staged delta is
+        //    evaluated twice — against the expectVersion snapshot the
+        //    client saw, and against the current head — and the tx
+        //    409s when they differ. An update whose WHERE reads graph
+        //    Y but writes graph X conflicts iff an interleaved commit
+        //    to Y actually changed the update's effect; staged literal
+        //    DataFrames evaluate identically on both sides and commit
+        //    (their semantics are rebase-onto-head by definition —
+        //    the server cannot see what stale reads produced them).
         adds = adds.localCheckpoint(); dels = dels.localCheckpoint()
         val interleaved: Option[Set[String]] =
           (expectVersion + 1 to repo.version)
+            .filterNot(repo.journal.compactedAt)
             .foldLeft(Option(Set.empty[String])) { (acc, v) =>
               for { a <- acc; t <- repo.journal.touchedGraphs(v) } yield a ++ t
             }
@@ -320,6 +334,17 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             s"tx conflict: head moved from v$expectVersion to v${repo.version} " +
               "and a legacy unpartitioned segment hides its touched graphs")
         }
+        val asSeen = at(expectVersion)
+        val (adds0, dels0) =
+          Update.quadsDeltaMixed(asSeen.store, mixed, asSeen.defaultGraph)
+        def differ(x: DataFrame, y: DataFrame): Boolean =
+          x.exceptAll(y).limit(1).count() > 0 ||
+            y.exceptAll(x).limit(1).count() > 0
+        if (differ(adds0, adds) || differ(dels0, dels))
+          throw new TxConflict(
+            s"tx conflict: a staged update reads data modified since " +
+              s"v$expectVersion (head now v${repo.version}) — its effect " +
+              "differs between the two snapshots")
       }
       val v = repo.journal.commit(adds, dels)
       maybeCompact()

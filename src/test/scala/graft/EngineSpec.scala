@@ -712,6 +712,22 @@ class EngineSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
     // the prune is real: a strict subset of the 2^12 cell space
     assert(dt.coveringCells(ranges, 12).size < (1 << 12))
+    // plan-size bound: the near-whole-domain query below covers ~4k
+    // cells, which must collapse to BETWEEN runs (or the [min,max]
+    // envelope), never a 4k-literal IN list — and stay exact
+    val wide = Seq((-89.0, 89.0), (-179.0, 179.0), (1.0, 998.0))
+    val gotWide = dt.rangeSearch(pts, wide, 12)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val wantWide = pts.filter(col("lat").between(-89, 89) &&
+        col("lon").between(-179, 179) && col("t").between(1, 998))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(gotWide == wantWide)
+    val planWide = dt.rangeSearch(pts, wide, 12)
+      .queryExecution.optimizedPlan.toString
+    assert(!planWide.contains("INSET") && !planWide.toLowerCase.contains(" in("),
+      "covering prune must be range predicates, not a cell IN-list")
+    // driver-memory cap: bits beyond 18 refuse loud
+    intercept[IllegalArgumentException] { dt.coveringCells(wide, 30) }
   }
 
   test("df-cap escalation: viral-only pairs survive an aggressive cap exactly") {

@@ -161,6 +161,12 @@ class GasSpec extends AnyFunSuite {
     assert(r("a1") > r("a2") && r("a2") > r("a3"),
       s"proximity must decay along the chain: $r")
     assert(r("a2") == 0.1275, "one hop: 0.85 * 0.15")
+    // a typo'd / isolated source fails loud instead of returning a
+    // plausible all-zero frame with its teleport mass vanished
+    val ex = intercept[IllegalArgumentException] {
+      Analytics.personalizedPageRank(edges, Seq("a1", "zz"), iters = 2)
+    }
+    assert(ex.getMessage.contains("zz"), ex.getMessage)
   }
 
   test("assortativity: star is -1, disjoint unequal cliques are +1, regular graph is NULL") {

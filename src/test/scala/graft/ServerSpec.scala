@@ -545,6 +545,71 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("tx READ-set conflict 409s; racing auto-compaction does not 409") {
+    def begin(srv: SparqlServer) = {
+      val r = post(srv.address + "/tx", "", "text/plain")
+      assert(r.statusCode() == 201, r.body())
+      "txId=\"([0-9a-f-]+)\"".r.findFirstMatchIn(r.body()).get.group(1)
+    }
+    // A) an update whose WHERE reads graph src but writes graph dst:
+    // write sets are disjoint from the interleaved commit, but the
+    // interleaved commit CHANGED what the WHERE matches — the staged
+    // delta evaluated at the tx's snapshot differs from its evaluation
+    // at the head, so first-committer-wins must 409 (the r9 gap: only
+    // write sets were validated, and this committed silently with a
+    // different effect than the client's isolated view showed)
+    val srv = SparqlServer.durable(Graft.empty(spark), tmp()).start()
+    try {
+      assert(post(srv.address + "/sparql/update",
+        """INSERT DATA { GRAPH <urn:graft:g:src> { x:a note "a" } }""",
+        "application/sparql-update").statusCode() == 204)
+      // stage a copy-out: reads graph src (USING), writes the DEFAULT
+      // graph — write sets vs the interleaved src commit are disjoint
+      val copyOut =
+        """INSERT { ?s <urn:graft:copied> ?o }
+          |USING <urn:graft:g:src> WHERE { ?s <urn:graft:note> ?o }""".stripMargin
+      val tx = begin(srv)
+      assert(post(srv.address + s"/sparql/update?tx=$tx", copyOut,
+        "application/sparql-update").statusCode() == 204)
+      assert(post(srv.address + "/sparql/update",
+        """INSERT DATA { GRAPH <urn:graft:g:src> { x:b note "b" } }""",
+        "application/sparql-update").statusCode() == 204)
+      val r = post(srv.address + s"/tx/$tx/commit", "", "text/plain")
+      assert(r.statusCode() == 409, s"stale read must 409: ${r.body()}")
+      assert(r.body().contains("reads data modified"), r.body())
+      // same staging against an UNMOVED head commits fine
+      val tx2 = begin(srv)
+      assert(post(srv.address + s"/sparql/update?tx=$tx2", copyOut,
+        "application/sparql-update").statusCode() == 204)
+      assert(post(srv.address + s"/tx/$tx2/commit", "", "text/plain")
+        .statusCode() == 200)
+    } finally srv.stop()
+    // B) compaction commits make no logical change; with
+    // autoCompactEvery=1 every write triggers one, and its manifest
+    // names EVERY graph — a disjoint-graph tx racing it must still
+    // commit (the r9 behavior 409'd here, defeating graph-level
+    // validation under exactly the write pressure it was built for)
+    val srv2 = SparqlServer.durable(Graft.empty(spark), tmp(),
+      autoCompactEvery = 1).start()
+    try {
+      assert(post(srv2.address + "/sparql/update",
+        """INSERT DATA { GRAPH <urn:graft:g:two> { x:seed note "s" } }""",
+        "application/sparql-update").statusCode() == 204)
+      val txA = begin(srv2); val txB = begin(srv2)
+      assert(post(srv2.address + s"/sparql/update?tx=$txA",
+        """INSERT DATA { GRAPH <urn:graft:g:one> { x:a note "a" } }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(post(srv2.address + s"/sparql/update?tx=$txB",
+        """INSERT DATA { GRAPH <urn:graft:g:two> { x:b note "b" } }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(post(srv2.address + s"/tx/$txA/commit", "", "text/plain")
+        .statusCode() == 200)
+      val rb = post(srv2.address + s"/tx/$txB/commit", "", "text/plain")
+      assert(rb.statusCode() == 200,
+        s"tx racing auto-compaction must not 409: ${rb.body()}")
+    } finally srv2.stop()
+  }
+
   test("blueprints REST: mutate over HTTP, traverse back; workbench index serves HTML") {
     val srv = new SparqlServer(Graft.empty(spark)).start()
     try {

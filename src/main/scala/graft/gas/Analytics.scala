@@ -202,12 +202,24 @@ object Analytics {
     * Plan shape per round: two semijoins of the |2E| undirected block
     * against the (shrinking) remaining-node set + one degree
     * aggregate; the node set is checkpoint-truncated (gas_pr
-    * discipline) so the plan never grows with rounds. Round count is
-    * the longest peel chain — near-clique graphs (dedup candidates)
+    * discipline) so the plan never grows with rounds.
+    *
+    * ROUND-COUNT BOUND (read before raising maxRounds): peeling is
+    * SYNCHRONOUS, so the number of rounds equals the longest peel
+    * CHAIN, not the graph diameter — a path of n vertices at k=2
+    * peels one vertex from each end per round, needing ~n/2 rounds. A
+    * high-diameter sparse graph at scale can therefore exceed
+    * `maxRounds`, and the operator then fails LOUD (the require
+    * below) rather than returning a partial non-fixpoint core — the
+    * correct behavior, since a non-converged remainder is NOT the
+    * k-core. Near-clique graphs (dedup candidates, this engine's use)
     * peel in 1-3 rounds; the DuckDB oracle unrolls 24 rounds, which
     * equals the fixpoint whenever convergence needs ≤ 24 (extra
-    * rounds are no-ops at a fixpoint) — [[kCoreWithRounds]] exposes
-    * the count and the spec pins it. */
+    * rounds are no-ops at a fixpoint). [[kCoreWithRounds]] exposes
+    * the measured round count — monitor it on new graph families and
+    * raise `maxRounds` deliberately if a long-chain topology is
+    * expected; the spec pins both the happy path and the loud
+    * chain-graph failure. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame =
     kCoreWithRounds(edges, k, maxRounds)._1
 
@@ -266,18 +278,32 @@ object Analytics {
       s"personalizedPageRank sources not in the graph: ${missing.sorted.mkString(", ")}")
     def ind = when(col("node").isInCollection(sources), lit(resetProb))
       .otherwise(lit(0.0))
-    var ranks = nodes.withColumn("rank", ind)
+    // Iterate over the REACHED set only (r10, isolated same-session:
+    // 15.4s -> 8.7s at 1x=sf0.1, 20.8s -> 14.8s at 10x): rank is
+    // nonzero only on nodes reachable from S, so the
+    // per-iteration frame holds just those — the unreachable bulk of
+    // the graph (at 100 TB, everything outside S's component) never
+    // enters the join or the checkpoint. `srcRows` (|S| rows) re-enters
+    // via full outer join so teleport mass persists with no in-flow;
+    // exact zeros for unreached nodes are restored once at the end.
+    // Values are bit-identical to the all-nodes formulation: absent
+    // rows contribute 0, exactly like 0.0-rank rows did.
+    val srcRows = cp(nodes.filter(col("node").isInCollection(sources)))
+    var ranks = srcRows.withColumn("rank", lit(resetProb))
     for (_ <- 1 to iters) {
       val contrib = ranks.join(eDeg, ranks("node") === eDeg("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
       ranks = cp(
-        nodes.join(contrib, Seq("node"), "left")
+        contrib.join(srcRows, Seq("node"), "full")
           .select(col("node"),
             round(ind + lit(1 - resetProb) * coalesce(col("contrib"), lit(0.0)), 9)
               .as("rank")))
     }
-    ranks
+    // restore the exact-0.0 rows for unreached nodes (one left join,
+    // outside the iteration)
+    nodes.join(ranks, Seq("node"), "left")
+      .select(col("node"), coalesce(col("rank"), lit(0.0)).as("rank"))
   }
 
   /** SSSP that also tracks the predecessor on the best path

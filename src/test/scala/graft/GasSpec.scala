@@ -145,6 +145,18 @@ class GasSpec extends AnyFunSuite {
     assert(three == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
     // 4-core: empty (loud empty, not an error)
     assert(Analytics.kCore(edges, 4).isEmpty)
+    // synchronous peeling = one chain hop per round: a path exceeds a
+    // small maxRounds and must fail LOUD (a non-fixpoint remainder is
+    // not the k-core), naming the bound
+    val path = (0 until 20).map(i => (s"p$i", s"p${i + 1}")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Analytics.kCore(path, 2, maxRounds = 3)
+    }
+    assert(ex.getMessage.contains("3 rounds"), ex.getMessage)
+    // with the bound sized to the chain it converges: a path has no
+    // 2-core, and the round count ~n/2 is the monitoring hook
+    val (empty2, r2) = Analytics.kCoreWithRounds(path, 2, maxRounds = 16)
+    assert(empty2.isEmpty && r2 >= 10, s"rounds=$r2")
   }
 
   test("personalized pagerank: mass confined to the source's component, decays with depth") {

@@ -709,6 +709,23 @@ object EngineQueries {
         .graph("g:default").orderBy("s", "p", "o")
     }),
 
+    // QUAD templates (SPARQL 1.1 Update grammar [49] QuadPattern;
+    // reference: ast.QuadsData via AST2BOpUpdate): GRAPH blocks inside
+    // the DELETE/INSERT templates themselves — one parsed op archives
+    // region names into g:archive, drops them from g:region, and
+    // stamps a default-graph marker; each template triple routes to
+    // its OWN graph
+    "update_quad_template" -> ((s, dir) => {
+      val qs = graft.rdf.QuadStore(TpchRdf.quads(s, dir))
+      val op = graft.sparql.Parser.parseUpdate(
+        """DELETE { GRAPH g:region { ?r name ?n } }
+          |INSERT { GRAPH g:archive { ?r name ?n } . ?r archived "y" }
+          |WHERE { ?r name ?n . ?r type "Region" }""".stripMargin)
+      graft.sparql.Update.applyQuads(qs, op)
+        .quads.filter(col("g").isin("g:region", "g:archive", "g:default"))
+        .orderBy("g", "s", "p", "o")
+    }),
+
     // SPARQL 1.1 graph management: COPY / MOVE / DROP on the quad store
     // (reference: ast/CreateGraph.java family via AST2BOpUpdate)
     "graph_management" -> ((s, dir) => {
@@ -1024,6 +1041,13 @@ object EngineQueries {
         |  SELECT 'r:'||CAST(r_regionkey AS VARCHAR) AS s, 'type' AS p, 'Region' AS o FROM region
         |  UNION ALL SELECT 'r:'||CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region
         |) ORDER BY s, p, o""".stripMargin,
+
+    "update_quad_template" ->
+      """SELECT s, p, o, g FROM (
+        |  SELECT 'r:'||CAST(r_regionkey AS VARCHAR) AS s, 'name' AS p, r_name AS o, 'g:archive' AS g FROM region
+        |  UNION ALL SELECT 'r:'||CAST(r_regionkey AS VARCHAR), 'archived', 'y', 'g:default' FROM region
+        |  UNION ALL SELECT 'r:'||CAST(r_regionkey AS VARCHAR), 'type', 'Region', 'g:region' FROM region
+        |) ORDER BY g, s, p, o""".stripMargin,
 
     "graph_update" ->
       """SELECT g, n_triples FROM (

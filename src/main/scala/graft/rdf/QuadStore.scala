@@ -98,6 +98,13 @@ final case class QuadStore(quads: DataFrame) {
     QuadStore(quads.join(doomed, cols, "left_anti"))
   }
 
+  /** DELETE quads that carry their OWN graph tags (the quad-template
+    * DELETE { GRAPH g { … } } WHERE path): one anti-join keyed on all
+    * four columns — only the touched graphs' partitions participate. */
+  def deleteQuads(doomed: DataFrame): QuadStore =
+    QuadStore(quads.join(doomed.select(cols.map(col): _*).distinct(),
+      cols, "left_anti"))
+
   /** CLEAR ALL. */
   def clear(): QuadStore = QuadStore(quads.limit(0))
 }

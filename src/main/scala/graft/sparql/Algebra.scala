@@ -134,6 +134,17 @@ final case class DeleteData(data: Seq[(Option[String], TriplePattern)]) extends 
 final case class DeleteInsertWhere(delete: Seq[TriplePattern],
                                    insert: Seq[TriplePattern],
                                    where: Algebra) extends UpdateOp
+/** DELETE/INSERT with QUAD templates — `GRAPH g { … }` blocks inside
+  * the template itself (SPARQL 1.1 Update grammar [49] QuadPattern;
+  * reference: ast.QuadsData via AST2BOpUpdate). Each template triple
+  * carries an optional graph TERM: None = the default graph, a Const
+  * = that named graph, a Var = bound per solution row (so
+  * `INSERT { GRAPH ?g { … } } WHERE { GRAPH ?g { … } }` fans results
+  * across graphs). Parsed only when a template actually contains a
+  * GRAPH block; plain templates keep [[DeleteInsertWhere]]. */
+final case class QuadsTemplateWhere(delete: Seq[(Option[Term], TriplePattern)],
+                                    insert: Seq[(Option[Term], TriplePattern)],
+                                    where: Algebra) extends UpdateOp
 /** WITH <g> DELETE/INSERT WHERE — the op's WHERE and templates are
   * scoped to one named graph (§3.1.3 WITH). */
 final case class WithGraph(g: String, op: DeleteInsertWhere) extends UpdateOp

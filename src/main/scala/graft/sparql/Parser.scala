@@ -232,11 +232,11 @@ object Parser {
       } else if (peekIs("INSERT")) {
         next()
         if (peekIs("DATA")) { next(); InsertData(parseDataBlock()) }
-        else { // INSERT { t } [USING …] WHERE { p }
-          val ins = parseTriplesBlock()
+        else { // INSERT { t | GRAPH g { t } } [USING …] WHERE { p }
+          val ins = parseTemplateBlock()
           val (ud, un) = parseUsing()
           expect("WHERE")
-          wrapUsing(ud, un, DeleteInsertWhere(Nil, ins, parseGroup()))
+          mkTemplateOp(Nil, ins, ud, un, parseGroup())
         }
       } else {
         expect("DELETE")
@@ -261,14 +261,31 @@ object Parser {
             DeleteInsertWhere(tmpl, Nil, parseGroup())
           }
         } else {
-          val del = parseTriplesBlock()
-          val ins = if (peekIs("INSERT")) { next(); parseTriplesBlock() } else Nil
+          val del = parseTemplateBlock()
+          val ins = if (peekIs("INSERT")) { next(); parseTemplateBlock() } else Nil
           val (ud, un) = parseUsing()
           expect("WHERE")
-          wrapUsing(ud, un, DeleteInsertWhere(del, ins, parseGroup()))
+          mkTemplateOp(del, ins, ud, un, parseGroup())
         }
       }
     }
+
+    /** Plain templates stay [[DeleteInsertWhere]] (the common case and
+      * every pre-r10 behavior); a GRAPH block in either template
+      * yields [[QuadsTemplateWhere]]. USING composes only with plain
+      * templates (quad templates name their graphs explicitly —
+      * combining both is rare enough to refuse loud). */
+    private def mkTemplateOp(del: Seq[(Option[Term], TriplePattern)],
+                             ins: Seq[(Option[Term], TriplePattern)],
+                             ud: Seq[String], un: Seq[String],
+                             where: Algebra): UpdateOp =
+      if (del.forall(_._1.isEmpty) && ins.forall(_._1.isEmpty))
+        wrapUsing(ud, un, DeleteInsertWhere(del.map(_._2), ins.map(_._2), where))
+      else {
+        require(ud.isEmpty && un.isEmpty,
+          "USING with GRAPH-block templates is not supported; name graphs in the template or use USING with plain templates")
+        QuadsTemplateWhere(del, ins, where)
+      }
 
     /** USING <g> / USING NAMED <g> clauses (update-side dataset,
       * SPARQL 1.1 Update §3.1.3). */
@@ -316,6 +333,29 @@ object Parser {
         else if (peekIs("GRAPH")) {
           next()
           val g = constValue(next())
+          expect("{")
+          while (!peekIs("}")) {
+            if (peekIs(".")) next()
+            else sameSubjectTriples(tp => out += (Some(g) -> tp))
+          }
+          expect("}")
+        } else sameSubjectTriples(tp => out += (None -> tp))
+      }
+      expect("}")
+      out.result()
+    }
+
+    /** { t . GRAPH g { t … } . t … } — an update TEMPLATE (grammar [49]
+      * QuadPattern): triples with variables allowed, each optionally
+      * scoped to a graph term (IRI or ?var). */
+    private def parseTemplateBlock(): Seq[(Option[Term], TriplePattern)] = {
+      expect("{")
+      val out = Vector.newBuilder[(Option[Term], TriplePattern)]
+      while (!peekIs("}")) {
+        if (peekIs(".")) next()
+        else if (peekIs("GRAPH")) {
+          next()
+          val g = dataTerm()
           expect("{")
           while (!peekIs("}")) {
             if (peekIs(".")) next()

@@ -14,6 +14,17 @@ object Update {
     case Const(v) => lit(v).as(n)
   }
 
+  /** Instantiate a QUAD template against a solution DataFrame: each
+    * triple lands in its own graph — None = `defaultGraph`, a Const =
+    * that graph, a Var = the per-row binding (GRAPH ?g templates). */
+  private def instantiateQuads(tmpl: Seq[(Option[Term], TriplePattern)],
+                               sol: DataFrame,
+                               defaultGraph: String): DataFrame =
+    tmpl.map { case (g, tp) =>
+      val gc = g.map(t2c(_, "g")).getOrElse(lit(defaultGraph).as("g"))
+      sol.select(t2c(tp.s, "s"), t2c(tp.p, "p"), t2c(tp.o, "o"), gc)
+    }.reduce(_ unionAll _).distinct()
+
   /** Instantiate a template against a solution DataFrame. */
   private def instantiate(tmpl: Seq[TriplePattern], sol: DataFrame): DataFrame =
     tmpl.map { tp =>
@@ -76,6 +87,16 @@ object Update {
           else store.deleteData(defaultGraph, instantiate(del, sol))
         if (ins.isEmpty) st1
         else st1.insertData(defaultGraph, instantiate(ins, sol))
+      case QuadsTemplateWhere(del, ins, where) =>
+        // quad templates: WHERE evaluates like the bare form above;
+        // each template triple lands in its own graph
+        val merged = store.quads.select("s", "p", "o").distinct()
+        val sol = Compiler.compile(where, TripleSource.plain(merged))
+        val st1 =
+          if (del.isEmpty) store
+          else store.deleteQuads(instantiateQuads(del, sol, defaultGraph))
+        if (ins.isEmpty) st1
+        else st1.insertQuads(instantiateQuads(ins, sol, defaultGraph))
       case UsingClause(defaults, named, DeleteInsertWhere(del, ins, where)) =>
         // the WHERE sees the USING dataset (update-side FROM/FROM
         // NAMED): default-graph patterns scan the USING graphs' merge,
@@ -184,6 +205,12 @@ object Update {
         val merged = store.quads.select("s", "p", "o").distinct()
         val sol = Compiler.compile(where, TripleSource.plain(merged))
         (tagged(defaultGraph, ins, sol), tagged(defaultGraph, del, sol))
+      case QuadsTemplateWhere(del, ins, where) =>
+        val merged = store.quads.select("s", "p", "o").distinct()
+        val sol = Compiler.compile(where, TripleSource.plain(merged))
+        def inst(t: Seq[(Option[Term], TriplePattern)]): DataFrame =
+          if (t.isEmpty) nothing else instantiateQuads(t, sol, defaultGraph)
+        (inst(ins), inst(del))
       case UsingClause(defaults, named, DeleteInsertWhere(del, ins, where)) =>
         val src = new TripleSource {
           lazy val triples: DataFrame = store.graph(defaultGraph)

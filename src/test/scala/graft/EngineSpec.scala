@@ -282,6 +282,47 @@ class EngineSpec extends AnyFunSuite {
     assert(scoped.graph("g:default").collect().map(_.getString(1)).toSeq == Seq("p"))
   }
 
+  test("quad templates: GRAPH blocks inside INSERT/DELETE WHERE, incl. GRAPH ?var") {
+    import graft.sparql.{Parser, Update, QuadsTemplateWhere}
+    val qs = QuadStore(Seq(
+      ("s1", "p", "o1", "g:default"),
+      ("s2", "p", "o2", "g:default")).toDF("s", "p", "o", "g"))
+    // cross-graph copy: reads the default graph, writes a named graph
+    val cp = Parser.parseUpdate(
+      "INSERT { GRAPH g:archive { ?s p ?o } } WHERE { ?s p ?o }")
+    assert(cp.isInstanceOf[QuadsTemplateWhere])
+    val after = Update.applyQuads(qs, cp)
+    assert(after.graph("g:archive").count() == 2)
+    assert(after.graph("g:default").count() == 2, "source untouched")
+    // mixed template: delete from one graph, insert into another + default
+    val mv = Parser.parseUpdate(
+      """DELETE { GRAPH g:archive { ?s p ?o } }
+        |INSERT { GRAPH g:cold { ?s p ?o } . ?s moved ?o }
+        |WHERE { ?s p ?o }""".stripMargin)
+    val after2 = Update.applyQuads(after, mv)
+    assert(after2.graph("g:archive").count() == 0)
+    assert(after2.graph("g:cold").count() == 2)
+    assert(after2.graph("g:default").filter(col("p") === "moved").count() == 2)
+    // the quadsDelta path (journal commits) agrees with applyQuads
+    val (adds, dels) = Update.quadsDelta(after, mv)
+    assert(adds.count() == 4 && dels.count() == 2)
+    // plain templates still parse to the pre-r10 node (no behavior drift)
+    assert(!Parser.parseUpdate("INSERT { ?s p2 ?o } WHERE { ?s p ?o }")
+      .isInstanceOf[QuadsTemplateWhere])
+    // USING + quad template refuses loud
+    intercept[IllegalArgumentException] {
+      Parser.parseUpdate(
+        "INSERT { GRAPH g:x { ?s p ?o } } USING g:y WHERE { ?s p ?o }")
+    }
+    // GRAPH ?var template: the graph is a per-solution binding (here
+    // via VALUES) — results fan out into the bound graph
+    val varg = Parser.parseUpdate(
+      """INSERT { GRAPH ?dest { ?s p ?o } }
+        |WHERE { ?s p ?o . VALUES ?dest { g:routed } }""".stripMargin)
+    val after3 = Update.applyQuads(qs, varg)
+    assert(after3.graph("g:routed").count() == 2, "var-graph template routes")
+  }
+
   test("streaming sessionization survives micro-batch boundaries") {
     import org.apache.spark.sql.streaming.Trigger
     val ev = TpchRdf.tsNanos(spark.read.parquet(s"$SF/events.parquet"))

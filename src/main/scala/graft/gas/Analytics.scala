@@ -120,8 +120,13 @@ object Analytics {
     // and rewrite |E|-row frames instead of |V|-row labels per round.
     // It only wins on high-diameter graphs (long chains); if one ever
     // shows up, gate on a measured round count, not up front.
-    val undS = cp(edges.select("src", "dst")
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    // input materialized ONCE before the two-direction union — edges
+    // may be an expensive upstream plan (near-dup pair generation),
+    // and each union branch would otherwise re-evaluate it (the bfs
+    // "materialize once" discipline; caught at 100x on gas_kcore)
+    val e0 = cp(edges.select("src", "dst"))
+    val undS = cp(e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst"))))
     if (undS.count() < 1000000L) {
       val nodes = undS.select(col("src").as("node")).distinct()
       ccLoop(undS, nodes, maxIter).select("node", "label")
@@ -175,7 +180,9 @@ object Analytics {
     * initialized to resetProb. Per-iteration ROUND(9) keeps the values
     * bit-identical to the (differently-ordered) oracle summation. */
   def pageRank(edges: DataFrame, iters: Int = 10, resetProb: Double = 0.15): DataFrame = {
-    val e = edges.select("src", "dst")
+    // materialized once: referenced by outDeg, eDeg and both node-set
+    // branches — an expensive upstream plan would evaluate 4x otherwise
+    val e = cp(edges.select("src", "dst"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
     val eDeg = cp(e.join(outDeg, "src"))
     val nodes = cp(e.select(col("src").as("node"))
@@ -225,9 +232,14 @@ object Analytics {
 
   def kCoreWithRounds(edges: DataFrame, k: Int,
                       maxRounds: Int = 64): (DataFrame, Int) = {
-    val und = cp(edges.select("src", "dst")
-      .filter(col("src") =!= col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // input materialized ONCE before the two-direction union: kCore's
+    // edges are typically the near-dup PAIR GENERATION plan (gas_kcore
+    // feeds it ngramJaccard), and each union branch re-evaluated it —
+    // measured at 100x: 264s -> ~150s, the whole delta being one
+    // redundant jaccard pass
+    val e0 = cp(edges.select("src", "dst").filter(col("src") =!= col("dst")))
+    val und = cp(e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
     var rem = cp(und.select(col("src").as("node")).distinct())
     var prevCount = rem.count()
@@ -263,7 +275,8 @@ object Analytics {
     * exits the system (identically in both engines). */
   def personalizedPageRank(edges: DataFrame, sources: Seq[String],
                            iters: Int = 10, resetProb: Double = 0.15): DataFrame = {
-    val e = edges.select("src", "dst")
+    // materialized once (see pageRank)
+    val e = cp(edges.select("src", "dst"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
     val eDeg = cp(e.join(outDeg, "src"))
     val nodes = cp(e.select(col("src").as("node"))
@@ -496,8 +509,9 @@ object Analytics {
 
   /** In/out degree per vertex (the GAS vertex-distribution reducer). */
   def degrees(edges: DataFrame): DataFrame = {
-    val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
-    val in = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    val e = cp(edges.select("src", "dst")) // materialized once (see pageRank)
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
     out.join(in, Seq("node"), "full_outer")
       .select(col("node"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),

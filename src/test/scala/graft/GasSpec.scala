@@ -159,6 +159,30 @@ class GasSpec extends AnyFunSuite {
     assert(empty2.isEmpty && r2 >= 10, s"rounds=$r2")
   }
 
+  test("graph ops evaluate an expensive edge plan exactly ONCE") {
+    // gas_kcore feeds kCore the ngramJaccard plan; before r10 the
+    // two-direction union re-evaluated that upstream per branch
+    // (measured as a full redundant jaccard pass at 100x). An
+    // accumulator in the edge plan proves single evaluation.
+    import TestSpark.spark
+    import spark.implicits._
+    val base = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    def countedEdges(acc: org.apache.spark.util.LongAccumulator) =
+      base.toDF("src", "dst").as[(String, String)]
+        .map { e => acc.add(1L); e }.toDF("src", "dst")
+    def evals(run: org.apache.spark.sql.DataFrame => Unit): Long = {
+      val acc = spark.sparkContext.longAccumulator
+      run(countedEdges(acc))
+      acc.value / base.size
+    }
+    assert(evals(e => Analytics.kCore(e, 2).collect()) == 1L, "kCore")
+    assert(evals(e => Analytics.connectedComponents(e).collect()) == 1L, "cc")
+    assert(evals(e => Analytics.pageRank(e, iters = 2).collect()) == 1L, "pr")
+    assert(evals(e =>
+      Analytics.personalizedPageRank(e, Seq("a"), iters = 2).collect()) == 1L, "ppr")
+    assert(evals(e => Analytics.degrees(e).collect()) == 1L, "degrees")
+  }
+
   test("personalized pagerank: mass confined to the source's component, decays with depth") {
     import TestSpark.spark
     import spark.implicits._

@@ -87,6 +87,42 @@ object Curation {
       .drop("_rate")
   }
 
+  /** TEMPERATURE-weighted mixture sampling (the mT5/multilingual-LM
+    * protocol, Xue et al. 2021 §3.1): stratum weights derive from the
+    * corpus' OWN counts as n^alpha — alpha=1 keeps natural
+    * proportions, alpha→0 flattens toward uniform, the standard knob
+    * for upsampling low-resource languages/domains without hand-tuned
+    * weights. Rates and bucketing then follow [[mixtureSample]]'s
+    * integer per-mille discipline (floor(1000·budget·w/(Z·n)), md5
+    * bucket), so the sample is deterministic and SQL-replayable.
+    *
+    * Float policy (the logprob precedent): n^alpha is 6-dp rounded
+    * BEFORE the normalizing sum and Z is 6-dp rounded after it, so
+    * both engines feed identical addends into the one floor() — the
+    * only float boundary in the op.
+    *
+    * Scale shape: one count aggregate over the corpus (stratum-sized
+    * result), a broadcast rate join, a map-side filter — doc rows
+    * never shuffle. */
+  def temperatureMix(docs: DataFrame, stratumCol: String,
+                     alpha: Double, budget: Long): DataFrame = {
+    val counts = docs.groupBy(stratumCol).agg(count(lit(1)).as("_n"))
+    val w = counts.withColumn("_w",
+      round(pow(col("_n").cast("double"), lit(alpha)), 6))
+    val z = w.agg(round(sum("_w"), 6).as("_z")) // stratum-sized, 1 row
+    val rates = w.crossJoin(z)
+      .withColumn("_rate", least(lit(1000L),
+        floor(lit(1000.0) * lit(budget.toDouble) * col("_w")
+          / (col("_z") * col("_n"))).cast("long")))
+      .select(col(stratumCol), col("_rate"))
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(1000L))
+    docs.join(broadcast(rates), Seq(stratumCol))
+      .filter(bucket < col("_rate"))
+      .drop("_rate")
+  }
+
   /** Benchmark decontamination: word n-gram overlap against a
     * benchmark document set. Returns (doc_id, n_shared) for corpus
     * docs sharing ≥1 distinct n-gram with any benchmark doc. The

@@ -387,6 +387,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tokens"))
   }
 
+  /** Tokenizer FERTILITY per language — the tokenizer-quality gate of
+    * a multilingual pipeline (how many BPE tokens a word costs, how
+    * many characters a token carries): languages the vocabulary
+    * under-serves show high tokens_per_word, the signal behind
+    * "train the tokenizer on a balanced corpus". Reuses the k-round
+    * trainer's vocabulary ([[bpeEncode]]'s state — no extra corpus
+    * pass beyond the one word explode); per-language sums are
+    * all-integer, so the single rounded division per metric is
+    * engine-exact with no float policy needed. */
+  def bpeFertility(docs: DataFrame, k: Int = 8): DataFrame = {
+    val (_, vocab) = bpeLoop(docs, k)
+    val wordLen = vocab.toDF("w", "syms", "f")
+      .select(col("w"), size(col("syms")).cast("long").as("n_sym"),
+        length(col("w")).cast("long").as("n_wchars"))
+    docs.select(col("lang"), explode(words(col("text"))).as("w"))
+      .join(wordLen, "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tokens"),
+        sum("n_wchars").as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 4)
+          .as("tokens_per_word"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4)
+          .as("chars_per_token"))
+  }
+
   /** Shared trainer loop: k rounds of pair-count → top merge → greedy
     * fold application over the frequency-weighted word table; returns
     * (merge list, final vocabulary (word, symbols, freq)). */

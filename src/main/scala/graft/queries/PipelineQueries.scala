@@ -274,6 +274,18 @@ object PipelineQueries {
     "tokenize_apply" -> ((s, dir) =>
       TextAnalysis.bpeEncode(docs(s, dir), 8).orderBy("doc_id")),
 
+    // per-language tokenizer fertility from the k-round BPE vocabulary:
+    // tokens/word + chars/token — the "does the vocabulary serve this
+    // language" gate; all-integer sums, one rounded division each
+    "tokenize_fertility" -> ((s, dir) =>
+      TextAnalysis.bpeFertility(docs(s, dir), 8).orderBy("lang")),
+
+    // temperature-weighted language mixing (n^0.3): upsample
+    // low-resource languages without hand-tuned weights
+    "pipeline_mix_temp" -> ((s, dir) =>
+      graft.pipeline.Curation.temperatureMix(docs(s, dir), "lang", 0.3, 200L)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // exact MIPS top-k: raw inner product, no norm division — the
     // retrieval scoring of dot-trained embedding models
     "ann_mips" -> ((s, dir) => {
@@ -420,9 +432,34 @@ object PipelineQueries {
        |FROM dw JOIN wt ON dw.wd = wt.wid GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  private def bpeFertilityOracleSql(k: Int): String = {
+    val train = bpeTrainOracleSql(k)
+    val chain = train.substring(0, train.lastIndexOf("\nSELECT round"))
+    s"""$chain,
+       |wt AS (SELECT wid, CAST(COUNT(*) AS BIGINT) AS n_sym FROM v${k + 1} GROUP BY wid),
+       |dw AS (SELECT d.lang, unnest(w0.ws) AS wd FROM w0 JOIN documents d ON w0.doc_id = d.doc_id)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(SUM(n_sym) AS DOUBLE) / COUNT(*), 4) AS tokens_per_word,
+       |  ROUND(CAST(SUM(LENGTH(wd)) AS DOUBLE) / SUM(n_sym), 4) AS chars_per_token
+       |FROM dw JOIN wt ON dw.wd = wt.wid GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "tokenize_bpe_k" -> bpeTrainOracleSql(8),
     "tokenize_apply" -> bpeEncodeOracleSql(8),
+    "tokenize_fertility" -> bpeFertilityOracleSql(8),
+
+    "pipeline_mix_temp" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, ROUND(POW(CAST(n AS DOUBLE), 0.3), 6) AS wt FROM c),
+        |z AS (SELECT ROUND(SUM(wt), 6) AS z FROM w),
+        |rates AS (SELECT lang,
+        |  LEAST(1000, CAST(FLOOR(1000.0 * 200 * wt / (z * n)) AS BIGINT)) AS rate
+        |  FROM w, z)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000 < rate
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY keeper",
 

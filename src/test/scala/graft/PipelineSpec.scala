@@ -320,6 +320,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureMix: alpha flattens toward uniform, alpha=1 is proportional") {
+    val kept = graft.pipeline.Curation.temperatureMix(docs, "lang", 0.3, 200L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natural = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // temperature upsamples low-resource languages RELATIVELY: the
+    // smallest language keeps a larger fraction of itself than the
+    // biggest (rates are per-mille floors, so compare keep-rates)
+    val big = natural.maxBy(_._2)._1
+    val small = natural.minBy(_._2)._1
+    val rate = (l: String) => kept.getOrElse(l, 0L).toDouble / natural(l)
+    assert(rate(small) > rate(big),
+      s"small=$small ${rate(small)} vs big=$big ${rate(big)}")
+    // alpha=1 reduces to proportional sampling: every language's keep
+    // rate targets budget/N, so keep-rates are ~equal (within the
+    // per-mille floor's granularity)
+    val prop = graft.pipeline.Curation.temperatureMix(docs, "lang", 1.0, 200L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pr = natural.keys.map(l => prop.getOrElse(l, 0L).toDouble / natural(l))
+    assert(pr.max - pr.min < 0.15, s"alpha=1 keep-rates spread: $pr")
+    // deterministic: same inputs, same sample
+    val again = graft.pipeline.Curation.temperatureMix(docs, "lang", 0.3, 200L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = graft.pipeline.Curation.temperatureMix(docs, "lang", 0.3, 200L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
+  test("bpeFertility: integer-sum metrics, merges shorten token counts") {
+    val f8 = graft.pipeline.TextAnalysis.bpeFertility(docs, 8).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(f8.nonEmpty)
+    f8.foreach { case (lang, (nw, nt, tpw, cpt)) =>
+      assert(nw > 0 && nt >= nw, s"$lang: tokens >= words")
+      assert(tpw >= 1.0 && cpt >= 1.0, s"$lang: $tpw $cpt")
+      assert(math.abs(tpw - nt.toDouble / nw) < 1e-3)
+    }
+    // more merges never lengthen: fertility at k=8 <= k=1 per language
+    val f1 = graft.pipeline.TextAnalysis.bpeFertility(docs, 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    f8.foreach { case (lang, (_, _, tpw8, _)) =>
+      assert(tpw8 <= f1(lang) + 1e-9, s"$lang: $tpw8 vs ${f1(lang)}")
+    }
+  }
+
   test("ccnetBuckets: exact NTILE parity without a per-language doc sort") {
     import org.apache.spark.sql.expressions.Window
     val b = TextAnalysis.ccnetBuckets(docs)

@@ -14,6 +14,21 @@ object Update {
     case Const(v) => lit(v).as(n)
   }
 
+  /** Triple source for a bare (no WITH/USING) update WHERE against a
+    * quad store: default-graph patterns see the union default graph
+    * (the façade's quads-mode query convention) and GRAPH patterns
+    * range over the store's named graphs — so cross-graph rewrites
+    * like `INSERT { GRAPH ?g { … } } WHERE { GRAPH ?g { … } }` bind
+    * their graph variable from the data (§3.1.3 over the Graph
+    * Store). */
+  private def bareQuadsSource(store: graft.rdf.QuadStore): TripleSource =
+    new TripleSource {
+      lazy val triples: DataFrame = store.quads.select("s", "p", "o").distinct()
+      override def quads: Option[DataFrame] = Some(store.quads)
+      def fuseStar(patterns: Seq[TriplePattern],
+                   subjectTables: Option[Set[String]]): Option[DataFrame] = None
+    }
+
   /** Instantiate a QUAD template against a solution DataFrame: each
     * triple lands in its own graph — None = `defaultGraph`, a Const =
     * that graph, a Var = the per-row binding (GRAPH ?g templates). */
@@ -80,18 +95,17 @@ object Update {
         // WHERE sees the union default graph (the façade's quads-mode
         // query convention), templates act on `defaultGraph` (§3.1.3:
         // template triples without GRAPH address the default graph)
-        val merged = store.quads.select("s", "p", "o").distinct()
-        val sol = Compiler.compile(where, TripleSource.plain(merged))
+        val sol = Compiler.compile(where, bareQuadsSource(store))
         val st1 =
           if (del.isEmpty) store
           else store.deleteData(defaultGraph, instantiate(del, sol))
         if (ins.isEmpty) st1
         else st1.insertData(defaultGraph, instantiate(ins, sol))
       case QuadsTemplateWhere(del, ins, where) =>
-        // quad templates: WHERE evaluates like the bare form above;
+        // quad templates: WHERE evaluates like the bare form above,
+        // with GRAPH patterns ranging over the store's named graphs;
         // each template triple lands in its own graph
-        val merged = store.quads.select("s", "p", "o").distinct()
-        val sol = Compiler.compile(where, TripleSource.plain(merged))
+        val sol = Compiler.compile(where, bareQuadsSource(store))
         val st1 =
           if (del.isEmpty) store
           else store.deleteQuads(instantiateQuads(del, sol, defaultGraph))
@@ -202,12 +216,10 @@ object Update {
         val sol = Compiler.compile(where, TripleSource.plain(store.graph(g)))
         (tagged(g, ins, sol), tagged(g, del, sol))
       case DeleteInsertWhere(del, ins, where) =>
-        val merged = store.quads.select("s", "p", "o").distinct()
-        val sol = Compiler.compile(where, TripleSource.plain(merged))
+        val sol = Compiler.compile(where, bareQuadsSource(store))
         (tagged(defaultGraph, ins, sol), tagged(defaultGraph, del, sol))
       case QuadsTemplateWhere(del, ins, where) =>
-        val merged = store.quads.select("s", "p", "o").distinct()
-        val sol = Compiler.compile(where, TripleSource.plain(merged))
+        val sol = Compiler.compile(where, bareQuadsSource(store))
         def inst(t: Seq[(Option[Term], TriplePattern)]): DataFrame =
           if (t.isEmpty) nothing else instantiateQuads(t, sol, defaultGraph)
         (inst(ins), inst(del))

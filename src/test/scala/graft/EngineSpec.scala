@@ -321,6 +321,22 @@ class EngineSpec extends AnyFunSuite {
         |WHERE { ?s p ?o . VALUES ?dest { g:routed } }""".stripMargin)
     val after3 = Update.applyQuads(qs, varg)
     assert(after3.graph("g:routed").count() == 2, "var-graph template routes")
+    // the full cross-graph rewrite idiom: GRAPH ?g in the WHERE binds
+    // from the DATA (bare update WHEREs see the store's named graphs),
+    // and the template re-routes per solution — per-graph annotation
+    // in one parsed op
+    val multi = QuadStore(Seq(
+      ("s1", "p", "o1", "g:a"), ("s2", "p", "o2", "g:b")).toDF("s", "p", "o", "g"))
+    val rewrite = Parser.parseUpdate(
+      """INSERT { GRAPH ?g { ?s tagged "x" } }
+        |WHERE { GRAPH ?g { ?s p ?o } }""".stripMargin)
+    val after4 = Update.applyQuads(multi, rewrite)
+    assert(after4.graph("g:a").filter(col("p") === "tagged").count() == 1)
+    assert(after4.graph("g:b").filter(col("p") === "tagged").count() == 1)
+    assert(after4.graph("g:default").count() == 0, "nothing leaks to default")
+    // and the delta path agrees
+    val (a4, d4) = Update.quadsDelta(multi, rewrite)
+    assert(a4.count() == 2 && d4.count() == 0)
   }
 
   test("streaming sessionization survives micro-batch boundaries") {

@@ -216,6 +216,89 @@ object PorterStemmer {
   }
 }
 
+/** Light stemmers for German / French / Spanish — Savoy-style
+  * suffix-and-diacritic normalization (Savoy 2006, "Light stemming
+  * approaches…"; the recall tier the reference gets from its
+  * per-language Lucene analyzers, DefaultAnalyzerFactory.java:69).
+  * Deliberately SHALLOW: plural/case/gender markers and diacritic
+  * folding only, no morphological analysis — light stemming is the
+  * documented sweet spot for European-language retrieval (full
+  * Snowball gains little and overstems). Each stemmer folds its
+  * language's diacritics first so inflected and folded surface forms
+  * meet at the same term (Häuser/hauser → haus).
+  *
+  * All operate on lowercased tokens; tokens containing digits pass
+  * through untouched (product codes, versions). Applied identically
+  * at index and query time through the one [[Tokenize]] body. */
+object LightStemmer {
+
+  private def fold(w: String, pairs: (Char, String)*): String = {
+    val m = pairs.toMap
+    val sb = new java.lang.StringBuilder(w.length)
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      m.get(c) match {
+        case Some(r) => sb.append(r)
+        case None    => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def hasDigit(w: String): Boolean = w.exists(c => c >= '0' && c <= '9')
+
+  /** umlaut folding + plural/case suffixes (-ern/-em/-en/-er/-es,
+    * then a single -e/-n/-s), stem floor 4 chars. */
+  def de(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, 'ä' -> "a", 'ö' -> "o", 'ü' -> "u", 'ß' -> "ss")
+    val long = Seq("ern", "em", "en", "er", "es")
+    long.find(s => w.length - s.length >= 4 && w.endsWith(s)) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None =>
+        if (w.length >= 5 && (w.endsWith("e") || w.endsWith("n") || w.endsWith("s")))
+          w = w.dropRight(1)
+    }
+    w
+  }
+
+  /** -aux→al, plural -es/-s/-x, mute final -e, final double-consonant
+    * reduction (chattes → chatte → chatt → chat), stem floor 4. */
+  def fr(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, 'à' -> "a", 'â' -> "a", 'ç' -> "c", 'é' -> "e",
+      'è' -> "e", 'ê' -> "e", 'ë' -> "e", 'î' -> "i", 'ï' -> "i",
+      'ô' -> "o", 'û' -> "u", 'ù' -> "u", 'ü' -> "u")
+    if (w.length >= 6 && w.endsWith("aux")) w = w.dropRight(3) + "al"
+    else {
+      if (w.length >= 5 && (w.endsWith("s") || w.endsWith("x"))) w = w.dropRight(1)
+      if (w.length >= 5 && w.endsWith("e")) w = w.dropRight(1)
+      if (w.length >= 5 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
+          !"aeiou".contains(w.charAt(w.length - 1)))
+        w = w.dropRight(1)
+    }
+    w
+  }
+
+  /** accent folding, -ces→z (luces→luz), plural -es/-s, gender/theme
+    * vowel -o/-a/-e, stem floor 4. */
+  def es(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, 'á' -> "a", 'é' -> "e", 'í' -> "i", 'ó' -> "o",
+      'ú' -> "u", 'ü' -> "u", 'ñ' -> "n")
+    if (w.length >= 5 && w.endsWith("ces")) w = w.dropRight(3) + "z"
+    else {
+      if (w.length >= 6 && w.endsWith("es")) w = w.dropRight(2)
+      else if (w.length >= 5 && w.endsWith("s")) w = w.dropRight(1)
+      if (w.length >= 5 && "oae".contains(w.charAt(w.length - 1)))
+        w = w.dropRight(1)
+    }
+    w
+  }
+}
+
 /** The single tokenizer implementation shared by the [[AnalyzeText]]
   * codegen expression (index path, runs on data) and
   * `Analyzer.tokenizeLocal` (query path, runs on the driver) — one
@@ -316,7 +399,20 @@ object Tokenize {
     flushWord(); flushCjk()
   }
 
-  def tokenizeJava(mode: Int, stem: Boolean, stops: Set[String],
+  /** Stemmer ids for [[tokenizeJava]]'s `stemmer` parameter. */
+  final val NoStem = ""
+  final val Porter = "porter"
+
+  private def stemFn(stemmer: String): String => String = stemmer match {
+    case NoStem => identity
+    case Porter => PorterStemmer.stem
+    case "de"   => LightStemmer.de
+    case "fr"   => LightStemmer.fr
+    case "es"   => LightStemmer.es
+    case other  => sys.error(s"unknown stemmer '$other'")
+  }
+
+  def tokenizeJava(mode: Int, stemmer: String, stops: Set[String],
                    text: String): Array[String] = {
     val out = new ArrayBuffer[String](32)
     mode match {
@@ -326,7 +422,7 @@ object Tokenize {
       case other => sys.error(s"unknown tokenizer mode $other")
     }
     val kept = if (stops.isEmpty) out else out.filterNot(stops)
-    val res = if (stem) kept.map(PorterStemmer.stem) else kept
+    val res = if (stemmer == NoStem) kept else kept.map(stemFn(stemmer))
     res.toArray
   }
 }
@@ -338,7 +434,7 @@ object Tokenize {
   * (§6.5: anything per-token belongs in a native codegen expression).
   * The per-token work runs as plain JVM code inside the generated
   * consume(), so the scan stage keeps its WholeStageCodegen span. */
-case class AnalyzeText(child: Expression, mode: Int, stem: Boolean,
+case class AnalyzeText(child: Expression, mode: Int, stemmer: String,
                        stopwords: Set[String]) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -350,7 +446,7 @@ case class AnalyzeText(child: Expression, mode: Int, stem: Boolean,
 
   /** Executor-side tokenize (also the codegen target via reference obj). */
   def run(s: UTF8String): ArrayData = {
-    val toks = Tokenize.tokenizeJava(mode, stem, stopwords, s.toString)
+    val toks = Tokenize.tokenizeJava(mode, stemmer, stopwords, s.toString)
     val arr = new Array[Any](toks.length)
     var i = 0
     while (i < toks.length) { arr(i) = UTF8String.fromString(toks(i)); i += 1 }
@@ -369,7 +465,7 @@ case class AnalyzeText(child: Expression, mode: Int, stem: Boolean,
 }
 
 object AnalyzeText {
-  def analyze_text(c: Column, mode: Int, stem: Boolean,
+  def analyze_text(c: Column, mode: Int, stemmer: String,
                    stopwords: Set[String]): Column =
-    Shim.column(AnalyzeText(Shim.expression(c), mode, stem, stopwords))
+    Shim.column(AnalyzeText(Shim.expression(c), mode, stemmer, stopwords))
 }

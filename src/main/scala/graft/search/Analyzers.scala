@@ -51,17 +51,17 @@ trait Analyzer extends Serializable {
 
 object Analyzer {
 
-  private def native(c: Column, mode: Int, stem: Boolean,
+  private def native(c: Column, mode: Int, stemmer: String,
                      stops: Set[String]): Column =
-    AnalyzeText.analyze_text(c, mode, stem, stops)
+    AnalyzeText.analyze_text(c, mode, stemmer, stops)
 
   /** Lowercased [a-z0-9]+ runs — the default analyzer (and exactly the
     * tokenization every existing oracle replays). */
   case class Latin(stopwords: Set[String] = Set.empty) extends Analyzer {
     def tokenize(c: Column): Column =
-      native(c, Tokenize.LATIN, stem = false, stopwords)
+      native(c, Tokenize.LATIN, Tokenize.NoStem, stopwords)
     def tokenizeLocal(s: String): Seq[String] =
-      Tokenize.tokenizeJava(Tokenize.LATIN, stem = false, stopwords, s).toSeq
+      Tokenize.tokenizeJava(Tokenize.LATIN, Tokenize.NoStem, stopwords, s).toSeq
   }
 
   /** CJK bigram analyzer: each maximal CJK-script run of length n
@@ -72,9 +72,9 @@ object Analyzer {
     * all occur in any document containing the phrase. */
   case class Cjk(stopwords: Set[String] = Set.empty) extends Analyzer {
     def tokenize(c: Column): Column =
-      native(c, Tokenize.CJK, stem = false, stopwords)
+      native(c, Tokenize.CJK, Tokenize.NoStem, stopwords)
     def tokenizeLocal(s: String): Seq[String] =
-      Tokenize.tokenizeJava(Tokenize.CJK, stem = false, stopwords, s).toSeq
+      Tokenize.tokenizeJava(Tokenize.CJK, Tokenize.NoStem, stopwords, s).toSeq
   }
 
   /** Unicode-letter-run analyzer: lowercased runs of letters/digits in
@@ -85,9 +85,9 @@ object Analyzer {
     * (ConfigurableAnalyzerFactory.java:110). */
   case class Unicode(stopwords: Set[String] = Set.empty) extends Analyzer {
     def tokenize(c: Column): Column =
-      native(c, Tokenize.UNICODE, stem = false, stopwords)
+      native(c, Tokenize.UNICODE, Tokenize.NoStem, stopwords)
     def tokenizeLocal(s: String): Seq[String] =
-      Tokenize.tokenizeJava(Tokenize.UNICODE, stem = false, stopwords, s).toSeq
+      Tokenize.tokenizeJava(Tokenize.UNICODE, Tokenize.NoStem, stopwords, s).toSeq
   }
 
   /** Lucene EnglishAnalyzer's default stop set (public, 33 words). */
@@ -102,9 +102,25 @@ object Analyzer {
     * lowercase → stop → stem, in that order). */
   case class En(stopwords: Set[String] = EnglishStops) extends Analyzer {
     def tokenize(c: Column): Column =
-      native(c, Tokenize.UNICODE, stem = true, stopwords)
+      native(c, Tokenize.UNICODE, Tokenize.Porter, stopwords)
     def tokenizeLocal(s: String): Seq[String] =
-      Tokenize.tokenizeJava(Tokenize.UNICODE, stem = true, stopwords, s).toSeq
+      Tokenize.tokenizeJava(Tokenize.UNICODE, Tokenize.Porter, stopwords, s).toSeq
+  }
+
+  /** Stemmed European-language analyzer: Unicode tokenize + a
+    * language-keyed light stemmer ([[graft.functions.LightStemmer]] —
+    * Savoy-style plural/case/gender stripping + diacritic folding,
+    * the recall tier the reference's GermanAnalyzer/FrenchAnalyzer/
+    * SpanishAnalyzer provide). Opt-in via [[byName]]("de-stem" etc.)
+    * or an explicit instance; the plain language tags keep the
+    * surface-form [[Unicode]] analyzer so existing indexes don't
+    * change meaning. */
+  case class Stemmed(stemmerLang: String,
+                     stopwords: Set[String] = Set.empty) extends Analyzer {
+    def tokenize(c: Column): Column =
+      native(c, Tokenize.UNICODE, stemmerLang, stopwords)
+    def tokenizeLocal(s: String): Seq[String] =
+      Tokenize.tokenizeJava(Tokenize.UNICODE, stemmerLang, stopwords, s).toSeq
   }
 
   /** Language-tag registry, the ConfigurableAnalyzerFactory analog:
@@ -139,6 +155,9 @@ object Analyzer {
       case "unicode"                       => Unicode(stopwords)
       case "english" | "en-stem" | "porter" =>
         if (stopwords.isEmpty) En() else En(stopwords)
+      case "german" | "de-stem"  => Stemmed("de", stopwords)
+      case "french" | "fr-stem"  => Stemmed("fr", stopwords)
+      case "spanish" | "es-stem" => Stemmed("es", stopwords)
       case lang                            => forLanguage(lang, stopwords)
     }
 }

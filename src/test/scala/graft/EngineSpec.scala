@@ -686,6 +686,46 @@ class EngineSpec extends AnyFunSuite {
     assert(Analyzer.byName("english").isInstanceOf[Analyzer.En])
   }
 
+  test("light stemmers: de/fr/es inflected forms meet folded stems e2e") {
+    import graft.functions.LightStemmer
+    // German: umlaut folding + plural/case suffixes
+    assert(LightStemmer.de("häuser") == "haus" && LightStemmer.de("haus") == "haus")
+    assert(LightStemmer.de("katzen") == "katz" && LightStemmer.de("katze") == "katz")
+    assert(LightStemmer.de("kinder") == "kind" && LightStemmer.de("kind") == "kind")
+    assert(LightStemmer.de("straße") == "strass" && LightStemmer.de("strassen") == "strass")
+    // French: aux→al, plural s/x, mute e, double-consonant reduction
+    assert(LightStemmer.fr("chevaux") == "cheval" && LightStemmer.fr("cheval") == "cheval")
+    assert(LightStemmer.fr("chattes") == "chat" && LightStemmer.fr("chats") == "chat"
+      && LightStemmer.fr("chat") == "chat")
+    assert(LightStemmer.fr("été") == "ete")
+    // Spanish: accent folding, ces→z, plural es/s, theme vowel
+    assert(LightStemmer.es("luces") == "luz" && LightStemmer.es("luz") == "luz")
+    assert(LightStemmer.es("canciones") == "cancion" && LightStemmer.es("canción") == "cancion")
+    assert(LightStemmer.es("libros") == "libr" && LightStemmer.es("libro") == "libr")
+    // digits pass through untouched in every language
+    assert(LightStemmer.de("x86er") == "x86er" && LightStemmer.fr("v2s") == "v2s")
+
+    val spark2 = spark; import spark2.implicits._
+    import graft.search.{Analyzer, FullText}
+    val docs = Seq(
+      (1L, "das Haus am See"),
+      (2L, "die Häuser der Stadt"),
+      (3L, "unrelated english text")).toDF("doc_id", "text")
+    // surface-form Unicode: "Häuser" misses doc 1
+    val az0 = Analyzer.Unicode()
+    assert(FullText.search(docs, az0.tokenizeLocal("Häuser"), 20, analyzer = az0)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    // German light stemmer: both inflections of Haus match both docs
+    val az = Analyzer.byName("de-stem")
+    assert(az.isInstanceOf[Analyzer.Stemmed])
+    val hits = FullText.search(docs, az.tokenizeLocal("Häuser"), 20, analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L), s"got $hits")
+    // plain language tags stay surface-form (index meaning unchanged)
+    assert(Analyzer.forLanguage("de").isInstanceOf[Analyzer.Unicode])
+    assert(Analyzer.byName("french").isInstanceOf[Analyzer.Stemmed])
+  }
+
   test("analyzers: column path and tokenizeLocal agree (single shared body)") {
     val spark2 = spark; import spark2.implicits._
     import graft.search.Analyzer

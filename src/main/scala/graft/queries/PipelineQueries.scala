@@ -604,8 +604,12 @@ object PipelineQueries {
          |ORDER BY q_id, rank""".stripMargin,
 
     "ann_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 64 = 0),
+      s"""WITH cand AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 64 = 0),
+         |th AS (SELECT CAST((COUNT(*) + 4095) // 4096 AS BIGINT) AS t FROM cand),
+         |cents AS (
+         |  SELECT vec_id AS c_id, embedding AS ce FROM cand, th
+         |  WHERE (vec_id * 2654435761 % 1000003) % t = 0),
          |fan AS (
          |  SELECT e.vec_id AS n_id, e.embedding AS ne, c.c_id,
          |    ${cosExpr("e.embedding", "c.ce")} AS csim
@@ -812,7 +816,10 @@ object PipelineQueries {
     // replays kmeansAssign: seed argmax (ties → larger c_id), per-dim
     // double means, reassignment against the updated book
     "pipeline_kmeans" ->
-      s"""WITH seeds AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 64 = 0),
+      s"""WITH cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 64 = 0),
+         |th AS (SELECT CAST((COUNT(*) + 4095) // 4096 AS BIGINT) AS t FROM cand),
+         |seeds AS (SELECT vec_id AS c_id, embedding AS ce FROM cand, th
+         |          WHERE (vec_id * 2654435761 % 1000003) % t = 0),
          |fan AS (SELECT e.vec_id, e.embedding, c.c_id,
          |          ${cosExpr("e.embedding", "c.ce")} AS csim
          |        FROM embeddings e CROSS JOIN seeds c),
@@ -868,7 +875,10 @@ object PipelineQueries {
     // kmeans convention), intra-cell pairs on RAW cosine ≥ τ, keep the
     // smallest qualifying cluster-mate per pruned vector
     "dedup_semantic" ->
-      s"""WITH seeds AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 64 = 0),
+      s"""WITH cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 64 = 0),
+         |th AS (SELECT CAST((COUNT(*) + 4095) // 4096 AS BIGINT) AS t FROM cand),
+         |seeds AS (SELECT vec_id AS c_id, embedding AS ce FROM cand, th
+         |          WHERE (vec_id * 2654435761 % 1000003) % t = 0),
          |fan AS (SELECT e.vec_id, e.embedding, c.c_id,
          |          ${cosExpr("e.embedding", "c.ce")} AS csim
          |        FROM embeddings e CROSS JOIN seeds c),

@@ -90,6 +90,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(guardedOff == default)
   }
 
+  test("seed book is hash-thinned to maxBookK and collectBook refuses oversize loudly") {
+    import spark.implicits._
+    // 1) thinning bounds K at corpus-proportional candidate counts:
+    //    centroidMod=1 makes ALL 500 vectors candidates; maxBookK=8 →
+    //    thin=63 → the Knuth-hash survivors are the 7 ids whose
+    //    (id·2654435761 mod 1000003) is ≡ 0 mod 63 — a FIXED-size book
+    //    where the old default would have collected 500 rows
+    val expectedSeeds = (0L until 500L)
+      .filter(id => id * 2654435761L % 1000003L % 63L == 0L).toSet
+    assert(expectedSeeds.size == 7)
+    val out = Ann.kmeansAssign(embs, centroidMod = 1, maxBookK = 8).collect()
+    assert(out.length == 500)   // one row per vector, nothing dropped
+    // every assigned cluster id must come from the thinned seed set
+    // (clusters are seed vec_ids in the one-iteration Lloyd book)
+    assert(out.map(_.getLong(1)).toSet.subsetOf(expectedSeeds))
+    // 2) refuse-loud guard: ids crafted so thinning CANNOT reach the
+    //    cap (all 4 candidates share hash residue 0 mod thin=4), so the
+    //    book would be 4 > 2·maxBookK=2 — collectBook must refuse and
+    //    name the escape hatch
+    val dims = Seq.fill(4)(1.0f)
+    val adversarial = Seq(0L, 320L, 384L, 768L)
+      .map(id => (id, dims.zipWithIndex.map { case (_, d) => (id % 7 + d + 1).toFloat }))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.semanticDedup(adversarial, 0.1, centroidMod = 64, maxBookK = 1)
+    }
+    assert(e.getMessage.contains("maxBookK"))
+    // 3) the explicit escape hatch: raising maxBookK runs the same call
+    val ok = Ann.semanticDedup(adversarial, 0.1, centroidMod = 64, maxBookK = 4)
+    assert(ok.collect() != null)   // completes without the guard firing
+  }
+
   test("multi-table ANN recall >= single-table at equal bits") {
     val q = embs.filter(col("vec_id") < 5)
     def hits(df: org.apache.spark.sql.DataFrame) =

@@ -190,7 +190,7 @@ object PorterStemmer {
         case 'n' => ends("ant") || ends("ement") || ends("ment") || ends("ent")
         case 'o' => (ends("ion") && j >= 0 && (b(j) == 's' || b(j) == 't')) || ends("ou")
         case 's' => ends("ism")
-        case 't' => ends("ati") || ends("iti")
+        case 't' => ends("ate") || ends("iti")
         case 'u' => ends("ous")
         case 'v' => ends("ive")
         case 'z' => ends("ize")
@@ -232,8 +232,17 @@ object PorterStemmer {
   * at index and query time through the one [[Tokenize]] body. */
 object LightStemmer {
 
-  private def fold(w: String, pairs: (Char, String)*): String = {
-    val m = pairs.toMap
+  // per-language fold tables hoisted to vals: fold runs per token per
+  // row inside the AnalyzeText codegen hot path, so it must not
+  // allocate a Map per call
+  private val deFold = Map('ä' -> "a", 'ö' -> "o", 'ü' -> "u", 'ß' -> "ss")
+  private val frFold = Map('à' -> "a", 'â' -> "a", 'ç' -> "c", 'é' -> "e",
+    'è' -> "e", 'ê' -> "e", 'ë' -> "e", 'î' -> "i", 'ï' -> "i",
+    'ô' -> "o", 'û' -> "u", 'ù' -> "u", 'ü' -> "u")
+  private val esFold = Map('á' -> "a", 'é' -> "e", 'í' -> "i", 'ó' -> "o",
+    'ú' -> "u", 'ü' -> "u", 'ñ' -> "n")
+
+  private def fold(w: String, m: Map[Char, String]): String = {
     val sb = new java.lang.StringBuilder(w.length)
     var i = 0
     while (i < w.length) {
@@ -253,7 +262,7 @@ object LightStemmer {
     * then a single -e/-n/-s), stem floor 4 chars. */
   def de(word: String): String = {
     if (hasDigit(word)) return word
-    var w = fold(word, 'ä' -> "a", 'ö' -> "o", 'ü' -> "u", 'ß' -> "ss")
+    var w = fold(word, deFold)
     val long = Seq("ern", "em", "en", "er", "es")
     long.find(s => w.length - s.length >= 4 && w.endsWith(s)) match {
       case Some(s) => w = w.dropRight(s.length)
@@ -268,9 +277,7 @@ object LightStemmer {
     * reduction (chattes → chatte → chatt → chat), stem floor 4. */
   def fr(word: String): String = {
     if (hasDigit(word)) return word
-    var w = fold(word, 'à' -> "a", 'â' -> "a", 'ç' -> "c", 'é' -> "e",
-      'è' -> "e", 'ê' -> "e", 'ë' -> "e", 'î' -> "i", 'ï' -> "i",
-      'ô' -> "o", 'û' -> "u", 'ù' -> "u", 'ü' -> "u")
+    var w = fold(word, frFold)
     if (w.length >= 6 && w.endsWith("aux")) w = w.dropRight(3) + "al"
     else {
       if (w.length >= 5 && (w.endsWith("s") || w.endsWith("x"))) w = w.dropRight(1)
@@ -286,8 +293,7 @@ object LightStemmer {
     * vowel -o/-a/-e, stem floor 4. */
   def es(word: String): String = {
     if (hasDigit(word)) return word
-    var w = fold(word, 'á' -> "a", 'é' -> "e", 'í' -> "i", 'ó' -> "o",
-      'ú' -> "u", 'ü' -> "u", 'ñ' -> "n")
+    var w = fold(word, esFold)
     if (w.length >= 5 && w.endsWith("ces")) w = w.dropRight(3) + "z"
     else {
       if (w.length >= 6 && w.endsWith("es")) w = w.dropRight(2)

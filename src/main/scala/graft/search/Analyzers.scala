@@ -153,8 +153,13 @@ object Analyzer {
       case "cjk"                           => Cjk(stopwords)
       case "latin"                         => Latin(stopwords)
       case "unicode"                       => Unicode(stopwords)
+      // "english" always implies the Lucene stop set (matching
+      // Lucene's EnglishAnalyzer no-arg constructor) — an empty set
+      // here means "not provided". Stemmed English WITHOUT stopwords
+      // is its own name, since Set.empty can't express it.
       case "english" | "en-stem" | "porter" =>
         if (stopwords.isEmpty) En() else En(stopwords)
+      case "porter-nostop" | "english-nostop" => En(Set.empty)
       case "german" | "de-stem"  => Stemmed("de", stopwords)
       case "french" | "fr-stem"  => Stemmed("fr", stopwords)
       case "spanish" | "es-stem" => Stemmed("es", stopwords)

@@ -659,6 +659,9 @@ class EngineSpec extends AnyFunSuite {
     assert(stem("conflated") == "conflat") // step1b → conflate, step5a strips the e
     assert(stem("hopping") == "hop")
     assert(stem("relational") == "relat")
+    // step5 case 't' must test -ate (not -ati): activate/active unify
+    assert(stem("activate") == "activ" && stem("active") == "activ")
+    assert(stem("demonstrate") == "demonstr")
     assert(stem("connection") == "connect")
     assert(stem("databases") == "databas" && stem("database") == "databas")
     // non a-z tokens pass through untouched

@@ -216,10 +216,13 @@ object PorterStemmer {
   }
 }
 
-/** Light stemmers for German / French / Spanish — Savoy-style
-  * suffix-and-diacritic normalization (Savoy 2006, "Light stemming
-  * approaches…"; the recall tier the reference gets from its
-  * per-language Lucene analyzers, DefaultAnalyzerFactory.java:69).
+/** Light stemmers for German / French / Spanish / Russian / Italian /
+  * Portuguese / Dutch — Savoy-style suffix-and-diacritic
+  * normalization (Savoy 2006, "Light stemming approaches…"; the
+  * recall tier the reference gets from its per-language Lucene
+  * analyzers, DefaultAnalyzerFactory.java:69 and
+  * ConfigurableAnalyzerFactory.java:50, which wire the full Lucene
+  * natural-language set incl. ru/it/pt/nl).
   * Deliberately SHALLOW: plural/case/gender markers and diacritic
   * folding only, no morphological analysis — light stemming is the
   * documented sweet spot for European-language retrieval (full
@@ -301,6 +304,88 @@ object LightStemmer {
       if (w.length >= 5 && "oae".contains(w.charAt(w.length - 1)))
         w = w.dropRight(1)
     }
+    w
+  }
+
+  private val ruFold = Map('ё' -> "е")
+  // adjective + noun case endings, longest-first; one suffix strips
+  // per word (light), stem floor 3 chars
+  private val ruSuffixes = Seq(
+    "иями", "оями",
+    "ами", "ями", "ией", "иям", "иях", "оям", "оях",
+    "его", "ого", "ему", "ому", "ыми", "ими",
+    "ая", "яя", "ое", "ее", "ие", "ые", "ой", "ей", "ий", "ый",
+    "ам", "ям", "ем", "им", "ом", "ым", "ах", "ях", "ов", "ев",
+    "ую", "юю", "ью",
+    "а", "е", "и", "й", "о", "у", "ы", "ь", "э", "ю", "я")
+
+  /** ё-folding + one adjective/noun case ending (longest-first),
+    * residual soft sign; stem floor 3 chars. книги/книгами → книг,
+    * красивый/красивая → красив. */
+  def ru(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, ruFold)
+    ruSuffixes.find(s => w.length - s.length >= 3 && w.endsWith(s)) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None    =>
+    }
+    if (w.length >= 4 && w.endsWith("ь")) w = w.dropRight(1)
+    w
+  }
+
+  private val itFold = Map('à' -> "a", 'á' -> "a", 'è' -> "e", 'é' -> "e",
+    'ì' -> "i", 'í' -> "i", 'ò' -> "o", 'ó' -> "o", 'ù' -> "u", 'ú' -> "u")
+
+  /** accent folding + final theme/plural vowel (-a/-e/-i/-o), stem
+    * floor 4. libri/libro → libr, ragazzi/ragazza → ragazz. */
+  def it(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, itFold)
+    if (w.length >= 5 && "aeio".contains(w.charAt(w.length - 1)))
+      w = w.dropRight(1)
+    w
+  }
+
+  private val ptFold = Map('á' -> "a", 'â' -> "a", 'ã' -> "a", 'é' -> "e",
+    'ê' -> "e", 'í' -> "i", 'ó' -> "o", 'ô' -> "o", 'õ' -> "o",
+    'ú' -> "u", 'ç' -> "c")
+
+  /** accent/cedilla folding, -ões→-ão plural restore, consonant-stem
+    * plural -es, plural -s, final theme vowel; stem floor 4.
+    * canções/canção → canca, flores/flor → flor, livros/livro → livr. */
+  def pt(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, ptFold)
+    if (w.length >= 6 && w.endsWith("oes")) w = w.dropRight(3) + "ao"
+    else if (w.length >= 5 && w.endsWith("es") &&
+             "rslz".contains(w.charAt(w.length - 3))) w = w.dropRight(2)
+    else if (w.length >= 5 && w.endsWith("s") && !w.endsWith("ss"))
+      w = w.dropRight(1)
+    if (w.length >= 5 && "aoe".contains(w.charAt(w.length - 1)))
+      w = w.dropRight(1)
+    w
+  }
+
+  private val nlFold = Map('ä' -> "a", 'ë' -> "e", 'ï' -> "i", 'ö' -> "o",
+    'ü' -> "u", 'é' -> "e", 'è' -> "e")
+
+  /** diaeresis/accent folding, diminutive -(t)je(s), plural -en with
+    * final-consonant undoubling (katten → kat), plural -s, final -e;
+    * stem floor 4. boeken → boek, huisje/huis → huis. */
+  def nl(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, nlFold)
+    if (w.length >= 7 && w.endsWith("tjes")) w = w.dropRight(4)
+    else if (w.length >= 6 && w.endsWith("jes")) w = w.dropRight(3)
+    else if (w.length >= 6 && w.endsWith("je")) w = w.dropRight(2)
+    else if (w.length >= 6 && w.endsWith("en")) {
+      w = w.dropRight(2)
+      if (w.length >= 4 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
+          !"aeiou".contains(w.charAt(w.length - 1))) w = w.dropRight(1)
+    }
+    else if (w.length >= 5 && w.endsWith("s") && !w.endsWith("ss"))
+      w = w.dropRight(1)
+    else if (w.length >= 5 && w.endsWith("e")) w = w.dropRight(1)
     w
   }
 }
@@ -415,6 +500,10 @@ object Tokenize {
     case "de"   => LightStemmer.de
     case "fr"   => LightStemmer.fr
     case "es"   => LightStemmer.es
+    case "ru"   => LightStemmer.ru
+    case "it"   => LightStemmer.it
+    case "pt"   => LightStemmer.pt
+    case "nl"   => LightStemmer.nl
     case other  => sys.error(s"unknown stemmer '$other'")
   }
 

@@ -123,6 +123,40 @@ object Analyzer {
       Tokenize.tokenizeJava(Tokenize.UNICODE, stemmerLang, stopwords, s).toSeq
   }
 
+  /** Whole-literal verbatim single term — the Lucene KeywordAnalyzer
+    * analog (ConfigurableAnalyzerFactory.java:52): identifiers, codes
+    * and enum-like literals index as ONE exact term — no lowercasing,
+    * no splitting, stopwords ignored. Pure built-in column functions
+    * (array of the value), so the index build stays codegen. */
+  case class Keyword() extends Analyzer {
+    import org.apache.spark.sql.functions._
+    def tokenize(c: Column): Column =
+      when(length(c) > 0, array(c)).otherwise(array().cast("array<string>"))
+    def tokenizeLocal(s: String): Seq[String] =
+      if (s == null || s.isEmpty) Seq.empty else Seq(s)
+  }
+
+  /** Regex-split analyzer — the Lucene PatternAnalyzer analog
+    * (ConfigurableAnalyzerFactory.java:54): `regex` matches token
+    * SEPARATORS; text lowercases, splits on the pattern, empty tokens
+    * drop, then the stop filter applies. Column path and query path
+    * share Java regex semantics (split with limit −1). */
+  case class Pattern(regex: String,
+                     stopwords: Set[String] = Set.empty) extends Analyzer {
+    import org.apache.spark.sql.functions._
+    def tokenize(c: Column): Column = {
+      val toks = split(lower(c), regex, -1)
+      filter(toks, t =>
+        length(t) > 0 &&
+          (if (stopwords.isEmpty) lit(true)
+           else !t.isin(stopwords.toSeq: _*)))
+    }
+    def tokenizeLocal(s: String): Seq[String] =
+      if (s == null) Seq.empty
+      else s.toLowerCase(java.util.Locale.ROOT).split(regex, -1).toSeq
+        .filter(t => t.nonEmpty && !stopwords(t))
+  }
+
   /** Language-tag registry, the ConfigurableAnalyzerFactory analog:
     * CJK languages get the bigram analyzer; non-Latin-script and
     * diacritic-heavy languages get the Unicode analyzer; everything
@@ -147,9 +181,15 @@ object Analyzer {
       case _ => Latin(stopwords)
     }
 
-  /** `bds:analyzer` option values: an analyzer name or a language tag. */
-  def byName(name: String, stopwords: Set[String] = Set.empty): Analyzer =
-    name.toLowerCase match {
+  /** `bds:analyzer` option values: an analyzer name, `keyword`,
+    * `pattern:<regex>`, or a language tag. */
+  def byName(name: String, stopwords: Set[String] = Set.empty): Analyzer = {
+    val lc = name.toLowerCase
+    // the regex after "pattern:" is passed VERBATIM (not lowercased)
+    if (lc.startsWith("pattern:"))
+      return Pattern(name.substring("pattern:".length), stopwords)
+    lc match {
+      case "keyword"                       => Keyword()
       case "cjk"                           => Cjk(stopwords)
       case "latin"                         => Latin(stopwords)
       case "unicode"                       => Unicode(stopwords)
@@ -160,9 +200,14 @@ object Analyzer {
       case "english" | "en-stem" | "porter" =>
         if (stopwords.isEmpty) En() else En(stopwords)
       case "porter-nostop" | "english-nostop" => En(Set.empty)
-      case "german" | "de-stem"  => Stemmed("de", stopwords)
-      case "french" | "fr-stem"  => Stemmed("fr", stopwords)
-      case "spanish" | "es-stem" => Stemmed("es", stopwords)
+      case "german" | "de-stem"     => Stemmed("de", stopwords)
+      case "french" | "fr-stem"     => Stemmed("fr", stopwords)
+      case "spanish" | "es-stem"    => Stemmed("es", stopwords)
+      case "russian" | "ru-stem"    => Stemmed("ru", stopwords)
+      case "italian" | "it-stem"    => Stemmed("it", stopwords)
+      case "portuguese" | "pt-stem" => Stemmed("pt", stopwords)
+      case "dutch" | "nl-stem"      => Stemmed("nl", stopwords)
       case lang                            => forLanguage(lang, stopwords)
     }
+  }
 }

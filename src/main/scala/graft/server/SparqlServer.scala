@@ -1380,7 +1380,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             val analyzer = formParam(body, "analyzer")
               .orElse(formParam(rawQuery(ex), "analyzer"))
               .filter(_.nonEmpty)
-            analyzer.foreach(a => require(a.matches("[A-Za-z0-9_-]+"),
+            // plain names are id-shaped; pattern:<regex> carries the
+            // regex verbatim (any chars except newlines — the conf
+            // file is one line)
+            analyzer.foreach(a => require(
+              a.matches("[A-Za-z0-9_-]+") ||
+                (a.toLowerCase.startsWith("pattern:") && !a.exists(c => c == '\n' || c == '\r')),
               s"bad analyzer name: $a"))
             try {
               namespaces.computeIfAbsent(name, { _ =>

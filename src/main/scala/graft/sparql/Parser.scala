@@ -735,8 +735,12 @@ object Parser {
             case "bds:search" =>
               // reference magic-predicate search service
               // (SearchServiceFactory; options at FullTextIndex.java:1004)
-              val terms = conf.get("query").toSeq
-                .flatMap(_.head.split("\\s+")).filter(_.nonEmpty)
+              // the query string goes to the ANALYZER unsplit — every
+              // tokenizing analyzer splits on whitespace itself, and
+              // keyword/pattern analyzers need the whole string (a
+              // pattern term may legitimately contain spaces)
+              val terms = conf.get("query").toSeq.map(_.head)
+                .filter(_.nonEmpty)
               require(terms.nonEmpty || conf.contains("regex"),
                 "bds:search needs bds:query or bds:regex")
               add(SearchService(terms,

@@ -729,6 +729,89 @@ class EngineSpec extends AnyFunSuite {
     assert(Analyzer.byName("french").isInstanceOf[Analyzer.Stemmed])
   }
 
+  test("light stemmers: ru/it/pt/nl vectors; Cyrillic stemmed recall e2e") {
+    import graft.functions.LightStemmer
+    // Russian: ё-folding + case endings (adjective + noun declension)
+    assert(LightStemmer.ru("книги") == "книг" && LightStemmer.ru("книгами") == "книг"
+      && LightStemmer.ru("книга") == "книг")
+    assert(LightStemmer.ru("красивый") == "красив" && LightStemmer.ru("красивая") == "красив"
+      && LightStemmer.ru("красивыми") == "красив")
+    assert(LightStemmer.ru("россия") == "росси" && LightStemmer.ru("россии") == "росси")
+    assert(LightStemmer.ru("ёлка") == "елк")
+    // Italian: accent folding + theme/plural vowel
+    assert(LightStemmer.it("libri") == "libr" && LightStemmer.it("libro") == "libr")
+    assert(LightStemmer.it("ragazzi") == "ragazz" && LightStemmer.it("ragazza") == "ragazz")
+    assert(LightStemmer.it("città") == "citt")
+    // Portuguese: ões→ão plural restore, consonant-stem -es, theme vowel
+    assert(LightStemmer.pt("canções") == "canca" && LightStemmer.pt("canção") == "canca")
+    assert(LightStemmer.pt("flores") == "flor" && LightStemmer.pt("flor") == "flor")
+    assert(LightStemmer.pt("livros") == "livr" && LightStemmer.pt("livro") == "livr")
+    // Dutch: -en plural with undoubling, diminutive -je, final -e
+    assert(LightStemmer.nl("boeken") == "boek" && LightStemmer.nl("boek") == "boek")
+    assert(LightStemmer.nl("katten") == "kat" && LightStemmer.nl("kat") == "kat")
+    assert(LightStemmer.nl("huisje") == "huis" && LightStemmer.nl("huis") == "huis")
+    // digits pass through untouched
+    assert(LightStemmer.ru("т34") == "т34" && LightStemmer.nl("v2s") == "v2s")
+
+    // e2e, the German pattern on the Cyrillic script family: the
+    // surface-form Unicode analyzer misses the other inflection, the
+    // stemmed analyzer finds both
+    val spark2 = spark; import spark2.implicits._
+    import graft.search.{Analyzer, FullText}
+    val docs = Seq(
+      (1L, "старая книга на столе"),
+      (2L, "новые книги в библиотеке"),
+      (3L, "unrelated english text")).toDF("doc_id", "text")
+    val az0 = Analyzer.Unicode()
+    assert(FullText.search(docs, az0.tokenizeLocal("книги"), 20, analyzer = az0)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    val az = Analyzer.byName("ru-stem")
+    assert(az.isInstanceOf[Analyzer.Stemmed])
+    val hits = FullText.search(docs, az.tokenizeLocal("книги"), 20, analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L), s"got $hits")
+    // registry names resolve for the whole new tier
+    for (n <- Seq("russian", "italian", "portuguese", "dutch"))
+      assert(Analyzer.byName(n).isInstanceOf[Analyzer.Stemmed], n)
+  }
+
+  test("keyword and pattern analyzer modes: verbatim term, regex split, parity") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.search.{Analyzer, FullText}
+    // keyword: the whole literal is ONE verbatim term — no lowercasing
+    val kw = Analyzer.byName("keyword")
+    assert(kw.isInstanceOf[Analyzer.Keyword])
+    assert(kw.tokenizeLocal("Code-ABC.1") == Seq("Code-ABC.1"))
+    assert(kw.tokenizeLocal("") == Seq.empty)
+    val codes = Seq((1L, "Code-ABC.1"), (2L, "code-abc.1"), (3L, "Code ABC"))
+      .toDF("doc_id", "text")
+    assert(FullText.search(codes, kw.tokenizeLocal("Code-ABC.1"), 20, analyzer = kw)
+      .collect().map(_.getLong(0)).toSet == Set(1L))   // case-sensitive exact
+    // pattern: the regex matches SEPARATORS; lowercase, empties drop,
+    // stopwords apply post-split
+    val pat = Analyzer.byName("pattern:[;,]")
+    assert(pat.isInstanceOf[Analyzer.Pattern])
+    assert(pat.tokenizeLocal("Alpha;beta gamma,,DELTA") ==
+      Seq("alpha", "beta gamma", "delta"))
+    assert(Analyzer.byName("pattern:[;,]", Set("alpha"))
+      .tokenizeLocal("Alpha;beta gamma") == Seq("beta gamma"))
+    // e2e: a term CONTAINING a space is matchable only via pattern
+    val docs = Seq((1L, "alpha;beta gamma;x"), (2L, "beta;gamma")).toDF("doc_id", "text")
+    val hits = FullText.search(docs, pat.tokenizeLocal("Beta Gamma"), 20, analyzer = pat)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L), s"got $hits")
+    // column path and tokenizeLocal agree (the shared-body contract)
+    val samples = Seq((1L, "A_b;C d,,"), (2L, ""), (3L, "  x  "))
+    val df = samples.toDF("doc_id", "text")
+    for (az <- Seq(kw, pat)) {
+      val colPath = df.select(col("doc_id"), az.tokenize(col("text")).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      samples.foreach { case (i, s) =>
+        assert(colPath(i) == az.tokenizeLocal(s), s"$az diverges on '$s'")
+      }
+    }
+  }
+
   test("analyzers: column path and tokenizeLocal agree (single shared body)") {
     val spark2 = spark; import spark2.implicits._
     import graft.search.Analyzer

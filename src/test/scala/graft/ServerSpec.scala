@@ -507,6 +507,45 @@ class ServerSpec extends AnyFunSuite {
     } finally srv2.stop()
   }
 
+  test("pattern/keyword analyzer modes persist per namespace, survive restart") {
+    val root = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), root).start()
+    // the query term contains a SPACE — only the pattern analyzer
+    // (split on ';') can index and match it as one term
+    val q = """SELECT ?lit WHERE {
+              |  SERVICE bds:search { _:s bds:query "Beta Gamma" . _:s bds:out ?lit }
+              |}""".stripMargin
+    try {
+      assert(post(srv.address + "/namespace", "name=pat&analyzer=pattern:[;]",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      assert(post(srv.address + "/namespace/pat/sparql/update",
+        """INSERT DATA { x:d1 note "Alpha;Beta Gamma;x" }""",
+        "application/sparql-update").statusCode() == 204)
+      val r = post(srv.address + "/namespace/pat/sparql", q,
+        "application/sparql-query")
+      assert(r.statusCode() == 200, r.body().take(300))
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, r.body()).count() == 1,
+        r.body())
+      // properties document carries the full pattern config
+      val pr = send(req(srv.address + "/namespace/pat/properties").GET())
+      assert(pr.body().contains("pattern:[;]"), pr.body())
+      // keyword is a plain id-shaped name through the same seam
+      assert(post(srv.address + "/namespace", "name=kwns&analyzer=keyword",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      // malformed analyzer names still refuse loudly
+      assert(post(srv.address + "/namespace", "name=bad&analyzer=no%20such!",
+        "application/x-www-form-urlencoded").statusCode() != 201)
+    } finally srv.stop()
+    // restart: the pattern conf reattaches with the namespace
+    val srv2 = SparqlServer.durable(Graft.empty(spark), root).start()
+    try {
+      val r2 = post(srv2.address + "/namespace/pat/sparql", q,
+        "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, r2.body()).count() == 1,
+        r2.body())
+    } finally srv2.stop()
+  }
+
   test("graph-level tx conflict: disjoint-graph txs both commit, same-graph 409s") {
     val srv = SparqlServer.durable(Graft.empty(spark), tmp()).start()
     try {

@@ -124,6 +124,11 @@ final case class DescribeWhere(v: String, child: Algebra) extends Algebra
   * carries an optional named graph per triple (`GRAPH g { … }` blocks);
   * None = the default graph. */
 sealed trait UpdateOp
+/** The two template-driven WHERE ops — what a [[UsingClause]] dataset
+  * clause can legally wrap (SPARQL 1.1 Update grammar [41] Modify:
+  * UsingClause* applies to any DELETE/INSERT template form, quad
+  * templates included). */
+sealed trait TemplateWhereOp extends UpdateOp
 /** INSERT DATA { ground triples | GRAPH g { … } }. */
 final case class InsertData(data: Seq[(Option[String], TriplePattern)]) extends UpdateOp
 /** DELETE DATA { ground triples | GRAPH g { … } }. */
@@ -133,7 +138,7 @@ final case class DeleteData(data: Seq[(Option[String], TriplePattern)]) extends 
   * applied before inserts (SPARQL 1.1 Update §3.1.3). */
 final case class DeleteInsertWhere(delete: Seq[TriplePattern],
                                    insert: Seq[TriplePattern],
-                                   where: Algebra) extends UpdateOp
+                                   where: Algebra) extends TemplateWhereOp
 /** DELETE/INSERT with QUAD templates — `GRAPH g { … }` blocks inside
   * the template itself (SPARQL 1.1 Update grammar [49] QuadPattern;
   * reference: ast.QuadsData via AST2BOpUpdate). Each template triple
@@ -144,16 +149,19 @@ final case class DeleteInsertWhere(delete: Seq[TriplePattern],
   * GRAPH block; plain templates keep [[DeleteInsertWhere]]. */
 final case class QuadsTemplateWhere(delete: Seq[(Option[Term], TriplePattern)],
                                     insert: Seq[(Option[Term], TriplePattern)],
-                                    where: Algebra) extends UpdateOp
+                                    where: Algebra) extends TemplateWhereOp
 /** WITH <g> DELETE/INSERT WHERE — the op's WHERE and templates are
   * scoped to one named graph (§3.1.3 WITH). */
 final case class WithGraph(g: String, op: DeleteInsertWhere) extends UpdateOp
 /** DELETE/INSERT … USING <g> / USING NAMED <g> WHERE — the WHERE
   * evaluates against the USING dataset (the update-side FROM/FROM
   * NAMED, SPARQL 1.1 Update §3.1.3; reference: DeleteInsertGraph with
-  * a DatasetNode); templates act on the default graph. */
+  * a DatasetNode). Plain templates act on the default graph; quad
+  * templates ([[QuadsTemplateWhere]]) address their own graphs while
+  * the WHERE still reads the USING dataset (reference AST2BOpUpdate
+  * accepts the combination). */
 final case class UsingClause(defaults: Seq[String], named: Seq[String],
-                             op: DeleteInsertWhere) extends UpdateOp
+                             op: TemplateWhereOp) extends UpdateOp
 
 /** Text-form graph management (reference: ast/CreateGraph.java:48 and
   * siblings ClearGraph/DropGraph/CopyGraph/MoveGraph/AddGraph,

@@ -272,20 +272,17 @@ object Parser {
 
     /** Plain templates stay [[DeleteInsertWhere]] (the common case and
       * every pre-r10 behavior); a GRAPH block in either template
-      * yields [[QuadsTemplateWhere]]. USING composes only with plain
-      * templates (quad templates name their graphs explicitly —
-      * combining both is rare enough to refuse loud). */
+      * yields [[QuadsTemplateWhere]]. USING composes with BOTH (grammar
+      * [41] Modify; reference AST2BOpUpdate accepts the combination):
+      * the WHERE reads the USING dataset, templates address their own
+      * graphs. */
     private def mkTemplateOp(del: Seq[(Option[Term], TriplePattern)],
                              ins: Seq[(Option[Term], TriplePattern)],
                              ud: Seq[String], un: Seq[String],
                              where: Algebra): UpdateOp =
       if (del.forall(_._1.isEmpty) && ins.forall(_._1.isEmpty))
         wrapUsing(ud, un, DeleteInsertWhere(del.map(_._2), ins.map(_._2), where))
-      else {
-        require(ud.isEmpty && un.isEmpty,
-          "USING with GRAPH-block templates is not supported; name graphs in the template or use USING with plain templates")
-        QuadsTemplateWhere(del, ins, where)
-      }
+      else wrapUsing(ud, un, QuadsTemplateWhere(del, ins, where))
 
     /** USING <g> / USING NAMED <g> clauses (update-side dataset,
       * SPARQL 1.1 Update §3.1.3). */
@@ -300,7 +297,7 @@ object Parser {
     }
 
     private def wrapUsing(d: Seq[String], n: Seq[String],
-                          op: DeleteInsertWhere): UpdateOp =
+                          op: TemplateWhereOp): UpdateOp =
       if (d.isEmpty && n.isEmpty) op else UsingClause(d, n, op)
 
     /** One subject's triples with `;` predicate-object lists and `,`

@@ -29,6 +29,19 @@ object Update {
                    subjectTables: Option[Set[String]]): Option[DataFrame] = None
     }
 
+  /** Triple source for a USING-clause WHERE: the compiler's
+    * DatasetClause handles graph selection over `quads`; bare
+    * default-graph reads (no dataset restriction in play) see the
+    * store's default graph. */
+  private def usingSource(store: graft.rdf.QuadStore,
+                          defaultGraph: String): TripleSource =
+    new TripleSource {
+      lazy val triples: DataFrame = store.graph(defaultGraph)
+      override def quads: Option[DataFrame] = Some(store.quads)
+      def fuseStar(patterns: Seq[TriplePattern],
+                   subjectTables: Option[Set[String]]): Option[DataFrame] = None
+    }
+
   /** Instantiate a QUAD template against a solution DataFrame: each
     * triple lands in its own graph — None = `defaultGraph`, a Const =
     * that graph, a Var = the per-row binding (GRAPH ?g templates). */
@@ -111,23 +124,29 @@ object Update {
           else store.deleteQuads(instantiateQuads(del, sol, defaultGraph))
         if (ins.isEmpty) st1
         else st1.insertQuads(instantiateQuads(ins, sol, defaultGraph))
-      case UsingClause(defaults, named, DeleteInsertWhere(del, ins, where)) =>
+      case UsingClause(defaults, named, inner) =>
         // the WHERE sees the USING dataset (update-side FROM/FROM
         // NAMED): default-graph patterns scan the USING graphs' merge,
-        // GRAPH patterns range over USING NAMED; templates act on the
-        // default graph (§3.1.3 USING)
-        val src = new TripleSource {
-          lazy val triples: DataFrame = store.graph(defaultGraph)
-          override def quads: Option[DataFrame] = Some(store.quads)
-          def fuseStar(patterns: Seq[TriplePattern],
-                       subjectTables: Option[Set[String]]): Option[DataFrame] = None
+        // GRAPH patterns range over USING NAMED. Plain templates act
+        // on the default graph (§3.1.3 USING); quad templates address
+        // their own graphs (GRAPH vars bind from the USING NAMED set).
+        val src = usingSource(store, defaultGraph)
+        inner match {
+          case DeleteInsertWhere(del, ins, where) =>
+            val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
+            val st1 =
+              if (del.isEmpty) store
+              else store.deleteData(defaultGraph, instantiate(del, sol))
+            if (ins.isEmpty) st1
+            else st1.insertData(defaultGraph, instantiate(ins, sol))
+          case QuadsTemplateWhere(del, ins, where) =>
+            val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
+            val st1 =
+              if (del.isEmpty) store
+              else store.deleteQuads(instantiateQuads(del, sol, defaultGraph))
+            if (ins.isEmpty) st1
+            else st1.insertQuads(instantiateQuads(ins, sol, defaultGraph))
         }
-        val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
-        val st1 =
-          if (del.isEmpty) store
-          else store.deleteData(defaultGraph, instantiate(del, sol))
-        if (ins.isEmpty) st1
-        else st1.insertData(defaultGraph, instantiate(ins, sol))
       // -- text-form graph management (ast/CreateGraph.java family) --
       case CreateGraph(g, _)   => store.createGraph(g)
       case DropGraph(g, _)     => store.dropGraph(g.getOrElse(defaultGraph))
@@ -223,15 +242,18 @@ object Update {
         def inst(t: Seq[(Option[Term], TriplePattern)]): DataFrame =
           if (t.isEmpty) nothing else instantiateQuads(t, sol, defaultGraph)
         (inst(ins), inst(del))
-      case UsingClause(defaults, named, DeleteInsertWhere(del, ins, where)) =>
-        val src = new TripleSource {
-          lazy val triples: DataFrame = store.graph(defaultGraph)
-          override def quads: Option[DataFrame] = Some(store.quads)
-          def fuseStar(patterns: Seq[TriplePattern],
-                       subjectTables: Option[Set[String]]): Option[DataFrame] = None
+      case UsingClause(defaults, named, inner) =>
+        val src = usingSource(store, defaultGraph)
+        inner match {
+          case DeleteInsertWhere(del, ins, where) =>
+            val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
+            (tagged(defaultGraph, ins, sol), tagged(defaultGraph, del, sol))
+          case QuadsTemplateWhere(del, ins, where) =>
+            val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
+            def inst(t: Seq[(Option[Term], TriplePattern)]): DataFrame =
+              if (t.isEmpty) nothing else instantiateQuads(t, sol, defaultGraph)
+            (inst(ins), inst(del))
         }
-        val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
-        (tagged(defaultGraph, ins, sol), tagged(defaultGraph, del, sol))
       case CreateGraph(_, _) => (nothing, nothing)
       case DropGraph(g, _)   =>
         (nothing, tag(g.getOrElse(defaultGraph), store.graph(g.getOrElse(defaultGraph))))

@@ -152,6 +152,32 @@ class EngineSpec extends AnyFunSuite {
     assert(got == Set(("keep", "p", "z"), ("a", "hit", "X")))
     // the USING graphs themselves are untouched
     assert(out.graph("g:one").count() == 1 && out.graph("g:two").count() == 1)
+
+    // USING × QUAD templates (§3.1.3 + grammar [41]): the WHERE reads
+    // the USING dataset, the template routes into ITS graphs — here a
+    // GRAPH ?g var bound from USING NAMED plus a fixed-graph copy
+    val op2 = graft.sparql.Parser.parseUpdate(
+      """DELETE { GRAPH ?g { ?o name ?nm } }
+        |INSERT { GRAPH g:out { ?s sees ?nm } . ?s tick ?nm }
+        |USING g:one
+        |USING NAMED g:three
+        |WHERE { ?s p ?o . GRAPH ?g { ?o name ?nm } }""".stripMargin)
+    assert(op2.isInstanceOf[graft.sparql.UsingClause])
+    val out2 = graft.sparql.Update.applyQuads(qs, op2)
+    // delete hit g:three via the bound ?g; insert landed in g:out and
+    // the bare template triple in the default graph
+    assert(out2.graph("g:three").count() == 0)
+    assert(out2.graph("g:out").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSet == Set(("a", "sees", "X")))
+    assert(out2.graph("g:default").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      Set(("keep", "p", "z"), ("a", "tick", "X")))
+    // non-USING graphs untouched; quadsDelta (journal path) agrees
+    assert(out2.graph("g:one").count() == 1 && out2.graph("g:two").count() == 1)
+    val (adds, dels) = graft.sparql.Update.quadsDelta(qs, op2)
+    assert(adds.count() == 2 && dels.count() == 1)
+    assert(dels.collect().map(r => (r.getString(0), r.getString(3))).toSet ==
+      Set(("x", "g:three")))
   }
 
   test("owl: symmetric+transitive predicate closes through mirrored edges") {
@@ -309,11 +335,12 @@ class EngineSpec extends AnyFunSuite {
     // plain templates still parse to the pre-r10 node (no behavior drift)
     assert(!Parser.parseUpdate("INSERT { ?s p2 ?o } WHERE { ?s p ?o }")
       .isInstanceOf[QuadsTemplateWhere])
-    // USING + quad template refuses loud
-    intercept[IllegalArgumentException] {
-      Parser.parseUpdate(
+    // USING composes with quad templates (grammar [41]; reference
+    // AST2BOpUpdate): parses to UsingClause(QuadsTemplateWhere)
+    assert(Parser.parseUpdate(
         "INSERT { GRAPH g:x { ?s p ?o } } USING g:y WHERE { ?s p ?o }")
-    }
+      .asInstanceOf[graft.sparql.UsingClause].op
+      .isInstanceOf[QuadsTemplateWhere])
     // GRAPH ?var template: the graph is a per-solution binding (here
     // via VALUES) — results fan out into the bound graph
     val varg = Parser.parseUpdate(

@@ -42,6 +42,22 @@ object Update {
                    subjectTables: Option[Set[String]]): Option[DataFrame] = None
     }
 
+  /** Materialize a WHERE solution that feeds more than one consumer
+    * (k template triples and/or both the delete and insert sides).
+    * Without this every consumer re-derives the whole WHERE plan —
+    * pattern scans, join, and the union-default-graph distinct over
+    * the store (measured: update_quad_template's final plan carried
+    * 86 source scans with ZERO exchange reuse; ~3 solution
+    * re-derivations collapse to one). localCheckpoint rather than
+    * persist: it truncates the lineage, so the downstream
+    * delete/insert anti-joins optimize over a leaf the size of the
+    * SOLUTION (delta-sized — the data a commit ships anyway), not the
+    * store-derivation subtree. Single-consumer solutions skip the
+    * materialization pass (§4 learning: persist multi-consumer
+    * projections ONCE, and only those). */
+  private def shared(sol: DataFrame, consumers: Int): DataFrame =
+    if (consumers > 1) sol.localCheckpoint() else sol
+
   /** Instantiate a QUAD template against a solution DataFrame: each
     * triple lands in its own graph — None = `defaultGraph`, a Const =
     * that graph, a Var = the per-row binding (GRAPH ?g templates). */
@@ -75,7 +91,8 @@ object Update {
     case InsertData(d) => store.insertData(ground(d.map(_._2), store.triples.sparkSession))
     case DeleteData(d) => store.deleteData(ground(d.map(_._2), store.triples.sparkSession))
     case DeleteInsertWhere(del, ins, where) =>
-      val sol = Compiler.compile(where, TripleSource.plain(store.triples))
+      val sol = shared(Compiler.compile(where, TripleSource.plain(store.triples)),
+        del.size + ins.size)
       val deletes =
         if (del.isEmpty) store.triples.limit(0) else instantiate(del, sol)
       val inserts =
@@ -99,7 +116,8 @@ object Update {
         byGraph(d).foldLeft(store) { case (st, (g, df)) => st.deleteData(g, df) }
       case WithGraph(g, DeleteInsertWhere(del, ins, where)) =>
         // WHERE and templates evaluate against graph g only (§3.1.3)
-        val sol = Compiler.compile(where, TripleSource.plain(store.graph(g)))
+        val sol = shared(Compiler.compile(where, TripleSource.plain(store.graph(g))),
+          del.size + ins.size)
         val st1 =
           if (del.isEmpty) store else store.deleteData(g, instantiate(del, sol))
         if (ins.isEmpty) st1 else st1.insertData(g, instantiate(ins, sol))
@@ -108,7 +126,8 @@ object Update {
         // WHERE sees the union default graph (the façade's quads-mode
         // query convention), templates act on `defaultGraph` (§3.1.3:
         // template triples without GRAPH address the default graph)
-        val sol = Compiler.compile(where, bareQuadsSource(store))
+        val sol = shared(Compiler.compile(where, bareQuadsSource(store)),
+          del.size + ins.size)
         val st1 =
           if (del.isEmpty) store
           else store.deleteData(defaultGraph, instantiate(del, sol))
@@ -118,7 +137,8 @@ object Update {
         // quad templates: WHERE evaluates like the bare form above,
         // with GRAPH patterns ranging over the store's named graphs;
         // each template triple lands in its own graph
-        val sol = Compiler.compile(where, bareQuadsSource(store))
+        val sol = shared(Compiler.compile(where, bareQuadsSource(store)),
+          del.size + ins.size)
         val st1 =
           if (del.isEmpty) store
           else store.deleteQuads(instantiateQuads(del, sol, defaultGraph))
@@ -133,14 +153,16 @@ object Update {
         val src = usingSource(store, defaultGraph)
         inner match {
           case DeleteInsertWhere(del, ins, where) =>
-            val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
+            val sol = shared(Compiler.compile(DatasetClause(defaults, named, where), src),
+              del.size + ins.size)
             val st1 =
               if (del.isEmpty) store
               else store.deleteData(defaultGraph, instantiate(del, sol))
             if (ins.isEmpty) st1
             else st1.insertData(defaultGraph, instantiate(ins, sol))
           case QuadsTemplateWhere(del, ins, where) =>
-            val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
+            val sol = shared(Compiler.compile(DatasetClause(defaults, named, where), src),
+              del.size + ins.size)
             val st1 =
               if (del.isEmpty) store
               else store.deleteQuads(instantiateQuads(del, sol, defaultGraph))
@@ -232,13 +254,16 @@ object Update {
       case InsertData(d) => (byGraph(d), nothing)
       case DeleteData(d) => (nothing, byGraph(d))
       case WithGraph(g, DeleteInsertWhere(del, ins, where)) =>
-        val sol = Compiler.compile(where, TripleSource.plain(store.graph(g)))
+        val sol = shared(Compiler.compile(where, TripleSource.plain(store.graph(g))),
+          del.size + ins.size)
         (tagged(g, ins, sol), tagged(g, del, sol))
       case DeleteInsertWhere(del, ins, where) =>
-        val sol = Compiler.compile(where, bareQuadsSource(store))
+        val sol = shared(Compiler.compile(where, bareQuadsSource(store)),
+          del.size + ins.size)
         (tagged(defaultGraph, ins, sol), tagged(defaultGraph, del, sol))
       case QuadsTemplateWhere(del, ins, where) =>
-        val sol = Compiler.compile(where, bareQuadsSource(store))
+        val sol = shared(Compiler.compile(where, bareQuadsSource(store)),
+          del.size + ins.size)
         def inst(t: Seq[(Option[Term], TriplePattern)]): DataFrame =
           if (t.isEmpty) nothing else instantiateQuads(t, sol, defaultGraph)
         (inst(ins), inst(del))
@@ -246,10 +271,12 @@ object Update {
         val src = usingSource(store, defaultGraph)
         inner match {
           case DeleteInsertWhere(del, ins, where) =>
-            val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
+            val sol = shared(Compiler.compile(DatasetClause(defaults, named, where), src),
+              del.size + ins.size)
             (tagged(defaultGraph, ins, sol), tagged(defaultGraph, del, sol))
           case QuadsTemplateWhere(del, ins, where) =>
-            val sol = Compiler.compile(DatasetClause(defaults, named, where), src)
+            val sol = shared(Compiler.compile(DatasetClause(defaults, named, where), src),
+              del.size + ins.size)
             def inst(t: Seq[(Option[Term], TriplePattern)]): DataFrame =
               if (t.isEmpty) nothing else instantiateQuads(t, sol, defaultGraph)
             (inst(ins), inst(del))

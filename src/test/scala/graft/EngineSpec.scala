@@ -366,6 +366,39 @@ class EngineSpec extends AnyFunSuite {
     assert(a4.count() == 2 && d4.count() == 0)
   }
 
+  test("multi-consumer update WHERE solutions are materialized once") {
+    import graft.sparql.{Parser, Update}
+    val qs = QuadStore(Seq(
+      ("s1", "p", "o1", "g:default"),
+      ("s2", "p", "o2", "g:default")).toDF("s", "p", "o", "g"))
+    // 3 template consumers (1 delete + 2 inserts): the WHERE solution
+    // must appear in the updated store's plan as ONE checkpointed leaf
+    // (LogicalRDD), not as 3 re-derivations of the scan+join subtree —
+    // update_quad_template's final plan carried 86 source scans with
+    // zero exchange reuse before this (r10 verdict §7.3)
+    val multiOp = Parser.parseUpdate(
+      """DELETE { GRAPH g:default { ?s p ?o } }
+        |INSERT { GRAPH g:arch { ?s p ?o } . ?s moved "y" }
+        |WHERE { ?s p ?o }""".stripMargin)
+    val after = Update.applyQuads(qs, multiOp)
+    val plan = after.quads.queryExecution.optimizedPlan
+    val rddLeaves = plan.collectLeaves().count(
+      _.getClass.getSimpleName == "LogicalRDD")
+    assert(rddLeaves >= 1, s"expected a checkpointed solution leaf in:\n$plan")
+    // semantics unchanged by the materialization
+    assert(after.graph("g:arch").count() == 2)
+    assert(after.graph("g:default").filter(col("p") === "moved").count() == 2)
+    assert(after.graph("g:default").filter(col("p") === "p").count() == 0)
+    // single-consumer WHERE (1 insert template, no delete) skips the
+    // materialization pass — no checkpoint leaf in its plan
+    val singleOp = Parser.parseUpdate(
+      "INSERT { GRAPH g:one { ?s p ?o } } WHERE { ?s p ?o }")
+    val single = Update.applyQuads(qs, singleOp)
+    val singleRdd = single.quads.queryExecution.optimizedPlan.collectLeaves()
+      .count(_.getClass.getSimpleName == "LogicalRDD")
+    assert(singleRdd == 0, "single-consumer solution must stay lazy")
+  }
+
   test("streaming sessionization survives micro-batch boundaries") {
     import org.apache.spark.sql.streaming.Trigger
     val ev = TpchRdf.tsNanos(spark.read.parquet(s"$SF/events.parquet"))

@@ -221,4 +221,21 @@ class GasSpec extends AnyFunSuite {
     // K3 alone: every degree equal -> zero variance -> undefined
     assert(r(Seq(("a", "b"), ("a", "c"), ("b", "c"))).isEmpty)
   }
+
+  test("near-dup pair graph is staged once and shared by the graph-metric queries") {
+    import TestSpark.{spark, SF}
+    // first call builds + writes the staged parquet; the second must
+    // come back as a BARE parquet scan — no shingle/jaccard stages
+    val first = GasQueries.nearDupPairs(spark, SF)
+    val again = GasQueries.nearDupPairs(spark, SF)
+    val plan = again.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("Aggregate"),
+      s"staged pair read must be a plain scan, got:\n$plan")
+    // and the staged pairs are exactly the direct computation
+    val direct = graft.pipeline.Dedup
+      .ngramJaccard(graft.rdf.TpchRdf.table(spark, SF, "documents"), 0.5, maxDf = 64)
+      .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+    assert(first.exceptAll(direct).isEmpty && direct.exceptAll(first).isEmpty,
+      "staged pair graph drifted from the direct ngramJaccard pairs")
+  }
 }

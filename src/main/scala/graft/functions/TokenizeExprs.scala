@@ -366,6 +366,106 @@ object LightStemmer {
     w
   }
 
+  private val svFold = Map('å' -> "a", 'ä' -> "a", 'ö' -> "o", 'é' -> "e")
+
+  /** Scandinavian genitive -s, then one definite/plural/comparative
+    * ending longest-first (Savoy's Swedish light-stemmer suffix
+    * classes), stem floor 3. bilar/bilarna → bil, huset → hus,
+    * flickorna → flick. */
+  def sv(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, svFold)
+    if (w.length >= 5 && w.endsWith("s") && !w.endsWith("ss")) w = w.dropRight(1)
+    val sufs = Seq("heterna", "heten", "heter", "arna", "erna", "orna",
+      "ande", "arne", "aste", "aren", "are", "ast", "het",
+      "ar", "er", "or", "en", "at", "te", "et")
+    sufs.find(s => w.length - s.length >= 3 && w.endsWith(s)) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None =>
+        if (w.length >= 4 && "taen".contains(w.charAt(w.length - 1)))
+          w = w.dropRight(1)
+    }
+    w
+  }
+
+  private val noFold = Map('å' -> "a", 'æ' -> "a", 'ø' -> "o", 'é' -> "e")
+
+  /** Norwegian (Bokmål) light: genitive -s, -het(en/er) nominals, then
+    * definite/plural endings (-ene/-ane/-en/-et/-er/-a/-e), stem
+    * floor 3. boken/bokene → bok, huset/husene → hus. */
+  def no(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, noFold)
+    if (w.length >= 5 && w.endsWith("s") && !w.endsWith("ss")) w = w.dropRight(1)
+    val sufs = Seq("hetene", "hetens", "heten", "heter", "het",
+      "ene", "ane", "en", "et", "er", "a", "e")
+    sufs.find(s => w.length - s.length >= 3 && w.endsWith(s)) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None    =>
+    }
+    w
+  }
+
+  private val daFold = Map('å' -> "a", 'æ' -> "a", 'ø' -> "o", 'é' -> "e")
+
+  /** Danish light: genitive -s, then one definite/plural ending
+    * (-erne/-ende/-erne/-ene/-er/-en/-et/-es/-e), stem floor 3.
+    * bilerne/biler → bil, husene/huset → hus. */
+  def da(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, daFold)
+    if (w.length >= 5 && w.endsWith("s") && !w.endsWith("ss")) w = w.dropRight(1)
+    val sufs = Seq("erne", "ende", "ene", "er", "en", "et", "es", "e")
+    sufs.find(s => w.length - s.length >= 3 && w.endsWith(s)) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None    =>
+    }
+    w
+  }
+
+  private val fiFold = Map('ä' -> "a", 'ö' -> "o")
+
+  /** Finnish light (case-ending tier of an agglutinative language):
+    * vowel-harmony folding (ä/ö → a/o so -ssa/-ssä collapse), then ONE
+    * case/number ending longest-first — plural locatives (-issa/-ista/
+    * -illa/-ilta/-ille), singular locatives (-ssa/-sta/-lla/-lta/-lle),
+    * translative -ksi, essive -na, genitive -n, partitive -a after a
+    * vowel; stem floor 3. talossa/taloissa/talon → talo,
+    * kirjasta/kirjalla → kirja. */
+  def fi(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, fiFold)
+    val sufs = Seq("issa", "ista", "illa", "ilta", "ille", "iksi", "ina",
+      "ssa", "sta", "lla", "lta", "lle", "ksi", "na")
+    sufs.find(s => w.length - s.length >= 3 && w.endsWith(s)) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None =>
+        if (w.length >= 4 && w.endsWith("n")) w = w.dropRight(1)
+        else if (w.length >= 5 && w.endsWith("t")) w = w.dropRight(1)
+    }
+    w
+  }
+
+  /** Czech light (Dolamic–Savoy case-ending tier, diacritics KEPT —
+    * háčky are phonemic and the palatalized stem must still match):
+    * one noun/adjective case ending longest-first, stem floor 3.
+    * hradem/hrady/hradů → hrad, města/městě → měst,
+    * nového/novému → nov. */
+  def cs(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = word
+    val sufs = Seq("atech", "atům", "ými", "ami", "emi", "ěmi", "ové", "ovi",
+      "ého", "ému", "ách", "ata", "aty", "ých", "ích", "ího", "ímu",
+      "ech", "ich", "ími",
+      "em", "ém", "ím", "ům", "át", "ám", "ým", "mi", "ou", "es", "os", "us",
+      "e", "i", "í", "ě", "u", "y", "ů", "a", "o", "á", "é", "ý")
+    sufs.find(s => w.length - s.length >= 3 && w.endsWith(s)) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None    =>
+    }
+    w
+  }
+
   private val nlFold = Map('ä' -> "a", 'ë' -> "e", 'ï' -> "i", 'ö' -> "o",
     'ü' -> "u", 'é' -> "e", 'è' -> "e")
 
@@ -504,6 +604,11 @@ object Tokenize {
     case "it"   => LightStemmer.it
     case "pt"   => LightStemmer.pt
     case "nl"   => LightStemmer.nl
+    case "sv"   => LightStemmer.sv
+    case "no"   => LightStemmer.no
+    case "da"   => LightStemmer.da
+    case "fi"   => LightStemmer.fi
+    case "cs"   => LightStemmer.cs
     case other  => sys.error(s"unknown stemmer '$other'")
   }
 

@@ -207,6 +207,11 @@ object Analyzer {
       case "italian" | "it-stem"    => Stemmed("it", stopwords)
       case "portuguese" | "pt-stem" => Stemmed("pt", stopwords)
       case "dutch" | "nl-stem"      => Stemmed("nl", stopwords)
+      case "swedish" | "sv-stem"    => Stemmed("sv", stopwords)
+      case "norwegian" | "no-stem"  => Stemmed("no", stopwords)
+      case "danish" | "da-stem"     => Stemmed("da", stopwords)
+      case "finnish" | "fi-stem"    => Stemmed("fi", stopwords)
+      case "czech" | "cs-stem"      => Stemmed("cs", stopwords)
       case lang                            => forLanguage(lang, stopwords)
     }
   }

@@ -835,6 +835,60 @@ class EngineSpec extends AnyFunSuite {
       assert(Analyzer.byName(n).isInstanceOf[Analyzer.Stemmed], n)
   }
 
+  test("light stemmers: sv/no/da/fi/cs vectors; Nordic stemmed recall e2e") {
+    import graft.functions.LightStemmer
+    // Swedish: genitive -s, definite/plural endings, å/ä/ö folding
+    assert(LightStemmer.sv("bilar") == "bil" && LightStemmer.sv("bilarna") == "bil"
+      && LightStemmer.sv("bilens") == "bil")
+    assert(LightStemmer.sv("flickor") == "flick" && LightStemmer.sv("flickorna") == "flick"
+      && LightStemmer.sv("flicka") == "flick")
+    assert(LightStemmer.sv("huset") == "hus" && LightStemmer.sv("husen") == "hus")
+    // Norwegian: -het nominals + definite/plural endings
+    assert(LightStemmer.no("boken") == "bok" && LightStemmer.no("bokene") == "bok")
+    assert(LightStemmer.no("huset") == "hus" && LightStemmer.no("husene") == "hus")
+    assert(LightStemmer.no("friheten") == "fri")
+    // Danish: genitive -s then -erne/-ene/-et family
+    assert(LightStemmer.da("biler") == "bil" && LightStemmer.da("bilerne") == "bil")
+    assert(LightStemmer.da("huset") == "hus" && LightStemmer.da("husene") == "hus"
+      && LightStemmer.da("husets") == "hus")
+    // Finnish: vowel-harmony folding + one case ending (locatives,
+    // translative, genitive -n), agglutinative recall tier
+    assert(LightStemmer.fi("talossa") == "talo" && LightStemmer.fi("taloissa") == "talo"
+      && LightStemmer.fi("talon") == "talo")
+    assert(LightStemmer.fi("kirjasta") == "kirja" && LightStemmer.fi("kirjalla") == "kirja"
+      && LightStemmer.fi("kirjat") == "kirja")
+    assert(LightStemmer.fi("metsässä") == "metsa" && LightStemmer.fi("metsä") == "metsa")
+    // Czech: case endings with diacritics KEPT (háčky are phonemic)
+    assert(LightStemmer.cs("hradem") == "hrad" && LightStemmer.cs("hrady") == "hrad"
+      && LightStemmer.cs("hradů") == "hrad")
+    assert(LightStemmer.cs("města") == "měst" && LightStemmer.cs("městě") == "měst")
+    assert(LightStemmer.cs("nového") == "nov" && LightStemmer.cs("novému") == "nov"
+      && LightStemmer.cs("nový") == "nov")
+    // digits pass through untouched
+    assert(LightStemmer.sv("x86or") == "x86or" && LightStemmer.fi("v2ssa") == "v2ssa")
+
+    // e2e, the German/Cyrillic pattern on the Nordic family: the
+    // surface-form Unicode analyzer misses the other inflection, the
+    // stemmed analyzer finds both
+    val spark2 = spark; import spark2.implicits._
+    import graft.search.{Analyzer, FullText}
+    val docs = Seq(
+      (1L, "det gamla huset vid sjön"),
+      (2L, "alla husen i staden"),
+      (3L, "unrelated english text")).toDF("doc_id", "text")
+    val az0 = Analyzer.Unicode()
+    assert(FullText.search(docs, az0.tokenizeLocal("husen"), 20, analyzer = az0)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    val az = Analyzer.byName("sv-stem")
+    assert(az.isInstanceOf[Analyzer.Stemmed])
+    val hits = FullText.search(docs, az.tokenizeLocal("husen"), 20, analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L), s"got $hits")
+    // registry names resolve for the whole tier
+    for (n <- Seq("swedish", "norwegian", "danish", "finnish", "czech"))
+      assert(Analyzer.byName(n).isInstanceOf[Analyzer.Stemmed], n)
+  }
+
   test("keyword and pattern analyzer modes: verbatim term, regex split, parity") {
     val spark2 = spark; import spark2.implicits._
     import graft.search.{Analyzer, FullText}

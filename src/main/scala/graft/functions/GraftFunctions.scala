@@ -42,8 +42,14 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the native SQL functions plus
+  * the engine's optimizer rules
+  * ([[graft.plans.PruneConstStructExplode]] — injected into the
+  * operator-optimization fixed point, so column pruning composes with
+  * the branch prune). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.PruneConstStructExplode)
+  }
 }

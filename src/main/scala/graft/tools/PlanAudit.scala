@@ -15,6 +15,7 @@ object PlanAudit {
     val only: Set[String] =
       if (args.length > 1) args(1).split(",").toSet else Set.empty
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")

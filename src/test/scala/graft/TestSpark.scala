@@ -8,6 +8,7 @@ object TestSpark {
 
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
 object TokenizeBench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .appName("tokbench").master("local[8]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)

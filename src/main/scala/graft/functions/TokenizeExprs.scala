@@ -669,3 +669,90 @@ object AnalyzeText {
                    stopwords: Set[String]): Column =
     Shim.column(AnalyzeText(Shim.expression(c), mode, stemmer, stopwords))
 }
+
+/** Term-completion tokenizer (reference:
+  * bigdata/src/java/com/bigdata/search/TermCompletionAnalyzer.java —
+  * drop-down completion over technical vocabularies): each
+  * `wordBoundary`-separated word emits the word itself plus the
+  * suffix after every `subWord` boundary match, so a prefix query
+  * `tim*` finds "half-time" and `Ana*` finds "TermCompletionAnalyzer"
+  * (with subWord = a case-change pattern). With `soft` hyphens given,
+  * a term containing them ALSO emits the hyphen-discarded form
+  * ("halft*" finds "half-time" via "halftime"); terms stay verbatim
+  * otherwise (no lowercasing — the reference pairs this with a
+  * KeywordAnalyzer query tag). Empty suffixes are skipped. */
+object TermComplete {
+  def terms(wordB: java.util.regex.Pattern, subB: java.util.regex.Pattern,
+            soft: Option[java.util.regex.Pattern],
+            text: String): ArrayBuffer[String] = {
+    val out = new ArrayBuffer[String]
+    def emit(t: String): Unit = if (t.nonEmpty) {
+      soft match {
+        case Some(p) =>
+          val m = p.matcher(t)
+          if (m.find()) {
+            val clean = m.replaceAll("")
+            if (clean.nonEmpty) out += clean
+          }
+          out += t
+        case None => out += t
+      }
+    }
+    for (w <- wordB.split(text) if w.nonEmpty) {
+      emit(w)
+      val m = subB.matcher(w)
+      var from = 1
+      while (from < w.length && m.find(from)) {
+        val pos = m.end()
+        if (pos < w.length) emit(w.substring(pos))
+        // next search starts AFTER the match end (the reference's
+        // find(charPos+1) progression) — also guarantees progress on
+        // zero-width boundaries like a case-change lookahead
+        from = pos + 1
+      }
+    }
+    out
+  }
+}
+
+/** Native codegen expression for [[TermComplete]] — same
+  * reference-object pattern as [[AnalyzeText]], so the index build
+  * stays inside WholeStageCodegen. Patterns compile once per
+  * (serialized) instance. */
+case class TermCompleteText(child: Expression, subWord: String,
+                            soft: Option[String]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"term_complete needs STRING, got ${child.dataType}")
+
+  @transient private lazy val wordB = java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val subB = java.util.regex.Pattern.compile(subWord)
+  @transient private lazy val softP = soft.map(java.util.regex.Pattern.compile)
+
+  def run(s: UTF8String): ArrayData = {
+    val toks = TermComplete.terms(wordB, subB, softP, s.toString)
+    val arr = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { arr(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(v: Any): Any = run(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termComplete", this, classOf[TermCompleteText].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.run($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TermCompleteText =
+    copy(child = c)
+}
+
+object TermCompleteText {
+  def term_complete(c: Column, subWord: String, soft: Option[String]): Column =
+    Shim.column(TermCompleteText(Shim.expression(c), subWord, soft))
+}

@@ -136,6 +136,27 @@ object Analyzer {
       if (s == null || s.isEmpty) Seq.empty else Seq(s)
   }
 
+  /** Term-completion analyzer — the TermCompletionAnalyzer analog
+    * (TermCompletionAnalyzer.java, drop-down completion over technical
+    * vocabularies): each whitespace word emits itself plus the suffix
+    * after every `subWord` boundary, and (with `soft` given) the
+    * soft-hyphen-discarded form — so prefix queries (`bds:search
+    * "tim*"`) complete mid-word. Terms are verbatim (no lowercasing);
+    * the reference pairs the INDEX side with a keyword-analyzer query
+    * tag, and here the natural pairing is `prefixMatch = true` (or
+    * `byName("keyword")` on the query string). */
+  case class TermCompletion(subWord: String = "[-_]",
+                            soft: Option[String] = None) extends Analyzer {
+    def tokenize(c: Column): Column =
+      graft.functions.TermCompleteText.term_complete(c, subWord, soft)
+    def tokenizeLocal(s: String): Seq[String] =
+      if (s == null) Seq.empty
+      else graft.functions.TermComplete.terms(
+        java.util.regex.Pattern.compile("\\s+"),
+        java.util.regex.Pattern.compile(subWord),
+        soft.map(java.util.regex.Pattern.compile), s).toSeq
+  }
+
   /** Regex-split analyzer — the Lucene PatternAnalyzer analog
     * (ConfigurableAnalyzerFactory.java:54): `regex` matches token
     * SEPARATORS; text lowercases, splits on the pattern, empty tokens
@@ -188,6 +209,16 @@ object Analyzer {
     // the regex after "pattern:" is passed VERBATIM (not lowercased)
     if (lc.startsWith("pattern:"))
       return Pattern(name.substring("pattern:".length), stopwords)
+    // termcompletion[:<subWord regex>[:<soft-hyphen regex>]] — both
+    // regexes verbatim; bare name defaults to [-_] subword boundaries
+    if (lc.startsWith("termcompletion")) {
+      val rest = name.substring("termcompletion".length)
+      val parts = if (rest.isEmpty) Array.empty[String]
+                  else rest.stripPrefix(":").split(":", 2)
+      return TermCompletion(
+        subWord = if (parts.length >= 1 && parts(0).nonEmpty) parts(0) else "[-_]",
+        soft = if (parts.length >= 2 && parts(1).nonEmpty) Some(parts(1)) else None)
+    }
     lc match {
       case "keyword"                       => Keyword()
       case "cjk"                           => Cjk(stopwords)

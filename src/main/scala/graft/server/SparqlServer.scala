@@ -1380,12 +1380,15 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             val analyzer = formParam(body, "analyzer")
               .orElse(formParam(rawQuery(ex), "analyzer"))
               .filter(_.nonEmpty)
-            // plain names are id-shaped; pattern:<regex> carries the
-            // regex verbatim (any chars except newlines — the conf
-            // file is one line)
+            // plain names are id-shaped; pattern:<regex> and
+            // termcompletion:<subword>[:<soft>] carry their regexes
+            // verbatim (any chars except newlines — the conf file is
+            // one line)
             analyzer.foreach(a => require(
               a.matches("[A-Za-z0-9_-]+") ||
-                (a.toLowerCase.startsWith("pattern:") && !a.exists(c => c == '\n' || c == '\r')),
+                ((a.toLowerCase.startsWith("pattern:") ||
+                  a.toLowerCase.startsWith("termcompletion:")) &&
+                  !a.exists(c => c == '\n' || c == '\r')),
               s"bad analyzer name: $a"))
             try {
               namespaces.computeIfAbsent(name, { _ =>

@@ -926,6 +926,43 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("term-completion analyzer: mid-word suffixes, soft hyphens, prefix e2e") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.search.{Analyzer, FullText}
+    // each word emits itself + the suffix after every subword boundary
+    // (TermCompletionAnalyzer.java: typing 'tim' completes 'half-time')
+    val tc = Analyzer.byName("termcompletion")
+    assert(tc.isInstanceOf[Analyzer.TermCompletion])
+    assert(tc.tokenizeLocal("half-time score") == Seq("half-time", "time", "score"))
+    // soft hyphens: the discarded form indexes ALONGSIDE the raw form
+    // ('halft' completes 'half-time' via 'halftime')
+    val soft = Analyzer.byName("termcompletion:[-]:[-]")
+    assert(soft.tokenizeLocal("half-time") == Seq("halftime", "half-time", "time"))
+    // case-change boundaries via zero-width lookahead ('Ana' completes
+    // 'TermCompletionAnalyzer' — the javadoc's own example)
+    val camel = Analyzer.byName("termcompletion:(?=[A-Z])")
+    assert(camel.tokenizeLocal("TermCompletionAnalyzer") ==
+      Seq("TermCompletionAnalyzer", "CompletionAnalyzer", "Analyzer"))
+    // e2e with the natural query pairing: prefixMatch over the
+    // completion-indexed corpus
+    val docs = Seq((1L, "half-time report"), (2L, "fulltime work"))
+      .toDF("doc_id", "text")
+    val hits = FullText.search(docs, Seq("tim"), 20,
+      prefixMatch = true, analyzer = tc).collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L), s"got $hits") // 'fulltime' has no 'tim…' term
+    val hits2 = FullText.search(docs, Seq("halft"), 20,
+      prefixMatch = true, analyzer = soft).collect().map(_.getLong(0)).toSet
+    assert(hits2 == Set(1L), s"got $hits2") // via the discarded 'halftime'
+    // column path and tokenizeLocal agree (shared-body contract)
+    val samples2 = Seq((1L, "half-time x_y"), (2L, ""), (3L, "plain"))
+    val df2 = samples2.toDF("doc_id", "text")
+    val colPath2 = df2.select(col("doc_id"), tc.tokenize(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    samples2.foreach { case (i, s) =>
+      assert(colPath2(i) == tc.tokenizeLocal(s), s"diverges on '$s'")
+    }
+  }
+
   test("analyzers: column path and tokenizeLocal agree (single shared body)") {
     val spark2 = spark; import spark2.implicits._
     import graft.search.Analyzer

@@ -532,6 +532,24 @@ class ServerSpec extends AnyFunSuite {
       // keyword is a plain id-shaped name through the same seam
       assert(post(srv.address + "/namespace", "name=kwns&analyzer=keyword",
         "application/x-www-form-urlencoded").statusCode() == 201)
+      // term-completion (with a parameterized subword regex) rides the
+      // same seam — a prefix bds:search completes mid-word
+      assert(post(srv.address + "/namespace",
+        "name=tcns&analyzer=" + java.net.URLEncoder.encode("termcompletion:[-]", "UTF-8"),
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      assert(post(srv.address + "/namespace/tcns/sparql/update",
+        """INSERT DATA { x:d1 note "half-time report" }""",
+        "application/sparql-update").statusCode() == 204)
+      val tq = """SELECT ?lit WHERE {
+                 |  SERVICE bds:search { _:s bds:query "tim" .
+                 |                       _:s bds:prefixMatch "true" .
+                 |                       _:s bds:out ?lit }
+                 |}""".stripMargin
+      val tr = post(srv.address + "/namespace/tcns/sparql", tq,
+        "application/sparql-query")
+      assert(tr.statusCode() == 200, tr.body().take(300))
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, tr.body()).count() == 1,
+        tr.body())
       // malformed analyzer names still refuse loudly
       assert(post(srv.address + "/namespace", "name=bad&analyzer=no%20such!",
         "application/x-www-form-urlencoded").statusCode() != 201)

@@ -54,8 +54,38 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies")
 
-  /** All pairs sharing ≥1 shingle with exact Jaccard ≥ minJ, via an
-    * inverted shingle index (the all-pairs pruning step).
+  /** All pairs with exact Jaccard ≥ minJ over word n-gram shingles,
+    * via PREFIX-FILTERED candidate generation (the Chaudhuri/Xiao
+    * all-pairs/ppjoin family) + an exact sorted-merge verify.
+    *
+    * Candidate generation: rank each doc's df ≥ 2 shingles in ONE
+    * global order — document frequency ascending, hash as the tie
+    * break (rarest first) — and emit only each doc's ranked prefix to
+    * the self-join. With per-doc minimum qualifying intersection
+    * `α = ⌈minJ·|s|⌉ − v` over generatable shingles (`v` = the doc's
+    * viral count, see maxDf below), the prefix keeps `g − α + k`
+    * elements with k = min(α, ⌈(α+M)/2⌉): the extended prefix
+    * guarantees a qualifying pair shares ≥ min(M, max(αa,αb)) prefix
+    * shingles, so the join aggregates meet-counts per pair and a
+    * MATCH FLOOR prunes everything below it. Three in-join prunes run
+    * inside the join's codegen before any row materializes: the
+    * equality on the 8-byte shingle hash, the length filter
+    * (min(sa,sb) ≥ t·max(sa,sb)), and the M-slack positional filter
+    * (remaining rank capacity + min(M,maxα) must reach maxα — the
+    * slack keeps all first-min(M,maxα) meets of a qualifying pair so
+    * the floor count stays sound; proofs inline below). All filters
+    * are EXACT: zero qualifying pairs are droppable (spec-asserted
+    * against [[ngramJaccardPostings]] and the DuckDB oracle).
+    *
+    * Verification is a sorted-hash merge on the (floor-surviving)
+    * candidate pairs: each candidate doc's df ≥ 2 shingle hashes ride
+    * as one sorted long array and the zero-allocation merge kernel
+    * computes exact intersections
+    * ([[graft.functions.VectorExprs.sorted_long_intersect_count]],
+    * the minhashLsh verify shape) — df == 1 shingles can't intersect
+    * and stay out of the arrays; union sizes come from |s|. Viral
+    * shingles are IN the arrays, so no posting re-join or viral
+    * correction pass exists anymore.
     *
     * `maxDf` caps a shingle's document frequency: a shingle in k docs
     * contributes k² candidate rows to the self-join, so one viral
@@ -65,10 +95,185 @@ object Dedup {
     * is EXACT at any threshold: docs whose viral-shingle mass could
     * cover a qualifying intersection on its own (va ≥ minJ·sa — the
     * only possible missed-pair endpoints) re-run candidate generation
-    * uncapped among themselves, pay-as-you-go (see the escalation
-    * block below; asserted against the uncapped oracle, including a
-    * viral-only-pairs corpus). */
+    * uncapped among themselves, pay-as-you-go (asserted against the
+    * uncapped oracle, including a viral-only-pairs corpus, and
+    * against [[ngramJaccardPostings]] at sf0.1).
+    *
+    * Scale shape (fresh-JVM, local[32], per BENCH_r12_evidence): the
+    * prefix operator's ~6-stage chain carries ~5 s of fixed stage
+    * latency, so at 5k docs it ties the posting-join reference and at
+    * 50k docs it's within swing — the win is structural from ~10⁵
+    * docs up (measured ~2× at 500k: 79–90 s vs 152–178 s), growing
+    * with corpus size because the match-floor keeps verified
+    * candidates at ~the true-pair count (26.8k for 25.6k true at
+    * 500k docs) while the posting join's pair aggregate carries every
+    * sharing pair (113M there). */
   def ngramJaccard(docs: DataFrame, minJ: Double, n: Int = 3,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
+    // rounding-aware threshold: the final filter accepts round(J, 6)
+    // >= minJ, i.e. true J down to minJ - 5e-7 — every candidate
+    // bound below certifies against THAT threshold, or a boundary
+    // pair could slip past the prefix/escalation filters
+    val tEff = minJ - 5e-7
+    // the shingle typed-map (tokenize + slide + distinct) is the
+    // expensive corpus pass — materialize ONCE; the ranking, the
+    // escalation and the verify all read it
+    val sets = shingleSets(docs, n)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+      .localCheckpoint()
+    // every stage downstream of the explode needs only shingle
+    // IDENTITY, never the text — postings carry the shingle's xxhash64
+    // from the start, so every shuffle (df aggregate, rank join,
+    // per-doc group, meets, verify arrays) moves fixed-width longs
+    // instead of ~30-byte strings (measured ~2× on the perDoc stage at
+    // 100×). The operator is EXACT over the hashed-token universe: a
+    // 64-bit collision fuses two shingles corpus-wide — identity,
+    // df and intersections all move together, exactly as if the
+    // tokenizer had emitted one token — the same accepted-risk
+    // discipline as minhashLsh's sorted-hash verify (vocab²/2⁶⁵
+    // probability; ~10⁻⁷ at the 100× corpus).
+    val posts = sets.select(col("doc_id"), col("sz"),
+      explode(col("shingles")).as("sh0"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("sh0")).as("h"))
+    // dfreq is vocabulary-sized (an aggregate, orders of magnitude
+    // smaller than the corpus) — materialized because the rank join,
+    // the viral precheck and the escalation filter all read it
+    val dfreq = posts.groupBy("h").agg(count(lit(1)).as("c")).localCheckpoint()
+    // viral handling is PAY-AS-YOU-GO: one cheap aggregate on the
+    // persisted dfreq decides whether the escalation branch exists at
+    // all (usually false — then the plan carries no extra shuffles)
+    val hasViral = maxDf != Long.MaxValue && !dfreq.filter(col("c") > maxDf).isEmpty
+    // per-doc ranking WITHOUT a window: df == 1 postings can't be in
+    // ANY intersection and leave immediately; the rest group per doc
+    // in one shuffle, generatable postings (df <= maxDf) collect as
+    // (df, hash) structs whose lexicographic sort_array IS the global
+    // rarest-first rank order (a total order: hashes are the token
+    // identity), and the viral hashes fall out of the same aggregate.
+    // Materialized ONCE — the prefix projection (both self-join
+    // sides), the escalation filter and the verify arrays all derive
+    // from it map-side. (The row_number window variant measured 2.5×
+    // slower at 100×: an extra full posting shuffle + two sort passes.)
+    val perDoc = posts.join(dfreq.filter(col("c") > 1), "h")
+      .groupBy("doc_id", "sz")
+      .agg(
+        sort_array(collect_list(
+          when(col("c") <= maxDf, struct(col("c"), col("h"))))).as("gen"),
+        collect_list(when(col("c") > maxDf, col("h"))).as("vh"))
+      .withColumn("vc", size(col("vh")).cast("long"))
+      .localCheckpoint()
+    // EXTENDED prefix (the multi-match generalization of the classic
+    // gx − α + 1 prefix): keeping kx = min(αx, ⌈(αx+M)/2⌉) instead of
+    // 1 of the last α elements guarantees a qualifying pair shares
+    // not one but ≥ min(M, maxα) prefix shingles — and requiring that
+    // MATCH FLOOR in the aggregate below is what separates true pairs
+    // from the one-shared-rare-shingle noise floor (measured on the
+    // driver corpus: 206k candidates/5k docs at the single-match
+    // prefix vs 268 at M = 4, for 256 true pairs, zero misses; the
+    // corpus's dense shared vocabulary makes single-match prefixes
+    // nearly unselective). α ≤ 1 keeps the whole list; α > gx proves
+    // no qualifying pair exists for the doc and emits none.
+    val M = 4L
+    val prefix = perDoc
+      .withColumn("gx", size(col("gen")))
+      .withColumn("alpha", ceil(lit(tEff) * col("sz")) - col("vc"))
+      .withColumn("px", when(col("alpha") <= 1, col("gx"))
+        .otherwise(col("gx") - col("alpha") +
+          least(col("alpha"),
+            floor((col("alpha") + lit(M + 1)) / lit(2)).cast("long"))))
+      .select(col("doc_id"), col("sz"), col("gx"), col("alpha"),
+        posexplode(slice(col("gen"), lit(1), greatest(col("px"), lit(0L)))))
+      .select(col("doc_id"), col("sz"), col("gx"), col("alpha"),
+        (col("pos") + 1).as("rk"), col("col.h").as("h"))
+    // self-join with the ppjoin in-join prunes, evaluated inside the
+    // join's codegen BEFORE any meet row exists:
+    //  - length filter: J ≥ t forces min(sa,sb) ≥ I ≥ t·max(sa,sb);
+    //  - positional filter with M slack: at the pair's i-th (i ≤ m' =
+    //    min(M, maxα)) common prefix shingle, every common shingle
+    //    ranked at-or-before it is itself a common-prefix shingle
+    //    (order ≤ a prefix element pins it inside BOTH prefixes), so
+    //    the commons after it number ≥ maxα − i ≥ maxα − m', and both
+    //    remaining-capacity terms must cover them. The slack keeps
+    //    ALL first-m' meets of a qualifying pair, so the match-floor
+    //    count below still reaches m' — a 1-slack positional filter
+    //    here would drop later meets and break the floor (caught in
+    //    design simulation: m ≥ 6 lost true pairs).
+    // The aggregate then counts surviving meets per pair and applies
+    // the match floor; maxα ≤ 0 (viral-heavy ends) degrades the floor
+    // to 0 — conservative, the escalation path owns those docs.
+    val pairMaxA = greatest(col("x.alpha"), col("y.alpha"))
+    val candPrefix = prefix.alias("x").join(prefix.alias("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.sz"), col("y.sz")).cast("double") >=
+          lit(tEff) * greatest(col("x.sz"), col("y.sz")) &&
+        (least(col("x.gx") - col("x.rk"), col("y.gx") - col("y.rk")) +
+          least(lit(M), pairMaxA)) >= pairMaxA)
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("npfx"), max(pairMaxA).as("maxa"))
+      .filter(col("npfx") >= least(lit(M), col("maxa")))
+      .select("a", "b")
+    // CAP ESCALATION (round-9, unchanged by the prefix filter): a pair
+    // whose ENTIRE intersection is viral shares no generatable shingle
+    // and never reaches the prefix join. Both endpoints of such a pair
+    // need va ≥ tEff·sa (I ≤ min(va, vb) and I ≥ tEff·max(sa, sb)), so
+    // candidate generation re-runs EXACTLY (all shingles, no cap, no
+    // prefix) for those docs alone — empty unless viral mass dominates
+    // a doc's shingle set.
+    val cand0 = if (!hasViral) candPrefix else {
+      val uncert = perDoc
+        .filter(col("vc").cast("double") >= lit(tEff) * col("sz"))
+        .select("doc_id")
+      val uPosts = posts.select("doc_id", "h")
+        .join(uncert, "doc_id").localCheckpoint()
+      candPrefix.unionByName(
+        uPosts.alias("x").join(uPosts.alias("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
+    }
+    // distinct BEFORE the array join: candidate rows are two longs, so
+    // the dedup shuffle is cheap, while verifying per duplicate row
+    // would re-ship the hash arrays once per shared prefix shingle
+    val cand = cand0.distinct().localCheckpoint()
+    // exact verify on a sorted-hash merge (the minhashLsh kernel).
+    // The verify array holds ONLY df ≥ 2 shingle hashes (gen + viral):
+    // a df == 1 shingle can never be in an intersection, and the
+    // union size comes from sz — on a diverse corpus this cuts the
+    // per-doc payload by the unique-shingle fraction (the bulk of
+    // every real document). Built from the checkpointed perDoc for
+    // docs that appear in a candidate pair only (the semi-join keeps
+    // the two verify-side shuffles candidate-sized, not corpus-sized).
+    val inCand = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    val arrs = perDoc.join(inCand, "doc_id")
+      .select(col("doc_id"), col("sz"),
+        sort_array(concat(
+          transform(col("gen"), g => g.getField("h")),
+          col("vh"))).as("hs"))
+      .localCheckpoint() // read twice (a and b sides)
+    cand
+      .join(arrs.select(col("doc_id").as("a"), col("hs").as("ha"),
+        col("sz").as("sa")), "a")
+      .join(arrs.select(col("doc_id").as("b"), col("hs").as("hb"),
+        col("sz").as("sb")), "b")
+      .withColumn("inter", graft.functions.VectorExprs
+        .sorted_long_intersect_count(col("ha"), col("hb")).cast("double"))
+      // RAW prefilter per candidate; round(_, 6) (a BigDecimal per
+      // call) runs only on survivors — the minhashLsh discipline
+      .withColumn("raw", col("inter") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("raw") >= minJ - 1e-6)
+      .withColumn("jaccard", round(col("raw"), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Pre-round-12 reference shape: the full df-capped posting
+    * self-join with the pay-as-you-go viral correction + escalation.
+    * KEPT (not dead code) as the independent implementation the
+    * equivalence spec replays [[ngramJaccard]] against at sf0.1 and
+    * on the viral-heavy synthetic corpus, and as the A/B baseline for
+    * the prefix-filter scale evidence — its intersection counts come
+    * from posting joins on the shingle STRINGS, a fully disjoint code
+    * path from the prefix+merge-kernel operator. */
+  private[graft] def ngramJaccardPostings(docs: DataFrame, minJ: Double, n: Int = 3,
                    maxDf: Long = Long.MaxValue): DataFrame = {
     // the shingle computation (typed map: tokenize + slide + distinct)
     // is the expensive pass over the corpus — materialize it ONCE; five

@@ -1064,6 +1064,34 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { dt.coveringCells(wide, 30) }
   }
 
+  test("prefix-filtered ngramJaccard == posting-join reference (sf0.1 + viral synthetic)") {
+    val spark2 = spark; import spark2.implicits._
+    // the round-12 prefix-filter operator must produce the EXACT pair
+    // set (and Jaccard values) of the retained posting-join reference
+    // — two disjoint code paths (prefix candidates + sorted-hash merge
+    // verify vs full posting self-join + viral-correction counting)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    for (minJ <- Seq(0.5, 0.3)) {
+      val got = canon(graft.pipeline.Dedup.ngramJaccard(docs01, minJ, maxDf = 64))
+      val want = canon(graft.pipeline.Dedup.ngramJaccardPostings(docs01, minJ, maxDf = 64))
+      assert(got == want,
+        s"minJ=$minJ missed=${want -- got} extra=${got -- want}")
+    }
+    // viral-heavy synthetic: every shared shingle above the cap — the
+    // regime where candidates come ONLY from the escalation branch
+    val boiler = "all rights reserved to the original author of record"
+    val vdocs = (0 until 8).map(i =>
+      (i.toLong, s"$boiler unique$i tail$i")).toDF("doc_id", "text")
+    for (minJ <- Seq(0.3, 0.9)) {
+      val got = canon(graft.pipeline.Dedup.ngramJaccard(vdocs, minJ, maxDf = 4))
+      val want = canon(graft.pipeline.Dedup.ngramJaccardPostings(vdocs, minJ, maxDf = 4))
+      assert(got == want,
+        s"viral minJ=$minJ missed=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("df-cap escalation: viral-only pairs survive an aggressive cap exactly") {
     val spark2 = spark; import spark2.implicits._
     // 8 docs sharing ONLY a boilerplate phrase (every shared shingle

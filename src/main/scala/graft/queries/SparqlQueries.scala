@@ -562,6 +562,60 @@ object SparqlQueries {
         """SELECT ?g ?x ?n WHERE { GRAPH ?g { ?x name ?n } } ORDER BY ?g ?x"""),
         TpchRdf.source(s, dir))),
 
+    // search-in-search: hits of a full-text search over the store's
+    // LITERALS feed the subject position as a semi-join filter —
+    // the reference's bd:searchInSearch magic service
+    // (ast/eval/SearchInSearchServiceFactory.java), evaluated through
+    // the ServiceRegistry seam (sparql/BuiltinServices.scala)
+    "searchinsearch_service" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?r ?rname WHERE {
+          |  ?r name ?rname .
+          |  SERVICE bds:searchInSearch {
+          |    ?r bds:searchInSearch "middle east" .
+          |    ?r bds:matchAllTerms "true" .
+          |  }
+          |} ORDER BY ?r""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // paged access to one triple pattern through the pruned access
+    // path, deterministic in (s,p,o) key order — the reference's
+    // bd:slice service (ast/eval/SliceServiceFactory.java)
+    "slice_service" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?s ?bal WHERE {
+          |  SERVICE bd:slice {
+          |    ?s acctbal ?bal .
+          |    bd:serviceParam bd:slice.offset 10 .
+          |    bd:serviceParam bd:slice.limit 5 .
+          |  }
+          |} ORDER BY ?s ?bal""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // bd:slice range mode: the pattern's exact range count bound to a
+    // variable (the ESTCARD sibling; SliceServiceFactory RANGE param)
+    "slice_range_count" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?rng WHERE {
+          |  SERVICE bd:slice { ?s acctbal ?bal . bd:serviceParam bd:slice.range ?rng . }
+          |}""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // deterministic seeded sample of one access path — the reference's
+    // bd:sample service (ast/eval/SampleServiceFactory.java over
+    // SampleIndex); RANDOM = the md5-bucket draw, replayed exactly by
+    // the DuckDB oracle
+    "sample_service" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?s ?bal WHERE {
+          |  SERVICE bd:sample {
+          |    ?s acctbal ?bal .
+          |    bd:serviceParam bd:sample.limit 7 .
+          |    bd:serviceParam bd:sample.seed 42 .
+          |  }
+          |} ORDER BY ?s ?bal""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // group operators INSIDE a variable-GRAPH block: OPTIONAL composes
     // via the graph-var-carrying left join, and the property-path
     // closure evaluates WITHIN each graph (§13.3 per-graph semantics;
@@ -1014,6 +1068,38 @@ object SparqlQueries {
         |  SELECT 'g:nation' AS g, 'n:'||CAST(n_nationkey AS VARCHAR) AS x, n_name AS n FROM nation
         |  UNION ALL SELECT 'g:region', 'r:'||CAST(r_regionkey AS VARCHAR), r_name FROM region
         |) ORDER BY g, x""".stripMargin,
+
+    "searchinsearch_service" ->
+      // hit = any literal (non-IRI object) whose Latin tokenization
+      // contains ALL the query terms (matchAllTerms); the subject
+      // filter is an EXISTS over the triple view — the O→S semi-join
+      // the service compiles
+      (T + """SELECT s AS r, o AS rname FROM triples x
+        |WHERE p = 'name' AND EXISTS (
+        |  SELECT 1 FROM triples h
+        |  WHERE h.s = x.s
+        |    AND NOT regexp_matches(h.o, '^[A-Za-z][A-Za-z0-9+.-]*:')
+        |    AND NOT starts_with(h.o, '_:')
+        |    AND list_has_all(
+        |      list_filter(string_split_regex(lower(h.o), '[^a-z0-9]+'), y -> y <> ''),
+        |      ['middle', 'east'])
+        |)
+        |ORDER BY r""".stripMargin),
+
+    "slice_service" ->
+      (T + """SELECT s, bal FROM (
+        |  SELECT s, o AS bal FROM triples WHERE p = 'acctbal'
+        |  ORDER BY s, p, o LIMIT 5 OFFSET 10
+        |) ORDER BY s, bal""".stripMargin),
+
+    "slice_range_count" ->
+      (T + "SELECT count(*) AS rng FROM triples WHERE p = 'acctbal'"),
+
+    "sample_service" ->
+      (T + """SELECT s, bal FROM (
+        |  SELECT s, o AS bal FROM triples WHERE p = 'acctbal'
+        |  ORDER BY md5(s || '|' || p || '|' || o || '|42') LIMIT 7
+        |) ORDER BY s, bal""".stripMargin),
 
     "graph_var_pattern" ->
       """SELECT g, x, n FROM (

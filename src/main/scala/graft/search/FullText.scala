@@ -143,12 +143,47 @@ object FullText {
     rankAndScore(matched, n, query.size, matchAll, regex, minScore, maxRank, k)
   }
 
-  /** Shared scoring tail over query-matched postings
-    * (term, q_term, doc_id, tf). */
-  private def rankAndScore(matched: DataFrame, n: DataFrame, nQuery: Int,
+  /** ALL matching docs with scores — no rank cut, no global sort.
+    * The semi-join services (bds:searchInSearch) consume hits as a
+    * FILTER over another relation: a top-k would change the
+    * semantics, and a global sort would move the entire hit set to
+    * one partition for an ordering nothing downstream reads. Same
+    * matching/scoring pipeline as [[search]] minus the ranked tail. */
+  def searchAll(docs: DataFrame, queryIn: Seq[String],
+                prefixMatch: Boolean = false, matchAll: Boolean = false,
+                regex: Option[String] = None,
+                minScore: Option[Double] = None,
+                analyzer: Analyzer = Analyzer.Latin()): DataFrame = {
+    val query = queryIn.distinct
+    val raw = docs.select(col("doc_id"),
+      explode(analyzer.tokenize(col("text"))).as("term"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val matchedRaw = regex match {
+      case Some(re) =>
+        val terms = raw.select("term").distinct()
+          .filter(col("term").rlike(re))
+          .withColumn("q_term", col("term"))
+        raw.join(terms, "term")
+      case None =>
+        val q = docs.sparkSession.createDataFrame(query.map(Tuple1(_))).toDF("q_term")
+        val cond =
+          if (prefixMatch) col("term").startsWith(col("q_term"))
+          else col("term") === col("q_term")
+        raw.join(broadcast(q), cond)
+    }
+    val matched = matchedRaw
+      .groupBy("term", "q_term", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    scoreMatched(matched, n, query.size, matchAll, regex, minScore)
+      .select("doc_id", "score")
+  }
+
+  /** Shared scoring body over query-matched postings
+    * (term, q_term, doc_id, tf): per-doc TF·IDF + matchAll/minScore
+    * filters, NO ordering. */
+  private def scoreMatched(matched: DataFrame, n: DataFrame, nQuery: Int,
                            matchAll: Boolean, regex: Option[String],
-                           minScore: Option[Double], maxRank: Option[Int],
-                           k: Int): DataFrame = {
+                           minScore: Option[Double]): DataFrame = {
     // df per matched term == its global df (all of a term's postings
     // survive the query join); countDistinct guards the prefix case
     // where one posting can match several query entries
@@ -164,7 +199,15 @@ object FullText {
     val kept0 =
       if (matchAll && regex.isEmpty) scored.filter(col("n_matched") === nQuery)
       else scored
-    val kept1 = minScore.fold(kept0)(ms => kept0.filter(col("score") >= ms))
+    minScore.fold(kept0)(ms => kept0.filter(col("score") >= ms))
+  }
+
+  /** Shared ranked tail over query-matched postings. */
+  private def rankAndScore(matched: DataFrame, n: DataFrame, nQuery: Int,
+                           matchAll: Boolean, regex: Option[String],
+                           minScore: Option[Double], maxRank: Option[Int],
+                           k: Int): DataFrame = {
+    val kept1 = scoreMatched(matched, n, nQuery, matchAll, regex, minScore)
     val ranked = maxRank.fold(kept1) { mr =>
       // rank cutoff = top-mr by (score, doc_id): sort-limit compiles to
       // TakeOrderedAndProject (per-partition top-K, then merge) — a

@@ -1,0 +1,210 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Built-in magic services evaluated through the [[ServiceRegistry]]
+  * seam — the reference registers these as ServiceFactory instances
+  * keyed by their service IRI (ast/eval/SearchInSearchServiceFactory
+  * .java, SliceServiceFactory.java, SampleServiceFactory.java); here
+  * they are registry Handlers keyed by the same names, so SERVICE
+  * parsing, SILENT semantics and the enclosing-group join all come
+  * from the one ServiceCall code path.
+  *
+  * Each handler receives the SERVICE group's algebra (a plain BGP:
+  * the magic predicates parse as ordinary constant-predicate triple
+  * patterns) and the enclosing query's triple source.
+  */
+object BuiltinServices {
+
+  private def bgpOf(inner: Algebra, svc: String): Seq[TriplePattern] =
+    inner match {
+      case Bgp(ps @ _*) => ps
+      case other => sys.error(
+        s"SERVICE $svc expects a plain triple-pattern group, got $other")
+    }
+
+  /** Literal corpus of a store: every distinct non-IRI object term,
+    * doc_id = the term itself (what the hit joins back on), text =
+    * the lexical form — the reference FullTextIndex's value-centric
+    * index over literal values. Vocabulary-sized (a distinct over the
+    * object column); at production scale this IS the persisted
+    * literal text index. */
+  private def literalCorpus(src: TripleSource): DataFrame = {
+    val t = src.triples.select(col("o").cast("string").as("t")).distinct()
+    val isIri = col("t").rlike(Parser.IriShape) && !col("t").startsWith("_:")
+    t.filter(!isIri && !col("t").startsWith("_:"))
+      .select(col("t").as("doc_id"), RdfLiteral.strOf(col("t")).as("text"))
+  }
+
+  /** `SERVICE bds:searchInSearch { ?s bds:searchInSearch "query" . }`
+    * — the reference's search-in-search filter
+    * (SearchInSearchServiceFactory.java:79: keep bindings of ?s that
+    * link to a Literal found via the full-text index). Options ride
+    * as extra magic-predicate patterns on the same subject:
+    * bds:matchAllTerms, bds:matchRegex, bds:minRelevance,
+    * bds:maxRank; a '*' anywhere in the query string switches every
+    * term to prefix match (reference behavior).
+    *
+    * Spark shape: FT-match the store's literal space (no rank cut —
+    * [[graft.search.FullText.searchAll]]), then one O→S join
+    * (the OSP access-path analog) and a distinct — the handler
+    * returns the matched-subject SET as a one-column solution, and
+    * the compiler's enclosing-group join makes it a semi-join filter
+    * on ?s. Divergence noted: with NO enclosing binding of ?s the
+    * reference emits nothing (its executor filters incoming binding
+    * sets); here the service binds the matched subjects — the
+    * declarative-set semantics of the same definition. */
+  private[sparql] val searchInSearch: ServiceRegistry.Handler = (inner, src) => {
+    val pats = bgpOf(inner, "bds:searchInSearch")
+    val main = pats.find(_.p == Const("bds:searchInSearch")).getOrElse(
+      sys.error("bds:searchInSearch needs a '?s bds:searchInSearch \"query\"' pattern"))
+    val outVar = main.s match {
+      case Var(n) => n
+      case other  => sys.error(s"bds:searchInSearch subject must be a variable, got $other")
+    }
+    val query = main.o match {
+      case Const(q) => q
+      case other    => sys.error(s"bds:searchInSearch object must be a literal, got $other")
+    }
+    def opt(name: String): Option[String] = pats.collectFirst {
+      case TriplePattern(s, Const(p), Const(o)) if p == name && s == main.s => o
+    }
+    val prefixMatch = query.contains("*")
+    val qText = if (prefixMatch) query.replace("*", "") else query
+    val az = src.defaultAnalyzer.map(graft.search.Analyzer.byName(_))
+      .getOrElse(graft.search.Analyzer.Latin())
+    val hits0 = graft.search.FullText.searchAll(
+      literalCorpus(src), az.tokenizeLocal(qText),
+      prefixMatch = prefixMatch,
+      matchAll = opt("bds:matchAllTerms").exists(_.toBoolean),
+      regex = opt("bds:matchRegex"),
+      minScore = opt("bds:minRelevance").map(_.toDouble),
+      analyzer = az)
+    // maxRank is the only option that needs an order: a bounded
+    // sort-limit (TakeOrderedAndProject), applied to hits only
+    val hits = opt("bds:maxRank").map(_.toInt).fold(hits0)(mr =>
+      hits0.orderBy(col("score").desc, col("doc_id")).limit(mr))
+    src.triples.join(hits.select(col("doc_id").as("o")), "o")
+      .select(col("s").as(outVar)).distinct()
+  }
+
+  /** Bind a pattern scan's columns to the pattern's variable names
+    * (constant positions drop; a repeated variable filters equality
+    * and binds once — the shared-variable BGP rule). */
+  private def bindPattern(rows: DataFrame, tp: TriplePattern): DataFrame = {
+    val positions = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+    val varCols: Seq[(String, String)] =
+      positions.collect { case (c, Var(n)) => (c, n) }
+    require(varCols.nonEmpty, s"pattern binds no variables: $tp")
+    val filtered = varCols.groupBy(_._2).values.filter(_.size > 1)
+      .foldLeft(rows) { (df, grp) =>
+        grp.map(_._1).sliding(2).foldLeft(df)((d, w) =>
+          d.filter(col(w.head) === col(w(1))))
+      }
+    val firstPerVar = varCols.groupBy(_._2).map { case (n, g) => (g.head._1, n) }
+    filtered.select(firstPerVar.toSeq.sortBy(_._1)
+      .map { case (c, n) => col(c).as(n) }: _*)
+  }
+
+  private def paramOf(pats: Seq[TriplePattern], key: String): Option[Term] =
+    pats.collectFirst {
+      case TriplePattern(Const("bd:serviceParam"), Const(p), o) if p == key => o
+    }
+
+  private def splitParams(pats: Seq[TriplePattern], svc: String): (TriplePattern, Seq[TriplePattern]) = {
+    val (params, data) = pats.partition(_.s == Const("bd:serviceParam"))
+    require(data.size == 1,
+      s"SERVICE $svc expects exactly one triple pattern, got ${data.size}")
+    (data.head, params)
+  }
+
+  /** `SERVICE bd:slice { <one pattern> . bd:serviceParam … }` — the
+    * reference's statement-pattern slicing service
+    * (SliceServiceFactory.java:35): paged access to a single access
+    * path, or (bd:slice.range ?v) its exact range count — the
+    * ESTCARD sibling. Params: bd:slice.offset (default 0),
+    * bd:slice.limit (default 1000), bd:slice.range ?var.
+    *
+    * Spark shape: the pattern goes through the source's access-path
+    * selection ([[TripleSource.scan]] — bound positions prune to
+    * branch scans), pages are deterministic in (s,p,o) key order (the
+    * SPO B+Tree key order the reference pages in), and offset/limit
+    * compile to a bounded global sort-limit, never a full
+    * materialization. Range mode is one COUNT aggregate. */
+  private[sparql] val slice: ServiceRegistry.Handler = (inner, src) => {
+    val pats = bgpOf(inner, "bd:slice")
+    val (tp, params) = splitParams(pats, "bd:slice")
+    val rangeVar = paramOf(params, "bd:slice.range").collect { case Var(n) => n }
+    val rows = src.scan(tp)
+    rangeVar match {
+      case Some(rv) => rows.agg(count(lit(1)).as(rv))
+      case None =>
+        val offset = paramOf(params, "bd:slice.offset")
+          .collect { case Const(v) => v.toLong }.getOrElse(0L)
+        val limit = paramOf(params, "bd:slice.limit")
+          .collect { case Const(v) => v.toLong }.getOrElse(1000L)
+        // page in full key order FIRST, bind variables after — the
+        // slice's identity is the key-order window, independent of
+        // which positions are variables
+        val page = rows.orderBy(col("s"), col("p"), col("o"))
+          .offset(offset.toInt).limit(limit.toInt)
+        bindPattern(page, tp)
+    }
+  }
+
+  /** `SERVICE bd:sample { <one pattern> . bd:serviceParam … }` — the
+    * reference's access-path sampling service
+    * (SampleServiceFactory.java:33 over bop/ap/SampleIndex.java).
+    * Params: bd:sample.limit (default 100), bd:sample.seed (default
+    * 0), bd:sample.sampleType RANDOM | EVEN | DENSE (default RANDOM).
+    *
+    * Deterministic across engines and partitionings:
+    *  - RANDOM: order by md5(s|p|o|seed) and take the first `limit` —
+    *    the md5-bucket discipline (a seeded uniform draw any engine
+    *    can replay; compiles to TakeOrderedAndProject, per-partition
+    *    top-K + merge, never a full sort);
+    *  - DENSE: the first `limit` rows in (s,p,o) key order (the
+    *    reference's leading-keys sample);
+    *  - EVEN: every ⌈n/limit⌉-th row of the key-ordered path — pays
+    *    one range count + one ordered index pass (zipWithIndex: the
+    *    per-partition offsets come from one count job, the pick is
+    *    then map-side — no single-partition window). */
+  private[sparql] val sample: ServiceRegistry.Handler = (inner, src) => {
+    val pats = bgpOf(inner, "bd:sample")
+    val (tp, params) = splitParams(pats, "bd:sample")
+    val limit = paramOf(params, "bd:sample.limit")
+      .collect { case Const(v) => v.toInt }.getOrElse(100)
+    val seed = paramOf(params, "bd:sample.seed")
+      .collect { case Const(v) => v.toLong }.getOrElse(0L)
+    val sampleType = paramOf(params, "bd:sample.sampleType")
+      .collect { case Const(v) => v.toUpperCase }.getOrElse("RANDOM")
+    val rows = src.scan(tp)
+    val picked = sampleType match {
+      case "RANDOM" =>
+        rows.orderBy(md5(concat_ws("|",
+            col("s"), col("p"), col("o"), lit(seed.toString))))
+          .limit(limit)
+      case "DENSE" =>
+        rows.orderBy(col("s"), col("p"), col("o")).limit(limit)
+      case "EVEN" =>
+        val ordered = rows.orderBy(col("s"), col("p"), col("o"))
+        val n = ordered.count()
+        val stride = math.max(1L, n / math.max(1, limit))
+        val spark = rows.sparkSession
+        spark.createDataFrame(
+            ordered.rdd.zipWithIndex()
+              .filter(_._2 % stride == 0).map(_._1), ordered.schema)
+          .limit(limit)
+      case other => sys.error(s"bd:sample.sampleType must be RANDOM | EVEN | DENSE, got $other")
+    }
+    bindPattern(picked, tp)
+  }
+
+  /** Registration hook — referenced from [[ServiceRegistry]]'s
+    * initializer so the built-ins exist before any lookup. */
+  private[sparql] def all: Seq[(String, ServiceRegistry.Handler)] = Seq(
+    "bds:searchInSearch" -> searchInSearch,
+    "bd:slice" -> slice,
+    "bd:sample" -> sample)
+}

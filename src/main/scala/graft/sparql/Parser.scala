@@ -690,18 +690,28 @@ object Parser {
           next()
           val silent = if (peekIs("SILENT")) { next(); true } else false
           val svc = next()
-          if (svc.startsWith("<")) {
-            // SERVICE [SILENT] <endpoint> { group }: federation to a
-            // registered endpoint (ServiceRegistry.java:67); the inner
-            // group is ordinary algebra, evaluated by the handler. The
-            // group's token span rides along as srcText — what a
-            // remote handler POSTs (RemoteServiceCallImpl serializes
-            // the service group back to SPARQL the same way)
+          // first-class algebra services (the reference's built-in
+          // AST-rewritten factories) keep their dedicated parse; every
+          // OTHER service — <iri> endpoints AND named magic services
+          // like bds:searchInSearch / bd:slice / bd:sample — routes
+          // through ServiceCall to the registry, its inner group
+          // parsed as ordinary algebra (the magic predicates are just
+          // constant-predicate patterns the handler interprets)
+          val algebraService =
+            Set("gas:service", "bds:search", "geo:search").contains(svc)
+          if (!algebraService) {
+            // SERVICE [SILENT] <endpoint-or-name> { group }: federation
+            // to a registered endpoint (ServiceRegistry.java:67); the
+            // inner group is ordinary algebra, evaluated by the
+            // handler. The group's token span rides along as srcText —
+            // what a remote handler POSTs (RemoteServiceCallImpl
+            // serializes the service group back to SPARQL the same way)
             flush()
             val t0 = pos
             val g = parseGroup()
             val text = tokens.slice(t0, pos).mkString(" ")
-            add(ServiceCall(svc.drop(1).dropRight(1), g, silent, Some(text)))
+            val key = if (svc.startsWith("<")) svc.drop(1).dropRight(1) else svc
+            add(ServiceCall(key, g, silent, Some(text)))
           } else {
           expect("{")
           val config = Vector.newBuilder[(String, String)]

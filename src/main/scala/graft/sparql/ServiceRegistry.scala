@@ -61,4 +61,10 @@ object ServiceRegistry {
   def unregisterRemote(endpoint: String): Unit = remotes.remove(endpoint)
 
   def lookupRemote(endpoint: String): Option[RemoteHandler] = remotes.get(endpoint)
+
+  // built-in magic services (searchInSearch / slice / sample) register
+  // through the same seam user endpoints use — the reference wires its
+  // ServiceFactory instances into the registry the same way
+  // (ServiceRegistry.java static init). Runs after `handlers` above.
+  BuiltinServices.all.foreach { case (name, h) => register(name, h) }
 }

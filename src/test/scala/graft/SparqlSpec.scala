@@ -192,6 +192,115 @@ class SparqlSpec extends AnyFunSuite {
     assert(full.select("x").except(bound.select("x")).isEmpty)
   }
 
+  test("bds:searchInSearch filters subjects by a full-text hit on their literals") {
+    // reference SearchInSearchServiceFactory.java: incoming ?s survive
+    // only when they link (any predicate) to a Literal the FT index
+    // matches for the query string
+    val g = Graft.empty(spark).update(
+      """INSERT DATA {
+        |  x:a note "the spark engine" . x:b note "plain words" .
+        |  x:c note "spark again" . x:b link x:a }""".stripMargin)
+    def subs(q: String): Seq[String] =
+      g.query(q).collect().map(_.getString(0)).toSeq
+    assert(subs(
+      """SELECT ?s WHERE {
+        |  ?s note ?t .
+        |  SERVICE bds:searchInSearch { ?s bds:searchInSearch "spark" . }
+        |} ORDER BY ?s""".stripMargin) == Seq("x:a", "x:c"))
+    // matchAllTerms: the linked literal must match EVERY query term
+    assert(subs(
+      """SELECT ?s WHERE {
+        |  ?s note ?t .
+        |  SERVICE bds:searchInSearch {
+        |    ?s bds:searchInSearch "spark engine" .
+        |    ?s bds:matchAllTerms "true" .
+        |  }
+        |} ORDER BY ?s""".stripMargin) == Seq("x:a"))
+    // '*' anywhere switches all terms to prefix match (reference strips it)
+    assert(subs(
+      """SELECT ?s WHERE {
+        |  ?s note ?t .
+        |  SERVICE bds:searchInSearch { ?s bds:searchInSearch "spar*" . }
+        |} ORDER BY ?s""".stripMargin) == Seq("x:a", "x:c"))
+    // IRIs are not literals: x:b links to x:a but no literal says "x"
+    assert(subs(
+      """SELECT ?s WHERE {
+        |  ?s note ?t .
+        |  SERVICE bds:searchInSearch { ?s bds:searchInSearch "x" . }
+        |}""".stripMargin).isEmpty)
+  }
+
+  test("named magic SERVICE under SILENT degrades to the unit solution") {
+    val g = Graft.empty(spark).update("""INSERT DATA { x:a note "w" . }""")
+    val rows = g.query(
+      """SELECT ?s WHERE {
+        |  ?s note ?t .
+        |  SERVICE SILENT unregistered:svc { ?s unregistered:magic "q" . }
+        |}""".stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("x:a"))
+  }
+
+  test("bd:slice pages an access path deterministically in (s,p,o) key order") {
+    val src = TpchRdf.source(spark, SF)
+    def page(offset: Int, limit: Int) = Compiler.compile(Parser.parse(
+      s"""SELECT ?s ?bal WHERE {
+         |  SERVICE bd:slice {
+         |    ?s acctbal ?bal .
+         |    bd:serviceParam bd:slice.offset $offset .
+         |    bd:serviceParam bd:slice.limit $limit .
+         |  }
+         |}""".stripMargin), src)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val all = tri.filter(col("p") === "acctbal")
+      .orderBy("s", "p", "o")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(page(0, 4) == all.take(4).sorted)
+    assert(page(7, 5) == all.slice(7, 12).sorted)
+    // pages tile: no overlap, no gap
+    assert((page(0, 4) ++ page(4, 4)).sorted == all.take(8).sorted)
+    // range mode: one row binding the exact range count
+    val cnt = Compiler.compile(Parser.parse(
+      """SELECT ?rng WHERE {
+        |  SERVICE bd:slice { ?s acctbal ?bal . bd:serviceParam bd:slice.range ?rng . }
+        |}""".stripMargin), src).collect()
+    assert(cnt.length == 1 && cnt(0).getLong(0) == all.size.toLong)
+  }
+
+  test("bd:sample: RANDOM is the seeded md5 draw; DENSE/EVEN follow key order") {
+    val src = TpchRdf.source(spark, SF)
+    def sample(extra: String, limit: Int) = Compiler.compile(Parser.parse(
+      s"""SELECT ?s ?bal WHERE {
+         |  SERVICE bd:sample {
+         |    ?s acctbal ?bal .
+         |    bd:serviceParam bd:sample.limit $limit .
+         |    $extra
+         |  }
+         |}""".stripMargin), src)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val scan = tri.filter(col("p") === "acctbal")
+    // RANDOM: exactly the first `limit` rows of the seeded md5 order —
+    // deterministic, engine-replayable (the DuckDB oracle recomputes it)
+    val bySeed = scan
+      .withColumn("k", md5(concat_ws("|", col("s"), col("p"), col("o"), lit("42"))))
+      .orderBy("k").limit(6)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq.sorted
+    val random = sample("bd:serviceParam bd:sample.seed 42 .", 6)
+    assert(random == bySeed)
+    // same seed twice = same sample; different seed = (here) different rows
+    assert(sample("bd:serviceParam bd:sample.seed 42 .", 6) == random)
+    assert(sample("bd:serviceParam bd:sample.seed 7 .", 6) != random)
+    // DENSE: leading rows of the key-ordered path
+    val all = scan.orderBy("s", "p", "o")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(sample("bd:serviceParam bd:sample.sampleType \"DENSE\" .", 5)
+      == all.take(5).sorted)
+    // EVEN: every ceil(n/limit)-th row of the key order
+    val stride = math.max(1L, all.size.toLong / 5)
+    val even = all.zipWithIndex.collect { case (r, i) if i % stride == 0 => r }
+      .take(5).sorted
+    assert(sample("bd:serviceParam bd:sample.sampleType \"EVEN\" .", 5) == even)
+  }
+
   test("TripleStore delete/insert/clear semantics") {
     val store = TripleStore(tri.filter(col("p") === "mktsegment"))
     val n = store.triples.count()

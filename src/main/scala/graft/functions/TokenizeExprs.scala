@@ -409,7 +409,7 @@ object LightStemmer {
   private val daFold = Map('å' -> "a", 'æ' -> "a", 'ø' -> "o", 'é' -> "e")
 
   /** Danish light: genitive -s, then one definite/plural ending
-    * (-erne/-ende/-erne/-ene/-er/-en/-et/-es/-e), stem floor 3.
+    * (-erne/-ende/-ene/-er/-en/-et/-es/-e), stem floor 3.
     * bilerne/biler → bil, husene/huset → hus. */
   def da(word: String): String = {
     if (hasDigit(word)) return word
@@ -429,9 +429,12 @@ object LightStemmer {
     * vowel-harmony folding (ä/ö → a/o so -ssa/-ssä collapse), then ONE
     * case/number ending longest-first — plural locatives (-issa/-ista/
     * -illa/-ilta/-ille), singular locatives (-ssa/-sta/-lla/-lta/-lle),
-    * translative -ksi, essive -na, genitive -n, partitive -a after a
-    * vowel; stem floor 3. talossa/taloissa/talon → talo,
-    * kirjasta/kirjalla → kirja. */
+    * translative -ksi, essive -na; otherwise a bare genitive -n
+    * (floor 4) or plural -t (floor 5). Stem floor 3 on the case
+    * endings. Partitive -a is deliberately NOT stripped: a bare
+    * trailing -a is usually part of the stem (kirja), and the
+    * false-merge cost outweighs the recall on this shallow tier.
+    * talossa/taloissa/talon → talo, kirjasta/kirjalla → kirja. */
   def fi(word: String): String = {
     if (hasDigit(word)) return word
     var w = fold(word, fiFold)
@@ -720,7 +723,8 @@ object TermComplete {
   * stays inside WholeStageCodegen. Patterns compile once per
   * (serialized) instance. */
 case class TermCompleteText(child: Expression, subWord: String,
-                            soft: Option[String]) extends UnaryExpression {
+                            soft: Option[String],
+                            wordBoundary: String = "\\s+") extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -729,7 +733,7 @@ case class TermCompleteText(child: Expression, subWord: String,
     else TypeCheckResult.TypeCheckFailure(
       s"term_complete needs STRING, got ${child.dataType}")
 
-  @transient private lazy val wordB = java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val wordB = java.util.regex.Pattern.compile(wordBoundary)
   @transient private lazy val subB = java.util.regex.Pattern.compile(subWord)
   @transient private lazy val softP = soft.map(java.util.regex.Pattern.compile)
 
@@ -753,6 +757,7 @@ case class TermCompleteText(child: Expression, subWord: String,
 }
 
 object TermCompleteText {
-  def term_complete(c: Column, subWord: String, soft: Option[String]): Column =
-    Shim.column(TermCompleteText(Shim.expression(c), subWord, soft))
+  def term_complete(c: Column, subWord: String, soft: Option[String],
+                    wordBoundary: String = "\\s+"): Column =
+    Shim.column(TermCompleteText(Shim.expression(c), subWord, soft, wordBoundary))
 }

@@ -71,9 +71,13 @@ object Ann {
     * classic `vec_id % centroidMod == 0` candidates, hash-thinned to at
     * most ~`maxBookK` survivors. The thin factor is derived from one
     * cheap single-column count (`⌈S / maxBookK⌉`), and survival is a
-    * Knuth multiplicative hash on vec_id (`(id·2654435761) mod 1000003
-    * mod thin == 0`) — pure integer arithmetic the DuckDB oracle
-    * replays verbatim. With S ≤ maxBookK the thin factor is 1 and the
+    * Knuth multiplicative hash on vec_id
+    * (`((id mod 2³¹)·2654435761) mod 1000003 mod thin == 0`) — pure
+    * integer arithmetic the DuckDB oracle replays verbatim AT ANY id:
+    * the 31-bit fold keeps the multiply ≤ (2³¹−1)·2654435761 ≈
+    * 5.7·10¹⁸ < 2⁶³−1, so neither engine overflows (unfolded, ids
+    * past ~3.5·10⁹ would wrap in Spark and error in DuckDB). With
+    * S ≤ maxBookK the thin factor is 1 and the
     * filter is a no-op, so small-corpus results are unchanged; at true
     * 100-TB vector counts K stays fixed instead of growing as N/64
     * (the round-10 verdict's driver-OOM + O(N·K) flops hazard). */
@@ -84,7 +88,8 @@ object Ann {
       .select(col("vec_id"), col("embedding"))
     val s = cand.select(count(lit(1))).head().getLong(0)
     val thin = (s + maxBookK - 1) / maxBookK.toLong max 1L
-    cand.filter(col("vec_id") * lit(2654435761L) % 1000003L % lit(thin) === 0)
+    cand.filter(
+      col("vec_id") % lit(2147483648L) * lit(2654435761L) % 1000003L % lit(thin) === 0)
   }
 
   /** Driver-side centroid book: (c_id, components-as-double, norm),

@@ -66,13 +66,39 @@ object GasQueries {
     * per r10 evidence, ×4 queries). The cache key carries the corpus
     * dir and the (threshold, maxDf) params; a second driver run in a
     * fresh JVM rebuilds — the stage is per-run, not durable state. */
+  // pair-graph parameters: ONE definition feeds both the cache key and
+  // the ngramJaccard call, so they cannot drift apart silently
+  private val PairJ = 0.5
+  private val PairMaxDf = 64L
   private val stagedPairs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val key = s"$dir|j=0.5|maxDf=64"
+    val key = s"$dir|j=$PairJ|maxDf=$PairMaxDf"
     val path = stagedPairs.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ndpairs").toString
+      // staging root: spark.graft.scratchDir if set (a cluster deploy
+      // points it at shared storage — a driver-local temp dir would be
+      // invisible to executors on other hosts), else a driver temp dir
+      // registered for JVM-exit cleanup (local mode). Staleness note:
+      // the cache is keyed by dir+params only — rewriting the
+      // documents table at `dir` within one JVM serves the old graph;
+      // the stage is per-run state, not durable (a fresh driver
+      // rebuilds), matching how the four graph-metric consumers run.
+      val p = s.conf.getOption("spark.graft.scratchDir") match {
+        case Some(root) =>
+          val d = new org.apache.hadoop.fs.Path(root,
+            "graft_ndpairs_" + Integer.toHexString(key.hashCode))
+          d.toString
+        case None =>
+          val d = java.nio.file.Files.createTempDirectory("graft_ndpairs")
+          sys.addShutdownHook {
+            try {
+              java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+          d.toString
+      }
       graft.pipeline.Dedup
-        .ngramJaccard(TpchRdf.table(s, dir, "documents"), 0.5, maxDf = 64)
+        .ngramJaccard(TpchRdf.table(s, dir, "documents"), PairJ, maxDf = PairMaxDf)
         .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
         .write.mode("overwrite").parquet(p)
       p

@@ -609,7 +609,7 @@ object PipelineQueries {
          |th AS (SELECT CAST((COUNT(*) + 4095) // 4096 AS BIGINT) AS t FROM cand),
          |cents AS (
          |  SELECT vec_id AS c_id, embedding AS ce FROM cand, th
-         |  WHERE (vec_id * 2654435761 % 1000003) % t = 0),
+         |  WHERE (vec_id % 2147483648 * 2654435761 % 1000003) % t = 0),
          |fan AS (
          |  SELECT e.vec_id AS n_id, e.embedding AS ne, c.c_id,
          |    ${cosExpr("e.embedding", "c.ce")} AS csim
@@ -819,7 +819,7 @@ object PipelineQueries {
       s"""WITH cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 64 = 0),
          |th AS (SELECT CAST((COUNT(*) + 4095) // 4096 AS BIGINT) AS t FROM cand),
          |seeds AS (SELECT vec_id AS c_id, embedding AS ce FROM cand, th
-         |          WHERE (vec_id * 2654435761 % 1000003) % t = 0),
+         |          WHERE (vec_id % 2147483648 * 2654435761 % 1000003) % t = 0),
          |fan AS (SELECT e.vec_id, e.embedding, c.c_id,
          |          ${cosExpr("e.embedding", "c.ce")} AS csim
          |        FROM embeddings e CROSS JOIN seeds c),
@@ -878,7 +878,7 @@ object PipelineQueries {
       s"""WITH cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 64 = 0),
          |th AS (SELECT CAST((COUNT(*) + 4095) // 4096 AS BIGINT) AS t FROM cand),
          |seeds AS (SELECT vec_id AS c_id, embedding AS ce FROM cand, th
-         |          WHERE (vec_id * 2654435761 % 1000003) % t = 0),
+         |          WHERE (vec_id % 2147483648 * 2654435761 % 1000003) % t = 0),
          |fan AS (SELECT e.vec_id, e.embedding, c.c_id,
          |          ${cosExpr("e.embedding", "c.ce")} AS csim
          |        FROM embeddings e CROSS JOIN seeds c),

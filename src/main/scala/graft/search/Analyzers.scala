@@ -146,13 +146,25 @@ object Analyzer {
     * tag, and here the natural pairing is `prefixMatch = true` (or
     * `byName("keyword")` on the query string). */
   case class TermCompletion(subWord: String = "[-_]",
-                            soft: Option[String] = None) extends Analyzer {
+                            soft: Option[String] = None,
+                            // the reference's wordBoundary parameter
+                            // (TermCompletionAnalyzer ctor arg 1);
+                            // reachable only through THIS config seam —
+                            // the `termcompletion:…` NAME syntax pins
+                            // whitespace words because its ':' slots
+                            // are taken (and terms stay verbatim, so a
+                            // default-boundary word keeps attached
+                            // punctuation: "report." indexes with the
+                            // dot — prefix queries tolerate it, exact
+                            // keyword queries need a boundary like
+                            // [\s\p{Punct}]+ set here)
+                            wordBoundary: String = "\\s+") extends Analyzer {
     def tokenize(c: Column): Column =
-      graft.functions.TermCompleteText.term_complete(c, subWord, soft)
+      graft.functions.TermCompleteText.term_complete(c, subWord, soft, wordBoundary)
     def tokenizeLocal(s: String): Seq[String] =
       if (s == null) Seq.empty
       else graft.functions.TermComplete.terms(
-        java.util.regex.Pattern.compile("\\s+"),
+        java.util.regex.Pattern.compile(wordBoundary),
         java.util.regex.Pattern.compile(subWord),
         soft.map(java.util.regex.Pattern.compile), s).toSeq
   }
@@ -210,11 +222,18 @@ object Analyzer {
     if (lc.startsWith("pattern:"))
       return Pattern(name.substring("pattern:".length), stopwords)
     // termcompletion[:<subWord regex>[:<soft-hyphen regex>]] — both
-    // regexes verbatim; bare name defaults to [-_] subword boundaries
-    if (lc.startsWith("termcompletion")) {
-      val rest = name.substring("termcompletion".length)
+    // regexes verbatim; bare name defaults to [-_] subword boundaries.
+    // The name must be EXACTLY 'termcompletion' or carry ':' right
+    // after it — a typo like 'termcompletions' falls through to the
+    // unknown-name path instead of silently becoming a subWord regex.
+    // Because the first ':' splits name/subWord and the second splits
+    // subWord/soft, the subWord regex cannot contain a literal ':'
+    // at all (no escaping — pick another boundary class); the soft
+    // regex, being last, may.
+    if (lc == "termcompletion" || lc.startsWith("termcompletion:")) {
+      val rest = name.substring("termcompletion".length).stripPrefix(":")
       val parts = if (rest.isEmpty) Array.empty[String]
-                  else rest.stripPrefix(":").split(":", 2)
+                  else rest.split(":", 2)
       return TermCompletion(
         subWord = if (parts.length >= 1 && parts(0).nonEmpty) parts(0) else "[-_]",
         soft = if (parts.length >= 2 && parts(1).nonEmpty) Some(parts(1)) else None)

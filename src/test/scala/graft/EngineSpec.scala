@@ -943,6 +943,17 @@ class EngineSpec extends AnyFunSuite {
     val camel = Analyzer.byName("termcompletion:(?=[A-Z])")
     assert(camel.tokenizeLocal("TermCompletionAnalyzer") ==
       Seq("TermCompletionAnalyzer", "CompletionAnalyzer", "Analyzer"))
+    // name matching is exact-or-colon: a typo like 'termcompletions'
+    // must NOT become TermCompletion(subWord="s") — it falls through
+    // to the language fallback (Latin), the pre-r11 behavior
+    assert(!Analyzer.byName("termcompletions").isInstanceOf[Analyzer.TermCompletion])
+    // wordBoundary is a config-seam parameter (reference ctor arg):
+    // a punctuation-aware boundary drops the attached dot that the
+    // default whitespace boundary keeps verbatim
+    assert(Analyzer.TermCompletion().tokenizeLocal("half-time report.")
+      == Seq("half-time", "time", "report."))
+    assert(Analyzer.TermCompletion(wordBoundary = "[\\s\\p{Punct}&&[^-]]+")
+      .tokenizeLocal("half-time report.") == Seq("half-time", "time", "report"))
     // e2e with the natural query pairing: prefixMatch over the
     // completion-indexed corpus
     val docs = Seq((1L, "half-time report"), (2L, "fulltime work"))

@@ -601,6 +601,21 @@ object SparqlQueries {
           |}""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // VALUES through the service seam — the reference's bd:values
+    // service (ast/eval/ValuesServiceFactory.java): one variable, an
+    // inline value list joined into the enclosing group
+    "values_service" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?c ?cname ?seg WHERE {
+          |  ?c mktsegment ?seg . ?c name ?cname .
+          |  SERVICE bd:values {
+          |    bd:serviceParam bd:values.var ?seg .
+          |    bd:serviceParam bd:values.val "BUILDING" .
+          |    bd:serviceParam bd:values.val "MACHINERY" .
+          |  }
+          |} ORDER BY ?c""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // deterministic seeded sample of one access path — the reference's
     // bd:sample service (ast/eval/SampleServiceFactory.java over
     // SampleIndex); RANDOM = the md5-bucket draw, replayed exactly by
@@ -1094,6 +1109,11 @@ object SparqlQueries {
 
     "slice_range_count" ->
       (T + "SELECT count(*) AS rng FROM triples WHERE p = 'acctbal'"),
+
+    "values_service" ->
+      """SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS c, c_name AS cname, c_mktsegment AS seg
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |ORDER BY c""".stripMargin,
 
     "sample_service" ->
       (T + """SELECT s, bal FROM (

@@ -201,10 +201,32 @@ object BuiltinServices {
     bindPattern(picked, tp)
   }
 
+  /** `SERVICE bd:values { bd:serviceParam bd:values.var ?v .
+    * bd:serviceParam bd:values.val "a" . … }` — the reference's
+    * VALUES-through-a-service form (ValuesServiceFactory.java:34):
+    * exactly one variable, one or more values; the inline relation
+    * joins the enclosing group like a VALUES block (runFirst in the
+    * reference = join-input here; a broadcast-sized literal relation
+    * either way). */
+  private[sparql] val values: ServiceRegistry.Handler = (inner, src) => {
+    val pats = bgpOf(inner, "bd:values")
+    val vars = pats.collect {
+      case TriplePattern(Const("bd:serviceParam"), Const("bd:values.var"), Var(n)) => n
+    }
+    require(vars.size == 1,
+      s"bd:values needs exactly one bd:values.var variable, got ${vars.size}")
+    val vals = pats.collect {
+      case TriplePattern(Const("bd:serviceParam"), Const("bd:values.val"), Const(v)) => v
+    }
+    require(vals.nonEmpty, "bd:values needs at least one bd:values.val value")
+    src.triples.sparkSession.createDataFrame(vals.map(Tuple1(_))).toDF(vars.head)
+  }
+
   /** Registration hook — referenced from [[ServiceRegistry]]'s
     * initializer so the built-ins exist before any lookup. */
   private[sparql] def all: Seq[(String, ServiceRegistry.Handler)] = Seq(
     "bds:searchInSearch" -> searchInSearch,
     "bd:slice" -> slice,
-    "bd:sample" -> sample)
+    "bd:sample" -> sample,
+    "bd:values" -> values)
 }

@@ -238,4 +238,20 @@ class GasSpec extends AnyFunSuite {
     assert(first.exceptAll(direct).isEmpty && direct.exceptAll(first).isEmpty,
       "staged pair graph drifted from the direct ngramJaccard pairs")
   }
+
+  test("staged pair graph honors spark.graft.scratchDir (cluster staging root)") {
+    import TestSpark.spark
+    // a DIFFERENT corpus dir than the sibling test so the stage cache
+    // misses and the write actually happens under the conf'd root
+    val dir = "/root/testdata/sf0.01"
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch_conf").toString
+    spark.conf.set("spark.graft.scratchDir", root)
+    try {
+      val pairs = GasQueries.nearDupPairs(spark, dir)
+      assert(pairs.count() > 0)
+      val staged = new java.io.File(root).listFiles()
+      assert(staged != null && staged.exists(_.getName.startsWith("graft_ndpairs_")),
+        s"expected a graft_ndpairs_* stage under $root, found ${Option(staged).map(_.mkString(","))}")
+    } finally spark.conf.unset("spark.graft.scratchDir")
+  }
 }

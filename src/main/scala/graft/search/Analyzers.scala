@@ -47,6 +47,16 @@ trait Analyzer extends Serializable {
     * on data. Both paths call the one [[graft.functions.Tokenize]]
     * body, so agreement is by construction. */
   def tokenizeLocal(s: String): Seq[String]
+
+  /** True when every token this analyzer emits is a SUBSTRING of the
+    * lowercased input text (pure segmentation, no rewriting). Scans
+    * may then pre-filter candidate rows with a cheap `contains(
+    * lower(text), term)` — a strict superset of the token match — so
+    * a corpus-wide distinct/tokenize only sees candidates
+    * (bds:searchInSearch relies on this over the full triple view).
+    * Stemming analyzers REWRITE tokens (happy → happi is not a
+    * substring) and keep the default false. */
+  def substringSafe: Boolean = false
 }
 
 object Analyzer {
@@ -58,6 +68,7 @@ object Analyzer {
   /** Lowercased [a-z0-9]+ runs — the default analyzer (and exactly the
     * tokenization every existing oracle replays). */
   case class Latin(stopwords: Set[String] = Set.empty) extends Analyzer {
+    override def substringSafe: Boolean = true
     def tokenize(c: Column): Column =
       native(c, Tokenize.LATIN, Tokenize.NoStem, stopwords)
     def tokenizeLocal(s: String): Seq[String] =
@@ -71,6 +82,7 @@ object Analyzer {
     * without dictionaries: a query phrase tokenizes into bigrams that
     * all occur in any document containing the phrase. */
   case class Cjk(stopwords: Set[String] = Set.empty) extends Analyzer {
+    override def substringSafe: Boolean = true
     def tokenize(c: Column): Column =
       native(c, Tokenize.CJK, Tokenize.NoStem, stopwords)
     def tokenizeLocal(s: String): Seq[String] =
@@ -84,6 +96,7 @@ object Analyzer {
     * reference wiring per-language Lucene analyzers for ~30 languages
     * (ConfigurableAnalyzerFactory.java:110). */
   case class Unicode(stopwords: Set[String] = Set.empty) extends Analyzer {
+    override def substringSafe: Boolean = true
     def tokenize(c: Column): Column =
       native(c, Tokenize.UNICODE, Tokenize.NoStem, stopwords)
     def tokenizeLocal(s: String): Seq[String] =

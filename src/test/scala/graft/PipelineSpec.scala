@@ -11,6 +11,45 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val docs = TpchRdf.table(spark, SF, "documents")
   private lazy val embs = TpchRdf.table(spark, SF, "embeddings")
 
+  test("ngramJaccard prefix == postings on randomized corpora (incl. tiny-doc floor)") {
+    val spark2 = spark; import spark2.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // seeded generator: dense shared vocabulary (the regime that
+    // stresses the extended-prefix match floor — most doc pairs share
+    // SOMETHING) across random (threshold, df-cap) settings
+    val rnd = new scala.util.Random(12)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega")
+    for (trial <- 0 until 6) {
+      val nDocs = 30 + rnd.nextInt(40)
+      val rows = (0 until nDocs).map { i =>
+        val len = 5 + rnd.nextInt(26)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text")
+      val minJ = Seq(0.3, 0.5, 0.8)(rnd.nextInt(3))
+      val maxDf = Seq(4L, 16L, Long.MaxValue)(rnd.nextInt(3))
+      val got = canon(Dedup.ngramJaccard(df, minJ, maxDf = maxDf))
+      val want = canon(Dedup.ngramJaccardPostings(df, minJ, maxDf = maxDf))
+      assert(got == want,
+        s"trial=$trial minJ=$minJ maxDf=$maxDf missed=${want -- got} extra=${got -- want}")
+    }
+    // tiny docs: 3-6 words → 1-4 shingles, so α ≤ M and the match
+    // floor degrades to min(M, maxα) — a pair sharing its single
+    // shingle must still surface
+    val tiny = (0 until 12).map { i =>
+      val len = 3 + rnd.nextInt(4)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(6))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (minJ <- Seq(0.3, 0.5, 0.9)) {
+      val got = canon(Dedup.ngramJaccard(tiny, minJ))
+      val want = canon(Dedup.ngramJaccardPostings(tiny, minJ))
+      assert(got == want, s"tiny minJ=$minJ missed=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("minhash LSH recall = 1.0 vs exact Jaccard ground truth at 0.8") {
     val truth = Dedup.ngramJaccard(docs, 0.8).select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

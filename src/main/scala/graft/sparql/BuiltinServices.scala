@@ -217,9 +217,9 @@ object BuiltinServices {
     *  - DENSE: the first `limit` rows in (s,p,o) key order (the
     *    reference's leading-keys sample);
     *  - EVEN: every ⌈n/limit⌉-th row of the key-ordered path — pays
-    *    one range count + one ordered index pass (zipWithIndex: the
-    *    per-partition offsets come from one count job, the pick is
-    *    then map-side — no single-partition window). */
+    *    a range count plus the zipWithIndex pick over the sorted path
+    *    (whose per-partition offsets cost one more internal count
+    *    job); distributed throughout — no single-partition window. */
   private[sparql] val sample: ServiceRegistry.Handler = (inner, src) => {
     val pats = bgpOf(inner, "bd:sample")
     val (tp, params) = splitParams(pats, "bd:sample")

@@ -49,15 +49,16 @@ object DedupAB {
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
       .localCheckpoint())
     val posts = sets.select(col("doc_id"), col("sz"),
-      explode(col("shingles")).as("sh"))
+      explode(col("shingles")).as("sh0"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("sh0")).as("h"))
     val dfreq = t("dfreq ckpt")(
-      posts.groupBy("sh").agg(count(lit(1)).as("c")).localCheckpoint())
-    val perDoc = t("perDoc ckpt")(posts.join(dfreq.filter(col("c") > 1), "sh")
+      posts.groupBy("h").agg(count(lit(1)).as("c")).localCheckpoint())
+    val perDoc = t("perDoc ckpt")(posts.join(dfreq.filter(col("c") > 1), "h")
       .groupBy("doc_id", "sz")
       .agg(
         sort_array(collect_list(
-          when(col("c") <= maxDf, struct(col("c"), col("sh"))))).as("gen"),
-        collect_list(when(col("c") > maxDf, xxhash64(col("sh")))).as("vh"))
+          when(col("c") <= maxDf, struct(col("c"), col("h"))))).as("gen"),
+        collect_list(when(col("c") > maxDf, col("h"))).as("vh"))
       .withColumn("vc", size(col("vh")).cast("long"))
       .localCheckpoint())
     val M = 4L
@@ -71,7 +72,7 @@ object DedupAB {
       .select(col("doc_id"), col("sz"), col("gx"), col("alpha"),
         posexplode(slice(col("gen"), lit(1), greatest(col("px"), lit(0L)))))
       .select(col("doc_id"), col("sz"), col("gx"), col("alpha"),
-        (col("pos") + 1).as("rk"), xxhash64(col("col.sh")).as("h"))
+        (col("pos") + 1).as("rk"), col("col.h").as("h"))
     println("[stage] prefix rows = " + prefix.count())
     val pairMaxA = greatest(col("x.alpha"), col("y.alpha"))
     val cand = t("cand matchfloor ckpt")(prefix.alias("x").join(prefix.alias("y"),
@@ -90,7 +91,7 @@ object DedupAB {
     val arrs = t("cand-doc hash arrays ckpt")(perDoc.join(inCand, "doc_id")
       .select(col("doc_id"), col("sz"),
         sort_array(concat(
-          transform(col("gen"), g => xxhash64(g.getField("sh"))),
+          transform(col("gen"), g => g.getField("h")),
           col("vh"))).as("hs"))
       .localCheckpoint())
     val n = t("verify count")(cand

@@ -24,6 +24,24 @@ object BuiltinServices {
         s"SERVICE $svc expects a plain triple-pattern group, got $other")
     }
 
+  /** Patterns + FILTER conditions of a group that allows range
+    * filters (bd:slice — SliceServiceFactory.java:258). */
+  private def unwrapFilters(inner: Algebra, svc: String): (Seq[TriplePattern], Seq[Column]) =
+    inner match {
+      case Bgp(ps @ _*) => (ps, Nil)
+      case Filter(child, cond) =>
+        val (ps, cs) = unwrapFilters(child, svc)
+        (ps, cs :+ cond)
+      // a mid-group FILTER makes the parser join the pattern groups
+      // around it — flatten: everything is one access path + filters
+      case Join(l, r) =>
+        val (lp, lc) = unwrapFilters(l, svc)
+        val (rp, rc) = unwrapFilters(r, svc)
+        (lp ++ rp, lc ++ rc)
+      case other => sys.error(
+        s"SERVICE $svc expects triple patterns plus optional FILTERs, got $other")
+    }
+
   /** Literal corpus of a store: every distinct non-IRI object term,
     * doc_id = the term itself (what the hit joins back on), text =
     * the lexical form — the reference FullTextIndex's value-centric
@@ -135,21 +153,28 @@ object BuiltinServices {
     }
   }
 
-  /** Bind a pattern scan's columns to the pattern's variable names
-    * (constant positions drop; a repeated variable filters equality
-    * and binds once — the shared-variable BGP rule). */
-  private def bindPattern(rows: DataFrame, tp: TriplePattern): DataFrame = {
-    val positions = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
-    val varCols: Seq[(String, String)] =
-      positions.collect { case (c, Var(n)) => (c, n) }
-    require(varCols.nonEmpty, s"pattern binds no variables: $tp")
-    val filtered = varCols.groupBy(_._2).values.filter(_.size > 1)
+  private def varCols(tp: TriplePattern): Seq[(String, String)] =
+    Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+      .collect { case (c, Var(n)) => (c, n) }
+
+  /** Shared-variable equality of a repeated pattern variable (`?x p
+    * ?x`), applied ON THE ACCESS PATH — the constrained rows ARE the
+    * path a slice pages or a sample draws from, so this must run
+    * before any offset/limit/pick. */
+  private def dupVarConstraint(rows: DataFrame, tp: TriplePattern): DataFrame =
+    varCols(tp).groupBy(_._2).values.filter(_.size > 1)
       .foldLeft(rows) { (df, grp) =>
         grp.map(_._1).sliding(2).foldLeft(df)((d, w) =>
           d.filter(col(w.head) === col(w(1))))
       }
-    val firstPerVar = varCols.groupBy(_._2).map { case (n, g) => (g.head._1, n) }
-    filtered.select(firstPerVar.toSeq.sortBy(_._1)
+
+  /** Project a pattern scan's columns to the pattern's variable names
+    * (constant positions drop; a repeated variable binds once). */
+  private def projectVars(rows: DataFrame, tp: TriplePattern): DataFrame = {
+    val vc = varCols(tp)
+    require(vc.nonEmpty, s"pattern binds no variables: $tp")
+    val firstPerVar = vc.groupBy(_._2).map { case (n, g) => (g.head._1, n) }
+    rows.select(firstPerVar.toSeq.sortBy(_._1)
       .map { case (c, n) => col(c).as(n) }: _*)
   }
 
@@ -165,24 +190,39 @@ object BuiltinServices {
     (data.head, params)
   }
 
-  /** `SERVICE bd:slice { <one pattern> . bd:serviceParam … }` — the
-    * reference's statement-pattern slicing service
+  /** `SERVICE bd:slice { <one pattern> [FILTER…] . bd:serviceParam … }`
+    * — the reference's statement-pattern slicing service
     * (SliceServiceFactory.java:35): paged access to a single access
     * path, or (bd:slice.range ?v) its exact range count — the
     * ESTCARD sibling. Params: bd:slice.offset (default 0),
-    * bd:slice.limit (default 1000), bd:slice.range ?var.
+    * bd:slice.limit (default 1000), bd:slice.range ?var. FILTERs over
+    * the pattern's variables are allowed (SliceServiceFactory.java:258
+    * "ok to have filters with ranges" — the RangeBOp shape): they
+    * restrict the path BEFORE paging/counting, so the page window and
+    * the range count are of the filtered range.
     *
     * Spark shape: the pattern goes through the source's access-path
     * selection ([[TripleSource.scan]] — bound positions prune to
-    * branch scans), pages are deterministic in (s,p,o) key order (the
-    * SPO B+Tree key order the reference pages in), and offset/limit
-    * compile to a bounded global sort-limit, never a full
-    * materialization. Range mode is one COUNT aggregate. */
+    * branch scans), filters and repeated-variable equality constrain
+    * the path inside the scan, pages are deterministic in (s,p,o) key
+    * order (the SPO B+Tree key order the reference pages in), and
+    * offset/limit compile to a bounded global sort-limit, never a
+    * full materialization. Range mode is one COUNT aggregate. */
   private[sparql] val slice: ServiceRegistry.Handler = (inner, src) => {
-    val pats = bgpOf(inner, "bd:slice")
+    val (pats, conds) = unwrapFilters(inner, "bd:slice")
     val (tp, params) = splitParams(pats, "bd:slice")
     val rangeVar = paramOf(params, "bd:slice.range").collect { case Var(n) => n }
-    val rows = src.scan(tp)
+    // variable bindings materialize under their ?names so range
+    // filters resolve, while the key rides under reserved _k_*
+    // aliases (parser rejects user vars starting with '_', so no
+    // collision — a var literally named `p` bound at the object
+    // position must not overwrite the key column); both constraints
+    // apply before any paging
+    val vc = varCols(tp)
+    val keyed = dupVarConstraint(src.scan(tp), tp).select(
+      Seq(col("s").as("_k_s"), col("p").as("_k_p"), col("o").as("_k_o")) ++
+        vc.groupBy(_._2).map { case (n, g) => col(g.head._1).as(n) }.toSeq: _*)
+    val rows = conds.foldLeft(keyed)(_ filter _)
     rangeVar match {
       case Some(rv) => rows.agg(count(lit(1)).as(rv))
       case None =>
@@ -194,12 +234,10 @@ object BuiltinServices {
         require(offset <= Int.MaxValue && limit <= Int.MaxValue,
           "bd:slice offset/limit beyond Int.MaxValue — page windows that " +
             "deep defeat the bounded sort-limit; filter the pattern instead")
-        // page in full key order FIRST, bind variables after — the
-        // slice's identity is the key-order window, independent of
-        // which positions are variables
-        val page = rows.orderBy(col("s"), col("p"), col("o"))
+        require(vc.nonEmpty, s"pattern binds no variables: $tp")
+        rows.orderBy(col("_k_s"), col("_k_p"), col("_k_o"))
           .offset(offset.toInt).limit(limit.toInt)
-        bindPattern(page, tp)
+          .select(vc.map(_._2).distinct.map(col): _*)
     }
   }
 
@@ -230,7 +268,7 @@ object BuiltinServices {
     val sampleType = paramOf(params, "bd:sample.sampleType")
       .collect { case Const(v) => v.toUpperCase }.getOrElse("RANDOM")
     require(limit > 0, s"bd:sample.limit must be positive, got $limit")
-    val rows = src.scan(tp)
+    val rows = dupVarConstraint(src.scan(tp), tp)
     val picked = sampleType match {
       case "RANDOM" =>
         rows.orderBy(md5(concat_ws("|",
@@ -249,7 +287,7 @@ object BuiltinServices {
           .limit(limit)
       case other => sys.error(s"bd:sample.sampleType must be RANDOM | EVEN | DENSE, got $other")
     }
-    bindPattern(picked, tp)
+    projectVars(picked, tp)
   }
 
   /** `SERVICE bd:values { bd:serviceParam bd:values.var ?v .

@@ -264,6 +264,28 @@ class SparqlSpec extends AnyFunSuite {
         |  SERVICE bd:slice { ?s acctbal ?bal . bd:serviceParam bd:slice.range ?rng . }
         |}""".stripMargin), src).collect()
     assert(cnt.length == 1 && cnt(0).getLong(0) == all.size.toLong)
+    // range FILTERs restrict the path BEFORE paging/counting
+    // (SliceServiceFactory "ok to have filters with ranges"): both the
+    // page window and the range count are of the FILTERED range
+    val fAll = all.filter(_._2.startsWith("1"))
+    val fPage = Compiler.compile(Parser.parse(
+      """SELECT ?s ?bal WHERE {
+        |  SERVICE bd:slice {
+        |    ?s acctbal ?bal . FILTER(STRSTARTS(?bal, "1"))
+        |    bd:serviceParam bd:slice.offset 1 .
+        |    bd:serviceParam bd:slice.limit 3 .
+        |  }
+        |}""".stripMargin), src)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(fPage == fAll.slice(1, 4).sorted, s"got $fPage want ${fAll.slice(1, 4)}")
+    val fCnt = Compiler.compile(Parser.parse(
+      """SELECT ?rng WHERE {
+        |  SERVICE bd:slice {
+        |    ?s acctbal ?bal . FILTER(STRSTARTS(?bal, "1"))
+        |    bd:serviceParam bd:slice.range ?rng .
+        |  }
+        |}""".stripMargin), src).collect()
+    assert(fCnt.length == 1 && fCnt(0).getLong(0) == fAll.size.toLong)
   }
 
   test("bd:sample: RANDOM is the seeded md5 draw; DENSE/EVEN follow key order") {

@@ -176,7 +176,11 @@ object Dedup {
     val prefix = perDoc
       .withColumn("gx", size(col("gen")))
       .withColumn("alpha", ceil(lit(tEff) * col("sz")) - col("vc"))
-      .withColumn("px", when(col("alpha") <= 1, col("gx"))
+      // α > gx: I_gen ≤ gx < α means no qualifying pair can involve
+      // this doc at all — clamp to zero prefix rows (without the
+      // clamp, gx < α ≤ gx + k − 1 still emitted dead rows)
+      .withColumn("px", when(col("alpha") > col("gx"), lit(0L))
+        .when(col("alpha") <= 1, col("gx"))
         .otherwise(col("gx") - col("alpha") +
           least(col("alpha"),
             floor((col("alpha") + lit(M + 1)) / lit(2)).cast("long"))))

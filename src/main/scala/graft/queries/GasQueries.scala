@@ -84,9 +84,12 @@ object GasQueries {
       // rebuilds), matching how the four graph-metric consumers run.
       val p = s.conf.getOption("spark.graft.scratchDir") match {
         case Some(root) =>
-          val d = new org.apache.hadoop.fs.Path(root,
-            "graft_ndpairs_" + Integer.toHexString(key.hashCode))
-          d.toString
+          // md5 of the FULL key, not its 32-bit hashCode: two distinct
+          // (corpus, params) keys colliding on one path would silently
+          // serve the wrong pair graph to the other's consumers
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          new org.apache.hadoop.fs.Path(root, s"graft_ndpairs_$md").toString
         case None =>
           val d = java.nio.file.Files.createTempDirectory("graft_ndpairs")
           sys.addShutdownHook {

@@ -74,13 +74,24 @@ object FullText {
     // duplicate query entries would double-count tf in scores and make
     // matchAll unsatisfiable (n_matched counts DISTINCT entries)
     val query = queryIn.distinct
-    // the query-term match runs on RAW tokens, BELOW the tf aggregation:
-    // the (term, doc_id) shuffle then carries only matched postings,
-    // not the whole corpus index (a matched term keeps every one of its
-    // postings, so tf and df are identical to index-then-filter). The
-    // corpus is tokenized in one map-side pass either way; at
-    // production scale the inverted index is a persisted table and the
-    // build cost disappears entirely.
+    val (matched, n) = matchPostings(docs, query, prefixMatch, regex, analyzer)
+    rankAndScore(matched, n, query.size, matchAll, regex, minScore, maxRank, k)
+  }
+
+  /** Shared matching front of [[search]]/[[searchAll]]: query-matched
+    * postings (term, q_term, doc_id, tf), materialized once, plus the
+    * corpus-size relation the IDF needs.
+    *
+    * The query-term match runs on RAW tokens, BELOW the tf
+    * aggregation: the (term, doc_id) shuffle then carries only
+    * matched postings, not the whole corpus index (a matched term
+    * keeps every one of its postings, so tf and df are identical to
+    * index-then-filter). The corpus is tokenized in one map-side pass
+    * either way; at production scale the inverted index is a
+    * persisted table and the build cost disappears entirely. */
+  private def matchPostings(docs: DataFrame, query: Seq[String],
+                            prefixMatch: Boolean, regex: Option[String],
+                            analyzer: Analyzer): (DataFrame, DataFrame) = {
     val raw = docs.select(col("doc_id"),
       explode(analyzer.tokenize(col("text"))).as("term"))
     val n = docs.select(count(lit(1)).as("n"))
@@ -108,7 +119,7 @@ object FullText {
     val matched = matchedRaw
       .groupBy("term", "q_term", "doc_id").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    rankAndScore(matched, n, query.size, matchAll, regex, minScore, maxRank, k)
+    (matched, n)
   }
 
   /** Search a PERSISTED inverted-index table `(term, doc_id, tf)` —
@@ -155,25 +166,7 @@ object FullText {
                 minScore: Option[Double] = None,
                 analyzer: Analyzer = Analyzer.Latin()): DataFrame = {
     val query = queryIn.distinct
-    val raw = docs.select(col("doc_id"),
-      explode(analyzer.tokenize(col("text"))).as("term"))
-    val n = docs.select(count(lit(1)).as("n"))
-    val matchedRaw = regex match {
-      case Some(re) =>
-        val terms = raw.select("term").distinct()
-          .filter(col("term").rlike(re))
-          .withColumn("q_term", col("term"))
-        raw.join(terms, "term")
-      case None =>
-        val q = docs.sparkSession.createDataFrame(query.map(Tuple1(_))).toDF("q_term")
-        val cond =
-          if (prefixMatch) col("term").startsWith(col("q_term"))
-          else col("term") === col("q_term")
-        raw.join(broadcast(q), cond)
-    }
-    val matched = matchedRaw
-      .groupBy("term", "q_term", "doc_id").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val (matched, n) = matchPostings(docs, query, prefixMatch, regex, analyzer)
     scoreMatched(matched, n, query.size, matchAll, regex, minScore)
       .select("doc_id", "score")
   }

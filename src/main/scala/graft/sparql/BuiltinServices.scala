@@ -86,6 +86,17 @@ object BuiltinServices {
       case Const(q) => q
       case other    => sys.error(s"bds:searchInSearch object must be a literal, got $other")
     }
+    // validate the option surface like the reference's validateSearch
+    // (SearchInSearchServiceFactory.java:258 throws on unverified
+    // predicates): a typo'd option must not silently vanish
+    val knownOpts = Set("bds:searchInSearch", "bds:matchAllTerms",
+      "bds:matchRegex", "bds:minRelevance", "bds:maxRank")
+    pats.foreach {
+      case TriplePattern(s, Const(p), _) if s == main.s && knownOpts(p) => ()
+      case other => sys.error(
+        s"bds:searchInSearch: unrecognized pattern $other (options on the " +
+          s"search variable: ${knownOpts.toSeq.sorted.mkString(", ")})")
+    }
     def opt(name: String): Option[String] = pats.collectFirst {
       case TriplePattern(s, Const(p), Const(o)) if p == name && s == main.s => o
     }
@@ -183,10 +194,30 @@ object BuiltinServices {
       case TriplePattern(Const("bd:serviceParam"), Const(p), o) if p == key => o
     }
 
-  private def splitParams(pats: Seq[TriplePattern], svc: String): (TriplePattern, Seq[TriplePattern]) = {
+  /** Param value that must be a constant — a variable here is a user
+    * error the reference's factories reject, not a silent default. */
+  private def constParam(pats: Seq[TriplePattern], key: String): Option[String] =
+    paramOf(pats, key).map {
+      case Const(v) => v
+      case other    => sys.error(s"$key needs a constant value, got $other")
+    }
+
+  /** Split the group into the ONE data pattern and its service
+    * params, validating every param predicate against the service's
+    * vocabulary — the reference factories throw on unrecognized
+    * params (SliceServiceFactory.java:245 'unrecognized param'), and
+    * a silently-ignored typo (bd:slice.offst) would otherwise return
+    * the wrong page with no error. */
+  private def splitParams(pats: Seq[TriplePattern], svc: String,
+                          allowed: Set[String]): (TriplePattern, Seq[TriplePattern]) = {
     val (params, data) = pats.partition(_.s == Const("bd:serviceParam"))
     require(data.size == 1,
       s"SERVICE $svc expects exactly one triple pattern, got ${data.size}")
+    params.foreach {
+      case TriplePattern(_, Const(p), _) if allowed(p) => ()
+      case TriplePattern(_, p, _) => sys.error(
+        s"SERVICE $svc: unrecognized param $p (allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+    }
     (data.head, params)
   }
 
@@ -210,8 +241,12 @@ object BuiltinServices {
     * full materialization. Range mode is one COUNT aggregate. */
   private[sparql] val slice: ServiceRegistry.Handler = (inner, src) => {
     val (pats, conds) = unwrapFilters(inner, "bd:slice")
-    val (tp, params) = splitParams(pats, "bd:slice")
-    val rangeVar = paramOf(params, "bd:slice.range").collect { case Var(n) => n }
+    val (tp, params) = splitParams(pats, "bd:slice",
+      Set("bd:slice.offset", "bd:slice.limit", "bd:slice.range"))
+    val rangeVar = paramOf(params, "bd:slice.range").map {
+      case Var(n) => n
+      case other  => sys.error(s"bd:slice.range needs a variable, got $other")
+    }
     // variable bindings materialize under their ?names so range
     // filters resolve, while the key rides under reserved _k_*
     // aliases (parser rejects user vars starting with '_', so no
@@ -226,10 +261,10 @@ object BuiltinServices {
     rangeVar match {
       case Some(rv) => rows.agg(count(lit(1)).as(rv))
       case None =>
-        val offset = paramOf(params, "bd:slice.offset")
-          .collect { case Const(v) => v.toLong }.getOrElse(0L)
-        val limit = paramOf(params, "bd:slice.limit")
-          .collect { case Const(v) => v.toLong }.getOrElse(1000L)
+        val offset = constParam(params, "bd:slice.offset")
+          .map(_.toLong).getOrElse(0L)
+        val limit = constParam(params, "bd:slice.limit")
+          .map(_.toLong).getOrElse(1000L)
         require(offset >= 0 && limit >= 0, s"bd:slice offset/limit must be >= 0")
         require(offset <= Int.MaxValue && limit <= Int.MaxValue,
           "bd:slice offset/limit beyond Int.MaxValue — page windows that " +
@@ -254,19 +289,22 @@ object BuiltinServices {
     *    top-K + merge, never a full sort);
     *  - DENSE: the first `limit` rows in (s,p,o) key order (the
     *    reference's leading-keys sample);
-    *  - EVEN: every ⌈n/limit⌉-th row of the key-ordered path — pays
-    *    a range count plus the zipWithIndex pick over the sorted path
-    *    (whose per-partition offsets cost one more internal count
-    *    job); distributed throughout — no single-partition window. */
+    *  - EVEN: every max(1, ⌊n/limit⌋)-th row of the key-ordered path
+    *    — the reference EvenSampleAdvancer's exact skipCount
+    *    (SampleIndex.java:440), so like the reference the pick is
+    *    head-anchored and the trailing partial stride is unsampled.
+    *    Pays a range count plus the zipWithIndex pick over the sorted
+    *    path (whose per-partition offsets cost one more internal
+    *    count job); distributed throughout — no single-partition
+    *    window. */
   private[sparql] val sample: ServiceRegistry.Handler = (inner, src) => {
     val pats = bgpOf(inner, "bd:sample")
-    val (tp, params) = splitParams(pats, "bd:sample")
-    val limit = paramOf(params, "bd:sample.limit")
-      .collect { case Const(v) => v.toInt }.getOrElse(100)
-    val seed = paramOf(params, "bd:sample.seed")
-      .collect { case Const(v) => v.toLong }.getOrElse(0L)
-    val sampleType = paramOf(params, "bd:sample.sampleType")
-      .collect { case Const(v) => v.toUpperCase }.getOrElse("RANDOM")
+    val (tp, params) = splitParams(pats, "bd:sample",
+      Set("bd:sample.limit", "bd:sample.seed", "bd:sample.sampleType"))
+    val limit = constParam(params, "bd:sample.limit").map(_.toInt).getOrElse(100)
+    val seed = constParam(params, "bd:sample.seed").map(_.toLong).getOrElse(0L)
+    val sampleType = constParam(params, "bd:sample.sampleType")
+      .map(_.toUpperCase).getOrElse("RANDOM")
     require(limit > 0, s"bd:sample.limit must be positive, got $limit")
     val rows = dupVarConstraint(src.scan(tp), tp)
     val picked = sampleType match {
@@ -299,6 +337,11 @@ object BuiltinServices {
     * either way). */
   private[sparql] val values: ServiceRegistry.Handler = (inner, src) => {
     val pats = bgpOf(inner, "bd:values")
+    pats.foreach {
+      case TriplePattern(Const("bd:serviceParam"), Const("bd:values.var" | "bd:values.val"), _) => ()
+      case other => sys.error(
+        s"bd:values: unrecognized pattern $other (params: bd:values.var, bd:values.val)")
+    }
     val vars = pats.collect {
       case TriplePattern(Const("bd:serviceParam"), Const("bd:values.var"), Var(n)) => n
     }

@@ -8,12 +8,16 @@ import org.apache.spark.sql.SparkSession
   * variant — the scale-evidence entry behind the prefix-filter change
   * (ProbeNJ's scratch role, promoted to a repeatable bench).
   *
-  * Usage: {{{ runMain graft.tools.DedupAB <dir> [prefix|postings|both] [minJ] [maxDf] }}}
+  * Usage: {{{ runMain graft.tools.DedupAB <dir> [prefix|postings|both|stages] [minJ] [maxDf] }}}
   */
 object DedupAB {
+  private val Modes = Set("prefix", "postings", "both", "stages")
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mode = if (args.length > 1) args(1) else "both"
+    // a typo'd mode must not exit 0 having timed nothing — empty bench
+    // evidence with no error is worse than a crash
+    require(Modes(mode), s"mode must be one of ${Modes.toSeq.sorted.mkString("|")}, got '$mode'")
     val minJ = if (args.length > 2) args(2).toDouble else 0.5
     val maxDf = if (args.length > 3) args(3).toLong else 64L
     val spark = SparkSession.builder()

@@ -190,6 +190,9 @@ object Analyzer {
   case class Pattern(regex: String,
                      stopwords: Set[String] = Set.empty) extends Analyzer {
     import org.apache.spark.sql.functions._
+    // separator-split of the LOWERCASED text: every token is a
+    // substring of lower(text), so the contains() scan prune applies
+    override def substringSafe: Boolean = true
     def tokenize(c: Column): Column = {
       val toks = split(lower(c), regex, -1)
       filter(toks, t =>

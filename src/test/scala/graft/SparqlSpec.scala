@@ -323,6 +323,44 @@ class SparqlSpec extends AnyFunSuite {
     assert(sample("bd:serviceParam bd:sample.sampleType \"EVEN\" .", 5) == even)
   }
 
+  test("magic-service params fail loud on typos, variables and unknown modes") {
+    val src = TpchRdf.source(spark, SF)
+    def bad(q: String): String =
+      intercept[RuntimeException](Compiler.compile(Parser.parse(q), src)).getMessage
+    // typo'd param predicate: silently returning page 1 would be wrong
+    assert(bad(
+      """SELECT ?s WHERE { SERVICE bd:slice {
+        |  ?s acctbal ?bal . bd:serviceParam bd:slice.offst 10 . } }""".stripMargin)
+      .contains("unrecognized param"))
+    // variable where a constant is required
+    assert(bad(
+      """SELECT ?s WHERE { SERVICE bd:sample {
+        |  ?s acctbal ?bal . bd:serviceParam bd:sample.limit ?n . } }""".stripMargin)
+      .contains("constant"))
+    // unknown sample type
+    assert(bad(
+      """SELECT ?s WHERE { SERVICE bd:sample {
+        |  ?s acctbal ?bal . bd:serviceParam bd:sample.sampleType "SHUFFLE" . } }""".stripMargin)
+      .contains("RANDOM | EVEN | DENSE"))
+    // typo'd searchInSearch option on the search variable
+    assert(bad(
+      """SELECT ?s WHERE { ?s name ?n . SERVICE bds:searchInSearch {
+        |  ?s bds:searchInSearch "asia" . ?s bds:minRelevence "0.1" . } }""".stripMargin)
+      .contains("unrecognized pattern"))
+    // typo'd bd:values param
+    assert(bad(
+      """SELECT ?seg WHERE { SERVICE bd:values {
+        |  bd:serviceParam bd:values.var ?seg .
+        |  bd:serviceParam bd:values.vall "BUILDING" . } }""".stripMargin)
+      .contains("unrecognized pattern"))
+    // and SILENT swallows the handler error into the unit solution
+    val ok = Compiler.compile(Parser.parse(
+      """SELECT ?r ?rn WHERE { ?r name ?rn . ?r type "Region" .
+        |  SERVICE SILENT bd:slice {
+        |    ?x acctbal ?b . bd:serviceParam bd:slice.offst 1 . } }""".stripMargin), src)
+    assert(ok.count() == 5) // regions unchanged: unit solution joined
+  }
+
   test("TripleStore delete/insert/clear semantics") {
     val store = TripleStore(tri.filter(col("p") === "mktsegment"))
     val n = store.triples.count()

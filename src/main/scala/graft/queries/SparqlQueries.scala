@@ -504,6 +504,39 @@ object SparqlQueries {
           |} ORDER BY DESC(?score) ?doc_id""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // rank WINDOW over full-text hits — the reference FullTextQuery's
+    // minRank/maxRank pair (FullTextIndex.java:1082): ranked hits
+    // [3, 12], a bounded sort-limit-with-offset, never a row_number
+    // window
+    "fulltext_window" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?doc_id ?score WHERE {
+          |  SERVICE bds:search {
+          |    _:s bds:query "spark join vector" .
+          |    _:s bds:minRank "3" .
+          |    _:s bds:maxRank "12" .
+          |    _:s bds:out ?doc_id .
+          |    _:s bds:outVal ?score .
+          |  }
+          |} ORDER BY DESC(?score) ?doc_id""".stripMargin),
+        TpchRdf.source(s, dir))),
+
+    // MATCH_EXACT: token hits must ALSO contain the original query
+    // string verbatim (BigdataValueCentricFullTextIndex.matchExact:390
+    // tests stringValue().contains(query))
+    "fulltext_exact" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?doc_id ?score WHERE {
+          |  SERVICE bds:search {
+          |    _:s bds:query "spark join" .
+          |    _:s bds:matchExact "true" .
+          |    _:s bds:limit "15" .
+          |    _:s bds:out ?doc_id .
+          |    _:s bds:outVal ?score .
+          |  }
+          |} ORDER BY DESC(?score) ?doc_id""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // SERVICE <endpoint> federation via the pluggable registry
     // (ast/service/ServiceRegistry.java:67): the endpoint here is a
     // second local store (the supplier view); a remote deployment
@@ -1059,6 +1092,42 @@ object SparqlQueries {
         |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "fulltext_window" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |q AS (SELECT UNNEST(['spark','join','vector']) AS term),
+        |scored AS (
+        |  SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
+        |  FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT doc_id, score FROM (
+        |  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10 OFFSET 2
+        |) ORDER BY score DESC, doc_id""".stripMargin,
+
+    "fulltext_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |q AS (SELECT UNNEST(['spark','join']) AS term),
+        |scored AS (
+        |  SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
+        |  FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT s.doc_id, s.score FROM scored s JOIN documents d USING (doc_id)
+        |WHERE d.text LIKE '%spark join%'
+        |ORDER BY s.score DESC, s.doc_id LIMIT 15""".stripMargin,
 
     "gas_service_bfs" ->
       """WITH RECURSIVE e AS (

@@ -55,28 +55,53 @@ object FullText {
     * df rows. (The earlier shape broadcast df for every term in the
     * corpus — billions of rows at 100 TB.)
     *
-    * Options mirror the reference's search API
+    * Options mirror the reference's FULL search API
     * (com/bigdata/search/FullTextIndex.java:1004 region; FullTextQuery):
     *  - `prefixMatch`: query entries match any term they prefix;
     *  - `matchAll`: only docs matching EVERY query entry score;
     *  - `regex`: match index terms by regex instead of the query list
     *    (the reference's REGEX match option);
-    *  - `minScore`: relevance cutoff (minCosine analog);
-    *  - `maxRank`: keep only the top `maxRank` ranked hits (maxRank
-    *    analog; rank = dense order by score desc, doc_id asc).
-    */
+    *  - `minScore`/`maxScore`: relevance window (minCosine/maxCosine);
+    *  - `minRank`/`maxRank`: rank window — keep ranked hits in
+    *    [minRank, maxRank] (rank = order by score desc, doc_id asc;
+    *    compiles to a bounded sort-limit with offset, never a window);
+    *  - `matchExact`: keep only docs whose TEXT contains the original
+    *    query string verbatim (the reference's MATCH_EXACT —
+    *    BigdataValueCentricFullTextIndex.matchExact:390 tests
+    *    `stringValue().contains(query)`); one candidate-sized join
+    *    back to the corpus text.
+    * The reference's searchTimeout has no per-operator analog here —
+    * evaluation is a Spark job and cancellation is owned by the
+    * server's job-group seam (SparqlServer.inJobGroup); callers
+    * consume-and-ignore it, documented. */
   def search(docs: DataFrame, queryIn: Seq[String], k: Int = 20,
              prefixMatch: Boolean = false, matchAll: Boolean = false,
              regex: Option[String] = None,
              minScore: Option[Double] = None,
              maxRank: Option[Int] = None,
-             analyzer: Analyzer = Analyzer.Latin()): DataFrame = {
+             analyzer: Analyzer = Analyzer.Latin(),
+             maxScore: Option[Double] = None,
+             minRank: Option[Int] = None,
+             matchExact: Option[String] = None): DataFrame = {
     // duplicate query entries would double-count tf in scores and make
     // matchAll unsatisfiable (n_matched counts DISTINCT entries)
     val query = queryIn.distinct
     val (matched, n) = matchPostings(docs, query, prefixMatch, regex, analyzer)
-    rankAndScore(matched, n, query.size, matchAll, regex, minScore, maxRank, k)
+    val scored0 = scoreMatched(matched, n, query.size, matchAll, regex,
+      minScore, maxScore)
+    val scored = exactFilter(scored0, docs, matchExact)
+    rankWindow(scored, minRank, maxRank, k)
   }
+
+  /** MATCH_EXACT: keep hits whose corpus text contains the original
+    * query string verbatim (case-sensitive, the reference's
+    * contains() test) — a candidate-sized join back to the text. */
+  private def exactFilter(scored: DataFrame, docs: DataFrame,
+                          matchExact: Option[String]): DataFrame =
+    matchExact.fold(scored)(q =>
+      scored.join(docs.select("doc_id", "text"), "doc_id")
+        .filter(col("text").contains(lit(q)))
+        .drop("text"))
 
   /** Shared matching front of [[search]]/[[searchAll]]: query-matched
     * postings (term, q_term, doc_id, tf), materialized once, plus the
@@ -151,7 +176,8 @@ object FullText {
         index.join(broadcast(q), cond)
     }).select("term", "q_term", "doc_id", "tf").localCheckpoint()
     val n = spark.range(1).select(lit(nDocs).as("n"))
-    rankAndScore(matched, n, query.size, matchAll, regex, minScore, maxRank, k)
+    rankWindow(scoreMatched(matched, n, query.size, matchAll, regex, minScore),
+      None, maxRank, k)
   }
 
   /** ALL matching docs with scores — no rank cut, no global sort.
@@ -172,11 +198,12 @@ object FullText {
   }
 
   /** Shared scoring body over query-matched postings
-    * (term, q_term, doc_id, tf): per-doc TF·IDF + matchAll/minScore
-    * filters, NO ordering. */
+    * (term, q_term, doc_id, tf): per-doc TF·IDF + matchAll and
+    * relevance-window filters, NO ordering. */
   private def scoreMatched(matched: DataFrame, n: DataFrame, nQuery: Int,
                            matchAll: Boolean, regex: Option[String],
-                           minScore: Option[Double]): DataFrame = {
+                           minScore: Option[Double],
+                           maxScore: Option[Double] = None): DataFrame = {
     // df per matched term == its global df (all of a term's postings
     // survive the query join); countDistinct guards the prefix case
     // where one posting can match several query entries
@@ -192,20 +219,26 @@ object FullText {
     val kept0 =
       if (matchAll && regex.isEmpty) scored.filter(col("n_matched") === nQuery)
       else scored
-    minScore.fold(kept0)(ms => kept0.filter(col("score") >= ms))
+    val kept1 = minScore.fold(kept0)(ms => kept0.filter(col("score") >= ms))
+    maxScore.fold(kept1)(ms => kept1.filter(col("score") <= ms))
   }
 
-  /** Shared ranked tail over query-matched postings. */
-  private def rankAndScore(matched: DataFrame, n: DataFrame, nQuery: Int,
-                           matchAll: Boolean, regex: Option[String],
-                           minScore: Option[Double], maxRank: Option[Int],
-                           k: Int): DataFrame = {
-    val kept1 = scoreMatched(matched, n, nQuery, matchAll, regex, minScore)
-    val ranked = maxRank.fold(kept1) { mr =>
-      // rank cutoff = top-mr by (score, doc_id): sort-limit compiles to
-      // TakeOrderedAndProject (per-partition top-K, then merge) — a
-      // global row_number window would move every hit to ONE partition
-      kept1.orderBy(col("score").desc, col("doc_id")).limit(mr)
+  /** Rank window + final top-k over scored hits. The [minRank,
+    * maxRank] cutoff compiles to sort-limit-with-offset
+    * (TakeOrderedAndProject: per-partition top-K, then merge) — a
+    * global row_number window would move every hit to ONE partition. */
+  private def rankWindow(scored: DataFrame, minRank: Option[Int],
+                         maxRank: Option[Int], k: Int): DataFrame = {
+    val lo = minRank.getOrElse(1)
+    require(lo >= 1, s"minRank must be >= 1, got $lo")
+    maxRank.foreach(hi => require(hi >= lo,
+      s"maxRank ($hi) must be >= minRank ($lo)"))
+    val ranked = (minRank, maxRank) match {
+      case (None, None) => scored
+      case _ =>
+        val ordered = scored.orderBy(col("score").desc, col("doc_id"))
+          .offset(lo - 1)
+        maxRank.fold(ordered)(hi => ordered.limit(hi - lo + 1))
     }
     ranked.select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id"))

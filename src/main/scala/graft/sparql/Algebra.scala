@@ -239,7 +239,10 @@ final case class SearchService(terms: Seq[String], limit: Int,
                                regex: Option[String] = None,
                                minScore: Option[Double] = None,
                                maxRank: Option[Int] = None,
-                               analyzer: Option[String] = None) extends Algebra
+                               analyzer: Option[String] = None,
+                               maxScore: Option[Double] = None,
+                               minRank: Option[Int] = None,
+                               matchExact: Boolean = false) extends Algebra
 
 /** SERVICE [SILENT] <endpoint> { group } — federation to a registered
   * endpoint (ast/service/ServiceRegistry.java:67; remote endpoints

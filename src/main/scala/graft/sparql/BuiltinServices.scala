@@ -88,9 +88,16 @@ object BuiltinServices {
     }
     // validate the option surface like the reference's validateSearch
     // (SearchInSearchServiceFactory.java:258 throws on unverified
-    // predicates): a typo'd option must not silently vanish
+    // predicates): a typo'd option must not silently vanish. The
+    // surface is the reference's full list — bds:searchTimeout is
+    // consumed-and-ignored (cancellation is the server job-group
+    // seam's job), and bds:relevance/bds:rank variables are accepted
+    // like the reference but bind nothing (this service emits only
+    // the filtered subjects, as does the reference's executor).
     val knownOpts = Set("bds:searchInSearch", "bds:matchAllTerms",
-      "bds:matchRegex", "bds:minRelevance", "bds:maxRank")
+      "bds:matchRegex", "bds:minRelevance", "bds:maxRelevance",
+      "bds:minRank", "bds:maxRank", "bds:matchExact",
+      "bds:searchTimeout", "bds:relevance", "bds:rank")
     pats.foreach {
       case TriplePattern(s, Const(p), _) if s == main.s && knownOpts(p) => ()
       case other => sys.error(
@@ -108,7 +115,10 @@ object BuiltinServices {
     val matchAll = opt("bds:matchAllTerms").exists(_.toBoolean)
     val regex = opt("bds:matchRegex")
     val minScore = opt("bds:minRelevance").map(_.toDouble)
+    val maxScore = opt("bds:maxRelevance").map(_.toDouble)
+    val minRank = opt("bds:minRank").map(_.toInt)
     val maxRank = opt("bds:maxRank").map(_.toInt)
+    val matchExact = opt("bds:matchExact").exists(_.toBoolean)
     // substring prefilter: sound for pure-segmentation analyzers only
     // (token ⊆ lower(text)), and only while nothing score-dependent
     // is requested — the TF·IDF corpus-size term would shift on a
@@ -116,8 +126,9 @@ object BuiltinServices {
     // literal space; regex mode matches the term DICTIONARY, so no
     // row-level contains supersets it either
     val prefilterable =
-      az.substringSafe && regex.isEmpty && minScore.isEmpty && maxRank.isEmpty &&
-        qTerms.nonEmpty
+      az.substringSafe && regex.isEmpty && qTerms.nonEmpty &&
+        minScore.isEmpty && maxScore.isEmpty &&
+        minRank.isEmpty && maxRank.isEmpty
     if (prefilterable) {
       // ONE-PASS shape: the contains prune (AND of terms under
       // matchAll) runs inside the full-view scan's codegen and the
@@ -143,22 +154,41 @@ object BuiltinServices {
       val corpus = candRows.select(col("o").as("t")).distinct()
         .filter(!isIri && !col("t").startsWith("_:"))
         .select(col("t").as("doc_id"), RdfLiteral.strOf(col("t")).as("text"))
-      val hits = graft.search.FullText.searchAll(corpus, qTerms,
+      // matchExact (verbatim phrase containment against the literal's
+      // lexical form) is rank-independent — it composes with the
+      // prefiltered candidate corpus
+      val hits0 = graft.search.FullText.searchAll(corpus, qTerms,
         prefixMatch = prefixMatch, matchAll = matchAll, analyzer = az)
+      val hits =
+        if (!matchExact) hits0
+        else hits0.join(corpus, "doc_id")
+          .filter(col("text").contains(lit(qText))).drop("text")
       candRows.join(hits.select(col("doc_id").as("o")), "o")
         .select(col("s").as(outVar)).distinct()
     } else {
+      val corpus = literalCorpus(src)
       val hits0 = graft.search.FullText.searchAll(
-        literalCorpus(src), qTerms,
+        corpus, qTerms,
         prefixMatch = prefixMatch,
         matchAll = matchAll,
         regex = regex,
         minScore = minScore,
         analyzer = az)
-      // maxRank is the only option that needs an order: a bounded
-      // sort-limit (TakeOrderedAndProject), applied to hits only
-      val hits = maxRank.fold(hits0)(mr =>
-        hits0.orderBy(col("score").desc, col("doc_id")).limit(mr))
+      val hits1 = maxScore.fold(hits0)(ms => hits0.filter(col("score") <= ms))
+      val hits2 =
+        if (!matchExact) hits1
+        else hits1.join(corpus, "doc_id")
+          .filter(col("text").contains(lit(qText))).drop("text")
+      // the rank window is the only option that needs an order: a
+      // bounded sort-limit-with-offset (TakeOrderedAndProject),
+      // applied to hits only
+      val hits = (minRank, maxRank) match {
+        case (None, None) => hits2
+        case (lo, hi) =>
+          val ordered = hits2.orderBy(col("score").desc, col("doc_id"))
+            .offset(lo.getOrElse(1) - 1)
+          hi.fold(ordered)(h => ordered.limit(h - lo.getOrElse(1) + 1))
+      }
       src.triples.join(hits.select(col("doc_id").as("o")), "o")
         .select(col("s").as(outVar)).distinct()
     }

@@ -336,7 +336,8 @@ object Compiler {
       }
 
     case SearchService(terms, limit, prefix, matchAll, outDoc, outScore,
-                       regex, minScore, maxRank, analyzerName) =>
+                       regex, minScore, maxRank, analyzerName,
+                       maxScore, minRank, matchExact) =>
       val corpus = src.searchCorpus
         .getOrElse(sys.error("this triple source has no search corpus"))
       val az = analyzerName.orElse(src.defaultAnalyzer)
@@ -348,7 +349,10 @@ object Compiler {
       val qTerms = terms.flatMap(az.tokenizeLocal)
       graft.search.FullText
         .search(corpus, qTerms, limit, prefix, matchAll, regex, minScore,
-          maxRank, az)
+          maxRank, az, maxScore, minRank,
+          // MATCH_EXACT tests the ORIGINAL query string against the
+          // doc text (BigdataValueCentricFullTextIndex.matchExact)
+          if (matchExact) terms.headOption else None)
         .select(col("doc_id").as(outDoc), col("score").as(outScore))
 
     case ServiceCall(endpoint, inner, silent, srcText) =>

@@ -761,7 +761,15 @@ object Parser {
                 // bds:analyzer: analyzer name ("cjk") or language tag
                 // ("zh") — the ConfigurableAnalyzerFactory per-namespace
                 // seam surfaced as a per-query option
-                conf.get("analyzer").map(_.head)))
+                conf.get("analyzer").map(_.head),
+                // the rest of FullTextQuery's option surface:
+                // relevance/rank WINDOWS and verbatim-phrase exact
+                // match (bds:searchTimeout parses and is consumed by
+                // the compiler — cancellation is the server job-group
+                // seam's job, documented there)
+                conf.get("maxRelevance").map(_.head.toDouble),
+                conf.get("minRank").map(_.head.toInt),
+                conf.get("matchExact").exists(_.head.toBoolean)))
             case "geo:search" =>
               // reference geospatial service: inRectangle mode, or
               // inCircle when a center+radius is given

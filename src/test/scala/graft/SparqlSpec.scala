@@ -323,6 +323,59 @@ class SparqlSpec extends AnyFunSuite {
     assert(sample("bd:serviceParam bd:sample.sampleType \"EVEN\" .", 5) == even)
   }
 
+  test("FullTextQuery option tail: minRank/maxRelevance/matchExact/searchTimeout") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.search.{Analyzer, FullText}
+    val docs = Seq(
+      (1L, "spark join spark join spark"), // highest tf for both terms
+      (2L, "spark join table"),            // contains the exact phrase
+      (3L, "join spark order"),            // tokens match, phrase does not
+      (4L, "spark only here"),
+      (5L, "nothing relevant")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSeq
+    val full = ids(FullText.search(docs, Seq("spark", "join")))
+    // rank window [2,3] = the full ranking sliced (order preserved)
+    assert(ids(FullText.search(docs, Seq("spark", "join"),
+      minRank = Some(2), maxRank = Some(3))) == full.slice(1, 3))
+    // matchExact keeps only docs whose TEXT contains the verbatim phrase
+    assert(ids(FullText.search(docs, Seq("spark", "join"),
+      matchExact = Some("spark join"))).toSet == Set(1L, 2L))
+    // maxScore drops the top-scoring doc but keeps lower hits
+    val scores = FullText.search(docs, Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cut = scores(full.head) - 1e-6
+    assert(!ids(FullText.search(docs, Seq("spark", "join"),
+      maxScore = Some(cut))).contains(full.head))
+    // the parsed bds:search surface accepts the same options (+ the
+    // consumed-and-ignored bds:searchTimeout), reference option names
+    val g = Graft.empty(spark).update(
+      """INSERT DATA { x:a note "spark join spark" . x:b note "join spark" .
+        |  x:c note "spark join" . }""".stripMargin)
+    val win = g.query(
+      """SELECT ?lit ?sc WHERE {
+        |  SERVICE bds:search {
+        |    _:s bds:query "spark join" . _:s bds:matchExact "true" .
+        |    _:s bds:minRank "1" . _:s bds:maxRank "5" .
+        |    _:s bds:searchTimeout "1000" .
+        |    _:s bds:out ?lit . _:s bds:outVal ?sc .
+        |  }
+        |} ORDER BY ?lit""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(win == Seq("spark join", "spark join spark"), s"got $win")
+    // searchInSearch accepts the reference's full option list,
+    // including the bind-nothing relevance/rank variables
+    val sis = g.query(
+      """SELECT ?s WHERE {
+        |  ?s note ?t .
+        |  SERVICE bds:searchInSearch {
+        |    ?s bds:searchInSearch "spark join" .
+        |    ?s bds:matchExact "true" .
+        |    ?s bds:relevance ?rel . ?s bds:rank ?rk .
+        |    ?s bds:searchTimeout "1000" .
+        |  }
+        |} ORDER BY ?s""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(sis == Seq("x:a", "x:c"), s"got $sis")
+  }
+
   test("magic-service params fail loud on typos, variables and unknown modes") {
     val src = TpchRdf.source(spark, SF)
     def bad(q: String): String =

@@ -159,7 +159,9 @@ object FullText {
                   prefixMatch: Boolean = false, matchAll: Boolean = false,
                   regex: Option[String] = None,
                   minScore: Option[Double] = None,
-                  maxRank: Option[Int] = None): DataFrame = {
+                  maxRank: Option[Int] = None,
+                  maxScore: Option[Double] = None,
+                  minRank: Option[Int] = None): DataFrame = {
     val query = queryIn.distinct
     val spark = index.sparkSession
     val matched = (regex match {
@@ -176,8 +178,13 @@ object FullText {
         index.join(broadcast(q), cond)
     }).select("term", "q_term", "doc_id", "tf").localCheckpoint()
     val n = spark.range(1).select(lit(nDocs).as("n"))
-    rankWindow(scoreMatched(matched, n, query.size, matchAll, regex, minScore),
-      None, maxRank, k)
+    rankWindow(
+      scoreMatched(matched, n, query.size, matchAll, regex, minScore, maxScore),
+      minRank, maxRank, k)
+    // (matchExact has no analog here by design: the persisted index
+    // holds postings, not text — a deployment that needs MATCH_EXACT
+    // keeps a (doc_id, text) side table and filters hits against it,
+    // exactly what search() does inline)
   }
 
   /** ALL matching docs with scores — no rank cut, no global sort.

@@ -504,6 +504,20 @@ object SparqlQueries {
           |} ORDER BY DESC(?score) ?doc_id""".stripMargin),
         TpchRdf.source(s, dir))),
 
+    // the CLASSIC magic-predicate search syntax — bds:* patterns
+    // inline in the WHERE group, no SERVICE (the reference's primary
+    // documented form; ASTSearchOptimizer lifts it, and so does the
+    // parser here): the search variable binds the matched doc, the
+    // relevance variable its score
+    "fulltext_magic" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?d ?score WHERE {
+          |  ?d bds:search "spark join vector" .
+          |  ?d bds:relevance ?score .
+          |  ?d bds:maxRank "20" .
+          |} ORDER BY DESC(?score) ?d""".stripMargin),
+        TpchRdf.source(s, dir))),
+
     // rank WINDOW over full-text hits — the reference FullTextQuery's
     // minRank/maxRank pair (FullTextIndex.java:1082): ranked hits
     // [3, 12], a bounded sort-limit-with-offset, never a row_number
@@ -1092,6 +1106,20 @@ object SparqlQueries {
         |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "fulltext_magic" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |q AS (SELECT UNNEST(['spark','join','vector']) AS term)
+        |SELECT tf.doc_id AS d, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
+        |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, d LIMIT 20""".stripMargin,
 
     "fulltext_window" ->
       """WITH toks AS (

@@ -233,7 +233,11 @@ object FullText {
   /** Rank window + final top-k over scored hits. The [minRank,
     * maxRank] cutoff compiles to sort-limit-with-offset
     * (TakeOrderedAndProject: per-partition top-K, then merge) — a
-    * global row_number window would move every hit to ONE partition. */
+    * global row_number window would move every hit to ONE partition.
+    * `k == Int.MaxValue` means NO final cut (the classic
+    * magic-predicate form returns every hit): the output then stays
+    * unordered and unlimited — an unbounded TakeOrdered would
+    * otherwise collect the whole hit set into one partition. */
   private def rankWindow(scored: DataFrame, minRank: Option[Int],
                          maxRank: Option[Int], k: Int): DataFrame = {
     val lo = minRank.getOrElse(1)
@@ -247,8 +251,8 @@ object FullText {
           .offset(lo - 1)
         maxRank.fold(ordered)(hi => ordered.limit(hi - lo + 1))
     }
-    ranked.select("doc_id", "score")
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    val out = ranked.select("doc_id", "score")
+    if (k == Int.MaxValue) out
+    else out.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 }

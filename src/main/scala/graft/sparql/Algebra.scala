@@ -242,7 +242,13 @@ final case class SearchService(terms: Seq[String], limit: Int,
                                analyzer: Option[String] = None,
                                maxScore: Option[Double] = None,
                                minRank: Option[Int] = None,
-                               matchExact: Boolean = false) extends Algebra
+                               matchExact: Boolean = false,
+                               // classic magic-predicate outputs
+                               // (ASTSearchOptimizer lift): hit rank
+                               // variable, or ONE row binding the hit
+                               // count instead of hits (bds:rangeCount)
+                               outRank: Option[String] = None,
+                               rangeCountVar: Option[String] = None) extends Algebra
 
 /** SERVICE [SILENT] <endpoint> { group } — federation to a registered
   * endpoint (ast/service/ServiceRegistry.java:67; remote endpoints

@@ -337,7 +337,7 @@ object Compiler {
 
     case SearchService(terms, limit, prefix, matchAll, outDoc, outScore,
                        regex, minScore, maxRank, analyzerName,
-                       maxScore, minRank, matchExact) =>
+                       maxScore, minRank, matchExact, outRank, rangeCountVar) =>
       val corpus = src.searchCorpus
         .getOrElse(sys.error("this triple source has no search corpus"))
       val az = analyzerName.orElse(src.defaultAnalyzer)
@@ -347,13 +347,32 @@ object Compiler {
       // index uses (e.g. 数据库 → [数据, 据库]) — whitespace splitting
       // alone would never match a bigram index
       val qTerms = terms.flatMap(az.tokenizeLocal)
-      graft.search.FullText
+      val hits = graft.search.FullText
         .search(corpus, qTerms, limit, prefix, matchAll, regex, minScore,
           maxRank, az, maxScore, minRank,
           // MATCH_EXACT tests the ORIGINAL query string against the
           // doc text (BigdataValueCentricFullTextIndex.matchExact)
           if (matchExact) terms.headOption else None)
-        .select(col("doc_id").as(outDoc), col("score").as(outScore))
+      rangeCountVar match {
+        // bds:rangeCount: ONE row binding the hit count INSTEAD of
+        // hits (SearchServiceFactory.java:649) — an aggregate over
+        // the same option-filtered hit relation
+        case Some(rc) => hits.agg(count(lit(1)).as(rc))
+        case None =>
+          val base = hits
+            .select(col("doc_id").as(outDoc), col("score").as(outScore))
+          outRank.fold(base) { rv =>
+            // bds:rank binds the hit's 1-based rank (score desc,
+            // doc_id asc — the reference Hit rank order). The window
+            // is unpartitioned BY DESIGN here: it runs over the
+            // search's OWN output, which is either top-k-bounded or
+            // a query-selective hit set — never a corpus-sized
+            // relation
+            import org.apache.spark.sql.expressions.Window
+            base.withColumn(rv, row_number().over(
+              Window.orderBy(col(outScore).desc, col(outDoc))))
+          }
+      }
 
     case ServiceCall(endpoint, inner, silent, srcText) =>
       // SERVICE SILENT failure = the unit solution (§13.2): a single

@@ -620,7 +620,67 @@ object Parser {
     }
 
     /** GroupGraphPattern: { ... } */
-    def parseGroup(): Algebra = {
+    /** The classic (no-SERVICE) magic-predicate search lift — the
+      * ASTSearchOptimizer analog: each search variable's bds:*
+      * patterns become one [[SearchService]] whose subject variable
+      * binds the matched literal, joined into the group like any
+      * operand. `?lit bds:search "q" . ?lit bds:relevance ?sc .
+      * ?s ?p ?lit` is the reference's primary documented search
+      * syntax; without the lift those patterns would silently match
+      * nothing. Unknown bds: predicates error like the reference
+      * ("Unknown search predicate"); bds:searchTimeout is consumed
+      * (the server job-group seam owns cancellation);
+      * bds:subjectSearch (the subject-centric index) is rejected
+      * loud. A '*' in the query string switches prefix match, the
+      * reference behavior. No bds:limit exists in the classic form —
+      * the hit set is bounded by bds:maxRank or not at all, so the
+      * lift passes limit = MaxValue (= no top-k cut, no global sort). */
+    private def liftSearchGroups(magic: Seq[TriplePattern]): Seq[Algebra] = {
+      if (magic.isEmpty) return Nil
+      val known = Set("bds:search", "bds:relevance", "bds:rank",
+        "bds:maxRank", "bds:minRank", "bds:maxRelevance", "bds:minRelevance",
+        "bds:matchAllTerms", "bds:matchExact", "bds:searchTimeout",
+        "bds:matchRegex", "bds:rangeCount", "bds:analyzer")
+      magic.foreach {
+        case TriplePattern(_, Const("bds:subjectSearch"), _) => sys.error(
+          "bds:subjectSearch (the subject-centric text index) is not supported")
+        case TriplePattern(_, Const(p), _) if known(p) => ()
+        case TriplePattern(_, p, _) => sys.error(s"Unknown search predicate: $p")
+      }
+      magic.groupBy(_.s).toSeq.sortBy(_._1.toString).map { case (subj, ps) =>
+        val v = subj match {
+          case Var(n) => n
+          case other  => sys.error(s"search subject must be a variable, got $other")
+        }
+        def cOpt(name: String): Option[String] = ps.collectFirst {
+          case TriplePattern(_, Const(p), Const(o)) if p == name => o
+        }
+        def vOpt(name: String): Option[String] = ps.collectFirst {
+          case TriplePattern(_, Const(p), Var(o)) if p == name => o
+        }
+        val query = cOpt("bds:search").getOrElse(sys.error(
+          s"magic search group for ?$v needs '?$v bds:search \"query\"'"))
+        val prefix = query.contains("*")
+        SearchService(Seq(if (prefix) query.replace("*", "") else query),
+          limit = Int.MaxValue,
+          prefixMatch = prefix,
+          matchAll = cOpt("bds:matchAllTerms").exists(_.toBoolean),
+          outDoc = v,
+          // '_'-prefixed = parser-synthesized, excluded from SELECT *
+          outScore = vOpt("bds:relevance").getOrElse("_sc_" + v),
+          regex = cOpt("bds:matchRegex"),
+          minScore = cOpt("bds:minRelevance").map(_.toDouble),
+          maxRank = cOpt("bds:maxRank").map(_.toInt),
+          analyzer = cOpt("bds:analyzer"),
+          maxScore = cOpt("bds:maxRelevance").map(_.toDouble),
+          minRank = cOpt("bds:minRank").map(_.toInt),
+          matchExact = cOpt("bds:matchExact").exists(_.toBoolean),
+          outRank = vOpt("bds:rank"),
+          rangeCountVar = vOpt("bds:rangeCount"))
+      }
+    }
+
+    def parseGroup(liftMagic: Boolean = true): Algebra = {
       expect("{")
       var alg: Algebra = null
       def add(a: Algebra): Unit = alg = if (alg == null) a else Join(alg, a)
@@ -629,9 +689,22 @@ object Parser {
       // textual pattern order (QueryHintRegistry / QueryOptimizerEnum)
       var fixedOrder = false
       def flush(): Unit = {
-        val ps = patterns.result()
-        if (ps.nonEmpty) {
-          add(if (fixedOrder) BgpFixed(ps) else Bgp(ps: _*))
+        val ps0 = patterns.result()
+        if (ps0.nonEmpty) {
+          // the classic magic-predicate search syntax: bds:* patterns
+          // INSIDE an ordinary group (no SERVICE) lift into a
+          // SearchService per search variable — the reference's
+          // ASTSearchOptimizer (ast/eval/ASTSearchOptimizer.java:69
+          // URI set). Disabled inside SERVICE groups (liftMagic=false):
+          // there the named handler owns its magic predicates.
+          val (magic, ps) =
+            if (liftMagic) ps0.partition(p => p.p match {
+              case Const(c) => c.startsWith("bds:")
+              case _        => false
+            })
+            else (Vector.empty[TriplePattern], ps0)
+          liftSearchGroups(magic).foreach(add)
+          if (ps.nonEmpty) add(if (fixedOrder) BgpFixed(ps) else Bgp(ps: _*))
           patterns = Vector.newBuilder
         }
       }
@@ -708,7 +781,10 @@ object Parser {
             // serializes the service group back to SPARQL the same way)
             flush()
             val t0 = pos
-            val g = parseGroup()
+            // no magic-search lift inside a SERVICE group — the named
+            // handler owns its own magic predicates (searchInSearch's
+            // bds:* options would otherwise be hijacked)
+            val g = parseGroup(liftMagic = false)
             val text = tokens.slice(t0, pos).mkString(" ")
             val key = if (svc.startsWith("<")) svc.drop(1).dropRight(1) else svc
             add(ServiceCall(key, g, silent, Some(text)))

@@ -376,6 +376,54 @@ class SparqlSpec extends AnyFunSuite {
     assert(sis == Seq("x:a", "x:c"), s"got $sis")
   }
 
+  test("classic magic-predicate search (no SERVICE) lifts into a search join") {
+    // the reference's PRIMARY search syntax (ASTSearchOptimizer):
+    // bds:* patterns inline in the WHERE group, the search variable
+    // binding the matched literal
+    val g = Graft.empty(spark).update(
+      """INSERT DATA {
+        |  x:a note "the spark engine" . x:b note "plain words" .
+        |  x:c note "spark join spark" . x:b link x:a . }""".stripMargin)
+    val rows = g.query(
+      """SELECT ?s ?lit ?sc WHERE {
+        |  ?lit bds:search "spark" .
+        |  ?lit bds:relevance ?sc .
+        |  ?s note ?lit .
+        |} ORDER BY ?s""".stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("x:a", "x:c"))
+    assert(rows.forall(r => r.getString(1).contains("spark") && !r.isNullAt(2)))
+    // rank variable binds the (score desc, doc) hit order; minRelevance composes
+    val ranked = g.query(
+      """SELECT ?lit ?rk WHERE {
+        |  ?lit bds:search "spark" . ?lit bds:rank ?rk .
+        |} ORDER BY ?rk""".stripMargin).collect()
+    assert(ranked.map(_.getInt(1)).toSeq == Seq(1, 2))
+    assert(ranked.head.getString(0) == "spark join spark") // tf 2 ranks first
+    // rangeCount binds ONE row with the hit count instead of hits
+    val cnt = g.query(
+      """SELECT ?n WHERE { ?lit bds:search "spark" . ?lit bds:rangeCount ?n . }""")
+      .collect()
+    assert(cnt.length == 1 && cnt(0).getLong(0) == 2L)
+    // SELECT * excludes the synthesized score column when no
+    // bds:relevance variable was asked for
+    val star = g.query("""SELECT * WHERE { ?lit bds:search "plain" . }""")
+    assert(star.columns.toSeq == Seq("lit"))
+    // unknown predicates error like the reference's optimizer
+    val err = intercept[RuntimeException](g.query(
+      """SELECT ?lit WHERE { ?lit bds:serch "x" . }"""))
+    assert(err.getMessage.contains("Unknown search predicate"))
+    // and the lift does NOT fire inside SERVICE groups (the
+    // searchInSearch options keep their handler semantics)
+    val sis = g.query(
+      """SELECT ?s WHERE {
+        |  ?s note ?t .
+        |  SERVICE bds:searchInSearch {
+        |    ?s bds:searchInSearch "spark" . ?s bds:matchAllTerms "true" .
+        |  }
+        |} ORDER BY ?s""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(sis == Seq("x:a", "x:c"))
+  }
+
   test("magic-service params fail loud on typos, variables and unknown modes") {
     val src = TpchRdf.source(spark, SF)
     def bad(q: String): String =

@@ -3,11 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch scaling diagnostics for the dedup/ANN family (round-8
-  * sf1 evidence run follow-up): prints result and intermediate
-  * cardinalities so superlinear wall-times can be attributed to
-  * candidate blowup vs output blowup. Not part of the library
-  * surface. */
+/** Cardinality diagnostics for the dedup/ANN family (first used for
+  * the round-8 sf1 evidence runs, corpus dir parameterized): prints
+  * result and intermediate cardinalities so superlinear wall-times
+  * can be attributed to candidate blowup vs output blowup. A bench
+  * aid like DedupAB, not part of the library surface. */
 object Diag {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1")

@@ -652,6 +652,13 @@ object Parser {
           case Var(n) => n
           case other  => sys.error(s"search subject must be a variable, got $other")
         }
+        // the reference's validateSearch rejects a repeated search
+        // predicate on one search variable — first-wins would be a
+        // silent surprise
+        ps.groupBy(_.p).foreach { case (p, dup) =>
+          if (dup.size > 1) sys.error(
+            s"Search predicate appears multiple times for search variable ?$v: $p")
+        }
         def cOpt(name: String): Option[String] = ps.collectFirst {
           case TriplePattern(_, Const(p), Const(o)) if p == name => o
         }

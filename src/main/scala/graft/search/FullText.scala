@@ -82,7 +82,7 @@ object FullText {
              analyzer: Analyzer = Analyzer.Latin(),
              maxScore: Option[Double] = None,
              minRank: Option[Int] = None,
-             matchExact: Option[String] = None): DataFrame = {
+             matchExact: Seq[String] = Nil): DataFrame = {
     // duplicate query entries would double-count tf in scores and make
     // matchAll unsatisfiable (n_matched counts DISTINCT entries)
     val query = queryIn.distinct
@@ -93,15 +93,17 @@ object FullText {
     rankWindow(scored, minRank, maxRank, k)
   }
 
-  /** MATCH_EXACT: keep hits whose corpus text contains the original
+  /** MATCH_EXACT: keep hits whose corpus text contains EVERY given
     * query string verbatim (case-sensitive, the reference's
-    * contains() test) — a candidate-sized join back to the text. */
+    * contains() test; a multi-bds:query group phrase-checks each
+    * query literal — dropping all but the first would silently widen
+    * results) — a candidate-sized join back to the text. */
   private def exactFilter(scored: DataFrame, docs: DataFrame,
-                          matchExact: Option[String]): DataFrame =
-    matchExact.fold(scored)(q =>
-      scored.join(docs.select("doc_id", "text"), "doc_id")
-        .filter(col("text").contains(lit(q)))
-        .drop("text"))
+                          matchExact: Seq[String]): DataFrame =
+    if (matchExact.isEmpty) scored
+    else scored.join(docs.select("doc_id", "text"), "doc_id")
+      .filter(matchExact.map(q => col("text").contains(lit(q))).reduce(_ && _))
+      .drop("text")
 
   /** Shared matching front of [[search]]/[[searchAll]]: query-matched
     * postings (term, q_term, doc_id, tf), materialized once, plus the

@@ -323,10 +323,10 @@ object BuiltinServices {
     *    — the reference EvenSampleAdvancer's exact skipCount
     *    (SampleIndex.java:440), so like the reference the pick is
     *    head-anchored and the trailing partial stride is unsampled.
-    *    Pays a range count plus the zipWithIndex pick over the sorted
-    *    path (whose per-partition offsets cost one more internal
-    *    count job); distributed throughout — no single-partition
-    *    window. */
+    *    Pays one partition-count aggregate plus a per-partition
+    *    row_number over the range-sorted path (offsets prefix-summed
+    *    on the driver) — all DataFrame/Tungsten, no RDD round-trip,
+    *    no single-partition window. */
   private[sparql] val sample: ServiceRegistry.Handler = (inner, src) => {
     val pats = bgpOf(inner, "bd:sample")
     val (tp, params) = splitParams(pats, "bd:sample",
@@ -345,14 +345,44 @@ object BuiltinServices {
       case "DENSE" =>
         rows.orderBy(col("s"), col("p"), col("o")).limit(limit)
       case "EVEN" =>
-        val ordered = rows.orderBy(col("s"), col("p"), col("o"))
-        val n = ordered.count()
+        // EVEN needs GLOBAL key-order positions (the reference
+        // EvenSampleAdvancer's exact skipCount, SampleIndex.java:440)
+        // — computed here without leaving DataFrame land: range
+        // repartition + in-partition sort totals the (s,p,o) order
+        // across ascending partition ids; per-partition counts
+        // (one bounded aggregate, ≤ shuffle-partitions rows) prefix-
+        // sum into driver-side offsets, and each row's position is
+        // offset(pid) + rownum-within-pid − 1 — the pipeline_budget
+        // histogram discipline. The row_number window partitions BY
+        // pid, so it is per-partition work, never the one-partition
+        // global window; everything stays in Tungsten (no `.rdd`
+        // count job + deserialization pass). localCheckpoint pins
+        // the pid assignment: range partitioning SAMPLES its bounds,
+        // and the count job and the pick job must see the same one.
+        val ordered = rows
+          .repartitionByRange(col("s"), col("p"), col("o"))
+          .sortWithinPartitions("s", "p", "o")
+          .withColumn("_pid", spark_partition_id())
+          .localCheckpoint()
+        val counts = ordered.groupBy("_pid").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val n = counts.map(_._2).sum
         val stride = math.max(1L, n / math.max(1, limit))
+        val offsets = counts.foldLeft((0L, Vector.empty[(Int, Long)])) {
+          case ((acc, out), (pid, c)) => (acc + c, out :+ (pid -> acc))
+        }._2
         val spark = rows.sparkSession
-        spark.createDataFrame(
-            ordered.rdd.zipWithIndex()
-              .filter(_._2 % stride == 0).map(_._1), ordered.schema)
-          .limit(limit)
+        import spark.implicits._
+        val offDf = offsets.toDF("_pid", "_off")
+        // head-anchored: the first `limit` stride picks in key order
+        // (bounded sort over the ~limit-sized pick set, not the path)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("_pid").orderBy(col("s"), col("p"), col("o"))
+        ordered.join(broadcast(offDf), "_pid")
+          .withColumn("_pos", col("_off") + row_number().over(w) - 1)
+          .filter(col("_pos") % stride === 0)
+          .orderBy("_pos").limit(limit)
+          .drop("_pid", "_off", "_pos")
       case other => sys.error(s"bd:sample.sampleType must be RANDOM | EVEN | DENSE, got $other")
     }
     projectVars(picked, tp)

@@ -350,9 +350,11 @@ object Compiler {
       val hits = graft.search.FullText
         .search(corpus, qTerms, limit, prefix, matchAll, regex, minScore,
           maxRank, az, maxScore, minRank,
-          // MATCH_EXACT tests the ORIGINAL query string against the
-          // doc text (BigdataValueCentricFullTextIndex.matchExact)
-          if (matchExact) terms.headOption else None)
+          // MATCH_EXACT tests EVERY original query string against the
+          // doc text (BigdataValueCentricFullTextIndex.matchExact
+          // contains() per query; with several bds:query literals each
+          // must appear verbatim)
+          if (matchExact) terms else Nil)
       rangeCountVar match {
         // bds:rangeCount: ONE row binding the hit count INSTEAD of
         // hits (SearchServiceFactory.java:649) — an aggregate over

@@ -659,6 +659,29 @@ object Parser {
           if (dup.size > 1) sys.error(
             s"Search predicate appears multiple times for search variable ?$v: $p")
         }
+        // object-KIND validation, the reference's validateSearch
+        // contract (SearchServiceFactory: "Object is not literal" for
+        // a value option given a variable, "Object must be variable"
+        // for an output predicate given a constant) — without it
+        // '?lit bds:minRelevance ?x' silently ignores the option
+        val valueOpts = Set("bds:search", "bds:minRelevance",
+          "bds:maxRelevance", "bds:minRank", "bds:maxRank",
+          "bds:matchAllTerms", "bds:matchExact", "bds:matchRegex",
+          "bds:analyzer", "bds:searchTimeout")
+        val outputOpts = Set("bds:relevance", "bds:rank", "bds:rangeCount")
+        ps.foreach {
+          case TriplePattern(_, Const(p), o) if valueOpts(p) => o match {
+            case Const(_) => ()
+            case other => sys.error(
+              s"$p object is not a literal (got $other) for search variable ?$v")
+          }
+          case TriplePattern(_, Const(p), o) if outputOpts(p) => o match {
+            case Var(_) => ()
+            case other => sys.error(
+              s"$p object must be a variable (got $other) for search variable ?$v")
+          }
+          case _ => () // predicate set already validated above
+        }
         def cOpt(name: String): Option[String] = ps.collectFirst {
           case TriplePattern(_, Const(p), Const(o)) if p == name => o
         }
@@ -737,13 +760,13 @@ object Parser {
           flush(); add(NamedInclude(nm.drop(1)))
         } else if (peekIs("FILTER")) {
           next()
-          if (peekIs("EXISTS")) { next(); flush(); val g = parseGroup(); alg = Exists(orUnit(alg), g) }
-          else if (peekIs("NOT")) { next(); expect("EXISTS"); flush(); val g = parseGroup(); alg = NotExists(orUnit(alg), g) }
+          if (peekIs("EXISTS")) { next(); flush(); val g = parseGroup(liftMagic); alg = Exists(orUnit(alg), g) }
+          else if (peekIs("NOT")) { next(); expect("EXISTS"); flush(); val g = parseGroup(liftMagic); alg = NotExists(orUnit(alg), g) }
           else if (bracketContainsExists()) {
             // FILTER(expr && EXISTS {…} && …): each top-level conjunct
             // is either a value expression (ANDed into one Filter) or
             // an EXISTS/NOT EXISTS group (a semi/anti join)
-            val (cond, exs) = parseFilterParts()
+            val (cond, exs) = parseFilterParts(liftMagic)
             flush()
             cond.foreach(c => alg = Filter(orUnit(alg), c))
             exs.foreach {
@@ -752,9 +775,9 @@ object Parser {
             }
           } else { val c = parseBracketedExpr(); flush(); alg = Filter(orUnit(alg), c) }
         } else if (peekIs("OPTIONAL")) {
-          next(); flush(); val g = parseGroup(); alg = LeftJoin(orUnit(alg), g)
+          next(); flush(); val g = parseGroup(liftMagic); alg = LeftJoin(orUnit(alg), g)
         } else if (peekIs("MINUS")) {
-          next(); flush(); val g = parseGroup(); alg = Minus(orUnit(alg), g)
+          next(); flush(); val g = parseGroup(liftMagic); alg = Minus(orUnit(alg), g)
         } else if (peekIs("BIND")) {
           next(); expect("(")
           val e = parseExpr()
@@ -765,7 +788,7 @@ object Parser {
         } else if (peekIs("GRAPH")) {
           next()
           val g = term(next())
-          flush(); add(GraphPattern(g, parseGroup()))
+          flush(); add(GraphPattern(g, parseGroup(liftMagic)))
         } else if (peekIs("SERVICE")) {
           next()
           val silent = if (peekIs("SILENT")) { next(); true } else false
@@ -834,7 +857,15 @@ object Parser {
               require(terms.nonEmpty || conf.contains("regex"),
                 "bds:search needs bds:query or bds:regex")
               add(SearchService(terms,
-                conf.get("limit").map(_.head.toInt).getOrElse(20),
+                // a rank window must not compose with the implicit
+                // top-20: the reference's slice() returns the full
+                // [minRank, maxRank] window (FullTextIndex.slice) —
+                // with a window and no EXPLICIT bds:limit, the window
+                // alone bounds the hit set
+                conf.get("limit").map(_.head.toInt).getOrElse(
+                  if (conf.contains("minRank") || conf.contains("maxRank"))
+                    Int.MaxValue
+                  else 20),
                 conf.get("prefixMatch").exists(_.head.toBoolean),
                 conf.get("matchAllTerms").exists(_.head.toBoolean),
                 outNode, outVal,
@@ -888,8 +919,11 @@ object Parser {
           flush(); add(sub)
         } else if (peekIs("{")) {
           flush()
-          var g = parseGroup()
-          while (peekIs("UNION")) { next(); g = Union(g, parseGroup()) }
+          // nested groups inherit the enclosing lift mode: a '{ … }'
+          // inside a SERVICE group must NOT hijack bds:* patterns the
+          // named handler (or remote endpoint) owns
+          var g = parseGroup(liftMagic)
+          while (peekIs("UNION")) { next(); g = Union(g, parseGroup(liftMagic)) }
           add(g)
         } else if (peekIs(".")) next()
         else {
@@ -1109,15 +1143,15 @@ object Parser {
     /** FILTER body with EXISTS conjuncts: `( c1 && EXISTS {…} && c2 )`.
       * Conjuncts split at top-level `&&`; plain conjuncts AND into one
       * condition (each conjunct may use `||` internally). */
-    private def parseFilterParts(): (Option[Column], Seq[(Boolean, Algebra)]) = {
+    private def parseFilterParts(liftMagic: Boolean = true): (Option[Column], Seq[(Boolean, Algebra)]) = {
       expect("(")
       var cond: Option[Column] = None
       val exs = Vector.newBuilder[(Boolean, Algebra)]
       var done = false
       while (!done) {
-        if (peekIs("EXISTS")) { next(); exs += ((true, parseGroup())) }
+        if (peekIs("EXISTS")) { next(); exs += ((true, parseGroup(liftMagic))) }
         else if (peekIs("NOT") && peekAt(1).equalsIgnoreCase("EXISTS")) {
-          next(); next(); exs += ((false, parseGroup()))
+          next(); next(); exs += ((false, parseGroup(liftMagic)))
         } else {
           var c = parseRel(None)
           while (peek == "||") { next(); c = c || parseRel(None) }

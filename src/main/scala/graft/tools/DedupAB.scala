@@ -20,8 +20,9 @@ object DedupAB {
     require(Modes(mode), s"mode must be one of ${Modes.toSeq.sorted.mkString("|")}, got '$mode'")
     val minJ = if (args.length > 2) args(2).toDouble else 0.5
     val maxDf = if (args.length > 3) args(3).toLong else 64L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,7 +70,12 @@ object DedupAB {
     val prefix = perDoc
       .withColumn("gx", size(col("gen")))
       .withColumn("alpha", ceil(lit(tEff) * col("sz")) - col("vc"))
-      .withColumn("px", when(col("alpha") <= 1, col("gx"))
+      // mirrors the SHIPPED operator's px stage for stage, including
+      // the α > gx zero-clamp (Dedup.scala) — without it this aid
+      // emits dead prefix rows and overstates candidate counts
+      // relative to the plan it benchmarks
+      .withColumn("px", when(col("alpha") > col("gx"), lit(0L))
+        .when(col("alpha") <= 1, col("gx"))
         .otherwise(col("gx") - col("alpha") +
           least(col("alpha"),
             floor((col("alpha") + lit(M + 1)) / lit(2)).cast("long"))))

@@ -339,7 +339,11 @@ class SparqlSpec extends AnyFunSuite {
       minRank = Some(2), maxRank = Some(3))) == full.slice(1, 3))
     // matchExact keeps only docs whose TEXT contains the verbatim phrase
     assert(ids(FullText.search(docs, Seq("spark", "join"),
-      matchExact = Some("spark join"))).toSet == Set(1L, 2L))
+      matchExact = Seq("spark join"))).toSet == Set(1L, 2L))
+    // EVERY matchExact phrase must appear — a second query literal is
+    // phrase-checked too, never silently dropped
+    assert(ids(FullText.search(docs, Seq("spark", "join"),
+      matchExact = Seq("spark join", "table"))).toSet == Set(2L))
     // maxScore drops the top-scoring doc but keeps lower hits
     val scores = FullText.search(docs, Seq("spark", "join"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -460,6 +464,66 @@ class SparqlSpec extends AnyFunSuite {
         |  SERVICE SILENT bd:slice {
         |    ?x acctbal ?b . bd:serviceParam bd:slice.offst 1 . } }""".stripMargin), src)
     assert(ok.count() == 5) // regions unchanged: unit solution joined
+  }
+
+  test("magic search: object kinds validate loud; nested SERVICE groups stay unlifted") {
+    val g = Graft.empty(spark).update(
+      """INSERT DATA { x:a note "the spark engine" . }""")
+    // value option with a variable object — the reference
+    // SearchServiceFactory throws "Object is not literal"
+    val e1 = intercept[RuntimeException](g.query(
+      """SELECT ?lit WHERE { ?lit bds:search "spark" . ?lit bds:minRelevance ?x . }"""))
+    assert(e1.getMessage.contains("not a literal"), e1.getMessage)
+    // output predicate with a constant object — "Object must be variable"
+    val e2 = intercept[RuntimeException](g.query(
+      """SELECT ?lit WHERE { ?lit bds:search "spark" . ?lit bds:relevance "0.5" . }"""))
+    assert(e2.getMessage.contains("must be a variable"), e2.getMessage)
+    // a nested { } inside a SERVICE group must NOT hijack bds:*
+    // patterns into a SearchService — the named handler (or a remote
+    // endpoint) owns them verbatim
+    var seen: Option[Algebra] = None
+    ServiceRegistry.register("urn:test:probe", (inner, src) => {
+      seen = Some(inner); src.triples.sparkSession.range(1).select()
+    })
+    try {
+      Compiler.compile(Parser.parse(
+        """SELECT * WHERE { SERVICE urn:test:probe {
+          |  { ?lit bds:search "spark" . } } }""".stripMargin),
+        TripleSource.plain(tri)).collect()
+      def hasSearchService(a: Algebra): Boolean = a match {
+        case _: SearchService => true
+        case Join(l, r)       => hasSearchService(l) || hasSearchService(r)
+        case Bgp(_ @ _*)      => false
+        case _                => false
+      }
+      assert(seen.isDefined && !hasSearchService(seen.get),
+        s"nested group was lifted: ${seen.get}")
+    } finally ServiceRegistry.unregister("urn:test:probe")
+  }
+
+  test("SERVICE bds:search rank window is not truncated by the default limit") {
+    val src = TpchRdf.source(spark, SF)
+    // "the" hits far more than 20 of the 500 documents; a [1,30]
+    // window must return 30 rows, not min(30, default-limit 20)
+    val windowed = Compiler.compile(Parser.parse(
+      """SELECT ?d ?sc WHERE {
+        |  SERVICE bds:search {
+        |    _:s bds:query "the" .
+        |    _:s bds:minRank 1 . _:s bds:maxRank 30 .
+        |    _:s bds:out ?d . _:s bds:outVal ?sc .
+        |  }
+        |}""".stripMargin), src)
+    assert(windowed.count() == 30L)
+    // an EXPLICIT bds:limit still wins over the window width
+    val limited = Compiler.compile(Parser.parse(
+      """SELECT ?d ?sc WHERE {
+        |  SERVICE bds:search {
+        |    _:s bds:query "the" . _:s bds:limit 10 .
+        |    _:s bds:minRank 1 . _:s bds:maxRank 30 .
+        |    _:s bds:out ?d . _:s bds:outVal ?sc .
+        |  }
+        |}""".stripMargin), src)
+    assert(limited.count() == 10L)
   }
 
   test("TripleStore delete/insert/clear semantics") {

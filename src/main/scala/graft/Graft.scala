@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions.col
 final case class Graft(spark: SparkSession, store: QuadStore,
                        defaultGraph: String = "g:default",
                        unionDefaultGraph: Boolean = true,
-                       analyzerName: Option[String] = None) {
+                       analyzerName: Option[String] = None,
+                       textIndex: Option[graft.search.SearchIndexView] = None) {
 
   /** Set iff the union-default-graph merge view has been materialized
     * for this handle (see [[release]]). */
@@ -72,6 +73,14 @@ final case class Graft(spark: SparkSession, store: QuadStore,
     // per-namespace analyzer config (ConfigurableAnalyzerFactory):
     // bds:search without bds:analyzer tokenizes with this
     override def defaultAnalyzer: Option[String] = analyzerName
+    // persisted-index production shape: when a namespace keeps a
+    // maintained literal index (server `textIndex=true`, or
+    // TextIndexMaintenance by hand), bds:search and
+    // bds:searchInSearch plan index lookups instead of the
+    // vocabulary-sized distinct below — for a quad store the search
+    // corpus IS the literal space, so one index serves both slots
+    override def searchIndex: Option[graft.search.SearchIndexView] = textIndex
+    override def literalIndex: Option[graft.search.SearchIndexView] = textIndex
     override def searchCorpus: Option[DataFrame] = Some {
       val t = store.quads.select(col("o").cast("string").as("t")).distinct()
       val isIri = col("t").rlike(Parser.IriShape) && !col("t").startsWith("_:")

@@ -20,6 +20,65 @@ object SparqlQueries {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Staged persisted full-text indexes, built ONCE per (kind,
+    * corpus) per driver run — the production "build once, query many"
+    * shape the indexed queries below exercise; a fresh driver rebuilds
+    * (per-run state, not durable). Tiny driver-temp dirs, JVM-exit
+    * cleaned. */
+  private val stagedIx =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.search.SearchIndexView]()
+  private def stageIx(key: String)(build: String => graft.search.SearchIndexView) =
+    stagedIx.computeIfAbsent(key, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_ftix")
+      sys.addShutdownHook {
+        try {
+          java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      build(d.resolve("ix").toString)
+    })
+
+  /** Literal-space index over the store's triples (termDocIds: the
+    * doc id IS the literal term) — what bds:searchInSearch consults. */
+  private def literalIxFor(s: SparkSession, dir: String): graft.search.SearchIndexView =
+    stageIx(s"lit|$dir")(d => graft.search.PersistedSearchIndex
+      .create(s, d, BuiltinServices.literalSpace(TpchRdf.triples(s, dir))).view)
+
+  /** Documents-corpus index (opaque long doc ids) — what bds:search
+    * consults in place of the per-query corpus tokenize. */
+  private def docIxFor(s: SparkSession, dir: String): graft.search.SearchIndexView =
+    stageIx(s"doc|$dir")(d => graft.search.PersistedSearchIndex
+      .create(s, d, TpchRdf.table(s, dir, "documents").select("doc_id", "text"),
+        termDocIds = false).view)
+
+  /** Journal whose literal text index is MAINTAINED on commits: nation
+    * names land in commit 1, the index is built THERE, region names
+    * land in commit 2 and reach the index through the delta sync —
+    * the maintained query below finds them with no rebuild. */
+  private val stagedJournalIx =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, graft.search.SearchIndexView)]()
+  private def journalIxFor(s: SparkSession, dir: String): (DataFrame, graft.search.SearchIndexView) =
+    stagedJournalIx.computeIfAbsent(s"j|$dir", { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_jix")
+      sys.addShutdownHook {
+        try {
+          java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val j = graft.rdf.Journal.create(s, d.resolve("j").toString)
+      def nameQuads(table: String, prefix: String, key: String, name: String) =
+        TpchRdf.table(s, dir, table).select(
+          concat(lit(prefix), col(key).cast("string")).as("s"),
+          lit("name").as("p"), col(name).as("o"), lit("g:default").as("g"))
+      j.append(nameQuads("nation", "n:", "n_nationkey", "n_name"))
+      val ix = graft.rdf.TextIndexMaintenance.create(s, d.resolve("ix").toString, j)
+      j.append(nameQuads("region", "r:", "r_regionkey", "r_name"))
+      graft.rdf.TextIndexMaintenance.sync(ix, j)
+      (j.snapshot().select("s", "p", "o").localCheckpoint(), ix.view)
+    })
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
       TpchRdf.table(s, dir, "lineitem")
@@ -550,6 +609,100 @@ object SparqlQueries {
           |  }
           |} ORDER BY DESC(?score) ?doc_id""".stripMargin),
         TpchRdf.source(s, dir))),
+
+    // PERSISTED-index search: same SERVICE bds:search surface, but the
+    // source carries postings built once over the documents corpus
+    // ([[graft.search.PersistedSearchIndex]]) — the plan is an index
+    // scan + broadcast semi-join, NO per-query corpus tokenize (the
+    // reference's FullTextIndex is exactly a persisted index); scores
+    // and results are identical to the build-per-query path, one
+    // oracle serves both
+    "fulltext_indexed" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?doc_id ?score WHERE {
+          |  SERVICE bds:search {
+          |    _:s bds:query "spark join vector" .
+          |    _:s bds:limit "20" .
+          |    _:s bds:out ?doc_id .
+          |    _:s bds:outVal ?score .
+          |  }
+          |} ORDER BY DESC(?score) ?doc_id""".stripMargin),
+        TripleSource.withIndexes(TpchRdf.source(s, dir),
+          search = Some(docIxFor(s, dir))))),
+
+    // searchInSearch over the PERSISTED literal index: the handler
+    // plans postings lookups + the one O→S join instead of the
+    // full-view tokenize/prefilter pass — the production shape of the
+    // service at 100 TB (SearchInSearchServiceFactory over a
+    // maintained FullTextIndex)
+    "searchinsearch_indexed" -> ((s, dir) =>
+      Compiler.compile(Parser.parse(
+        """SELECT ?r ?rname WHERE {
+          |  ?r name ?rname .
+          |  SERVICE bds:searchInSearch {
+          |    ?r bds:searchInSearch "africa america" .
+          |  }
+          |} ORDER BY ?r""".stripMargin),
+        TripleSource.withIndexes(TpchRdf.source(s, dir),
+          literal = Some(literalIxFor(s, dir))))),
+
+    // text index MAINTAINED on journal commits (TextIndexMaintenance —
+    // the reference's assert/retract text-indexer hooks): the index is
+    // created at commit 1 (nation names) and the region names of
+    // commit 2 reach it through the DELTA sync; the magic search below
+    // finds a commit-2 literal with no rebuild, through a
+    // journal-backed store handle
+    "search_journal_maintained" -> ((s, dir) => {
+      val (triples, ixView) = journalIxFor(s, dir)
+      Compiler.compile(Parser.parse(
+        """SELECT ?s ?lit WHERE {
+          |  ?lit bds:search "asia" .
+          |  ?s name ?lit .
+          |} ORDER BY ?s""".stripMargin),
+        TripleSource.withIndexes(TripleSource.plain(triples),
+          search = Some(ixView), literal = Some(ixView)))
+    }),
+
+    // EXTERNAL full-text service (fts:search — the reference's
+    // FulltextSearchServiceFactory, the last of its seven
+    // default-registered services): magic predicates dispatch an HTTP
+    // query to a Solr-speaking endpoint and the response docs bind
+    // the search variable + score. Here the endpoint is a loopback
+    // stub serving the Solr select JSON shape (fixture hits over the
+    // region vocabulary — external-index content is fixture data by
+    // nature); the enclosing join against ?r name ?res is the real
+    // engine surface under test.
+    "fts_search" -> ((s, dir) => {
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      srv.createContext("/solr/select", { ex =>
+        val body =
+          """{"response":{"numFound":3,"docs":[
+            |  {"id":"ASIA","score":2.0},
+            |  {"id":"EUROPE","score":1.0},
+            |  {"id":"ATLANTIS","score":0.5}
+            |]}}""".stripMargin.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+      srv.start()
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/solr/select"
+      // the HTTP dispatch happens while the handler builds its
+      // solution relation (inside compile) — the stub can stop after
+      try Compiler.compile(Parser.parse(
+        s"""SELECT ?r ?res ?score WHERE {
+           |  ?r name ?res .
+           |  SERVICE fts:search {
+           |    ?res fts:search "continent" .
+           |    ?res fts:endpoint "$url" .
+           |    ?res fts:searchField "id" .
+           |    ?res fts:scoreField "score" .
+           |    ?res fts:score ?score .
+           |  }
+           |} ORDER BY ?r""".stripMargin), TpchRdf.source(s, dir))
+      finally srv.stop(0)
+    }),
 
     // SERVICE <endpoint> federation via the pluggable registry
     // (ast/service/ServiceRegistry.java:67): the endpoint here is a
@@ -1180,6 +1333,55 @@ object SparqlQueries {
         |  SELECT 'g:nation' AS g, 'n:'||CAST(n_nationkey AS VARCHAR) AS x, n_name AS n FROM nation
         |  UNION ALL SELECT 'g:region', 'r:'||CAST(r_regionkey AS VARCHAR), r_name FROM region
         |) ORDER BY g, x""".stripMargin,
+
+    // the indexed variant answers from persisted postings — identical
+    // result contract, one oracle family (the index IS the corpus)
+    "fulltext_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE t <> ''
+        |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |q AS (SELECT UNNEST(['spark','join','vector']) AS term)
+        |SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
+        |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // OR semantics (no matchAllTerms): any literal carrying EITHER
+    // query token filters its subjects in
+    "searchinsearch_indexed" ->
+      (T + """SELECT s AS r, o AS rname FROM triples x
+        |WHERE p = 'name' AND EXISTS (
+        |  SELECT 1 FROM triples h
+        |  WHERE h.s = x.s
+        |    AND NOT regexp_matches(h.o, '^[A-Za-z][A-Za-z0-9+.-]*:')
+        |    AND NOT starts_with(h.o, '_:')
+        |    AND list_has_any(
+        |      list_filter(string_split_regex(lower(h.o), '[^a-z0-9]+'), y -> y <> ''),
+        |      ['africa', 'america'])
+        |)
+        |ORDER BY r""".stripMargin),
+
+    "search_journal_maintained" ->
+      """SELECT s, lit FROM (
+        |  SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS s, n_name AS lit FROM nation
+        |  UNION ALL SELECT 'r:'||CAST(r_regionkey AS VARCHAR), r_name FROM region
+        |) WHERE list_contains(
+        |  list_filter(string_split_regex(lower(lit), '[^a-z0-9]+'), y -> y <> ''),
+        |  'asia')
+        |ORDER BY s""".stripMargin,
+
+    // the stub endpoint's fixture hits re-declared inline; the oracle
+    // checks the JOIN of external hits against the store
+    "fts_search" ->
+      """SELECT 'r:'||CAST(r_regionkey AS VARCHAR) AS r, r_name AS res,
+        |  CAST(v.score AS DOUBLE) AS score
+        |FROM region JOIN (VALUES ('ASIA', 2.0), ('EUROPE', 1.0),
+        |  ('ATLANTIS', 0.5)) v(nm, score) ON r_name = v.nm
+        |ORDER BY r""".stripMargin,
 
     "searchinsearch_service" ->
       // hit = any literal (non-IRI object) whose Latin tokenization

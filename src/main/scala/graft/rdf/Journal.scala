@@ -270,6 +270,31 @@ final class Journal private (spark: SparkSession, dir: Path) {
     }
   }
 
+  /** The LOGICAL change set of commits in `(fromExclusive,
+    * toInclusive]` as one (adds, dels) pair — what an incremental
+    * maintenance consumer (the persisted text index, a downstream
+    * materialization) processes to catch up. Compacted commits
+    * rewrite state without changing it and are skipped, so a
+    * compaction between two syncs costs the consumer nothing. Fails
+    * loud when part of the range was vacuumed (the delta is
+    * unknowable then — the consumer must rebuild). */
+  def changedQuads(fromExclusive: Long, toInclusive: Long = -1L): (DataFrame, DataFrame) = {
+    val recs = records
+    val to = if (toInclusive < 0) recs.last.version else toInclusive
+    require(to <= recs.last.version, s"no commit point $to in $dir")
+    val inRange = recs.filter(r => r.version > fromExclusive && r.version <= to)
+    // versions are contiguous by construction (each commit increments
+    // by one); a gap means vacuum removed part of the asked-for range
+    require(inRange.size == (to - fromExclusive),
+      s"commits ($fromExclusive, $to] partially vacuumed in $dir — " +
+        "incremental catch-up impossible, rebuild the consumer")
+    val rs = inRange.filter(!_.compacted)
+    def side(sfx: String): DataFrame =
+      rs.flatMap(r => seg(r, sfx)).reduceOption(_ unionAll _)
+        .getOrElse(emptyQuads(spark))
+    (side("adds"), side("dels"))
+  }
+
   /** Structured Streaming sink body — use from `foreachBatch`:
     * {{{ quads.writeStream.foreachBatch(journal.sink("ingest") _).start() }}}
     * Exactly-once through the commit log itself: the (appId, batchId)

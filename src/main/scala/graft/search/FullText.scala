@@ -163,8 +163,51 @@ object FullText {
                   minScore: Option[Double] = None,
                   maxRank: Option[Int] = None,
                   maxScore: Option[Double] = None,
-                  minRank: Option[Int] = None): DataFrame = {
+                  minRank: Option[Int] = None,
+                  matchExact: Seq[String] = Nil,
+                  exactTextOf: Option[Column => Column] = None): DataFrame = {
     val query = queryIn.distinct
+    val (matched, n) = matchIndexPostings(index, nDocs, query, prefixMatch, regex)
+    val scored0 = scoreMatched(matched, n, query.size, matchAll, regex,
+      minScore, maxScore)
+    // MATCH_EXACT against a postings-only index: the caller supplies
+    // how to recompute a doc's text from its id (a value-centric
+    // literal index: doc_id IS the term, text = its lexical form).
+    // A deployment whose ids are opaque keeps a (doc_id, text) side
+    // table and filters hits through search()'s inline shape instead.
+    val scored = matchExact match {
+      case Nil => scored0
+      case qs =>
+        val textOf = exactTextOf.getOrElse(sys.error(
+          "matchExact on a postings index needs exactTextOf (how to " +
+            "recompute doc text from doc_id); use search() with a corpus otherwise"))
+        scored0.filter(qs.map(q => textOf(col("doc_id")).contains(lit(q))).reduce(_ && _))
+    }
+    rankWindow(scored, minRank, maxRank, k)
+  }
+
+  /** ALL matching docs of a PERSISTED index with scores — the
+    * [[searchAll]] sibling for the index-backed path (no rank cut, no
+    * global sort; semi-join consumers like bds:searchInSearch read
+    * the hit set as a filter). */
+  def searchIndexAll(index: DataFrame, nDocs: Long, queryIn: Seq[String],
+                     prefixMatch: Boolean = false, matchAll: Boolean = false,
+                     regex: Option[String] = None,
+                     minScore: Option[Double] = None): DataFrame = {
+    val query = queryIn.distinct
+    val (matched, n) = matchIndexPostings(index, nDocs, query, prefixMatch, regex)
+    scoreMatched(matched, n, query.size, matchAll, regex, minScore)
+      .select("doc_id", "score")
+  }
+
+  /** Shared matching front of the index-backed paths: query-matched
+    * postings from a persisted `(term, doc_id, tf)` relation — NO
+    * tokenize/build stage; the plan is the postings scan + a
+    * broadcast semi-join (term-bucketed layout prunes the scan to the
+    * query's buckets at production scale). */
+  private def matchIndexPostings(index: DataFrame, nDocs: Long,
+                                 query: Seq[String], prefixMatch: Boolean,
+                                 regex: Option[String]): (DataFrame, DataFrame) = {
     val spark = index.sparkSession
     val matched = (regex match {
       case Some(re) =>
@@ -179,14 +222,7 @@ object FullText {
           else col("term") === col("q_term")
         index.join(broadcast(q), cond)
     }).select("term", "q_term", "doc_id", "tf").localCheckpoint()
-    val n = spark.range(1).select(lit(nDocs).as("n"))
-    rankWindow(
-      scoreMatched(matched, n, query.size, matchAll, regex, minScore, maxScore),
-      minRank, maxRank, k)
-    // (matchExact has no analog here by design: the persisted index
-    // holds postings, not text — a deployment that needs MATCH_EXACT
-    // keeps a (doc_id, text) side table and filters hits against it,
-    // exactly what search() does inline)
+    (matched, spark.range(1).select(lit(nDocs).as("n")))
   }
 
   /** ALL matching docs with scores — no rank cut, no global sort.

@@ -1,0 +1,230 @@
+package graft.search
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Read-side handle on a persisted full-text index: the postings
+  * relation `(doc_id, term, tf)`, the corpus size the TF·IDF needs,
+  * the analyzer NAME the postings were tokenized with (a query
+  * through a different analyzer must not consult them), and whether
+  * `doc_id` IS the indexed text's term form (a value-centric literal
+  * index — MATCH_EXACT can then recompute the text from the id
+  * instead of joining a corpus). */
+final case class SearchIndexView(postings: DataFrame, nDocs: Long,
+                                 analyzer: String, termDocIds: Boolean)
+
+/** Durable, incrementally-maintained full-text index — the persisted
+  * production shape of [[FullText.invertedIndex]], and the analog of
+  * the reference's FullTextIndex (bigdata-core/bigdata-rdf/src/java/
+  * com/bigdata/search/FullTextIndex.java: a statement-indexed B+Tree
+  * the text indexer keeps in step with literal assert/retract). Here
+  * the durable form is a lakehouse segment log beside the store:
+  *
+  * {{{
+  *   <dir>/meta.json                 manifest (atomic rename publish)
+  *   <dir>/seg-<k>-adds.parquet      postings of docs ADDED in batch k
+  *   <dir>/seg-<k>-gone.parquet      doc_ids REMOVED in batch k
+  * }}}
+  *
+  * [[update]] appends one batch: only the ADDED docs tokenize (delta
+  * cost, the incremental-maintenance contract), removed ids land as a
+  * tombstone segment, and `meta.json` — the single commit point,
+  * published by atomic rename — carries the batch list, corpus size
+  * and the store version the index is current to. A reader either
+  * sees the whole batch or none of it.
+  *
+  * [[view]] resolves the live postings: per-doc latest-action argmax
+  * over the manifested segments (the [[graft.rdf.Journal.snapshot]]
+  * discipline — a doc removed in batch 3 and re-added in batch 5 is
+  * live with batch-5 postings). Steady state after [[compact]] is ONE
+  * adds segment and the view is a plain parquet scan, zero shuffles.
+  * At 100 TB the postings segments are term-bucketed parquet and a
+  * query's postings lookup prunes to its terms' buckets.
+  */
+final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
+
+  import PersistedSearchIndex._
+
+  private[this] var meta: Meta = readMeta(dir)
+
+  /** Store version this index is current to (what [[update]] was last
+    * told; -1 until a caller supplies one). */
+  def version: Long = meta.version
+
+  def analyzerName: String = meta.analyzer
+
+  /** Live doc count — maintained arithmetically per batch (O(delta)),
+    * never recounted from the postings. */
+  def nDocs: Long = meta.nDocs
+
+  private def segPath(k: Long, sfx: String): Path =
+    dir.resolve(s"seg-$k-$sfx.parquet")
+
+  private def readSeg(k: Long, sfx: String): DataFrame =
+    spark.read.parquet(segPath(k, sfx).toString)
+
+  /** Live postings + corpus stats for the query paths. */
+  def view: SearchIndexView = {
+    val m = meta
+    val addSegs = m.batches.filter(_.adds)
+    val goneSegs = m.batches.filter(_.gone)
+    val postings =
+      if (goneSegs.isEmpty && addSegs.size <= 1) {
+        // steady state (fresh build or post-compact): plain scan
+        addSegs.headOption.map(b => readSeg(b.k, "adds").select("doc_id", "term", "tf"))
+          .getOrElse(emptyPostings(spark))
+      } else {
+        // latest-action resolution, the journal-snapshot discipline:
+        // gone at k ranks 2k, adds at k rank 2k+1 (an id never appears
+        // in both sides of ONE batch — update() forbids it)
+        val acts = addSegs.map(b => readSeg(b.k, "adds").select("doc_id").distinct()
+            .withColumn("seq", lit(2 * b.k + 1))) ++
+          goneSegs.map(b => readSeg(b.k, "gone").select("doc_id")
+            .withColumn("seq", lit(2 * b.k)))
+        val live = acts.reduce(_ unionAll _)
+          .groupBy("doc_id").agg(max(col("seq")).as("seq"))
+          .filter(col("seq") % 2 === 1)
+        addSegs.map(b => readSeg(b.k, "adds").select("doc_id", "term", "tf")
+            .withColumn("seq", lit(2 * b.k + 1)))
+          .reduce(_ unionAll _)
+          .join(live, Seq("doc_id", "seq"))
+          .select("doc_id", "term", "tf")
+      }
+    SearchIndexView(postings, m.nDocs, m.analyzer, m.termDocIds)
+  }
+
+  /** Append one maintenance batch and advance to `toVersion`:
+    * `addedCorpus` (doc_id, text) are docs NOT currently indexed
+    * (caller guarantees — [[graft.rdf.TextIndexMaintenance]] derives
+    * both sides so they are disjoint from the live set and from each
+    * other), `removedDocIds` (doc_id) are currently-indexed docs to
+    * drop. Only the added docs tokenize; either side may be empty.
+    * Returns (added, removed) doc counts — what the meta arithmetic
+    * used. */
+  def update(addedCorpus: DataFrame, removedDocIds: DataFrame,
+             toVersion: Long): (Long, Long) = synchronized {
+    val k = meta.batches.map(_.k).foldLeft(-1L)(math.max) + 1
+    val az = Analyzer.byName(meta.analyzer)
+    val adds = FullText.invertedIndex(addedCorpus, az)
+      .select("doc_id", "term", "tf")
+      .localCheckpoint() // one tokenize pass; counted AND written below
+    val removed = removedDocIds.select("doc_id").distinct().localCheckpoint()
+    val nAdd = adds.select("doc_id").distinct().count()
+    val nGone = removed.count()
+    val wroteAdds = nAdd > 0
+    val wroteGone = nGone > 0
+    if (wroteAdds)
+      adds.write.mode("errorifexists").parquet(segPath(k, "adds").toString)
+    if (wroteGone)
+      removed.write.mode("errorifexists").parquet(segPath(k, "gone").toString)
+    val batches =
+      if (wroteAdds || wroteGone) meta.batches :+ Batch(k, wroteAdds, wroteGone)
+      else meta.batches
+    meta = meta.copy(version = toVersion, nDocs = meta.nDocs + nAdd - nGone,
+      batches = batches)
+    writeMeta(dir, meta)
+    (nAdd, nGone)
+  }
+
+  /** Rewrite the live postings as ONE segment — subsequent [[view]]s
+    * are a plain parquet scan with no resolution shuffle. */
+  def compact(): Unit = synchronized {
+    val k = meta.batches.map(_.k).foldLeft(-1L)(math.max) + 1
+    val live = view.postings
+    val any = !live.isEmpty
+    if (any)
+      live.write.mode("errorifexists").parquet(segPath(k, "adds").toString)
+    val old = meta.batches
+    meta = meta.copy(batches = if (any) Seq(Batch(k, adds = true, gone = false)) else Nil)
+    writeMeta(dir, meta)
+    // superseded segments are unreachable once the manifest publishes;
+    // reclaim them (no history contract here — the JOURNAL owns
+    // time-travel, the index only ever serves the head)
+    old.foreach { b =>
+      if (b.adds) deleteRecursively(segPath(b.k, "adds"))
+      if (b.gone) deleteRecursively(segPath(b.k, "gone"))
+    }
+  }
+}
+
+object PersistedSearchIndex {
+
+  private val mapper = new ObjectMapper()
+
+  private final case class Batch(k: Long, adds: Boolean, gone: Boolean)
+
+  private final case class Meta(version: Long, analyzer: String,
+                                termDocIds: Boolean, nDocs: Long,
+                                batches: Seq[Batch])
+
+  private def emptyPostings(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Long)].toDF("doc_id", "term", "tf")
+  }
+
+  def exists(dir: String): Boolean =
+    Files.exists(Paths.get(dir).resolve("meta.json"))
+
+  /** Build a new index at `dir` over `corpus` (doc_id, text) — ONE
+    * tokenize pass, written as the first segment. `termDocIds` marks
+    * a value-centric literal index (doc_id IS the term). */
+  def create(spark: SparkSession, dir: String, corpus: DataFrame,
+             analyzer: String = "latin", termDocIds: Boolean = true,
+             version: Long = -1L): PersistedSearchIndex = {
+    val root = Paths.get(dir)
+    require(!exists(dir), s"search index already exists at $dir")
+    Files.createDirectories(root)
+    // seed an empty manifest, then land the corpus as batch 0 through
+    // the one maintenance path (same code, same invariants)
+    writeMeta(root, Meta(-1L, analyzer, termDocIds, 0L, Nil))
+    val seeded = new PersistedSearchIndex(spark, root)
+    seeded.update(corpus, emptyPostings(spark).select("doc_id"), version)
+    seeded
+  }
+
+  /** Reattach to an existing index. */
+  def open(spark: SparkSession, dir: String): PersistedSearchIndex = {
+    require(exists(dir), s"no search index at $dir")
+    new PersistedSearchIndex(spark, Paths.get(dir))
+  }
+
+  private def metaJson(m: Meta): String = {
+    val bs = m.batches.map(b =>
+      s"""{"k":${b.k},"adds":${b.adds},"gone":${b.gone}}""").mkString("[", ",", "]")
+    s"""{"version":${m.version},"analyzer":${mapper.writeValueAsString(m.analyzer)},""" +
+      s""""termDocIds":${m.termDocIds},"nDocs":${m.nDocs},"batches":$bs}"""
+  }
+
+  private def writeMeta(dir: Path, m: Meta): Unit = {
+    val tmp = Files.createTempFile(dir, ".meta", ".tmp")
+    Files.write(tmp, metaJson(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("meta.json"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readMeta(dir: Path): Meta = {
+    val root = mapper.readTree(Files.readAllBytes(dir.resolve("meta.json")))
+    val it = root.path("batches").elements()
+    val bs = Seq.newBuilder[Batch]
+    while (it.hasNext) {
+      val b = it.next()
+      bs += Batch(b.get("k").asLong(), b.get("adds").asBoolean(),
+        b.get("gone").asBoolean())
+    }
+    Meta(root.get("version").asLong(), root.get("analyzer").asText(),
+      root.get("termDocIds").asBoolean(), root.get("nDocs").asLong(),
+      bs.result())
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => deleteRecursively(c)) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}

@@ -208,18 +208,47 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     }
     private def withConf(g: Graft): Graft =
       if (analyzerConf.isDefined) g.copy(analyzerName = analyzerConf) else g
+    // namespace-owned persisted literal text index (created by the
+    // namespace POST's textIndex=true): reattached with the namespace
+    // and synced at attach — a crash between a journal commit and its
+    // index sync heals here, the MaintainedClosure recovery discipline
+    private val textIx: Option[graft.search.PersistedSearchIndex] = {
+      val d = dir.resolve("textindex")
+      if (graft.search.PersistedSearchIndex.exists(d.toString)) {
+        val ix = graft.search.PersistedSearchIndex.open(spark, d.toString)
+        graft.rdf.TextIndexMaintenance.sync(ix, repo.journal)
+        Some(ix)
+      } else None
+    }
+    /** Attach the index view to a HEAD connection — only when current
+      * to the head version (a stale index must not serve hits for
+      * literals that were since removed); historical `at()` reads
+      * never attach it. */
+    private def withIx(g: Graft): Graft = textIx match {
+      case Some(ix) if ix.version == repo.version => g.copy(textIndex = Some(ix.view))
+      case _ => g
+    }
     def current: Graft = {
       val v = repo.version
       val c = cached
       if (c._1 == v && c._2 != null) c._2
       else synchronized {
-        if (cached._1 != v || cached._2 == null) cached = (v, withConf(repo.connection()))
+        if (cached._1 != v || cached._2 == null)
+          cached = (v, withIx(withConf(repo.connection())))
         cached._2
       }
     }
     private def maybeCompact(): Unit = synchronized {
-      if (repo.version - repo.journal.lastCompacted >= autoCompactEvery)
+      // every write path runs through here — the text index (if any)
+      // catches up to the head FIRST (delta-sized batch), so the next
+      // `current` serves index-backed search over the new commit
+      textIx.foreach(ix => graft.rdf.TextIndexMaintenance.sync(ix, repo.journal))
+      if (repo.version - repo.journal.lastCompacted >= autoCompactEvery) {
         repo.compact()
+        // the journal's compaction moment is the index's too: collapse
+        // its segment log so steady-state search reads ONE postings scan
+        textIx.foreach(_.compact())
+      }
       ()
     }
     // writes serialize per namespace (the reference's single-writer
@@ -261,7 +290,10 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       // drives THIS tenant's journal handle — no second handle on the
       // directory; single-pass (appendRaw + footer count) by design
       val r = graft.rdf.BulkLoad.runWith(spark, repo.journal, paths, graph, compact)
-      if (!compact) maybeCompact()
+      // run even when the load already compacted: maybeCompact is also
+      // the text-index sync point, and an explicitly-compacted journal
+      // skips the inner compact anyway
+      maybeCompact()
       r
     }
     override def metadataCount(graph: Option[String]): Option[Long] = {
@@ -1390,6 +1422,17 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                   a.toLowerCase.startsWith("termcompletion:")) &&
                   !a.exists(c => c == '\n' || c == '\r')),
               s"bad analyzer name: $a"))
+            // textIndex=true: create the namespace with a MAINTAINED
+            // persisted literal text index (the reference's
+            // AbstractTripleStore.Options.TEXT_INDEX namespace
+            // property) — journal-backed namespaces only; it lives
+            // beside the journal and syncs on every commit
+            val wantTextIndex = formParam(body, "textIndex")
+              .orElse(formParam(rawQuery(ex), "textIndex"))
+              .exists(_.toBoolean)
+            require(!wantTextIndex || journalDir.isDefined,
+              "textIndex=true needs a journal-backed namespace " +
+                "(start the server with a journal directory)")
             try {
               namespaces.computeIfAbsent(name, { _ =>
                 val t: Tenant = journalDir match {
@@ -1399,6 +1442,10 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                     val sub = Paths.get(d).resolve(name)
                     val repo = Repository.create(spark, sub.toString)
                     analyzer.foreach(a => Files.writeString(sub.resolve("analyzer.conf"), a))
+                    if (wantTextIndex)
+                      graft.rdf.TextIndexMaintenance.create(spark,
+                        sub.resolve("textindex").toString, repo.journal,
+                        analyzer.getOrElse("latin"))
                     new DurableTenant(repo, sub)
                 }
                 createdNew.set(true)
@@ -1441,7 +1488,10 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                   "graft.quads" -> "true",
                   "graft.durable" -> durable.toString) ++
                   journalDir.map(d => "graft.journal" -> s"$d/$ns") ++
-                  tenant(ns).current.analyzerName.map("graft.analyzer" -> _)
+                  tenant(ns).current.analyzerName.map("graft.analyzer" -> _) ++
+                  (if (tenant(ns).current.textIndex.isDefined)
+                     Seq("graft.textIndex" -> "true")
+                   else Nil)
                 val entries = props.map { case (k, v) =>
                   s"""<entry key="$k">$v</entry>""" }.mkString
                 respond(ex, 200, "application/xml",

@@ -49,8 +49,15 @@ object BuiltinServices {
     * object column); the slow path for score-dependent / regex /
     * rewriting-analyzer queries — the common case takes the one-pass
     * prefiltered shape in [[searchInSearch]] instead. */
-  private def literalCorpus(src: TripleSource): DataFrame = {
-    val t = src.triples.select(col("o").cast("string").as("t")).distinct()
+  private def literalCorpus(src: TripleSource): DataFrame =
+    literalSpace(src.triples)
+
+  /** Distinct literal corpus of any relation with an `o` column:
+    * (doc_id = the full term, text = the lexical form) — shared by
+    * the per-query slow path above and by the persisted literal
+    * index's build/maintenance ([[graft.rdf.TextIndexMaintenance]]). */
+  private[graft] def literalSpace(rel: DataFrame): DataFrame = {
+    val t = rel.select(col("o").cast("string").as("t")).distinct()
     val isIri = col("t").rlike(Parser.IriShape) && !col("t").startsWith("_:")
     t.filter(!isIri && !col("t").startsWith("_:"))
       .select(col("t").as("doc_id"), RdfLiteral.strOf(col("t")).as("text"))
@@ -119,6 +126,40 @@ object BuiltinServices {
     val minRank = opt("bds:minRank").map(_.toInt)
     val maxRank = opt("bds:maxRank").map(_.toInt)
     val matchExact = opt("bds:matchExact").exists(_.toBoolean)
+    // rank window shared by every path below: a bounded
+    // sort-limit-with-offset (TakeOrderedAndProject), applied to the
+    // hit set only — never a row_number window
+    def rankWindow(hits: DataFrame): DataFrame = (minRank, maxRank) match {
+      case (None, None) => hits
+      case (lo, hi) =>
+        val ordered = hits.orderBy(col("score").desc, col("doc_id"))
+          .offset(lo.getOrElse(1) - 1)
+        hi.fold(ordered)(h => ordered.limit(h - lo.getOrElse(1) + 1))
+    }
+    // PERSISTED-index path (the production shape this handler's
+    // scaladoc promises): postings built once over the literal space
+    // and maintained on store commits replace the per-query corpus
+    // tokenize AND the full-view candidate prefilter — the plan is an
+    // index scan + the one O→S join. Scores/df/N come from the index
+    // (identical to a fresh corpus by construction), so EVERY option
+    // combination is served; doc_id IS the literal term, so
+    // matchExact recomputes the lexical form from the id. An
+    // analyzer-mismatched index is ignored (its postings were
+    // tokenized differently).
+    val indexed = src.literalIndex.collect {
+      case ix if ix.termDocIds &&
+        graft.search.Analyzer.byName(ix.analyzer) == az =>
+        val hits0 = graft.search.FullText.searchIndexAll(
+          ix.postings, ix.nDocs, qTerms,
+          prefixMatch = prefixMatch, matchAll = matchAll,
+          regex = regex, minScore = minScore)
+        val hits1 = maxScore.fold(hits0)(ms => hits0.filter(col("score") <= ms))
+        val hits2 =
+          if (!matchExact) hits1
+          else hits1.filter(RdfLiteral.strOf(col("doc_id")).contains(lit(qText)))
+        src.triples.join(rankWindow(hits2).select(col("doc_id").as("o")), "o")
+          .select(col("s").as(outVar)).distinct()
+    }
     // substring prefilter: sound for pure-segmentation analyzers only
     // (token ⊆ lower(text)), and only while nothing score-dependent
     // is requested — the TF·IDF corpus-size term would shift on a
@@ -129,7 +170,7 @@ object BuiltinServices {
       az.substringSafe && regex.isEmpty && qTerms.nonEmpty &&
         minScore.isEmpty && maxScore.isEmpty &&
         minRank.isEmpty && maxRank.isEmpty
-    if (prefilterable) {
+    indexed.getOrElse { if (prefilterable) {
       // ONE-PASS shape: the contains prune (AND of terms under
       // matchAll) runs inside the full-view scan's codegen and the
       // surviving (s, o) rows — candidate-sized, not corpus-sized —
@@ -179,19 +220,10 @@ object BuiltinServices {
         if (!matchExact) hits1
         else hits1.join(corpus, "doc_id")
           .filter(col("text").contains(lit(qText))).drop("text")
-      // the rank window is the only option that needs an order: a
-      // bounded sort-limit-with-offset (TakeOrderedAndProject),
-      // applied to hits only
-      val hits = (minRank, maxRank) match {
-        case (None, None) => hits2
-        case (lo, hi) =>
-          val ordered = hits2.orderBy(col("score").desc, col("doc_id"))
-            .offset(lo.getOrElse(1) - 1)
-          hi.fold(ordered)(h => ordered.limit(h - lo.getOrElse(1) + 1))
-      }
-      src.triples.join(hits.select(col("doc_id").as("o")), "o")
+      // the rank window is the only option that needs an order
+      src.triples.join(rankWindow(hits2).select(col("doc_id").as("o")), "o")
         .select(col("s").as(outVar)).distinct()
-    }
+    } }
   }
 
   private def varCols(tp: TriplePattern): Seq[(String, String)] =
@@ -420,5 +452,11 @@ object BuiltinServices {
     "bds:searchInSearch" -> searchInSearch,
     "bd:slice" -> slice,
     "bd:sample" -> sample,
-    "bd:values" -> values)
+    "bd:values" -> values,
+    // the external-fulltext service registers under its prefixed name
+    // AND the reference's full service IRI (FTS.SEARCH) — this closes
+    // the reference's default registry (ServiceRegistry.java:129-147:
+    // SEARCH, GEO, FTS, SEARCH_IN_SEARCH, SAMPLE, SLICE, VALUES) 7/7
+    "fts:search" -> FtsService.handler,
+    "http://www.bigdata.com/rdf/fts#search" -> FtsService.handler)
 }

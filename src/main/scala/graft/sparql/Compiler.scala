@@ -338,8 +338,6 @@ object Compiler {
     case SearchService(terms, limit, prefix, matchAll, outDoc, outScore,
                        regex, minScore, maxRank, analyzerName,
                        maxScore, minRank, matchExact, outRank, rangeCountVar) =>
-      val corpus = src.searchCorpus
-        .getOrElse(sys.error("this triple source has no search corpus"))
       val az = analyzerName.orElse(src.defaultAnalyzer)
         .map(graft.search.Analyzer.byName(_))
         .getOrElse(graft.search.Analyzer.Latin())
@@ -347,14 +345,33 @@ object Compiler {
       // index uses (e.g. 数据库 → [数据, 据库]) — whitespace splitting
       // alone would never match a bigram index
       val qTerms = terms.flatMap(az.tokenizeLocal)
-      val hits = graft.search.FullText
-        .search(corpus, qTerms, limit, prefix, matchAll, regex, minScore,
-          maxRank, az, maxScore, minRank,
-          // MATCH_EXACT tests EVERY original query string against the
-          // doc text (BigdataValueCentricFullTextIndex.matchExact
-          // contains() per query; with several bds:query literals each
-          // must appear verbatim)
-          if (matchExact) terms else Nil)
+      // MATCH_EXACT tests EVERY original query string against the
+      // doc text (BigdataValueCentricFullTextIndex.matchExact
+      // contains() per query; with several bds:query literals each
+      // must appear verbatim)
+      val exact = if (matchExact) terms else Nil
+      // persisted-index fast path (the reference's FullTextIndex IS a
+      // persisted index): when the source keeps postings built with
+      // THIS query's analyzer, the plan is an index scan + broadcast
+      // semi-join — no corpus tokenize stage. An analyzer mismatch
+      // (or matchExact over opaque doc ids, which needs the corpus
+      // text) falls back to the corpus path rather than consulting
+      // postings tokenized differently.
+      val hits = src.searchIndex match {
+        case Some(ix)
+          if graft.search.Analyzer.byName(ix.analyzer) == az &&
+            (exact.isEmpty || ix.termDocIds) =>
+          graft.search.FullText.searchIndex(
+            ix.postings, ix.nDocs, qTerms, limit, prefix, matchAll, regex,
+            minScore, maxRank, maxScore, minRank, exact,
+            exactTextOf = if (ix.termDocIds) Some(RdfLiteral.strOf) else None)
+        case _ =>
+          val corpus = src.searchCorpus
+            .getOrElse(sys.error("this triple source has no search corpus"))
+          graft.search.FullText
+            .search(corpus, qTerms, limit, prefix, matchAll, regex, minScore,
+              maxRank, az, maxScore, minRank, exact)
+      }
       rangeCountVar match {
         // bds:rangeCount: ONE row binding the hit count INSTEAD of
         // hits (SearchServiceFactory.java:649) — an aggregate over

@@ -46,6 +46,21 @@ trait TripleSource {
     * (ConfigurableAnalyzerFactory). */
   def defaultAnalyzer: Option[String] = None
 
+  /** PERSISTED postings over [[searchCorpus]], if this source keeps
+    * one — the production shape of the reference's FullTextIndex (a
+    * durable index maintained in step with the store, not rebuilt per
+    * query). When present and analyzer-compatible, bds:search plans
+    * an index lookup instead of a corpus tokenize. */
+  def searchIndex: Option[graft.search.SearchIndexView] = None
+
+  /** Persisted postings over the store's LITERAL space (doc_id = the
+    * literal term) — what bds:searchInSearch consults when present.
+    * For a real quad store this and [[searchIndex]] are the same
+    * index; they are separate slots because a source may search an
+    * external document corpus (searchCorpus) while its literal space
+    * is a different relation. */
+  def literalIndex: Option[graft.search.SearchIndexView] = None
+
   /** Point set (k, lat, lon) for the geo:search service, if this
     * source has one. */
   def geoCorpus: Option[DataFrame] = None
@@ -92,6 +107,34 @@ object TripleSource {
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = None
   }
+
+  /** `base` with persisted full-text postings attached ([[TripleSource
+    * .searchIndex]] / [[TripleSource.literalIndex]]); every other
+    * member forwards. NOTE the overlay/scoped sources deliberately do
+    * NOT forward index slots — an index is complete only for the
+    * exact store it was built over. */
+  def withIndexes(base: TripleSource,
+                  search: Option[graft.search.SearchIndexView] = None,
+                  literal: Option[graft.search.SearchIndexView] = None): TripleSource =
+    new TripleSource {
+      def triples: DataFrame = base.triples
+      def fuseStar(patterns: Seq[TriplePattern],
+                   subjectTables: Option[Set[String]]): Option[DataFrame] =
+        base.fuseStar(patterns, subjectTables)
+      override def refTarget(pred: String): Option[String] = base.refTarget(pred)
+      override def scan(tp: TriplePattern): DataFrame = base.scan(tp)
+      override def quads: Option[DataFrame] = base.quads
+      override def quadScan(tp: TriplePattern, g: Term): DataFrame = base.quadScan(tp, g)
+      override def searchCorpus: Option[DataFrame] = base.searchCorpus
+      override def defaultAnalyzer: Option[String] = base.defaultAnalyzer
+      override def geoCorpus: Option[DataFrame] = base.geoCorpus
+      override def geoCorpusTime: Option[(DataFrame, Long, Long)] = base.geoCorpusTime
+      override def scanForSubjects(nodes: DataFrame): DataFrame = base.scanForSubjects(nodes)
+      override def searchIndex: Option[graft.search.SearchIndexView] =
+        search.orElse(base.searchIndex)
+      override def literalIndex: Option[graft.search.SearchIndexView] =
+        literal.orElse(base.literalIndex)
+    }
 
   /** Base store plus a (small) extra triple relation — the
     * focus-store shape (reference: TruthMaintenance's TempTripleStore

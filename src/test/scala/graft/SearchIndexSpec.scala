@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.rdf.{Journal, TextIndexMaintenance}
+import graft.search.{FullText, PersistedSearchIndex}
+
+class SearchIndexSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").resolve("ix").toString
+
+  test("persisted index: create/open round-trip, delta update, re-add resolution, compact") {
+    val dir = tmp("six")
+    val c0 = Seq((1L, "spark join table"), (2L, "plain words")).toDF("doc_id", "text")
+      .select(col("doc_id").cast("string"), col("text"))
+    val ix = PersistedSearchIndex.create(spark, dir, c0, version = 0L)
+    assert(ix.nDocs == 2 && ix.version == 0)
+    def hits(i: PersistedSearchIndex, q: String) =
+      FullText.searchIndexAll(i.view.postings, i.view.nDocs, Seq(q))
+        .collect().map(_.getString(0)).toSet
+    assert(hits(ix, "spark") == Set("1"))
+    // delta: add doc 3, remove doc 2 — only doc 3 tokenizes
+    ix.update(Seq(("3", "spark streams")).toDF("doc_id", "text"),
+      Seq("2").toDF("doc_id"), toVersion = 1L)
+    assert(ix.nDocs == 2 && ix.version == 1)
+    assert(hits(ix, "spark") == Set("1", "3") && hits(ix, "plain").isEmpty)
+    // re-add after removal: latest-action resolution keeps the re-add
+    ix.update(Seq(("2", "plain words again")).toDF("doc_id", "text"),
+      spark.emptyDataset[String].toDF("doc_id"), toVersion = 2L)
+    assert(ix.nDocs == 3 && hits(ix, "plain") == Set("2"))
+    // a fresh handle reads the same state
+    val re = PersistedSearchIndex.open(spark, dir)
+    assert(re.nDocs == 3 && re.version == 2 && hits(re, "spark") == Set("1", "3"))
+    // compact: one segment, identical hits, plain-scan view (no join
+    // in the resolved plan)
+    re.compact()
+    assert(hits(re, "spark") == Set("1", "3") && hits(re, "plain") == Set("2"))
+    val plan = re.view.postings.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("maintained on journal commits: new literals searchable, removals exact") {
+    val jdir = Files.createTempDirectory("graft_tij").resolve("j").toString
+    val j = Journal.create(spark, jdir)
+    def q(rows: (String, String, String)*) =
+      rows.toSeq.toDF("s", "p", "o").withColumn("g", lit("g:default"))
+    j.append(q(("x:a", "note", "the spark engine"), ("x:b", "note", "plain words")))
+    val ix = TextIndexMaintenance.create(spark, tmp("tij"), j)
+    def found(term: String): Set[String] =
+      FullText.searchIndexAll(ix.view.postings, ix.view.nDocs, Seq(term))
+        .collect().map(_.getString(0)).toSet
+    assert(found("spark") == Set("the spark engine"))
+    // commit → sync → the NEW literal is searchable, no rebuild
+    j.append(q(("x:c", "note", "spark streams"), ("x:d", "note", "the spark engine")))
+    assert(TextIndexMaintenance.sync(ix, j) == j.version)
+    assert(found("spark") == Set("the spark engine", "spark streams"))
+    assert(found("streams") == Set("spark streams"))
+    // retract ONE of the two quads carrying "the spark engine": the
+    // literal is still used, so it must survive; retract the last
+    // usage of "spark streams": it must leave
+    j.commit(adds = q(), dels = q(("x:c", "note", "spark streams"),
+      ("x:d", "note", "the spark engine")))
+    TextIndexMaintenance.sync(ix, j)
+    assert(found("spark") == Set("the spark engine"))
+    assert(found("streams").isEmpty)
+    // sync is idempotent at head
+    val v = ix.version
+    assert(TextIndexMaintenance.sync(ix, j) == v)
+    // a compaction between syncs costs the consumer nothing (skipped)
+    j.append(q(("x:e", "note", "vector index")))
+    j.compact()
+    TextIndexMaintenance.sync(ix, j)
+    assert(found("vector") == Set("vector index"))
+  }
+
+  test("bds:search and searchInSearch consult the index: no tokenize stage, same results") {
+    val g0 = Graft.empty(spark).update(
+      """INSERT DATA {
+        |  x:a note "the spark engine" . x:b note "plain words" .
+        |  x:c note "spark join spark" . x:b link x:a . }""".stripMargin)
+    val ixDir = tmp("gix")
+    val ix = PersistedSearchIndex.create(spark, ixDir,
+      graft.sparql.BuiltinServices.literalSpace(g0.store.quads))
+    val gi = g0.copy(textIndex = Some(ix.view))
+    val search =
+      """SELECT ?lit ?sc WHERE {
+        |  ?lit bds:search "spark" . ?lit bds:relevance ?sc .
+        |} ORDER BY ?lit""".stripMargin
+    val sis =
+      """SELECT ?s WHERE {
+        |  ?s note ?t .
+        |  SERVICE bds:searchInSearch { ?s bds:searchInSearch "spark" . }
+        |} ORDER BY ?s""".stripMargin
+    // identical results through either path (scores included: df and
+    // N come from the index, which IS the literal corpus)
+    assert(gi.query(search).collect().toSeq == g0.query(search).collect().toSeq)
+    assert(gi.query(sis).collect().toSeq == g0.query(sis).collect().toSeq)
+    // the indexed plans contain NO tokenize/explode stage (Generate)
+    def hasGenerate(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Generate")
+    assert(!hasGenerate(gi.query(search)), "indexed search should not tokenize")
+    assert(!hasGenerate(gi.query(sis)), "indexed searchInSearch should not tokenize")
+    // STRONGER than a plan string: the corpus is NEVER EVALUATED on
+    // the index path — a source whose corpus throws on any evaluation
+    // still answers the indexed search; without the index the same
+    // source blows up (sanity that the poison is live)
+    import graft.sparql.{Compiler, Parser, TriplePattern, TripleSource}
+    val trips = g0.store.quads.select("s", "p", "o").distinct()
+    def poisonSrc(withIx: Boolean): TripleSource = new TripleSource {
+      def triples = trips
+      def fuseStar(patterns: Seq[TriplePattern],
+                   subjectTables: Option[Set[String]]) = None
+      override def searchCorpus = Some(spark.range(1).select(
+        raise_error(lit("corpus evaluated")).cast("string").as("doc_id"),
+        lit("t").as("text")))
+      override def searchIndex = if (withIx) Some(ix.view) else None
+    }
+    assert(Compiler.compile(Parser.parse(search), poisonSrc(withIx = true))
+      .collect().nonEmpty)
+    val boom = intercept[Exception](
+      Compiler.compile(Parser.parse(search), poisonSrc(withIx = false)).collect())
+    assert(boom.getMessage != null || boom.getCause != null) // corpus path pays the scan
+    // option surface rides the index too: minRelevance/maxRank and
+    // matchExact (text recomputed from the literal term id)
+    val opt =
+      """SELECT ?s WHERE {
+        |  ?s note ?t .
+        |  SERVICE bds:searchInSearch {
+        |    ?s bds:searchInSearch "spark join" . ?s bds:matchExact "true" .
+        |  }
+        |} ORDER BY ?s""".stripMargin
+    assert(gi.query(opt).collect().toSeq == g0.query(opt).collect().toSeq)
+    // an analyzer-mismatched index is NOT consulted (its postings
+    // were tokenized differently) — the corpus path serves instead:
+    // results match the plain store, and the poisoned-corpus source
+    // now BLOWS UP (proof the fallback really evaluates the corpus)
+    val mismatched = g0.copy(textIndex = Some(ix.view.copy(analyzer = "cjk")))
+    assert(mismatched.query(search).collect().toSeq == g0.query(search).collect().toSeq)
+    def poisonMismatch: TripleSource = new TripleSource {
+      def triples = trips
+      def fuseStar(patterns: Seq[TriplePattern],
+                   subjectTables: Option[Set[String]]) = None
+      override def searchCorpus = Some(spark.range(1).select(
+        raise_error(lit("corpus evaluated")).cast("string").as("doc_id"),
+        lit("t").as("text")))
+      override def searchIndex = Some(ix.view.copy(analyzer = "cjk"))
+      override def defaultAnalyzer = Some("latin")
+    }
+    intercept[Exception](
+      Compiler.compile(Parser.parse(search), poisonMismatch).collect())
+  }
+}

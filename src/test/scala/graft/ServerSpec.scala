@@ -507,6 +507,59 @@ class ServerSpec extends AnyFunSuite {
     } finally srv2.stop()
   }
 
+  test("namespace text index: maintained on commits, reattaches on restart") {
+    val root = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), root).start()
+    val q = """SELECT ?lit WHERE {
+              |  SERVICE bds:search { _:s bds:query "spark" . _:s bds:out ?lit }
+              |} ORDER BY ?lit""".stripMargin
+    def hits(addr: String): Seq[String] = {
+      val r = post(addr + "/namespace/ixkb/sparql", q, "application/sparql-query")
+      assert(r.statusCode() == 200, r.body().take(300))
+      graft.sparql.RemoteService.parseJsonResults(spark, r.body())
+        .collect().map(_.getString(0)).toSeq
+    }
+    try {
+      assert(post(srv.address + "/namespace", "name=ixkb&textIndex=true",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      val pr = send(req(srv.address + "/namespace/ixkb/properties").GET())
+      assert(pr.body().contains("""<entry key="graft.textIndex">true</entry>"""),
+        pr.body())
+      // commit → the index syncs on the write path → search sees the
+      // literal with NO rebuild (the maintained-on-commit contract)
+      assert(post(srv.address + "/namespace/ixkb/sparql/update",
+        """INSERT DATA { x:a note "the spark engine" }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(hits(srv.address) == Seq("the spark engine"))
+      assert(post(srv.address + "/namespace/ixkb/sparql/update",
+        """INSERT DATA { x:b note "spark streams" }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(hits(srv.address) == Seq("spark streams", "the spark engine"))
+      // DELETE maintenance: retracting the only quad carrying a
+      // literal removes it from the hit set
+      assert(post(srv.address + "/namespace/ixkb/sparql/update",
+        """DELETE DATA { x:b note "spark streams" }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(hits(srv.address) == Seq("the spark engine"))
+    } finally srv.stop()
+    // restart: the index reattaches (and re-syncs) with the namespace
+    val srv2 = SparqlServer.durable(Graft.empty(spark), root).start()
+    try {
+      assert(hits(srv2.address) == Seq("the spark engine"))
+      assert(post(srv2.address + "/namespace/ixkb/sparql/update",
+        """INSERT DATA { x:c note "spark sql" }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(hits(srv2.address) == Seq("spark sql", "the spark engine"))
+    } finally srv2.stop()
+    // an in-memory server rejects the option loud
+    val mem = new SparqlServer(Graft.empty(spark)).start()
+    try {
+      val r = post(mem.address + "/namespace", "name=nope&textIndex=true",
+        "application/x-www-form-urlencoded")
+      assert(r.statusCode() == 400 && r.body().contains("journal-backed"), r.body())
+    } finally mem.stop()
+  }
+
   test("pattern/keyword analyzer modes persist per namespace, survive restart") {
     val root = tmp()
     val srv = SparqlServer.durable(Graft.empty(spark), root).start()

@@ -74,7 +74,23 @@ object Bench {
       }.toMap
     val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}"""
+    println(full)
+    // the full line above is ~8 KB at 190+ queries — longer than a
+    // log-tail capture window, so a consumer reading only the tail
+    // saw a truncated, unparseable line (BENCH_r12.json: parsed=null).
+    // Two fixes: persist the full document to a file, and END stdout
+    // with a COMPACT self-contained line (total = sum of per-query
+    // wall times, never sbt wall-clock) that always fits a tail.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      full.getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""slowest":$slowest,"isolated":$iso,"sf":"$sfDir","full_queries_file":"$outFile"}""")
     spark.stop()
   }
 

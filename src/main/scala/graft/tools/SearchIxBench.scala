@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Bench aid for the persisted-search-index paths (round 13): times
+  * the index build and each searchInSearch / bds:search variant —
+  * corpus (build-per-query) vs indexed — so the scale evidence can
+  * carry fresh-JVM per-variant readings. Not part of the library
+  * surface (DedupAB/Diag siblings).
+  *
+  * Usage: runMain graft.tools.SearchIxBench <sfDir> <mode>
+  * Modes: build | sis-corpus | sis-indexed | sis-slow-corpus |
+  *        sis-slow-indexed | fts-corpus | fts-indexed | all
+  * The build lands at a dir-keyed /tmp path; query modes reuse it
+  * across JVMs (run `build` first).
+  */
+object SearchIxBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mode = if (args.length > 1) args(1) else "all"
+    val modes = Set("build", "sis-corpus", "sis-indexed", "sis-slow-corpus",
+      "sis-slow-indexed", "fts-corpus", "fts-indexed", "all")
+    require(modes(mode), s"mode must be one of ${modes.toSeq.sorted.mkString("|")}, got '$mode'")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.rdf.TpchRdf
+    import graft.sparql.{BuiltinServices, Compiler, Parser, TripleSource}
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val litDir = s"/tmp/graft_searchix_lit_$md"
+    val docDir = s"/tmp/graft_searchix_doc_$md"
+
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[searchix] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
+    }
+
+    val src = TpchRdf.source(spark, dir)
+
+    if (mode == "build" || mode == "all") {
+      Seq(litDir, docDir).foreach { d =>
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+      time("build literal index") {
+        graft.search.PersistedSearchIndex
+          .create(spark, litDir, BuiltinServices.literalSpace(TpchRdf.triples(spark, dir)))
+          .nDocs
+      }
+      time("build documents index") {
+        graft.search.PersistedSearchIndex
+          .create(spark, docDir,
+            TpchRdf.table(spark, dir, "documents").select("doc_id", "text"),
+            termDocIds = false)
+          .nDocs
+      }
+    }
+
+    lazy val litView = graft.search.PersistedSearchIndex.open(spark, litDir).view
+    lazy val docView = graft.search.PersistedSearchIndex.open(spark, docDir).view
+    lazy val srcLit = TripleSource.withIndexes(src, literal = Some(litView))
+    lazy val srcDoc = TripleSource.withIndexes(src, search = Some(docView))
+
+    val sisQuery =
+      """SELECT ?r ?rname WHERE {
+        |  ?r name ?rname .
+        |  SERVICE bds:searchInSearch { ?r bds:searchInSearch "africa america" . }
+        |} ORDER BY ?r""".stripMargin
+    // minRelevance forces the score-dependent slow path on the corpus
+    // side (full literal-space distinct + tokenize)
+    val sisSlow =
+      """SELECT ?r ?rname WHERE {
+        |  ?r name ?rname .
+        |  SERVICE bds:searchInSearch {
+        |    ?r bds:searchInSearch "africa america" .
+        |    ?r bds:minRelevance "0.1" .
+        |  }
+        |} ORDER BY ?r""".stripMargin
+    val fts =
+      """SELECT ?doc_id ?score WHERE {
+        |  SERVICE bds:search {
+        |    _:s bds:query "spark join vector" . _:s bds:limit "20" .
+        |    _:s bds:out ?doc_id . _:s bds:outVal ?score .
+        |  }
+        |} ORDER BY DESC(?score) ?doc_id""".stripMargin
+
+    def run(tag: String, q: String, s: TripleSource): Unit =
+      time(tag)(Compiler.compile(Parser.parse(q), s).count())
+
+    mode match {
+      case "sis-corpus"       => run("searchInSearch corpus (prefilter path)", sisQuery, src)
+      case "sis-indexed"      => run("searchInSearch indexed", sisQuery, srcLit)
+      case "sis-slow-corpus"  => run("searchInSearch corpus (score slow path)", sisSlow, src)
+      case "sis-slow-indexed" => run("searchInSearch indexed (score options)", sisSlow, srcLit)
+      case "fts-corpus"       => run("bds:search corpus", fts, src)
+      case "fts-indexed"      => run("bds:search indexed", fts, srcDoc)
+      case "all" =>
+        run("searchInSearch corpus (prefilter path)", sisQuery, src)
+        run("searchInSearch indexed", sisQuery, srcLit)
+        run("searchInSearch corpus (score slow path)", sisSlow, src)
+        run("searchInSearch indexed (score options)", sisSlow, srcLit)
+        run("bds:search corpus", fts, src)
+        run("bds:search indexed", fts, srcDoc)
+      case "build" => ()
+    }
+    spark.stop()
+  }
+}

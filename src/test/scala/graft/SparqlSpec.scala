@@ -526,6 +526,52 @@ class SparqlSpec extends AnyFunSuite {
     assert(limited.count() == 10L)
   }
 
+  test("built-in services inside GRAPH blocks scope to the graph; GRAPH ?var + SERVICE is loud") {
+    val g = Graft.empty(spark).update(
+      """INSERT DATA {
+        |  GRAPH g:one { x:a val "1" . x:b val "2" . x:c val "3" .
+        |                x:s note "needle here" . }
+        |  GRAPH g:two { x:d val "4" . x:t note "needle there" . }
+        |}""".stripMargin)
+    // bd:slice pages ONLY the enclosing graph's access path (the
+    // reference slices a quads-mode SPOC access path the same way)
+    val page = g.query(
+      """SELECT ?s ?v WHERE { GRAPH g:one { SERVICE bd:slice {
+        |  ?s val ?v .
+        |  bd:serviceParam bd:slice.offset 1 .
+        |  bd:serviceParam bd:slice.limit 2 .
+        |} } } ORDER BY ?s""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(page == Seq("x:b", "x:c"), page)
+    // range count of the OTHER graph counts only its rows
+    val cnt = g.query(
+      """SELECT ?n WHERE { GRAPH g:two { SERVICE bd:slice {
+        |  ?s val ?v . bd:serviceParam bd:slice.range ?n . } } }""".stripMargin)
+      .collect()
+    assert(cnt.length == 1 && cnt(0).getLong(0) == 1L)
+    // bd:sample DENSE draws from the graph-scoped path
+    val dense = g.query(
+      """SELECT ?s ?v WHERE { GRAPH g:one { SERVICE bd:sample {
+        |  ?s val ?v .
+        |  bd:serviceParam bd:sample.limit 2 .
+        |  bd:serviceParam bd:sample.sampleType "DENSE" .
+        |} } } ORDER BY ?s""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(dense == Seq("x:a", "x:b"), dense)
+    // searchInSearch's literal space is the GRAPH's literal space:
+    // only g:one subjects survive the needle filter
+    val sis = g.query(
+      """SELECT ?s WHERE { GRAPH g:one {
+        |  ?s note ?t .
+        |  SERVICE bds:searchInSearch { ?s bds:searchInSearch "needle" . }
+        |} } ORDER BY ?s""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(sis == Seq("x:s"), sis)
+    // a SERVICE inside a VARIABLE-graph block has no per-graph
+    // evaluation — rejected loud, never silently unscoped
+    val e = intercept[RuntimeException](g.query(
+      """SELECT ?s WHERE { GRAPH ?gv { SERVICE bd:slice {
+        |  ?s val ?v . bd:serviceParam bd:slice.limit 2 . } } }""".stripMargin))
+    assert(e.getMessage.contains("GRAPH ?gv supports"), e.getMessage)
+  }
+
   test("TripleStore delete/insert/clear semantics") {
     val store = TripleStore(tri.filter(col("p") === "mktsegment"))
     val n = store.triples.count()

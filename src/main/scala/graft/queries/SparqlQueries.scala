@@ -630,17 +630,19 @@ object SparqlQueries {
         TripleSource.withIndexes(TpchRdf.source(s, dir),
           search = Some(docIxFor(s, dir))))),
 
-    // searchInSearch over the PERSISTED literal index: the handler
-    // plans postings lookups + the one O→S join instead of the
-    // full-view tokenize/prefilter pass — the production shape of the
-    // service at 100 TB (SearchInSearchServiceFactory over a
-    // maintained FullTextIndex)
+    // searchInSearch over the PERSISTED literal index: bucket-pruned
+    // postings lookups + the one O→S broadcast join replace the
+    // corpus slow path — the index serves the score-dependent / regex
+    // option class the substring prefilter can't (the minRelevance
+    // here routes onto it; the threshold is far below any achievable
+    // TF·IDF score, so the oracle is the plain OR-match semi-join)
     "searchinsearch_indexed" -> ((s, dir) =>
       Compiler.compile(Parser.parse(
         """SELECT ?r ?rname WHERE {
           |  ?r name ?rname .
           |  SERVICE bds:searchInSearch {
           |    ?r bds:searchInSearch "africa america" .
+          |    ?r bds:minRelevance "0.01" .
           |  }
           |} ORDER BY ?r""".stripMargin),
         TripleSource.withIndexes(TpchRdf.source(s, dir),

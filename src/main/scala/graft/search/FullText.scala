@@ -209,18 +209,29 @@ object FullText {
                                  query: Seq[String], prefixMatch: Boolean,
                                  regex: Option[String]): (DataFrame, DataFrame) = {
     val spark = index.sparkSession
+    // exact-term queries against a bucket-partitioned index
+    // ([[PersistedSearchIndex]] lays adds segments out by term-hash
+    // `pb`) name their partition directories up front — the postings
+    // scan prunes to |query| buckets of 64 instead of reading the
+    // postings table. Prefix/regex queries span buckets; a postings
+    // relation without `pb` (e.g. a hand-built index) scans as before.
+    val pruned =
+      if (regex.isEmpty && !prefixMatch && index.columns.contains("pb")) {
+        val buckets = query.map(PersistedSearchIndex.termBucket).distinct
+        index.filter(col("pb").isin(buckets: _*))
+      } else index
     val matched = (regex match {
       case Some(re) =>
-        val terms = index.select("term").distinct()
+        val terms = pruned.select("term").distinct()
           .filter(col("term").rlike(re))
           .withColumn("q_term", col("term"))
-        index.join(terms, "term")
+        pruned.join(terms, "term")
       case None =>
         val q = spark.createDataFrame(query.map(Tuple1(_))).toDF("q_term")
         val cond =
           if (prefixMatch) col("term").startsWith(col("q_term"))
           else col("term") === col("q_term")
-        index.join(broadcast(q), cond)
+        pruned.join(broadcast(q), cond)
     }).select("term", "q_term", "doc_id", "tf").localCheckpoint()
     (matched, spark.range(1).select(lit(nDocs).as("n")))
   }

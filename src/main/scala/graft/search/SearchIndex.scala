@@ -67,6 +67,17 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
   private def readSeg(k: Long, sfx: String): DataFrame =
     spark.read.parquet(segPath(k, sfx).toString)
 
+  /** Adds segments are PARTITIONED BY the term's hash bucket `pb`
+    * (crc32 % 64 — [[PersistedSearchIndex.termBucket]] computes the
+    * same value driver-side), so an exact-term query's postings
+    * lookup prunes to its terms' partition directories instead of
+    * scanning the postings ([[FullText.searchIndex]] adds the prune;
+    * prefix/regex queries span buckets and scan). */
+  private def writeAdds(rows: DataFrame, k: Long): Unit =
+    rows.withColumn("pb", PersistedSearchIndex.termBucketCol(col("term")))
+      .write.mode("errorifexists").partitionBy("pb")
+      .parquet(segPath(k, "adds").toString)
+
   /** Live postings + corpus stats for the query paths. */
   def view: SearchIndexView = {
     val m = meta
@@ -75,7 +86,7 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
     val postings =
       if (goneSegs.isEmpty && addSegs.size <= 1) {
         // steady state (fresh build or post-compact): plain scan
-        addSegs.headOption.map(b => readSeg(b.k, "adds").select("doc_id", "term", "tf"))
+        addSegs.headOption.map(b => readSeg(b.k, "adds").select("doc_id", "term", "tf", "pb"))
           .getOrElse(emptyPostings(spark))
       } else {
         // latest-action resolution, the journal-snapshot discipline:
@@ -88,11 +99,11 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
         val live = acts.reduce(_ unionAll _)
           .groupBy("doc_id").agg(max(col("seq")).as("seq"))
           .filter(col("seq") % 2 === 1)
-        addSegs.map(b => readSeg(b.k, "adds").select("doc_id", "term", "tf")
+        addSegs.map(b => readSeg(b.k, "adds").select("doc_id", "term", "tf", "pb")
             .withColumn("seq", lit(2 * b.k + 1)))
           .reduce(_ unionAll _)
           .join(live, Seq("doc_id", "seq"))
-          .select("doc_id", "term", "tf")
+          .select("doc_id", "term", "tf", "pb")
       }
     SearchIndexView(postings, m.nDocs, m.analyzer, m.termDocIds)
   }
@@ -117,8 +128,7 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
     val nGone = removed.count()
     val wroteAdds = nAdd > 0
     val wroteGone = nGone > 0
-    if (wroteAdds)
-      adds.write.mode("errorifexists").parquet(segPath(k, "adds").toString)
+    if (wroteAdds) writeAdds(adds, k)
     if (wroteGone)
       removed.write.mode("errorifexists").parquet(segPath(k, "gone").toString)
     val batches =
@@ -134,10 +144,9 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
     * are a plain parquet scan with no resolution shuffle. */
   def compact(): Unit = synchronized {
     val k = meta.batches.map(_.k).foldLeft(-1L)(math.max) + 1
-    val live = view.postings
+    val live = view.postings.select("doc_id", "term", "tf")
     val any = !live.isEmpty
-    if (any)
-      live.write.mode("errorifexists").parquet(segPath(k, "adds").toString)
+    if (any) writeAdds(live, k)
     val old = meta.batches
     meta = meta.copy(batches = if (any) Seq(Batch(k, adds = true, gone = false)) else Nil)
     writeMeta(dir, meta)
@@ -153,6 +162,23 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
 
 object PersistedSearchIndex {
 
+  /** Term-hash partition-bucket count of the adds segments. */
+  val Buckets = 64
+
+  /** Driver-side bucket of a term — MUST match [[termBucketCol]]
+    * (CRC32 over UTF-8 bytes, Spark's crc32 function exactly), so an
+    * exact-term query can name its partition directories without a
+    * Spark job. */
+  def termBucket(term: String): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes(StandardCharsets.UTF_8))
+    (c.getValue % Buckets).toInt
+  }
+
+  /** Spark-side twin of [[termBucket]]. */
+  def termBucketCol(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(crc32(encode(term, "UTF-8")), lit(Buckets.toLong)).cast("int")
+
   private val mapper = new ObjectMapper()
 
   private final case class Batch(k: Long, adds: Boolean, gone: Boolean)
@@ -163,7 +189,7 @@ object PersistedSearchIndex {
 
   private def emptyPostings(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(String, String, Long)].toDF("doc_id", "term", "tf")
+    Seq.empty[(String, String, Long, Int)].toDF("doc_id", "term", "tf", "pb")
   }
 
   def exists(dir: String): Boolean =

@@ -136,16 +136,39 @@ object BuiltinServices {
           .offset(lo.getOrElse(1) - 1)
         hi.fold(ordered)(h => ordered.limit(h - lo.getOrElse(1) + 1))
     }
+    // Final O→S semi-join, shared by the index and slow paths. The
+    // hit set is query-selective; materialize it once and BROADCAST
+    // when it is broadcast-sized, so the store side is ONE scan with
+    // an in-codegen hash probe — left to AQE, the SMJ's map stages
+    // for the full triple view start before the runtime size of the
+    // small side is known, and the store pays its full shuffle
+    // (measured at the 100× store, indexed path: 147 s with the SMJ
+    // vs 87 s with the broadcast probe). A corpus-sized hit set (a
+    // stopword query) falls back to the shuffle join rather than a
+    // GB broadcast.
+    def subjectsOf(hits: DataFrame): DataFrame = {
+      val ids = hits.select(col("doc_id").as("o")).localCheckpoint()
+      val joined =
+        if (ids.count() <= 1000000L) src.triples.join(broadcast(ids), "o")
+        else src.triples.join(ids, "o")
+      joined.select(col("s").as(outVar)).distinct()
+    }
     // PERSISTED-index path (the production shape this handler's
     // scaladoc promises): postings built once over the literal space
     // and maintained on store commits replace the per-query corpus
-    // tokenize AND the full-view candidate prefilter — the plan is an
-    // index scan + the one O→S join. Scores/df/N come from the index
+    // tokenize — the plan is a bucket-pruned postings lookup + the
+    // one O→S broadcast join. Scores/df/N come from the index
     // (identical to a fresh corpus by construction), so EVERY option
     // combination is served; doc_id IS the literal term, so
     // matchExact recomputes the lexical form from the id. An
     // analyzer-mismatched index is ignored (its postings were
-    // tokenized differently).
+    // tokenized differently). Ordering vs the substring prefilter
+    // below is MEASURED, not assumed: the prefilter's candidate scan
+    // doubles as the final join input (one store pass total), so
+    // where both apply it wins — 100× store: 41 s prefilter vs 87 s
+    // index + store join; the index's class is the score-dependent /
+    // regex / rewriting-analyzer queries the prefilter can't serve,
+    // where it replaces the 164 s corpus slow path.
     val indexed = src.literalIndex.collect {
       case ix if ix.termDocIds &&
         graft.search.Analyzer.byName(ix.analyzer) == az =>
@@ -157,8 +180,7 @@ object BuiltinServices {
         val hits2 =
           if (!matchExact) hits1
           else hits1.filter(RdfLiteral.strOf(col("doc_id")).contains(lit(qText)))
-        src.triples.join(rankWindow(hits2).select(col("doc_id").as("o")), "o")
-          .select(col("s").as(outVar)).distinct()
+        subjectsOf(rankWindow(hits2))
     }
     // substring prefilter: sound for pure-segmentation analyzers only
     // (token ⊆ lower(text)), and only while nothing score-dependent
@@ -170,7 +192,7 @@ object BuiltinServices {
       az.substringSafe && regex.isEmpty && qTerms.nonEmpty &&
         minScore.isEmpty && maxScore.isEmpty &&
         minRank.isEmpty && maxRank.isEmpty
-    indexed.getOrElse { if (prefilterable) {
+    if (prefilterable) {
       // ONE-PASS shape: the contains prune (AND of terms under
       // matchAll) runs inside the full-view scan's codegen and the
       // surviving (s, o) rows — candidate-sized, not corpus-sized —
@@ -206,7 +228,7 @@ object BuiltinServices {
           .filter(col("text").contains(lit(qText))).drop("text")
       candRows.join(hits.select(col("doc_id").as("o")), "o")
         .select(col("s").as(outVar)).distinct()
-    } else {
+    } else indexed.getOrElse {
       val corpus = literalCorpus(src)
       val hits0 = graft.search.FullText.searchAll(
         corpus, qTerms,
@@ -221,9 +243,8 @@ object BuiltinServices {
         else hits1.join(corpus, "doc_id")
           .filter(col("text").contains(lit(qText))).drop("text")
       // the rank window is the only option that needs an order
-      src.triples.join(rankWindow(hits2).select(col("doc_id").as("o")), "o")
-        .select(col("s").as(outVar)).distinct()
-    } }
+      subjectsOf(rankWindow(hits2))
+    }
   }
 
   private def varCols(tp: TriplePattern): Seq[(String, String)] =

@@ -20,7 +20,8 @@ object SearchIxBench {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mode = if (args.length > 1) args(1) else "all"
     val modes = Set("build", "sis-corpus", "sis-indexed", "sis-slow-corpus",
-      "sis-slow-indexed", "fts-corpus", "fts-indexed", "all")
+      "sis-slow-indexed", "fts-corpus", "fts-indexed", "all", "probe",
+      "litfts-corpus", "litfts-indexed")
     require(modes(mode), s"mode must be one of ${modes.toSeq.sorted.mkString("|")}, got '$mode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -101,6 +102,43 @@ object SearchIxBench {
       time(tag)(Compiler.compile(Parser.parse(q), s).count())
 
     mode match {
+      // bds:search over a real store's LITERAL space (the Graft-store
+      // shape): corpus path = store-wide distinct + tokenize per
+      // query; indexed = bucket-pruned postings lookup
+      case "litfts-corpus" =>
+        time("literal bds:search corpus (distinct+tokenize)") {
+          graft.search.FullText.search(
+            graft.sparql.BuiltinServices.literalSpace(TpchRdf.triples(spark, dir)),
+            Seq("africa", "america"), 20).count()
+        }
+      case "litfts-indexed" =>
+        time("literal bds:search indexed") {
+          graft.search.FullText.searchIndex(
+            litView.postings, litView.nDocs, Seq("africa", "america"), 20).count()
+        }
+      case "probe" =>
+        // stage split of the indexed searchInSearch path
+        import org.apache.spark.sql.functions.{broadcast, col}
+        var hits: org.apache.spark.sql.DataFrame = null
+        time("postings match + score (searchIndexAll)") {
+          hits = graft.search.FullText
+            .searchIndexAll(litView.postings, litView.nDocs,
+              Seq("africa", "america")).localCheckpoint()
+          hits.count()
+        }
+        var subs: org.apache.spark.sql.DataFrame = null
+        time("store O-join (broadcast probe) + distinct") {
+          subs = src.triples
+            .join(broadcast(hits.select(col("doc_id").as("o"))), "o")
+            .select(col("s").as("r")).distinct().localCheckpoint()
+          subs.count()
+        }
+        time("enclosing name-scan join") {
+          src.scan(graft.sparql.TriplePattern(
+              graft.sparql.Var("r"), graft.sparql.Const("name"), graft.sparql.Var("rname")))
+            .select(col("s").as("r"), col("o").as("rname"))
+            .join(subs, "r").count()
+        }
       case "sis-corpus"       => run("searchInSearch corpus (prefilter path)", sisQuery, src)
       case "sis-indexed"      => run("searchInSearch indexed", sisQuery, srcLit)
       case "sis-slow-corpus"  => run("searchInSearch corpus (score slow path)", sisSlow, src)

@@ -91,10 +91,14 @@ class SearchIndexSpec extends AnyFunSuite {
       """SELECT ?lit ?sc WHERE {
         |  ?lit bds:search "spark" . ?lit bds:relevance ?sc .
         |} ORDER BY ?lit""".stripMargin
+    // the score option routes past the substring prefilter (which
+    // wins where it applies — measured) onto the INDEX path
     val sis =
       """SELECT ?s WHERE {
         |  ?s note ?t .
-        |  SERVICE bds:searchInSearch { ?s bds:searchInSearch "spark" . }
+        |  SERVICE bds:searchInSearch {
+        |    ?s bds:searchInSearch "spark" . ?s bds:minRelevance "0.001" .
+        |  }
         |} ORDER BY ?s""".stripMargin
     // identical results through either path (scores included: df and
     // N come from the index, which IS the literal corpus)

@@ -70,4 +70,47 @@ object TripleStorage {
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = None
   }
+
+  /** Object-HASH-keyed OSP twin: partitioned by `obh` = crc32(o) % 64
+    * (the [[graft.search.PersistedSearchIndex.termBucket]] scheme, so
+    * the text services' literal hits NAME their directories). The
+    * scheme-bucket [[writeOsp]] pools every literal under one `lit`
+    * partition — useless for a literal hit set; this layout spreads
+    * them, which is what makes a hit→subject join a pruned scan. */
+  def writeOspHash(triples: DataFrame, path: String): Unit =
+    triples.select(col("s"), col("p"), col("o"),
+        graft.search.PersistedSearchIndex.termBucketCol(col("o")).as("obh"))
+      .repartition(col("obh"))
+      .sortWithinPartitions("o")
+      .write.mode("overwrite").partitionBy("obh").parquet(path)
+
+  /** TripleSource over the hash-OSP store. [[TripleSource
+    * .scanForObjects]] — the full-text services' hit→subject access
+    * path — collects the hit set's bucket values (≤ 64, a driver-side
+    * pass over the checkpointed hit ids) and PRUNES the scan to those
+    * partition directories before the join: the "one full-view pass"
+    * floor of a virtual view becomes a |buckets|/64 directory read.
+    * Bound-object pattern scans prune the same way. */
+  def ospHashSource(spark: SparkSession, path: String): TripleSource = new TripleSource {
+    lazy val triples: DataFrame =
+      spark.read.parquet(path).select("s", "p", "o")
+    override def scan(tp: TriplePattern): DataFrame = tp.o match {
+      case Const(v) =>
+        val b = graft.search.PersistedSearchIndex.termBucket(v)
+        TripleSource.filterScan(
+          spark.read.parquet(path).filter(col("obh") === b).select("s", "p", "o"), tp)
+      case _ => TripleSource.filterScan(triples, tp)
+    }
+    override def scanForObjects(objs: DataFrame): DataFrame = {
+      import graft.search.PersistedSearchIndex.{termBucketCol, Buckets}
+      val buckets = objs.select(termBucketCol(col("o")).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val pruned =
+        if (buckets.size >= Buckets) spark.read.parquet(path)
+        else spark.read.parquet(path).filter(col("obh").isin(buckets: _*))
+      pruned.select("s", "p", "o").join(objs.select("o"), "o")
+    }
+    def fuseStar(patterns: Seq[TriplePattern],
+                 subjectTables: Option[Set[String]]): Option[DataFrame] = None
+  }
 }

@@ -148,9 +148,12 @@ object BuiltinServices {
     // GB broadcast.
     def subjectsOf(hits: DataFrame): DataFrame = {
       val ids = hits.select(col("doc_id").as("o")).localCheckpoint()
+      // through the source's OSP-analog access path: an object-keyed
+      // layout prunes the scan to the hits' buckets; the default is
+      // the one full-view pass
       val joined =
-        if (ids.count() <= 1000000L) src.triples.join(broadcast(ids), "o")
-        else src.triples.join(ids, "o")
+        if (ids.count() <= 1000000L) src.scanForObjects(broadcast(ids))
+        else src.scanForObjects(ids)
       joined.select(col("s").as(outVar)).distinct()
     }
     // PERSISTED-index path (the production shape this handler's

@@ -79,6 +79,16 @@ trait TripleSource {
     triples.join(nodes.select("s").distinct(), "s")
   }
 
+  /** All triples whose OBJECT is in `objs` (one column `o`, may carry
+    * a broadcast hint) — the OSP-index analog the full-text services'
+    * hit→subject join runs on. Default: join the full view (one store
+    * pass). A source with an object-keyed layout
+    * ([[graft.rdf.TripleStorage.ospHashSource]]) prunes the scan to
+    * the hit set's partition buckets first — the production shape
+    * that removes the full-view pass entirely. */
+  def scanForObjects(objs: DataFrame): DataFrame =
+    triples.join(objs.select("o"), "o")
+
   /** Access path for a graph-scoped pattern: (s,p,o,g) rows matching
     * the constant positions, `g` constant included (SPOC index analog). */
   def quadScan(tp: TriplePattern, g: Term): DataFrame = {
@@ -130,6 +140,7 @@ object TripleSource {
       override def geoCorpus: Option[DataFrame] = base.geoCorpus
       override def geoCorpusTime: Option[(DataFrame, Long, Long)] = base.geoCorpusTime
       override def scanForSubjects(nodes: DataFrame): DataFrame = base.scanForSubjects(nodes)
+      override def scanForObjects(objs: DataFrame): DataFrame = base.scanForObjects(objs)
       override def searchIndex: Option[graft.search.SearchIndexView] =
         search.orElse(base.searchIndex)
       override def literalIndex: Option[graft.search.SearchIndexView] =
@@ -154,6 +165,8 @@ object TripleSource {
       val ns = nodes.select("s").distinct()
       base.scanForSubjects(ns).unionAll(extra.join(ns, "s"))
     }
+    override def scanForObjects(objs: DataFrame): DataFrame =
+      base.scanForObjects(objs).unionAll(extra.join(objs.select("o"), "o"))
     override def searchCorpus: Option[DataFrame] = base.searchCorpus
     override def defaultAnalyzer: Option[String] = base.defaultAnalyzer
     override def geoCorpus: Option[DataFrame] = base.geoCorpus

@@ -21,7 +21,7 @@ object SearchIxBench {
     val mode = if (args.length > 1) args(1) else "all"
     val modes = Set("build", "sis-corpus", "sis-indexed", "sis-slow-corpus",
       "sis-slow-indexed", "fts-corpus", "fts-indexed", "all", "probe",
-      "litfts-corpus", "litfts-indexed")
+      "litfts-corpus", "litfts-indexed", "osp-build", "sis-osp")
     require(modes(mode), s"mode must be one of ${modes.toSeq.sorted.mkString("|")}, got '$mode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -101,7 +101,32 @@ object SearchIxBench {
     def run(tag: String, q: String, s: TripleSource): Unit =
       time(tag)(Compiler.compile(Parser.parse(q), s).count())
 
+    val ospDir = s"/tmp/graft_searchix_osp_$md"
     mode match {
+      // materialize the triple view as the object-HASH-keyed OSP
+      // store — the production layout whose hit→subject join prunes
+      case "osp-build" =>
+        time("materialize ospHash store") {
+          graft.rdf.TripleStorage.writeOspHash(TpchRdf.triples(spark, dir), ospDir)
+          spark.read.parquet(ospDir).count()
+        }
+      // the indexed searchInSearch (score-option form) against a
+      // store with BOTH access-path families (the reference keeps
+      // SPO/POS/OSP side by side): pattern scans take the
+      // predicate-pruned branch paths, the hit→subject join takes the
+      // OSP-hash store's pruned scan
+      case "sis-osp" =>
+        val osp = graft.rdf.TripleStorage.ospHashSource(spark, ospDir)
+        val both = new TripleSource {
+          def triples = src.triples
+          def fuseStar(patterns: Seq[graft.sparql.TriplePattern],
+                       subjectTables: Option[Set[String]]) = None
+          override def scan(tp: graft.sparql.TriplePattern) = src.scan(tp)
+          override def scanForObjects(objs: org.apache.spark.sql.DataFrame) =
+            osp.scanForObjects(objs)
+          override def literalIndex = Some(litView)
+        }
+        run("searchInSearch indexed + ospHash hit join", sisSlow, both)
       // bds:search over a real store's LITERAL space (the Graft-store
       // shape): corpus path = store-wide distinct + tokenize per
       // query; indexed = bucket-pruned postings lookup
@@ -140,6 +165,10 @@ object SearchIxBench {
             .join(subs, "r").count()
         }
       case "sis-corpus"       => run("searchInSearch corpus (prefilter path)", sisQuery, src)
+      // NOTE post-routing: a prefilterable query on an indexed source
+      // deliberately takes the PREFILTER path (measured cheaper where
+      // it applies) — this mode now validates that routing; the
+      // index-path timings are the sis-slow-* modes
       case "sis-indexed"      => run("searchInSearch indexed", sisQuery, srcLit)
       case "sis-slow-corpus"  => run("searchInSearch corpus (score slow path)", sisSlow, src)
       case "sis-slow-indexed" => run("searchInSearch indexed (score options)", sisSlow, srcLit)

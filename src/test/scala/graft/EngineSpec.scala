@@ -86,6 +86,66 @@ class EngineSpec extends AnyFunSuite {
     assert(scan.select("s", "p", "o").collect().map(_.toSeq).toSet == expected)
   }
 
+  test("hash-OSP store: hit-set object join partition-prunes; searchInSearch rides it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_osph").toString
+    val view = TpchRdf.triples(spark, SF)
+    graft.rdf.TripleStorage.writeOspHash(view, dir)
+    val src = graft.rdf.TripleStorage.ospHashSource(spark, dir)
+    // scanForObjects prunes to the hit buckets (crc32%64) and returns
+    // exactly the full-view join's rows
+    val hits = Seq("ASIA", "EUROPE").toDF("o")
+    val got = src.scanForObjects(hits)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("obh"),
+      s"expected partition pruning on obh:\n$plan")
+    val expected = view.filter(col("o").isin("ASIA", "EUROPE"))
+      .collect().map(_.toSeq).toSet
+    assert(got.select("s", "p", "o").collect().map(_.toSeq).toSet == expected)
+    // bound-object pattern scans prune the same way
+    val scan = src.scan(graft.sparql.TriplePattern("?x", "?p", "n:3"))
+    assert(scan.queryExecution.executedPlan.toString.contains("obh"))
+    assert(scan.count() == view.filter(col("o") === "n:3").count())
+    // the searchInSearch hit→subject join goes through the seam:
+    // same answer as the virtual view
+    val q = """SELECT ?r ?rn WHERE {
+              |  ?r name ?rn .
+              |  SERVICE bds:searchInSearch {
+              |    ?r bds:searchInSearch "middle east" .
+              |    ?r bds:matchAllTerms "true" .
+              |  }
+              |} ORDER BY ?r""".stripMargin
+    val overOsp = graft.sparql.Compiler.compile(graft.sparql.Parser.parse(q),
+      new graft.sparql.TripleSource {
+        def triples = view
+        def fuseStar(patterns: Seq[graft.sparql.TriplePattern],
+                     subjectTables: Option[Set[String]]) = None
+        override def scanForObjects(objs: org.apache.spark.sql.DataFrame) =
+          src.scanForObjects(objs)
+      }).collect().map(_.toSeq).toSeq
+    val overView = graft.sparql.Compiler.compile(graft.sparql.Parser.parse(q),
+      TpchRdf.source(spark, SF)).collect().map(_.toSeq).toSeq
+    assert(overOsp == overView && overView.nonEmpty)
+  }
+
+  test("persisted postings layout: exact-term lookups partition-prune on pb") {
+    val docs = Seq(("1", "spark join table"), ("2", "plain words"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pb").resolve("ix").toString
+    val ix = graft.search.PersistedSearchIndex.create(spark, dir, docs)
+    val b = graft.search.PersistedSearchIndex.termBucket("spark")
+    val pruned = ix.view.postings.filter(col("pb") === b)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pb"),
+      s"expected partition pruning on pb:\n$plan")
+    // the driver-side bucket twin matches Spark's crc32 exactly —
+    // the pruned read still finds the term's postings
+    assert(pruned.filter(col("term") === "spark").count() == 1)
+    // and the full search through the pruned path returns the doc
+    assert(graft.search.FullText
+      .searchIndex(ix.view.postings, ix.nDocs, Seq("spark"))
+      .collect().map(_.getString(0)).toSeq == Seq("1"))
+  }
+
   test("geo circle search: z-cell prune + exact haversine verify") {
     val pts = Seq((1L, 10.0, -40.0), (2L, 35.0, -40.0), (3L, 80.0, 100.0))
       .toDF("k", "lat", "lon")

@@ -727,13 +727,26 @@ object Parser {
           // ASTSearchOptimizer (ast/eval/ASTSearchOptimizer.java:69
           // URI set). Disabled inside SERVICE groups (liftMagic=false):
           // there the named handler owns its magic predicates.
-          val (magic, ps) =
-            if (liftMagic) ps0.partition(p => p.p match {
-              case Const(c) => c.startsWith("bds:")
-              case _        => false
-            })
+          def pred(p: TriplePattern, pfx: String): Boolean = p.p match {
+            case Const(c) => c.startsWith(pfx)
+            case _        => false
+          }
+          val (magic, rest0) =
+            if (liftMagic) ps0.partition(pred(_, "bds:"))
             else (Vector.empty[TriplePattern], ps0)
+          // the EXTERNAL-fulltext magic form (fts:*) lifts the same
+          // way — the reference's ASTFulltextSearchOptimizer (in the
+          // default optimizer list, DefaultOptimizerList.java:308):
+          // each search variable's fts:* patterns become one
+          // SERVICE fts:search group, validated by the handler
+          val (ftsMagic, ps) =
+            if (liftMagic) rest0.partition(pred(_, "fts:"))
+            else (Vector.empty[TriplePattern], rest0)
           liftSearchGroups(magic).foreach(add)
+          ftsMagic.groupBy(_.s).toSeq.sortBy(_._1.toString).foreach {
+            case (_, group) => add(ServiceCall("fts:search", Bgp(group: _*),
+              silent = false, srcText = None))
+          }
           if (ps.nonEmpty) add(if (fixedOrder) BgpFixed(ps) else Bgp(ps: _*))
           patterns = Vector.newBuilder
         }

@@ -129,6 +129,28 @@ class FtsServiceSpec extends AnyFunSuite {
       .contains("only SOLR"))
   }
 
+  test("fts:search: classic inline magic form (no SERVICE) lifts — ASTFulltextSearchOptimizer analog") {
+    val (url, _, stop) = stubSolr(solrDoc)
+    try {
+      val rows = Compiler.compile(Parser.parse(
+        s"""SELECT ?s ?res ?score WHERE {
+           |  ?s label ?res .
+           |  ?res fts:search "asia continent" .
+           |  ?res fts:endpoint "$url" .
+           |  ?res fts:scoreField "score" .
+           |  ?res fts:score ?score .
+           |} ORDER BY ?s""".stripMargin), TripleSource.plain(trips)).collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("x:a", "ASIA"), ("x:b", "EUROPE")))
+      assert(rows.map(_.getDouble(2)).toSeq == Seq(2.5, 1.25))
+    } finally stop()
+    // a typo'd inline fts predicate reaches the handler and errors loud
+    val e = intercept[RuntimeException](Compiler.compile(Parser.parse(
+      """SELECT ?r WHERE { ?r fts:serch "x" . ?r fts:endpoint "http://h" . }"""),
+      TripleSource.plain(trips)))
+    assert(e.getMessage.contains("Unknown search predicate"), e.getMessage)
+  }
+
   test("fts:search: missing search field on a doc fails loud") {
     val (url, _, stop) = stubSolr("""{"response":{"docs":[{"notid":"x"}]}}""")
     try {

@@ -261,13 +261,23 @@ object Compiler {
 
     case GraphPattern(gTerm, child) => gTerm match {
       case Const(_) =>
-        // constant graph: scope every pattern scan to that graph
+        // constant graph: scope every pattern scan to that graph.
+        // bds:search stays STORE-WIDE inside a GRAPH block (the
+        // reference's text index is store-level — the same contract
+        // the DatasetClause scoping below applies), so the search
+        // corpus, its analyzer and its persisted index forward; the
+        // LITERAL-space index does NOT (bds:searchInSearch's literal
+        // space is the graph's own, pinned by spec).
         val scoped = new TripleSource {
           lazy val triples: DataFrame =
             src.quadScan(TriplePattern(Var("s"), Var("p"), Var("o")), gTerm)
               .select("s", "p", "o")
           override def scan(tp: TriplePattern): DataFrame =
             src.quadScan(tp, gTerm).select("s", "p", "o")
+          override def searchCorpus: Option[DataFrame] = src.searchCorpus
+          override def defaultAnalyzer: Option[String] = src.defaultAnalyzer
+          override def searchIndex: Option[graft.search.SearchIndexView] =
+            src.searchIndex
           def fuseStar(patterns: Seq[TriplePattern],
                        subjectTables: Option[Set[String]]): Option[DataFrame] = None
         }

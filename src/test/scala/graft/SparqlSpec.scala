@@ -570,6 +570,15 @@ class SparqlSpec extends AnyFunSuite {
       """SELECT ?s WHERE { GRAPH ?gv { SERVICE bd:slice {
         |  ?s val ?v . bd:serviceParam bd:slice.limit 2 . } } }""".stripMargin))
     assert(e.getMessage.contains("GRAPH ?gv supports"), e.getMessage)
+    // bds:search inside a GRAPH block stays STORE-WIDE (the
+    // reference's text index is store-level): the g:two literal is a
+    // hit even inside GRAPH g:one — and the enclosing graph-scoped
+    // join then decides what it matches
+    val ft = g.query(
+      """SELECT ?lit WHERE { GRAPH g:one {
+        |  SERVICE bds:search { _:s bds:query "needle" . _:s bds:out ?lit . }
+        |} } ORDER BY ?lit""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(ft == Seq("needle here", "needle there"), ft)
   }
 
   test("TripleStore delete/insert/clear semantics") {

@@ -37,6 +37,13 @@ final case class SearchIndexView(postings: DataFrame, nDocs: Long,
   * and the store version the index is current to. A reader either
   * sees the whole batch or none of it.
   *
+  * Single-writer per index directory, like the Journal: in-process
+  * writes serialize on the handle's lock, and the server's namespace
+  * write path is the one writer for a namespace-owned index. (The
+  * manifest rename is atomic for READERS; it does not arbitrate two
+  * independent writer processes — that race is the journal publish's
+  * job, and the index always follows the journal.)
+  *
   * [[view]] resolves the live postings: per-doc latest-action argmax
   * over the manifested segments (the [[graft.rdf.Journal.snapshot]]
   * discipline — a doc removed in batch 3 and re-added in batch 5 is

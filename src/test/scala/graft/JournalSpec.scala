@@ -239,6 +239,30 @@ class JournalSpec extends AnyFunSuite {
     assert(stale.snapshot().count() == 2) // the head stays readable
   }
 
+  test("changedQuads: logical delta of a range, compactions skipped, vacuum gaps loud") {
+    val dir = tmp()
+    val j = Journal.create(spark, dir)
+    j.append(quads(("a", "p", "1", "g")))                       // v1
+    j.commit(quads(("b", "p", "2", "g")), quads(("a", "p", "1", "g"))) // v2
+    j.compact()                                                 // v3 (no logical change)
+    j.append(quads(("c", "p", "3", "g")))                       // v4
+    val (adds, dels) = j.changedQuads(1)
+    // v2's add+del and v4's add; the compaction's full-state rewrite
+    // contributes NOTHING
+    assert(adds.select("s").collect().map(_.getString(0)).toSet == Set("b", "c"))
+    assert(dels.select("s").collect().map(_.getString(0)).toSet == Set("a"))
+    // empty range = empty sides
+    val (a2, d2) = j.changedQuads(4)
+    assert(a2.isEmpty && d2.isEmpty)
+    // a vacuumed sub-range makes the delta unknowable — fail loud,
+    // never resolve a partial change set
+    j.vacuum() // drops v1-v2 (before the compaction at v3)
+    val e = intercept[IllegalArgumentException](j.changedQuads(0))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // post-compaction catch-up still works
+    assert(j.changedQuads(3)._1.count() == 1)
+  }
+
   test("open() reattaches; create() on an existing journal and version races fail loud") {
     val dir = tmp()
     val j = Journal.create(spark, dir)

@@ -17,7 +17,12 @@ import graft.sparql.BuiltinServices
   * journal head in ONE batch whose cost scales with the DELTA:
   *  - the candidate literal set comes from the unprocessed commits'
   *    own segments ([[Journal.changedQuads]] — compactions skipped);
-  *  - only literals NEW to the index tokenize;
+  *  - only literals NEW to the index tokenize. The already-indexed
+  *    test NEVER touches the postings relation: it bloom-probes the
+  *    index's doc-id SIDECAR map-side (delta-built sketch, exact
+  *    verify on the survivor set — the incremental-dedup discipline),
+  *    so an append-only sync plans no shuffle at all over index-sized
+  *    data ([[membership]], plan-asserted in SearchIndexSpec);
   *  - removals are EXACT: a deleted quad's literal leaves the index
   *    only when no live quad still uses it. The liveness check is the
   *    one non-delta-bounded step — a semi-join of the head snapshot's
@@ -36,6 +41,31 @@ object TextIndexMaintenance {
     PersistedSearchIndex.create(spark, dir,
       BuiltinServices.literalSpace(journal.snapshot()),
       analyzer = analyzer, termDocIds = true, version = journal.version)
+
+  /** Physical plans of the last [[sync]]'s membership/delta
+    * DataFrames — test instrumentation (the no-postings-exchange
+    * assertion in SearchIndexSpec), the [[Journal.recordParses]]
+    * discipline. Not part of the API. */
+  @volatile private[graft] var lastSyncPlans: Seq[String] = Nil
+
+  /** The already-indexed members of the candidate id set, WITHOUT
+    * consulting the postings relation: ONE map-side bloom-filtered
+    * scan of the index's doc-id sidecar (nDocs rows — the sketch is
+    * built over the delta, so survivors ≈ |delta| + fpp·nDocs and
+    * broadcast into the exact joins). Survivors are real index
+    * members — a bloom false positive only inflates the broadcast by
+    * an id the delta never mentions, it cannot mis-classify — so no
+    * second verify join is needed: the output IS exact membership for
+    * every id the delta contains. */
+  private def membership(ix: PersistedSearchIndex,
+                         candidateIds: DataFrame): DataFrame = {
+    if (ix.nDocs == 0) return candidateIds.limit(0)
+    val nCand = math.max(1L, candidateIds.count())
+    val sketch = candidateIds.select(xxhash64(col("doc_id")).as("h"))
+      .stat.bloomFilter("h", nCand, 0.01)
+    ix.liveDocIds.filter(
+      graft.functions.BloomExprs.bloom_might_contain(xxhash64(col("doc_id")), sketch))
+  }
 
   /** Catch `ix` up to the journal head; no-op when already current.
     * Returns the journal version the index is now current to. */
@@ -61,13 +91,18 @@ object TextIndexMaintenance {
           .distinct()
         touched.join(liveIds, "doc_id")
       }
-    val ixDocs = ix.view.postings.select("doc_id")
-    val newDocs = live.join(ixDocs, Seq("doc_id"), "left_anti")
+    val probe = membership(ix, touched.select("doc_id"))
+    val probePlan = probe.queryExecution.executedPlan.toString
+    val present = probe.localCheckpoint()
+    val newDocs = live.join(broadcast(present), Seq("doc_id"), "left_anti")
     val gone: DataFrame =
       if (!anyDels) touched.limit(0).select("doc_id")
       else touched.select("doc_id")
         .join(live.select("doc_id"), Seq("doc_id"), "left_anti")
-        .join(ixDocs, Seq("doc_id"), "left_semi")
+        .join(broadcast(present), Seq("doc_id"), "left_semi")
+    lastSyncPlans = Seq(probePlan,
+      newDocs.queryExecution.executedPlan.toString,
+      gone.queryExecution.executedPlan.toString)
     ix.update(newDocs, gone, head)
     head
   }

@@ -27,6 +27,7 @@ final case class SearchIndexView(postings: DataFrame, nDocs: Long,
   * {{{
   *   <dir>/meta.json                 manifest (atomic rename publish)
   *   <dir>/seg-<k>-adds.parquet      postings of docs ADDED in batch k
+  *   <dir>/seg-<k>-docs.parquet      distinct doc_ids ADDED in batch k
   *   <dir>/seg-<k>-gone.parquet      doc_ids REMOVED in batch k
   * }}}
   *
@@ -36,6 +37,16 @@ final case class SearchIndexView(postings: DataFrame, nDocs: Long,
   * published by atomic rename — carries the batch list, corpus size
   * and the store version the index is current to. A reader either
   * sees the whole batch or none of it.
+  *
+  * The `docs` SIDECAR is the membership relation: nDocs rows of bare
+  * doc ids (including docs the analyzer tokenized to NOTHING — a
+  * punctuation-only literal is indexed-with-zero-postings, so it
+  * neither re-tokenizes on every sync nor skews the IDF corpus size
+  * against the corpus-path `docs.count()`). Incremental maintenance
+  * answers "is this id already indexed?" from the sidecar scan —
+  * NEVER from the postings relation, which is orders of magnitude
+  * larger ([[graft.rdf.TextIndexMaintenance]] bloom-probes it
+  * map-side, so membership costs O(delta), not O(index)).
   *
   * Single-writer per index directory, like the Journal: in-process
   * writes serialize on the handle's lock, and the server's namespace
@@ -56,7 +67,10 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
 
   import PersistedSearchIndex._
 
-  private[this] var meta: Meta = readMeta(dir)
+  // written under the handle's lock (update/compact/vacuum) but read
+  // lock-free by server read threads (version/nDocs/view) — volatile
+  // gives the happens-before edge; Meta itself is immutable
+  @volatile private[this] var meta: Meta = readMeta(dir)
 
   /** Store version this index is current to (what [[update]] was last
     * told; -1 until a caller supplies one). */
@@ -85,6 +99,39 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
       .write.mode("errorifexists").partitionBy("pb")
       .parquet(segPath(k, "adds").toString)
 
+  /** A batch's added-doc-id relation tagged with its resolution rank:
+    * the docs sidecar where the batch wrote one, else (legacy,
+    * pre-sidecar batches) the distinct doc ids of its postings. */
+  private def addActs(b: Batch): Option[DataFrame] =
+    if (b.docs) Some(readSeg(b.k, "docs").select("doc_id")
+      .withColumn("seq", lit(2 * b.k + 1)))
+    else if (b.adds) Some(readSeg(b.k, "adds").select("doc_id").distinct()
+      .withColumn("seq", lit(2 * b.k + 1)))
+    else None
+
+  /** The LIVE indexed doc-id set — the membership relation incremental
+    * maintenance probes (nDocs rows; the postings relation is never
+    * consulted on sidecar-bearing indexes). Append-only history (no
+    * tombstones) is a plain union of sidecar scans, zero shuffles; with
+    * tombstones it is the same latest-action argmax [[view]] uses, over
+    * doc-id-sized inputs. A doc-id equality filter pushed onto this
+    * relation reaches the sidecar scans below the aggregation. */
+  def liveDocIds: DataFrame = {
+    val m = meta
+    val adds = m.batches.flatMap(addActs)
+    if (adds.isEmpty) emptyPostings(spark).select("doc_id")
+    else if (!m.batches.exists(_.gone)) // append-only: all added ids live
+      adds.map(_.select("doc_id")).reduce(_ unionAll _)
+    else {
+      val acts = adds ++ m.batches.filter(_.gone).map(b =>
+        readSeg(b.k, "gone").select("doc_id").withColumn("seq", lit(2 * b.k)))
+      acts.reduce(_ unionAll _)
+        .groupBy("doc_id").agg(max(col("seq")).as("seq"))
+        .filter(col("seq") % 2 === 1)
+        .select("doc_id")
+    }
+  }
+
   /** Live postings + corpus stats for the query paths. */
   def view: SearchIndexView = {
     val m = meta
@@ -98,9 +145,8 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
       } else {
         // latest-action resolution, the journal-snapshot discipline:
         // gone at k ranks 2k, adds at k rank 2k+1 (an id never appears
-        // in both sides of ONE batch — update() forbids it)
-        val acts = addSegs.map(b => readSeg(b.k, "adds").select("doc_id").distinct()
-            .withColumn("seq", lit(2 * b.k + 1))) ++
+        // in both sides of ONE batch — update() enforces it)
+        val acts = m.batches.flatMap(addActs) ++
           goneSegs.map(b => readSeg(b.k, "gone").select("doc_id")
             .withColumn("seq", lit(2 * b.k)))
         val live = acts.reduce(_ unionAll _)
@@ -127,19 +173,40 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
              toVersion: Long): (Long, Long) = synchronized {
     val k = meta.batches.map(_.k).foldLeft(-1L)(math.max) + 1
     val az = Analyzer.byName(meta.analyzer)
-    val adds = FullText.invertedIndex(addedCorpus, az)
-      .select("doc_id", "term", "tf")
-      .localCheckpoint() // one tokenize pass; counted AND written below
+    // the INPUT corpus counts toward nDocs even when a doc tokenizes
+    // to nothing (zero-token docs are indexed-with-zero-postings), so
+    // the IDF's N is the same corpus size the corpus paths use
+    // (FullText.matchPostings counts docs, not posting-bearing docs)
+    val addedIds = addedCorpus.select("doc_id").distinct().localCheckpoint()
     val removed = removedDocIds.select("doc_id").distinct().localCheckpoint()
-    val nAdd = adds.select("doc_id").distinct().count()
+    val nAdd = addedIds.count()
     val nGone = removed.count()
-    val wroteAdds = nAdd > 0
+    // the latest-action view resolution assumes an id never appears in
+    // both sides of ONE batch — enforce it loud (both sides are
+    // delta-sized and already materialized; the probe never runs on
+    // the one-sided common paths)
+    require(nAdd == 0 || nGone == 0 ||
+      addedIds.join(removed, Seq("doc_id"), "left_semi").isEmpty,
+      "search-index update: a doc_id appears in BOTH addedCorpus and " +
+        "removedDocIds of one batch — split the remove and the re-add " +
+        "into two update() calls")
+    val wroteDocs = nAdd > 0
+    val wroteAdds = wroteDocs && {
+      val adds = FullText.invertedIndex(addedCorpus, az)
+        .select("doc_id", "term", "tf")
+        .localCheckpoint() // one tokenize pass; probed AND written below
+      val any = !adds.isEmpty
+      if (any) writeAdds(adds, k)
+      any
+    }
     val wroteGone = nGone > 0
-    if (wroteAdds) writeAdds(adds, k)
+    if (wroteDocs)
+      addedIds.write.mode("errorifexists").parquet(segPath(k, "docs").toString)
     if (wroteGone)
       removed.write.mode("errorifexists").parquet(segPath(k, "gone").toString)
     val batches =
-      if (wroteAdds || wroteGone) meta.batches :+ Batch(k, wroteAdds, wroteGone)
+      if (wroteAdds || wroteGone || wroteDocs)
+        meta.batches :+ Batch(k, wroteAdds, wroteGone, wroteDocs)
       else meta.batches
     meta = meta.copy(version = toVersion, nDocs = meta.nDocs + nAdd - nGone,
       batches = batches)
@@ -147,23 +214,45 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
     (nAdd, nGone)
   }
 
-  /** Rewrite the live postings as ONE segment — subsequent [[view]]s
-    * are a plain parquet scan with no resolution shuffle. */
+  /** Rewrite the live postings (and the live doc-id sidecar) as ONE
+    * segment — subsequent [[view]]s are a plain parquet scan with no
+    * resolution shuffle. Superseded segment files STAY on disk: an
+    * in-flight query holding a view resolved against the old manifest
+    * keeps reading them (the server compacts on its write path while
+    * reads run concurrently). [[vacuum]] reclaims them explicitly —
+    * the Journal's compact/vacuum split, mirrored. */
   def compact(): Unit = synchronized {
     val k = meta.batches.map(_.k).foldLeft(-1L)(math.max) + 1
-    val live = view.postings.select("doc_id", "term", "tf")
-    val any = !live.isEmpty
-    if (any) writeAdds(live, k)
-    val old = meta.batches
-    meta = meta.copy(batches = if (any) Seq(Batch(k, adds = true, gone = false)) else Nil)
+    val live = view.postings.select("doc_id", "term", "tf").localCheckpoint()
+    val ids = liveDocIds.localCheckpoint()
+    val anyPostings = !live.isEmpty
+    val anyDocs = !ids.isEmpty
+    if (anyPostings) writeAdds(live, k)
+    if (anyDocs)
+      ids.write.mode("errorifexists").parquet(segPath(k, "docs").toString)
+    meta = meta.copy(batches =
+      if (anyPostings || anyDocs)
+        Seq(Batch(k, adds = anyPostings, gone = false, docs = anyDocs))
+      else Nil)
     writeMeta(dir, meta)
-    // superseded segments are unreachable once the manifest publishes;
-    // reclaim them (no history contract here — the JOURNAL owns
-    // time-travel, the index only ever serves the head)
-    old.foreach { b =>
-      if (b.adds) deleteRecursively(segPath(b.k, "adds"))
-      if (b.gone) deleteRecursively(segPath(b.k, "gone"))
-    }
+  }
+
+  /** Delete segment files the current manifest no longer references —
+    * the space-for-read-stability trade, taken EXPLICITLY (any view
+    * resolved before the manifest that orphaned a segment breaks when
+    * that segment is vacuumed mid-job — callers own that quiesce, the
+    * Journal.vacuum contract). */
+  def vacuum(): Unit = synchronized {
+    val referenced = meta.batches.flatMap { b =>
+      Seq(b.adds -> "adds", b.gone -> "gone", b.docs -> "docs")
+        .collect { case (true, sfx) => segPath(b.k, sfx).getFileName.toString }
+    }.toSet
+    val ls = Files.list(dir)
+    val all = try ls.toArray.toSeq.asInstanceOf[Seq[Path]] finally ls.close()
+    all.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("seg-") && n.endsWith(".parquet") && !referenced.contains(n)
+    }.foreach(deleteRecursively)
   }
 }
 
@@ -188,7 +277,11 @@ object PersistedSearchIndex {
 
   private val mapper = new ObjectMapper()
 
-  private final case class Batch(k: Long, adds: Boolean, gone: Boolean)
+  /** `docs`: whether the batch wrote a doc-id sidecar (false on
+    * legacy, pre-sidecar batches — membership then falls back to the
+    * batch's postings doc ids). */
+  private final case class Batch(k: Long, adds: Boolean, gone: Boolean,
+                                 docs: Boolean = false)
 
   private final case class Meta(version: Long, analyzer: String,
                                 termDocIds: Boolean, nDocs: Long,
@@ -227,7 +320,8 @@ object PersistedSearchIndex {
 
   private def metaJson(m: Meta): String = {
     val bs = m.batches.map(b =>
-      s"""{"k":${b.k},"adds":${b.adds},"gone":${b.gone}}""").mkString("[", ",", "]")
+      s"""{"k":${b.k},"adds":${b.adds},"gone":${b.gone},"docs":${b.docs}}""")
+      .mkString("[", ",", "]")
     s"""{"version":${m.version},"analyzer":${mapper.writeValueAsString(m.analyzer)},""" +
       s""""termDocIds":${m.termDocIds},"nDocs":${m.nDocs},"batches":$bs}"""
   }
@@ -246,7 +340,8 @@ object PersistedSearchIndex {
     while (it.hasNext) {
       val b = it.next()
       bs += Batch(b.get("k").asLong(), b.get("adds").asBoolean(),
-        b.get("gone").asBoolean())
+        b.get("gone").asBoolean(),
+        Option(b.get("docs")).exists(_.asBoolean())) // legacy: no sidecar
     }
     Meta(root.get("version").asLong(), root.get("analyzer").asText(),
       root.get("termDocIds").asBoolean(), root.get("nDocs").asLong(),

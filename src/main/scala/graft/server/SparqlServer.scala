@@ -239,17 +239,27 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       }
     }
     private def maybeCompact(): Unit = synchronized {
-      // every write path runs through here — the text index (if any)
-      // catches up to the head FIRST (delta-sized batch), so the next
-      // `current` serves index-backed search over the new commit
-      textIx.foreach(ix => graft.rdf.TextIndexMaintenance.sync(ix, repo.journal))
-      if (repo.version - repo.journal.lastCompacted >= autoCompactEvery) {
-        repo.compact()
+      // every write path runs through here; the journal compaction (if
+      // due) happens FIRST, so the text-index sync lands on the
+      // post-compaction head version — syncing before it would leave
+      // ix.version one behind repo.version and withIx would silently
+      // detach the index until the next write (the compaction commit
+      // itself is skipped by changedQuads, so the sync stays
+      // delta-sized either way)
+      val compacting =
+        repo.version - repo.journal.lastCompacted >= autoCompactEvery
+      if (compacting) repo.compact()
+      // the index (if any) catches up to the head (delta-sized batch),
+      // so the next `current` serves index-backed search over the new
+      // commit
+      textIx.foreach { ix =>
+        graft.rdf.TextIndexMaintenance.sync(ix, repo.journal)
         // the journal's compaction moment is the index's too: collapse
-        // its segment log so steady-state search reads ONE postings scan
-        textIx.foreach(_.compact())
+        // its segment log so steady-state search reads ONE postings
+        // scan (superseded segment files stay for in-flight readers —
+        // the index compact/vacuum split)
+        if (compacting) ix.compact()
       }
-      ()
     }
     // writes serialize per namespace (the reference's single-writer
     // journal lock): two concurrent REST updates queue instead of one

@@ -78,6 +78,99 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(found("vector") == Set("vector index"))
   }
 
+  test("sync membership is delta-bounded: doc-id sidecar scan only, no postings, no shuffle") {
+    val jdir = Files.createTempDirectory("graft_tix").resolve("j").toString
+    val j = Journal.create(spark, jdir)
+    def q(rows: (String, String, String)*) =
+      rows.toSeq.toDF("s", "p", "o").withColumn("g", lit("g:default"))
+    j.append(q(("x:a", "note", "alpha text"), ("x:b", "note", "beta text")))
+    val ix = TextIndexMaintenance.create(spark, tmp("tix"), j)
+    // APPEND-ONLY sync: membership must plan as a bloom-filtered scan
+    // of the doc-id sidecar — never the postings relation, and with no
+    // shuffle anywhere (broadcast exchanges of the delta are the design)
+    j.append(q(("x:c", "note", "gamma text"), ("x:a", "link", "x:b")))
+    TextIndexMaintenance.sync(ix, j)
+    val plans = TextIndexMaintenance.lastSyncPlans
+    assert(plans.size == 3)
+    val probe = plans.head
+    assert(probe.contains("-docs.parquet"), probe)
+    plans.foreach { p =>
+      assert(!p.matches("(?s).*seg-\\d+-adds[.]parquet.*"),
+        s"sync consulted the postings relation:\n$p")
+      assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+        s"sync planned a shuffle:\n$p")
+    }
+    // correctness didn't move: the new literal is searchable, the old
+    // ones did NOT re-tokenize (their batch segments are untouched)
+    def found(term: String): Set[String] =
+      FullText.searchIndexAll(ix.view.postings, ix.view.nDocs, Seq(term))
+        .collect().map(_.getString(0)).toSet
+    assert(found("gamma") == Set("gamma text"))
+    assert(found("text") == Set("alpha text", "beta text", "gamma text"))
+    // with DELETES the liveness check may shuffle (store-side), but the
+    // postings relation still never enters any sync plan
+    j.commit(adds = q(), dels = q(("x:b", "note", "beta text")))
+    TextIndexMaintenance.sync(ix, j)
+    TextIndexMaintenance.lastSyncPlans.foreach(p =>
+      assert(!p.matches("(?s).*seg-\\d+-adds[.]parquet.*"),
+        s"delete-sync consulted the postings relation:\n$p"))
+    assert(found("text") == Set("alpha text", "gamma text"))
+  }
+
+  test("zero-token docs count toward nDocs: indexed IDF matches the corpus path") {
+    // "!!!" tokenizes to nothing under the latin analyzer — the corpus
+    // path still counts it in N (docs.count()); the index must too, or
+    // indexed-path scores diverge from the one-oracle contract
+    val docs = Seq(("1", "spark engine"), ("2", "spark streams"), ("3", "!!!"))
+      .toDF("doc_id", "text")
+    val ix = PersistedSearchIndex.create(spark, tmp("zt"), docs)
+    assert(ix.nDocs == 3)
+    def scores(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val corpus = scores(FullText.searchAll(docs, Seq("spark", "engine")))
+    val indexed = scores(FullText.searchIndexAll(ix.view.postings, ix.view.nDocs,
+      Seq("spark", "engine")))
+    assert(corpus == indexed, s"corpus=$corpus indexed=$indexed")
+    // the zero-token doc is MEMBER-tracked: removing it keeps the
+    // arithmetic consistent and it never re-tokenizes on sync paths
+    assert(ix.liveDocIds.collect().map(_.getString(0)).toSet == Set("1", "2", "3"))
+    ix.update(Seq.empty[(String, String)].toDF("doc_id", "text"),
+      Seq("3").toDF("doc_id"), toVersion = 1L)
+    assert(ix.nDocs == 2)
+    assert(ix.liveDocIds.collect().map(_.getString(0)).toSet == Set("1", "2"))
+  }
+
+  test("compact keeps superseded segments for in-flight views; vacuum reclaims them") {
+    val dir = tmp("cv")
+    val ix = PersistedSearchIndex.create(spark, dir,
+      Seq(("1", "alpha beta"), ("2", "beta gamma")).toDF("doc_id", "text"))
+    ix.update(Seq(("3", "gamma delta")).toDF("doc_id", "text"),
+      Seq("1").toDF("doc_id"), toVersion = 1L)
+    // a reader resolves a view against the pre-compact manifest…
+    val inFlight = ix.view.postings
+    ix.compact()
+    // …and still reads it AFTER compact (segment files retained)
+    assert(inFlight.select("doc_id").distinct().count() == 2)
+    val seg0 = java.nio.file.Paths.get(dir).resolve("seg-0-adds.parquet")
+    assert(Files.exists(seg0), "compact must keep superseded segments")
+    // vacuum is the explicit reclaim: superseded files go, the live
+    // (compacted) segment and the view survive
+    ix.vacuum()
+    assert(!Files.exists(seg0), "vacuum must delete superseded segments")
+    assert(FullText.searchIndexAll(ix.view.postings, ix.view.nDocs, Seq("gamma"))
+      .collect().map(_.getString(0)).toSet == Set("2", "3"))
+    assert(ix.liveDocIds.collect().map(_.getString(0)).toSet == Set("2", "3"))
+  }
+
+  test("update rejects a doc_id in both sides of one batch") {
+    val ix = PersistedSearchIndex.create(spark, tmp("dj"),
+      Seq(("1", "alpha")).toDF("doc_id", "text"))
+    val boom = intercept[IllegalArgumentException](
+      ix.update(Seq(("1", "alpha prime")).toDF("doc_id", "text"),
+        Seq("1").toDF("doc_id"), toVersion = 1L))
+    assert(boom.getMessage.contains("BOTH"), boom.getMessage)
+  }
+
   test("bds:search and searchInSearch consult the index: no tokenize stage, same results") {
     val g0 = Graft.empty(spark).update(
       """INSERT DATA {

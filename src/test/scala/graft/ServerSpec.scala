@@ -560,6 +560,37 @@ class ServerSpec extends AnyFunSuite {
     } finally mem.stop()
   }
 
+  test("text index stays attached across auto-compaction (sync lands on the post-compaction head)") {
+    val root = tmp()
+    // autoCompactEvery=1: EVERY write triggers a journal compaction —
+    // the regression this pins: syncing the index before the
+    // compaction bumped the journal version left ix.version one
+    // behind, withIx silently detached, and /properties stopped
+    // reporting graft.textIndex until the next write
+    val srv = SparqlServer.durable(Graft.empty(spark), root,
+      autoCompactEvery = 1).start()
+    try {
+      assert(post(srv.address + "/namespace", "name=acix&textIndex=true",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      assert(post(srv.address + "/namespace/acix/sparql/update",
+        """INSERT DATA { x:a note "the spark engine" }""",
+        "application/sparql-update").statusCode() == 204)
+      // the write auto-compacted; the index must still be CURRENT (not
+      // silently detached onto the corpus fallback)
+      val pr = send(req(srv.address + "/namespace/acix/properties").GET())
+      assert(pr.body().contains("""<entry key="graft.textIndex">true</entry>"""),
+        pr.body())
+      val q = """SELECT ?lit WHERE {
+                |  SERVICE bds:search { _:s bds:query "spark" . _:s bds:out ?lit }
+                |} ORDER BY ?lit""".stripMargin
+      val r = post(srv.address + "/namespace/acix/sparql", q,
+        "application/sparql-query")
+      assert(r.statusCode() == 200, r.body().take(300))
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, r.body())
+        .collect().map(_.getString(0)).toSeq == Seq("the spark engine"))
+    } finally srv.stop()
+  }
+
   test("pattern/keyword analyzer modes persist per namespace, survive restart") {
     val root = tmp()
     val srv = SparqlServer.durable(Graft.empty(spark), root).start()

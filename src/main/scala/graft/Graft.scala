@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.rdf.{QuadStore, Serializer}
-import graft.sparql.{Compiler, Parser, RdfLiteral, TriplePattern, TripleSource, Update}
+import graft.sparql.{Algebra, Compiler, Parser, ProtocolDataset, RdfLiteral, TriplePattern, TripleSource, Update, UpdateOp}
 import org.apache.spark.sql.functions.col
 
 /** The migrating user's single entry point — the analog of the
@@ -93,14 +93,30 @@ final case class Graft(spark: SparkSession, store: QuadStore,
     * CONSTRUCT/DESCRIBE, or a 1-row boolean for ASK). */
   def query(q: String): DataFrame = Compiler.compile(Parser.parse(q), source)
 
+  /** Compile an ALREADY-PARSED (possibly transformed) query against
+    * this handle — the seam the server's protocol knobs use (e.g. a
+    * protocol-supplied dataset rewrites the AST before compiling). */
+  def query(ast: Algebra): DataFrame = Compiler.compile(ast, source)
+
+  /** [[query]] under a PROTOCOL-supplied RDF dataset (SPARQL 1.1
+    * Protocol §2.1.4 `default-graph-uri`/`named-graph-uri`): the
+    * protocol dataset replaces the query's own FROM / FROM NAMED. */
+  def queryWithDataset(q: String, defaultGraphs: Seq[String],
+                       namedGraphs: Seq[String]): DataFrame =
+    query(ProtocolDataset.overrideIn(Parser.parse(q), defaultGraphs, namedGraphs))
+
   /** SPARQL UPDATE request text (';'-separated ops, incl. graph
     * management and LOAD) → updated handle. The superseded handle's
     * materialized merge view (if any) stays live until GC or an
     * explicit [[release]] — an update-then-query LOOP should release
     * each superseded handle (or run `unionDefaultGraph = false`)
     * rather than accumulate checkpoint blocks. */
-  def update(q: String): Graft =
-    copy(store = Update.applyQuadsSeq(store, Parser.parseUpdates(q), defaultGraph))
+  def update(q: String): Graft = updateOps(Parser.parseUpdates(q))
+
+  /** Apply ALREADY-PARSED (possibly transformed) update ops — the
+    * protocol-dataset seam ([[sparql.ProtocolDataset.usingIn]]). */
+  def updateOps(ops: Seq[UpdateOp]): Graft =
+    copy(store = Update.applyQuadsSeq(store, ops, defaultGraph))
 
   /** Drop this handle's materialized union-default-graph view from
     * block storage (no-op if never materialized or already released).

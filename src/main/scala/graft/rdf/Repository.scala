@@ -42,10 +42,15 @@ final class Repository private (spark: SparkSession, val journal: Journal) {
     * RepositorySpec), so commit cost scales with the change, not the
     * store. The reference's SailConnection.commit stages the same
     * assert/retract buffers into its journal's commit point. */
-  def update(request: String): Long = {
+  def update(request: String): Long =
+    updateOps(graft.sparql.Parser.parseUpdates(request))
+
+  /** [[update]] over ALREADY-PARSED ops — the seam protocol knobs
+    * (using-graph-uri dataset injection) rewrite through. */
+  def updateOps(ops: Seq[graft.sparql.UpdateOp]): Long = {
     val head = connection()
     val (adds, dels) = graft.sparql.Update.quadsDeltaSeq(
-      head.store, graft.sparql.Parser.parseUpdates(request), head.defaultGraph)
+      head.store, ops, head.defaultGraph)
     journal.commit(adds, dels)
   }
 

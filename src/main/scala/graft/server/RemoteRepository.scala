@@ -69,9 +69,17 @@ final class RemoteRepository(spark: SparkSession, root: String,
 
   /** SELECT → solutions DataFrame (terms in engine encoding).
     * `timestamp` reads against a historical commit point (read-only
-    * tx; journal-backed servers only). */
-  def query(q: String, timestamp: Option[Long] = None): DataFrame = {
-    val url = s"$base/sparql" + timestamp.fold("")(v => s"?timestamp=$v")
+    * tx; journal-backed servers only). `defaultGraphUris` /
+    * `namedGraphUris` supply the SPARQL 1.1 Protocol dataset
+    * parameters (§2.1.4, repeatable) — the server evaluates the query
+    * against THAT dataset, overriding any FROM/FROM NAMED in `q`. */
+  def query(q: String, timestamp: Option[Long] = None,
+            defaultGraphUris: Seq[String] = Nil,
+            namedGraphUris: Seq[String] = Nil): DataFrame = {
+    val qs = timestamp.map(v => s"timestamp=$v").toSeq ++
+      defaultGraphUris.map(g => s"default-graph-uri=${enc(g)}") ++
+      namedGraphUris.map(g => s"named-graph-uri=${enc(g)}")
+    val url = s"$base/sparql" + (if (qs.isEmpty) "" else qs.mkString("?", "&", ""))
     val resp = send(req(url)
       .header("Content-Type", "application/sparql-query")
       .header("Accept", "application/sparql-results+json")

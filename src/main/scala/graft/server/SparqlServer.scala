@@ -100,7 +100,11 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   /** One namespace's store operations — memory- or journal-backed. */
   private sealed trait Tenant {
     def current: Graft
-    def update(text: String): Unit
+    def update(text: String): Unit =
+      updateOps(graft.sparql.Parser.parseUpdates(text))
+    /** Apply already-parsed update ops — the protocol dataset knobs
+      * (using-graph-uri) rewrite the ops before application. */
+    def updateOps(ops: Seq[graft.sparql.UpdateOp]): Unit
     /** Insert parsed quads; returns the statement count ingested. */
     def ingest(quads: DataFrame): Long
     /** Remove every graph's occurrence of the (s,p,o) rows; returns
@@ -150,7 +154,9 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
 
   private final class MemTenant(ref: AtomicReference[Graft]) extends Tenant {
     def current: Graft = ref.get()
-    def update(text: String): Unit = { ref.updateAndGet(_.update(text)); () }
+    def updateOps(ops: Seq[graft.sparql.UpdateOp]): Unit = {
+      ref.updateAndGet(_.updateOps(ops)); ()
+    }
     def ingest(quads: DataFrame): Long = {
       val q = quads.localCheckpoint()
       ref.updateAndGet(g => g.copy(store = g.store.insertQuads(q)))
@@ -264,7 +270,8 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     // writes serialize per namespace (the reference's single-writer
     // journal lock): two concurrent REST updates queue instead of one
     // failing loud on the journal's version race
-    def update(text: String): Unit = synchronized { repo.update(text); maybeCompact() }
+    def updateOps(ops: Seq[graft.sparql.UpdateOp]): Unit =
+      synchronized { repo.updateOps(ops); maybeCompact() }
     override def at(version: Long): Graft = withConf(repo.connection(version))
     override def version: Long = repo.version
     def ingest(quads: DataFrame): Long = synchronized {
@@ -609,6 +616,52 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   private def rawQuery(ex: HttpExchange): String =
     Option(ex.getRequestURI.getRawQuery).getOrElse("")
 
+  /** EVERY value of a repeated parameter, in order (the SPARQL 1.1
+    * Protocol dataset parameters repeat: `default-graph-uri=g1&
+    * default-graph-uri=g2` — [[params]]' Map collapses them). */
+  private def multiParams(raw: String, key: String): Seq[String] =
+    raw.split('&').toSeq.collect {
+      case kv if kv.startsWith(key + "=") =>
+        java.net.URLDecoder.decode(kv.drop(key.length + 1), "UTF-8")
+    }
+
+  /** Minimal RFC 7231 Accept negotiation: parse the media-range list
+    * with q-values and return the SUPPORTED type with the highest q
+    * (exact ranges beat wildcards at equal q, header order breaks
+    * remaining ties, q=0 excludes). None when the header names no
+    * supported type — callers keep their loose contains-dispatch
+    * (the `Accept: xml` curl convenience). */
+  private def negotiate(accept: String, supported: Seq[String]): Option[String] = {
+    val ranges = accept.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      .zipWithIndex.map { case (r, i) =>
+        val parts = r.split(';').map(_.trim)
+        val q = parts.tail.collectFirst {
+          case p if p.toLowerCase.startsWith("q=") =>
+            p.drop(2).toDoubleOption.getOrElse(1.0)
+        }.getOrElse(1.0)
+        (parts.head.toLowerCase, q, i)
+      }
+    val cands = for {
+      s <- supported
+      (t, q, i) <- ranges
+      if q > 0 && (t == s || t == "*/*" ||
+        (t.endsWith("/*") && s.startsWith(t.stripSuffix("*"))))
+    } yield (q, t == s, i, s)
+    if (cands.isEmpty) None
+    else Some(cands.minBy { case (q, exact, i, _) => (-q, !exact, i) }._4)
+  }
+
+  /** Protocol dataset parameters of a request — from the URL query
+    * string AND (for the URL-encoded POST binding) the form body
+    * [[queryText]] stashed. IRIs intern like every other loader path. */
+  private def datasetParams(ex: HttpExchange,
+                            defaultKey: String, namedKey: String): (Seq[String], Seq[String]) = {
+    val sources = Seq(rawQuery(ex)) ++ formBody.get().toSeq
+    def all(key: String): Seq[String] =
+      sources.flatMap(multiParams(_, key)).map(internIri)
+    (all(defaultKey), all(namedKey))
+  }
+
   private def contentType(ex: HttpExchange): String =
     Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
 
@@ -619,15 +672,24 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     override def initialValue(): Option[String] = None
   }
 
+  /** A form POST's raw URL-encoded body, stashed like [[formUpdate]] —
+    * the protocol dataset parameters (`default-graph-uri` etc.) ride
+    * in it under the URL-encoded POST binding. */
+  private val formBody = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+
   private def queryText(ex: HttpExchange): Option[String] = {
     val ct = contentType(ex)
     formUpdate.set(None)
+    formBody.set(None)
     if (ex.getRequestMethod == "GET" || ex.getRequestMethod == "DELETE")
       formParam(rawQuery(ex), "query")
     else {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       if (ct.startsWith("application/x-www-form-urlencoded")) {
         formUpdate.set(formParam(body, "update"))
+        formBody.set(Some(body))
         formParam(body, "query")
       } else Some(body) // application/sparql-query (and permissive default)
     }
@@ -718,7 +780,14 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   private def handleQuery(ex: HttpExchange, ns: String): Unit =
     try {
       val qp = params(rawQuery(ex))
-      if (ex.getRequestMethod == "GET" && qp.isEmpty)
+      if (ex.getRequestMethod == "HEAD") {
+        // HEAD /sparql: endpoint liveness probe (generic clients and
+        // monitors send it; the reference's servlets inherit it from
+        // HttpServlet) — status + headers, NO body
+        ex.getResponseHeaders.set("Content-Type", "application/n-triples")
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      } else if (ex.getRequestMethod == "GET" && qp.isEmpty)
         // SPARQL 1.1 Service Description — the reference answers a
         // bare GET on the endpoint with one (BigdataRDFServlet /
         // VoID+SD document); N-Triples, one line per statement
@@ -745,14 +814,32 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         queryText(ex) match {
           case Some(q) => execQuery(ex, ns, qp, q)
           case None => formUpdate.get() match {
-            case Some(u) => tenant(ns).update(u); respond(ex, 204, "text/plain", "")
+            case Some(u) =>
+              val (ugs, ungs) =
+                datasetParams(ex, "using-graph-uri", "using-named-graph-uri")
+              val ops = Parser.parseUpdates(u)
+              tenant(ns).updateOps(
+                if (ugs.isEmpty && ungs.isEmpty) ops
+                else graft.sparql.ProtocolDataset.usingIn(ops, ugs, ungs))
+              respond(ex, 204, "text/plain", "")
             case None =>
               respond(ex, 400, "text/plain", "bad request: no query or update in form")
           }
         }
       } else {
-        val q = queryText(ex).getOrElse(sys.error("no query in request"))
-        execQuery(ex, ns, qp, q)
+        val ct = contentType(ex)
+        if (ex.getRequestMethod == "POST" && ct.nonEmpty &&
+            !ct.startsWith("application/sparql-query"))
+          // a DECLARED media type none of the dispatch arms above
+          // recognize → 415 (sparql11-protocol: the direct-POST query
+          // binding is application/sparql-query; RDF ingest types and
+          // the form binding dispatched earlier). A POST with NO
+          // Content-Type stays the permissive query-text convenience.
+          respond(ex, 415, "text/plain", s"unsupported media type: $ct")
+        else {
+          val q = queryText(ex).getOrElse(sys.error("no query in request"))
+          execQuery(ex, ns, qp, q)
+        }
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -791,7 +878,14 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
           }
         }
         val ast = Parser.parse(q)
-        val df = g.query(q)
+        // SPARQL 1.1 Protocol §2.1.4: a protocol-supplied RDF dataset
+        // (repeatable default-graph-uri=/named-graph-uri=, query
+        // string or form body) takes precedence over the query's own
+        // FROM / FROM NAMED
+        val (dgs, ngs) = datasetParams(ex, "default-graph-uri", "named-graph-uri")
+        val df =
+          if (dgs.isEmpty && ngs.isEmpty) g.query(q)
+          else g.query(graft.sparql.ProtocolDataset.overrideIn(ast, dgs, ngs))
         if (qp.contains("explain")) {
           // the reference's ?explain: the query PLAN, not the results
           val plan = df.queryExecution.explainString(
@@ -801,18 +895,22 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
           ast match {
             case _: Ask =>
               val b = df.collect().head.getBoolean(0)
-              if (accept.contains("xml"))
+              val a = negotiate(accept, Seq("application/sparql-results+json",
+                "application/sparql-results+xml")).getOrElse(accept)
+              if (a.contains("xml"))
                 respond(ex, 200, "application/sparql-results+xml", Serializer.sparqlAskXml(b))
               else respond(ex, 200, "application/sparql-results+json", Serializer.sparqlAskJson(b))
             case _ if isGraphResult(ast) =>
               // graph results negotiate the RDF format (the reference
               // negotiates Rio writers the same way): Turtle and
               // compacted JSON-LD on request, N-Triples default —
-              // all streamed
-              if (accept.contains("turtle"))
+              // all streamed; full media types honor RFC 7231 q-values
+              val a = negotiate(accept, Seq("application/n-triples",
+                "text/turtle", "application/ld+json")).getOrElse(accept)
+              if (a.contains("turtle"))
                 respondStream(ex, "text/turtle", Serializer.turtleHeader() + "\n",
                   lines(Serializer.toTurtle(df)), "\n", "")
-              else if (accept.contains("ld+json"))
+              else if (a.contains("ld+json"))
                 respondStream(ex, "application/ld+json",
                   "{\"@context\":" + Serializer.jsonLdContext() + ",\"@graph\":[",
                   lines(Serializer.toJsonLdCompact(df)), ",", "]}")
@@ -820,14 +918,17 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                 lines(Serializer.toNTriples(df)), "\n", "")
             case _ =>
               val vars = df.columns.toSeq
-              if (accept.contains("csv"))
+              val a = negotiate(accept, Seq("application/sparql-results+json",
+                "application/sparql-results+xml", "text/csv",
+                "text/tab-separated-values")).getOrElse(accept)
+              if (a.contains("csv"))
                 respondStream(ex, "text/csv", vars.mkString(",") + "\r\n",
                   lines(Serializer.sparqlCsvRows(df)), "\r\n", "")
-              else if (accept.contains("tab-separated"))
+              else if (a.contains("tab-separated"))
                 respondStream(ex, "text/tab-separated-values",
                   vars.map("?" + _).mkString("\t") + "\n",
                   lines(Serializer.sparqlTsvRows(df)), "\n", "")
-              else if (accept.contains("xml"))
+              else if (a.contains("xml"))
                 respondStream(ex, "application/sparql-results+xml",
                   Serializer.sparqlXmlHead(vars),
                   lines(Serializer.sparqlXmlResults(df)), "", Serializer.sparqlXmlFoot)
@@ -1066,13 +1167,27 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     try {
       val ct = contentType(ex)
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val isForm = ct.startsWith("application/x-www-form-urlencoded")
       val text =
-        if (ct.startsWith("application/x-www-form-urlencoded"))
-          formParam(body, "update").getOrElse(sys.error("no update in form"))
+        if (isForm) formParam(body, "update").getOrElse(sys.error("no update in form"))
         else body // application/sparql-update
+      // protocol update dataset (§2.2.3) — query string or form body;
+      // the stash must be set HERE (this handler reads the body
+      // itself, a pooled thread may carry a previous request's form)
+      formBody.set(if (isForm) Some(body) else None)
+      val (ugs, ungs) =
+        datasetParams(ex, "using-graph-uri", "using-named-graph-uri")
       params(rawQuery(ex)).get("tx").flatten match {
-        case Some(id) => stageTx(id, ns, Left(text))  // staged, not committed
-        case None     => tenant(ns).update(text)
+        case Some(id) =>
+          require(ugs.isEmpty && ungs.isEmpty,
+            "using-graph-uri/using-named-graph-uri are not supported on " +
+              "staged (?tx=) updates — put USING in the update text")
+          stageTx(id, ns, Left(text))  // staged, not committed
+        case None =>
+          val ops = Parser.parseUpdates(text)
+          tenant(ns).updateOps(
+            if (ugs.isEmpty && ungs.isEmpty) ops
+            else graft.sparql.ProtocolDataset.usingIn(ops, ugs, ungs))
       }
       respond(ex, 204, "text/plain", "")
     } catch {

@@ -560,6 +560,139 @@ class ServerSpec extends AnyFunSuite {
     } finally mem.stop()
   }
 
+  test("protocol dataset parameters: default-graph-uri/named-graph-uri scope the query") {
+    val g0 = Graft.empty(spark).update(
+      """INSERT DATA {
+        |  GRAPH g:one { x:a val "1" . } GRAPH g:two { x:b val "2" . }
+        |  x:c val "3" . }""".stripMargin)
+    val srv = new SparqlServer(g0).start()
+    def rows(url: String, q: String): Seq[String] = {
+      val r = post(url, q, "application/sparql-query")
+      assert(r.statusCode() == 200, r.body().take(300))
+      graft.sparql.RemoteService.parseJsonResults(spark, r.body())
+        .collect().map(_.getString(0)).toSeq
+    }
+    val q = "SELECT ?s WHERE { ?s val ?v } ORDER BY ?s"
+    try {
+      // no dataset: the namespace's own default graph answers (the
+      // server handle runs union-default-graph, so all three match)
+      assert(rows(srv.address + "/sparql", q) == Seq("x:a", "x:b", "x:c"))
+      // protocol default graph: SAME query, different dataset, no FROM
+      // rewriting — the sparql11-protocol §2.1.4 contract
+      assert(rows(srv.address + "/sparql?default-graph-uri=g:one", q) == Seq("x:a"))
+      // REPEATED parameter (the RDF4J/Jena remote-store shape): the
+      // default graph is the MERGE of the listed graphs
+      assert(rows(srv.address + "/sparql?default-graph-uri=g:one&default-graph-uri=g:two",
+        q) == Seq("x:a", "x:b"))
+      // named-graph-uri scopes GRAPH patterns; absent → GRAPH matches
+      // nothing under a protocol dataset (§13.2 empty named set)
+      val qg = "SELECT ?g WHERE { GRAPH ?g { ?s val ?v } } ORDER BY ?g"
+      assert(rows(srv.address + "/sparql?named-graph-uri=g:two", qg) == Seq("g:two"))
+      assert(rows(srv.address + "/sparql?default-graph-uri=g:one", qg).isEmpty)
+      // protocol dataset TAKES PRECEDENCE over the query's own FROM
+      val qFrom = "SELECT ?s FROM g:two WHERE { ?s val ?v } ORDER BY ?s"
+      assert(rows(srv.address + "/sparql", qFrom) == Seq("x:b"))
+      assert(rows(srv.address + "/sparql?default-graph-uri=g:one", qFrom) == Seq("x:a"))
+      // the URL-encoded POST binding carries the dataset in the form
+      val form = "query=" + java.net.URLEncoder.encode(q, "UTF-8") +
+        "&default-graph-uri=" + java.net.URLEncoder.encode("g:two", "UTF-8")
+      val fr = post(srv.address + "/sparql", form, "application/x-www-form-urlencoded")
+      assert(fr.statusCode() == 200 && fr.body().contains("x:b"), fr.body().take(300))
+      // GET binding too
+      val gr = send(req(srv.address + "/sparql?query=" +
+        java.net.URLEncoder.encode(q, "UTF-8") + "&default-graph-uri=g:one").GET())
+      assert(gr.statusCode() == 200 && gr.body().contains("x:a") &&
+        !gr.body().contains("x:c"), gr.body().take(300))
+    } finally srv.stop()
+  }
+
+  test("protocol update dataset: using-graph-uri scopes WHERE; combined with USING → 400") {
+    val g0 = Graft.empty(spark).update(
+      """INSERT DATA {
+        |  GRAPH g:one { x:a val "1" . } GRAPH g:two { x:b val "2" . } }""".stripMargin)
+    val srv = new SparqlServer(g0).start()
+    try {
+      // WHERE reads ONLY the protocol using graph: x:a matches (g:one),
+      // x:b does not
+      val up = "INSERT { ?s tagged \"yes\" } WHERE { ?s val ?v }"
+      val r = post(srv.address + "/sparql/update?using-graph-uri=g:one", up,
+        "application/sparql-update")
+      assert(r.statusCode() == 204, r.body().take(300))
+      val q = "SELECT ?s WHERE { ?s tagged ?t } ORDER BY ?s"
+      val qr = post(srv.address + "/sparql", q, "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, qr.body())
+        .collect().map(_.getString(0)).toSeq == Seq("x:a"))
+      // §2.2.3: protocol dataset + USING in the text is an ERROR
+      val bad = post(srv.address + "/sparql/update?using-graph-uri=g:one",
+        "INSERT { ?s tagged \"no\" } USING g:two WHERE { ?s val ?v }",
+        "application/sparql-update")
+      assert(bad.statusCode() == 400 && bad.body().contains("USING"),
+        s"${bad.statusCode()} ${bad.body().take(300)}")
+      // …and + WITH likewise
+      val badWith = post(srv.address + "/sparql/update?using-graph-uri=g:one",
+        "WITH g:two DELETE { ?s val ?v } WHERE { ?s val ?v }",
+        "application/sparql-update")
+      assert(badWith.statusCode() == 400, badWith.body().take(300))
+    } finally srv.stop()
+  }
+
+  test("RemoteRepository passes the protocol dataset (loopback)") {
+    val g0 = Graft.empty(spark).update(
+      """INSERT DATA {
+        |  GRAPH g:one { x:a val "1" . } GRAPH g:two { x:b val "2" . } }""".stripMargin)
+    val srv = new SparqlServer(g0).start()
+    try {
+      val remote = new RemoteRepository(spark, srv.address)
+      val q = "SELECT ?s WHERE { ?s val ?v } ORDER BY ?s"
+      // union default graph without a dataset; the protocol dataset
+      // then narrows the SAME query to one graph
+      assert(remote.query(q).collect().map(_.getString(0)).toSeq ==
+        Seq("x:a", "x:b"))
+      assert(remote.query(q, defaultGraphUris = Seq("g:one"))
+        .collect().map(_.getString(0)).toSeq == Seq("x:a"))
+      val qg = "SELECT ?g WHERE { GRAPH ?g { ?s val ?v } } ORDER BY ?g"
+      assert(remote.query(qg, namedGraphUris = Seq("g:one"))
+        .collect().map(_.getString(0)).toSeq == Seq("g:one"))
+    } finally srv.stop()
+  }
+
+  test("protocol conformance corners: q-values, 415, HEAD, malformed → 400") {
+    val g0 = Graft.empty(spark).update("""INSERT DATA { x:a val "1" }""")
+    val srv = new SparqlServer(g0).start()
+    val q = "SELECT ?s WHERE { ?s val ?v }"
+    try {
+      // Accept q-values: JSON outranks CSV here even though CSV is
+      // listed first — the old contains-dispatch would have picked CSV
+      val r1 = send(req(srv.address + "/sparql?query=" +
+        java.net.URLEncoder.encode(q, "UTF-8"))
+        .header("Accept",
+          "text/csv;q=0.3, application/sparql-results+json;q=0.9").GET())
+      assert(r1.statusCode() == 200 &&
+        r1.headers().firstValue("Content-Type").orElse("")
+          .contains("results+json"), r1.headers().map().toString)
+      // wildcard falls to the spec default (JSON), not an accidental
+      // substring match ("application/xml" must not select XML results)
+      val r2 = send(req(srv.address + "/sparql?query=" +
+        java.net.URLEncoder.encode(q, "UTF-8"))
+        .header("Accept", "text/html, application/xml;q=0.9, */*;q=0.8").GET())
+      assert(r2.headers().firstValue("Content-Type").orElse("")
+        .contains("results+json"), r2.headers().map().toString)
+      // POST with a declared media type no binding speaks → 415
+      val r3 = post(srv.address + "/sparql", q, "application/unknown-thing")
+      assert(r3.statusCode() == 415, s"${r3.statusCode()} ${r3.body().take(200)}")
+      // HEAD: status + headers, no body
+      val r4 = send(req(srv.address + "/sparql")
+        .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()))
+      assert(r4.statusCode() == 200 && r4.body().isEmpty, r4.body().take(200))
+      // malformed query → 400 with a text/plain message
+      val r5 = post(srv.address + "/sparql", "SELECT WHERE garbage {{",
+        "application/sparql-query")
+      assert(r5.statusCode() == 400 &&
+        r5.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"),
+        s"${r5.statusCode()} ${r5.headers().map()}")
+    } finally srv.stop()
+  }
+
   test("text index stays attached across auto-compaction (sync lands on the post-compaction head)") {
     val root = tmp()
     // autoCompactEvery=1: EVERY write triggers a journal compaction —

@@ -22,10 +22,36 @@ import graft.rdf.Journal
   * statement that is still derivable from surviving statements stays
   * in the closure (DRed rederive) — the reference's TM semantics.
   *
+  * ==The OWL program==
+  *
+  * With an [[Owl.Ontology]] the maintained program is the reference's
+  * FullClosure analog (rules/FullClosure.java: RDFS + the owl:sameAs/
+  * transitive/inverse/functional families; inf/TruthMaintenance runs
+  * the store's full configured program): the closed store holds
+  * `Rdfs.closure(Owl.closure(base))`. OWL entailment is NOT
+  * delta-local — a sameAs merge rewrites every statement of the merged
+  * ids, a new transitive edge splices existing paths — so maintenance
+  * is tiered by what the commit touches:
+  *
+  *  - a commit with NO OWL-vocabulary statements whose ids touch no
+  *    co-reference machinery keeps the delta-bounded RDFS path (RDFS
+  *    rules are single-antecedent in instance data: the delta's
+  *    entailments depend on the delta alone);
+  *  - any other commit RE-DERIVES the OWL program on the new base and
+  *    commits the DIFF — the closed-store LOG stays delta-sized (set
+  *    semantics would tolerate a superset, but a full re-append per
+  *    commit would bloat the log), while the computation pays the
+  *    program re-derivation the way the reference's full-closure TM
+  *    does on sameAs-touching updates. At production scale the
+  *    re-derivation's inputs are predicate-pruned scans (sameAs /
+  *    functional / transitive predicates — the POS layout's key
+  *    ranges), not whole-store reads.
+  *
   * Triples journal as quads under one fixed graph tag.
   */
 final class MaintainedClosure private (spark: SparkSession,
                                        ont: Rdfs.Ontology,
+                                       owl: Option[Owl.Ontology],
                                        baseJ: Journal, closedJ: Journal) {
 
   private val G = "g:closure"
@@ -37,27 +63,84 @@ final class MaintainedClosure private (spark: SparkSession,
   /** Latest commit point (base and closed journals advance in step). */
   def version: Long = baseJ.version
 
+  /** The configured program over a base state — what the closed
+    * journal maintains. */
+  private def program(b: DataFrame): DataFrame = owl match {
+    case None    => Rdfs.closure(b, ont)
+    case Some(o) => Rdfs.closure(Owl.closure(b, o), ont)
+  }
+
+  /** Predicates whose statements activate the OWL rule families —
+    * a delta avoiding all of them (and not aliasing) keeps the
+    * delta-bounded path. */
+  private def owlPreds(o: Owl.Ontology): Seq[String] =
+    ("sameAs" +: (o.transitive ++ o.symmetric ++ o.functional ++
+      o.inverseFunctional ++ o.inverses.flatMap(t => Seq(t._1, t._2)))).distinct
+
+  /** True when `d` must go through the OWL re-derivation: it carries
+    * an OWL-vocabulary statement, or mentions an id that participates
+    * in the base's co-reference machinery (normalization would rewrite
+    * it). The alias probe is a predicate-pruned scan of the base
+    * (sameAs + functional rows only) semi-joined by the broadcast
+    * delta ids. */
+  private def owlTouches(d: DataFrame, o: Owl.Ontology): Boolean = {
+    val special = owlPreds(o)
+    if (!d.filter(col("p").isin(special: _*)).isEmpty) return true
+    val coRef = stripG(baseJ.snapshot()).filter(col("p").isin(special: _*))
+    val ids = d.select(col("s").as("id")).unionAll(d.select(col("o").as("id")))
+      .distinct()
+    !coRef.select(col("s").as("id")).unionAll(coRef.select(col("o").as("id")))
+      .join(broadcast(ids), Seq("id"), "left_semi")
+      .isEmpty
+  }
+
+  /** Re-derive the program on the CURRENT base and commit the diff
+    * against the closed head — the OWL tier (and the crash-recovery
+    * math): adds/dels are exactly what changed, so the log stays
+    * delta-sized even when the derivation is not. */
+  private def rederiveCommit(): Long = {
+    val target = program(stripG(baseJ.snapshot())).distinct().localCheckpoint()
+    val cur = stripG(closedJ.snapshot()).localCheckpoint()
+    closedJ.commit(
+      adds = withG(target.join(cur, Seq("s", "p", "o"), "left_anti")),
+      dels = withG(cur.join(target, Seq("s", "p", "o"), "left_anti")))
+  }
+
   /** Assert a statement batch: the delta's closure (exact — the RDFS
     * strata join only broadcast-sized ontology tables, so entailments
     * of the delta depend on the delta alone) lands as ONE closed-store
     * commit; duplicates against already-entailed rows resolve by the
-    * journal's set semantics. */
+    * journal's set semantics. An OWL-touching delta re-derives the
+    * program (see class doc) — the base commits FIRST either way, so
+    * crash recovery always rolls the closure forward. */
   def assertTriples(delta: DataFrame): Long = {
     val d = delta.select("s", "p", "o").distinct().localCheckpoint()
+    val owlPath = owl.exists(o => owlTouches(d, o))
     baseJ.append(withG(d))
-    closedJ.append(withG(Rdfs.closure(d, ont)))
+    if (owlPath) rederiveCommit()
+    else closedJ.append(withG(Rdfs.closure(d, ont)))
   }
 
   /** Retract a statement batch via DRed: tombstone exactly the rows
     * whose every derivation died ([[Rdfs.retractRemoved]] — overdelete
-    * minus the neighborhood's rederivations). */
+    * minus the neighborhood's rederivations). With an OWL program the
+    * retraction re-derives and diffs (sameAs splits and lost
+    * transitive support make removal non-local — the scope note in
+    * the class doc; the reference's TM pays the same shape on its
+    * full-closure stores). */
   def retractTriples(retracted: DataFrame): Long = {
     val r = retracted.select("s", "p", "o").distinct().localCheckpoint()
-    val removed = Rdfs
-      .retractRemoved(stripG(baseJ.snapshot()), r, ont)
-      .localCheckpoint()
-    baseJ.commit(adds = none, dels = withG(r))
-    closedJ.commit(adds = none, dels = withG(removed))
+    owl match {
+      case Some(_) =>
+        baseJ.commit(adds = none, dels = withG(r))
+        rederiveCommit()
+      case None =>
+        val removed = Rdfs
+          .retractRemoved(stripG(baseJ.snapshot()), r, ont)
+          .localCheckpoint()
+        baseJ.commit(adds = none, dels = withG(r))
+        closedJ.commit(adds = none, dels = withG(removed))
+    }
   }
 
   /** The asserted statements at commit point `v` (default latest). */
@@ -77,22 +160,25 @@ final class MaintainedClosure private (spark: SparkSession,
     * DRed removed-set against the pre-commit base — the same
     * |delta|-shaped math the live paths use, though the recovery diff
     * itself reads two base snapshots; recovery is a crash-rare path).
-    * Any other version skew has no single-step repair and fails loud. */
+    * An OWL program recovers by re-derive-and-diff — the same math its
+    * live paths use. Any other version skew has no single-step repair
+    * and fails loud. */
   private def repairLockstep(): Unit = {
     val bv = baseJ.version
     val cv = closedJ.version
     if (bv == cv) ()
     else if (bv == cv + 1) {
-      val before = stripG(baseJ.snapshot(cv)).localCheckpoint()
-      val after = stripG(baseJ.snapshot(bv)).localCheckpoint()
-      val added = after.exceptAll(before)
-      val retracted = before.exceptAll(after)
       // the crash may have hit INSIDE the closure journal's own commit
       // — after its segment write, before its record publish. Those
       // orphan segments are unreachable by readers but would make the
       // recovery commit's own segment write fail (`errorifexists`);
       // clear them first so recovery converges instead of wedging.
       closedJ.dropOrphanSegments(cv + 1)
+      if (owl.isDefined) { rederiveCommit(); return }
+      val before = stripG(baseJ.snapshot(cv)).localCheckpoint()
+      val after = stripG(baseJ.snapshot(bv)).localCheckpoint()
+      val added = after.exceptAll(before)
+      val retracted = before.exceptAll(after)
       closedJ.commit(
         adds = withG(Rdfs.closure(added, ont)),
         dels = withG(Rdfs.retractRemoved(before, retracted, ont)))
@@ -103,18 +189,20 @@ final class MaintainedClosure private (spark: SparkSession,
 }
 
 object MaintainedClosure {
-  /** Initialize at `dir` (creates `dir/base` and `dir/closed`). */
-  def create(spark: SparkSession, dir: String,
-             ont: Rdfs.Ontology): MaintainedClosure =
-    new MaintainedClosure(spark, ont,
+  /** Initialize at `dir` (creates `dir/base` and `dir/closed`).
+    * `owl`: maintain the full RDFS+OWL program (the reference's
+    * FullClosure analog) instead of RDFS alone. */
+  def create(spark: SparkSession, dir: String, ont: Rdfs.Ontology,
+             owl: Option[Owl.Ontology] = None): MaintainedClosure =
+    new MaintainedClosure(spark, ont, owl,
       Journal.create(spark, s"$dir/base"), Journal.create(spark, s"$dir/closed"))
 
   /** Reattach to an existing maintained store, verifying the two
     * journals advance in lockstep and rolling the closure forward by
     * one recomputed delta if a crash landed between their commits. */
-  def open(spark: SparkSession, dir: String,
-           ont: Rdfs.Ontology): MaintainedClosure = {
-    val tm = new MaintainedClosure(spark, ont,
+  def open(spark: SparkSession, dir: String, ont: Rdfs.Ontology,
+           owl: Option[Owl.Ontology] = None): MaintainedClosure = {
+    val tm = new MaintainedClosure(spark, ont, owl,
       Journal.open(spark, s"$dir/base"), Journal.open(spark, s"$dir/closed"))
     tm.repairLockstep()
     tm

@@ -263,6 +263,44 @@ object EngineQueries {
         .orderBy("s", "p", "o")
     }),
 
+    // commit-MAINTAINED OWL closure (TruthMaintenance over the full
+    // rule program, inf/TruthMaintenance.java + rules/FullClosure.java
+    // analog): the closed journal tracks Rdfs∘Owl per commit — assert
+    // nations+aliases, assert customers, retract a customer slice —
+    // and the final commit point must equal the batch closure of the
+    // surviving base (the oracle replays exactly that)
+    "owl_maintained" -> ((s, dir) => {
+      import s.implicits._
+      val cust = TpchRdf.table(s, dir, "customer")
+      val nat = TpchRdf.table(s, dir, "nation")
+      def id(pfx: String, c: org.apache.spark.sql.Column) =
+        concat(lit(pfx), c.cast("string"))
+      val natTriples = nat.select(id("n:", col("n_nationkey")).as("s"),
+          lit("within").as("p"), id("r:", col("n_regionkey")).as("o"))
+        .unionAll(nat.select(id("nn:", col("n_nationkey")), lit("sameAs"),
+          id("n:", col("n_nationkey"))))
+        .unionAll(nat.select(id("nn:", col("n_nationkey")), lit("alias_name"),
+          col("n_name")))
+      val custTriples = cust.select(id("c:", col("c_custkey")).as("s"),
+        lit("within").as("p"), id("n:", col("c_nationkey")).as("o"))
+      val emptyOnt = Rdfs.Ontology(
+        subClassOf = Seq.empty[(String, String)].toDF("sub", "sup"),
+        subPropertyOf = Seq.empty[(String, String)].toDF("sub", "sup"),
+        domain = Seq.empty[(String, String)].toDF("p", "cls"),
+        range = Seq.empty[(String, String)].toDF("p", "cls"))
+      val tm = graft.inference.MaintainedClosure.create(s,
+        java.nio.file.Files.createTempDirectory("graft_owlm").toString,
+        emptyOnt,
+        Some(graft.inference.Owl.Ontology(
+          transitive = Seq("within"), inverses = Seq("within" -> "contains"))))
+      tm.assertTriples(natTriples)   // OWL tier (sameAs + transitive)
+      tm.assertTriples(custTriples)  // OWL tier (transitive splice)
+      tm.retractTriples(cust.filter(col("c_custkey") % 3 === 0)
+        .select(id("c:", col("c_custkey")).as("s"), lit("within").as("p"),
+          id("n:", col("c_nationkey")).as("o")))
+      tm.closure().orderBy("s", "p", "o")
+    }),
+
     // owl:equivalentClass / owl:equivalentProperty / owl:hasValue
     // (RuleOwlEquivalentClass/RuleOwlEquivalentProperty/RuleOwlHasValue):
     // equivalences fold into the RDFS strata as mutual sub-edges; the
@@ -1315,6 +1353,21 @@ object EngineQueries {
         |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
         |  UNION ALL SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR)
         |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |)
+        |SELECT s, p, o FROM (
+        |  SELECT s, 'within' AS p, o FROM w
+        |  UNION ALL SELECT o AS s, 'contains' AS p, s AS o FROM w
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'alias_name', n_name FROM nation
+        |) ORDER BY s, p, o""".stripMargin,
+
+    "owl_maintained" ->
+      """WITH surv AS (
+        |  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 <> 0
+        |), w AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS s, 'n:'||CAST(c_nationkey AS VARCHAR) AS o FROM surv
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR)
+        |    FROM surv JOIN nation ON c_nationkey = n_nationkey
         |)
         |SELECT s, p, o FROM (
         |  SELECT s, 'within' AS p, o FROM w

@@ -111,6 +111,67 @@ class MaintainedClosureSpec extends AnyFunSuite {
     assert(rowsOf(tm2.closure()).contains(("z", "type", "C")))
   }
 
+  test("OWL program maintained per commit: equals batch closure after assert, merge, retract, recovery") {
+    import graft.inference.Owl
+    import graft.rdf.Journal
+    import org.apache.spark.sql.functions.lit
+    val owl = Owl.Ontology(transitive = Seq("within"),
+      inverses = Seq("within" -> "contains"), functional = Seq("hq"))
+    def batch(b: DataFrame) = Rdfs.closure(Owl.closure(b, owl), ont)
+    val dir = tmp()
+    val tm = MaintainedClosure.create(spark, dir, ont, Some(owl))
+    def check(tag: String): Unit =
+      assert(sameSet(tm.closure(), batch(tm.base())), s"diverged after $tag")
+    // transitive chain + inverse mirror
+    tm.assertTriples(Seq(("a", "within", "b"), ("b", "within", "c"))
+      .toDF("s", "p", "o"))
+    check("assert chain")
+    assert(rowsOf(tm.closure()).contains(("a", "within", "c")))   // composed
+    assert(rowsOf(tm.closure()).contains(("c", "contains", "a"))) // mirrored
+    // a DELTA-BOUNDED commit (no OWL vocabulary, no aliased ids): the
+    // fast RDFS path must still land program-equal state
+    tm.assertTriples(Seq(("k", "type", "A")).toDF("s", "p", "o"))
+    check("plain assert")
+    assert(rowsOf(tm.closure()).contains(("k", "type", "C")))
+    // sameAs MERGE: alias b2 ≡ b — statements about b2 must surface on
+    // the canonical id, splicing b2's edge into the within closure
+    tm.assertTriples(Seq(("b2", "sameAs", "b"), ("b2", "within", "d"))
+      .toDF("s", "p", "o"))
+    check("sameAs merge")
+    assert(rowsOf(tm.closure()).contains(("a", "within", "d")))
+    // functional property entails co-reference: e1/e2 share an hq value
+    // holder — hq(x)=e1 and hq(x)=e2 merge e1,e2
+    tm.assertTriples(Seq(("x", "hq", "e1"), ("x", "hq", "e2"),
+      ("e1", "within", "a")).toDF("s", "p", "o"))
+    check("functional merge")
+    val canonE = rowsOf(tm.closure()).collect {
+      case (s, "within", "a") => s
+    }
+    assert(canonE.size == 1, s"e1/e2 should have merged: $canonE")
+    // SHARED-SUPPORT retraction: a within c holds via b AND via a
+    // second direct edge; retracting the direct edge keeps it
+    tm.assertTriples(Seq(("a", "within", "c")).toDF("s", "p", "o"))
+    tm.retractTriples(Seq(("a", "within", "c")).toDF("s", "p", "o"))
+    check("shared-support retract")
+    assert(rowsOf(tm.closure()).contains(("a", "within", "c")),
+      "entailment with surviving support must stay (DRed)")
+    // retracting the LAST support (the a→b leg) drops the chain pairs
+    tm.retractTriples(Seq(("a", "within", "b")).toDF("s", "p", "o"))
+    check("last-support retract")
+    assert(!rowsOf(tm.closure()).contains(("a", "within", "c")))
+    // history: the pre-retraction commit point still entails the chain
+    assert(rowsOf(tm.closure(tm.version - 2)).contains(("a", "within", "c")))
+    // crash recovery: base advances by hand, open() re-derives
+    def withG(df: DataFrame) = df.withColumn("g", lit("g:closure"))
+    Journal.open(spark, s"$dir/base")
+      .append(withG(Seq(("d", "within", "e")).toDF("s", "p", "o")))
+    val tm2 = MaintainedClosure.open(spark, dir, ont, Some(owl))
+    assert(sameSet(tm2.closure(), batch(tm2.base())), "diverged after recovery")
+    assert(rowsOf(tm2.closure()).contains(("b2", "within", "e")) ||
+      rowsOf(tm2.closure()).contains(("b", "within", "e")),
+      "recovered closure must splice the new edge through the merged id")
+  }
+
   test("open() reattaches; compact seals both journals in step") {
     val dir = tmp()
     val tm = MaintainedClosure.create(spark, dir, ont)

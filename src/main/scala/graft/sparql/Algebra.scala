@@ -215,6 +215,15 @@ final case class NamedInclude(name: String) extends Algebra
   * connectivity-greedy reorder and no star fusion. */
 final case class BgpFixed(patterns: Seq[TriplePattern]) extends Algebra
 
+/** BGP with position-pinned patterns — `hint:Prior hint:runFirst
+  * "true"` / `hint:runLast "true"` (QueryHintRegistry.java RunFirst/
+  * RunLast): the hinted pattern leads (trails) its group's join
+  * order; the connectivity-greedy reorder owns everything between —
+  * the reference's contract exactly (pin one access path's position,
+  * the static optimizer orders the rest). */
+final case class BgpPinned(first: Seq[TriplePattern], mid: Seq[TriplePattern],
+                           last: Seq[TriplePattern]) extends Algebra
+
 /** FROM / FROM NAMED dataset clauses (DatasetNode): the default graph
   * becomes the merge of `defaults`, and GRAPH patterns range only over
   * `named` (when non-empty). */

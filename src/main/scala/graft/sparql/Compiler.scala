@@ -170,6 +170,15 @@ object Compiler {
       // greedy reorder, no star fusion (QueryOptimizerEnum.None; the
       // reference likewise skips ASTJoinOrderByTypeOptimizer)
       patterns.map(compilePattern(_, src)).reduceLeft(joinOn(_, _, "inner"))
+    case BgpPinned(first, mid, last) =>
+      // hint:runFirst/runLast: the pinned patterns lead/trail in
+      // textual order; the unhinted middle keeps the full Bgp
+      // treatment (star fusion + greedy reorder) and joins as one
+      // block between them
+      val lead = first.map(compilePattern(_, src))
+      val midDf = if (mid.isEmpty) Nil else Seq(compile(Bgp(mid: _*), src))
+      val tail = last.map(compilePattern(_, src))
+      (lead ++ midDf ++ tail).reduceLeft(joinOn(_, _, "inner"))
     case NamedSubquery(name, sub, child) =>
       // evaluated ONCE into a named solution set; localCheckpoint
       // materializes it so N INCLUDEs never re-run the sub-plan (the

@@ -714,12 +714,16 @@ object Parser {
       expect("{")
       var alg: Algebra = null
       def add(a: Algebra): Unit = alg = if (alg == null) a else Join(alg, a)
-      var patterns = Vector.newBuilder[TriplePattern]
+      val patterns = scala.collection.mutable.ArrayBuffer[TriplePattern]()
       // hint:Query hint:optimizer "None" pins BGP join order to the
       // textual pattern order (QueryHintRegistry / QueryOptimizerEnum)
       var fixedOrder = false
+      // hint:Prior hint:runFirst/runLast "true" pins ONE pattern's
+      // position (index → 1 = lead, 2 = trail) within its group
+      val pins = scala.collection.mutable.Map[Int, Int]()
       def flush(): Unit = {
-        val ps0 = patterns.result()
+        val ps0 = patterns.toVector
+        val tags = ps0.indices.map(i => pins.getOrElse(i, 0))
         if (ps0.nonEmpty) {
           // the classic magic-predicate search syntax: bds:* patterns
           // INSIDE an ordinary group (no SERVICE) lift into a
@@ -731,24 +735,32 @@ object Parser {
             case Const(c) => c.startsWith(pfx)
             case _        => false
           }
-          val (magic, rest0) =
-            if (liftMagic) ps0.partition(pred(_, "bds:"))
-            else (Vector.empty[TriplePattern], ps0)
+          val tagged0 = ps0.zip(tags)
+          val (magicT, rest0) =
+            if (liftMagic) tagged0.partition(t => pred(t._1, "bds:"))
+            else (Vector.empty[(TriplePattern, Int)], tagged0)
           // the EXTERNAL-fulltext magic form (fts:*) lifts the same
           // way — the reference's ASTFulltextSearchOptimizer (in the
           // default optimizer list, DefaultOptimizerList.java:308):
           // each search variable's fts:* patterns become one
           // SERVICE fts:search group, validated by the handler
-          val (ftsMagic, ps) =
-            if (liftMagic) rest0.partition(pred(_, "fts:"))
-            else (Vector.empty[TriplePattern], rest0)
-          liftSearchGroups(magic).foreach(add)
-          ftsMagic.groupBy(_.s).toSeq.sortBy(_._1.toString).foreach {
+          val (ftsT, psT) =
+            if (liftMagic) rest0.partition(t => pred(t._1, "fts:"))
+            else (Vector.empty[(TriplePattern, Int)], rest0)
+          val ps = psT.map(_._1)
+          liftSearchGroups(magicT.map(_._1)).foreach(add)
+          ftsT.map(_._1).groupBy(_.s).toSeq.sortBy(_._1.toString).foreach {
             case (_, group) => add(ServiceCall("fts:search", Bgp(group: _*),
               silent = false, srcText = None))
           }
-          if (ps.nonEmpty) add(if (fixedOrder) BgpFixed(ps) else Bgp(ps: _*))
-          patterns = Vector.newBuilder
+          if (ps.nonEmpty) add(
+            if (fixedOrder) BgpFixed(ps)
+            else if (psT.exists(_._2 != 0)) BgpPinned(
+              psT.collect { case (p, 1) => p },
+              psT.collect { case (p, 0) => p },
+              psT.collect { case (p, 2) => p })
+            else Bgp(ps: _*))
+          patterns.clear(); pins.clear()
         }
       }
       while (!peekIs("}")) {
@@ -764,6 +776,17 @@ object Parser {
           if (peekIs(".")) next()
           if (hname.equalsIgnoreCase("optimizer") && hval.equalsIgnoreCase("None"))
             fixedOrder = true
+          // hint:runFirst/runLast pin the textually PRIOR pattern to
+          // the head/tail of its group's join order (the reference's
+          // hint:Prior scope; QueryHintRegistry RunFirst/RunLast);
+          // with no prior pattern in the group they consume silently
+          // like every other accepted-and-ignored hint
+          else if (hname.equalsIgnoreCase("runFirst") &&
+                   hval.equalsIgnoreCase("true") && patterns.nonEmpty)
+            pins(patterns.size - 1) = 1
+          else if (hname.equalsIgnoreCase("runLast") &&
+                   hval.equalsIgnoreCase("true") && patterns.nonEmpty)
+            pins(patterns.size - 1) = 2
         } else if (peekIs("INCLUDE")) {
           // INCLUDE %set: join the named solution set on shared vars
           next()

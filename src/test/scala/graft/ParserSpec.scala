@@ -578,6 +578,43 @@ class ParserSpec extends AnyFunSuite {
     assert(other.count() == 5)
   }
 
+  test("hint:runFirst/runLast pin one pattern's position; greedy order owns the rest") {
+    import graft.sparql.BgpPinned
+    val ast = Parser.parse(
+      """SELECT ?o ?c WHERE {
+        |  ?o customer ?c .
+        |  ?c nation ?n . hint:Prior hint:runFirst "true" .
+        |  ?n name ?nn .
+        |  ?o status "F" . hint:Prior hint:runLast "true" .
+        |}""".stripMargin)
+    ast match {
+      case Project(BgpPinned(first, mid, last), _ @ _*) =>
+        assert(first.map(_.p) == Seq(Const("nation")), first)
+        assert(last.map(_.p) == Seq(Const("status")), last)
+        assert(mid.size == 2, mid)
+      case other => fail(s"expected Project(BgpPinned), got $other")
+    }
+    // the hinted pattern LEADS the physical join order: the leftmost
+    // leaf of the compiled plan is the nation scan, and the status
+    // scan is the last join operand
+    val hinted = Compiler.compile(ast, src)
+    val joins = hinted.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    def leftmost(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      p.children.headOption.map(leftmost).getOrElse(p)
+    assert(leftmost(joins.head).toString.contains("nation"),
+      s"runFirst pattern should be the leading leaf:\n${joins.head}")
+    // solutions are hint-independent
+    val plain = run(
+      """SELECT ?o ?c WHERE {
+        |  ?o customer ?c . ?c nation ?n . ?n name ?nn . ?o status "F"
+        |}""".stripMargin)
+    assert(hinted.exceptAll(plain).isEmpty && plain.exceptAll(hinted).isEmpty)
+  }
+
   test("SPARQL hash functions match known digests") {
     val df = run(
       """SELECT ?m ?s1 ?s256 ?s384 ?s512 WHERE {

@@ -31,7 +31,8 @@ final case class Graft(spark: SparkSession, store: QuadStore,
                        defaultGraph: String = "g:default",
                        unionDefaultGraph: Boolean = true,
                        analyzerName: Option[String] = None,
-                       textIndex: Option[graft.search.SearchIndexView] = None) {
+                       textIndex: Option[graft.search.SearchIndexView] = None,
+                       ospHash: Option[String] = None) {
 
   /** Set iff the union-default-graph merge view has been materialized
     * for this handle (see [[release]]). */
@@ -86,6 +87,17 @@ final case class Graft(spark: SparkSession, store: QuadStore,
       val isIri = col("t").rlike(Parser.IriShape) && !col("t").startsWith("_:")
       t.filter(!isIri && !col("t").startsWith("_:"))
         .select(col("t").as("doc_id"), RdfLiteral.strOf(col("t")).as("text"))
+    }
+    // durable OSP-hash twin (Journal.compact(ospHashTwin = true)):
+    // hit→subject joins prune to the hits' object-hash partition
+    // directories instead of paying the full-view pass. The twin holds
+    // the store's WHOLE distinct (s,p,o) — exactly the union-default
+    // merge view; a non-union handle must not leak other graphs' rows,
+    // so it keeps the default path.
+    override def scanForObjects(objs: DataFrame): DataFrame = ospHash match {
+      case Some(path) if unionDefaultGraph =>
+        graft.rdf.TripleStorage.scanForObjectsPruned(spark, path, objs)
+      case _ => super.scanForObjects(objs)
     }
   }
 

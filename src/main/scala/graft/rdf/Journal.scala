@@ -337,18 +337,48 @@ final class Journal private (spark: SparkSession, dir: Path) {
 
   /** Materialize the current state as a single base segment and seal it
     * as a new compacted commit point: subsequent [[snapshot]]s of it
-    * are one parquet scan, zero shuffles. History stays readable. */
-  def compact(): Long = {
+    * are one parquet scan, zero shuffles. History stays readable.
+    *
+    * `ospHashTwin`: ALSO write the state's distinct (s,p,o) as an
+    * object-hash-keyed twin segment (`c<v>-osph.parquet`, partitioned
+    * by crc32(o)%64 — the [[TripleStorage.writeOspHash]] layout), the
+    * durable OSP-index analog the reference keeps beside SPO/POS
+    * (SPOKeyOrder): connections on this commit point serve
+    * hit→subject joins (bds:searchInSearch) from a bucket-pruned scan
+    * instead of a full-view pass. */
+  def compact(ospHashTwin: Boolean = false): Long = {
     val next = version + 1
-    val snap = snapshot()
+    val snap0 = snapshot()
+    val snap = if (ospHashTwin) snap0.localCheckpoint() else snap0 // 2 consumers
     val wrote = !snap.isEmpty
     if (wrote) writeSegment(snap, next, "adds")
+    val wroteTwin = wrote && ospHashTwin
+    if (wroteTwin)
+      snap.select("s", "p", "o").distinct()
+        .withColumn("obh",
+          graft.search.PersistedSearchIndex.termBucketCol(col("o")))
+        .repartition(col("obh")).sortWithinPartitions("o")
+        .write.mode("errorifexists").partitionBy("obh")
+        .parquet(dir.resolve("segments").resolve(s"c$next-osph.parquet").toString)
     publish(Record(next, compacted = true,
-      segs = Some(if (wrote) Set("adds") else Set.empty)))
+      segs = Some(Set("adds").filter(_ => wrote) ++ Set("osph").filter(_ => wroteTwin))))
     // compaction is the natural log-checkpoint moment: a cold open
     // then reads ONE checkpoint file + only post-compaction records
     synchronized { writeCheckpoint(cachedRecords) }
     next
+  }
+
+  /** Path of the object-hash twin VALID FOR version `v` (default:
+    * head): Some only when `v` itself is a compaction that wrote one —
+    * the twin mirrors exactly that commit point's state, so any later
+    * delta invalidates it for the head until the next compaction. */
+  def ospHashAt(v: Long = -1L): Option[Path] = {
+    val recs = records
+    val at = if (v < 0) recs.last.version else v
+    recs.find(_.version == at)
+      .filter(r => r.compacted && r.segs.exists(_.contains("osph")))
+      .map(_ => dir.resolve("segments").resolve(s"c$at-osph.parquet"))
+      .filter(Files.exists(_))
   }
 
   /** Drop every segment superseded by the latest compaction — the
@@ -359,7 +389,7 @@ final class Journal private (spark: SparkSession, dir: Path) {
     val recs = records
     val baseVer = recs.filter(_.compacted).map(_.version).max
     recs.filter(r => r.version < baseVer).foreach { r =>
-      Seq("adds", "dels").foreach { sfx =>
+      Seq("adds", "dels", "osph").foreach { sfx =>
         val p = dir.resolve("segments").resolve(s"c${r.version}-$sfx.parquet")
         if (Files.exists(p)) deleteRecursively(p)
       }
@@ -469,7 +499,7 @@ final class Journal private (spark: SparkSession, dir: Path) {
   private[graft] def dropOrphanSegments(v: Long): Unit = synchronized {
     require(!records.exists(_.version == v),
       s"version $v is published in $dir — not an orphan")
-    Seq("adds", "dels").foreach { sfx =>
+    Seq("adds", "dels", "osph").foreach { sfx =>
       Journal.deleteRecursively(
         dir.resolve("segments").resolve(s"c$v-$sfx.parquet"))
     }

@@ -30,9 +30,13 @@ final class Repository private (spark: SparkSession, val journal: Journal) {
   def version: Long = journal.version
 
   /** A [[Graft]] connection on commit point `v` (default: latest).
-    * Mutations on the handle are in-memory until [[commit]]. */
-  def connection(v: Long = -1L): Graft =
-    Graft.ofQuads(spark, journal.snapshot(v))
+    * Mutations on the handle are in-memory until [[commit]]. A commit
+    * point holding an object-hash twin ([[compact]] `ospHashTwin`)
+    * serves hit→subject joins bucket-pruned out of the box. */
+  def connection(v: Long = -1L): Graft = {
+    val g = Graft.ofQuads(spark, journal.snapshot(v))
+    journal.ospHashAt(v).fold(g)(p => g.copy(ospHash = Some(p.toString)))
+  }
 
   /** THE durable write path: apply a ';'-separated SPARQL UPDATE
     * request to the head and seal its mutation delta as the next
@@ -72,8 +76,9 @@ final class Repository private (spark: SparkSession, val journal: Journal) {
       dels = head.join(next, cols, "left_anti"))
   }
 
-  /** Seal the head for shuffle-free steady-state reads. */
-  def compact(): Long = journal.compact()
+  /** Seal the head for shuffle-free steady-state reads; `ospHashTwin`
+    * also lays down the object-hash access path ([[Journal.compact]]). */
+  def compact(ospHashTwin: Boolean = false): Long = journal.compact(ospHashTwin)
 }
 
 object Repository {

@@ -101,16 +101,27 @@ object TripleStorage {
           spark.read.parquet(path).filter(col("obh") === b).select("s", "p", "o"), tp)
       case _ => TripleSource.filterScan(triples, tp)
     }
-    override def scanForObjects(objs: DataFrame): DataFrame = {
-      import graft.search.PersistedSearchIndex.{termBucketCol, Buckets}
-      val buckets = objs.select(termBucketCol(col("o")).as("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val pruned =
-        if (buckets.size >= Buckets) spark.read.parquet(path)
-        else spark.read.parquet(path).filter(col("obh").isin(buckets: _*))
-      pruned.select("s", "p", "o").join(objs.select("o"), "o")
-    }
+    override def scanForObjects(objs: DataFrame): DataFrame =
+      scanForObjectsPruned(spark, path, objs)
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = None
+  }
+
+  /** The hash-OSP hit→subject access path over ANY obh-partitioned
+    * store directory (a [[writeOspHash]] store or a
+    * [[Journal.compact]] `ospHashTwin` segment): collect the hit
+    * set's bucket values (≤ 64, a driver-side pass over the
+    * checkpointed hit ids) and PRUNE the scan to those partition
+    * directories before the join — the "one full-view pass" floor of
+    * a virtual view becomes a |buckets|/64 directory read. */
+  def scanForObjectsPruned(spark: SparkSession, path: String,
+                           objs: DataFrame): DataFrame = {
+    import graft.search.PersistedSearchIndex.{termBucketCol, Buckets}
+    val buckets = objs.select(termBucketCol(col("o")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned =
+      if (buckets.size >= Buckets) spark.read.parquet(path)
+      else spark.read.parquet(path).filter(col("obh").isin(buckets: _*))
+    pruned.select("s", "p", "o").join(objs.select("o"), "o")
   }
 }

@@ -244,6 +244,9 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         cached._2
       }
     }
+    // ospIndex=true namespaces lay down the object-hash twin on every
+    // compaction — searchInSearch hit joins then prune out of the box
+    private val ospIndex: Boolean = Files.exists(dir.resolve("ospindex"))
     private def maybeCompact(): Unit = synchronized {
       // every write path runs through here; the journal compaction (if
       // due) happens FIRST, so the text-index sync lands on the
@@ -254,7 +257,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       // delta-sized either way)
       val compacting =
         repo.version - repo.journal.lastCompacted >= autoCompactEvery
-      if (compacting) repo.compact()
+      if (compacting) repo.compact(ospHashTwin = ospIndex)
       // the index (if any) catches up to the head (delta-sized batch),
       // so the next `current` serves index-backed search over the new
       // commit
@@ -1558,6 +1561,16 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             require(!wantTextIndex || journalDir.isDefined,
               "textIndex=true needs a journal-backed namespace " +
                 "(start the server with a journal directory)")
+            // ospIndex=true: every auto-compaction also lays down the
+            // object-hash twin segment, so searchInSearch hit→subject
+            // joins prune to the hits' buckets (the reference keeps
+            // its OSP index beside SPO/POS the same way)
+            val wantOspIndex = formParam(body, "ospIndex")
+              .orElse(formParam(rawQuery(ex), "ospIndex"))
+              .exists(_.toBoolean)
+            require(!wantOspIndex || journalDir.isDefined,
+              "ospIndex=true needs a journal-backed namespace " +
+                "(start the server with a journal directory)")
             try {
               namespaces.computeIfAbsent(name, { _ =>
                 val t: Tenant = journalDir match {
@@ -1571,6 +1584,8 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                       graft.rdf.TextIndexMaintenance.create(spark,
                         sub.resolve("textindex").toString, repo.journal,
                         analyzer.getOrElse("latin"))
+                    if (wantOspIndex)
+                      Files.writeString(sub.resolve("ospindex"), "true")
                     new DurableTenant(repo, sub)
                 }
                 createdNew.set(true)
@@ -1616,6 +1631,9 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                   tenant(ns).current.analyzerName.map("graft.analyzer" -> _) ++
                   (if (tenant(ns).current.textIndex.isDefined)
                      Seq("graft.textIndex" -> "true")
+                   else Nil) ++
+                  (if (tenant(ns).current.ospHash.isDefined)
+                     Seq("graft.ospIndex" -> "current")
                    else Nil)
                 val entries = props.map { case (k, v) =>
                   s"""<entry key="$k">$v</entry>""" }.mkString

@@ -263,6 +263,48 @@ class JournalSpec extends AnyFunSuite {
     assert(j.changedQuads(3)._1.count() == 1)
   }
 
+  test("ospHashTwin compaction: durable connection's hit→subject join prunes to obh buckets") {
+    import graft.rdf.Repository
+    val repo = Repository.create(spark, tmp())
+    repo.update(
+      """INSERT DATA {
+        |  x:a note "alpha text" . x:b note "beta text" . x:c link x:a . }""".stripMargin)
+    // before any twin: no osp access path on the connection
+    assert(repo.connection().ospHash.isEmpty)
+    repo.compact(ospHashTwin = true)
+    val g = repo.connection()
+    assert(g.ospHash.isDefined, "compacted head with a twin must wire the access path")
+    // the score-class searchInSearch (minRelevance defeats the
+    // substring prefilter) routes its O→S join through scanForObjects
+    // — on this connection that is the bucket-pruned twin scan
+    val q =
+      """SELECT ?s WHERE {
+        |  ?s note ?t .
+        |  SERVICE bds:searchInSearch {
+        |    ?s bds:searchInSearch "alpha" . ?s bds:minRelevance "0.0001" .
+        |  }
+        |} ORDER BY ?s""".stripMargin
+    val df = g.query(q)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("x:a"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("obh"),
+      s"expected the twin's obh partition pruning in the plan:\n$plan")
+    // a delta after the compaction INVALIDATES the twin for the head
+    // (it mirrors the compacted state only) — and the historical
+    // connection at the compaction point still serves it
+    val twinV = repo.version
+    repo.update("""INSERT DATA { x:d note "gamma text" }""")
+    assert(repo.connection().ospHash.isEmpty,
+      "a stale twin must not serve the moved head")
+    assert(repo.connection(twinV).ospHash.isDefined)
+    // the next twin compaction re-arms the head, with the new state
+    repo.compact(ospHashTwin = true)
+    val g2 = repo.connection()
+    assert(g2.ospHash.isDefined)
+    val q2 = q.replace("alpha", "gamma")
+    assert(g2.query(q2).collect().map(_.getString(0)).toSeq == Seq("x:d"))
+  }
+
   test("open() reattaches; create() on an existing journal and version races fail loud") {
     val dir = tmp()
     val j = Journal.create(spark, dir)

@@ -724,6 +724,42 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("ospIndex=true namespace: searchInSearch hits the bucket-pruned twin after auto-compaction") {
+    val root = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), root,
+      autoCompactEvery = 1).start()
+    try {
+      assert(post(srv.address + "/namespace", "name=ospkb&ospIndex=true",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      assert(post(srv.address + "/namespace/ospkb/sparql/update",
+        """INSERT DATA { x:a note "alpha text" . x:b note "beta text" . }""",
+        "application/sparql-update").statusCode() == 204)
+      // the write auto-compacted with the twin: /properties reports the
+      // access path current, and the score-class searchInSearch answers
+      val pr = send(req(srv.address + "/namespace/ospkb/properties").GET())
+      assert(pr.body().contains("""<entry key="graft.ospIndex">current</entry>"""),
+        pr.body())
+      val q =
+        """SELECT ?s WHERE {
+          |  ?s note ?t .
+          |  SERVICE bds:searchInSearch {
+          |    ?s bds:searchInSearch "alpha" . ?s bds:minRelevance "0.0001" .
+          |  }
+          |} ORDER BY ?s""".stripMargin
+      val r = post(srv.address + "/namespace/ospkb/sparql", q,
+        "application/sparql-query")
+      assert(r.statusCode() == 200, r.body().take(300))
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, r.body())
+        .collect().map(_.getString(0)).toSeq == Seq("x:a"))
+      // the server-side plan (protocol ?explain) shows the twin's
+      // partition pruning — the pruned path, not the full-view pass
+      val ex = send(req(srv.address + "/namespace/ospkb/sparql?explain&query=" +
+        java.net.URLEncoder.encode(q, "UTF-8")).GET())
+      assert(ex.statusCode() == 200 && ex.body().contains("obh"),
+        ex.body().take(500))
+    } finally srv.stop()
+  }
+
   test("pattern/keyword analyzer modes persist per namespace, survive restart") {
     val root = tmp()
     val srv = SparqlServer.durable(Graft.empty(spark), root).start()

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * index — MATCH_EXACT can then recompute the text from the id
   * instead of joining a corpus). */
 final case class SearchIndexView(postings: DataFrame, nDocs: Long,
-                                 analyzer: String, termDocIds: Boolean)
+                                 analyzer: String, termDocIds: Boolean,
+                                 bucketRowBound: Option[Seq[Int] => Long] = None)
 
 /** Durable, incrementally-maintained full-text index — the persisted
   * production shape of [[FullText.invertedIndex]], and the analog of
@@ -158,7 +159,20 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
           .join(live, Seq("doc_id", "seq"))
           .select("doc_id", "term", "tf", "pb")
       }
-    SearchIndexView(postings, m.nDocs, m.analyzer, m.termDocIds)
+    // stats hook: an UPPER BOUND on the postings volume of a bucket
+    // set, read from parquet FOOTERS only (no Spark job) — sums each
+    // queried pb directory across adds segments. Loose by design (a
+    // bucket pools 1/64 of the vocabulary; superseded batches still
+    // count) but safe: consumers route on it, never answer from it.
+    val segDirs = addSegs.map(b => segPath(b.k, "adds"))
+    val bound: Seq[Int] => Long = buckets =>
+      segDirs.map { d =>
+        buckets.distinct.map { b =>
+          val p = d.resolve(s"pb=$b")
+          if (Files.exists(p)) graft.rdf.Journal.parquetRowCount(p) else 0L
+        }.sum
+      }.sum
+    SearchIndexView(postings, m.nDocs, m.analyzer, m.termDocIds, Some(bound))
   }
 
   /** Append one maintenance batch and advance to `toVersion`:

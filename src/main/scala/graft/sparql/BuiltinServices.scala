@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object BuiltinServices {
 
+  /** Route taken by the last bds:searchInSearch compile ("index" /
+    * "prefilter" / "slow") — test instrumentation for the
+    * stats-routing spec (the [[graft.rdf.Journal.recordParses]]
+    * discipline). Not part of the API. */
+  @volatile private[graft] var lastRoute: String = ""
+
   private def bgpOf(inner: Algebra, svc: String): Seq[TriplePattern] =
     inner match {
       case Bgp(ps @ _*) => ps
@@ -195,7 +201,30 @@ object BuiltinServices {
       az.substringSafe && regex.isEmpty && qTerms.nonEmpty &&
         minScore.isEmpty && maxScore.isEmpty &&
         minRank.isEmpty && maxRank.isEmpty
-    if (prefilterable) {
+    // Where BOTH paths apply, route by index STATS instead of the
+    // analyzer class alone: bound the query terms' postings volume
+    // from the index's bucket parquet footers (no job; a bucket pools
+    // 1/64 of the vocabulary, so the bound is loose but safe) and take
+    // the bucket-pruned index lookup exactly when the bound fits the
+    // same cutoff the O→S broadcast probe uses — a broadcast-sized hit
+    // class makes the index path strictly cheaper than the one
+    // full-view pass, while a stopword-class term (store-sized hit
+    // set, shuffle join) keeps the measured-cheaper prefilter.
+    // Prefix queries span buckets (no footer bound) and keep the
+    // prefilter.
+    val routeCutoff = src.triples.sparkSession.conf
+      .get("graft.search.indexRouteMaxBucketRows", "1000000").toLong
+    val statBound: Option[Long] =
+      if (prefixMatch || indexed.isEmpty) None
+      else src.literalIndex
+        .filter(ix => ix.termDocIds && graft.search.Analyzer.byName(ix.analyzer) == az)
+        .flatMap(_.bucketRowBound)
+        .map(_(qTerms.map(graft.search.PersistedSearchIndex.termBucket)))
+    if (prefilterable && statBound.exists(_ <= routeCutoff)) {
+      lastRoute = "index"
+      indexed.get
+    } else if (prefilterable) {
+      lastRoute = "prefilter"
       // ONE-PASS shape: the contains prune (AND of terms under
       // matchAll) runs inside the full-view scan's codegen and the
       // surviving (s, o) rows — candidate-sized, not corpus-sized —
@@ -231,7 +260,9 @@ object BuiltinServices {
           .filter(col("text").contains(lit(qText))).drop("text")
       candRows.join(hits.select(col("doc_id").as("o")), "o")
         .select(col("s").as(outVar)).distinct()
-    } else indexed.getOrElse {
+    } else if (indexed.isDefined) { lastRoute = "index"; indexed.get }
+    else {
+      lastRoute = "slow"
       val corpus = literalCorpus(src)
       val hits0 = graft.search.FullText.searchAll(
         corpus, qTerms,

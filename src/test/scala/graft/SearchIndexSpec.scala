@@ -171,6 +171,48 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("BOTH"), boom.getMessage)
   }
 
+  test("searchInSearch routes by index stats: broadcast-class terms → index, above cutoff → prefilter") {
+    val g0 = Graft.empty(spark).update(
+      """INSERT DATA {
+        |  x:a note "magnetar pulse" . x:b note "plain words" .
+        |  x:c note "magnetar flare" . }""".stripMargin)
+    val ix = PersistedSearchIndex.create(spark, tmp("rt"),
+      graft.sparql.BuiltinServices.literalSpace(g0.store.quads))
+    val gi = g0.copy(textIndex = Some(ix.view))
+    // the stats hook bounds a term's postings volume from footers
+    val bound = ix.view.bucketRowBound.get
+    assert(bound(Seq(PersistedSearchIndex.termBucket("magnetar"))) >= 2)
+    val q =
+      """SELECT ?s WHERE {
+        |  ?s note ?t .
+        |  SERVICE bds:searchInSearch { ?s bds:searchInSearch "magnetar" . }
+        |} ORDER BY ?s""".stripMargin
+    // no score options → the prefilter APPLIES; the footer bound is
+    // tiny (≤ cutoff) so the router takes the bucket-pruned index
+    // lookup (both paths checkpoint their hit sets, so the route is
+    // observed through the compile-time instrumentation)
+    val viaIx = gi.query(q)
+    assert(graft.sparql.BuiltinServices.lastRoute == "index")
+    assert(viaIx.collect().map(_.getString(0)).toSeq == Seq("x:a", "x:c"))
+    // squeeze the cutoff to 0: the SAME query keeps the prefilter
+    // (the stopword-class route), answers identically
+    spark.conf.set("graft.search.indexRouteMaxBucketRows", "0")
+    try {
+      val viaPre = gi.query(q)
+      assert(graft.sparql.BuiltinServices.lastRoute == "prefilter",
+        "cutoff 0 must route to the substring prefilter")
+      assert(viaPre.collect().map(_.getString(0)).toSeq == Seq("x:a", "x:c"))
+    } finally spark.conf.unset("graft.search.indexRouteMaxBucketRows")
+    // no index attached → the prefilter serves (stats can't route)
+    assert(g0.query(q).collect().map(_.getString(0)).toSeq == Seq("x:a", "x:c"))
+    assert(graft.sparql.BuiltinServices.lastRoute == "prefilter")
+    // a score-class query (prefilter unsound) keeps the index route
+    val scoreQ = q.replace("""?s bds:searchInSearch "magnetar" .""",
+      """?s bds:searchInSearch "magnetar" . ?s bds:minRelevance "0.0001" .""")
+    assert(gi.query(scoreQ).collect().map(_.getString(0)).toSeq == Seq("x:a", "x:c"))
+    assert(graft.sparql.BuiltinServices.lastRoute == "index")
+  }
+
   test("bds:search and searchInSearch consult the index: no tokenize stage, same results") {
     val g0 = Graft.empty(spark).update(
       """INSERT DATA {

@@ -99,6 +99,8 @@ final case class Graft(spark: SparkSession, store: QuadStore,
         graft.rdf.TripleStorage.scanForObjectsPruned(spark, path, objs)
       case _ => super.scanForObjects(objs)
     }
+    override def objectKeyedScan: Boolean =
+      ospHash.isDefined && unionDefaultGraph
   }
 
   /** SPARQL query text → result DataFrame (solutions, triples for

@@ -103,6 +103,7 @@ object TripleStorage {
     }
     override def scanForObjects(objs: DataFrame): DataFrame =
       scanForObjectsPruned(spark, path, objs)
+    override def objectKeyedScan: Boolean = true
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = None
   }

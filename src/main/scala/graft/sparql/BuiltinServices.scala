@@ -202,20 +202,24 @@ object BuiltinServices {
         minScore.isEmpty && maxScore.isEmpty &&
         minRank.isEmpty && maxRank.isEmpty
     // Where BOTH paths apply, route by index STATS instead of the
-    // analyzer class alone: bound the query terms' postings volume
-    // from the index's bucket parquet footers (no job; a bucket pools
-    // 1/64 of the vocabulary, so the bound is loose but safe) and take
-    // the bucket-pruned index lookup exactly when the bound fits the
-    // same cutoff the O→S broadcast probe uses — a broadcast-sized hit
-    // class makes the index path strictly cheaper than the one
-    // full-view pass, while a stopword-class term (store-sized hit
-    // set, shuffle join) keeps the measured-cheaper prefilter.
+    // analyzer class alone — but only on a source whose hit→subject
+    // join is object-KEYED: on a virtual view the prefilter's one
+    // store pass stays cheaper than index-hits + a full-view O→S join
+    // (41 vs 87 s at 100×, r13 evidence), so the index route needs the
+    // pruned store scan to win. There, bound the query terms' postings
+    // volume from the index's bucket parquet footers (no job; a bucket
+    // pools 1/64 of the vocabulary, so the bound is loose but safe)
+    // and take the bucket-pruned index lookup exactly when the bound
+    // fits the same cutoff the O→S broadcast probe uses — a
+    // broadcast-sized hit class makes index + pruned join strictly
+    // cheaper than the full pass, while a stopword-class term
+    // (store-sized hit set) keeps the measured-cheaper prefilter.
     // Prefix queries span buckets (no footer bound) and keep the
     // prefilter.
     val routeCutoff = src.triples.sparkSession.conf
       .get("graft.search.indexRouteMaxBucketRows", "1000000").toLong
     val statBound: Option[Long] =
-      if (prefixMatch || indexed.isEmpty) None
+      if (prefixMatch || indexed.isEmpty || !src.objectKeyedScan) None
       else src.literalIndex
         .filter(ix => ix.termDocIds && graft.search.Analyzer.byName(ix.analyzer) == az)
         .flatMap(_.bucketRowBound)

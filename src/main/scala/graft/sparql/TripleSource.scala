@@ -89,6 +89,14 @@ trait TripleSource {
   def scanForObjects(objs: DataFrame): DataFrame =
     triples.join(objs.select("o"), "o")
 
+  /** True when [[scanForObjects]] is served by an object-KEYED layout
+    * (bucket-pruned scan, not a full-view pass) — a ROUTING input: on
+    * a virtual view the searchInSearch prefilter's one pass stays
+    * cheaper than index-hits + a full-view O→S join (measured, r13
+    * evidence), so the stats router only prefers the index where this
+    * is true. */
+  def objectKeyedScan: Boolean = false
+
   /** Access path for a graph-scoped pattern: (s,p,o,g) rows matching
     * the constant positions, `g` constant included (SPOC index analog). */
   def quadScan(tp: TriplePattern, g: Term): DataFrame = {
@@ -141,6 +149,7 @@ object TripleSource {
       override def geoCorpusTime: Option[(DataFrame, Long, Long)] = base.geoCorpusTime
       override def scanForSubjects(nodes: DataFrame): DataFrame = base.scanForSubjects(nodes)
       override def scanForObjects(objs: DataFrame): DataFrame = base.scanForObjects(objs)
+      override def objectKeyedScan: Boolean = base.objectKeyedScan
       override def searchIndex: Option[graft.search.SearchIndexView] =
         search.orElse(base.searchIndex)
       override def literalIndex: Option[graft.search.SearchIndexView] =

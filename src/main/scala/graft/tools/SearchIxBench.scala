@@ -21,7 +21,7 @@ object SearchIxBench {
     val mode = if (args.length > 1) args(1) else "all"
     val modes = Set("build", "sis-corpus", "sis-indexed", "sis-slow-corpus",
       "sis-slow-indexed", "fts-corpus", "fts-indexed", "all", "probe",
-      "litfts-corpus", "litfts-indexed", "osp-build", "sis-osp")
+      "litfts-corpus", "litfts-indexed", "osp-build", "sis-osp", "sync")
     require(modes(mode), s"mode must be one of ${modes.toSeq.sorted.mkString("|")}, got '$mode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -124,6 +124,7 @@ object SearchIxBench {
           override def scan(tp: graft.sparql.TriplePattern) = src.scan(tp)
           override def scanForObjects(objs: org.apache.spark.sql.DataFrame) =
             osp.scanForObjects(objs)
+          override def objectKeyedScan = true
           override def literalIndex = Some(litView)
         }
         run("searchInSearch indexed + ospHash hit join", sisSlow, both)
@@ -174,6 +175,44 @@ object SearchIxBench {
       case "sis-slow-indexed" => run("searchInSearch indexed (score options)", sisSlow, srcLit)
       case "fts-corpus"       => run("bds:search corpus", fts, src)
       case "fts-indexed"      => run("bds:search indexed", fts, srcDoc)
+      // maintenance-sync cost at the staged index's scale: an
+      // append-only delta syncs against a COPY of the literal index
+      // (sidecar bloom membership, round-14 shape) — and the r13
+      // postings-membership shape is timed beside it for the contrast
+      // line. The copy keeps the staged index pristine for other modes.
+      case "sync" =>
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        val copyDir = s"/tmp/graft_searchix_sync_$md"
+        val cp = java.nio.file.Paths.get(copyDir)
+        if (java.nio.file.Files.exists(cp))
+          java.nio.file.Files.walk(cp).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        val from = java.nio.file.Paths.get(litDir)
+        java.nio.file.Files.walk(from).forEach { f =>
+          val t = cp.resolve(from.relativize(f))
+          if (java.nio.file.Files.isDirectory(f)) java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(f, t)
+        }
+        val ix = graft.search.PersistedSearchIndex.open(spark, copyDir)
+        println(s"[searchix] index nDocs=${ix.nDocs}")
+        val jdir = java.nio.file.Files.createTempDirectory("graft_syncj").toString
+        val j = graft.rdf.Journal.create(spark, jdir)
+        val delta = spark.range(1000).select(
+          concat(lit("x:s"), col("id")).as("s"), lit("note").as("p"),
+          concat(lit("fresh literal payload "), col("id")).as("o"),
+          lit("g:default").as("g"))
+        j.append(delta)
+        // r13 shape for contrast: membership anti-join against the
+        // POSTINGS doc ids (the whole relation enters the plan)
+        time("membership via postings relation (r13 shape)") {
+          BuiltinServices.literalSpace(delta)
+            .join(ix.view.postings.select("doc_id"), Seq("doc_id"), "left_anti")
+            .count()
+        }
+        time("append-only sync (sidecar bloom membership + tokenize + write)") {
+          graft.rdf.TextIndexMaintenance.sync(ix, j)
+          ix.nDocs
+        }
       case "all" =>
         run("searchInSearch corpus (prefilter path)", sisQuery, src)
         run("searchInSearch indexed", sisQuery, srcLit)

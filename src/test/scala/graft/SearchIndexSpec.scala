@@ -178,7 +178,13 @@ class SearchIndexSpec extends AnyFunSuite {
         |  x:c note "magnetar flare" . }""".stripMargin)
     val ix = PersistedSearchIndex.create(spark, tmp("rt"),
       graft.sparql.BuiltinServices.literalSpace(g0.store.quads))
-    val gi = g0.copy(textIndex = Some(ix.view))
+    // the index route needs BOTH the postings index and an
+    // object-keyed hit→subject path (on a virtual view the prefilter's
+    // one pass stays measured-cheaper) — lay down the OSP-hash twin
+    val ospDir = tmp("rtosp")
+    graft.rdf.TripleStorage.writeOspHash(
+      g0.store.quads.select("s", "p", "o").distinct(), ospDir)
+    val gi = g0.copy(textIndex = Some(ix.view), ospHash = Some(ospDir))
     // the stats hook bounds a term's postings volume from footers
     val bound = ix.view.bucketRowBound.get
     assert(bound(Seq(PersistedSearchIndex.termBucket("magnetar"))) >= 2)
@@ -188,9 +194,9 @@ class SearchIndexSpec extends AnyFunSuite {
         |  SERVICE bds:searchInSearch { ?s bds:searchInSearch "magnetar" . }
         |} ORDER BY ?s""".stripMargin
     // no score options → the prefilter APPLIES; the footer bound is
-    // tiny (≤ cutoff) so the router takes the bucket-pruned index
-    // lookup (both paths checkpoint their hit sets, so the route is
-    // observed through the compile-time instrumentation)
+    // tiny (≤ cutoff) and the hit join is pruned, so the router takes
+    // the bucket-pruned index lookup (both paths checkpoint their hit
+    // sets, so the route is observed through the instrumentation)
     val viaIx = gi.query(q)
     assert(graft.sparql.BuiltinServices.lastRoute == "index")
     assert(viaIx.collect().map(_.getString(0)).toSeq == Seq("x:a", "x:c"))
@@ -203,6 +209,11 @@ class SearchIndexSpec extends AnyFunSuite {
         "cutoff 0 must route to the substring prefilter")
       assert(viaPre.collect().map(_.getString(0)).toSeq == Seq("x:a", "x:c"))
     } finally spark.conf.unset("graft.search.indexRouteMaxBucketRows")
+    // index attached but NO object-keyed path: the r13 measurement
+    // stands — the one-pass prefilter stays preferred on a virtual view
+    assert(g0.copy(textIndex = Some(ix.view)).query(q)
+      .collect().map(_.getString(0)).toSeq == Seq("x:a", "x:c"))
+    assert(graft.sparql.BuiltinServices.lastRoute == "prefilter")
     // no index attached → the prefilter serves (stats can't route)
     assert(g0.query(q).collect().map(_.getString(0)).toSeq == Seq("x:a", "x:c"))
     assert(graft.sparql.BuiltinServices.lastRoute == "prefilter")

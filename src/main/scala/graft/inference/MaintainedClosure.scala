@@ -33,19 +33,30 @@ import graft.rdf.Journal
   * ids, a new transitive edge splices existing paths — so maintenance
   * is tiered by what the commit touches:
   *
-  *  - a commit with NO OWL-vocabulary statements whose ids touch no
-  *    co-reference machinery keeps the delta-bounded RDFS path (RDFS
-  *    rules are single-antecedent in instance data: the delta's
-  *    entailments depend on the delta alone);
-  *  - any other commit RE-DERIVES the OWL program on the new base and
-  *    commits the DIFF — the closed-store LOG stays delta-sized (set
-  *    semantics would tolerate a superset, but a full re-append per
-  *    commit would bloat the log), while the computation pays the
-  *    program re-derivation the way the reference's full-closure TM
-  *    does on sameAs-touching updates. At production scale the
-  *    re-derivation's inputs are predicate-pruned scans (sameAs /
-  *    functional / transitive predicates — the POS layout's key
-  *    ranges), not whole-store reads.
+  *  - FAST — a commit with NO OWL-vocabulary statements whose ids
+  *    touch no co-reference machinery keeps the delta-bounded RDFS
+  *    path (RDFS rules are single-antecedent in instance data: the
+  *    delta's entailments depend on the delta alone);
+  *  - MID — a commit that adds STRUCTURAL edges (transitive /
+  *    inverse / symmetric predicates) or mentions aliased ids but
+  *    provably cannot change the canonical map (no sameAs, no
+  *    functional-family statement) stays incremental: the delta
+  *    normalizes under the CURRENT canon, mirrors locally, and each
+  *    touched transitive predicate extends by [[Owl.incrementalTc]]
+  *    against the closed store's own already-closed p-edges —
+  *    delta-keyed joins (the new-edge side drives every compose),
+  *    never a re-closure of the relation;
+  *  - REDERIVE — a commit that can merge components (sameAs /
+  *    functional statements) re-derives the OWL program on the new
+  *    base and commits the DIFF — the closed-store LOG stays
+  *    delta-sized (set semantics would tolerate a superset, but a
+  *    full re-append per commit would bloat the log), while the
+  *    computation pays the program re-derivation the way the
+  *    reference's full-closure TM does on sameAs-touching updates.
+  *    At production scale the re-derivation's inputs are
+  *    predicate-pruned scans (sameAs / functional / transitive
+  *    predicates — the POS layout's key ranges), not whole-store
+  *    reads.
   *
   * Triples journal as quads under one fixed graph tag.
   */
@@ -70,28 +81,85 @@ final class MaintainedClosure private (spark: SparkSession,
     case Some(o) => Rdfs.closure(Owl.closure(b, o), ont)
   }
 
-  /** Predicates whose statements activate the OWL rule families —
-    * a delta avoiding all of them (and not aliasing) keeps the
-    * delta-bounded path. */
-  private def owlPreds(o: Owl.Ontology): Seq[String] =
-    ("sameAs" +: (o.transitive ++ o.symmetric ++ o.functional ++
-      o.inverseFunctional ++ o.inverses.flatMap(t => Seq(t._1, t._2)))).distinct
+  /** Predicates whose statements can CHANGE the canonical-id map —
+    * a delta avoiding all of them cannot merge (or split) any
+    * co-reference component, so the current canon stays valid. */
+  private def canonPreds(o: Owl.Ontology): Seq[String] =
+    ("sameAs" +: (o.functional ++ o.inverseFunctional)).distinct
 
-  /** True when `d` must go through the OWL re-derivation: it carries
-    * an OWL-vocabulary statement, or mentions an id that participates
-    * in the base's co-reference machinery (normalization would rewrite
-    * it). The alias probe is a predicate-pruned scan of the base
-    * (sameAs + functional rows only) semi-joined by the broadcast
-    * delta ids. */
-  private def owlTouches(d: DataFrame, o: Owl.Ontology): Boolean = {
-    val special = owlPreds(o)
-    if (!d.filter(col("p").isin(special: _*)).isEmpty) return true
-    val coRef = stripG(baseJ.snapshot()).filter(col("p").isin(special: _*))
+  /** Predicates the structural OWL rules fire on (transitive chains,
+    * inverse/symmetric mirrors). */
+  private def structuralPreds(o: Owl.Ontology): Seq[String] =
+    (o.transitive ++ o.symmetric ++
+      o.inverses.flatMap(t => Seq(t._1, t._2))).distinct
+
+  /** Maintenance tier of an assert delta:
+    *  - `fast`: no OWL vocabulary at all and no aliased id — the
+    *    delta's RDFS closure alone is exact (fully delta-bounded);
+    *  - `mid`: canon provably unchanged (no sameAs / functional-
+    *    family statement) but structural edges or aliased ids
+    *    present — incremental: normalize the delta by the CURRENT
+    *    canon, mirror it, extend each touched transitive predicate
+    *    with [[Owl.incrementalTc]] against the closed store's own
+    *    p-edges (delta-keyed joins, never a re-closure);
+    *  - `rederive`: the delta can merge components — re-derive the
+    *    program and diff (non-local by nature; see class doc).
+    * The alias probe is a predicate-pruned scan of the base's
+    * co-reference rows semi-joined by the broadcast delta ids. */
+  private def tierOf(d: DataFrame, o: Owl.Ontology): String = {
+    if (!d.filter(col("p").isin(canonPreds(o): _*)).isEmpty) return "rederive"
+    val structural = structuralPreds(o)
+    val touchesStructural =
+      structural.nonEmpty && !d.filter(col("p").isin(structural: _*)).isEmpty
+    val coRef = stripG(baseJ.snapshot())
+      .filter(col("p").isin(canonPreds(o): _*))
     val ids = d.select(col("s").as("id")).unionAll(d.select(col("o").as("id")))
       .distinct()
-    !coRef.select(col("s").as("id")).unionAll(coRef.select(col("o").as("id")))
+    val aliased = !coRef.select(col("s").as("id"))
+      .unionAll(coRef.select(col("o").as("id")))
       .join(broadcast(ids), Seq("id"), "left_semi")
       .isEmpty
+    if (!touchesStructural && !aliased) "fast" else "mid"
+  }
+
+  /** The MID tier's closure delta: exactly the rows
+    * `program(base ∪ d) \ program(base)` plus (harmless, set-semantic)
+    * overlaps — computed WITHOUT re-deriving the program. */
+  private def midDelta(d: DataFrame, o: Owl.Ontology): DataFrame = {
+    val canon = Owl.sameAsCanon(stripG(baseJ.snapshot()), o).localCheckpoint()
+    val dn = Owl.normalizeBy(d, canon).localCheckpoint()
+    val invPairs = o.inverses.flatMap { case (p, q) => Seq(p -> q, q -> p) } ++
+      o.symmetric.map(p => p -> p)
+    val preMirrors = invPairs.map { case (p, q) =>
+      dn.filter(col("p") === p)
+        .select(col("o").as("s"), lit(q).as("p"), col("s").as("o"))
+    }
+    val seeded = (dn +: preMirrors).reduce(_ unionAll _).distinct().localCheckpoint()
+    val closedNow = closure().localCheckpoint()
+    // per touched transitive predicate: new pairs against the closed
+    // store's ALREADY-CLOSED p-edges (they include prior mirrors, so
+    // symmetric+transitive composition carries through exactly like
+    // the batch stratification)
+    val tcNew = o.transitive.flatMap { p =>
+      val dp = seeded.filter(col("p") === p)
+        .select(col("s").as("from"), col("o").as("to"))
+      if (dp.isEmpty) None
+      else {
+        val tp = closedNow.filter(col("p") === p)
+          .select(col("s").as("from"), col("o").as("to"))
+        Some(Owl.incrementalTc(tp, dp)
+          .select(col("from").as("s"), lit(p).as("p"), col("to").as("o")))
+      }
+    }
+    val newClosed = (seeded +: tcNew).reduce(_ unionAll _).localCheckpoint()
+    // post-mirror: new closed edges reflect into the inverse partner
+    // (the closure of a symmetrized relation is symmetric — nothing
+    // here grows further, the batch argument)
+    val postMirrors = invPairs.map { case (p, q) =>
+      newClosed.filter(col("p") === p)
+        .select(col("o").as("s"), lit(q).as("p"), col("s").as("o"))
+    }
+    (newClosed +: postMirrors).reduce(_ unionAll _).distinct()
   }
 
   /** Re-derive the program on the CURRENT base and commit the diff
@@ -115,10 +183,23 @@ final class MaintainedClosure private (spark: SparkSession,
     * crash recovery always rolls the closure forward. */
   def assertTriples(delta: DataFrame): Long = {
     val d = delta.select("s", "p", "o").distinct().localCheckpoint()
-    val owlPath = owl.exists(o => owlTouches(d, o))
-    baseJ.append(withG(d))
-    if (owlPath) rederiveCommit()
-    else closedJ.append(withG(Rdfs.closure(d, ont)))
+    val tier = owl.map(o => tierOf(d, o)).getOrElse("fast")
+    tier match {
+      case "fast" =>
+        baseJ.append(withG(d))
+        closedJ.append(withG(Rdfs.closure(d, ont)))
+      case "mid" =>
+        // the canon + closed-store reads run against the PRE-delta
+        // state by construction (canon unchanged; incrementalTc takes
+        // the prior closure), so compute the delta first, then commit
+        // base-before-closed like every path (recovery rolls forward)
+        val owlNew = midDelta(d, owl.get).localCheckpoint()
+        baseJ.append(withG(d))
+        closedJ.append(withG(Rdfs.closure(owlNew, ont)))
+      case _ =>
+        baseJ.append(withG(d))
+        rederiveCommit()
+    }
   }
 
   /** Retract a statement batch via DRed: tombstone exactly the rows

@@ -47,7 +47,7 @@ object Owl {
     * broadcast-sized by definition and can reach billions of rows on a
     * web-scale corpus. No broadcast hint: AQE broadcasts when the
     * runtime size estimate fits, shuffles otherwise. */
-  private def normalizeBy(df: DataFrame, canon: DataFrame): DataFrame = df
+  private[inference] def normalizeBy(df: DataFrame, canon: DataFrame): DataFrame = df
     .join(canon.withColumnRenamed("id", "s").withColumnRenamed("canon", "_cs"),
       Seq("s"), "left")
     .join(canon.withColumnRenamed("id", "o").withColumnRenamed("canon", "_co"),
@@ -149,6 +149,49 @@ object Owl {
       .join(broadcast(restrictions.select(col("cls"), col("p"), col("v").as("o"))),
         Seq("p", "o"))
       .select(col("s"), lit("type").as("p"), col("cls").as("o"))
+
+  /** NEW pairs of TC(closed ∪ delta) given `closed` ALREADY
+    * transitively closed — every pair whose derivation uses ≥1 delta
+    * edge (semi-naive over one-delta-segment paths: f1 = T?∘D∘T?
+    * absorbs the closed runs around each delta segment because T is
+    * closed, so T∘T = T; longer paths chain f1 pieces, and a chained
+    * pair already present in T is safely dropped from the frontier —
+    * any extension through it re-derives as T∘f1 ⊆ f1). Columns
+    * (from, to) on both inputs; output excludes pairs already in
+    * `closed`. The incremental-maintenance kernel
+    * [[graft.inference.MaintainedClosure]] uses for non-merge
+    * transitive asserts — joins are delta-keyed (the delta side
+    * drives both composes), never a re-closure of the relation. */
+  private[inference] def incrementalTc(closed: DataFrame, delta: DataFrame): DataFrame = {
+    def comp(x: DataFrame, y: DataFrame): DataFrame =
+      x.select(col("from"), col("to").as("m"))
+        .join(y.select(col("from").as("m"), col("to")), "m")
+        .select("from", "to")
+    val d = delta.distinct().localCheckpoint()
+    if (d.isEmpty) return d
+    val t = closed.localCheckpoint()
+    val f1 = d.unionAll(comp(t, d)).unionAll(comp(d, t))
+      .unionAll(comp(comp(t, d), t))
+      .distinct().localCheckpoint()
+    var acc = f1
+    var frontier = f1
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 64) {
+      val grown = comp(frontier, f1)
+        .join(acc, Seq("from", "to"), "left_anti")
+        .join(t, Seq("from", "to"), "left_anti")
+        .distinct().localCheckpoint()
+      if (grown.isEmpty) done = true
+      else {
+        acc = acc.unionAll(grown).localCheckpoint()
+        frontier = grown
+        rounds += 1
+      }
+    }
+    require(done, "incremental transitive closure did not converge in 64 rounds")
+    acc.join(t, Seq("from", "to"), "left_anti")
+  }
 
   /** OWL closure of (s,p,o) instance triples. sameAs triples are
     * consumed by normalization and not re-emitted. */

@@ -161,6 +161,17 @@ class MaintainedClosureSpec extends AnyFunSuite {
     assert(!rowsOf(tm.closure()).contains(("a", "within", "c")))
     // history: the pre-retraction commit point still entails the chain
     assert(rowsOf(tm.closure(tm.version - 2)).contains(("a", "within", "c")))
+    // MID tier: structural edges with NO new co-reference stay
+    // incremental — a new within edge through an ALIASED id (b2 ≡ b)
+    // must splice into existing chains under the current canon
+    tm.assertTriples(Seq(("d", "within", "w9"), ("b2", "within", "w8"))
+      .toDF("s", "p", "o"))
+    check("mid incremental transitive")
+    // b2 normalizes to b; b→d held (merge case above), so b→w9 and
+    // the direct b→w8 both entail, with mirrors
+    assert(rowsOf(tm.closure()).contains(("b", "within", "w9")))
+    assert(rowsOf(tm.closure()).contains(("b", "within", "w8")))
+    assert(rowsOf(tm.closure()).contains(("w9", "contains", "b")))
     // crash recovery: base advances by hand, open() re-derives
     def withG(df: DataFrame) = df.withColumn("g", lit("g:closure"))
     Journal.open(spark, s"$dir/base")
@@ -170,6 +181,29 @@ class MaintainedClosureSpec extends AnyFunSuite {
     assert(rowsOf(tm2.closure()).contains(("b2", "within", "e")) ||
       rowsOf(tm2.closure()).contains(("b", "within", "e")),
       "recovered closure must splice the new edge through the merged id")
+  }
+
+  test("OWL MID tier: symmetric+transitive composition through incremental asserts") {
+    import graft.inference.Owl
+    // `linked` is BOTH symmetric and transitive: pre-mirroring must
+    // land before the transitive step and compositions must carry
+    // through mirrored edges — across SEPARATE incremental commits
+    val owl = Owl.Ontology(transitive = Seq("linked"), symmetric = Seq("linked"))
+    def batch(b: DataFrame) = Rdfs.closure(Owl.closure(b, owl), ont)
+    val tm = MaintainedClosure.create(spark, tmp(), ont, Some(owl))
+    tm.assertTriples(Seq(("a", "linked", "b")).toDF("s", "p", "o"))
+    assert(sameSet(tm.closure(), batch(tm.base())), "after first edge")
+    // c links to b: a~b, c~b ⇒ a~c only through the SYMMETRIC mirror
+    // of an edge added in a DIFFERENT commit
+    tm.assertTriples(Seq(("c", "linked", "b")).toDF("s", "p", "o"))
+    assert(sameSet(tm.closure(), batch(tm.base())), "after second edge")
+    assert(rowsOf(tm.closure()).contains(("a", "linked", "c")))
+    assert(rowsOf(tm.closure()).contains(("c", "linked", "a")))
+    // chain extension in a third commit composes with the whole closure
+    tm.assertTriples(Seq(("c", "linked", "d")).toDF("s", "p", "o"))
+    assert(sameSet(tm.closure(), batch(tm.base())), "after third edge")
+    assert(rowsOf(tm.closure()).contains(("a", "linked", "d")))
+    assert(rowsOf(tm.closure()).contains(("d", "linked", "b")))
   }
 
   test("open() reattaches; compact seals both journals in step") {

@@ -365,6 +365,28 @@ object EngineQueries {
         graft.rdf.Lexicon.dictionary(tri)).orderBy("s", "p", "o")
     }),
 
+    // GOM (bigdata-gom): object-graph navigation with BATCHED
+    // materialization (initGPOs = one fetch job for all regions),
+    // reverse-link aggregation (ILinkSet), and a write-back flushed as
+    // ONE delta commit under a native transaction; the result reads
+    // back through SPARQL over the updated store
+    "gom_traversal" -> ((s, dir) => {
+      val om = graft.gom.ObjectManager.ofTriples(s,
+        TpchRdf.triplesFor(s, dir, Seq("nation", "region")))
+      val regionIds = om.evaluate("""SELECT ?r WHERE { ?r type "Region" }""")
+        .collect().map(_.getString(0)).toSeq.sorted
+      val t = om.beginNativeTransaction()
+      val regions = om.initGPOs(regionIds)
+      regionIds.foreach { rid =>
+        val r = regions(rid)
+        r.setValue("nations", r.getLinksIn("region").sizeLong.toString)
+      }
+      om.commitNativeTransaction(t)
+      om.evaluate("""SELECT ?r_name ?nations WHERE {
+          ?r type "Region" . ?r name ?r_name . ?r nations ?nations }""")
+        .orderBy("r_name")
+    }),
+
     "stream_window" -> ((s, dir) => {
       // Structured Streaming over the bounded events table: tumbling
       // 1-day windows per event_type, complete-mode memory sink.
@@ -1220,6 +1242,12 @@ object EngineQueries {
 
     "lexicon_roundtrip" ->
       (T + "SELECT s, p, o FROM triples WHERE s LIKE 'n:%' ORDER BY s, p, o"),
+
+    // the GOM write-back stores each region's in-link count as a term
+    "gom_traversal" ->
+      """SELECT r_name, CAST(count(*) AS VARCHAR) AS nations
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "geo_zorder" ->
       """WITH s AS (SELECT s_suppkey AS k,

@@ -491,6 +491,33 @@ object LightStemmer {
     else if (w.length >= 5 && w.endsWith("e")) w = w.dropRight(1)
     w
   }
+
+  // tonos/dialytika folding + final-sigma normalization (ς→σ) so
+  // word-final and word-internal sigma conflate before suffix checks
+  private val elFold = Map('ά' -> "α", 'έ' -> "ε", 'ή' -> "η", 'ί' -> "ι",
+    'ό' -> "ο", 'ύ' -> "υ", 'ώ' -> "ω", 'ϊ' -> "ι", 'ϋ' -> "υ",
+    'ΐ' -> "ι", 'ΰ' -> "υ", 'ς' -> "σ")
+  // noun/adjective case+number endings, longest-first; -μα neuters
+  // keep their stem (γράμματα/γράμματος → γραμ); one strip per word
+  private val elSuffixes = Seq(
+    "ματων", "ματοσ", "ματα",
+    "ουσ", "εισ", "εων", "ιου", "ιων",
+    "ων", "ου", "οι", "αι", "ια", "ιο", "εσ", "ασ", "ησ", "οσ", "υσ",
+    "α", "ε", "η", "ι", "ο", "υ", "ω")
+
+  /** Greek light stemmer (the GreekAnalyzer recall tier,
+    * ConfigurableAnalyzerFactory.java:144): accent folding, final-sigma
+    * normalization, one case/number ending longest-first; stem floor 3.
+    * καλός/καλή/καλές → καλ, βιβλίο/βιβλία → βιβλι. */
+  def el(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, elFold)
+    elSuffixes.find(s => w.length - s.length >= 3 && w.endsWith(s)) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None    =>
+    }
+    w
+  }
 }
 
 /** The single tokenizer implementation shared by the [[AnalyzeText]]
@@ -519,11 +546,74 @@ object Tokenize {
   final val LATIN = 0
   final val CJK = 1
   final val UNICODE = 2
+  final val THAI = 3
 
   private def isCjkCp(cp: Int): Boolean = {
     val s = Character.UnicodeScript.of(cp)
     (s eq Character.UnicodeScript.HAN) || (s eq Character.UnicodeScript.HIRAGANA) ||
       (s eq Character.UnicodeScript.KATAKANA) || (s eq Character.UnicodeScript.HANGUL)
+  }
+
+  // Thai script has no word delimiters AND writes vowels/tones as
+  // combining marks — a letter-run tokenizer both fails to split words
+  // and SPLITS INSIDE them (ข้อมูล breaks at the ้/ู marks). A Thai
+  // "character" for run purposes is any Thai-script letter or mark.
+  private def isThaiCp(cp: Int): Boolean =
+    (Character.UnicodeScript.of(cp) eq Character.UnicodeScript.THAI) && {
+      val t = Character.getType(cp)
+      Character.isLetterOrDigit(cp) ||
+        t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK
+    }
+
+  // the JDK's dictionary-based Thai word BreakIterator (the same
+  // segmentation engine Lucene's ThaiTokenizer wraps); BreakIterator
+  // is stateful → one per executor thread
+  private val thaiBreak = new ThreadLocal[java.text.BreakIterator] {
+    override def initialValue(): java.text.BreakIterator =
+      java.text.BreakIterator.getWordInstance(new java.util.Locale("th"))
+  }
+
+  /** dictionary word segmentation of one maximal Thai-script run */
+  private def thaiWords(seg: String, out: ArrayBuffer[String]): Unit = {
+    val bi = thaiBreak.get()
+    bi.setText(seg)
+    var start = bi.first()
+    var end = bi.next()
+    while (end != java.text.BreakIterator.DONE) {
+      if (end > start) out += seg.substring(start, end)
+      start = end
+      end = bi.next()
+    }
+  }
+
+  /** [[unicodeRuns]] with Thai-script runs dictionary-segmented — the
+    * Lucene ThaiAnalyzer strategy (the reference's default for `tha`,
+    * ConfigurableAnalyzerFactory.java:149). Pure segmentation: every
+    * token is a substring of the lowercased text. */
+  private def thaiRuns(text: String, out: ArrayBuffer[String]): Unit = {
+    val t = text.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder   // current non-CJK non-Thai segment
+    val cjk = new java.lang.StringBuilder  // current CJK segment
+    val th = new java.lang.StringBuilder   // current Thai segment
+    def flushWord(): Unit =
+      if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+    def flushCjk(): Unit = if (cjk.length > 0) {
+      cjkBigrams(cjk.toString, out); cjk.setLength(0)
+    }
+    def flushThai(): Unit = if (th.length > 0) {
+      thaiWords(th.toString, out); th.setLength(0)
+    }
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      if (isThaiCp(cp)) { flushWord(); flushCjk(); th.appendCodePoint(cp) }
+      else if (Character.isLetter(cp) || Character.isDigit(cp)) {
+        if (isCjkCp(cp)) { flushWord(); flushThai(); cjk.appendCodePoint(cp) }
+        else { flushCjk(); flushThai(); sb.appendCodePoint(cp) }
+      } else { flushWord(); flushCjk(); flushThai() }
+      i += Character.charCount(cp)
+    }
+    flushWord(); flushCjk(); flushThai()
   }
 
   private def latinRuns(text: String, out: ArrayBuffer[String]): Unit = {
@@ -612,6 +702,7 @@ object Tokenize {
     case "da"   => LightStemmer.da
     case "fi"   => LightStemmer.fi
     case "cs"   => LightStemmer.cs
+    case "el"   => LightStemmer.el
     case other  => sys.error(s"unknown stemmer '$other'")
   }
 
@@ -622,6 +713,7 @@ object Tokenize {
       case LATIN => latinRunsLowered(text, out)
       case CJK   => cjkBigrams(text, out); latinRunsLowered(text, out)
       case UNICODE => unicodeRuns(text, out)
+      case THAI  => thaiRuns(text, out)
       case other => sys.error(s"unknown tokenizer mode $other")
     }
     val kept = if (stops.isEmpty) out else out.filterNot(stops)

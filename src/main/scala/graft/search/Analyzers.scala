@@ -136,6 +136,22 @@ object Analyzer {
       Tokenize.tokenizeJava(Tokenize.UNICODE, stemmerLang, stopwords, s).toSeq
   }
 
+  /** Thai analyzer — the Lucene ThaiAnalyzer analog, the reference's
+    * DEFAULT for `tha`/`th` (ConfigurableAnalyzerFactory.java:149):
+    * Thai script writes no word delimiters and carries vowels/tones as
+    * combining marks, so letter-run tokenizers both fail to split
+    * words and split INSIDE them; Thai-script runs are segmented with
+    * the JDK's dictionary-based word BreakIterator (the same engine
+    * Lucene's ThaiTokenizer wraps), other scripts tokenize like
+    * [[Unicode]]. Pure segmentation → substring-safe. */
+  case class Thai(stopwords: Set[String] = Set.empty) extends Analyzer {
+    override def substringSafe: Boolean = true
+    def tokenize(c: Column): Column =
+      native(c, Tokenize.THAI, Tokenize.NoStem, stopwords)
+    def tokenizeLocal(s: String): Seq[String] =
+      Tokenize.tokenizeJava(Tokenize.THAI, Tokenize.NoStem, stopwords, s).toSeq
+  }
+
   /** Whole-literal verbatim single term — the Lucene KeywordAnalyzer
     * analog (ConfigurableAnalyzerFactory.java:52): identifiers, codes
     * and enum-like literals index as ONE exact term — no lowercasing,
@@ -216,12 +232,16 @@ object Analyzer {
   def forLanguage(lang: String, stopwords: Set[String] = Set.empty): Analyzer =
     lang.toLowerCase.takeWhile(_ != '-') match {
       case "zh" | "ja" | "ko" => Cjk(stopwords)
+      // Thai gets dictionary segmentation by DEFAULT, matching the
+      // reference's tha→ThaiAnalyzer mapping — a letter-run tokenizer
+      // is wrong for Thai twice over (no delimiters; marks split words)
+      case "th" => Thai(stopwords)
       case "ru" | "uk" | "bg" | "sr" | "mk" | "be" | // Cyrillic
            "ar" | "fa" | "ur" |                      // Arabic script
            "el" | "he" | "yi" |                      // Greek / Hebrew
            "hi" | "mr" | "ne" | "bn" | "pa" | "gu" | // Indic
            "ta" | "te" | "kn" | "ml" | "si" |
-           "th" | "lo" | "my" | "km" |               // SE-Asian
+           "lo" | "my" | "km" |                      // SE-Asian
            "ka" | "hy" | "am" |                      // Caucasus / Ethiopic
            "de" | "fr" | "es" | "pt" | "it" | "nl" | // Latin + diacritics
            "sv" | "da" | "no" | "fi" | "pl" | "cs" |
@@ -278,6 +298,8 @@ object Analyzer {
       case "danish" | "da-stem"     => Stemmed("da", stopwords)
       case "finnish" | "fi-stem"    => Stemmed("fi", stopwords)
       case "czech" | "cs-stem"      => Stemmed("cs", stopwords)
+      case "greek" | "el-stem"      => Stemmed("el", stopwords)
+      case "thai"                   => Thai(stopwords)
       case lang                            => forLanguage(lang, stopwords)
     }
   }

@@ -760,10 +760,65 @@ class EngineSpec extends AnyFunSuite {
     val en = FullText.search(corpus, Seq("english"), 20, analyzer = az)
       .collect().map(_.getLong(0)).toSet
     assert(en == Set(5L))
-    // registry: non-Latin-script tags resolve to Unicode
-    for (l <- Seq("ru", "ar", "el", "he", "hi", "th", "uk-UA"))
+    // registry: non-Latin-script tags resolve to Unicode (Thai gets
+    // its dictionary-segmentation analyzer, the reference's default)
+    for (l <- Seq("ru", "ar", "el", "he", "hi", "uk-UA"))
       assert(Analyzer.forLanguage(l).isInstanceOf[Analyzer.Unicode], l)
+    assert(Analyzer.forLanguage("th").isInstanceOf[Analyzer.Thai])
     assert(Analyzer.byName("unicode").isInstanceOf[Analyzer.Unicode])
+  }
+
+  test("Thai analyzer: dictionary segmentation; Unicode runs split at marks") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.search.{Analyzer, FullText}
+    val az = Analyzer.Thai()
+    // ฐานข้อมูลแบบกระจาย = "distributed database": one unbroken run
+    assert(az.tokenizeLocal("ฐานข้อมูลแบบกระจาย") ==
+      Seq("ฐาน", "ข้อมูล", "แบบ", "กระจาย"))
+    // the failure mode the mode exists for: a letter-run tokenizer
+    // breaks INSIDE ข้อมูล at its combining vowel/tone marks
+    assert(!Analyzer.Unicode().tokenizeLocal("ข้อมูล").contains("ข้อมูล"))
+    // mixed-script text: Latin words and CJK bigrams still tokenize
+    assert(az.tokenizeLocal("Spark ข้อมูล 数据") ==
+      Seq("spark", "ข้อมูล", "数据"))
+    // e2e recall over a Thai corpus, index and query through one body
+    val corpus = Seq(
+      (1L, "ฐานข้อมูลแบบกระจาย"),
+      (2L, "การค้นหาข้อความ"),            // text search
+      (3L, "plain english")).toDF("doc_id", "text")
+    val hit = FullText.search(corpus, az.tokenizeLocal("ข้อมูล"), 20, analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L), s"got $hit")
+    // registry round-trips (per-namespace analyzer.conf values)
+    assert(Analyzer.byName("thai").isInstanceOf[Analyzer.Thai])
+    assert(Analyzer.byName("th").isInstanceOf[Analyzer.Thai])
+    // pure segmentation → the searchInSearch contains()-prefilter holds
+    assert(az.substringSafe)
+  }
+
+  test("Greek light stemmer: inflection classes conflate; Stemmed(el) e2e") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.functions.LightStemmer.el
+    import graft.search.{Analyzer, FullText}
+    // adjective gender/number: καλός/καλή/καλές → one stem
+    assert(el("καλός") == el("καλή") && el("καλή") == el("καλές"))
+    // -μα neuter paradigm: γράμματα/γράμματος conflate
+    assert(el("γράμματα") == el("γράμματος"))
+    // noun number: βιβλίο/βιβλία
+    assert(el("βιβλίο") == el("βιβλία"))
+    // final-sigma normalization folds word-final ς
+    assert(el("λόγος") == el("λόγοι"))
+    // stem floor: short words survive
+    assert(el("και") == "και")
+    val az = Analyzer.byName("greek")
+    assert(az.isInstanceOf[Analyzer.Stemmed])
+    val corpus = Seq(
+      (1L, "τα βιβλία της βιβλιοθήκης"),   // books (plural)
+      (2L, "ανάκτηση πληροφορίας")).toDF("doc_id", "text")
+    // singular query matches plural document through the stem
+    val hit = FullText.search(corpus, az.tokenizeLocal("βιβλίο"), 20, analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L), s"got $hit")
   }
 
   test("Porter stemmer: paper vectors; En analyzer matches inflected forms e2e") {
@@ -1689,6 +1744,84 @@ class EngineSpec extends AnyFunSuite {
     out2.close()
     val g2 = g1.update(s"LOAD <file://$ttl>")
     assert(g2.query("""SELECT ?s WHERE { ?s label "turtle" }""").count() == 1)
+  }
+
+  test("LOAD TriX: named graphs, tagged/typed literals, scoped bnodes") {
+    val trix = java.nio.file.Files.createTempFile("graft_trix", ".trix")
+    java.nio.file.Files.write(trix,
+      """<?xml version="1.0"?>
+        |<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">
+        |  <graph>
+        |    <triple>
+        |      <uri>urn:graft:n:1</uri><uri>urn:graft:name</uri>
+        |      <plainLiteral>FRANCE</plainLiteral>
+        |    </triple>
+        |  </graph>
+        |  <graph>
+        |    <uri>urn:graft:g:meta</uri>
+        |    <triple>
+        |      <uri>urn:graft:n:1</uri><uri>urn:graft:motto</uri>
+        |      <plainLiteral xml:lang="fr">liberte</plainLiteral>
+        |    </triple>
+        |    <triple>
+        |      <uri>urn:graft:n:1</uri><uri>urn:graft:pop</uri>
+        |      <typedLiteral datatype="http://www.w3.org/2001/XMLSchema#int">67</typedLiteral>
+        |    </triple>
+        |    <triple>
+        |      <id>b1</id><uri>urn:graft:linked</uri><uri>urn:graft:n:1</uri>
+        |    </triple>
+        |  </graph>
+        |</TriX>""".stripMargin.getBytes("UTF-8"))
+    val g = graft.Graft.empty(spark).update(s"LOAD <file://$trix>")
+    // unnamed graph block → default graph; IRIs intern to local names
+    assert(g.query("""SELECT ?n WHERE { "n:1" name ?n }""")
+      .collect().map(_.getString(0)).toSeq == Seq("FRANCE"))
+    // named graph scopes its triples; tagged + typed literal term forms
+    val meta = g.query(
+      """SELECT ?p ?o WHERE { GRAPH "g:meta" { "n:1" ?p ?o } } ORDER BY ?p""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(meta == Seq(
+      ("motto", "\"liberte\"@fr"),
+      ("pop", "\"67\"^^http://www.w3.org/2001/XMLSchema#int")))
+    // bnode subject is document-scoped and queries as a wildcard
+    val b = g.query("""SELECT ?b WHERE { GRAPH "g:meta" { ?b linked "n:1" } }""")
+      .collect().map(_.getString(0))
+    assert(b.length == 1 && b(0).startsWith("_:"))
+    // LOAD INTO GRAPH retargets the whole document
+    val g2 = graft.Graft.empty(spark).update(s"""LOAD <file://$trix> INTO GRAPH "g:all"""")
+    assert(g2.query("""SELECT ?s WHERE { GRAPH "g:all" { ?s ?p ?o } }""").count() == 4)
+  }
+
+  test("LOAD RDF/JSON and .n3-as-Turtle") {
+    val rj = java.nio.file.Files.createTempFile("graft_rj", ".rj")
+    java.nio.file.Files.write(rj,
+      """{
+        |  "urn:graft:n:1": {
+        |    "urn:graft:name": [ {"value": "FRANCE", "type": "literal"},
+        |                        {"value": "liberte", "type": "literal", "lang": "fr"} ],
+        |    "urn:graft:region": [ {"value": "urn:graft:r:1", "type": "uri"} ],
+        |    "urn:graft:near": [ {"value": "b9", "type": "bnode"} ]
+        |  },
+        |  "_:b9": {
+        |    "urn:graft:pop": [ {"value": "67", "type": "literal",
+        |                        "datatype": "http://www.w3.org/2001/XMLSchema#int"} ]
+        |  }
+        |}""".stripMargin.getBytes("UTF-8"))
+    val g = graft.Graft.empty(spark).update(s"LOAD <file://$rj>")
+    assert(g.query("""SELECT ?n WHERE { "n:1" name ?n } ORDER BY ?n""")
+      .collect().map(_.getString(0)).toSeq == Seq("\"liberte\"@fr", "FRANCE"))
+    assert(g.query("""SELECT ?r WHERE { "n:1" region ?r }""")
+      .collect().map(_.getString(0)).toSeq == Seq("r:1"))
+    // the bnode OBJECT and the bnode SUBJECT carry one scoped label
+    assert(g.query("""SELECT ?v WHERE { "n:1" near ?b . ?b pop ?v }""")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("\"67\"^^http://www.w3.org/2001/XMLSchema#int"))
+    // .n3 documents parse through the Turtle reader (Rio does the same)
+    val n3 = java.nio.file.Files.createTempFile("graft_n3", ".n3")
+    java.nio.file.Files.write(n3,
+      """@prefix v: <urn:graft:> . v:n:2 v:name "PERU" .""".getBytes("UTF-8"))
+    val g2 = g.update(s"LOAD <file://$n3>")
+    assert(g2.query("""SELECT ?s WHERE { ?s name "PERU" }""").count() == 1)
   }
 
   test("hll sketch: estimates within 3 sigma across cardinalities; register shuffle is map-combined") {

@@ -216,6 +216,12 @@ object Update {
         .flatMap(graft.rdf.Turtle.parseTrig(_, defaultGraph))
         .toDF("s", "p", "o", "g")
       g.fold(q)(gg => q.withColumn("g", lit(gg)))
+    } else if (fmt.endsWith(".trix")) {
+      // TriX (Rio RDFFormat.TRIX) — XML quads, whole-file per task
+      val q = spark.read.option("wholetext", "true").textFile(path)
+        .flatMap(graft.rdf.TriX.parseQuads(_, defaultGraph))
+        .toDF("s", "p", "o", "g")
+      g.fold(q)(gg => q.withColumn("g", lit(gg)))
     } else if (fmt.endsWith(".jsonld") && g.isEmpty) {
       spark.read.option("wholetext", "true").textFile(path)
         .flatMap(graft.rdf.JsonLd.parseQuads(_, defaultGraph))
@@ -363,7 +369,10 @@ object Update {
     val path = source.stripPrefix("file://")
     val fmt = fmtPath(source)
     if (fmt.endsWith(".parquet")) spark.read.parquet(path).select("s", "p", "o")
-    else if (fmt.endsWith(".ttl")) {
+    else if (fmt.endsWith(".ttl") || fmt.endsWith(".n3")) {
+      // .n3 documents in the wild are Turtle (N3's formula/rule
+      // extensions never reached RDF stores; Rio's N3 reader is its
+      // Turtle parser too) — full N3 syntax fails loud, not silently
       import spark.implicits._
       spark.read.option("wholetext", "true").textFile(path)
         .flatMap(graft.rdf.Turtle.parse(_))
@@ -383,6 +392,21 @@ object Update {
       import spark.implicits._
       spark.read.option("wholetext", "true").textFile(path)
         .flatMap(graft.rdf.JsonLd.parse(_))
+        .toDF("s", "p", "o")
+    }
+    else if (fmt.endsWith(".rj") || fmt.endsWith(".rdfjson")) {
+      // RDF/JSON (Rio RDFJSONParser analog) — resource-centric JSON
+      import spark.implicits._
+      spark.read.option("wholetext", "true").textFile(path)
+        .flatMap(graft.rdf.RdfJson.parse(_))
+        .toDF("s", "p", "o")
+    }
+    else if (fmt.endsWith(".trix")) {
+      // TriX loaded as triples: the quads' graph column drops (the
+      // triples LOAD contract; LOAD INTO GRAPH retargets explicitly)
+      import spark.implicits._
+      spark.read.option("wholetext", "true").textFile(path)
+        .flatMap(graft.rdf.TriX.parseQuads(_, "g:default").map(q => (q._1, q._2, q._3)))
         .toDF("s", "p", "o")
     }
     else {

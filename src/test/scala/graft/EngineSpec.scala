@@ -1800,7 +1800,7 @@ class EngineSpec extends AnyFunSuite {
         |    "urn:graft:name": [ {"value": "FRANCE", "type": "literal"},
         |                        {"value": "liberte", "type": "literal", "lang": "fr"} ],
         |    "urn:graft:region": [ {"value": "urn:graft:r:1", "type": "uri"} ],
-        |    "urn:graft:near": [ {"value": "b9", "type": "bnode"} ]
+        |    "urn:graft:near": [ {"value": "_:b9", "type": "bnode"} ]
         |  },
         |  "_:b9": {
         |    "urn:graft:pop": [ {"value": "67", "type": "literal",

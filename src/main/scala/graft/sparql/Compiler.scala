@@ -191,6 +191,15 @@ object Compiler {
         sys.error(s"INCLUDE %$name: no such named subquery in scope"))
     case Join(l, v: Values) => valuesJoin(compile(l, src), v)
     case Join(v: Values, r) => valuesJoin(compile(r, src), v)
+    // a REMOTE service joined in its group evaluates VECTORED: the
+    // computed side's shared-variable keys inject into the service
+    // query as chunked VALUES (ServiceCallJoin's bound join), so the
+    // endpoint only returns join-compatible solutions; local-handler
+    // services and keyless/overflow shapes keep the plain path
+    case Join(l, sc: ServiceCall) if ServiceVectoring.applies(sc) =>
+      ServiceVectoring.joinVectored(compile(l, src), sc, joinOn(_, _, "inner"))
+    case Join(sc: ServiceCall, r) if ServiceVectoring.applies(sc) =>
+      ServiceVectoring.joinVectored(compile(r, src), sc, joinOn(_, _, "inner"))
     case Join(l, r)      => joinOn(compile(l, src), compile(r, src), "inner")
     case LeftJoin(l, Filter(r, cond)) =>
       // OPTIONAL { … FILTER(e) }: if e only sees the optional group's

@@ -1,0 +1,130 @@
+package graft.sparql
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Vectored federated SERVICE evaluation — the reference's
+  * ServiceCallJoin chunking (bigdata-core/.../sparql/ast/eval/
+  * ServiceCallJoin.java: upstream solutions flow INTO the service
+  * call in chunks rather than the endpoint shipping its whole result
+  * set; openrdf federation does the same with bound joins).
+  *
+  * When a remote SERVICE is joined against solutions already computed
+  * in its group, the distinct bindings of the shared variables are
+  * injected into the service query as a `VALUES` clause, chunked, so
+  * the endpoint evaluates and RETURNS only join-compatible solutions.
+  * Pure optimization: SPARQL's bottom-up SERVICE semantics evaluate
+  * the group independently and join on shared variables afterwards —
+  * constraining the remote evaluation to the keys some local solution
+  * carries cannot change that join's result, and the local join still
+  * runs (§ the compiler's joinOn), so over-approximate injection is
+  * harmless.
+  *
+  * Scale honesty: the probe collects the DISTINCT shared-variable
+  * keys to the driver (capped — `graft.service.vectorMaxKeys`,
+  * default 1000, one bounded job). Past the cap, or when a key row
+  * carries an unbound/blank-node term a `VALUES` row cannot express,
+  * evaluation falls back to the plain unconstrained fetch — exactly
+  * the previous behavior. Chunk size (`graft.service.vectorSize`,
+  * default 50) bounds each request's `VALUES` block like the
+  * reference's vector size.
+  */
+object ServiceVectoring {
+
+  /** Driver-side twin of the N-Triples term renderer
+    * ([[graft.rdf.Serializer]] resource/objTerm): engine term → one
+    * standard SPARQL token. None for blank nodes (illegal in VALUES —
+    * and label-scoped, so they cannot transfer anyway). */
+  def sparqlToken(t: String): Option[String] = {
+    val globalScheme = "^(http|https|urn|file|mailto|did|tag):.*"
+    def iri(i: String): String =
+      if (i.matches(globalScheme)) s"<$i>" else s"<${Parser.Base}$i>"
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    val Tagged = "(?s)^\"(.*)\"@([A-Za-z0-9-]+)$".r
+    val Typed = "(?s)^\"(.*)\"\\^\\^(\\S+)$".r
+    if (t == null || t.startsWith("_:")) None
+    else t match {
+      case Tagged(lex, lang) => Some("\"" + esc(lex) + "\"@" + lang)
+      case Typed(lex, dt)    => Some("\"" + esc(lex) + "\"^^" + iri(dt))
+      case i if i.matches(Parser.IriShape + ".*") => Some(iri(i))
+      case plain => Some("\"" + esc(plain) + "\"")
+    }
+  }
+
+  /** `VALUES (?a ?b) { (ta tb) … }` over pre-rendered token rows. */
+  def valuesClause(vars: Seq[String], rows: Seq[Seq[String]]): String =
+    vars.map("?" + _).mkString("VALUES (", " ", ") { ") +
+      rows.map(_.mkString("(", " ", ")")).mkString(" ") + " }"
+
+  /** Inject a clause at the top of the service group's source text. */
+  def inject(groupText: String, clause: String): String = {
+    val i = groupText.indexOf('{')
+    require(i >= 0, s"service group text without '{': ${groupText.take(40)}")
+    groupText.substring(0, i + 1) + " " + clause + " " + groupText.substring(i + 1)
+  }
+
+  /** Candidate shared variables = the group text's `?var` tokens (the
+    * service's in-scope names; an over-match from a var-shaped string
+    * inside a literal only widens the injection, never narrows it). */
+  def textVars(groupText: String): Set[String] =
+    "\\?([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(groupText).map(_.group(1)).toSet
+
+  /** Vectoring applies to a JOINED remote service with source text:
+    * never to local registry handlers (they see the store directly). */
+  def applies(sc: ServiceCall): Boolean =
+    sc.srcText.isDefined &&
+      ServiceRegistry.lookup(sc.endpoint).isEmpty &&
+      ServiceRegistry.lookupRemote(sc.endpoint).isDefined
+
+  /** Evaluate `left ⋈ SERVICE` with bindings injection; falls back to
+    * the unconstrained fetch wherever vectoring cannot apply. SILENT
+    * keeps its all-or-nothing contract: any failure (any chunk) →
+    * the unit solution, the enclosing join unchanged. */
+  def joinVectored(left: DataFrame, sc: ServiceCall,
+                   join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val spark = left.sparkSession
+    val remote = ServiceRegistry.lookupRemote(sc.endpoint).get
+    val srcText = sc.srcText.get
+    def unit = spark.range(1).select()
+    def attempt(f: => DataFrame): DataFrame =
+      if (!sc.silent) f
+      else try f catch { case scala.util.control.NonFatal(_) => unit }
+
+    val sharedVars = left.columns.toSeq.filter(textVars(srcText))
+    if (sharedVars.isEmpty) return join(left, attempt(remote(srcText)))
+
+    val maxKeys = spark.conf.getOption("graft.service.vectorMaxKeys")
+      .map(_.toInt).getOrElse(1000)
+    val chunkSize = spark.conf.getOption("graft.service.vectorSize")
+      .map(_.toInt).getOrElse(50)
+
+    attempt {
+      // ONE bounded probe job: the distinct shared keys (the remote
+      // round-trips this replaces cost far more than the probe)
+      val keyRows = left.select(sharedVars.map(F.col): _*)
+        .distinct().limit(maxKeys + 1).collect()
+      val tokens: Seq[Option[Seq[String]]] = keyRows.toSeq.map { r =>
+        val ts = sharedVars.indices.map(i =>
+          sparqlToken(if (r.isNullAt(i)) null else r.get(i).toString))
+        if (ts.forall(_.isDefined)) Some(ts.map(_.get)) else None
+      }
+      val service =
+        if (keyRows.isEmpty) {
+          // no local solutions: the join result is empty for inner
+          // semantics regardless of the remote — skip the round-trip
+          // but keep the service's column shape out of it (joinOn
+          // against an empty left yields empty either way)
+          remote(inject(srcText, valuesClause(sharedVars, Nil)))
+        } else if (keyRows.length > maxKeys || tokens.exists(_.isEmpty)) {
+          // too many keys, or an unbound/bnode key VALUES can't say
+          remote(srcText)
+        } else {
+          tokens.flatten.grouped(chunkSize).map { chunk =>
+            remote(inject(srcText, valuesClause(sharedVars, chunk)))
+          }.reduce(_ unionAll _)
+        }
+      join(left, service)
+    }
+  }
+}

@@ -891,6 +891,77 @@ class ParserSpec extends AnyFunSuite {
     } finally graft.sparql.ServiceRegistry.unregisterRemote(ep)
   }
 
+  test("vectored SERVICE: shared keys inject as chunked VALUES; overflow and bnode keys fall back") {
+    val ep = "http://vectored.example/sparql"
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.sparql.ServiceRegistry.registerRemote(ep, text => {
+      received += text
+      Compiler.compile(Parser.parse(s"SELECT * WHERE $text"), src)
+    })
+    val unvectored = run(
+      """SELECT ?r ?nm WHERE { ?r type "Region" . ?r name ?nm }
+        |ORDER BY ?nm""".stripMargin).collect().map(_.toSeq).toSeq
+    def query() = run(
+      s"""SELECT ?r ?nm WHERE {
+         |  ?r type "Region" .
+         |  SERVICE <$ep> { ?r name ?nm }
+         |} ORDER BY ?nm""".stripMargin).collect().map(_.toSeq).toSeq
+    try {
+      // 5 region keys, default chunk 50 → ONE call carrying VALUES ?r
+      received.clear()
+      assert(query() == unvectored)
+      assert(received.length == 1 && received(0).contains("VALUES (?r)"))
+      assert(received(0).contains("<urn:graft:r:0>"), received(0))
+      // chunk size 2 → ceil(5/2) = 3 calls, same answers
+      spark.conf.set("graft.service.vectorSize", "2")
+      received.clear()
+      assert(query() == unvectored)
+      assert(received.length == 3 && received.forall(_.contains("VALUES (?r)")))
+      // key overflow → ONE unconstrained call (the plain fetch)
+      spark.conf.set("graft.service.vectorMaxKeys", "2")
+      received.clear()
+      assert(query() == unvectored)
+      assert(received.length == 1 && !received(0).contains("VALUES"))
+      spark.conf.unset("graft.service.vectorSize")
+      spark.conf.unset("graft.service.vectorMaxKeys")
+      // no shared vars → plain fetch, no probe
+      received.clear()
+      val cross = run(
+        s"""SELECT ?nm WHERE {
+           |  ?x type "Region" . SERVICE <$ep> { "n:1" name ?nm } }""".stripMargin)
+      assert(cross.collect().length == 5) // 5 regions × 1 name
+      assert(received.length == 1 && !received(0).contains("VALUES"))
+      // a blank-node key cannot ride a VALUES row → fall back
+      val qsrc2 = graft.sparql.TripleSource.plain {
+        val spark2 = spark; import spark2.implicits._
+        Seq(("_:b1", "name", "anon"), ("_:b1", "type", "Thing")).toDF("s", "p", "o")
+      }
+      received.clear()
+      val bn = Compiler.compile(Parser.parse(
+        s"""SELECT ?s ?nm WHERE { ?s type "Thing" . SERVICE <$ep> { ?s name ?nm } }"""),
+        qsrc2)
+      // remote evaluates against ITS store (src) — no bnode match, but
+      // the call must have gone out unconstrained, not thrown
+      assert(bn.collect().isEmpty)
+      assert(received.length == 1 && !received(0).contains("VALUES"))
+      // tagged-literal keys serialize with their facet
+      assert(graft.sparql.ServiceVectoring.sparqlToken("\"chat\"@fr")
+        .contains("\"chat\"@fr"))
+      assert(graft.sparql.ServiceVectoring.sparqlToken(
+        "\"5\"^^http://www.w3.org/2001/XMLSchema#int")
+        .contains("\"5\"^^<http://www.w3.org/2001/XMLSchema#int>"))
+      assert(graft.sparql.ServiceVectoring.sparqlToken("r:1")
+        .contains("<urn:graft:r:1>"))
+      assert(graft.sparql.ServiceVectoring.sparqlToken("a \"quoted\" word")
+        .contains("\"a \\\"quoted\\\" word\""))
+      assert(graft.sparql.ServiceVectoring.sparqlToken("_:b").isEmpty)
+    } finally {
+      spark.conf.unset("graft.service.vectorSize")
+      spark.conf.unset("graft.service.vectorMaxKeys")
+      graft.sparql.ServiceRegistry.unregisterRemote(ep)
+    }
+  }
+
   test("remote SERVICE over HTTP: loopback endpoint, W3C JSON round-trip") {
     // a real SPARQL-protocol endpoint on 127.0.0.1 (JDK HttpServer, no
     // egress): parse the POSTed query, evaluate, render W3C JSON —

@@ -365,6 +365,41 @@ object EngineQueries {
         graft.rdf.Lexicon.dictionary(tri)).orderBy("s", "p", "o")
     }),
 
+    // Blueprints WRITE surface driver-keyed (MutableGraph, the
+    // BigdataGraph mutation half): add/replace/remove ops over the
+    // TPC-H property graph, the result read back through the
+    // traversal façade — setProperty REPLACES (single-valued),
+    // removeVertex drops incident edges, removeEdge is exact
+    "blueprints_write" -> ((s, dir) => {
+      val base = TpchRdf.triplesFor(s, dir, Seq("nation", "region"))
+        .filter(col("p").isin("type", "name", "region"))
+      var g = graft.graph.MutableGraph(TripleStore(base))
+      g = g.addVertex("n:99", "Nation")
+      g = g.setProperty("n:99", "name", "ATLANTIS")
+      g = g.addEdge("n:99", "region", "r:1")
+      g = g.setProperty("n:1", "name", "RENAMED")
+      g = g.removeProperty("n:2", "region")
+      g = g.removeVertex("r:0")
+      g.traversal.V().has("type", "Nation").has("region").values("name")
+        .orderBy("value")
+    }),
+
+    // skew-safe join driver-keyed (SkewJoin.saltedInner): the salted
+    // join must EQUAL the plain join — salting replicates the small
+    // side across salt buckets and only reshapes the shuffle, so the
+    // plain-join SQL IS the oracle
+    "skew_salted_join" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedInner(orders, cust, "custkey", 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // GOM (bigdata-gom): object-graph navigation with BATCHED
     // materialization (initGPOs = one fetch job for all regions),
     // reverse-link aggregation (ILinkSet), and a write-back flushed as
@@ -1242,6 +1277,20 @@ object EngineQueries {
 
     "lexicon_roundtrip" ->
       (T + "SELECT s, p, o FROM triples WHERE s LIKE 'n:%' ORDER BY s, p, o"),
+
+    // replay the mutations relationally: rename nation 1, detach
+    // nation 2, drop region 0 with incident edges, add ATLANTIS
+    "blueprints_write" ->
+      """SELECT value FROM (
+        |  SELECT CASE WHEN n_nationkey = 1 THEN 'RENAMED' ELSE n_name END AS value
+        |  FROM nation WHERE n_regionkey <> 0 AND n_nationkey <> 2
+        |  UNION ALL SELECT 'ATLANTIS' AS value) ORDER BY value""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the GOM write-back stores each region's in-link count as a term
     "gom_traversal" ->

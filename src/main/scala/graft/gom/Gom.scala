@@ -82,6 +82,12 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
   private[gom] val pendingRemovedResources = mutable.LinkedHashSet.empty[String]
 
   private var nextId = 0
+  // per-manager scope for minted ids (the reference's UUID-based
+  // IIDGenerator): two managers — or two SESSIONS over one durable
+  // repository — must never mint colliding `gpo:#…` ids, or a "new"
+  // object would silently merge with a previously persisted one
+  private val idScope =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
   private var closed = false
 
   private def checkOpen(): Unit =
@@ -93,17 +99,23 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
     table.getOrElseUpdate(id, new Gpo(this, id))
   }
 
+  /** The canonical GPO iff this manager has already interned one —
+    * used by write fix-ups, which must not grow the object table with
+    * a handle per literal value ever written. */
+  private[gom] def peek(id: String): Option[Gpo] = table.get(id)
+
   /** The GPO of a STATEMENT — sids mode (IObjectManager
     * getGPO(Statement)): the statement's deterministic [[Rdr]] id, so
     * metadata statements about it are its property set. */
   def getGPO(s: String, p: String, o: String): Gpo = getGPO(Rdr.sidOf(s, p, o))
 
-  /** Mint a new object with an automatic `gpo:#<n>` id
-    * (IObjectManager.createGPO). */
+  /** Mint a new object with an automatic `gpo:#<scope>-<n>` id
+    * (IObjectManager.createGPO over the UUID-scoped IIDGenerator —
+    * unique across managers and across durable sessions). */
   def createGPO(): Gpo = {
     checkOpen()
     nextId += 1
-    getGPO(s"gpo:#$nextId")
+    getGPO(s"gpo:#$idScope-$nextId")
   }
 
   /** Batch-materialize GPOs for a set of resource ids with ONE job
@@ -131,8 +143,13 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
     gpos.foreach(_.beginLoad())
     rows.foreach { r =>
       val (s, p, o) = (r.getString(0), r.getString(1), r.getString(2))
-      byId.get(s).foreach(_.fwd += ((p, o)))
-      byId.get(o).foreach(_.rev += ((s, p)))
+      // read-your-writes includes removals: statements touching a
+      // resource removed in this (uncommitted) transaction are gone
+      // from the view, exactly as the evaluate() path filters them
+      if (!pendingRemovedResources.contains(s) && !pendingRemovedResources.contains(o)) {
+        byId.get(s).foreach(_.fwd += ((p, o)))
+        byId.get(o).foreach(_.rev += ((s, p)))
+      }
     }
     // overlay this manager's own uncommitted delta (read-your-writes:
     // the store rows predate the pending flush)
@@ -167,12 +184,14 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
   }
 
   /** Abandon the buffered delta and reset nesting; materialized GPOs
-    * are invalidated back to committed state (lazy re-fetch). */
+    * are invalidated back to committed state (lazy re-fetch), and a
+    * handle killed by an UNCOMMITTED remove() comes back to life —
+    * the store never saw the removal. */
   def rollbackNativeTransaction(): Unit = {
     checkOpen()
     txDepth = 0
     pendingAdds.clear(); pendingRemoves.clear(); pendingRemovedResources.clear()
-    table.valuesIterator.foreach(_.invalidate())
+    table.valuesIterator.foreach(_.rollbackReset())
   }
 
   def getNativeTransactionCounter: Int = txDepth
@@ -226,6 +245,10 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
         val head = g.store.quads.select("s", "p", "o", "g")
         def emptyQuads =
           Seq.empty[(String, String, String, String)].toDF("s", "p", "o", "g")
+        val addQuads =
+          if (pendingAdds.isEmpty) None
+          else Some(pendingAdds.toSeq.toDF("s", "p", "o")
+            .withColumn("g", lit(g.defaultGraph)))
         val delSlices =
           (if (pendingRemoves.isEmpty) Nil
            else Seq(head.join(broadcast(pendingRemoves.toSeq.toDF("s", "p", "o")),
@@ -235,16 +258,20 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
              val rr = pendingRemovedResources.toSeq
              Seq(head.filter(col("s").isin(rr: _*) || col("o").isin(rr: _*)))
            })
-        val dels = delSlices.reduceOption(_ unionAll _).getOrElse(emptyQuads)
-        val adds =
-          if (pendingAdds.isEmpty) emptyQuads
-          else {
-            val add = pendingAdds.toSeq.toDF("s", "p", "o")
-              .withColumn("g", lit(g.defaultGraph))
-            val subjs = pendingAdds.toSeq.map(_._1).distinct
-            val slice = head.filter(col("s").isin(subjs: _*))
-            add.join(broadcast(slice), Seq("s", "p", "o", "g"), "left_anti")
-          }
+        // a quad REMOVED (directly or via a removed resource) and then
+        // re-ADDED in the same transaction must end PRESENT — the
+        // in-memory applyDelta applies removals before the union, so
+        // the re-add survives there; the journal twin subtracts the
+        // re-adds from the delete set instead (same final state, and
+        // the adds' existence check can then run against the raw head)
+        val dels0 = delSlices.reduceOption(_ unionAll _).getOrElse(emptyQuads)
+        val dels = addQuads.fold(dels0)(a =>
+          dels0.join(broadcast(a), Seq("s", "p", "o", "g"), "left_anti"))
+        val adds = addQuads.fold(emptyQuads) { add =>
+          val subjs = pendingAdds.toSeq.map(_._1).distinct
+          val slice = head.filter(col("s").isin(subjs: _*))
+          add.join(broadcast(slice), Seq("s", "p", "o", "g"), "left_anti")
+        }
         r.journal.commit(adds, dels)
         g = r.connection()
       case None =>
@@ -324,9 +351,12 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
     * in-memory plans only. */
   def isPersistent: Boolean = repo.isDefined
 
-  /** The current store handle (for composing with the rest of the
-    * engine — export, search, inference). */
-  def connection: Graft = { checkOpen(); flush(); g }
+  /** The current VIEW handle (for composing with the rest of the
+    * engine — export, search, inference): inside an open native
+    * transaction this is the read-only overlay [[viewHandle]] — it
+    * never commits, so a later rollback still discards; outside a
+    * transaction there is nothing pending and it IS the store. */
+  def connection: Graft = { checkOpen(); viewHandle }
 }
 
 object ObjectManager {
@@ -376,6 +406,9 @@ final class Gpo private[gom] (om: ObjectManager, val id: String) {
   private[gom] def beginLoad(): Unit = { fwd.clear(); rev.clear() }
   private[gom] def endLoad(): Unit = loaded = true
   private[gom] def invalidate(): Unit = { loaded = false; fwd.clear(); rev.clear() }
+  /** rollback: drop cached state AND revive a handle whose remove()
+    * was never committed — the store still holds the resource. */
+  private[gom] def rollbackReset(): Unit = { invalidate(); dead = false }
 
   def getObjectManager: ObjectManager = om
 
@@ -455,17 +488,20 @@ final class Gpo private[gom] (om: ObjectManager, val id: String) {
 
   private[gom] def buffer(adds: Seq[(String, String, String)],
                           removes: Seq[(String, String, String)]): Unit = {
+    // fix-ups touch only ALREADY-CANONICALIZED handles (peek, not
+    // getGPO — interning a Gpo per literal value written would grow
+    // the object table without bound)
     removes.foreach { t =>
       if (om.pendingAdds.contains(t)) om.pendingAdds -= t else om.pendingRemoves += t
       val (s, p, o) = t
-      om.getGPO(s).fwdIfLoaded(_ -= ((p, o)))
-      om.getGPO(o).revIfLoaded(_ -= ((s, p)))
+      om.peek(s).foreach(_.fwdIfLoaded(_ -= ((p, o))))
+      om.peek(o).foreach(_.revIfLoaded(_ -= ((s, p))))
     }
     adds.foreach { t =>
       if (om.pendingRemoves.contains(t)) om.pendingRemoves -= t else om.pendingAdds += t
       val (s, p, o) = t
-      om.getGPO(s).fwdIfLoaded(_ += ((p, o)))
-      om.getGPO(o).revIfLoaded(_ += ((s, p)))
+      om.peek(s).foreach(_.fwdIfLoaded(_ += ((p, o))))
+      om.peek(o).foreach(_.revIfLoaded(_ += ((s, p))))
     }
     om.autoFlush()
   }
@@ -510,9 +546,10 @@ final class Gpo private[gom] (om: ObjectManager, val id: String) {
     * constant-list filter at flush, not a join. */
   def remove(): Unit = {
     checkLive(); materialize()
-    // fix up canonicalized neighbors' in-memory views
-    fwd.toSeq.foreach { case (p, o) => om.getGPO(o).revIfLoaded(_ -= ((id, p))) }
-    rev.toSeq.foreach { case (s, p) => om.getGPO(s).fwdIfLoaded(_ -= ((p, id))) }
+    // fix up canonicalized neighbors' in-memory views (peek: a
+    // neighbor never interned needs no fix-up)
+    fwd.toSeq.foreach { case (p, o) => om.peek(o).foreach(_.revIfLoaded(_ -= ((id, p)))) }
+    rev.toSeq.foreach { case (s, p) => om.peek(s).foreach(_.fwdIfLoaded(_ -= ((p, id)))) }
     om.pendingAdds.filterInPlace { case (s, _, o) => s != id && o != id }
     om.pendingRemoves.filterInPlace { case (s, _, o) => s != id && o != id }
     om.pendingRemovedResources += id
@@ -587,7 +624,7 @@ final class BasicSkin(val gpo: Gpo) extends GenericSkin {
   // driver-side facet strip of the string term model: "lex"@tag /
   // "lex"^^dt → lex (the Column twin is RdfLiteral.strOf)
   private def lex(t: String): String = {
-    val m = "^\"(.*)\"(@[A-Za-z0-9-]+|\\^\\^\\S+)$".r
+    val m = "(?s)^\"(.*)\"(@[A-Za-z0-9-]+|\\^\\^\\S+)$".r
     t match { case m(l, _) => l; case _ => t }
   }
   def getString(p: String): Option[String] = gpo.getValue(p).map(lex)

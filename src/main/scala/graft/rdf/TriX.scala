@@ -43,7 +43,9 @@ object TriX {
       .parse(new java.io.ByteArrayInputStream(content.getBytes("UTF-8")))
     val docScope = Scope.of(content)
     val root = doc.getDocumentElement
-    if (root.getLocalName != "TriX") sys.error(s"trix: root is <${root.getTagName}>, expected <TriX>")
+    if (root.getLocalName != "TriX" || root.getNamespaceURI != Ns)
+      sys.error(s"trix: root is <${root.getTagName}> in namespace " +
+        s"${root.getNamespaceURI}, expected <TriX> in $Ns")
 
     def kids(e: Element): Vector[Element] = {
       val nl = e.getChildNodes

@@ -70,6 +70,18 @@ object ServiceVectoring {
   def textVars(groupText: String): Set[String] =
     "\\?([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(groupText).map(_.group(1)).toSet
 
+  /** Injection is semantics-preserving only for CONJUNCTIVE groups:
+    * under OPTIONAL a key with no remote match yields an
+    * (key, unbound) solution the unvectored evaluation never produces,
+    * and under MINUS / (NOT) EXISTS the injected bindings change which
+    * variables the negation's domains share. Those groups keep the
+    * plain unconstrained fetch. */
+  private val scopeSensitive =
+    "(?i)\\b(OPTIONAL|MINUS|EXISTS)\\b".r
+
+  def injectionSafe(groupText: String): Boolean =
+    scopeSensitive.findFirstIn(groupText).isEmpty
+
   /** Vectoring applies to a JOINED remote service with source text:
     * never to local registry handlers (they see the store directly). */
   def applies(sc: ServiceCall): Boolean =
@@ -87,19 +99,23 @@ object ServiceVectoring {
     val remote = ServiceRegistry.lookupRemote(sc.endpoint).get
     val srcText = sc.srcText.get
     def unit = spark.range(1).select()
+    // SILENT failure = joining the UNIT solution (the pre-vectoring
+    // contract): the enclosing join keeps the left rows unchanged.
+    // Only the service evaluation is attempted — never the home join.
     def attempt(f: => DataFrame): DataFrame =
       if (!sc.silent) f
       else try f catch { case scala.util.control.NonFatal(_) => unit }
 
     val sharedVars = left.columns.toSeq.filter(textVars(srcText))
-    if (sharedVars.isEmpty) return join(left, attempt(remote(srcText)))
+    if (sharedVars.isEmpty || !injectionSafe(srcText))
+      return join(left, attempt(remote(srcText)))
 
     val maxKeys = spark.conf.getOption("graft.service.vectorMaxKeys")
       .map(_.toInt).getOrElse(1000)
     val chunkSize = spark.conf.getOption("graft.service.vectorSize")
       .map(_.toInt).getOrElse(50)
 
-    attempt {
+    val service = attempt {
       // ONE bounded probe job: the distinct shared keys (the remote
       // round-trips this replaces cost far more than the probe)
       val keyRows = left.select(sharedVars.map(F.col): _*)
@@ -109,22 +125,20 @@ object ServiceVectoring {
           sparqlToken(if (r.isNullAt(i)) null else r.get(i).toString))
         if (ts.forall(_.isDefined)) Some(ts.map(_.get)) else None
       }
-      val service =
-        if (keyRows.isEmpty) {
-          // no local solutions: the join result is empty for inner
-          // semantics regardless of the remote — skip the round-trip
-          // but keep the service's column shape out of it (joinOn
-          // against an empty left yields empty either way)
-          remote(inject(srcText, valuesClause(sharedVars, Nil)))
-        } else if (keyRows.length > maxKeys || tokens.exists(_.isEmpty)) {
-          // too many keys, or an unbound/bnode key VALUES can't say
-          remote(srcText)
-        } else {
-          tokens.flatten.grouped(chunkSize).map { chunk =>
-            remote(inject(srcText, valuesClause(sharedVars, chunk)))
-          }.reduce(_ unionAll _)
-        }
-      join(left, service)
+      if (keyRows.isEmpty) {
+        // no local solutions: the join result is empty for inner
+        // semantics regardless of the remote — an empty VALUES block
+        // makes the endpoint's evaluation trivial too
+        remote(inject(srcText, valuesClause(sharedVars, Nil)))
+      } else if (keyRows.length > maxKeys || tokens.exists(_.isEmpty)) {
+        // too many keys, or an unbound/bnode key VALUES can't say
+        remote(srcText)
+      } else {
+        tokens.flatten.grouped(chunkSize).map { chunk =>
+          remote(inject(srcText, valuesClause(sharedVars, chunk)))
+        }.reduce(_ unionAll _)
+      }
     }
+    join(left, service)
   }
 }

@@ -75,7 +75,7 @@ class GomSpec extends AnyFunSuite {
     val om = freshOm()
     val t = om.beginNativeTransaction()
     val gpo = om.createGPO()
-    assert(gpo.id == "gpo:#1")
+    assert(gpo.id.startsWith("gpo:#") && gpo.id.endsWith("-1"))
     gpo.setValue("type", "Marker")
     gpo.setValue("at", "n:1")
     // read-your-writes before commit, through BOTH surfaces
@@ -234,5 +234,79 @@ class GomSpec extends AnyFunSuite {
     val g = om.connection
     assert(g.query("""SELECT ?n WHERE { "n:1" name ?n }""")
       .collect().map(_.getString(0)).toSeq == Seq("X"))
+  }
+
+  test("rollback revives a handle whose remove() was never committed") {
+    val om = freshOm()
+    om.beginNativeTransaction()
+    val n1 = om.getGPO("n:1")
+    n1.remove()
+    intercept[IllegalStateException](n1.getValue("name"))
+    om.rollbackNativeTransaction()
+    // the store never saw the removal — the canonical handle lives
+    assert(n1.getValue("name").contains("FRANCE"))
+    assert(om.getGPO("n:1").getLinksOut("region").members.map(_.id) == Seq("r:1"))
+  }
+
+  test("a GPO materialized AFTER an uncommitted remove() sees no links to the removed object") {
+    val om = freshOm()
+    om.beginNativeTransaction()
+    om.getGPO("n:1").remove()
+    // r:1 materializes only NOW — its reverse set must not resurrect
+    // the removed n:1 (the evaluate() view already filters it)
+    assert(om.getGPO("r:1").getLinksIn("region").members.map(_.id) == Seq("n:3"))
+    assert(om.evaluate("""SELECT ?x WHERE { ?x region "r:1" }""")
+      .collect().map(_.getString(0)).toSeq == Seq("n:3"))
+    om.rollbackNativeTransaction()
+  }
+
+  test("connection inside a transaction is a read-only view; rollback still discards") {
+    val om = freshOm()
+    om.beginNativeTransaction()
+    om.getGPO("n:1").setValue("name", "UNCOMMITTED")
+    // the view sees the dirty write...
+    assert(om.connection.query("""SELECT ?n WHERE { "n:1" name ?n }""")
+      .collect().map(_.getString(0)).toSeq == Seq("UNCOMMITTED"))
+    om.rollbackNativeTransaction()
+    // ...but taking it committed nothing
+    assert(om.getGPO("n:1").getValue("name").contains("FRANCE"))
+  }
+
+  test("durable: remove-then-re-add in one transaction ends present, like the in-memory twin") {
+    import graft.rdf.Repository
+    val dir = java.nio.file.Files.createTempDirectory("graft_gom_readd").toString
+    val repo = Repository.create(spark, dir)
+    repo.update("""INSERT DATA { "n:3" region "r:9" . "r:9" name "ATLANTIS" }""")
+    val om = graft.gom.ObjectManager.durable(repo)
+    val t = om.beginNativeTransaction()
+    val n3 = om.getGPO("n:3").materialize()
+    om.getGPO("r:9").remove()
+    n3.addValue("region", "r:9")            // re-assert the link
+    om.commitNativeTransaction(t)
+    val got = Repository.open(spark, dir).connection()
+      .query("""SELECT ?p ?o WHERE { ?s ?p ?o . FILTER(?o = "r:9" || ?s = "r:9") }""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the re-added link survives; r:9's own name statement is gone
+    assert(got == Set(("region", "r:9")), s"got $got")
+  }
+
+  test("minted ids are unique across managers over one durable repository") {
+    import graft.rdf.Repository
+    val dir = java.nio.file.Files.createTempDirectory("graft_gom_ids").toString
+    val repo = Repository.create(spark, dir)
+    val a = graft.gom.ObjectManager.durable(repo)
+    val id1 = a.createGPO().id
+    a.getGPO(id1).setValue("type", "Marker")
+    a.close()
+    val b = graft.gom.ObjectManager.durable(Repository.open(spark, dir))
+    val id2 = b.createGPO().id
+    assert(id1 != id2, "a second session must not re-mint a persisted id")
+    assert(b.getGPO(id2).getStatements.isEmpty)
+  }
+
+  test("BasicSkin strips facets of multi-line literals") {
+    val om = freshOm()
+    om.getGPO("n:1").setValue("note", "\"line1\nline2\"@en")
+    assert(om.getGPO("n:1").asClass[BasicSkin].getString("note").contains("line1\nline2"))
   }
 }

@@ -955,6 +955,36 @@ class ParserSpec extends AnyFunSuite {
       assert(graft.sparql.ServiceVectoring.sparqlToken("a \"quoted\" word")
         .contains("\"a \\\"quoted\\\" word\""))
       assert(graft.sparql.ServiceVectoring.sparqlToken("_:b").isEmpty)
+      // scope-sensitive groups (OPTIONAL/MINUS/EXISTS) must NOT take
+      // injection — a key with no remote match would manufacture an
+      // (key, unbound) solution the unvectored evaluation never yields
+      received.clear()
+      run(
+        s"""SELECT ?r ?nm WHERE {
+           |  ?r type "Region" .
+           |  SERVICE <$ep> { ?r type "Region" OPTIONAL { ?r name ?nm } }
+           |}""".stripMargin).collect()
+      assert(received.length == 1 && !received(0).contains("VALUES"))
+      received.clear()
+      run(
+        s"""SELECT ?r WHERE {
+           |  ?r type "Region" .
+           |  SERVICE <$ep> { ?r name ?nm MINUS { ?r name "AFRICA" } }
+           |}""".stripMargin).collect()
+      assert(received.length == 1 && !received(0).contains("VALUES"))
+      // SILENT + endpoint failure keeps the pre-vectoring contract:
+      // the unit solution joins in and the left rows survive
+      val boom = "http://boom.example/sparql"
+      graft.sparql.ServiceRegistry.registerRemote(boom,
+        _ => sys.error("endpoint down"))
+      try {
+        val kept = run(
+          s"""SELECT ?r WHERE {
+             |  ?r type "Region" .
+             |  SERVICE SILENT <$boom> { ?r name ?nm }
+             |}""".stripMargin).collect()
+        assert(kept.length == 5, s"SILENT failure must keep left rows, got ${kept.length}")
+      } finally graft.sparql.ServiceRegistry.unregisterRemote(boom)
     } finally {
       spark.conf.unset("graft.service.vectorSize")
       spark.conf.unset("graft.service.vectorMaxKeys")

@@ -706,7 +706,9 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     "text/turtle" -> "ttl", "application/x-turtle" -> "ttl",
     "application/n-triples" -> "nt", "text/plain" -> "nt",
     "application/rdf+xml" -> "rdf", "application/ld+json" -> "jsonld",
-    "application/n-quads" -> "nq", "application/trig" -> "trig")
+    "application/n-quads" -> "nq", "application/trig" -> "trig",
+    "application/trix" -> "trix", "application/rdf+json" -> "rj",
+    "text/rdf+n3" -> "n3", "text/n3" -> "n3")
 
   private def rdfExtension(ct: String): Option[String] =
     rdfContentTypes.get(ct.split(';').head.trim.toLowerCase)

@@ -46,6 +46,29 @@ class ServerSpec extends AnyFunSuite {
       // an unparseable document is a loud 400, not silent data loss
       assert(post(srv.address + "/sparql", "this is not turtle @@@",
         "text/turtle").statusCode() == 400)
+      // the round-14 Rio format tail negotiates too: TriX quads keep
+      // their graph, RDF/JSON and N3 land as triples
+      val trix = post(srv.address + "/sparql",
+        """<?xml version="1.0"?>
+          |<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">
+          |  <graph><uri>urn:graft:g:tx</uri>
+          |    <triple><uri>urn:graft:x:7</uri><uri>urn:graft:x:label</uri>
+          |      <plainLiteral>crank</plainLiteral></triple>
+          |  </graph>
+          |</TriX>""".stripMargin, "application/trix")
+      assert(trix.statusCode() == 200 && trix.body().contains("""modified="1""""),
+        trix.body())
+      val gtx = post(srv.address + "/sparql",
+        "SELECT ?s WHERE { GRAPH <urn:graft:g:tx> { ?s ?p ?l } }",
+        "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, gtx.body()).count() == 1)
+      val rj = post(srv.address + "/sparql",
+        """{"urn:graft:x:8": {"urn:graft:x:label": [{"value": "rim", "type": "literal"}]}}""",
+        "application/rdf+json")
+      assert(rj.statusCode() == 200 && rj.body().contains("""modified="1""""))
+      val n3 = post(srv.address + "/sparql",
+        """@prefix x: <urn:graft:x:> . x:9b x:label "spoke" .""", "text/n3")
+      assert(n3.statusCode() == 200 && n3.body().contains("""modified="1""""))
       // form update= dispatches from the bare /sparql endpoint too
       assert(post(srv.address + "/sparql",
         "update=" + java.net.URLEncoder.encode(
@@ -76,7 +99,7 @@ class ServerSpec extends AnyFunSuite {
       val left = post(srv.address + "/sparql",
         "SELECT ?s WHERE { ?s <urn:graft:x:label> ?l }", "application/sparql-query")
       assert(graft.sparql.RemoteService.parseJsonResults(spark, left.body())
-        .collect().map(_.getString(0)).toSeq == Seq("x:2"))
+        .collect().map(_.getString(0)).toSet == Set("x:2", "x:7", "x:8", "x:9b"))
     } finally srv.stop()
   }
 

@@ -127,10 +127,21 @@ final case class Graft(spark: SparkSession, store: QuadStore,
     * rather than accumulate checkpoint blocks. */
   def update(q: String): Graft = updateOps(Parser.parseUpdates(q))
 
+  /** A handle over MUTATED in-memory state. The durable accelerators
+    * — the object-hash twin and the persisted text index — describe
+    * the COMMITTED version this handle was resolved from; consulted
+    * after an in-memory mutation they would answer over stale data
+    * (a hit→subject join missing the new triple, an index search
+    * missing the new literal), so they DROP here and queries take the
+    * live-corpus paths. The next commit's connection re-resolves
+    * them ([[graft.rdf.Repository.connection]]). */
+  def withStore(newStore: QuadStore): Graft =
+    copy(store = newStore, ospHash = None, textIndex = None)
+
   /** Apply ALREADY-PARSED (possibly transformed) update ops — the
     * protocol-dataset seam ([[sparql.ProtocolDataset.usingIn]]). */
   def updateOps(ops: Seq[UpdateOp]): Graft =
-    copy(store = Update.applyQuadsSeq(store, ops, defaultGraph))
+    withStore(Update.applyQuadsSeq(store, ops, defaultGraph))
 
   /** Drop this handle's materialized union-default-graph view from
     * block storage (no-op if never materialized or already released).

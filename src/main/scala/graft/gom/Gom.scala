@@ -275,7 +275,7 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
         r.journal.commit(adds, dels)
         g = r.connection()
       case None =>
-        g = g.copy(store = QuadStore(applyDelta(g.store.quads)))
+        g = g.withStore(QuadStore(applyDelta(g.store.quads)))
     }
     old.release() // drop the superseded handle's merge view, if any
     pendingAdds.clear(); pendingRemoves.clear(); pendingRemovedResources.clear()
@@ -288,7 +288,7 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
     * the reference flushing dirty objects to its connection before a
     * query, but without committing (rollback still discards). */
   private def viewHandle: Graft =
-    if (!dirty) g else g.copy(store = QuadStore(applyDelta(g.store.quads)))
+    if (!dirty) g else g.withStore(QuadStore(applyDelta(g.store.quads)))
 
   /** SPARQL SELECT/ASK text → solution DataFrame (IObjectManager
     * .evaluate; the DataFrame IS the binding-set iterator). */

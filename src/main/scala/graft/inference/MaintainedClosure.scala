@@ -115,9 +115,13 @@ final class MaintainedClosure private (spark: SparkSession,
       .filter(col("p").isin(canonPreds(o): _*))
     val ids = d.select(col("s").as("id")).unionAll(d.select(col("o").as("id")))
       .distinct()
+    // no broadcast HINT on the delta id set: a bulk seed commit makes
+    // it corpus-sized, and a forced broadcast bypasses AQE's size
+    // check (driver/executor OOM risk); AQE broadcasts small deltas
+    // on its own and shuffles the bulk case safely
     val aliased = !coRef.select(col("s").as("id"))
       .unionAll(coRef.select(col("o").as("id")))
-      .join(broadcast(ids), Seq("id"), "left_semi")
+      .join(ids, Seq("id"), "left_semi")
       .isEmpty
     if (!touchesStructural && !aliased) "fast" else "mid"
   }
@@ -135,21 +139,25 @@ final class MaintainedClosure private (spark: SparkSession,
         .select(col("o").as("s"), lit(q).as("p"), col("s").as("o"))
     }
     val seeded = (dn +: preMirrors).reduce(_ unionAll _).distinct().localCheckpoint()
-    val closedNow = closure().localCheckpoint()
+    // only the TOUCHED transitive predicates' closed edges are ever
+    // composed against — materialize exactly that slice, and only
+    // when some predicate is actually touched. Checkpointing the whole
+    // closure here would be an O(store) pass on every small structural
+    // commit (the tier's delta-bounded claim would be false).
+    val touched = o.transitive.filter(p => !seeded.filter(col("p") === p).isEmpty)
+    lazy val closedSlice = closure().filter(col("p").isin(touched: _*))
+      .localCheckpoint()
     // per touched transitive predicate: new pairs against the closed
     // store's ALREADY-CLOSED p-edges (they include prior mirrors, so
     // symmetric+transitive composition carries through exactly like
     // the batch stratification)
-    val tcNew = o.transitive.flatMap { p =>
+    val tcNew = touched.map { p =>
       val dp = seeded.filter(col("p") === p)
         .select(col("s").as("from"), col("o").as("to"))
-      if (dp.isEmpty) None
-      else {
-        val tp = closedNow.filter(col("p") === p)
-          .select(col("s").as("from"), col("o").as("to"))
-        Some(Owl.incrementalTc(tp, dp)
-          .select(col("from").as("s"), lit(p).as("p"), col("to").as("o")))
-      }
+      val tp = closedSlice.filter(col("p") === p)
+        .select(col("s").as("from"), col("o").as("to"))
+      Owl.incrementalTc(tp, dp)
+        .select(col("from").as("s"), lit(p).as("p"), col("to").as("o"))
     }
     val newClosed = (seeded +: tcNew).reduce(_ unionAll _).localCheckpoint()
     // post-mirror: new closed edges reflect into the inverse partner

@@ -244,10 +244,15 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
     if (anyPostings) writeAdds(live, k)
     if (anyDocs)
       ids.write.mode("errorifexists").parquet(segPath(k, "docs").toString)
+    // an EMPTY live state still keeps the segment-k WATERMARK: a
+    // flagless marker batch (view reads per-flag, so it contributes
+    // nothing; vacuum references nothing from it). Dropping to Nil
+    // would reset k to 0 while superseded seg-0-* files remain on
+    // disk, wedging the next update()'s errorifexists write.
     meta = meta.copy(batches =
       if (anyPostings || anyDocs)
         Seq(Batch(k, adds = anyPostings, gone = false, docs = anyDocs))
-      else Nil)
+      else Seq(Batch(k, adds = false, gone = false, docs = false)))
     writeMeta(dir, meta)
   }
 

@@ -265,9 +265,14 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         graft.rdf.TextIndexMaintenance.sync(ix, repo.journal)
         // the journal's compaction moment is the index's too: collapse
         // its segment log so steady-state search reads ONE postings
-        // scan (superseded segment files stay for in-flight readers —
-        // the index compact/vacuum split)
-        if (compacting) ix.compact()
+        // scan. Reclaim discipline: vacuum FIRST — it deletes only
+        // files the CURRENT manifest no longer references, i.e. the
+        // generation superseded by the PREVIOUS compaction, giving
+        // in-flight readers a full compaction cycle of grace — then
+        // compact, whose freshly superseded files stay until the NEXT
+        // cycle. Without the vacuum the server leaks a full postings
+        // copy per compaction (disk grows O(cycles × index)).
+        if (compacting) { ix.vacuum(); ix.compact() }
       }
     }
     // writes serialize per namespace (the reference's single-writer
@@ -478,7 +483,9 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     require(tx.ns == ns, s"transaction $id belongs to namespace ${tx.ns}, not $ns")
     tx.items.synchronized { tx.items.toVector }.foldLeft(tx.base) {
       case (h, Left(text)) => h.update(text)
-      case (h, Right(df))  => h.copy(store = h.store.insertQuads(df))
+      // withStore: the staged writes invalidate the committed-version
+      // accelerators (osp twin / text index) for THIS view
+      case (h, Right(df))  => h.withStore(h.store.insertQuads(df))
     }
   }
 
@@ -788,7 +795,10 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       if (ex.getRequestMethod == "HEAD") {
         // HEAD /sparql: endpoint liveness probe (generic clients and
         // monitors send it; the reference's servlets inherit it from
-        // HttpServlet) — status + headers, NO body
+        // HttpServlet) — status + headers, NO body. The namespace must
+        // resolve FIRST: a monitor probing a deleted namespace must
+        // see the same 4xx a GET would, not a healthy 200
+        tenant(ns)
         ex.getResponseHeaders.set("Content-Type", "application/n-triples")
         ex.sendResponseHeaders(200, -1)
         ex.close()

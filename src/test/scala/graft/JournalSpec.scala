@@ -303,6 +303,13 @@ class JournalSpec extends AnyFunSuite {
     assert(g2.ospHash.isDefined)
     val q2 = q.replace("alpha", "gamma")
     assert(g2.query(q2).collect().map(_.getString(0)).toSeq == Seq("x:d"))
+    // an IN-MEMORY mutation on a twin-bearing handle drops the
+    // accelerator too: the twin describes the committed version, and a
+    // hit→subject join through it would miss the staged triple
+    val staged = g2.update("""INSERT DATA { x:e note "gamma fresh" }""")
+    assert(staged.ospHash.isEmpty && staged.textIndex.isEmpty,
+      "update must clear committed-version accelerators")
+    assert(staged.query(q2).collect().map(_.getString(0)).toSeq == Seq("x:d", "x:e"))
   }
 
   test("open() reattaches; create() on an existing journal and version races fail loud") {

@@ -162,6 +162,26 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(ix.liveDocIds.collect().map(_.getString(0)).toSet == Set("2", "3"))
   }
 
+  test("compact of an EMPTIED index keeps the segment watermark; updates continue") {
+    val dir = tmp("cw")
+    val ix = PersistedSearchIndex.create(spark, dir,
+      Seq(("1", "alpha beta")).toDF("doc_id", "text"))
+    ix.update(Seq.empty[(String, String)].toDF("doc_id", "text"),
+      Seq("1").toDF("doc_id"), toVersion = 1L)
+    ix.compact() // live state is empty; superseded seg-0/1 files stay
+    assert(ix.view.postings.isEmpty)
+    // the watermark survives: the next batch must not collide with the
+    // retained seg-0 files (pre-fix: errorifexists threw, wedging
+    // every later write until a manual vacuum)
+    ix.update(Seq(("9", "gamma")).toDF("doc_id", "text"),
+      Seq.empty[String].toDF("doc_id"), toVersion = 2L)
+    assert(FullText.searchIndexAll(ix.view.postings, ix.view.nDocs, Seq("gamma"))
+      .collect().map(_.getString(0)).toSeq == Seq("9"))
+    // reopen sees the same state (the marker batch round-trips)
+    val re = PersistedSearchIndex.open(spark, dir)
+    assert(re.view.nDocs == 1 && re.liveDocIds.collect().map(_.getString(0)).toSeq == Seq("9"))
+  }
+
   test("update rejects a doc_id in both sides of one batch") {
     val ix = PersistedSearchIndex.create(spark, tmp("dj"),
       Seq(("1", "alpha")).toDF("doc_id", "text"))

@@ -707,6 +707,11 @@ class ServerSpec extends AnyFunSuite {
       val r4 = send(req(srv.address + "/sparql")
         .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()))
       assert(r4.statusCode() == 200 && r4.body().isEmpty, r4.body().take(200))
+      // HEAD resolves the namespace FIRST — a liveness probe on a
+      // nonexistent namespace must fail like a GET would, not 200
+      val r4b = send(req(srv.address + "/namespace/never-created/sparql")
+        .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()))
+      assert(r4b.statusCode() / 100 == 4, s"got ${r4b.statusCode()}")
       // malformed query → 400 with a text/plain message
       val r5 = post(srv.address + "/sparql", "SELECT WHERE garbage {{",
         "application/sparql-query")
@@ -744,6 +749,27 @@ class ServerSpec extends AnyFunSuite {
       assert(r.statusCode() == 200, r.body().take(300))
       assert(graft.sparql.RemoteService.parseJsonResults(spark, r.body())
         .collect().map(_.getString(0)).toSeq == Seq("the spark engine"))
+      // bounded reclaim: every compaction cycle vacuums the generation
+      // the PREVIOUS cycle superseded, so segment count stays O(1)
+      // instead of leaking one full postings copy per cycle
+      for (i <- 2 to 6)
+        assert(post(srv.address + "/namespace/acix/sparql/update",
+          s"""INSERT DATA { x:$i note "commit number $i" }""",
+          "application/sparql-update").statusCode() == 204)
+      val ixDir = java.nio.file.Paths.get(root, "acix", "textindex")
+      val segs = {
+        val ls = java.nio.file.Files.list(ixDir)
+        try ls.toArray.map(_.toString).count(n =>
+          n.contains("seg-") && n.endsWith("-adds.parquet"))
+        finally ls.close()
+      }
+      assert(segs <= 3, s"expected bounded postings generations, found $segs adds segments")
+      // and the search surface still answers over the current state
+      val r2 = post(srv.address + "/namespace/acix/sparql",
+        """SELECT ?lit WHERE {
+          |  SERVICE bds:search { _:s bds:query "number" . _:s bds:out ?lit }
+          |} ORDER BY ?lit""".stripMargin, "application/sparql-query")
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, r2.body()).count() == 5)
     } finally srv.stop()
   }
 

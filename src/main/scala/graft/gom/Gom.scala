@@ -190,8 +190,15 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
   def rollbackNativeTransaction(): Unit = {
     checkOpen()
     txDepth = 0
+    // only handles removed IN THIS transaction revive — a remove()
+    // already committed (earlier transaction or auto-commit) is real,
+    // and resurrecting its handle would let writes silently re-create
+    // the deleted resource
+    val removedNow = pendingRemovedResources.toSet
     pendingAdds.clear(); pendingRemoves.clear(); pendingRemovedResources.clear()
-    table.valuesIterator.foreach(_.rollbackReset())
+    table.valuesIterator.foreach { gp =>
+      if (removedNow.contains(gp.id)) gp.rollbackReset() else gp.invalidate()
+    }
   }
 
   def getNativeTransactionCounter: Int = txDepth
@@ -406,8 +413,9 @@ final class Gpo private[gom] (om: ObjectManager, val id: String) {
   private[gom] def beginLoad(): Unit = { fwd.clear(); rev.clear() }
   private[gom] def endLoad(): Unit = loaded = true
   private[gom] def invalidate(): Unit = { loaded = false; fwd.clear(); rev.clear() }
-  /** rollback: drop cached state AND revive a handle whose remove()
-    * was never committed — the store still holds the resource. */
+  /** rollback of a handle removed IN the rolled-back transaction:
+    * drop cached state AND revive it — the store still holds the
+    * resource (committed removes keep their dead handles). */
   private[gom] def rollbackReset(): Unit = { invalidate(); dead = false }
 
   def getObjectManager: ObjectManager = om

@@ -144,7 +144,11 @@ final class MaintainedClosure private (spark: SparkSession,
     // when some predicate is actually touched. Checkpointing the whole
     // closure here would be an O(store) pass on every small structural
     // commit (the tier's delta-bounded claim would be false).
-    val touched = o.transitive.filter(p => !seeded.filter(col("p") === p).isEmpty)
+    // ONE job answers "which transitive predicates does the delta
+    // touch" (seeded is checkpointed and delta-sized; a per-predicate
+    // isEmpty would pay one driver round-trip each)
+    val present = seeded.select("p").distinct().collect().map(_.getString(0)).toSet
+    val touched = o.transitive.filter(present)
     lazy val closedSlice = closure().filter(col("p").isin(touched: _*))
       .localCheckpoint()
     // per touched transitive predicate: new pairs against the closed

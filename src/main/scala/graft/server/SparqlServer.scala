@@ -157,9 +157,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     def updateOps(ops: Seq[graft.sparql.UpdateOp]): Unit = {
       ref.updateAndGet(_.updateOps(ops)); ()
     }
+    // every mutation routes through withStore: a handle seeded from a
+    // twin/index-bearing connection must not keep serving the
+    // committed-version accelerators over mutated in-memory state
     def ingest(quads: DataFrame): Long = {
       val q = quads.localCheckpoint()
-      ref.updateAndGet(g => g.copy(store = g.store.insertQuads(q)))
+      ref.updateAndGet(g => g.withStore(g.store.insertQuads(q)))
       q.count()
     }
     def remove(spo: DataFrame): Long = {
@@ -168,17 +171,17 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         .join(spo.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
           keys, "left_semi")
         .localCheckpoint()
-      ref.updateAndGet(g => g.copy(store =
+      ref.updateAndGet(g => g.withStore(
         QuadStore(g.store.quads.join(doomed, Seq("s", "p", "o", "g"), "left_anti"))))
       doomed.count()
     }
     def putGraph(g: String, quads: DataFrame): Unit = {
       val q = quads.localCheckpoint()
-      ref.updateAndGet(h => h.copy(store = h.store.dropGraph(g).insertQuads(q)))
+      ref.updateAndGet(h => h.withStore(h.store.dropGraph(g).insertQuads(q)))
       ()
     }
     def dropGraph(g: String): Unit = {
-      ref.updateAndGet(h => h.copy(store = h.store.dropGraph(g)))
+      ref.updateAndGet(h => h.withStore(h.store.dropGraph(g)))
       ()
     }
     def commitStaged(items: Seq[Either[String, DataFrame]],
@@ -187,7 +190,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       // updateAndGet applies the whole staged sequence atomically
       ref.updateAndGet(g0 => items.foldLeft(g0) {
         case (h, Left(text)) => h.update(text)
-        case (h, Right(df))  => h.copy(store = h.store.insertQuads(df))
+        case (h, Right(df))  => h.withStore(h.store.insertQuads(df))
       })
       -1L
     }

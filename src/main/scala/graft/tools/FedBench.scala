@@ -23,6 +23,9 @@ object FedBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    // wanted subjects are x:{i*37}; every one must exist remotely or
+    // the sanity check on joined rows would fail confusingly
+    require(n > (k - 1) * 37, s"need remote n > ${(k - 1) * 37} for k=$k wanted keys")
     val spark = SparkSession.builder().master("local[8]").appName("fedbench")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -248,6 +248,19 @@ class GomSpec extends AnyFunSuite {
     assert(om.getGPO("n:1").getLinksOut("region").members.map(_.id) == Seq("r:1"))
   }
 
+  test("rollback does NOT revive a handle whose remove() was already committed") {
+    val om = freshOm()
+    val n2 = om.getGPO("n:2")
+    n2.remove() // auto-commits: the resource really is gone
+    om.beginNativeTransaction()
+    om.getGPO("n:3").setValue("name", "DROPPED")
+    om.rollbackNativeTransaction()
+    // the unrelated rollback must not resurrect the committed remove —
+    // a revived handle's writes would silently re-create the resource
+    intercept[IllegalStateException](n2.getValue("name"))
+    assert(om.evaluate("""SELECT ?p WHERE { "n:2" ?p ?o }""").count() == 0)
+  }
+
   test("a GPO materialized AFTER an uncommitted remove() sees no links to the removed object") {
     val om = freshOm()
     om.beginNativeTransaction()

@@ -521,20 +521,61 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   private val HistoryCap = 200
   private val history = new java.util.concurrent.ConcurrentLinkedDeque[Done]()
 
+  /** Thrown when a query's deadline cancels its job group. */
+  private final class QueryTimeout(val ms: Long)
+    extends RuntimeException(s"query timeout after $ms ms")
+
+  private val deadlines =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-query-deadline"); t.setDaemon(true); t
+    })
+
   /** Run `body`'s Spark jobs inside a cancellable job group: a
-    * `cancelQuery` on the UUID interrupts them cluster-wide. */
-  private def inJobGroup[T](ns: String, q: String)(body: => T): T = {
+    * `cancelQuery` on the UUID interrupts them cluster-wide, and a
+    * positive `timeoutMs` arms a deadline that does the same (the
+    * reference's query-timeout contract — the timeout interrupts the
+    * engine's running work, BigdataRDFContext.newQuery setTimeout;
+    * driver-side planning between jobs is not interruptible). */
+  private def inJobGroup[T](ns: String, q: String, timeoutMs: Long = 0L)(body: => T): T = {
     val id = java.util.UUID.randomUUID().toString
     val t0 = System.currentTimeMillis()
     running.put(id, Running(id, ns, q, t0))
     spark.sparkContext.setJobGroup(id, s"sparql:$ns", interruptOnCancel = true)
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val deadline =
+      if (timeoutMs <= 0) None
+      else Some(deadlines.schedule(new Runnable {
+        def run(): Unit = {
+          timedOut.set(true)
+          // AndFutureJobs: the deadline may fire between a query's
+          // jobs — later job submissions in the group must die too
+          spark.sparkContext.cancelJobGroupAndFutureJobs(id)
+        }
+      }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
     try body
-    finally {
+    catch {
+      case e: Throwable if timedOut.get() => throw new QueryTimeout(timeoutMs)
+    } finally {
+      deadline.foreach(_.cancel(false))
       spark.sparkContext.clearJobGroup(); running.remove(id); served.incrementAndGet()
       val now = System.currentTimeMillis()
       history.addFirst(Done(ns, q.replace('\n', ' ').take(120), now - t0, now))
       while (history.size > HistoryCap) history.pollLast()
     }
+  }
+
+  /** The request's query deadline in ms (0 = none): the reference's
+    * three knobs with its precedence — the X-BIGDATA-MAX-QUERY-MILLIS
+    * header overrides `maxQueryTimeMillis=` (ms) overrides `timeout=`
+    * (whole seconds; ≤0 = unlimited). BigdataRDFContext.getQueryTimeout. */
+  private def queryTimeoutMs(ex: HttpExchange,
+                             qp: Map[String, Option[String]]): Long = {
+    def num(s: String): Option[Long] = s.trim.toLongOption
+    Option(ex.getRequestHeaders.getFirst("X-BIGDATA-MAX-QUERY-MILLIS"))
+      .flatMap(num)
+      .orElse(qp.get("maxQueryTimeMillis").flatten.flatMap(num))
+      .orElse(qp.get("timeout").flatten.flatMap(num).map(_ * 1000L))
+      .filter(_ > 0).getOrElse(0L)
   }
 
   // ---- http plumbing ----------------------------------------------
@@ -860,6 +901,10 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         }
       }
     } catch {
+      case t: QueryTimeout =>
+        // a deadline kill is the SERVER giving up, not a bad request
+        try respond(ex, 503, "text/plain", t.getMessage)
+        catch { case scala.util.control.NonFatal(_) => ex.close() }
       case scala.util.control.NonFatal(e) =>
         // if a streamed response already committed its status line the
         // best we can do is drop the connection
@@ -909,7 +954,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
           respond(ex, 200, "text/plain", plan)
-        } else inJobGroup(ns, q) {
+        } else inJobGroup(ns, q, queryTimeoutMs(ex, qp)) {
           ast match {
             case _: Ask =>
               val b = df.collect().head.getBoolean(0)

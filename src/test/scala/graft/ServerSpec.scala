@@ -718,6 +718,23 @@ class ServerSpec extends AnyFunSuite {
       assert(r5.statusCode() == 400 &&
         r5.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"),
         s"${r5.statusCode()} ${r5.headers().map()}")
+      // query deadline (the reference's timeout=/maxQueryTimeMillis=/
+      // X-BIGDATA-MAX-QUERY-MILLIS knobs): a 1 ms budget kills the
+      // query's job group → 503 with the timeout message, not a 400
+      val slow = "SELECT ?s ?p ?o ?s2 ?p2 WHERE { ?s ?p ?o . ?s2 ?p2 ?o }"
+      val r6 = post(srv.address + "/sparql?maxQueryTimeMillis=1", slow,
+        "application/sparql-query")
+      assert(r6.statusCode() == 503 && r6.body().contains("timeout"),
+        s"${r6.statusCode()} ${r6.body().take(120)}")
+      // the same query without a deadline still answers
+      val r7 = post(srv.address + "/sparql", "ASK { ?s ?p ?o }",
+        "application/sparql-query")
+      assert(r7.statusCode() == 200)
+      // a generous deadline does not fire
+      val r8 = send(req(srv.address + "/sparql?timeout=60")
+        .header("Content-Type", "application/sparql-query")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("ASK { ?s ?p ?o }")))
+      assert(r8.statusCode() == 200, s"${r8.statusCode()} ${r8.body().take(120)}")
     } finally srv.stop()
   }
 

@@ -72,17 +72,27 @@ final class RemoteRepository(spark: SparkSession, root: String,
     * tx; journal-backed servers only). `defaultGraphUris` /
     * `namedGraphUris` supply the SPARQL 1.1 Protocol dataset
     * parameters (§2.1.4, repeatable) — the server evaluates the query
-    * against THAT dataset, overriding any FROM/FROM NAMED in `q`. */
+    * against THAT dataset, overriding any FROM/FROM NAMED in `q`.
+    * `maxQueryMillis` sets the server-side deadline via the
+    * X-BIGDATA-MAX-QUERY-MILLIS header (the reference
+    * RemoteRepository's setMaxQueryMillis); the server answers 503
+    * when it fires, surfaced here as a loud error. */
   def query(q: String, timestamp: Option[Long] = None,
             defaultGraphUris: Seq[String] = Nil,
-            namedGraphUris: Seq[String] = Nil): DataFrame = {
+            namedGraphUris: Seq[String] = Nil,
+            maxQueryMillis: Long = 0L): DataFrame = {
     val qs = timestamp.map(v => s"timestamp=$v").toSeq ++
       defaultGraphUris.map(g => s"default-graph-uri=${enc(g)}") ++
       namedGraphUris.map(g => s"named-graph-uri=${enc(g)}")
     val url = s"$base/sparql" + (if (qs.isEmpty) "" else qs.mkString("?", "&", ""))
-    val resp = send(req(url)
+    val b = req(url)
       .header("Content-Type", "application/sparql-query")
       .header("Accept", "application/sparql-results+json")
+    val withDeadline =
+      if (maxQueryMillis > 0)
+        b.header("X-BIGDATA-MAX-QUERY-MILLIS", maxQueryMillis.toString)
+      else b
+    val resp = send(withDeadline
       .POST(HttpRequest.BodyPublishers.ofString(q)), 200)
     RemoteService.parseJsonResults(spark, resp.body())
   }

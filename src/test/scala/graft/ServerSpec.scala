@@ -676,6 +676,13 @@ class ServerSpec extends AnyFunSuite {
       val qg = "SELECT ?g WHERE { GRAPH ?g { ?s val ?v } } ORDER BY ?g"
       assert(remote.query(qg, namedGraphUris = Seq("g:one"))
         .collect().map(_.getString(0)).toSeq == Seq("g:one"))
+      // the client's deadline knob rides the header; the server's 503
+      // surfaces as a loud client error (setMaxQueryMillis analog)
+      val slow = "SELECT ?s ?p ?o ?s2 ?p2 WHERE { ?s ?p ?o . ?s2 ?p2 ?o }"
+      val boom = intercept[Exception](remote.query(slow, maxQueryMillis = 1L))
+      assert(boom.getMessage.contains("503"), boom.getMessage)
+      // a generous deadline answers normally
+      assert(remote.query(q, maxQueryMillis = 60000L).count() == 2)
     } finally srv.stop()
   }
 

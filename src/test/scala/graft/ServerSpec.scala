@@ -583,6 +583,42 @@ class ServerSpec extends AnyFunSuite {
     } finally mem.stop()
   }
 
+  test("Thai namespace: dictionary segmentation through the persisted index, restart-stable") {
+    val root = tmp()
+    def hits(addr: String, q: String): Seq[String] = {
+      val body = s"""SELECT ?lit WHERE {
+                    |  SERVICE bds:search { _:s bds:query "$q" . _:s bds:out ?lit }
+                    |} ORDER BY ?lit""".stripMargin
+      val r = post(addr + "/namespace/thkb/sparql", body, "application/sparql-query")
+      assert(r.statusCode() == 200, r.body().take(300))
+      graft.sparql.RemoteService.parseJsonResults(spark, r.body())
+        .collect().map(_.getString(0)).toSeq
+    }
+    val srv = SparqlServer.durable(Graft.empty(spark), root).start()
+    try {
+      // per-namespace analyzer=thai + maintained index: the commit
+      // tokenizes through the dictionary BreakIterator, so a WORD
+      // query matches inside an unbroken Thai run — the thing both
+      // Latin (zero terms) and Unicode (mark-split fragments) get
+      // wrong for Thai
+      assert(post(srv.address + "/namespace",
+        "name=thkb&textIndex=true&analyzer=thai",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      assert(post(srv.address + "/namespace/thkb/sparql/update",
+        """INSERT DATA { x:a note "ฐานข้อมูลแบบกระจาย" . x:b note "การค้นหา" }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(hits(srv.address, "ข้อมูล") == Seq("ฐานข้อมูลแบบกระจาย"))
+    } finally srv.stop()
+    // restart: analyzer.conf + index reattach; query-side tokenization
+    // still agrees with the persisted postings
+    val srv2 = SparqlServer.durable(Graft.empty(spark), root).start()
+    try {
+      assert(hits(srv2.address, "กระจาย") == Seq("ฐานข้อมูลแบบกระจาย"))
+      val pr = send(req(srv2.address + "/namespace/thkb/properties").GET())
+      assert(pr.body().contains("thai"), pr.body())
+    } finally srv2.stop()
+  }
+
   test("protocol dataset parameters: default-graph-uri/named-graph-uri scope the query") {
     val g0 = Graft.empty(spark).update(
       """INSERT DATA {

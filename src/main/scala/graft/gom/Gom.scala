@@ -71,7 +71,6 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
   // COUNTER, not real isolation — begin increments, the matching
   // outermost commit flushes)
   private var txDepth = 0
-  private var txCounter = 0
 
   // buffered statement delta (ObjectMgrModel's dirty-object list,
   // kept as exact triples so the flush is two delta-keyed plans)
@@ -244,7 +243,6 @@ final class ObjectManager private (initial: Graft, repo: Option[Repository]) {
     * the exact delta (delta-sized segments, one head pass). */
   private def flush(): Unit = {
     if (!dirty) return
-    txCounter += 1
     import spark.implicits._
     val old = g
     repo match {

@@ -173,23 +173,30 @@ object Owl {
     val f1 = d.unionAll(comp(t, d)).unionAll(comp(d, t))
       .unionAll(comp(comp(t, d), t))
       .distinct().localCheckpoint()
+    // PATH DOUBLING: f1 already holds every path crossing exactly ONE
+    // delta edge (t is closed, so its runs are single edges), and
+    // composing the accumulator with itself doubles the number of
+    // delta edges a path may cross per round — k rounds cover 2^k
+    // delta edges on one path, so convergence depth is logarithmic in
+    // the longest delta chain (a 64-round cap is unreachable; the
+    // prior frontier∘f1 form grew linearly and a >64-edge chain in
+    // ONE commit failed loud)
     var acc = f1
-    var frontier = f1
     var rounds = 0
     var done = false
     while (!done && rounds < 64) {
-      val grown = comp(frontier, f1)
+      val grown = comp(acc, acc)
         .join(acc, Seq("from", "to"), "left_anti")
         .join(t, Seq("from", "to"), "left_anti")
         .distinct().localCheckpoint()
       if (grown.isEmpty) done = true
       else {
+        // disjoint by grown's anti-join; both sides internally distinct
         acc = acc.unionAll(grown).localCheckpoint()
-        frontier = grown
         rounds += 1
       }
     }
-    require(done, "incremental transitive closure did not converge in 64 rounds")
+    require(done, "incremental transitive closure did not converge (doubling, 64 rounds)")
     acc.join(t, Seq("from", "to"), "left_anti")
   }
 

@@ -63,8 +63,15 @@ object TextIndexMaintenance {
     val nCand = math.max(1L, candidateIds.count())
     val sketch = candidateIds.select(xxhash64(col("doc_id")).as("h"))
       .stat.bloomFilter("h", nCand, 0.01)
-    ix.liveDocIds.filter(
-      graft.functions.BloomExprs.bloom_might_contain(xxhash64(col("doc_id")), sketch))
+    // bloom prune (map-side, no shuffle over the sidecar) THEN the
+    // exact verify as a broadcast semi join keyed by the DELTA — the
+    // incremental-dedup discipline. Without the verify the survivors
+    // carry ~fpp × nDocs false positives of full literal text, which
+    // at a large index is an unbounded forced broadcast downstream.
+    ix.liveDocIds
+      .filter(
+        graft.functions.BloomExprs.bloom_might_contain(xxhash64(col("doc_id")), sketch))
+      .join(broadcast(candidateIds.select("doc_id")), Seq("doc_id"), "left_semi")
   }
 
   /** Catch `ix` up to the journal head; no-op when already current.

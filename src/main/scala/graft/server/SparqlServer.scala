@@ -695,14 +695,32 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         }.getOrElse(1.0)
         (parts.head.toLowerCase, q, i)
       }
-    val cands = for {
-      s <- supported
-      (t, q, i) <- ranges
-      if q > 0 && (t == s || t == "*/*" ||
-        (t.endsWith("/*") && s.startsWith(t.stripSuffix("*"))))
-    } yield (q, t == s, i, s)
-    if (cands.isEmpty) None
-    else Some(cands.minBy { case (q, exact, i, _) => (-q, !exact, i) }._4)
+    // RFC 7231 §5.3.2 precedence: a supported type's quality comes
+    // from its MOST SPECIFIC matching range (exact > type/* > */*) —
+    // a wildcard's q must not override the q the client put on the
+    // type itself
+    def spec(t: String, s: String): Int =
+      if (t == s) 3
+      else if (t != "*/*" && t.endsWith("/*") && s.startsWith(t.stripSuffix("*"))) 2
+      else if (t == "*/*") 1
+      else 0
+    val scored = supported.flatMap { s =>
+      val ms = ranges.filter { case (t, _, _) => spec(t, s) > 0 }
+      if (ms.isEmpty) None
+      else {
+        val (_, q, i) = ms.maxBy { case (t, _, i) => (spec(t, s), -i) }
+        Some((s, q, i))
+      }
+    }
+    if (scored.isEmpty) None // nothing parseable matched → loose-value dispatch
+    else {
+      val acceptable = scored.filter(_._2 > 0)
+      // every matched type carries q=0: the client excluded them all —
+      // RFC 7231 lets the server ignore the header; serve the default
+      // rather than an EXPLICITLY excluded type via substring dispatch
+      if (acceptable.isEmpty) Some(supported.head)
+      else Some(acceptable.minBy { case (_, q, i) => (-q, i) }._1)
+    }
   }
 
   /** Protocol dataset parameters of a request — from the URL query

@@ -75,11 +75,24 @@ object Compiler {
     var frontier = closure
     var i = 0
     var done = false
+    // depth ≤ LinearRounds runs the delta-cheap frontier∘step loop
+    // (per-round cost keyed by the NEW pairs — the shape that survives
+    // wide 100-TB edge sets); a graph still growing past that depth is
+    // chain-like, and the loop SWITCHES to path DOUBLING
+    // (closure∘closure: reachable path length doubles per round, so a
+    // depth-D chain converges in ~log₂D more rounds instead of D —
+    // a deep hierarchy asserted in one batch used to fail the cap)
+    val LinearRounds = 16
     while (!done && i < maxIters) {
-      val grown = frontier.join(
-          step.withColumnRenamed("from", "_m").withColumnRenamed("to", "_t"),
-          frontier("to") === col("_m"))
-        .select(col("from"), col("_t").as("to")).distinct()
+      val grown =
+        if (i < LinearRounds)
+          frontier.join(
+              step.withColumnRenamed("from", "_m").withColumnRenamed("to", "_t"),
+              frontier("to") === col("_m"))
+            .select(col("from"), col("_t").as("to")).distinct()
+        else
+          closure.as("l").join(closure.as("r"), col("l.to") === col("r.from"))
+            .select(col("l.from").as("from"), col("r.to").as("to")).distinct()
       val delta = grown.join(closure, Seq("from", "to"), "left_anti").localCheckpoint()
       if (delta.isEmpty) done = true
       else {

@@ -21,8 +21,12 @@ object ProtocolDataset {
     * without one gains the clause around its pattern. Only the
     * solution-modifier / query-form spine the parser assembles ABOVE
     * the dataset clause is descended. */
-  def overrideIn(ast: Algebra, defaults: Seq[String],
-                 named: Seq[String]): Algebra = {
+  def overrideIn(ast: Algebra, defaults0: Seq[String],
+                 named0: Seq[String]): Algebra = {
+    // the protocol dataset is a SET of graphs (§2.1.4) — a repeated
+    // default-graph-uri must not double solution multiplicity through
+    // the clause's unionAll merge
+    val (defaults, named) = (defaults0.distinct, named0.distinct)
     def go(a: Algebra): Option[Algebra] = a match {
       case DatasetClause(_, _, child) => Some(DatasetClause(defaults, named, child))
       case x @ Slice(c, _, _)         => go(c).map(n => x.copy(child = n))
@@ -48,8 +52,9 @@ object ProtocolDataset {
     * otherwise every template-WHERE op evaluates its WHERE against
     * the protocol dataset, and non-WHERE ops (data blocks, graph
     * management, LOAD) pass through untouched. */
-  def usingIn(ops: Seq[UpdateOp], defaults: Seq[String],
-              named: Seq[String]): Seq[UpdateOp] =
+  def usingIn(ops: Seq[UpdateOp], defaults0: Seq[String],
+              named0: Seq[String]): Seq[UpdateOp] = {
+    val (defaults, named) = (defaults0.distinct, named0.distinct)
     ops.map {
       case _: UsingClause | _: WithGraph =>
         throw new IllegalArgumentException(
@@ -59,4 +64,5 @@ object ProtocolDataset {
       case t: TemplateWhereOp => UsingClause(defaults, named, t)
       case other              => other
     }
+  }
 }

@@ -115,10 +115,15 @@ object ServiceVectoring {
     val chunkSize = spark.conf.getOption("graft.service.vectorSize")
       .map(_.toInt).getOrElse(50)
 
+    // the left side feeds BOTH the key probe and the home join — one
+    // materialization, not two evaluations (an expensive upstream
+    // would pay twice, and a nondeterministic one could produce keys
+    // the joined rows no longer carry)
+    val leftM = left.localCheckpoint()
     val service = attempt {
       // ONE bounded probe job: the distinct shared keys (the remote
       // round-trips this replaces cost far more than the probe)
-      val keyRows = left.select(sharedVars.map(F.col): _*)
+      val keyRows = leftM.select(sharedVars.map(F.col): _*)
         .distinct().limit(maxKeys + 1).collect()
       val tokens: Seq[Option[Seq[String]]] = keyRows.toSeq.map { r =>
         val ts = sharedVars.indices.map(i =>
@@ -139,6 +144,6 @@ object ServiceVectoring {
         }.reduce(_ unionAll _)
       }
     }
-    join(left, service)
+    join(leftM, service)
   }
 }

@@ -206,6 +206,23 @@ class MaintainedClosureSpec extends AnyFunSuite {
     assert(rowsOf(tm.closure()).contains(("d", "linked", "b")))
   }
 
+  test("OWL MID tier: one commit carrying a 100-edge transitive chain converges (path doubling)") {
+    import graft.inference.Owl
+    val owl = Owl.Ontology(transitive = Seq("within"))
+    val tm = MaintainedClosure.create(spark, tmp(), ont, Some(owl))
+    // seed one structural edge so the deep commit routes MID, then
+    // assert a 100-edge chain in ONE batch — the linear-frontier
+    // incrementalTc needed ~99 rounds and failed loud at 64; doubling
+    // converges in ~7
+    tm.assertTriples(Seq(("seed", "within", "v0")).toDF("s", "p", "o"))
+    val chain = (0 until 100).map(i => (s"v$i", "within", s"v${i + 1}"))
+    tm.assertTriples(chain.toDF("s", "p", "o"))
+    def batch(b: DataFrame) = Rdfs.closure(Owl.closure(b, owl), ont)
+    assert(sameSet(tm.closure(), batch(tm.base())), "deep chain in one commit")
+    assert(rowsOf(tm.closure()).contains(("v0", "within", "v100")))
+    assert(rowsOf(tm.closure()).contains(("seed", "within", "v100")))
+  }
+
   test("open() reattaches; compact seals both journals in step") {
     val dir = tmp()
     val tm = MaintainedClosure.create(spark, dir, ont)

@@ -643,6 +643,10 @@ class ServerSpec extends AnyFunSuite {
       // default graph is the MERGE of the listed graphs
       assert(rows(srv.address + "/sparql?default-graph-uri=g:one&default-graph-uri=g:two",
         q) == Seq("x:a", "x:b"))
+      // the dataset is a SET: the same graph listed twice must not
+      // double solution multiplicity through the merge union
+      assert(rows(srv.address + "/sparql?default-graph-uri=g:one&default-graph-uri=g:one",
+        q) == Seq("x:a"))
       // named-graph-uri scopes GRAPH patterns; absent → GRAPH matches
       // nothing under a protocol dataset (§13.2 empty named set)
       val qg = "SELECT ?g WHERE { GRAPH ?g { ?s val ?v } } ORDER BY ?g"
@@ -746,6 +750,21 @@ class ServerSpec extends AnyFunSuite {
       // POST with a declared media type no binding speaks → 415
       val r3 = post(srv.address + "/sparql", q, "application/unknown-thing")
       assert(r3.statusCode() == 415, s"${r3.statusCode()} ${r3.body().take(200)}")
+      // RFC 7231 most-specific precedence: the q the client put on the
+      // exact type beats a higher-q wildcard — CSV (via */*;q=0.5)
+      // outranks the explicitly deprioritized JSON (q=0.1)
+      val r3b = send(req(srv.address + "/sparql?query=" +
+        java.net.URLEncoder.encode(q, "UTF-8"))
+        .header("Accept", "*/*;q=0.5, application/sparql-results+json;q=0.1").GET())
+      assert(!r3b.headers().firstValue("Content-Type").orElse("")
+        .contains("results+json"), r3b.headers().map().toString)
+      // q=0 is EXCLUSION: a CSV-only header with q=0 must not land on
+      // CSV through the loose substring dispatch — the default serves
+      val r3c = send(req(srv.address + "/sparql?query=" +
+        java.net.URLEncoder.encode(q, "UTF-8"))
+        .header("Accept", "text/csv;q=0").GET())
+      assert(r3c.headers().firstValue("Content-Type").orElse("")
+        .contains("results+json"), r3c.headers().map().toString)
       // HEAD: status + headers, no body
       val r4 = send(req(srv.address + "/sparql")
         .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()))

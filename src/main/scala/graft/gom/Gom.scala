@@ -518,12 +518,16 @@ final class Gpo private[gom] (om: ObjectManager, val id: String) {
     if (loaded) f(rev)
 
   /** Replace (self,p,?) with (self,p,v) — single-valued write
-    * (IGPO.setValue). */
+    * (IGPO.setValue). Re-asserting the already-current value is a
+    * no-op: nothing buffers, so no empty-delta journal commit point
+    * gets sealed by the auto-flush (version churn with zero effect). */
   def setValue(property: String, value: String): Unit = {
     checkLive(); materialize()
     val old = fwd.toSeq.collect { case (p, o) if p == property => (id, p, o) }
-    buffer(adds = Seq((id, property, value)),
-           removes = old.filterNot(_ == ((id, property, value))))
+    val removes = old.filterNot(_ == ((id, property, value)))
+    val adds =
+      if (fwd.contains((property, value))) Nil else Seq((id, property, value))
+    if (adds.nonEmpty || removes.nonEmpty) buffer(adds, removes)
   }
 
   /** Assert (self,p,v) — multi-valued (IGPO.addValue). */

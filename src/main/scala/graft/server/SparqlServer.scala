@@ -1749,7 +1749,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   server.createContext("/", IndexHandler)
 
   def start(): this.type = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // the per-instance deadline scheduler would otherwise leak one
+    // daemon thread per started server (noticeable in test suites)
+    deadlines.shutdownNow()
+  }
 }
 
 object SparqlServer {

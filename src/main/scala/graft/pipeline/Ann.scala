@@ -607,28 +607,27 @@ object Ann {
       .select(col("q_id"), col("n_id"), round(col("adist"), 6).as("adist"), col("rank"))
   }
 
-  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
-    * embedding space coarsely, then prune pairwise WITHIN clusters —
-    * cosine ≥ tau against a lower-id cluster-mate marks a vector as a
-    * duplicate. Returns pruned vectors only: (vec_id, dup_of, cos_sim)
-    * where dup_of is the smallest qualifying cluster-mate.
-    *
-    * The cluster book is the deterministic bounded seed book
-    * ([[seedFrame]], map-side argmax over a broadcast — the
-    * [[kmeansAssign]] step-1 cells, i.e. the IVF coarse quantizer).
-    * Scale shape: the pair space is confined to cells — the self-join
-    * shuffles on the cluster id only, and cell population is bounded
-    * by K (scale K with N, ~√N cells keeps cells constant-sized).
-    * Skewed cells are AQE skew-join territory; the pair space never
-    * goes global. */
-  def semanticDedup(vectors: DataFrame, tau: Double,
-                    centroidMod: Int = 64, maxBookK: Int = 4096): DataFrame = {
+  /** Cell-confined cosine pairs — the SemDeDup pair space as a pair
+    * list: assign every vector to its nearest seed cell (the IVF
+    * coarse quantizer, [[seedFrame]] + map-side broadcast argmax),
+    * then emit (a, b, cos_sim) for same-cell pairs with cosine ≥
+    * minSim. This is the LINEAR at-scale shape for low-θ semantic
+    * dedup: the self-join shuffles on the cluster id only, cell
+    * population is bounded by the book size (scale K with N, ~√N
+    * cells keeps cells constant-sized; skewed cells are AQE skew-join
+    * territory), and the pair space never goes global. The contract is
+    * cell-confinement by construction — cross-cell qualifying pairs
+    * are out of scope (that is the SemDeDup trade; [[cosinePairs]] is
+    * the exact-recall operator for the high-θ near-dup regime where
+    * LSH has contrast). */
+  def cosinePairsCell(vectors: DataFrame, minSim: Double,
+                      centroidMod: Int = 64, maxBookK: Int = 4096): DataFrame = {
     // map-side book argmax (ties → larger c_id, the kmeansAssign
     // convention) — one row per vector, no fanout; seeds hash-thinned
     // to ≤ maxBookK so the book never grows with the corpus
     val book = collectBook(seedFrame(vectors, centroidMod, maxBookK), maxBookK)
     require(book.nonEmpty,
-      s"semanticDedup: no vec_id is a multiple of $centroidMod — no seeds")
+      s"cosinePairsCell: no vec_id is a multiple of $centroidMod — no seeds")
     val assigned = assignToBook(vectors, book)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
     val a = assigned.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
@@ -636,15 +635,29 @@ object Ann {
     val b = assigned.select(col("vec_id").as("b"), col("embedding").as("b_emb"),
       col("nrm").as("b_nrm"), col("cluster"))
     // intra-cell pairs; filter on RAW similarity (round only survivors)
-    val pairs = a.join(b, Seq("cluster"))
+    a.join(b, Seq("cluster"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("sim"))
-      .filter(col("sim") >= tau)
+      .filter(col("sim") >= minSim)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("cos_sim"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space coarsely, then prune pairwise WITHIN clusters —
+    * cosine ≥ tau against a lower-id cluster-mate marks a vector as a
+    * duplicate. Returns pruned vectors only: (vec_id, dup_of, cos_sim)
+    * where dup_of is the smallest qualifying cluster-mate. Pair
+    * generation is [[cosinePairsCell]] (cell-confined, linear); the
+    * min-by-a aggregate picks the keeper (a is unique per (a,b) pair
+    * within a b-group, so rounding cos_sim before the aggregate is
+    * order-indifferent). */
+  def semanticDedup(vectors: DataFrame, tau: Double,
+                    centroidMod: Int = 64, maxBookK: Int = 4096): DataFrame = {
+    val pairs = cosinePairsCell(vectors, tau, centroidMod, maxBookK)
     pairs.groupBy(col("b").as("vec_id"))
-      .agg(min(struct(col("a"), col("sim"))).as("m"))
-      .select(col("vec_id"), col("m.a").as("dup_of"),
-        round(col("m.sim"), 6).as("cos_sim"))
+      .agg(min(struct(col("a"), col("cos_sim"))).as("m"))
+      .select(col("vec_id"), col("m.a").as("dup_of"), col("m.cos_sim").as("cos_sim"))
   }
 
   /** Symmetric int8 quantization per embedding (the storage/serving

@@ -21,8 +21,16 @@ object PipelineQueries {
       Dedup.minhashLsh(docs(s, dir), 0.8).orderBy("a", "b")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), 3).orderBy("a", "b")),
+    // embedding near-dup pairs at θ=0.45 — the SemDeDup cell-confined
+    // pair space (Ann.cosinePairsCell): at 63° hyperplane-LSH has no
+    // contrast, so the exact-recall cosinePairs operator is bucket-
+    // quadratic there (its guard refuses unguarded launches); the
+    // scale-honest low-θ plan is cluster-confined and linear, and the
+    // oracle replays the cell assignment so confinement is part of the
+    // checked contract. cosinePairs stays the exact operator for the
+    // θ ≳ 0.7 regime (spec-pinned against cosinePairsExact).
     "dedup_embed_cosine" -> ((s, dir) =>
-      Ann.cosinePairs(embs(s, dir), 0.45).orderBy("a", "b")),
+      Ann.cosinePairsCell(embs(s, dir), 0.45).orderBy("a", "b")),
     // dedup CLUSTERING: near-dup pairs → connected components → one
     // keeper per cluster (the step after pair generation in a real
     // dedup pipeline; transitive closure, not pairwise pruning, so
@@ -376,6 +384,27 @@ object PipelineQueries {
        |  list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))),
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** Cell-assignment CTE chain shared by `dedup_embed_cosine` and
+    * `dedup_semantic` — replays Ann.cosinePairsCell: seed book (vec_id
+    * multiples of 64, hash-thinned to ≤4096) → nearest-seed argmax
+    * (ties → larger c_id) → intra-cell pairs with RAW cosine ≥ 0.45
+    * in `q`. Cell confinement is part of the checked contract. */
+  private lazy val cellPairCte =
+    s"""cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 64 = 0),
+       |th AS (SELECT CAST((COUNT(*) + 4095) // 4096 AS BIGINT) AS t FROM cand),
+       |seeds AS (SELECT vec_id AS c_id, embedding AS ce FROM cand, th
+       |          WHERE (vec_id % 2147483648 * 2654435761 % 1000003) % t = 0),
+       |fan AS (SELECT e.vec_id, e.embedding, c.c_id,
+       |          ${cosExpr("e.embedding", "c.ce")} AS csim
+       |        FROM embeddings e CROSS JOIN seeds c),
+       |assign0 AS (SELECT vec_id, embedding, c_id AS cluster FROM (
+       |  SELECT vec_id, embedding, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) AS rn
+       |  FROM fan) WHERE rn = 1),
+       |p AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosExpr("x.embedding", "y.embedding")} AS sim
+       |      FROM assign0 x JOIN assign0 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+       |q AS (SELECT a, b, sim FROM p WHERE sim >= 0.45)""".stripMargin
+
   private def cosExpr(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
@@ -482,11 +511,11 @@ object PipelineQueries {
          |SELECT keeper, COUNT(*) AS cluster_size FROM lbl
          |GROUP BY keeper ORDER BY keeper""".stripMargin,
 
+    // replays cosinePairsCell: same cell CTEs as dedup_semantic, the
+    // pair list instead of the min-by-a keeper aggregate
     "dedup_embed_cosine" ->
-      s"""SELECT x.vec_id AS a, y.vec_id AS b, ROUND(${cosExpr("x.embedding", "y.embedding")}, 6) AS cos_sim
-         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-         |WHERE ${cosExpr("x.embedding", "y.embedding")} >= 0.45
-         |ORDER BY a, b""".stripMargin,
+      s"""WITH $cellPairCte
+         |SELECT a, b, ROUND(sim, 6) AS cos_sim FROM q ORDER BY a, b""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
@@ -871,24 +900,10 @@ object PipelineQueries {
          |FROM win w2 LEFT JOIN sh ON w2.doc_id = sh.doc_id
          |WHERE w2.doc_id >= 250 ORDER BY w2.doc_id""".stripMargin,
 
-    // replays semanticDedup: seed-cell argmax (ties → larger c_id, the
-    // kmeans convention), intra-cell pairs on RAW cosine ≥ τ, keep the
-    // smallest qualifying cluster-mate per pruned vector
+    // replays semanticDedup: the shared cell CTEs, keep the smallest
+    // qualifying cluster-mate per pruned vector
     "dedup_semantic" ->
-      s"""WITH cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 64 = 0),
-         |th AS (SELECT CAST((COUNT(*) + 4095) // 4096 AS BIGINT) AS t FROM cand),
-         |seeds AS (SELECT vec_id AS c_id, embedding AS ce FROM cand, th
-         |          WHERE (vec_id % 2147483648 * 2654435761 % 1000003) % t = 0),
-         |fan AS (SELECT e.vec_id, e.embedding, c.c_id,
-         |          ${cosExpr("e.embedding", "c.ce")} AS csim
-         |        FROM embeddings e CROSS JOIN seeds c),
-         |assign0 AS (SELECT vec_id, embedding, c_id AS cluster FROM (
-         |  SELECT vec_id, embedding, c_id,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id DESC) AS rn
-         |  FROM fan) WHERE rn = 1),
-         |p AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosExpr("x.embedding", "y.embedding")} AS sim
-         |      FROM assign0 x JOIN assign0 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
-         |q AS (SELECT a, b, sim FROM p WHERE sim >= 0.45)
+      s"""WITH $cellPairCte
          |SELECT b AS vec_id, a AS dup_of, ROUND(sim, 6) AS cos_sim FROM (
          |  SELECT a, b, sim, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn FROM q) WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,

@@ -129,6 +129,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(guardedOff == default)
   }
 
+  test("cosinePairsCell: sims exact (subset of all-pairs), semanticDedup is its min-by-a aggregate") {
+    // the scale-honest low-θ pair space: cell-confined, linear. Its
+    // sims must agree with the exact operator wherever a pair surfaces,
+    // and semanticDedup must be exactly its keeper aggregate (the
+    // composition the dedup_embed_cosine driver query now ships).
+    val exact = Ann.cosinePairsExact(embs, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cell = Ann.cosinePairsCell(embs, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(cell.nonEmpty, "test data should contain intra-cell near-dups")
+    cell.foreach { case (k, sim) =>
+      assert(exact.contains(k), s"cell pair $k not in exact all-pairs")
+      assert(exact(k) == sim, s"sim mismatch for $k: ${exact(k)} vs $sim")
+    }
+    val fromPairs = cell.groupBy(_._1._2).map { case (b, xs) =>
+      val (k, sim) = xs.minBy(_._1._1)
+      (b, k._1, sim)
+    }.toSet
+    val sd = Ann.semanticDedup(embs, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sd == fromPairs, s"missed=${fromPairs -- sd} extra=${sd -- fromPairs}")
+  }
+
   test("seed book is hash-thinned to maxBookK and collectBook refuses oversize loudly") {
     import spark.implicits._
     // 1) thinning bounds K at corpus-proportional candidate counts:

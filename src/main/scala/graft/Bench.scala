@@ -22,6 +22,17 @@ object Bench {
                       catch { case _: Throwable => () })
       SparkEntry.queries("q1_agg")(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    // Pre-stage the persisted search indexes OUTSIDE the timed loop —
+    // fulltext_indexed / searchinsearch_indexed / search_journal_
+    // maintained then measure the query against a standing index (the
+    // production build-once shape; derived-scale dirs pre-stage the
+    // store itself the same way). The one-time build cost stays
+    // visible as its own `search_index_build` line below instead of
+    // riding whichever indexed query runs first.
+    val ixT0 = System.nanoTime()
+    try graft.queries.SparqlQueries.stageSearchIndexes(spark, sfDir)
+    catch { case _: Throwable => () }
+    val ixBuildSec = (System.nanoTime() - ixT0) / 1e9
     // iteration aid: SPARK_GRAFT_ONLY=q1,q2 times a subset in isolation
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty)
@@ -32,9 +43,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // the synthetic index-build line joins the OUTPUT maps only (it is
+    // not a driver query — the re-time loop below must not see it);
+    // total still includes it, so totals stay comparable with rounds
+    // where the build rode inside searchinsearch_indexed's timing
+    val reported = results + ("search_index_build" -> ixBuildSec)
+    val qs = reported.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (reported.nonEmpty) reported.values.sum else 0.0
     // Isolated re-times for the slowest queries: the box's cross-session
     // load swings single-run figures 5-10x, so the artifact carries a
     // best-of-two warm re-run for the top-5 — a judge reading an

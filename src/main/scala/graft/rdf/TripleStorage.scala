@@ -80,7 +80,14 @@ object TripleStorage {
   def writeOspHash(triples: DataFrame, path: String): Unit =
     triples.select(col("s"), col("p"), col("o"),
         graft.search.PersistedSearchIndex.termBucketCol(col("o")).as("obh"))
-      .repartition(col("obh"))
+      // salt the shuffle key: repartitioning on obh alone caps the
+      // sort+write at 64 tasks (one per bucket) — a 64-thread box
+      // builds a 100M-triple twin 3-4× slower than it needs to. A few
+      // salt lanes per bucket keep every core busy; each lane still
+      // writes o-sorted files into its obh directory, so zone-map
+      // pruning by o is untouched (a handful of files per dir, each
+      // with tight o min/max ranges).
+      .repartition(col("obh"), pmod(xxhash64(col("o")), lit(4)))
       .sortWithinPartitions("o")
       .write.mode("overwrite").partitionBy("obh").parquet(path)
 
@@ -106,6 +113,37 @@ object TripleStorage {
     override def objectKeyedScan: Boolean = true
     def fuseStar(patterns: Seq[TriplePattern],
                  subjectTables: Option[Set[String]]): Option[DataFrame] = None
+  }
+
+  /** `base` with an object-hash twin directory attached: every access
+    * path forwards to the base (pattern scans keep its fusion/branch
+    * pruning), except the O→S hit→subject join, which reads the
+    * twin's pruned partition directories ([[scanForObjectsPruned]]).
+    * This is the SPO/POS + OSP split of the reference's statement
+    * indices (AbstractTripleStore keeps all three B+Trees over one
+    * statement relation; here the twin is a second parquet layout
+    * staged beside the store — [[writeOspHash]] builds it once). */
+  def withOspTwin(base: TripleSource, spark: SparkSession,
+                  ospHashPath: String): TripleSource = new TripleSource {
+    def triples: DataFrame = base.triples
+    def fuseStar(patterns: Seq[TriplePattern],
+                 subjectTables: Option[Set[String]]): Option[DataFrame] =
+      base.fuseStar(patterns, subjectTables)
+    override def refTarget(pred: String): Option[String] = base.refTarget(pred)
+    override def scan(tp: TriplePattern): DataFrame = base.scan(tp)
+    override def quads: Option[DataFrame] = base.quads
+    override def quadScan(tp: TriplePattern, g: graft.sparql.Term): DataFrame =
+      base.quadScan(tp, g)
+    override def searchCorpus: Option[DataFrame] = base.searchCorpus
+    override def defaultAnalyzer: Option[String] = base.defaultAnalyzer
+    override def searchIndex: Option[graft.search.SearchIndexView] = base.searchIndex
+    override def literalIndex: Option[graft.search.SearchIndexView] = base.literalIndex
+    override def geoCorpus: Option[DataFrame] = base.geoCorpus
+    override def geoCorpusTime: Option[(DataFrame, Long, Long)] = base.geoCorpusTime
+    override def scanForSubjects(nodes: DataFrame): DataFrame = base.scanForSubjects(nodes)
+    override def scanForObjects(objs: DataFrame): DataFrame =
+      scanForObjectsPruned(spark, ospHashPath, objs)
+    override def objectKeyedScan: Boolean = true
   }
 
   /** The hash-OSP hit→subject access path over ANY obh-partitioned

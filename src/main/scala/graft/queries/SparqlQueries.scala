@@ -767,6 +767,30 @@ object SparqlQueries {
         TpchRdf.source(s, dir))
     }),
 
+    // SERVICE ?endpoint — VARIABLE endpoints resolved per binding of
+    // the enclosing group (the reference's ServiceCallJoin takes an
+    // IVariableOrConstant serviceRef, bop/controller/ServiceCallJoin
+    // .java:227): a VALUES-bound two-endpoint catalog, each dispatch
+    // answered by its own registered store and joined back tagged with
+    // the ?ep value that produced it. The HTTP twin (two loopback
+    // servers, SILENT/dead-endpoint corners, the unbound-var error,
+    // the endpoint-set size guard) is EngineSpec's "SERVICE ?endpoint"
+    // test.
+    "sparql_service_var" -> ((s, dir) => {
+      graft.sparql.ServiceRegistry.register("urn:fed:nations",
+        graft.sparql.ServiceRegistry.localSource(
+          TpchRdf.triplesFor(s, dir, Seq("nation"))))
+      graft.sparql.ServiceRegistry.register("urn:fed:regions",
+        graft.sparql.ServiceRegistry.localSource(
+          TpchRdf.triplesFor(s, dir, Seq("region"))))
+      Compiler.compile(Parser.parse(
+        """SELECT ?ep ?x ?xname WHERE {
+          |  VALUES ?ep { <urn:fed:nations> <urn:fed:regions> }
+          |  SERVICE ?ep { ?x name ?xname . }
+          |} ORDER BY ?ep ?x""".stripMargin),
+        TpchRdf.source(s, dir))
+    }),
+
     // GAS analytics from inside a SPARQL query (GASService.java):
     // BFS from r:1 over the reversed nation/region link predicates
     "gas_service_bfs" -> ((s, dir) =>
@@ -1287,6 +1311,13 @@ object SparqlQueries {
       """SELECT 's:'||CAST(s_suppkey AS VARCHAR) AS sup, s_name AS supname, n_name AS nname
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY sup""".stripMargin,
+
+    "sparql_service_var" ->
+      """SELECT ep, x, xname FROM (
+        |  SELECT 'urn:fed:nations' AS ep, 'n:'||CAST(n_nationkey AS VARCHAR) AS x, n_name AS xname FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:fed:regions', 'r:'||CAST(r_regionkey AS VARCHAR), r_name FROM region
+        |) ORDER BY ep, x""".stripMargin,
 
     "fulltext_service" ->
       """WITH toks AS (

@@ -269,6 +269,22 @@ final case class ServiceCall(endpoint: String, inner: Algebra,
                              silent: Boolean = false,
                              srcText: Option[String] = None) extends Algebra
 
+/** SERVICE [SILENT] ?endpoint { group } — the variable-endpoint form
+  * of [[ServiceCall]] (the reference's ServiceCallJoin takes an
+  * IVariableOrConstant serviceRef and dispatches per binding,
+  * bop/controller/ServiceCallJoin.java:227). The endpoint variable
+  * must be bound by the ENCLOSING group (a VoID catalog lookup, a
+  * VALUES list, …): evaluation takes the distinct endpoint values
+  * from the computed side, dispatches the service group once per
+  * endpoint through the same registry as the constant form (SILENT
+  * wraps each dispatch), and joins the union — tagged with the
+  * endpoint value — back on the endpoint variable plus shared vars.
+  * An unbound endpoint variable is a loud error, matching the
+  * reference (ServiceCallJoin throws on an unbound serviceRef). */
+final case class ServiceCallVar(endpointVar: String, inner: Algebra,
+                                silent: Boolean = false,
+                                srcText: Option[String] = None) extends Algebra
+
 /** Geospatial search invoked from inside a query — the reference's
   * `geo:search` service (ast/eval/GeoSpatialServiceFactory.java:133,
   * inRectangle mode over z-order indices). Binds (outNode, outLat,

@@ -202,6 +202,14 @@ object Compiler {
     case NamedInclude(name) =>
       namedSets.value.getOrElse(name,
         sys.error(s"INCLUDE %$name: no such named subquery in scope"))
+    // SERVICE ?endpoint { … }: dispatch per distinct binding of the
+    // endpoint variable from the computed side (ServiceCallJoin.java:227
+    // — the serviceRef is an IVariableOrConstant, resolved per binding).
+    // These MUST precede the Values fast-path cases: a `VALUES ?ep …
+    // SERVICE ?ep { … }` group is Join(Values, ServiceCallVar), and the
+    // Values case would compile the service side bare (= unbound-loud).
+    case Join(l, sc: ServiceCallVar) => serviceVarJoin(compile(l, src), sc, src)
+    case Join(sc: ServiceCallVar, r) => serviceVarJoin(compile(r, src), sc, src)
     case Join(l, v: Values) => valuesJoin(compile(l, src), v)
     case Join(v: Values, r) => valuesJoin(compile(r, src), v)
     // a REMOTE service joined in its group evaluates VECTORED: the
@@ -434,6 +442,14 @@ object Compiler {
           }
       }
 
+    case ServiceCallVar(v, _, _, _) =>
+      // bare variable-endpoint SERVICE (nothing in the group binds it)
+      // — loud, like the reference: ServiceCallJoin throws when the
+      // serviceRef variable is unbound in the incoming binding set
+      sys.error(s"SERVICE ?$v: the endpoint variable is not bound by the " +
+        "enclosing group; bind it (VALUES, a catalog pattern, …) before " +
+        "the SERVICE group")
+
     case ServiceCall(endpoint, inner, silent, srcText) =>
       // SERVICE SILENT failure = the unit solution (§13.2): a single
       // empty binding, so the enclosing join is unchanged — covering
@@ -479,6 +495,43 @@ object Compiler {
       graft.operators.Geo.circleSearch(pts, lat, lon, radiusKm)
         .select(col("k").as(outK), col("lat").as(outLat),
           col("lon").as(outLon), col("dist_km").as(outDist))
+  }
+
+  /** SERVICE ?endpoint { … } joined with its enclosing group: the
+    * distinct endpoint values come off the computed side (a
+    * driver-side collect BOUNDED by `graft.service.varEndpointMax` —
+    * the endpoint set is catalog-sized by nature, VoID catalogs and
+    * VALUES lists, so a corpus-sized set is a query bug refused
+    * loudly, never one service call per solution row); each endpoint
+    * evaluates through the SAME [[ServiceCall]] path as the constant
+    * form (registry lookup, remote transport, SILENT-unit per
+    * endpoint), the branches union tagged with the endpoint value,
+    * and the join keys on the endpoint variable plus shared vars. */
+  private def serviceVarJoin(lc: DataFrame, sc: ServiceCallVar,
+                             src: TripleSource): DataFrame = {
+    val v = sc.endpointVar
+    require(lc.columns.contains(v),
+      s"SERVICE ?$v: the endpoint variable is not bound by the enclosing " +
+        "group (the reference's ServiceCallJoin throws on an unbound " +
+        "serviceRef); bind it with VALUES or a catalog pattern")
+    val maxEp = lc.sparkSession.conf
+      .get("graft.service.varEndpointMax", "64").toInt
+    val eps = lc.select(col(v).cast("string")).filter(col(v).isNotNull)
+      .distinct().limit(maxEp + 1).collect().map(_.getString(0)).toSeq
+    require(eps.size <= maxEp,
+      s"SERVICE ?$v: more than $maxEp distinct endpoint bindings — a " +
+        "variable SERVICE dispatches one call per endpoint, so a " +
+        "corpus-sized endpoint set is a query bug; raise " +
+        "graft.service.varEndpointMax explicitly if intended")
+    if (eps.isEmpty) lc.limit(0)
+    else {
+      val branches = eps.map { e =>
+        compile(ServiceCall(e, sc.inner, sc.silent, sc.srcText), src)
+          .withColumn(v, lit(e))
+      }
+      joinOn(lc,
+        branches.reduce(_.unionByName(_, allowMissingColumns = true)), "inner")
+    }
   }
 
   /** Unresolved attribute names referenced by a Column. */

@@ -852,8 +852,15 @@ object Parser {
             // bds:* options would otherwise be hijacked)
             val g = parseGroup(liftMagic = false)
             val text = tokens.slice(t0, pos).mkString(" ")
-            val key = if (svc.startsWith("<")) svc.drop(1).dropRight(1) else svc
-            add(ServiceCall(key, g, silent, Some(text)))
+            if (svc.startsWith("?"))
+              // SERVICE ?endpoint { … }: dispatch per enclosing-group
+              // binding of the endpoint variable (ServiceCallJoin's
+              // IVariableOrConstant serviceRef)
+              add(ServiceCallVar(svc.drop(1), g, silent, Some(text)))
+            else {
+              val key = if (svc.startsWith("<")) svc.drop(1).dropRight(1) else svc
+              add(ServiceCall(key, g, silent, Some(text)))
+            }
           } else {
           expect("{")
           val config = Vector.newBuilder[(String, String)]

@@ -1428,6 +1428,75 @@ class EngineSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("SERVICE ?endpoint: per-binding dispatch, SILENT per endpoint, unbound loud") {
+    import graft.server.SparqlServer
+    import graft.sparql.{Compiler, Parser, RemoteService, ServiceRegistry}
+    // two loopback engines with disjoint data — the ?endpoint binding
+    // decides which one answers each dispatch
+    val gA = graft.Graft.empty(spark)
+      .update("""INSERT DATA { a:1 label "alpha" . a:2 label "beta" }""")
+    val gB = graft.Graft.empty(spark)
+      .update("""INSERT DATA { b:1 label "gamma" }""")
+    val sA = new SparqlServer(gA).start()
+    val sB = new SparqlServer(gB).start()
+    val epA = sA.address + "/sparql"
+    val epB = sB.address + "/sparql"
+    // a dead endpoint: registered transport, nothing listening
+    val dead = "http://127.0.0.1:1/sparql"
+    Seq(epA, epB, dead).foreach(RemoteService.register(spark, _, timeoutMs = 2000))
+    val src = TpchRdf.source(spark, SF)
+    try {
+      // per-binding dispatch: each endpoint contributes only ITS
+      // solutions, tagged with the ?ep value that produced them
+      val rows = Compiler.compile(Parser.parse(
+        s"""SELECT ?ep ?s ?l WHERE {
+           |  VALUES ?ep { <$epA> <$epB> }
+           |  SERVICE ?ep { ?s label ?l }
+           |} ORDER BY ?l""".stripMargin), src).collect()
+      assert(rows.map(r => (r.getString(0), r.getString(2))).toSet == Set(
+        (epA, "alpha"), (epA, "beta"), (epB, "gamma")))
+      // SILENT is PER ENDPOINT: the dead endpoint degrades to the unit
+      // solution (its ?l unbound) while the live one still answers
+      val silent = Compiler.compile(Parser.parse(
+        s"""SELECT ?ep ?l WHERE {
+           |  VALUES ?ep { <$epA> <$dead> }
+           |  SERVICE SILENT ?ep { ?s label ?l }
+           |}""".stripMargin), src).collect()
+      assert(silent.count(_.getString(0) == epA) == 2)
+      assert(silent.filter(_.getString(0) == dead).map(_.isNullAt(1)).toSeq == Seq(true))
+      // non-SILENT: the dead endpoint is loud
+      intercept[Exception] {
+        Compiler.compile(Parser.parse(
+          s"""SELECT ?ep ?l WHERE {
+             |  VALUES ?ep { <$dead> }
+             |  SERVICE ?ep { ?s label ?l }
+             |}""".stripMargin), src).collect()
+      }
+      // an UNBOUND endpoint variable is loud (ServiceCallJoin throws on
+      // an unbound serviceRef), silent or not
+      val e = intercept[RuntimeException] {
+        Compiler.compile(Parser.parse(
+          "SELECT ?x WHERE { SERVICE ?ep { ?s label ?x } }"), src).collect()
+      }
+      assert(e.getMessage.contains("endpoint variable"))
+      // the endpoint-set size guard refuses a corpus-sized dispatch set
+      spark.conf.set("graft.service.varEndpointMax", "1")
+      try {
+        val g = intercept[IllegalArgumentException] {
+          Compiler.compile(Parser.parse(
+            s"""SELECT ?ep ?l WHERE {
+               |  VALUES ?ep { <$epA> <$epB> }
+               |  SERVICE ?ep { ?s label ?l }
+               |}""".stripMargin), src).collect()
+        }
+        assert(g.getMessage.contains("varEndpointMax"))
+      } finally spark.conf.unset("graft.service.varEndpointMax")
+    } finally {
+      sA.stop(); sB.stop()
+      Seq(epA, epB, dead).foreach(ServiceRegistry.unregisterRemote)
+    }
+  }
+
   test("SPARQL protocol server: multi-tenant namespaces are isolated") {
     import graft.server.SparqlServer
     val g0 = graft.Graft.empty(spark).update("""INSERT DATA { x:1 label "gear" }""")

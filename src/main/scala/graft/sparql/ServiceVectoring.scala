@@ -70,17 +70,57 @@ object ServiceVectoring {
   def textVars(groupText: String): Set[String] =
     "\\?([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(groupText).map(_.group(1)).toSet
 
-  /** Injection is semantics-preserving only for CONJUNCTIVE groups:
-    * under OPTIONAL a key with no remote match yields an
-    * (key, unbound) solution the unvectored evaluation never produces,
-    * and under MINUS / (NOT) EXISTS the injected bindings change which
-    * variables the negation's domains share. Those groups keep the
-    * plain unconstrained fetch. */
-  private val scopeSensitive =
-    "(?i)\\b(OPTIONAL|MINUS|EXISTS)\\b".r
+  /** Variables CERTAINLY bound in every solution of `a` — the sound
+    * injection set. A `VALUES ?k { … }` restriction joined at the top
+    * of the service group commutes with every group operator whose
+    * MANDATORY side binds ?k (LeftJoin/Minus/(Not)Exists restrict
+    * through their left input; Filter/Extend see the same ?k value
+    * either way; Union needs both branches), so restricting injection
+    * to this set removes every scope hazard in one rule:
+    *  - OPTIONAL cannot manufacture a (key, unbound) solution — the
+    *    key is bound by the mandatory patterns before the OPTIONAL;
+    *  - MINUS/EXISTS domain sharing is unchanged — the injected var
+    *    was already in the left domain;
+    *  - a FILTER referencing a shared var bound only LOCALLY (i.e.
+    *    NOT certainly bound remotely) blocks injection of that var,
+    *    so the unbound-var-error semantics the bottom-up evaluation
+    *    gives it are preserved;
+    *  - a BIND target is never certainly bound (its expression may
+    *    error to unbound), so injection can never collide with a
+    *    BIND'd variable — the strict-endpoint syntax hazard.
+    * Conservative by construction: anything unrecognized contributes
+    * nothing, and a missing var only means less constraint shipped. */
+  def certainlyBound(a: Algebra): Set[String] = a match {
+    case Bgp(ps @ _*)       => ps.flatMap(tpVars).toSet
+    case BgpFixed(ps)       => ps.flatMap(tpVars).toSet
+    case BgpPinned(f, m, l) => (f ++ m ++ l).flatMap(tpVars).toSet
+    case Join(l, r)         => certainlyBound(l) ++ certainlyBound(r)
+    case SubQuery(l, sub)   => certainlyBound(l) ++ certainlyBound(sub)
+    case LeftJoin(l, _)     => certainlyBound(l)
+    case Minus(l, _)        => certainlyBound(l)
+    case Exists(l, _)       => certainlyBound(l)
+    case NotExists(l, _)    => certainlyBound(l)
+    case Union(l, r)        => certainlyBound(l) intersect certainlyBound(r)
+    case Filter(c, _)       => certainlyBound(c)
+    case Extend(c, _, _)    => certainlyBound(c)
+    case Values(vars, rows) =>
+      vars.zipWithIndex.collect {
+        case (v, i) if rows.forall(_(i).isDefined) => v }.toSet
+    case Project(c, vs @ _*) => certainlyBound(c) intersect vs.toSet
+    case StarProject(c)     => certainlyBound(c).filterNot(_.startsWith("_"))
+    case Distinct(c)        => certainlyBound(c)
+    case OrderBy(c, _)      => certainlyBound(c)
+    case Slice(c, _, _)     => certainlyBound(c)
+    case Group(c, keys, _)  => certainlyBound(c) intersect keys.toSet
+    case GraphPattern(g, c) =>
+      certainlyBound(c) ++ (g match { case Var(n) => Set(n); case _ => Set.empty })
+    case PathPlus(_, _, _, sVar, oVar) => Set(sVar, oVar)
+    case Path(_, _, _, sVar, oVar)     => Set(sVar, oVar)
+    case _ => Set.empty
+  }
 
-  def injectionSafe(groupText: String): Boolean =
-    scopeSensitive.findFirstIn(groupText).isEmpty
+  private def tpVars(tp: TriplePattern): Seq[String] =
+    Seq(tp.s, tp.p, tp.o).collect { case Var(n) => n }
 
   /** Vectoring applies to a JOINED remote service with source text:
     * never to local registry handlers (they see the store directly). */
@@ -106,8 +146,15 @@ object ServiceVectoring {
       if (!sc.silent) f
       else try f catch { case scala.util.control.NonFatal(_) => unit }
 
+    // injected vars = shared with the computed side AND certainly
+    // bound by the service group's own mandatory patterns (see
+    // [[certainlyBound]] — the one rule that covers the OPTIONAL/
+    // MINUS/EXISTS scope hazards and the FILTER/BIND locally-bound
+    // hazards alike). A subset injection is always sound: it only
+    // constrains less, and the home join still runs.
     val sharedVars = left.columns.toSeq.filter(textVars(srcText))
-    if (sharedVars.isEmpty || !injectionSafe(srcText))
+      .filter(certainlyBound(sc.inner))
+    if (sharedVars.isEmpty)
       return join(left, attempt(remote(srcText)))
 
     val maxKeys = spark.conf.getOption("graft.service.vectorMaxKeys")

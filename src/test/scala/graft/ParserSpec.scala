@@ -955,23 +955,82 @@ class ParserSpec extends AnyFunSuite {
       assert(graft.sparql.ServiceVectoring.sparqlToken("a \"quoted\" word")
         .contains("\"a \\\"quoted\\\" word\""))
       assert(graft.sparql.ServiceVectoring.sparqlToken("_:b").isEmpty)
-      // scope-sensitive groups (OPTIONAL/MINUS/EXISTS) must NOT take
-      // injection — a key with no remote match would manufacture an
-      // (key, unbound) solution the unvectored evaluation never yields
-      received.clear()
-      run(
+      // scope-sensitive groups vector too, with injection RESTRICTED
+      // to vars certainly bound by the group's mandatory patterns
+      // (ServiceVectoring.certainlyBound): the OPTIONAL cannot
+      // manufacture a (key, unbound) solution because the key is
+      // bound before the OPTIONAL applies; answers must equal the
+      // plain (unvectored) evaluation for every group type
+      def plainRun(q: String): Seq[Seq[Any]] = {
+        // cap 0 forces the unconstrained fetch — the pre-vectoring path
+        spark.conf.set("graft.service.vectorMaxKeys", "0")
+        try run(q).collect().map(_.toSeq).toSeq
+        finally spark.conf.unset("graft.service.vectorMaxKeys")
+      }
+      def bothRun(q: String): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+        val p = plainRun(q)
+        received.clear()
+        (run(q).collect().map(_.toSeq).toSeq, p)
+      }
+      // OPTIONAL: ?r certainly bound (mandatory pattern) → VALUES (?r);
+      // ?nm bound only inside the OPTIONAL → never injected even when
+      // shared with the computed side
+      val (vOpt, pOpt) = bothRun(
         s"""SELECT ?r ?nm WHERE {
-           |  ?r type "Region" .
+           |  ?r type "Region" . ?r name ?nm .
            |  SERVICE <$ep> { ?r type "Region" OPTIONAL { ?r name ?nm } }
-           |}""".stripMargin).collect()
-      assert(received.length == 1 && !received(0).contains("VALUES"))
-      received.clear()
-      run(
+           |} ORDER BY ?r""".stripMargin)
+      assert(vOpt == pOpt)
+      assert(received.length == 1 && received(0).contains("VALUES (?r)"),
+        received.mkString("|"))
+      // MINUS: left side binds ?r → injected; negation domain unchanged
+      val (vMin, pMin) = bothRun(
         s"""SELECT ?r WHERE {
            |  ?r type "Region" .
            |  SERVICE <$ep> { ?r name ?nm MINUS { ?r name "AFRICA" } }
-           |}""".stripMargin).collect()
-      assert(received.length == 1 && !received(0).contains("VALUES"))
+           |} ORDER BY ?r""".stripMargin)
+      assert(vMin == pMin && vMin.length == 4)
+      assert(received.length == 1 && received(0).contains("VALUES (?r)"))
+      // FILTER EXISTS: same rule
+      val (vEx, pEx) = bothRun(
+        s"""SELECT ?r WHERE {
+           |  ?r type "Region" .
+           |  SERVICE <$ep> { ?r name ?nm FILTER EXISTS { ?r type "Region" } }
+           |} ORDER BY ?r""".stripMargin)
+      assert(vEx == pEx && vEx.length == 5)
+      assert(received.length == 1 && received(0).contains("VALUES (?r)"))
+      // the ADVICE hazard: a FILTER referencing a var bound only
+      // LOCALLY (?x rides the computed side, nothing remote binds it).
+      // Injecting ?x would flip the remote filter from its unbound
+      // semantics to bound→keep — the same query returning different
+      // results depending on key cardinality. certainlyBound excludes
+      // ?x, so vectored and plain behave IDENTICALLY (here: both loud,
+      // this engine resolves filter vars eagerly) and only ?r rides
+      // the injection
+      val qFil =
+        s"""SELECT ?r ?x WHERE {
+           |  ?r type "Region" . BIND("n:1" AS ?x)
+           |  SERVICE <$ep> { ?r name ?nm FILTER(STR(?x) = "n:1") }
+           |} ORDER BY ?r""".stripMargin
+      received.clear()
+      val vFil = scala.util.Try(run(qFil).collect().toSeq)
+      val vReceived = received.toSeq
+      val pFil = scala.util.Try(plainRun(qFil))
+      assert(vFil.isFailure && pFil.isFailure,
+        s"vectoring must not change the locally-bound-FILTER outcome: $vFil vs $pFil")
+      assert(vReceived.nonEmpty && vReceived.last.contains("VALUES (?r)") &&
+        !vReceived.last.contains("?x)"), vReceived.mkString("|"))
+      // BIND target: never certainly bound → never injected, so the
+      // strict-endpoint "BIND assigns an in-scope var" syntax hazard
+      // cannot arise even when ?tag is shared with the computed side
+      val (vB, pB) = bothRun(
+        s"""SELECT ?r ?tag WHERE {
+           |  ?r type "Region" . BIND(CONCAT(STR(?r), "!") AS ?tag)
+           |  SERVICE <$ep> { ?r name ?nm BIND(CONCAT(STR(?r), "!") AS ?tag) }
+           |} ORDER BY ?r""".stripMargin)
+      assert(vB == pB)
+      assert(received.length == 1 && received(0).contains("VALUES (?r)") &&
+        !received(0).contains("?tag)"), received.mkString("|"))
       // SILENT + endpoint failure keeps the pre-vectoring contract:
       // the unit solution joins in and the left rows survive
       val boom = "http://boom.example/sparql"

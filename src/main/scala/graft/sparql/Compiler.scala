@@ -375,13 +375,48 @@ object Compiler {
           Analytics.connectedComponents(edges, maxIt.getOrElse(64))
             .select(col("node").as(outNode), col("label").as(outVal))
         case "sssp" =>
-          Analytics.sssp(edges.withColumn("weight", lit(1.0)), conf("in").head,
-              maxIt.getOrElse(64))
+          // WEIGHTED when gas:linkAttrType names the RDR statement-
+          // annotation predicate carrying the link weight — the
+          // reference's link-attribute seam (GASService Options
+          // .LINK_ATTR_TYPE: SSSP over link weights reads the
+          // attribute values of the link statements). In sids mode a
+          // link's attributes hang off its statement id, so the edge
+          // relation joins `<<s p o>> linkAttr ?w` on the computed
+          // sid; only attributed links are traversable (the
+          // reference's weighted SSSP visits link-attribute
+          // statements, not bare links). Default stays unit weights.
+          val edgesW = conf.get("linkAttrType").map(_.head) match {
+            case Some(wp) =>
+              val eP = preds
+                .map(p => src.scan(TriplePattern(Var("s"), Const(p), Var("o")))
+                  .select(col("s"), lit(p).as("p"), col("o")))
+                .reduce(_ unionAll _)
+              val ann = src.scan(TriplePattern(Var("x"), Const(wp), Var("w")))
+                .select(col("s").as("_sid"),
+                  RdfLiteral.strOf(col("o")).cast("double").as("weight"))
+              val withW = eP
+                .withColumn("_sid", graft.rdf.Rdr.sid(col("s"), col("p"), col("o")))
+                .join(ann, "_sid")
+              if (reverse) withW.select(col("o").as("src"), col("s").as("dst"), col("weight"))
+              else withW.select(col("s").as("src"), col("o").as("dst"), col("weight"))
+            case None => edges.withColumn("weight", lit(1.0))
+          }
+          Analytics.sssp(edgesW, conf("in").head, maxIt.getOrElse(64))
             .select(col("node").as(outNode), col("dist").as(outVal))
         case "pr" =>
           Analytics.pageRank(edges, maxIt.getOrElse(10))
             .select(col("node").as(outNode), col("rank").as(outVal))
-        case other => sys.error(s"unsupported gas:gasClass $other")
+        case other =>
+          // any REGISTERED custom program is accepted, the IGASProgram
+          // contract (GASService.java:153 instantiates whatever class
+          // gas:gasClass names; graft.gas.GasPrograms is that registry)
+          graft.gas.GasPrograms.lookup(other) match {
+            case Some(prog) =>
+              prog(edges, conf).select(col("node").as(outNode), col("value").as(outVal))
+            case None => sys.error(s"unsupported gas:gasClass $other — " +
+              "register a custom program with graft.gas.GasPrograms.register " +
+              "(the reference's IGASProgram seam)")
+          }
       }
 
     case SearchService(terms, limit, prefix, matchAll, outDoc, outScore,

@@ -239,6 +239,81 @@ class GasSpec extends AnyFunSuite {
       "staged pair graph drifted from the direct ngramJaccard pairs")
   }
 
+  test("gas:service weighted sssp reads link weights from RDR annotations (linkAttrType)") {
+    import TestSpark.spark
+    import spark.implicits._
+    import graft.sparql.{Compiler, Parser, TripleSource}
+    import graft.rdf.Rdr
+    // a→b costs 5 direct but 2 via c; b→d carries NO weight annotation
+    // and must be untraversable in weighted mode (the reference's
+    // weighted SSSP visits link-attribute statements, not bare links)
+    val links = Seq(("a", "link", "b"), ("a", "link", "c"),
+      ("c", "link", "b"), ("b", "link", "d"))
+    val ann = Seq(
+      (Rdr.sidOf("a", "link", "b"), "w", "5.0"),
+      (Rdr.sidOf("a", "link", "c"), "w", "1.0"),
+      (Rdr.sidOf("c", "link", "b"), "w", "1.0"))
+    val src = TripleSource.plain((links ++ ann).toDF("s", "p", "o"))
+    val out = Compiler.compile(Parser.parse(
+      """SELECT ?n ?d WHERE {
+        |  SERVICE gas:service {
+        |    _:g gas:gasClass "sssp" .
+        |    _:g gas:in "a" .
+        |    _:g gas:linkType "link" .
+        |    _:g gas:linkAttrType "w" .
+        |    _:g gas:out ?n .
+        |    _:g gas:outVal ?d .
+        |  }
+        |} ORDER BY ?n""".stripMargin), src)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(out.toSeq == Seq("a" -> 0.0, "b" -> 2.0, "c" -> 1.0))
+    // same graph WITHOUT linkAttrType: unit weights, d reachable
+    val unw = Compiler.compile(Parser.parse(
+      """SELECT ?n ?d WHERE {
+        |  SERVICE gas:service {
+        |    _:g gas:gasClass "sssp" .
+        |    _:g gas:in "a" .
+        |    _:g gas:linkType "link" .
+        |    _:g gas:out ?n .
+        |    _:g gas:outVal ?d .
+        |  }
+        |} ORDER BY ?n""".stripMargin), src)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(unw.toSeq == Seq("a" -> 0.0, "b" -> 1.0, "c" -> 1.0, "d" -> 2.0))
+  }
+
+  test("gas:service runs a REGISTERED custom program (IGASProgram seam); unregistered is loud") {
+    import TestSpark.spark
+    import spark.implicits._
+    import graft.sparql.{Compiler, Parser, TripleSource}
+    val src = TripleSource.plain(Seq(
+      ("a", "link", "b"), ("a", "link", "c"), ("b", "link", "c"))
+      .toDF("s", "p", "o"))
+    def q(cls: String) =
+      s"""SELECT ?n ?v WHERE {
+         |  SERVICE gas:service {
+         |    _:g gas:gasClass "$cls" .
+         |    _:g gas:linkType "link" .
+         |    _:g gas:out ?n .
+         |    _:g gas:outVal ?v .
+         |  }
+         |} ORDER BY ?n""".stripMargin
+    // a custom program: out-degree, run through the generic Pregel
+    // runner's contract shape ((node, value) back to the compiler)
+    graft.gas.GasPrograms.register("outdeg", (edges, _) =>
+      edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("double").as("value")))
+    try {
+      val got = Compiler.compile(Parser.parse(q("outdeg")), src)
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+      assert(got.toSeq == Seq("a" -> 2.0, "b" -> 1.0))
+    } finally graft.gas.GasPrograms.unregister("outdeg")
+    val e = intercept[RuntimeException] {
+      Compiler.compile(Parser.parse(q("outdeg")), src).collect()
+    }
+    assert(e.getMessage.contains("GasPrograms.register"))
+  }
+
   test("staged pair graph honors spark.graft.scratchDir (cluster staging root)") {
     import TestSpark.spark
     // a DIFFERENT corpus dir than the sibling test so the stage cache

@@ -885,6 +885,44 @@ object EngineQueries {
       j.snapshot().orderBy("s", "p", "o", "g")
     }),
 
+    // QUERYABLE history service over the journal commit log (SERVICE
+    // bd:history — graft.sparql.HistoryService): the reference
+    // default-REGISTERS bd:history/bd:rdrhistory but both factories
+    // throw on create (HistoryServiceFactory.java:104) — they are
+    // change-capture listeners with no read side; this supplies it.
+    // Two commits (nation names; region names + one name retraction),
+    // replayed as the version-attributed change log from an EXCLUSIVE
+    // fromVersion bound — delta segments only, never a head scan.
+    "history_service" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hist").toString
+      val j = graft.rdf.Journal.create(s, tmp)
+      def idc(prefix: String, c: org.apache.spark.sql.Column) =
+        concat(lit(prefix + ":"), c.cast("string"))
+      val names = TpchRdf.table(s, dir, "nation")
+        .select(idc("n", col("n_nationkey")).as("s"), lit("name").as("p"),
+          col("n_name").as("o"), lit("g:n").as("g"))
+      j.append(names) // v1
+      j.commit(       // v2: region names in, n:1's name retracted
+        adds = TpchRdf.table(s, dir, "region")
+          .select(idc("r", col("r_regionkey")).as("s"), lit("name").as("p"),
+            col("r_name").as("o"), lit("g:r").as("g")),
+        dels = names.filter(col("s") === "n:1"))
+      graft.sparql.HistoryService.register(j)
+      try
+        graft.sparql.Compiler.compile(graft.sparql.Parser.parse(
+          """SELECT ?s ?o ?v ?act WHERE {
+            |  SERVICE bd:history {
+            |    _:h bd:fromVersion "1" .
+            |    _:h bd:outSubject ?s .
+            |    _:h bd:outObject ?o .
+            |    _:h bd:outVersion ?v .
+            |    _:h bd:outAction ?act .
+            |  }
+            |} ORDER BY ?v ?act ?s""".stripMargin),
+          graft.sparql.TripleSource.plain(j.snapshot().select("s", "p", "o")))
+      finally graft.sparql.HistoryService.unregister()
+    }),
+
     // Durable repository with DELTA-shaped SPARQL UPDATE commits
     // (reference: BigdataSailRepository/SailConnection.commit staging
     // its assert/retract buffers into the journal's commit point).
@@ -1177,6 +1215,14 @@ object EngineQueries {
         |         'yes', 'g:n' FROM nation WHERE n_regionkey = 1
         |  UNION ALL SELECT 'meta:journal', 'compacted', 'true', 'g:meta'
         |) ORDER BY s, p, o, g""".stripMargin,
+
+    "history_service" ->
+      """SELECT s, o, v, act FROM (
+        |  SELECT 'r:'||CAST(r_regionkey AS VARCHAR) AS s, r_name AS o,
+        |         CAST(2 AS BIGINT) AS v, 'added' AS act FROM region
+        |  UNION ALL SELECT 'n:1', (SELECT n_name FROM nation WHERE n_nationkey = 1),
+        |         CAST(2 AS BIGINT), 'removed'
+        |) ORDER BY v, act, s""".stripMargin,
 
     "store_repository" ->
       """SELECT s, p, o, g FROM (

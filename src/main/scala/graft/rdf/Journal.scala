@@ -295,6 +295,38 @@ final class Journal private (spark: SparkSession, dir: Path) {
     (side("adds"), side("dels"))
   }
 
+  /** The VERSION-ATTRIBUTED change log of commits in `(fromExclusive,
+    * toInclusive]`: one row per changed quad per commit — (s, p, o, g,
+    * version, action) with action ∈ added|removed. This is the
+    * QUERYABLE history surface ([[graft.sparql.HistoryService]] serves
+    * it as `SERVICE bd:history { … }`) — the reference REGISTERS
+    * bd:history/bd:rdrhistory by default but both factories throw on
+    * create (ast/service/history/HistoryServiceFactory.java:104);
+    * its usable half was always the change-capture write side, which
+    * [[changedQuads]] covers — this read side exceeds it. Same range
+    * discipline as changedQuads: compacted commits are no-ops and are
+    * skipped, a partially-vacuumed range fails loud. The plan is a
+    * union of the range's delta segments (delta-sized, graph-
+    * partitioned) with constant version/action columns — no head
+    * scan, no shuffle. */
+  def changeLog(fromExclusive: Long, toInclusive: Long = -1L): DataFrame = {
+    val recs = records
+    val to = if (toInclusive < 0) recs.last.version else toInclusive
+    require(to <= recs.last.version, s"no commit point $to in $dir")
+    val inRange = recs.filter(r => r.version > fromExclusive && r.version <= to)
+    require(inRange.size == (to - fromExclusive),
+      s"commits ($fromExclusive, $to] partially vacuumed in $dir — " +
+        "the change log is unknowable there")
+    inRange.filter(!_.compacted).flatMap { r =>
+      seg(r, "dels").map(_.withColumn("version", lit(r.version))
+          .withColumn("action", lit("removed"))) ++
+        seg(r, "adds").map(_.withColumn("version", lit(r.version))
+          .withColumn("action", lit("added")))
+    }.reduceOption(_ unionAll _).getOrElse(
+      emptyQuads(spark).withColumn("version", lit(0L))
+        .withColumn("action", lit("added")).limit(0))
+  }
+
   /** Structured Streaming sink body — use from `foreachBatch`:
     * {{{ quads.writeStream.foreachBatch(journal.sink("ingest") _).start() }}}
     * Exactly-once through the commit log itself: the (appId, batchId)

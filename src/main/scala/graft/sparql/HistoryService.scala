@@ -1,0 +1,86 @@
+package graft.sparql
+
+import org.apache.spark.sql.functions._
+
+import graft.rdf.Journal
+
+/** `SERVICE bd:history { … }` — a QUERYABLE change-log service over a
+  * [[graft.rdf.Journal]]'s commit history.
+  *
+  * The reference default-registers `bd:history` and `bd:rdrhistory`
+  * (ast/service/ServiceRegistry.java:163-176) but BOTH factories
+  * throw `UnsupportedOperationException` on `create()`
+  * (ast/service/history/HistoryServiceFactory.java:104,
+  * bigdata-sails/…/RDRHistoryServiceFactory.java:112) — they are
+  * change-CAPTURE listeners with no query side. This service supplies
+  * the missing read half over the journal's per-commit delta
+  * segments: each solution is one changed quad of one commit,
+  * `(s, p, o, g, version, action)` with action ∈ added|removed.
+  *
+  * Options ride as magic-predicate patterns on one service subject
+  * (the [[BuiltinServices]] convention):
+  *
+  *  - `bd:fromVersion "1"` — EXCLUSIVE lower commit bound (default 0
+  *    = the full retained history);
+  *  - `bd:toVersion "5"` — inclusive upper bound (default: head);
+  *  - `bd:action "added"|"removed"` — one side only (default both);
+  *  - `bd:graph "g:x"` — one named graph's changes;
+  *  - `bd:outSubject/outPredicate/outObject/outGraph/outVersion/
+  *    outAction ?v` — output variable names (defaults s/p/o/g/
+  *    version/action).
+  *
+  * Plan shape: a union of the RANGE's delta segments with constant
+  * version/action columns ([[Journal.changeLog]]) — delta-sized and
+  * graph-partitioned (a `bd:graph` filter prunes to one partition
+  * directory per segment), never a head scan. Compacted commits are
+  * logical no-ops and are skipped; a partially-vacuumed range fails
+  * loud rather than returning a silently-incomplete log. */
+object HistoryService {
+
+  def handler(journal: Journal): ServiceRegistry.Handler = (inner, _) => {
+    val pats = inner match {
+      case Bgp(ps @ _*) => ps
+      case other => sys.error(
+        s"SERVICE bd:history expects a plain option group, got $other")
+    }
+    val known = Set("bd:fromVersion", "bd:toVersion", "bd:action", "bd:graph",
+      "bd:outSubject", "bd:outPredicate", "bd:outObject", "bd:outGraph",
+      "bd:outVersion", "bd:outAction")
+    pats.foreach {
+      case TriplePattern(_, Const(p), _) if known(p) => ()
+      case other => sys.error(s"bd:history: unrecognized pattern $other " +
+        s"(options: ${known.toSeq.sorted.mkString(", ")})")
+    }
+    def opt(name: String): Option[String] = pats.collectFirst {
+      case TriplePattern(_, Const(p), Const(o)) if p == name => o
+    }
+    def outVar(name: String, dflt: String): String = pats.collectFirst {
+      case TriplePattern(_, Const(p), Var(v)) if p == name => v
+    }.getOrElse(dflt)
+    val from = opt("bd:fromVersion").map(_.toLong).getOrElse(0L)
+    val to = opt("bd:toVersion").map(_.toLong).getOrElse(-1L)
+    val log0 = journal.changeLog(from, to)
+    val log1 = opt("bd:graph").fold(log0)(g => log0.filter(col("g") === g))
+    val log = opt("bd:action").fold(log1) { a =>
+      require(a == "added" || a == "removed",
+        s"bd:action must be 'added' or 'removed', got '$a'")
+      log1.filter(col("action") === a)
+    }
+    log.select(
+      col("s").as(outVar("bd:outSubject", "s")),
+      col("p").as(outVar("bd:outPredicate", "p")),
+      col("o").as(outVar("bd:outObject", "o")),
+      col("g").as(outVar("bd:outGraph", "g")),
+      col("version").as(outVar("bd:outVersion", "version")),
+      col("action").as(outVar("bd:outAction", "action")))
+  }
+
+  /** Register the service for a journal (the per-namespace analog of
+    * the reference's default registration — here explicit because a
+    * deployment chooses WHICH journal's history a name serves). */
+  def register(journal: Journal, name: String = "bd:history"): Unit =
+    ServiceRegistry.register(name, handler(journal))
+
+  def unregister(name: String = "bd:history"): Unit =
+    ServiceRegistry.unregister(name)
+}

@@ -263,6 +263,50 @@ class JournalSpec extends AnyFunSuite {
     assert(j.changedQuads(3)._1.count() == 1)
   }
 
+  test("changeLog + SERVICE bd:history: version-attributed log, action/graph/range filters") {
+    import graft.sparql.{Compiler, HistoryService, Parser, TripleSource}
+    val dir = tmp()
+    val j = Journal.create(spark, dir)
+    j.append(quads(("a", "p", "1", "g:x")))                            // v1
+    j.commit(quads(("b", "p", "2", "g:y")), quads(("a", "p", "1", "g:x"))) // v2
+    j.compact()                                                        // v3 (no-op logically)
+    j.append(quads(("c", "p", "3", "g:x")))                            // v4
+    // full retained log: per-commit attribution, compaction contributes nothing
+    val log = j.changeLog(0).collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getString(5))).toSet
+    assert(log == Set(("a", 1L, "added"), ("a", 2L, "removed"),
+      ("b", 2L, "added"), ("c", 4L, "added")))
+    // the service surface over the same journal
+    HistoryService.register(j)
+    try {
+      def q(opts: String) = Compiler.compile(Parser.parse(
+        s"""SELECT ?s ?version ?action WHERE {
+           |  SERVICE bd:history { $opts }
+           |} ORDER BY ?version ?s""".stripMargin),
+        TripleSource.plain(j.snapshot().select("s", "p", "o")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      assert(q("""_:h bd:fromVersion "0" .""") == Seq(
+        ("a", 1L, "added"), ("a", 2L, "removed"), ("b", 2L, "added"),
+        ("c", 4L, "added")))
+      // action filter: one side only
+      assert(q("""_:h bd:fromVersion "0" . _:h bd:action "removed" .""") ==
+        Seq(("a", 2L, "removed")))
+      // graph filter prunes to one named graph's changes
+      assert(q("""_:h bd:fromVersion "0" . _:h bd:graph "g:y" .""") ==
+        Seq(("b", 2L, "added")))
+      // version window: (1, 2]
+      assert(q("""_:h bd:fromVersion "1" . _:h bd:toVersion "2" .""") ==
+        Seq(("a", 2L, "removed"), ("b", 2L, "added")))
+      // unknown option is loud
+      val e = intercept[RuntimeException](q("""_:h bd:nonsense "x" ."""))
+      assert(e.getMessage.contains("unrecognized"), e.getMessage)
+    } finally HistoryService.unregister()
+    // a vacuumed sub-range keeps changedQuads' loud contract
+    j.vacuum()
+    val e2 = intercept[IllegalArgumentException](j.changeLog(0))
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+  }
+
   test("ospHashTwin compaction: durable connection's hit→subject join prunes to obh buckets") {
     import graft.rdf.Repository
     val repo = Repository.create(spark, tmp())

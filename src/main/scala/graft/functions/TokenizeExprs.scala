@@ -518,6 +518,29 @@ object LightStemmer {
     }
     w
   }
+
+  // Arabic orthographic normalization table (the Lucene
+  // ArabicNormalizer character set): alef variants آ/أ/إ fold to bare
+  // alef, dotless ya ى → ya ي, teh marbuta ة → ha ه, tatweel (kashida)
+  // drops, and the harakat/tashkeel diacritics (U+064B–U+0652) drop —
+  // vowelized, hamza-carried and elongated spellings of one word meet
+  // at one term
+  private val arFold: Map[Char, String] =
+    (Seq('آ' -> "ا", 'أ' -> "ا", 'إ' -> "ا",
+      'ى' -> "ي", 'ة' -> "ه", 'ـ' -> "") ++
+      ('ً' to 'ْ').map(_ -> "")).toMap
+
+  /** Arabic normalization pass — folding ONLY, deliberately no
+    * stemming (Arabic templatic morphology makes suffix stripping
+    * wrong more often than right at the light tier; the reference's
+    * ArabicAnalyzer pairs this exact normalizer with a root stemmer a
+    * deployment can choose to forgo). Opt-in via
+    * `byName("ar-norm")`; the plain `ar` tag keeps surface-form
+    * Unicode indexing, the documented default. */
+  def ar(word: String): String = {
+    if (hasDigit(word)) return word
+    fold(word, arFold)
+  }
 }
 
 /** The single tokenizer implementation shared by the [[AnalyzeText]]
@@ -703,6 +726,7 @@ object Tokenize {
     case "fi"   => LightStemmer.fi
     case "cs"   => LightStemmer.cs
     case "el"   => LightStemmer.el
+    case "ar"   => LightStemmer.ar
     case other  => sys.error(s"unknown stemmer '$other'")
   }
 

@@ -299,6 +299,10 @@ object Analyzer {
       case "finnish" | "fi-stem"    => Stemmed("fi", stopwords)
       case "czech" | "cs-stem"      => Stemmed("cs", stopwords)
       case "greek" | "el-stem"      => Stemmed("el", stopwords)
+      // Arabic NORMALIZATION (folding only, no stemming — the Lucene
+      // ArabicNormalizer tier): opt-in; the plain `ar` tag keeps
+      // surface-form Unicode indexing by documented decision
+      case "ar-norm"                => Stemmed("ar", stopwords)
       case "thai"                   => Thai(stopwords)
       case lang                            => forLanguage(lang, stopwords)
     }

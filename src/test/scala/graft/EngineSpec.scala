@@ -821,6 +821,37 @@ class EngineSpec extends AnyFunSuite {
     assert(hit == Set(1L), s"got $hit")
   }
 
+  test("Arabic normalization (ar-norm): alef/hamza/tashkeel fold; opt-in e2e recall") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.functions.LightStemmer.ar
+    import graft.search.{Analyzer, FullText}
+    // alef variants fold to bare alef
+    assert(ar("أحمد") == "احمد" && ar("إسلام") == "اسلام" && ar("آخر") == "اخر")
+    // teh marbuta → ha, dotless ya → ya
+    assert(ar("مدرسة") == "مدرسه" && ar("مصطفى") == "مصطفي")
+    // harakat (tashkeel) drop: vowelized spelling meets the bare one
+    assert(ar("كَتَبَ") == "كتب")
+    // tatweel (kashida) elongation drops
+    assert(ar("كـتـاب") == "كتاب")
+    // tokens with digits pass through untouched
+    assert(ar("ar15") == "ar15")
+    val az = Analyzer.byName("ar-norm")
+    assert(az.isInstanceOf[Analyzer.Stemmed])
+    val corpus = Seq(
+      (1L, "ذهب أحمد إلى المدرسة"),   // hamza-carried alef + teh marbuta
+      (2L, "استرجاع المعلومات")).toDF("doc_id", "text")
+    // bare-alef query matches the hamza-carried document form
+    val hit = FullText.search(corpus, az.tokenizeLocal("احمد"), 20, analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L), s"got $hit")
+    // the plain `ar` tag stays surface-form (documented default): the
+    // same query misses under the Unicode analyzer
+    val un = Analyzer.forLanguage("ar")
+    val miss = FullText.search(corpus, un.tokenizeLocal("احمد"), 20, analyzer = un)
+      .collect().map(_.getLong(0)).toSet
+    assert(miss.isEmpty, s"surface-form ar must not fold: $miss")
+  }
+
   test("Porter stemmer: paper vectors; En analyzer matches inflected forms e2e") {
     import graft.functions.PorterStemmer.stem
     // vectors from the published algorithm (Porter 1980)

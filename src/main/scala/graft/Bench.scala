@@ -121,7 +121,7 @@ object Bench {
     "bgp_chain_join" -> 0.61, "bgp_star_join" -> 0.55,
     "bind_extend" -> 0.2, "blueprints_traversal" -> 1.36,
     "construct_triples" -> 1.21, "dedup_cluster" -> 3.48,
-    "dedup_embed_cosine" -> 3.03, "dedup_exact" -> 0.37,
+    "dedup_exact" -> 0.37,
     "dedup_minhash_lsh" -> 1.62, "dedup_ngram_jaccard" -> 2.89,
     "dedup_simhash" -> 1.68, "describe_cbd" -> 2.15,
     "describe_node" -> 0.12, "describe_sym" -> 0.81,
@@ -199,5 +199,10 @@ object Bench {
     "text_logprob" -> 0.54, "text_quality" -> 0.13,
     "text_tokens" -> 0.11, "union_op" -> 0.3,
     "update_delete_insert" -> 0.99, "update_using" -> 0.96,
-    "values_inline" -> 0.19)
+    "values_inline" -> 0.19,
+    // round-15 additions/updates (sf0.1 full-run readings): the two
+    // new driver queries, and dedup_embed_cosine's new cell-confined
+    // floor (the old 3.03 was the bucket-quadratic plan)
+    "sparql_service_var" -> 0.74, "history_service" -> 0.80,
+    "searchinsearch_indexed" -> 1.65, "dedup_embed_cosine" -> 0.56)
 }

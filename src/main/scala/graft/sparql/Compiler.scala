@@ -210,6 +210,10 @@ object Compiler {
     // Values case would compile the service side bare (= unbound-loud).
     case Join(l, sc: ServiceCallVar) => serviceVarJoin(compile(l, src), sc, src)
     case Join(sc: ServiceCallVar, r) => serviceVarJoin(compile(r, src), sc, src)
+    // OPTIONAL { SERVICE ?ep { … } }: same per-binding dispatch, left
+    // rows survive an endpoint with no solutions
+    case LeftJoin(l, sc: ServiceCallVar) =>
+      serviceVarJoin(compile(l, src), sc, src, "left_outer")
     case Join(l, v: Values) => valuesJoin(compile(l, src), v)
     case Join(v: Values, r) => valuesJoin(compile(r, src), v)
     // a REMOTE service joined in its group evaluates VECTORED: the
@@ -543,7 +547,8 @@ object Compiler {
     * endpoint), the branches union tagged with the endpoint value,
     * and the join keys on the endpoint variable plus shared vars. */
   private def serviceVarJoin(lc: DataFrame, sc: ServiceCallVar,
-                             src: TripleSource): DataFrame = {
+                             src: TripleSource,
+                             how: String = "inner"): DataFrame = {
     val v = sc.endpointVar
     require(lc.columns.contains(v),
       s"SERVICE ?$v: the endpoint variable is not bound by the enclosing " +
@@ -558,14 +563,27 @@ object Compiler {
         "variable SERVICE dispatches one call per endpoint, so a " +
         "corpus-sized endpoint set is a query bug; raise " +
         "graft.service.varEndpointMax explicitly if intended")
-    if (eps.isEmpty) lc.limit(0)
+    if (eps.isEmpty) { if (how == "inner") lc.limit(0) else lc }
     else {
+      // dispatch AND join per endpoint: rows with v=e can only match
+      // branch e's (tagged) solutions, so the per-endpoint join equals
+      // the global one — and it lets each REMOTE branch run the
+      // bound-join vectoring against ITS endpoint (the per-binding
+      // ServiceCallJoin composed with its own chunked VALUES
+      // injection; a local/failed branch keeps the plain path)
       val branches = eps.map { e =>
-        compile(ServiceCall(e, sc.inner, sc.silent, sc.srcText), src)
-          .withColumn(v, lit(e))
+        val scE = ServiceCall(e, sc.inner, sc.silent, sc.srcText)
+        val lcE = lc.filter(col(v) === e)
+        if (ServiceVectoring.applies(scE))
+          ServiceVectoring.joinVectored(lcE, scE,
+            (l, svc) => joinOn(l, svc.withColumn(v, lit(e)), how))
+        else joinOn(lcE, compile(scE, src).withColumn(v, lit(e)), how)
       }
-      joinOn(lc,
-        branches.reduce(_.unionByName(_, allowMissingColumns = true)), "inner")
+      val joined = branches.reduce(_.unionByName(_, allowMissingColumns = true))
+      // OPTIONAL keeps left rows whose endpoint variable is unbound
+      // (they can match no dispatch; their service vars stay unbound)
+      if (how == "inner") joined
+      else joined.unionByName(lc.filter(col(v).isNull), allowMissingColumns = true)
     }
   }
 

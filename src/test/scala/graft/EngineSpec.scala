@@ -1503,6 +1503,17 @@ class EngineSpec extends AnyFunSuite {
              |  SERVICE ?ep { ?s label ?l }
              |}""".stripMargin), src).collect()
       }
+      // OPTIONAL { SERVICE ?ep { … } }: per-binding dispatch, left rows
+      // survive an endpoint whose group yields nothing for them
+      val opt = Compiler.compile(Parser.parse(
+        s"""SELECT ?ep ?l WHERE {
+           |  VALUES ?ep { <$epA> <$epB> }
+           |  OPTIONAL { SERVICE ?ep { ?s label ?l FILTER(STRSTARTS(?l, "a")) } }
+           |} ORDER BY ?ep ?l""".stripMargin), src).collect()
+      // epA has "alpha" (matches) and "beta" (filtered); epB's "gamma"
+      // is filtered entirely → epB survives with ?l unbound
+      assert(opt.map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+        .toSeq == Seq((epA, "alpha"), (epB, null)))
       // an UNBOUND endpoint variable is loud (ServiceCallJoin throws on
       // an unbound serviceRef), silent or not
       val e = intercept[RuntimeException] {

@@ -1051,6 +1051,43 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("SERVICE ?endpoint composes with bound-join vectoring per endpoint") {
+    val spark2 = spark; import spark2.implicits._
+    val received = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def reg(name: String, triples: Seq[(String, String, String)]): Unit = {
+      val s = graft.sparql.TripleSource.plain(triples.toDF("s", "p", "o"))
+      graft.sparql.ServiceRegistry.registerRemote(name, text => {
+        received += ((name, text))
+        Compiler.compile(Parser.parse(s"SELECT * WHERE $text"), s)
+      })
+    }
+    val epX = "urn:var:x"; val epY = "urn:var:y"
+    reg(epX, Seq(("w:1", "label", "alpha"), ("w:9", "label", "noise")))
+    reg(epY, Seq(("w:2", "label", "gamma")))
+    val local = graft.sparql.TripleSource.plain(
+      Seq(("w:1", "type", "Wanted"), ("w:2", "type", "Wanted")).toDF("s", "p", "o"))
+    try {
+      val rows = Compiler.compile(Parser.parse(
+        s"""SELECT ?ep ?s ?l WHERE {
+           |  ?s type "Wanted" .
+           |  VALUES ?ep { <$epX> <$epY> }
+           |  SERVICE ?ep { ?s label ?l }
+           |} ORDER BY ?ep""".stripMargin), local).collect()
+      // each endpoint answers only ITS dispatch, joined on ?ep AND ?s
+      assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+        Seq((epX, "w:1", "alpha"), (epY, "w:2", "gamma")))
+      // and each dispatch carried the shared-key VALUES injection —
+      // the endpoint evaluated only the join-compatible keys
+      assert(received.size == 2)
+      received.foreach { case (name, text) =>
+        assert(text.contains("VALUES (?s)"), s"$name got uninjected: $text")
+      }
+    } finally {
+      graft.sparql.ServiceRegistry.unregisterRemote(epX)
+      graft.sparql.ServiceRegistry.unregisterRemote(epY)
+    }
+  }
+
   test("remote SERVICE over HTTP: loopback endpoint, W3C JSON round-trip") {
     // a real SPARQL-protocol endpoint on 127.0.0.1 (JDK HttpServer, no
     // egress): parse the POSTed query, evaluate, render W3C JSON —

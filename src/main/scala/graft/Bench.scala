@@ -22,20 +22,27 @@ object Bench {
                       catch { case _: Throwable => () })
       SparkEntry.queries("q1_agg")(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    // iteration aid: SPARK_GRAFT_ONLY=q1,q2 times a subset in isolation
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
     // Pre-stage the persisted search indexes OUTSIDE the timed loop —
     // fulltext_indexed / searchinsearch_indexed / search_journal_
     // maintained then measure the query against a standing index (the
     // production build-once shape; derived-scale dirs pre-stage the
     // store itself the same way). The one-time build cost stays
     // visible as its own `search_index_build` line below instead of
-    // riding whichever indexed query runs first.
+    // riding whichever indexed query runs first. An isolated
+    // SPARK_GRAFT_ONLY run skips the build unless it times an indexed
+    // query (no point paying a 28 s sf0.1 / ~350 s x100 stage for a
+    // q1_agg re-time; a filtered indexed query still stages lazily
+    // in-query if this is skipped by mistake).
+    val indexedQueries =
+      Set("fulltext_indexed", "searchinsearch_indexed", "search_journal_maintained")
     val ixT0 = System.nanoTime()
-    try graft.queries.SparqlQueries.stageSearchIndexes(spark, sfDir)
-    catch { case _: Throwable => () }
+    if (only.isEmpty || only.exists(indexedQueries))
+      try graft.queries.SparqlQueries.stageSearchIndexes(spark, sfDir)
+      catch { case _: Throwable => () }
     val ixBuildSec = (System.nanoTime() - ixT0) / 1e9
-    // iteration aid: SPARK_GRAFT_ONLY=q1,q2 times a subset in isolation
-    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

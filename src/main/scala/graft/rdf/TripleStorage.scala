@@ -122,7 +122,15 @@ object TripleStorage {
     * This is the SPO/POS + OSP split of the reference's statement
     * indices (AbstractTripleStore keeps all three B+Trees over one
     * statement relation; here the twin is a second parquet layout
-    * staged beside the store — [[writeOspHash]] builds it once). */
+    * staged beside the store — [[writeOspHash]] builds it once).
+    *
+    * STALENESS CONTRACT: the twin is a static snapshot — callers must
+    * attach it only to the store state it was built from and rebuild
+    * (or drop the wrapper) after mutating the base; the durable path
+    * ([[Journal.compact]] `ospHashTwin` + `Repository.connection`)
+    * manages this automatically per commit point, and `Graft`'s
+    * in-memory mutation ops drop their accelerators for the same
+    * reason. */
   def withOspTwin(base: TripleSource, spark: SparkSession,
                   ospHashPath: String): TripleSource = new TripleSource {
     def triples: DataFrame = base.triples

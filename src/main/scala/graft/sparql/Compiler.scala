@@ -546,14 +546,20 @@ object Compiler {
     * form (registry lookup, remote transport, SILENT-unit per
     * endpoint), the branches union tagged with the endpoint value,
     * and the join keys on the endpoint variable plus shared vars. */
-  private def serviceVarJoin(lc: DataFrame, sc: ServiceCallVar,
+  private def serviceVarJoin(lcIn: DataFrame, sc: ServiceCallVar,
                              src: TripleSource,
                              how: String = "inner"): DataFrame = {
     val v = sc.endpointVar
-    require(lc.columns.contains(v),
+    require(lcIn.columns.contains(v),
       s"SERVICE ?$v: the endpoint variable is not bound by the enclosing " +
         "group (the reference's ServiceCallJoin throws on an unbound " +
         "serviceRef); bind it with VALUES or a catalog pattern")
+    // one materialization: the left side feeds the endpoint probe,
+    // every per-endpoint branch filter AND the unbound-row union — an
+    // expensive upstream must not pay per endpoint, and a
+    // nondeterministic one could otherwise dispatch to endpoints its
+    // joined rows no longer carry (the joinVectored discipline)
+    val lc = lcIn.localCheckpoint()
     val maxEp = lc.sparkSession.conf
       .get("graft.service.varEndpointMax", "64").toInt
     val eps = lc.select(col(v).cast("string")).filter(col(v).isNotNull)

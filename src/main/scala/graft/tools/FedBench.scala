@@ -65,15 +65,23 @@ object FedBench {
 
     val localSrc = graft.sparql.TripleSource.plain(
       (0 until k).map(i => (s"x:${i * 37}", "type", "Wanted")).toDF("s", "p", "o"))
-    // 3rd arg "optional": the service group is SCOPE-SENSITIVE (an
-    // OPTIONAL rides inside) — round-15 certainlyBound vectoring
-    // injects ?s (bound by the group's mandatory pattern) there too
+    // 3rd arg:
+    //  - "optional": the service group is SCOPE-SENSITIVE (an OPTIONAL
+    //    rides inside) — round-15 certainlyBound vectoring injects ?s
+    //    (bound by the group's mandatory pattern) there too;
+    //  - "varendpoint": SERVICE ?ep with the endpoint VALUES-bound (a
+    //    1-row catalog naming the loopback endpoint) — measures the
+    //    per-binding dispatch composing with the bound join per
+    //    branch against the constant-endpoint baseline.
+    val mode = args.drop(2).headOption.getOrElse("")
     val group =
-      if (args.drop(2).headOption.contains("optional"))
-        s"{ ?s name ?nm OPTIONAL { ?s type ?t } }"
+      if (mode == "optional") s"{ ?s name ?nm OPTIONAL { ?s type ?t } }"
       else "{ ?s name ?nm }"
     val query =
-      s"""SELECT ?s ?nm WHERE { ?s type "Wanted" . SERVICE <$ep> $group }"""
+      if (mode == "varendpoint")
+        s"""SELECT ?s ?nm WHERE { ?s type "Wanted" .
+           |  VALUES ?ep { <$ep> } SERVICE ?ep $group }""".stripMargin
+      else s"""SELECT ?s ?nm WHERE { ?s type "Wanted" . SERVICE <$ep> $group }"""
 
     def time(mode: String): (Double, Long, Long, Long) = {
       // worst-of-both guard: cap 0 forces the unconstrained fetch

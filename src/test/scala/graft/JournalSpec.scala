@@ -276,6 +276,10 @@ class JournalSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(4), r.getString(5))).toSet
     assert(log == Set(("a", 1L, "added"), ("a", 2L, "removed"),
       ("b", 2L, "added"), ("c", 4L, "added")))
+    // scale shape: the log is a UNION of delta-segment scans with
+    // constant columns — no shuffle, no head scan (plan-asserted)
+    val plan = j.changeLog(0).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"changeLog must not shuffle:\n$plan")
     // the service surface over the same journal
     HistoryService.register(j)
     try {

@@ -117,6 +117,10 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       sys.error("timestamp reads need a journal-backed namespace")
     /** Journal head version (-1 for in-memory tenants). */
     def version: Long = -1L
+    /** The backing journal, when durable — put in dynamic scope
+      * around query compilation so `SERVICE bd:history` serves THIS
+      * namespace's commit log. */
+    def journal: Option[graft.rdf.Journal] = None
     /** Graph Store Protocol PUT: replace graph `g` with `quads`. */
     def putGraph(g: String, quads: DataFrame): Unit
     /** Graph Store Protocol DELETE: drop graph `g`. */
@@ -285,6 +289,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       synchronized { repo.updateOps(ops); maybeCompact() }
     override def at(version: Long): Graft = withConf(repo.connection(version))
     override def version: Long = repo.version
+    override def journal: Option[graft.rdf.Journal] = Some(repo.journal)
     def ingest(quads: DataFrame): Long = synchronized {
       val q = quads.localCheckpoint()
       repo.journal.commit(adds = q, dels = emptyQuads)
@@ -964,9 +969,17 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         // string or form body) takes precedence over the query's own
         // FROM / FROM NAMED
         val (dgs, ngs) = datasetParams(ex, "default-graph-uri", "named-graph-uri")
-        val df =
+        // compile with THIS namespace's journal answering bd:history
+        // (the built plan carries the segment scans; execution below
+        // needs no scope) — in-memory namespaces compile bare and a
+        // bd:history query there stays loud
+        def build(): org.apache.spark.sql.DataFrame =
           if (dgs.isEmpty && ngs.isEmpty) g.query(q)
           else g.query(graft.sparql.ProtocolDataset.overrideIn(ast, dgs, ngs))
+        val df = tenant(ns).journal match {
+          case Some(j) => graft.sparql.HistoryService.withJournal(j)(build())
+          case None    => build()
+        }
         if (qp.contains("explain")) {
           // the reference's ?explain: the query PLAN, not the results
           val plan = df.queryExecution.explainString(
@@ -1531,7 +1544,13 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                  |${workbenchForm(ns)}</body></html>""".stripMargin)
           } else {
           val q = form.get("query").flatten.getOrElse(sys.error("no query or update in form"))
-          val df = tenant(ns).current.query(q)
+          // the workbench compiles with the namespace's journal in
+          // scope too — bd:history works from the form like /sparql
+          val t = tenant(ns)
+          val df = t.journal match {
+            case Some(j) => graft.sparql.HistoryService.withJournal(j)(t.current.query(q))
+            case None    => t.current.query(q)
+          }
           val (vars, rows) = inJobGroup(ns, s"WORKBENCH $q") {
             (df.columns.toSeq, df.limit(501).collect())
           }

@@ -75,12 +75,45 @@ object HistoryService {
       col("action").as(outVar("bd:outAction", "action")))
   }
 
+  // ---- registration and per-namespace scoping -----------------------
+  //
+  // ServiceRegistry is global but a deployment has MANY journals (one
+  // per server namespace). The `bd:history` name therefore resolves
+  // through two layers: a journal put in DYNAMIC scope by the party
+  // evaluating the query (the protocol server wraps each namespace's
+  // query compilation in [[withJournal]] — the reference scopes
+  // service factories per triplestore the same way), else the
+  // library-registered default. Both miss → loud.
+
+  private val scoped = new scala.util.DynamicVariable[Option[Journal]](None)
+  @volatile private var defaultJournal: Option[Journal] = None
+
+  private lazy val installGlobal: Unit =
+    ServiceRegistry.register("bd:history", (inner, src) =>
+      scoped.value.orElse(defaultJournal) match {
+        case Some(j) => handler(j)(inner, src)
+        case None => sys.error("SERVICE bd:history: no journal in scope — " +
+          "query a journal-backed namespace, or HistoryService.register(journal)")
+      })
+
+  /** Evaluate `f` with `journal` answering `bd:history` — plan
+    * COMPILATION must happen inside the scope (the built plan then
+    * carries the journal's segment scans and needs no scope to run). */
+  def withJournal[T](journal: Journal)(f: => T): T = {
+    installGlobal
+    scoped.withValue(Some(journal))(f)
+  }
+
   /** Register the service for a journal (the per-namespace analog of
     * the reference's default registration — here explicit because a
-    * deployment chooses WHICH journal's history a name serves). */
+    * deployment chooses WHICH journal's history a name serves). A
+    * custom name binds that journal directly; the default name
+    * installs it as the fallback under the scoped dispatch above. */
   def register(journal: Journal, name: String = "bd:history"): Unit =
-    ServiceRegistry.register(name, handler(journal))
+    if (name == "bd:history") { installGlobal; defaultJournal = Some(journal) }
+    else ServiceRegistry.register(name, handler(journal))
 
   def unregister(name: String = "bd:history"): Unit =
-    ServiceRegistry.unregister(name)
+    if (name == "bd:history") defaultJournal = None
+    else ServiceRegistry.unregister(name)
 }

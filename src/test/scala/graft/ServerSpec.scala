@@ -294,6 +294,55 @@ class ServerSpec extends AnyFunSuite {
     } finally srv3.stop()
   }
 
+  test("SERVICE bd:history over the protocol: per-namespace change log, in-memory loud") {
+    val srv = SparqlServer.durable(Graft.empty(spark), tmp()).start()
+    try {
+      // two commits into the default namespace's journal
+      assert(post(srv.address + "/sparql/update",
+        """INSERT DATA { x:1 label "gear" }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(post(srv.address + "/sparql/update",
+        """DELETE DATA { x:1 label "gear" } ;
+          |INSERT DATA { x:1 label "cog" . x:2 label "axle" }""".stripMargin,
+        "application/sparql-update").statusCode() == 204)
+      // a second namespace with ITS OWN history
+      assert(post(srv.address + "/namespace", "name=other",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      assert(post(srv.address + "/namespace/other/sparql/update",
+        """INSERT DATA { y:1 label "widget" }""",
+        "application/sparql-update").statusCode() == 204)
+      val histQ =
+        """SELECT ?o ?version ?action WHERE {
+          |  SERVICE bd:history {
+          |    _:h bd:outObject ?o . _:h bd:outVersion ?version .
+          |    _:h bd:outAction ?action .
+          |  }
+          |} ORDER BY ?version ?action ?o""".stripMargin
+      // default namespace: both commits' quads, version-attributed
+      val d = post(srv.address + "/sparql", histQ, "application/sparql-query")
+      assert(d.statusCode() == 200, d.body())
+      val rows = graft.sparql.RemoteService.parseJsonResults(spark, d.body())
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(rows.map(x => (x._1, x._3)) == Seq(
+        ("gear", "added"), ("axle", "added"), ("cog", "added"), ("gear", "removed")))
+      // the other namespace sees ONLY its own log — per-namespace scope
+      val o = post(srv.address + "/namespace/other/sparql", histQ,
+        "application/sparql-query")
+      assert(o.statusCode() == 200, o.body())
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, o.body())
+        .collect().map(_.getString(0)).toSeq == Seq("widget"))
+    } finally srv.stop()
+    // an IN-MEMORY server has no journal: bd:history stays loud
+    val mem = new SparqlServer(Graft.empty(spark)).start()
+    try {
+      val r = post(mem.address + "/sparql",
+        "SELECT ?o WHERE { SERVICE bd:history { _:h bd:outObject ?o . } }",
+        "application/sparql-query")
+      assert(r.statusCode() == 400 && r.body().contains("no journal in scope"),
+        s"${r.statusCode()} ${r.body()}")
+    } finally mem.stop()
+  }
+
   test("Graph Store Protocol: PUT replaces, POST merges, GET streams, DELETE drops") {
     val srv = new SparqlServer(Graft.empty(spark)).start()
     val enc = java.net.URLEncoder.encode("urn:graft:g:gsp", "UTF-8")

@@ -37,7 +37,13 @@ import graft.rdf.Journal
   * loud rather than returning a silently-incomplete log. */
 object HistoryService {
 
-  def handler(journal: Journal): ServiceRegistry.Handler = (inner, _) => {
+  /** `rdrOnly`: restrict the log to statement-ANNOTATION rows (the
+    * subject is a statement id, [[graft.rdf.Rdr.Prefix]]) — the
+    * `bd:rdrhistory` twin, the reference's SECOND registered history
+    * name (RDRHistoryServiceFactory, likewise create()-throwing
+    * there): what changed about statements-about-statements. */
+  def handler(journal: Journal, rdrOnly: Boolean = false): ServiceRegistry.Handler =
+    (inner, _) => {
     val pats = inner match {
       case Bgp(ps @ _*) => ps
       case other => sys.error(
@@ -59,7 +65,10 @@ object HistoryService {
     }.getOrElse(dflt)
     val from = opt("bd:fromVersion").map(_.toLong).getOrElse(0L)
     val to = opt("bd:toVersion").map(_.toLong).getOrElse(-1L)
-    val log0 = journal.changeLog(from, to)
+    val logAll = journal.changeLog(from, to)
+    val log0 =
+      if (rdrOnly) logAll.filter(col("s").startsWith(graft.rdf.Rdr.Prefix))
+      else logAll
     val log1 = opt("bd:graph").fold(log0)(g => log0.filter(col("g") === g))
     val log = opt("bd:action").fold(log1) { a =>
       require(a == "added" || a == "removed",
@@ -88,13 +97,18 @@ object HistoryService {
   private val scoped = new scala.util.DynamicVariable[Option[Journal]](None)
   @volatile private var defaultJournal: Option[Journal] = None
 
-  private lazy val installGlobal: Unit =
-    ServiceRegistry.register("bd:history", (inner, src) =>
+  private lazy val installGlobal: Unit = {
+    def scopedHandler(rdrOnly: Boolean): ServiceRegistry.Handler = (inner, src) =>
       scoped.value.orElse(defaultJournal) match {
-        case Some(j) => handler(j)(inner, src)
+        case Some(j) => handler(j, rdrOnly)(inner, src)
         case None => sys.error("SERVICE bd:history: no journal in scope — " +
           "query a journal-backed namespace, or HistoryService.register(journal)")
-      })
+      }
+    ServiceRegistry.register("bd:history", scopedHandler(rdrOnly = false))
+    // the reference's second registered name: the statement-annotation
+    // slice of the same log (both names share the journal scope)
+    ServiceRegistry.register("bd:rdrhistory", scopedHandler(rdrOnly = true))
+  }
 
   /** Evaluate `f` with `journal` answering `bd:history` — plan
     * COMPILATION must happen inside the scope (the built plan then
@@ -110,10 +124,11 @@ object HistoryService {
     * custom name binds that journal directly; the default name
     * installs it as the fallback under the scoped dispatch above. */
   def register(journal: Journal, name: String = "bd:history"): Unit =
-    if (name == "bd:history") { installGlobal; defaultJournal = Some(journal) }
-    else ServiceRegistry.register(name, handler(journal))
+    if (name == "bd:history" || name == "bd:rdrhistory") {
+      installGlobal; defaultJournal = Some(journal)
+    } else ServiceRegistry.register(name, handler(journal))
 
   def unregister(name: String = "bd:history"): Unit =
-    if (name == "bd:history") defaultJournal = None
+    if (name == "bd:history" || name == "bd:rdrhistory") defaultJournal = None
     else ServiceRegistry.unregister(name)
 }

@@ -304,6 +304,17 @@ class JournalSpec extends AnyFunSuite {
       // unknown option is loud
       val e = intercept[RuntimeException](q("""_:h bd:nonsense "x" ."""))
       assert(e.getMessage.contains("unrecognized"), e.getMessage)
+      // bd:rdrhistory: the statement-ANNOTATION slice of the same log
+      // (subjects that are statement ids) — the reference's second
+      // registered history name, likewise create()-throwing there
+      j.append(quads((graft.rdf.Rdr.sidOf("a", "p", "1"), "assertedBy", "alice", "g:x"))) // v5
+      val rdr = Compiler.compile(Parser.parse(
+        """SELECT ?s ?o ?version WHERE {
+          |  SERVICE bd:rdrhistory { _:h bd:fromVersion "0" . }
+          |} ORDER BY ?version""".stripMargin),
+        TripleSource.plain(j.snapshot().select("s", "p", "o")))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rdr == Seq((graft.rdf.Rdr.sidOf("a", "p", "1"), "alice", 5L)), rdr.toString)
     } finally HistoryService.unregister()
     // a vacuumed sub-range keeps changedQuads' loud contract
     j.vacuum()

@@ -972,13 +972,16 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         // compile with THIS namespace's journal answering bd:history
         // (the built plan carries the segment scans; execution below
         // needs no scope) — in-memory namespaces compile bare and a
-        // bd:history query there stays loud
+        // bd:history query there stays loud. A ?timestamp= read view
+        // caps the visible log at its snapshot version.
         def build(): org.apache.spark.sql.DataFrame =
           if (dgs.isEmpty && ngs.isEmpty) g.query(q)
           else g.query(graft.sparql.ProtocolDataset.overrideIn(ast, dgs, ngs))
         val df = tenant(ns).journal match {
-          case Some(j) => graft.sparql.HistoryService.withJournal(j)(build())
-          case None    => build()
+          case Some(j) =>
+            val cap = qp.get("timestamp").flatten.map(_.toLong)
+            graft.sparql.HistoryService.withJournal(j, cap)(build())
+          case None => build()
         }
         if (qp.contains("explain")) {
           // the reference's ?explain: the query PLAN, not the results

@@ -42,7 +42,8 @@ object HistoryService {
     * `bd:rdrhistory` twin, the reference's SECOND registered history
     * name (RDRHistoryServiceFactory, likewise create()-throwing
     * there): what changed about statements-about-statements. */
-  def handler(journal: Journal, rdrOnly: Boolean = false): ServiceRegistry.Handler =
+  def handler(journal: Journal, rdrOnly: Boolean = false,
+              capVersion: Option[Long] = None): ServiceRegistry.Handler =
     (inner, _) => {
     val pats = inner match {
       case Bgp(ps @ _*) => ps
@@ -64,7 +65,15 @@ object HistoryService {
       case TriplePattern(_, Const(p), Var(v)) if p == name => v
     }.getOrElse(dflt)
     val from = opt("bd:fromVersion").map(_.toLong).getOrElse(0L)
-    val to = opt("bd:toVersion").map(_.toLong).getOrElse(-1L)
+    val toAsked = opt("bd:toVersion").map(_.toLong)
+    // a historical read view must not see commits after its snapshot:
+    // the cap becomes the default upper bound, and asking past it is
+    // loud (the journal HAS those commits — the VIEW does not)
+    capVersion.foreach { cap =>
+      toAsked.foreach(t => require(t <= cap,
+        s"bd:toVersion $t is beyond this read view's timestamp ($cap)"))
+    }
+    val to = toAsked.orElse(capVersion).getOrElse(-1L)
     val logAll = journal.changeLog(from, to)
     val log0 =
       if (rdrOnly) logAll.filter(col("s").startsWith(graft.rdf.Rdr.Prefix))
@@ -94,13 +103,15 @@ object HistoryService {
   // service factories per triplestore the same way), else the
   // library-registered default. Both miss → loud.
 
-  private val scoped = new scala.util.DynamicVariable[Option[Journal]](None)
+  private val scoped =
+    new scala.util.DynamicVariable[Option[(Journal, Option[Long])]](None)
   @volatile private var defaultJournal: Option[Journal] = None
 
   private lazy val installGlobal: Unit = {
     def scopedHandler(rdrOnly: Boolean): ServiceRegistry.Handler = (inner, src) =>
-      scoped.value.orElse(defaultJournal) match {
-        case Some(j) => handler(j, rdrOnly)(inner, src)
+      scoped.value.map(s => (s._1, s._2))
+        .orElse(defaultJournal.map(j => (j, Option.empty[Long]))) match {
+        case Some((j, cap)) => handler(j, rdrOnly, cap)(inner, src)
         case None => sys.error("SERVICE bd:history: no journal in scope — " +
           "query a journal-backed namespace, or HistoryService.register(journal)")
       }
@@ -112,10 +123,13 @@ object HistoryService {
 
   /** Evaluate `f` with `journal` answering `bd:history` — plan
     * COMPILATION must happen inside the scope (the built plan then
-    * carries the journal's segment scans and needs no scope to run). */
-  def withJournal[T](journal: Journal)(f: => T): T = {
+    * carries the journal's segment scans and needs no scope to run).
+    * `capVersion`: a HISTORICAL read view (`?timestamp=v`) must not
+    * see commits after its snapshot — the default toVersion becomes
+    * the cap, and an explicit toVersion beyond it is loud. */
+  def withJournal[T](journal: Journal, capVersion: Option[Long] = None)(f: => T): T = {
     installGlobal
-    scoped.withValue(Some(journal))(f)
+    scoped.withValue(Some((journal, capVersion)))(f)
   }
 
   /** Register the service for a journal (the per-namespace analog of

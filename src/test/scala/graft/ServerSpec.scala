@@ -331,6 +331,21 @@ class ServerSpec extends AnyFunSuite {
       assert(o.statusCode() == 200, o.body())
       assert(graft.sparql.RemoteService.parseJsonResults(spark, o.body())
         .collect().map(_.getString(0)).toSeq == Seq("widget"))
+      // a ?timestamp= read view caps the visible log at its snapshot:
+      // v1 sees only the first commit, never the future
+      val t1 = post(srv.address + "/sparql?timestamp=1", histQ,
+        "application/sparql-query")
+      assert(t1.statusCode() == 200, t1.body())
+      assert(graft.sparql.RemoteService.parseJsonResults(spark, t1.body())
+        .collect().map(r => (r.getString(0), r.getString(2))).toSeq ==
+        Seq(("gear", "added")))
+      // asking the view for versions past its snapshot is loud
+      val beyond = post(srv.address + "/sparql?timestamp=1",
+        """SELECT ?o WHERE { SERVICE bd:history {
+          |  _:h bd:toVersion "2" . _:h bd:outObject ?o . } }""".stripMargin,
+        "application/sparql-query")
+      assert(beyond.statusCode() == 400 &&
+        beyond.body().contains("beyond this read view"), beyond.body())
     } finally srv.stop()
     // an IN-MEMORY server has no journal: bd:history stays loud
     val mem = new SparqlServer(Graft.empty(spark)).start()

@@ -39,16 +39,35 @@ object Bench {
     val indexedQueries =
       Set("fulltext_indexed", "searchinsearch_indexed", "search_journal_maintained")
     val ixT0 = System.nanoTime()
+    // NonFatal only, and the failure is RECORDED (flag in the emitted
+    // JSON + stderr line): a swallowed staging failure would make
+    // search_index_build report ~0s while the build cost silently
+    // rides the first indexed query again — corrupting exactly the
+    // comparability this synthetic line exists to provide
+    var ixStageFailed = false
     if (only.isEmpty || only.exists(indexedQueries))
       try graft.queries.SparqlQueries.stageSearchIndexes(spark, sfDir)
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        ixStageFailed = true
+        System.err.println(s"stageSearchIndexes FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
     val ixBuildSec = (System.nanoTime() - ixT0) / 1e9
+    // a query that THROWS must not land in the artifact as an
+    // innocent-looking elapsed time: its entry carries the -1.0 error
+    // sentinel (same convention as the isolated re-times) and its name
+    // joins the "errors" list
+    var errored = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count()
+            name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case scala.util.control.NonFatal(e) =>
+        errored ::= name
+        System.err.println(s"query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        name -> -1.0
+      }
     }.toMap
     // the synthetic index-build line joins the OUTPUT maps only (it is
     // not a driver query — the re-time loop below must not see it);
@@ -57,7 +76,14 @@ object Bench {
     val reported = results + ("search_index_build" -> ixBuildSec)
     val qs = reported.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (reported.nonEmpty) reported.values.sum else 0.0
+    // split fields so a reader never re-derives them from the full
+    // map: query_total = Σ successful query wall-times, index_build =
+    // the one-time staging line; total keeps including BOTH for
+    // cross-round comparability with rounds where the build rode
+    // inside an indexed query's timing. Error sentinels (-1.0) are
+    // excluded from every sum.
+    val queryTotal = results.values.filter(_ >= 0).sum
+    val total = queryTotal + ixBuildSec
     // Isolated re-times for the slowest queries: the box's cross-session
     // load swings single-run figures 5-10x, so the artifact carries a
     // best-of-two warm re-run for the top-5 — a judge reading an
@@ -97,8 +123,12 @@ object Bench {
       }.toMap
     val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errored.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val extra =
+      s""""query_total":$queryTotal,"index_build":$ixBuildSec,""" +
+        s""""index_stage_failed":$ixStageFailed,"errors":$errs"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$extra,"queries":$qs,"isolated":$iso,"sf":"$sfDir"}"""
     println(full)
     // the full line above is ~8 KB at 190+ queries — longer than a
     // log-tail capture window, so a consumer reading only the tail
@@ -112,7 +142,7 @@ object Bench {
     catch { case scala.util.control.NonFatal(_) => () }
     val slowest = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},$extra,""" +
       s""""slowest":$slowest,"isolated":$iso,"sf":"$sfDir","full_queries_file":"$outFile"}""")
     spark.stop()
   }

@@ -894,8 +894,15 @@ object EngineQueries {
     // replayed as the version-attributed change log from an EXCLUSIVE
     // fromVersion bound — delta segments only, never a head scan.
     "history_service" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_hist").toString
-      val j = graft.rdf.Journal.create(s, tmp)
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_hist")
+      sys.addShutdownHook {
+        try {
+          java.nio.file.Files.walk(tmpDir)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val j = graft.rdf.Journal.create(s, tmpDir.toString)
       def idc(prefix: String, c: org.apache.spark.sql.Column) =
         concat(lit(prefix + ":"), c.cast("string"))
       val names = TpchRdf.table(s, dir, "nation")
@@ -907,8 +914,10 @@ object EngineQueries {
           .select(idc("r", col("r_regionkey")).as("s"), lit("name").as("p"),
             col("r_name").as("o"), lit("g:r").as("g")),
         dels = names.filter(col("s") === "n:1"))
-      graft.sparql.HistoryService.register(j)
-      try
+      // per-evaluation DYNAMIC scope (withJournal), not the process-
+      // global register/unregister pair — reentrant under concurrent
+      // query evaluation and leaves no global registration behind
+      graft.sparql.HistoryService.withJournal(j) {
         graft.sparql.Compiler.compile(graft.sparql.Parser.parse(
           """SELECT ?s ?o ?v ?act WHERE {
             |  SERVICE bd:history {
@@ -920,7 +929,7 @@ object EngineQueries {
             |  }
             |} ORDER BY ?v ?act ?s""".stripMargin),
           graft.sparql.TripleSource.plain(j.snapshot().select("s", "p", "o")))
-      finally graft.sparql.HistoryService.unregister()
+      }
     }),
 
     // Durable repository with DELTA-shaped SPARQL UPDATE commits

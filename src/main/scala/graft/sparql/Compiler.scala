@@ -569,7 +569,27 @@ object Compiler {
         "variable SERVICE dispatches one call per endpoint, so a " +
         "corpus-sized endpoint set is a query bug; raise " +
         "graft.service.varEndpointMax explicitly if intended")
-    if (eps.isEmpty) { if (how == "inner") lc.limit(0) else lc }
+    // the unbound-endpoint contract is LOUD under the joining form,
+    // whether the column is absent (the require above) or present but
+    // NULL on some row: an inner join would otherwise silently drop
+    // exactly the rows the reference's ServiceCallJoin throws on.
+    // OPTIONAL keeps null-endpoint rows (they match no dispatch; their
+    // service vars stay unbound — the union below).
+    if (how == "inner" && lc.filter(col(v).isNull).limit(1).count() > 0)
+      sys.error(
+        s"SERVICE ?$v: some solutions leave the endpoint variable " +
+          "unbound (NULL) — the reference's ServiceCallJoin throws on " +
+          "an unbound serviceRef; filter them out or use OPTIONAL")
+    // empty endpoint set: the result must still CARRY the service
+    // group's variables (as nulls / no rows) or a downstream SELECT of
+    // a service var dies with an AnalysisException on a missing column
+    def padServiceVars(df: DataFrame): DataFrame =
+      ServiceVectoring.certainlyBound(sc.inner)
+        .filterNot(df.columns.contains).toSeq.sorted
+        .foldLeft(df)((d, n) => d.withColumn(n, lit(null).cast("string")))
+    if (eps.isEmpty) {
+      if (how == "inner") padServiceVars(lc.limit(0)) else padServiceVars(lc)
+    }
     else {
       // dispatch AND join per endpoint: rows with v=e can only match
       // branch e's (tagged) solutions, so the per-endpoint join equals

@@ -103,14 +103,28 @@ object HistoryService {
   // service factories per triplestore the same way), else the
   // library-registered default. Both miss → loud.
 
-  private val scoped =
-    new scala.util.DynamicVariable[Option[(Journal, Option[Long])]](None)
+  private sealed trait Scope
+  /** No dynamic scope set: fall through to the library default. */
+  private case object Unscoped extends Scope
+  /** PINNED journal-less scope: a tenant with no commit log must fail
+    * loud, never fall through to whatever unrelated journal some
+    * embedding code registered as the process default — that would be
+    * a cross-namespace history exposure. */
+  private case object NoJournal extends Scope
+  private final case class Scoped(j: Journal, cap: Option[Long]) extends Scope
+
+  private val scoped = new scala.util.DynamicVariable[Scope](Unscoped)
   @volatile private var defaultJournal: Option[Journal] = None
 
   private lazy val installGlobal: Unit = {
     def scopedHandler(rdrOnly: Boolean): ServiceRegistry.Handler = (inner, src) =>
-      scoped.value.map(s => (s._1, s._2))
-        .orElse(defaultJournal.map(j => (j, Option.empty[Long]))) match {
+      (scoped.value match {
+        case Scoped(j, cap) => Some((j, cap))
+        case NoJournal      => sys.error(
+          "SERVICE bd:history: this namespace has no commit log (not " +
+            "journal-backed) — query a journal-backed namespace")
+        case Unscoped       => defaultJournal.map(j => (j, Option.empty[Long]))
+      }) match {
         case Some((j, cap)) => handler(j, rdrOnly, cap)(inner, src)
         case None => sys.error("SERVICE bd:history: no journal in scope — " +
           "query a journal-backed namespace, or HistoryService.register(journal)")
@@ -129,7 +143,16 @@ object HistoryService {
     * the cap, and an explicit toVersion beyond it is loud. */
   def withJournal[T](journal: Journal, capVersion: Option[Long] = None)(f: => T): T = {
     installGlobal
-    scoped.withValue(Some((journal, capVersion)))(f)
+    scoped.withValue(Scoped(journal, capVersion))(f)
+  }
+
+  /** Evaluate `f` with `bd:history` pinned to NO journal — the scope a
+    * server puts around an in-memory (journal-less) tenant's query
+    * compilation so it can never fall through to the process-global
+    * default registration (an unrelated journal's history). */
+  def withoutJournal[T](f: => T): T = {
+    installGlobal
+    scoped.withValue(NoJournal)(f)
   }
 
   /** Register the service for a journal (the per-namespace analog of

@@ -1523,6 +1523,27 @@ class EngineSpec extends AnyFunSuite {
           "SELECT ?x WHERE { SERVICE ?ep { ?s label ?x } }"), src).collect()
       }
       assert(e.getMessage.contains("endpoint variable"))
+      // …and a PRESENT-but-NULL binding is equally loud under the
+      // joining form — an inner join would otherwise silently drop
+      // exactly the rows the reference throws on
+      val eNull = intercept[RuntimeException] {
+        Compiler.compile(Parser.parse(
+          s"""SELECT ?ep ?l WHERE {
+             |  VALUES ?ep { <$epA> UNDEF }
+             |  SERVICE ?ep { ?s label ?l }
+             |}""".stripMargin), src).collect()
+      }
+      assert(eNull.getMessage.contains("unbound (NULL)"))
+      // OPTIONAL keeps a null-endpoint row (it matches no dispatch) and
+      // an ALL-null / empty endpoint set still CARRIES the service
+      // group's vars — a downstream SELECT of ?l must resolve, not die
+      // on a missing column
+      val allNull = Compiler.compile(Parser.parse(
+        s"""SELECT ?ep ?l WHERE {
+           |  VALUES ?ep { UNDEF }
+           |  OPTIONAL { SERVICE ?ep { ?s label ?l } }
+           |}""".stripMargin), src).collect()
+      assert(allNull.length == 1 && allNull.head.isNullAt(0) && allNull.head.isNullAt(1))
       // the endpoint-set size guard refuses a corpus-sized dispatch set
       spark.conf.set("graft.service.varEndpointMax", "1")
       try {

@@ -150,6 +150,32 @@ class PipelineSpec extends AnyFunSuite {
     val sd = Ann.semanticDedup(embs, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(sd == fromPairs, s"missed=${fromPairs -- sd} extra=${sd -- fromPairs}")
+
+    // INDEPENDENT confinement replay (the anti-self-consistency pin):
+    // the driver correctness oracle replays the cell assignment in SQL,
+    // so a recall collapse INSIDE the confinement logic would pass both
+    // sides identically. Here the seed-book argmax is re-implemented
+    // from its spec (seeds = vec_id % 64 == 0, book ascending by id,
+    // argmax cosine with >= ties to the LATER seed) in plain Scala, and
+    // cell's pair set must EQUAL the exact pairs restricted to same
+    // cell — not merely be a subset of all-pairs.
+    val rows = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val seeds = rows.filter(_._1 % 64 == 0).sortBy(_._1)
+    assert(seeds.length >= 2, "fixture should yield a multi-cell book")
+    val cellOf = rows.map { case (id, v) =>
+      var best = Double.NegativeInfinity; var bc = -1L
+      seeds.foreach { case (sid, sv) =>
+        val sim = v.zip(sv).map { case (a1, b1) => a1 * b1 }.sum / (nrm(v) * nrm(sv))
+        if (sim >= best) { best = sim; bc = sid }
+      }
+      id -> bc
+    }.toMap
+    val exactSameCell = exact.keySet.filter { case (a1, b1) => cellOf(a1) == cellOf(b1) }
+    assert(cell.map(_._1).toSet == exactSameCell,
+      s"confinement drift: missing=${exactSameCell -- cell.map(_._1).toSet} " +
+        s"extra=${cell.map(_._1).toSet -- exactSameCell}")
   }
 
   test("seed book is hash-thinned to maxBookK and collectBook refuses oversize loudly") {

@@ -63,7 +63,8 @@ import graft.rdf.Journal
 final class MaintainedClosure private (spark: SparkSession,
                                        ont: Rdfs.Ontology,
                                        owl: Option[Owl.Ontology],
-                                       baseJ: Journal, closedJ: Journal) {
+                                       baseJ: Journal, closedJ: Journal,
+                                       dynamic: Boolean = false) {
 
   private val G = "g:closure"
   private def withG(t: DataFrame): DataFrame =
@@ -74,11 +75,34 @@ final class MaintainedClosure private (spark: SparkSession,
   /** Latest commit point (base and closed journals advance in step). */
   def version: Long = baseJ.version
 
+  /** The program config in force over a base state: constructor-FIXED
+    * (a library embedding chooses its program up front), or in
+    * DYNAMIC mode extracted from the statements themselves — the
+    * server's truthMaintenance namespaces, where the TBox arrives
+    * over the protocol as data (the reference reads its vocabulary
+    * out of the store the same way; inference is a namespace OPTION,
+    * the ontology is statements). */
+  private def effective(b: DataFrame): (Rdfs.Ontology, Option[Owl.Ontology]) =
+    if (!dynamic) (ont, owl)
+    else (MaintainedClosure.ontologyFrom(b), MaintainedClosure.owlOntologyFrom(b))
+
+  /** Does a delta touch program-DEFINING vocabulary? In dynamic mode
+    * such a commit changes the maintained program itself (a new
+    * subClassOf edge re-types EXISTING instances; a first sameAs can
+    * activate co-reference) — only a re-derivation is exact. */
+  private def touchesVocab(d: DataFrame): Boolean =
+    !d.filter(col("p").isin((MaintainedClosure.TboxPreds :+ "sameAs"): _*) ||
+      (col("p") === "type" &&
+        col("o").isin(MaintainedClosure.PropertyTypeObjects: _*))).isEmpty
+
   /** The configured program over a base state — what the closed
     * journal maintains. */
-  private def program(b: DataFrame): DataFrame = owl match {
-    case None    => Rdfs.closure(b, ont)
-    case Some(o) => Rdfs.closure(Owl.closure(b, o), ont)
+  private def program(b: DataFrame): DataFrame = {
+    val (effOnt, effOwl) = effective(b)
+    effOwl match {
+      case None    => Rdfs.closure(b, effOnt)
+      case Some(o) => Rdfs.closure(Owl.closure(b, o), effOnt)
+    }
   }
 
   /** Predicates whose statements can CHANGE the canonical-id map —
@@ -195,19 +219,29 @@ final class MaintainedClosure private (spark: SparkSession,
     * crash recovery always rolls the closure forward. */
   def assertTriples(delta: DataFrame): Long = {
     val d = delta.select("s", "p", "o").distinct().localCheckpoint()
-    val tier = owl.map(o => tierOf(d, o)).getOrElse("fast")
+    if (dynamic && touchesVocab(d)) {
+      // the delta REWRITES the program (new TBox edge / property
+      // characteristic / first co-reference): entailments of EXISTING
+      // statements change, so no delta-bounded path is exact
+      baseJ.append(withG(d))
+      return rederiveCommit()
+    }
+    // delta doesn't touch vocabulary, so the pre-delta base's program
+    // config is the post-delta one too
+    val (effOnt, effOwl) = effective(stripG(baseJ.snapshot()))
+    val tier = effOwl.map(o => tierOf(d, o)).getOrElse("fast")
     tier match {
       case "fast" =>
         baseJ.append(withG(d))
-        closedJ.append(withG(Rdfs.closure(d, ont)))
+        closedJ.append(withG(Rdfs.closure(d, effOnt)))
       case "mid" =>
         // the canon + closed-store reads run against the PRE-delta
         // state by construction (canon unchanged; incrementalTc takes
         // the prior closure), so compute the delta first, then commit
         // base-before-closed like every path (recovery rolls forward)
-        val owlNew = midDelta(d, owl.get).localCheckpoint()
+        val owlNew = midDelta(d, effOwl.get).localCheckpoint()
         baseJ.append(withG(d))
-        closedJ.append(withG(Rdfs.closure(owlNew, ont)))
+        closedJ.append(withG(Rdfs.closure(owlNew, effOnt)))
       case _ =>
         baseJ.append(withG(d))
         rederiveCommit()
@@ -223,17 +257,50 @@ final class MaintainedClosure private (spark: SparkSession,
     * full-closure stores). */
   def retractTriples(retracted: DataFrame): Long = {
     val r = retracted.select("s", "p", "o").distinct().localCheckpoint()
-    owl match {
+    if (dynamic && touchesVocab(r)) {
+      // retracting program vocabulary UN-derives entailments of
+      // untouched instance statements — re-derive under the shrunk
+      // program and diff
+      baseJ.commit(adds = none, dels = withG(r))
+      return rederiveCommit()
+    }
+    val (effOnt, effOwl) = effective(stripG(baseJ.snapshot()))
+    effOwl match {
       case Some(_) =>
         baseJ.commit(adds = none, dels = withG(r))
         rederiveCommit()
       case None =>
         val removed = Rdfs
-          .retractRemoved(stripG(baseJ.snapshot()), r, ont)
+          .retractRemoved(stripG(baseJ.snapshot()), r, effOnt)
           .localCheckpoint()
         baseJ.commit(adds = none, dels = withG(r))
         closedJ.commit(adds = none, dels = withG(removed))
     }
+  }
+
+  /** `suppressTruthMaintenance` analog (the reference's update
+    * servlets all accept it — QueryServlet.java:132,
+    * DeleteServlet.java:128): the statement delta lands VERBATIM in
+    * both journals (lockstep preserved, one version each), NO closure
+    * maintenance runs. Entailments of a suppressed commit stay absent
+    * until the next commit that takes the re-derive tier or an
+    * explicit [[reclose]] — the reference's contract: the caller owns
+    * the closure's staleness until the store is re-closed. */
+  def commitRaw(adds: DataFrame, dels: DataFrame): Long = {
+    val a = adds.select("s", "p", "o").distinct().localCheckpoint()
+    val dl = dels.select("s", "p", "o").distinct().localCheckpoint()
+    baseJ.commit(adds = withG(a), dels = withG(dl))
+    closedJ.commit(adds = withG(a), dels = withG(dl))
+  }
+
+  /** Re-derive the full program on the current base and commit the
+    * diff — the explicit re-close after [[commitRaw]] suppression
+    * (the reference's database-at-once closure). The base journal
+    * commits a no-op record first so the two logs stay in lockstep
+    * (the recovery invariant). */
+  def reclose(): Long = {
+    baseJ.commit(adds = none, dels = none)
+    rederiveCommit()
   }
 
   /** The asserted statements at commit point `v` (default latest). */
@@ -244,6 +311,11 @@ final class MaintainedClosure private (spark: SparkSession,
 
   /** Seal both journals' current state for fast steady-state reads. */
   def compact(): Unit = { baseJ.compact(); closedJ.compact(); () }
+
+  /** The underlying journals (asserted base, entailed closed) — the
+    * server's truthMaintenance tenants scope `SERVICE bd:history` and
+    * online backup on them. */
+  private[graft] def journals: (Journal, Journal) = (baseJ, closedJ)
 
   /** Lockstep recovery — assert/retract commit the two journals
     * non-atomically (base first), so a crash between the two publishes
@@ -267,7 +339,9 @@ final class MaintainedClosure private (spark: SparkSession,
       // recovery commit's own segment write fail (`errorifexists`);
       // clear them first so recovery converges instead of wedging.
       closedJ.dropOrphanSegments(cv + 1)
-      if (owl.isDefined) { rederiveCommit(); return }
+      // dynamic mode recovers by re-derive-and-diff too: the crashed
+      // commit may have been the one that changed the program
+      if (dynamic || owl.isDefined) { rederiveCommit(); return }
       val before = stripG(baseJ.snapshot(cv)).localCheckpoint()
       val after = stripG(baseJ.snapshot(bv)).localCheckpoint()
       val added = after.exceptAll(before)
@@ -299,5 +373,94 @@ object MaintainedClosure {
       Journal.open(spark, s"$dir/base"), Journal.open(spark, s"$dir/closed"))
     tm.repairLockstep()
     tm
+  }
+
+  /** Initialize a DYNAMIC-ontology maintained store: the program's
+    * TBox (subClassOf/subPropertyOf/domain/range, equivalences, OWL
+    * property characteristics, inverseOf) is read from the STATEMENTS
+    * themselves at each commit — the server's truthMaintenance
+    * namespaces, where the ontology arrives over the protocol as
+    * data. A delta touching that vocabulary re-derives the program;
+    * every other delta keeps the tiered incremental paths. */
+  def createDynamic(spark: SparkSession, dir: String): MaintainedClosure =
+    new MaintainedClosure(spark, emptyOnt(spark), None,
+      Journal.create(spark, s"$dir/base"), Journal.create(spark, s"$dir/closed"),
+      dynamic = true)
+
+  /** Reattach a dynamic-ontology maintained store (see
+    * [[createDynamic]]); crash recovery re-derives and diffs. */
+  def openDynamic(spark: SparkSession, dir: String): MaintainedClosure = {
+    val tm = new MaintainedClosure(spark, emptyOnt(spark), None,
+      Journal.open(spark, s"$dir/base"), Journal.open(spark, s"$dir/closed"),
+      dynamic = true)
+    tm.repairLockstep()
+    tm
+  }
+
+  private def emptyOnt(spark: SparkSession): Rdfs.Ontology = {
+    import spark.implicits._
+    Rdfs.Ontology(
+      subClassOf = Seq.empty[(String, String)].toDF("sub", "sup"),
+      subPropertyOf = Seq.empty[(String, String)].toDF("sub", "sup"),
+      domain = Seq.empty[(String, String)].toDF("p", "cls"),
+      range = Seq.empty[(String, String)].toDF("p", "cls"))
+  }
+
+  /** TBox vocabulary under the engine's local-name convention
+    * ([[Rdfs]] emits `type`, queries write `subClassOf`): statements
+    * under these predicates define the maintained program. `sameAs`
+    * rides the same re-derive trigger in dynamic mode (a first
+    * co-reference activates canonicalization over existing ids). */
+  private[inference] val TboxPreds = Seq("subClassOf", "subPropertyOf",
+    "domain", "range", "inverseOf", "equivalentClass", "equivalentProperty")
+
+  /** `type`-object declarations of OWL property characteristics. */
+  private[inference] val PropertyTypeObjects = Seq("TransitiveProperty",
+    "SymmetricProperty", "FunctionalProperty", "InverseFunctionalProperty")
+
+  /** Extract the RDFS ontology tables FROM the statements themselves
+    * (the reference reads its vocabulary out of the store the same
+    * way — the TBox is data). Equivalences fold in as mutual
+    * sub-edges ([[Owl.withEquivalences]]' math, on the statement
+    * slices directly). TBox slices are broadcast-sized by definition
+    * — [[Rdfs.closure]] collects them for its driver-side tiny
+    * closures either way. */
+  def ontologyFrom(statements: DataFrame): Rdfs.Ontology = {
+    def pairs(p: String) = statements.filter(col("p") === p).select("s", "o")
+    def mutual(df: DataFrame) = df.toDF("sub", "sup")
+      .unionAll(df.select(col("o"), col("s")).toDF("sub", "sup"))
+    Rdfs.Ontology(
+      subClassOf = pairs("subClassOf").toDF("sub", "sup")
+        .unionAll(mutual(pairs("equivalentClass"))),
+      subPropertyOf = pairs("subPropertyOf").toDF("sub", "sup")
+        .unionAll(mutual(pairs("equivalentProperty"))),
+      domain = pairs("domain").toDF("p", "cls"),
+      range = pairs("range").toDF("p", "cls"))
+  }
+
+  /** OWL program declarations present in the statements (property
+    * characteristics + inverseOf pairs); None when nothing OWL-shaped
+    * — incl. no instance `sameAs` — is present, so a pure-RDFS store
+    * keeps the delta-bounded DRed retraction path. The collect is the
+    * declaration slice only (TBox-sized, never instance data). */
+  def owlOntologyFrom(statements: DataFrame): Option[Owl.Ontology] = {
+    val vocab = statements.filter(
+      (col("p") === "type" && col("o").isin(PropertyTypeObjects: _*)) ||
+        col("p") === "inverseOf")
+      .select("s", "p", "o").distinct().collect()
+    def typed(t: String) = vocab.collect {
+      case r if r.getString(1) == "type" && r.getString(2) == t => r.getString(0)
+    }.toSeq
+    val inverses = vocab.collect {
+      case r if r.getString(1) == "inverseOf" => (r.getString(0), r.getString(2))
+    }.toSeq
+    val hasSameAs = !statements.filter(col("p") === "sameAs").isEmpty
+    if (vocab.isEmpty && !hasSameAs) None
+    else Some(Owl.Ontology(
+      transitive = typed("TransitiveProperty"),
+      inverses = inverses,
+      symmetric = typed("SymmetricProperty"),
+      functional = typed("FunctionalProperty"),
+      inverseFunctional = typed("InverseFunctionalProperty")))
   }
 }

@@ -110,6 +110,13 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     /** Remove every graph's occurrence of the (s,p,o) rows; returns
       * the quad count removed. */
     def remove(spo: DataFrame): Long
+    // `suppressTruthMaintenance=true` variants (the reference's update
+    // servlets all accept the knob — QueryServlet.java:132,
+    // DeleteServlet.java:128): identical to the plain ops on non-TM
+    // tenants, verbatim commits (no closure maintenance) on TmTenant
+    def updateOpsSuppressed(ops: Seq[graft.sparql.UpdateOp]): Unit = updateOps(ops)
+    def ingestSuppressed(quads: DataFrame): Long = ingest(quads)
+    def removeSuppressed(spo: DataFrame): Long = remove(spo)
     /** Read-only connection against a historical commit point — the
       * protocol's `?timestamp=` knob (TxServlet's read-only tx
       * analog); durable namespaces only. */
@@ -418,6 +425,145 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     def destroy(): Unit = deleteRecursively(dir)
   }
 
+  /** Truth-maintenance namespace — the reference's inference-enabled
+    * namespaces, where truth maintenance is a NAMESPACE property wired
+    * into the commit path (BigdataSail's truthMaintenance option;
+    * every update servlet honors `suppressTruthMaintenance` —
+    * QueryServlet.java:132, DeleteServlet.java:128). Backed by a
+    * paired base/closed journal under `dir/tm`
+    * ([[graft.inference.MaintainedClosure]], DYNAMIC program: the
+    * TBox arrives over the protocol as statements). Queries — head and
+    * `?timestamp=` historical reads alike — serve the CLOSED
+    * (entailed) store; mutations commit through the maintained
+    * closure; suppressed requests commit verbatim and stay unclosed
+    * until a re-derive-tier commit converges them.
+    *
+    * TRIPLES mode: the reference does not support truth maintenance
+    * over quads (BigdataSail — TM requires a triples-mode KB), so
+    * graph-scoped Graph Store ops are refused loud and all statements
+    * live in the default graph. */
+  private final class TmTenant(tm: graft.inference.MaintainedClosure,
+                               dir: Path) extends Tenant {
+    import org.apache.spark.sql.functions.{col, lit}
+    @volatile private var cached: (Long, Graft) = (-1L, null)
+    private def spoOf(df: DataFrame): DataFrame =
+      df.select("s", "p", "o").distinct()
+    def current: Graft = {
+      val v = tm.version
+      val c = cached
+      if (c._1 == v && c._2 != null) c._2
+      else synchronized {
+        if (cached._1 != v || cached._2 == null)
+          cached = (v, Graft(spark, QuadStore(tm.closure()
+            .select(col("s"), col("p"), col("o"), lit("g:default").as("g")))))
+        cached._2
+      }
+    }
+    override def at(version: Long): Graft =
+      Graft(spark, QuadStore(tm.closure(version)
+        .select(col("s"), col("p"), col("o"), lit("g:default").as("g"))))
+    override def version: Long = tm.version
+    // bd:history serves the ASSERTED change log (the base journal) —
+    // entailment churn is derived state, not user history
+    override def journal: Option[graft.rdf.Journal] = Some(tm.journals._1)
+    private def maybeCompact(): Unit = {
+      val b = tm.journals._1
+      if (b.version - b.lastCompacted >= autoCompactEvery) tm.compact()
+    }
+    private def applyDelta(adds: DataFrame, dels: DataFrame,
+                           suppress: Boolean): Unit = {
+      val a = spoOf(adds).localCheckpoint()
+      val d = spoOf(dels).localCheckpoint()
+      if (suppress) { tm.commitRaw(a, d); () }
+      else {
+        // retract-then-assert reproduces the one-commit cancellation
+        // law (dels apply before adds; a row in both survives)
+        if (!d.isEmpty) tm.retractTriples(d)
+        if (!a.isEmpty) tm.assertTriples(a)
+      }
+      maybeCompact()
+    }
+    private def updateOpsTm(ops: Seq[graft.sparql.UpdateOp],
+                            suppress: Boolean): Unit = synchronized {
+      val head = current
+      // the ops' WHERE clauses evaluate against the ENTAILED store
+      // (queries on an inferencing namespace see inference — the
+      // reference's TM stores behave the same); the delta then applies
+      // to the ASSERTED statements, DRed keeping derivable rows
+      val (adds, dels) = Update.quadsDeltaSeq(head.store, ops, head.defaultGraph)
+      applyDelta(adds, dels, suppress)
+    }
+    def updateOps(ops: Seq[graft.sparql.UpdateOp]): Unit =
+      updateOpsTm(ops, suppress = false)
+    override def updateOpsSuppressed(ops: Seq[graft.sparql.UpdateOp]): Unit =
+      updateOpsTm(ops, suppress = true)
+    def ingest(quads: DataFrame): Long = synchronized {
+      val q = spoOf(quads).localCheckpoint()
+      tm.assertTriples(q)
+      maybeCompact()
+      q.count()
+    }
+    override def ingestSuppressed(quads: DataFrame): Long = synchronized {
+      val q = spoOf(quads).localCheckpoint()
+      tm.commitRaw(q, q.limit(0))
+      maybeCompact()
+      q.count()
+    }
+    private def removeTm(spo: DataFrame, suppress: Boolean): Long = synchronized {
+      val r = spoOf(spo).localCheckpoint()
+      // modified count = what was actually ASSERTED (retracting an
+      // inferred-only or absent row is a no-op on the base)
+      val doomed = tm.base().join(r, Seq("s", "p", "o"), "left_semi")
+        .localCheckpoint()
+      if (suppress) tm.commitRaw(r.limit(0), r) else tm.retractTriples(r)
+      maybeCompact()
+      doomed.count()
+    }
+    def remove(spo: DataFrame): Long = removeTm(spo, suppress = false)
+    override def removeSuppressed(spo: DataFrame): Long =
+      removeTm(spo, suppress = true)
+    private def triplesOnly(): Nothing = sys.error(
+      "truth-maintenance namespaces are triples-mode (the reference's " +
+        "TM requires a triples-mode KB) — graph-scoped Graph Store " +
+        "operations are not supported")
+    def putGraph(g: String, quads: DataFrame): Unit = triplesOnly()
+    def dropGraph(g: String): Unit = triplesOnly()
+    override def bulkLoad(paths: Seq[String], graph: Option[String],
+                          compact: Boolean): (Long, Long) = synchronized {
+      require(graph.isEmpty,
+        "truth-maintenance namespaces are triples-mode — no target graph")
+      val quads = paths
+        .map(p => Update.loadOpQuads(spark, p, None, "g:default"))
+        .reduce(_ unionAll _)
+      val n = ingest(quads)
+      if (compact) tm.compact()
+      (tm.version, n)
+    }
+    // staged tx: whole-store first-committer-wins (each item commits
+    // through the maintained closure in arrival order — TM cannot fold
+    // a tx into one commit because each mutation's entailment delta
+    // depends on the prior closed state)
+    def commitStaged(items: Seq[Either[String, DataFrame]],
+                     expectVersion: Long): Long = synchronized {
+      if (tm.version != expectVersion)
+        throw new TxConflict(
+          s"tx conflict: head moved from v$expectVersion to v${tm.version} " +
+            "(truth-maintenance namespaces validate at whole-store granularity)")
+      items.foreach {
+        case Left(text)  => updateOps(graft.sparql.Parser.parseUpdates(text))
+        case Right(df)   => ingest(df)
+      }
+      tm.version
+    }
+    override def backup(target: Path): Long = synchronized {
+      val (b, c) = tm.journals
+      b.backupTo(target.resolve("base"))
+      c.backupTo(target.resolve("closed"))
+      tm.version
+    }
+    def destroy(): Unit = deleteRecursively(dir)
+  }
+
   /** Staged-tx commit lost first-committer-wins validation. */
   private final class TxConflict(msg: String) extends RuntimeException(msg)
 
@@ -438,10 +584,17 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     case Some(d) =>
       val root = Paths.get(d)
       Files.createDirectories(root)
-      // reattach every namespace the directory already holds
+      // reattach every namespace the directory already holds; a `tm`
+      // subdirectory marks a truth-maintenance namespace (paired
+      // base/closed journals — openDynamic rolls the closure forward
+      // if a crash landed between the two commits)
       val subs = Files.list(root)
       try subs.iterator().asScala.foreach { sub =>
-        if (Files.exists(sub.resolve("commits")))
+        if (Files.isDirectory(sub.resolve("tm")))
+          namespaces.put(sub.getFileName.toString,
+            new TmTenant(graft.inference.MaintainedClosure.openDynamic(
+              spark, sub.resolve("tm").toString), sub))
+        else if (Files.exists(sub.resolve("commits")))
           namespaces.put(sub.getFileName.toString,
             new DurableTenant(Repository.open(spark, sub.toString), sub))
       } finally subs.close()
@@ -981,7 +1134,10 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
           case Some(j) =>
             val cap = qp.get("timestamp").flatten.map(_.toLong)
             graft.sparql.HistoryService.withJournal(j, cap)(build())
-          case None => build()
+          // PINNED journal-less scope: an in-memory tenant's bd:history
+          // must fail loud, never fall through to a process-global
+          // default registration (cross-namespace history exposure)
+          case None => graft.sparql.HistoryService.withoutJournal(build())
         }
         if (qp.contains("explain")) {
           // the reference's ?explain: the query PLAN, not the results
@@ -1096,8 +1252,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         respond(ex, 200, "application/xml",
           s"""<?xml version="1.0"?><data modified="${staged.count()}" staged="true"/>""")
       case None =>
+        val suppress = qp.get("suppressTruthMaintenance").flatten
+          .exists(_.toBoolean)
         val n =
-          try inJobGroup(ns, "data-POST") { t.ingest(quads) }
+          try inJobGroup(ns, "data-POST") {
+            if (suppress) t.ingestSuppressed(quads) else t.ingest(quads)
+          }
           finally spill.foreach(dropSpill)
         respond(ex, 200, "application/xml",
           s"""<?xml version="1.0"?><data modified="$n"/>""")
@@ -1121,8 +1281,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         val (q, tmp) = bodyQuads(ex, ext, None, t.current.defaultGraph)
         (q.select("s", "p", "o"), Some(tmp))
     }
+    val suppress = params(rawQuery(ex)).get("suppressTruthMaintenance")
+      .flatten.exists(_.toBoolean)
     val n =
-      try inJobGroup(ns, "data-DELETE") { t.remove(spo) }
+      try inJobGroup(ns, "data-DELETE") {
+        if (suppress) t.removeSuppressed(spo) else t.remove(spo)
+      }
       finally spill.foreach(dropSpill)
     respond(ex, 200, "application/xml",
       s"""<?xml version="1.0"?><data modified="$n"/>""")
@@ -1282,9 +1446,18 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
           stageTx(id, ns, Left(text))  // staged, not committed
         case None =>
           val ops = Parser.parseUpdates(text)
-          tenant(ns).updateOps(
+          val rewritten =
             if (ugs.isEmpty && ungs.isEmpty) ops
-            else graft.sparql.ProtocolDataset.usingIn(ops, ugs, ungs))
+            else graft.sparql.ProtocolDataset.usingIn(ops, ugs, ungs)
+          // suppressTruthMaintenance=true (query string or form): skip
+          // closure maintenance for THIS request (no-op on non-TM
+          // namespaces) — QueryServlet.java:132's knob
+          val suppress = params(rawQuery(ex))
+            .get("suppressTruthMaintenance").flatten
+            .orElse(if (isForm) formParam(body, "suppressTruthMaintenance") else None)
+            .exists(_.toBoolean)
+          if (suppress) tenant(ns).updateOpsSuppressed(rewritten)
+          else tenant(ns).updateOps(rewritten)
       }
       respond(ex, 204, "text/plain", "")
     } catch {
@@ -1671,11 +1844,30 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             require(!wantOspIndex || journalDir.isDefined,
               "ospIndex=true needs a journal-backed namespace " +
                 "(start the server with a journal directory)")
+            // truthMaintenance=true: an INFERENCING namespace — the
+            // reference's truth-maintenance namespace option (TM wired
+            // into the commit path; suppressTruthMaintenance honored
+            // per update request). Durable only: the maintained
+            // closure IS a pair of journals.
+            val wantTm = formParam(body, "truthMaintenance")
+              .orElse(formParam(rawQuery(ex), "truthMaintenance"))
+              .exists(_.toBoolean)
+            require(!wantTm || journalDir.isDefined,
+              "truthMaintenance=true needs a journal-backed namespace " +
+                "(start the server with a journal directory)")
+            require(!wantTm || (!wantTextIndex && !wantOspIndex && analyzer.isEmpty),
+              "truthMaintenance namespaces do not combine with " +
+                "textIndex/ospIndex/analyzer options (triples-mode TM store)")
             try {
               namespaces.computeIfAbsent(name, { _ =>
                 val t: Tenant = journalDir match {
                   case None => new MemTenant(new AtomicReference(
                     Graft.empty(spark).copy(analyzerName = analyzer)))
+                  case Some(d) if wantTm =>
+                    val sub = Paths.get(d).resolve(name)
+                    Files.createDirectories(sub)
+                    new TmTenant(graft.inference.MaintainedClosure
+                      .createDynamic(spark, sub.resolve("tm").toString), sub)
                   case Some(d) =>
                     val sub = Paths.get(d).resolve(name)
                     val repo = Repository.create(spark, sub.toString)
@@ -1723,10 +1915,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                 // MultiTenancyServlet's properties document, as the
                 // reference's java.util.Properties XML format
                 val durable = journalDir.isDefined
+                val isTm = tenant(ns).isInstanceOf[TmTenant]
                 val props = Seq(
                   "com.bigdata.rdf.sail.namespace" -> ns,
-                  "graft.quads" -> "true",
+                  "graft.quads" -> (!isTm).toString,
                   "graft.durable" -> durable.toString) ++
+                  (if (isTm) Seq("graft.truthMaintenance" -> "true") else Nil) ++
                   journalDir.map(d => "graft.journal" -> s"$d/$ns") ++
                   tenant(ns).current.analyzerName.map("graft.analyzer" -> _) ++
                   (if (tenant(ns).current.textIndex.isDefined)

@@ -238,4 +238,58 @@ class MaintainedClosureSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"), s"compacted head should be a bare scan:\n$plan")
     }
   }
+
+  test("dynamic ontology: the TBox is data — vocab commits re-derive, closure tracks the program") {
+    // invariant: every commit point's closure equals the program the
+    // base's OWN statements define at that point
+    def programOf(b: DataFrame): DataFrame = {
+      val ro = MaintainedClosure.ontologyFrom(b)
+      MaintainedClosure.owlOntologyFrom(b) match {
+        case None    => Rdfs.closure(b, ro)
+        case Some(o) => Rdfs.closure(graft.inference.Owl.closure(b, o), ro)
+      }
+    }
+    val dir = tmp()
+    val tm = MaintainedClosure.createDynamic(spark, dir)
+    // v1: TBox + instance in one commit → entailed type lift
+    tm.assertTriples(Seq(("A", "subClassOf", "B"), ("x", "type", "A"))
+      .toDF("s", "p", "o"))
+    assert(rowsOf(tm.closure()).contains(("x", "type", "B")))
+    // v2: a LATER TBox edge re-types the EXISTING instance (the
+    // vocab-delta re-derive trigger — a delta-bounded path would miss
+    // x entirely)
+    tm.assertTriples(Seq(("B", "subClassOf", "C")).toDF("s", "p", "o"))
+    assert(rowsOf(tm.closure()).contains(("x", "type", "C")))
+    // v3: plain instance delta takes the fast path and still matches
+    tm.assertTriples(Seq(("y", "type", "B")).toDF("s", "p", "o"))
+    assert(rowsOf(tm.closure()).contains(("y", "type", "C")))
+    // v4: OWL vocabulary arrives as data — within becomes transitive,
+    // existing-and-new edges chain
+    tm.assertTriples(Seq(("within", "type", "TransitiveProperty"),
+      ("a", "within", "b"), ("b", "within", "c")).toDF("s", "p", "o"))
+    assert(rowsOf(tm.closure()).contains(("a", "within", "c")))
+    // every commit point so far: closure == the base's own program
+    (1L to tm.version).foreach { v =>
+      assert(sameSet(tm.closure(v), programOf(tm.base(v))),
+        s"dynamic closure at v$v diverged from its base's program")
+    }
+    // v5: retracting the TBox edge un-derives the lift for BOTH
+    // instances (vocab retraction re-derives under the shrunk program)
+    tm.retractTriples(Seq(("B", "subClassOf", "C")).toDF("s", "p", "o"))
+    assert(!rowsOf(tm.closure()).contains(("x", "type", "C")))
+    assert(!rowsOf(tm.closure()).contains(("y", "type", "C")))
+    assert(rowsOf(tm.closure()).contains(("x", "type", "B")))
+    // suppression: the statements land verbatim, no entailments, and
+    // reclose() converges the closure to the full program
+    tm.commitRaw(Seq(("z", "type", "A")).toDF("s", "p", "o"),
+      Seq.empty[(String, String, String)].toDF("s", "p", "o"))
+    assert(rowsOf(tm.closure()).contains(("z", "type", "A")))
+    assert(!rowsOf(tm.closure()).contains(("z", "type", "B")))
+    tm.reclose()
+    assert(rowsOf(tm.closure()).contains(("z", "type", "B")))
+    // reattach: same state, lockstep verified
+    val tm2 = MaintainedClosure.openDynamic(spark, dir)
+    assert(sameSet(tm2.closure(), programOf(tm2.base())))
+    assert(rowsOf(tm2.closure()).contains(("a", "within", "c")))
+  }
 }

@@ -294,6 +294,79 @@ class ServerSpec extends AnyFunSuite {
     } finally srv3.stop()
   }
 
+  test("truthMaintenance namespace: inference over REST — entailed answers, retract, suppression, restart, timestamp") {
+    val dir = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), dir).start()
+    def sel(addr: String, path: String, text: String) =
+      graft.sparql.RemoteService.parseJsonResults(spark,
+        post(addr + path, text, "application/sparql-query").body())
+    def typesOf(addr: String, id: String, extra: String = "") =
+      sel(addr, s"/namespace/inf/sparql$extra",
+        s"SELECT ?t WHERE { $id type ?t }").collect().map(_.getString(0)).toSet
+    try {
+      // the namespace option (the reference's truth-maintenance sail
+      // options): create an INFERENCING namespace over the protocol
+      assert(post(srv.address + "/namespace", "name=inf&truthMaintenance=true",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      val props = send(req(srv.address + "/namespace/inf/properties").GET()).body()
+      assert(props.contains("""<entry key="graft.truthMaintenance">true</entry>"""))
+      // ontology + instance data arrive over the protocol AS DATA; the
+      // query answer is ENTAILED (rdfs9 lift through the TBox edge)
+      assert(post(srv.address + "/namespace/inf/sparql/update",
+        """INSERT DATA { Employee subClassOf Agent . e:1 type Employee }""",
+        "application/sparql-update").statusCode() == 204)                    // v1
+      assert(typesOf(srv.address, "e:1") == Set("Employee", "Agent"))
+      // a LATER TBox edge re-types the EXISTING instance (the dynamic
+      // program: vocabulary deltas re-derive)
+      assert(post(srv.address + "/namespace/inf/sparql/update",
+        """INSERT DATA { Agent subClassOf Party }""",
+        "application/sparql-update").statusCode() == 204)                    // v2
+      assert(typesOf(srv.address, "e:1") == Set("Employee", "Agent", "Party"))
+      // retraction un-derives (DRed through the protocol)
+      assert(post(srv.address + "/namespace/inf/sparql/update",
+        """DELETE DATA { e:1 type Employee }""",
+        "application/sparql-update").statusCode() == 204)                    // v3
+      assert(typesOf(srv.address, "e:1").isEmpty)
+      // suppressTruthMaintenance=true: the statement lands VERBATIM,
+      // no closure maintenance for this request
+      assert(post(srv.address +
+        "/namespace/inf/sparql/update?suppressTruthMaintenance=true",
+        """INSERT DATA { e:2 type Employee }""",
+        "application/sparql-update").statusCode() == 204)                    // v4
+      assert(typesOf(srv.address, "e:2") == Set("Employee"))
+      // ?timestamp=: a historical read sees the ENTAILED past state
+      assert(typesOf(srv.address, "e:1", "?timestamp=2") ==
+        Set("Employee", "Agent", "Party"))
+      // triples mode: graph-scoped Graph Store ops are refused loud
+      // (the reference's TM requires a triples-mode KB)
+      val put = send(req(srv.address + "/namespace/inf/rdf-graphs?graph=g%3Ax")
+        .header("Content-Type", "text/turtle")
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofString("x:1 label \"a\" .")))
+      assert(put.statusCode() == 400 && put.body().contains("triples-mode"))
+      // in-memory servers refuse the option loud
+      val mem = new SparqlServer(Graft.empty(spark)).start()
+      try assert(post(mem.address + "/namespace", "name=x&truthMaintenance=true",
+        "application/x-www-form-urlencoded").statusCode() == 400)
+      finally mem.stop()
+    } finally srv.stop()
+    // cold restart: reattaches as a TM tenant — entailed state, the
+    // retraction, the suppressed rows and the history all intact
+    val srv2 = SparqlServer.durable(Graft.empty(spark), dir).start()
+    try {
+      assert(typesOf(srv2.address, "e:1").isEmpty)
+      assert(typesOf(srv2.address, "e:2") == Set("Employee"))
+      assert(typesOf(srv2.address, "e:1", "?timestamp=2") ==
+        Set("Employee", "Agent", "Party"))
+      // a vocabulary commit after restart re-derives — the suppressed
+      // e:2 row converges into the closure it was skipped from
+      assert(post(srv2.address + "/namespace/inf/sparql/update",
+        """INSERT DATA { Party subClassOf Entity }""",
+        "application/sparql-update").statusCode() == 204)                    // v5
+      assert(typesOf(srv2.address, "e:2") ==
+        Set("Employee", "Agent", "Party", "Entity"))
+    } finally srv2.stop()
+  }
+
   test("SERVICE bd:history over the protocol: per-namespace change log, in-memory loud") {
     val srv = SparqlServer.durable(Graft.empty(spark), tmp()).start()
     try {

@@ -267,10 +267,17 @@ final class RemoteRepository(spark: SparkSession, root: String,
   }
 
   /** Create a namespace; fails loud on 409. */
-  def createNamespace(name: String): Unit = {
+  /** Create a namespace. `options` are the server's creation knobs
+    * (`analyzer`, `textIndex`, `ospIndex`, `truthMaintenance` — the
+    * reference's namespace properties document analog), form-encoded
+    * alongside the name. */
+  def createNamespace(name: String,
+                      options: Map[String, String] = Map.empty): Unit = {
+    val form = (("name" -> name) +: options.toSeq)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
     send(req(s"$root/namespace")
       .header("Content-Type", "application/x-www-form-urlencoded")
-      .POST(HttpRequest.BodyPublishers.ofString(s"name=${enc(name)}")), 201)
+      .POST(HttpRequest.BodyPublishers.ofString(form)), 201)
     ()
   }
 

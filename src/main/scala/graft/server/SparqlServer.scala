@@ -110,6 +110,11 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     /** Remove every graph's occurrence of the (s,p,o) rows; returns
       * the quad count removed. */
     def remove(spo: DataFrame): Long
+    /** Remove exactly these (s,p,o,g) quads — the DELETE-by-access-
+      * path arm (graph-scoped, unlike [[remove]]'s every-graph
+      * contract); returns the quad count removed. */
+    def removeQuads(quads: DataFrame): Long
+    def removeQuadsSuppressed(quads: DataFrame): Long = removeQuads(quads)
     // `suppressTruthMaintenance=true` variants (the reference's update
     // servlets all accept the knob — QueryServlet.java:132,
     // DeleteServlet.java:128): identical to the plain ops on non-TM
@@ -181,6 +186,15 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       val doomed = ref.get().store.quads
         .join(spo.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
           keys, "left_semi")
+        .localCheckpoint()
+      ref.updateAndGet(g => g.withStore(
+        QuadStore(g.store.quads.join(doomed, Seq("s", "p", "o", "g"), "left_anti"))))
+      doomed.count()
+    }
+    def removeQuads(quads: DataFrame): Long = {
+      val doomed = ref.get().store.quads
+        .join(quads.select("s", "p", "o", "g").distinct(),
+          Seq("s", "p", "o", "g"), "left_semi")
         .localCheckpoint()
       ref.updateAndGet(g => g.withStore(
         QuadStore(g.store.quads.join(doomed, Seq("s", "p", "o", "g"), "left_anti"))))
@@ -308,6 +322,15 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       val doomed = current.store.quads
         .join(spo.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
           keys, "left_semi")
+        .localCheckpoint()
+      repo.journal.commit(adds = emptyQuads, dels = doomed)
+      maybeCompact()
+      doomed.count()
+    }
+    def removeQuads(quads: DataFrame): Long = synchronized {
+      val doomed = current.store.quads
+        .join(quads.select("s", "p", "o", "g").distinct(),
+          Seq("s", "p", "o", "g"), "left_semi")
         .localCheckpoint()
       repo.journal.commit(adds = emptyQuads, dels = doomed)
       maybeCompact()
@@ -522,12 +545,26 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     def remove(spo: DataFrame): Long = removeTm(spo, suppress = false)
     override def removeSuppressed(spo: DataFrame): Long =
       removeTm(spo, suppress = true)
+    // triples-mode: the quad form projects to statements (the only
+    // graph is the synthetic default tag)
+    def removeQuads(quads: DataFrame): Long = removeTm(quads, suppress = false)
+    override def removeQuadsSuppressed(quads: DataFrame): Long =
+      removeTm(quads, suppress = true)
     private def triplesOnly(): Nothing = sys.error(
       "truth-maintenance namespaces are triples-mode (the reference's " +
         "TM requires a triples-mode KB) — graph-scoped Graph Store " +
         "operations are not supported")
-    def putGraph(g: String, quads: DataFrame): Unit = triplesOnly()
-    def dropGraph(g: String): Unit = triplesOnly()
+    // GSP on the DEFAULT graph is the triples-mode store itself:
+    // PUT = replace-all (retract the asserted base, assert the body),
+    // DELETE = retract-all; NAMED graphs are refused loud above
+    def putGraph(g: String, quads: DataFrame): Unit =
+      if (g != "g:default") triplesOnly()
+      else synchronized { applyDelta(quads, tm.base(), suppress = false) }
+    def dropGraph(g: String): Unit =
+      if (g != "g:default") triplesOnly()
+      else synchronized {
+        applyDelta(tm.base().limit(0), tm.base(), suppress = false)
+      }
     override def bulkLoad(paths: Seq[String], graph: Option[String],
                           compact: Boolean): (Long, Long) = synchronized {
       require(graph.isEmpty,
@@ -1022,7 +1059,13 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         ex.getResponseHeaders.set("Content-Type", "application/n-triples")
         ex.sendResponseHeaders(200, -1)
         ex.close()
-      } else if (ex.getRequestMethod == "GET" && qp.isEmpty)
+      } else if (qp.contains("uuid"))
+        // QueryServlet.java:183: mint a UUID server-side as text/plain
+        // (RFC 4122 has no REST method, so the reference added one);
+        // GET and POST alike, checked before the content-type arms
+        respond(ex, 200, "text/plain", java.util.UUID.randomUUID().toString)
+      else if (qp.contains("HASSTMT")) handleHasStmt(ex, ns)
+      else if (ex.getRequestMethod == "GET" && qp.isEmpty)
         // SPARQL 1.1 Service Description — the reference answers a
         // bare GET on the endpoint with one (BigdataRDFServlet /
         // VoID+SD document); N-Triples, one line per statement
@@ -1269,6 +1312,26 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     * graph they appear in. */
   private def handleDelete(ex: HttpExchange, ns: String): Unit = {
     val t = tenant(ns)
+    val qp = params(rawQuery(ex))
+    val apBound = Seq("s", "p", "o", "c").exists(k => qp.get(k).flatten.isDefined)
+    if (queryText(ex).isEmpty && rdfExtension(contentType(ex)).isEmpty && apBound) {
+      // DELETE-by-access-path (DeleteServlet.java:106
+      // doDeleteWithAccessPath): NT-encoded s/p/o/c terms choose the
+      // doomed quads exactly like ESTCARD/GETSTMTS; `c=` scopes the
+      // removal to one graph. A completely BARE DELETE stays loud
+      // below — the reference wipes the namespace on an empty access
+      // path, a foot-gun this server keeps behind the explicit update
+      // path (DROP ALL).
+      val suppressAp = qp.get("suppressTruthMaintenance").flatten
+        .exists(_.toBoolean)
+      val n = inJobGroup(ns, "data-DELETE (access path)") {
+        val doomed = accessPath(t.current, qp)
+        if (suppressAp) t.removeQuadsSuppressed(doomed) else t.removeQuads(doomed)
+      }
+      respond(ex, 200, "application/xml",
+        s"""<?xml version="1.0"?><data modified="$n"/>""")
+      return
+    }
     val (spo, spill) = queryText(ex) match {
       case Some(q) =>
         val ast = Parser.parse(q)
@@ -1290,6 +1353,25 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       finally spill.foreach(dropSpill)
     respond(ex, 200, "application/xml",
       s"""<?xml version="1.0"?><data modified="$n"/>""")
+  }
+
+  /** `GET /sparql?HASSTMT&s=&p=&o=&c=` (QueryServlet.java:159) —
+    * boolean statement-existence probe over the chosen access path;
+    * honors `?timestamp=` like the reference's HasStmtTask. Answers
+    * `<data result="…" milliseconds="…"/>`, the
+    * buildAndCommitBooleanResponse document
+    * (BigdataRDFServlet.java:530). The probe is a `LIMIT 1` existence
+    * job over the pruned access path — never a count. */
+  private def handleHasStmt(ex: HttpExchange, ns: String): Unit = {
+    val t0 = System.currentTimeMillis()
+    val qp = params(rawQuery(ex))
+    val g = qp.get("timestamp").flatten match {
+      case Some(v) => tenant(ns).at(v.toLong)
+      case None    => tenant(ns).current
+    }
+    val found = inJobGroup(ns, "HASSTMT") { !accessPath(g, qp).isEmpty }
+    respond(ex, 200, "application/xml",
+      s"""<?xml version="1.0"?><data result="$found" milliseconds="${System.currentTimeMillis() - t0}"/>""")
   }
 
   /** `GET /sparql?ESTCARD&…` — the reference's fast range count
@@ -1464,6 +1546,40 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       case scala.util.control.NonFatal(e) =>
         respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
     }
+
+  /** `GET/POST /whitelist` — the SERVICE-endpoint whitelist config
+    * (ast/service/ServiceRegistry.java:354-381's
+    * add/removeServiceWhitelistURL + setWhitelistEnabled, surfaced
+    * over the management plane). POST replaces: form/query
+    * `enabled=true|false` + repeated `uri=`; GET reads the current
+    * policy back. The registry is process-global, exactly like the
+    * reference's singleton — one policy per JVM, all namespaces. */
+  private object WhitelistHandler extends HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      try {
+        import graft.sparql.ServiceRegistry
+        ex.getRequestMethod match {
+          case "GET" =>
+            val uris = ServiceRegistry.whitelisted
+              .map(u => s"<uri>${esc(u)}</uri>").mkString
+            respond(ex, 200, "application/xml",
+              s"""<?xml version="1.0"?><whitelist enabled="${ServiceRegistry.isWhitelistEnabled}">$uris</whitelist>""")
+          case "POST" =>
+            val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+            val sources = Seq(body, rawQuery(ex))
+            val enabled = sources.flatMap(formParam(_, "enabled")).headOption
+              .getOrElse(sys.error("no enabled= in request")).toBoolean
+            val uris = sources.flatMap(multiParams(_, "uri"))
+            ServiceRegistry.setWhitelist(enabled, uris)
+            respond(ex, 200, "text/plain",
+              s"whitelist: enabled=$enabled uris=${uris.size}")
+          case other => respond(ex, 405, "text/plain", s"method not allowed: $other")
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          respond(ex, 400, "text/plain", s"bad request: ${e.getMessage}")
+      }
+  }
 
   private object StatusHandler extends HttpHandler {
     def handle(ex: HttpExchange): Unit =
@@ -1959,6 +2075,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     (ex: HttpExchange) => handleBackup(ex, defaultNamespace))
   server.createContext("/namespace", NamespaceHandler)
   server.createContext("/status", StatusHandler)
+  server.createContext("/whitelist", WhitelistHandler)
   server.createContext("/counters", CountersHandler)
   server.createContext("/tx", TxHandler)
   server.createContext("/workbench", WorkbenchHandler)

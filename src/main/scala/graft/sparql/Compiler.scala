@@ -498,6 +498,9 @@ object Compiler {
       def attempt(f: => DataFrame): DataFrame =
         if (!silent) f
         else try f catch { case scala.util.control.NonFatal(_) => unit }
+      // policy check OUTSIDE attempt: a whitelist refusal stays loud
+      // under SILENT (SILENT masks evaluation failures, not policy)
+      ServiceRegistry.checkAllowed(endpoint)
       ServiceRegistry.lookup(endpoint) match {
         case Some(handler) => attempt(handler(inner, src))
         case None => ServiceRegistry.lookupRemote(endpoint) match {
@@ -597,7 +600,7 @@ object Compiler {
       // bound-join vectoring against ITS endpoint (the per-binding
       // ServiceCallJoin composed with its own chunked VALUES
       // injection; a local/failed branch keeps the plain path)
-      val branches = eps.map { e =>
+      def branch(e: String): DataFrame = {
         val scE = ServiceCall(e, sc.inner, sc.silent, sc.srcText)
         val lcE = lc.filter(col(v) === e)
         if (ServiceVectoring.applies(scE))
@@ -605,6 +608,32 @@ object Compiler {
             (l, svc) => joinOn(l, svc.withColumn(v, lit(e)), how))
         else joinOn(lcE, compile(scE, src).withColumn(v, lit(e)), how)
       }
+      // branches dispatch CONCURRENTLY (bounded pool): each remote
+      // branch is an independent HTTP round-trip, so serial dispatch
+      // against k slow endpoints pays Σ latencies where max suffices.
+      // Pool size caps driver-side fan-out (the endpoint set is already
+      // ≤ varEndpointMax); parallelism=1 restores serial dispatch.
+      val par = math.min(
+        lc.sparkSession.conf.get("graft.service.varDispatchParallelism", "8").toInt,
+        eps.size)
+      val branches: Seq[DataFrame] =
+        if (par <= 1 || eps.size <= 1) eps.map(branch)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+          try {
+            val futs = eps.map(e => pool.submit(
+              new java.util.concurrent.Callable[DataFrame] {
+                def call(): DataFrame = branch(e)
+              }))
+            // unwrap so the contract errors (whitelist refusal, loud
+            // dead endpoint) keep their types for callers
+            try futs.map(_.get())
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          } finally pool.shutdownNow()
+        }
       val joined = branches.reduce(_.unionByName(_, allowMissingColumns = true))
       // OPTIONAL keeps left rows whose endpoint variable is unbound
       // (they can match no dispatch; their service vars stay unbound)

@@ -34,6 +34,50 @@ object ServiceRegistry {
 
   def lookup(endpoint: String): Option[Handler] = handlers.get(endpoint)
 
+  // ---- whitelist -----------------------------------------------------
+  //
+  // The reference's registry can refuse non-whitelisted SERVICE
+  // endpoints (ast/service/ServiceRegistry.java:354-381 + the get()
+  // check at :416: "Service URI ... is not allowed") — the security
+  // knob a production federation turns on so a query cannot ship
+  // bindings to an arbitrary URL. Same shape here: when enabled,
+  // EVERY registry-resolved service IRI (local handler, remote
+  // endpoint, and each binding of a variable endpoint) must be on the
+  // list. The refusal is LOUD even under SERVICE SILENT — SILENT
+  // masks evaluation failures, not policy (a silently-degraded
+  // exfiltration attempt would be invisible to the operator).
+
+  @volatile private var whitelistEnabled = false
+  private val whitelist = TrieMap.empty[String, Unit]
+
+  /** Enable/disable whitelisting, REPLACING the allowed set (the
+    * config-file shape: one call per (re)load). */
+  def setWhitelist(enabled: Boolean, uris: Iterable[String] = Nil): Unit = {
+    whitelist.clear()
+    uris.foreach(u => whitelist.put(u, ()))
+    whitelistEnabled = enabled
+  }
+
+  def addToWhitelist(uri: String): Unit = whitelist.put(uri, ())
+
+  def removeFromWhitelist(uri: String): Unit = whitelist.remove(uri)
+
+  def isWhitelistEnabled: Boolean = whitelistEnabled
+
+  def whitelisted: Seq[String] = whitelist.keys.toSeq.sorted
+
+  /** Refuse a non-whitelisted service IRI loud (no-op while
+    * whitelisting is disabled). Called at every resolution seam: the
+    * compiler's SERVICE dispatch and the vectored remote join — the
+    * variable-endpoint form resolves per BINDING, so each branch
+    * passes through here with its concrete IRI. */
+  def checkAllowed(endpoint: String): Unit =
+    if (whitelistEnabled && !whitelist.contains(endpoint))
+      throw new IllegalArgumentException(
+        s"Service URI <$endpoint> is not allowed (SERVICE whitelist " +
+          "enabled — ServiceRegistry.setWhitelist/addToWhitelist, or the " +
+          "server's /whitelist endpoint)")
+
   /** Handler backed by a local (s,p,o) store: the SERVICE group is
     * compiled against it — a "federated endpoint" that happens to live
     * in the same cluster. */

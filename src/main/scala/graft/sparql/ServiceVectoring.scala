@@ -136,6 +136,10 @@ object ServiceVectoring {
   def joinVectored(left: DataFrame, sc: ServiceCall,
                    join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = left.sparkSession
+    // whitelist policy is checked at every resolution seam — the
+    // vectored path dispatches the remote without going through the
+    // compiler's ServiceCall case
+    ServiceRegistry.checkAllowed(sc.endpoint)
     val remote = ServiceRegistry.lookupRemote(sc.endpoint).get
     val srcText = sc.srcText.get
     def unit = spark.range(1).select()

@@ -1562,6 +1562,89 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("SERVICE ?endpoint dispatches branches concurrently: wall-time ~ max latency, not the sum") {
+    import spark.implicits._
+    import graft.sparql.{Compiler, Parser, ServiceRegistry}
+    val src = TpchRdf.source(spark, SF)
+    // three artificially-slow endpoints (1s each): serial dispatch
+    // would pay ~3s; the bounded-pool dispatch should pay ~1s
+    val eps = (1 to 3).map(i => s"urn:slow:$i")
+    eps.zipWithIndex.foreach { case (ep, i) =>
+      ServiceRegistry.registerRemote(ep, { _ =>
+        Thread.sleep(1000)
+        Seq((s"r:$i", s"val$i")).toDF("s", "l")
+      })
+    }
+    try {
+      val q = s"""SELECT ?ep ?l WHERE {
+                 |  VALUES ?ep { ${eps.map(e => s"<$e>").mkString(" ")} }
+                 |  SERVICE ?ep { ?s label ?l }
+                 |}""".stripMargin
+      // warm-up run: JVM/codegen/first-job overhead must not pollute
+      // the latency comparison (it dwarfs the sleeps on a cold JVM)
+      Compiler.compile(Parser.parse(q), src).collect()
+      val t0 = System.nanoTime()
+      val rows = Compiler.compile(Parser.parse(q), src).collect()
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(rows.map(_.getString(1)).toSet == Set("val0", "val1", "val2"))
+      assert(elapsedMs < 2500,
+        s"variable-endpoint dispatch took ${elapsedMs}ms — looks serial (3 × 1s sleeps)")
+      // parallelism=1 restores the serial path (same answer)
+      spark.conf.set("graft.service.varDispatchParallelism", "1")
+      try {
+        val serial = Compiler.compile(Parser.parse(q), src).collect()
+        assert(serial.map(_.getString(1)).toSet == Set("val0", "val1", "val2"))
+      } finally spark.conf.unset("graft.service.varDispatchParallelism")
+    } finally eps.foreach(ServiceRegistry.unregisterRemote)
+  }
+
+  test("SERVICE whitelist: non-listed endpoints refused loud (even SILENT), listed ones run") {
+    import spark.implicits._
+    import graft.sparql.{Compiler, Parser, ServiceRegistry}
+    val src = TpchRdf.source(spark, SF)
+    ServiceRegistry.register("urn:wl:ok", ServiceRegistry.localSource(
+      Seq(("w:1", "label", "allowed")).toDF("s", "p", "o")))
+    ServiceRegistry.register("urn:wl:other", ServiceRegistry.localSource(
+      Seq(("w:2", "label", "blocked")).toDF("s", "p", "o")))
+    def run(q: String) = Compiler.compile(Parser.parse(q), src).collect()
+    try {
+      // whitelisting disabled (the default): everything resolves
+      assert(run("SELECT ?l WHERE { SERVICE <urn:wl:other> { ?s label ?l } }")
+        .length == 1)
+      ServiceRegistry.setWhitelist(enabled = true, Seq("urn:wl:ok"))
+      // listed endpoint runs; non-listed is refused with the
+      // reference's wording (ServiceRegistry.java:416)
+      assert(run("SELECT ?l WHERE { SERVICE <urn:wl:ok> { ?s label ?l } }")
+        .map(_.getString(0)).toSeq == Seq("allowed"))
+      val e = intercept[IllegalArgumentException] {
+        run("SELECT ?l WHERE { SERVICE <urn:wl:other> { ?s label ?l } }")
+      }
+      assert(e.getMessage.contains("not allowed"))
+      // policy stays LOUD under SILENT — SILENT masks evaluation
+      // failures, not the security refusal
+      intercept[IllegalArgumentException] {
+        run("SELECT ?l WHERE { SERVICE SILENT <urn:wl:other> { ?s label ?l } }")
+      }
+      // variable endpoint: the check runs per RESOLVED binding — a
+      // mixed dispatch set refuses, an all-listed one runs
+      intercept[Exception] {
+        run("""SELECT ?ep ?l WHERE {
+              |  VALUES ?ep { <urn:wl:ok> <urn:wl:other> }
+              |  SERVICE ?ep { ?s label ?l }
+              |}""".stripMargin)
+      }
+      val ok = run("""SELECT ?ep ?l WHERE {
+                     |  VALUES ?ep { <urn:wl:ok> }
+                     |  SERVICE ?ep { ?s label ?l }
+                     |}""".stripMargin)
+      assert(ok.length == 1 && ok.head.getString(1) == "allowed")
+    } finally {
+      ServiceRegistry.setWhitelist(enabled = false)
+      ServiceRegistry.unregister("urn:wl:ok")
+      ServiceRegistry.unregister("urn:wl:other")
+    }
+  }
+
   test("SPARQL protocol server: multi-tenant namespaces are isolated") {
     import graft.server.SparqlServer
     val g0 = graft.Graft.empty(spark).update("""INSERT DATA { x:1 label "gear" }""")

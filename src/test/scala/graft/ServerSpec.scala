@@ -197,6 +197,50 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("HASSTMT / ?uuid / DELETE-by-access-path (QueryServlet + DeleteServlet fidelity arms)") {
+    val g0 = Graft.empty(spark).update(
+      """INSERT DATA {
+        |  x:1 label "gear" . x:1 type "Widget" . x:2 label "cog" .
+        |  GRAPH g:extra { x:1 label "gear" . x:3 label "axle" }
+        |}""".stripMargin)
+    val srv = new SparqlServer(g0).start()
+    try {
+      def get(url: String) = send(req(url).GET())
+      def enc(t: String) = java.net.URLEncoder.encode(t, "UTF-8")
+      val s1 = enc("<urn:graft:x:1>")
+      val lbl = enc("<urn:graft:label>")
+      val extra = enc("<urn:graft:g:extra>")
+      // HASSTMT: boolean access-path probe, the reference's
+      // buildAndCommitBooleanResponse document
+      val hs = get(srv.address + s"/sparql?HASSTMT&s=$s1&p=$lbl")
+      assert(hs.statusCode() == 200 && hs.body().contains("""result="true""""))
+      assert(get(srv.address + s"/sparql?HASSTMT&s=$s1&o=${enc("\"axle\"")}")
+        .body().contains("""result="false""""))
+      // ?uuid mints a fresh RFC-4122 id as text/plain, GET and POST
+      val u1 = get(srv.address + "/sparql?uuid")
+      val u2 = post(srv.address + "/sparql?uuid", "", "text/plain")
+      assert(u1.statusCode() == 200 &&
+        u1.headers().firstValue("Content-Type").get().startsWith("text/plain"))
+      assert(java.util.UUID.fromString(u1.body().trim) != null)
+      assert(u1.body().trim != u2.body().trim)
+      // DELETE-by-access-path: graph-scoped c= removes ONLY that
+      // graph's occurrence; the default-graph twin stays
+      val d1 = send(req(srv.address + s"/sparql?s=$s1&p=$lbl&c=$extra").DELETE())
+      assert(d1.statusCode() == 200 && d1.body().contains("""modified="1""""))
+      assert(get(srv.address + s"/sparql?HASSTMT&s=$s1&p=$lbl&c=$extra")
+        .body().contains("""result="false""""))
+      assert(get(srv.address + s"/sparql?HASSTMT&s=$s1&p=$lbl")
+        .body().contains("""result="true""""))
+      // subject-wide delete sweeps every remaining x:1 statement
+      val d2 = send(req(srv.address + s"/sparql?s=$s1").DELETE())
+      assert(d2.body().contains("""modified="2""""))
+      assert(get(srv.address + s"/sparql?HASSTMT&s=$s1")
+        .body().contains("""result="false""""))
+      // a completely bare DELETE stays loud (no silent namespace wipe)
+      assert(send(req(srv.address + "/sparql").DELETE()).statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("status lists running queries; cancelQuery kills one cluster-wide") {
     val g0 = Graft.empty(spark).update("""INSERT DATA { x:1 label "gear" }""")
     val srv = new SparqlServer(g0).start()
@@ -294,6 +338,41 @@ class ServerSpec extends AnyFunSuite {
     } finally srv3.stop()
   }
 
+  test("SERVICE whitelist over the management plane: POST sets, GET reads, queries enforce") {
+    val srv = new SparqlServer(
+      Graft.empty(spark).update("""INSERT DATA { x:1 label "gear" }""")).start()
+    val other = new SparqlServer(
+      Graft.empty(spark).update("""INSERT DATA { y:1 label "cog" }""")).start()
+    val ep = other.address + "/sparql"
+    graft.sparql.RemoteService.register(spark, ep)
+    val q = s"SELECT ?l WHERE { SERVICE <$ep> { ?s label ?l } }"
+    try {
+      // config round-trip: POST replaces the policy, GET reads it back
+      assert(post(srv.address + "/whitelist",
+        "enabled=true&uri=" + java.net.URLEncoder.encode(ep, "UTF-8"),
+        "application/x-www-form-urlencoded").statusCode() == 200)
+      val got = send(req(srv.address + "/whitelist").GET()).body()
+      assert(got.contains("""enabled="true"""") && got.contains(ep))
+      // listed endpoint federates through the protocol
+      val ok = post(srv.address + "/sparql", q, "application/sparql-query")
+      assert(ok.statusCode() == 200 && ok.body().contains("cog"))
+      // empty the list: the same query is now refused loud
+      assert(post(srv.address + "/whitelist", "enabled=true",
+        "application/x-www-form-urlencoded").statusCode() == 200)
+      val bad = post(srv.address + "/sparql", q, "application/sparql-query")
+      assert(bad.statusCode() == 400 && bad.body().contains("not allowed"))
+      // disable: back to open federation
+      assert(post(srv.address + "/whitelist", "enabled=false",
+        "application/x-www-form-urlencoded").statusCode() == 200)
+      assert(post(srv.address + "/sparql", q,
+        "application/sparql-query").statusCode() == 200)
+    } finally {
+      graft.sparql.ServiceRegistry.setWhitelist(enabled = false)
+      graft.sparql.ServiceRegistry.unregisterRemote(ep)
+      srv.stop(); other.stop()
+    }
+  }
+
   test("truthMaintenance namespace: inference over REST — entailed answers, retract, suppression, restart, timestamp") {
     val dir = tmp()
     val srv = SparqlServer.durable(Graft.empty(spark), dir).start()
@@ -364,6 +443,16 @@ class ServerSpec extends AnyFunSuite {
         "application/sparql-update").statusCode() == 204)                    // v5
       assert(typesOf(srv2.address, "e:2") ==
         Set("Employee", "Agent", "Party", "Entity"))
+      // GSP on the DEFAULT graph is the triples-mode store itself:
+      // PUT replaces the asserted statements, entailments recompute
+      val putDef = send(req(srv2.address + "/namespace/inf/rdf-graphs?default")
+        .header("Content-Type", "application/n-triples")
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "<urn:graft:Employee> <urn:graft:subClassOf> <urn:graft:Agent> .\n" +
+            "<urn:graft:e:9> <urn:graft:type> <urn:graft:Employee> .\n")))
+      assert(putDef.statusCode() == 204)
+      assert(typesOf(srv2.address, "e:9") == Set("Employee", "Agent"))
+      assert(typesOf(srv2.address, "e:2").isEmpty) // replaced away
     } finally srv2.stop()
   }
 
@@ -420,15 +509,24 @@ class ServerSpec extends AnyFunSuite {
       assert(beyond.statusCode() == 400 &&
         beyond.body().contains("beyond this read view"), beyond.body())
     } finally srv.stop()
-    // an IN-MEMORY server has no journal: bd:history stays loud
+    // an IN-MEMORY server has no journal: bd:history stays loud — and
+    // the scope is PINNED (withoutJournal), so even a process-global
+    // HistoryService.register cannot leak an unrelated journal's
+    // history into this tenant
     val mem = new SparqlServer(Graft.empty(spark)).start()
+    val leakJ = graft.rdf.Journal.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_leak").toString)
+    graft.sparql.HistoryService.register(leakJ)
     try {
       val r = post(mem.address + "/sparql",
         "SELECT ?o WHERE { SERVICE bd:history { _:h bd:outObject ?o . } }",
         "application/sparql-query")
-      assert(r.statusCode() == 400 && r.body().contains("no journal in scope"),
+      assert(r.statusCode() == 400 && r.body().contains("no commit log"),
         s"${r.statusCode()} ${r.body()}")
-    } finally mem.stop()
+    } finally {
+      graft.sparql.HistoryService.unregister()
+      mem.stop()
+    }
   }
 
   test("Graph Store Protocol: PUT replaces, POST merges, GET streams, DELETE drops") {
@@ -1358,6 +1456,14 @@ class ServerSpec extends AnyFunSuite {
       repo.dropNamespace("side")
       assert(repo.listNamespaces() == Seq("kb"))
       intercept[IllegalArgumentException](repo.dropNamespace("kb")) // 403
+      // creation options form-encode through the client: an
+      // inferencing namespace answers entailed over the wire
+      repo.createNamespace("infside", Map("truthMaintenance" -> "true"))
+      val inf = repo.forNamespace("infside")
+      inf.update("""INSERT DATA { A subClassOf B . i:1 type A }""")
+      assert(inf.query("SELECT ?t WHERE { i:1 type ?t }")
+        .collect().map(_.getString(0)).toSet == Set("A", "B"))
+      repo.dropNamespace("infside")
       // status endpoint responds
       assert(repo.status().startsWith("running:"))
       // ?uri= ingest through the client (server-side distributed read)

@@ -82,9 +82,22 @@ final class MaintainedClosure private (spark: SparkSession,
     * over the protocol as data (the reference reads its vocabulary
     * out of the store the same way; inference is a namespace OPTION,
     * the ontology is statements). */
+  // dynamic-mode program cache: the extraction inputs (vocab-predicate
+  // slices + sameAs presence) change ONLY across vocab-touching
+  // commits — those paths invalidate below — so steady-state instance
+  // commits reuse the cached program instead of re-scanning the base's
+  // declaration slices per commit
+  @volatile private var cachedProgram
+    : Option[(Rdfs.Ontology, Option[Owl.Ontology])] = None
+
   private def effective(b: DataFrame): (Rdfs.Ontology, Option[Owl.Ontology]) =
     if (!dynamic) (ont, owl)
-    else (MaintainedClosure.ontologyFrom(b), MaintainedClosure.owlOntologyFrom(b))
+    else cachedProgram.getOrElse {
+      val p = (MaintainedClosure.ontologyFrom(b),
+        MaintainedClosure.owlOntologyFrom(b))
+      cachedProgram = Some(p)
+      p
+    }
 
   /** Does a delta touch program-DEFINING vocabulary? In dynamic mode
     * such a commit changes the maintained program itself (a new
@@ -223,6 +236,7 @@ final class MaintainedClosure private (spark: SparkSession,
       // the delta REWRITES the program (new TBox edge / property
       // characteristic / first co-reference): entailments of EXISTING
       // statements change, so no delta-bounded path is exact
+      cachedProgram = None
       baseJ.append(withG(d))
       return rederiveCommit()
     }
@@ -261,6 +275,7 @@ final class MaintainedClosure private (spark: SparkSession,
       // retracting program vocabulary UN-derives entailments of
       // untouched instance statements — re-derive under the shrunk
       // program and diff
+      cachedProgram = None
       baseJ.commit(adds = none, dels = withG(r))
       return rederiveCommit()
     }
@@ -289,6 +304,9 @@ final class MaintainedClosure private (spark: SparkSession,
   def commitRaw(adds: DataFrame, dels: DataFrame): Long = {
     val a = adds.select("s", "p", "o").distinct().localCheckpoint()
     val dl = dels.select("s", "p", "o").distinct().localCheckpoint()
+    // a suppressed delta may carry vocabulary — drop the program cache
+    // unconditionally (recomputing it is one declaration-slice scan)
+    cachedProgram = None
     baseJ.commit(adds = withG(a), dels = withG(dl))
     closedJ.commit(adds = withG(a), dels = withG(dl))
   }

@@ -83,6 +83,34 @@ object TmBench {
       target.join(cur, Seq("s", "p", "o"), "left_anti").count() +
         cur.join(target, Seq("s", "p", "o"), "left_anti").count()
     }
+
+    // ---- DYNAMIC mode (round 16: the server's truthMaintenance
+    // namespaces) — the ontology is data; the claims to show are
+    // (a) a vocab commit pays one re-derivation, (b) steady-state
+    // instance commits stay delta-bounded, and (c) the program cache
+    // removes the per-commit declaration-slice extraction (the first
+    // instance commit after a vocab commit pays it once)
+    val dyn = MaintainedClosure.createDynamic(spark,
+      java.nio.file.Files.createTempDirectory("graft_tmbd").toString)
+    time("DYNAMIC seed: base + TransitiveProperty declaration (rederive tier)") {
+      dyn.assertTriples(base.unionAll(Seq(
+        ("within", "type", "TransitiveProperty"),
+        ("within", "inverseOf", "contains")).toDF("s", "p", "o")))
+    }
+    val ddelta1 = spark.range(1000).select(
+      concat(lit("dx:h"), col("id")).as("s"), lit("within").as("p"),
+      concat(lit("c:"), (col("id") % 500 + 1).cast("string")).as("o"))
+      .localCheckpoint()
+    time("DYNAMIC MID assert #1: 1000 edges (pays one program extraction)") {
+      dyn.assertTriples(ddelta1)
+    }
+    val ddelta2 = spark.range(1000).select(
+      concat(lit("dy:h"), col("id")).as("s"), lit("within").as("p"),
+      concat(lit("c:"), (col("id") % 500 + 1).cast("string")).as("o"))
+      .localCheckpoint()
+    time("DYNAMIC MID assert #2: 1000 edges (cached program)") {
+      dyn.assertTriples(ddelta2)
+    }
     spark.stop()
   }
 }

@@ -122,6 +122,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     def updateOpsSuppressed(ops: Seq[graft.sparql.UpdateOp]): Unit = updateOps(ops)
     def ingestSuppressed(quads: DataFrame): Long = ingest(quads)
     def removeSuppressed(spo: DataFrame): Long = remove(spo)
+    /** The ASSERTED-statements view — `includeInferred=false`
+      * (QueryServlet.java:140, default true; honored by query/
+      * HASSTMT/GETSTMTS): identical to [[current]] on non-TM tenants,
+      * the base (un-entailed) store on a truth-maintenance tenant. */
+    def asserted: Graft = current
+    def assertedAt(version: Long): Graft = at(version)
     /** Read-only connection against a historical commit point — the
       * protocol's `?timestamp=` knob (TxServlet's read-only tx
       * analog); durable namespaces only. */
@@ -484,6 +490,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     }
     override def at(version: Long): Graft =
       Graft(spark, QuadStore(tm.closure(version)
+        .select(col("s"), col("p"), col("o"), lit("g:default").as("g"))))
+    override def asserted: Graft =
+      Graft(spark, QuadStore(tm.base()
+        .select(col("s"), col("p"), col("o"), lit("g:default").as("g"))))
+    override def assertedAt(version: Long): Graft =
+      Graft(spark, QuadStore(tm.base(version)
         .select(col("s"), col("p"), col("o"), lit("g:default").as("g"))))
     override def version: Long = tm.version
     // bd:history serves the ASSERTED change log (the base journal) —
@@ -1149,14 +1161,22 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
           case other => sys.error(s"unknown format: $other")
         }.getOrElse(Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse(""))
         // ?timestamp=<version>: a read-only tx against that commit
-        // point (the reference's TxServlet/timestamp protocol knob)
+        // point (the reference's TxServlet/timestamp protocol knob).
+        // includeInferred=false (QueryServlet.java:140, default true)
+        // reads the ASSERTED statements — meaningful on a
+        // truth-maintenance namespace, identity elsewhere.
+        val inferred = qp.get("includeInferred").flatten
+          .forall(_.toBoolean)
         val g = qp.get("timestamp").flatten match {
-          case Some(v) => tenant(ns).at(v.toLong)
+          case Some(v) =>
+            if (inferred) tenant(ns).at(v.toLong)
+            else tenant(ns).assertedAt(v.toLong)
           // ?tx=<id>: read inside an open transaction — start snapshot
           // + own staged writes (read-your-writes)
           case None => qp.get("tx").flatten match {
             case Some(id) => txView(id, ns)
-            case None     => tenant(ns).current
+            case None     =>
+              if (inferred) tenant(ns).current else tenant(ns).asserted
           }
         }
         val ast = Parser.parse(q)
@@ -1365,9 +1385,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
   private def handleHasStmt(ex: HttpExchange, ns: String): Unit = {
     val t0 = System.currentTimeMillis()
     val qp = params(rawQuery(ex))
+    val inferred = qp.get("includeInferred").flatten.forall(_.toBoolean)
     val g = qp.get("timestamp").flatten match {
-      case Some(v) => tenant(ns).at(v.toLong)
-      case None    => tenant(ns).current
+      case Some(v) =>
+        if (inferred) tenant(ns).at(v.toLong) else tenant(ns).assertedAt(v.toLong)
+      case None =>
+        if (inferred) tenant(ns).current else tenant(ns).asserted
     }
     val found = inJobGroup(ns, "HASSTMT") { !accessPath(g, qp).isEmpty }
     respond(ex, 200, "application/xml",
@@ -1451,7 +1474,11 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     * N-Quads (QueryServlet GETSTMTS / ExportServlet analog). */
   private def handleGetStmts(ex: HttpExchange, ns: String): Unit =
     inJobGroup(ns, "GETSTMTS") {
-      val df = accessPath(tenant(ns).current, params(rawQuery(ex)))
+      val qp = params(rawQuery(ex))
+      // BLZG-1207: getStatements must honor includeInferred
+      val inferred = qp.get("includeInferred").flatten.forall(_.toBoolean)
+      val g = if (inferred) tenant(ns).current else tenant(ns).asserted
+      val df = accessPath(g, qp)
       respondStream(ex, "application/n-quads", "",
         lines(Serializer.toNQuads(df)), "\n", "")
     }

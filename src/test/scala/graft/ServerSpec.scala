@@ -416,6 +416,21 @@ class ServerSpec extends AnyFunSuite {
       // ?timestamp=: a historical read sees the ENTAILED past state
       assert(typesOf(srv.address, "e:1", "?timestamp=2") ==
         Set("Employee", "Agent", "Party"))
+      // includeInferred=false (QueryServlet.java:140): queries and
+      // HASSTMT read the ASSERTED statements only
+      assert(typesOf(srv.address, "e:1", "?timestamp=2&includeInferred=false") ==
+        Set("Employee"))
+      def hasStmt(s: String, o: String, extra: String = "") = send(req(
+        srv.address + s"/namespace/inf/sparql?HASSTMT&s=" +
+          java.net.URLEncoder.encode(s"<urn:graft:$s>", "UTF-8") +
+          "&o=" + java.net.URLEncoder.encode(s"<urn:graft:$o>", "UTF-8") + extra)
+        .GET()).body()
+      assert(hasStmt("e:2", "Employee").contains("""result="true""""))
+      // e:2's Agent type is suppressed-unclosed, so even inferred=true
+      // says false; e:1's Agent at v2 was ENTAILED only — asserted no
+      assert(hasStmt("e:1", "Agent", "&timestamp=2").contains("""result="true""""))
+      assert(hasStmt("e:1", "Agent", "&timestamp=2&includeInferred=false")
+        .contains("""result="false""""))
       // triples mode: graph-scoped Graph Store ops are refused loud
       // (the reference's TM requires a triples-mode KB)
       val put = send(req(srv.address + "/namespace/inf/rdf-graphs?graph=g%3Ax")

@@ -477,33 +477,64 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     @volatile private var cached: (Long, Graft) = (-1L, null)
     private def spoOf(df: DataFrame): DataFrame =
       df.select("s", "p", "o").distinct()
+    // per-namespace analyzer + persisted literal text index compose
+    // with TM exactly like DurableTenant — the index maintains over
+    // the CLOSED journal (bds:search sees what queries see: the
+    // entailed store), synced at attach and on every write
+    private val analyzerConf: Option[String] = {
+      val f = dir.resolve("analyzer.conf")
+      if (Files.exists(f)) Some(Files.readString(f).trim).filter(_.nonEmpty) else None
+    }
+    private val textIx: Option[graft.search.PersistedSearchIndex] = {
+      val d = dir.resolve("textindex")
+      if (graft.search.PersistedSearchIndex.exists(d.toString)) {
+        val ix = graft.search.PersistedSearchIndex.open(spark, d.toString)
+        graft.rdf.TextIndexMaintenance.sync(ix, tm.journals._2)
+        Some(ix)
+      } else None
+    }
+    private def withConf(g: Graft): Graft = {
+      val g1 = withAnalyzer(g)
+      textIx match {
+        case Some(ix) if ix.version == tm.journals._2.version =>
+          g1.copy(textIndex = Some(ix.view))
+        case _ => g1
+      }
+    }
+    private def withAnalyzer(g: Graft): Graft =
+      if (analyzerConf.isDefined) g.copy(analyzerName = analyzerConf) else g
+    private def view(t: DataFrame): Graft = withAnalyzer(Graft(spark, QuadStore(
+      t.select(col("s"), col("p"), col("o"), lit("g:default").as("g")))))
     def current: Graft = {
       val v = tm.version
       val c = cached
       if (c._1 == v && c._2 != null) c._2
       else synchronized {
         if (cached._1 != v || cached._2 == null)
-          cached = (v, Graft(spark, QuadStore(tm.closure()
-            .select(col("s"), col("p"), col("o"), lit("g:default").as("g")))))
+          cached = (v, withConf(view(tm.closure())))
         cached._2
       }
     }
-    override def at(version: Long): Graft =
-      Graft(spark, QuadStore(tm.closure(version)
-        .select(col("s"), col("p"), col("o"), lit("g:default").as("g"))))
-    override def asserted: Graft =
-      Graft(spark, QuadStore(tm.base()
-        .select(col("s"), col("p"), col("o"), lit("g:default").as("g"))))
-    override def assertedAt(version: Long): Graft =
-      Graft(spark, QuadStore(tm.base(version)
-        .select(col("s"), col("p"), col("o"), lit("g:default").as("g"))))
+    // historical / asserted views never attach the head index (it
+    // serves hits for literals those views may not contain)
+    override def at(version: Long): Graft = view(tm.closure(version))
+    override def asserted: Graft = view(tm.base())
+    override def assertedAt(version: Long): Graft = view(tm.base(version))
     override def version: Long = tm.version
     // bd:history serves the ASSERTED change log (the base journal) —
     // entailment churn is derived state, not user history
     override def journal: Option[graft.rdf.Journal] = Some(tm.journals._1)
     private def maybeCompact(): Unit = {
       val b = tm.journals._1
-      if (b.version - b.lastCompacted >= autoCompactEvery) tm.compact()
+      val compacting = b.version - b.lastCompacted >= autoCompactEvery
+      if (compacting) tm.compact()
+      // the index catches up to the CLOSED head (delta-sized batch);
+      // compaction is its vacuum/compact moment too (the DurableTenant
+      // reclaim discipline)
+      textIx.foreach { ix =>
+        graft.rdf.TextIndexMaintenance.sync(ix, tm.journals._2)
+        if (compacting) { ix.vacuum(); ix.compact() }
+      }
     }
     private def applyDelta(adds: DataFrame, dels: DataFrame,
                            suppress: Boolean): Unit = {
@@ -633,6 +664,14 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     case Some(d) =>
       val root = Paths.get(d)
       Files.createDirectories(root)
+      // re-apply a persisted SERVICE whitelist policy (written by
+      // POST /whitelist): first line enabled flag, one URI per line
+      val wl = root.resolve("whitelist.conf")
+      if (Files.exists(wl)) {
+        val lines = Files.readString(wl).split("\n").toSeq.filter(_.nonEmpty)
+        lines.headOption.foreach(en =>
+          graft.sparql.ServiceRegistry.setWhitelist(en.toBoolean, lines.tail))
+      }
       // reattach every namespace the directory already holds; a `tm`
       // subdirectory marks a truth-maintenance namespace (paired
       // base/closed journals — openDynamic rolls the closure forward
@@ -1598,6 +1637,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
               .getOrElse(sys.error("no enabled= in request")).toBoolean
             val uris = sources.flatMap(multiParams(_, "uri"))
             ServiceRegistry.setWhitelist(enabled, uris)
+            // durable servers persist the policy beside the journals;
+            // startup re-applies it (the reference's singleton registry
+            // is config-file-fed the same way)
+            journalDir.foreach(d => Files.writeString(
+              Paths.get(d).resolve("whitelist.conf"),
+              (enabled.toString +: uris).mkString("\n")))
             respond(ex, 200, "text/plain",
               s"whitelist: enabled=$enabled uris=${uris.size}")
           case other => respond(ex, 405, "text/plain", s"method not allowed: $other")
@@ -1998,9 +2043,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             require(!wantTm || journalDir.isDefined,
               "truthMaintenance=true needs a journal-backed namespace " +
                 "(start the server with a journal directory)")
-            require(!wantTm || (!wantTextIndex && !wantOspIndex && analyzer.isEmpty),
-              "truthMaintenance namespaces do not combine with " +
-                "textIndex/ospIndex/analyzer options (triples-mode TM store)")
+            // analyzer/textIndex compose with TM (the index maintains
+            // over the CLOSED journal); the OSP twin is tied to the
+            // Repository compaction machinery and stays refused
+            require(!wantTm || !wantOspIndex,
+              "truthMaintenance namespaces do not support ospIndex " +
+                "(the object-hash twin is a Repository compaction feature)")
             try {
               namespaces.computeIfAbsent(name, { _ =>
                 val t: Tenant = journalDir match {
@@ -2009,8 +2057,15 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
                   case Some(d) if wantTm =>
                     val sub = Paths.get(d).resolve(name)
                     Files.createDirectories(sub)
-                    new TmTenant(graft.inference.MaintainedClosure
-                      .createDynamic(spark, sub.resolve("tm").toString), sub)
+                    val tmStore = graft.inference.MaintainedClosure
+                      .createDynamic(spark, sub.resolve("tm").toString)
+                    analyzer.foreach(a =>
+                      Files.writeString(sub.resolve("analyzer.conf"), a))
+                    if (wantTextIndex)
+                      graft.rdf.TextIndexMaintenance.create(spark,
+                        sub.resolve("textindex").toString, tmStore.journals._2,
+                        analyzer.getOrElse("latin"))
+                    new TmTenant(tmStore, sub)
                   case Some(d) =>
                     val sub = Paths.get(d).resolve(name)
                     val repo = Repository.create(spark, sub.toString)

@@ -366,6 +366,22 @@ class ServerSpec extends AnyFunSuite {
         "application/x-www-form-urlencoded").statusCode() == 200)
       assert(post(srv.address + "/sparql", q,
         "application/sparql-query").statusCode() == 200)
+      // durable servers PERSIST the policy beside the journals and
+      // re-apply it at startup
+      val root = tmp()
+      val dsrv = SparqlServer.durable(Graft.empty(spark), root).start()
+      try {
+        assert(post(dsrv.address + "/whitelist",
+          "enabled=true&uri=urn%3Awl%3Apersisted",
+          "application/x-www-form-urlencoded").statusCode() == 200)
+      } finally dsrv.stop()
+      graft.sparql.ServiceRegistry.setWhitelist(enabled = false) // wiped
+      val dsrv2 = SparqlServer.durable(Graft.empty(spark), root).start()
+      try {
+        val got2 = send(req(dsrv2.address + "/whitelist").GET()).body()
+        assert(got2.contains("""enabled="true"""") &&
+          got2.contains("urn:wl:persisted"))
+      } finally dsrv2.stop()
     } finally {
       graft.sparql.ServiceRegistry.setWhitelist(enabled = false)
       graft.sparql.ServiceRegistry.unregisterRemote(ep)
@@ -468,6 +484,50 @@ class ServerSpec extends AnyFunSuite {
       assert(putDef.statusCode() == 204)
       assert(typesOf(srv2.address, "e:9") == Set("Employee", "Agent"))
       assert(typesOf(srv2.address, "e:2").isEmpty) // replaced away
+    } finally srv2.stop()
+  }
+
+  test("truthMaintenance + textIndex compose: search serves the CLOSED store, restart-stable") {
+    val root = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), root).start()
+    val q = """SELECT ?lit WHERE {
+              |  SERVICE bds:search { _:s bds:query "spark" . _:s bds:out ?lit }
+              |} ORDER BY ?lit""".stripMargin
+    def hits(addr: String): Seq[String] = {
+      val r = post(addr + "/namespace/tmix/sparql", q, "application/sparql-query")
+      assert(r.statusCode() == 200, r.body().take(300))
+      graft.sparql.RemoteService.parseJsonResults(spark, r.body())
+        .collect().map(_.getString(0)).toSeq
+    }
+    try {
+      assert(post(srv.address + "/namespace",
+        "name=tmix&truthMaintenance=true&textIndex=true",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      // TBox + a literal-bearing statement in one commit: the index
+      // maintains over the CLOSED journal, so the hit appears with no
+      // rebuild and the ENTAILED label twin is queryable beside it
+      assert(post(srv.address + "/namespace/tmix/sparql/update",
+        """INSERT DATA { note subPropertyOf label . x:a note "the spark engine" }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(hits(srv.address) == Seq("the spark engine"))
+      val lbl = graft.sparql.RemoteService.parseJsonResults(spark,
+        post(srv.address + "/namespace/tmix/sparql",
+          "SELECT ?o WHERE { x:a label ?o }", "application/sparql-query").body())
+      assert(lbl.collect().map(_.getString(0)).toSeq == Seq("the spark engine"))
+      // retraction un-derives the label twin AND the index drops the
+      // literal (DRed + index maintenance in one write path)
+      assert(post(srv.address + "/namespace/tmix/sparql/update",
+        """DELETE DATA { x:a note "the spark engine" }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(hits(srv.address).isEmpty)
+    } finally srv.stop()
+    // restart: TM store AND its index reattach together
+    val srv2 = SparqlServer.durable(Graft.empty(spark), root).start()
+    try {
+      assert(post(srv2.address + "/namespace/tmix/sparql/update",
+        """INSERT DATA { x:c note "spark sql" }""",
+        "application/sparql-update").statusCode() == 204)
+      assert(hits(srv2.address) == Seq("spark sql"))
     } finally srv2.stop()
   }
 

@@ -128,6 +128,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       * the base (un-entailed) store on a truth-maintenance tenant. */
     def asserted: Graft = current
     def assertedAt(version: Long): Graft = at(version)
+    /** ATOMIC remove+insert — the reference's UPDATE-with-query /
+      * UPDATE-with-body servlets (UpdateServlet.java:90,817): remove
+      * every graph's occurrence of `removeSpo`, insert `adds`, as ONE
+      * operation; returns removed + inserted. */
+    def updateWithBody(removeSpo: DataFrame, adds: DataFrame,
+                       suppress: Boolean): Long
     /** Read-only connection against a historical commit point — the
       * protocol's `?timestamp=` knob (TxServlet's read-only tx
       * analog); durable namespaces only. */
@@ -205,6 +211,19 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       ref.updateAndGet(g => g.withStore(
         QuadStore(g.store.quads.join(doomed, Seq("s", "p", "o", "g"), "left_anti"))))
       doomed.count()
+    }
+    def updateWithBody(removeSpo: DataFrame, adds: DataFrame,
+                       suppress: Boolean): Long = {
+      val keys = Seq("s", "p", "o")
+      val doomed = ref.get().store.quads
+        .join(removeSpo.select(keys.map(org.apache.spark.sql.functions.col): _*)
+          .distinct(), keys, "left_semi")
+        .localCheckpoint()
+      val a = adds.localCheckpoint()
+      ref.updateAndGet(g => g.withStore(QuadStore(
+        g.store.quads.join(doomed, Seq("s", "p", "o", "g"), "left_anti"))
+        .insertQuads(a)))
+      doomed.count() + a.count()
     }
     def putGraph(g: String, quads: DataFrame): Unit = {
       val q = quads.localCheckpoint()
@@ -341,6 +360,18 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       repo.journal.commit(adds = emptyQuads, dels = doomed)
       maybeCompact()
       doomed.count()
+    }
+    def updateWithBody(removeSpo: DataFrame, adds: DataFrame,
+                       suppress: Boolean): Long = synchronized {
+      val keys = Seq("s", "p", "o")
+      val doomed = current.store.quads
+        .join(removeSpo.select(keys.map(org.apache.spark.sql.functions.col): _*)
+          .distinct(), keys, "left_semi")
+        .localCheckpoint()
+      val a = adds.localCheckpoint()
+      repo.journal.commit(adds = a, dels = doomed)
+      maybeCompact()
+      doomed.count() + a.count()
     }
     def putGraph(g: String, quads: DataFrame): Unit = synchronized {
       import org.apache.spark.sql.functions.{col, lit}
@@ -593,6 +624,15 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     def removeQuads(quads: DataFrame): Long = removeTm(quads, suppress = false)
     override def removeQuadsSuppressed(quads: DataFrame): Long =
       removeTm(quads, suppress = true)
+    def updateWithBody(removeSpo: DataFrame, adds: DataFrame,
+                       suppress: Boolean): Long = synchronized {
+      val r = spoOf(removeSpo).localCheckpoint()
+      val a = spoOf(adds).localCheckpoint()
+      val doomed = tm.base().join(r, Seq("s", "p", "o"), "left_semi")
+        .localCheckpoint()
+      applyDelta(a, r, suppress)
+      doomed.count() + a.count()
+    }
     private def triplesOnly(): Nothing = sys.error(
       "truth-maintenance namespaces are triples-mode (the reference's " +
         "TM requires a triples-mode KB) — graph-scoped Graph Store " +
@@ -1036,10 +1076,51 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     * through `?uri=` against shared storage instead, where executors
     * read the document directly. */
   private def bodyQuads(ex: HttpExchange, ext: String, graph: Option[String],
-                        defaultGraph: String): (DataFrame, Path) = {
+                        defaultGraph: String): (DataFrame, Path) =
+    bytesQuads(ex.getRequestBody.readAllBytes(), ext, graph, defaultGraph)
+
+  private def bytesQuads(bytes: Array[Byte], ext: String, graph: Option[String],
+                         defaultGraph: String): (DataFrame, Path) = {
     val tmp = Files.createTempFile("graft_post", s".$ext")
-    Files.write(tmp, ex.getRequestBody.readAllBytes())
+    Files.write(tmp, bytes)
     (Update.loadOpQuads(spark, s"file://$tmp", graph, defaultGraph), tmp)
+  }
+
+  /** Minimal multipart/form-data reader for the UPDATE-with-body
+    * servlet shape (two RDF document parts named `add`/`remove`):
+    * field name from Content-Disposition, part Content-Type for the
+    * parser dispatch, raw body bytes. Preamble/epilogue per RFC 2046;
+    * good for document parts (no nested multiparts). */
+  private def multipartParts(body: Array[Byte],
+                             contentType: String): Map[String, (String, Array[Byte])] = {
+    val boundary = contentType.split(';').map(_.trim)
+      .collectFirst { case p if p.toLowerCase.startsWith("boundary=") =>
+        p.substring("boundary=".length).stripPrefix("\"").stripSuffix("\"") }
+      .getOrElse(sys.error("multipart body without a boundary parameter"))
+    val text = new String(body, "ISO-8859-1") // byte-preserving charset
+    val delim = "--" + boundary
+    text.split(java.util.regex.Pattern.quote(delim)).toSeq
+      .drop(1)                                  // preamble
+      .takeWhile(p => !p.startsWith("--"))      // closing delimiter
+      .flatMap { part =>
+        val p = part.stripPrefix("\r\n")
+        val headerEnd = p.indexOf("\r\n\r\n")
+        if (headerEnd < 0) None
+        else {
+          val headers = p.substring(0, headerEnd).split("\r\n").toSeq
+          def header(n: String): Option[String] = headers
+            .find(_.toLowerCase.startsWith(n.toLowerCase + ":"))
+            .map(_.split(":", 2)(1).trim)
+          val name = header("Content-Disposition")
+            .flatMap(_.split(';').map(_.trim)
+              .collectFirst { case a if a.startsWith("name=") =>
+                a.substring(5).stripPrefix("\"").stripSuffix("\"") })
+          val ct = header("Content-Type").getOrElse("")
+          // body runs to the \r\n that precedes the next delimiter
+          val raw = p.substring(headerEnd + 4).stripSuffix("\r\n")
+          name.map(n => n -> (ct, raw.getBytes("ISO-8859-1")))
+        }
+      }.toMap
   }
 
   /** Delete a request's spill file once the tenant op has MATERIALIZED
@@ -1116,6 +1197,16 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         // GET and POST alike, checked before the content-type arms
         respond(ex, 200, "text/plain", java.util.UUID.randomUUID().toString)
       else if (qp.contains("HASSTMT")) handleHasStmt(ex, ns)
+      else if (ex.getRequestMethod == "PUT")
+        // UPDATE-with-query: atomic delete-described + insert-body
+        handleUpdateWithQuery(ex, ns)
+      else if (ex.getRequestMethod == "POST" && qp.contains("updatePost"))
+        // UPDATE via POST w/ multipart add/remove parts
+        handleUpdateWithParts(ex, ns)
+      else if (ex.getRequestMethod == "POST" && qp.contains("delete"))
+        // DELETE via POST w/ body (clients that cannot send a DELETE
+        // body — RESTServlet.java:275)
+        handleDelete(ex, ns)
       else if (ex.getRequestMethod == "GET" && qp.isEmpty)
         // SPARQL 1.1 Service Description — the reference answers a
         // bare GET on the endpoint with one (BigdataRDFServlet /
@@ -1366,14 +1457,78 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     }
   }
 
+  /** `PUT /sparql?query=<CONSTRUCT|DESCRIBE>` with an RDF body
+    * (UpdateServlet.java:90 `doUpdateWithQuery`): ATOMIC update — the
+    * query's materialized statements are removed and the body's
+    * statements inserted as ONE commit; `<data modified="removed+
+    * inserted"/>`. The curl-script shape for "replace what this query
+    * describes with this document". */
+  private def handleUpdateWithQuery(ex: HttpExchange, ns: String): Unit = {
+    val qp = params(rawQuery(ex))
+    val t = tenant(ns)
+    val q = qp.get("query").flatten
+      .getOrElse(sys.error("PUT update needs ?query=<CONSTRUCT|DESCRIBE>"))
+    require(isGraphResult(Parser.parse(q)),
+      "PUT update requires CONSTRUCT or DESCRIBE")
+    val ext = rdfExtension(contentType(ex)).getOrElse(
+      sys.error(s"unsupported RDF content type: ${contentType(ex)}"))
+    val (adds, spill) = bodyQuads(ex, ext, None, t.current.defaultGraph)
+    val suppress = qp.get("suppressTruthMaintenance").flatten.exists(_.toBoolean)
+    val n =
+      try inJobGroup(ns, "PUT update-with-query") {
+        t.updateWithBody(t.current.query(q).select("s", "p", "o"), adds, suppress)
+      } finally dropSpill(spill)
+    respond(ex, 200, "application/xml",
+      s"""<?xml version="1.0"?><data modified="$n"/>""")
+  }
+
+  /** `POST /sparql?updatePost` with a multipart body carrying RDF
+    * document parts named `remove` and `add` (UpdateServlet.java:817
+    * `doUpdateWithBody`): atomic remove+insert in one request; each
+    * part's own Content-Type picks its parser. */
+  private def handleUpdateWithParts(ex: HttpExchange, ns: String): Unit = {
+    val qp = params(rawQuery(ex))
+    val t = tenant(ns)
+    val ct = contentType(ex)
+    require(ct.toLowerCase.startsWith("multipart/"),
+      s"updatePost needs a multipart body, got '$ct'")
+    val parts = multipartParts(ex.getRequestBody.readAllBytes(), ct)
+    def quadsOf(name: String): Option[(DataFrame, Path)] = parts.get(name).map {
+      case (pct, bytes) =>
+        val ext = rdfExtension(pct).getOrElse(
+          sys.error(s"part '$name' has an unsupported RDF content type: '$pct'"))
+        bytesQuads(bytes, ext, None, t.current.defaultGraph)
+    }
+    require(parts.contains("add") || parts.contains("remove"),
+      "updatePost needs an 'add' and/or 'remove' part")
+    val remove = quadsOf("remove")
+    val add = quadsOf("add")
+    val suppress = qp.get("suppressTruthMaintenance").flatten.exists(_.toBoolean)
+    val n =
+      try inJobGroup(ns, "updatePost") {
+        t.updateWithBody(
+          remove.map(_._1.select("s", "p", "o"))
+            .getOrElse(emptyQuads.select("s", "p", "o")),
+          add.map(_._1).getOrElse(emptyQuads),
+          suppress)
+      } finally (remove.toSeq ++ add.toSeq).foreach(p => dropSpill(p._2))
+    respond(ex, 200, "application/xml",
+      s"""<?xml version="1.0"?><data modified="$n"/>""")
+  }
+
   /** `DELETE /sparql?query=<CONSTRUCT…>` or DELETE-with-body
-    * (DeleteServlet.java): removes the described statements from every
-    * graph they appear in. */
+    * (DeleteServlet.java); also reachable as `POST /sparql?delete`
+    * with a body (RESTServlet.java:275 — the arm for clients that
+    * cannot send DELETE with a body): removes the described
+    * statements from every graph they appear in. */
   private def handleDelete(ex: HttpExchange, ns: String): Unit = {
     val t = tenant(ns)
     val qp = params(rawQuery(ex))
+    // the delete query comes from the QUERY STRING (never the body —
+    // under POST ?delete the body IS the RDF document to remove)
+    val delQuery = qp.get("query").flatten
     val apBound = Seq("s", "p", "o", "c").exists(k => qp.get(k).flatten.isDefined)
-    if (queryText(ex).isEmpty && rdfExtension(contentType(ex)).isEmpty && apBound) {
+    if (delQuery.isEmpty && rdfExtension(contentType(ex)).isEmpty && apBound) {
       // DELETE-by-access-path (DeleteServlet.java:106
       // doDeleteWithAccessPath): NT-encoded s/p/o/c terms choose the
       // doomed quads exactly like ESTCARD/GETSTMTS; `c=` scopes the
@@ -1391,7 +1546,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         s"""<?xml version="1.0"?><data modified="$n"/>""")
       return
     }
-    val (spo, spill) = queryText(ex) match {
+    val (spo, spill) = delQuery match {
       case Some(q) =>
         val ast = Parser.parse(q)
         require(isGraphResult(ast),

@@ -241,6 +241,61 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("UPDATE-with-query (PUT), multipart updatePost, and POST ?delete (UpdateServlet fidelity)") {
+    val g0 = Graft.empty(spark).update(
+      """INSERT DATA { x:1 label "gear" . x:1 status "old" . x:2 label "cog" }""")
+    val srv = new SparqlServer(g0).start()
+    def count(q: String) = graft.sparql.RemoteService.parseJsonResults(spark,
+      post(srv.address + "/sparql", q, "application/sparql-query").body()).count()
+    try {
+      // PUT ?query=CONSTRUCT + RDF body: atomically replace what the
+      // query describes with the body's statements
+      val put = send(req(srv.address + "/sparql?query=" + java.net.URLEncoder
+        .encode("""CONSTRUCT { ?s status ?o } WHERE { ?s status ?o }""", "UTF-8"))
+        .header("Content-Type", "application/n-triples")
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "<urn:graft:x:1> <urn:graft:status> \"new\" .\n")))
+      assert(put.statusCode() == 200 && put.body().contains("""modified="2""""),
+        put.body())
+      assert(count("""SELECT ?s WHERE { ?s status "new" }""") == 1)
+      assert(count("""SELECT ?s WHERE { ?s status "old" }""") == 0)
+      // PUT without a query or with a SELECT is a 400
+      assert(send(req(srv.address + "/sparql")
+        .header("Content-Type", "application/n-triples")
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(""))).statusCode() == 400)
+      // multipart updatePost: remove + add parts, each with its own
+      // Content-Type, land as one atomic operation
+      val b = "graftBoundary42"
+      val body =
+        s"""--$b\r
+           |Content-Disposition: form-data; name="remove"\r
+           |Content-Type: application/n-triples\r
+           |\r
+           |<urn:graft:x:2> <urn:graft:label> "cog" .\r
+           |--$b\r
+           |Content-Disposition: form-data; name="add"\r
+           |Content-Type: text/turtle\r
+           |\r
+           |<urn:graft:x:3> <urn:graft:label> "axle" .\r
+           |--$b--\r
+           |""".stripMargin
+      val up = post(srv.address + "/sparql?updatePost", body,
+        s"multipart/form-data; boundary=$b")
+      assert(up.statusCode() == 200 && up.body().contains("""modified="2""""),
+        up.body())
+      assert(count("""SELECT ?s WHERE { ?s label "cog" }""") == 0)
+      assert(count("""SELECT ?s WHERE { ?s label "axle" }""") == 1)
+      // POST ?delete with an RDF body — the delete arm for clients
+      // that cannot send a DELETE body
+      val pd = post(srv.address + "/sparql?delete",
+        "<urn:graft:x:3> <urn:graft:label> \"axle\" .\n",
+        "application/n-triples")
+      assert(pd.statusCode() == 200 && pd.body().contains("""modified="1""""),
+        pd.body())
+      assert(count("""SELECT ?s WHERE { ?s label "axle" }""") == 0)
+    } finally srv.stop()
+  }
+
   test("status lists running queries; cancelQuery kills one cluster-wide") {
     val g0 = Graft.empty(spark).update("""INSERT DATA { x:1 label "gear" }""")
     val srv = new SparqlServer(g0).start()

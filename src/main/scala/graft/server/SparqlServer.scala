@@ -168,6 +168,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       * (first-committer-wins, whole-store granularity). */
     def commitStaged(items: Seq[Either[String, DataFrame]],
                      expectVersion: Long): Long
+    /** PREPARE-TX (TxServlet.java:84): run the SAME validation
+      * [[commitStaged]] applies, committing nothing — throws
+      * TxConflict exactly when a commit now would. Advisory (no lock
+      * is taken between prepare and commit). */
+    def prepareStaged(items: Seq[Either[String, DataFrame]],
+                      expectVersion: Long): Unit
     /** Online backup: snapshot the namespace's journal to a
       * server-visible directory while holding the write lock
       * (quiesced); durable namespaces only. Returns the backed-up
@@ -244,6 +250,8 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       })
       -1L
     }
+    def prepareStaged(items: Seq[Either[String, DataFrame]],
+                      expectVersion: Long): Unit = ()
     def destroy(): Unit = ()
   }
 
@@ -420,6 +428,20 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     }
     def commitStaged(items: Seq[Either[String, DataFrame]],
                      expectVersion: Long): Long = synchronized {
+      val (adds, dels) = validateStaged(items, expectVersion)
+      val v = repo.journal.commit(adds, dels)
+      maybeCompact()
+      v
+    }
+    override def prepareStaged(items: Seq[Either[String, DataFrame]],
+                               expectVersion: Long): Unit = synchronized {
+      validateStaged(items, expectVersion); ()
+    }
+    /** The front half of a staged commit: fold the items into one
+      * (adds, dels) and run the two-sided conflict validation; throws
+      * [[TxConflict]] exactly when a commit now would. */
+    private def validateStaged(items: Seq[Either[String, DataFrame]],
+                               expectVersion: Long): (DataFrame, DataFrame) = {
       val head = current
       val mixed = items.map {
         case Left(text) => Left(graft.sparql.Parser.parseUpdates(text))
@@ -478,9 +500,7 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
               s"v$expectVersion (head now v${repo.version}) — its effect " +
               "differs between the two snapshots")
       }
-      val v = repo.journal.commit(adds, dels)
-      maybeCompact()
-      v
+      (adds, dels)
     }
     def destroy(): Unit = deleteRecursively(dir)
   }
@@ -674,6 +694,13 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         case Right(df)   => ingest(df)
       }
       tm.version
+    }
+    def prepareStaged(items: Seq[Either[String, DataFrame]],
+                      expectVersion: Long): Unit = {
+      if (tm.version != expectVersion)
+        throw new TxConflict(
+          s"tx conflict: head moved from v$expectVersion to v${tm.version} " +
+            "(truth-maintenance namespaces validate at whole-store granularity)")
     }
     override def backup(target: Path): Long = synchronized {
       val (b, c) = tm.journals
@@ -1894,6 +1921,26 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     * the reference's full read/write-tx isolation. `?timestamp=`
     * remains the read-only commit-point knob. */
   private object TxHandler extends HttpHandler {
+    private def commitTx(ex: HttpExchange, id: String): Unit = {
+      val tx = txs.remove(id)
+      if (tx == null) respond(ex, 404, "text/plain", s"no such transaction: $id")
+      else
+        try {
+          val v = inJobGroup(tx.ns, s"TX-COMMIT $id") {
+            tenant(tx.ns).commitStaged(tx.items.synchronized(tx.items.toSeq),
+              tx.startVersion)
+          }
+          respond(ex, 200, "application/xml",
+            s"""<?xml version="1.0"?><tx txId="$id" committed="$v"/>""")
+        } catch {
+          case e: TxConflict => respond(ex, 409, "text/plain", e.getMessage)
+        }
+    }
+    private def abortTx(ex: HttpExchange, id: String): Unit =
+      if (txs.remove(id) == null)
+        respond(ex, 404, "text/plain", s"no such transaction: $id")
+      else respond(ex, 200, "application/xml",
+        s"""<?xml version="1.0"?><tx txId="$id" aborted="true"/>""")
     def handle(ex: HttpExchange): Unit =
       try {
         val rest = ex.getRequestURI.getPath.stripPrefix("/tx").stripPrefix("/")
@@ -1913,25 +1960,34 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             }
             respond(ex, 200, "application/xml",
               s"""<?xml version="1.0"?><txs>${rows.mkString}</txs>""")
-          case (List(id, "commit"), "POST") =>
-            val tx = txs.remove(id)
-            if (tx == null) respond(ex, 404, "text/plain", s"no such transaction: $id")
-            else
-              try {
-                val v = inJobGroup(tx.ns, s"TX-COMMIT $id") {
-                  tenant(tx.ns).commitStaged(tx.items.synchronized(tx.items.toSeq),
-                    tx.startVersion)
+          case (List(id, "commit"), "POST") => commitTx(ex, id)
+          case (List(id, "abort"), "POST")  => abortTx(ex, id)
+          // the reference's verb shape (TxServlet.java:82-94):
+          // POST /tx/<id>?COMMIT|ABORT|PREPARE — param-dispatched
+          case (List(id), "POST") =>
+            val qp = params(rawQuery(ex))
+            if (qp.contains("COMMIT")) commitTx(ex, id)
+            else if (qp.contains("ABORT")) abortTx(ex, id)
+            else if (qp.contains("PREPARE")) {
+              // validate-without-commit; advisory (no lock is held
+              // between prepare and commit — the reference's
+              // single-writer semantics make the same caveat)
+              val tx = txs.get(id)
+              if (tx == null)
+                respond(ex, 404, "text/plain", s"no such transaction: $id")
+              else
+                try {
+                  inJobGroup(tx.ns, s"TX-PREPARE $id") {
+                    tenant(tx.ns).prepareStaged(
+                      tx.items.synchronized(tx.items.toSeq), tx.startVersion)
+                  }
+                  respond(ex, 200, "application/xml",
+                    s"""<?xml version="1.0"?><tx txId="$id" prepared="true"/>""")
+                } catch {
+                  case e: TxConflict => respond(ex, 409, "text/plain", e.getMessage)
                 }
-                respond(ex, 200, "application/xml",
-                  s"""<?xml version="1.0"?><tx txId="$id" committed="$v"/>""")
-              } catch {
-                case e: TxConflict => respond(ex, 409, "text/plain", e.getMessage)
-              }
-          case (List(id, "abort"), "POST") =>
-            if (txs.remove(id) == null)
-              respond(ex, 404, "text/plain", s"no such transaction: $id")
-            else respond(ex, 200, "application/xml",
-              s"""<?xml version="1.0"?><tx txId="$id" aborted="true"/>""")
+            } else respond(ex, 405, "text/plain",
+              "unsupported tx operation (COMMIT | ABORT | PREPARE)")
           case _ => respond(ex, 405, "text/plain", "unsupported tx operation")
         }
       } catch {
@@ -2047,7 +2103,31 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
           respond(ex, 200, "text/html; charset=utf-8",
             s"""<!DOCTYPE html><html><head><title>graft workbench</title></head>
                |<body><h1>graft workbench</h1>${workbenchForm(defaultNamespace)}</body></html>""".stripMargin)
-        else {
+        else if (ex.getRequestMethod == "POST" &&
+                 params(rawQuery(ex)).contains("convert")) {
+          // WorkbenchServlet.java:63 ATTR_CONVERT: POST an RDF
+          // document; the Content-Type picks the parser, the Accept
+          // header the output serialization — format conversion as a
+          // service (no store touched)
+          val ext = rdfExtension(contentType(ex)).getOrElse(
+            sys.error(s"Content-Type not recognized as RDF: ${contentType(ex)}"))
+          val (quads, spill) = bodyQuads(ex, ext, None, "g:default")
+          try {
+            val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+            val triples = quads.select("s", "p", "o")
+            val (ct, df) =
+              if (accept.contains("turtle"))
+                ("text/turtle", Serializer.toTurtle(triples))
+              else if (accept.contains("ld+json"))
+                ("application/ld+json", Serializer.toJsonLdCompact(triples))
+              else if (accept.contains("n-quads"))
+                ("application/n-quads", Serializer.toNQuads(quads))
+              else
+                ("application/n-triples", Serializer.toNTriples(triples))
+            respond(ex, 200, ct,
+              df.collect().map(_.getString(0)).mkString("\n"))
+          } finally dropSpill(spill)
+        } else {
           require(ex.getRequestMethod == "POST", "workbench requires GET or POST")
           val form = params(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
           val ns = form.get("ns").flatten.getOrElse(defaultNamespace)

@@ -241,6 +241,67 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("tx param verbs (COMMIT/ABORT/PREPARE) and workbench ?convert") {
+    val srv = SparqlServer.durable(Graft.empty(spark), tmp()).start()
+    try {
+      // the reference's verb shape: POST /tx/<id>?PREPARE|COMMIT
+      val tx1 = send(req(srv.address + "/tx").POST(
+        java.net.http.HttpRequest.BodyPublishers.noBody())).body()
+      val id1 = "txId=\"([^\"]+)\"".r.findFirstMatchIn(tx1).get.group(1)
+      assert(post(srv.address + s"/sparql/update?tx=$id1",
+        """INSERT DATA { t:1 label "staged" }""",
+        "application/sparql-update").statusCode() == 204)
+      // PREPARE validates without committing: nothing visible yet
+      val prep = post(srv.address + s"/tx/$id1?PREPARE", "", "text/plain")
+      assert(prep.statusCode() == 200 && prep.body().contains("""prepared="true""""))
+      def staged() = graft.sparql.RemoteService.parseJsonResults(spark,
+        post(srv.address + "/sparql", """SELECT ?s WHERE { ?s label "staged" }""",
+          "application/sparql-query").body()).count()
+      assert(staged() == 0)
+      // param-verb COMMIT lands it
+      val com = post(srv.address + s"/tx/$id1?COMMIT", "", "text/plain")
+      assert(com.statusCode() == 200 && com.body().contains("committed="))
+      assert(staged() == 1)
+      // PREPARE answers 409 when a commit now would conflict
+      val tx2 = send(req(srv.address + "/tx").POST(
+        java.net.http.HttpRequest.BodyPublishers.noBody())).body()
+      val id2 = "txId=\"([^\"]+)\"".r.findFirstMatchIn(tx2).get.group(1)
+      assert(post(srv.address + s"/sparql/update?tx=$id2",
+        """DELETE DATA { t:1 label "staged" }""",
+        "application/sparql-update").statusCode() == 204)
+      // interleaved commit touching the SAME graph → prepare conflicts
+      assert(post(srv.address + "/sparql/update",
+        """INSERT DATA { t:2 label "interleaved" }""",
+        "application/sparql-update").statusCode() == 204)
+      val prep2 = post(srv.address + s"/tx/$id2?PREPARE", "", "text/plain")
+      assert(prep2.statusCode() == 409, s"${prep2.statusCode()} ${prep2.body()}")
+      // param-verb ABORT drops it
+      assert(post(srv.address + s"/tx/$id2?ABORT", "", "text/plain")
+        .statusCode() == 200)
+      // workbench ?convert: Turtle in → N-Triples out (and JSON-LD)
+      val conv = send(req(srv.address + "/workbench?convert")
+        .header("Content-Type", "text/turtle")
+        .header("Accept", "application/n-triples")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "@prefix ex: <urn:graft:> . ex:c:1 ex:label \"gear\" .")))
+      assert(conv.statusCode() == 200 &&
+        conv.body().contains("<urn:graft:c:1> <urn:graft:label> \"gear\" ."),
+        conv.body())
+      val convJ = send(req(srv.address + "/workbench?convert")
+        .header("Content-Type", "application/n-triples")
+        .header("Accept", "application/ld+json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "<urn:graft:c:1> <urn:graft:label> \"gear\" .\n")))
+      assert(convJ.statusCode() == 200 && convJ.body().contains("\"@id\"") &&
+        convJ.body().contains("gear"), convJ.body().take(200))
+      // a non-RDF content type is a loud 400
+      assert(send(req(srv.address + "/workbench?convert")
+        .header("Content-Type", "text/csv")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("a,b")))
+        .statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("UPDATE-with-query (PUT), multipart updatePost, and POST ?delete (UpdateServlet fidelity)") {
     val g0 = Graft.empty(spark).update(
       """INSERT DATA { x:1 label "gear" . x:1 status "old" . x:2 label "cog" }""")

@@ -301,6 +301,44 @@ object EngineQueries {
       tm.closure().orderBy("s", "p", "o")
     }),
 
+    // DYNAMIC-ontology truth maintenance (round 16 — the engine half
+    // of the server's truthMaintenance namespaces): the TBox arrives
+    // AS STATEMENTS and the maintained program tracks it per commit.
+    // Four commits walk every tier: an instance-only seed (no program
+    // yet — closure = base), the vocabulary arriving (within becomes
+    // transitive + inverse-paired; the vocab delta RE-DERIVES, so
+    // already-stored nation edges grow their entailments), a big
+    // structural assert under the now-cached extracted program (MID
+    // tier: delta-keyed incremental TC, never a re-closure), and an
+    // OWL-active retraction (re-derive-and-diff). The oracle derives
+    // the final entailed state independently in SQL.
+    "tm_dynamic" -> ((s, dir) => {
+      import s.implicits._
+      val cust = TpchRdf.table(s, dir, "customer")
+      val nat = TpchRdf.table(s, dir, "nation")
+      def id(pfx: String, c: org.apache.spark.sql.Column) =
+        concat(lit(pfx), c.cast("string"))
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_tmdyn")
+      sys.addShutdownHook {
+        try {
+          java.nio.file.Files.walk(tmpDir)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val tm = graft.inference.MaintainedClosure.createDynamic(s, tmpDir.toString)
+      tm.assertTriples(nat.select(id("n:", col("n_nationkey")).as("s"),
+        lit("within").as("p"), id("r:", col("n_regionkey")).as("o")))   // v1
+      tm.assertTriples(Seq(("within", "type", "TransitiveProperty"),
+        ("within", "inverseOf", "contains")).toDF("s", "p", "o"))       // v2
+      tm.assertTriples(cust.select(id("c:", col("c_custkey")).as("s"),
+        lit("within").as("p"), id("n:", col("c_nationkey")).as("o")))   // v3
+      tm.retractTriples(cust.filter(col("c_custkey") % 3 === 0)
+        .select(id("c:", col("c_custkey")).as("s"), lit("within").as("p"),
+          id("n:", col("c_nationkey")).as("o")))                        // v4
+      tm.closure().orderBy("s", "p", "o")
+    }),
+
     // owl:equivalentClass / owl:equivalentProperty / owl:hasValue
     // (RuleOwlEquivalentClass/RuleOwlEquivalentProperty/RuleOwlHasValue):
     // equivalences fold into the RDFS strata as mutual sub-edges; the
@@ -1505,6 +1543,26 @@ object EngineQueries {
         |  SELECT s, 'within' AS p, o FROM w
         |  UNION ALL SELECT o AS s, 'contains' AS p, s AS o FROM w
         |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'alias_name', n_name FROM nation
+        |) ORDER BY s, p, o""".stripMargin,
+
+    // the final entailed state of the dynamic-ontology walk: surviving
+    // within edges + the 2-level transitive composition + inverse
+    // mirrors of the CLOSED relation + the vocabulary statements
+    // themselves (the TBox is data here)
+    "tm_dynamic" ->
+      """WITH surv AS (
+        |  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 <> 0
+        |), w AS (
+        |  SELECT 'c:'||CAST(c_custkey AS VARCHAR) AS s, 'n:'||CAST(c_nationkey AS VARCHAR) AS o FROM surv
+        |  UNION ALL SELECT 'n:'||CAST(n_nationkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 'c:'||CAST(c_custkey AS VARCHAR), 'r:'||CAST(n_regionkey AS VARCHAR)
+        |    FROM surv JOIN nation ON c_nationkey = n_nationkey
+        |)
+        |SELECT s, p, o FROM (
+        |  SELECT s, 'within' AS p, o FROM w
+        |  UNION ALL SELECT o AS s, 'contains' AS p, s AS o FROM w
+        |  UNION ALL SELECT 'within', 'type', 'TransitiveProperty'
+        |  UNION ALL SELECT 'within', 'inverseOf', 'contains'
         |) ORDER BY s, p, o""".stripMargin,
 
     "owl_equiv" ->

@@ -241,5 +241,7 @@ object Bench {
     // new driver queries, and dedup_embed_cosine's new cell-confined
     // floor (the old 3.03 was the bucket-quadratic plan)
     "sparql_service_var" -> 0.74, "history_service" -> 0.80,
-    "searchinsearch_indexed" -> 1.65, "dedup_embed_cosine" -> 0.56)
+    "searchinsearch_indexed" -> 1.65, "dedup_embed_cosine" -> 0.56,
+    // round-16 addition (isolated sf0.1 reading)
+    "tm_dynamic" -> 16.4)
 }

@@ -541,6 +541,54 @@ object LightStemmer {
     if (hasDigit(word)) return word
     fold(word, arFold)
   }
+
+  // Turkish folding: dotless ı meets i — the TurkishLowerCaseFilter
+  // hazard resolved at the STEM layer, where both the index and the
+  // query path pass: the tokenizer's locale-generic lowercase maps
+  // 'I' → 'i' (never 'ı'), so folding ı → i is the one assignment
+  // that makes correctly-written ısparta and all-caps ISPARTA meet at
+  // a single term. Circumflexed loan vowels fold bare.
+  private val trFold = Map('ı' -> "i", 'â' -> "a", 'î' -> "i", 'û' -> "u")
+
+  /** Turkish light stemmer (the TurkishAnalyzer recall tier, light
+    * suffix classes per Can et al. 2008's light tier): one OUTERMOST
+    * inflection block strips — a plural-group compound (lar/ler plus
+    * any attached possessive/case, stem floor 2: evler → ev,
+    * arabaların → araba, kitaplardan → kitap), else one case/
+    * possessive ending longest-first (floor 3), else one final
+    * vowel (floor 3 — the accusative/possessive tail: evleri →
+    * evler), and any bare plural left under a stripped ending goes
+    * too. Suffix tables are written POST-fold (ı already folded to
+    * i). Consonant mutation (kitabı → kitab vs kitap) is out of the
+    * light tier's scope — both index and query stem identically, so
+    * recall holds; the trade is the same one the de/fr/sv tiers
+    * document. */
+  def tr(word: String): String = {
+    if (hasDigit(word)) return word
+    var w = fold(word, trFold)
+    val plural = Seq("larindan", "lerinden", "larinda", "lerinde",
+      "larini", "lerini", "larin", "lerin", "lardan", "lerden",
+      "larda", "lerde", "lara", "lere", "lari", "leri", "lar", "ler")
+    // no early return: the plural-stripped word continues through the
+    // case/vowel passes so the inflected and BARE forms of one root
+    // stem identically (arabalar → araba → arab == araba → arab)
+    plural.find(s => w.length - s.length >= 2 && w.endsWith(s))
+      .foreach(s => w = w.dropRight(s.length))
+    val cases = Seq("indan", "inden", "undan", "ünden",
+      "inda", "inde", "unda", "ünde", "imiz", "umuz", "ümüz",
+      "dan", "den", "tan", "ten", "nin", "nun", "nün",
+      "in", "un", "ün", "da", "de", "ta", "te",
+      "si", "su", "sü", "im", "um", "üm")
+    cases.find(s => w.length - s.length >= 3 && w.endsWith(s)) match {
+      case Some(s) => w = w.dropRight(s.length)
+      case None =>
+        if (w.length >= 4 && "iuüae".contains(w.charAt(w.length - 1)))
+          w = w.dropRight(1)
+    }
+    Seq("lar", "ler").find(s => w.length - s.length >= 2 && w.endsWith(s))
+      .foreach(s => w = w.dropRight(s.length))
+    w
+  }
 }
 
 /** The single tokenizer implementation shared by the [[AnalyzeText]]
@@ -727,6 +775,7 @@ object Tokenize {
     case "cs"   => LightStemmer.cs
     case "el"   => LightStemmer.el
     case "ar"   => LightStemmer.ar
+    case "tr"   => LightStemmer.tr
     case other  => sys.error(s"unknown stemmer '$other'")
   }
 

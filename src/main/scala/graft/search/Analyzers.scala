@@ -303,6 +303,10 @@ object Analyzer {
       // ArabicNormalizer tier): opt-in; the plain `ar` tag keeps
       // surface-form Unicode indexing by documented decision
       case "ar-norm"                => Stemmed("ar", stopwords)
+      // opt-in like ar-norm: the plain `tr` tag keeps surface-form
+      // Unicode indexing; tr-stem adds the ı→i casefold + light
+      // agglutinative suffix tier
+      case "turkish" | "tr-stem"    => Stemmed("tr", stopwords)
       case "thai"                   => Thai(stopwords)
       case lang                            => forLanguage(lang, stopwords)
     }

@@ -821,6 +821,40 @@ class EngineSpec extends AnyFunSuite {
     assert(hit == Set(1L), s"got $hit")
   }
 
+  test("Turkish light stemmer (tr-stem): dotless-i casefold meets, plural/case classes conflate; e2e") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.functions.LightStemmer.tr
+    import graft.search.{Analyzer, FullText}
+    // plural + plural-possessive/case compounds conflate WITH the
+    // bare root (the conflation contract; exact stem values are the
+    // light tier's business, vowel-final roots lose their tail)
+    assert(tr("evler") == "ev" && tr("ev") == "ev")
+    assert(tr("arabalar") == tr("araba") &&
+      tr("arabaların") == tr("araba") && tr("araba") == "arab")
+    assert(tr("kitaplardan") == "kitap" && tr("kitap") == "kitap" &&
+      tr("evlerinden") == "ev")
+    // the TurkishLowerCaseFilter hazard: correctly-written dotless-ı
+    // and the tokenizer's locale-generic lowercase of 'I' meet at one
+    // term (both index and query pass through this fold)
+    assert(tr("ısparta") == tr("isparta"))
+    // case endings strip; a stripped ending exposes the bare plural
+    assert(tr("evleri") == "ev")
+    // stem floor: short words survive
+    assert(tr("su") == "su" && tr("de") == "de")
+    val az = Analyzer.byName("tr-stem")
+    assert(az.isInstanceOf[Analyzer.Stemmed])
+    assert(Analyzer.byName("turkish").isInstanceOf[Analyzer.Stemmed])
+    val corpus = Seq(
+      (1L, "İstanbul ve Ankara arasındaki evler"), // houses (plural)
+      (2L, "bilgi erişim sistemleri")).toDF("doc_id", "text")
+    // singular query matches the plural document through the stem
+    val hit = FullText.search(corpus, az.tokenizeLocal("ev"), 20, analyzer = az)
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L), s"got $hit")
+    // the plain `tr` tag stays surface-form (documented opt-in policy)
+    assert(!Analyzer.byName("tr").isInstanceOf[Analyzer.Stemmed])
+  }
+
   test("Arabic normalization (ar-norm): alef/hamza/tashkeel fold; opt-in e2e recall") {
     val spark2 = spark; import spark2.implicits._
     import graft.functions.LightStemmer.ar

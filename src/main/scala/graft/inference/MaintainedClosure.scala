@@ -293,6 +293,44 @@ final class MaintainedClosure private (spark: SparkSession,
     }
   }
 
+  /** Atomic remove+insert: ONE base commit and ONE closed commit
+    * carry the whole delta — the UPDATE-with-body contract (the
+    * reference's updatePost applies the removal and insert inside one
+    * connection commit). The in-commit cancellation law matches the
+    * journal's own (dels before adds: a row in both survives — it is
+    * excluded from the net removal up front). A crash between the two
+    * journal writes is repaired by the lockstep recovery
+    * ([[repairLockstep]]), same as every other path. */
+  def commitDelta(adds: DataFrame, dels: DataFrame): Long = {
+    val a = adds.select("s", "p", "o").distinct().localCheckpoint()
+    val d0 = dels.select("s", "p", "o").distinct().localCheckpoint()
+    val dEff = d0.join(a, Seq("s", "p", "o"), "left_anti").localCheckpoint()
+    if (dEff.isEmpty) return assertTriples(a)
+    if (a.isEmpty) return retractTriples(dEff)
+    if (dynamic && (touchesVocab(a) || touchesVocab(dEff))) {
+      cachedProgram = None
+      baseJ.commit(adds = withG(a), dels = withG(dEff))
+      return rederiveCommit()
+    }
+    val (effOnt, effOwl) = effective(stripG(baseJ.snapshot()))
+    effOwl match {
+      case Some(_) =>
+        // OWL removal is non-local (see retractTriples) — re-derive
+        baseJ.commit(adds = withG(a), dels = withG(dEff))
+        rederiveCommit()
+      case None =>
+        // RDFS: DRed the removal against the PRE state, entail the
+        // adds delta-locally; one closed commit applies both, the
+        // journal's adds-outrank-dels resolution keeping any row the
+        // insert re-derives
+        val removed = Rdfs
+          .retractRemoved(stripG(baseJ.snapshot()), dEff, effOnt)
+          .localCheckpoint()
+        baseJ.commit(adds = withG(a), dels = withG(dEff))
+        closedJ.commit(adds = withG(Rdfs.closure(a, effOnt)), dels = withG(removed))
+    }
+  }
+
   /** `suppressTruthMaintenance` analog (the reference's update
     * servlets all accept it — QueryServlet.java:132,
     * DeleteServlet.java:128): the statement delta lands VERBATIM in

@@ -43,6 +43,9 @@ object Serializer {
     * re-expanding base-local names. */
   private def resource(c: Column): Column =
     when(c.startsWith("_:"), c)
+      // the canonical `type` term re-expands to rdf:type, its source
+      // IRI (Parser.RdfTypeIri — the intern seams' inverse)
+      .when(c === "type", lit("<" + graft.sparql.Parser.RdfTypeIri + ">"))
       .when(c.rlike(globalScheme), concat(lit("<"), c, lit(">")))
       .otherwise(concat(lit("<" + graft.sparql.Parser.Base), c, lit(">")))
 

@@ -130,7 +130,11 @@ object Turtle {
                i + 5 < s.length && s(i + 5).isWhitespace) {
         i += 5
         graphBlock(nodeTerm(allowLiteral = false))
-      } else if (s(i) == '<' || s(i).isLetter || s(i) == '_') {
+      } else if (s(i) == '{') {
+        // TriG anonymous block `{ … }`: the DEFAULT graph's statements
+        // (TriG [5g] — a wrappedGraph with no label)
+        graphBlock(defaultGraph)
+      } else if (s(i) == '<' || s(i).isLetter || s(i) == '_' || s(i) == ':') {
         // TriG short form `<g> { … }`: lookahead — an IRI/pname
         // followed by '{' labels a graph block, otherwise it was a
         // subject (nodeTerm for those shapes emits nothing, so the
@@ -155,7 +159,10 @@ object Turtle {
     }
 
     private def prefixDecl(dot: Boolean): Unit = {
-      val p = word()
+      var p = word()
+      // whitespace between the prefix label and ':' is tolerated
+      // (lenient like the reference's Sesame parser)
+      if (!p.endsWith(":") && peekIs(':')) { i += 1; p += ":" }
       if (!p.endsWith(":")) fail(s"prefix declaration needs 'pfx:', got '$p'")
       prefixes += (p.dropRight(1) -> iriRef())
       if (dot) expect('.')
@@ -169,8 +176,11 @@ object Turtle {
     private def statement(): Unit = {
       val subj = nodeTerm(allowLiteral = false)
       // `[ p o ] .` is a complete statement on its own
-      if (!peekIs('.')) predObjList(subj)
-      expect('.')
+      if (!peekIs('.') && !peekIs('}')) predObjList(subj)
+      // the '.' after a graph block's LAST statement is optional
+      // (TriG [6g] wrappedGraph: triplesBlock '.'-separated, final
+      // terminator omitted before '}')
+      if (peekIs('.')) { skip(); i += 1 } else if (!peekIs('}')) expect('.')
     }
 
     private def predObjList(subj: String): Unit = {
@@ -327,7 +337,8 @@ private[rdf] object Scope {
     val full =
       if (base.nonEmpty && !iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) base + iri
       else iri
-    if (full.startsWith(graft.sparql.Parser.Base))
+    if (full == graft.sparql.Parser.RdfTypeIri) "type" // canonical (Parser.RdfTypeIri)
+    else if (full.startsWith(graft.sparql.Parser.Base))
       full.drop(graft.sparql.Parser.Base.length)
     else full
   }

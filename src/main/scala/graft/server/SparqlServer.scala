@@ -557,12 +557,16 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
     private def view(t: DataFrame): Graft = withAnalyzer(Graft(spark, QuadStore(
       t.select(col("s"), col("p"), col("o"), lit("g:default").as("g")))))
     def current: Graft = {
-      val v = tm.version
       val c = cached
-      if (c._1 == v && c._2 != null) c._2
+      if (c._1 == tm.version && c._2 != null) c._2
       else synchronized {
-        if (cached._1 != v || cached._2 == null)
-          cached = (v, withConf(view(tm.closure())))
+        // version is re-read INSIDE the lock and the closure read from
+        // the same lock-held point (mutations share this monitor), so
+        // a commit landing between the fast-path check and here can
+        // never cache a NEW closure under an OLD version key
+        val vNow = tm.version
+        if (cached._1 != vNow || cached._2 == null)
+          cached = (vNow, withConf(view(tm.closure())))
         cached._2
       }
     }
@@ -592,11 +596,13 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       val a = spoOf(adds).localCheckpoint()
       val d = spoOf(dels).localCheckpoint()
       if (suppress) { tm.commitRaw(a, d); () }
-      else {
-        // retract-then-assert reproduces the one-commit cancellation
-        // law (dels apply before adds; a row in both survives)
-        if (!d.isEmpty) tm.retractTriples(d)
-        if (!a.isEmpty) tm.assertTriples(a)
+      else if (!a.isEmpty || !d.isEmpty) {
+        // ONE journal commit carries remove+insert — the documented
+        // ATOMIC contract of updateWithBody (a crash cannot persist
+        // the removal without the insert, readers never observe the
+        // intermediate state, and one HTTP request = one version)
+        tm.commitDelta(a, d)
+        ()
       }
       maybeCompact()
     }
@@ -650,8 +656,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
       val a = spoOf(adds).localCheckpoint()
       val doomed = tm.base().join(r, Seq("s", "p", "o"), "left_semi")
         .localCheckpoint()
+      // the add side counts like the remove side: only statements NOT
+      // already asserted are modifications (a re-insert counts 0)
+      val added = a.join(tm.base(), Seq("s", "p", "o"), "left_anti")
+        .localCheckpoint()
       applyDelta(a, r, suppress)
-      doomed.count() + a.count()
+      doomed.count() + added.count()
     }
     private def triplesOnly(): Nothing = sys.error(
       "truth-maintenance namespaces are triples-mode (the reference's " +
@@ -689,9 +699,19 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         throw new TxConflict(
           s"tx conflict: head moved from v$expectVersion to v${tm.version} " +
             "(truth-maintenance namespaces validate at whole-store granularity)")
-      items.foreach {
-        case Left(text)  => updateOps(graft.sparql.Parser.parseUpdates(text))
-        case Right(df)   => ingest(df)
+      // pre-parse every update text and pre-materialize every data
+      // item BEFORE the first commit: a malformed later item must not
+      // leave earlier items durably committed. Beyond this point TM
+      // transactions are NOT failure-atomic — each item commits
+      // through the maintained closure in arrival order, because each
+      // mutation's entailment delta depends on the prior closed state.
+      val staged = items.map {
+        case Left(text) => Left(graft.sparql.Parser.parseUpdates(text))
+        case Right(df)  => Right(spoOf(df).localCheckpoint())
+      }
+      staged.foreach {
+        case Left(ops) => updateOps(ops)
+        case Right(df) => ingest(df)
       }
       tm.version
     }
@@ -1125,8 +1145,13 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
         p.substring("boundary=".length).stripPrefix("\"").stripSuffix("\"") }
       .getOrElse(sys.error("multipart body without a boundary parameter"))
     val text = new String(body, "ISO-8859-1") // byte-preserving charset
-    val delim = "--" + boundary
-    text.split(java.util.regex.Pattern.quote(delim)).toSeq
+    // RFC 2046 §5.1.1: a delimiter is only valid at a LINE START —
+    // split on CRLF+"--boundary" so a part whose content merely
+    // contains the boundary byte sequence mid-line stays intact. The
+    // body's FIRST delimiter has no preceding CRLF; prefixing one
+    // makes the split rule uniform.
+    val delim = "\r\n--" + boundary
+    ("\r\n" + text).split(java.util.regex.Pattern.quote(delim)).toSeq
       .drop(1)                                  // preamble
       .takeWhile(p => !p.startsWith("--"))      // closing delimiter
       .flatMap { part =>
@@ -1143,8 +1168,10 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
               .collectFirst { case a if a.startsWith("name=") =>
                 a.substring(5).stripPrefix("\"").stripSuffix("\"") })
           val ct = header("Content-Type").getOrElse("")
-          // body runs to the \r\n that precedes the next delimiter
-          val raw = p.substring(headerEnd + 4).stripSuffix("\r\n")
+          // the CRLF preceding the next delimiter was consumed by the
+          // delimiter split itself (it belongs to the delimiter, RFC
+          // 2046), so the remainder is the EXACT part body
+          val raw = p.substring(headerEnd + 4)
           name.map(n => n -> (ct, raw.getBytes("ISO-8859-1")))
         }
       }.toMap
@@ -1360,10 +1387,19 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
           case None => graft.sparql.HistoryService.withoutJournal(build())
         }
         if (qp.contains("explain")) {
-          // the reference's ?explain: the query PLAN, not the results
+          // the reference's ?explain: the query PLAN, not the results.
+          // maxBopLength clamps the rendered plan (the reference's
+          // StatusServlet/BigdataRDFContext parameter — a pathological
+          // plan must not produce an unbounded response body);
+          // 0 = unlimited, matching the reference's interpretation.
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-          respond(ex, 200, "text/plain", plan)
+          val cap = qp.get("maxBopLength").flatten.map(_.toInt).getOrElse(0)
+          val body =
+            if (cap > 0 && plan.length > cap)
+              plan.take(cap) + s"\n… [truncated at maxBopLength=$cap of ${plan.length} chars]"
+            else plan
+          respond(ex, 200, "text/plain", body)
         } else inJobGroup(ns, q, queryTimeoutMs(ex, qp)) {
           ast match {
             case _: Ask =>
@@ -1813,6 +1849,22 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
             respond(ex, 200, "application/xml",
               s"""<?xml version="1.0"?><whitelist enabled="${ServiceRegistry.isWhitelistEnabled}">$uris</whitelist>""")
           case "POST" =>
+            // management-plane guard: the whitelist defends against
+            // untrusted QUERIERS, so those same clients must not be
+            // able to switch it off over HTTP. With
+            // -Dgraft.whitelist.readonly=true (or a whitelist.readonly
+            // marker beside the journals) the endpoint is read-only —
+            // policy changes then happen only via config/filesystem,
+            // the reference's config-file-fed registry posture.
+            val readOnly =
+              sys.props.get("graft.whitelist.readonly").exists(_.toBoolean) ||
+                journalDir.exists(d =>
+                  Files.exists(Paths.get(d).resolve("whitelist.readonly")))
+            if (readOnly) {
+              respond(ex, 403, "text/plain",
+                "whitelist endpoint is read-only (graft.whitelist.readonly)")
+              return
+            }
             val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
             val sources = Seq(body, rawQuery(ex))
             val enabled = sources.flatMap(formParam(_, "enabled")).headOption
@@ -1847,8 +1899,12 @@ final class SparqlServer private (initial: Graft, host: String, port: Int,
           } else respond(ex, 404, "text/plain", s"no such query: $id")
         } else {
           val now = System.currentTimeMillis()
+          // maxBopLength: the reference's StatusServlet detail clamp —
+          // how much of each running operation's text is rendered
+          val cap = qp.get("maxBopLength").flatten.map(_.toInt)
+            .filter(_ > 0).getOrElse(120)
           val rows = running.values.asScala.toSeq.sortBy(_.startedMs).map { r =>
-            val q1 = r.query.replace('\n', ' ').take(120)
+            val q1 = r.query.replace('\n', ' ').take(cap)
             s"${r.id}\t${r.ns}\t${now - r.startedMs}ms\t$q1"
           }
           respond(ex, 200, "text/plain",

@@ -230,6 +230,14 @@ final case class BgpPinned(first: Seq[TriplePattern], mid: Seq[TriplePattern],
 final case class DatasetClause(defaults: Seq[String], named: Seq[String],
                                child: Algebra) extends Algebra
 
+/** FROM [NAMED] VIRTUAL GRAPH <vg> — the reference's virtual-graph
+  * dataset extension (DatasetNode virtual graphs; membership asserted
+  * as `<vg> bd:virtualGraph <g>` statements, BD.VIRTUAL_GRAPH): the
+  * clause resolves to the member graphs at evaluation time and then
+  * behaves exactly like the expanded FROM / FROM NAMED list. */
+final case class VirtualGraphClause(vgDefaults: Seq[String], vgNamed: Seq[String],
+                                    child: Algebra) extends Algebra
+
 /** Graph analytics invoked from inside a query — the reference's
   * `SERVICE gas:service { … }` (rdf/graph/impl/bd/GASService.java:136).
   * `config` keys: gasClass (bfs|cc|pr), in (seed), linkType (edge

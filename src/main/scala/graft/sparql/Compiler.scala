@@ -23,6 +23,103 @@ object Compiler {
   private val namedSets =
     new scala.util.DynamicVariable[Map[String, DataFrame]](Map.empty)
 
+  /** Variables an algebra CAN bind (approximate, bottom-up; unknown
+    * nodes report empty — they are treated as always-bound, which
+    * preserves plain equi-join compilation for them). */
+  private def varsOf(a: Algebra): Set[String] = a match {
+    case Bgp(ps @ _*)        => ps.flatMap(tpVars).toSet
+    case BgpFixed(ps)        => ps.flatMap(tpVars).toSet
+    case BgpPinned(f, m, l)  => (f ++ m ++ l).flatMap(tpVars).toSet
+    case Join(l, r)          => varsOf(l) ++ varsOf(r)
+    case LeftJoin(l, r)      => varsOf(l) ++ varsOf(r)
+    case Union(l, r)         => varsOf(l) ++ varsOf(r)
+    case Minus(l, _)         => varsOf(l)
+    case Exists(l, _)        => varsOf(l)
+    case NotExists(l, _)     => varsOf(l)
+    case Filter(c, _)        => varsOf(c)
+    case Extend(c, v, _)     => varsOf(c) + v
+    case Values(vs, _)       => vs.toSet
+    case Project(_, vs @ _*) => vs.toSet
+    case StarProject(c)      => varsOf(c)
+    case Distinct(c)         => varsOf(c)
+    case OrderBy(c, _)       => varsOf(c)
+    case Slice(c, _, _)      => varsOf(c)
+    case Group(c, keys, aggs) => keys.toSet ++ aggs.map(_._1)
+    case SubQuery(l, sub)    => varsOf(l) ++ varsOf(sub)
+    case GraphPattern(g, c)  => varsOf(c) ++ (g match { case Var(v) => Set(v); case _ => Set.empty[String] })
+    case DatasetClause(_, _, c) => varsOf(c)
+    case VirtualGraphClause(_, _, c) => varsOf(c)
+    case NamedSubquery(_, _, c) => varsOf(c)
+    case Path(ss, _, oo, sv, ov) =>
+      (ss match { case Var(_) => Set(sv); case _ => Set.empty[String] }) ++
+        (oo match { case Var(_) => Set(ov); case _ => Set.empty[String] })
+    case PathPlus(ss, _, oo, sv, ov) =>
+      (ss match { case Var(_) => Set(sv); case _ => Set.empty[String] }) ++
+        (oo match { case Var(_) => Set(ov); case _ => Set.empty[String] })
+    case _ => Set.empty
+  }
+
+  private def tpVars(tp: TriplePattern): Seq[String] =
+    Seq(tp.s, tp.p, tp.o).collect { case Var(v) => v }
+
+  /** Variables an algebra may leave UNBOUND in some solution — the
+    * constructs that introduce unboundness are OPTIONAL (right-side
+    * vars), UNION (branch-asymmetric vars), VALUES UNDEF cells, BIND
+    * (an erroring expression yields unbound) and a projection of a
+    * never-bound var. Everything else forwards its child's set.
+    * Unknown nodes report empty (always-bound), so plans over
+    * services/includes keep their existing equi joins. */
+  private def maybeUnbound(a: Algebra): Set[String] = a match {
+    case LeftJoin(l, r)      => maybeUnbound(l) ++ (varsOf(r) -- varsOf(l)) ++ maybeUnbound(r)
+    case Union(l, r)         =>
+      maybeUnbound(l) ++ maybeUnbound(r) ++
+        ((varsOf(l) union varsOf(r)) -- (varsOf(l) intersect varsOf(r)))
+    case Values(vs, rows)    =>
+      vs.zipWithIndex.collect { case (v, i) if rows.exists(r => r(i).isEmpty) => v }.toSet
+    case Extend(c, v, _)     => maybeUnbound(c) + v
+    case Project(c, vs @ _*) => (maybeUnbound(c) ++ (vs.toSet -- varsOf(c))) intersect vs.toSet
+    case Join(l, r)          => maybeUnbound(l) ++ maybeUnbound(r)
+    case Filter(c, _)        => maybeUnbound(c)
+    case StarProject(c)      => maybeUnbound(c)
+    case Distinct(c)         => maybeUnbound(c)
+    case OrderBy(c, _)       => maybeUnbound(c)
+    case Slice(c, _, _)      => maybeUnbound(c)
+    case Minus(l, _)         => maybeUnbound(l)
+    case Exists(l, _)        => maybeUnbound(l)
+    case NotExists(l, _)     => maybeUnbound(l)
+    case Group(c, keys, _)   => maybeUnbound(c) intersect keys.toSet
+    case SubQuery(l, sub)    => maybeUnbound(l) ++ maybeUnbound(sub)
+    case GraphPattern(_, c)  => maybeUnbound(c)
+    case DatasetClause(_, _, c) => maybeUnbound(c)
+    case VirtualGraphClause(_, _, c) => maybeUnbound(c)
+    case NamedSubquery(_, _, c) => maybeUnbound(c)
+    case _ => Set.empty
+  }
+
+  /** Inner join under SPARQL §8.3 COMPATIBILITY: a shared variable
+    * that is possibly UNBOUND on either side must not be compared
+    * strictly — an unbound slot is compatible with anything and the
+    * merged solution takes the bound side's value. Certain-bound
+    * shared vars stay EQUI keys (hash-joinable); only the
+    * possibly-null ones move into the join filter, and the output
+    * coalesces them. With no possibly-null shared var this IS
+    * joinOn(_, _, "inner") — the hot path pays nothing. */
+  private def joinCompat(lc: DataFrame, rc: DataFrame,
+                         unsafeVars: Set[String]): DataFrame = {
+    val common = shared(lc, rc)
+    val unsafe = common.filter(unsafeVars)
+    if (unsafe.isEmpty) return joinOn(lc, rc, "inner")
+    val strict = common.filterNot(unsafeVars)
+    val rr = rc.columns.foldLeft(rc)((df, n) => df.withColumnRenamed(n, "_r_" + n))
+    val conds = strict.map(n => col(n) === col("_r_" + n)) ++
+      unsafe.map(n => col(n) === col("_r_" + n) || col(n).isNull || col("_r_" + n).isNull)
+    val joined = lc.join(rr, conds.reduceOption(_ && _).getOrElse(lit(true)), "inner")
+    val out = lc.columns.map { n =>
+      if (unsafe.contains(n)) coalesce(col(n), col("_r_" + n)).as(n) else col(n)
+    }.toSeq ++ rc.columns.filterNot(lc.columns.contains).map(n => col("_r_" + n).as(n))
+    joined.select(out: _*)
+  }
+
   /** Solution-compatibility join columns = shared variable names. */
   private def shared(l: DataFrame, r: DataFrame): Seq[String] =
     l.columns.toSeq.intersect(r.columns.toSeq)
@@ -225,7 +322,21 @@ object Compiler {
       ServiceVectoring.joinVectored(compile(l, src), sc, joinOn(_, _, "inner"))
     case Join(sc: ServiceCall, r) if ServiceVectoring.applies(sc) =>
       ServiceVectoring.joinVectored(compile(r, src), sc, joinOn(_, _, "inner"))
-    case Join(l, r)      => joinOn(compile(l, src), compile(r, src), "inner")
+    // JOIN distributes over UNION (relational identity): compiling
+    // each branch's join separately keeps every join an EQUI join on
+    // genuinely-bound vars — joining against the union's PADDED
+    // schema would compare nulls strictly and drop solutions an
+    // unbound var must stay compatible with (§8.3 compatibility)
+    case Join(l, Union(a, b)) =>
+      val lc = compile(l, src)
+      joinOn(lc, compile(a, src), "inner")
+        .unionByName(joinOn(lc, compile(b, src), "inner"), allowMissingColumns = true)
+    case Join(Union(a, b), r) =>
+      val rc = compile(r, src)
+      joinOn(compile(a, src), rc, "inner")
+        .unionByName(joinOn(compile(b, src), rc, "inner"), allowMissingColumns = true)
+    case Join(l, r) =>
+      joinCompat(compile(l, src), compile(r, src), maybeUnbound(l) ++ maybeUnbound(r))
     case LeftJoin(l, Filter(r, cond)) =>
       // OPTIONAL { … FILTER(e) }: if e only sees the optional group's
       // vars it's an ordinary inner filter; if it references OUTER vars
@@ -233,18 +344,37 @@ object Compiler {
       // expression — ASTAttachJoinFiltersOptimizer analog)
       val lc = compile(l, src)
       val rc = compile(r, src)
-      val refs = attrNames(lc.sparkSession, cond)
-      if (refs.subsetOf(rc.columns.toSet)) joinOn(lc, rc.filter(cond), "left_outer")
-      else leftJoinWithCond(lc, rc, cond)
+      // vars in scope for the LeftJoin expression are left ∪ right
+      // (§6.2); anything else is unbound → null (type error per row)
+      val cond1 = nullifyMissing(lc.sparkSession,
+        lc.columns.toSet ++ rc.columns.toSet, cond)
+      val refs = attrNames(lc.sparkSession, cond1)
+      if (refs.subsetOf(rc.columns.toSet))
+        joinOn(lc, rc.filter(asCondition(rc, cond1)), "left_outer")
+      else leftJoinWithCond(lc, rc, cond1)
     case LeftJoin(l, r)  => joinOn(compile(l, src), compile(r, src), "left_outer")
+    case Exists(l, Filter(r, cond)) =>
+      existsJoinWithCond(compile(l, src), compile(r, src), cond, src, anti = false)
+    case NotExists(l, Filter(r, cond)) =>
+      existsJoinWithCond(compile(l, src), compile(r, src), cond, src, anti = true)
     case Exists(l, r)    => joinOn(compile(l, src), compile(r, src), "left_semi")
     case NotExists(l, r) => joinOn(compile(l, src), compile(r, src), "left_anti")
     case Minus(l, r)     => joinOn(compile(l, src), compile(r, src), "minus")
     case Union(l, r) =>
       compile(l, src).unionByName(compile(r, src), allowMissingColumns = true)
-    case Filter(c, cond)      => compile(c, src).filter(cond)
-    case Extend(c, v, e)      => compile(c, src).withColumn(v, e)
-    case Project(c, vars @ _*) => compile(c, src).select(vars.map(col): _*)
+    case Filter(c, cond) =>
+      val d = compile(c, src)
+      d.filter(asCondition(d, nullifyMissing(d.sparkSession, d.columns.toSet, cond)))
+    case Extend(c, v, e) =>
+      val d = compile(c, src)
+      d.withColumn(v, nullifyMissing(d.sparkSession, d.columns.toSet, e))
+    case Project(c, vars @ _*) =>
+      // a projected variable no pattern binds is UNBOUND in every
+      // solution (§18.2.4.4), not an analysis error
+      val d = compile(c, src)
+      val have = d.columns.toSet
+      d.select(vars.map(v =>
+        if (have(v)) col(v) else lit(null).cast("string").as(v)): _*)
     case StarProject(c) =>
       // SELECT *: named vars only — parser-synthesized `_`-prefixed
       // columns (anonymous bnodes, path endpoints, sids) are not
@@ -253,7 +383,9 @@ object Compiler {
       val named = df.columns.filterNot(_.startsWith("_"))
       if (named.length == df.columns.length) df else df.select(named.map(col).toSeq: _*)
     case Distinct(c)          => compile(c, src).distinct()
-    case OrderBy(c, keys)     => compile(c, src).orderBy(keys: _*)
+    case OrderBy(c, keys) =>
+      val d = compile(c, src)
+      d.orderBy(keys.map(nullifyMissing(d.sparkSession, d.columns.toSet, _)): _*)
     case Slice(c, off, lim) =>
       val d = compile(c, src)
       val shifted = if (off > 0) d.offset(off.toInt) else d
@@ -261,9 +393,11 @@ object Compiler {
     case Group(c, keys, aggs) =>
       val d = compile(c, src)
       val aggCols = aggs.map { case (n, e) => e.as(n) }
-      if (keys.isEmpty) d.agg(aggCols.head, aggCols.tail: _*)
+      if (aggs.isEmpty) d.select(keys.map(col): _*).distinct()
+      else if (keys.isEmpty) d.agg(aggCols.head, aggCols.tail: _*)
       else d.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-    case SubQuery(l, sub) => joinOn(compile(l, src), compile(sub, src), "inner")
+    case SubQuery(l, sub) =>
+      joinCompat(compile(l, src), compile(sub, src), maybeUnbound(l) ++ maybeUnbound(sub))
     case Values(vars, rows) =>
       val spark = src.triples.sparkSession
       val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
@@ -321,13 +455,38 @@ object Compiler {
           override def defaultAnalyzer: Option[String] = src.defaultAnalyzer
           override def searchIndex: Option[graft.search.SearchIndexView] =
             src.searchIndex
+          // a NESTED GraphPattern re-scopes against the DATASET's
+          // named graphs (§13.3), not the enclosing block
+          override def quads: Option[DataFrame] = src.quads
+          override def quadScan(tp: TriplePattern, g: Term): DataFrame =
+            src.quadScan(tp, g)
           def fuseStar(patterns: Seq[TriplePattern],
                        subjectTables: Option[Set[String]]): Option[DataFrame] = None
         }
-        compile(child, scoped)
+        // GRAPH <g> { } (an empty/graph-independent group) matches
+        // only when the dataset HAS that named graph (§13.3 — the
+        // pattern evaluates once per EXISTING named graph): solutions
+        // semi-join the graph-name catalog
+        val compiled = compile(child, scoped)
+        if (child == Values(Nil, Seq(Nil))) {
+          val g = gTerm.asInstanceOf[Const].value
+          val q = src.quads.getOrElse(sys.error("GRAPH needs a quads source"))
+          compiled.join(q.filter(col("g") === g).limit(1), lit(true), "left_semi")
+        } else compiled
       case v: Var => compileGraphVar(v.name, child, src)
     }
 
+    case VirtualGraphClause(vgDefaults, vgNamed, child) =>
+      // membership is DATA (`<vg> bd:virtualGraph <g>`): resolve the
+      // member lists (graph-catalog-sized by nature) and evaluate as
+      // the expanded dataset clause
+      val members: String => Seq[String] = vg =>
+        src.triples
+          .filter(col("s") === vg &&
+            col("p") === "http://www.bigdata.com/rdf#virtualGraph")
+          .select("o").collect().map(_.getString(0)).toSeq
+      compile(DatasetClause(vgDefaults.flatMap(members),
+        vgNamed.flatMap(members), child), src)
     case DatasetClause(defaults, named, child) =>
       // dataset scoping wraps the source: default-graph patterns scan
       // the FROM graphs' merge, GRAPH patterns see only FROM NAMED
@@ -642,6 +801,36 @@ object Compiler {
     }
   }
 
+  /** Rewrite references to variables the child does NOT bind to null
+    * literals — SPARQL treats an out-of-scope variable in an
+    * expression as UNBOUND (evaluation yields a type error for that
+    * row, §17.2), never as a static analysis failure. */
+  private def nullifyMissing(spark: org.apache.spark.sql.SparkSession,
+                             cols: Set[String], c: Column): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(Shim.catalystExpression(spark, c).transform {
+      case ua: UnresolvedAttribute if !cols(ua.name) =>
+        org.apache.spark.sql.catalyst.expressions.Literal(null, StringType)
+    })
+  }
+
+  /** Coerce a FILTER expression to its effective boolean value
+    * (§17.2.2): an already-boolean condition passes through; a STRING
+    * condition (a bare term — `FILTER(?flag)`, `FILTER("false")`) is
+    * EBV-evaluated; a numeric one tests != 0. The result type comes
+    * from a driver-side trial analysis (no execution). */
+  private def asCondition(d: DataFrame, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    scala.util.Try(d.select(c).schema.head.dataType).toOption match {
+      case Some(BooleanType)    => c
+      case Some(StringType)     => RdfLiteral.ebvOf(c)
+      case Some(_: NumericType) => c =!= 0
+      case Some(NullType)       => lit(false)
+      case _                    => c
+    }
+  }
+
   /** Unresolved attribute names referenced by a Column. */
   private def attrNames(spark: org.apache.spark.sql.SparkSession, c: Column): Set[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -674,6 +863,34 @@ object Compiler {
       .select(lc.columns.map(col).toSeq ++ rightOnly.map(n => col("_r_" + n).as(n)): _*)
   }
 
+  /** EXISTS / NOT EXISTS whose inner group ends in a FILTER that
+    * references OUTER variables — §18.6 exists substitution: the
+    * filter evaluates under the outer row's bindings, so it becomes
+    * part of the semi/anti join CONDITION (the reference evaluates
+    * EXISTS as a (Not)ExistsNode hash join with the filter attached).
+    * A filter over inner-only vars stays an ordinary inner filter. */
+  private def existsJoinWithCond(lc: DataFrame, rc: DataFrame, cond0: Column,
+                                 src: TripleSource, anti: Boolean): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graftshim.Shim
+    val cond = nullifyMissing(lc.sparkSession,
+      lc.columns.toSet ++ rc.columns.toSet, cond0)
+    val refs = attrNames(lc.sparkSession, cond)
+    val how = if (anti) "left_anti" else "left_semi"
+    if (refs.subsetOf(rc.columns.toSet))
+      return joinOn(lc, rc.filter(asCondition(rc, cond)), how)
+    val common = lc.columns.toSeq.intersect(rc.columns.toSeq)
+    val rr = rc.columns.foldLeft(rc)((df, n) => df.withColumnRenamed(n, "_r_" + n))
+    val rewritten = Shim.column(
+      Shim.catalystExpression(lc.sparkSession, cond).transform {
+        case ua: UnresolvedAttribute if rc.columns.contains(ua.name) =>
+          UnresolvedAttribute("_r_" + ua.name)
+      })
+    val joinCond = (common.map(n => col(n) === col("_r_" + n)) :+ rewritten)
+      .reduce(_ && _)
+    lc.join(rr, joinCond, how)
+  }
+
   /** Join solutions against VALUES inline data with SPARQL
     * compatibility semantics: an UNDEF cell is compatible with ANY
     * binding (§10.2), so the join condition per shared var is
@@ -689,10 +906,15 @@ object Compiler {
     val joined =
       if (common.isEmpty) lc.crossJoin(vdf)
       else lc.join(vdf, common.map(n =>
-        col(n) === col(s"_v_$n") || col(s"_v_$n").isNull).reduce(_ && _))
+        col(n) === col(s"_v_$n") || col(s"_v_$n").isNull || col(n).isNull)
+        .reduce(_ && _))
     val carried = v.vars.filterNot(lc.columns.contains)
       .map(n => col(s"_v_$n").as(n))
-    joined.select(lc.columns.map(col) ++ carried: _*)
+    // merged solution: an UNBOUND slot takes the other side's value
+    val kept = lc.columns.map { n =>
+      if (common.contains(n)) coalesce(col(n), col(s"_v_$n")).as(n) else col(n)
+    }.toSeq
+    joined.select(kept ++ carried: _*)
   }
 
   /** GRAPH ?g — each pattern keeps g as a solution var, so patterns
@@ -707,8 +929,11 @@ object Compiler {
           val eq = varCols.groupBy(_._2).values.filter(_.size > 1).foldLeft(q) {
             case (df, dups) => df.filter(col(dups.head._1) === col(dups(1)._1))
           }
-          val proj = varCols.map(_._1).distinct.map { c =>
-            col(c).as(varCols.find(_._1 == c).get._2)
+          // one output column per VARIABLE (a var bound by several
+          // positions — `?x ?p ?g` inside GRAPH ?g — projects once;
+          // the equality filter above already pinned the duplicates)
+          val proj = varCols.map(_._2).distinct.map { v =>
+            col(varCols.find(_._2 == v).get._1).as(v)
           }
           eq.select(proj: _*)
         }
@@ -764,7 +989,62 @@ object Compiler {
         val keys = q.select(col("g").as(gv)).distinct()
         joinOn(compile(v, src), keys, "inner")
       case Path(s, pe, o, sVar, oVar) => compileGraphVarPath(gv, s, pe, o, sVar, oVar, src)
-      case other => sys.error(s"GRAPH ?$gv supports BGP/FILTER/BIND/JOIN/OPTIONAL/MINUS/EXISTS/UNION/VALUES/path groups, got $other")
+      // sub-SELECT inside GRAPH ?g (§13.3 + §18.2.2.3): the subquery
+      // evaluates per named graph (its patterns graph-scoped, = carry
+      // the graph var through), and the graph var joins the outer
+      // group alongside the subquery's projection — the projection
+      // hides everything else
+      case Project(inner, vars @ _*) =>
+        val d = compileGraphVar(gv, inner, src)
+        val have = d.columns.toSet
+        val want = (vars :+ gv).distinct
+        d.select(want.map(v =>
+          if (have(v)) col(v) else lit(null).cast("string").as(v)): _*)
+      case StarProject(inner) =>
+        val d = compileGraphVar(gv, inner, src)
+        val named = d.columns.filterNot(_.startsWith("_"))
+        if (named.length == d.columns.length) d else d.select(named.map(col).toSeq: _*)
+      case Distinct(inner) => compileGraphVar(gv, inner, src).distinct()
+      case OrderBy(inner, keys) =>
+        val d = compileGraphVar(gv, inner, src)
+        d.orderBy(keys.map(nullifyMissing(d.sparkSession, d.columns.toSet, _)): _*)
+      case Group(inner, keys, aggs) =>
+        // per-graph aggregation: the graph var is one more group key
+        val d = compileGraphVar(gv, inner, src)
+        val aggCols = aggs.map { case (n, e) => e.as(n) }
+        d.groupBy((keys :+ gv).distinct.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      case SubQuery(l, sub) =>
+        joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, sub, src), "inner")
+      // bds:search hits are STORE-wide literal matches (the
+      // reference's FullTextIndex is namespace-global, not per-graph;
+      // SearchServiceFactory); inside GRAPH ?g the hit relation is
+      // graph-independent — the graph-scoped CO-patterns bind ?g and
+      // the hits join on the shared hit variable. A search alone in
+      // the block ranges ?g over the graph names like the Values case.
+      case Join(l, sv: SearchService) =>
+        joinOn(compileGraphVar(gv, l, src), compile(sv, src), "inner")
+      case Join(sv: SearchService, r) =>
+        joinOn(compileGraphVar(gv, r, src), compile(sv, src), "inner")
+      case sv: SearchService =>
+        // a hit binds ?g to the graphs the matched literal OCCURS in
+        // (the reference's named-graph search tests pin this: FROM
+        // NAMED restricts which graphs can produce hits)
+        val q = src.quads.getOrElse(sys.error(s"GRAPH ?$gv needs a quads source"))
+        val occ = q.select(col("o").as(sv.outDoc), col("g").as(gv)).distinct()
+        joinOn(compile(sv, src), occ, "inner")
+      // nested GRAPH: the same variable keeps the active scope (its
+      // patterns already carry gv); a DIFFERENT graph term re-scopes
+      // (§13.3 — the inner block is then independent of the outer
+      // active graph, so gv ranges over every graph name, a
+      // graph-keys join like the Values case)
+      case GraphPattern(t, inner) if t == Var(gv) =>
+        compileGraphVar(gv, inner, src)
+      case GraphPattern(t, inner) =>
+        val d = compile(GraphPattern(t, inner), src)
+        val q = src.quads.getOrElse(sys.error(s"GRAPH ?$gv needs a quads source"))
+        val keys = q.select(col("g").as(gv)).distinct()
+        joinOn(d, keys, "inner")
+      case other => sys.error(s"GRAPH ?$gv supports BGP/FILTER/BIND/JOIN/OPTIONAL/MINUS/EXISTS/UNION/VALUES/subquery/path groups, got $other")
     }
 
   /** Property path inside `GRAPH ?g` (§13.3 + §9.3: the path relation

@@ -40,6 +40,24 @@ object Parser {
     * prefix (`c:`, `urn:`, `http:`) — SURVEY §3's id forms. */
   private[graft] val IriShape = "^[A-Za-z][A-Za-z0-9+.-]*:"
 
+  /** The full rdf:type IRI. The lexicon's canonical term for it is the
+    * local name `type` (what `a` sugar, the RDF/XML typed-element rule
+    * and the JSON-LD `@type` key already produce) — every interning
+    * seam maps the full IRI down to it and the serializers expand it
+    * back, so `a`, `rdf:type` and `<http://…#type>` are ONE term. */
+  val RdfTypeIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  /** The reference's magic-service namespace IRIs → the engine's
+    * prefix-name spellings (SearchServiceFactory's BDS namespace,
+    * the external-fulltext FTS namespace, the GAS service namespace —
+    * bigdata-core .../store/BDS.java, .../fts/FTS.java,
+    * rdf/graph/impl/bd/GASService.java). Interning these at parse
+    * time makes full-IRI and prefix-name spellings ONE vocabulary. */
+  private[sparql] val NsAliases = Seq(
+    "http://www.bigdata.com/rdf/search#" -> "bds:",
+    "http://www.bigdata.com/rdf/fts#" -> "fts:",
+    "http://www.bigdata.com/rdf/gas#" -> "gas:")
+
   def parse(query: String): Algebra = new Parser(tokenize(query)).parseQuery()
 
   /** Parse a SPARQL UPDATE request (INSERT DATA / DELETE DATA /
@@ -55,36 +73,91 @@ object Parser {
   // ---- tokenizer ----
   private val symbolChars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_:#-.".toSet
 
+  /** Scan one string literal starting at `q(start)` (a quote char):
+    * short or long (tripled delimiter) form, single or double quotes
+    * (grammar [156-159] STRING_LITERAL1/2/LONG1/LONG2), backslash
+    * escapes decoded (ECHAR + UCHAR). Returns (decoded lexical form,
+    * index just past the closing delimiter). */
+  private def scanStringLiteral(q: String, start: Int): (String, Int) = {
+    val quote = q(start)
+    val long = q.startsWith(quote.toString * 3, start)
+    var i = start + (if (long) 3 else 1)
+    val sb = new StringBuilder
+    while (i < q.length) {
+      if (long && q.startsWith(quote.toString * 3, i) &&
+          !(i + 3 < q.length && q(i + 3) == quote))
+        return (sb.toString, i + 3)
+      if (!long && q(i) == quote) return (sb.toString, i + 1)
+      if (q(i) == '\\' && i + 1 < q.length) {
+        i += 1
+        q(i) match {
+          case 'n' => sb += '\n'; i += 1
+          case 't' => sb += '\t'; i += 1
+          case 'r' => sb += '\r'; i += 1
+          case 'b' => sb += '\b'; i += 1
+          case 'f' => sb += '\f'; i += 1
+          case 'u' => sb += Integer.parseInt(q.substring(i + 1, i + 5), 16).toChar; i += 5
+          case 'U' => sb.appendAll(Character.toChars(
+            Integer.parseInt(q.substring(i + 1, i + 9), 16))); i += 9
+          case c => sb += c; i += 1 // \" \' \\ pass through decoded
+        }
+      } else {
+        require(long || (q(i) != '\n' && q(i) != '\r'),
+          s"unterminated string literal at $start")
+        sb += q(i); i += 1
+      }
+    }
+    sys.error(s"unterminated string literal at $start")
+  }
+
   private[sparql] def tokenize(q: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < q.length) {
       val c = q(i)
       if (c.isWhitespace) i += 1
-      else if (c == '"') {
-        val end = q.indexOf('"', i + 1)
-        require(end > 0, s"unterminated string literal at $i")
-        // a literal's tag facet — `"lex"@lang` or `"lex"^^<dt>` /
-        // `"lex"^^pfx:name` — stays part of the SAME token (grammar
-        // [129] RDFLiteral)
-        var j = end + 1
+      else if (c == '#') {
+        // comment to end of line (grammar: COMMENT token). Only a
+        // token-START '#' comments — '#' INSIDE a symbol token (an IRI
+        // fragment in a bare lexicon term) stays part of that token.
+        while (i < q.length && q(i) != '\n') i += 1
+      }
+      else if (c == '"' || c == '\'') {
+        // string literal: double- or single-quoted, short or long
+        // (grammar [156-159]), backslash escapes decoded. Emitted
+        // normalized as a double-quoted token so every downstream
+        // consumer sees ONE form.
+        val (lex, after) = scanStringLiteral(q, i)
+        var j = after
+        val sb = new StringBuilder("\"").append(lex).append('"')
         if (j < q.length && q(j) == '@') {
-          j += 1
-          while (j < q.length && (q(j).isLetterOrDigit || q(j) == '-')) j += 1
+          sb += '@'; j += 1
+          while (j < q.length && (q(j).isLetterOrDigit || q(j) == '-')) { sb += q(j); j += 1 }
         } else if (j + 1 < q.length && q(j) == '^' && q(j + 1) == '^') {
-          j += 2
+          sb ++= "^^"; j += 2
           if (j < q.length && q(j) == '<') {
             val gt = q.indexOf('>', j)
             require(gt > 0, s"unterminated datatype IRI at $j")
-            j = gt + 1
+            sb ++= q.substring(j, gt + 1); j = gt + 1
           } else {
+            val st = j
             while (j < q.length && symbolChars(q(j))) j += 1
-            // trailing '.' is the statement terminator, not datatype
-            if (q(j - 1) == '.') j -= 1
+            var dt = q.substring(st, j)
+            if (dt.endsWith(".")) { dt = dt.dropRight(1); j -= 1 }
+            sb ++= dt
           }
         }
-        out += q.substring(i, j); i = j
-      } else if (c == '?') {
+        out += sb.toString; i = j
+      }
+      else if (c == '$') {
+        // $var is the alternate variable sigil (grammar [166] VAR2) —
+        // normalized to the ?var token form
+        val start = i; i += 1
+        while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        require(i > start + 1, s"bare '$$' at $start")
+        out += "?" + q.substring(start + 1, i)
+      }
+      else if (c == '?') {
         val start = i; i += 1
         while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
         // bare '?' (no name) is the zero-or-one path modifier
@@ -155,10 +228,17 @@ object Parser {
           prefixes += (name.dropRight(1) -> iri.drop(1).dropRight(1))
         }
       }
-      if (peekIs("ASK")) return parseAsk()
-      if (peekIs("CONSTRUCT")) return parseConstruct()
-      if (peekIs("DESCRIBE")) return parseDescribe()
-      parseSelect()
+      val a =
+        if (peekIs("ASK")) parseAsk()
+        else if (peekIs("CONSTRUCT")) parseConstruct()
+        else if (peekIs("DESCRIBE")) parseDescribe()
+        else parseSelect()
+      // a trailing clause the grammar didn't consume is a syntax
+      // error, not ignorable text (silently dropping a solution
+      // modifier would change results)
+      require(pos >= tokens.length,
+        s"unconsumed input after query: '${tokens.drop(pos).take(5).mkString(" ")}'")
+      a
     }
 
     def parseUpdateSeq(): Seq[UpdateOp] = {
@@ -380,7 +460,10 @@ object Parser {
     private def parseAsk(): Algebra = {
       expect("ASK")
       if (peekIs("WHERE")) next()
-      Ask(parseGroup())
+      // grammar [12]: AskQuery carries a full SolutionModifier —
+      // GROUP BY/ORDER BY/LIMIT apply to the solution sequence whose
+      // (non-)emptiness ASK reports
+      Ask(constructModifiers(parseGroup()))
     }
 
     private def parseConstruct(): Algebra = {
@@ -403,6 +486,44 @@ object Parser {
       * wrap the WHERE child. */
     private def constructModifiers(child0: Algebra): Algebra = {
       var child = child0
+      // grammar [10]: ConstructQuery carries a full SolutionModifier —
+      // GROUP BY groups the solution sequence before templating, and
+      // aggregates in ORDER conditions become hidden aggregate columns
+      val orderAggs = Vector.newBuilder[(String, Column)]
+      var groupKeys = Vector.empty[String]
+      if (peekIs("GROUP")) {
+        next(); expect("BY")
+        while (peek.startsWith("?")) groupKeys :+= next().drop(1)
+      }
+      if (groupKeys.nonEmpty) {
+        val sink: Option[Column => Column] = Some(a => {
+          val n = fresh("ok")
+          orderAggs += (n -> a)
+          col(n)
+        })
+        var orderKeys = Vector.empty[Column]
+        if (peekIs("ORDER")) {
+          next(); expect("BY")
+          while (peekIs("ASC") || peekIs("DESC") || peek.startsWith("?") || peek == "(" ||
+                 (valueFns.contains(peek.toUpperCase) && peekAt(1) == "(") ||
+                 (aggNames.contains(peek.toUpperCase) && peekAt(1) == "(")) {
+            if (peekIs("ASC")) { next(); orderKeys :+= parseBracketedExpr(sink).asc }
+            else if (peekIs("DESC")) { next(); orderKeys :+= parseBracketedExpr(sink).desc }
+            else if (!peek.startsWith("?")) orderKeys :+= parseExpr(sink).asc
+            else orderKeys :+= col(next().drop(1)).asc
+          }
+        }
+        var g: Algebra = Group(child, groupKeys, orderAggs.result())
+        if (orderKeys.nonEmpty) g = OrderBy(g, orderKeys)
+        var offset = 0L; var limit = -1L
+        while (peekIs("LIMIT") || peekIs("OFFSET")) {
+          if (peekIs("LIMIT")) { next(); limit = next().toLong }
+          else { next(); offset = next().toLong }
+        }
+        if (limit >= 0 || offset > 0)
+          g = Slice(g, offset, if (limit >= 0) limit else Long.MaxValue)
+        return g
+      }
       if (peekIs("ORDER")) {
         next(); expect("BY")
         val keys = Vector.newBuilder[Column]
@@ -461,8 +582,12 @@ object Parser {
       val fn = next().toUpperCase
       expect("(")
       val distinct = if (peekIs("DISTINCT")) { next(); true } else false
-      // the argument is a full value expression (SUM(?a * ?b) etc.)
-      val c = if (peek == "*") { next(); lit(1) } else parseExpr()
+      // the argument is a full value expression (SUM(?a * ?b) etc.).
+      // COUNT(*) counts rows (a constant under count); COUNT(DISTINCT *)
+      // counts DISTINCT solutions — the whole row as one struct key
+      val c =
+        if (peek == "*") { next(); if (distinct) struct(col("*")) else lit(1) }
+        else parseExpr()
       var sep = " "
       if (peekIs(";")) { next() } // tolerated; separator handled below
       if (peek.toUpperCase.startsWith("SEPARATOR")) {
@@ -473,8 +598,15 @@ object Parser {
       fn match {
         case "COUNT" => if (distinct) countDistinct(c) else count(c)
         case "SUM"   =>
-          val d = c.cast("decimal(18,2)")
-          (if (distinct) sum_distinct(d) else sum(d)).cast("double")
+          // a non-numeric operand ANYWHERE in the group is a type
+          // error, and an aggregate over an error is an error ->
+          // UNBOUND (sparql11-sum-04: one bnode poisons its group);
+          // numeric terms sum by VALUE (typed forms unwrap)
+          val n = RdfLiteral.numOf(c)
+          val errs = sum(when(n.isNull, 1).otherwise(0))
+          val d = n.cast("decimal(18,2)")
+          val s0 = (if (distinct) sum_distinct(d) else sum(d)).cast("double")
+          when(errs === 0, s0).otherwise(lit(null).cast("double"))
         case "AVG"   => avg(c.cast("decimal(18,2)")).cast("double")
         case "MIN"   => min(c)
         case "MAX"   => max(c)
@@ -497,7 +629,9 @@ object Parser {
         if (peekIs("DISTINCT") || peekIs("REDUCED")) { next(); true } else false
       val items = Vector.newBuilder[SelItem]
       var star = false
-      while (!peekIs("WHERE") && !peekIs("FROM") && !peekIs("WITH")) {
+      // the projection ends at WHERE/FROM/WITH or at the group itself —
+      // the WHERE keyword is optional (grammar [17] WhereClause)
+      while (!peekIs("WHERE") && !peekIs("FROM") && !peekIs("WITH") && !peekIs("{")) {
         if (peekIs("(")) {
           next()
           val e =
@@ -524,9 +658,19 @@ object Parser {
       // dataset clauses: FROM <g> / FROM NAMED <g>
       val fromDefaults = Vector.newBuilder[String]
       val fromNamed = Vector.newBuilder[String]
+      val fromVirtual = Vector.newBuilder[String]
+      val fromVirtualNamed = Vector.newBuilder[String]
       while (peekIs("FROM")) {
         next()
-        if (peekIs("NAMED")) { next(); fromNamed += constValue(next()) }
+        val named = if (peekIs("NAMED")) { next(); true } else false
+        if (peekIs("VIRTUAL")) {
+          // FROM [NAMED] VIRTUAL GRAPH <vg> — reference dataset
+          // extension (membership via bd:virtualGraph statements)
+          next(); expect("GRAPH")
+          val vg = constValue(next())
+          if (named) fromVirtualNamed += vg else fromVirtual += vg
+        }
+        else if (named) fromNamed += constValue(next())
         else fromDefaults += constValue(next())
       }
       // Blazegraph named subqueries: WITH { SELECT … } AS %set, each
@@ -541,7 +685,7 @@ object Parser {
         require(nm.startsWith("%"), s"named subquery name must be %name, got '$nm'")
         namedSubs += (nm.drop(1) -> sub)
       }
-      expect("WHERE")
+      if (peekIs("WHERE")) next()
       var alg = parseGroup()
       val its = items.result()
 
@@ -550,11 +694,29 @@ object Parser {
       // joins the WHERE pattern before select expressions and
       // solution modifiers (§18.2.4.3) ----
       var groupKeys = Vector.empty[String]
+      var groupExprs = Vector.empty[(String, Column)]
       var having: Option[Column] = None
       val extraAggs = Vector.newBuilder[(String, Column)]
       if (peekIs("GROUP")) {
         next(); expect("BY")
-        while (peek.startsWith("?")) groupKeys :+= next().drop(1)
+        // grammar [20] GroupCondition: Var | '(' Expression ('AS' Var)? ')'
+        // | BuiltInCall — expression conditions pre-extend the child
+        while (peek.startsWith("?") || peek == "(" ||
+               (valueFns.contains(peek.toUpperCase) && peekAt(1) == "(")) {
+          if (peek == "(") {
+            next()
+            val e = parseExpr()
+            val alias =
+              if (peekIs("AS")) { next(); next().drop(1) } else fresh("gk")
+            expect(")")
+            groupExprs :+= (alias -> e)
+            groupKeys :+= alias
+          } else if (!peek.startsWith("?")) {
+            val alias = fresh("gk")
+            groupExprs :+= (alias -> parseExpr())
+            groupKeys :+= alias
+          } else groupKeys :+= next().drop(1)
+        }
       }
       if (peekIs("HAVING")) {
         next()
@@ -569,14 +731,23 @@ object Parser {
       var orderKeys: Option[Seq[Column]] = None
       if (peekIs("ORDER")) {
         next(); expect("BY")
+        // an aggregate in an order condition (ORDER BY DESC(COUNT(?x)))
+        // computes as an extra (hidden) aggregate column, like HAVING
+        val sink: Option[Column => Column] = Some(a => {
+          val n = fresh("ok")
+          extraAggs += (n -> a)
+          col(n)
+        })
         val keys = Vector.newBuilder[Column]
-        while (peekIs("ASC") || peekIs("DESC") || peek.startsWith("?") ||
-               (valueFns.contains(peek.toUpperCase) && peekAt(1) == "(")) {
+        while (peekIs("ASC") || peekIs("DESC") || peek.startsWith("?") || peek == "(" ||
+               (valueFns.contains(peek.toUpperCase) && peekAt(1) == "(") ||
+               (aggNames.contains(peek.toUpperCase) && peekAt(1) == "(")) {
           // ASC/DESC take a full bracketed expression, not just a var;
-          // a bare function call is also a legal OrderCondition ([24])
-          if (peekIs("ASC")) { next(); keys += parseBracketedExpr().asc }
-          else if (peekIs("DESC")) { next(); keys += parseBracketedExpr().desc }
-          else if (!peek.startsWith("?")) keys += parseExpr().asc
+          // a bare function call or bracketed expression is also a
+          // legal OrderCondition ([24])
+          if (peekIs("ASC")) { next(); keys += parseBracketedExpr(sink).asc }
+          else if (peekIs("DESC")) { next(); keys += parseBracketedExpr(sink).desc }
+          else if (!peek.startsWith("?")) keys += parseExpr(sink).asc
           else keys += col(next().drop(1)).asc
         }
         orderKeys = Some(keys.result())
@@ -587,7 +758,12 @@ object Parser {
         else { next(); offset = next().toLong }
       }
       // trailing VALUES clause (grammar [28] ValuesClause)
-      val trailingValues = if (peekIs("VALUES")) Some(parseValues()) else None
+      val trailingValues =
+        if (peekIs("VALUES")) Some(parseValues())
+        // BINDINGS: the SPARQL 1.1 DRAFT spelling of the trailing
+        // VALUES clause, still accepted by the reference's grammar
+        else if (peekIs("BINDINGS")) Some(parseBindings())
+        else None
 
       // ---- assemble in algebra order ----
       trailingValues.foreach(v => alg = Join(alg, v))
@@ -596,15 +772,26 @@ object Parser {
       alg = namedSubs.result().foldRight(alg) { case ((n, sub), a) => NamedSubquery(n, sub, a) }
       val (fd, fn) = (fromDefaults.result(), fromNamed.result())
       if (fd.nonEmpty || fn.nonEmpty) alg = DatasetClause(fd, fn, alg)
+      val (vd, vn) = (fromVirtual.result(), fromVirtualNamed.result())
+      if (vd.nonEmpty || vn.nonEmpty) alg = VirtualGraphClause(vd, vn, alg)
 
       val aggItems = its.collect { case a: SelAgg => a }
       if (aggItems.nonEmpty || groupKeys.nonEmpty) {
+        groupExprs.foreach { case (n, e) => alg = Extend(alg, n, e) }
         val aggs = aggItems.map(a => a.alias -> a.agg) ++ extraAggs.result()
         alg = Group(alg, groupKeys, aggs)
         having.foreach(h => alg = Filter(alg, h))
+        // a select EXPRESSION in an aggregate query computes over the
+        // GROUPED solution (its refs are group keys / aggregate
+        // aliases — §18.2.4.1 extends after grouping)
+        its.collect { case e: SelExpr => e }.foreach(e => alg = Extend(alg, e.alias, e.expr))
+        // ORDER BY may reference HIDDEN aggregate keys (ORDER BY
+        // DESC(COUNT(?x))) — sort BEFORE the projection drops them
+        orderKeys.foreach(ks => alg = OrderBy(alg, ks))
         val visible = its.collect {
-          case SelVar(n)    => n
-          case SelAgg(n, _) => n
+          case SelVar(n)     => n
+          case SelAgg(n, _)  => n
+          case SelExpr(n, _) => n
         }
         if (visible.nonEmpty) alg = Project(alg, visible: _*)
       } else {
@@ -614,7 +801,8 @@ object Parser {
         else if (vs.nonEmpty) alg = Project(alg, vs: _*)
       }
       if (distinct) alg = Distinct(alg)
-      orderKeys.foreach(ks => alg = OrderBy(alg, ks))
+      if (aggItems.isEmpty && groupKeys.isEmpty)
+        orderKeys.foreach(ks => alg = OrderBy(alg, ks))
       if (limit >= 0 || offset > 0) alg = Slice(alg, offset, if (limit >= 0) limit else Long.MaxValue)
       alg
     }
@@ -683,7 +871,10 @@ object Parser {
           case _ => () // predicate set already validated above
         }
         def cOpt(name: String): Option[String] = ps.collectFirst {
-          case TriplePattern(_, Const(p), Const(o)) if p == name => o
+          case TriplePattern(_, Const(p), Const(o)) if p == name =>
+            // numeric/boolean options may arrive as TYPED literal term
+            // forms ("0"^^xsd:double) — unwrap to the lexical form
+            if (o.startsWith("\"")) o.substring(1, o.lastIndexOf('"')) else o
         }
         def vOpt(name: String): Option[String] = ps.collectFirst {
           case TriplePattern(_, Const(p), Var(o)) if p == name => o
@@ -712,6 +903,14 @@ object Parser {
 
     def parseGroup(liftMagic: Boolean = true): Algebra = {
       expect("{")
+      // grammar [53]: GroupGraphPattern ::= '{' (SubSelect |
+      // GroupGraphPatternSub) '}' — a direct sub-SELECT needs no
+      // second brace pair
+      if (peekIs("SELECT")) {
+        val sub = parseSelect()
+        expect("}")
+        return sub
+      }
       var alg: Algebra = null
       def add(a: Algebra): Unit = alg = if (alg == null) a else Join(alg, a)
       val patterns = scala.collection.mutable.ArrayBuffer[TriplePattern]()
@@ -798,6 +997,11 @@ object Parser {
           next()
           if (peekIs("EXISTS")) { next(); flush(); val g = parseGroup(liftMagic); alg = Exists(orUnit(alg), g) }
           else if (peekIs("NOT")) { next(); expect("EXISTS"); flush(); val g = parseGroup(liftMagic); alg = NotExists(orUnit(alg), g) }
+          else if (!peekIs("(")) {
+            // FILTER BuiltInCall / FunctionCall without brackets
+            // (grammar [68] Constraint admits all three forms)
+            val c = parseExpr(); flush(); alg = Filter(orUnit(alg), c)
+          }
           else if (bracketContainsExists()) {
             // FILTER(expr && EXISTS {…} && …): each top-level conjunct
             // is either a value expression (ANDed into one Filter) or
@@ -819,6 +1023,16 @@ object Parser {
           val e = parseExpr()
           expect("AS"); val v = next(); expect(")")
           flush(); alg = Extend(orUnit(alg), v.drop(1), e)
+        } else if (peekIs("LET")) {
+          // LET (?v := expr) — the reference's grammar extension for
+          // BIND (sparql-grammar AssignmentNode; same algebra)
+          next(); expect("(")
+          val v = next()
+          expect(":"); expect("=")
+          val e = parseExpr()
+          expect(")")
+          if (peekIs(".")) next()
+          flush(); alg = Extend(orUnit(alg), v.drop(1), e)
         } else if (peekIs("VALUES")) {
           flush(); add(parseValues())
         } else if (peekIs("GRAPH")) {
@@ -828,7 +1042,11 @@ object Parser {
         } else if (peekIs("SERVICE")) {
           next()
           val silent = if (peekIs("SILENT")) { next(); true } else false
-          val svc = next()
+          val svc0 = next()
+          // normalize full-IRI spellings of the magic namespaces to
+          // the engine's registry names before dispatch (vars keep
+          // their sigil)
+          val svc = if (svc0.startsWith("?")) svc0 else constValue(svc0)
           // first-class algebra services (the reference's built-in
           // AST-rewritten factories) keep their dedicated parse; every
           // OTHER service — <iri> endpoints AND named magic services
@@ -858,7 +1076,9 @@ object Parser {
               // IVariableOrConstant serviceRef)
               add(ServiceCallVar(svc.drop(1), g, silent, Some(text)))
             else {
-              val key = if (svc.startsWith("<")) svc.drop(1).dropRight(1) else svc
+              // constValue interns <full-IRI> spellings of the magic
+              // namespaces to their registry names (NsAliases)
+              val key = constValue(svc)
               add(ServiceCall(key, g, silent, Some(text)))
             }
           } else {
@@ -884,7 +1104,14 @@ object Parser {
             }
           }
           expect("}")
-          val conf = config.result().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          // option values may arrive as TYPED literal term forms
+          // ("0"^^xsd:double) — numeric/boolean option reads unwrap to
+          // the lexical form first (the facet is for the lexicon, not
+          // for Integer.parseInt)
+          def lex(v: String): String =
+            if (v.startsWith("\"")) v.substring(1, v.lastIndexOf('\"')) else v
+          val conf = config.result().groupBy(_._1).view
+            .mapValues(_.map(x => lex(x._2))).toMap
           flush()
           svc match {
             case "gas:service" => add(GasService(config.result(), outNode, outVal))
@@ -1097,6 +1324,30 @@ object Parser {
       Values(vs, rows.result())
     }
 
+    /** BINDINGS ?v1 ?v2 { (row)… } — the SPARQL 1.1 draft form of the
+      * trailing VALUES clause (vars listed bare, every row
+      * parenthesized, UNDEF spelled the same). */
+    private def parseBindings(): Algebra = {
+      expect("BINDINGS")
+      val vars = Vector.newBuilder[String]
+      while (peek.startsWith("?")) vars += next().drop(1)
+      val vs = vars.result()
+      expect("{")
+      val rows = Vector.newBuilder[Seq[Option[String]]]
+      while (!peekIs("}")) {
+        expect("(")
+        val row = Vector.newBuilder[Option[String]]
+        while (!peekIs(")")) {
+          val t = next()
+          row += (if (t.equalsIgnoreCase("UNDEF")) None else Some(constValue(t)))
+        }
+        expect(")")
+        rows += row.result()
+      }
+      expect("}")
+      Values(vs, rows.result())
+    }
+
     // ---- property paths ----
     /** path := seq ('|' seq)* */
     private def parsePath(): PathExpr = {
@@ -1161,8 +1412,10 @@ object Parser {
       prim
     }
 
+    /** An empty group `{}` is the unit table — ONE solution binding
+      * nothing (SPARQL §18.3: Join(X, {μ0}) = X, the identity). */
     private def orUnit(a: Algebra): Algebra =
-      if (a == null) sys.error("empty group pattern") else a
+      if (a == null) Values(Nil, Seq(Nil)) else a
 
     /** Does the upcoming bracketed filter body contain a top-level
       * EXISTS? (token scan to the matching close paren). */
@@ -1226,14 +1479,23 @@ object Parser {
       else if (t.startsWith("<") && t.endsWith(">")) internIri(t.drop(1).dropRight(1))
       else {
         val i = t.indexOf(':')
-        if (i > 0 && prefixes.contains(t.substring(0, i)))
+        // i == 0 is the EMPTY prefix (`:local`, grammar [140] PNAME_NS)
+        if (i >= 0 && prefixes.contains(t.substring(0, i)))
           internIri(prefixes(t.substring(0, i)) + t.substring(i + 1))
         else t
       }
 
-    /** IRIs under the engine base intern to their local name. */
+    /** IRIs under the engine base intern to their local name; the full
+      * rdf:type IRI interns to the canonical `type` (see [[RdfTypeIri]]);
+      * the reference's magic-service namespaces intern to the engine's
+      * prefix names, so `PREFIX bd: <…/rdf/search#>` queries hit the
+      * same lift/registry paths as the `bds:`-spelled ones. */
     private def internIri(iri: String): String =
-      if (iri.startsWith(Base)) iri.drop(Base.length) else iri
+      if (iri == RdfTypeIri) "type"
+      else Parser.NsAliases.collectFirst {
+        case (ns, pfx) if iri.startsWith(ns) => pfx + iri.drop(ns.length)
+      }.getOrElse(
+        if (iri.startsWith(Base)) iri.drop(Base.length) else iri)
 
     private def term(t: String): Term =
       if (t.startsWith("?")) {
@@ -1269,9 +1531,10 @@ object Parser {
     }
 
     /** FILTER ( expr ) */
-    private def parseBracketedExpr(): Column = {
+    private def parseBracketedExpr(
+        aggSink: Option[Column => Column] = None): Column = {
       expect("(")
-      val e = parseExpr()
+      val e = parseExpr(aggSink)
       expect(")")
       e
     }
@@ -1294,8 +1557,14 @@ object Parser {
       // pass-through for plain terms)
       if (peekIs("regex")) {
         next(); expect("("); val v = parsePrimary(); expect(",")
-        val re = next(); expect(")")
-        return RdfLiteral.strOf(v).rlike(re.drop(1).dropRight(1))
+        val re = next()
+        // optional flags argument (§17.4.3.14 / XPath fn:matches):
+        // translated to an inline-modifier prefix
+        val flags =
+          if (peekIs(",")) { next(); next().drop(1).dropRight(1) } else ""
+        expect(")")
+        val pat = (if (flags.nonEmpty) s"(?$flags)" else "") + re.drop(1).dropRight(1)
+        return RdfLiteral.strOf(v).rlike(pat)
       }
       if (peekIs("contains")) {
         next(); expect("("); val v = parsePrimary(); expect(",")
@@ -1316,7 +1585,19 @@ object Parser {
         vals += constValue(next())
         while (peekIs(",")) { next(); vals += constValue(next()) }
         expect(")")
-        val c = l.isin(vals.result(): _*)
+        // IN compares by VALUE for numeric operands (each comparison
+        // is `l = v` per the spec's definition of IN as a disjunction
+        // of equalities)
+        val c = vals.result().map { v =>
+          val nv = scala.util.Try(new java.math.BigDecimal(
+            if (v.startsWith("\"")) v.substring(1, v.lastIndexOf('\"')) else v)).toOption
+          nv match {
+            case Some(bd) =>
+              val nl = RdfLiteral.numOf(l)
+              when(nl.isNotNull, nl === bd.doubleValue).otherwise(l === v)
+            case None => l === v
+          }
+        }.reduce(_ || _)
         return if (negated) !c else c
       }
       peek match {
@@ -1328,13 +1609,32 @@ object Parser {
           // compare by value — for plain terms it is a first-char
           // regex miss, not a hot-path cost
           val (lc, rc) =
-            if (rNum && !lNum) (RdfLiteral.strOf(l).cast("double"), r0)
-            else if (lNum && !rNum) (l, RdfLiteral.strOf(r0).cast("double"))
+            if (rNum && !lNum) (RdfLiteral.numOf(l), r0)
+            else if (lNum && !rNum) (l, RdfLiteral.numOf(r0))
             else (l, r0)
+          // value equality for two TERM operands (§17.4.1.7 RDFterm-equal
+          // + operator extensibility): when both sides carry numeric
+          // VALUES they compare numerically ("04"^^xsd:int = 4); only
+          // the term forms compare otherwise. Literal-vs-term paths are
+          // already coerced above.
+          def valEq(a: Column, b: Column): Column = {
+            val (na, nb) = (RdfLiteral.numOf(a), RdfLiteral.numOf(b))
+            when(a === b, lit(true))
+              .when(na.isNotNull && nb.isNotNull, na === nb)
+              // §17.4.1.7 RDFterm-equal: two DIFFERENT literals that
+              // are not comparable by value (an unknown datatype, or
+              // an ill-typed lexical form) are an ERROR, not false —
+              // the error nulls the filter and, under `!=`, stays
+              // an error rather than becoming true
+              .when(RdfLiteral.illComparable(a) || RdfLiteral.illComparable(b),
+                lit(null).cast("boolean"))
+              .otherwise(a === b)
+          }
           op match {
             case ">" => lc > rc; case "<" => lc < rc
             case ">=" => lc >= rc; case "<=" => lc <= rc
-            case "=" => lc === rc; case "!=" => lc =!= rc
+            case "=" => if (!lNum && !rNum) valEq(lc, rc) else lc === rc
+            case "!=" => if (!lNum && !rNum) !valEq(lc, rc) else lc =!= rc
           }
         case _ => l
       }
@@ -1344,7 +1644,7 @@ object Parser {
       * string terms entering arithmetic cast to double (xsd:decimal
       * promotion). Returns (column, isNumeric). */
     private def parseAdditive(aggSink: Option[Column => Column]): (Column, Boolean) = {
-      def num(cb: (Column, Boolean)): Column = if (cb._2) cb._1 else RdfLiteral.strOf(cb._1).cast("double")
+      def num(cb: (Column, Boolean)): Column = if (cb._2) cb._1 else RdfLiteral.numOf(cb._1)
       var cur = parseMult(aggSink)
       while (peek == "+" || peek == "-") {
         val op = next()
@@ -1354,7 +1654,7 @@ object Parser {
       cur
     }
     private def parseMult(aggSink: Option[Column => Column]): (Column, Boolean) = {
-      def num(cb: (Column, Boolean)): Column = if (cb._2) cb._1 else RdfLiteral.strOf(cb._1).cast("double")
+      def num(cb: (Column, Boolean)): Column = if (cb._2) cb._1 else RdfLiteral.numOf(cb._1)
       var cur = parsePrimary2(aggSink)
       while (peek == "*" || peek == "/") {
         val op = next()
@@ -1514,11 +1814,36 @@ object Parser {
       if (valueFns.contains(peek.toUpperCase) && peekAt(1) == "(") {
         return parseCall(aggSink)
       }
+      if (peek == "(") {
+        // parenthesized sub-expression inside a primary position
+        // (grammar [120] BrackettedExpression nests anywhere)
+        next()
+        val e = parseExpr(aggSink)
+        expect(")")
+        return (e, false)
+      }
       val t = next()
       if (t.startsWith("?")) (col(t.drop(1)), false)
       else if (t.startsWith("\"")) (lit(literalValue(t)), false)
       else if (t.matches("""[-+]?\d+""")) (lit(t.toDouble), true)
       else if (t.matches("""[-+]?\d*\.\d+""")) (lit(t.toDouble), true)
+      else if (peek == "(") {
+        // IRI-named FunctionCall (grammar [70] / [128]): resolved
+        // through the custom-function registry, loud when unknown
+        // (the reference's FunctionRegistry.toVE contract)
+        val name = constValue(t)
+        next()
+        val args = Vector.newBuilder[Column]
+        if (!peekIs(")")) {
+          args += parseExpr(aggSink)
+          while (peekIs(",")) { next(); args += parseExpr(aggSink) }
+        }
+        expect(")")
+        val f = FunctionRegistry.lookup(name).getOrElse(
+          sys.error(s"unknown function <$name> (register it via " +
+            "graft.sparql.FunctionRegistry.add)"))
+        (f(args.result()), false)
+      }
       else (lit(constValue(t)), false)
     }
     private def parsePrimary(): Column = parsePrimary2()._1

@@ -113,6 +113,52 @@ object RdfLiteral {
       when(allSame, strLang(lexCat, lang0)).otherwise(lexCat)
     }
 
+  /** Numeric VALUE of a term, or null when the term is not
+    * numeric-shaped (§17.2/§17.3: a non-numeric operand to a numeric
+    * operator is a TYPE ERROR — null propagates and a FILTER drops the
+    * row, exactly the spec outcome; an ANSI cast would instead abort
+    * the whole query on one malformed row). */
+  def numOf(c: Column): Column = {
+    val lex = strOf(c)
+    when(lex.rlike("^[-+]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][-+]?[0-9]+)?$"),
+      lex.cast("double"))
+  }
+
+  /** Effective boolean value of a STRING term column (§17.2.2):
+    * boolean literals by value, numerics ≠ 0, plain/string literals
+    * non-empty; IRI-shaped terms and null are a type error → false. */
+  def ebvOf(c: Column): Column = {
+    val lex = strOf(c)
+    when(c.isNull, lit(false))
+      .when(lower(lex) === "true", lit(true))
+      .when(lower(lex) === "false", lit(false))
+      .when(numOf(c).isNotNull, numOf(c) =!= 0.0)
+      .when(c.rlike(Parser.IriShape) || c.startsWith("_:"), lit(false))
+      .otherwise(length(lex) > 0)
+  }
+
+  /** A TYPED literal term whose VALUE is undefined for comparison
+    * purposes: an unknown (non-XSD-core) datatype, or a known numeric/
+    * boolean datatype with an ill-typed lexical form ("xyz"^^xsd:integer).
+    * RDFterm-equal over two distinct such literals is an ERROR
+    * (§17.4.1.7), not false. */
+  def illComparable(c: Column): Column = {
+    val dt = typedDatatypeOf(c)
+    val lex = strOf(c)
+    val numericDt = dt.rlike(
+      "^http://www\\.w3\\.org/2001/XMLSchema#(integer|decimal|double|float|int|long|short|byte|(non(Negative|Positive)|negative|positive)Integer|unsigned(Long|Int|Short|Byte))$")
+    val numericLex = lex.rlike("^[-+]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][-+]?[0-9]+)?$")
+    isTyped(c) && (
+      // known numeric datatype, ill-typed lexical
+      (numericDt && !numericLex) ||
+      (dt === XsdBoolean && !lex.isin("true", "false", "0", "1")) ||
+      // unknown datatype: not one this engine compares by value
+      (!numericDt && dt =!= XsdString && dt =!= XsdBoolean && dt =!= XsdDateTime))
+  }
+
+  val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+  val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
+
   /** STRLANG (§17.4.2.8). */
   def strLang(lex: Column, lang: Column): Column =
     concat(lit("\""), lex, lit("\"@"), lang)

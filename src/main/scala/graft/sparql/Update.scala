@@ -480,7 +480,9 @@ object Update {
   private def unwrapTerm(c: Column): Column = {
     val base = graft.sparql.Parser.Base
     def intern(x: Column): Column =
-      when(x.startsWith(base), x.substr(lit(base.length + 1), length(x))).otherwise(x)
+      when(x === graft.sparql.Parser.RdfTypeIri, lit("type")) // canonical rdf:type
+        .when(x.startsWith(base), x.substr(lit(base.length + 1), length(x)))
+        .otherwise(x)
     // Exact inverse of Serializer.escape: park escaped backslashes
     // (`\\`) on a sentinel first so `\\n` (raw backslash + 'n' in the
     // data) is NOT misread as a newline, decode the named escapes,

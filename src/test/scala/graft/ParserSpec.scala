@@ -1004,9 +1004,10 @@ class ParserSpec extends AnyFunSuite {
       // Injecting ?x would flip the remote filter from its unbound
       // semantics to bound→keep — the same query returning different
       // results depending on key cardinality. certainlyBound excludes
-      // ?x, so vectored and plain behave IDENTICALLY (here: both loud,
-      // this engine resolves filter vars eagerly) and only ?r rides
-      // the injection
+      // ?x, so vectored and plain behave IDENTICALLY: an out-of-scope
+      // filter var is a per-row type error (§17.2 — the row drops,
+      // the query does not abort), so BOTH paths return the same
+      // empty solution set and only ?r rides the injection
       val qFil =
         s"""SELECT ?r ?x WHERE {
            |  ?r type "Region" . BIND("n:1" AS ?x)
@@ -1016,7 +1017,8 @@ class ParserSpec extends AnyFunSuite {
       val vFil = scala.util.Try(run(qFil).collect().toSeq)
       val vReceived = received.toSeq
       val pFil = scala.util.Try(plainRun(qFil))
-      assert(vFil.isFailure && pFil.isFailure,
+      assert(vFil.isSuccess && pFil.isSuccess && vFil.get == pFil.get &&
+        vFil.get.isEmpty,
         s"vectoring must not change the locally-bound-FILTER outcome: $vFil vs $pFil")
       assert(vReceived.nonEmpty && vReceived.last.contains("VALUES (?r)") &&
         !vReceived.last.contains("?x)"), vReceived.mkString("|"))

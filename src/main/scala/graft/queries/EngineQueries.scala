@@ -192,7 +192,7 @@ object EngineQueries {
           |  SERVICE bds:search {
           |    _:s bds:query "spark join vector" .
           |    _:s bds:limit "50" .
-          |    _:s bds:minRelevance "2.5" .
+          |    _:s bds:minRelevance "0.05" .
           |    _:s bds:maxRank "12" .
           |    _:s bds:out ?doc_id .
           |    _:s bds:outVal ?score .
@@ -1318,11 +1318,10 @@ object EngineQueries {
       |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
       |  WHERE t <> ''
       |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |dn AS (SELECT doc_id, sqrt(SUM(tf*tf)) AS dn FROM tf GROUP BY 1),
       |q AS (SELECT UNNEST(['spark','join','vector']) AS term)
-      |SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
-      |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+      |SELECT tf.doc_id, ROUND(SUM(tf.tf / dn.dn / sqrt(3.0)), 6) AS score
+      |FROM tf JOIN q USING (term) JOIN dn USING (doc_id)
       |GROUP BY tf.doc_id
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
@@ -1336,12 +1335,11 @@ object EngineQueries {
         |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
         |  WHERE t <> ''
         |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dn AS (SELECT doc_id, sqrt(SUM(tf*tf)) AS dn FROM tf GROUP BY 1),
         |q AS (SELECT UNNEST(['spar','vec']) AS q_term),
-        |m AS (SELECT tf.doc_id, tf.term, tf.tf, q.q_term FROM tf JOIN q ON tf.term LIKE q.q_term || '%'),
-        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
-        |n AS (SELECT COUNT(*) AS n FROM documents)
-        |SELECT m.doc_id, ROUND(SUM(m.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
-        |FROM m JOIN dfreq ON m.term = dfreq.term CROSS JOIN n
+        |m AS (SELECT tf.doc_id, tf.term, tf.tf, q.q_term FROM tf JOIN q ON tf.term LIKE q.q_term || '%')
+        |SELECT m.doc_id, ROUND(SUM(m.tf / dn.dn / sqrt(2.0)), 6) AS score
+        |FROM m JOIN dn USING (doc_id)
         |GROUP BY m.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
@@ -1351,12 +1349,11 @@ object EngineQueries {
         |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
         |  WHERE t <> ''
         |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dn AS (SELECT doc_id, sqrt(SUM(tf*tf)) AS dn FROM tf GROUP BY 1),
         |q AS (SELECT UNNEST(['the','data']) AS q_term),
-        |m AS (SELECT tf.doc_id, tf.term, tf.tf, q.q_term FROM tf JOIN q ON tf.term = q.q_term),
-        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
-        |n AS (SELECT COUNT(*) AS n FROM documents)
-        |SELECT m.doc_id, ROUND(SUM(m.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
-        |FROM m JOIN dfreq ON m.term = dfreq.term CROSS JOIN n
+        |m AS (SELECT tf.doc_id, tf.term, tf.tf, q.q_term FROM tf JOIN q ON tf.term = q.q_term)
+        |SELECT m.doc_id, ROUND(SUM(m.tf / dn.dn / sqrt(2.0)), 6) AS score
+        |FROM m JOIN dn USING (doc_id)
         |GROUP BY m.doc_id
         |HAVING COUNT(DISTINCT m.q_term) = 2
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
@@ -1482,16 +1479,15 @@ object EngineQueries {
         |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
         |  WHERE t <> ''
         |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |dn AS (SELECT doc_id, sqrt(SUM(tf*tf)) AS dn FROM tf GROUP BY 1),
         |q AS (SELECT UNNEST(['spark','join','vector']) AS term),
         |scored AS (
-        |  SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
-        |  FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |  SELECT tf.doc_id, ROUND(SUM(tf.tf / dn.dn / sqrt(3.0)), 6) AS score
+        |  FROM tf JOIN q USING (term) JOIN dn USING (doc_id)
         |  GROUP BY tf.doc_id
         |), ranked AS (
         |  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
-        |  FROM scored WHERE score >= 2.5
+        |  FROM scored WHERE score >= 0.05
         |)
         |SELECT doc_id, score FROM ranked WHERE r <= 12
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
@@ -1502,11 +1498,10 @@ object EngineQueries {
         |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
         |  WHERE t <> ''
         |), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |dn AS (SELECT doc_id, sqrt(SUM(tf*tf)) AS dn FROM tf GROUP BY 1),
         |q AS (SELECT DISTINCT term FROM tf WHERE regexp_matches(term, '^(sc|sp|st).*'))
-        |SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df)), 6) AS score
-        |FROM tf JOIN q USING (term) JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |SELECT tf.doc_id, ROUND(SUM(tf.tf / dn.dn), 6) AS score
+        |FROM tf JOIN q USING (term) JOIN dn USING (doc_id)
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 

@@ -25,6 +25,23 @@ package graft.rdf
   */
 object Turtle {
 
+  /** Canonical UTC rendering of an xsd:dateTime lexical form
+    * (yyyy-MM-ddTHH:mm:ss.SSSZ; date-only forms take midnight, no
+    * offset means UTC); an unparseable form passes through verbatim. */
+  private[graft] def canonicalDateTime(lex: String): String = {
+    val t = lex.trim
+    val full =
+      if (t.matches("""\d{4}-\d{2}-\d{2}""")) t + "T00:00:00Z"
+      else if (t.matches(""".*T\d{2}:\d{2}:\d{2}(\.\d+)?""")) t + "Z"
+      else t
+    try {
+      val inst = java.time.Instant.parse(full)
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXX")
+        .withZone(java.time.ZoneOffset.UTC).format(inst).replace("+0000", "Z")
+    } catch { case _: Exception => lex }
+  }
+
   private[rdf] val RdfFirst = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
   private[rdf] val RdfRest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
   private[rdf] val RdfNil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
@@ -42,7 +59,15 @@ object Turtle {
 
   private final class Ttl(s: String, defaultGraph: String) {
     private var i = 0
-    private var prefixes = Map.empty[String, String]
+    // the W3C core prefixes are PRE-BOUND (overridable by @prefix):
+    // the reference's data-driven corpus contains documents using
+    // rdfs:/owl: without declaring them, and Sesame-lineage loaders
+    // accept that; a declared prefix always wins
+    private var prefixes = Map(
+      "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+      "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+      "owl" -> "http://www.w3.org/2002/07/owl#",
+      "xsd" -> "http://www.w3.org/2001/XMLSchema#")
     private var base = ""
     private var bn = 0
     private var curGraph = defaultGraph
@@ -310,7 +335,15 @@ object Turtle {
       } else if (s.startsWith("^^", i)) {
         i += 2
         val dt = if (i < s.length && s(i) == '<') intern(iriRef()) else pname(word())
-        graft.sparql.RdfLiteral.typed(lex, dt)
+        // xsd:dateTime lexical forms normalize to canonical UTC at the
+        // lexicon boundary — the reference stores dateTimes by instant
+        // and renders the canonical form (its DateTimeExtension), so
+        // "…T08:53:25-04:00" and "…T12:53:25.000Z" are ONE term
+        val lex2 =
+          if (dt == "http://www.w3.org/2001/XMLSchema#dateTime")
+            Turtle.canonicalDateTime(lex)
+          else lex
+        graft.sparql.RdfLiteral.typed(lex2, dt)
       } else lex
     }
   }

@@ -23,9 +23,20 @@ object FullText {
     * `analyzer` picks the tokenization (per-language/per-namespace —
     * the ConfigurableAnalyzerFactory seam, see [[Analyzer]]). */
   def invertedIndex(docs: DataFrame,
-                    analyzer: Analyzer = Analyzer.Latin()): DataFrame =
-    docs.select(col("doc_id"), explode(analyzer.tokenize(col("text"))).as("term"))
+                    analyzer: Analyzer = Analyzer.Latin()): DataFrame = {
+    val tfs = docs
+      .select(col("doc_id"), explode(analyzer.tokenize(col("text"))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    // the NORMALIZED local weight rides in the postings — the
+    // reference stores it in the tuple at index time
+    // (TokenBuffer.flush → TermFrequencyData.normalize), so a search
+    // never re-derives document norms
+    val norms = tfs.groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("_dn"))
+    tfs.join(norms, "doc_id")
+      .select(col("term"), col("doc_id"), col("tf"),
+        (col("tf") / col("_dn")).as("dw"))
+  }
 
   /** Incremental maintenance of a persisted inverted index — the
     * reference keeps its text index in step with statement
@@ -42,7 +53,8 @@ object FullText {
     val gone = removedDocIds.select("doc_id")
       .unionByName(addedDocs.select("doc_id")).distinct()
     index.join(gone, Seq("doc_id"), "left_anti")
-      .unionByName(invertedIndex(addedDocs, analyzer).select("doc_id", "term", "tf"))
+      .unionByName(invertedIndex(addedDocs, analyzer)
+        .select("doc_id", "term", "tf", "dw"))
   }
 
   /** Top-k docs for the query terms, scored Σ tf·ln(N/df).
@@ -86,8 +98,8 @@ object FullText {
     // duplicate query entries would double-count tf in scores and make
     // matchAll unsatisfiable (n_matched counts DISTINCT entries)
     val query = queryIn.distinct
-    val (matched, n) = matchPostings(docs, query, prefixMatch, regex, analyzer)
-    val scored0 = scoreMatched(matched, n, query.size, matchAll, regex,
+    val matched = matchPostings(docs, query, prefixMatch, regex, analyzer)
+    val scored0 = scoreMatched(matched, query.size, matchAll, regex,
       minScore, maxScore)
     val scored = exactFilter(scored0, docs, matchExact)
     rankWindow(scored, minRank, maxRank, k)
@@ -118,10 +130,9 @@ object FullText {
     * persisted table and the build cost disappears entirely. */
   private def matchPostings(docs: DataFrame, query: Seq[String],
                             prefixMatch: Boolean, regex: Option[String],
-                            analyzer: Analyzer): (DataFrame, DataFrame) = {
+                            analyzer: Analyzer): DataFrame = {
     val raw = docs.select(col("doc_id"),
       explode(analyzer.tokenize(col("text"))).as("term"))
-    val n = docs.select(count(lit(1)).as("n"))
     val matchedRaw = regex match {
       case Some(re) =>
         // regex match runs on the TERM DICTIONARY (distinct terms),
@@ -141,12 +152,22 @@ object FullText {
           else col("term") === col("q_term")
         raw.join(broadcast(q), cond)
     }
-    // two consumers (df aggregation + scoring join) — materialize the
+    // two consumers (norm join + scoring) — materialize the
     // query-scoped postings once
     val matched = matchedRaw
       .groupBy("term", "q_term", "doc_id").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    (matched, n)
+    // per-CANDIDATE-doc L2 norm over the doc's WHOLE term vector (the
+    // reference's TermFrequencyData.normalize()) — candidate-keyed
+    // semi-join, never a corpus-wide aggregate
+    val cand = matched.select("doc_id").distinct()
+    val norms = raw.join(cand, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id").agg(sqrt(sum(col("tf") * col("tf"))).as("_dn"))
+    val withDw = matched.join(norms, "doc_id")
+      .select(col("term"), col("q_term"), col("doc_id"),
+        (col("tf") / col("_dn")).as("dw"))
+    withDw
   }
 
   /** Search a PERSISTED inverted-index table `(term, doc_id, tf)` —
@@ -167,8 +188,8 @@ object FullText {
                   matchExact: Seq[String] = Nil,
                   exactTextOf: Option[Column => Column] = None): DataFrame = {
     val query = queryIn.distinct
-    val (matched, n) = matchIndexPostings(index, nDocs, query, prefixMatch, regex)
-    val scored0 = scoreMatched(matched, n, query.size, matchAll, regex,
+    val matched = matchIndexPostings(index, nDocs, query, prefixMatch, regex)
+    val scored0 = scoreMatched(matched, query.size, matchAll, regex,
       minScore, maxScore)
     // MATCH_EXACT against a postings-only index: the caller supplies
     // how to recompute a doc's text from its id (a value-centric
@@ -195,8 +216,8 @@ object FullText {
                      regex: Option[String] = None,
                      minScore: Option[Double] = None): DataFrame = {
     val query = queryIn.distinct
-    val (matched, n) = matchIndexPostings(index, nDocs, query, prefixMatch, regex)
-    scoreMatched(matched, n, query.size, matchAll, regex, minScore)
+    val matched = matchIndexPostings(index, nDocs, query, prefixMatch, regex)
+    scoreMatched(matched, query.size, matchAll, regex, minScore)
       .select("doc_id", "score")
   }
 
@@ -207,7 +228,7 @@ object FullText {
     * query's buckets at production scale). */
   private def matchIndexPostings(index: DataFrame, nDocs: Long,
                                  query: Seq[String], prefixMatch: Boolean,
-                                 regex: Option[String]): (DataFrame, DataFrame) = {
+                                 regex: Option[String]): DataFrame = {
     val spark = index.sparkSession
     // exact-term queries against a bucket-partitioned index
     // ([[PersistedSearchIndex]] lays adds segments out by term-hash
@@ -232,8 +253,9 @@ object FullText {
           if (prefixMatch) col("term").startsWith(col("q_term"))
           else col("term") === col("q_term")
         pruned.join(broadcast(q), cond)
-    }).select("term", "q_term", "doc_id", "tf").localCheckpoint()
-    (matched, spark.range(1).select(lit(nDocs).as("n")))
+    }).select(col("term"), col("q_term"), col("doc_id"), col("dw"))
+      .localCheckpoint()
+    matched
   }
 
   /** ALL matching docs with scores — no rank cut, no global sort.
@@ -248,29 +270,30 @@ object FullText {
                 minScore: Option[Double] = None,
                 analyzer: Analyzer = Analyzer.Latin()): DataFrame = {
     val query = queryIn.distinct
-    val (matched, n) = matchPostings(docs, query, prefixMatch, regex, analyzer)
-    scoreMatched(matched, n, query.size, matchAll, regex, minScore)
+    val matched = matchPostings(docs, query, prefixMatch, regex, analyzer)
+    scoreMatched(matched, query.size, matchAll, regex, minScore)
       .select("doc_id", "score")
   }
 
   /** Shared scoring body over query-matched postings
     * (term, q_term, doc_id, tf): per-doc TF·IDF + matchAll and
     * relevance-window filters, NO ordering. */
-  private def scoreMatched(matched: DataFrame, n: DataFrame, nQuery: Int,
+  private def scoreMatched(matched: DataFrame, nQuery: Int,
                            matchAll: Boolean, regex: Option[String],
                            minScore: Option[Double],
                            maxScore: Option[Double] = None): DataFrame = {
-    // df per matched term == its global df (all of a term's postings
-    // survive the query join); countDistinct guards the prefix case
-    // where one posting can match several query entries
-    val dfreq = matched.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    // the reference's relevance (FullTextIndex: "cosine between the
+    // query's and each document's normalized term-frequency vector"):
+    // doc weight = tf / ||doc tf vector||  (TermFrequencyData.normalize),
+    // query weight = 1/sqrt(|query terms|) (the query's own normalize —
+    // every query tf is 1), score = Σ qw·dw ∈ [0,1]. A regex query has
+    // no fixed term list — its hits score by the doc-weight sum alone
+    // (qw = 1, documented decision). IDF does not participate, matching
+    // the reference (its weights carry no document frequency).
+    val qw = if (regex.isDefined) 1.0 else 1.0 / math.sqrt(nQuery.toDouble)
     val scored = matched
-      // no hint: dfreq is per-matched-term — tiny for query lists but
-      // pattern-sized for regex/short-prefix matches; AQE decides
-      .join(dfreq, "term")
-      .crossJoin(broadcast(n))
       .groupBy("doc_id")
-      .agg(round(sum(col("tf") * log(col("n").cast("double") / col("df"))), 6).as("score"),
+      .agg(round(sum(col("dw") * qw), 6).as("score"),
            countDistinct(col("q_term")).as("n_matched"))
     val kept0 =
       if (matchAll && regex.isEmpty) scored.filter(col("n_matched") === nQuery)

@@ -141,7 +141,7 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
     val postings =
       if (goneSegs.isEmpty && addSegs.size <= 1) {
         // steady state (fresh build or post-compact): plain scan
-        addSegs.headOption.map(b => readSeg(b.k, "adds").select("doc_id", "term", "tf", "pb"))
+        addSegs.headOption.map(b => readSeg(b.k, "adds").select("doc_id", "term", "tf", "dw", "pb"))
           .getOrElse(emptyPostings(spark))
       } else {
         // latest-action resolution, the journal-snapshot discipline:
@@ -153,11 +153,11 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
         val live = acts.reduce(_ unionAll _)
           .groupBy("doc_id").agg(max(col("seq")).as("seq"))
           .filter(col("seq") % 2 === 1)
-        addSegs.map(b => readSeg(b.k, "adds").select("doc_id", "term", "tf", "pb")
+        addSegs.map(b => readSeg(b.k, "adds").select("doc_id", "term", "tf", "dw", "pb")
             .withColumn("seq", lit(2 * b.k + 1)))
           .reduce(_ unionAll _)
           .join(live, Seq("doc_id", "seq"))
-          .select("doc_id", "term", "tf", "pb")
+          .select("doc_id", "term", "tf", "dw", "pb")
       }
     // stats hook: an UPPER BOUND on the postings volume of a bucket
     // set, read from parquet FOOTERS only (no Spark job) — sums each
@@ -207,7 +207,7 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
     val wroteDocs = nAdd > 0
     val wroteAdds = wroteDocs && {
       val adds = FullText.invertedIndex(addedCorpus, az)
-        .select("doc_id", "term", "tf")
+        .select("doc_id", "term", "tf", "dw")
         .localCheckpoint() // one tokenize pass; probed AND written below
       val any = !adds.isEmpty
       if (any) writeAdds(adds, k)
@@ -237,7 +237,7 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
     * the Journal's compact/vacuum split, mirrored. */
   def compact(): Unit = synchronized {
     val k = meta.batches.map(_.k).foldLeft(-1L)(math.max) + 1
-    val live = view.postings.select("doc_id", "term", "tf").localCheckpoint()
+    val live = view.postings.select("doc_id", "term", "tf", "dw").localCheckpoint()
     val ids = liveDocIds.localCheckpoint()
     val anyPostings = !live.isEmpty
     val anyDocs = !ids.isEmpty
@@ -308,7 +308,7 @@ object PersistedSearchIndex {
 
   private def emptyPostings(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(String, String, Long, Int)].toDF("doc_id", "term", "tf", "pb")
+    Seq.empty[(String, String, Long, Double, Int)].toDF("doc_id", "term", "tf", "dw", "pb")
   }
 
   def exists(dir: String): Boolean =

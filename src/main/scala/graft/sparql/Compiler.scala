@@ -328,11 +328,14 @@ object Compiler {
     // schema would compare nulls strictly and drop solutions an
     // unbound var must stay compatible with (§8.3 compatibility)
     case Join(l, Union(a, b)) =>
-      val lc = compile(l, src)
+      // the distributed side evaluates TWICE (once per branch) — pin
+      // it so a nondeterministic subplan (LIMIT without ORDER) cannot
+      // diverge between the branches
+      val lc = compile(l, src).localCheckpoint()
       joinOn(lc, compile(a, src), "inner")
         .unionByName(joinOn(lc, compile(b, src), "inner"), allowMissingColumns = true)
     case Join(Union(a, b), r) =>
-      val rc = compile(r, src)
+      val rc = compile(r, src).localCheckpoint()
       joinOn(compile(a, src), rc, "inner")
         .unionByName(joinOn(compile(b, src), rc, "inner"), allowMissingColumns = true)
     case Join(l, r) =>
@@ -497,7 +500,13 @@ object Compiler {
             .getOrElse(src.triples.limit(0)) // dataset given, no FROM → empty default graph
         lazy val triples: DataFrame = merged(TriplePattern(Var("s"), Var("p"), Var("o")))
         override def scan(tp: TriplePattern): DataFrame = merged(tp)
-        override def quads: Option[DataFrame] = src.quads
+        // the named-graph VIEW is dataset-restricted exactly like
+        // quadScan — graph-key catalogs (GRAPH ?g over a search, a
+        // VALUES block, graph existence tests) must not see graphs
+        // outside FROM NAMED
+        override def quads: Option[DataFrame] = src.quads.map { q =>
+          if (named.isEmpty) q.limit(0) else q.filter(col("g").isin(named: _*))
+        }
         override def quadScan(tp: TriplePattern, g: Term): DataFrame = {
           // §13.2 (and Update §3.1.3 for USING): with a dataset clause
           // present, the named-graph set is EXACTLY the FROM NAMED /
@@ -995,11 +1004,21 @@ object Compiler {
       // group alongside the subquery's projection — the projection
       // hides everything else
       case Project(inner, vars @ _*) =>
-        val d = compileGraphVar(gv, inner, src)
+        // §18.2.2.3 variable scope: a subquery's projection HIDES its
+        // internal variables — an inner var merely SPELLED like the
+        // outer graph var is a different variable. The subquery's
+        // patterns scope per graph through a FRESH graph column;
+        // afterwards it surfaces as the outer graph var — and when the
+        // projection itself exports a var named gv, outer unification
+        // means the two must be EQUAL (one variable in outer scope).
+        val tmp = "_gvx_" + gv
+        val d = compileGraphVar(tmp, inner, src)
         val have = d.columns.toSet
-        val want = (vars :+ gv).distinct
-        d.select(want.map(v =>
-          if (have(v)) col(v) else lit(null).cast("string").as(v)): _*)
+        val want = vars.distinct
+        val base = d.select((want.map(v =>
+          if (have(v)) col(v) else lit(null).cast("string").as(v)) :+ col(tmp)): _*)
+        if (want.contains(gv)) base.filter(col(gv) === col(tmp)).drop(tmp)
+        else base.withColumnRenamed(tmp, gv)
       case StarProject(inner) =>
         val d = compileGraphVar(gv, inner, src)
         val named = d.columns.filterNot(_.startsWith("_"))
@@ -1010,9 +1029,14 @@ object Compiler {
         d.orderBy(keys.map(nullifyMissing(d.sparkSession, d.columns.toSet, _)): _*)
       case Group(inner, keys, aggs) =>
         // per-graph aggregation: the graph var is one more group key
-        val d = compileGraphVar(gv, inner, src)
+        // (a key no pattern binds groups as a single null — unbound)
+        val d0 = compileGraphVar(gv, inner, src)
+        val d = keys.filterNot(d0.columns.contains)
+          .foldLeft(d0)((df, k) => df.withColumn(k, lit(null).cast("string")))
         val aggCols = aggs.map { case (n, e) => e.as(n) }
-        d.groupBy((keys :+ gv).distinct.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        if (aggs.isEmpty) d.select((keys :+ gv).distinct.map(col): _*).distinct()
+        else d.groupBy((keys :+ gv).distinct.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
       case SubQuery(l, sub) =>
         joinOn(compileGraphVar(gv, l, src), compileGraphVar(gv, sub, src), "inner")
       // bds:search hits are STORE-wide literal matches (the

@@ -96,8 +96,13 @@ object FtsService {
     }
     val query = cOpt("fts:search").getOrElse(
       sys.error("SERVICE fts:search needs a '?v fts:search \"query\"' pattern"))
+    // reject-loud BEFORE dialing: an empty search string or endpoint is
+    // a request error, never an HTTP call (the reference's
+    // FulltextSearchServiceFactory validation)
+    require(query.trim.nonEmpty, "SERVICE fts:search: empty search string")
     val endpoint = cOpt("fts:endpoint").orElse(defaultEndpoint).getOrElse(
       sys.error("fts:endpoint not specified (and no default endpoint configured)"))
+    require(endpoint.trim.nonEmpty, "SERVICE fts:search: empty fts:endpoint")
     cOpt("fts:endpointType").foreach(t => require(t.equalsIgnoreCase("SOLR"),
       s"fts:endpointType: only SOLR is supported, got $t"))
     val resultType = cOpt("fts:searchResultType").getOrElse("LITERAL") match {

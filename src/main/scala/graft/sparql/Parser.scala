@@ -204,11 +204,24 @@ object Parser {
 
   private class Parser(tokens: Vector[String]) {
     private var pos = 0
-    private var prefixes = Map.empty[String, String]
+    // the W3C core prefixes are PRE-BOUND (a PREFIX declaration always
+    // wins) — matching the loaders' seeding, so a query spelling
+    // rdf:type without the boilerplate declaration still denotes the
+    // canonical term
+    private var prefixes = Map(
+      "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+      "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+      "owl" -> "http://www.w3.org/2002/07/owl#",
+      "xsd" -> "http://www.w3.org/2001/XMLSchema#")
     private var synth = 0
     private def peek: String = if (pos < tokens.length) tokens(pos) else "<eof>"
     private def peekAt(k: Int): String = if (pos + k < tokens.length) tokens(pos + k) else "<eof>"
-    private def next(): String = { val t = peek; pos += 1; t }
+    private def next(): String = {
+      // consuming past the end is ALWAYS a syntax error (an unclosed
+      // group would otherwise spin on the <eof> sentinel)
+      require(pos < tokens.length, "unexpected end of input")
+      val t = peek; pos += 1; t
+    }
     private def expect(t: String): Unit = {
       val got = next()
       require(got.equalsIgnoreCase(t), s"expected '$t', got '$got'")
@@ -759,14 +772,27 @@ object Parser {
       }
       // trailing VALUES clause (grammar [28] ValuesClause)
       val trailingValues =
-        if (peekIs("VALUES")) Some(parseValues())
-        // BINDINGS: the SPARQL 1.1 DRAFT spelling of the trailing
-        // VALUES clause, still accepted by the reference's grammar
-        else if (peekIs("BINDINGS")) Some(parseBindings())
+        if (peekIs("VALUES")) Some((parseValues(), false))
+        // BINDINGS: the SPARQL 1.1 DRAFT clause, still accepted by the
+        // reference's grammar — with the draft's INITIAL-bindings
+        // semantics (seed = true)
+        else if (peekIs("BINDINGS")) Some((parseBindings(), true))
         else None
 
       // ---- assemble in algebra order ----
-      trailingValues.foreach(v => alg = Join(alg, v))
+      trailingValues.foreach {
+        case (v, seed) if seed =>
+          // draft BINDINGS = INITIAL bindings (the 2009 semantics the
+          // reference keeps): the rows pre-bind evaluation, so an
+          // OPTIONAL evaluates UNDER each binding instead of being
+          // joined afterwards — push the seed down the left spine
+          def push(a: Algebra): Algebra = a match {
+            case LeftJoin(lft, r) => LeftJoin(push(lft), r)
+            case _                => Join(v, a)
+          }
+          alg = push(alg)
+        case (v, _) => alg = Join(alg, v)
+      }
       // named subqueries enclose the pattern but sit INSIDE the
       // dataset wrapper, so INCLUDEd sets see FROM / FROM NAMED
       alg = namedSubs.result().foldRight(alg) { case ((n, sub), a) => NamedSubquery(n, sub, a) }
@@ -1090,10 +1116,33 @@ object Parser {
           while (!peekIs("}")) {
             if (peekIs(".")) next()
             else {
-              next() // service subject (blank-ish node), ignored
-              val key = next().dropWhile(_ != ':').drop(1) // gas:/bds:/geo: prefix
+              val subjTok = next() // service subject (hit var for bds:search)
+              // option predicate: normalize through constValue so a
+              // full-IRI or aliased-prefix spelling names the same key
+              val keyTok = next()
+              val key = {
+                val c = if (keyTok.startsWith("?")) keyTok else constValue(keyTok)
+                c.substring(c.lastIndexOf(':') + 1).dropWhile(_ == '#')
+              }
               val v = next()
-              if (key == "out") outNode = v.drop(1)
+              if (svc == "bds:search") {
+                // the reference's SERVICE search syntax
+                // (SearchServiceFactory): the SUBJECT variable binds
+                // the matched literal, bds:search carries the query,
+                // bds:relevance / bds:rank name OUTPUT variables
+                if (subjTok.startsWith("?")) outNode = subjTok.drop(1)
+                key match {
+                  case "search"            => config += ("query" -> constValue(v))
+                  case "relevance" | "rank" if v.startsWith("?") =>
+                    outVal = v.drop(1)
+                  // the engine's explicit output-naming spellings keep
+                  // working alongside the reference's subject-var form
+                  case "out"               => outNode = v.drop(1)
+                  case "outVal"            => outVal = v.drop(1)
+                  case _                   => config += (key -> constValue(v))
+                }
+              }
+              else if (key == "out") outNode = v.drop(1)
               else if (key == "outVal") outVal = v.drop(1)
               else if (key == "outLat") outLat = v.drop(1)
               else if (key == "outLon") outLon = v.drop(1)
@@ -1311,7 +1360,9 @@ object Parser {
         else Some(constValue(t))
       }
       while (!peekIs("}")) {
-        if (vs.size == 1) rows += Seq(cell())
+        // a single-var VALUES may STILL parenthesize its rows (the
+        // grammar's DataBlock always allows the full-row form)
+        if (vs.size == 1 && !peekIs("(")) rows += Seq(cell())
         else {
           expect("(")
           val row = Vector.newBuilder[Option[String]]
@@ -1414,6 +1465,31 @@ object Parser {
 
     /** An empty group `{}` is the unit table — ONE solution binding
       * nothing (SPARQL §18.3: Join(X, {μ0}) = X, the identity). */
+    /** Value equality for two TERM operands (§17.4.1.7 RDFterm-equal
+      * + operator extensibility): numeric values compare numerically
+      * ("04"^^xsd:int = 4); two DIFFERENT literals where either
+      * side's value is undefined (unknown datatype / ill-typed
+      * lexical) are an ERROR, not false; terms of decidable kinds
+      * (IRIs, bnodes, language-tagged forms) compare as terms. */
+    private def valEq(a0: Column, b0: Column): Column = {
+      // operands may arrive as non-string Columns (a numeric literal
+      // in the query text) — the term comparisons below are string
+      // comparisons over lexicon forms
+      val a = a0.cast("string")
+      val b = b0.cast("string")
+      val (na, nb) = (RdfLiteral.numOf(a), RdfLiteral.numOf(b))
+      def isLit(c: Column) =
+        !c.rlike(Parser.IriShape) && !c.startsWith("_:")
+      val indeterminate =
+        (RdfLiteral.illComparable(a) || RdfLiteral.illComparable(b)) &&
+          !RdfLiteral.isTagged(a) && !RdfLiteral.isTagged(b) &&
+          isLit(a) && isLit(b)
+      when(a === b, lit(true))
+        .when(na.isNotNull && nb.isNotNull, na === nb)
+        .when(indeterminate, lit(null).cast("boolean"))
+        .otherwise(a === b)
+    }
+
     private def orUnit(a: Algebra): Algebra =
       if (a == null) Values(Nil, Seq(Nil)) else a
 
@@ -1470,7 +1546,17 @@ object Parser {
       val tail = t.substring(close + 1)
       if (tail.isEmpty) lex
       else if (tail.startsWith("@")) "\"" + lex + "\"" + tail
-      else RdfLiteral.typed(lex, constValue(tail.drop(2)))
+      else {
+        val dt = constValue(tail.drop(2))
+        // dateTime constants canonicalize to UTC exactly like the
+        // loaders' lexicon boundary (one term, chronological string
+        // order) — graft.rdf.Turtle.canonicalDateTime
+        val lex2 =
+          if (dt == "http://www.w3.org/2001/XMLSchema#dateTime")
+            graft.rdf.Turtle.canonicalDateTime(lex)
+          else lex
+        RdfLiteral.typed(lex2, dt)
+      }
     }
 
     /** Constant-term value of a token (IRI/prefix normalization). */
@@ -1581,23 +1667,19 @@ object Parser {
         val negated = peekIs("NOT")
         if (negated) next()
         next(); expect("(")
-        val vals = Vector.newBuilder[String]
-        vals += constValue(next())
-        while (peekIs(",")) { next(); vals += constValue(next()) }
+        // IN is sugar for a disjunction of `=` comparisons (§17.4.1.9)
+        // over full expressions — variables included — each with the
+        // RDFterm-equal value semantics
+        val vals = Vector.newBuilder[Column]
+        if (!peekIs(")")) {
+          vals += parseExpr(aggSink)
+          while (peekIs(",")) { next(); vals += parseExpr(aggSink) }
+        }
         expect(")")
-        // IN compares by VALUE for numeric operands (each comparison
-        // is `l = v` per the spec's definition of IN as a disjunction
-        // of equalities)
-        val c = vals.result().map { v =>
-          val nv = scala.util.Try(new java.math.BigDecimal(
-            if (v.startsWith("\"")) v.substring(1, v.lastIndexOf('\"')) else v)).toOption
-          nv match {
-            case Some(bd) =>
-              val nl = RdfLiteral.numOf(l)
-              when(nl.isNotNull, nl === bd.doubleValue).otherwise(l === v)
-            case None => l === v
-          }
-        }.reduce(_ || _)
+        val items = vals.result()
+        val c =
+          if (items.isEmpty) lit(false)
+          else items.map(v => valEq(l, v)).reduce(_ || _)
         return if (negated) !c else c
       }
       peek match {
@@ -1612,24 +1694,6 @@ object Parser {
             if (rNum && !lNum) (RdfLiteral.numOf(l), r0)
             else if (lNum && !rNum) (l, RdfLiteral.numOf(r0))
             else (l, r0)
-          // value equality for two TERM operands (§17.4.1.7 RDFterm-equal
-          // + operator extensibility): when both sides carry numeric
-          // VALUES they compare numerically ("04"^^xsd:int = 4); only
-          // the term forms compare otherwise. Literal-vs-term paths are
-          // already coerced above.
-          def valEq(a: Column, b: Column): Column = {
-            val (na, nb) = (RdfLiteral.numOf(a), RdfLiteral.numOf(b))
-            when(a === b, lit(true))
-              .when(na.isNotNull && nb.isNotNull, na === nb)
-              // §17.4.1.7 RDFterm-equal: two DIFFERENT literals that
-              // are not comparable by value (an unknown datatype, or
-              // an ill-typed lexical form) are an ERROR, not false —
-              // the error nulls the filter and, under `!=`, stays
-              // an error rather than becoming true
-              .when(RdfLiteral.illComparable(a) || RdfLiteral.illComparable(b),
-                lit(null).cast("boolean"))
-              .otherwise(a === b)
-          }
           op match {
             case ">" => lc > rc; case "<" => lc < rc
             case ">=" => lc >= rc; case "<=" => lc <= rc

@@ -1678,4 +1678,164 @@ class ServerSpec extends AnyFunSuite {
         timestamp = Some(1L)).collect().map(_.getString(1)).toSeq == Seq("gear"))
     } finally srv.stop()
   }
+
+  test("TM update-with-body: ONE atomic commit, symmetric modified count") {
+    val dir = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), dir).start()
+    try {
+      assert(post(srv.address + "/namespace", "name=tmu&truthMaintenance=true",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      assert(post(srv.address + "/namespace/tmu/sparql/update",
+        """INSERT DATA { Employee subClassOf Agent . e:1 type Employee . e:1 status "old" }""",
+        "application/sparql-update").statusCode() == 204)                    // v1
+      // remove + insert through ONE request = ONE commit: the version
+      // after the PUT is 2, and there is NO intermediate commit point
+      // (a crash between the halves cannot exist — r16 ADVICE)
+      val put = send(req(srv.address + "/namespace/tmu/sparql?query=" +
+        java.net.URLEncoder.encode(
+          """CONSTRUCT { ?s status ?o } WHERE { ?s status ?o }""", "UTF-8"))
+        .header("Content-Type", "application/n-triples")
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "<urn:graft:e:1> <urn:graft:status> \"new\" .\n")))
+      assert(put.statusCode() == 200 && put.body().contains("""modified="2""""),
+        put.body())
+      def sel(q: String, extra: String = "") =
+        graft.sparql.RemoteService.parseJsonResults(spark,
+          post(srv.address + s"/namespace/tmu/sparql$extra", q,
+            "application/sparql-query").body())
+      // the entailed head sees BOTH halves; v2 is the one new commit
+      assert(sel("""SELECT ?o WHERE { e:1 status ?o }""")
+        .collect().map(_.getString(0)).toSeq == Seq("new"))
+      assert(sel("""SELECT ?o WHERE { e:1 status ?o }""", "?timestamp=2")
+        .collect().map(_.getString(0)).toSeq == Seq("new"))
+      // no commit point 3 exists — the two halves were ONE version
+      assert(post(srv.address + "/namespace/tmu/sparql?timestamp=3",
+        """SELECT ?o WHERE { e:1 status ?o }""",
+        "application/sparql-query").statusCode() == 400)
+      // modified-count symmetry (r16 verdict item): re-inserting an
+      // ALREADY-asserted statement counts 0 on the add side, exactly
+      // like removing an absent one counts 0 on the remove side
+      val reins = send(req(srv.address + "/namespace/tmu/sparql?query=" +
+        java.net.URLEncoder.encode(
+          """CONSTRUCT { ?s nosuch ?o } WHERE { ?s nosuch ?o }""", "UTF-8"))
+        .header("Content-Type", "application/n-triples")
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "<urn:graft:e:1> <urn:graft:type> <urn:graft:Employee> .\n")))
+      assert(reins.statusCode() == 200 && reins.body().contains("""modified="0""""),
+        reins.body())
+    } finally srv.stop()
+  }
+
+  test("TM concurrency soak: concurrent writers + readers end at the from-scratch closure") {
+    val dir = tmp()
+    val srv = SparqlServer.durable(Graft.empty(spark), dir).start()
+    try {
+      assert(post(srv.address + "/namespace", "name=soak&truthMaintenance=true",
+        "application/x-www-form-urlencoded").statusCode() == 201)
+      assert(post(srv.address + "/namespace/soak/sparql/update",
+        """INSERT DATA { A subClassOf B . B subClassOf C }""",
+        "application/sparql-update").statusCode() == 204)
+      val writers = 6; val perWriter = 4
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val tasks = (0 until writers).map { t =>
+        pool.submit(new Runnable { def run(): Unit =
+          try (0 until perWriter).foreach { i =>
+            // alternate suppressed/unsuppressed writes — the reference
+            // allows both to interleave; the final vocabulary commit's
+            // re-derivation folds suppressed rows into the closure
+            val (extra, subj) =
+              if ((t + i) % 3 == 2) ("?suppressTruthMaintenance=true", s"f:${t}x$i")
+              else ("", s"e:${t}x$i")
+            val r = post(srv.address + s"/namespace/soak/sparql/update$extra",
+              s"INSERT DATA { $subj type A }", "application/sparql-update")
+            assert(r.statusCode() == 204, r.body())
+          } catch { case e: Throwable => errs.add(e) } })
+      } ++ (0 until 2).map { _ =>
+        pool.submit(new Runnable { def run(): Unit =
+          try (0 until 6).foreach { _ =>
+            // concurrent readers: any snapshot they catch must parse
+            // and answer (no torn state)
+            val b = post(srv.address + "/namespace/soak/sparql",
+              "SELECT (COUNT(*) AS ?n) WHERE { ?s type C }",
+              "application/sparql-query")
+            assert(b.statusCode() == 200, b.body())
+          } catch { case e: Throwable => errs.add(e) } })
+      }
+      tasks.foreach(_.get())
+      pool.shutdown()
+      assert(errs.isEmpty, String.valueOf(errs.peek()))
+      // a final VOCABULARY commit re-derives the whole program — the
+      // closure now equals the from-scratch program over every
+      // asserted row, suppressed writers included
+      assert(post(srv.address + "/namespace/soak/sparql/update",
+        "INSERT DATA { C subClassOf D }",
+        "application/sparql-update").statusCode() == 204)
+      def ids(q: String) = graft.sparql.RemoteService.parseJsonResults(spark,
+        post(srv.address + "/namespace/soak/sparql", q,
+          "application/sparql-query").body())
+        .collect().map(_.getString(0)).toSet
+      // the from-scratch expectation, derived independently in Scala:
+      // every writer's subject (suppressed or not) entails A,B,C,D
+      val all = (for (t <- 0 until writers; i <- 0 until perWriter) yield
+        if ((t + i) % 3 == 2) s"f:${t}x$i" else s"e:${t}x$i").toSet
+      assert(ids("SELECT ?s WHERE { ?s type A }") == all)
+      assert(ids("SELECT ?s WHERE { ?s type D }") == all)
+    } finally srv.stop()
+  }
+
+  test("maxBopLength clamps ?explain and /status detail") {
+    val srv = new SparqlServer(
+      Graft.empty(spark).update("""INSERT DATA { x:1 label "a" }""")).start()
+    try {
+      val full = post(srv.address + "/sparql?explain",
+        "SELECT ?s WHERE { ?s label ?o }", "application/sparql-query").body()
+      val capped = post(srv.address + "/sparql?explain&maxBopLength=40",
+        "SELECT ?s WHERE { ?s label ?o }", "application/sparql-query").body()
+      assert(full.length > 200)
+      assert(capped.startsWith(full.take(40)) && capped.contains("truncated at maxBopLength=40"))
+      // /status accepts the same clamp (the StatusServlet parameter)
+      assert(send(req(srv.address + "/status?maxBopLength=10").GET()).statusCode() == 200)
+    } finally srv.stop()
+  }
+
+  test("whitelist endpoint read-only gate refuses policy changes over HTTP") {
+    val dir = tmp()
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir).resolve("whitelist.readonly"))
+    val srv = SparqlServer.durable(Graft.empty(spark), dir).start()
+    try {
+      val r = post(srv.address + "/whitelist", "enabled=false",
+        "application/x-www-form-urlencoded")
+      assert(r.statusCode() == 403 && r.body().contains("read-only"), r.body())
+      // reads stay open
+      assert(send(req(srv.address + "/whitelist").GET()).statusCode() == 200)
+    } finally srv.stop()
+  }
+
+  test("multipart delimiters match at line starts only (RFC 2046)") {
+    val g0 = Graft.empty(spark).update("""INSERT DATA { x:1 note "keep" }""")
+    val srv = new SparqlServer(g0).start()
+    try {
+      val b = "graftB7"
+      // the add part's CONTENT contains the bare delimiter byte
+      // sequence MID-LINE — a substring split would truncate the part
+      val body =
+        s"""--$b\r
+           |Content-Disposition: form-data; name="add"\r
+           |Content-Type: application/n-triples\r
+           |\r
+           |<urn:graft:x:2> <urn:graft:note> "has --$b inside" .\r
+           |--$b--\r
+           |""".stripMargin
+      val up = post(srv.address + "/sparql?updatePost", body,
+        s"multipart/form-data; boundary=$b")
+      assert(up.statusCode() == 200, up.body())
+      val got = graft.sparql.RemoteService.parseJsonResults(spark,
+        post(srv.address + "/sparql",
+          """SELECT ?o WHERE { x:2 note ?o }""",
+          "application/sparql-query").body()).collect().map(_.getString(0)).toSeq
+      assert(got == Seq(s"has --$b inside"), got)
+    } finally srv.stop()
+  }
 }

@@ -253,7 +253,12 @@ object W3c {
       val df = g.query(rq)
       expected match {
         case ExpBool(want) =>
-          val got = df.collect().head.getBoolean(0)
+          // an ASK answer is the boolean column; a few reference cases
+          // pair a CONSTRUCT/SELECT query with a boolean expectation —
+          // there the assertion is solution-EXISTENCE
+          val got =
+            if (df.columns.sameElements(Array("ask"))) df.collect().head.getBoolean(0)
+            else !df.isEmpty
           if (got == want) Pass else Fail(s"ASK: want $want got $got")
         case ExpRows(vars, rows) =>
           val cols = df.columns.toSet

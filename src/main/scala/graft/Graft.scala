@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.rdf.{QuadStore, Serializer}
-import graft.sparql.{Algebra, Compiler, Parser, ProtocolDataset, RdfLiteral, TriplePattern, TripleSource, Update, UpdateOp}
+import graft.sparql.{Algebra, ClearAll, ClearSolutions, Compiler, CreateSolutions, DeleteFromSolutions, DropSolutions, InsertIntoSolutions, Parser, ProtocolDataset, RdfLiteral, SolutionsOp, TriplePattern, TripleSource, Update, UpdateOp}
 import org.apache.spark.sql.functions.col
 
 /** The migrating user's single entry point — the analog of the
@@ -32,7 +32,8 @@ final case class Graft(spark: SparkSession, store: QuadStore,
                        unionDefaultGraph: Boolean = true,
                        analyzerName: Option[String] = None,
                        textIndex: Option[graft.search.SearchIndexView] = None,
-                       ospHash: Option[String] = None) {
+                       ospHash: Option[String] = None,
+                       solutionSets: Map[String, DataFrame] = Map.empty) {
 
   /** Set iff the union-default-graph merge view has been materialized
     * for this handle (see [[release]]). */
@@ -104,13 +105,29 @@ final case class Graft(spark: SparkSession, store: QuadStore,
   }
 
   /** SPARQL query text → result DataFrame (solutions, triples for
-    * CONSTRUCT/DESCRIBE, or a 1-row boolean for ASK). */
-  def query(q: String): DataFrame = Compiler.compile(Parser.parse(q), source)
+    * CONSTRUCT/DESCRIBE, or a 1-row boolean for ASK). The handle's
+    * [[solutionSets]] (built by `INSERT INTO %set` updates) are in
+    * INCLUDE scope. */
+  def query(q: String): DataFrame =
+    Compiler.withNamedSolutionSets(solutionSets)(
+      Compiler.compile(Parser.parse(q), source))
 
   /** Compile an ALREADY-PARSED (possibly transformed) query against
     * this handle — the seam the server's protocol knobs use (e.g. a
     * protocol-supplied dataset rewrites the AST before compiling). */
-  def query(ast: Algebra): DataFrame = Compiler.compile(ast, source)
+  def query(ast: Algebra): DataFrame =
+    Compiler.withNamedSolutionSets(solutionSets)(Compiler.compile(ast, source))
+
+  /** [[query]] with EXTERNALLY-supplied named solution sets in scope:
+    * `INCLUDE %name` resolves against `sets` when the query has no
+    * WITH definition for it — the reference's SolutionSetManager seam
+    * (a set persisted by `INSERT INTO SOLUTIONS` or created by a
+    * harness is INCLUDEable without being defined in the query). Each
+    * DataFrame's columns are the set's variable names; a null cell is
+    * an unbound slot. Merges OVER the handle's own sets. */
+  def query(q: String, namedSolutionSets: Map[String, DataFrame]): DataFrame =
+    Compiler.withNamedSolutionSets(solutionSets ++ namedSolutionSets)(
+      Compiler.compile(Parser.parse(q), source))
 
   /** [[query]] under a PROTOCOL-supplied RDF dataset (SPARQL 1.1
     * Protocol §2.1.4 `default-graph-uri`/`named-graph-uri`): the
@@ -139,9 +156,72 @@ final case class Graft(spark: SparkSession, store: QuadStore,
     copy(store = newStore, ospHash = None, textIndex = None)
 
   /** Apply ALREADY-PARSED (possibly transformed) update ops — the
-    * protocol-dataset seam ([[sparql.ProtocolDataset.usingIn]]). */
+    * protocol-dataset seam ([[sparql.ProtocolDataset.usingIn]]). The
+    * store ops batch through [[Update.applyQuadsSeq]] as before;
+    * SOLUTIONS ops act on the handle's [[solutionSets]] in request
+    * order (they interleave with store ops — an `INSERT INTO %s
+    * SELECT` sees the store state its position implies). */
   def updateOps(ops: Seq[UpdateOp]): Graft =
-    withStore(Update.applyQuadsSeq(store, ops, defaultGraph))
+    if (solutionSets.isEmpty && !ops.exists(_.isInstanceOf[SolutionsOp]))
+      withStore(Update.applyQuadsSeq(store, ops, defaultGraph))
+    else ops.foldLeft(this)((g, op) => g.applyOne(op))
+
+  private def applyOne(op: UpdateOp): Graft = op match {
+    case CreateSolutions(n, silent) =>
+      if (solutionSets.contains(n)) {
+        if (silent) this
+        else sys.error(s"CREATE SOLUTIONS %$n: the solution set already exists")
+      } else copy(solutionSets = solutionSets.updated(n, spark.emptyDataFrame))
+    case DropSolutions(None, _) => copy(solutionSets = Map.empty)
+    case DropSolutions(Some(n), silent) =>
+      if (!solutionSets.contains(n) && !silent)
+        sys.error(s"DROP SOLUTIONS %$n: no such solution set")
+      else copy(solutionSets = solutionSets - n)
+    case ClearSolutions(None, _) =>
+      copy(solutionSets = solutionSets.map { case (k, _) => k -> spark.emptyDataFrame })
+    case ClearSolutions(Some(n), silent) =>
+      if (!solutionSets.contains(n)) {
+        if (silent) this
+        else sys.error(s"CLEAR SOLUTIONS %$n: no such solution set")
+      } else copy(solutionSets = solutionSets.updated(n, spark.emptyDataFrame))
+    case InsertIntoSolutions(n, select) =>
+      // the SELECT evaluates against the CURRENT state (store + sets),
+      // materialized before the set mutates (self-insert reads the
+      // pre-update set, like every SPARQL update's WHERE)
+      val sol = Compiler.withNamedSolutionSets(solutionSets)(
+        Compiler.compile(select, source)).localCheckpoint()
+      val cur = solutionSets.getOrElse(n, spark.emptyDataFrame)
+      val appended =
+        if (cur.columns.isEmpty) sol
+        else cur.unionByName(sol, allowMissingColumns = true)
+      copy(solutionSets = solutionSets.updated(n, appended))
+    case DeleteFromSolutions(n, select) =>
+      val cur = solutionSets.getOrElse(n,
+        sys.error(s"DELETE FROM %$n: no such solution set"))
+      if (cur.columns.isEmpty) this
+      else {
+        val sol = Compiler.withNamedSolutionSets(solutionSets)(
+          Compiler.compile(select, source)).localCheckpoint()
+        // remove stored solutions EQUAL to some produced solution:
+        // null-safe full-row anti join over the stored columns (a
+        // produced row missing a stored column matches stored-unbound)
+        val rr = sol.columns.foldLeft(sol)((d, c) => d.withColumnRenamed(c, "_d_" + c))
+        val cond = cur.columns.map { c =>
+          if (rr.columns.contains("_d_" + c))
+            org.apache.spark.sql.functions.col(c) <=>
+              org.apache.spark.sql.functions.col("_d_" + c)
+          else org.apache.spark.sql.functions.col(c).isNull
+        }.reduce(_ && _)
+        copy(solutionSets =
+          solutionSets.updated(n, cur.join(rr, cond, "left_anti")))
+      }
+    case ClearAll =>
+      // ALL = graphs AND solution sets (GraphRefAll's ALL arm sets both)
+      withStore(Update.applyQuadsSeq(store, Seq(ClearAll), defaultGraph))
+        .copy(solutionSets = Map.empty)
+    case other =>
+      withStore(Update.applyQuadsSeq(store, Seq(other), defaultGraph))
+  }
 
   /** Drop this handle's materialized union-default-graph view from
     * block storage (no-op if never materialized or already released).

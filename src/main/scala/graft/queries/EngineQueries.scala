@@ -787,6 +787,27 @@ object EngineQueries {
         .filter(col("p").isin("mktsegment", "segment_class", "acctbal") && col("s").startsWith("c:"))
         .orderBy("s", "p", "o")
     }),
+
+    // NAMED SOLUTION SET updates (the reference's SOLUTIONS grammar
+    // extension, sparql.jj:335 / AST2BOpUpdate.java:728-1007): one
+    // ';'-separated request CREATEs a set, APPENDs two SELECTs into it
+    // (putSolutions), DELETEs matching solutions back out, and the
+    // final query reads it via INCLUDE — connection-scoped sets on the
+    // Graft handle, exactly the surface a reference SPARQL-cache user
+    // migrates. Scale: the set materializes once (localCheckpoint) and
+    // joins like any solution relation.
+    "update_solutions" -> ((s, dir) => {
+      val g = graft.Graft.ofTriples(s,
+        TpchRdf.triplesFor(s, dir, Seq("nation", "region"))).update(
+        """CREATE SOLUTIONS %picked ;
+          |INSERT INTO %picked SELECT ?n ?nname
+          |  WHERE { ?n region ?r . ?n name ?nname . ?r name "ASIA" } ;
+          |INSERT INTO %picked SELECT ?n ?nname
+          |  WHERE { ?n region ?r . ?n name ?nname . ?r name "AFRICA" } ;
+          |DELETE FROM %picked SELECT ?n ?nname
+          |  WHERE { ?n name ?nname . ?n name "INDIA" }""".stripMargin)
+      g.query("SELECT ?n ?nname WHERE { INCLUDE %picked } ORDER BY ?n ?nname")
+    }),
   )
 
   val quadDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1200,6 +1221,12 @@ object EngineQueries {
       """SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS s, 'partof' AS p, r_name AS o
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY s, p, o""".stripMargin,
+
+    "update_solutions" ->
+      """SELECT 'n:'||CAST(n_nationkey AS VARCHAR) AS n, n_name AS nname
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA','AFRICA') AND n_name <> 'INDIA'
+        |ORDER BY n, nname""".stripMargin,
 
     "graph_quads" ->
       """SELECT g, n_triples FROM (

@@ -192,6 +192,36 @@ final case class AddGraph(from: Option[String], to: Option[String],
 final case class Load(source: String, graph: Option[String],
                       silent: Boolean = false) extends UpdateOp
 
+/** bigdata NAMED SOLUTION SET update extensions (sparql.jj:335
+  * `<SOLUTIONS>`, InsertClause `INSERT INTO %name Select()` /
+  * DeleteClause `DELETE FROM %name Select()`, GraphRefAll's
+  * SOLUTIONS/GRAPHS arms; evaluated in AST2BOpUpdate.java:728-1007
+  * against an ISolutionSetManager). Solution sets are
+  * CONNECTION-scoped here (they live on the [[graft.Graft]] handle —
+  * the reference's default ISolutionSetManager is the SPARQL cache,
+  * not the journal); `INCLUDE %name` reads them. */
+sealed trait SolutionsOp extends UpdateOp
+/** CREATE [SILENT] SOLUTIONS %name — an empty named set; exists is an
+  * error unless SILENT. */
+final case class CreateSolutions(name: String, silent: Boolean = false) extends SolutionsOp
+/** DROP [SILENT] SOLUTIONS [%name] — None drops ALL named sets;
+  * absent named set errors unless SILENT. */
+final case class DropSolutions(name: Option[String], silent: Boolean = false) extends SolutionsOp
+/** CLEAR [SILENT] SOLUTIONS [%name] — like DROP but the set remains,
+  * empty. */
+final case class ClearSolutions(name: Option[String], silent: Boolean = false) extends SolutionsOp
+/** INSERT INTO %name SELECT … — APPENDS the SELECT's solutions to the
+  * named set (the reference's putSolutions). */
+final case class InsertIntoSolutions(name: String, select: Algebra) extends SolutionsOp
+/** DELETE FROM %name SELECT … — removes every stored solution equal
+  * to some produced solution (null-safe full-row equality; stored
+  * duplicates of a matched solution all go, non-matching multiplicity
+  * is preserved). */
+final case class DeleteFromSolutions(name: String, select: Algebra) extends SolutionsOp
+/** DROP [SILENT] GRAPHS — every NAMED graph goes, the default graph
+  * and the solution sets stay (GraphRefAll's GRAPHS arm). */
+final case class DropGraphs(silent: Boolean = false) extends UpdateOp
+
 /** GRAPH g { child } — graph-scoped pattern group. A Const `g` scopes
   * every pattern to one named graph; a Var `g` binds the graph name as
   * a solution variable joined on shared vars. */
@@ -272,10 +302,18 @@ final case class SearchService(terms: Seq[String], limit: Int,
   * would go through the RemoteServiceCallImpl analog registered
   * there). The handler's solution joins the enclosing group on shared
   * variables; with `silent`, an unreachable endpoint contributes the
-  * unit solution instead of failing (§13.2 SILENT). */
+  * unit solution instead of failing (§13.2 SILENT). `runLast` is the
+  * reference's `hint:Prior hint:runLast` applied to a SERVICE node
+  * (QueryHintRegistry RunLast): the service evaluates AFTER the rest
+  * of its group, which licenses binding injection — a variable
+  * `fts:search` term resolves per distinct binding computed by the
+  * prior patterns (FulltextSearchServiceFactory's multi-request
+  * form). Without the hint a variable search term stays a loud error,
+  * exactly the reference's evaluation-order behavior. */
 final case class ServiceCall(endpoint: String, inner: Algebra,
                              silent: Boolean = false,
-                             srcText: Option[String] = None) extends Algebra
+                             srcText: Option[String] = None,
+                             runLast: Boolean = false) extends Algebra
 
 /** SERVICE [SILENT] ?endpoint { group } — the variable-endpoint form
   * of [[ServiceCall]] (the reference's ServiceCallJoin takes an

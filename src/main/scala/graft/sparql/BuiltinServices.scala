@@ -518,4 +518,10 @@ object BuiltinServices {
     // SEARCH, GEO, FTS, SEARCH_IN_SEARCH, SAMPLE, SLICE, VALUES) 7/7
     "fts:search" -> FtsService.handler,
     "http://www.bigdata.com/rdf/fts#search" -> FtsService.handler)
+
+  /** Built-in magic-service names: these always bind their declared
+    * output variables (every hit row carries the hit term), so their
+    * joins stay plain EQUI joins — only user-registered/remote
+    * endpoints get §8.3 unbound-compatible treatment. */
+  private[sparql] lazy val names: Set[String] = all.map(_._1).toSet
 }

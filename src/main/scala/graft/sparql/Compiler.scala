@@ -19,9 +19,21 @@ object Compiler {
 
   /** Named solution sets in scope during compilation (NamedSubqueryRoot
     * materializations; INCLUDE resolves here). Scoped dynamically so
-    * nested compiles see their enclosing query's sets. */
+    * nested compiles see their enclosing query's sets. Entries are
+    * memoizing THUNKS: a WITH definition may INCLUDE a sibling defined
+    * later in the text (the reference's ASTNamedSubqueryOptimizer
+    * orders definitions by dependency), so resolution is lazy and each
+    * set still materializes exactly once. */
   private val namedSets =
-    new scala.util.DynamicVariable[Map[String, DataFrame]](Map.empty)
+    new scala.util.DynamicVariable[Map[String, () => DataFrame]](Map.empty)
+
+  /** Run `f` with EXTERNALLY-supplied named solution sets in scope —
+    * the reference's SolutionSetManager seam (a named set persisted by
+    * `INSERT INTO SOLUTIONS` or created by the harness is visible to
+    * `INCLUDE %name` without a WITH definition in the query). */
+  def withNamedSolutionSets[T](sets: Map[String, DataFrame])(f: => T): T =
+    namedSets.withValue(
+      namedSets.value ++ sets.map { case (k, v) => k -> (() => v) })(f)
 
   /** Variables an algebra CAN bind (approximate, bottom-up; unknown
     * nodes report empty — they are treated as always-bound, which
@@ -94,6 +106,26 @@ object Compiler {
     case VirtualGraphClause(_, _, c) => maybeUnbound(c)
     case NamedSubquery(_, _, c) => maybeUnbound(c)
     case _ => Set.empty
+  }
+
+  /** Columns of a MATERIALIZED relation that actually contain a null
+    * (= an unbound slot): the exact §8.3-unsafe set for solution
+    * relations whose shape is only known at runtime — INCLUDE'd named
+    * solution sets and user-registered/remote SERVICE results (both
+    * return BINDING SETS; the reference's mock factories do return
+    * partial solutions). One aggregate job over an
+    * already-materialized (localCheckpoint'd / handler-built, usually
+    * driver-sized) relation; all-bound columns — the overwhelmingly
+    * common case — keep the plain hash-equi-join hot path, columns
+    * with a genuine unbound slot move into the compatibility join. */
+  private def nullableCols(df: DataFrame): Set[String] = {
+    if (df.columns.isEmpty) return Set.empty
+    val probes = df.columns.map(c =>
+      max(when(col(c).isNull, 1).otherwise(0)).as(c))
+    val row = df.agg(probes.head, probes.tail: _*).head()
+    df.columns.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(i) && row.getInt(i) == 1 => c
+    }.toSet
   }
 
   /** Inner join under SPARQL §8.3 COMPATIBILITY: a shared variable
@@ -289,16 +321,37 @@ object Compiler {
       val midDf = if (mid.isEmpty) Nil else Seq(compile(Bgp(mid: _*), src))
       val tail = last.map(compilePattern(_, src))
       (lead ++ midDf ++ tail).reduceLeft(joinOn(_, _, "inner"))
-    case NamedSubquery(name, sub, child) =>
-      // evaluated ONCE into a named solution set; localCheckpoint
-      // materializes it so N INCLUDEs never re-run the sub-plan (the
-      // reference builds a hash-indexed solution set the same way; on
-      // a cluster this is a reliable checkpoint / cached table)
-      val set = compile(sub, src).localCheckpoint()
-      namedSets.withValue(namedSets.value + (name -> set))(compile(child, src))
+    case ns: NamedSubquery =>
+      // the full consecutive WITH chain compiles as ONE scope, so a
+      // definition can INCLUDE a sibling defined LATER in the text
+      // (the reference's ASTNamedSubqueryOptimizer computes a
+      // dependency order; ticket bg1763b is exactly this shape).
+      // Each set still evaluates ONCE — lazily on first INCLUDE,
+      // localCheckpoint-materialized so N INCLUDEs never re-run the
+      // sub-plan (the reference builds a hash-indexed solution set
+      // the same way; on a cluster this is a reliable checkpoint).
+      // A circular INCLUDE chain fails loud instead of recursing.
+      val defs = scala.collection.mutable.ListBuffer.empty[(String, Algebra)]
+      var body: Algebra = ns
+      while (body.isInstanceOf[NamedSubquery]) {
+        val n = body.asInstanceOf[NamedSubquery]
+        defs += ((n.name, n.sub)); body = n.child
+      }
+      val memo = scala.collection.mutable.Map.empty[String, DataFrame]
+      val inProgress = scala.collection.mutable.Set.empty[String]
+      lazy val env: Map[String, () => DataFrame] =
+        namedSets.value ++ defs.map { case (n, sub) =>
+          n -> (() => memo.getOrElseUpdate(n, {
+            require(inProgress.add(n),
+              s"INCLUDE %$n: circular named-subquery reference")
+            try namedSets.withValue(env)(compile(sub, src).localCheckpoint())
+            finally inProgress.remove(n)
+          }))
+        }
+      namedSets.withValue(env)(compile(body, src))
     case NamedInclude(name) =>
       namedSets.value.getOrElse(name,
-        sys.error(s"INCLUDE %$name: no such named subquery in scope"))
+        sys.error(s"INCLUDE %$name: no such named subquery in scope"))()
     // SERVICE ?endpoint { … }: dispatch per distinct binding of the
     // endpoint variable from the computed side (ServiceCallJoin.java:227
     // — the serviceRef is an IVariableOrConstant, resolved per binding).
@@ -313,6 +366,31 @@ object Compiler {
       serviceVarJoin(compile(l, src), sc, src, "left_outer")
     case Join(l, v: Values) => valuesJoin(compile(l, src), v)
     case Join(v: Values, r) => valuesJoin(compile(r, src), v)
+    // INCLUDE joined in its group: a named solution set is BINDING
+    // SETS — a slot can be unbound (the reference's SolutionSetHash
+    // JoinOp joins with compatibility). Set columns are only known at
+    // runtime (the set is external or a WITH materialization), hence
+    // the special case; [[nullableCols]] keeps all-bound columns —
+    // the common case — on the hash-equi-join hot path.
+    case Join(l, ni: NamedInclude) =>
+      val set = compile(ni, src)
+      joinCompat(compile(l, src), set, maybeUnbound(l) ++ nullableCols(set))
+    case Join(ni: NamedInclude, r) =>
+      val set = compile(ni, src)
+      joinCompat(set, compile(r, src), maybeUnbound(r) ++ nullableCols(set))
+    // `hint:Prior hint:runLast` on a SERVICE fts:search group whose
+    // search term is a VARIABLE: the service evaluates AFTER the rest
+    // of the group, once per distinct term binding (the reference's
+    // FulltextSearchServiceFactory multi-request form — one external
+    // request per solution). Without the hint the service compiles
+    // standalone and the variable term stays a loud error, matching
+    // the reference's evaluation order.
+    case Join(l, sc: ServiceCall)
+        if sc.runLast && FtsService.varSearchTerm(sc.inner).isDefined =>
+      ftsInjectJoin(compile(l, src), sc, src)
+    case Join(sc: ServiceCall, r)
+        if sc.runLast && FtsService.varSearchTerm(sc.inner).isDefined =>
+      ftsInjectJoin(compile(r, src), sc, src)
     // a REMOTE service joined in its group evaluates VECTORED: the
     // computed side's shared-variable keys inject into the service
     // query as chunked VALUES (ServiceCallJoin's bound join), so the
@@ -322,6 +400,19 @@ object Compiler {
       ServiceVectoring.joinVectored(compile(l, src), sc, joinOn(_, _, "inner"))
     case Join(sc: ServiceCall, r) if ServiceVectoring.applies(sc) =>
       ServiceVectoring.joinVectored(compile(r, src), sc, joinOn(_, _, "inner"))
+    // a USER-REGISTERED service joined in its group returns BINDING
+    // SETS — a solution can leave a variable unbound (the reference's
+    // OpenrdfNativeMockServiceFactory does exactly that), and an
+    // unbound slot is §8.3-compatible with every join partner.
+    // [[nullableCols]] probes the handler's (driver-built) result so
+    // all-bound results — every built-in magic service and the common
+    // user handler — keep the plain equi join.
+    case Join(l, sc: ServiceCall) if !BuiltinServices.names(sc.endpoint) =>
+      val svc = compile(sc, src)
+      joinCompat(compile(l, src), svc, maybeUnbound(l) ++ nullableCols(svc))
+    case Join(sc: ServiceCall, r) if !BuiltinServices.names(sc.endpoint) =>
+      val svc = compile(sc, src)
+      joinCompat(svc, compile(r, src), maybeUnbound(r) ++ nullableCols(svc))
     // JOIN distributes over UNION (relational identity): compiling
     // each branch's join separately keeps every join an EQUI join on
     // genuinely-bound vars — joining against the union's PADDED
@@ -657,7 +748,7 @@ object Compiler {
         "enclosing group; bind it (VALUES, a catalog pattern, …) before " +
         "the SERVICE group")
 
-    case ServiceCall(endpoint, inner, silent, srcText) =>
+    case ServiceCall(endpoint, inner, silent, srcText, _) =>
       // SERVICE SILENT failure = the unit solution (§13.2): a single
       // empty binding, so the enclosing join is unchanged — covering
       // BOTH an unregistered endpoint and a handler that fails while
@@ -808,6 +899,44 @@ object Compiler {
       if (how == "inner") joined
       else joined.unionByName(lc.filter(col(v).isNull), allowMissingColumns = true)
     }
+  }
+
+  /** `SERVICE fts:search { ?res fts:search ?term … }` under
+    * `hint:Prior hint:runLast` — binding injection: the distinct term
+    * values come off the computed side (driver-side collect BOUNDED by
+    * `graft.service.ftsTermMax`: each distinct term is one external
+    * HTTP request, the reference's multi-request form), the service
+    * dials once per term, the branches union tagged with the term
+    * value, and the join keys on the term variable. A NULL term is a
+    * loud error — the reference's FulltextSearchException on an
+    * unbound search string. */
+  private def ftsInjectJoin(lcIn: DataFrame, sc: ServiceCall,
+                            src: TripleSource): DataFrame = {
+    val v = FtsService.varSearchTerm(sc.inner).get
+    require(lcIn.columns.contains(v),
+      s"SERVICE fts:search: the search-term variable ?$v is not bound by " +
+        "the enclosing group (hint:runLast injects bindings computed " +
+        "BEFORE the service — nothing here binds it)")
+    // one materialization: the left feeds the term probe and the join
+    val lc = lcIn.localCheckpoint()
+    if (lc.filter(col(v).isNull).limit(1).count() > 0)
+      sys.error(s"SERVICE fts:search: some solutions leave ?$v unbound " +
+        "(NULL) — the reference throws on an unbound search string")
+    val maxTerms = lc.sparkSession.conf
+      .get("graft.service.ftsTermMax", "1024").toInt
+    val terms = lc.select(col(v).cast("string")).distinct()
+      .limit(maxTerms + 1).collect().map(_.getString(0)).toSeq
+    require(terms.size <= maxTerms,
+      s"SERVICE fts:search: more than $maxTerms distinct ?$v bindings — " +
+        "each term is one external request; raise " +
+        "graft.service.ftsTermMax explicitly if intended")
+    if (terms.isEmpty) return lc.where(lit(false))
+    val branches = terms.map { t =>
+      FtsService.handler(FtsService.withConstSearch(sc.inner, v, t), src)
+        .withColumn(v, lit(t))
+    }
+    joinOn(lc, branches.reduce(_.unionByName(_, allowMissingColumns = true)),
+      "inner")
   }
 
   /** Rewrite references to variables the child does NOT bind to null

@@ -38,8 +38,9 @@ import scala.jdk.CollectionConverters._
   * exist"), score/snippet fields bind null when absent, array-valued
   * fields flatten by concatenation (flattenJsonResult). In
   * `searchResultType=URI` mode (reference default is LITERAL) a doc
-  * whose value is not IRI-shaped is IGNORED, matching the reference's
-  * "if conversion fails, the value is ignored".
+  * whose value is not IRI-shaped FAILS LOUD — the reference throws
+  * FulltextSearchException.TYPE_CAST_EXCEPTION when vf.createURI
+  * rejects the value (FulltextSearchServiceFactory.java:558-567).
   *
   * Scale note: like every federated SERVICE the result materializes
   * on the driver (one HTTP response body) and joins distributed; the
@@ -55,6 +56,31 @@ object FtsService {
     * (FTS.Options.FTS_ENDPOINT: "to be used whenever the endpoint is
     * left unspecified"); queries may override per search. */
   @volatile var defaultEndpoint: Option[String] = None
+
+  /** The service group's search-TERM variable, when the query passes
+    * the search string by variable (`?res fts:search ?term`) — the
+    * reference's multi-request injection form, legal only under
+    * `hint:Prior hint:runLast` (Compiler.ftsInjectJoin). */
+  private[sparql] def varSearchTerm(inner: Algebra): Option[String] =
+    inner match {
+      case Bgp(ps @ _*) => ps.collectFirst {
+        case TriplePattern(_, Const("fts:search"), Var(t)) => t
+      }
+      case _ => None
+    }
+
+  /** The service group with its variable search term replaced by ONE
+    * injected constant binding. */
+  private[sparql] def withConstSearch(inner: Algebra, termVar: String,
+                                      value: String): Algebra =
+    inner match {
+      case Bgp(ps @ _*) => Bgp(ps.map {
+        case TriplePattern(s, p @ Const("fts:search"), Var(`termVar`)) =>
+          TriplePattern(s, p, Const(value))
+        case p => p
+      }: _*)
+      case other => other
+    }
 
   private val ValueOpts = Set("fts:search", "fts:endpoint",
     "fts:endpointType", "fts:params", "fts:searchResultType",
@@ -178,11 +204,16 @@ object FtsService {
         try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => null }
       }.orNull
       val snippet = snippetField.filter(d.has(_)).map(f => flatten(d.get(f))).orNull
-      // URI mode: non-IRI-shaped values are ignored, not errors
-      val keep = resultType != "URI" ||
-        (value.matches(Parser.IriShape + ".*") && !value.startsWith("_:"))
-      if (!keep) None
-      else Some(Row.fromSeq(
+      // URI mode: a non-IRI-shaped value is a LOUD type-cast error —
+      // the reference throws FulltextSearchException.TYPE_CAST_EXCEPTION
+      // when vf.createURI rejects the hit value
+      // (FulltextSearchServiceFactory.java:558-567; the corpus'
+      // fts-typeCastException case asserts the failure)
+      if (resultType == "URI" &&
+          !(value.matches(Parser.IriShape + ".*") && !value.startsWith("_:")))
+        sys.error("Type cast exception: search result value is not a " +
+          s"URI under fts:searchResultType URI: $value")
+      Some(Row.fromSeq(
         Seq(value) ++ scoreVar.map(_ => score) ++ snippetVar.map(_ => snippet)))
     }.toSeq
     val schema = StructType(

@@ -292,15 +292,35 @@ object Parser {
       } else if (peekIs("CREATE")) {
         next()
         val silent = silentFlag()
-        expect("GRAPH")
-        CreateGraph(constValue(next()), silent)
+        if (peekIs("SOLUTIONS")) {
+          // bigdata extension: CREATE [SILENT] SOLUTIONS %name
+          // (sparql.jj SolutionsRef; ast/CreateGraph with a solutions
+          // target, AST2BOpUpdate convertCreateGraph)
+          next()
+          val nm = next()
+          require(nm.startsWith("%"), s"CREATE SOLUTIONS expects %name, got '$nm'")
+          CreateSolutions(nm.drop(1), silent)
+        } else {
+          expect("GRAPH")
+          CreateGraph(constValue(next()), silent)
+        }
       } else if (peekIs("CLEAR") || peekIs("DROP")) {
         val kw = next()
         val silent = silentFlag()
+        val isDrop = kw.equalsIgnoreCase("DROP")
         if (peekIs("ALL")) { next(); ClearAll }
-        else {
+        else if (peekIs("SOLUTIONS")) {
+          // bigdata extension: DROP/CLEAR [SILENT] SOLUTIONS [%name]
+          next()
+          val nm = if (peek.startsWith("%")) Some(next().drop(1)) else None
+          if (isDrop) DropSolutions(nm, silent) else ClearSolutions(nm, silent)
+        } else if (peekIs("GRAPHS")) {
+          // bigdata extension: all NAMED graphs (GraphRefAll GRAPHS)
+          next()
+          DropGraphs(silent)
+        } else {
           val g = graphOrDefault()
-          if (kw.equalsIgnoreCase("DROP")) DropGraph(g, silent)
+          if (isDrop) DropGraph(g, silent)
           else ClearGraph(g, silent)
         }
       } else if (peekIs("COPY") || peekIs("MOVE") || peekIs("ADD")) {
@@ -325,6 +345,15 @@ object Parser {
       } else if (peekIs("INSERT")) {
         next()
         if (peekIs("DATA")) { next(); InsertData(parseDataBlock()) }
+        else if (peekIs("INTO")) {
+          // bigdata extension: INSERT INTO %set SELECT … (grammar
+          // InsertClause `<INSERT> <INTO> t=<VAR3> Select()`) — the
+          // SELECT's solutions append to the named solution set
+          next()
+          val nm = next()
+          require(nm.startsWith("%"), s"INSERT INTO expects %name, got '$nm'")
+          InsertIntoSolutions(nm.drop(1), parseSelect())
+        }
         else { // INSERT { t | GRAPH g { t } } [USING …] WHERE { p }
           val ins = parseTemplateBlock()
           val (ud, un) = parseUsing()
@@ -334,6 +363,14 @@ object Parser {
       } else {
         expect("DELETE")
         if (peekIs("DATA")) { next(); DeleteData(parseDataBlock()) }
+        else if (peekIs("FROM")) {
+          // bigdata extension: DELETE FROM %set SELECT … (grammar
+          // DeleteClause `<DELETE> <FROM> t=<VAR3> Select()`)
+          next()
+          val nm = next()
+          require(nm.startsWith("%"), s"DELETE FROM expects %name, got '$nm'")
+          DeleteFromSolutions(nm.drop(1), parseSelect())
+        }
         else if (peekIs("WHERE")) { // DELETE WHERE { p }: pattern is template
           next()
           if (peekAt(1).equalsIgnoreCase("GRAPH")) {
@@ -1012,6 +1049,16 @@ object Parser {
           else if (hname.equalsIgnoreCase("runLast") &&
                    hval.equalsIgnoreCase("true") && patterns.nonEmpty)
             pins(patterns.size - 1) = 2
+          else if (hname.equalsIgnoreCase("runLast") &&
+                   hval.equalsIgnoreCase("true")) alg match {
+            // the textually prior node is a SERVICE group (patterns
+            // were flushed when it was parsed): RunLast on a SERVICE
+            // defers it after the rest of its group, licensing
+            // binding injection into a variable fts:search term
+            case Join(l, sc: ServiceCall) => alg = Join(l, sc.copy(runLast = true))
+            case sc: ServiceCall          => alg = sc.copy(runLast = true)
+            case _                        => ()
+          }
         } else if (peekIs("INCLUDE")) {
           // INCLUDE %set: join the named solution set on shared vars
           next()

@@ -174,6 +174,20 @@ object Update {
       case DropGraph(g, _)     => store.dropGraph(g.getOrElse(defaultGraph))
       case ClearGraph(g, _)    => store.dropGraph(g.getOrElse(defaultGraph))
       case ClearAll            => store.clear()
+      // DROP GRAPHS (GraphRefAll's GRAPHS arm): every NAMED graph
+      // goes, the default graph stays
+      case DropGraphs(_) =>
+        graft.rdf.QuadStore(
+          store.quads.filter(org.apache.spark.sql.functions.col("g") === defaultGraph))
+      case _: SolutionsOp =>
+        // named solution sets are CONNECTION-scoped (they live on the
+        // Graft handle — graft.Graft.applyOne; the reference's default
+        // ISolutionSetManager is the SPARQL cache, not the journal).
+        // Reaching the bare store path means the caller has no handle
+        // to hold them — refuse rather than silently drop.
+        sys.error("named solution sets are connection-scoped: apply " +
+          "SOLUTIONS updates through a Graft handle (graft.Graft.update), " +
+          "not the bare quad-store path")
       case CopyGraph(f, t, _)  =>
         store.copyGraph(f.getOrElse(defaultGraph), t.getOrElse(defaultGraph))
       case MoveGraph(f, t, _)  =>

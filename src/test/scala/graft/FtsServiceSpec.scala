@@ -73,11 +73,11 @@ class FtsServiceSpec extends AnyFunSuite {
     } finally stop()
   }
 
-  test("fts:search: URI mode ignores non-IRI values; full service IRI routes too") {
+  test("fts:search: URI mode type-casts loud on non-IRI values; full service IRI routes too") {
+    // all-IRI values pass through the full service IRI route
     val (url, _, stop) = stubSolr(
       """{"response":{"docs":[
-        |  {"id":"http://example.org/a","score":1.0},
-        |  {"id":"not an iri","score":0.5}
+        |  {"id":"http://example.org/a","score":1.0}
         |]}}""".stripMargin)
     try {
       val rows = Compiler.compile(Parser.parse(
@@ -90,6 +90,24 @@ class FtsServiceSpec extends AnyFunSuite {
            |}""".stripMargin), TripleSource.plain(trips)).collect()
       assert(rows.map(_.getString(0)).toSeq == Seq("http://example.org/a"))
     } finally stop()
+    // a non-IRI value under URI mode is the reference's
+    // TYPE_CAST_EXCEPTION (FulltextSearchServiceFactory.java:558-567),
+    // not a silent drop
+    val (url2, _, stop2) = stubSolr(
+      """{"response":{"docs":[
+        |  {"id":"not an iri","score":0.5}
+        |]}}""".stripMargin)
+    try {
+      val e = intercept[RuntimeException](Compiler.compile(Parser.parse(
+        s"""SELECT ?res WHERE {
+           |  SERVICE fts:search {
+           |    ?res fts:search "x" .
+           |    ?res fts:endpoint "$url2" .
+           |    ?res fts:searchResultType "URI" .
+           |  }
+           |}""".stripMargin), TripleSource.plain(trips)).collect())
+      assert(e.getMessage.contains("Type cast exception"), e.getMessage)
+    } finally stop2()
   }
 
   test("fts:search failure semantics: non-200 loud, SILENT degrades, bad options loud") {

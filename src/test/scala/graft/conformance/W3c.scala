@@ -239,10 +239,14 @@ object W3c {
     Graft.ofQuads(spark, quads.toDF("s", "p", "o", "g"))
   }
 
-  def runCase(spark: SparkSession, name: String): CaseResult =
-    runCaseAt(spark, EvalDir, name)
+  def runCase(spark: SparkSession, name: String,
+              namedSets: Map[String, org.apache.spark.sql.DataFrame] = Map.empty)
+      : CaseResult =
+    runCaseAt(spark, EvalDir, name, namedSets)
 
-  def runCaseAt(spark: SparkSession, dir: String, name: String): CaseResult = {
+  def runCaseAt(spark: SparkSession, dir: String, name: String,
+                namedSets: Map[String, org.apache.spark.sql.DataFrame] = Map.empty)
+      : CaseResult = {
     try {
       val rq = read(s"$dir/$name.rq")
       val dataPath = Seq(s"$dir/$name.trig", s"$dir/$name.ttl")
@@ -250,7 +254,7 @@ object W3c {
         .getOrElse(return Err("no data file"))
       val expected = parseSrx(s"$dir/$name.srx")
       val g = loadData(spark, dataPath)
-      val df = g.query(rq)
+      val df = if (namedSets.isEmpty) g.query(rq) else g.query(rq, namedSets)
       expected match {
         case ExpBool(want) =>
           // an ASK answer is the boolean column; a few reference cases

@@ -323,6 +323,16 @@ object Update {
           val q = loadOpQuads(spark, src, g, defaultGraph)
           ((if (silent) q.localCheckpoint() else q), nothing)
         } catch { case e: Exception if silent => (nothing, nothing) }
+      case DropGraphs(_) =>
+        (nothing, store.quads.filter(
+          org.apache.spark.sql.functions.col("g") =!= defaultGraph))
+      case _: SolutionsOp =>
+        // see applyQuads: sets live on the Graft handle, never in a
+        // journal commit — a durable namespace refuses rather than
+        // silently dropping the op
+        sys.error("named solution sets are connection-scoped: apply " +
+          "SOLUTIONS updates through a Graft handle (graft.Graft.update), " +
+          "not a journal-backed namespace")
       case other => sys.error(s"quads-mode update supports ground data, WITH-scoped ops and graph management, got $other")
     }
   }

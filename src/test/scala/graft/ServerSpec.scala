@@ -1838,4 +1838,50 @@ class ServerSpec extends AnyFunSuite {
       assert(got == Seq(s"has --$b inside"), got)
     } finally srv.stop()
   }
+
+  test("SOLUTIONS updates over REST: in-memory namespaces hold sets, durable refuses loud") {
+    // in-memory tenants route updates through the Graft handle, so the
+    // SOLUTIONS grammar (connection-scoped named solution sets) works
+    // over the protocol: one request CREATEs + fills a set, a later
+    // query reads it back via INCLUDE
+    val g0 = Graft.empty(spark).update(
+      """INSERT DATA { x:1 a Person . x:1 label "ann" .
+        |              x:2 a Person . x:2 label "bob" .
+        |              x:3 a Robot  . x:3 label "c3p" . }""".stripMargin)
+    val srv = new SparqlServer(g0).start()
+    try {
+      val up = post(srv.address + "/sparql",
+        """CREATE SOLUTIONS %people ;
+          |INSERT INTO %people SELECT ?s ?l WHERE { ?s a Person . ?s label ?l }""".stripMargin,
+        "application/sparql-update")
+      assert(up.statusCode() / 100 == 2, s"${up.statusCode()} ${up.body()}")
+      val rows = graft.sparql.RemoteService.parseJsonResults(spark,
+        post(srv.address + "/sparql",
+          "SELECT ?s ?l WHERE { INCLUDE %people } ORDER BY ?s",
+          "application/sparql-query").body())
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(rows == Seq(("x:1", "ann"), ("x:2", "bob")))
+      // DELETE FROM + re-read through the same protocol surface
+      val del = post(srv.address + "/sparql",
+        """DELETE FROM %people SELECT ?s ?l WHERE { ?s label "ann" . ?s label ?l }""",
+        "application/sparql-update")
+      assert(del.statusCode() / 100 == 2, s"${del.statusCode()} ${del.body()}")
+      val left = graft.sparql.RemoteService.parseJsonResults(spark,
+        post(srv.address + "/sparql",
+          "SELECT ?s WHERE { INCLUDE %people }",
+          "application/sparql-query").body()).collect().map(_.getString(0)).toSeq
+      assert(left == Seq("x:2"))
+    } finally srv.stop()
+    // journal-backed namespaces refuse SOLUTIONS ops loud (sets are
+    // connection-scoped — the reference's default ISolutionSetManager
+    // is the SPARQL cache, not the journal; a durable tenant has no
+    // connection handle to hold them)
+    val dsrv = SparqlServer.durable(Graft.empty(spark), tmp()).start()
+    try {
+      val bad = post(dsrv.address + "/sparql",
+        "CREATE SOLUTIONS %nope", "application/sparql-update")
+      assert(bad.statusCode() >= 400, s"${bad.statusCode()} ${bad.body()}")
+      assert(bad.body().contains("connection-scoped"), bad.body())
+    } finally dsrv.stop()
+  }
 }

@@ -10,8 +10,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * `http://localhost:8983/solr/solrtest/select` that the reference
   * suite requires as external setup (TestFulltextSearch.java:30-35
   * points at /src/build/solr); this stub binds that address and
-  * answers from the SAME collection
-  * (bigdata-rdf-test/.../eval/fts-solr-collection.xml, 5 docs).
+  * answers from the SAME collection, read IN PLACE from the reference
+  * checkout (fts-solr-collection.xml, 5 docs — external test data,
+  * nothing copied into this repo, the [[W3c]] discipline).
   *
   * Matching is lowercase-token OR over all field values (the corpus
   * queries are single keywords or `a | b` disjunctions against a
@@ -23,24 +24,26 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   */
 object SolrStub {
 
-  final case class Doc(id: String, uri: String, fullName: String,
-                       description: String)
+  private val CollectionXml = W3c.EvalDir + "/fts-solr-collection.xml"
 
-  /** fts-solr-collection.xml verbatim. */
-  val Collection: Seq[Doc] = Seq(
-    Doc("SYSTAP", "http://example.com/SYSTAP", "SYSTAP, LLC",
-      "SYSTAP is a company providing ultra high-performance graph databases"),
-    Doc("metaphacts", "http://example.com/metaphacts", "metaphacts GmbH",
-      "Metaphacts is a company providing knowledge graph solutions"),
-    Doc("SAP", "http://example.com/SAP", "SAP AG",
-      "The SAP company is a market leader in IT enterprise software"),
-    Doc("Siemens", "http://example.com/Siemens", "Siemens AG",
-      "The Siemens company is a market leader in the energy domain and beyond"),
-    Doc("Apple", "http://example.com/Apple", "Apple Inc",
-      "The Apple company delivers innovative software and hardware in the IT and communication domain"))
+  /** field name → value, one map per <doc>. */
+  lazy val collection: Seq[Map[String, String]] = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    val doc = f.newDocumentBuilder().parse(new java.io.File(CollectionXml))
+    val docs = doc.getElementsByTagName("doc")
+    (0 until docs.getLength).map { i =>
+      val fields = docs.item(i).asInstanceOf[org.w3c.dom.Element]
+        .getElementsByTagName("field")
+      (0 until fields.getLength).map { j =>
+        val e = fields.item(j).asInstanceOf[org.w3c.dom.Element]
+        e.getAttribute("name") -> e.getTextContent
+      }.toMap
+    }
+  }
 
   /** Recorded live-Solr scores for the scored corpus case, keyed by
-    * (query, doc id). */
+    * (query, doc id) — fts-singleMax.srx's expected figures. */
   val Scores: Map[(String, String), Double] = Map(
     ("metaphacts | SYSTAP", "metaphacts") -> 0.29942045,
     ("metaphacts | SYSTAP", "SYSTAP") -> 0.23953636)
@@ -48,12 +51,9 @@ object SolrStub {
   private def tokens(s: String): Set[String] =
     s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
 
-  private def docTokens(d: Doc): Set[String] =
-    tokens(d.id) ++ tokens(d.uri) ++ tokens(d.fullName) ++ tokens(d.description)
-
-  private[conformance] def hits(q: String): Seq[Doc] = {
+  private[conformance] def hits(q: String): Seq[Map[String, String]] = {
     val qs = tokens(q)
-    Collection.filter(d => qs.exists(docTokens(d)))
+    collection.filter(d => qs.exists(d.values.flatMap(tokens).toSet))
   }
 
   private def jsonEsc(s: String): String =
@@ -66,10 +66,10 @@ object SolrStub {
 
   private[conformance] def responseFor(q: String): String = {
     val ds = hits(q).map { d =>
-      val score = Scores.getOrElse((q, d.id), 0.5)
-      s"""{"id":"${jsonEsc(d.id)}","uri":"${jsonEsc(d.uri)}",""" +
-        s""""fullName":"${jsonEsc(d.fullName)}",""" +
-        s""""description":"${jsonEsc(d.description)}","score":$score}"""
+      val score = Scores.getOrElse((q, d.getOrElse("id", "")), 0.5)
+      (d.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${jsonEsc(k)}":"${jsonEsc(v)}"""" } :+ s""""score":$score""")
+        .mkString("{", ",", "}")
     }
     s"""{"responseHeader":{"status":0},""" +
       s""""response":{"numFound":${ds.size},"start":0,"docs":[${ds.mkString(",")}]}}"""
@@ -78,7 +78,7 @@ object SolrStub {
   @volatile private var server: HttpServer = null
 
   def start(port: Int = 8983): Unit = synchronized {
-    if (server != null) return
+    if (server != null || !W3c.available) return
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/solr/solrtest/select", new HttpHandler {
       def handle(ex: HttpExchange): Unit = {

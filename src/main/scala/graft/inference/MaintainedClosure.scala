@@ -93,8 +93,7 @@ final class MaintainedClosure private (spark: SparkSession,
   private def effective(b: DataFrame): (Rdfs.Ontology, Option[Owl.Ontology]) =
     if (!dynamic) (ont, owl)
     else cachedProgram.getOrElse {
-      val p = (MaintainedClosure.ontologyFrom(b),
-        MaintainedClosure.owlOntologyFrom(b))
+      val p = MaintainedClosure.extractProgram(spark, b)
       cachedProgram = Some(p)
       p
     }
@@ -114,6 +113,10 @@ final class MaintainedClosure private (spark: SparkSession,
     val (effOnt, effOwl) = effective(b)
     effOwl match {
       case None    => Rdfs.closure(b, effOnt)
+      // empty RDFS layer: Owl.closure output is already distinct —
+      // wrapping it in Rdfs.closure's short-circuit would add one
+      // redundant full-closure distinct() per re-derivation
+      case Some(o) if Rdfs.provablyEmpty(effOnt) => Owl.closure(b, o)
       case Some(o) => Rdfs.closure(Owl.closure(b, o), effOnt)
     }
   }
@@ -148,6 +151,10 @@ final class MaintainedClosure private (spark: SparkSession,
     val structural = structuralPreds(o)
     val touchesStructural =
       structural.nonEmpty && !d.filter(col("p").isin(structural: _*)).isEmpty
+    // a structural delta is MID regardless of aliasing — skip the
+    // aliased probe (a base-snapshot scan + semi-join) entirely; the
+    // probe decides fast-vs-mid only for non-structural deltas
+    if (touchesStructural) return "mid"
     val coRef = stripG(baseJ.snapshot())
       .filter(col("p").isin(canonPreds(o): _*))
     val ids = d.select(col("s").as("id")).unionAll(d.select(col("o").as("id")))
@@ -160,7 +167,7 @@ final class MaintainedClosure private (spark: SparkSession,
       .unionAll(coRef.select(col("o").as("id")))
       .join(ids, Seq("id"), "left_semi")
       .isEmpty
-    if (!touchesStructural && !aliased) "fast" else "mid"
+    if (!aliased) "fast" else "mid"
   }
 
   /** The MID tier's closure delta: exactly the rows
@@ -216,9 +223,14 @@ final class MaintainedClosure private (spark: SparkSession,
     * math): adds/dels are exactly what changed, so the log stays
     * delta-sized even when the derivation is not. */
   private def rederiveCommit(): Long = {
-    val target = program(stripG(baseJ.snapshot())).distinct().localCheckpoint()
+    // program() output is distinct by construction (Rdfs.closure and
+    // Owl.closure both end in .distinct()) — the previous extra
+    // .distinct() here re-shuffled the whole derived closure; likewise
+    // the two anti-joins of distinct inputs stay distinct, so the
+    // commit skips its write-side dedup shuffle (commitDistinct)
+    val target = program(stripG(baseJ.snapshot())).localCheckpoint()
     val cur = stripG(closedJ.snapshot()).localCheckpoint()
-    closedJ.commit(
+    closedJ.commitDistinct(
       adds = withG(target.join(cur, Seq("s", "p", "o"), "left_anti")),
       dels = withG(cur.join(target, Seq("s", "p", "o"), "left_anti")))
   }
@@ -237,27 +249,30 @@ final class MaintainedClosure private (spark: SparkSession,
       // characteristic / first co-reference): entailments of EXISTING
       // statements change, so no delta-bounded path is exact
       cachedProgram = None
-      baseJ.append(withG(d))
+      baseJ.appendRaw(withG(d))
       return rederiveCommit()
     }
     // delta doesn't touch vocabulary, so the pre-delta base's program
-    // config is the post-delta one too
+    // config is the post-delta one too. All inputs below are distinct
+    // by construction (d is distinct()-ed above; Rdfs.closure output
+    // is distinct) — appendRaw skips the commit's redundant dedup
+    // shuffle on every arm.
     val (effOnt, effOwl) = effective(stripG(baseJ.snapshot()))
     val tier = effOwl.map(o => tierOf(d, o)).getOrElse("fast")
     tier match {
       case "fast" =>
-        baseJ.append(withG(d))
-        closedJ.append(withG(Rdfs.closure(d, effOnt)))
+        baseJ.appendRaw(withG(d))
+        closedJ.appendRaw(withG(Rdfs.closure(d, effOnt)))
       case "mid" =>
         // the canon + closed-store reads run against the PRE-delta
         // state by construction (canon unchanged; incrementalTc takes
         // the prior closure), so compute the delta first, then commit
         // base-before-closed like every path (recovery rolls forward)
         val owlNew = midDelta(d, effOwl.get).localCheckpoint()
-        baseJ.append(withG(d))
-        closedJ.append(withG(Rdfs.closure(owlNew, effOnt)))
+        baseJ.appendRaw(withG(d))
+        closedJ.appendRaw(withG(Rdfs.closure(owlNew, effOnt)))
       case _ =>
-        baseJ.append(withG(d))
+        baseJ.appendRaw(withG(d))
         rederiveCommit()
     }
   }
@@ -276,20 +291,22 @@ final class MaintainedClosure private (spark: SparkSession,
       // untouched instance statements — re-derive under the shrunk
       // program and diff
       cachedProgram = None
-      baseJ.commit(adds = none, dels = withG(r))
+      baseJ.commitDistinct(adds = none, dels = withG(r))
       return rederiveCommit()
     }
+    // r is distinct()-ed above; retractRemoved output is an anti-join
+    // of a distinct closure — commitDistinct skips the redundant dedup
     val (effOnt, effOwl) = effective(stripG(baseJ.snapshot()))
     effOwl match {
       case Some(_) =>
-        baseJ.commit(adds = none, dels = withG(r))
+        baseJ.commitDistinct(adds = none, dels = withG(r))
         rederiveCommit()
       case None =>
         val removed = Rdfs
           .retractRemoved(stripG(baseJ.snapshot()), r, effOnt)
           .localCheckpoint()
-        baseJ.commit(adds = none, dels = withG(r))
-        closedJ.commit(adds = none, dels = withG(removed))
+        baseJ.commitDistinct(adds = none, dels = withG(r))
+        closedJ.commitDistinct(adds = none, dels = withG(removed))
     }
   }
 
@@ -309,14 +326,16 @@ final class MaintainedClosure private (spark: SparkSession,
     if (a.isEmpty) return retractTriples(dEff)
     if (dynamic && (touchesVocab(a) || touchesVocab(dEff))) {
       cachedProgram = None
-      baseJ.commit(adds = withG(a), dels = withG(dEff))
+      baseJ.commitDistinct(adds = withG(a), dels = withG(dEff))
       return rederiveCommit()
     }
+    // a / dEff / closure / retractRemoved outputs are all distinct by
+    // construction — commitDistinct throughout (see assertTriples)
     val (effOnt, effOwl) = effective(stripG(baseJ.snapshot()))
     effOwl match {
       case Some(_) =>
         // OWL removal is non-local (see retractTriples) — re-derive
-        baseJ.commit(adds = withG(a), dels = withG(dEff))
+        baseJ.commitDistinct(adds = withG(a), dels = withG(dEff))
         rederiveCommit()
       case None =>
         // RDFS: DRed the removal against the PRE state, entail the
@@ -326,8 +345,8 @@ final class MaintainedClosure private (spark: SparkSession,
         val removed = Rdfs
           .retractRemoved(stripG(baseJ.snapshot()), dEff, effOnt)
           .localCheckpoint()
-        baseJ.commit(adds = withG(a), dels = withG(dEff))
-        closedJ.commit(adds = withG(Rdfs.closure(a, effOnt)), dels = withG(removed))
+        baseJ.commitDistinct(adds = withG(a), dels = withG(dEff))
+        closedJ.commitDistinct(adds = withG(Rdfs.closure(a, effOnt)), dels = withG(removed))
     }
   }
 
@@ -345,8 +364,8 @@ final class MaintainedClosure private (spark: SparkSession,
     // a suppressed delta may carry vocabulary — drop the program cache
     // unconditionally (recomputing it is one declaration-slice scan)
     cachedProgram = None
-    baseJ.commit(adds = withG(a), dels = withG(dl))
-    closedJ.commit(adds = withG(a), dels = withG(dl))
+    baseJ.commitDistinct(adds = withG(a), dels = withG(dl))
+    closedJ.commitDistinct(adds = withG(a), dels = withG(dl))
   }
 
   /** Re-derive the full program on the current base and commit the
@@ -355,7 +374,7 @@ final class MaintainedClosure private (spark: SparkSession,
     * commits a no-op record first so the two logs stay in lockstep
     * (the recovery invariant). */
   def reclose(): Long = {
-    baseJ.commit(adds = none, dels = none)
+    baseJ.commitDistinct(adds = none, dels = none)
     rederiveCommit()
   }
 
@@ -402,7 +421,7 @@ final class MaintainedClosure private (spark: SparkSession,
       val after = stripG(baseJ.snapshot(bv)).localCheckpoint()
       val added = after.exceptAll(before)
       val retracted = before.exceptAll(after)
-      closedJ.commit(
+      closedJ.commitDistinct(
         adds = withG(Rdfs.closure(added, ont)),
         dels = withG(Rdfs.retractRemoved(before, retracted, ont)))
       ()
@@ -460,6 +479,51 @@ object MaintainedClosure {
       subPropertyOf = Seq.empty[(String, String)].toDF("sub", "sup"),
       domain = Seq.empty[(String, String)].toDF("p", "cls"),
       range = Seq.empty[(String, String)].toDF("p", "cls"))
+  }
+
+  /** ONE-pass dynamic-mode program extraction: collect the full
+    * vocabulary slice (TBox predicates + OWL property-characteristic
+    * `type` rows, incl. inverseOf) in a SINGLE job, build both program
+    * halves driver-side as LocalRelations, and probe sameAs presence
+    * with one more job. Semantically identical to
+    * [[ontologyFrom]] + [[owlOntologyFrom]] (spec-pinned) — but those
+    * leave the TBox tables as snapshot-filter PLANS, so every
+    * closure's closeTiny re-ran the snapshot resolution (segment
+    * union + argmax) per commit: 6+ vocabulary jobs per extraction
+    * become 2, and [[Rdfs.provablyEmpty]] can see an empty program.
+    * TBox slices are broadcast-sized by definition — closeTiny
+    * collects them anyway. */
+  private[inference] def extractProgram(spark: SparkSession, statements: DataFrame)
+      : (Rdfs.Ontology, Option[Owl.Ontology]) = {
+    import spark.implicits._
+    val vocab = statements.filter(
+        col("p").isin(TboxPreds: _*) ||
+          (col("p") === "type" && col("o").isin(PropertyTypeObjects: _*)))
+      .select("s", "p", "o").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def pairs(p: String) = vocab.collect { case (s, `p`, o) => (s, o) }.toSeq
+    def mutual(ps: Seq[(String, String)]) = ps ++ ps.map(_.swap)
+    val ont = Rdfs.Ontology(
+      subClassOf = (pairs("subClassOf") ++ mutual(pairs("equivalentClass")))
+        .toDF("sub", "sup"),
+      subPropertyOf = (pairs("subPropertyOf") ++ mutual(pairs("equivalentProperty")))
+        .toDF("sub", "sup"),
+      domain = pairs("domain").toDF("p", "cls"),
+      range = pairs("range").toDF("p", "cls"))
+    def typed(t: String) = vocab.collect { case (s, "type", `t`) => s }.toSeq
+    val inverses = pairs("inverseOf")
+    val owlVocab = vocab.exists { case (_, p, o) =>
+      p == "inverseOf" || (p == "type" && PropertyTypeObjects.contains(o)) }
+    val hasSameAs = !statements.filter(col("p") === "sameAs").isEmpty
+    val owl =
+      if (!owlVocab && !hasSameAs) None
+      else Some(Owl.Ontology(
+        transitive = typed("TransitiveProperty"),
+        inverses = inverses,
+        symmetric = typed("SymmetricProperty"),
+        functional = typed("FunctionalProperty"),
+        inverseFunctional = typed("InverseFunctionalProperty")))
+    (ont, owl)
   }
 
   /** TBox vocabulary under the engine's local-name convention

@@ -90,6 +90,15 @@ object Owl {
       .select(col("s").as("src"), col("o").as("dst"))
     var pairs = (explicit +: entailedPairs(instance, ont))
       .reduce(_ unionAll _).localCheckpoint()
+    // no co-reference at all (common on structural-only stores): the
+    // canonical map is empty — return a LocalRelation so downstream
+    // normalizeBy joins fold away under PropagateEmptyRelation instead
+    // of paying the connected-components loop's jobs on nothing
+    if (pairs.isEmpty) {
+      val spark = instance.sparkSession
+      import spark.implicits._
+      return Seq.empty[(String, String)].toDF("id", "canon")
+    }
     var canon = componentsOf(pairs)
     if (ont.functional.nonEmpty || ont.inverseFunctional.nonEmpty) {
       var round = 0

@@ -62,7 +62,31 @@ object Rdfs {
     * commonly OFF because they type every term as Resource/Property;
     * same default here). All are map-side projections/distincts of the
     * instance slice — no joins. */
+  /** Provably-empty check WITHOUT running a job: true only when the
+    * optimized plan is an empty LocalRelation (Seq.empty.toDF, or the
+    * localized dynamic-mode ontologies [[MaintainedClosure]] builds).
+    * A false negative just takes the general path. */
+  private[inference] def provablyEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+
+  private[inference] def provablyEmpty(ont: Ontology): Boolean =
+    Seq(ont.subClassOf, ont.subPropertyOf, ont.domain, ont.range)
+      .forall(provablyEmpty)
+
   def closure(instance: DataFrame, ont: Ontology, axiomatic: Boolean = false): DataFrame = {
+    // EMPTY program (all four ontology tables provably empty, no
+    // axiomatic rules): every rule is a no-op and the closure is the
+    // instance set itself — skip the two materializations (inst,
+    // lifted), the two closeTiny collects and the 8-subtree union
+    // plan. The truth-maintenance fast tiers hit this on every commit
+    // of an RDFS-empty store (measured: ~50 driver-blocking jobs per
+    // tm_dynamic commit, the job-count floor being the whole cost at
+    // sf0.1).
+    if (!axiomatic && provablyEmpty(ont)) return instance.distinct()
     val subC = closeTiny(ont.subClassOf)
     val subP = closeTiny(ont.subPropertyOf)
     val inst = instance.localCheckpoint()

@@ -181,14 +181,20 @@ final class Journal private (spark: SparkSession, dir: Path) {
                          batchId: Option[Long], appId: Option[String],
                          dedup: Boolean = true): Long = {
     val next = version + 1
+    // ONE data pass per side: write the segment, read the row count
+    // back from parquet FOOTERS (driver-side metadata, no Spark job),
+    // and unwrite an empty result. The previous isEmpty-then-write
+    // shape computed the deduped side TWICE per commit (isEmpty runs
+    // the distinct's map stage before its limit-1 read) — on the
+    // commit-heavy paths (truth maintenance, UPDATE) that was a full
+    // redundant shuffle per segment side.
     def writeSeg(df: DataFrame, suffix: String): Boolean = {
       val rows0 = df.select(COLS.map(col): _*)
       val rows = if (dedup) rows0.distinct() else rows0
-      if (rows.isEmpty) false
-      else {
-        writeSegment(rows, next, suffix)
-        true
-      }
+      writeSegment(rows, next, suffix)
+      val p = dir.resolve("segments").resolve(s"c$next-$suffix.parquet")
+      if (Journal.parquetRowCount(p) > 0L) true
+      else { Journal.deleteRecursively(p); false }
     }
     val wrote = Seq("dels" -> writeSeg(dels, "dels"), "adds" -> writeSeg(adds, "adds"))
     publish(Record(next, compacted = false, batchId, appId,
@@ -216,6 +222,16 @@ final class Journal private (spark: SparkSession, dir: Path) {
     * segment storage until then. Returns the new version. */
   def appendRaw(adds: DataFrame): Long =
     commitWith(adds, emptyQuads(spark), None, None, dedup = false)
+
+  /** [[commit]] for callers that GUARANTEE both sides are already
+    * duplicate-free (closure outputs, anti-joins of distinct inputs —
+    * the [[graft.inference.MaintainedClosure]] write paths): skips the
+    * write-side `distinct()`, one full shuffle less per segment side.
+    * Safety net is the same as [[appendRaw]]'s: a duplicate slipping
+    * through costs segment storage only — snapshot resolution's
+    * per-key argmax dedups, and the next compact rewrites clean. */
+  private[graft] def commitDistinct(adds: DataFrame, dels: DataFrame): Long =
+    commitWith(adds, dels, None, None, dedup = false)
 
   /** Exact row count of a committed version's adds segment from
     * parquet FOOTER metadata — no Spark job, no data read (the

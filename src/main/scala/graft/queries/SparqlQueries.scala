@@ -108,8 +108,33 @@ object SparqlQueries {
     * same way at derived scales). Idempotent: the stageIx maps make
     * later in-query lookups hit the same instance. */
   def stageSearchIndexes(s: SparkSession, dir: String): Unit = {
-    literalIxFor(s, dir); docIxFor(s, dir); journalIxFor(s, dir)
-    ospTwinFor(s, dir); ()
+    // the four standing structures are INDEPENDENT builds over
+    // different inputs — overlap them from a small thread pool (guide
+    // §2.6): each build has long single-job stretches that leave most
+    // cores idle, and the scheduler back-fills them with the other
+    // builds' stages (FIFO = exactly the back-fill behavior wanted).
+    // Threads only drive job submission; the stage maps are
+    // ConcurrentHashMaps and every build owns its temp dir.
+    // setJobDescription is thread-local, so the UI stays labeled.
+    val tasks: Seq[(String, () => Unit)] = Seq(
+      "literal-index" -> (() => { literalIxFor(s, dir); () }),
+      "docs-index" -> (() => { docIxFor(s, dir); () }),
+      "journal-index" -> (() => { journalIxFor(s, dir); () }),
+      "osp-twin" -> (() => { ospTwinFor(s, dir); () }))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map { case (tag, f) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            s.sparkContext.setJobDescription(s"stage search index: $tag")
+            f()
+          }
+        })
+      }
+      // .get() rethrows the first build failure (wrapped — Bench's
+      // NonFatal catch records index_stage_failed either way)
+      futs.foreach(_.get())
+    } finally pool.shutdown()
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

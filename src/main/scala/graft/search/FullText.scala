@@ -30,12 +30,14 @@ object FullText {
     // the NORMALIZED local weight rides in the postings — the
     // reference stores it in the tuple at index time
     // (TokenBuffer.flush → TermFrequencyData.normalize), so a search
-    // never re-derives document norms
-    val norms = tfs.groupBy("doc_id")
-      .agg(sqrt(sum(col("tf") * col("tf"))).as("_dn"))
-    tfs.join(norms, "doc_id")
-      .select(col("term"), col("doc_id"), col("tf"),
-        (col("tf") / col("_dn")).as("dw"))
+    // never re-derives document norms. The norm is a WINDOW over the
+    // same tf rows (one doc_id exchange + sort) rather than a
+    // groupBy-then-join (which re-exchanged the postings by doc_id a
+    // second time for the join); values identical — the Σtf² is exact
+    // integer arithmetic either way.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    tfs.select(col("term"), col("doc_id"), col("tf"),
+      (col("tf") / sqrt(sum(col("tf") * col("tf")).over(w))).as("dw"))
   }
 
   /** Incremental maintenance of a persisted inverted index — the

@@ -187,11 +187,17 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
              toVersion: Long): (Long, Long) = synchronized {
     val k = meta.batches.map(_.k).foldLeft(-1L)(math.max) + 1
     val az = Analyzer.byName(meta.analyzer)
+    // materialize the input corpus ONCE: the id sidecar and the
+    // tokenize pass both consume it, and the corpus is often an
+    // expensive derivation (the literal index's corpus is a distinct
+    // over the store's object column) that would otherwise evaluate
+    // twice per batch
+    val corpus = addedCorpus.select("doc_id", "text").localCheckpoint()
     // the INPUT corpus counts toward nDocs even when a doc tokenizes
     // to nothing (zero-token docs are indexed-with-zero-postings), so
     // the IDF's N is the same corpus size the corpus paths use
     // (FullText.matchPostings counts docs, not posting-bearing docs)
-    val addedIds = addedCorpus.select("doc_id").distinct().localCheckpoint()
+    val addedIds = corpus.select("doc_id").distinct().localCheckpoint()
     val removed = removedDocIds.select("doc_id").distinct().localCheckpoint()
     val nAdd = addedIds.count()
     val nGone = removed.count()
@@ -206,7 +212,7 @@ final class PersistedSearchIndex private (spark: SparkSession, dir: Path) {
         "into two update() calls")
     val wroteDocs = nAdd > 0
     val wroteAdds = wroteDocs && {
-      val adds = FullText.invertedIndex(addedCorpus, az)
+      val adds = FullText.invertedIndex(corpus, az)
         .select("doc_id", "term", "tf", "dw")
         .localCheckpoint() // one tokenize pass; probed AND written below
       val any = !adds.isEmpty

@@ -170,6 +170,13 @@ final class MaintainedClosure private (spark: SparkSession,
     if (!aliased) "fast" else "mid"
   }
 
+  /** RDFS closure of an ALREADY-DISTINCT delta: under an empty
+    * program [[Rdfs.closure]]'s short-circuit would still re-distinct
+    * the input — a full delta-sized shuffle for rows the caller
+    * proved duplicate-free. */
+  private def closureOfDistinct(d: DataFrame, o: Rdfs.Ontology): DataFrame =
+    if (Rdfs.provablyEmpty(o)) d else Rdfs.closure(d, o)
+
   /** The MID tier's closure delta: exactly the rows
     * `program(base ∪ d) \ program(base)` plus (harmless, set-semantic)
     * overlaps — computed WITHOUT re-deriving the program. */
@@ -262,7 +269,7 @@ final class MaintainedClosure private (spark: SparkSession,
     tier match {
       case "fast" =>
         baseJ.appendRaw(withG(d))
-        closedJ.appendRaw(withG(Rdfs.closure(d, effOnt)))
+        closedJ.appendRaw(withG(closureOfDistinct(d, effOnt)))
       case "mid" =>
         // the canon + closed-store reads run against the PRE-delta
         // state by construction (canon unchanged; incrementalTc takes
@@ -270,7 +277,7 @@ final class MaintainedClosure private (spark: SparkSession,
         // base-before-closed like every path (recovery rolls forward)
         val owlNew = midDelta(d, effOwl.get).localCheckpoint()
         baseJ.appendRaw(withG(d))
-        closedJ.appendRaw(withG(Rdfs.closure(owlNew, effOnt)))
+        closedJ.appendRaw(withG(closureOfDistinct(owlNew, effOnt)))
       case _ =>
         baseJ.appendRaw(withG(d))
         rederiveCommit()
@@ -346,7 +353,8 @@ final class MaintainedClosure private (spark: SparkSession,
           .retractRemoved(stripG(baseJ.snapshot()), dEff, effOnt)
           .localCheckpoint()
         baseJ.commitDistinct(adds = withG(a), dels = withG(dEff))
-        closedJ.commitDistinct(adds = withG(Rdfs.closure(a, effOnt)), dels = withG(removed))
+        closedJ.commitDistinct(adds = withG(closureOfDistinct(a, effOnt)),
+          dels = withG(removed))
     }
   }
 

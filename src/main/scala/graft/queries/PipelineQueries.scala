@@ -305,6 +305,9 @@ object PipelineQueries {
     // commutative-monoid merge ⇒ identical to the batch sketch (same
     // oracle shape as sketch_cms)
     "stream_cms" -> ((s, dir) => {
+      // NOT materialized on purpose (optimization r17 measured it):
+      // the tokenize is cheap codegen map work, and checkpointing the
+      // token stream costs more than the second pass it saves
       val t = docs(s, dir)
         .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
         .filter(col("tok") =!= "")

@@ -74,10 +74,43 @@ object Owl {
     fn ++ ifn
   }
 
-  private def componentsOf(pairs: DataFrame): DataFrame =
-    graft.gas.Analytics.connectedComponents(pairs, maxIter = 256)
-      .filter(col("node") =!= col("label"))
-      .select(col("node").as("id"), col("label").as("canon"))
+  /** Pair count below which components resolve with a driver-side
+    * union-find instead of the distributed label-propagation loop:
+    * sameAs cliques are tiny in practice (the closeTiny discipline —
+    * co-reference declarations are vocabulary-shaped), and the
+    * distributed loop costs ~8 driver-blocking jobs per call. Above
+    * the bound (a genuinely instance-scale co-reference graph) the
+    * distributed path takes over unchanged. */
+  private val LocalComponentsBound = 100000L
+
+  private def componentsOf(pairs: DataFrame): DataFrame = {
+    // callers hand a localCheckpoint'ed pair set — the count is cheap
+    if (pairs.count() <= LocalComponentsBound) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (a, b) = (find(row.getString(0)), find(row.getString(1)))
+        if (a != b) parent(if (a < b) b else a) = if (a < b) a else b
+      }
+      // min ORIGINAL label per component (union-by-min keeps the root
+      // minimal, matching connectedComponents' min-label semantics)
+      parent.keys.toSeq.sorted
+        .map(id => (id, find(id)))
+        .filter { case (id, c) => id != c }
+        .toDF("id", "canon")
+    } else
+      graft.gas.Analytics.connectedComponents(pairs, maxIter = 256)
+        .filter(col("node") =!= col("label"))
+        .select(col("node").as("id"), col("label").as("canon"))
+  }
 
   /** Canonical-id mapping (id → canon): min label over each sameAs
     * component, iterated with the functional-property entailments to
